@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The FlowFile data model re-expressed as a DataFrame schema.
+ *
+ * Reference: minifi-api/include/minifi-cpp/core/FlowFile.h:38-82 — a FlowFile
+ * is an attribute map (string→string) plus opaque content and lineage/queue
+ * bookkeeping. Here one FlowFile = one row of a canonical DataFrame:
+ *
+ *   uuid         STRING        — FlowFile.h:51 identity
+ *   attributes   MAP<STRING,STRING> — FlowFile.h:40 AttributeMap
+ *   content      STRING/BINARY — the content claim, materialized lazily;
+ *                                metadata-only operators never touch it
+ *   entryDate    TIMESTAMP     — FlowFile.h:53
+ *   relationship STRING        — output edge tag (§2.3 routing); null on input
+ *
+ * Scale note: at 100 TB the `content` column is the dominant cost. Operators
+ * that only read/write `attributes` must not force a scan of `content` —
+ * Parquet column pruning handles this for free as long as plans stay
+ * declarative (verified via ReadSchema in .explain).
+ */
+object FlowFrame {
+  val Uuid = "uuid"
+  val Attributes = "attributes"
+  val Content = "content"
+  val EntryDate = "entryDate"
+  val Relationship = "relationship"
+
+  /** Core attributes, per SpecialFlowAttribute.h:22-33. */
+  object CoreAttrs {
+    val Path = "path"
+    val AbsolutePath = "absolute.path"
+    val Filename = "filename"
+    val Uuid = "uuid"
+    val Priority = "priority"
+    val MimeType = "mime.type"
+    val FlowId = "flow.id"
+  }
+
+  /** Fragment convention added by split processors (SplitText.h:152-156). */
+  object FragmentAttrs {
+    val Identifier = "fragment.identifier"
+    val Index = "fragment.index"
+    val Count = "fragment.count"
+  }
+
+  /**
+   * Wrap an arbitrary table into the FlowFile shape: every listed column
+   * becomes an attribute (stringified), `contentCol` becomes content.
+   * This is the bridge from the driver's parquet tables into operator
+   * pipelines — a pure projection, no shuffle.
+   */
+  def wrap(df: DataFrame, contentCol: String, attrCols: Seq[String],
+           uuidCol: Option[String] = None): DataFrame = {
+    val attrPairs: Seq[Column] =
+      attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val id = uuidCol.map(c => col(c).cast("string")).getOrElse(expr("uuid()"))
+    df.select(
+      id.as(Uuid),
+      map(attrPairs: _*).as(Attributes),
+      col(contentCol).cast("string").as(Content),
+      current_timestamp().as(EntryDate),
+      lit(null: String).as(Relationship))
+  }
+
+  /** Read one attribute (null when absent — EL's unmatched-attribute value). */
+  def attr(name: String): Column = element_at(col(Attributes), name)
+
+  /**
+   * Set/overwrite attributes. `map_concat` fails on duplicate keys in Spark,
+   * so overwrite-safe update = filter out keys being replaced, then concat.
+   * Mirrors UpdateAttribute semantics (UpdateAttribute.cpp:37 — dynamic
+   * properties always overwrite).
+   */
+  def withAttrs(df: DataFrame, updates: Seq[(String, Column)]): DataFrame = {
+    val keys = updates.map(_._1)
+    val cleaned = map_filter(col(Attributes), (k, _) => !k.isin(keys.map(lit): _*))
+    val newPairs = updates.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }
+    df.withColumn(Attributes, map_concat(cleaned, map(newPairs: _*)))
+  }
+
+  /**
+   * Split one routed frame into per-relationship frames
+   * (ProcessSession::routeFlowFile, ProcessSession.cpp:804). Each filter
+   * reuses the same child plan; with AQE the scan is shared.
+   */
+  def routed(df: DataFrame, relationships: Seq[String]): Map[String, DataFrame] =
+    relationships.map(r => r -> df.filter(col(Relationship) === r)).toMap
+}
