@@ -1,13 +1,861 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.FlowFrame
+import graft.el.ElCompiler
+import graft.ops._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.record.Records
+
+/**
+ * Driver contract — every implemented operator from SURVEY.md §2 registered
+ * as a named query with a matching DuckDB oracle (SURVEY §5 test strategy).
+ *
+ * Numeric policy (cross-engine hash-exactness): integer logic wherever
+ * possible; double sums go through DECIMAL(18,6) (exact, order-independent);
+ * every derived integer is cast to BIGINT on both sides; timestamps are
+ * compared as epoch-milli/micro longs (events.parquet carries TIMESTAMP
+ * NANOS, which Spark reads as long via nanosAsLong).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet — Spark 4 reads it as LongType
+    * nanos under this legacy flag; ts_us = integer-div to microseconds. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
+  /** Flagship query on sf0.001 — RouteOnAttribute over EL predicates →
+    * per-relationship counts (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ff = FlowFrame.wrap(events(spark, dir), "props",
+      Seq("event_id", "event_type", "value"))
+    val routed = Routing.routeOnAttribute(ff, Seq(
+      "alert" -> "${event_type:equals('error'):and(${value:gt(100)})}",
+      "purchase" -> "${event_type:equals('purchase')}",
+      "session" -> "${event_type:in('signup','login')}"))
+    routed.groupBy(col(FlowFrame.Relationship)).count()
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 RouteOnAttribute — EL predicates → relationship CASE chain
+    "route_on_attribute" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(events(s, dir), "props",
+        Seq("event_id", "event_type", "value"))
+      val routed = Routing.routeOnAttribute(ff, Seq(
+        "alert" -> "${event_type:equals('error'):and(${value:gt(100)})}",
+        "purchase" -> "${event_type:equals('purchase')}",
+        "session" -> "${event_type:in('signup','login')}"))
+      routed.select(
+        FlowFrame.attr("event_id").cast("long").as("event_id"),
+        col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 UpdateAttribute — EL-evaluated dynamic properties overwrite attrs
+    "update_attribute" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+      val up = Transforms.updateAttribute(ff, Seq(
+        "priority.lower" -> "${o_orderpriority:toLower()}",
+        "status.tag" -> "st_${o_orderstatus}",
+        "key.mod" -> "${o_orderkey:mod(97)}",
+        "price.band" -> "${o_totalprice:gt(1000):ifElse('high','low')}"))
+      up.select(
+        FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+        FlowFrame.attr("priority.lower").as("priority_lower"),
+        FlowFrame.attr("status.tag").as("status_tag"),
+        FlowFrame.attr("key.mod").cast("double").cast("long").as("key_mod"),
+        FlowFrame.attr("price.band").as("price_band"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 ExtractText — regex capture groups → attributes
+    "extract_text" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "documents"), "text",
+        Seq("doc_id"))
+      val ex = Transforms.extractText(ff, col(FlowFrame.Content),
+        Seq(("first_word", "^([a-z]+)", 1), ("j_word", "(j[a-z]+)", 1)))
+      ex.select(
+        FlowFrame.attr("doc_id").cast("long").as("doc_id"),
+        FlowFrame.attr("first_word").as("first_word"),
+        FlowFrame.attr("j_word").as("j_word"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.4 ReplaceText — literal + regex entire-text strategies
+    "replace_text" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Transforms.replaceText(col("text"), Transforms.LiteralReplace,
+          "data", "DATA").cast("binary")).as("lit_md5"),
+        md5(Transforms.replaceText(col("text"), Transforms.RegexReplace,
+          "[aeiou]", "_").cast("binary")).as("re_md5"))
+        .orderBy("doc_id")),
+
+    // §2.4 HashContent — md5/sha256 of raw content
+    "hash_content" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Transforms.hashContent(col("text"), "MD5").as("content_md5"),
+        Transforms.hashContent(col("text"), "SHA256").as("content_sha256"))
+        .orderBy("doc_id")),
+
+    // §2.4 EvaluateJsonPath — JSONPath over content → attributes
+    "evaluate_json_path" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(events(s, dir), "props",
+        Seq("event_id"))
+      val ev = Transforms.evaluateJsonPath(ff, col(FlowFrame.Content),
+        Seq(("k_str", "$.k"), ("missing", "$.nope")))
+      ev.select(
+        FlowFrame.attr("event_id").cast("long").as("event_id"),
+        FlowFrame.attr("k_str").as("k_str"),
+        (FlowFrame.attr("k_str").cast("long") + 1).as("k_plus"),
+        FlowFrame.attr("missing").as("missing"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 AttributesToJSON — selected attrs → JSON object string
+    "attributes_to_json" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+      ff.select(
+        FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+        Transforms.attributesToJson(Seq("o_orderstatus", "o_orderpriority"))
+          .as("attrs_json"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 RouteText — per-line match strategies + grouping regex
+    "route_text" -> ((s, dir) => {
+      val routed = Routing.routeText(tbl(s, dir, "documents"), col("text"), " ",
+        Seq(("s_words", Routing.StartsWith, "s"),
+            ("oin_words", Routing.ContainsStr, "oin"),
+            ("short", Routing.MatchesRegex, "[a-z]{1,3}")),
+        groupingRegex = Some("^(.)"))
+      routed.groupBy(col("relationship"), col("group").as("grp"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("relationship", "grp")
+    }),
+
+    // §2.5 SplitText — N-line fragments with fragment attrs
+    "split_text" -> ((s, dir) =>
+      SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), " ", 12)
+        .select(
+          col("`fragment.identifier`").as("doc_id"),
+          col("fragmentIndex").cast("long").as("fragment_index"),
+          col("fragment"),
+          col("fragmentCount").as("fragment_count"))
+        .orderBy("doc_id", "fragment_index")),
+
+    // §2.5 SegmentContent — fixed-size segmentation
+    "segment_content" -> ((s, dir) =>
+      SplitMerge.segmentContent(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), 100)
+        .select(
+          col("`fragment.identifier`").as("doc_id"),
+          col("segmentIndex").cast("long").as("segment_index"),
+          col("segment"))
+        .orderBy("doc_id", "segment_index")),
+
+    // §2.5 MergeContent (Defragment) — split→merge round-trip identity
+    "merge_content" -> ((s, dir) => {
+      val frags = SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), " ", 12)
+      SplitMerge.mergeContentDefragment(frags,
+        col("`fragment.identifier`"), col("fragmentIndex"), col("fragment"),
+        col("fragmentCount"), " ")
+        .select(
+          col("mergeId").as("doc_id"),
+          md5(col("merged").cast("binary")).as("merged_md5"),
+          col("relationship"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.5 SplitRecord — ≤N-record chunks
+    "split_record" -> ((s, dir) =>
+      SplitMerge.splitRecordChunks(tbl(s, dir, "lineitem"),
+        Seq(col("l_orderkey"), col("l_linenumber")), 500)
+        .groupBy(col("chunkId").as("chunk_id"))
+        .agg(count(lit(1)).as("rec_count"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty_sum"))
+        .orderBy("chunk_id")),
+
+    // §2.5 DefragmentText (batch) — pattern-bounded message reassembly
+    "defragment_text" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val lines = ev.select(col("user_id"), col("event_id"),
+        concat(col("event_type"), lit(":"), col("event_id").cast("string")).as("line"))
+      SplitMerge.defragmentTextBatch(lines, col("user_id"), col("event_id"),
+        col("line"), "^signup", "|")
+        .select(col("source").as("user_id"), col("messageId").as("message_id"),
+          col("message"), col("lineCount").as("line_count"))
+        .orderBy("user_id", "message_id")
+    }),
+
+    // §2.6 AttributeRollingWindow (time mode) — hourly stats per key
+    "rolling_window_time" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsc", timestamp_micros(col("ts_us")))
+      Windows.rollingWindowTime(ev, col("tsc"), col("value"), "hour",
+        Seq(col("event_type")))
+        .select(col("event_type"),
+          unix_millis(col("windowStart")).as("window_ms"),
+          col("cnt"), col("valueSum").as("value_sum"), col("mean").as("mean_v"),
+          when(col("cnt") > 1, col("variance")).as("var_v"),
+          col("minValue").as("min_v"), col("maxValue").as("max_v"))
+        .orderBy("event_type", "window_ms")
+    }),
+
+    // §2.6 AttributeRollingWindow (count mode) — last-5-rows frame per key
+    "rolling_window_count" -> ((s, dir) =>
+      Windows.rollingWindowCount(events(s, dir), Seq(col("user_id")),
+        Seq(col("event_id")), col("value"), 5)
+        .select(col("event_id"),
+          col("rollingCount").as("roll_cnt"),
+          col("rollingSum").as("roll_sum"),
+          col("rollingMean").as("roll_mean"),
+          col("rollingMin").as("roll_min"),
+          col("rollingMax").as("roll_max"))
+        .orderBy("event_id")),
+
+    // §2.6 MaxCollector — per-key running max state + row count
+    "max_collector" -> ((s, dir) =>
+      Windows.maxCollector(events(s, dir), Seq(col("event_type")),
+        Seq("ts_ms" -> expr("ts_us DIV 1000"), "value" -> col("value")))
+        .select(col("event_type"), col("rowCount").as("row_count"),
+          col("max_ts_ms"), col("max_value"))
+        .orderBy("event_type")),
+
+    // §2.1/§3.3 QueryDatabaseTable — incremental max-value pull, chunked
+    "query_database_table" -> ((s, dir) =>
+      SqlOps.queryDatabaseTable(tbl(s, dir, "lineitem"),
+        col("l_shipdate"), lit("1995-06-01").cast("timestamp_ntz"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 500)
+        .select(col("chunkId").cast("long").as("chunk_id"),
+          col("rowCount").as("row_count"),
+          // parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) reads as NTZ;
+          // session tz is UTC so the cast is the identity epoch mapping
+          unix_millis(col("chunkMax").cast("timestamp")).as("chunk_max_ms"))
+        .orderBy("chunk_id")),
+
+    // §2.1 ExecuteSQL — the engine runs the statement itself (TPC-H Q1 shape)
+    "execute_sql" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      SqlOps.executeSql(s, ExecuteSqlStatement)
+    }),
+
+    // §2.3 Funnel — UNION ALL fan-in
+    "funnel" -> ((s, dir) =>
+      Routing.funnel(Seq(
+        tbl(s, dir, "customer").select(col("c_custkey").as("id"),
+          col("c_name").as("name"), lit("customer").as("src")),
+        tbl(s, dir, "supplier").select(col("s_suppkey").as("id"),
+          col("s_name").as("name"), lit("supplier").as("src"))))
+        .orderBy("src", "id")),
+
+    // §2.3 RetryFlowFile — retry-count increment + threshold routing
+    "retry_flowfile" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(events(s, dir), "props", Seq("event_id"))
+      val seeded = Transforms.updateAttribute(ff,
+        Seq("flowfile.retries" -> "${event_id:mod(5)}"))
+      Routing.retryFlowFile(seeded, "flowfile.retries", 3)
+        .select(
+          FlowFrame.attr("event_id").cast("long").as("event_id"),
+          FlowFrame.attr("flowfile.retries").cast("double").cast("long")
+            .as("retry_count"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("event_id")
+    }),
+
+    // §2.3 Connection TTL expiration
+    "expire_ttl" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val maxUs = ev.agg(max(col("ts_us")).as("max_us"))
+      val joined = ev.crossJoin(broadcast(maxUs))
+      Routing.expireFlowFiles(joined, col("ts_us"),
+        col("max_us") - lit(432000000000L)) // 120 h in µs
+        .select(col("event_id")).orderBy("event_id")
+    }),
+
+    // §2.1 ListenSyslog — RFC5424 parse + invalid routing (ground-truth oracle)
+    "syslog_parse" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val line = when(col("event_id") % 10 === 0,
+        concat(lit("garbage "), col("event_id").cast("string")))
+        .otherwise(concat(
+          lit("<"), (col("event_id") % 192).cast("string"), lit(">1 "),
+          lit("2024-01-01T00:00:00.000Z "),
+          lit("h"), col("user_id").cast("string"), lit(" "),
+          col("event_type"), lit(" "),
+          col("event_id").cast("string"), lit(" "),
+          lit("ID"), (col("event_id") % 100).cast("string"), lit(" - m")))
+      val parsed = Syslog.parseRfc5424(ev.withColumn("line", line), col("line"))
+      parsed.select(
+        col("event_id"),
+        col("relationship"),
+        col("syslog_priority"),
+        col("syslog_hostname"),
+        col("syslog_app_name"),
+        Syslog.severity(col("syslog_priority")).as("severity"),
+        Syslog.facility(col("syslog_priority")).as("facility"))
+        .orderBy("event_id")
+    }),
+
+    // §2.1 GenerateFlowFile — deterministic synthesis
+    "generate_flowfile" -> ((s, dir) =>
+      Sources.generateFlowFiles(s, 1000L)
+        .select(col("id"), col("content"), col("content_len"))
+        .orderBy("id")),
+
+    // §2.1 ListFile — listing-state dedup (new-since-state, latest per name)
+    "list_file" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val listing = ev.select(
+        concat(lit("file_"), col("user_id").cast("string")).as("filename"),
+        col("ts_us").as("mtime_us"), col("event_id"))
+      Sources.listNewEntries(listing, col("filename"), col("mtime_us"),
+        col("event_id"), lit(1705708800000000L)) // 2024-01-20 UTC in µs
+        .select(col("filename"), expr("mtime_us DIV 1000").as("mtime_ms"),
+          col("event_id"))
+        .orderBy("filename")
+    }),
+
+    // §2.9 JsonTreeReader — schema'd JSON parse with missing→null
+    "json_tree_reader" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val rec = Records.jsonTreeReader(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("absent",
+            org.apache.spark.sql.types.StringType))))
+      ev.select(col("event_id"), rec.getField("k").as("k"),
+        rec.getField("absent").as("absent"))
+        .orderBy("event_id")
+    }),
+
+    // §2.9 JsonRecordSetWriter — array-grouping mode
+    "json_record_writer" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val obj = Records.jsonPerObject(struct(col("event_id"), col("event_type")))
+      ev.select(col("user_id"), col("event_id"), obj.as("obj"))
+        .groupBy(col("user_id"))
+        .agg(Records.jsonArray(
+          transform(array_sort(collect_list(struct(col("event_id").as("i"),
+            col("obj").as("o")))), e => e.getField("o"))).as("json_array"))
+        .orderBy("user_id")
+    }),
+
+    // §2.9 ConvertRecord — JSON → CSV line
+    "convert_record" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val rec = Records.jsonTreeReader(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      ev.select(col("event_id"),
+        concat_ws(",", col("event_id").cast("string"),
+          rec.getField("k").cast("string")).as("csv_line"))
+        .orderBy("event_id")
+    }),
+
+    // §2.8 EL battery — string/math/bool functions over relational columns
+    "el_functions" -> ((s, dir) => {
+      val byName: ElCompiler.AttrResolver = name => col(name)
+      def el(src: String): Column = ElCompiler.template(src, byName)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        el("${source:toUpper()}").as("up"),
+        el("${source:substring(1,2)}").as("sub"),
+        el("${source:substringBefore('r')}").as("before_r"),
+        el("${source:substringAfter('s')}").as("after_s"),
+        el("x_${lang}.${source}").as("joined"),
+        el("${source:indexOf('c')}").cast("long").as("idx_c"),
+        el("${text:lastIndexOf('data')}").cast("long").as("lidx"),
+        el("${lang:length()}").cast("long").as("lang_len"),
+        el("${lang:replace('e','E')}").as("repl"),
+        el("${source:replaceAll('[0-9]+','N')}").as("replall"),
+        el("${source:matches('src[0-9]+')}").as("m"),
+        el("${lang:equals('en'):ifElse('english','other')}").as("ie"),
+        el("${n_chars:plus(10)}").cast("long").as("plus10"),
+        el("${doc_id:toRadix(16)}").as("hexk"),
+        el("${lang:base64Encode()}").as("b64"),
+        el("${text:getDelimitedField(3, ' ')}").as("word3"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.8 EL multi-attribute quantifiers over the attributes map
+    "el_multiattr" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority"), uuidCol = Some("o_orderkey"))
+      def el(src: String): Column = ElCompiler.template(src)
+      ff.select(
+        col(FlowFrame.Uuid).cast("long").as("o_orderkey"),
+        el("${allAttributes('o_orderstatus','o_orderpriority'):length():gt(0)}")
+          .as("all_nonempty"),
+        el("${anyMatchingAttribute('o_order.*'):contains('URGENT')}")
+          .as("any_urgent"),
+        el("${allAttributes('o_orderstatus','o_orderpriority'):contains('O'):count()}")
+          .cast("long").as("cnt_o"),
+        el("${allAttributes('o_orderstatus','o_orderpriority'):join('-')}")
+          .as("joined"),
+        el("${anyDelineatedValue(${o_orderpriority}, '-'):equals('URGENT')}")
+          .as("any_urgent_part"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ------- training-data pipeline: dedup family -------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("contentHash").as("content_hash"), col("keepId").as("keep_id"),
+          col("dupCount").as("dup_count"))
+        .orderBy("content_hash")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), 5, 30)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("inter").as("inter_n"), col("unionSize").as("union_n"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(tbl(s, dir, "documents"),
+        col("doc_id"), col("text"), 5, 8)
+      Dedup.minHashLshPairs(sigs, 8, 2)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash32(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("docId").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")),
+
+    // ------- similarity search -------
+    "embed_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ------- text analysis -------
+    "text_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text"), Seq(
+          "en" -> Seq("the"), "es" -> Seq("data"),
+          "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"),
+        Seq("the", "a", "data"))
+      val fmap = feats.toMap
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        fmap("n_chars").as("chars_n"),
+        fmap("n_words").as("words_n"),
+        fmap("stop_count").as("stop_n"),
+        fmap("punct_count").as("punct_n"),
+        fmap("mean_word_len").as("mean_wlen"),
+        fmap("stop_ratio").as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
+        TextAnalysis.tokenCountBpeIsh(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text"), 5).as("fp"),
+        TextAnalysis.fingerprintBand(col("text"), 5, 2).as("fp_band"))
+        .orderBy("doc_id")),
+
+    // ------- multimodal plumbing (stubbed decode) -------
+    "multimodal_stub" -> ((s, dir) => {
+      val wrapped = Multimodal.wrapBinary(tbl(s, dir, "documents"),
+        col("doc_id"), col("text"), "text/plain", col("source"))
+      Multimodal.decodeFeatures(wrapped)
+        .select(col("mmId").as("mm_id"), col("width"), col("height"),
+          col("nFrames").as("n_frames"))
+        .orderBy("mm_id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val ExecuteSqlStatement: String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty, " +
+      "COUNT(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+
+  /** Shared DuckDB CTE: distinct word 5-gram shingles per document.
+    * (generate_series used as a scalar list + unnest — DuckDB's table
+    * function form does not allow lateral column refs.) */
+  private val ShingleCte: String =
+    """WITH docs AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+      |shi AS (SELECT doc_id, words,
+      |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+      |  FROM docs),
+      |sh0 AS (SELECT doc_id,
+      |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+      |       ELSE array_to_string(words,' ') END AS sh
+      |  FROM shi),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+
+  private def simhashOracle: String = {
+    val vCols = (0 until 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1))-1) AS v$j").mkString(", ")
+    val sums = (for (j <- 0 until 8; k <- 0 until 4) yield
+      s"SUM(((v$j >> $k) & 1)*2-1) AS s_${j}_$k").mkString(", ")
+    val sig = (for (j <- 0 until 8; k <- 0 until 4) yield
+      s"(CASE WHEN s_${j}_$k > 0 THEN CAST(${1L << (j * 4 + k)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |tok AS (SELECT doc_id, md5(w) AS h FROM tok0),
+       |v AS (SELECT doc_id, $vCols FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM v GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val mins = (0 until 8).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$ShingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key AND a.doc_id<b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "route_on_attribute" ->
+      """SELECT event_id, CASE WHEN event_type='error' AND value>100 THEN 'alert'
+        | WHEN event_type='purchase' THEN 'purchase'
+        | WHEN event_type IN ('signup','login') THEN 'session'
+        | ELSE 'unmatched' END AS relationship FROM events ORDER BY event_id""".stripMargin,
+
+    "update_attribute" ->
+      """SELECT o_orderkey, lower(o_orderpriority) AS priority_lower,
+        | 'st_' || o_orderstatus AS status_tag,
+        | CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
+        | CASE WHEN o_totalprice > 1000 THEN 'high' ELSE 'low' END AS price_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "extract_text" ->
+      """SELECT doc_id, regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        | regexp_extract(text, '(j[a-z]+)', 1) AS j_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "replace_text" ->
+      """SELECT doc_id, md5(replace(text, 'data', 'DATA')) AS lit_md5,
+        | md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS re_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "hash_content" ->
+      """SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evaluate_json_path" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS k_plus,
+        | json_extract_string(props, '$.nope') AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "attributes_to_json" ->
+      """SELECT o_orderkey, '{"o_orderstatus":"' || o_orderstatus ||
+        | '","o_orderpriority":"' || o_orderpriority || '"}' AS attrs_json
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "route_text" ->
+      """WITH l AS (SELECT unnest(string_split(text,' ')) AS line FROM documents)
+        |SELECT CASE WHEN line LIKE 's%' THEN 's_words'
+        |  WHEN line LIKE '%oin%' THEN 'oin_words'
+        |  WHEN regexp_full_match(line, '[a-z]{1,3}') THEN 'short'
+        |  ELSE 'unmatched' END AS relationship,
+        | regexp_extract(line, '^(.)', 1) AS grp, COUNT(*) AS cnt
+        |FROM l GROUP BY 1, 2 ORDER BY relationship, grp""".stripMargin,
+
+    "split_text" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |e AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT)-1)) AS i FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS fragment_index,
+        | array_to_string(list_slice(words, i*12+1, i*12+12), ' ') AS fragment,
+        | CAST(ceil(len(words)/12.0) AS BIGINT) AS fragment_count
+        |FROM e ORDER BY doc_id, fragment_index""".stripMargin,
+
+    "segment_content" ->
+      """WITH e AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, CAST(ceil(length(text)/100.0) AS BIGINT)-1)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS segment_index,
+        | substr(text, CAST(i*100+1 AS INT), 100) AS segment
+        |FROM e ORDER BY doc_id, segment_index""".stripMargin,
+
+    "merge_content" ->
+      """SELECT doc_id, md5(text) AS merged_md5, 'merged' AS relationship
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_record" ->
+      """WITH r AS (SELECT l_quantity, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)
+        |SELECT CAST((rn-1)//500 AS BIGINT) AS chunk_id, COUNT(*) AS rec_count,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+        |FROM r GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+
+    "defragment_text" ->
+      """WITH l AS (SELECT user_id, event_id,
+        |  event_type || ':' || CAST(event_id AS VARCHAR) AS line,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS message_id
+        |  FROM events)
+        |SELECT user_id, message_id, string_agg(line, '|' ORDER BY event_id) AS message,
+        | COUNT(*) AS line_count
+        |FROM l GROUP BY user_id, message_id ORDER BY user_id, message_id""".stripMargin,
+
+    "rolling_window_time" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS window_ms,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS mean_v,
+        | CASE WHEN COUNT(*)>1 THEN
+        |   (CAST(SUM(CAST(value*value AS DECIMAL(18,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))
+        |   /(COUNT(*)-1) ELSE NULL END AS var_v,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, window_ms""".stripMargin,
+
+    "rolling_window_count" ->
+      """SELECT event_id,
+        | COUNT(*) OVER w AS roll_cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)/(COUNT(*) OVER w) AS roll_mean,
+        | MIN(value) OVER w AS roll_min, MAX(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "max_collector" ->
+      """SELECT event_type, row_count,
+        | epoch_ns(ts_max)//1000000 AS max_ts_ms, value_max AS max_value
+        |FROM (SELECT event_type, COUNT(*) AS row_count, MAX(ts) AS ts_max,
+        |      MAX(value) AS value_max FROM events GROUP BY event_type) s
+        |ORDER BY event_type""".stripMargin,
+
+    "query_database_table" ->
+      """WITH inc AS (SELECT l_shipdate,
+        |  row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01')
+        |SELECT CAST((rn-1)//500 AS BIGINT) AS chunk_id, COUNT(*) AS row_count,
+        | epoch_ms(MAX(l_shipdate)) AS chunk_max_ms
+        |FROM inc GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+
+    "execute_sql" -> ExecuteSqlStatement,
+
+    "funnel" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
+
+    "retry_flowfile" ->
+      """SELECT event_id, CAST(event_id % 5 + 1 AS BIGINT) AS retry_count,
+        | CASE WHEN event_id % 5 + 1 <= 3 THEN 'retry' ELSE 'retries_exceeded' END AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "expire_ttl" ->
+      """SELECT event_id FROM events
+        |WHERE epoch_ns(ts)//1000 > (SELECT MAX(epoch_ns(ts)//1000) FROM events) - 432000000000
+        |ORDER BY event_id""".stripMargin,
+
+    "syslog_parse" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 10 = 0 THEN 'invalid' ELSE 'success' END AS relationship,
+        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 AS VARCHAR) END AS syslog_priority,
+        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE 'h' || CAST(user_id AS VARCHAR) END AS syslog_hostname,
+        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS syslog_app_name,
+        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 % 8 AS BIGINT) END AS severity,
+        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST((event_id % 192) // 8 AS BIGINT) END AS facility
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "generate_flowfile" ->
+      """SELECT t.i AS id, md5('gen-' || CAST(t.i AS VARCHAR)) AS content,
+        | length(md5('gen-' || CAST(t.i AS VARCHAR))) AS content_len
+        |FROM generate_series(0, 999) t(i) ORDER BY id""".stripMargin,
+
+    "list_file" ->
+      """WITH listing AS (SELECT 'file_' || CAST(user_id AS VARCHAR) AS filename,
+        |  epoch_ns(ts)//1000 AS mtime_us, event_id
+        |  FROM events WHERE epoch_ns(ts)//1000 > 1705708800000000),
+        |r AS (SELECT filename, mtime_us, event_id,
+        |  row_number() OVER (PARTITION BY filename ORDER BY mtime_us DESC, event_id DESC) AS rn
+        |  FROM listing)
+        |SELECT filename, mtime_us//1000 AS mtime_ms, event_id FROM r WHERE rn = 1
+        |ORDER BY filename""".stripMargin,
+
+    "json_tree_reader" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | json_extract_string(props, '$.absent') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_record_writer" ->
+      """SELECT user_id, '[' || string_agg('{"event_id":' || CAST(event_id AS VARCHAR)
+        |  || ',"event_type":"' || event_type || '"}', ',' ORDER BY event_id) || ']' AS json_array
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "convert_record" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) || ',' ||
+        | json_extract_string(props, '$.k') AS csv_line
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "el_functions" ->
+      """SELECT doc_id, upper(source) AS up, substr(source, 2, 2) AS sub,
+        | split_part(source, 'r', 1) AS before_r,
+        | CASE WHEN strpos(source,'s') > 0 THEN substr(source, strpos(source,'s')+1) ELSE '' END AS after_s,
+        | 'x_' || lang || '.' || source AS joined,
+        | CAST(strpos(source, 'c') - 1 AS BIGINT) AS idx_c,
+        | CASE WHEN strpos(text,'data') > 0
+        |   THEN CAST(length(text) - 4 - strpos(reverse(text), 'atad') + 1 AS BIGINT)
+        |   ELSE -1 END AS lidx,
+        | CAST(length(lang) AS BIGINT) AS lang_len,
+        | replace(lang, 'e', 'E') AS repl,
+        | regexp_replace(source, '[0-9]+', 'N', 'g') AS replall,
+        | regexp_full_match(source, 'src[0-9]+') AS m,
+        | CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS ie,
+        | CAST(n_chars + 10 AS BIGINT) AS plus10,
+        | lower(to_hex(doc_id)) AS hexk,
+        | to_base64(CAST(lang AS BLOB)) AS b64,
+        | string_split(text, ' ')[3] AS word3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "el_multiattr" ->
+      """SELECT o_orderkey,
+        | length(o_orderstatus) > 0 AND length(o_orderpriority) > 0 AS all_nonempty,
+        | o_orderstatus LIKE '%URGENT%' OR o_orderpriority LIKE '%URGENT%' AS any_urgent,
+        | CAST((CASE WHEN o_orderstatus LIKE '%O%' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN o_orderpriority LIKE '%O%' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+        | o_orderstatus || '-' || o_orderpriority AS joined,
+        | list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS any_urgent_part
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$ShingleCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, i.inter_n,
+         | sa.nsh + sb.nsh - i.inter_n AS union_n
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+         | JOIN sizes sb ON sb.doc_id = i.id_b
+         |WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_simhash" -> simhashOracle,
+
+    "embed_topk" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qq
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS cid,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS cq
+        |  FROM embeddings),
+        |qn AS (SELECT qid, qq, CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS qn2 FROM q),
+        |cn AS (SELECT cid, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM c),
+        |pairs AS (SELECT qid, cid,
+        |  CAST(list_sum(list_transform(range(1, len(qq)+1), i -> qq[CAST(i AS INT)]*cq[CAST(i AS INT)])) AS BIGINT) AS dot,
+        |  qn2, cn2
+        |  FROM qn CROSS JOIN cn WHERE cid <> qid),
+        |scored AS (SELECT qid, cid,
+        |  round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) AS cosine
+        |  FROM pairs),
+        |ranked AS (SELECT qid, cid, cosine,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id,
+        | (length(text)-length(replace(text,' the ','')))//5 AS s_en,
+        | (length(text)-length(replace(text,' data ','')))//6 AS s_es,
+        | (length(text)-length(replace(text,' join ','')))//6 AS s_de,
+        | (length(text)-length(replace(text,' merge ','')))//7 AS s_fr
+        | FROM documents)
+        |SELECT doc_id, CASE
+        | WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+        | WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+        | WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+        | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+        | ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (SELECT doc_id, length(text) AS chars_n,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words_n,
+        |  (length(text)-length(replace(text,' the ','')))//5
+        |   + (length(text)-length(replace(text,' a ','')))//3
+        |   + (length(text)-length(replace(text,' data ','')))//6 AS stop_n,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_n
+        | FROM documents)
+        |SELECT doc_id, CAST(chars_n AS BIGINT) AS chars_n, CAST(words_n AS BIGINT) AS words_n,
+        | CAST(stop_n AS BIGINT) AS stop_n, CAST(punct_n AS BIGINT) AS punct_n,
+        | CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END AS mean_wlen,
+        | CASE WHEN words_n > 0 THEN CAST(stop_n AS DOUBLE)/words_n ELSE 0.0 END AS stop_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""$ShingleCte,
+         |f1 AS (SELECT doc_id, min(md5(sh)) AS fp FROM sh0 GROUP BY doc_id),
+         |f2 AS (SELECT doc_id, min(md5(sh)) AS fp_band FROM sh0
+         |  WHERE (strpos('0123456789abcdef', substr(md5(sh),1,1))-1) % 2 = 0 GROUP BY doc_id)
+         |SELECT d.doc_id, f1.fp, f2.fp_band
+         |FROM documents d JOIN f1 ON f1.doc_id = d.doc_id
+         | LEFT JOIN f2 ON f2.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "multimodal_stub" ->
+      """SELECT doc_id AS mm_id,
+        | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+        | CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY mm_id""".stripMargin
+  )
 }

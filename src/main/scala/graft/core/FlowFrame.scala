@@ -61,7 +61,9 @@ object FlowFrame {
     df.select(
       id.as(Uuid),
       map(attrPairs: _*).as(Attributes),
-      col(contentCol).cast("string").as(Content),
+      col(contentCol).as(Content), // native type — BINARY must not be coerced
+                                   // (byte-accurate ops like HashContent hash
+                                   // the raw claim, HashContent.cpp:57)
       current_timestamp().as(EntryDate),
       lit(null: String).as(Relationship))
   }

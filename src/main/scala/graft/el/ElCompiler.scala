@@ -1,0 +1,275 @@
+package graft.el
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.FlowFrame
+
+/**
+ * NiFi Expression Language → Catalyst Column compiler.
+ *
+ * Compiles the AST from [[ElAst]] into native Spark `Column` expressions so
+ * every EL-enabled property participates in whole-stage codegen — no UDF in
+ * the hot path except the HTML/XML/CSV escape family.
+ *
+ * Function inventory and semantics re-derived from the reference dispatch
+ * table (libminifi/src/expression-language/Expression.cpp:1369-1533) and the
+ * per-function implementations cited inline below. Attribute reads
+ * (`${attr}`) resolve against the FlowFrame `attributes` map column
+ * (Expression.cpp:94 make_dynamic_attr) unless a custom resolver is given —
+ * operators over plain tables pass `name => col(name)` so EL expressions
+ * compile straight onto relational columns and Catalyst can push them down.
+ *
+ * Compilation happens once at plan-build time, mirroring the reference's
+ * one-shot EL compile at schedule time (ProcessContextImpl.cpp getProperty).
+ */
+object ElCompiler {
+
+  type AttrResolver = String => Column
+
+  /** Default resolver: FlowFrame attributes map (null when absent). */
+  val flowAttrs: AttrResolver = name => element_at(col(FlowFrame.Attributes), name)
+
+  /** Compile a full property value (text + embedded expressions) to a string
+    * Column. Multiple parts concatenate, like the reference's expression
+    * composition over text chunks. */
+  def template(input: String, attrs: AttrResolver = flowAttrs): Column = {
+    val t = ElAst.parse(input)
+    if (t.isSingleExpr) compileNode(t.parts.head.toOption.get, attrs)
+    else concat(t.parts.map {
+      case Left(text) => lit(text)
+      case Right(node) => coalesce(compileNode(node, attrs).cast("string"), lit(""))
+    }: _*)
+  }
+
+  /** Compile to a boolean predicate (RouteOnAttribute property semantics,
+    * RouteOnAttribute.cpp:50 — non-boolean results are false). */
+  def predicate(input: String, attrs: AttrResolver = flowAttrs): Column =
+    coalesce(template(input, attrs).cast("boolean"), lit(false))
+
+  // ---------------------------------------------------------------------------
+
+  private def compileNode(node: ElAst.Node, attrs: AttrResolver): Column = node match {
+    case ElAst.AttrRef(name) => attrs(name)
+    case ElAst.StrLit(v)     => lit(v)
+    case n @ ElAst.NumLit(text) =>
+      if (n.isIntegral) lit(text.toLong) else lit(text.toDouble)
+    case ElAst.BoolLit(v)    => lit(v)
+    case c: ElAst.Call       => compileCall(None, c, attrs)
+    case ElAst.Chain(subject, calls) => compileChain(subject, calls, attrs)
+  }
+
+  private val quantifiers = Set(
+    "allAttributes", "anyAttribute", "allMatchingAttributes",
+    "anyMatchingAttribute", "allDelineatedValues", "anyDelineatedValue")
+
+  private def compileChain(subject: ElAst.Node, calls: Seq[ElAst.Call],
+                           attrs: AttrResolver): Column = subject match {
+    // Multi-attribute / delineated-value quantifiers (Expression.cpp:1051-1311):
+    // the call chain maps over each candidate value; the quantifier (or a
+    // terminal count()/join()) combines the per-value results.
+    case ElAst.Call(q, qargs) if quantifiers.contains(q) =>
+      val values: Column = q match {
+        case "allAttributes" | "anyAttribute" =>
+          array(qargs.map(a => attrs(asString(a))): _*)
+        case "allMatchingAttributes" | "anyMatchingAttribute" =>
+          map_values(map_filter(col(FlowFrame.Attributes),
+            (k, _) => k.rlike(asString(qargs.head))))
+        case _ => // all/anyDelineatedValue(subject, delimiter)
+          split(compileNode(qargs.head, attrs).cast("string"),
+            java.util.regex.Pattern.quote(asString(qargs(1))))
+      }
+      val isAll = q.startsWith("all")
+      val (mapCalls, terminal) = calls.lastOption match {
+        case Some(ElAst.Call("count", _)) => (calls.dropRight(1), "count")
+        case Some(ElAst.Call("join", _))  => (calls.dropRight(1), "join")
+        case _ => (calls, if (isAll) "all" else "any")
+      }
+      def applyChain(v: Column): Column =
+        mapCalls.foldLeft(v)((acc, c) => compileCall(Some(acc), c, attrs))
+      terminal match {
+        case "all"   => forall(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+        case "any"   => exists(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+        case "count" => size(filter(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))).cast("long")
+        case "join"  =>
+          val d = asString(calls.last.args.head)
+          array_join(transform(values, v => applyChain(v).cast("string")), d)
+      }
+    case _ =>
+      calls.foldLeft(compileNode(subject, attrs))((acc, c) => compileCall(Some(acc), c, attrs))
+  }
+
+  private def asString(n: ElAst.Node): String = n match {
+    case ElAst.StrLit(v) => v
+    case ElAst.NumLit(t) => t
+    case ElAst.AttrRef(v) => v // bare word used as literal arg
+    case other => throw new IllegalArgumentException(s"expected literal, got $other")
+  }
+
+  /** Anchored full-match for `matches` (std::regex_match, Expression.cpp:800). */
+  private def anchor(pat: String): String = "^(?:" + pat + ")$"
+
+  // Escape family UDFs (Expression.cpp:446-727). Maps mirror the reference's
+  // replaceMap tables — public HTML 3/4 entity names.
+  private val html3Map = Seq(
+    "&" -> "&amp;", "\"" -> "&quot;", "'" -> "&apos;", "<" -> "&lt;", ">" -> "&gt;")
+  private val escapeHtmlUdf = udf((s: String) =>
+    if (s == null) null
+    else html3Map.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) })
+  private val unescapeHtmlUdf = udf((s: String) =>
+    if (s == null) null
+    else html3Map.reverse.foldLeft(s) { case (acc, (from, to)) => acc.replace(to, from) })
+  private val escapeCsvUdf = udf((s: String) =>
+    if (s == null) null
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s)
+  private val unescapeCsvUdf = udf((s: String) =>
+    if (s == null) null
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
+      s.substring(1, s.length - 1).replace("\"\"", "\"")
+    else s)
+
+  /** One postfix call: `subject:fn(args)` → Column. `subject` is None for
+    * subjectless functions opening an expression. */
+  private def compileCall(subjectOpt: Option[Column], call: ElAst.Call,
+                          attrs: AttrResolver): Column = {
+    val ElAst.Call(name, rawArgs) = call
+    lazy val args: Seq[Column] = rawArgs.map(compileNode(_, attrs))
+    def subj: Column = subjectOpt.getOrElse(
+      throw new IllegalArgumentException(s"EL function '$name' needs a subject"))
+    def s0: Column = subj.cast("string")
+    def a(i: Int): Column = args(i)
+    def sArg(i: Int): String = asString(rawArgs(i))
+    def num(c: Column): Column = c.cast("double")
+
+    name match {
+      // --- subjectless (Expression.cpp:123-211, 952, 1038-1046) ---
+      case "literal"  => a(0)
+      case "hostname" => lit(java.net.InetAddress.getLocalHost.getHostName)
+      case "ip"       => lit(java.net.InetAddress.getLocalHost.getHostAddress)
+      case "UUID"     => expr("uuid()")
+      case "now"      => current_timestamp()
+      case "random"   => (rand() * lit(Long.MaxValue)).cast("long")
+      case "nextInt"  => monotonically_increasing_id()
+
+      // --- string case/trim/len (Expression.cpp:215-227, 814, 828) ---
+      case "toUpper" => upper(s0)
+      case "toLower" => lower(s0)
+      case "trim"    => trim(s0)
+      case "length"  => length(s0).cast("long")
+
+      // substring(offset[, count]) — 0-based, count chars (Expression.cpp:227)
+      case "substring" =>
+        if (args.size == 1) substring(s0, a(0).cast("int") + lit(1), lit(Int.MaxValue))
+        else substring(s0, a(0).cast("int") + lit(1), a(1).cast("int"))
+      // before/after first/last occurrence (Expression.cpp:238-266)
+      case "substringBefore" => substring_index(s0, sArg(0), 1)
+      case "substringAfter" =>
+        val d = sArg(0)
+        when(instr(s0, d) > 0,
+          expr_substr_from(s0, instr(s0, d) + lit(d.length))).otherwise(lit(""))
+      case "substringBeforeLast" =>
+        val d = sArg(0)
+        when(instr(s0, d) > 0,
+          substring(s0, lit(1),
+            length(s0) - length(substring_index(s0, d, -1)) - lit(d.length)))
+          .otherwise(lit(""))
+      case "substringAfterLast" =>
+        val d = sArg(0)
+        when(instr(s0, d) > 0, substring_index(s0, d, -1)).otherwise(lit(""))
+      case "getDelimitedField" =>
+        val delim = if (rawArgs.size > 1) sArg(1) else ","
+        element_at(split(s0, java.util.regex.Pattern.quote(delim)), a(0).cast("int"))
+
+      // --- predicates (Expression.cpp:389-428, 800-814, 956-1034) ---
+      case "startsWith" => s0.startsWith(a(0).cast("string"))
+      case "endsWith"   => s0.endsWith(a(0).cast("string"))
+      case "contains"   => s0.contains(a(0).cast("string"))
+      case "in"         => s0.isin(args.map(_.cast("string")): _*)
+      case "indexOf"    => (instr(s0, sArg(0)) - lit(1)).cast("long")
+      case "lastIndexOf" =>
+        val d = sArg(0)
+        when(instr(s0, d) > 0,
+          (length(s0) - lit(d.length) - instr(reverse(s0), d.reverse) + lit(1)).cast("long"))
+          .otherwise(lit(-1L))
+      case "matches" => s0.rlike(anchor(sArg(0)))
+      case "find"    => s0.rlike(sArg(0))
+      case "isNull"  => subj.isNull
+      case "notNull" => subj.isNotNull
+      case "isEmpty" => subj.isNull || trim(s0) === lit("")
+      case "equals"  => s0 === a(0).cast("string")
+      case "equalsIgnoreCase" => lower(s0) === lower(a(0).cast("string"))
+      case "gt" => num(subj) >  num(a(0))
+      case "ge" => num(subj) >= num(a(0))
+      case "lt" => num(subj) <  num(a(0))
+      case "le" => num(subj) <= num(a(0))
+      case "and" => subj.cast("boolean") && a(0).cast("boolean")
+      case "or"  => subj.cast("boolean") || a(0).cast("boolean")
+      case "not" => !subj.cast("boolean")
+      case "ifElse" => when(subj.cast("boolean"), a(0)).otherwise(a(1))
+
+      // --- replace family (Expression.cpp:755-798) ---
+      case "replace"      => replace(s0, a(0).cast("string"), a(1).cast("string"))
+      case "replaceFirst" =>
+        regexp_replace(s0, "(?s)\\A(?:(.*?))" + sArg(0), "$1" + sArg(1))
+      case "replaceAll"   => regexp_replace(s0, sArg(0), sArg(1))
+      case "replaceNull"  => coalesce(s0, a(0).cast("string"))
+      case "replaceEmpty" => when(subj.isNull || trim(s0) === "", a(0).cast("string")).otherwise(s0)
+
+      // --- concat (Expression.cpp:818-823) ---
+      case "append"  => concat(s0, a(0).cast("string"))
+      case "prepend" => concat(a(0).cast("string"), s0)
+
+      // --- math (Expression.cpp:845-913) — reference coerces int64 when both
+      // integral, long double otherwise (Value.h asNumber); we compute in
+      // double and keep longs for integral literals on integral subjects.
+      case "plus"     => num(subj) + num(a(0))
+      case "minus"    => num(subj) - num(a(0))
+      case "multiply" => num(subj) * num(a(0))
+      case "divide"   => num(subj) / num(a(0))
+      case "mod"      => num(subj) % num(a(0))
+      case "toRadix"  =>
+        val padded = conv(subj.cast("long").cast("string"), 10, sArg(0).toInt)
+        if (rawArgs.size > 1) lpad(lower(padded), sArg(1).toInt, "0") else lower(padded)
+      case "fromRadix" => conv(s0, sArg(0).toInt, 10).cast("long")
+      case "toNumber"  => subj.cast("long")
+      case "toDecimal" => subj.cast("double")
+      case "toString"  => s0
+
+      // --- encode/decode (Expression.cpp:446-751) ---
+      case "urlEncode" => url_encode(s0)
+      case "urlDecode" => url_decode(s0)
+      case "base64Encode" => base64(encode(s0, "UTF-8"))
+      case "base64Decode" => decode(unbase64(s0), "UTF-8")
+      case "escapeJson"   =>
+        // JSON string-escape without the surrounding quotes (Expression.cpp:446)
+        expr_strip_quotes(to_json(struct(s0.as("v"))))
+      case "unescapeJson" => get_json_object(concat(lit("{\"v\":\""), s0, lit("\"}")), "$.v")
+      case "escapeXml"    => escapeHtmlUdf(s0)
+      case "unescapeXml"  => unescapeHtmlUdf(s0)
+      case "escapeHtml3" | "escapeHtml4"     => escapeHtmlUdf(s0)
+      case "unescapeHtml3" | "unescapeHtml4" => unescapeHtmlUdf(s0)
+      case "escapeCsv"    => escapeCsvUdf(s0)
+      case "unescapeCsv"  => unescapeCsvUdf(s0)
+
+      // --- date/time (Expression.cpp:636-674) ---
+      case "format" => // subject: epoch millis → formatted string
+        date_format(timestamp_millis(subj.cast("long")), sArg(0))
+      case "toDate" => // string → epoch millis
+        unix_millis(to_timestamp(s0, sArg(0)))
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported EL function '$other'")
+    }
+  }
+
+  /** substr(pos → end): Spark substring with dynamic start, to end of string. */
+  private def expr_strip_quotes(jsonStr: Column): Column = {
+    // to_json(struct(v)) → {"v":"<escaped>"} — strip the wrapper
+    val inner = regexp_replace(jsonStr, "^\\{\"v\":\"", "")
+    regexp_replace(inner, "\"\\}$", "")
+  }
+
+  private def expr_substr_from(s: Column, pos1: Column): Column =
+    substring(s, pos1.cast("int"), lit(Int.MaxValue))
+}

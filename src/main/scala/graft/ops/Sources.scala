@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch-side source semantics — SURVEY §2.1. The byte-moving plane of the
+ * file/network sources maps onto Spark's native connectors
+ * (`binaryFile`/`text`/`kafka`); what the engine re-expresses here is the
+ * *stateful listing/synthesis logic* those processors implement.
+ */
+object Sources {
+
+  /**
+   * GetFile (GetFile.cpp:71): poll a directory with name-regex/size filters.
+   * Batch shape: `binaryFile` read with pathGlobFilter; filters push to the
+   * file index, never materializing non-matching files.
+   */
+  def getFile(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /**
+   * GenerateFlowFile (GenerateFlowFile.cpp:113): synthesize N flowfiles of
+   * deterministic content — `spark.range` + column synthesis (the `rate`
+   * source streams the same shape).
+   */
+  def generateFlowFiles(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id"),
+      md5(concat(lit("gen-"), col("id").cast("string"))).as("content"))
+      .withColumn("content_len", length(col("content")).cast("long"))
+
+  /**
+   * ListFile / ListingStateManager (ListFile.cpp:92, extension-framework/
+   * include/utils/ListingStateManager.h:50-56): emit entries newer than the
+   * stored listing state, deduplicated to the latest observation per name.
+   * One window on the name key; state advance = max(mtime) of the output.
+   */
+  def listNewEntries(df: DataFrame, nameCol: Column, mtimeCol: Column,
+                     tieBreak: Column, lastSeen: Column): DataFrame = {
+    val rn = row_number().over(
+      Window.partitionBy(nameCol).orderBy(mtimeCol.desc, tieBreak.desc))
+    df.filter(mtimeCol > lastSeen)
+      .withColumn("listRank", rn)
+      .filter(col("listRank") === 1)
+      .drop("listRank")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.FlowFrame.FragmentAttrs
+
+/**
+ * Split / merge / defragment operators — SURVEY §2.5: fan-out is the
+ * `explode`/`posexplode` Generator family (no shuffle), fan-in is a
+ * group-aggregate keyed on the fragment/correlation id (one shuffle on the
+ * group key — the minimum possible; at 100 TB the split+merge round trip
+ * co-partitions on `fragment.identifier`, so AQE can coalesce partitions).
+ *
+ * Fragment attribute convention: `fragment.identifier` / `fragment.index` /
+ * `fragment.count` (SplitText.h:152-156), consumed by MergeContent
+ * "Defragment" (MergeContent.cpp:391).
+ */
+object SplitMerge {
+
+  /**
+   * SplitText (SplitText.cpp:431): split content into fragments of
+   * `linesPerFragment` lines. Emits one row per fragment with fragment
+   * attrs. Header support (first N lines copied to every fragment,
+   * SplitText.h:92) via `headerLines`.
+   *
+   * Spark shape: split → chunked higher-order slice → posexplode. All
+   * narrow; fragment.count is computed from the array size, not a second
+   * pass.
+   */
+  def splitText(df: DataFrame, idCol: Column, contentCol: Column,
+                delimiter: String, linesPerFragment: Int,
+                headerLines: Int = 0): DataFrame = {
+    val lines = split(contentCol, java.util.regex.Pattern.quote(delimiter))
+    val header = slice(lines, 1, headerLines)
+    val body = slice(lines, headerLines + 1, Int.MaxValue - 1)
+    val nFrags = ceil(size(body).cast("double") / linesPerFragment).cast("int")
+    val frags = transform(sequence(lit(0), nFrags - 1), i =>
+      array_join(concat(header, slice(body, i * linesPerFragment + 1, lit(linesPerFragment))),
+        delimiter))
+    df.select(
+      idCol.as(FragmentAttrs.Identifier),
+      posexplode(frags).as(Seq("fragmentIndex", "fragment")),
+      ceil(size(body).cast("double") / linesPerFragment).cast("long")
+        .as("fragmentCount"))
+  }
+
+  /**
+   * SplitContent (SplitContent.cpp:204): split on a byte/char delimiter,
+   * keep-or-strip option. posexplode per piece.
+   */
+  def splitContent(df: DataFrame, idCol: Column, contentCol: Column,
+                   delimiter: String): DataFrame =
+    df.select(
+      idCol.as(FragmentAttrs.Identifier),
+      posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("fragmentIndex", "fragment")))
+
+  /**
+   * SegmentContent (SegmentContent.cpp:54): fixed-size segmentation.
+   * `sequence` + `substring` — pure Catalyst, no UDF, one row in → k rows
+   * out with no shuffle.
+   */
+  def segmentContent(df: DataFrame, idCol: Column, contentCol: Column,
+                     segmentSize: Int): DataFrame = {
+    val nSegs = ceil(length(contentCol).cast("double") / segmentSize).cast("int")
+    df.select(
+      idCol.as(FragmentAttrs.Identifier),
+      length(contentCol).as("contentLen"),
+      posexplode(transform(sequence(lit(0), greatest(nSegs, lit(1)) - 1, lit(1)),
+        i => substring(contentCol, i * segmentSize + 1, lit(segmentSize))))
+        .as(Seq("segmentIndex", "segment")))
+      .drop("contentLen")
+  }
+
+  /**
+   * SplitRecord (SplitRecord.cpp:43): chunk a record stream into ≤N-record
+   * groups. Batch mapping: row_number over a total order → floor((rn-1)/N).
+   * Note: the global row_number is a single-partition sort at scale — for
+   * 100 TB use a per-partition chunk id (monotonically_increasing_id based)
+   * instead; the total-order variant exists for oracle-exact semantics.
+   */
+  def splitRecordChunks(df: DataFrame, order: Seq[Column], recordsPerSplit: Int): DataFrame = {
+    val rn = row_number().over(Window.orderBy(order: _*))
+    df.withColumn("chunkId", floor((rn - 1) / recordsPerSplit))
+  }
+
+  /**
+   * MergeContent, Defragment strategy (extensions/libarchive/
+   * MergeContent.h:293-331, defrag check MergeContent.cpp:391): reassemble
+   * fragments by `fragment.identifier` ordered by `fragment.index`, complete
+   * when `fragment.count` reached; concat format with demarcator
+   * (header/footer optional). Incomplete groups route to `failure`.
+   *
+   * Spark shape: one shuffle on the fragment id;
+   * `array_sort(collect_list(struct(idx, frag)))` gives deterministic
+   * in-group order without a sort-within-partitions pass.
+   */
+  def mergeContentDefragment(frags: DataFrame, idCol: Column, indexCol: Column,
+                             fragmentCol: Column, countCol: Column,
+                             demarcator: String): DataFrame =
+    frags
+      .groupBy(idCol.as("mergeId"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(indexCol.as("i"), fragmentCol.as("f")))),
+            e => e.getField("f")),
+          demarcator).as("merged"),
+        count(lit(1)).as("fragmentsSeen"),
+        first(countCol).as("fragmentsExpected"))
+      .withColumn("relationship",
+        when(col("fragmentsSeen") === col("fragmentsExpected"), "merged")
+          .otherwise("failure"))
+
+  /**
+   * MergeContent, Bin-Pack strategy (BinFiles.cpp:284): accumulate rows into
+   * bins correlated by an attribute with a max-count cap. Batch mapping:
+   * row_number within correlation key → bin = floor((rn-1)/maxCount).
+   */
+  def mergeContentBinPack(df: DataFrame, correlationCol: Column, order: Seq[Column],
+                          contentCol: Column, maxEntries: Int,
+                          demarcator: String): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(correlationCol).orderBy(order: _*))
+    df.withColumn("binId", floor((rn.cast("long") - 1) / maxEntries))
+      .groupBy(correlationCol.as("correlation"), col("binId"))
+      .agg(
+        count(lit(1)).as("mergeCount"),
+        array_join(transform(array_sort(collect_list(struct(order.head.as("o"),
+          contentCol.as("c")))), e => e.getField("c")), demarcator).as("merged"))
+  }
+
+  /**
+   * DefragmentText, batch semantics (DefragmentText.cpp:59): group
+   * consecutive lines into messages bounded by a start pattern; each match
+   * of `startPattern` begins a new message. Batch mapping: running count of
+   * boundary rows per source key (one window) → message id, then the same
+   * group-agg as merge. Streaming variant: streaming/StatefulOps.
+   */
+  def defragmentTextBatch(lines: DataFrame, sourceCol: Column, orderCol: Column,
+                          lineCol: Column, startPattern: String,
+                          demarcator: String): DataFrame = {
+    val isStart = when(lineCol.rlike(startPattern), 1L).otherwise(0L)
+    val msgId = sum(isStart).over(
+      Window.partitionBy(sourceCol).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lines.withColumn("messageId", msgId)
+      .groupBy(sourceCol.as("source"), col("messageId"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(orderCol.as("o"),
+          lineCol.as("l")))), e => e.getField("l")), demarcator).as("message"),
+        count(lit(1)).as("lineCount"))
+  }
+}

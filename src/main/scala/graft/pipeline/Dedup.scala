@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication suite for large-scale training-data pipelines — the
+ * north-star extension family (BASELINE.json): exact, n-gram Jaccard,
+ * MinHash+LSH, SimHash.
+ *
+ * Portability/determinism policy: every hash is derived from `md5` hex
+ * strings (identical in any engine) and every similarity decision is made in
+ * *integer* arithmetic (intersection/union counts, cross-multiplied
+ * thresholds) — no floating-point in the dedup path, so results are
+ * bit-stable across partition orders, engines, and cluster sizes.
+ *
+ * Scale design: the only shuffles are groupBy(signature/shingle) — no
+ * cross join anywhere. Candidate generation is always hash-bucketed
+ * (shingle match or LSH band), so cost is O(candidate pairs), not O(n²);
+ * at 100 TB the LSH path is the default and the verify step touches only
+ * bucket-colliding pairs.
+ */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (array of 'w1 w2 .. wn'). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(words, " ")))
+  }
+
+  /**
+   * Exact dedup: hash-groupBy on content md5 — keep the smallest id per
+   * group (deterministic canonical representative), count duplicates.
+   * One shuffle on the 128-bit hash; at 100 TB this is the cheapest possible
+   * exact pass (partial agg map-side, no content re-read after pruning).
+   */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(textCol.cast("binary")).as("contentHash"))
+      .agg(min(idCol).as("keepId"), count(lit(1)).as("dupCount"))
+
+  /**
+   * N-gram Jaccard near-dup: candidate pairs share ≥1 shingle (hash join on
+   * the shingle, never a cross join); Jaccard = |A∩B| / |A∪B| entirely in
+   * integer counts. `minJaccardPct` compares via cross-multiplication:
+   * 100·inter ≥ pct·union.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int, minJaccardPct: Int): DataFrame = {
+    val sh = df.select(idCol.as("docId"), explode(array_distinct(shingles(textCol, n))).as("sh"))
+    val sizes = sh.groupBy(col("docId")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.docId") < col("b.docId"))
+      .groupBy(col("a.docId").as("idA"), col("b.docId").as("idB"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("docId", "idA").withColumnRenamed("nsh", "nA"), "idA")
+      .join(sizes.withColumnRenamed("docId", "idB").withColumnRenamed("nsh", "nB"), "idB")
+      .withColumn("unionSize", col("nA") + col("nB") - col("inter"))
+      .filter(col("inter") * 100 >= col("unionSize") * minJaccardPct)
+      .select(col("idA"), col("idB"), col("inter"), col("unionSize"))
+  }
+
+  /**
+   * MinHash signatures: minhash_k = min over shingles of md5(k || '|' ||
+   * shingle) — the lexicographic min of hex strings is a valid min-hash
+   * permutation per seed and is engine-portable. One explode + one groupBy.
+   */
+  def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(idCol.as("docId"),
+      explode(array_distinct(shingles(textCol, n))).as("sh"))
+    val mins = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k|"), col("sh")))).as(s"mh$k"))
+    sh.groupBy(col("docId")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH banding: signatures → bands of `rowsPerBand` hashes; docs
+   * colliding on any band key are near-dup candidates. Returns candidate
+   * pairs (idA < idB, distinct across bands). Scale path: the band key
+   * groupBy replaces any pairwise comparison; false positives are verified
+   * by the caller (e.g. ngramJaccardPairs on the candidate subset).
+   */
+  def minHashLshPairs(signatures: DataFrame, numHashes: Int,
+                      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
+    }
+    val banded = signatures.select(col("docId"),
+      explode(array(bandKeys: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.docId") < col("b.docId"))
+      .select(col("a.docId").as("idA"), col("b.docId").as("idB"))
+      .distinct()
+  }
+
+  /**
+   * SimHash (32-bit): per token take the first 8 hex chars of md5, treat as
+   * 32 bits; each bit position accumulates +1/-1 over tokens; the sign bit
+   * vector is the signature. Identical signatures = near-dup buckets.
+   * Bit extraction is integer arithmetic on the hex digits
+   * (strpos('0123456789abcdef', c) - 1) — engine-portable.
+   */
+  def simHash32(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val tok = df.select(idCol.as("docId"), explode(split(textCol, " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    // hex digit value of char j (0-based) of the md5
+    def hexVal(j: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(col("h"), j + 1, 1)) - 1).cast("long")
+    val withBits = (0 until 8).foldLeft(tok)((d, j) => d.withColumn(s"v$j", hexVal(j)))
+    val bitSums = for (j <- 0 until 8; k <- 0 until 4) yield
+      sum(shiftright(col(s"v$j"), k).bitwiseAND(1) * 2 - 1).as(s"s_${j}_$k")
+    val sums = withBits.groupBy(col("docId")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (for (j <- 0 until 8; k <- 0 until 4) yield
+        when(col(s"s_${j}_$k") > 0, lit(1L << (j * 4 + k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("docId"), sig.as("simhash"))
+  }
+}

