@@ -129,6 +129,39 @@ object ElCompiler {
       s.substring(1, s.length - 1).replace("\"\"", "\"")
     else s)
 
+  /** getDelimitedField (Expression.cpp:269-380): quote-aware field scan —
+    * delimiters inside quoted regions don't split, even in the basic form;
+    * the optional 5th arg strips the quotes from the result. */
+  private val getDelimitedFieldUdf =
+    udf((s: String, index: Int, delim: String, quote: String, esc: String,
+         strip: Boolean) => {
+      if (s == null) null
+      else {
+        val d = if (delim.nonEmpty) delim.charAt(0) else ','
+        val q = if (quote.nonEmpty) quote.charAt(0) else '"'
+        val e = if (esc.nonEmpty) esc.charAt(0) else '\\'
+        var field = 1
+        var inQuote = false
+        var escaped = false
+        val buf = new StringBuilder
+        var i = 0
+        while (i < s.length && field <= index) {
+          val c = s.charAt(i)
+          if (escaped) {
+            if (field == index) buf.append(c); escaped = false
+          } else if (c == e) {
+            escaped = true; if (field == index && !strip) buf.append(c)
+          } else if (c == q) {
+            inQuote = !inQuote; if (field == index && !strip) buf.append(c)
+          } else if (c == d && !inQuote) {
+            field += 1
+          } else if (field == index) buf.append(c)
+          i += 1
+        }
+        buf.toString
+      }
+    })
+
   /** One postfix call: `subject:fn(args)` → Column. `subject` is None for
     * subjectless functions opening an expression. */
   private def compileCall(subjectOpt: Option[Column], call: ElAst.Call,
@@ -179,7 +212,11 @@ object ElCompiler {
         when(instr(s0, d) > 0, substring_index(s0, d, -1)).otherwise(lit(""))
       case "getDelimitedField" =>
         val delim = if (rawArgs.size > 1) sArg(1) else ","
-        element_at(split(s0, java.util.regex.Pattern.quote(delim)), a(0).cast("int"))
+        val quote = if (rawArgs.size > 2) sArg(2) else "\""
+        val esc = if (rawArgs.size > 3) sArg(3) else "\\"
+        val strip = rawArgs.size > 4 && asString(rawArgs(4)) == "true"
+        getDelimitedFieldUdf(s0, a(0).cast("int"), lit(delim), lit(quote),
+          lit(esc), lit(strip))
 
       // --- predicates (Expression.cpp:389-428, 800-814, 956-1034) ---
       case "startsWith" => s0.startsWith(a(0).cast("string"))

@@ -33,9 +33,12 @@ object SplitMerge {
                 headerLines: Int = 0): DataFrame = {
     val lines = split(contentCol, java.util.regex.Pattern.quote(delimiter))
     val header = slice(lines, 1, headerLines)
-    val body = slice(lines, headerLines + 1, Int.MaxValue - 1)
-    val nFrags = ceil(size(body).cast("double") / linesPerFragment).cast("int")
-    val frags = transform(sequence(lit(0), nFrags - 1), i =>
+    // dynamic length (not Int.MaxValue): slice overflows start+length
+    val body = slice(lines, lit(headerLines + 1), size(lines))
+    // ≥1 and explicit +1 step: sequence(0, -1) would infer step -1
+    val nFrags = greatest(
+      ceil(size(body).cast("double") / linesPerFragment).cast("int"), lit(1))
+    val frags = transform(sequence(lit(0), nFrags - 1, lit(1)), i =>
       array_join(concat(header, slice(body, i * linesPerFragment + 1, lit(linesPerFragment))),
         delimiter))
     df.select(

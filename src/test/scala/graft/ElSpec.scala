@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.el.{ElAst, ElCompiler}
+
+/**
+ * EL parser + compiler tests — assertions ported from the reference suite
+ * (libminifi/test/unit/ExpressionLanguageTests.cpp, line refs inline).
+ */
+class ElSpec extends SparkSpec {
+
+  /** Evaluate an EL template against one attribute map. */
+  private def eval(template: String, attrs: Map[String, String]): String = {
+    val df = flowFrame(Seq(("", attrs)))
+    val r = df.select(ElCompiler.template(template).cast("string").as("v"))
+      .collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  // --- parser ---
+
+  test("parser: trivial text and escaped dollar") {
+    assert(ElAst.parse("plain").parts === Seq(Left("plain")))
+    assert(ElAst.parse("a$$b").parts === Seq(Left("a$b")))
+  }
+
+  test("parser: chained calls with args") {
+    val t = ElAst.parse("${filename:toUpper():append('.bak')}")
+    val Right(ElAst.Chain(ElAst.AttrRef("filename"), calls)) = t.parts.head
+    assert(calls.map(_.name) === Seq("toUpper", "append"))
+  }
+
+  test("parser: number grammar matches reference lexer") {
+    assert(ElAst.parse("${x:plus(1e-5)}").isSingleExpr)
+    assert(ElAst.parse("${x:plus(-3.25)}").isSingleExpr)
+    intercept[ElAst.ElParseException](ElAst.parse("${x:plus(1e)}"))
+  }
+
+  test("parser: quoted escapes limited to quote/backslash (Parser.yy)") {
+    val t = ElAst.parse("""${attr:matches('\d+')}""")
+    val Right(ElAst.Chain(_, Seq(ElAst.Call("matches", Seq(ElAst.StrLit(p)))))) = t.parts
+      .head
+    assert(p === """\d+""") // backslash preserved, not stripped
+  }
+
+  // --- compiler vs reference expectations ---
+
+  test("toUpper with surrounding text (ExpressionLanguageTests.cpp:154-160)") {
+    assert(eval("text_before${attr_a:toUpper()}text_after",
+      Map("attr_a" -> "__flow_a_attr_value_a__")) ===
+      "text_before__FLOW_A_ATTR_VALUE_A__text_after")
+  }
+
+  test("substring 2-arg / 1-arg (ExpressionLanguageTests.cpp:179-194)") {
+    val attrs = Map("attr" -> "__flow_a_attr_value_a__")
+    assert(eval("${attr:substring(6, 8)}", attrs) === "_a_attr_")
+    assert(eval("${attr:substring(6)}", attrs) === "_a_attr_value_a__")
+  }
+
+  test("substringBefore/After first+last (ExpressionLanguageTests.cpp:196-225)") {
+    val attrs = Map("attr" -> "__flow_a_attr_value_a__")
+    assert(eval("${attr:substringBefore('attr_value_a__')}", attrs) === "__flow_a_")
+    assert(eval("${attr:substringBeforeLast('_a')}", attrs) === "__flow_a_attr_value")
+    assert(eval("${attr:substringAfter('__flow_a')}", attrs) === "_attr_value_a__")
+    assert(eval("${attr:substringAfterLast('_a')}", attrs) === "__")
+  }
+
+  test("getDelimitedField basic (ExpressionLanguageTests.cpp:229-246)") {
+    val attrs = Map("attr" -> "\"Jacobson, John\", 32, Mr.")
+    assert(eval("${attr:getDelimitedField(2)}", attrs) === " 32")
+    assert(eval("${attr:getDelimitedField(1)}", attrs) === "\"Jacobson, John\"")
+  }
+
+  test("startsWith is case-sensitive (ExpressionLanguageTests.cpp:255-270)") {
+    assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "A BRAND TEST")) === "false")
+    assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "a brand new TEST")) === "true")
+  }
+
+  test("indexOf / lastIndexOf (ExpressionLanguageTests.cpp:468-524)") {
+    val attrs = Map("attr" -> "a brand new filename.txt")
+    assert(eval("${attr:indexOf('a.*txt')}", attrs) === "-1") // literal, not regex
+    assert(eval("${attr:indexOf('.')}", attrs) === "20")
+    assert(eval("${attr:indexOf('a')}", attrs) === "0")
+    assert(eval("${attr:lastIndexOf('a')}", attrs) === "17")
+    assert(eval("${attr:lastIndexOf(' ')}", attrs) === "11")
+  }
+
+  test("replace family") {
+    val attrs = Map("f" -> "a.file.txt")
+    assert(eval("${f:replace('.', '_')}", attrs) === "a_file_txt")
+    assert(eval("${f:replaceAll('\\.txt$', '')}", attrs) === "a.file")
+    assert(eval("${f:replaceFirst('a', 'X')}", attrs) === "X.file.txt")
+    assert(eval("${missing:replaceNull('gone')}", attrs) === "gone")
+  }
+
+  test("math with NiFi coercions") {
+    val attrs = Map("n" -> "7", "d" -> "2.5")
+    assert(eval("${n:plus(3)}", attrs).toDouble === 10.0)
+    assert(eval("${n:mod(4)}", attrs).toDouble === 3.0)
+    assert(eval("${d:multiply(2)}", attrs).toDouble === 5.0)
+    assert(eval("${n:toRadix(16)}", attrs) === "7")
+    assert(eval("${n:gt(6):ifElse('big','small')}", attrs) === "big")
+  }
+
+  test("multi-attribute quantifiers (Expression.cpp:1051-1311)") {
+    val attrs = Map("a1" -> "hello", "a2" -> "hell no", "b" -> "x")
+    assert(eval("${allAttributes('a1','a2'):contains('hell')}", attrs) === "true")
+    assert(eval("${allAttributes('a1','b'):contains('hell')}", attrs) === "false")
+    assert(eval("${anyAttribute('a1','b'):contains('hell')}", attrs) === "true")
+    assert(eval("${allMatchingAttributes('a.*'):contains('hell')}", attrs) === "true")
+    assert(eval("${allAttributes('a1','a2','b'):contains('hell'):count()}", attrs) === "2")
+    assert(eval("${allAttributes('a1','b'):join('-')}", attrs) === "hello-x")
+  }
+
+  test("delineated values") {
+    val attrs = Map("csv" -> "apple,banana,cherry")
+    assert(eval("${anyDelineatedValue(${csv}, ','):equals('banana')}", attrs) === "true")
+    assert(eval("${allDelineatedValues(${csv}, ','):length():gt(4)}", attrs) === "true")
+    assert(eval("${allDelineatedValues(${csv}, ','):startsWith('a')}", attrs) === "false")
+  }
+
+  test("base64 / url / json escapes") {
+    val attrs = Map("s" -> "a b&c", "j" -> "say \"hi\"\n")
+    assert(eval("${s:base64Encode():base64Decode()}", attrs) === "a b&c")
+    assert(eval("${s:urlEncode()}", attrs) === "a+b%26c")
+    assert(eval("${j:escapeJson()}", attrs) === "say \\\"hi\\\"\\n")
+    assert(eval("${s:escapeXml()}", attrs) === "a b&amp;c")
+  }
+
+  test("isEmpty / isNull / equalsIgnoreCase") {
+    val attrs = Map("e" -> "  ", "s" -> "MiXeD")
+    assert(eval("${e:isEmpty()}", attrs) === "true")
+    assert(eval("${missing:isNull()}", attrs) === "true")
+    assert(eval("${s:equalsIgnoreCase('mixed')}", attrs) === "true")
+  }
+}

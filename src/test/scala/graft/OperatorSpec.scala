@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.FlowFrame
+import graft.ops._
+
+/** Per-operator behavior tests in the SingleProcessorTestController style:
+  * feed (content, attributes) rows, assert per-relationship outputs. */
+class OperatorSpec extends SparkSpec {
+
+  test("RouteOnAttribute: first matching rule wins, else unmatched") {
+    val df = flowFrame(Seq(
+      ("", Map("kind" -> "error", "size" -> "2048")),
+      ("", Map("kind" -> "error", "size" -> "10")),
+      ("", Map("kind" -> "ok", "size" -> "9999"))))
+    val routed = Routing.routeOnAttribute(df, Seq(
+      "big_error" -> "${kind:equals('error'):and(${size:gt(1024)})}",
+      "any_error" -> "${kind:equals('error')}"))
+    val rels = routed.select("relationship").collect().map(_.getString(0)).toSeq
+    assert(rels === Seq("big_error", "any_error", "unmatched"))
+    val split = FlowFrame.routed(routed, Seq("big_error", "any_error", "unmatched"))
+    assert(split("big_error").count() === 1)
+    assert(split("unmatched").count() === 1)
+  }
+
+  test("UpdateAttribute overwrites and adds (UpdateAttribute.cpp:37)") {
+    val df = flowFrame(Seq(("", Map("color" -> "red", "keep" -> "yes"))))
+    val up = Transforms.updateAttribute(df, Seq(
+      "color" -> "blue-${color}", "added" -> "${keep:toUpper()}"))
+    val row = up.select(
+      FlowFrame.attr("color"), FlowFrame.attr("added"), FlowFrame.attr("keep"))
+      .collect().head
+    assert(row.getString(0) === "blue-red")
+    assert(row.getString(1) === "YES")
+    assert(row.getString(2) === "yes")
+  }
+
+  test("RetryFlowFile increments and routes at the limit") {
+    val df = flowFrame(Seq(
+      ("", Map("flowfile.retries" -> "1")),
+      ("", Map("flowfile.retries" -> "3")),
+      ("", Map[String, String]())))
+    val out = Routing.retryFlowFile(df, "flowfile.retries", 3)
+    val rows = out.select(FlowFrame.attr("flowfile.retries").cast("double")
+      .cast("long"), col("relationship")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(
+      (2L, "retry"), (4L, "retries_exceeded"), (1L, "retry")))
+  }
+
+  test("SplitText → MergeContent round trip with header copy") {
+    val content = "h1\nh2\nl1\nl2\nl3\nl4\nl5"
+    val df = flowFrame(Seq((content, Map[String, String]())))
+      .withColumn("id", lit("d1"))
+    val frags = SplitMerge.splitText(df, col("id"), col("content"), "\n", 2,
+      headerLines = 2)
+    val got = frags.orderBy("fragmentIndex")
+      .select("fragment", "fragmentCount").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq(
+      "h1\nh2\nl1\nl2", "h1\nh2\nl3\nl4", "h1\nh2\nl5"))
+    assert(got.head.getLong(1) === 3L)
+    // merge body-only fragments (no header) reassembles the original body
+    val bodyFrags = SplitMerge.splitText(df, col("id"), col("content"), "\n", 2)
+    val merged = SplitMerge.mergeContentDefragment(bodyFrags,
+      col("`fragment.identifier`"), col("fragmentIndex"), col("fragment"),
+      col("fragmentCount"), "\n")
+    val m = merged.collect().head
+    assert(m.getAs[String]("merged") === content)
+    assert(m.getAs[String]("relationship") === "merged")
+  }
+
+  test("MergeContent routes incomplete fragment groups to failure") {
+    val df = flowFrame(Seq(("x", Map[String, String]())))
+    val frags = df.select(lit("g1").as("gid"), lit(0).as("idx"),
+      lit("only-half").as("frag"), lit(2L).as("cnt"))
+    val merged = SplitMerge.mergeContentDefragment(frags, col("gid"),
+      col("idx"), col("frag"), col("cnt"), ",")
+    assert(merged.collect().head.getAs[String]("relationship") === "failure")
+  }
+
+  test("SegmentContent fixed-size segments cover the content exactly") {
+    val df = flowFrame(Seq(("abcdefghij", Map[String, String]())))
+      .withColumn("id", lit(1L))
+    val segs = SplitMerge.segmentContent(df, col("id"), col("content"), 4)
+      .orderBy("segmentIndex").select("segment").collect().map(_.getString(0))
+    assert(segs.toSeq === Seq("abcd", "efgh", "ij"))
+  }
+
+  test("DefragmentText batch groups lines between start-pattern boundaries") {
+    val lines = spark.createDataFrame(Seq(
+      (1L, 1L, "START a"), (1L, 2L, "cont b"), (1L, 3L, "START c"),
+      (1L, 4L, "cont d"), (2L, 5L, "cont orphan")))
+      .toDF("src", "ord", "line")
+    val out = SplitMerge.defragmentTextBatch(lines, col("src"), col("ord"),
+      col("line"), "^START", "|").orderBy("source", "messageId")
+    val msgs = out.select("message").collect().map(_.getString(0))
+    assert(msgs.toSeq === Seq("START a|cont b", "START c|cont d", "cont orphan"))
+  }
+
+  test("RouteText routes per line with grouping (RouteText.cpp:218)") {
+    val df = flowFrame(Seq(("error: boom\nwarn: eh\nerror: again",
+      Map[String, String]())))
+    val routed = Routing.routeText(df, col("content"), "\n",
+      Seq(("errors", Routing.StartsWith, "error"),
+          ("warns", Routing.StartsWith, "warn")),
+      groupingRegex = Some("^(\\w+)"))
+    val got = routed.groupBy("relationship").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("errors" -> 2L, "warns" -> 1L))
+  }
+
+  test("Syslog RFC5424 parse + invalid routing (ListenSyslog.h:42-46)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("<34>1 2026-08-12T22:14:15.003Z host app 1234 ID47 - hello"),
+      Tuple1("not syslog at all"))).toDF("line")
+    val parsed = Syslog.parseRfc5424(df, col("line"))
+    val rows = parsed.select("relationship", "syslog_hostname", "syslog_msg")
+      .collect()
+    assert(rows(0).getString(0) === "success")
+    assert(rows(0).getString(1) === "host")
+    assert(rows(0).getString(2) === "hello")
+    assert(rows(1).getString(0) === "invalid")
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("Funnel union preserves all rows (UNION ALL, Funnel.cpp)") {
+    val a = flowFrame(Seq(("a", Map[String, String]())))
+    val b = flowFrame(Seq(("b", Map[String, String]()), ("c", Map[String, String]())))
+    assert(Routing.funnel(Seq(a, b)).count() === 3)
+  }
+
+  test("HashContent matches reference algorithms (HashContent.cpp:57)") {
+    val df = flowFrame(Seq(("abc", Map[String, String]())))
+    val r = df.select(
+      Transforms.hashContent(col("content"), "MD5"),
+      Transforms.hashContent(col("content"), "SHA256")).collect().head
+    assert(r.getString(0) === "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(1) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("ListingState dedup emits latest per name above watermark") {
+    val df = spark.createDataFrame(Seq(
+      ("f1", 100L, 1L), ("f1", 200L, 2L), ("f2", 50L, 3L), ("f2", 300L, 4L)))
+      .toDF("name", "mtime", "id")
+    val out = Sources.listNewEntries(df, col("name"), col("mtime"), col("id"),
+      lit(60L))
+    val got = out.select("name", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet === Set(("f1", 2L), ("f2", 4L)))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline operator tests: dedup, similarity, text analysis,
+  * multimodal plumbing. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),     // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),     // near dup
+    (4L, "completely different words about spark engines running fast"),
+    (5L, "")))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id and counts dups") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    val dupGroup = out.filter(col("dupCount") === 2).collect()
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keepId") === 1L)
+    assert(out.count() === 4) // 4 distinct contents
+  }
+
+  test("ngram jaccard finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs.filter(length(col("text")) > 0),
+      col("doc_id"), col("text"), 3, 30)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates include identical docs") {
+    val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
+      col("doc_id"), col("text"), 3, 8)
+    assert(sigs.columns.toSet.contains("mh0") && sigs.columns.size === 9)
+    val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(cands.contains((1L, 2L))) // identical docs always collide
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal, near dups close, distinct docs far") {
+    val sig = Dedup.simHash32(docs.filter(length(col("text")) > 0),
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) === sig(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),     // identical direction to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("cid")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("LSH-bucketed top-k agrees with brute force for in-bucket neighbors") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f)),
+      (1L, Array(0.9f, 0.8f, -0.7f)),
+      (2L, Array(-1.0f, 1.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") === 0), 1, 3)
+      .collect()
+    assert(out.length === 1 && out.head.getAs[Long]("cid") === 1L)
+  }
+
+  test("language id picks the max-marker language deterministically") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "x the y the z the w"), (2L, "x data y data z"), (3L, "nothing here")))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextAnalysis.languageId(col("text"), Seq(
+      "en" -> Seq("the"), "es" -> Seq("data"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "hello world42 !"), (2L, ""))).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextAnalysis.tokenCountWhitespace(col("text")),
+      TextAnalysis.tokenCountBpeIsh(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 3L, 4L), (2L, 0L, 0L)))
+    // BPE-ish tokens: hello | world | 42 | !
+  }
+
+  test("fingerprint is stable under id and sensitive to content") {
+    val out = docs.filter(length(col("text")) > 0).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text"), 3).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(4L))
+  }
+
+  test("multimodal: binary wrap preserves bytes and decode batches features") {
+    val wrapped = Multimodal.wrapBinary(docs.filter(col("doc_id") === 1),
+      col("doc_id"), col("text"), "text/plain", lit("mem"))
+    val m = wrapped.collect().head
+    assert(new String(m.getAs[Array[Byte]]("payload"), "UTF-8")
+      .startsWith("the quick"))
+    val feats = Multimodal.decodeFeatures(wrapped).collect().head
+    val size = m.getStruct(2).getLong(1)
+    assert(feats.getAs[Long]("width") === size % 640 + 1)
+    assert(feats.getAs[Long]("nFrames") === size / 100 + 1)
+  }
+}
