@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * TailFile as a Structured Streaming source — SURVEY §2.1/§2.10.
+ *
+ * Re-expresses the reference's TailFile processor (extensions/
+ * standard-processors/processors/TailFile.cpp:582; state struct
+ * TailFile.h:90-113: per-file {position, checksum}; recovery
+ * TailFile.h:243-245) as a Spark DataSource v2 `MicroBatchStream`:
+ *
+ *  - offset = JSON map path → {pos, crc} — persisted in the streaming
+ *    checkpoint exactly where the reference uses its StateManager;
+ *  - rotation detection: CRC32 of the first 64 bytes; a changed head CRC
+ *    or a shrunk file means the path was rotated/truncated → restart at 0
+ *    (TailFile "Initial Start Position" semantics);
+ *  - only complete lines are emitted: the batch end position is capped at
+ *    the last delimiter, like the reference's read-up-to-last-\n loop;
+ *  - one InputPartition per tailed file → per-file parallelism on a
+ *    cluster; readers seek directly (no full-file re-read per batch).
+ *
+ * Usage: spark.readStream.format("graft.streaming.TailFileSource")
+ *          .option("path", dir).option("glob", ".*\\.log").load()
+ */
+class TailFileSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TailFileSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TailTable(properties.get("path"),
+      Option(properties.get("glob")).getOrElse(".*"))
+}
+
+object TailFileSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("lineOffset", LongType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+
+  /** Tail state per file: read position + head checksum over the first
+    * `crcLen` bytes (TailFile.h:90-113 position+checksum). The window
+    * length is stored so a grown file re-verifies over the SAME prefix. */
+  final case class FileState(pos: Long, crc: Long, crcLen: Long)
+
+  /** Minimal JSON for the offset map — {"path":[pos,crc,crcLen],...}. */
+  def stateToJson(m: Map[String, FileState]): String =
+    m.toSeq.sortBy(_._1).map { case (p, s) =>
+      "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") +
+        s"""":[${s.pos},${s.crc},${s.crcLen}]"""
+    }.mkString("{", ",", "}")
+
+  def stateFromJson(j: String): Map[String, FileState] = {
+    // hand-rolled parse of the fixed shape above
+    val entry = """"((?:[^"\\]|\\.)*)":\[(\d+),(\d+),(\d+)\]""".r
+    entry.findAllMatchIn(j).map { m =>
+      val path = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      path -> FileState(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+    }.toMap
+  }
+
+  /** CRC32 over the first min(n, len) bytes of the file. */
+  def headCrc(f: java.io.File, n: Long = 64L): Long = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val len = math.min(n, raf.length()).toInt
+      val buf = new Array[Byte](len)
+      raf.readFully(buf)
+      val crc = new CRC32(); crc.update(buf); crc.getValue
+    } finally raf.close()
+  }
+
+  /** Position just past the last '\n' at or before EOF (complete lines only). */
+  def lastDelimiterEnd(f: java.io.File): Long = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      var p = raf.length() - 1
+      while (p >= 0) {
+        raf.seek(p)
+        if (raf.readByte() == '\n') return p + 1
+        p -= 1
+      }
+      0L
+    } finally raf.close()
+  }
+}
+
+private class TailTable(dir: String, glob: String) extends Table with SupportsRead {
+  override def name(): String = s"tail:$dir"
+  override def schema(): StructType = TailFileSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TailFileSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TailMicroBatchStream(dir, glob)
+    }
+}
+
+private case class TailOffset(json: String) extends Offset {
+  lazy val state: Map[String, TailFileSource.FileState] =
+    TailFileSource.stateFromJson(json)
+}
+
+private class TailMicroBatchStream(dir: String, glob: String)
+  extends MicroBatchStream {
+  import TailFileSource._
+
+  private def listFiles(): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches(glob)).toSeq.sortBy(_.getPath)
+  }
+
+  override def initialOffset(): Offset = TailOffset("{}")
+
+  override def latestOffset(): Offset = {
+    val next = listFiles().map { f =>
+      val crcLen = math.min(64L, f.length())
+      f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen)
+    }.toMap
+    TailOffset(stateToJson(next))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset].state
+    val e = end.asInstanceOf[TailOffset].state
+    e.flatMap { case (path, endState) =>
+      val from = s.get(path) match {
+        // rotation/truncation: the previous head prefix no longer matches
+        // (re-hashed over the stored window) or the file shrank → restart 0
+        case Some(prev) =>
+          val f = new java.io.File(path)
+          val sameHead = f.length() >= prev.crcLen &&
+            TailFileSource.headCrc(f, prev.crcLen) == prev.crc
+          if (sameHead && prev.pos <= endState.pos) prev.pos else 0L
+        case _ => 0L
+      }
+      if (endState.pos > from) Some(TailPartition(path, from, endState.pos))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new TailReader(p.asInstanceOf[TailPartition])
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset = TailOffset(json)
+}
+
+private case class TailPartition(path: String, from: Long, until: Long)
+  extends InputPartition
+
+/** Seeks to `from`, reads [from, until), emits one row per line. */
+private class TailReader(p: TailPartition) extends PartitionReader[InternalRow] {
+  private val raf = new RandomAccessFile(p.path, "r")
+  raf.seek(p.from)
+  private val buf = new Array[Byte]((p.until - p.from).toInt)
+  raf.readFully(buf)
+  private val lines = new String(buf, StandardCharsets.UTF_8)
+    .split("\n", -1).dropRight(1) // until is always just past a '\n'
+  private var idx = -1
+  private var offset = p.from
+
+  override def next(): Boolean = { idx += 1; idx < lines.length }
+  override def get(): InternalRow = {
+    val lineStart = offset
+    offset += lines(idx).getBytes(StandardCharsets.UTF_8).length + 1
+    InternalRow(UTF8String.fromString(p.path), lineStart,
+      UTF8String.fromString(lines(idx)))
+  }
+  override def close(): Unit = raf.close()
+}
