@@ -487,6 +487,103 @@ object SparkEntry {
         TextAnalysis.fingerprintBand(col("text"), 5, 2).as("fp_band"))
         .orderBy("doc_id")),
 
+    // §2.4 CompressContent — gzip/deflate round trip over binary content
+    "compress_content" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Content.decompress(Content.compress(col("text"), "gzip"), "gzip"))
+          .as("gzip_roundtrip_md5"),
+        md5(Content.decompress(Content.compress(col("text"), "deflate"), "deflate"))
+          .as("deflate_roundtrip_md5"))
+        .orderBy("doc_id")),
+
+    // §2.4 SplitJson — JSON array content → one row per element
+    "split_json" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val arr = concat(lit("["), col("props"), lit(",{\"k\": -1}]"))
+      ev.select(col("event_id"),
+        posexplode(Content.splitJsonArray(arr)).as(Seq("fragment_index", "element")))
+        .select(col("event_id"), col("fragment_index").cast("long").as("fragment_index"),
+          get_json_object(col("element"), "$.k").as("k_val"))
+        .orderBy("event_id", "fragment_index")
+    }),
+
+    // §2.4 JoltTransformJSON (shift) — spec-compiled struct projection
+    "jolt_shift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(col("event_id"),
+        Content.joltShift(Seq(
+          "data.kk" -> get_json_object(col("props"), "$.k").cast("long"),
+          "data.kind" -> col("event_type"),
+          "id" -> col("event_id"))).as("shifted"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 ApplyTemplate — mustache-style substitution over attributes
+    "apply_template" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus"))
+      ff.select(
+        FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+        Content.applyTemplate("Order {{o_orderkey}} is {{o_orderstatus}}.")
+          .as("rendered"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.2 LogAttribute — deterministic attribute payload rendering
+    "log_attribute" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+      ff.select(
+        FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+        Transforms.logAttributePayload.as("payload"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 AppendHostInfo — host attrs resolved at plan build
+    "append_host_info" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey"))
+      val withHost = Transforms.appendHostInfo(ff)
+      withHost.select(
+        FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+        FlowFrame.attr("source.hostname").isNotNull.as("has_host"),
+        FlowFrame.attr("source.ipv4").isNotNull.as("has_ip"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.1/§2.2 PutFile → GetFile round trip through a real directory
+    "put_get_file" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_putfile")
+      out.toFile.deleteOnExit()
+      val docs = tbl(s, dir, "documents")
+      // PutFile: one directory per doc (conflict strategy: overwrite)
+      docs.select(col("doc_id"), col("text").as("value"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out.toString)
+      // GetFile: read the directory back (partition col recovers doc_id)
+      s.read.text(out.toString)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("value").cast("binary")).as("roundtrip_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.9 XMLReader / XMLRecordSetWriter round trip (Spark 4 native XML)
+    "xml_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val xml = concat(lit("<event><id>"), col("event_id"),
+        lit("</id><kind>"), col("event_type"), lit("</kind></event>"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType)))
+      val rec = Records.xmlReader(xml, schema)
+      ev.select(col("event_id"),
+        rec.getField("id").as("parsed_id"),
+        rec.getField("kind").as("parsed_kind"))
+        .orderBy("event_id")
+    }),
+
     // ------- multimodal plumbing (stubbed decode) -------
     "multimodal_stub" -> ((s, dir) => {
       val wrapped = Multimodal.wrapBinary(tbl(s, dir, "documents"),
@@ -850,6 +947,47 @@ object SparkEntry {
          |FROM documents d JOIN f1 ON f1.doc_id = d.doc_id
          | LEFT JOIN f2 ON f2.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "compress_content" ->
+      """SELECT doc_id, md5(text) AS gzip_roundtrip_md5,
+        | md5(text) AS deflate_roundtrip_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_json" ->
+      """SELECT event_id, CAST(i AS BIGINT) AS fragment_index,
+        | CASE WHEN i = 0 THEN json_extract_string(props, '$.k') ELSE '-1' END AS k_val
+        |FROM events, (SELECT unnest([0, 1]) AS i) t
+        |ORDER BY event_id, fragment_index""".stripMargin,
+
+    "jolt_shift" ->
+      """SELECT event_id,
+        | '{"data":{"kk":' || json_extract_string(props, '$.k') ||
+        | ',"kind":"' || event_type || '"},"id":' || CAST(event_id AS VARCHAR) || '}' AS shifted
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "apply_template" ->
+      """SELECT o_orderkey,
+        | 'Order ' || CAST(o_orderkey AS VARCHAR) || ' is ' || o_orderstatus || '.' AS rendered
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "log_attribute" ->
+      """SELECT o_orderkey,
+        | 'key:o_orderkey value:' || CAST(o_orderkey AS VARCHAR) ||
+        | chr(10) || 'key:o_orderpriority value:' || o_orderpriority ||
+        | chr(10) || 'key:o_orderstatus value:' || o_orderstatus AS payload
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "append_host_info" ->
+      """SELECT o_orderkey, TRUE AS has_host, TRUE AS has_ip
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "put_get_file" ->
+      """SELECT doc_id, md5(text) AS roundtrip_md5 FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "xml_roundtrip" ->
+      """SELECT event_id, event_id AS parsed_id, event_type AS parsed_kind
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id AS mm_id,

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.el.ElCompiler
+
+/**
+ * Content codec / restructuring operators — SURVEY §2.4.
+ *
+ * CompressContent (CompressContent.h:48-77, CompressContent.cpp:68),
+ * JoltTransformJSON (JoltTransformJSON.cpp:46), ApplyTemplate
+ * (extensions/bustache/ApplyTemplate.cpp). Codecs are binary UDFs (no
+ * Catalyst codec primitive exists); Jolt *shift* specs compile to a pure
+ * Catalyst struct projection at plan-build time — the spec drives code
+ * generation, not per-row interpretation, so the transform stays inside
+ * whole-stage codegen (the reference interprets the spec per FlowFile).
+ */
+object Content {
+
+  /** CompressContent: gzip/deflate a binary column. GZIP output is
+    * deterministic (no mtime header in java.util.zip by default). */
+  val gzipUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    })
+
+  val gunzipUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  val deflateUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val d = new DeflaterOutputStream(bos); d.write(b); d.close()
+      bos.toByteArray
+    })
+
+  val inflateUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else new InflaterInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  def compress(c: Column, format: String): Column = format match {
+    case "gzip"    => gzipUdf(c.cast("binary"))
+    case "deflate" => deflateUdf(c.cast("binary"))
+    case other     => throw new IllegalArgumentException(s"codec $other")
+  }
+
+  def decompress(c: Column, format: String): Column = format match {
+    case "gzip"    => gunzipUdf(c.cast("binary"))
+    case "deflate" => inflateUdf(c.cast("binary"))
+    case other     => throw new IllegalArgumentException(s"codec $other")
+  }
+
+  /**
+   * SplitJson (SplitJson.cpp:79): explode a JSON array in the content into
+   * one row per element with fragment attributes — `from_json` to an array
+   * of strings + `posexplode`. Elements keep their raw JSON text.
+   */
+  def splitJsonArray(arrayJson: Column): Column =
+    from_json(arrayJson, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+
+  /**
+   * JoltTransformJSON, shift spec subset: a mapping of output paths ←
+   * input fields compiles to nested named_structs. `spec` maps
+   * "outer.inner" output paths to input Columns. Emitted as a JSON string
+   * (to_json), matching the reference's JSON-to-JSON contract.
+   */
+  def joltShift(spec: Seq[(String, Column)]): Column = {
+    val grouped = spec.groupBy(_._1.split('.').head)
+    val fields = spec.map(_._1.split('.').head).distinct.map { top =>
+      val inner = grouped(top)
+      if (inner.size == 1 && !inner.head._1.contains('.'))
+        inner.head._2.as(top)
+      else
+        struct(inner.map { case (path, c) =>
+          c.as(path.split('.')(1))
+        }: _*).as(top)
+    }
+    to_json(struct(fields: _*))
+  }
+
+  /**
+   * ApplyTemplate: mustache-style {{attr}} substitution — rewritten to EL
+   * `${attr}` and compiled once to a concat chain (the reference renders
+   * per FlowFile with bustache).
+   */
+  def applyTemplate(template: String,
+                    attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): Column = {
+    val el = "\\{\\{([A-Za-z0-9_.-]+)\\}\\}".r
+      .replaceAllIn(template, m => java.util.regex.Matcher.quoteReplacement(s"$${${m.group(1)}}"))
+    ElCompiler.template(el, attrs)
+  }
+}

@@ -3,6 +3,7 @@ package graft.record
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /**
  * Record reader/writer subsystem — SURVEY §2.9.
@@ -42,4 +43,17 @@ object Records {
    */
   def jsonToCsvLine(record: Column, fields: Seq[String]): Column =
     concat_ws(",", fields.map(f => record.getField(f).cast("string")): _*)
+
+  /**
+   * XMLReader (extensions/standard-processors/controllers/XMLReader.cpp):
+   * parse an XML content column into typed fields — Spark 4 native
+   * `from_xml`. Mismatched fields null out like the JSON reader.
+   */
+  def xmlReader(contentCol: Column, schema: StructType): Column =
+    from_xml(contentCol, schema)
+
+  /** XMLRecordSetWriter (XMLRecordSetWriter.cpp): record struct → XML
+    * string with the given row tag — Spark 4 native `to_xml`. */
+  def xmlWriter(recordCol: Column, rowTag: String): Column =
+    to_xml(recordCol, Map("rowTag" -> rowTag).asJava)
 }
