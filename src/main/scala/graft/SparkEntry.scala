@@ -584,6 +584,71 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.1 ExecuteProcess — rows piped through an external command
+    "execute_process" -> ((s, dir) => {
+      import s.implicits._
+      val lines = tbl(s, dir, "documents")
+        .select(concat(col("doc_id"), lit("|"), md5(col("text").cast("binary")))
+          .as("line")).as[String]
+      Exec.executeProcess(lines, Seq("cat"))
+        .toDF("line")
+        .select(
+          split(col("line"), "\\|").getItem(0).cast("long").as("doc_id"),
+          split(col("line"), "\\|").getItem(1).as("piped_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.2 InvokeHTTP — status-class relationship routing
+    "invoke_http_routing" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // simulate response statuses deterministically from the event id
+      val status = (col("event_id") % 7).cast("int") * 100 + 4
+      ev.select(col("event_id"), status.cast("long").as("status"),
+        Exec.routeByStatus(status).as("relationship"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 Archive — zip pack → focus entry round trip
+    "archive_roundtrip" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Archive.zipFocus(
+          Archive.zipPack(concat(lit("doc-"), col("doc_id")), col("text")),
+          concat(lit("doc-"), col("doc_id")))).as("focused_md5"),
+        element_at(Archive.zipEntries(
+          Archive.zipPack(concat(lit("doc-"), col("doc_id")), col("text"))), 1)
+          .as("entry_name"))
+        .orderBy("doc_id")),
+
+    // §2.7 Priority ordering — batch poll order by the priority attribute
+    "priority_order" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
+        Seq("o_orderkey", "o_orderpriority"))
+      val prioritized = FlowFrame.withAttrs(ff, Seq(
+        FlowFrame.CoreAttrs.Priority ->
+          substring(FlowFrame.attr("o_orderpriority"), 1, 1)))
+      prioritized
+        .orderBy(FlowFrame.attr(FlowFrame.CoreAttrs.Priority).asc,
+          FlowFrame.attr("o_orderkey").cast("long").asc)
+        .limit(100)
+        .select(FlowFrame.attr("o_orderkey").cast("long").as("o_orderkey"),
+          FlowFrame.attr(FlowFrame.CoreAttrs.Priority).as("priority"))
+    }),
+
+    // §2.4 RunLlamaCppInference — stubbed model, real partition batching
+    "llm_inference_stub" -> ((s, dir) => {
+      import s.implicits._
+      val prompts = tbl(s, dir, "documents")
+        .select(concat(col("doc_id"), lit("|"), col("text")).as("p")).as[String]
+      Exec.llmInference(prompts)
+        .toDF("response")
+        .select(
+          split(col("response"), ":").getItem(1).cast("long").as("resp_len"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_prompts"),
+          sum(col("resp_len")).as("total_len"))
+    }),
+
     // ------- multimodal plumbing (stubbed decode) -------
     "multimodal_stub" -> ((s, dir) => {
       val wrapped = Multimodal.wrapBinary(tbl(s, dir, "documents"),
@@ -988,6 +1053,32 @@ object SparkEntry {
     "xml_roundtrip" ->
       """SELECT event_id, event_id AS parsed_id, event_type AS parsed_kind
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "execute_process" ->
+      """SELECT doc_id, md5(text) AS piped_md5 FROM documents ORDER BY doc_id""",
+
+    "invoke_http_routing" ->
+      """SELECT event_id, CAST((event_id % 7)*100 + 4 AS BIGINT) AS status,
+        | CASE WHEN (event_id % 7)*100 + 4 BETWEEN 200 AND 299 THEN 'success'
+        |      WHEN (event_id % 7)*100 + 4 BETWEEN 500 AND 599 THEN 'retry'
+        |      WHEN (event_id % 7)*100 + 4 BETWEEN 400 AND 499 THEN 'no_retry'
+        |      ELSE 'failure' END AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "archive_roundtrip" ->
+      """SELECT doc_id, md5(text) AS focused_md5,
+        | 'doc-' || CAST(doc_id AS VARCHAR) AS entry_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "priority_order" ->
+      """SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS priority
+        |FROM orders
+        |ORDER BY substr(o_orderpriority, 1, 1), o_orderkey LIMIT 100""".stripMargin,
+
+    "llm_inference_stub" ->
+      """SELECT COUNT(*) AS n_prompts,
+        | CAST(SUM(length(CAST(doc_id AS VARCHAR)) + 1 + length(text)) AS BIGINT) AS total_len
+        |FROM documents""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id AS mm_id,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Archive operators — SURVEY §2.4 (ManipulateArchive, Focus/Unfocus
+ * ArchiveEntry, extensions/libarchive/ManipulateArchive.cpp,
+ * FocusArchiveEntry.cpp:241) and the MergeContent TAR/ZIP formats
+ * (MergeContent.h:293-331).
+ *
+ * Binary UDFs over java.util.zip: zip entries carry a fixed timestamp so
+ * packed bytes are deterministic (hashable across runs/engines).
+ */
+object Archive {
+
+  /** Pack (name, payload) into a single-entry zip. */
+  val zipPackUdf = udf((name: String, payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      val e = new ZipEntry(name)
+      e.setTime(0L) // deterministic bytes
+      z.putNextEntry(e); z.write(payload); z.closeEntry(); z.close()
+      bos.toByteArray
+    })
+
+  /** FocusArchiveEntry: extract the named entry's payload (null if absent). */
+  val zipFocusUdf = udf((archive: Array[Byte], name: String) =>
+    if (archive == null) null
+    else {
+      val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
+      var e = z.getNextEntry
+      var found: Array[Byte] = null
+      while (e != null && found == null) {
+        if (e.getName == name) found = z.readAllBytes()
+        e = z.getNextEntry
+      }
+      found
+    })
+
+  /** List entry names (ManipulateArchive inspection). */
+  val zipEntriesUdf = udf((archive: Array[Byte]) =>
+    if (archive == null) null
+    else {
+      val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
+      val names = Seq.newBuilder[String]
+      var e = z.getNextEntry
+      while (e != null) { names += e.getName; e = z.getNextEntry }
+      names.result()
+    })
+
+  def zipPack(name: Column, payload: Column): Column =
+    zipPackUdf(name, payload.cast("binary"))
+  def zipFocus(archive: Column, name: Column): Column = zipFocusUdf(archive, name)
+  def zipEntries(archive: Column): Column = zipEntriesUdf(archive)
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Process/script/HTTP execution operators — SURVEY §2.1/§2.2/§2.4.
+ */
+object Exec {
+
+  /**
+   * ExecuteProcess (extensions/execute-process/ExecuteProcess.cpp): run a
+   * command per partition, stream rows through stdin, stdout lines become
+   * output rows — the Spark shape is `mapPartitions` spawning one process
+   * per partition (not per row), mirroring the reference's long-running
+   * command mode. The command is a fixed argv (no shell interpolation).
+   */
+  def executeProcess(ds: Dataset[String], argv: Seq[String]): Dataset[String] = {
+    implicit val enc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    ds.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(argv: _*)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val writer = new java.io.PrintWriter(proc.getOutputStream)
+        val out = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val reader = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          var line = br.readLine()
+          while (line != null) { out.put(line); line = br.readLine() }
+        })
+        reader.start()
+        rows.foreach(writer.println)
+        writer.close()
+        proc.waitFor()
+        reader.join()
+        val buf = new java.util.ArrayList[String]()
+        out.drainTo(buf)
+        scala.jdk.CollectionConverters.ListHasAsScala(buf).asScala.iterator
+      }
+    }
+  }
+
+  /**
+   * ExecuteScript (extensions/script/ExecuteScript.h:51): the user-code
+   * escape hatch — a typed map over the session's rows, the analog of the
+   * script's get/transfer API. Catalyst can't optimize through it; use for
+   * logic the declarative operators can't express.
+   */
+  def executeScript[T: Encoder](df: Dataset[Row], fn: Row => T): Dataset[T] =
+    df.map(fn)
+
+  /**
+   * InvokeHTTP routing (InvokeHTTP.cpp:241,270): responses route by status
+   * class — 2xx → success, 5xx → retry, 4xx → no_retry, unreachable/other
+   * → failure. The routing decision is the relational capability; the
+   * network call itself runs in `httpCallPartition` below.
+   */
+  def routeByStatus(statusCol: Column): Column =
+    when(statusCol.between(200, 299), "success")
+      .when(statusCol.between(500, 599), "retry")
+      .when(statusCol.between(400, 499), "no_retry")
+      .otherwise("failure")
+
+  /**
+   * The network plane of InvokeHTTP: per-partition java.net.http client —
+   * one client per partition, connections reused across rows (the
+   * reference pools per processor). Returns (url, status) pairs; -1 for
+   * unreachable. Not exercised in offline tests; the routing logic above
+   * is the tested surface.
+   */
+  def httpCallPartition(urls: Dataset[String], timeoutMs: Long = 5000): Dataset[(String, Int)] = {
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaInt)
+    urls.mapPartitions { rows =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+      rows.map { url =>
+        try {
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          (url, resp.statusCode())
+        } catch { case _: Exception => (url, -1) }
+      }
+    }
+  }
+
+  /**
+   * RunLlamaCppInference (extensions/llamacpp/processors/
+   * RunLlamaCppInference.h:55): prompt a local model with content. The
+   * model client is STUBBED (no inference lib in this container) — the
+   * partition-batched plumbing (one model handle per partition, rows
+   * streamed through) is the real shape a llama.cpp JNI binding plugs into.
+   */
+  def llmInference(prompts: Dataset[String],
+                   stub: String => String = p => s"echo:${p.length}"): Dataset[String] = {
+    implicit val enc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    prompts.mapPartitions { rows =>
+      // real impl: load the model HERE once per partition
+      rows.map(stub)
+    }
+  }
+}

@@ -93,9 +93,17 @@ object Dedup {
     }
     val banded = signatures.select(col("docId"),
       explode(array(bandKeys: _*)).as("bk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.docId") < col("b.docId"))
-      .select(col("a.docId").as("idA"), col("b.docId").as("idB"))
+    // Single pass: group each band bucket and expand in-bucket pairs with
+    // higher-order functions — a self-join here would recompute the whole
+    // signature pipeline (explode + 8×md5 per shingle) twice and shuffle
+    // both sides; this shape shuffles once on the band key.
+    banded.groupBy(col("bk"))
+      .agg(array_sort(collect_list(col("docId"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("idA"), b.as("idB")))))).as("p"))
+      .select(col("p.idA").as("idA"), col("p.idB").as("idB"))
       .distinct()
   }
 
