@@ -649,6 +649,19 @@ object SparkEntry {
           sum(col("resp_len")).as("total_len"))
     }),
 
+    // §2.5 MergeContent Bin-Pack — correlation bins with max-count cap
+    "merge_bin_pack" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          col("event_id").cast("string").as("content"))
+      SplitMerge.mergeContentBinPack(ev, col("event_type"),
+        Seq(col("event_id")), col("content"), 50, ",")
+        .select(col("correlation"), col("binId").cast("long").as("bin_id"),
+          col("mergeCount").as("merge_count"),
+          md5(col("merged").cast("binary")).as("merged_md5"))
+        .orderBy("correlation", "bin_id")
+    }),
+
     // ------- multimodal plumbing (stubbed decode) -------
     "multimodal_stub" -> ((s, dir) => {
       val wrapped = Multimodal.wrapBinary(tbl(s, dir, "documents"),
@@ -1079,6 +1092,16 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_prompts,
         | CAST(SUM(length(CAST(doc_id AS VARCHAR)) + 1 + length(text)) AS BIGINT) AS total_len
         |FROM documents""".stripMargin,
+
+    "merge_bin_pack" ->
+      """WITH r AS (SELECT event_type AS correlation, event_id,
+        |  CAST(event_id AS VARCHAR) AS content,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT correlation, CAST((rn-1)//50 AS BIGINT) AS bin_id,
+        | COUNT(*) AS merge_count,
+        | md5(string_agg(content, ',' ORDER BY event_id)) AS merged_md5
+        |FROM r GROUP BY 1, 2 ORDER BY correlation, bin_id""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id AS mm_id,
