@@ -211,7 +211,8 @@ object SparkEntry {
           unix_millis(col("windowStart")).as("window_ms"),
           col("cnt"), col("valueSum").as("value_sum"), col("mean").as("mean_v"),
           when(col("cnt") > 1, col("variance")).as("var_v"),
-          col("minValue").as("min_v"), col("maxValue").as("max_v"))
+          col("minValue").as("min_v"), col("maxValue").as("max_v"),
+          col("median").as("med_v"))
         .orderBy("event_type", "window_ms")
     }),
 
@@ -447,6 +448,38 @@ object SparkEntry {
         .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
           col("cosine"))
         .orderBy("qid", "rnk")
+    }),
+
+    // Embedding-cosine near-dup via LSH sign-bit buckets (the scale path:
+    // the self-join keys on the bucket, never a cross join)
+    "embed_neardup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("n", Similarity.normSqQ(col("qv")))
+        .withColumn("bucket", Similarity.lshBucket(col("qv"), 8))
+      val pairs = v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      pairs.select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.cosineFromQ(
+          Similarity.dotQ(col("a.qv"), col("b.qv")), col("a.n"), col("b.n")), 6)
+          .as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // §2.8 EL date functions — format / toDate round trip
+    "el_dates" -> ((s, dir) => {
+      val byName: ElCompiler.AttrResolver = name => col(name)
+      val ev = events(s, dir).withColumn("ts_ms", expr("ts_us DIV 1000"))
+      ev.select(col("event_id"),
+        ElCompiler.template("${ts_ms:format('yyyy-MM-dd HH:mm')}", byName)
+          .as("formatted"),
+        ElCompiler.template(
+          "${ts_ms:format('yyyy-MM-dd HH:mm'):toDate('yyyy-MM-dd HH:mm')}", byName)
+          .cast("long").as("minute_ms"))
+        .orderBy("event_id")
     }),
 
     // ------- text analysis -------
@@ -822,7 +855,8 @@ object SparkEntry {
         |    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))
         |   /(COUNT(*)-1) ELSE NULL END AS var_v,
-        | MIN(value) AS min_v, MAX(value) AS max_v
+        | MIN(value) AS min_v, MAX(value) AS max_v,
+        | median(value) AS med_v
         |FROM events GROUP BY 1, 2 ORDER BY event_type, window_ms""".stripMargin,
 
     "rolling_window_count" ->
@@ -978,6 +1012,32 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "embed_neardup" -> {
+      val bucketExpr = (1 to 8).map(i =>
+        s"(CASE WHEN qv[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n,
+         |  $bucketExpr AS bucket FROM v),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+         |    i -> a.qv[CAST(i AS INT)]*b2.qv[CAST(i AS INT)])) AS BIGINT) AS dot,
+         |  a.n AS na, b2.n AS nb
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b,
+         | round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+         |FROM p
+         |WHERE round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "el_dates" ->
+      """SELECT event_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS formatted,
+        | epoch_ms(date_trunc('minute', ts)) AS minute_ms
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "text_langid" ->
       """WITH s AS (SELECT doc_id,

@@ -36,10 +36,16 @@ object Windows {
       n.as("cnt"),
       s.cast("double").as("valueSum"),
       (s.cast("double") / n).as("mean"),
+      // divisor clamped to ≥1: ANSI mode errors on 0-division even under a
+      // conditional guard (subexpression elimination evaluates eagerly);
+      // callers null out the n=1 case where variance is undefined
       ((sq.cast("double") - s.cast("double") * s.cast("double") / n) /
-        (n - lit(1))).as("variance"),
+        greatest(n - lit(1), lit(1L))).as("variance"),
       min(valueCol).as("minValue"),
-      max(valueCol).as("maxValue"))
+      max(valueCol).as("maxValue"),
+      // exact interpolated median (AttributeRollingWindow emits median;
+      // percentile_approx would not be engine-portable)
+      median(valueCol).as("median"))
   }
 
   /**

@@ -77,6 +77,58 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermark + event-time window drops late data (SURVEY §2.10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("start"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("wmk")
+      .outputMode("append").start()
+
+    input.addData((ts(1), 1.0), (ts(2), 2.0))
+    q.processAllAvailable()
+    input.addData((ts(30), 3.0)) // advances watermark to 10:25 → closes 10:00 window
+    q.processAllAvailable()
+    input.addData((ts(3), 9.9)) // late for the closed 10:00-10:10 window → dropped
+    q.processAllAvailable()
+    input.addData((ts(45), 4.0)) // closes the 10:30 window
+    q.processAllAvailable()
+    val rows = spark.table("wmk").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows("2026-01-01 10:00:00.0") === 2L) // late 10:03 row not counted
+    assert(rows("2026-01-01 10:30:00.0") === 1L)
+    q.stop()
+  }
+
+  test("streaming DefragmentText: MaxBufferAge flushes stale buffer to expired") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Line]
+    val out = StatefulOps.defragmentText(input.toDS(), "^START", 300)
+    val q = out.writeStream.format("memory").queryName("defrag_age")
+      .outputMode("append").start()
+
+    // NOTE: no processAllAvailable here — with ProcessingTimeTimeout the
+    // engine keeps scheduling timeout-evaluation batches, so "all available"
+    // never settles; poll the sink while the query free-runs instead.
+    input.addData(StatefulOps.Line("s1", 1, "START a"))
+    eventually(30, 500) {
+      spark.table("defrag_age").as[StatefulOps.Message].collect()
+        .exists(m => m.source == "s1" && m.relationship == "expired")
+    }
+    q.stop()
+  }
+
+  private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
+    var i = 0
+    while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
+    assert(cond, s"condition not met after $attempts attempts")
+  }
+
   test("streaming MergeContent bins: full bins flush, remainder buffers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
