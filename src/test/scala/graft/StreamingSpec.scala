@@ -129,6 +129,31 @@ class StreamingSpec extends SparkSpec {
     assert(cond, s"condition not met after $attempts attempts")
   }
 
+  test("end-to-end flow slice: tail → route → relationship sink (SURVEY §7.3)") {
+    import graft.ops.Routing
+    val dir = tmp("flow_in"); val ckpt = tmp("flow_ckpt"); val out = tmp("flow_out")
+    Files.writeString(dir.resolve("app.log"),
+      "ERROR disk full\nINFO all fine\nERROR cpu hot\nDEBUG x\n")
+
+    val tailed = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", dir.toString).option("glob", ".*\\.log").load()
+    val routed = tailed.withColumn("relationship",
+      when(col("line").startsWith("ERROR"), "errors")
+        .when(col("line").startsWith("INFO"), "info")
+        .otherwise("unmatched"))
+    val q = graft.streaming.FlowRuntime.runAvailable(
+      graft.streaming.FlowRuntime.relationshipSink(routed, out.toString),
+      ckpt.toString)
+    q.stop()
+
+    val errors = spark.read.parquet(s"$out/relationship=errors")
+      .collect().map(_.getAs[String]("line")).sorted
+    assert(errors.toSeq === Seq("ERROR cpu hot", "ERROR disk full"))
+    assert(spark.read.parquet(s"$out/relationship=info").count() === 1)
+    assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
+  }
+
   test("streaming MergeContent bins: full bins flush, remainder buffers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
