@@ -157,6 +157,16 @@ object SparkEntry {
           col("fragmentCount").as("fragment_count"))
         .orderBy("doc_id", "fragment_index")),
 
+    // §2.5 SplitContent — delimiter split with fragment attrs
+    "split_content" -> ((s, dir) =>
+      SplitMerge.splitContent(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), " the ")
+        .select(
+          col("`fragment.identifier`").as("doc_id"),
+          col("fragmentIndex").cast("long").as("fragment_index"),
+          md5(col("fragment").cast("binary")).as("fragment_md5"))
+        .orderBy("doc_id", "fragment_index")),
+
     // §2.5 SegmentContent — fixed-size segmentation
     "segment_content" -> ((s, dir) =>
       SplitMerge.segmentContent(tbl(s, dir, "documents"), col("doc_id"),
@@ -816,6 +826,14 @@ object SparkEntry {
         | array_to_string(list_slice(words, i*12+1, i*12+12), ' ') AS fragment,
         | CAST(ceil(len(words)/12.0) AS BIGINT) AS fragment_count
         |FROM e ORDER BY doc_id, fragment_index""".stripMargin,
+
+    "split_content" ->
+      """WITH f AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS fragment,
+        |  generate_subscripts(string_split(text, ' the '), 1) - 1 AS fragment_index
+        |  FROM documents)
+        |SELECT doc_id, CAST(fragment_index AS BIGINT) AS fragment_index,
+        | md5(fragment) AS fragment_md5
+        |FROM f ORDER BY doc_id, fragment_index""".stripMargin,
 
     "segment_content" ->
       """WITH e AS (SELECT doc_id, text,
