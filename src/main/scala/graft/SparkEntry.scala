@@ -191,14 +191,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // §2.5 SplitRecord — ≤N-record chunks
-    "split_record" -> ((s, dir) =>
-      SplitMerge.splitRecordChunks(tbl(s, dir, "lineitem"),
+    // §2.5 SplitRecord — ≤N-record chunks; chunk identity is
+    // partition-dependent (range partitioning), so the oracle asserts
+    // partition-independent facts: totals, cap compliance, disjoint ranges
+    "split_record" -> ((s, dir) => {
+      val chunks = SplitMerge.splitRecordChunks(tbl(s, dir, "lineitem"),
         Seq(col("l_orderkey"), col("l_linenumber")), 500)
-        .groupBy(col("chunkId").as("chunk_id"))
-        .agg(count(lit(1)).as("rec_count"),
-          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty_sum"))
-        .orderBy("chunk_id")),
+        .groupBy(col("chunkPart"), col("chunkId"))
+        .agg(count(lit(1)).as("recCount"),
+          min(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMin"),
+          max(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMax"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("qtySum"))
+      val notSame = col("a.chunkPart") =!= col("b.chunkPart") ||
+        col("a.chunkId") =!= col("b.chunkId")
+      // strict: the order key has duplicates, so adjacent chunks may share
+      // one tied boundary value — an interleave means strict containment
+      val overlaps = chunks.as("a").join(chunks.as("b"), notSame &&
+          col("a.ordMin") < col("b.ordMax") && col("b.ordMin") < col("a.ordMax"))
+        .agg(count(lit(1)).as("overlapPairs"))
+      chunks.agg(
+        sum(col("recCount")).cast("long").as("total_recs"),
+        bool_and(col("recCount") <= 500).as("all_within_cap"),
+        sum(col("qtySum")).cast("double").as("qty_sum"))
+        .crossJoin(overlaps)
+        .select(col("total_recs"), col("all_within_cap"), col("qty_sum"),
+          (col("overlapPairs") === 0).as("no_overlap"))
+    }),
 
     // §2.5 DefragmentText (batch) — pattern-bounded message reassembly
     "defragment_text" -> ((s, dir) => {
@@ -246,17 +264,30 @@ object SparkEntry {
           col("max_ts_ms"), col("max_value"))
         .orderBy("event_type")),
 
-    // §2.1/§3.3 QueryDatabaseTable — incremental max-value pull, chunked
-    "query_database_table" -> ((s, dir) =>
-      SqlOps.queryDatabaseTable(tbl(s, dir, "lineitem"),
+    // §2.1/§3.3 QueryDatabaseTable — incremental max-value pull, chunked;
+    // chunk identity is partition-dependent (range partitioning), so the
+    // oracle asserts partition-independent facts: totals, cap compliance,
+    // disjoint chunk ranges, and the max-value state the next pull persists
+    "query_database_table" -> ((s, dir) => {
+      val chunks = SqlOps.queryDatabaseTable(tbl(s, dir, "lineitem"),
         col("l_shipdate"), lit("1995-06-01").cast("timestamp_ntz"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 500)
-        .select(col("chunkId").cast("long").as("chunk_id"),
-          col("rowCount").as("row_count"),
-          // parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) reads as NTZ;
-          // session tz is UTC so the cast is the identity epoch mapping
-          unix_millis(col("chunkMax").cast("timestamp")).as("chunk_max_ms"))
-        .orderBy("chunk_id")),
+      val notSame = col("a.chunkPart") =!= col("b.chunkPart") ||
+        col("a.chunkId") =!= col("b.chunkId")
+      val overlaps = chunks.as("a").join(chunks.as("b"), notSame &&
+          col("a.ordMin") < col("b.ordMax") && col("b.ordMin") < col("a.ordMax"))
+        .agg(count(lit(1)).as("overlapPairs"))
+      chunks.agg(
+        sum(col("rowCount")).cast("long").as("total_rows"),
+        bool_and(col("rowCount") <= 500).as("all_within_cap"),
+        // parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) reads as NTZ;
+        // session tz is UTC so the cast is the identity epoch mapping
+        unix_millis(max(col("chunkMax")).cast("timestamp")).as("chunk_max_ms"),
+        unix_millis(max(col("maxvalue")).cast("timestamp")).as("state_max_ms"))
+        .crossJoin(overlaps)
+        .select(col("total_rows"), col("all_within_cap"), col("chunk_max_ms"),
+          col("state_max_ms"), (col("overlapPairs") === 0).as("no_overlap"))
+    }),
 
     // §2.1 ExecuteSQL — the engine runs the statement itself (TPC-H Q1 shape)
     "execute_sql" -> ((s, dir) => {
@@ -848,10 +879,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "split_record" ->
-      """WITH r AS (SELECT l_quantity, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)
-        |SELECT CAST((rn-1)//500 AS BIGINT) AS chunk_id, COUNT(*) AS rec_count,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
-        |FROM r GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+      """SELECT COUNT(*) AS total_recs, TRUE AS all_within_cap,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum,
+        | TRUE AS no_overlap
+        |FROM lineitem""".stripMargin,
 
     "defragment_text" ->
       """WITH l AS (SELECT user_id, event_id,
@@ -895,12 +926,11 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     "query_database_table" ->
-      """WITH inc AS (SELECT l_shipdate,
-        |  row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01')
-        |SELECT CAST((rn-1)//500 AS BIGINT) AS chunk_id, COUNT(*) AS row_count,
-        | epoch_ms(MAX(l_shipdate)) AS chunk_max_ms
-        |FROM inc GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+      """SELECT COUNT(*) AS total_rows, TRUE AS all_within_cap,
+        | epoch_ms(MAX(l_shipdate)) AS chunk_max_ms,
+        | epoch_ms(MAX(l_shipdate)) AS state_max_ms,
+        | TRUE AS no_overlap
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01'""".stripMargin,
 
     "execute_sql" -> ExecuteSqlStatement,
 

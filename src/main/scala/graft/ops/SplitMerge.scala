@@ -78,14 +78,20 @@ object SplitMerge {
 
   /**
    * SplitRecord (SplitRecord.cpp:43): chunk a record stream into ≤N-record
-   * groups. Batch mapping: row_number over a total order → floor((rn-1)/N).
-   * Note: the global row_number is a single-partition sort at scale — for
-   * 100 TB use a per-partition chunk id (monotonically_increasing_id based)
-   * instead; the total-order variant exists for oracle-exact semantics.
+   * groups. Scale shape: range-partition on the record order, sort *within*
+   * partitions only, then chunk each partition's contiguous run — no global
+   * row_number (a single-partition WindowExec at 100 TB). Chunk identity
+   * (chunkPart, chunkId) depends on the partition count; callers assert
+   * partition-independent facts (chunk size ≤ N, totals, disjoint ranges).
    */
   def splitRecordChunks(df: DataFrame, order: Seq[Column], recordsPerSplit: Int): DataFrame = {
-    val rn = row_number().over(Window.orderBy(order: _*))
-    df.withColumn("chunkId", floor((rn - 1) / recordsPerSplit))
+    val ranged = df.repartitionByRange(order.map(_.asc): _*).sortWithinPartitions(order: _*)
+    // low 33 bits of monotonically_increasing_id = row offset within its
+    // partition, counted in physical (= sorted) row order
+    val offset = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    ranged
+      .withColumn("chunkPart", spark_partition_id().cast("long"))
+      .withColumn("chunkId", floor(offset / recordsPerSplit))
   }
 
   /**

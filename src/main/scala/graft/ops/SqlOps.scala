@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -23,26 +22,49 @@ object SqlOps {
    */
   def executeSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /** Low 33 bits of monotonically_increasing_id = row offset within its
+    * partition (in physical row order). */
+  private val MidOffsetMask = (1L << 33) - 1
+
   /**
    * QueryDatabaseTable (extensions/sql/processors/QueryDatabaseTable.cpp:79,
    * buildSelectQuery :196): incremental pull `WHERE maxCol > lastMax`,
-   * chunked into ≤ maxRowsPerFlowFile rowsets, with per-chunk row counts and
-   * the new max-value state (MaxCollector.h:32).
+   * chunked into ≤ maxRowsPerFlowFile rowsets, with per-chunk row counts,
+   * per-chunk bounds, and the new max-value state (MaxCollector.h:32) as
+   * `maxvalue` on every row — the state the next trigger persists.
    *
-   * Returns the chunked frame: chunkId, rowCount, chunkMax — plus the
-   * running overall max as `maxvalue` (the state the next trigger would
-   * persist). The total order needed for stable chunking is the oracle-exact
-   * batch shape; the streaming variant keys chunks per partition.
+   * Scale shape: range-partition on the pull order, sort *within* partitions
+   * only, then chunk each partition's contiguous run of rows — no global
+   * row_number (a single-partition WindowExec at 100 TB). Chunks are
+   * non-overlapping ranges of the total order because range partitioning
+   * assigns disjoint key ranges to partitions; chunk identity
+   * (chunkPart, chunkId) depends on the partition count, so callers assert
+   * partition-independent facts (counts ≤ cap, disjoint ranges, totals).
+   *
+   * Returns: chunkPart, chunkId, rowCount, ordMin, ordMax (struct bounds in
+   * the pull order), chunkMax (max of maxValueCol), maxvalue (overall max —
+   * a tree-reduced scalar broadcast onto every chunk, not a global window).
    */
   def queryDatabaseTable(df: DataFrame, maxValueCol: Column, lastMax: Column,
                          order: Seq[Column], maxRowsPerFlowFile: Int): DataFrame = {
     val incremental = df.filter(maxValueCol > lastMax)
-    val rn = row_number().over(Window.orderBy(order: _*))
-    incremental
-      .withColumn("chunkId", floor((rn.cast("long") - 1) / maxRowsPerFlowFile))
-      .groupBy(col("chunkId"))
+    val ranged = incremental
+      .repartitionByRange(order.map(_.asc): _*)
+      .sortWithinPartitions(order: _*)
+    val ordStruct = struct(order: _*)
+    // monotonically_increasing_id counts rows in physical order — which is
+    // the pull order after sortWithinPartitions — so floor(offset / cap)
+    // yields contiguous ≤cap chunks with no extra shuffle.
+    val offset = monotonically_increasing_id().bitwiseAND(lit(MidOffsetMask))
+    val chunks = ranged
+      .withColumn("chunkPart", spark_partition_id().cast("long"))
+      .withColumn("chunkId", floor(offset / maxRowsPerFlowFile))
+      .groupBy(col("chunkPart"), col("chunkId"))
       .agg(
         count(lit(1)).as("rowCount"),
+        min(ordStruct).as("ordMin"),
+        max(ordStruct).as("ordMax"),
         max(maxValueCol).as("chunkMax"))
+    chunks.crossJoin(broadcast(incremental.agg(max(maxValueCol).as("maxvalue"))))
   }
 }
