@@ -50,14 +50,17 @@ object SparkEntry {
     "route_on_attribute" -> ((s, dir) => {
       val ff = FlowFrame.wrap(events(s, dir), "props",
         Seq("event_id", "event_type", "value"))
+      // 'big' overlaps 'alert'/'purchase' on purpose: a row matching two
+      // rules must land on BOTH edges (clone-per-match, RouteOnAttribute.cpp)
       val routed = Routing.routeOnAttribute(ff, Seq(
         "alert" -> "${event_type:equals('error'):and(${value:gt(100)})}",
         "purchase" -> "${event_type:equals('purchase')}",
-        "session" -> "${event_type:in('signup','login')}"))
+        "session" -> "${event_type:in('signup','login')}",
+        "big" -> "${value:gt(400)}"))
       routed.select(
         FlowFrame.attr("event_id").cast("long").as("event_id"),
         col(FlowFrame.Relationship).as("relationship"))
-        .orderBy("event_id")
+        .orderBy("event_id", "relationship")
     }),
 
     // §2.4 UpdateAttribute — EL-evaluated dynamic properties overwrite attrs
@@ -139,7 +142,8 @@ object SparkEntry {
       val routed = Routing.routeText(tbl(s, dir, "documents"), col("text"), " ",
         Seq(("s_words", Routing.StartsWith, "s"),
             ("oin_words", Routing.ContainsStr, "oin"),
-            ("short", Routing.MatchesRegex, "[a-z]{1,3}")),
+            ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
+            ("el_long", Routing.SatisfiesExpression, "${line:length():gt(8)}")),
         groupingRegex = Some("^(.)"))
       routed.groupBy(col("relationship"), col("group").as("grp"))
         .agg(count(lit(1)).as("cnt"))
@@ -803,10 +807,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "route_on_attribute" ->
-      """SELECT event_id, CASE WHEN event_type='error' AND value>100 THEN 'alert'
-        | WHEN event_type='purchase' THEN 'purchase'
-        | WHEN event_type IN ('signup','login') THEN 'session'
-        | ELSE 'unmatched' END AS relationship FROM events ORDER BY event_id""".stripMargin,
+      """WITH m AS (
+        | SELECT event_id, 'alert' AS relationship FROM events WHERE event_type='error' AND value>100
+        | UNION ALL SELECT event_id, 'purchase' FROM events WHERE event_type='purchase'
+        | UNION ALL SELECT event_id, 'session' FROM events WHERE event_type IN ('signup','login')
+        | UNION ALL SELECT event_id, 'big' FROM events WHERE value>400)
+        |SELECT e.event_id, coalesce(m.relationship, 'unmatched') AS relationship
+        |FROM events e LEFT JOIN m ON m.event_id = e.event_id
+        |ORDER BY e.event_id, relationship""".stripMargin,
 
     "update_attribute" ->
       """SELECT o_orderkey, lower(o_orderpriority) AS priority_lower,
@@ -841,13 +849,20 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "route_text" ->
-      """WITH l AS (SELECT unnest(string_split(text,' ')) AS line FROM documents)
-        |SELECT CASE WHEN line LIKE 's%' THEN 's_words'
-        |  WHEN line LIKE '%oin%' THEN 'oin_words'
-        |  WHEN regexp_full_match(line, '[a-z]{1,3}') THEN 'short'
-        |  ELSE 'unmatched' END AS relationship,
-        | regexp_extract(line, '^(.)', 1) AS grp, COUNT(*) AS cnt
-        |FROM l GROUP BY 1, 2 ORDER BY relationship, grp""".stripMargin,
+      """WITH l AS (SELECT unnest(string_split(text,' ')) AS line FROM documents),
+        |m AS (
+        | SELECT line, 's_words' AS relationship FROM l WHERE line LIKE 's%'
+        | UNION ALL SELECT line, 'oin_words' FROM l WHERE line LIKE '%oin%'
+        | UNION ALL SELECT line, 'short' FROM l WHERE regexp_full_match(line, '[a-z]{1,3}')
+        | UNION ALL SELECT line, 'el_long' FROM l WHERE length(line) > 8),
+        |r AS (
+        | SELECT line, relationship FROM m
+        | UNION ALL
+        | SELECT line, 'unmatched' FROM l
+        | WHERE NOT (line LIKE 's%') AND NOT (line LIKE '%oin%')
+        |  AND NOT regexp_full_match(line, '[a-z]{1,3}') AND NOT (length(line) > 8))
+        |SELECT relationship, regexp_extract(line, '^(.)', 1) AS grp, COUNT(*) AS cnt
+        |FROM r GROUP BY 1, 2 ORDER BY relationship, grp""".stripMargin,
 
     "split_text" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
@@ -900,7 +915,7 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS mean_v,
         | CASE WHEN COUNT(*)>1 THEN
-        |   (CAST(SUM(CAST(value*value AS DECIMAL(18,6))) AS DOUBLE)
+        |   (CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE)
         |    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))
         |   /(COUNT(*)-1) ELSE NULL END AS var_v,

@@ -21,7 +21,9 @@ object Exec {
       if (!rows.hasNext) Iterator.empty
       else {
         val pb = new ProcessBuilder(argv: _*)
-        pb.redirectErrorStream(false)
+        // stderr must not backpressure the child: an undrained pipe fills at
+        // ~64KB and deadlocks the partition task mid-write
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val proc = pb.start()
         val writer = new java.io.PrintWriter(proc.getOutputStream)
         val out = new java.util.concurrent.LinkedBlockingQueue[String]()

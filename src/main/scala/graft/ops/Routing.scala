@@ -19,24 +19,25 @@ object Routing {
 
   /**
    * RouteOnAttribute (extensions/standard-processors/processors/
-   * RouteOnAttribute.cpp:50): dynamic properties name→EL boolean; first
-   * matching property wins its relationship, else `unmatched`.
+   * RouteOnAttribute.cpp onTrigger): dynamic properties name→EL boolean;
+   * the FlowFile is CLONED to every matching property's relationship
+   * (clone+transfer per match), else routed to `unmatched`.
    *
-   * `rules` are (relationship, EL predicate source) evaluated in order —
-   * compiled once at plan build to a single `when` chain.
+   * Spark shape: build the array of matching relationships and explode it
+   * — one row per match, a Generate over a codegen'd when-array, no
+   * shuffle. A row matching two rules lands on both edges, as upstream.
    */
   def routeOnAttribute(df: DataFrame, rules: Seq[(String, String)],
                        attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): DataFrame = {
-    val chain = rules.foldLeft(Option.empty[Column]) {
-      case (acc, (rel, elSrc)) =>
-        val pred = ElCompiler.predicate(elSrc, attrs)
-        Some(acc.map(_.when(pred, rel)).getOrElse(when(pred, rel)))
-    }
+    val matched = filter(
+      array(rules.map { case (rel, elSrc) =>
+        when(coalesce(ElCompiler.predicate(elSrc, attrs), lit(false)), rel)
+      }: _*), x => x.isNotNull)
     df.withColumn(FlowFrame.Relationship,
-      chain.map(_.otherwise("unmatched")).getOrElse(lit("unmatched")))
+      explode(when(size(matched) === 0, array(lit("unmatched"))).otherwise(matched)))
   }
 
-  /** RouteText matching strategies (RouteText.h:37-58). */
+  /** RouteText matching strategies (RouteText.h:37-58, :98). */
   sealed trait MatchStrategy
   case object StartsWith extends MatchStrategy
   case object EndsWith extends MatchStrategy
@@ -44,37 +45,54 @@ object Routing {
   case object EqualsStr extends MatchStrategy
   case object MatchesRegex extends MatchStrategy
   case object ContainsRegex extends MatchStrategy
+  /** "Satisfies Expression": the rule value is an EL predicate evaluated
+    * per segment with `line`/`lineNo` (and `segment`/`segmentNo`) bound to
+    * the current segment (RouteText.cpp:336-341). */
+  case object SatisfiesExpression extends MatchStrategy
 
   /**
    * RouteText (RouteText.cpp:218): segment content into lines, route each
-   * line by (relationship, strategy, match value); optional grouping regex
-   * adds a `RouteText.Group` column (RouteText.h:227). Returns the exploded
-   * per-line frame with `line`, `lineNo`, `relationship` (+ `group`).
+   * line by (relationship, strategy, match value); a line is cloned to
+   * EVERY matching rule's relationship (dynamic-property routing), else
+   * `unmatched`. Optional grouping regex adds a `group` column
+   * (RouteText.h:154-162). Returns the exploded per-line frame with
+   * `line`, `lineNo`, `relationship` (+ `group`).
    *
-   * Line segmentation is `posexplode(split(...))` — a Generator, not a
-   * shuffle; the per-line `when` chain stays in whole-stage codegen.
+   * Line segmentation and multi-match are Generators (posexplode + explode
+   * of the match array), not shuffles; predicates stay in whole-stage
+   * codegen. SatisfiesExpression predicates compile through ElCompiler
+   * with `line`/`lineNo`/`segment`/`segmentNo` resolving to the segment
+   * columns and everything else to `attrs`.
    */
   def routeText(df: DataFrame, contentCol: Column, delimiter: String,
                 rules: Seq[(String, MatchStrategy, String)],
-                groupingRegex: Option[String] = None): DataFrame = {
+                groupingRegex: Option[String] = None,
+                attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): DataFrame = {
     val lines = df.select(df.columns.map(col) :+
       posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("lineNo", "line")): _*)
+    val segmentAttrs: ElCompiler.AttrResolver = {
+      case "line" | "segment"     => col("line")
+      // EL-visible segment numbers are 1-based (RouteTextTests.cpp:463);
+      // the output lineNo column stays 0-based like the fragment index
+      case "lineNo" | "segmentNo" => (col("lineNo") + 1).cast("string")
+      case other                  => attrs(other)
+    }
     def matches(s: MatchStrategy, v: String): Column = s match {
-      case StartsWith    => col("line").startsWith(v)
-      case EndsWith      => col("line").endsWith(v)
-      case ContainsStr   => col("line").contains(v)
-      case EqualsStr     => col("line") === v
-      case MatchesRegex  => col("line").rlike("^(?:" + v + ")$")
-      case ContainsRegex => col("line").rlike(v)
+      case StartsWith          => col("line").startsWith(v)
+      case EndsWith            => col("line").endsWith(v)
+      case ContainsStr         => col("line").contains(v)
+      case EqualsStr           => col("line") === v
+      case MatchesRegex        => col("line").rlike("^(?:" + v + ")$")
+      case ContainsRegex       => col("line").rlike(v)
+      case SatisfiesExpression => ElCompiler.predicate(v, segmentAttrs)
     }
-    val chain = rules.foldLeft(Option.empty[Column]) {
-      case (acc, (rel, s, v)) =>
-        val p = matches(s, v)
-        Some(acc.map(_.when(p, rel)).getOrElse(when(p, rel)))
-    }
+    val matched = filter(
+      array(rules.map { case (rel, s, v) =>
+        when(coalesce(matches(s, v), lit(false)), rel)
+      }: _*), x => x.isNotNull)
     val routedDf = lines.withColumn(FlowFrame.Relationship,
-      chain.map(_.otherwise("unmatched")).getOrElse(lit("unmatched")))
+      explode(when(size(matched) === 0, array(lit("unmatched"))).otherwise(matched)))
     groupingRegex match {
       case Some(re) => routedDf.withColumn("group", regexp_extract(col("line"), re, 1))
       case None => routedDf

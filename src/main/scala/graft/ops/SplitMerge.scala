@@ -44,8 +44,10 @@ object SplitMerge {
     df.select(
       idCol.as(FragmentAttrs.Identifier),
       posexplode(frags).as(Seq("fragmentIndex", "fragment")),
-      ceil(size(body).cast("double") / linesPerFragment).cast("long")
-        .as("fragmentCount"))
+      // same clamped expression that sizes the fragment array — an empty
+      // body (header >= total lines) still emits 1 fragment, and count must
+      // agree or MergeContent defragment routes the group to failure
+      nFrags.cast("long").as("fragmentCount"))
   }
 
   /**

@@ -29,8 +29,10 @@ object Windows {
                         bucket: String, keys: Seq[Column]): DataFrame = {
     val n = count(lit(1))
     val s = sum(dec(valueCol))
-    val sq = sum(dec(valueCol * valueCol)) // value*value is one deterministic
-                                           // IEEE double op, then exact decimal
+    // value*value is one deterministic IEEE double op, then exact decimal;
+    // the squared term needs the wide decimal — (18,6) holds only ~1e12, so
+    // any |value| >= ~1e6 would overflow the square at production magnitudes
+    val sq = sum((valueCol * valueCol).cast("decimal(38,6)"))
     val grouped = df.groupBy(keys :+ date_trunc(bucket, tsCol).as("windowStart"): _*)
     grouped.agg(
       n.as("cnt"),

@@ -8,7 +8,8 @@ import graft.ops._
   * feed (content, attributes) rows, assert per-relationship outputs. */
 class OperatorSpec extends SparkSpec {
 
-  test("RouteOnAttribute: first matching rule wins, else unmatched") {
+  test("RouteOnAttribute: clone to every matching rule, else unmatched " +
+       "(RouteOnAttribute.cpp onTrigger clone+transfer per match)") {
     val df = flowFrame(Seq(
       ("", Map("kind" -> "error", "size" -> "2048")),
       ("", Map("kind" -> "error", "size" -> "10")),
@@ -17,9 +18,11 @@ class OperatorSpec extends SparkSpec {
       "big_error" -> "${kind:equals('error'):and(${size:gt(1024)})}",
       "any_error" -> "${kind:equals('error')}"))
     val rels = routed.select("relationship").collect().map(_.getString(0)).toSeq
-    assert(rels === Seq("big_error", "any_error", "unmatched"))
+    // row 1 matches BOTH rules -> lands on both edges; row 2 only any_error
+    assert(rels === Seq("big_error", "any_error", "any_error", "unmatched"))
     val split = FlowFrame.routed(routed, Seq("big_error", "any_error", "unmatched"))
     assert(split("big_error").count() === 1)
+    assert(split("any_error").count() === 2)
     assert(split("unmatched").count() === 1)
   }
 
@@ -106,6 +109,28 @@ class OperatorSpec extends SparkSpec {
     val got = routed.groupBy("relationship").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("errors" -> 2L, "warns" -> 1L))
+  }
+
+  test("RouteText Satisfies Expression: EL over segment/line variables " +
+       "(RouteText.h:98, RouteTextTests.cpp:221,458)") {
+    val df = spark.createDataFrame(Seq(Tuple1("seven\nSeVeN\nven")))
+      .toDF("content")
+    val routed = Routing.routeText(df, col("content"), "\n",
+      Seq(("here", Routing.SatisfiesExpression, "${segment:equals('seven')}")))
+    val rels = routed.orderBy("lineNo").select("relationship")
+      .collect().map(_.getString(0)).toSeq
+    assert(rels === Seq("here", "unmatched", "unmatched"))
+
+    // injected 1-based lineNo/segmentNo variables (RouteTextTests.cpp:463)
+    val df2 = spark.createDataFrame(Seq(Tuple1("toA\ntoB\ntoA"))).toDF("content")
+    val byNo = Routing.routeText(df2, col("content"), "\n",
+      Seq(("A1", Routing.SatisfiesExpression,
+            "${line:startsWith('toA'):and(${lineNo:equals('1')})}"),
+          ("A3", Routing.SatisfiesExpression,
+            "${line:startsWith('toA'):and(${lineNo:equals('3')})}")))
+    val got2 = byNo.orderBy("lineNo").select("relationship")
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 === Seq("A1", "unmatched", "A3"))
   }
 
   test("Syslog RFC5424 parse + invalid routing (ListenSyslog.h:42-46)") {
