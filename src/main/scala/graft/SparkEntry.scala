@@ -94,15 +94,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // §2.4 ReplaceText — literal + regex entire-text strategies
-    "replace_text" -> ((s, dir) =>
+    // §2.4 ReplaceText — entire-text strategies, line-by-line scoping
+    // (FIRST/EXCEPT_LAST), and substitute-variables from the attribute map
+    "replace_text" -> ((s, dir) => {
+      val attrsMap = map(lit("doc_id"), col("doc_id").cast("string"),
+        lit("lang"), col("lang"))
       tbl(s, dir, "documents").select(
         col("doc_id"),
         md5(Transforms.replaceText(col("text"), Transforms.LiteralReplace,
           "data", "DATA").cast("binary")).as("lit_md5"),
         md5(Transforms.replaceText(col("text"), Transforms.RegexReplace,
-          "[aeiou]", "_").cast("binary")).as("re_md5"))
-        .orderBy("doc_id")),
+          "[aeiou]", "_").cast("binary")).as("re_md5"),
+        md5(Transforms.replaceTextLineByLine(col("text"), " ",
+          Transforms.RegexReplace, "[aeiou]", "_", Transforms.FirstLine)
+          .cast("binary")).as("first_md5"),
+        md5(Transforms.replaceTextLineByLine(col("text"), " ",
+          Transforms.RegexReplace, "[aeiou]", "_", Transforms.ExceptLastLine)
+          .cast("binary")).as("exlast_md5"),
+        Transforms.substituteVariables(
+          lit("id=${doc_id} lang=${lang} missing=${nope}"), attrsMap)
+          .as("subst"))
+        .orderBy("doc_id")
+    }),
 
     // §2.4 HashContent — md5/sha256 of raw content
     "hash_content" -> ((s, dir) =>
@@ -332,11 +345,16 @@ object SparkEntry {
         .select(col("event_id")).orderBy("event_id")
     }),
 
-    // §2.1 ListenSyslog — RFC5424 parse + invalid routing (ground-truth oracle)
+    // §2.1 ListenSyslog — RFC5424-then-RFC3164 dispatch + invalid routing
+    // (ground-truth oracle over a deterministic mix of all three shapes)
     "syslog_parse" -> ((s, dir) => {
       val ev = events(s, dir)
       val line = when(col("event_id") % 10 === 0,
         concat(lit("garbage "), col("event_id").cast("string")))
+        .when(col("event_id") % 10 === 5, concat(
+          lit("<"), (col("event_id") % 192).cast("string"),
+          lit(">Feb  3 04:05:06 h"), col("user_id").cast("string"),
+          lit(" payload "), col("event_id").cast("string")))
         .otherwise(concat(
           lit("<"), (col("event_id") % 192).cast("string"), lit(">1 "),
           lit("2024-01-01T00:00:00.000Z "),
@@ -344,13 +362,15 @@ object SparkEntry {
           col("event_type"), lit(" "),
           col("event_id").cast("string"), lit(" "),
           lit("ID"), (col("event_id") % 100).cast("string"), lit(" - m")))
-      val parsed = Syslog.parseRfc5424(ev.withColumn("line", line), col("line"))
+      val parsed = Syslog.parseSyslog(ev.withColumn("line", line), col("line"))
       parsed.select(
         col("event_id"),
         col("relationship"),
+        col("syslog_format"),
         col("syslog_priority"),
         col("syslog_hostname"),
         col("syslog_app_name"),
+        col("syslog_msg"),
         Syslog.severity(col("syslog_priority")).as("severity"),
         Syslog.facility(col("syslog_priority")).as("facility"))
         .orderBy("event_id")
@@ -829,9 +849,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "replace_text" ->
-      """SELECT doc_id, md5(replace(text, 'data', 'DATA')) AS lit_md5,
-        | md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS re_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id, md5(replace(text, 'data', 'DATA')) AS lit_md5,
+        | md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS re_md5,
+        | md5(regexp_replace(words[1], '[aeiou]', '_', 'g') ||
+        |   CASE WHEN len(words) > 1
+        |        THEN ' ' || array_to_string(list_slice(words, 2, len(words)), ' ')
+        |        ELSE '' END) AS first_md5,
+        | md5(CASE WHEN len(words) > 1
+        |     THEN array_to_string(list_transform(list_slice(words, 1, len(words)-1),
+        |            x -> regexp_replace(x, '[aeiou]', '_', 'g')), ' ')
+        |          || ' ' || words[len(words)]
+        |     ELSE words[1] END) AS exlast_md5,
+        | 'id=' || CAST(doc_id AS VARCHAR) || ' lang=' || lang
+        |   || ' missing=${nope}' AS subst
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "hash_content" ->
       """SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256
@@ -968,9 +1000,14 @@ object SparkEntry {
     "syslog_parse" ->
       """SELECT event_id,
         | CASE WHEN event_id % 10 = 0 THEN 'invalid' ELSE 'success' END AS relationship,
+        | CASE WHEN event_id % 10 = 0 THEN NULL
+        |      WHEN event_id % 10 = 5 THEN 'rfc3164' ELSE 'rfc5424' END AS syslog_format,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 AS VARCHAR) END AS syslog_priority,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE 'h' || CAST(user_id AS VARCHAR) END AS syslog_hostname,
-        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS syslog_app_name,
+        | CASE WHEN event_id % 10 IN (0, 5) THEN NULL ELSE event_type END AS syslog_app_name,
+        | CASE WHEN event_id % 10 = 0 THEN NULL
+        |      WHEN event_id % 10 = 5 THEN 'payload ' || CAST(event_id AS VARCHAR)
+        |      ELSE 'm' END AS syslog_msg,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 % 8 AS BIGINT) END AS severity,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST((event_id % 192) // 8 AS BIGINT) END AS facility
         |FROM events ORDER BY event_id""".stripMargin,

@@ -32,12 +32,22 @@ object Transforms {
       name -> regexp_extract(contentCol, pat, group)
     })
 
-  /** ReplaceText strategies (ReplaceText.h:37-58). */
+  /** ReplaceText strategies (ReplaceText.h:50-58 ReplacementStrategyType). */
   sealed trait ReplaceStrategy
   case object LiteralReplace extends ReplaceStrategy
   case object RegexReplace extends ReplaceStrategy
   case object Prepend extends ReplaceStrategy
   case object Append extends ReplaceStrategy
+  case object AlwaysReplace extends ReplaceStrategy
+
+  /** Line scoping for line-by-line mode (ReplaceText.h:42-48
+    * LineByLineEvaluationModeType). */
+  sealed trait LineScope
+  case object AllLines extends LineScope
+  case object FirstLine extends LineScope
+  case object LastLine extends LineScope
+  case object ExceptFirstLine extends LineScope
+  case object ExceptLastLine extends LineScope
 
   /**
    * ReplaceText (ReplaceText.cpp:49): entire-text mode. Line-by-line mode =
@@ -49,16 +59,55 @@ object Transforms {
     case RegexReplace   => regexp_replace(c, search, replacement)
     case Prepend        => concat(lit(replacement), c)
     case Append         => concat(c, lit(replacement))
+    case AlwaysReplace  => lit(replacement)
   }
 
-  /** Line-by-line ReplaceText (ReplaceText.h LineByLineEvaluationMode):
-    * per-line regex replace without exploding — stays one row. */
-  def replaceTextLineByLine(c: Column, delimiter: String, search: String,
-                            replacement: String): Column =
+  /** Line-by-line ReplaceText (ReplaceText.h:38 LINE_BY_LINE + :42-48 line
+    * scoping): apply the strategy to each line in scope, keep the rest —
+    * an indexed higher-order transform, one row in → one row out, no
+    * explode and no shuffle. */
+  def replaceTextLineByLine(c: Column, delimiter: String,
+                            strategy: ReplaceStrategy, search: String,
+                            replacement: String,
+                            scope: LineScope = AllLines): Column = {
+    val lines = split(c, java.util.regex.Pattern.quote(delimiter))
+    val lastIdx = size(lines) - 1
+    def inScope(i: Column): Column = scope match {
+      case AllLines        => lit(true)
+      case FirstLine       => i === 0
+      case LastLine        => i === lastIdx
+      case ExceptFirstLine => i =!= 0
+      case ExceptLastLine  => i =!= lastIdx
+    }
     array_join(
-      transform(split(c, java.util.regex.Pattern.quote(delimiter)),
-        line => regexp_replace(line, search, replacement)),
+      transform(lines, (line, i) =>
+        when(inScope(i), replaceText(line, strategy, search, replacement))
+          .otherwise(line)),
       delimiter)
+  }
+
+  /**
+   * ReplaceText SUBSTITUTE_VARIABLES (ReplaceText.cpp:191-226): rewrite
+   * `${attr}` placeholders in the CONTENT from the row's attribute map;
+   * an unmatched attribute leaves the placeholder verbatim (:224-225).
+   *
+   * Pure-Catalyst shape: mark placeholder boundaries with a NUL sentinel,
+   * split, and map odd segments through the attribute map — no UDF, stays
+   * in whole-stage codegen. (Content containing literal NUL bytes is the
+   * one unsupported input; the reference's regex pass shares the
+   * limitation of not supporting nested placeholders.)
+   */
+  def substituteVariables(c: Column, attrsMap: Column): Column = {
+    val marked = regexp_replace(c, "\\$\\{([^}]+)\\}", "\u0000$1\u0000")
+    val parts = split(marked, "\u0000", -1)
+    array_join(
+      transform(parts, (part, i) =>
+        when(i % 2 === 1,
+          coalesce(element_at(attrsMap, part),
+            concat(lit("${"), part, lit("}"))))
+          .otherwise(part)),
+      "")
+  }
 
   /**
    * AttributesToJSON (AttributesToJSON.cpp:116): serialize the selected

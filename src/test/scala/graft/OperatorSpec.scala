@@ -133,6 +133,45 @@ class OperatorSpec extends SparkSpec {
     assert(got2 === Seq("A1", "unmatched", "A3"))
   }
 
+  test("ReplaceText line scoping + substitute variables + always replace " +
+       "(ReplaceText.h:42-58, ReplaceTextTests.cpp)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("apple\nbanana\ncherry"))).toDF("content")
+    def lbl(scope: Transforms.LineScope): String =
+      df.select(Transforms.replaceTextLineByLine(col("content"), "\n",
+        Transforms.RegexReplace, "a", "_", scope)).collect()(0).getString(0)
+    assert(lbl(Transforms.AllLines) === "_pple\nb_n_n_\ncherry")
+    assert(lbl(Transforms.FirstLine) === "_pple\nbanana\ncherry")
+    assert(lbl(Transforms.LastLine) === "apple\nbanana\ncherry")
+    assert(lbl(Transforms.ExceptFirstLine) === "apple\nb_n_n_\ncherry")
+    assert(lbl(Transforms.ExceptLastLine) === "_pple\nb_n_n_\ncherry")
+
+    val ff = flowFrame(Seq(
+      ("color is ${color}, missing is ${nope}", Map("color" -> "red"))))
+    val subst = ff.select(Transforms.substituteVariables(
+      col(FlowFrame.Content), col(FlowFrame.Attributes))).collect()(0).getString(0)
+    assert(subst === "color is red, missing is ${nope}")
+
+    val always = df.select(Transforms.replaceTextLineByLine(col("content"),
+      "\n", Transforms.AlwaysReplace, "", "X", Transforms.ExceptFirstLine))
+      .collect()(0).getString(0)
+    assert(always === "apple\nX\nX")
+  }
+
+  test("Syslog dispatch: RFC5424 first, RFC3164 fallback, else invalid " +
+       "(ListenSyslog.cpp:67,81)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("<34>1 2026-08-12T22:14:15.003Z host app 1234 ID47 - hello"),
+      Tuple1("<13>Feb  5 17:32:18 mymachine very.large payload"),
+      Tuple1("nonsense"))).toDF("line")
+    val parsed = Syslog.parseSyslog(df, col("line"))
+      .select("syslog_format", "relationship", "syslog_hostname", "syslog_msg")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(parsed(0) === ("rfc5424", "success", "host", "hello"))
+    assert(parsed(1) === ("rfc3164", "success", "mymachine", "very.large payload"))
+    assert(parsed(2) === ((null, "invalid", null, null)))
+  }
+
   test("Syslog RFC5424 parse + invalid routing (ListenSyslog.h:42-46)") {
     val df = spark.createDataFrame(Seq(
       Tuple1("<34>1 2026-08-12T22:14:15.003Z host app 1234 ID47 - hello"),
