@@ -585,15 +585,34 @@ object SparkEntry {
         TextAnalysis.fingerprintBand(col("text"), 5, 2).as("fp_band"))
         .orderBy("doc_id")),
 
-    // §2.4 CompressContent — gzip/deflate round trip over binary content
-    "compress_content" -> ((s, dir) =>
+    // §2.4 CompressContent — full codec family round trips plus the
+    // "use mime.type" decompress mode with the mime attr the reference stamps
+    "compress_content" -> ((s, dir) => {
+      def rt(fmt: String): Column =
+        md5(Content.decompress(Content.compress(col("text"), fmt), fmt))
+      val fmt = col("doc_id") % 4
+      val fmtName = when(fmt === 0, "gzip").when(fmt === 1, "bzip2")
+        .when(fmt === 2, "lzma").otherwise("xz-lzma2")
+      val compressed = when(fmt === 0, Content.compress(col("text"), "gzip"))
+        .when(fmt === 1, Content.compress(col("text"), "bzip2"))
+        .when(fmt === 2, Content.compress(col("text"), "lzma"))
+        .otherwise(Content.compress(col("text"), "xz-lzma2"))
+      val mime = when(fmt === 0, Content.mimeTypeFor("gzip"))
+        .when(fmt === 1, Content.mimeTypeFor("bzip2"))
+        .when(fmt === 2, Content.mimeTypeFor("lzma"))
+        .otherwise(Content.mimeTypeFor("xz-lzma2"))
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        md5(Content.decompress(Content.compress(col("text"), "gzip"), "gzip"))
-          .as("gzip_roundtrip_md5"),
-        md5(Content.decompress(Content.compress(col("text"), "deflate"), "deflate"))
-          .as("deflate_roundtrip_md5"))
-        .orderBy("doc_id")),
+        rt("gzip").as("gzip_roundtrip_md5"),
+        rt("deflate").as("deflate_roundtrip_md5"),
+        rt("bzip2").as("bzip2_roundtrip_md5"),
+        rt("lzma").as("lzma_roundtrip_md5"),
+        rt("xz-lzma2").as("xz_roundtrip_md5"),
+        fmtName.as("fmt_name"),
+        mime.as("mime_type"),
+        md5(Content.decompressByMime(compressed, mime)).as("mime_roundtrip_md5"))
+        .orderBy("doc_id")
+    }),
 
     // §2.4 SplitJson — JSON array content → one row per element
     "split_json" -> ((s, dir) => {
@@ -706,17 +725,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // §2.4 Archive — zip pack → focus entry round trip
-    "archive_roundtrip" -> ((s, dir) =>
+    // §2.4 Archive — zip and tar pack → focus entry round trips
+    "archive_roundtrip" -> ((s, dir) => {
+      val name = concat(lit("doc-"), col("doc_id"))
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        md5(Archive.zipFocus(
-          Archive.zipPack(concat(lit("doc-"), col("doc_id")), col("text")),
-          concat(lit("doc-"), col("doc_id")))).as("focused_md5"),
-        element_at(Archive.zipEntries(
-          Archive.zipPack(concat(lit("doc-"), col("doc_id")), col("text"))), 1)
-          .as("entry_name"))
-        .orderBy("doc_id")),
+        md5(Archive.zipFocus(Archive.zipPack(name, col("text")), name))
+          .as("focused_md5"),
+        element_at(Archive.zipEntries(Archive.zipPack(name, col("text"))), 1)
+          .as("entry_name"),
+        md5(Archive.tarFocus(Archive.tarPack(name, col("text")), name))
+          .as("tar_focused_md5"),
+        element_at(Archive.tarEntries(Archive.tarPack(name, col("text"))), 1)
+          .as("tar_entry_name"))
+        .orderBy("doc_id")
+    }),
 
     // §2.7 Priority ordering — batch poll order by the priority attribute
     "priority_order" -> ((s, dir) => {
@@ -758,6 +781,23 @@ object SparkEntry {
           col("mergeCount").as("merge_count"),
           md5(col("merged").cast("binary")).as("merged_md5"))
         .orderBy("correlation", "bin_id")
+    }),
+
+    // §2.5 MergeContent Bin-Pack with BinFiles size/entry thresholds +
+    // header/footer (BinFiles.h:190-213, MergeContent.h:299-331)
+    "merge_bin_pack_sized" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("props").as("content"))
+      SplitMerge.mergeContentBinPackSized(ev, col("event_type"), col("event_id"),
+        col("content"), 40, 1000L, 5, 100L, ",", "H:", ":F")
+        .select(col("correlation"),
+          col("binCount").cast("long").as("bin_count"),
+          col("binSize").cast("long").as("bin_size"),
+          col("mergeCount").as("merge_count"),
+          col("binBytes").as("bin_bytes"),
+          md5(col("merged").cast("binary")).as("merged_md5"),
+          col("relationship"))
+        .orderBy("correlation", "bin_count", "bin_size")
     }),
 
     // ------- multimodal plumbing (stubbed decode) -------
@@ -1188,7 +1228,16 @@ object SparkEntry {
 
     "compress_content" ->
       """SELECT doc_id, md5(text) AS gzip_roundtrip_md5,
-        | md5(text) AS deflate_roundtrip_md5
+        | md5(text) AS deflate_roundtrip_md5,
+        | md5(text) AS bzip2_roundtrip_md5,
+        | md5(text) AS lzma_roundtrip_md5,
+        | md5(text) AS xz_roundtrip_md5,
+        | CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
+        |   WHEN 2 THEN 'lzma' ELSE 'xz-lzma2' END AS fmt_name,
+        | CASE doc_id % 4 WHEN 0 THEN 'application/gzip'
+        |   WHEN 1 THEN 'application/bzip2' WHEN 2 THEN 'application/x-lzma'
+        |   ELSE 'application/x-xz' END AS mime_type,
+        | md5(text) AS mime_roundtrip_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "split_json" ->
@@ -1240,7 +1289,9 @@ object SparkEntry {
 
     "archive_roundtrip" ->
       """SELECT doc_id, md5(text) AS focused_md5,
-        | 'doc-' || CAST(doc_id AS VARCHAR) AS entry_name
+        | 'doc-' || CAST(doc_id AS VARCHAR) AS entry_name,
+        | md5(text) AS tar_focused_md5,
+        | 'doc-' || CAST(doc_id AS VARCHAR) AS tar_entry_name
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "priority_order" ->
@@ -1262,6 +1313,23 @@ object SparkEntry {
         | COUNT(*) AS merge_count,
         | md5(string_agg(content, ',' ORDER BY event_id)) AS merged_md5
         |FROM r GROUP BY 1, 2 ORDER BY correlation, bin_id""".stripMargin,
+
+    "merge_bin_pack_sized" ->
+      """WITH r AS (SELECT event_type AS correlation, event_id, props AS content,
+        |  length(props) AS sz,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT *, (rn-1)//40 AS bin_count FROM r),
+        |s AS (SELECT *, COALESCE(SUM(sz) OVER (PARTITION BY correlation, bin_count
+        |  ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM c),
+        |b AS (SELECT *, cum_before//1000 AS bin_size FROM s)
+        |SELECT correlation, CAST(bin_count AS BIGINT) AS bin_count,
+        | CAST(bin_size AS BIGINT) AS bin_size, COUNT(*) AS merge_count,
+        | CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+        | md5('H:' || string_agg(content, ',' ORDER BY event_id) || ':F') AS merged_md5,
+        | CASE WHEN COUNT(*) >= 5 AND SUM(sz) >= 100 THEN 'merged'
+        |      ELSE 'undersized' END AS relationship
+        |FROM b GROUP BY 1, 2, 3 ORDER BY correlation, bin_count, bin_size""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id AS mm_id,

@@ -58,4 +58,50 @@ object Archive {
     zipPackUdf(name, payload.cast("binary"))
   def zipFocus(archive: Column, name: Column): Column = zipFocusUdf(archive, name)
   def zipEntries(archive: Column): Column = zipEntriesUdf(archive)
+
+  // --- TAR format (MergeContent.h:293-331 MERGE_FORMAT_TAR_VALUE) ---
+
+  import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+
+  /** Pack (name, payload) into a single-entry tar; fixed mtime for
+    * deterministic bytes. */
+  val tarPackUdf = udf((name: String, payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val t = new TarArchiveOutputStream(bos)
+      val e = new TarArchiveEntry(name)
+      e.setSize(payload.length)
+      e.setModTime(0L) // deterministic bytes
+      t.putArchiveEntry(e); t.write(payload); t.closeArchiveEntry(); t.close()
+      bos.toByteArray
+    })
+
+  val tarFocusUdf = udf((archive: Array[Byte], name: String) =>
+    if (archive == null) null
+    else {
+      val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(archive))
+      var e = t.getNextEntry
+      var found: Array[Byte] = null
+      while (e != null && found == null) {
+        if (e.getName == name) found = t.readAllBytes()
+        e = t.getNextEntry
+      }
+      found
+    })
+
+  val tarEntriesUdf = udf((archive: Array[Byte]) =>
+    if (archive == null) null
+    else {
+      val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(archive))
+      val names = Seq.newBuilder[String]
+      var e = t.getNextEntry
+      while (e != null) { names += e.getName; e = t.getNextEntry }
+      names.result()
+    })
+
+  def tarPack(name: Column, payload: Column): Column =
+    tarPackUdf(name, payload.cast("binary"))
+  def tarFocus(archive: Column, name: Column): Column = tarFocusUdf(archive, name)
+  def tarEntries(archive: Column): Column = tarEntriesUdf(archive)
 }

@@ -3,6 +3,9 @@ package graft.ops
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
 
+import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+import org.apache.commons.compress.compressors.lzma.{LZMACompressorInputStream, LZMACompressorOutputStream}
+import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.el.ElCompiler
@@ -20,7 +23,9 @@ import graft.el.ElCompiler
  */
 object Content {
 
-  /** CompressContent: gzip/deflate a binary column. GZIP output is
+  /** CompressContent codecs. Format names follow the reference's
+    * ExtendedCompressionFormat (CompressContent.h:53-71): gzip, bzip2,
+    * lzma, xz-lzma2 (+ deflate as the raw-zlib extra). GZIP output is
     * deterministic (no mtime header in java.util.zip by default). */
   val gzipUdf = udf((b: Array[Byte]) =>
     if (b == null) null
@@ -46,17 +51,93 @@ object Content {
     if (b == null) null
     else new InflaterInputStream(new ByteArrayInputStream(b)).readAllBytes())
 
+  val bzip2Udf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val z = new BZip2CompressorOutputStream(bos); z.write(b); z.close()
+      bos.toByteArray
+    })
+
+  val bunzip2Udf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else new BZip2CompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  val xzUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val z = new XZCompressorOutputStream(bos); z.write(b); z.close()
+      bos.toByteArray
+    })
+
+  val unxzUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else new XZCompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  val lzmaUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val z = new LZMACompressorOutputStream(bos); z.write(b); z.close()
+      bos.toByteArray
+    })
+
+  val unlzmaUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else new LZMACompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
   def compress(c: Column, format: String): Column = format match {
-    case "gzip"    => gzipUdf(c.cast("binary"))
-    case "deflate" => deflateUdf(c.cast("binary"))
-    case other     => throw new IllegalArgumentException(s"codec $other")
+    case "gzip"     => gzipUdf(c.cast("binary"))
+    case "deflate"  => deflateUdf(c.cast("binary"))
+    case "bzip2"    => bzip2Udf(c.cast("binary"))
+    case "xz-lzma2" => xzUdf(c.cast("binary"))
+    case "lzma"     => lzmaUdf(c.cast("binary"))
+    case other      => throw new IllegalArgumentException(s"codec $other")
   }
 
   def decompress(c: Column, format: String): Column = format match {
-    case "gzip"    => gunzipUdf(c.cast("binary"))
-    case "deflate" => inflateUdf(c.cast("binary"))
-    case other     => throw new IllegalArgumentException(s"codec $other")
+    case "gzip"     => gunzipUdf(c.cast("binary"))
+    case "deflate"  => inflateUdf(c.cast("binary"))
+    case "bzip2"    => bunzip2Udf(c.cast("binary"))
+    case "xz-lzma2" => unxzUdf(c.cast("binary"))
+    case "lzma"     => unlzmaUdf(c.cast("binary"))
+    case other      => throw new IllegalArgumentException(s"codec $other")
   }
+
+  /** mime.type the reference stamps after compressing
+    * (CompressContent.cpp:205-213 toMimeType). */
+  def mimeTypeFor(format: String): String = format match {
+    case "gzip"     => "application/gzip"
+    case "bzip2"    => "application/bzip2"
+    case "lzma"     => "application/x-lzma"
+    case "xz-lzma2" => "application/x-xz"
+    case other      => throw new IllegalArgumentException(s"no mime for $other")
+  }
+
+  /** mime.type → format for "use mime.type attribute" decompression
+    * (CompressContent.cpp:36-42 compressionFormatMimeTypeMap_). */
+  val MimeFormats: Seq[(String, String)] = Seq(
+    "application/gzip" -> "gzip",
+    "application/bzip2" -> "bzip2",
+    "application/x-bzip2" -> "bzip2",
+    "application/x-lzma" -> "lzma",
+    "application/x-xz" -> "xz-lzma2")
+
+  /**
+   * Decompress in "Use mime.type attribute" mode: per-row codec dispatch on
+   * the mime column via a lazily-evaluated CASE chain (only the matching
+   * codec UDF runs per row). An unmapped mime passes content through
+   * unchanged — the reference routes such files straight to success
+   * (CompressContent.cpp:100).
+   */
+  def decompressByMime(c: Column, mimeCol: Column): Column =
+    MimeFormats.foldLeft(Option.empty[Column]) {
+      case (acc, (mime, fmt)) =>
+        val branch = decompress(c, fmt)
+        Some(acc.map(_.when(mimeCol === mime, branch))
+          .getOrElse(when(mimeCol === mime, branch)))
+    }.get.otherwise(c.cast("binary"))
 
   /**
    * SplitJson (SplitJson.cpp:79): explode a JSON array in the content into

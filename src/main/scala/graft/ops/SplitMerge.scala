@@ -141,6 +141,57 @@ object SplitMerge {
   }
 
   /**
+   * MergeContent Bin-Pack with the full BinFiles threshold set
+   * (BinFiles.h:190-213): Maximum Number of Entries + Maximum Group Size
+   * close bins; bins under Minimum Number of Entries / Minimum Group Size
+   * are not ready and route to `undersized` (the reference holds them for
+   * age flush; batch mode surfaces them for the caller's retry loop).
+   * Concatenate format takes demarcator/header/footer
+   * (MergeContent.h:299-331).
+   *
+   * Binning is deterministic given the per-correlation total order: chunk
+   * by the count cap first, then split each count-chunk where the running
+   * size crosses the size cap. The item that crosses the cap still joins
+   * the closing bin (its pre-item size is < maxGroupSize), so a bin may
+   * exceed maxGroupSize by less than one item — same bound as a greedy
+   * packer that admits the straddling item. Windows partition by
+   * correlation, so nothing collapses to one partition at scale.
+   */
+  def mergeContentBinPackSized(df: DataFrame, correlationCol: Column,
+                               orderCol: Column, contentCol: Column,
+                               maxEntries: Int, maxGroupSize: Long,
+                               minEntries: Int = 1, minGroupSize: Long = 0,
+                               demarcator: String = "",
+                               header: String = "", footer: String = ""): DataFrame = {
+    val wOrd = Window.partitionBy(correlationCol).orderBy(orderCol)
+    val sized = df
+      .withColumn("__sz", length(contentCol).cast("long"))
+      .withColumn("__cchunk",
+        floor((row_number().over(wOrd).cast("long") - 1) / maxEntries))
+    val wChunk = Window.partitionBy(correlationCol, col("__cchunk"))
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(col("__sz")).over(wChunk), lit(0L))
+    sized
+      .withColumn("__schunk", floor(cumBefore / maxGroupSize))
+      .groupBy(correlationCol.as("correlation"), col("__cchunk").as("binCount"),
+        col("__schunk").as("binSize"))
+      .agg(
+        count(lit(1)).as("mergeCount"),
+        sum(col("__sz")).as("binBytes"),
+        // the straddling item is the bin's last in order
+        max(struct(orderCol.as("o"), col("__sz").as("s"))).getField("s")
+          .as("lastItemBytes"),
+        concat(lit(header),
+          array_join(transform(array_sort(collect_list(struct(orderCol.as("o"),
+            contentCol.as("c")))), e => e.getField("c")), demarcator),
+          lit(footer)).as("merged"))
+      .withColumn("relationship",
+        when(col("mergeCount") >= minEntries && col("binBytes") >= minGroupSize,
+          "merged").otherwise("undersized"))
+  }
+
+  /**
    * DefragmentText, batch semantics (DefragmentText.cpp:59): group
    * consecutive lines into messages bounded by a start pattern; each match
    * of `startPattern` begins a new message. Batch mapping: running count of
