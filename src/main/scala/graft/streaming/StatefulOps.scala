@@ -24,15 +24,24 @@ object StatefulOps {
   case class Line(source: String, ord: Long, line: String)
   case class Message(source: String, message: String, lineCount: Int,
                      relationship: String)
-  case class Buffer(lines: List[Line])
+  /** Open buffer: lines in REVERSE arrival order (O(1) prepend; flush
+    * sorts by ord anyway) + running byte size for the MaxBufferSize cap. */
+  case class Buffer(lines: List[Line], bytes: Long)
 
   /**
-   * Streaming DefragmentText: buffer lines per source; a line matching
-   * `startPattern` flushes the current buffer as a complete message;
-   * `maxBufferAgeMs` without input flushes the remainder to `expired`.
+   * Streaming DefragmentText (DefragmentText.h:64-89): buffer lines per
+   * source; pattern location decides the message boundary —
+   * START_OF_MESSAGE flushes the open buffer when a match arrives,
+   * END_OF_MESSAGE flushes buffer+match when a match arrives. MaxBufferAge
+   * without input flushes the remainder (success for start patterns,
+   * failure for end patterns — DefragmentText.h:78-80); MaxBufferSize
+   * overflow flushes the buffer to `failure` (:85-87). Age/size caps of 0
+   * disable the respective flush.
    */
   def defragmentText(lines: Dataset[Line], startPattern: String,
-                     maxBufferAgeMs: Long): Dataset[Message] = {
+                     maxBufferAgeMs: Long,
+                     maxBufferBytes: Long = 0,
+                     patternAtStart: Boolean = true): Dataset[Message] = {
     val pattern = startPattern.r
     implicit val msgEnc = Encoders.product[Message]
     implicit val bufEnc = Encoders.product[Buffer]
@@ -43,31 +52,47 @@ object StatefulOps {
     val timeoutConf =
       if (maxBufferAgeMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val ageFlushRel = if (patternAtStart) "success" else "failure"
 
-    def flush(source: String, buf: List[Line], rel: String): Option[Message] =
-      if (buf.isEmpty) None
+    def flush(source: String, buf: Buffer, rel: String): Option[Message] =
+      if (buf.lines.isEmpty) None
       else Some(Message(source,
-        buf.sortBy(_.ord).map(_.line).mkString("\n"), buf.size, rel))
+        buf.lines.sortBy(_.ord).map(_.line).mkString("\n"), buf.lines.size, rel))
+
+    val empty = Buffer(Nil, 0L)
 
     lines.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (source: String, rows: Iterator[Line], state: GroupState[Buffer]) =>
           if (state.hasTimedOut) {
-            val out = flush(source, state.getOption.map(_.lines).getOrElse(Nil),
-              "expired")
+            val out = flush(source, state.getOption.getOrElse(empty), ageFlushRel)
             state.remove()
             out.iterator
           } else {
-            var buf = state.getOption.map(_.lines).getOrElse(Nil)
+            var buf = state.getOption.getOrElse(empty)
             val out = List.newBuilder[Message]
-            rows.toSeq.sortBy(_.ord).foreach { l =>
-              if (pattern.findFirstIn(l.line).isDefined) {
-                flush(source, buf, "success").foreach(out += _)
-                buf = List(l)
-              } else buf = buf :+ l
+            def add(l: Line): Unit = {
+              buf = Buffer(l :: buf.lines, buf.bytes + l.line.length)
+              if (maxBufferBytes > 0 && buf.bytes > maxBufferBytes) {
+                flush(source, buf, "failure").foreach(out += _)
+                buf = empty
+              }
             }
-            state.update(Buffer(buf))
-            if (maxBufferAgeMs > 0) state.setTimeoutDuration(maxBufferAgeMs)
+            rows.toSeq.sortBy(_.ord).foreach { l =>
+              val isBoundary = pattern.findFirstIn(l.line).isDefined
+              if (patternAtStart) {
+                if (isBoundary) { flush(source, buf, "success").foreach(out += _); buf = empty }
+                add(l)
+              } else {
+                add(l)
+                if (isBoundary) { flush(source, buf, "success").foreach(out += _); buf = empty }
+              }
+            }
+            if (buf.lines.isEmpty) state.remove()
+            else {
+              state.update(buf)
+              if (maxBufferAgeMs > 0) state.setTimeoutDuration(maxBufferAgeMs)
+            }
             out.result().iterator
           }
       }
@@ -104,10 +129,11 @@ object StatefulOps {
             if (pending.isEmpty) Iterator.empty
             else Iterator(emit(key, pending, "expired"))
           } else {
+            // reverse arrival order (O(1) prepend); emit sorts by ord
             var buf = state.getOption.map(_.entries).getOrElse(Nil)
             val out = List.newBuilder[Bin]
             rows.toSeq.sortBy(_.ord).foreach { e =>
-              buf = buf :+ e
+              buf = e :: buf
               if (buf.size >= maxEntries) { out += emit(key, buf, "merged"); buf = Nil }
             }
             if (buf.isEmpty) state.remove()

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Kafka
+
+/** ConsumeKafka/PublishKafka option mapping + envelope projection tests —
+  * no broker needed: the mapped strings and the header Columns are the
+  * deliverable (ConsumeKafka.h:93-233, PublishKafka.h:57-215). */
+class KafkaSpec extends SparkSpec {
+
+  test("consumeOptions: names vs patterns, offsets, transactions, group id") {
+    val names = Kafka.consumeOptions(Kafka.ConsumeProps(
+      brokers = "b1:9092,b2:9092", topicNames = Seq("t1", "t2"),
+      groupId = "g1", offsetReset = "earliest", honorTransactions = true,
+      maxPollRecords = 500))
+    assert(names("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(names("subscribe") === "t1,t2")
+    assert(!names.contains("subscribePattern"))
+    assert(names("startingOffsets") === "earliest")
+    assert(names("kafka.isolation.level") === "read_committed")
+    assert(names("kafka.group.id") === "g1")
+    assert(names("maxOffsetsPerTrigger") === "500")
+
+    val pats = Kafka.consumeOptions(Kafka.ConsumeProps(
+      brokers = "b:9092", topicNames = Seq("lo.*", "hi.*"),
+      topicNameFormat = "Patterns", honorTransactions = false))
+    assert(pats("subscribePattern") === "lo.*|hi.*")
+    assert(!pats.contains("subscribe"))
+    assert(pats("startingOffsets") === "latest")
+    assert(pats("kafka.isolation.level") === "read_uncommitted")
+    assert(!pats.contains("kafka.group.id"))
+  }
+
+  test("publishOptions: delivery guarantee and producer caps") {
+    val opts = Kafka.publishOptions(Kafka.PublishProps(
+      brokers = "b:9092", topic = "out", deliveryGuarantee = "all",
+      compressCodec = "gzip"))
+    assert(opts("topic") === "out")
+    assert(opts("kafka.acks") === "all")
+    assert(opts("kafka.compression.type") === "gzip")
+  }
+
+  test("header projection honors duplicate-header policy " +
+       "(ConsumeKafka.h:185-196)") {
+    // stand-in for the connector's headers ARRAY<STRUCT<key,value BINARY>>
+    val df = spark.sql(
+      """SELECT array(
+        |  named_struct('key', 'h1', 'value', CAST('first' AS BINARY)),
+        |  named_struct('key', 'h2', 'value', CAST('only' AS BINARY)),
+        |  named_struct('key', 'h1', 'value', CAST('last' AS BINARY))
+        |) AS headers""".stripMargin)
+    def get(name: String, policy: String): String =
+      df.select(Kafka.headerAttr(col("headers"), name, policy)).collect()(0).getString(0)
+    assert(get("h1", "KEEP_FIRST") === "first")
+    assert(get("h1", "KEEP_LATEST") === "last")
+    assert(get("h1", "COMMA_SEPARATED_MERGE") === "first, last")
+    assert(get("h2", "KEEP_LATEST") === "only")
+    assert(get("missing", "KEEP_LATEST") === null)
+    assert(get("missing", "COMMA_SEPARATED_MERGE") === null)
+  }
+
+  test("attrsToHeaders builds the producer headers array from attributes " +
+       "(PublishKafka.h:125)") {
+    val df = flowFrame(Seq(("payload", Map("a" -> "1", "b" -> "2"))))
+    val rows = df.select(explode(Kafka.attrsToHeaders(
+        col(graft.core.FlowFrame.Attributes), Seq("a", "missing", "b"))).as("h"))
+      .select(col("h.key"), col("h.value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("a", "1"), ("b", "2"))) // absent attr -> no header
+  }
+
+  test("envelope projection stamps the kafka.* attribute set") {
+    val df = spark.sql(
+      """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,
+        | 'topic1' AS topic, 3 AS partition, CAST(42 AS LONG) AS offset,
+        | CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS timestamp""".stripMargin)
+    val row = Kafka.envelopeAttrs(df)
+      .select("`kafka.key`", "`kafka.topic`", "`kafka.partition`", "`kafka.offset`")
+      .collect()(0)
+    assert(row.getString(0) === "k")
+    assert(row.getString(1) === "topic1")
+    assert(row.getString(2) === "3")
+    assert(row.getString(3) === "42")
+  }
+}

@@ -115,12 +115,89 @@ class StreamingSpec extends SparkSpec {
     // NOTE: no processAllAvailable here — with ProcessingTimeTimeout the
     // engine keeps scheduling timeout-evaluation batches, so "all available"
     // never settles; poll the sink while the query free-runs instead.
+    // Age flush routes to success for start-of-message patterns
+    // (DefragmentText.h:78-80).
     input.addData(StatefulOps.Line("s1", 1, "START a"))
     eventually(30, 500) {
       spark.table("defrag_age").as[StatefulOps.Message].collect()
-        .exists(m => m.source == "s1" && m.relationship == "expired")
+        .exists(m => m.source == "s1" && m.relationship == "success")
     }
     q.stop()
+  }
+
+  test("streaming DefragmentText: MaxBufferSize overflow flushes to failure " +
+       "(DefragmentText.h:85-87)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Line]
+    val out = StatefulOps.defragmentText(input.toDS(), "^START", 0,
+      maxBufferBytes = 10)
+    val q = out.writeStream.format("memory").queryName("defrag_size")
+      .outputMode("append").start()
+
+    input.addData(
+      StatefulOps.Line("s1", 1, "START a"),
+      StatefulOps.Line("s1", 2, "0123456789xyz")) // overflows the 10-byte cap
+    q.processAllAvailable()
+    val msgs = spark.table("defrag_size").as[StatefulOps.Message].collect()
+    assert(msgs.length === 1)
+    assert(msgs.head.relationship === "failure")
+    assert(msgs.head.message === "START a\n0123456789xyz")
+    q.stop()
+  }
+
+  test("streaming DefragmentText: END_OF_MESSAGE pattern closes buffer+match " +
+       "(DefragmentText.h PatternLocation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Line]
+    val out = StatefulOps.defragmentText(input.toDS(), "END$", 0,
+      patternAtStart = false)
+    val q = out.writeStream.format("memory").queryName("defrag_end")
+      .outputMode("append").start()
+
+    input.addData(
+      StatefulOps.Line("s1", 1, "a"),
+      StatefulOps.Line("s1", 2, "b END"),
+      StatefulOps.Line("s1", 3, "c"))
+    q.processAllAvailable()
+    val msgs = spark.table("defrag_end").as[StatefulOps.Message].collect()
+    assert(msgs.length === 1)
+    assert(msgs.head.message === "a\nb END") // c stays buffered
+    assert(msgs.head.relationship === "success")
+    q.stop()
+  }
+
+  test("QdbSource: max-value state survives checkpoint restart without " +
+       "re-emitting (QueryDatabaseTable.cpp:79,112-115)") {
+    val dir = tmp("qdb"); val ckpt = tmp("qdb_ckpt"); val out = tmp("qdb_out")
+    val table = dir.resolve("t.csv")
+    Files.writeString(table, "1,a\n2,b\n3,c\n")
+
+    def startQuery() = spark.readStream
+      .format("graft.streaming.QdbSource")
+      .option("path", dir.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+
+    def emitted(): Seq[Long] =
+      spark.read.parquet(out.toString).collect()
+        .map(_.getAs[Long]("id")).toSeq.sorted
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(emitted() === Seq(1L, 2L, 3L))
+    q1.stop()
+
+    // rows at/below the persisted max (3) are NOT re-emitted after restart;
+    // only the new max-value rows 4 and 5 flow
+    Files.writeString(table, "1,a\n2,b\n3,c\n2,dup\n4,d\n5,e\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(emitted() === Seq(1L, 2L, 3L, 4L, 5L))
+    q2.stop()
   }
 
   private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
