@@ -86,9 +86,22 @@ object FlowFrame {
 
   /**
    * Split one routed frame into per-relationship frames
-   * (ProcessSession::routeFlowFile, ProcessSession.cpp:804). Each filter
-   * reuses the same child plan; with AQE the scan is shared.
+   * (ProcessSession::routeFlowFile, ProcessSession.cpp:804).
+   *
+   * Each returned frame is a separate action: WITHOUT persistence Spark
+   * re-runs the upstream plan once per relationship (N relationships =
+   * N scans — there is no automatic scan sharing across actions). So by
+   * default the routed frame is persisted (memory-and-disk) and the N
+   * filters share one materialization; call `unpersist()` on the input
+   * when done, or pass `cache = false` if a single relationship will be
+   * consumed. For writing all edges in ONE pass, prefer
+   * `FlowRuntime.relationshipSink` — a single
+   * `partitionBy("relationship")` write is the scan-once shape at 100 TB.
    */
-  def routed(df: DataFrame, relationships: Seq[String]): Map[String, DataFrame] =
-    relationships.map(r => r -> df.filter(col(Relationship) === r)).toMap
+  def routed(df: DataFrame, relationships: Seq[String],
+             cache: Boolean = true): Map[String, DataFrame] = {
+    val base = if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+               else df
+    relationships.map(r => r -> base.filter(col(Relationship) === r)).toMap
+  }
 }

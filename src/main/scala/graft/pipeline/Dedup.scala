@@ -83,9 +83,21 @@ object Dedup {
    * pairs (idA < idB, distinct across bands). Scale path: the band key
    * groupBy replaces any pairwise comparison; false positives are verified
    * by the caller (e.g. ngramJaccardPairs on the candidate subset).
+   *
+   * Degenerate-bucket guard: a mass-duplicated corpus puts every copy in
+   * the same band bucket, and an uncapped `collect_list` would then hold
+   * the whole bucket in one agg buffer. Buckets larger than
+   * `maxBucketSize` are salted into ≤maxBucketSize sub-buckets first
+   * (hash(docId)-based), bounding both agg memory and per-row pair
+   * expansion; only intra-sub-bucket pairs are emitted for such buckets —
+   * for a bucket that degenerate (near-identical docs), the lost
+   * cross-salt pairs are redundant candidates, the standard recall
+   * trade. Buckets within the cap are unaffected, so results are
+   * identical whenever no bucket exceeds the cap.
    */
   def minHashLshPairs(signatures: DataFrame, numHashes: Int,
-                      rowsPerBand: Int): DataFrame = {
+                      rowsPerBand: Int, maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
@@ -93,11 +105,20 @@ object Dedup {
     }
     val banded = signatures.select(col("docId"),
       explode(array(bandKeys: _*)).as("bk"))
-    // Single pass: group each band bucket and expand in-bucket pairs with
-    // higher-order functions — a self-join here would recompute the whole
-    // signature pipeline (explode + 8×md5 per shingle) twice and shuffle
-    // both sides; this shape shuffles once on the band key.
-    banded.groupBy(col("bk"))
+    // bucket size via a bk-partitioned window (no global sort), then salt
+    // oversized buckets; hash() is Spark-internal only — it never reaches
+    // the result because unsalted buckets always have salt 0
+    val sized = banded.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(col("bk"))))
+    val salted = sized.withColumn("salt",
+      when(col("bsz") > maxBucketSize,
+        pmod(hash(col("docId")), ceil(col("bsz") / maxBucketSize).cast("int")))
+        .otherwise(lit(0)))
+    // Single pass: group each (band bucket, salt) and expand in-bucket
+    // pairs with higher-order functions — a self-join here would recompute
+    // the whole signature pipeline (explode + 8×md5 per shingle) twice and
+    // shuffle both sides; this shape shuffles on the band key only.
+    salted.groupBy(col("bk"), col("salt"))
       .agg(array_sort(collect_list(col("docId"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (a, i) =>

@@ -73,6 +73,63 @@ object Similarity {
       when(element_at(qvec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /**
+   * Seeded random-hyperplane bucket (the production variant of
+   * `lshBucket`): `nPlanes` Rademacher (±1) hyperplanes drawn from a
+   * seeded PRNG at plan build — deterministic given (seed, nPlanes, dim),
+   * embedded as literals so the per-row work stays integer codegen. Random
+   * hyperplanes spread variance across all dimensions, fixing the
+   * coordinate-axis family's recall/skew problem when embedding dims are
+   * not zero-centered or carry unequal variance.
+   */
+  def lshBucketSeeded(qvec: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1L else -1L)
+    (0 until nPlanes).map { p =>
+      val w = array(planes(p).map(lit(_)): _*)
+      val dot = aggregate(zip_with(qvec, w, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-probe set for a bucket: the bucket itself plus every 1-bit
+    * flip — probing Hamming-1 neighbors recovers candidates that fell
+    * just across a hyperplane, the standard multi-probe recall boost at
+    * the cost of (nPlanes+1)× probes on the (small) query side only. */
+  def multiProbe(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map(i =>
+      bucket.bitwiseXOR(lit(1L << i)))): _*)
+
+  /**
+   * Seeded + multi-probe ANN: corpus buckets once; each query explodes to
+   * its Hamming-1 probe set and joins the (broadcast) query side against
+   * corpus buckets. Shuffle stays on the bucket key; the probe fan-out
+   * multiplies only the query side.
+   */
+  def lshTopKSeeded(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nPlanes: Int, dim: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+      .withColumn("bucket", lshBucketSeeded(col("cq"), nPlanes, dim, seed))
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq")))
+      .withColumn("bucket",
+        explode(multiProbe(lshBucketSeeded(col("qq"), nPlanes, dim, seed), nPlanes)))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
+        col("cn"), col("qn")), 6))
+    scored.groupBy(col("qid"), col("cid"))      // a pair may match >1 probe
+      .agg(first(col("cosine")).as("cosine"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
   /** Bucketed ANN: join query and corpus on bucket key, then rank within
     * bucket — the shuffle is on the bucket key only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int): DataFrame = {

@@ -42,6 +42,40 @@ class PipelineSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH: degenerate corpus (all-identical docs) stays bounded " +
+       "under the bucket-size cap and still pairs within salt groups") {
+    import spark.implicits._
+    val degenerate = (1L to 1000L).map(i => (i, "same text repeated here ok"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(degenerate, col("doc_id"), col("text"), 3, 8)
+    val pairs = Dedup.minHashLshPairs(sigs, 8, 2, maxBucketSize = 50)
+    val n = pairs.count()
+    // uncapped would emit 1000*999/2 = 499500 pairs per band; salted
+    // sub-buckets bound the blow-up while still finding in-bucket dups
+    assert(n > 0)
+    assert(n < 499500L)
+    // every pair is still a true duplicate pair (idA < idB in range)
+    val bad = pairs.filter(col("idA") >= col("idB") ||
+      col("idA") < 1 || col("idB") > 1000).count()
+    assert(bad === 0)
+  }
+
+  test("seeded LSH + multi-probe finds the brute-force nearest neighbor") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, 0.5f)),
+      (1L, Array(0.9f, 0.8f, -0.7f, 0.4f)),   // near 0
+      (2L, Array(-1.0f, 1.0f, 1.0f, -0.2f)),
+      (3L, Array(0.1f, -0.9f, 0.3f, 0.8f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKSeeded(emb, emb.filter(col("vec_id") === 0),
+      k = 1, nPlanes = 4, dim = 4, seed = 42L).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("cid") === 1L)
+    // determinism: same seed → same buckets → same result
+    val again = Similarity.lshTopKSeeded(emb, emb.filter(col("vec_id") === 0),
+      k = 1, nPlanes = 4, dim = 4, seed = 42L).collect()
+    assert(again.head.getAs[Long]("cid") === 1L)
+  }
+
   test("simhash: identical docs equal, near dups close, distinct docs far") {
     val sig = Dedup.simHash32(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"))
