@@ -625,14 +625,23 @@ object SparkEntry {
         .orderBy("event_id", "fragment_index")
     }),
 
-    // §2.4 JoltTransformJSON (shift) — spec-compiled struct projection
+    // §2.4 JoltTransformJSON — shift spec plus the default/remove chain
+    // (JoltTransformJSON.cpp:46), all compiled to one struct projection
     "jolt_shift" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.select(col("event_id"),
         Content.joltShift(Seq(
           "data.kk" -> get_json_object(col("props"), "$.k").cast("long"),
           "data.kind" -> col("event_type"),
-          "id" -> col("event_id"))).as("shifted"))
+          "id" -> col("event_id"))).as("shifted"),
+        Content.joltTransform(
+          shift = Seq(
+            "data.kk" -> get_json_object(col("props"), "$.k").cast("long"),
+            "data.kind" -> col("event_type"),
+            "data.missing" -> get_json_object(col("props"), "$.nope"),
+            "id" -> col("event_id")),
+          defaults = Seq("data.missing" -> lit("dflt")),
+          removes = Seq("data.kind")).as("jolted"))
         .orderBy("event_id")
     }),
 
@@ -681,6 +690,31 @@ object SparkEntry {
       s.read.text(out.toString)
         .select(col("doc_id").cast("long").as("doc_id"),
           md5(col("value").cast("binary")).as("roundtrip_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.1 FetchFile — attribute-driven per-row fetch; missing → failure
+    "fetch_file" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fetchfile")
+      out.toFile.deleteOnExit()
+      tbl(s, dir, "documents").select(col("doc_id"), col("text").as("value"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out.toString)
+      // the listing (ListFile's role) supplies the per-row path attribute
+      val listing = s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").option("pathGlobFilter", "part-*")
+        .load(out.toString)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+          regexp_replace(col("path"), "^file:", "").as("lpath"))
+      val withMissing = listing.unionByName(
+        s.range(3).select((col("id") - 10).as("doc_id"),
+          concat(lit(out.toString), lit("/nope-"), col("id")).as("lpath")))
+      Sources.fetchFile(withMissing, col("lpath"))
+        .select(col("doc_id"),
+          // .text files carry the trailing newline in their raw bytes
+          when(col("relationship") === "success", md5(col("content")))
+            .as("fetched_md5"),
+          col("relationship"))
         .orderBy("doc_id")
     }),
 
@@ -1249,7 +1283,9 @@ object SparkEntry {
     "jolt_shift" ->
       """SELECT event_id,
         | '{"data":{"kk":' || json_extract_string(props, '$.k') ||
-        | ',"kind":"' || event_type || '"},"id":' || CAST(event_id AS VARCHAR) || '}' AS shifted
+        | ',"kind":"' || event_type || '"},"id":' || CAST(event_id AS VARCHAR) || '}' AS shifted,
+        | '{"data":{"kk":' || json_extract_string(props, '$.k') ||
+        | ',"missing":"dflt"},"id":' || CAST(event_id AS VARCHAR) || '}' AS jolted
         |FROM events ORDER BY event_id""".stripMargin,
 
     "apply_template" ->
@@ -1270,6 +1306,14 @@ object SparkEntry {
 
     "put_get_file" ->
       """SELECT doc_id, md5(text) AS roundtrip_md5 FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "fetch_file" ->
+      """SELECT doc_id, md5(text || chr(10)) AS fetched_md5,
+        | 'success' AS relationship FROM documents
+        |UNION ALL SELECT -10 AS doc_id, NULL AS fetched_md5, 'failure' AS relationship
+        |UNION ALL SELECT -9, NULL, 'failure'
+        |UNION ALL SELECT -8, NULL, 'failure'
         |ORDER BY doc_id""".stripMargin,
 
     "xml_roundtrip" ->

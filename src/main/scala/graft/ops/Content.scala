@@ -169,6 +169,29 @@ object Content {
   }
 
   /**
+   * JoltTransformJSON, chained spec families (JoltTransformJSON.cpp:46
+   * supports Shift/Default/Remove): `defaults` fill output paths whose
+   * shifted value is null (or add paths absent from the shift spec);
+   * `removes` drop output paths (a prefix removes the whole subtree).
+   * Like `joltShift`, the chain compiles at plan build to one struct
+   * projection — no per-row spec interpretation.
+   */
+  def joltTransform(shift: Seq[(String, Column)],
+                    defaults: Seq[(String, Column)] = Nil,
+                    removes: Seq[String] = Nil): Column = {
+    val withDefaults = shift.map { case (p, c) =>
+      defaults.find(_._1 == p) match {
+        case Some((_, d)) => p -> coalesce(c, d)
+        case None         => p -> c
+      }
+    } ++ defaults.filterNot(d => shift.exists(_._1 == d._1))
+    val pruned = withDefaults.filterNot { case (p, _) =>
+      removes.exists(r => p == r || p.startsWith(r + "."))
+    }
+    joltShift(pruned)
+  }
+
+  /**
    * ApplyTemplate: mustache-style {{attr}} substitution — rewritten to EL
    * `${attr}` and compiled once to a concat chain (the reference renders
    * per FlowFile with bustache).

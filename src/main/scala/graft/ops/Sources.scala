@@ -46,4 +46,48 @@ object Sources {
       .filter(col("listRank") === 1)
       .drop("listRank")
   }
+
+  /** FetchFile per-row fetch + completion (see fetchFile). Returns
+    * struct(content BINARY, relationship STRING). */
+  val fetchFileUdf = udf((path: String, completion: String, moveDest: String) => {
+    val f = new java.io.File(if (path == null) "" else path)
+    if (!f.isFile) (null: Array[Byte], "failure")
+    else {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      completion match {
+        case "move" =>
+          val dest = java.nio.file.Paths.get(moveDest).resolve(f.getName)
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(f.toPath, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        case "delete" => f.delete()
+        case _        =>
+      }
+      (bytes, "success")
+    }
+  })
+
+  /**
+   * FetchFile as its own operator (FetchFile.cpp:118,159; completion
+   * strategies FetchFile.h:34-41,96-105): the PATH IS DATA — each row
+   * names the file to fetch (typically from the `absolute.path` attribute
+   * ListFile stamped), unlike GetFile's plan-time directory scan. Missing
+   * files route to `failure`; Completion Strategy `none`/`move`/`delete`
+   * runs after a successful read (move conflicts overwrite —
+   * MoveConflictStrategy REPLACE_FILE default).
+   *
+   * Scale note: the fetch is a per-row side-effecting UDF, so the
+   * move/delete completions are NOT idempotent under task retry or
+   * speculative execution — run completion-bearing fetches with
+   * speculation off, exactly as the reference's single-attempt onTrigger
+   * assumes.
+   */
+  def fetchFile(df: DataFrame, pathCol: Column, completion: String = "none",
+                moveDestDir: String = ""): DataFrame = {
+    val fetched = fetchFileUdf(pathCol, lit(completion), lit(moveDestDir))
+    df.withColumn("__fetch", fetched)
+      .withColumn("content", col("__fetch._1"))
+      .withColumn("relationship", col("__fetch._2"))
+      .drop("__fetch")
+  }
 }

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Socket plane — SURVEY §2.1 ListenTCP / ListenUDP / GetTCP
+ * (NetworkListenerProcessor.cpp:65-92, ListenTCP.h:41-91, GetTCP.h:61-68).
+ *
+ * The reference's listeners are single-node servers feeding a bounded
+ * in-memory queue that `onTrigger` drains in Max Batch Size chunks. The
+ * Spark-native mapping keeps that shape: a background accept loop feeds a
+ * queue owned by the stream (the listener lives with the driver, exactly
+ * one bind point like the reference's single agent), and each micro-batch
+ * drains the queued range — the offset is the message sequence number.
+ * Downstream parsing/routing then fans out across the cluster.
+ *
+ * TCP framing splits on the Message Delimiter (newline default, delimiter
+ * consumed — ListenTCP.h:71-79); UDP emits one message per datagram.
+ *
+ * Usage: spark.readStream.format("graft.sources.NetListenerSource")
+ *          .option("protocol", "tcp"|"udp").option("port", "0").load()
+ * The bound port is discoverable via NetListenerSource.boundPort(name)
+ * using the required "name" option (tests bind port 0 = ephemeral).
+ */
+class NetListenerSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetListenerSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetListenerTable(
+      Option(properties.get("name")).getOrElse("default"),
+      Option(properties.get("protocol")).getOrElse("tcp"),
+      Option(properties.get("port")).map(_.toInt).getOrElse(0),
+      Option(properties.get("delimiter")).getOrElse("\n"))
+}
+
+object NetListenerSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("sender", StringType, nullable = false),
+    StructField("message", StringType, nullable = false)))
+
+  /** One listener per source name (the reference: one server per
+    * processor instance); lets tests find the ephemeral bound port. */
+  private[sources] val listeners = new ConcurrentHashMap[String, Listener]()
+
+  def boundPort(name: String): Int = {
+    val l = listeners.get(name)
+    require(l != null, s"no listener named $name")
+    l.port
+  }
+
+  private[sources] def listenerFor(name: String, protocol: String, port: Int,
+                                   delimiter: String): Listener =
+    listeners.computeIfAbsent(name, _ => {
+      val l = new Listener(protocol, port, delimiter)
+      l.start()
+      l
+    })
+
+  /** Background accept loop + bounded message log (the reference's
+    * max-queue-size concurrent queue, NetworkListenerProcessor.cpp:71). */
+  private[sources] final class Listener(protocol: String, requestedPort: Int,
+                                        delimiter: String) {
+    private val log = new ArrayBuffer[(Long, String, String)]()
+    private val nextSeq = new AtomicLong(0L)
+    @volatile private var running = true
+    private var serverSocket: ServerSocket = _
+    private var udpSocket: DatagramSocket = _
+
+    def port: Int = protocol match {
+      case "udp" => udpSocket.getLocalPort
+      case _     => serverSocket.getLocalPort
+    }
+
+    private def append(sender: String, msg: String): Unit = log.synchronized {
+      log += ((nextSeq.getAndIncrement(), sender, msg))
+    }
+
+    def range(fromExclusive: Long, untilInclusive: Long): Seq[(Long, String, String)] =
+      log.synchronized {
+        log.filter(r => r._1 > fromExclusive && r._1 <= untilInclusive).toSeq
+      }
+
+    def maxSeq: Long = nextSeq.get() - 1
+
+    def start(): Unit = protocol match {
+      case "udp" =>
+        udpSocket = new DatagramSocket(new InetSocketAddress(requestedPort))
+        val t = new Thread(() => {
+          val buf = new Array[Byte](65536)
+          while (running) {
+            try {
+              val p = new DatagramPacket(buf, buf.length)
+              udpSocket.receive(p)
+              append(p.getAddress.getHostAddress,
+                new String(p.getData, p.getOffset, p.getLength, StandardCharsets.UTF_8))
+            } catch { case _: Exception if !running => }
+          }
+        }, s"graft-udp-listener")
+        t.setDaemon(true); t.start()
+      case _ =>
+        serverSocket = new ServerSocket(requestedPort)
+        val t = new Thread(() => {
+          while (running) {
+            try {
+              val client = serverSocket.accept()
+              val worker = new Thread(() => handleTcp(client))
+              worker.setDaemon(true); worker.start()
+            } catch { case _: Exception if !running => }
+          }
+        }, s"graft-tcp-listener")
+        t.setDaemon(true); t.start()
+    }
+
+    /** Split the connection's byte stream on the delimiter; the delimiter
+      * is consumed (ListenTCP.h:77-79 Consume Delimiter default). */
+    private def handleTcp(client: Socket): Unit = {
+      val sender = client.getInetAddress.getHostAddress
+      val in = client.getInputStream
+      val buf = new StringBuilder
+      val bytes = new Array[Byte](8192)
+      var n = in.read(bytes)
+      while (n >= 0) {
+        buf.appendAll(new String(bytes, 0, n, StandardCharsets.UTF_8))
+        var idx = buf.indexOf(delimiter)
+        while (idx >= 0) {
+          append(sender, buf.substring(0, idx))
+          buf.delete(0, idx + delimiter.length)
+          idx = buf.indexOf(delimiter)
+        }
+        n = in.read(bytes)
+      }
+      // trailing bytes without a delimiter flush on connection close
+      if (buf.nonEmpty) append(sender, buf.toString)
+      client.close()
+    }
+
+    def stop(): Unit = {
+      running = false
+      if (serverSocket != null) serverSocket.close()
+      if (udpSocket != null) udpSocket.close()
+    }
+  }
+}
+
+private class NetListenerTable(name: String, protocol: String, port: Int,
+                               delimiter: String) extends Table with SupportsRead {
+  override def name(): String = s"listen:$protocol:$name"
+  override def schema(): StructType = NetListenerSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = NetListenerSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new NetListenerStream(name, protocol, port, delimiter)
+    }
+}
+
+private case class SeqOffset(json: String) extends Offset {
+  lazy val seq: Long = json.toLong
+}
+
+private class NetListenerStream(name: String, protocol: String, port: Int,
+                                delimiter: String) extends MicroBatchStream {
+  private val listener = NetListenerSource.listenerFor(name, protocol, port, delimiter)
+
+  override def initialOffset(): Offset = SeqOffset("-1")
+  override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    if (e <= s) Array.empty
+    // the queued range travels inside the partition descriptor — the
+    // listener's buffer lives with the driver, like the reference's queue
+    else Array(NetBatchPartition(listener.range(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new NetBatchReader(p.asInstanceOf[NetBatchPartition])
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset = SeqOffset(json)
+}
+
+private case class NetBatchPartition(rows: Seq[(Long, String, String)])
+  extends InputPartition
+
+private class NetBatchReader(p: NetBatchPartition) extends PartitionReader[InternalRow] {
+  private var idx = -1
+  override def next(): Boolean = { idx += 1; idx < p.rows.length }
+  override def get(): InternalRow = {
+    val (seq, sender, msg) = p.rows(idx)
+    InternalRow(seq, UTF8String.fromString(sender), UTF8String.fromString(msg))
+  }
+  override def close(): Unit = ()
+}
+
+/**
+ * GetTCP (GetTCP.h:61-68): the CLIENT side — connect to a list of
+ * `host:port` endpoints, read delimiter-framed messages. Batch shape:
+ * endpoints distribute across partitions, one connection per endpoint,
+ * messages become rows.
+ */
+object GetTcp {
+  def read(endpoints: Dataset[String], delimiter: String = "\n"): Dataset[(String, String)] = {
+    implicit val enc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    endpoints.mapPartitions { eps =>
+      eps.flatMap { ep =>
+        val Array(host, port) = ep.split(":", 2)
+        val sock = new Socket(host, port.toInt)
+        try {
+          val all = new String(sock.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+          val parts = all.split(java.util.regex.Pattern.quote(delimiter), -1)
+          val msgs = if (parts.nonEmpty && parts.last.isEmpty) parts.dropRight(1) else parts
+          msgs.toSeq.map(m => (ep, m))
+        } finally sock.close()
+      }
+    }
+  }
+}

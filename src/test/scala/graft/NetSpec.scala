@@ -1,0 +1,90 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import graft.sources.{GetTcp, NetListenerSource}
+
+/** Socket-plane tests over loopback: ListenTCP framing, ListenUDP
+  * datagrams, GetTCP client reads (ListenTCP.h:41-91, GetTCP.h:61). */
+class NetSpec extends SparkSpec {
+
+  test("ListenTCP: delimiter framing across connections, streamed offsets") {
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "t1").option("protocol", "tcp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("tcp_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // binds the listener
+      val port = NetListenerSource.boundPort("t1")
+
+      val c1 = new Socket(InetAddress.getLoopbackAddress, port)
+      c1.getOutputStream.write("m1\nm2\npartial".getBytes(StandardCharsets.UTF_8))
+      c1.getOutputStream.flush()
+      c1.close() // close flushes the trailing undelimited bytes
+      val c2 = new Socket(InetAddress.getLoopbackAddress, port)
+      c2.getOutputStream.write("other\n".getBytes(StandardCharsets.UTF_8))
+      c2.close()
+
+      eventually(40, 250) {
+        q.processAllAvailable()
+        val msgs = spark.table("tcp_in").collect()
+          .map(_.getAs[String]("message")).toSet
+        msgs == Set("m1", "m2", "partial", "other")
+      }
+    } finally q.stop()
+  }
+
+  test("ListenUDP: one message per datagram") {
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "u1").option("protocol", "udp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("udp_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("u1")
+      val sock = new DatagramSocket()
+      Seq("d1", "d2 with spaces").foreach { m =>
+        val b = m.getBytes(StandardCharsets.UTF_8)
+        sock.send(new DatagramPacket(b, b.length, InetAddress.getLoopbackAddress, port))
+      }
+      sock.close()
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("udp_in").collect()
+          .map(_.getAs[String]("message")).toSet == Set("d1", "d2 with spaces")
+      }
+    } finally q.stop()
+  }
+
+  test("GetTCP: client connects to endpoints and reads framed messages") {
+    import spark.implicits._
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val t = new Thread(() => {
+      // serve two connections (Spark may retry partitions)
+      var served = 0
+      while (served < 4) {
+        try {
+          val c = server.accept()
+          c.getOutputStream.write("a\nb\nc\n".getBytes(StandardCharsets.UTF_8))
+          c.close(); served += 1
+        } catch { case _: Exception => served = 4 }
+      }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val eps = Seq(s"127.0.0.1:$port").toDS()
+      val out = GetTcp.read(eps).collect().map(_._2).toSeq
+      assert(out === Seq("a", "b", "c"))
+    } finally server.close()
+  }
+
+  private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
+    var i = 0
+    while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
+    assert(cond, s"condition not met after $attempts attempts")
+  }
+}

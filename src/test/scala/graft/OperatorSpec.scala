@@ -158,6 +158,37 @@ class OperatorSpec extends SparkSpec {
     assert(always === "apple\nX\nX")
   }
 
+  test("FetchFile: per-row fetch, missing routes failure, completion " +
+       "move/delete (FetchFile.cpp:118,159, FetchFile.h:34-41)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fetch_spec")
+    val moved = java.nio.file.Files.createTempDirectory("fetch_moved")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "alpha")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "beta")
+    val paths = Seq(
+      dir.resolve("a.txt").toString,
+      dir.resolve("b.txt").toString,
+      dir.resolve("missing.txt").toString).toDF("p")
+
+    val del = graft.ops.Sources.fetchFile(paths, col("p"), completion = "delete")
+      .select(col("p"), col("content").cast("string"), col("relationship"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(del.toSeq === Seq(("alpha", "success"), ("beta", "success"),
+      (null, "failure")))
+    // delete completion removed the fetched files
+    assert(!dir.resolve("a.txt").toFile.exists())
+    assert(!dir.resolve("b.txt").toFile.exists())
+
+    java.nio.file.Files.writeString(dir.resolve("c.txt"), "gamma")
+    val mv = graft.ops.Sources.fetchFile(
+      Seq(dir.resolve("c.txt").toString).toDF("p"), col("p"),
+      completion = "move", moveDestDir = moved.toString)
+      .select(col("content").cast("string")).collect()
+    assert(mv(0).getString(0) === "gamma")
+    assert(!dir.resolve("c.txt").toFile.exists())
+    assert(java.nio.file.Files.readString(moved.resolve("c.txt")) === "gamma")
+  }
+
   test("Syslog dispatch: RFC5424 first, RFC3164 fallback, else invalid " +
        "(ListenSyslog.cpp:67,81)") {
     val df = spark.createDataFrame(Seq(
