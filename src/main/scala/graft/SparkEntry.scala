@@ -683,7 +683,13 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_putfile")
       out.toFile.deleteOnExit()
       val docs = tbl(s, dir, "documents")
-      // PutFile: one directory per doc (conflict strategy: overwrite)
+      // PutFile: one directory per doc (conflict strategy: overwrite).
+      // NOTE this per-document partitionBy is an ORACLE FIXTURE shape, not
+      // the 100 TB pattern — tens of millions of partition dirs is the
+      // small-files anti-pattern. At scale, PutFile maps to a plain
+      // df.write partitioned by a COARSE key (date/source), or the
+      // relationshipSink's partitionBy("relationship"); per-row file
+      // naming belongs to FetchFile/ListFile semantics, not bulk writes.
       docs.select(col("doc_id"), col("text").as("value"))
         .write.mode("overwrite").partitionBy("doc_id").text(out.toString)
       // GetFile: read the directory back (partition col recovers doc_id)

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Outbound sink plane — SURVEY §2.2.
+ *
+ * PutTCP/PutUDP move bytes; the HTTP-based sinks (PostElasticsearch,
+ * PutSplunkHTTP, PushGrafanaLoki) are a *payload contract* plus a POST —
+ * the POST is `Exec.httpCallPartition`'s job, and the payload builders
+ * here are pure Catalyst columns (testable offline, byte-deterministic).
+ */
+object Sinks {
+
+  /**
+   * PutTCP (extensions/standard-processors/processors/PutTCP.cpp): write
+   * each row's message to host:port, newline-delimited. One connection per
+   * partition (the reference pools connections per processor); rows pass
+   * through so the caller can route on delivery.
+   */
+  def putTcp(messages: Dataset[String], host: String, port: Int,
+             delimiter: String = "\n"): Long = {
+    messages.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val sock = new Socket(host, port)
+        try {
+          val out = sock.getOutputStream
+          var n = 0L
+          rows.foreach { m =>
+            out.write((m + delimiter).getBytes(StandardCharsets.UTF_8)); n += 1
+          }
+          out.flush()
+          Iterator.single(n)
+        } finally sock.close()
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong).reduce(_ + _)
+  }
+
+  /** PutUDP (PutUDP.cpp): one datagram per row. */
+  def putUdp(messages: Dataset[String], host: String, port: Int): Long = {
+    messages.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val sock = new DatagramSocket()
+        val addr = InetAddress.getByName(host)
+        try {
+          var n = 0L
+          rows.foreach { m =>
+            val b = m.getBytes(StandardCharsets.UTF_8)
+            sock.send(new DatagramPacket(b, b.length, addr, port)); n += 1
+          }
+          Iterator.single(n)
+        } finally sock.close()
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong).reduce(_ + _)
+  }
+
+  /**
+   * PostElasticsearch _bulk payload (extensions/elasticsearch/
+   * PostElasticsearch.cpp:59-135): per row, an action metadata line
+   * ({"index":{"_index":...,"_id":...}}) followed by the document JSON for
+   * index/create/update; delete emits only the action line. The rows'
+   * payload lines concat with newlines into one _bulk body per batch.
+   */
+  def esBulkLines(action: Column, indexCol: Column, idCol: Column,
+                  docJson: Column): Column = {
+    val meta = concat(
+      lit("{\""), action, lit("\":{\"_index\":\""), indexCol,
+      lit("\",\"_id\":\""), idCol, lit("\"}}"))
+    when(action === "delete", meta)
+      .otherwise(concat(meta, lit("\n"), docJson))
+  }
+
+  /** Assemble one _bulk body from per-row lines (group-agg, order by id). */
+  def esBulkBody(lines: Column, orderCol: Column): Column =
+    concat(array_join(
+      transform(array_sort(collect_list(struct(orderCol.as("o"), lines.as("l")))),
+        e => e.getField("l")), "\n"), lit("\n"))
+
+  /**
+   * PutSplunkHTTP HEC event (extensions/splunk/PutSplunkHTTP.cpp:40-60):
+   * the event JSON with optional sourcetype/source/host/index metadata —
+   * the reference sends these as query parameters; the HEC JSON-event
+   * form carries the same fields inline.
+   */
+  def splunkHecEvent(eventCol: Column, sourceType: Option[String] = None,
+                     source: Option[String] = None, host: Option[String] = None,
+                     index: Option[String] = None): Column = {
+    val metaFields: Seq[Column] =
+      sourceType.map(v => lit("\"sourcetype\":\"" + v + "\"")).toSeq ++
+      source.map(v => lit("\"source\":\"" + v + "\"")).toSeq ++
+      host.map(v => lit("\"host\":\"" + v + "\"")).toSeq ++
+      index.map(v => lit("\"index\":\"" + v + "\"")).toSeq
+    val metaJson =
+      if (metaFields.isEmpty) lit("")
+      else concat(concat_ws(",", metaFields: _*), lit(","))
+    concat(lit("{"), metaJson, lit("\"event\":"), to_json(struct(eventCol.as("raw"))),
+      lit("}"))
+  }
+
+  /**
+   * PushGrafanaLoki REST body (extensions/grafana-loki/
+   * PushGrafanaLokiREST.cpp:105-147): one stream per label set, values =
+   * [[ns-timestamp-string, line], ...] ordered by timestamp. Group-agg per
+   * label set; labels are a plan-time map.
+   */
+  def lokiStream(labels: Seq[(String, String)], tsNanosCol: Column,
+                 lineCol: Column): Column = {
+    val labelJson = labels.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    concat(
+      lit(s"""{"stream":{$labelJson},"values":["""),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(tsNanosCol.as("t"), lineCol.as("l")))),
+          e => concat(lit("[\""), e.getField("t").cast("string"), lit("\","),
+            to_json(struct(e.getField("l").as("v"))).substr(lit(6),
+              length(to_json(struct(e.getField("l").as("v")))) - 6),
+            lit("]"))),
+        ","),
+      lit("]}"))
+  }
+
+  /** Wrap one or more stream objects into the POST /loki/api/v1/push body. */
+  def lokiPushBody(streams: Column*): Column =
+    concat(lit("""{"streams":["""), concat_ws(",", streams: _*), lit("]}"))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{NetListenerSource, Sinks}
+
+/** Outbound sink tests: PutTCP/PutUDP over loopback (against the
+  * NetListener sources), and the HTTP sink payload contracts. */
+class SinksSpec extends SparkSpec {
+
+  test("PutTCP delivers rows to a TCP listener (PutTCP.cpp)") {
+    import spark.implicits._
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "sink_t").option("protocol", "tcp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("put_tcp_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("sink_t")
+      val sent = Sinks.putTcp(Seq("x1", "x2", "x3").toDS(), "127.0.0.1", port)
+      assert(sent === 3L)
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("put_tcp_in").collect()
+          .map(_.getAs[String]("message")).toSet == Set("x1", "x2", "x3")
+      }
+    } finally q.stop()
+  }
+
+  test("PutUDP sends one datagram per row (PutUDP.cpp)") {
+    import spark.implicits._
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "sink_u").option("protocol", "udp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("put_udp_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("sink_u")
+      val sent = Sinks.putUdp(Seq("d1", "d2").toDS(), "127.0.0.1", port)
+      assert(sent === 2L)
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("put_udp_in").collect()
+          .map(_.getAs[String]("message")).toSet == Set("d1", "d2")
+      }
+    } finally q.stop()
+  }
+
+  test("PostElasticsearch _bulk payload shape (PostElasticsearch.cpp:59-135)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "index", """{"f":1}"""),
+      (2L, "delete", """{"f":2}"""),
+      (3L, "create", """{"f":3}"""))).toDF("id", "action", "doc")
+    val lines = df.select(col("id"), Sinks.esBulkLines(col("action"), lit("idx1"),
+      col("id").cast("string"), col("doc")).as("line"))
+    val got = lines.orderBy("id").collect().map(_.getAs[String]("line")).toSeq
+    assert(got(0) === "{\"index\":{\"_index\":\"idx1\",\"_id\":\"1\"}}\n{\"f\":1}")
+    assert(got(1) === "{\"delete\":{\"_index\":\"idx1\",\"_id\":\"2\"}}") // no doc line
+    assert(got(2) === "{\"create\":{\"_index\":\"idx1\",\"_id\":\"3\"}}\n{\"f\":3}")
+
+    val body = lines.agg(Sinks.esBulkBody(col("line"), col("id"))).collect()(0).getString(0)
+    assert(body.endsWith("\n")) // _bulk bodies are newline-terminated
+    assert(body.linesIterator.size === 5) // 2 + 1 + 2 lines
+  }
+
+  test("Splunk HEC event payload (PutSplunkHTTP.cpp:40-60)") {
+    val df = spark.createDataFrame(Seq(Tuple1("msg with \"quotes\""))).toDF("raw")
+    val plain = df.select(Sinks.splunkHecEvent(col("raw"))).collect()(0).getString(0)
+    assert(plain === """{"event":{"raw":"msg with \"quotes\""}}""")
+    val withMeta = df.select(Sinks.splunkHecEvent(col("raw"),
+      sourceType = Some("st"), index = Some("main"))).collect()(0).getString(0)
+    assert(withMeta ===
+      """{"sourcetype":"st","index":"main","event":{"raw":"msg with \"quotes\""}}""")
+  }
+
+  test("Loki push body: label stream with ns timestamps, ordered values " +
+       "(PushGrafanaLokiREST.cpp:105-147)") {
+    val df = spark.createDataFrame(Seq(
+      (2000000L, "second \"line\""),
+      (1000000L, "first line"))).toDF("ts", "line")
+    val stream = df.agg(Sinks.lokiStream(Seq("job" -> "graft", "env" -> "test"),
+      col("ts"), col("line")).as("s"))
+    val body = stream.select(Sinks.lokiPushBody(col("s"))).collect()(0).getString(0)
+    assert(body ===
+      """{"streams":[{"stream":{"job":"graft","env":"test"},"values":[""" +
+      """["1000000","first line"],["2000000","second \"line\""]]}]}""")
+  }
+
+  private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
+    var i = 0
+    while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
+    assert(cond, s"condition not met after $attempts attempts")
+  }
+}
