@@ -22,6 +22,16 @@ object SqlOps {
    */
   def executeSql(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /**
+   * PutSQL (extensions/sql/processors/PutSQL.h:34-44): execute
+   * INSERT/UPDATE statements against the database. Spark-first the
+   * "database" is the session catalog: rows append into a saved table in
+   * one distributed write (the reference executes per-FlowFile statements
+   * — batch insert is the scale-correct equivalent).
+   */
+  def putSql(df: DataFrame, table: String): Unit =
+    df.write.mode("append").saveAsTable(table)
+
   /** Low 33 bits of monotonically_increasing_id = row offset within its
     * partition (in physical row order). */
   private val MidOffsetMask = (1L << 33) - 1

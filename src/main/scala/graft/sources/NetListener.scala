@@ -19,8 +19,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Socket plane — SURVEY §2.1 ListenTCP / ListenUDP / GetTCP
- * (NetworkListenerProcessor.cpp:65-92, ListenTCP.h:41-91, GetTCP.h:61-68).
+ * Socket plane — SURVEY §2.1 ListenTCP / ListenUDP / ListenHTTP / GetTCP
+ * (NetworkListenerProcessor.cpp:65-92, ListenTCP.h:41-91, GetTCP.h:61-68,
+ * extensions/civetweb/processors/ListenHTTP.h:66-85).
  *
  * The reference's listeners are single-node servers feeding a bounded
  * in-memory queue that `onTrigger` drains in Max Batch Size chunks. The
@@ -47,7 +48,8 @@ class NetListenerSource extends TableProvider {
       Option(properties.get("name")).getOrElse("default"),
       Option(properties.get("protocol")).getOrElse("tcp"),
       Option(properties.get("port")).map(_.toInt).getOrElse(0),
-      Option(properties.get("delimiter")).getOrElse("\n"))
+      Option(properties.get("delimiter")).getOrElse("\n"),
+      Option(properties.get("basePath")).getOrElse("/contentListener"))
 }
 
 object NetListenerSource {
@@ -67,26 +69,32 @@ object NetListenerSource {
   }
 
   private[sources] def listenerFor(name: String, protocol: String, port: Int,
-                                   delimiter: String): Listener =
+                                   delimiter: String,
+                                   basePath: String = "/contentListener"): Listener =
     listeners.computeIfAbsent(name, _ => {
-      val l = new Listener(protocol, port, delimiter)
+      val l = new Listener(protocol, port, delimiter, basePath)
       l.start()
       l
     })
 
   /** Background accept loop + bounded message log (the reference's
-    * max-queue-size concurrent queue, NetworkListenerProcessor.cpp:71). */
+    * max-queue-size concurrent queue, NetworkListenerProcessor.cpp:71).
+    * Protocols: tcp (delimiter-framed), udp (datagram-framed), http
+    * (ListenHTTP, extensions/civetweb/processors/ListenHTTP.h:66-85 —
+    * one message per POST/PUT body on the base path). */
   private[sources] final class Listener(protocol: String, requestedPort: Int,
-                                        delimiter: String) {
+                                        delimiter: String, basePath: String = "/contentListener") {
     private val log = new ArrayBuffer[(Long, String, String)]()
     private val nextSeq = new AtomicLong(0L)
     @volatile private var running = true
     private var serverSocket: ServerSocket = _
     private var udpSocket: DatagramSocket = _
+    private var httpServer: com.sun.net.httpserver.HttpServer = _
 
     def port: Int = protocol match {
-      case "udp" => udpSocket.getLocalPort
-      case _     => serverSocket.getLocalPort
+      case "udp"  => udpSocket.getLocalPort
+      case "http" => httpServer.getAddress.getPort
+      case _      => serverSocket.getLocalPort
     }
 
     private def append(sender: String, msg: String): Unit = log.synchronized {
@@ -101,6 +109,20 @@ object NetListenerSource {
     def maxSeq: Long = nextSeq.get() - 1
 
     def start(): Unit = protocol match {
+      case "http" =>
+        httpServer = com.sun.net.httpserver.HttpServer.create(
+          new InetSocketAddress(requestedPort), 0)
+        httpServer.createContext(basePath, exchange => {
+          val method = exchange.getRequestMethod
+          if (method == "POST" || method == "PUT") {
+            val body = new String(exchange.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            append(exchange.getRemoteAddress.getAddress.getHostAddress, body)
+            exchange.sendResponseHeaders(200, -1)
+          } else exchange.sendResponseHeaders(405, -1)
+          exchange.close()
+        })
+        httpServer.start()
       case "udp" =>
         udpSocket = new DatagramSocket(new InetSocketAddress(requestedPort))
         val t = new Thread(() => {
@@ -156,12 +178,14 @@ object NetListenerSource {
       running = false
       if (serverSocket != null) serverSocket.close()
       if (udpSocket != null) udpSocket.close()
+      if (httpServer != null) httpServer.stop(0)
     }
   }
 }
 
 private class NetListenerTable(name: String, protocol: String, port: Int,
-                               delimiter: String) extends Table with SupportsRead {
+                               delimiter: String, basePath: String)
+  extends Table with SupportsRead {
   override def name(): String = s"listen:$protocol:$name"
   override def schema(): StructType = NetListenerSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -170,7 +194,7 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
     () => new Scan {
       override def readSchema(): StructType = NetListenerSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new NetListenerStream(name, protocol, port, delimiter)
+        new NetListenerStream(name, protocol, port, delimiter, basePath)
     }
 }
 
@@ -179,8 +203,10 @@ private case class SeqOffset(json: String) extends Offset {
 }
 
 private class NetListenerStream(name: String, protocol: String, port: Int,
-                                delimiter: String) extends MicroBatchStream {
-  private val listener = NetListenerSource.listenerFor(name, protocol, port, delimiter)
+                                delimiter: String, basePath: String)
+  extends MicroBatchStream {
+  private val listener =
+    NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath)
 
   override def initialOffset(): Offset = SeqOffset("-1")
   override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)

@@ -59,6 +59,37 @@ class NetSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ListenHTTP: POST bodies become messages, GET rejected " +
+       "(ListenHTTP.h:66-85)") {
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "h1").option("protocol", "http")
+      .option("port", "0").option("basePath", "/contentListener")
+      .load()
+      .writeStream.format("memory").queryName("http_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("h1")
+      val client = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, body: String): Int = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/contentListener"))
+          .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          .statusCode()
+      }
+      assert(send("POST", "payload one") === 200)
+      assert(send("PUT", "payload two") === 200)
+      assert(send("GET", "") === 405)
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("http_in").collect()
+          .map(_.getAs[String]("message")).toSet == Set("payload one", "payload two")
+      }
+    } finally q.stop()
+  }
+
   test("GetTCP: client connects to endpoints and reads framed messages") {
     import spark.implicits._
     val server = new ServerSocket(0)

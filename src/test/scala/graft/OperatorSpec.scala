@@ -158,6 +158,17 @@ class OperatorSpec extends SparkSpec {
     assert(always === "apple\nX\nX")
   }
 
+  test("PutSQL appends rows into a catalog table (PutSQL.h:34-44)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS putsql_t")
+    graft.ops.SqlOps.putSql(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "putsql_t")
+    graft.ops.SqlOps.putSql(Seq((3L, "c")).toDF("id", "v"), "putsql_t")
+    val got = spark.table("putsql_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("DROP TABLE putsql_t")
+  }
+
   test("FetchFile: per-row fetch, missing routes failure, completion " +
        "move/delete (FetchFile.cpp:118,159, FetchFile.h:34-41)") {
     import spark.implicits._
