@@ -211,29 +211,19 @@ object SparkEntry {
     // §2.5 SplitRecord — ≤N-record chunks; chunk identity is
     // partition-dependent (range partitioning), so the oracle asserts
     // partition-independent facts: totals, cap compliance, disjoint ranges
-    "split_record" -> ((s, dir) => {
-      val chunks = SplitMerge.splitRecordChunks(tbl(s, dir, "lineitem"),
+    // chunk-range DISJOINTNESS is asserted by OperatorSpec's
+    // chunkRangesDisjoint tests — keeping the oracle row to one agg pass
+    "split_record" -> ((s, dir) =>
+      SplitMerge.splitRecordChunks(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         Seq(col("l_orderkey"), col("l_linenumber")), 500)
         .groupBy(col("chunkPart"), col("chunkId"))
         .agg(count(lit(1)).as("recCount"),
-          min(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMin"),
-          max(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMax"),
           sum(col("l_quantity").cast("decimal(18,6)")).as("qtySum"))
-      val notSame = col("a.chunkPart") =!= col("b.chunkPart") ||
-        col("a.chunkId") =!= col("b.chunkId")
-      // strict: the order key has duplicates, so adjacent chunks may share
-      // one tied boundary value — an interleave means strict containment
-      val overlaps = chunks.as("a").join(chunks.as("b"), notSame &&
-          col("a.ordMin") < col("b.ordMax") && col("b.ordMin") < col("a.ordMax"))
-        .agg(count(lit(1)).as("overlapPairs"))
-      chunks.agg(
-        sum(col("recCount")).cast("long").as("total_recs"),
-        bool_and(col("recCount") <= 500).as("all_within_cap"),
-        sum(col("qtySum")).cast("double").as("qty_sum"))
-        .crossJoin(overlaps)
-        .select(col("total_recs"), col("all_within_cap"), col("qty_sum"),
-          (col("overlapPairs") === 0).as("no_overlap"))
-    }),
+        .agg(
+          sum(col("recCount")).cast("long").as("total_recs"),
+          bool_and(col("recCount") <= 500).as("all_within_cap"),
+          sum(col("qtySum")).cast("double").as("qty_sum"))),
 
     // §2.5 DefragmentText (batch) — pattern-bounded message reassembly
     "defragment_text" -> ((s, dir) => {
@@ -285,26 +275,21 @@ object SparkEntry {
     // chunk identity is partition-dependent (range partitioning), so the
     // oracle asserts partition-independent facts: totals, cap compliance,
     // disjoint chunk ranges, and the max-value state the next pull persists
-    "query_database_table" -> ((s, dir) => {
-      val chunks = SqlOps.queryDatabaseTable(tbl(s, dir, "lineitem"),
+    // pruned to the pull columns (see queryDatabaseTable scale note);
+    // chunk-range disjointness is asserted by OperatorSpec — the oracle
+    // row stays a single agg pass over the chunk summaries
+    "query_database_table" -> ((s, dir) =>
+      SqlOps.queryDatabaseTable(
+        tbl(s, dir, "lineitem").select("l_shipdate", "l_orderkey", "l_linenumber"),
         col("l_shipdate"), lit("1995-06-01").cast("timestamp_ntz"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 500)
-      val notSame = col("a.chunkPart") =!= col("b.chunkPart") ||
-        col("a.chunkId") =!= col("b.chunkId")
-      val overlaps = chunks.as("a").join(chunks.as("b"), notSame &&
-          col("a.ordMin") < col("b.ordMax") && col("b.ordMin") < col("a.ordMax"))
-        .agg(count(lit(1)).as("overlapPairs"))
-      chunks.agg(
-        sum(col("rowCount")).cast("long").as("total_rows"),
-        bool_and(col("rowCount") <= 500).as("all_within_cap"),
-        // parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) reads as NTZ;
-        // session tz is UTC so the cast is the identity epoch mapping
-        unix_millis(max(col("chunkMax")).cast("timestamp")).as("chunk_max_ms"),
-        unix_millis(max(col("maxvalue")).cast("timestamp")).as("state_max_ms"))
-        .crossJoin(overlaps)
-        .select(col("total_rows"), col("all_within_cap"), col("chunk_max_ms"),
-          col("state_max_ms"), (col("overlapPairs") === 0).as("no_overlap"))
-    }),
+        .agg(
+          sum(col("rowCount")).cast("long").as("total_rows"),
+          bool_and(col("rowCount") <= 500).as("all_within_cap"),
+          // parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) reads as NTZ;
+          // session tz is UTC so the cast is the identity epoch mapping
+          unix_millis(max(col("chunkMax")).cast("timestamp")).as("chunk_max_ms"),
+          unix_millis(max(col("maxvalue")).cast("timestamp")).as("state_max_ms"))),
 
     // §2.1 ExecuteSQL — the engine runs the statement itself (TPC-H Q1 shape)
     "execute_sql" -> ((s, dir) => {
@@ -1007,8 +992,7 @@ object SparkEntry {
 
     "split_record" ->
       """SELECT COUNT(*) AS total_recs, TRUE AS all_within_cap,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum,
-        | TRUE AS no_overlap
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
         |FROM lineitem""".stripMargin,
 
     "defragment_text" ->
@@ -1055,8 +1039,7 @@ object SparkEntry {
     "query_database_table" ->
       """SELECT COUNT(*) AS total_rows, TRUE AS all_within_cap,
         | epoch_ms(MAX(l_shipdate)) AS chunk_max_ms,
-        | epoch_ms(MAX(l_shipdate)) AS state_max_ms,
-        | TRUE AS no_overlap
+        | epoch_ms(MAX(l_shipdate)) AS state_max_ms
         |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01'""".stripMargin,
 
     "execute_sql" -> ExecuteSqlStatement,

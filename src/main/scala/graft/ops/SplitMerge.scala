@@ -85,6 +85,8 @@ object SplitMerge {
    * row_number (a single-partition WindowExec at 100 TB). Chunk identity
    * (chunkPart, chunkId) depends on the partition count; callers assert
    * partition-independent facts (chunk size ≤ N, totals, disjoint ranges).
+   * Project `df` down to needed columns first — column pruning does not
+   * push through the nondeterministic chunk-id projection.
    */
   def splitRecordChunks(df: DataFrame, order: Seq[Column], recordsPerSplit: Int): DataFrame = {
     val ranged = df.repartitionByRange(order.map(_.asc): _*).sortWithinPartitions(order: _*)
@@ -94,6 +96,33 @@ object SplitMerge {
     ranged
       .withColumn("chunkPart", spark_partition_id().cast("long"))
       .withColumn("chunkId", floor(offset / recordsPerSplit))
+  }
+
+  /**
+   * Assert the chunk ranges of a chunked frame (chunkPart, chunkId plus
+   * per-chunk ordMin/ordMax struct bounds) are pairwise disjoint, without
+   * a quadratic all-pairs join: within a partition chunks equi-join on
+   * chunkPart (hash join, pairs bounded per partition); across partitions
+   * only the per-partition [min,max] envelopes are compared — one row per
+   * partition. Strict inequalities because the order key may carry
+   * duplicates, so adjacent chunks can share one tied boundary value.
+   * Returns a single row with `no_overlap` BOOLEAN.
+   */
+  def chunkRangesDisjoint(chunks: DataFrame): DataFrame = {
+    val intra = chunks.as("a").join(chunks.as("b"),
+        col("a.chunkPart") === col("b.chunkPart") &&
+        col("a.chunkId") =!= col("b.chunkId") &&
+        col("a.ordMin") < col("b.ordMax") && col("b.ordMin") < col("a.ordMax"))
+      .agg(count(lit(1)).as("intraOverlaps"))
+    val parts = chunks.groupBy(col("chunkPart"))
+      .agg(min(col("ordMin")).as("pMin"), max(col("ordMax")).as("pMax"))
+    val inter = parts.as("a").join(parts.as("b"),
+        col("a.chunkPart") =!= col("b.chunkPart") &&
+        col("a.pMin") < col("b.pMax") && col("b.pMin") < col("a.pMax"))
+      .agg(count(lit(1)).as("interOverlaps"))
+    intra.crossJoin(inter)
+      .select((col("intraOverlaps") === 0 && col("interOverlaps") === 0)
+        .as("no_overlap"))
   }
 
   /**

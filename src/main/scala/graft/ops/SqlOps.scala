@@ -54,6 +54,10 @@ object SqlOps {
    * Returns: chunkPart, chunkId, rowCount, ordMin, ordMax (struct bounds in
    * the pull order), chunkMax (max of maxValueCol), maxvalue (overall max —
    * a tree-reduced scalar broadcast onto every chunk, not a global window).
+   *
+   * Scale note: project `df` down to the pull columns before calling —
+   * Catalyst cannot push column pruning through the nondeterministic
+   * chunk-id projection, so an unpruned input shuffles every column.
    */
   def queryDatabaseTable(df: DataFrame, maxValueCol: Column, lastMax: Column,
                          order: Seq[Column], maxRowsPerFlowFile: Int): DataFrame = {

@@ -158,6 +158,37 @@ class OperatorSpec extends SparkSpec {
     assert(always === "apple\nX\nX")
   }
 
+  test("range-partitioned chunking: per-chunk cap holds and chunk ranges " +
+       "are pairwise disjoint (SplitRecord/QueryDatabaseTable scale shape)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"))
+    val chunks = graft.ops.SplitMerge.splitRecordChunks(li, ord, 500)
+      .groupBy(col("chunkPart"), col("chunkId"))
+      .agg(count(lit(1)).as("recCount"),
+        min(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMin"),
+        max(struct(col("l_orderkey"), col("l_linenumber"))).as("ordMax"))
+      .persist()
+    assert(chunks.agg(max(col("recCount"))).collect()(0).getLong(0) <= 500)
+    assert(chunks.agg(sum(col("recCount"))).collect()(0).getLong(0) === li.count())
+    val ok = graft.ops.SplitMerge.chunkRangesDisjoint(chunks)
+      .collect()(0).getBoolean(0)
+    assert(ok, "chunk ranges must be pairwise disjoint")
+    chunks.unpersist()
+
+    val lis = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_shipdate", "l_orderkey", "l_linenumber")
+    val qdb = graft.ops.SqlOps.queryDatabaseTable(lis, col("l_shipdate"),
+      lit("1995-06-01").cast("timestamp_ntz"),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 500)
+      .persist()
+    assert(qdb.agg(max(col("rowCount"))).collect()(0).getLong(0) <= 500)
+    val ok2 = graft.ops.SplitMerge.chunkRangesDisjoint(qdb)
+      .collect()(0).getBoolean(0)
+    assert(ok2, "incremental pull chunks must be pairwise disjoint")
+    qdb.unpersist()
+  }
+
   test("PutSQL appends rows into a catalog table (PutSQL.h:34-44)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS putsql_t")
