@@ -361,6 +361,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.1 ConsumeJournald parse plane — export format → attrs/payloads
+    "journald_parse" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val export = concat(
+        lit("MESSAGE="), col("event_type"), lit(" "),
+        col("event_id").cast("string"), lit("\n"),
+        lit("_HOSTNAME=h"), col("user_id").cast("string"), lit("\n"),
+        lit("SYSLOG_IDENTIFIER=app\n_PID="),
+        (col("event_id") % 1000).cast("string"), lit("\n"),
+        lit("__REALTIME_TIMESTAMP="), col("ts_us").cast("string"), lit("\n"))
+      val parsed = Journald.splitEntries(ev.withColumn("export", export),
+        col("export"))
+        .withColumn("fields", Journald.fieldsMap(col("entry")))
+      parsed.select(col("event_id"),
+        Journald.rawPayload(col("fields")).as("raw_msg"),
+        Journald.syslogPayload(col("fields")).as("syslog_line"))
+        .orderBy("event_id")
+    }),
+
     // §2.1 GenerateFlowFile — deterministic synthesis
     "generate_flowfile" -> ((s, dir) =>
       Sources.generateFlowFiles(s, 1000L)
@@ -501,23 +520,12 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup via LSH sign-bit buckets (the scale path:
-    // the self-join keys on the bucket, never a cross join)
-    "embed_neardup" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val v = emb.select(col("vec_id"),
-        Similarity.quantize(col("embedding")).as("qv"))
-        .withColumn("n", Similarity.normSqQ(col("qv")))
-        .withColumn("bucket", Similarity.lshBucket(col("qv"), 8))
-      val pairs = v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      pairs.select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Similarity.cosineFromQ(
-          Similarity.dotQ(col("a.qv"), col("b.qv")), col("a.n"), col("b.n")), 6)
-          .as("cosine"))
-        .filter(col("cosine") >= 0.3)
-        .orderBy("id_a", "id_b")
-    }),
+    // the self-join keys on the bucket, never a cross join; degenerate
+    // buckets salt under the size cap)
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), 8, 0.3)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"), col("cosine"))
+        .orderBy("id_a", "id_b")),
 
     // §2.8 EL date functions — format / toDate round trip
     "el_dates" -> ((s, dir) => {
@@ -1073,6 +1081,14 @@ object SparkEntry {
         |      ELSE 'm' END AS syslog_msg,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 % 8 AS BIGINT) END AS severity,
         | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST((event_id % 192) // 8 AS BIGINT) END AS facility
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "journald_parse" ->
+      """SELECT event_id,
+        | event_type || ' ' || CAST(event_id AS VARCHAR) AS raw_msg,
+        | strftime(ts, '%b %d %H:%M:%S') || ' h' || CAST(user_id AS VARCHAR)
+        |   || ' app[' || CAST(event_id % 1000 AS VARCHAR) || ']: '
+        |   || event_type || ' ' || CAST(event_id AS VARCHAR) AS syslog_line
         |FROM events ORDER BY event_id""".stripMargin,
 
     "generate_flowfile" ->

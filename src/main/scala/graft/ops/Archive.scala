@@ -104,4 +104,42 @@ object Archive {
     tarPackUdf(name, payload.cast("binary"))
   def tarFocus(archive: Column, name: Column): Column = tarFocusUdf(archive, name)
   def tarEntries(archive: Column): Column = tarEntriesUdf(archive)
+
+  // --- multi-entry packing: MergeContent's TAR/ZIP merge formats pack a
+  // whole bin of FlowFiles into one archive (MergeContent.h:293-331);
+  // feed with array_sort(collect_list(struct(name, payload))) per bin ---
+
+  val zipPackMultiUdf = udf((names: Seq[String], payloads: Seq[Array[Byte]]) =>
+    if (names == null || payloads == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      names.lazyZip(payloads).foreach { (name, payload) =>
+        val e = new ZipEntry(name)
+        e.setTime(0L)
+        z.putNextEntry(e); z.write(payload); z.closeEntry()
+      }
+      z.close()
+      bos.toByteArray
+    })
+
+  val tarPackMultiUdf = udf((names: Seq[String], payloads: Seq[Array[Byte]]) =>
+    if (names == null || payloads == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val t = new TarArchiveOutputStream(bos)
+      names.lazyZip(payloads).foreach { (name, payload) =>
+        val e = new TarArchiveEntry(name)
+        e.setSize(payload.length)
+        e.setModTime(0L)
+        t.putArchiveEntry(e); t.write(payload); t.closeArchiveEntry()
+      }
+      t.close()
+      bos.toByteArray
+    })
+
+  def zipPackMulti(names: Column, payloads: Column): Column =
+    zipPackMultiUdf(names, payloads)
+  def tarPackMulti(names: Column, payloads: Column): Column =
+    tarPackMultiUdf(names, payloads)
 }

@@ -130,6 +130,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
   }
 
+  /**
+   * Embedding-cosine near-dup pairs: bucket-keyed self-join (never a
+   * cross join) with fixed-point integer cosine, thresholded at
+   * `minCosine`. Buckets larger than `maxBucketSize` are salted into
+   * sub-buckets first (hash(vec_id)-based), bounding the quadratic
+   * in-bucket pair expansion on degenerate corpora (mass-duplicated or
+   * zero embeddings) — only intra-sub-bucket pairs emit for such
+   * buckets, the standard recall trade; buckets within the cap are
+   * unaffected.
+   */
+  def nearDupPairs(emb: DataFrame, nBits: Int, minCosine: Double,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n", normSqQ(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), nBits))
+    val salted = v
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .withColumn("salt", when(col("bsz") > maxBucketSize,
+        pmod(hash(col("vec_id")), ceil(col("bsz") / maxBucketSize).cast("int")))
+        .otherwise(lit(0)))
+    val pairs = salted.as("a").join(salted.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.salt") === col("b.salt") &&
+        col("a.vec_id") < col("b.vec_id"))
+    pairs.select(
+      col("a.vec_id").as("idA"), col("b.vec_id").as("idB"),
+      round(cosineFromQ(dotQ(col("a.qv"), col("b.qv")),
+        col("a.n"), col("b.n")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Bucketed ANN: join query and corpus on bucket key, then rank within
     * bucket — the shuffle is on the bucket key only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int): DataFrame = {

@@ -189,6 +189,56 @@ class OperatorSpec extends SparkSpec {
     qdb.unpersist()
   }
 
+  test("Journald export parse: fields to attributes, raw + syslog payloads " +
+       "(ConsumeJournald.cpp:106-121,173-200)") {
+    import graft.ops.Journald
+    val export =
+      "MESSAGE=disk full\n_HOSTNAME=web1\nSYSLOG_IDENTIFIER=kernel\n" +
+      "_PID=42\n__REALTIME_TIMESTAMP=1704067200000000\nNOTE=a=b=c\n" +
+      "\n" +
+      "MESSAGE=second entry\n__REALTIME_TIMESTAMP=1704067201000000\n"
+    val df = spark.createDataFrame(Seq(Tuple1(export))).toDF("export")
+    val entries = Journald.splitEntries(df, col("export"))
+      .withColumn("fields", Journald.fieldsMap(col("entry")))
+    val rows = entries.orderBy("entryNo").select(
+      Journald.rawPayload(col("fields")),
+      Journald.syslogPayload(col("fields")),
+      element_at(col("fields"), "NOTE")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "disk full")
+    assert(rows(0).getString(1) === "Jan 01 00:00:00 web1 kernel[42]: disk full")
+    assert(rows(0).getString(2) === "a=b=c") // value keeps embedded '='
+    assert(rows(1).getString(0) === "second entry")
+    assert(rows(1).getString(1) === "Jan 01 00:00:01 - -: second entry")
+  }
+
+  test("MergeContent TAR/ZIP formats pack a whole bin into one archive " +
+       "(MergeContent.h:293-331)") {
+    import graft.ops.Archive
+    val frags = spark.createDataFrame(Seq(
+      ("g1", 0, "alpha"), ("g1", 1, "beta"), ("g1", 2, "gamma")))
+      .toDF("gid", "idx", "payload")
+    val bins = frags.groupBy(col("gid")).agg(
+      sort_array(collect_list(struct(col("idx"), col("payload")))).as("entries"))
+      .select(col("gid"),
+        transform(col("entries"), e => concat(lit("f"), e.getField("idx")))
+          .as("names"),
+        transform(col("entries"), e => e.getField("payload").cast("binary"))
+          .as("payloads"))
+    val packed = bins.select(col("gid"),
+      Archive.zipPackMulti(col("names"), col("payloads")).as("zip"),
+      Archive.tarPackMulti(col("names"), col("payloads")).as("tar"))
+    val row = packed.select(
+      Archive.zipEntries(col("zip")),
+      Archive.zipFocus(col("zip"), lit("f1")).cast("string"),
+      Archive.tarEntries(col("tar")),
+      Archive.tarFocus(col("tar"), lit("f2")).cast("string")).collect()(0)
+    assert(row.getSeq[String](0) === Seq("f0", "f1", "f2"))
+    assert(row.getString(1) === "beta")
+    assert(row.getSeq[String](2) === Seq("f0", "f1", "f2"))
+    assert(row.getString(3) === "gamma")
+  }
+
   test("PutSQL appends rows into a catalog table (PutSQL.h:34-44)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS putsql_t")
