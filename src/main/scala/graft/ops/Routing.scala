@@ -67,7 +67,9 @@ object Routing {
   def routeText(df: DataFrame, contentCol: Column, delimiter: String,
                 rules: Seq[(String, MatchStrategy, String)],
                 groupingRegex: Option[String] = None,
-                attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): DataFrame = {
+                attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs,
+                trimWhitespace: Boolean = false,
+                ignoreCase: Boolean = false): DataFrame = {
     val lines = df.select(df.columns.map(col) :+
       posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("lineNo", "line")): _*)
@@ -78,13 +80,20 @@ object Routing {
       case "lineNo" | "segmentNo" => (col("lineNo") + 1).cast("string")
       case other                  => attrs(other)
     }
+    // "Ignore Leading/Trailing Whitespace" preprocess (RouteText.cpp:231);
+    // the emitted `line` stays the ORIGINAL value, as upstream. Case policy
+    // (RouteText.h:141 IgnoreCase) folds both sides; neither applies to
+    // SatisfiesExpression, which sees the raw segment (RouteText.cpp:234).
+    val pre0 = if (trimWhitespace) trim(col("line")) else col("line")
+    val pre = if (ignoreCase) lower(pre0) else pre0
+    def v2(v: String): String = if (ignoreCase) v.toLowerCase else v
     def matches(s: MatchStrategy, v: String): Column = s match {
-      case StartsWith          => col("line").startsWith(v)
-      case EndsWith            => col("line").endsWith(v)
-      case ContainsStr         => col("line").contains(v)
-      case EqualsStr           => col("line") === v
-      case MatchesRegex        => col("line").rlike("^(?:" + v + ")$")
-      case ContainsRegex       => col("line").rlike(v)
+      case StartsWith          => pre.startsWith(v2(v))
+      case EndsWith            => pre.endsWith(v2(v))
+      case ContainsStr         => pre.contains(v2(v))
+      case EqualsStr           => pre === v2(v)
+      case MatchesRegex        => pre.rlike("^(?:" + v2(v) + ")$")
+      case ContainsRegex       => pre.rlike(v2(v))
       case SatisfiesExpression => ElCompiler.predicate(v, segmentAttrs)
     }
     val matched = filter(
@@ -94,7 +103,8 @@ object Routing {
     val routedDf = lines.withColumn(FlowFrame.Relationship,
       explode(when(size(matched) === 0, array(lit("unmatched"))).otherwise(matched)))
     groupingRegex match {
-      case Some(re) => routedDf.withColumn("group", regexp_extract(col("line"), re, 1))
+      // group extraction always uses the preprocessed value (RouteText.cpp:240)
+      case Some(re) => routedDf.withColumn("group", regexp_extract(pre, re, 1))
       case None => routedDf
     }
   }

@@ -21,6 +21,34 @@ object Sources {
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
   /**
+   * GetFile with the full filter surface (GetFile.h properties: File
+   * Filter, Recurse Subdirectories, Min/Max File Size, Min/Max File Age).
+   * Size/age filters are plain predicates over the binaryFile metadata
+   * columns — they prune before content bytes are ever read. `asOf`
+   * anchors age computation (pass a literal for deterministic tests; the
+   * reference samples the wall clock per poll). Hidden files are always
+   * ignored: Hadoop's file index excludes `.`/`_` prefixed paths, which
+   * matches the reference's Ignore Hidden Files=true default (the
+   * non-default false is not expressible through the Hadoop listing).
+   * Keep Source File=false maps to `fetchFile(..., "delete")` on the
+   * listed paths — deletion is a completion, not a scan option.
+   */
+  def getFileFiltered(spark: SparkSession, dir: String, glob: String = "*",
+                      recursive: Boolean = false,
+                      minSize: Long = 0L, maxSize: Long = Long.MaxValue,
+                      minAgeMs: Long = 0L, maxAgeMs: Long = Long.MaxValue,
+                      asOf: Column = current_timestamp()): DataFrame = {
+    val base = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
+      .load(dir)
+    val ageMs = unix_millis(asOf) - unix_millis(col("modificationTime"))
+    base
+      .filter(col("length") >= minSize && col("length") <= maxSize)
+      .filter(ageMs >= minAgeMs && ageMs <= maxAgeMs)
+  }
+
+  /**
    * GenerateFlowFile (GenerateFlowFile.cpp:113): synthesize N flowfiles of
    * deterministic content — `spark.range` + column synthesis (the `rate`
    * source streams the same shape).

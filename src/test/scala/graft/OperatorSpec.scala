@@ -111,6 +111,21 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map("errors" -> 2L, "warns" -> 1L))
   }
 
+  test("RouteText whitespace/case preprocess: trimmed+folded matching, " +
+       "original line emitted (RouteText.cpp:231, RouteText.h:141)") {
+    val df = spark.createDataFrame(Seq(Tuple1("  ERROR x \nwarn y\nok"))).toDF("c")
+    val routed = Routing.routeText(df, col("c"), "\n",
+      Seq(("errs", Routing.StartsWith, "error"),
+          ("warns", Routing.StartsWith, "WARN")),
+      trimWhitespace = true, ignoreCase = true)
+    val got = routed.orderBy("lineNo")
+      .select("relationship", "line").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // matching trims+folds; the emitted line is untouched
+    assert(got === Seq(("errs", "  ERROR x "), ("warns", "warn y"),
+      ("unmatched", "ok")))
+  }
+
   test("RouteText Satisfies Expression: EL over segment/line variables " +
        "(RouteText.h:98, RouteTextTests.cpp:221,458)") {
     val df = spark.createDataFrame(Seq(Tuple1("seven\nSeVeN\nven")))
@@ -187,6 +202,36 @@ class OperatorSpec extends SparkSpec {
       .collect()(0).getBoolean(0)
     assert(ok2, "incremental pull chunks must be pairwise disjoint")
     qdb.unpersist()
+  }
+
+  test("GetFile filters: size bounds, hidden files, recursion " +
+       "(GetFile.h File Filter / Min-Max Size / Ignore Hidden)") {
+    import graft.ops.Sources
+    val dir = java.nio.file.Files.createTempDirectory("getfile_spec")
+    java.nio.file.Files.writeString(dir.resolve("small.txt"), "ab")
+    java.nio.file.Files.writeString(dir.resolve("big.txt"), "x" * 100)
+    java.nio.file.Files.writeString(dir.resolve(".hidden.txt"), "secret")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("nested.txt"), "nested")
+
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(substring_index(col("path"), "/", -1)).collect()
+        .map(_.getString(0)).toSet
+
+    assert(names(Sources.getFileFiltered(spark, dir.toString, "*.txt"))
+      === Set("small.txt", "big.txt"))
+    assert(names(Sources.getFileFiltered(spark, dir.toString, "*.txt",
+      recursive = true)) === Set("small.txt", "big.txt", "nested.txt"))
+    assert(names(Sources.getFileFiltered(spark, dir.toString, "*.txt",
+      minSize = 10)) === Set("big.txt"))
+    assert(names(Sources.getFileFiltered(spark, dir.toString, "*.txt",
+      maxSize = 10)) === Set("small.txt"))
+    // hidden files are excluded by the Hadoop listing itself
+    assert(!names(Sources.getFileFiltered(spark, dir.toString, "*.txt"))
+      .contains(".hidden.txt"))
+    // all files just written: min-age in the future filters everything
+    assert(Sources.getFileFiltered(spark, dir.toString, "*.txt",
+      minAgeMs = 3600000).count() === 0)
   }
 
   test("Journald export parse: fields to attributes, raw + syslog payloads " +
