@@ -77,4 +77,31 @@ object Multimodal {
   def sampleFrames(df: DataFrame, nFramesCol: Column, stride: Int): DataFrame =
     df.withColumn("frameIdx",
       explode(sequence(lit(0L), (nFramesCol - 1) / stride * stride, lit(stride.toLong))))
+
+  // --- content-claim pointers: the FlowFile content-claim design at
+  // media scale (FlowFile.h:44-50). Payloads over `inlineMax` do NOT ride
+  // through every shuffle as bytes — rows carry only the claim URI and
+  // the decode stage materializes bytes per partition, exactly where the
+  // one consumer that needs them runs. At 100 TB this is the difference
+  // between shuffling metadata and shuffling the corpus. ---
+
+  /** Split payloads into inline-vs-claim: small payloads stay inline
+    * BINARY, large ones null out and are represented by `sourceUri` in
+    * the metadata (the claim pointer). */
+  def claimPointers(df: DataFrame, inlineMax: Long): DataFrame =
+    df.withColumn("payload",
+      when(col("meta.sizeBytes") <= inlineMax, col("payload")))
+
+  private val readClaimUdf = udf((uri: String) =>
+    if (uri == null) null
+    else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      uri.stripPrefix("file:")))
+  )
+
+  /** Materialize bytes at the consumer: inline payload if present, else
+    * fetch the claim (local/Hadoop path — an object-store claim plugs in
+    * behind the same column). Run AFTER filtering/joining so only
+    * surviving rows fetch. */
+  def materializePayload(inline: Column, claimUri: Column): Column =
+    coalesce(inline, readClaimUdf(claimUri))
 }

@@ -69,6 +69,26 @@ class KafkaSpec extends SparkSpec {
     assert(rows === Seq(("a", "1"), ("b", "2"))) // absent attr -> no header
   }
 
+  test("MQTT option mapping covers the connection + subscribe surface " +
+       "(AbstractMQTTProcessor.h:98-167)") {
+    import graft.sources.Mqtt
+    val conn = Mqtt.ConnectionProps("tcp://broker:1883", clientId = "c1",
+      qos = 1, cleanSession = false, username = "u")
+    val consume = Mqtt.consumeOptions(conn, "sensors/#", "/tmp/mqtt-store")
+    assert(consume("brokerUrl") === "tcp://broker:1883")
+    assert(consume("topic") === "sensors/#")
+    assert(consume("QoS") === "1")
+    assert(consume("cleanSession") === "false")
+    assert(consume("clientId") === "c1")
+    assert(consume("username") === "u")
+    assert(!consume.contains("password"))
+    assert(consume("localStorage") === "/tmp/mqtt-store")
+
+    val publish = Mqtt.publishOptions(conn, "alerts", retain = true)
+    assert(publish("topic") === "alerts")
+    assert(publish("retained") === "true")
+  }
+
   test("envelope projection stamps the kafka.* attribute set") {
     val df = spark.sql(
       """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,

@@ -110,6 +110,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[Long]("cid") === 1L)
   }
 
+  test("multimodal claim pointers: large payloads drop inline bytes and " +
+       "materialize lazily from the claim URI (FlowFile.h:44-50)") {
+    val dir = java.nio.file.Files.createTempDirectory("claims")
+    val bigPath = dir.resolve("big.bin")
+    java.nio.file.Files.write(bigPath, Array.fill[Byte](100)(7))
+    val df = spark.createDataFrame(Seq(
+      (1L, "tiny", "unused"),
+      (2L, "x" * 100, bigPath.toString)))
+      .toDF("id", "content", "uri")
+    val wrapped = Multimodal.wrapBinary(df, col("id"), col("content"),
+      "application/octet-stream", col("uri"))
+    val claimed = Multimodal.claimPointers(wrapped, inlineMax = 10)
+    val rows = claimed.orderBy("mmId")
+      .select(col("payload").isNull.as("spilled"),
+        Multimodal.materializePayload(col("payload"), col("meta.sourceUri"))
+          .as("bytes"))
+      .collect()
+    assert(rows(0).getBoolean(0) === false) // small: stays inline
+    assert(rows(1).getBoolean(0) === true)  // large: claim pointer only
+    assert(new String(rows(0).getAs[Array[Byte]]("bytes")) === "tiny")
+    // large payload materializes from the claim file, not the row
+    assert(rows(1).getAs[Array[Byte]]("bytes").toSeq === Seq.fill(100)(7.toByte))
+  }
+
   test("language id picks the max-marker language deterministically") {
     val d = spark.createDataFrame(Seq(
       (1L, "x the y the z the w"), (2L, "x data y data z"), (3L, "nothing here")))
