@@ -128,4 +128,27 @@ object Sinks {
   /** Wrap one or more stream objects into the POST /loki/api/v1/push body. */
   def lokiPushBody(streams: Column*): Column =
     concat(lit("""{"streams":["""), concat_ws(",", streams: _*), lit("]}"))
+
+  /**
+   * QuerySplunkIndexingStatus payload/parse plane (extensions/splunk/
+   * QuerySplunkIndexingStatus.cpp:38,75): batch the pending `splunk.ack.id`
+   * attributes into the POST /services/collector/ack body
+   * ({"acks":[id,...]}), then route each row by the response's
+   * {"acks":{"id":bool,...}} — true → acknowledged, false → undetermined
+   * (retry until max-wait), missing ack id → failure.
+   */
+  def splunkAckRequestBody(ackIds: Column): Column =
+    concat(lit("""{"acks":["""),
+      array_join(transform(ackIds, i => i.cast("string")), ","), lit("]}"))
+
+  def splunkAckStatus(responseJson: Column, ackId: Column): Column = {
+    val acks = from_json(get_json_object(responseJson, "$.acks"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.BooleanType))
+    val status = element_at(acks, ackId.cast("string"))
+    when(status === true, "acknowledged")
+      .when(status === false, "undetermined")
+      .otherwise("failure")
+  }
 }

@@ -232,6 +232,10 @@ class OperatorSpec extends SparkSpec {
     // all files just written: min-age in the future filters everything
     assert(Sources.getFileFiltered(spark, dir.toString, "*.txt",
       minAgeMs = 3600000).count() === 0)
+    // cloud list+fetch mapping: the same reader takes any Hadoop FS
+    // scheme-qualified URI (s3a://, abfss://, ... — file:// locally)
+    assert(names(Sources.getFileFiltered(spark, s"file://$dir", "*.txt"))
+      === Set("small.txt", "big.txt"))
   }
 
   test("Journald export parse: fields to attributes, raw + syslog payloads " +

@@ -87,6 +87,21 @@ class SinksSpec extends SparkSpec {
       """["1000000","first line"],["2000000","second \"line\""]]}]}""")
   }
 
+  test("Splunk ack polling: request body + per-id status routing " +
+       "(QuerySplunkIndexingStatus.cpp:38,75)") {
+    import spark.implicits._
+    val body = Seq(Seq(1L, 7L, 42L)).toDF("ids")
+      .select(Sinks.splunkAckRequestBody(col("ids"))).collect()(0).getString(0)
+    assert(body === """{"acks":[1,7,42]}""")
+
+    val resp = """{"acks":{"1":true,"7":false}}"""
+    val rows = Seq(1L, 7L, 42L).toDF("ack_id")
+      .select(col("ack_id"), Sinks.splunkAckStatus(lit(resp), col("ack_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "acknowledged"), (7L, "undetermined"),
+      (42L, "failure")))
+  }
+
   private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
