@@ -25,6 +25,10 @@ object Plans {
     show("minhash", "dedup_minhash_lsh")
     show("rwt", "rolling_window_time")
     show("hash", "hash_content")
+    show("srec", "split_record")
+    show("rtm", "route_text_merged")
+    show("bps", "merge_bin_pack_sized")
+    show("ndp", "embed_neardup")
     spark.stop()
   }
 }

@@ -163,6 +163,23 @@ object SparkEntry {
         .orderBy("relationship", "grp")
     }),
 
+    // §2.3 RouteText output assembly — one row per (relationship, group,
+    // doc): the reference's per-route FlowFile contents (RouteText.cpp:225)
+    "route_text_merged" -> ((s, dir) => {
+      val routed = Routing.routeText(tbl(s, dir, "documents"), col("text"), " ",
+        Seq(("s_words", Routing.StartsWith, "s"),
+            ("oin_words", Routing.ContainsStr, "oin"),
+            ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
+            ("el_long", Routing.SatisfiesExpression, "${line:length():gt(8)}")),
+        groupingRegex = Some("^(.)"))
+      Routing.routeTextMerged(routed, " ", perDocCol = Some(col("doc_id")))
+        .select(col("relationship"), col("group").as("grp"),
+          col("docKey").cast("long").as("doc_key"),
+          md5(col("merged").cast("binary")).as("merged_md5"),
+          col("lineCount").as("line_count"))
+        .orderBy("relationship", "grp", "doc_key")
+    }),
+
     // §2.5 SplitText — N-line fragments with fragment attrs
     "split_text" -> ((s, dir) =>
       SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
@@ -968,6 +985,24 @@ object SparkEntry {
         |  AND NOT regexp_full_match(line, '[a-z]{1,3}') AND NOT (length(line) > 8))
         |SELECT relationship, regexp_extract(line, '^(.)', 1) AS grp, COUNT(*) AS cnt
         |FROM r GROUP BY 1, 2 ORDER BY relationship, grp""".stripMargin,
+
+    "route_text_merged" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text,' ')) AS line,
+        |  generate_subscripts(string_split(text,' '), 1) - 1 AS line_no FROM documents),
+        |m AS (
+        | SELECT doc_id, line, line_no, 's_words' AS relationship FROM l WHERE line LIKE 's%'
+        | UNION ALL SELECT doc_id, line, line_no, 'oin_words' FROM l WHERE line LIKE '%oin%'
+        | UNION ALL SELECT doc_id, line, line_no, 'short' FROM l
+        |   WHERE regexp_full_match(line, '[a-z]{1,3}')
+        | UNION ALL SELECT doc_id, line, line_no, 'el_long' FROM l WHERE length(line) > 8
+        | UNION ALL SELECT doc_id, line, line_no, 'unmatched' FROM l
+        |   WHERE NOT (line LIKE 's%') AND NOT (line LIKE '%oin%')
+        |    AND NOT regexp_full_match(line, '[a-z]{1,3}') AND NOT (length(line) > 8))
+        |SELECT relationship, regexp_extract(line, '^(.)', 1) AS grp,
+        | doc_id AS doc_key,
+        | md5(string_agg(line, ' ' ORDER BY line_no)) AS merged_md5,
+        | COUNT(*) AS line_count
+        |FROM m GROUP BY 1, 2, 3 ORDER BY relationship, grp, doc_key""".stripMargin,
 
     "split_text" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),

@@ -110,6 +110,26 @@ object Routing {
   }
 
   /**
+   * RouteText output assembly (RouteText.cpp:225,243-251
+   * `flow_file_contents[{rel, group}] += segment`): the reference emits ONE
+   * FlowFile per (relationship, group) holding that route's segments in
+   * original order. One shuffle on the output key; order restored from
+   * lineNo inside the group, not a global sort.
+   */
+  def routeTextMerged(routed: DataFrame, delimiter: String,
+                      perDocCol: Option[Column] = None): DataFrame = {
+    val keys = Seq(col(FlowFrame.Relationship)) ++
+      (if (routed.columns.contains("group")) Seq(col("group")) else Nil) ++
+      perDocCol.toSeq.map(_.as("docKey"))
+    routed.groupBy(keys: _*)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("lineNo").as("n"), col("line").as("l")))),
+          e => e.getField("l")), delimiter).as("merged"),
+        count(lit(1)).as("lineCount"))
+  }
+
+  /**
    * RetryFlowFile (RetryFlowFile.cpp): read the retry count attribute,
    * increment; under `maxRetries` → `retry`, over → `retries_exceeded`.
    * Penalty delay is relaxed to re-queueing semantics (SURVEY §7.5.1).
