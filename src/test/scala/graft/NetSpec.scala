@@ -113,6 +113,39 @@ class NetSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("end-to-end ListenSyslog flow: TCP listener -> syslog dispatch -> " +
+       "relationship-partitioned sink (the reference's flagship path)") {
+    import graft.ops.Syslog
+    val ckpt = java.nio.file.Files.createTempDirectory("sys_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("sys_out")
+    val listened = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "sysl").option("protocol", "tcp").option("port", "0")
+      .load()
+    val parsed = Syslog.parseSyslog(listened, org.apache.spark.sql.functions.col("message"))
+    val writer = graft.streaming.FlowRuntime.relationshipSink(parsed, out.toString)
+    val q = writer.option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("sysl")
+      val c = new Socket(InetAddress.getLoopbackAddress, port)
+      c.getOutputStream.write(
+        ("<34>1 2026-08-12T22:14:15.003Z host app 1234 ID47 - hello\n" +
+         "<13>Feb  5 17:32:18 mymachine legacy payload\n" +
+         "not syslog\n").getBytes(StandardCharsets.UTF_8))
+      c.close()
+      eventually(40, 250) {
+        q.processAllAvailable()
+        new java.io.File(s"$out/relationship=success").exists() &&
+          new java.io.File(s"$out/relationship=invalid").exists()
+      }
+      val success = spark.read.parquet(s"$out/relationship=success")
+      assert(success.count() === 2)
+      assert(success.select("syslog_format").collect().map(_.getString(0)).sorted
+        === Array("rfc3164", "rfc5424"))
+      assert(spark.read.parquet(s"$out/relationship=invalid").count() === 1)
+    } finally q.stop()
+  }
+
   private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
