@@ -522,6 +522,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // The composed scale pipeline: LSH generates candidates (one band
+    // collision), exact n-gram Jaccard verifies them — the candidate join
+    // touches only bucket-colliding pairs, never all pairs
+    "dedup_lsh_verified" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(docs, col("doc_id"), col("text"), 5, 8)
+      val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      val verified = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), 5, 30)
+      cands.join(verified, Seq("idA", "idB"))
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("inter").as("inter_n"), col("unionSize").as("union_n"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash32(tbl(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("docId").as("doc_id"), col("simhash"))
@@ -1203,6 +1218,29 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_lsh_verified" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""$ShingleCte,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key AND a.doc_id<b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ver AS (SELECT i.id_a, i.id_b, i.inter_n,
+         |  sa.nsh + sb.nsh - i.inter_n AS union_n
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+         |   JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n))
+         |SELECT v.id_a, v.id_b, v.inter_n, v.union_n
+         |FROM ver v JOIN cand c ON c.id_a = v.id_a AND c.id_b = v.id_b
+         |ORDER BY v.id_a, v.id_b""".stripMargin
+    },
 
     "dedup_simhash" -> simhashOracle,
 
