@@ -174,6 +174,14 @@ object ElCompiler {
     def a(i: Int): Column = args(i)
     def sArg(i: Int): String = asString(rawArgs(i))
     def num(c: Column): Column = c.cast("double")
+    /** NiFi arithmetic coercion: int64 math when both operands are
+      * integral strings, long-double math otherwise (Value.h asNumber). */
+    def intPreserving(l: Column, r: Column, op: (Column, Column) => Column): Column = {
+      val ls = l.cast("string"); val rs = r.cast("string")
+      val bothInt = ls.rlike("^-?\\d+$") && rs.rlike("^-?\\d+$")
+      when(bothInt, op(ls.cast("long"), rs.cast("long")).cast("string"))
+        .otherwise(op(ls.cast("double"), rs.cast("double")).cast("string"))
+    }
 
     name match {
       // --- subjectless (Expression.cpp:123-211, 952, 1038-1046) ---
@@ -257,18 +265,23 @@ object ElCompiler {
       case "append"  => concat(s0, a(0).cast("string"))
       case "prepend" => concat(a(0).cast("string"), s0)
 
-      // --- math (Expression.cpp:845-913) — reference coerces int64 when both
-      // integral, long double otherwise (Value.h asNumber); we compute in
-      // double and keep longs for integral literals on integral subjects.
-      case "plus"     => num(subj) + num(a(0))
-      case "minus"    => num(subj) - num(a(0))
-      case "multiply" => num(subj) * num(a(0))
+      // --- math (Expression.cpp:845-913) — reference coerces int64 when
+      // both operands are integral, long double otherwise (Value.h
+      // asNumber): "11":minus(13) is "-2", never "-2.0". divide always
+      // yields a decimal, like the reference.
+      case "plus"     => intPreserving(subj, a(0), _ + _)
+      case "minus"    => intPreserving(subj, a(0), _ - _)
+      case "multiply" => intPreserving(subj, a(0), _ * _)
+      case "mod"      => intPreserving(subj, a(0), _ % _)
       case "divide"   => num(subj) / num(a(0))
-      case "mod"      => num(subj) % num(a(0))
       case "toRadix"  =>
         val padded = conv(subj.cast("long").cast("string"), 10, sArg(0).toInt)
         if (rawArgs.size > 1) lpad(lower(padded), sArg(1).toInt, "0") else lower(padded)
-      case "fromRadix" => conv(s0, sArg(0).toInt, 10).cast("long")
+      case "fromRadix" =>
+        // conv() is unsigned — a leading '-' wraps mod 2^64, so split the
+        // sign off first (ExpressionLanguageTests.cpp:651 "-000004a1")
+        val mag = conv(regexp_replace(s0, "^-", ""), sArg(0).toInt, 10).cast("long")
+        when(s0.startsWith("-"), -mag).otherwise(mag)
       case "toNumber"  => subj.cast("long")
       case "toDecimal" => subj.cast("double")
       case "toString"  => s0

@@ -128,9 +128,13 @@ private class TailMicroBatchStream(dir: String, glob: String)
   override def initialOffset(): Offset = TailOffset("{}")
 
   override def latestOffset(): Offset = {
-    val next = listFiles().map { f =>
-      val crcLen = math.min(64L, f.length())
-      f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen)
+    // a file may rotate away between listing and probing — skip it this
+    // trigger rather than fail; the next trigger re-lists
+    val next = listFiles().flatMap { f =>
+      try {
+        val crcLen = math.min(64L, f.length())
+        Some(f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen))
+      } catch { case _: java.io.IOException => None }
     }.toMap
     TailOffset(stateToJson(next))
   }
@@ -144,8 +148,10 @@ private class TailMicroBatchStream(dir: String, glob: String)
         // (re-hashed over the stored window) or the file shrank → restart 0
         case Some(prev) =>
           val f = new java.io.File(path)
-          val sameHead = f.length() >= prev.crcLen &&
-            TailFileSource.headCrc(f, prev.crcLen) == prev.crc
+          val sameHead = try {
+            f.length() >= prev.crcLen &&
+              TailFileSource.headCrc(f, prev.crcLen) == prev.crc
+          } catch { case _: java.io.IOException => false }
           if (sameHead && prev.pos <= endState.pos) prev.pos else 0L
         case _ => 0L
       }
@@ -165,14 +171,35 @@ private class TailMicroBatchStream(dir: String, glob: String)
 private case class TailPartition(path: String, from: Long, until: Long)
   extends InputPartition
 
-/** Seeks to `from`, reads [from, until), emits one row per line. */
+/**
+ * Seeks to `from`, reads [from, until), emits one row per line.
+ *
+ * Robust to the file rotating/truncating BETWEEN offset planning and the
+ * read (the reference re-opens and re-checks per trigger): the read clamps
+ * to the currently-available length and drops a trailing incomplete line;
+ * a vanished or shrunk-below-`from` file yields zero rows. The next
+ * batch's head-CRC check then detects the rotation and restarts at 0 —
+ * a truncation mid-batch must not fail the task.
+ */
 private class TailReader(p: TailPartition) extends PartitionReader[InternalRow] {
-  private val raf = new RandomAccessFile(p.path, "r")
-  raf.seek(p.from)
-  private val buf = new Array[Byte]((p.until - p.from).toInt)
-  raf.readFully(buf)
-  private val lines = new String(buf, StandardCharsets.UTF_8)
-    .split("\n", -1).dropRight(1) // until is always just past a '\n'
+  private val lines: Array[String] =
+    try {
+      val raf = new RandomAccessFile(p.path, "r")
+      try {
+        val avail = raf.length()
+        if (avail <= p.from) Array.empty
+        else {
+          val until = math.min(p.until, avail)
+          raf.seek(p.from)
+          val buf = new Array[Byte]((until - p.from).toInt)
+          raf.readFully(buf)
+          val text = new String(buf, StandardCharsets.UTF_8)
+          // `until == p.until` is just past a '\n' by construction; a
+          // clamped read may end mid-line — drop the incomplete tail
+          text.split("\n", -1).dropRight(1)
+        }
+      } finally raf.close()
+    } catch { case _: java.io.IOException => Array.empty }
   private var idx = -1
   private var offset = p.from
 
@@ -183,5 +210,5 @@ private class TailReader(p: TailPartition) extends PartitionReader[InternalRow] 
     InternalRow(UTF8String.fromString(p.path), lineStart,
       UTF8String.fromString(lines(idx)))
   }
-  override def close(): Unit = raf.close()
+  override def close(): Unit = ()
 }

@@ -133,4 +133,47 @@ class ElSpec extends SparkSpec {
     assert(eval("${missing:isNull()}", attrs) === "true")
     assert(eval("${s:equalsIgnoreCase('mixed')}", attrs) === "true")
   }
+
+  test("contains / in / endsWith (ExpressionLanguageTests.cpp:267-313)") {
+    val attrs = Map("attr" -> "a brand new filename.txt")
+    assert(eval("${attr:contains('new')}", attrs) === "true")
+    assert(eval("${attr:contains('NEW')}", attrs) === "false")
+    assert(eval("${attr:endsWith('txt')}", attrs) === "true")
+    assert(eval("${attr:endsWith('TXT')}", attrs) === "false")
+    val names = Map("attr" -> "JOHN")
+    assert(eval("${attr:in('PAUL', 'JOHN', 'MIKE')}", names) === "true")
+    assert(eval("${attr:in('RED', 'GREEN', 'BLUE')}", names) === "false")
+  }
+
+  test("find anchors at the start (ExpressionLanguageTests.cpp:443-465)") {
+    val attrs = Map("attr" -> "a brand new filename.txt")
+    assert(eval("${attr:find('a [Bb]rand [Nn]ew')}", attrs) === "true")
+    assert(eval("${attr:find('Brand.*')}", attrs) === "false")
+    assert(eval("${attr:find('brand')}", attrs) === "true")
+  }
+
+  test("minus / divide coercions (ExpressionLanguageTests.cpp:563-610)") {
+    assert(eval("${attr:minus(13)}", Map("attr" -> "11")) === "-2")
+    assert(math.abs(eval("${attr:minus(-13.34567)}", Map("attr" -> "11.1"))
+      .toDouble - 24.44567) < 1e-9)
+    assert(math.abs(eval("${attr:divide(13)}", Map("attr" -> "11"))
+      .toDouble - 11.0 / 13.0) < 1e-12)
+  }
+
+  test("fromRadix incl. negative and padding " +
+       "(ExpressionLanguageTests.cpp:635-658)") {
+    assert(eval("${attr:fromRadix(2)}", Map("attr" -> "0000000000001010")) === "10")
+    assert(eval("${attr:fromRadix(16)}", Map("attr" -> "d")) === "13")
+    assert(eval("${attr:fromRadix(23)}", Map("attr" -> "-000004a1")) === "-2347")
+  }
+
+  test("CSV escape round trip (ExpressionLanguageTests.cpp:1112-1135)") {
+    val msg = Map("message" -> "Zero > One < \"two!\" & 'true'")
+    assert(eval("${message:escapeCsv()}", msg) ===
+      "\"Zero > One < \"\"two!\"\" & 'true'\"")
+    assert(eval("${message:unescapeCsv()}",
+      Map("message" -> "\"Zero > One < \"\"two!\"\" & 'true'\"")) ===
+      "Zero > One < \"two!\" & 'true'")
+    assert(eval("${message:escapeCsv():unescapeCsv()}", msg) === msg("message"))
+  }
 }
