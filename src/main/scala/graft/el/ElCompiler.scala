@@ -302,11 +302,17 @@ object ElCompiler {
       case "escapeCsv"    => escapeCsvUdf(s0)
       case "unescapeCsv"  => unescapeCsvUdf(s0)
 
-      // --- date/time (Expression.cpp:636-674) ---
+      // --- date/time (Expression.cpp:636-674; optional tz arg per
+      // ExpressionLanguageTests.cpp:1283-1291 — patterns are the JVM
+      // DateTimeFormatter dialect, not C strftime) ---
       case "format" => // subject: epoch millis → formatted string
-        date_format(timestamp_millis(subj.cast("long")), sArg(0))
+        val ts = timestamp_millis(subj.cast("long"))
+        val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
+        date_format(zoned, sArg(0))
       case "toDate" => // string → epoch millis
-        unix_millis(to_timestamp(s0, sArg(0)))
+        val parsed = to_timestamp(s0, sArg(0))
+        val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed
+        unix_millis(utc)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported EL function '$other'")

@@ -67,6 +67,14 @@ object Exec {
       .otherwise("failure")
 
   /**
+   * InvokeHTTP "Attributes to Send" (InvokeHTTP.h attribute-to-header
+   * regex): attributes whose names match become request headers — a pure
+   * map_filter projection feeding the per-partition client below.
+   */
+  def attributesToHeaders(attrsMap: Column, regex: String): Column =
+    map_filter(attrsMap, (k, _) => k.rlike(regex))
+
+  /**
    * The network plane of InvokeHTTP: per-partition java.net.http client —
    * one client per partition, connections reused across rows (the
    * reference pools per processor). Returns (url, status) pairs; -1 for

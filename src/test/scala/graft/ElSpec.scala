@@ -167,6 +167,19 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:fromRadix(23)}", Map("attr" -> "-000004a1")) === "-2347")
   }
 
+  test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
+    val attrs = Map("trillion_milliseconds" -> "1000000000000")
+    assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'UTC')}",
+      attrs) === "2001/09/09 01:46:40")
+    assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'Europe/Paris')}",
+      attrs) === "2001/09/09 03:46:40")
+    assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'America/Los_Angeles')}",
+      attrs) === "2001/09/08 18:46:40")
+    // round trip through the same zone restores the epoch
+    assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'Europe/Paris')" +
+      ":toDate('yyyy/MM/dd HH:mm:ss', 'Europe/Paris')}", attrs) === "1000000000000")
+  }
+
   test("CSV escape round trip (ExpressionLanguageTests.cpp:1112-1135)") {
     val msg = Map("message" -> "Zero > One < \"two!\" & 'true'")
     assert(eval("${message:escapeCsv()}", msg) ===

@@ -288,6 +288,17 @@ class OperatorSpec extends SparkSpec {
     assert(row.getString(3) === "gamma")
   }
 
+  test("InvokeHTTP attributes-to-headers regex projection (InvokeHTTP.h)") {
+    val ff = flowFrame(Seq(("", Map(
+      "http.header.accept" -> "json", "http.header.auth" -> "tok",
+      "internal.id" -> "42"))))
+    val headers = ff.select(graft.ops.Exec.attributesToHeaders(
+      col(FlowFrame.Attributes), "^http\\.header\\..*").as("h"))
+      .collect()(0).getMap[String, String](0)
+    assert(headers === Map("http.header.accept" -> "json",
+      "http.header.auth" -> "tok"))
+  }
+
   test("PutSQL appends rows into a catalog table (PutSQL.h:34-44)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS putsql_t")

@@ -231,6 +231,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
   }
 
+  test("ProvenanceListener records plan-level lineage events (SURVEY §7.5.7)") {
+    import spark.implicits._
+    val listener = new graft.streaming.ProvenanceListener
+    spark.listenerManager.register(listener)
+    try {
+      Seq(1, 2, 3).toDF("v").groupBy().count().collect()
+      // listener callbacks fire asynchronously after the action
+      var i = 0
+      while (listener.events.isEmpty && i < 40) { Thread.sleep(250); i += 1 }
+      val evs = listener.events
+      assert(evs.nonEmpty)
+      assert(evs.exists(e => e.error.isEmpty && e.durationNs > 0))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming MergeContent bins: full bins flush, remainder buffers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
