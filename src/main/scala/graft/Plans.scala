@@ -11,13 +11,23 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     def show(name: String, q: String): Unit = {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(q)(spark, dir)
+      // run THIS DataFrame's own execution (df.count() would plan a separate
+      // query and leave this one's AQE plan non-final)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"===== $q =====")
+      // formatted mode tags each codegen'd operator with [codegen id : n]
+      val codegenOps = plan.linesIterator.count(_.contains("codegen id"))
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains(") Exchange") || l.contains("Exchange ("))
+      println(s"codegen-operators=$codegenOps exchanges=$exchanges")
       // scan lines show pushdown + pruning; exchanges show shuffles
       plan.linesIterator.filter(l =>
         l.contains("PushedFilters") || l.contains("ReadSchema") ||
-        l.contains("Exchange") || l.contains("Broadcast") ||
-        l.contains("WholeStageCodegen")).take(12).foreach(l => println(l.trim.take(220)))
+        l.contains("Exchange") || l.contains("Broadcast")).take(12)
+        .foreach(l => println(l.trim.take(220)))
     }
     show("qdt", "query_database_table")
     show("esql", "execute_sql")

@@ -225,6 +225,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.5 MergeContent Defragment failure routing — deliberately drop
+    // fragments so incomplete groups route to failure (MergeContent.cpp:391)
+    "merge_defrag_failure" -> ((s, dir) => {
+      val frags = SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), " ", 12)
+        .filter(!(col("fragmentIndex") % 7 === 3)) // lose every 7th-ish piece
+      SplitMerge.mergeContentDefragment(frags,
+        col("`fragment.identifier`"), col("fragmentIndex"), col("fragment"),
+        col("fragmentCount"), " ")
+        .select(col("mergeId").as("doc_id"),
+          col("fragmentsSeen").as("frags_seen"),
+          col("fragmentsExpected").as("frags_expected"),
+          col("relationship"))
+        .orderBy("doc_id")
+    }),
+
     // §2.5 SplitRecord — ≤N-record chunks; chunk identity is
     // partition-dependent (range partitioning), so the oracle asserts
     // partition-independent facts: totals, cap compliance, disjoint ranges
@@ -1047,6 +1063,17 @@ object SparkEntry {
     "merge_content" ->
       """SELECT doc_id, md5(text) AS merged_md5, 'merged' AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "merge_defrag_failure" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |e AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT)-1)) AS i FROM w),
+        |kept AS (SELECT doc_id, i,
+        |  CAST(ceil(len(words)/12.0) AS BIGINT) AS expected
+        |  FROM e WHERE i % 7 <> 3)
+        |SELECT doc_id, COUNT(*) AS frags_seen, MIN(expected) AS frags_expected,
+        | CASE WHEN COUNT(*) = MIN(expected) THEN 'merged' ELSE 'failure' END AS relationship
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "split_record" ->
       """SELECT COUNT(*) AS total_recs, TRUE AS all_within_cap,
