@@ -87,8 +87,17 @@ object Content {
     if (b == null) null
     else new LZMACompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())
 
+  /** Wrap a native Catalyst expression as a Column (see GraftColumnShim). */
+  private def nativeExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+  private def exprOf(c: Column) =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+
   def compress(c: Column, format: String): Column = format match {
-    case "gzip"     => gzipUdf(c.cast("binary"))
+    // gzip is the hot default → native codegen'd Expression, not a UDF
+    // (graft.functions.CodecExpressions; also SQL-addressable as
+    // graft_gzip via GraftExtensions)
+    case "gzip"     => nativeExpr(graft.functions.GzipCompress(exprOf(c.cast("binary"))))
     case "deflate"  => deflateUdf(c.cast("binary"))
     case "bzip2"    => bzip2Udf(c.cast("binary"))
     case "xz-lzma2" => xzUdf(c.cast("binary"))
@@ -97,7 +106,7 @@ object Content {
   }
 
   def decompress(c: Column, format: String): Column = format match {
-    case "gzip"     => gunzipUdf(c.cast("binary"))
+    case "gzip"     => nativeExpr(graft.functions.GzipDecompress(exprOf(c.cast("binary"))))
     case "deflate"  => inflateUdf(c.cast("binary"))
     case "bzip2"    => bunzip2Udf(c.cast("binary"))
     case "xz-lzma2" => unxzUdf(c.cast("binary"))
