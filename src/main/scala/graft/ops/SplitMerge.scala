@@ -51,6 +51,53 @@ object SplitMerge {
   }
 
   /**
+   * SplitText with the reference's strict header-edge routing
+   * (SplitTextTests.cpp:598-642): a header line count larger than the
+   * content routes the WHOLE content to `failure`; a header consuming
+   * every line emits no splits at all (the input only passes through as
+   * `original`); otherwise fragments emit on `splits`. Content ending in
+   * the delimiter does not count a trailing empty line, matching the
+   * reference's LineReader. Single-pass: the per-case rows build as an
+   * array and explode (empty array → no rows), all narrow.
+   */
+  def splitTextStrict(df: DataFrame, idCol: Column, contentCol: Column,
+                      delimiter: String, linesPerFragment: Int,
+                      headerLines: Int): DataFrame = {
+    val rawLines = split(contentCol, java.util.regex.Pattern.quote(delimiter))
+    val lines = when(contentCol.endsWith(delimiter) && size(rawLines) > 1,
+      slice(rawLines, lit(1), size(rawLines) - 1)).otherwise(rawLines)
+    val total = when(contentCol === "", lit(0)).otherwise(size(lines))
+    val header = slice(lines, 1, headerLines)
+    val body = slice(lines, lit(headerLines + 1), size(lines))
+    val nFrags = ceil(size(body).cast("double") / linesPerFragment).cast("int")
+    // sequence() rejects an empty ascending range, so generate >=1 slots
+    // and slice down to the true fragment count (0 -> empty array)
+    val splitsRows = slice(
+      transform(sequence(lit(1), greatest(nFrags, lit(1)), lit(1)), i =>
+        struct(lit("splits").as("relationship"), (i - 1).as("idx"),
+          array_join(concat(header,
+            slice(body, (i - 1) * linesPerFragment + 1, lit(linesPerFragment))),
+            delimiter).as("frag"),
+          nFrags.cast("long").as("cnt"))),
+      lit(1), greatest(nFrags, lit(0)))
+    val rows =
+      when(lit(headerLines) > total,
+        array(struct(lit("failure").as("relationship"), lit(0).as("idx"),
+          contentCol.as("frag"), lit(0L).as("cnt"))))
+      // same-typed empty array: no splits when the header consumes all lines
+      .when(lit(headerLines) === total, filter(splitsRows, _ => lit(false)))
+      .otherwise(splitsRows)
+    df.select(
+      idCol.as(FragmentAttrs.Identifier),
+      explode(rows).as("r"))
+      .select(col(s"`${FragmentAttrs.Identifier}`"),
+        col("r.relationship").as("relationship"),
+        col("r.idx").as("fragmentIndex"),
+        col("r.frag").as("fragment"),
+        col("r.cnt").as("fragmentCount"))
+  }
+
+  /**
    * SplitContent (SplitContent.cpp:204): split on a byte/char delimiter,
    * keep-or-strip option. posexplode per piece.
    */

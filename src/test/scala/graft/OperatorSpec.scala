@@ -148,6 +148,43 @@ class OperatorSpec extends SparkSpec {
     assert(got2 === Seq("A1", "unmatched", "A3"))
   }
 
+  test("ReplaceText applyReplacements expectations " +
+       "(ReplaceTextTests.cpp:76-185)") {
+    def apply(strategy: Transforms.ReplaceStrategy, search: String,
+              replacement: String, input: String): String =
+      spark.createDataFrame(Seq(Tuple1(input))).toDF("c")
+        .select(Transforms.replaceText(col("c"), strategy, search, replacement))
+        .collect()(0).getString(0)
+    // Prepend / Append (ReplaceTextTests.cpp:76-94)
+    assert(apply(Transforms.Prepend, "", "orange", "") === "orange")
+    assert(apply(Transforms.Prepend, "", "orange", "s and lemons") === "oranges and lemons")
+    assert(apply(Transforms.Append, "", "orange", "agent ") === "agent orange")
+    // Regex Replace incl. back references (:96-146); reference $& / $1
+    // map to Java regex $0 / $1
+    assert(apply(Transforms.RegexReplace, "a\\w+e", "orange", "one apple, two apples")
+      === "one orange, two oranges")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "$0 [found $1]",
+      "xxx abc yyy abbbc zzz") === "xxx abc [found b] yyy abbbc [found bbb] zzz")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "$1 costs \\$2", "abc")
+      === "b costs $2")
+    // Literal / Always (:147-168)
+    assert(apply(Transforms.LiteralReplace, "apple", "orange", "one apple, two apples")
+      === "one orange, two oranges")
+    assert(apply(Transforms.AlwaysReplace, "", "orange", "one apple, two apples")
+      === "orange")
+    // Substitute Variables (:170-185)
+    val ff = flowFrame(Seq(("", Map("color" -> "green", "food" -> "eggs and ham"))))
+    def subst(input: String): String =
+      ff.select(Transforms.substituteVariables(lit(input), col(FlowFrame.Attributes)))
+        .collect()(0).getString(0)
+    assert(subst("no placeholders") === "no placeholders")
+    assert(subst("${color}") === "green")
+    assert(subst("I like ${color} ${food}!") === "I like green eggs and ham!")
+    assert(subst("it was ${color}er than ${color}") === "it was greener than green")
+    assert(subst("an empty ${} is left alone") === "an empty ${} is left alone")
+    assert(subst("not ${found} is left alone") === "not ${found} is left alone")
+  }
+
   test("ReplaceText line scoping + substitute variables + always replace " +
        "(ReplaceText.h:42-58, ReplaceTextTests.cpp)") {
     val df = spark.createDataFrame(Seq(
@@ -236,6 +273,29 @@ class OperatorSpec extends SparkSpec {
     // scheme-qualified URI (s3a://, abfss://, ... — file:// locally)
     assert(names(Sources.getFileFiltered(spark, s"file://$dir", "*.txt"))
       === Set("small.txt", "big.txt"))
+  }
+
+  test("SplitText strict header-edge routing (SplitTextTests.cpp:598-642)") {
+    import graft.ops.SplitMerge
+    def run(input: String, splitCount: Int, headerCount: Int) =
+      SplitMerge.splitTextStrict(
+        spark.createDataFrame(Seq((1L, input))).toDF("id", "c"),
+        col("id"), col("c"), "\n", splitCount, headerCount)
+        .select("relationship", "fragment").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // header (4) larger than the 3-line content -> whole content to failure
+    val failing = run("header line 1\nheader line 2\nthis is a new line\n", 1, 4)
+    assert(failing === Seq(("failure",
+      "header line 1\nheader line 2\nthis is a new line\n")))
+    // empty flow file with a header expected -> failure too
+    assert(run("", 1, 4).map(_._1) === Seq("failure"))
+    // header == line count -> no split rows at all
+    assert(run("header line 1\nheader line 2\nthis is a new line\n", 1, 3)
+      === Seq.empty)
+    // normal split: header copied onto each fragment
+    val ok = run("h\nbody one\nbody two\n", 1, 1)
+    assert(ok === Seq(("splits", "h\nbody one"), ("splits", "h\nbody two")))
   }
 
   test("Journald export parse: fields to attributes, raw + syslog payloads " +
