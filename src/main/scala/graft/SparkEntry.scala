@@ -191,6 +191,23 @@ object SparkEntry {
           col("fragmentCount").as("fragment_count"))
         .orderBy("doc_id", "fragment_index")),
 
+    // §2.5 SplitText strict header-edge routing — doc_id % 9 controls the
+    // line count so failure (<4 lines), no-rows (==4) and splits (>4)
+    // paths all occur (SplitTextTests.cpp:598-642)
+    "split_text_strict" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val content = array_join(
+        slice(words, lit(1), (col("doc_id") % 9).cast("int")), " ")
+      val df = tbl(s, dir, "documents").select(col("doc_id"), content.as("c"))
+      SplitMerge.splitTextStrict(df, col("doc_id"), col("c"), " ", 2, 4)
+        .select(col("`fragment.identifier`").as("doc_id"),
+          col("relationship"),
+          col("fragmentIndex").cast("long").as("fragment_index"),
+          col("fragment"),
+          col("fragmentCount").as("fragment_count"))
+        .orderBy("doc_id", "fragment_index")
+    }),
+
     // §2.5 SplitContent — delimiter split with fragment attrs
     "split_content" -> ((s, dir) =>
       SplitMerge.splitContent(tbl(s, dir, "documents"), col("doc_id"),
@@ -1043,6 +1060,24 @@ object SparkEntry {
         | array_to_string(list_slice(words, i*12+1, i*12+12), ' ') AS fragment,
         | CAST(ceil(len(words)/12.0) AS BIGINT) AS fragment_count
         |FROM e ORDER BY doc_id, fragment_index""".stripMargin,
+
+    "split_text_strict" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS n, words FROM w),
+        |f AS (SELECT doc_id, 'failure' AS relationship, CAST(0 AS BIGINT) AS fragment_index,
+        |   COALESCE(array_to_string(list_slice(words, 1, n), ' '), '') AS fragment,
+        |   CAST(0 AS BIGINT) AS fragment_count
+        |  FROM c WHERE n < 4),
+        |e AS (SELECT doc_id, n, words,
+        |   unnest(generate_series(0, CAST(ceil((n-4)/2.0) AS BIGINT) - 1)) AS i
+        |  FROM c WHERE n > 4),
+        |sp AS (SELECT doc_id, 'splits' AS relationship, CAST(i AS BIGINT) AS fragment_index,
+        |   array_to_string(list_slice(words, 1, 4), ' ') || ' ' ||
+        |     array_to_string(list_slice(words, 5 + 2*i, LEAST(6 + 2*i, n)), ' ') AS fragment,
+        |   CAST(ceil((n-4)/2.0) AS BIGINT) AS fragment_count
+        |  FROM e)
+        |SELECT * FROM f UNION ALL SELECT * FROM sp
+        |ORDER BY doc_id, fragment_index""".stripMargin,
 
     "split_content" ->
       """WITH f AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS fragment,
