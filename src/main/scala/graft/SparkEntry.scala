@@ -1081,11 +1081,14 @@ object SparkEntry {
 
     "split_content" ->
       """WITH f AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS fragment,
-        |  generate_subscripts(string_split(text, ' the '), 1) - 1 AS fragment_index
-        |  FROM documents)
+        |  generate_subscripts(string_split(text, ' the '), 1) AS pos
+        |  FROM documents),
+        |nf AS (SELECT doc_id, fragment,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS fragment_index
+        |  FROM f WHERE fragment <> '')
         |SELECT doc_id, CAST(fragment_index AS BIGINT) AS fragment_index,
         | md5(fragment) AS fragment_md5
-        |FROM f ORDER BY doc_id, fragment_index""".stripMargin,
+        |FROM nf ORDER BY doc_id, fragment_index""".stripMargin,
 
     "segment_content" ->
       """WITH e AS (SELECT doc_id, text,

@@ -97,16 +97,38 @@ object SplitMerge {
         col("r.cnt").as("fragmentCount"))
   }
 
+  /** SplitContent "Byte Sequence Location" (SplitContent.h:41). */
+  sealed trait ByteSequenceLocation
+  case object Trailing extends ByteSequenceLocation
+  case object Leading extends ByteSequenceLocation
+
   /**
-   * SplitContent (SplitContent.cpp:204): split on a byte/char delimiter,
-   * keep-or-strip option. posexplode per piece.
+   * SplitContent (SplitContent.cpp:50-63, SplitContent.h:61-73): split on
+   * a byte/char sequence; Keep Byte Sequence appends it to the preceding
+   * split (Trailing) or prepends it to the following one (Leading); empty
+   * splits are never emitted (SplitContentTests.cpp "rub-a-dub-dub" /
+   * "ababab" batteries). Fragment indices number the EMITTED splits.
+   * All narrow: split → indexed transform → filter → posexplode.
    */
   def splitContent(df: DataFrame, idCol: Column, contentCol: Column,
-                   delimiter: String): DataFrame =
+                   delimiter: String,
+                   keepDelimiter: Boolean = false,
+                   location: ByteSequenceLocation = Trailing): DataFrame = {
+    val parts = split(contentCol, java.util.regex.Pattern.quote(delimiter))
+    val lastIdx = size(parts) - 1
+    val assembled =
+      if (!keepDelimiter) parts
+      else location match {
+        case Trailing => transform(parts, (p, i) =>
+          when(i < lastIdx, concat(p, lit(delimiter))).otherwise(p))
+        case Leading => transform(parts, (p, i) =>
+          when(i > 0, concat(lit(delimiter), p)).otherwise(p))
+      }
     df.select(
       idCol.as(FragmentAttrs.Identifier),
-      posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
+      posexplode(filter(assembled, p => length(p) > 0))
         .as(Seq("fragmentIndex", "fragment")))
+  }
 
   /**
    * SegmentContent (SegmentContent.cpp:54): fixed-size segmentation.

@@ -275,6 +275,28 @@ class OperatorSpec extends SparkSpec {
       === Set("small.txt", "big.txt"))
   }
 
+  test("SplitContent keep/leading/trailing and empty-split dropping " +
+       "(SplitContentTests.cpp rub-a-dub-dub / ababab batteries)") {
+    import graft.ops.SplitMerge
+    def run(input: String, delim: String, keep: Boolean,
+            loc: SplitMerge.ByteSequenceLocation): Seq[String] =
+      SplitMerge.splitContent(
+        spark.createDataFrame(Seq((1L, input))).toDF("id", "c"),
+        col("id"), col("c"), delim, keep, loc)
+        .orderBy("fragmentIndex").select("fragment")
+        .collect().map(_.getString(0)).toSeq
+    assert(run("rub-a-dub-dub", "ub", keep = true, SplitMerge.Trailing)
+      === Seq("rub", "-a-dub", "-dub"))
+    assert(run("rub-a-dub-dub", "ub", keep = true, SplitMerge.Leading)
+      === Seq("r", "ub-a-d", "ub-d", "ub"))
+    assert(run("ababab", "ab", keep = true, SplitMerge.Trailing)
+      === Seq("ab", "ab", "ab"))
+    assert(run("ababab", "ab", keep = true, SplitMerge.Leading)
+      === Seq("ab", "ab", "ab"))
+    // strip mode: a content of only byte sequences emits nothing
+    assert(run("abab", "ab", keep = false, SplitMerge.Trailing) === Seq.empty)
+  }
+
   test("SplitText strict header-edge routing (SplitTextTests.cpp:598-642)") {
     import graft.ops.SplitMerge
     def run(input: String, splitCount: Int, headerCount: Int) =
