@@ -133,18 +133,20 @@ object SplitMerge {
   /**
    * SegmentContent (SegmentContent.cpp:54): fixed-size segmentation.
    * `sequence` + `substring` — pure Catalyst, no UDF, one row in → k rows
-   * out with no shuffle.
+   * out with no shuffle. Empty content emits NO segments
+   * (SegmentContentTests.cpp:81-95 EmptyFlowFile) — the ≥1-slot sequence
+   * is sliced down so the zero case yields an empty array.
    */
   def segmentContent(df: DataFrame, idCol: Column, contentCol: Column,
                      segmentSize: Int): DataFrame = {
     val nSegs = ceil(length(contentCol).cast("double") / segmentSize).cast("int")
+    val segs = slice(
+      transform(sequence(lit(0), greatest(nSegs, lit(1)) - 1, lit(1)),
+        i => substring(contentCol, i * segmentSize + 1, lit(segmentSize))),
+      lit(1), greatest(nSegs, lit(0)))
     df.select(
       idCol.as(FragmentAttrs.Identifier),
-      length(contentCol).as("contentLen"),
-      posexplode(transform(sequence(lit(0), greatest(nSegs, lit(1)) - 1, lit(1)),
-        i => substring(contentCol, i * segmentSize + 1, lit(segmentSize))))
-        .as(Seq("segmentIndex", "segment")))
-      .drop("contentLen")
+      posexplode(segs).as(Seq("segmentIndex", "segment")))
   }
 
   /**

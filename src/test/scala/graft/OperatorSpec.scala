@@ -275,6 +275,16 @@ class OperatorSpec extends SparkSpec {
       === Set("small.txt", "big.txt"))
   }
 
+  test("SegmentContent: empty content emits no segments " +
+       "(SegmentContentTests.cpp:81-95)") {
+    import graft.ops.SplitMerge
+    val df = spark.createDataFrame(Seq((1L, ""), (2L, "abcdefghijk")))
+      .toDF("id", "c")
+    val segs = SplitMerge.segmentContent(df, col("id"), col("c"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(segs === Seq((2L, "abcdefghij"), (2L, "k"))) // nothing for id 1
+  }
+
   test("SplitContent keep/leading/trailing and empty-split dropping " +
        "(SplitContentTests.cpp rub-a-dub-dub / ababab batteries)") {
     import graft.ops.SplitMerge
