@@ -73,39 +73,96 @@ object Routing {
     val lines = df.select(df.columns.map(col) :+
       posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("lineNo", "line")): _*)
-    val segmentAttrs: ElCompiler.AttrResolver = {
-      case "line" | "segment"     => col("line")
-      // EL-visible segment numbers are 1-based (RouteTextTests.cpp:463);
-      // the output lineNo column stays 0-based like the fragment index
-      case "lineNo" | "segmentNo" => (col("lineNo") + 1).cast("string")
-      case other                  => attrs(other)
-    }
     // "Ignore Leading/Trailing Whitespace" preprocess (RouteText.cpp:231);
     // the emitted `line` stays the ORIGINAL value, as upstream. Case policy
     // (RouteText.h:141 IgnoreCase) folds both sides; neither applies to
     // SatisfiesExpression, which sees the raw segment (RouteText.cpp:234).
-    val pre0 = if (trimWhitespace) trim(col("line")) else col("line")
-    val pre = if (ignoreCase) lower(pre0) else pre0
-    def v2(v: String): String = if (ignoreCase) v.toLowerCase else v
-    def matches(s: MatchStrategy, v: String): Column = s match {
-      case StartsWith          => pre.startsWith(v2(v))
-      case EndsWith            => pre.endsWith(v2(v))
-      case ContainsStr         => pre.contains(v2(v))
-      case EqualsStr           => pre === v2(v)
-      case MatchesRegex        => pre.rlike("^(?:" + v2(v) + ")$")
-      case ContainsRegex       => pre.rlike(v2(v))
-      case SatisfiesExpression => ElCompiler.predicate(v, segmentAttrs)
-    }
+    // EL-visible segment numbers are 1-based (RouteTextTests.cpp:463);
+    // the output lineNo column stays 0-based like the fragment index.
     val matched = filter(
       array(rules.map { case (rel, s, v) =>
-        when(coalesce(matches(s, v), lit(false)), rel)
+        when(coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase),
+          lit(false)), rel)
       }: _*), x => x.isNotNull)
     val routedDf = lines.withColumn(FlowFrame.Relationship,
       explode(when(size(matched) === 0, array(lit("unmatched"))).otherwise(matched)))
     groupingRegex match {
       // group extraction always uses the preprocessed value (RouteText.cpp:240)
-      case Some(re) => routedDf.withColumn("group", regexp_extract(pre, re, 1))
+      case Some(re) => routedDf.withColumn("group",
+        regexp_extract(preprocessed(trimWhitespace, ignoreCase), re, 1))
       case None => routedDf
+    }
+  }
+
+  /** RouteText "Routing Strategy" (RouteText.h:37-41). */
+  sealed trait RoutingStrategy
+  /** one edge per matching dynamic property (the default; `routeText`). */
+  case object DynamicRouting extends RoutingStrategy
+  /** `matched` iff EVERY rule matches (RouteText.cpp:243-251). */
+  case object RouteAll extends RoutingStrategy
+  /** `matched` iff ANY rule matches (RouteText.cpp:253-261). */
+  case object RouteAny extends RoutingStrategy
+
+  /**
+   * RouteText with the ALL/ANY routing strategies: rules keep their
+   * matching semantics but collapse to a single matched/unmatched edge.
+   * Same narrow shape as `routeText`, but the quantifier folds the rule
+   * predicates into ONE boolean per line — no explode of the match set,
+   * no aggregation, stays in whole-stage codegen.
+   */
+  def routeTextQuantified(df: DataFrame, contentCol: Column, delimiter: String,
+                          rules: Seq[(String, MatchStrategy, String)],
+                          strategy: RoutingStrategy,
+                          groupingRegex: Option[String] = None,
+                          attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs,
+                          trimWhitespace: Boolean = false,
+                          ignoreCase: Boolean = false): DataFrame = {
+    require(strategy != DynamicRouting, "use routeText for dynamic routing")
+    val lines = df.select(df.columns.map(col) :+
+      posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("lineNo", "line")): _*)
+    val preds = rules.map { case (_, s, v) =>
+      coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase), lit(false))
+    }
+    val isMatched = strategy match {
+      case RouteAll => preds.reduce(_ && _)
+      case _        => preds.reduce(_ || _)
+    }
+    val out = lines.withColumn(FlowFrame.Relationship,
+      when(isMatched, "matched").otherwise("unmatched"))
+    groupingRegex match {
+      case Some(re) =>
+        out.withColumn("group", regexp_extract(preprocessed(trimWhitespace,
+          ignoreCase), re, 1))
+      case None => out
+    }
+  }
+
+  /** The trim/case preprocess of the current `line` (RouteText.cpp:231). */
+  private def preprocessed(trimWhitespace: Boolean, ignoreCase: Boolean): Column = {
+    val p0 = if (trimWhitespace) trim(col("line")) else col("line")
+    if (ignoreCase) lower(p0) else p0
+  }
+
+  /** One rule's match predicate over the exploded `line`/`lineNo` columns. */
+  private def lineMatches(s: MatchStrategy, v: String,
+                          attrs: ElCompiler.AttrResolver,
+                          trimWhitespace: Boolean, ignoreCase: Boolean): Column = {
+    val pre = preprocessed(trimWhitespace, ignoreCase)
+    def v2: String = if (ignoreCase) v.toLowerCase else v
+    val segmentAttrs: ElCompiler.AttrResolver = {
+      case "line" | "segment"     => col("line")
+      case "lineNo" | "segmentNo" => (col("lineNo") + 1).cast("string")
+      case other                  => attrs(other)
+    }
+    s match {
+      case StartsWith          => pre.startsWith(v2)
+      case EndsWith            => pre.endsWith(v2)
+      case ContainsStr         => pre.contains(v2)
+      case EqualsStr           => pre === v2
+      case MatchesRegex        => pre.rlike("^(?:" + v2 + ")$")
+      case ContainsRegex       => pre.rlike(v2)
+      case SatisfiesExpression => ElCompiler.predicate(v, segmentAttrs)
     }
   }
 

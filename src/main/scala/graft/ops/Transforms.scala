@@ -119,6 +119,23 @@ object Transforms {
     to_json(struct(attrNames.map(n => FlowFrame.attr(n).as(n)): _*))
 
   /**
+   * AttributesToJSON "Attributes Regular Expression" mode
+   * (AttributesToJSON.h): select by name regex instead of a fixed list;
+   * `includeCore` false also drops the core attribute set
+   * (SpecialFlowAttribute.h:22-33). Key order follows the attribute map.
+   */
+  def attributesToJsonRegex(regex: String, includeCore: Boolean = true): Column = {
+    val core = Seq(FlowFrame.CoreAttrs.Path, FlowFrame.CoreAttrs.AbsolutePath,
+      FlowFrame.CoreAttrs.Filename, FlowFrame.CoreAttrs.Uuid,
+      FlowFrame.CoreAttrs.Priority, FlowFrame.CoreAttrs.MimeType,
+      FlowFrame.CoreAttrs.FlowId)
+    val selected = map_filter(col(FlowFrame.Attributes), (k, _) =>
+      if (includeCore) k.rlike(regex)
+      else k.rlike(regex) && !k.isin(core.map(lit): _*))
+    to_json(selected)
+  }
+
+  /**
    * EvaluateJsonPath (EvaluateJsonPath.cpp:96): JSONPath over content —
    * dynamic properties (attr name → path) become attributes; path-not-found
    * yields null (caller routes by null-check, matching `unmatched`).

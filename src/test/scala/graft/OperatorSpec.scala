@@ -126,6 +126,23 @@ class OperatorSpec extends SparkSpec {
       ("unmatched", "ok")))
   }
 
+  test("RouteText ALL/ANY routing strategies collapse to matched/unmatched " +
+       "(RouteText.cpp:243-261)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("error disk\nerror\nwarn disk\nok"))).toDF("c")
+    val rules = Seq(
+      ("r1", Routing.ContainsStr, "error"),
+      ("r2", Routing.ContainsStr, "disk"))
+    def rels(strategy: Routing.RoutingStrategy): Seq[String] =
+      Routing.routeTextQuantified(df, col("c"), "\n", rules, strategy)
+        .orderBy("lineNo").select("relationship")
+        .collect().map(_.getString(0)).toSeq
+    assert(rels(Routing.RouteAll) ===
+      Seq("matched", "unmatched", "unmatched", "unmatched"))
+    assert(rels(Routing.RouteAny) ===
+      Seq("matched", "matched", "matched", "unmatched"))
+  }
+
   test("RouteText Satisfies Expression: EL over segment/line variables " +
        "(RouteText.h:98, RouteTextTests.cpp:221,458)") {
     val df = spark.createDataFrame(Seq(Tuple1("seven\nSeVeN\nven")))
@@ -378,6 +395,19 @@ class OperatorSpec extends SparkSpec {
     assert(row.getString(1) === "beta")
     assert(row.getSeq[String](2) === Seq("f0", "f1", "f2"))
     assert(row.getString(3) === "gamma")
+  }
+
+  test("AttributesToJSON regex selection with core-attribute exclusion " +
+       "(AttributesToJSON.h)") {
+    val ff = flowFrame(Seq(("", Map(
+      "app.name" -> "x", "app.ver" -> "2", "other" -> "y", "path" -> "/tmp"))))
+    val all = ff.select(Transforms.attributesToJsonRegex("^(app|path).*"))
+      .collect()(0).getString(0)
+    assert(all.contains("\"app.name\":\"x\"") && all.contains("\"path\":\"/tmp\""))
+    assert(!all.contains("other"))
+    val noCore = ff.select(Transforms.attributesToJsonRegex("^(app|path).*",
+      includeCore = false)).collect()(0).getString(0)
+    assert(noCore.contains("\"app.ver\":\"2\"") && !noCore.contains("path"))
   }
 
   test("InvokeHTTP attributes-to-headers regex projection (InvokeHTTP.h)") {
