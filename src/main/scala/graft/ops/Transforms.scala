@@ -147,6 +147,21 @@ object Transforms {
     })
 
   /**
+   * EvaluateJsonPath with Path Not Found routing (EvaluateJsonPath.h:32-48):
+   * a row whose paths do not ALL resolve routes to `unmatched` instead of
+   * carrying nulls silently — the reference's strict destination mode.
+   */
+  def evaluateJsonPathRouted(df: DataFrame, contentCol: Column,
+                             paths: Seq[(String, String)]): DataFrame = {
+    val evaluated = evaluateJsonPath(df, contentCol, paths)
+    val allFound = paths.map { case (name, _) =>
+      FlowFrame.attr(name).isNotNull
+    }.reduce(_ && _)
+    evaluated.withColumn(FlowFrame.Relationship,
+      when(allFound, "matched").otherwise("unmatched"))
+  }
+
+  /**
    * HashContent (HashContent.h:146-159, HashContent.cpp:57): hash the raw
    * content claim into an attribute. MD5/SHA1/SHA256 per the algorithm
    * property; hashes the content bytes, so BINARY is passed through uncast.

@@ -397,6 +397,17 @@ class OperatorSpec extends SparkSpec {
     assert(row.getString(3) === "gamma")
   }
 
+  test("EvaluateJsonPath routes unresolved paths to unmatched " +
+       "(EvaluateJsonPath.h:32-48)") {
+    val ff = flowFrame(Seq(
+      ("""{"a":1,"b":2}""", Map.empty[String, String]),
+      ("""{"a":1}""", Map.empty[String, String])))
+    val routed = Transforms.evaluateJsonPathRouted(ff, col(FlowFrame.Content),
+      Seq(("va", "$.a"), ("vb", "$.b")))
+    val rels = routed.select("relationship").collect().map(_.getString(0)).toSeq
+    assert(rels === Seq("matched", "unmatched"))
+  }
+
   test("AttributesToJSON regex selection with core-attribute exclusion " +
        "(AttributesToJSON.h)") {
     val ff = flowFrame(Seq(("", Map(
