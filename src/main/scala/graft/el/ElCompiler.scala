@@ -72,8 +72,9 @@ object ElCompiler {
         case "allAttributes" | "anyAttribute" =>
           array(qargs.map(a => attrs(asString(a))): _*)
         case "allMatchingAttributes" | "anyMatchingAttribute" =>
+          // whole-name match, not search (utils::regexMatch, Expression.cpp:1172)
           map_values(map_filter(col(FlowFrame.Attributes),
-            (k, _) => k.rlike(asString(qargs.head))))
+            (k, _) => k.rlike(anchor(asString(qargs.head)))))
         case _ => // all/anyDelineatedValue(subject, delimiter)
           split(compileNode(qargs.head, attrs).cast("string"),
             java.util.regex.Pattern.quote(asString(qargs(1))))
@@ -105,8 +106,9 @@ object ElCompiler {
     case other => throw new IllegalArgumentException(s"expected literal, got $other")
   }
 
-  /** Anchored full-match for `matches` (std::regex_match, Expression.cpp:800). */
-  private def anchor(pat: String): String = "^(?:" + pat + ")$"
+  /** Anchored full-match for `matches` and the matching-attribute
+    * quantifiers (std::regex_match, Expression.cpp:800,1172). */
+  private[graft] def anchor(pat: String): String = "^(?:" + pat + ")$"
 
   // Escape family UDFs (Expression.cpp:446-727). Maps mirror the reference's
   // replaceMap tables — public HTML 3/4 entity names.

@@ -69,10 +69,12 @@ object Exec {
   /**
    * InvokeHTTP "Attributes to Send" (InvokeHTTP.h attribute-to-header
    * regex): attributes whose names match become request headers — a pure
-   * map_filter projection feeding the per-partition client below.
+   * map_filter projection feeding the per-partition client below. The
+   * reference matches the WHOLE name (utils::regexMatch, InvokeHTTP.cpp:219),
+   * so the pattern is anchored, not searched.
    */
   def attributesToHeaders(attrsMap: Column, regex: String): Column =
-    map_filter(attrsMap, (k, _) => k.rlike(regex))
+    map_filter(attrsMap, (k, _) => k.rlike(graft.el.ElCompiler.anchor(regex)))
 
   /**
    * The network plane of InvokeHTTP: per-partition java.net.http client —

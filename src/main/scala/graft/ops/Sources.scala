@@ -76,7 +76,10 @@ object Sources {
   }
 
   /** FetchFile per-row fetch + completion (see fetchFile). Returns
-    * struct(content BINARY, relationship STRING). */
+    * struct(content BINARY, relationship STRING). Marked nondeterministic:
+    * the move/delete completions are side effects, and a deterministic UDF
+    * may be duplicated by CollapseProject/PushDownPredicates — the second
+    * evaluation would find the file already moved and route `failure`. */
   val fetchFileUdf = udf((path: String, completion: String, moveDest: String) => {
     val f = new java.io.File(if (path == null) "" else path)
     if (!f.isFile) (null: Array[Byte], "failure")
@@ -93,7 +96,7 @@ object Sources {
       }
       (bytes, "success")
     }
-  })
+  }).asNondeterministic()
 
   /**
    * FetchFile as its own operator (FetchFile.cpp:118,159; completion

@@ -129,9 +129,11 @@ object Transforms {
       FlowFrame.CoreAttrs.Filename, FlowFrame.CoreAttrs.Uuid,
       FlowFrame.CoreAttrs.Priority, FlowFrame.CoreAttrs.MimeType,
       FlowFrame.CoreAttrs.FlowId)
+    // whole-name match (utils::regexMatch, AttributesToJSON.cpp:76)
+    val anchored = graft.el.ElCompiler.anchor(regex)
     val selected = map_filter(col(FlowFrame.Attributes), (k, _) =>
-      if (includeCore) k.rlike(regex)
-      else k.rlike(regex) && !k.isin(core.map(lit): _*))
+      if (includeCore) k.rlike(anchored)
+      else k.rlike(anchored) && !k.isin(core.map(lit): _*))
     to_json(selected)
   }
 

@@ -49,7 +49,8 @@ class NetListenerSource extends TableProvider {
       Option(properties.get("protocol")).getOrElse("tcp"),
       Option(properties.get("port")).map(_.toInt).getOrElse(0),
       Option(properties.get("delimiter")).getOrElse("\n"),
-      Option(properties.get("basePath")).getOrElse("/contentListener"))
+      Option(properties.get("basePath")).getOrElse("/contentListener"),
+      Option(properties.get("maxQueueSize")).map(_.toInt).getOrElse(10000))
 }
 
 object NetListenerSource {
@@ -70,22 +71,31 @@ object NetListenerSource {
 
   private[sources] def listenerFor(name: String, protocol: String, port: Int,
                                    delimiter: String,
-                                   basePath: String = "/contentListener"): Listener =
+                                   basePath: String = "/contentListener",
+                                   maxQueueSize: Int = 10000): Listener =
     listeners.computeIfAbsent(name, _ => {
-      val l = new Listener(protocol, port, delimiter, basePath)
+      val l = new Listener(protocol, port, delimiter, basePath, maxQueueSize)
       l.start()
       l
     })
 
   /** Background accept loop + bounded message log (the reference's
     * max-queue-size concurrent queue, NetworkListenerProcessor.cpp:71).
+    * Bounded two ways, like the reference: messages arriving while the
+    * queue holds `maxQueueSize` uncommitted entries are dropped (the
+    * reference logs and discards on a full ConcurrentQueue), and entries
+    * at or below the committed offset are pruned on `commit` — so a
+    * long-running stream holds at most one uncommitted window in memory.
     * Protocols: tcp (delimiter-framed), udp (datagram-framed), http
     * (ListenHTTP, extensions/civetweb/processors/ListenHTTP.h:66-85 —
     * one message per POST/PUT body on the base path). */
   private[sources] final class Listener(protocol: String, requestedPort: Int,
-                                        delimiter: String, basePath: String = "/contentListener") {
+                                        delimiter: String,
+                                        basePath: String = "/contentListener",
+                                        maxQueueSize: Int = 10000) {
     private val log = new ArrayBuffer[(Long, String, String)]()
     private val nextSeq = new AtomicLong(0L)
+    @volatile private var droppedCount = 0L
     @volatile private var running = true
     private var serverSocket: ServerSocket = _
     private var udpSocket: DatagramSocket = _
@@ -98,14 +108,28 @@ object NetListenerSource {
     }
 
     private def append(sender: String, msg: String): Unit = log.synchronized {
-      log += ((nextSeq.getAndIncrement(), sender, msg))
+      if (log.length >= maxQueueSize) droppedCount += 1  // full queue drops, as the reference
+      else log += ((nextSeq.getAndIncrement(), sender, msg))
     }
 
+    /** Entries are seq-ordered, so the range is a contiguous slice; with
+      * commit-time pruning the scan is bounded by maxQueueSize. */
     def range(fromExclusive: Long, untilInclusive: Long): Seq[(Long, String, String)] =
       log.synchronized {
-        log.filter(r => r._1 > fromExclusive && r._1 <= untilInclusive).toSeq
+        val from = log.indexWhere(_._1 > fromExclusive)
+        if (from < 0) Seq.empty
+        else log.view.slice(from, log.length).takeWhile(_._1 <= untilInclusive).toSeq
       }
 
+    /** Drop entries the stream has durably committed (<= seq). */
+    def prune(upToInclusive: Long): Unit = log.synchronized {
+      val keepFrom = log.indexWhere(_._1 > upToInclusive)
+      if (keepFrom < 0) log.clear()
+      else if (keepFrom > 0) log.remove(0, keepFrom)
+    }
+
+    def dropped: Long = droppedCount
+    def queuedCount: Int = log.synchronized(log.length)
     def maxSeq: Long = nextSeq.get() - 1
 
     def start(): Unit = protocol match {
@@ -179,12 +203,14 @@ object NetListenerSource {
       if (serverSocket != null) serverSocket.close()
       if (udpSocket != null) udpSocket.close()
       if (httpServer != null) httpServer.stop(0)
+      log.synchronized(log.clear())
     }
   }
 }
 
 private class NetListenerTable(name: String, protocol: String, port: Int,
-                               delimiter: String, basePath: String)
+                               delimiter: String, basePath: String,
+                               maxQueueSize: Int)
   extends Table with SupportsRead {
   override def name(): String = s"listen:$protocol:$name"
   override def schema(): StructType = NetListenerSource.schema
@@ -194,7 +220,7 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
     () => new Scan {
       override def readSchema(): StructType = NetListenerSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new NetListenerStream(name, protocol, port, delimiter, basePath)
+        new NetListenerStream(name, protocol, port, delimiter, basePath, maxQueueSize)
     }
 }
 
@@ -203,10 +229,11 @@ private case class SeqOffset(json: String) extends Offset {
 }
 
 private class NetListenerStream(name: String, protocol: String, port: Int,
-                                delimiter: String, basePath: String)
+                                delimiter: String, basePath: String,
+                                maxQueueSize: Int)
   extends MicroBatchStream {
   private val listener =
-    NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath)
+    NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath, maxQueueSize)
 
   override def initialOffset(): Offset = SeqOffset("-1")
   override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)
@@ -223,7 +250,11 @@ private class NetListenerStream(name: String, protocol: String, port: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => new NetBatchReader(p.asInstanceOf[NetBatchPartition])
 
-  override def commit(end: Offset): Unit = ()
+  // Committed entries are checkpoint-durable downstream — evict them so a
+  // long-running listener holds only the uncommitted window (the reference
+  // drains its queue on every onTrigger).
+  override def commit(end: Offset): Unit =
+    listener.prune(end.asInstanceOf[SeqOffset].seq)
   override def stop(): Unit = ()
   override def deserializeOffset(json: String): Offset = SeqOffset(json)
 }

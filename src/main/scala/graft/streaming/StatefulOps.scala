@@ -72,7 +72,11 @@ object StatefulOps {
             var buf = state.getOption.getOrElse(empty)
             val out = List.newBuilder[Message]
             def add(l: Line): Unit = {
-              buf = Buffer(l :: buf.lines, buf.bytes + l.line.length)
+              // byte-based cap like the reference (DefragmentText.h:85-87):
+              // encoded UTF-8 size + the joining newline, not char count
+              val sz = l.line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
+                (if (buf.lines.isEmpty) 0 else 1)
+              buf = Buffer(l :: buf.lines, buf.bytes + sz)
               if (maxBufferBytes > 0 && buf.bytes > maxBufferBytes) {
                 flush(source, buf, "failure").foreach(out += _)
                 buf = empty

@@ -127,15 +127,25 @@ private class TailMicroBatchStream(dir: String, glob: String)
 
   override def initialOffset(): Offset = TailOffset("{}")
 
+  /** Last successfully probed (or checkpoint-restored) per-file state —
+    * carried forward when a probe fails transiently, so a momentary
+    * IOException does not drop the stored position and force a re-read
+    * from byte 0 (only a real head-CRC mismatch restarts a file). */
+  @volatile private var knownState: Map[String, FileState] = Map.empty
+
   override def latestOffset(): Offset = {
-    // a file may rotate away between listing and probing — skip it this
-    // trigger rather than fail; the next trigger re-lists
     val next = listFiles().flatMap { f =>
       try {
         val crcLen = math.min(64L, f.length())
         Some(f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // transient probe failure (mid-rotation, permission blip): keep the
+        // previous trigger's state for this path; if it was a genuine
+        // rotation the next successful probe's CRC check catches it
+        case _: java.io.IOException => knownState.get(f.getPath).map(f.getPath -> _)
+      }
     }.toMap
+    knownState = next
     TailOffset(stateToJson(next))
   }
 
@@ -165,7 +175,13 @@ private class TailMicroBatchStream(dir: String, glob: String)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-  override def deserializeOffset(json: String): Offset = TailOffset(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = TailOffset(json)
+    // checkpoint-restart path: seed the carry-forward state from the
+    // restored offset so the first trigger also survives a probe failure
+    if (knownState.isEmpty) knownState = o.state
+    o
+  }
 }
 
 private case class TailPartition(path: String, from: Long, until: Long)
