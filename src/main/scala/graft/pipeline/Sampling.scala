@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / splitting / shuffling for training-data
+ * pipelines: the data-mixing stage that sits between dedup and export.
+ *
+ * All decisions hash the ROW ID (never a partition index or RNG stream), so
+ * membership is a pure function of (id, seed) — stable under repartitioning,
+ * retries, executor count, and engine (DuckDB computes the identical
+ * buckets), and each operation is a narrow map stage with no shuffle.
+ *
+ * The hash → [0,1) mapping uses the first 15 hex chars of md5(seed|id) as
+ * an integer fraction of 16^15 — uniform to ~60 bits, the same
+ * engine-portable construction as Dedup.minHashSignatures.
+ */
+object Sampling {
+
+  private val HashSpace: Double = math.pow(16.0, 15)
+
+  /** Uniform [0,1) hash of (seed, id) — deterministic, engine-portable. */
+  def hashFraction(idCol: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit("|"), idCol.cast("string"))),
+      1, 15), 16, 10).cast("double") / lit(HashSpace)
+
+  /**
+   * Per-stratum sampling rates (data mixing): keep a row of stratum s with
+   * probability rates(s); strata not listed fall back to `defaultRate`.
+   * One codegen'd CASE per row, no shuffle, exactly reproducible.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       idCol: Column, seed: String): DataFrame = {
+    val rate = rates.foldLeft(Option.empty[Column]) { case (acc, (k, r)) =>
+      Some(acc.map(_.when(strataCol === k, lit(r)))
+        .getOrElse(when(strataCol === k, lit(r))))
+    }.map(_.otherwise(lit(defaultRate))).getOrElse(lit(defaultRate))
+    df.filter(hashFraction(idCol, seed) < rate)
+  }
+
+  /**
+   * Train/validation/test assignment by hash bucket: fractions are
+   * cumulative cut points in [0,1). A document keeps its split forever —
+   * new data arriving later cannot move old rows between splits, the
+   * property leakage-safe pipelines need.
+   */
+  def trainValTestSplit(df: DataFrame, idCol: Column, seed: String,
+                        trainFrac: Double, valFrac: Double): DataFrame = {
+    val f = hashFraction(idCol, seed)
+    df.withColumn("split",
+      when(f < trainFrac, "train")
+        .when(f < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
+  /**
+   * Deterministic corpus shuffle for training export: order by the id hash.
+   * Planned as a range-partitioned sort (repartitionByRange + local sort),
+   * the scalable global-order shape — each output partition is a contiguous
+   * hash range written independently; no single-partition sort anywhere.
+   * Downstream trainers read partitions in filename order and get the same
+   * permutation every run.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: Column, seed: String,
+                           numPartitions: Int): DataFrame = {
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit("|"), idCol.cast("string"))))
+    keyed.repartitionByRange(numPartitions, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+  }
+}

@@ -142,15 +142,23 @@ object Similarity {
    */
   def nearDupPairs(emb: DataFrame, nBits: Int, minCosine: Double,
                    maxBucketSize: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n", normSqQ(col("qv")))
       .withColumn("bucket", lshBucket(col("qv"), nBits))
-    val salted = v
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .withColumn("salt", when(col("bsz") > maxBucketSize,
-        pmod(hash(col("vec_id")), ceil(col("bsz") / maxBucketSize).cast("int")))
-        .otherwise(lit(0)))
+    // Oversized-bucket detection via a tiny partial-aggregated count +
+    // broadcast join back (see Dedup.minHashLshPairs): no bucket-partitioned
+    // window, so the self-join below shuffles directly on (bucket, salt)
+    // with no sort stage.
+    val oversized = v.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .withColumn("nsalts", ceil(col("bsz") / maxBucketSize).cast("int"))
+      .select(col("bucket"), col("nsalts"))
+    val salted = v.join(broadcast(oversized), Seq("bucket"), "left")
+      .withColumn("salt",
+        when(col("nsalts").isNotNull, pmod(hash(col("vec_id")), col("nsalts")))
+          .otherwise(lit(0)))
+      .drop("nsalts")
     val pairs = salted.as("a").join(salted.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.salt") === col("b.salt") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -174,6 +182,69 @@ object Similarity {
       .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
         col("cn"), col("qn")), 6))
     scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
+  /**
+   * IVF (inverted-file) ANN — the second standard scale path next to LSH:
+   * partition the corpus into `nCentroids` Voronoi cells, search only the
+   * `nProbe` cells nearest each query.
+   *
+   * Centroids are a deterministic sample: the `nCentroids` corpus vectors
+   * with the smallest md5(vec_id) — a uniform, engine-portable draw that
+   * needs no RNG and no training iterations (sampled seeds are how IVF
+   * indexes are commonly bootstrapped; Lloyd refinement can be layered on
+   * but changes recall, not the plan shape). The centroid table is tiny
+   * and broadcast to both assignment joins, so the only shuffle of corpus
+   * data is the final cell-keyed join — cost O(corpus·nCentroids) integer
+   * dot products map-side, then O(candidates in probed cells) scoring.
+   *
+   * Assignment ranks by (cosine desc, centroid id asc) with the cosine
+   * rounded to 6 digits — the same deterministic tie-break as the top-k
+   * rankers, so cell membership is partition-order-independent.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    // Deterministic centroid sample via orderBy+limit — Spark plans this as
+    // TakeOrderedAndProject (per-partition top-K, driver merge), NOT a
+    // global sort, so it scales. The md5 hex itself is the cell key.
+    val centroids = c.orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(nCentroids)
+      .select(md5(col("cid").cast("string")).as("cent"),
+        col("cq").as("centq"), col("cn").as("centn"))
+      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    // Cell assignment is PER-ROW: the single-row centroid array broadcasts
+    // onto every row and a higher-order transform scores all cells in one
+    // map stage — no crossJoin row explosion, no shuffle. Cells sort by
+    // (cosine desc, cent asc) via a (-cos, cent) struct sort, the same
+    // deterministic tie-break as the top-k rankers.
+    def scoredCells(vec: Column, norm: Column): Column =
+      transform(col("cents"), x =>
+        struct((-round(cosineFromQ(dotQ(vec, x.getField("centq")), norm,
+          x.getField("centn")), 6)).as("negCos"), x.getField("cent").as("cent")))
+    val cAssigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cent", array_min(scoredCells(col("cq"), col("cn"))).getField("cent"))
+      .drop("cents")
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq")))
+    val qAssigned = q.crossJoin(broadcast(centroids))
+      .withColumn("cent", explode(transform(
+        slice(array_sort(scoredCells(col("qq"), col("qn"))), 1, nProbe),
+        x => x.getField("cent"))))
+      .drop("cents")
+    val scored = cAssigned.join(broadcast(qAssigned), "cent")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
+        col("cn"), col("qn")), 6))
+    scored.groupBy(col("qid"), col("cid"))       // a pair may share >1 probed cell
+      .agg(first(col("cosine")).as("cosine"))
+      .withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("cid").asc)))
       .filter(col("rank") <= k)

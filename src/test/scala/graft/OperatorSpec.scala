@@ -527,4 +527,28 @@ class OperatorSpec extends SparkSpec {
     val got = out.select("name", "id").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSet === Set(("f1", 2L), ("f2", 4L)))
   }
+
+  test("ManipulateArchive edge routing: existing destination fails, missing " +
+       "anchor appends, touch collision fails (ManipulateArchive.cpp:96-190)") {
+    val df = spark.createDataFrame(Seq(Tuple1("x"))).toDF("x")
+    val archive = Archive.zipPackMulti(
+      array(lit("a"), lit("b")),
+      array(lit("pa").cast("binary"), lit("pb").cast("binary")))
+    def run(op: String, target: String, dest: String,
+            before: String, after: String): (Seq[String], String) = {
+      val e = Archive.zipManipulate(archive, lit(op), lit(target), lit(dest),
+        lit(before), lit(after))
+      val r = df.select(Archive.zipEntries(e.getField("_1")).as("names"),
+        e.getField("_2").as("rel")).collect().head
+      (Option(r.getSeq[String](0)).getOrElse(Seq.empty), r.getString(1))
+    }
+    // copy onto an existing entry name → failure (reference refuses overwrite)
+    assert(run("copy", "a", "b", "", "") === (Seq.empty, "failure"))
+    // touch an existing name → failure for the same reason
+    assert(run("touch", "", "a", "", "") === (Seq.empty, "failure"))
+    // move with a nonexistent anchor → warn + append at end
+    assert(run("move", "a", "c", "", "nope") === (Seq("b", "c"), "success"))
+    // copy with no anchor appends
+    assert(run("copy", "b", "c", "", "") === (Seq("a", "b", "c"), "success"))
+  }
 }

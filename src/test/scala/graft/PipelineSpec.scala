@@ -110,6 +110,97 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[Long]("cid") === 1L)
   }
 
+  test("IVF top-k agrees with brute force when probing enough cells, and " +
+       "is deterministic") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, 0.5f)),
+      (1L, Array(0.9f, 0.8f, -0.7f, 0.4f)),   // near 0
+      (2L, Array(-1.0f, 1.0f, 1.0f, -0.2f)),
+      (3L, Array(0.1f, -0.9f, 0.3f, 0.8f)),
+      (4L, Array(0.8f, 0.9f, -0.9f, 0.6f))))  // also near 0
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0)
+    // probing ALL cells makes IVF exhaustive → must equal brute force
+    val ivfAll = Similarity.ivfTopK(emb, queries, k = 2,
+      nCentroids = 3, nProbe = 3).orderBy("rank").collect()
+    val brute = Similarity.bruteForceTopK(emb, queries, 2)
+      .orderBy("rank").collect()
+    assert(ivfAll.map(_.getAs[Long]("cid")).toSeq ===
+      brute.map(_.getAs[Long]("cid")).toSeq)
+    assert(ivfAll.map(_.getAs[Double]("cosine")).toSeq ===
+      brute.map(_.getAs[Double]("cosine")).toSeq)
+    // single-probe search still finds the in-cell nearest neighbor and is
+    // stable across runs (deterministic centroid sample + tie-breaks)
+    val p1a = Similarity.ivfTopK(emb, queries, k = 1, nCentroids = 3, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Double]("cosine"))).toSeq
+    val p1b = Similarity.ivfTopK(emb, queries, k = 1, nCentroids = 3, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Double]("cosine"))).toSeq
+    assert(p1a === p1b)
+    assert(p1a.nonEmpty)
+  }
+
+  test("connected components: large-star/small-star fixpoint equals naive " +
+       "union-find on chains, cliques, and a random graph") {
+    import scala.util.Random
+    // deterministic random graph + known shapes
+    val rnd = new Random(42)
+    val chain = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val randomEdges = Seq.fill(60)((rnd.nextInt(40) + 100L, rnd.nextInt(40) + 100L))
+      .filter { case (a, b) => a != b }
+    val edges = chain ++ clique ++ randomEdges
+    // naive union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, find(n))).toMap
+    val df = spark.createDataFrame(edges).toDF("idA", "idB")
+    val got = Clusters.connectedComponents(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
+  test("dedupDecisions keeps exactly the component minima and singletons") {
+    val docs = spark.range(0, 10).toDF("doc_id")
+    val pairs = spark.createDataFrame(Seq((1L, 3L), (3L, 5L), (7L, 8L)))
+      .toDF("idA", "idB")
+    val out = Clusters.dedupDecisions(docs, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, true)) && out(3L) === ((1L, false)) &&
+      out(5L) === ((1L, false)))
+    assert(out(7L) === ((7L, true)) && out(8L) === ((7L, false)))
+    // singletons keep themselves
+    assert(Seq(0L, 2L, 4L, 6L, 9L).forall(i => out(i) === ((i, true))))
+  }
+
+  test("deterministic shuffle: partitions are hash-contiguous and " +
+       "internally sorted (ranged sort, no global single-partition sort)") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    val shuffled = Sampling.deterministicShuffle(docs, col("doc_id"), "s", 8)
+    val perPart = shuffled.select(col("shuffle_key"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val keys = it.map(_.getString(0)).toVector
+        Iterator((i, keys))
+      }.collect().sortBy(_._1)
+    // within-partition sorted
+    assert(perPart.forall { case (_, ks) => ks == ks.sorted })
+    // cross-partition ranges disjoint and ascending
+    val nonEmpty = perPart.filter(_._2.nonEmpty)
+    nonEmpty.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(a.last <= b.head)
+      case _ =>
+    }
+    // it is a permutation of the input
+    assert(perPart.flatMap(_._2).length === 500)
+  }
+
   test("multimodal claim pointers: large payloads drop inline bytes and " +
        "materialize lazily from the claim URI (FlowFile.h:44-50)") {
     val dir = java.nio.file.Files.createTempDirectory("claims")
