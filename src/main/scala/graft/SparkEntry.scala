@@ -107,6 +107,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 ExtractText Regex Mode — repeating capture groups (match-major
+    // `name.<k>` numbering with group 0), capture-length truncation, byte
+    // size limit, and a case-insensitive non-repeating pass
+    "extract_text_full" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "documents"), "text", Seq("doc_id"))
+      val rep = Transforms.extractTextRegex(ff, col(FlowFrame.Content),
+        Seq(("w", "(s[a-z]+) (t[a-z]+)")), includeGroupZero = true,
+        repeating = true, maxCaptureLen = 6, sizeLimit = 100)
+      val one = Transforms.extractTextRegex(rep, col(FlowFrame.Content),
+        Seq(("f", "(S[A-Z]+[a-z]*)")), includeGroupZero = false,
+        repeating = false, caseInsensitive = true)
+      one.select(
+        FlowFrame.attr("doc_id").cast("long").as("doc_id"),
+        FlowFrame.attr("w").as("w"),
+        FlowFrame.attr("w.0").as("w_0"),
+        FlowFrame.attr("w.1").as("w_1"),
+        FlowFrame.attr("w.2").as("w_2"),
+        FlowFrame.attr("w.3").as("w_3"),
+        FlowFrame.attr("f").as("f"),
+        FlowFrame.attr("f.0").as("f_0"))
+        .orderBy("doc_id")
+    }),
+
     // §2.4 ReplaceText — entire-text strategies, line-by-line scoping
     // (FIRST/EXCEPT_LAST), and substitute-variables from the attribute map
     "replace_text" -> ((s, dir) => {
@@ -1131,6 +1154,18 @@ object SparkEntry {
       """SELECT doc_id, regexp_extract(text, '^([a-z]+)', 1) AS first_word,
         | regexp_extract(text, '(j[a-z]+)', 1) AS j_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "extract_text_full" ->
+      """WITH g AS (SELECT doc_id,
+        |  regexp_extract_all(left(text, 100), '(s[a-z]+) (t[a-z]+)', 0) AS g0,
+        |  regexp_extract_all(left(text, 100), '(s[a-z]+) (t[a-z]+)', 1) AS g1,
+        |  regexp_extract_all(left(text, 100), '(s[a-z]+) (t[a-z]+)', 2) AS g2,
+        |  nullif(regexp_extract(text, '(S[A-Z]+[a-z]*)', 1, 'i'), '') AS fx
+        | FROM documents)
+        |SELECT doc_id, left(g0[1], 6) AS w, left(g0[1], 6) AS w_0,
+        | left(g1[1], 6) AS w_1, left(g2[1], 6) AS w_2, left(g0[2], 6) AS w_3,
+        | fx AS f, fx AS f_0
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "replace_text" ->
       """WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words FROM documents)

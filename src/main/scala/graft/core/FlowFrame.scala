@@ -85,6 +85,17 @@ object FlowFrame {
   }
 
   /**
+   * Merge a dynamically-keyed map column into the attribute map (overwrite
+   * on collision, like [[withAttrs]]) — for operators whose attribute
+   * NAMES are data-dependent (ExtractText repeating captures produce
+   * `name.<k>` up to a per-row match count, ExtractText.cpp:121).
+   */
+  def withAttrsMap(df: DataFrame, updates: Column): DataFrame =
+    df.withColumn(Attributes, map_concat(
+      map_filter(col(Attributes), (k, _) => !map_contains_key(updates, k)),
+      updates))
+
+  /**
    * Split one routed frame into per-relationship frames
    * (ProcessSession::routeFlowFile, ProcessSession.cpp:804).
    *

@@ -32,6 +32,60 @@ object Transforms {
       name -> regexp_extract(contentCol, pat, group)
     })
 
+  /**
+   * ExtractText full Regex Mode (ExtractText.cpp:89-131): each dynamic
+   * property (name → regex) is searched repeatedly over content; every
+   * capture group of every match gets `name.<matchcount>` where matchcount
+   * runs match-major then group-minor (match 1 group g0, g1, …, match 2
+   * g0, …), starting at group 0 when `includeGroupZero` (the whole-match
+   * text) else group 1. The FIRST value also lands on the bare `name`.
+   * Without `repeating` only the first match is taken
+   * (`EnableRepeatingCaptureGroup`). Values truncate to `maxCaptureLen`
+   * chars (`MaxCaptureGroupLen`); content truncates to `sizeLimit` BYTES
+   * before matching (`SizeLimit`, 0 = unlimited); `caseInsensitive` maps
+   * to an embedded `(?i)` flag (`InsensitiveMatch`).
+   *
+   * Shape: per-group `regexp_extract_all` arrays interleaved match-major
+   * with higher-order functions — narrow, codegen-friendly, no UDF; the
+   * dynamic (per-row) attribute count lands as one map column merged via
+   * [[FlowFrame.withAttrsMap]].
+   */
+  def extractTextRegex(df: DataFrame, contentCol: Column,
+                       patterns: Seq[(String, String)],
+                       includeGroupZero: Boolean = true,
+                       repeating: Boolean = false,
+                       caseInsensitive: Boolean = false,
+                       maxCaptureLen: Int = 1024,
+                       sizeLimit: Int = 2 * 1024 * 1024): DataFrame = {
+    val content =
+      if (sizeLimit > 0) substring(contentCol.cast("binary"), 1, sizeLimit).cast("string")
+      else contentCol
+    val emptyArr = array().cast("array<string>")
+    val perPattern: Seq[Column] = patterns.map { case (name, pattern) =>
+      val nGroups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+      val pat = lit(if (caseInsensitive) "(?i)" + pattern else pattern)
+      val groups = (if (includeGroupZero) 0 else 1) to nGroups
+      val perGroup = groups.map(g => regexp_extract_all(content, pat, lit(g)))
+      val nMatches =
+        if (repeating) size(perGroup.head) else least(size(perGroup.head), lit(1))
+      // match-major interleave; sequence(0, n-1) is invalid for n == 0
+      val vals = when(nMatches > 0,
+        flatten(transform(sequence(lit(0), nMatches - 1), m =>
+          array(perGroup.map(pg =>
+            substring(element_at(pg, m + 1), 1, maxCaptureLen)): _*))))
+        .otherwise(emptyArr)
+      val keys = when(size(vals) > 0,
+        concat(array(lit(name)),
+          transform(sequence(lit(0), size(vals) - 1),
+            i => concat(lit(name + "."), i))))
+        .otherwise(emptyArr)
+      map_from_arrays(keys,
+        when(size(vals) > 0, concat(slice(vals, 1, 1), vals)).otherwise(emptyArr))
+    }
+    FlowFrame.withAttrsMap(df,
+      if (perPattern.size == 1) perPattern.head else map_concat(perPattern: _*))
+  }
+
   /** ReplaceText strategies (ReplaceText.h:50-58 ReplacementStrategyType). */
   sealed trait ReplaceStrategy
   case object LiteralReplace extends ReplaceStrategy

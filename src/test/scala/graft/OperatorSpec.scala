@@ -551,4 +551,42 @@ class OperatorSpec extends SparkSpec {
     // copy with no anchor appends
     assert(run("copy", "b", "c", "", "") === (Seq("a", "b", "c"), "success"))
   }
+
+  test("ExtractText regex mode: repeating captures, match-major numbering " +
+       "with/without group 0 (ExtractTextTests.cpp:125-190)") {
+    val df = flowFrame(Seq(("Speed limit 130 | Speed limit 80", Map.empty[String, String])))
+    def attrsOf(d: org.apache.spark.sql.DataFrame): Map[String, String] =
+      d.select(col(FlowFrame.Attributes)).collect().head.getMap[String, String](0).toMap
+    // Include capture group 0 (default)
+    val withG0 = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("RegexAttr", "Speed limit ([0-9]+)")), repeating = true))
+    assert(withG0("RegexAttr") === "Speed limit 130")
+    assert(withG0("RegexAttr.0") === "Speed limit 130")
+    assert(withG0("RegexAttr.1") === "130")
+    assert(withG0("RegexAttr.2") === "Speed limit 80")
+    assert(withG0("RegexAttr.3") === "80")
+    // Do not include capture group 0
+    val noG0 = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("RegexAttr", "Speed limit ([0-9]+)")), includeGroupZero = false,
+      repeating = true))
+    assert(noG0("RegexAttr") === "130")
+    assert(noG0("RegexAttr.0") === "130")
+    assert(noG0("RegexAttr.1") === "80")
+    assert(!noG0.contains("RegexAttr.2"))
+    // non-repeating: first match only
+    val first = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("RegexAttr", "Speed limit ([0-9]+)")), includeGroupZero = false))
+    assert(first("RegexAttr.0") === "130")
+    assert(!first.contains("RegexAttr.1"))
+    // large match truncates to MaxCaptureGroupLen (default 1024)
+    val long = flowFrame(Seq(("Speed limit 80" + "." * 100000, Map.empty[String, String])))
+    val big = attrsOf(Transforms.extractTextRegex(long, col(FlowFrame.Content),
+      Seq(("RegexAttr", "Speed limit (.*)")), includeGroupZero = false))
+    assert(big("RegexAttr.0").length === 1024)
+    assert(big("RegexAttr.0").startsWith("80.."))
+    // no match → no attributes set at all
+    val none = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("Nope", "xyzzy([0-9]+)")), repeating = true))
+    assert(!none.exists(_._1.startsWith("Nope")))
+  }
 }
