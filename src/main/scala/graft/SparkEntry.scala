@@ -107,6 +107,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.1 GenerateFlowFile mode surface — unique/shared keystreams, text
+    // vs bytes, EL custom text, empty content (GenerateFlowFile.h:106-124)
+    "generate_flowfile_modes" -> ((s, dir) => {
+      val uniq = Sources.generateFlowFilesMode(s, 200, 100, Sources.UniqueText)
+        .withColumnRenamed("content", "uniq")
+      val shared = Sources.generateFlowFilesMode(s, 200, 50, Sources.NotUniqueText)
+        .withColumnRenamed("content", "shared")
+      val bytes = Sources.generateFlowFilesMode(s, 200, 16, Sources.UniqueBytes)
+        .select(col("file_id"), hex(col("content")).as("bytes_hex"))
+      val custom = Sources.generateFlowFilesMode(s, 200, 0, Sources.CustomText,
+        customText = "custom-text")
+        .withColumnRenamed("content", "custom")
+      val empty = Sources.generateFlowFilesMode(s, 200, 0, Sources.EmptyContent)
+        .select(col("file_id"), length(col("content")).cast("long").as("empty_len"))
+      uniq.join(shared, "file_id").join(bytes, "file_id")
+        .join(custom, "file_id").join(empty, "file_id")
+        .orderBy("file_id")
+    }),
+
     // §2.4 ExtractText Regex Mode — repeating capture groups (match-major
     // `name.<k>` numbering with group 0), capture-length truncation, byte
     // size limit, and a case-insensitive non-repeating pass
@@ -172,6 +191,45 @@ object SparkEntry {
         FlowFrame.attr("k_str").as("k_str"),
         (FlowFrame.attr("k_str").cast("long") + 1).as("k_plus"),
         FlowFrame.attr("missing").as("missing"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 EvaluateJsonPath full semantics — null-vs-missing discrimination
+    // (variant), JSON/Scalar return types, Skip path-not-found, invalid-JSON
+    // and non-scalar failure routing, content destination
+    "evaluate_json_path_full" -> ((s, dir) => {
+      val id = col("event_id")
+      val content = when(id % 13 === 0, lit("not json"))
+        .when(id % 4 === 0,
+          format_string("{\"a\": null, \"b\": {\"x\": [%d, 2]}, \"s\": \"v %d\"}", id, id))
+        .otherwise(
+          format_string("{\"b\": {\"x\": [%d, 2]}, \"s\": \"v %d\"}", id, id))
+      val ff = FlowFrame.wrap(events(s, dir).withColumn("doc", content),
+        "doc", Seq("event_id"))
+      // pass 1: JSON return type, set-empty on miss, null renders "null"
+      val p1 = Transforms.evaluateJsonPathFull(ff, col(FlowFrame.Content),
+        Seq(("a", "$.a"), ("bx", "$.b.x"), ("sv", "$.s"), ("nope", "$.nope")),
+        returnType = Transforms.JsonText, nullAsEmptyString = false)
+        .withColumn("rel1", col(FlowFrame.Relationship))
+      // pass 2: Scalar (AutoDetect), Skip on miss, null renders ""
+      val p2 = Transforms.evaluateJsonPathFull(p1, col(FlowFrame.Content),
+        Seq(("av", "$.a")), pathNotFound = Transforms.SkipOnMiss)
+        .withColumn("rel2", col(FlowFrame.Relationship))
+      // pass 3: Scalar over an object → failure routing
+      val p3 = Transforms.evaluateJsonPathFull(p2, col(FlowFrame.Content),
+        Seq(("bad", "$.b")))
+        .withColumn("rel3", col(FlowFrame.Relationship))
+      // pass 4: content destination, JSON (AutoDetect) of $.b.x
+      val p4 = Transforms.evaluateJsonPathContent(p3, col(FlowFrame.Content),
+        "$.b.x")
+      p4.select(
+        FlowFrame.attr("event_id").cast("long").as("event_id"),
+        col("rel1"), FlowFrame.attr("a").as("a"), FlowFrame.attr("bx").as("bx"),
+        FlowFrame.attr("sv").as("sv"), FlowFrame.attr("nope").as("nope"),
+        col("rel2"), FlowFrame.attr("av").as("av"),
+        col("rel3"), FlowFrame.attr("bad").as("bad"),
+        col(FlowFrame.Relationship).as("rel4"),
+        col(FlowFrame.Content).as("content_out"))
         .orderBy("event_id")
     }),
 
@@ -403,6 +461,31 @@ object SparkEntry {
           FlowFrame.attr("flowfile.retries").cast("double").cast("long")
             .as("retry_count"),
           col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("event_id")
+    }),
+
+    // §2.3 RetryFlowFile full surface — non-numeric failure routing
+    // (FailOnNonNumericalOverwrite), Reset Reuse uuid policy, and
+    // retries_exceeded dynamic attributes (RetryFlowFile.cpp:40-110)
+    "retry_flowfile_reuse" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(events(s, dir), "props", Seq("event_id"))
+      val id = FlowFrame.attr("event_id").cast("long")
+      val seeded = FlowFrame.withAttrs(ff, Seq(
+        "flowfile.retries" ->
+          when(id % 7 === 0, lit("NaN")).otherwise((id % 5).cast("string")),
+        "flowfile.retries.uuid" ->
+          when(id % 3 === 0, lit("other-proc")).when(id % 3 === 1, lit("me"))))
+        .withColumn(FlowFrame.Attributes,
+          map_filter(col(FlowFrame.Attributes), (_, v) => v.isNotNull))
+      Routing.retryFlowFile(seeded, "flowfile.retries", 3,
+        processorUuid = Some("me"), reuseMode = Routing.ResetReuse,
+        failOnNonNumericalOverwrite = true,
+        exceededAttrs = Seq("retry.reason" -> "exceeded-${flowfile.retries}"))
+        .select(
+          FlowFrame.attr("event_id").cast("long").as("event_id"),
+          col(FlowFrame.Relationship).as("relationship"),
+          FlowFrame.attr("flowfile.retries").as("retries"),
+          FlowFrame.attr("retry.reason").as("reason"))
         .orderBy("event_id")
     }),
 
@@ -1155,6 +1238,16 @@ object SparkEntry {
         | regexp_extract(text, '(j[a-z]+)', 1) AS j_word
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "generate_flowfile_modes" ->
+      """SELECT CAST(t.range AS BIGINT) AS file_id,
+        | left(md5('gen-0-'||t.range||':0')||md5('gen-0-'||t.range||':1')||
+        |      md5('gen-0-'||t.range||':2')||md5('gen-0-'||t.range||':3'),100) AS uniq,
+        | left(md5('gen-0:0')||md5('gen-0:1'),50) AS shared,
+        | upper(left(md5('gen-0-'||t.range||':0'),32)) AS bytes_hex,
+        | 'custom-text' AS custom,
+        | CAST(0 AS BIGINT) AS empty_len
+        |FROM range(200) t ORDER BY file_id""".stripMargin,
+
     "extract_text_full" ->
       """WITH g AS (SELECT doc_id,
         |  regexp_extract_all(left(text, 100), '(s[a-z]+) (t[a-z]+)', 0) AS g0,
@@ -1355,8 +1448,43 @@ object SparkEntry {
         |ORDER BY src, id""".stripMargin,
 
     "retry_flowfile" ->
-      """SELECT event_id, CAST(event_id % 5 + 1 AS BIGINT) AS retry_count,
-        | CASE WHEN event_id % 5 + 1 <= 3 THEN 'retry' ELSE 'retries_exceeded' END AS relationship
+      """SELECT event_id,
+        | CAST(CASE WHEN event_id % 5 < 3 THEN event_id % 5 + 1
+        |           ELSE event_id % 5 END AS BIGINT) AS retry_count,
+        | CASE WHEN event_id % 5 < 3 THEN 'retry' ELSE 'retries_exceeded' END AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "evaluate_json_path_full" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 13 = 0 THEN 'failure' ELSE 'matched' END AS rel1,
+        | CASE WHEN event_id % 13 = 0 THEN NULL
+        |      WHEN event_id % 4 = 0 THEN 'null' ELSE '' END AS a,
+        | CASE WHEN event_id % 13 = 0 THEN NULL
+        |      ELSE '[' || event_id || ',2]' END AS bx,
+        | CASE WHEN event_id % 13 = 0 THEN NULL ELSE 'v ' || event_id END AS sv,
+        | CASE WHEN event_id % 13 = 0 THEN NULL ELSE '' END AS nope,
+        | CASE WHEN event_id % 13 = 0 THEN 'failure' ELSE 'matched' END AS rel2,
+        | CASE WHEN event_id % 13 = 0 THEN NULL
+        |      WHEN event_id % 4 = 0 THEN '' ELSE NULL END AS av,
+        | 'failure' AS rel3,
+        | CAST(NULL AS VARCHAR) AS bad,
+        | CASE WHEN event_id % 13 = 0 THEN 'failure' ELSE 'matched' END AS rel4,
+        | CASE WHEN event_id % 13 = 0 THEN 'not json'
+        |      ELSE '[' || event_id || ',2]' END AS content_out
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "retry_flowfile_reuse" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 7 = 0 THEN 'failure'
+        |      WHEN event_id % 3 = 0 THEN 'retry'
+        |      WHEN event_id % 5 < 3 THEN 'retry'
+        |      ELSE 'retries_exceeded' END AS relationship,
+        | CASE WHEN event_id % 7 = 0 THEN 'NaN'
+        |      WHEN event_id % 3 = 0 THEN '1'
+        |      WHEN event_id % 5 < 3 THEN CAST(event_id % 5 + 1 AS VARCHAR)
+        |      ELSE CAST(event_id % 5 AS VARCHAR) END AS retries,
+        | CASE WHEN event_id % 7 <> 0 AND event_id % 3 <> 0 AND event_id % 5 >= 3
+        |      THEN 'exceeded-' || CAST(event_id % 5 AS VARCHAR) END AS reason
         |FROM events ORDER BY event_id""".stripMargin,
 
     "expire_ttl" ->

@@ -186,22 +186,63 @@ object Routing {
         count(lit(1)).as("lineCount"))
   }
 
+  /** RetryFlowFile "Reuse Mode" (RetryFlowFile.h:48-51). */
+  sealed trait ReuseMode
+  case object FailOnReuse extends ReuseMode
+  case object WarnOnReuse extends ReuseMode
+  case object ResetReuse extends ReuseMode
+
   /**
-   * RetryFlowFile (RetryFlowFile.cpp): read the retry count attribute,
-   * increment; under `maxRetries` → `retry`, over → `retries_exceeded`.
-   * Penalty delay is relaxed to re-queueing semantics (SURVEY §7.5.1).
+   * RetryFlowFile (RetryFlowFile.cpp:40-110): read the retry count
+   * attribute; under `maxRetries` → `retry` with the attribute set to
+   * count+1, at/over → `retries_exceeded` with the `exceededAttrs` dynamic
+   * properties (EL templates) applied. A non-numeric (or absent) count
+   * resets to 0, or routes to `failure` when
+   * `failOnNonNumericalOverwrite` (strict unsigned-integer parse, as the
+   * reference's parseIntegral<uint64_t>). When `processorUuid` is given,
+   * a `<retriesAttr>.uuid` attribute from a DIFFERENT processor instance
+   * triggers the reuse policy: FailOnReuse → `failure`, Warn/ResetReuse →
+   * count resets to 0 (RetryFlowFile.cpp:54-71). Penalty delay is relaxed
+   * to re-queueing semantics (SURVEY §7.5.1).
    */
   def retryFlowFile(df: DataFrame, retriesAttr: String = "flowfile.retries",
-                    maxRetries: Int = 3): DataFrame = {
-    // cast via double: the attr may hold a stringified decimal ("2.0").
-    // Materialize the count BEFORE overwriting the attribute — the column
-    // expression would otherwise re-read the already-incremented value.
-    val count = coalesce(FlowFrame.attr(retriesAttr).cast("double").cast("long"), lit(0L)) + 1L
-    df.withColumn("__retryCount", count)
-      .transform(d => FlowFrame.withAttrs(d, Seq(retriesAttr -> col("__retryCount"))))
-      .withColumn(FlowFrame.Relationship,
-        when(col("__retryCount") <= maxRetries, "retry").otherwise("retries_exceeded"))
-      .drop("__retryCount")
+                    maxRetries: Int = 3,
+                    processorUuid: Option[String] = None,
+                    reuseMode: ReuseMode = FailOnReuse,
+                    failOnNonNumericalOverwrite: Boolean = false,
+                    exceededAttrs: Seq[(String, String)] = Nil,
+                    attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): DataFrame = {
+    val raw = FlowFrame.attr(retriesAttr)
+    val numeric = raw.isNotNull && raw.rlike("^[0-9]+$")
+    val parsed = when(numeric, raw.cast("long")).otherwise(lit(0L))
+    val lastUuid = FlowFrame.attr(retriesAttr + ".uuid")
+    val isReuse = processorUuid
+      .map(u => lastUuid.isNotNull && lastUuid =!= u)
+      .getOrElse(lit(false))
+    val count =
+      if (reuseMode == FailOnReuse) parsed
+      else when(isReuse, lit(0L)).otherwise(parsed)
+    val rel =
+      when(!numeric && lit(failOnNonNumericalOverwrite), "failure")
+        .when(isReuse && lit(reuseMode == FailOnReuse), "failure")
+        .when(count < maxRetries, "retry")
+        .otherwise("retries_exceeded")
+    // evaluate every update against the INPUT attributes (the reference
+    // writes count+1 only on the retry edge and the dynamic properties
+    // only on retries_exceeded, both before transfer)
+    val updates =
+      Seq(retriesAttr -> when(rel === "retry", (count + 1).cast("string"))
+        .otherwise(raw)) ++
+      exceededAttrs.map { case (k, el) =>
+        k -> when(rel === "retries_exceeded", ElCompiler.template(el, attrs))
+          .otherwise(FlowFrame.attr(k))
+      }
+    FlowFrame.withAttrs(df.withColumn(FlowFrame.Relationship, rel), updates)
+      // withAttrs writes null for keys that had no value on the untouched
+      // edges; absent and null-valued read identically via element_at, but
+      // drop them so the attribute map round-trips exactly
+      .withColumn(FlowFrame.Attributes,
+        map_filter(col(FlowFrame.Attributes), (_, v) => v.isNotNull))
   }
 
   /**

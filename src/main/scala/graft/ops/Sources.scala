@@ -59,6 +59,54 @@ object Sources {
       md5(concat(lit("gen-"), col("id").cast("string"))).as("content"))
       .withColumn("content_len", length(col("content")).cast("long"))
 
+  /** GenerateFlowFile content modes (GenerateFlowFile.h:106-113). */
+  sealed trait GenerateMode
+  case object UniqueText extends GenerateMode
+  case object UniqueBytes extends GenerateMode
+  case object NotUniqueText extends GenerateMode
+  case object NotUniqueBytes extends GenerateMode
+  case object CustomText extends GenerateMode
+  case object EmptyContent extends GenerateMode
+
+  /**
+   * GenerateFlowFile full mode surface (GenerateFlowFile.cpp:113,
+   * getMode GenerateFlowFile.h:122): `batchSize` files per trigger of
+   * `fileSize` content — unique-per-file or shared (the reference
+   * regenerates non-unique data once per schedule,
+   * refreshNonUniqueData), text or binary, EL-evaluated Custom Text, or
+   * empty. "Random" data is a deterministic md5 keystream seeded by the
+   * file id (unique) or the trigger (shared) — this engine's
+   * reproducibility policy (partition-order independence at scale);
+   * `trigger` stands in for the reschedule that refreshes non-unique data.
+   *
+   * The md5-chain expansion is a plan-time-unrolled `concat` of
+   * `ceil(fileSize/32)` md5 calls — pure codegen, no UDF, no shuffle.
+   */
+  def generateFlowFilesMode(spark: SparkSession, batchSize: Long,
+                            fileSize: Int, mode: GenerateMode,
+                            customText: String = "", trigger: Long = 0L): DataFrame = {
+    import graft.el.ElCompiler
+    val base = spark.range(batchSize).withColumnRenamed("id", "file_id")
+    def keystream(seed: Column, chars: Int): Column = {
+      // md5 chain: block k = md5(seed || k); unrolled at plan time
+      val blocks = (0 until (chars + 31) / 32).map(k =>
+        md5(concat(seed, lit(":"), lit(k))))
+      substring(concat(blocks: _*), 1, chars)
+    }
+    val uniqueSeed = concat(lit(s"gen-$trigger-"), col("file_id"))
+    val sharedSeed = lit(s"gen-$trigger")
+    val content: Column = mode match {
+      case EmptyContent   => lit("")
+      case CustomText     => ElCompiler.template(customText, _ => lit(null: String))
+      case UniqueText     => keystream(uniqueSeed, fileSize)
+      case NotUniqueText  => keystream(sharedSeed, fileSize)
+      // byte modes: hex keystream pairs → raw bytes
+      case UniqueBytes    => unhex(keystream(uniqueSeed, fileSize * 2))
+      case NotUniqueBytes => unhex(keystream(sharedSeed, fileSize * 2))
+    }
+    base.select(col("file_id"), content.as("content"))
+  }
+
   /**
    * ListFile / ListingStateManager (ListFile.cpp:92, extension-framework/
    * include/utils/ListingStateManager.h:50-56): emit entries newer than the

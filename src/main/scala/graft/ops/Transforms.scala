@@ -217,6 +217,107 @@ object Transforms {
       when(allFound, "matched").otherwise("unmatched"))
   }
 
+  /** EvaluateJsonPath Return Type (EvaluateJsonPath.h:41-45). */
+  sealed trait JsonReturnType
+  /** Scalar for the attribute destination, JSON for content
+    * (EvaluateJsonPath.cpp:57-63 onSchedule resolution). */
+  case object JsonAutoDetect extends JsonReturnType
+  case object JsonText extends JsonReturnType
+  case object JsonScalar extends JsonReturnType
+
+  /** Path Not Found behavior (EvaluateJsonPath.h:47-51): Warn and Ignore
+    * both set the attribute to "" (they differ only in logging); Skip
+    * leaves the attribute unset. */
+  sealed trait PathNotFoundBehavior
+  case object SetEmptyOnMiss extends PathNotFoundBehavior
+  case object SkipOnMiss extends PathNotFoundBehavior
+
+  /**
+   * EvaluateJsonPath, full attribute-destination semantics
+   * (EvaluateJsonPath.cpp:96-168): empty or unparseable content → `failure`;
+   * per path, a JSON **null** value renders as "" or "null"
+   * (`NullValueRepresentation`), a missing path sets "" or skips the
+   * attribute (`PathNotFoundBehavior`), a scalar renders bare (strings
+   * unquoted, extractQueryResult), and a non-scalar renders as JSON text
+   * under `JsonText` but routes the row to `failure` under `JsonScalar`
+   * (the `AutoDetect` resolution for attributes). Failure rows keep their
+   * attribute map unchanged (the reference's partial writes on the failure
+   * path depend on unordered-map property order — unspecified, so not
+   * reproduced).
+   *
+   * Null-vs-missing needs real JSON semantics, which `get_json_object`
+   * conflates: this uses Spark 4 VARIANT (`try_parse_json` +
+   * `try_variant_get` + `is_variant_null`) — missing path = SQL NULL
+   * variant, JSON null = variant null. Single-result JSONPaths only
+   * (`$.a.b[0]`); jsoncons' multi-match wildcard queries are out of scope.
+   */
+  def evaluateJsonPathFull(df: DataFrame, contentCol: Column,
+                           paths: Seq[(String, String)],
+                           returnType: JsonReturnType = JsonAutoDetect,
+                           pathNotFound: PathNotFoundBehavior = SetEmptyOnMiss,
+                           nullAsEmptyString: Boolean = true): DataFrame = {
+    val scalarType = returnType != JsonText // AutoDetect → Scalar here
+    val v = call_function("try_parse_json", contentCol.cast("string"))
+    val invalid = contentCol.isNull || length(contentCol) === 0 || v.isNull
+    val nullRepr = lit(if (nullAsEmptyString) "" else "null")
+    val ps = paths.map { case (name, path) =>
+      val pv = call_function("try_variant_get", v, lit(path))
+      val missing = pv.isNull
+      val vnull = call_function("is_variant_null", pv)
+      val nonScalar =
+        call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
+      val value = when(vnull, nullRepr)
+        .when(nonScalar, to_json(pv))
+        .otherwise(pv.cast("string"))
+      (name, missing, vnull, nonScalar, value)
+    }
+    val scalarViolation = ps.map { case (_, missing, vnull, nonScalar, _) =>
+      !missing && !vnull && nonScalar
+    }.reduce(_ || _)
+    val fail = invalid || (lit(scalarType) && scalarViolation)
+    val entries = array(ps.map { case (name, missing, _, _, value) =>
+      struct(lit(name).as("k"),
+        when(missing, lit("")).otherwise(value).as("v"),
+        (!missing || lit(pathNotFound == SetEmptyOnMiss)).as("inc"))
+    }: _*)
+    val kept = filter(entries, e => e.getField("inc"))
+    val updates = map_from_arrays(
+      transform(kept, _.getField("k")), transform(kept, _.getField("v")))
+    val emptyMap = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<string>"))
+    FlowFrame.withAttrsMap(df, when(fail, emptyMap).otherwise(updates))
+      .withColumn(FlowFrame.Relationship,
+        when(fail, "failure").otherwise("matched"))
+  }
+
+  /**
+   * EvaluateJsonPath, content destination (EvaluateJsonPath.cpp:141-147,
+   * 170-180): ONE path replaces content; a missing path routes to
+   * `unmatched` with content unchanged; `AutoDetect` resolves to JSON here.
+   */
+  def evaluateJsonPathContent(df: DataFrame, contentCol: Column, path: String,
+                              returnType: JsonReturnType = JsonAutoDetect,
+                              nullAsEmptyString: Boolean = true): DataFrame = {
+    val scalarType = returnType == JsonScalar // AutoDetect → JSON here
+    val v = call_function("try_parse_json", contentCol.cast("string"))
+    val invalid = contentCol.isNull || length(contentCol) === 0 || v.isNull
+    val pv = call_function("try_variant_get", v, lit(path))
+    val vnull = call_function("is_variant_null", pv)
+    val nonScalar =
+      call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
+    val value = when(vnull, lit(if (nullAsEmptyString) "" else "null"))
+      .when(nonScalar, to_json(pv))
+      .otherwise(pv.cast("string"))
+    val rel = when(invalid, "failure")
+      .when(pv.isNull, "unmatched")
+      .when(lit(scalarType) && nonScalar && !vnull, "failure")
+      .otherwise("matched")
+    df.withColumn(FlowFrame.Relationship, rel)
+      .withColumn(FlowFrame.Content,
+        when(col(FlowFrame.Relationship) === "matched", value)
+          .otherwise(contentCol))
+  }
+
   /**
    * HashContent (HashContent.h:146-159, HashContent.cpp:57): hash the raw
    * content claim into an attribute. MD5/SHA1/SHA256 per the algorithm

@@ -46,8 +46,10 @@ class OperatorSpec extends SparkSpec {
     val out = Routing.retryFlowFile(df, "flowfile.retries", 3)
     val rows = out.select(FlowFrame.attr("flowfile.retries").cast("double")
       .cast("long"), col("relationship")).collect()
+    // the count increments ONLY on the retry edge; retries_exceeded keeps
+    // the incoming value (RetryFlowFile.cpp:73-82 setAttribute placement)
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(
-      (2L, "retry"), (4L, "retries_exceeded"), (1L, "retry")))
+      (2L, "retry"), (3L, "retries_exceeded"), (1L, "retry")))
   }
 
   test("SplitText → MergeContent round trip with header copy") {
@@ -588,5 +590,30 @@ class OperatorSpec extends SparkSpec {
     val none = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
       Seq(("Nope", "xyzzy([0-9]+)")), repeating = true))
     assert(!none.exists(_._1.startsWith("Nope")))
+  }
+
+  test("RetryFlowFile reuse modes: FailOnReuse → failure, WarnOnReuse " +
+       "resets, same-uuid passes through (RetryFlowFile.cpp:54-71)") {
+    val df = flowFrame(Seq(
+      ("", Map("flowfile.retries" -> "2", "flowfile.retries.uuid" -> "other")),
+      ("", Map("flowfile.retries" -> "2", "flowfile.retries.uuid" -> "me")),
+      ("", Map("flowfile.retries" -> "5"))))
+    def run(mode: Routing.ReuseMode): Seq[(String, String)] =
+      Routing.retryFlowFile(df, "flowfile.retries", 3,
+        processorUuid = Some("me"), reuseMode = mode)
+        .select(col(FlowFrame.Relationship), FlowFrame.attr("flowfile.retries"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    // FailOnReuse: foreign uuid → failure, count untouched
+    assert(run(Routing.FailOnReuse) ===
+      Seq(("failure", "2"), ("retry", "3"), ("retries_exceeded", "5")))
+    // WarnOnReuse: foreign uuid resets to 0 → retry with count 1
+    assert(run(Routing.WarnOnReuse) ===
+      Seq(("retry", "1"), ("retry", "3"), ("retries_exceeded", "5")))
+    // non-numeric without the fail flag resets to 0 → retry "1"
+    val nn = flowFrame(Seq(("", Map("flowfile.retries" -> "oops"))))
+    val r = Routing.retryFlowFile(nn, "flowfile.retries", 3)
+      .select(col(FlowFrame.Relationship), FlowFrame.attr("flowfile.retries"))
+      .collect().head
+    assert((r.getString(0), r.getString(1)) === ("retry", "1"))
   }
 }
