@@ -194,6 +194,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.4 JoltTransformJSON full Shiftr — wildcards with submatch
+    // templates, `$` key access, `[&]`/`[]` array destinations, failure
+    // routing on unparseable input (JoltUtils.cpp engine)
+    "jolt_shift_wildcards" -> ((s, dir) => {
+      val id = col("event_id")
+      val doc = format_string(
+        "{\"meta\": {\"id\": %d, \"kind\": \"k%d\"}, \"vals\": [%d, %d], " +
+          "\"tag\": \"t%d\", \"pref%dsuf\": \"pv\"}",
+        id, id % 3, id, id * 2, id % 5, id)
+      val content = when(id % 13 === 0, lit("oops")).otherwise(doc)
+      val spec = """{
+        "meta": {"id": "doc.id", "kind": "doc.kind", "$": "doc.srckey"},
+        "vals": {"*": "arr[&]"},
+        "tag": "tags[]",
+        "pref*suf": "w&(0,1)"
+      }"""
+      val shifted = ops.JoltShift.shift(spec, content)
+      events(s, dir).select(
+        id.cast("long").as("event_id"),
+        shifted.getField("_1").as("out"),
+        shifted.getField("_2").as("relationship"))
+        .orderBy("event_id")
+    }),
+
     // §2.4 EvaluateJsonPath full semantics — null-vs-missing discrimination
     // (variant), JSON/Scalar return types, Skip path-not-found, invalid-JSON
     // and non-scalar failure routing, content destination
@@ -1452,6 +1476,16 @@ object SparkEntry {
         | CAST(CASE WHEN event_id % 5 < 3 THEN event_id % 5 + 1
         |           ELSE event_id % 5 END AS BIGINT) AS retry_count,
         | CASE WHEN event_id % 5 < 3 THEN 'retry' ELSE 'retries_exceeded' END AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "jolt_shift_wildcards" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 13 = 0 THEN 'oops'
+        |  ELSE '{"doc":{"srckey":"meta","id":' || event_id || ',"kind":"k' ||
+        |   (event_id % 3) || '"},"arr":[' || event_id || ',' ||
+        |   (event_id * 2) || '],"tags":["t' || (event_id % 5) ||
+        |   '"],"w' || event_id || '":"pv"}' END AS out,
+        | CASE WHEN event_id % 13 = 0 THEN 'failure' ELSE 'success' END AS relationship
         |FROM events ORDER BY event_id""".stripMargin,
 
     "evaluate_json_path_full" ->

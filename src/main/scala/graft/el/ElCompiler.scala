@@ -194,6 +194,16 @@ object ElCompiler {
       case "now"      => current_timestamp()
       case "random"   => (rand() * lit(Long.MaxValue)).cast("long")
       case "nextInt"  => monotonically_increasing_id()
+      // reverseDnsLookup(ip[, timeoutMs]) (Expression.cpp:191-207): resolver
+      // UDF, nondeterministic (network state); empty string on failure like
+      // the reference's timed-out/failed lookup path
+      case "reverseDnsLookup" =>
+        val look = udf { ip: String =>
+          try Option(ip).map(java.net.InetAddress.getByName(_).getCanonicalHostName)
+            .getOrElse("")
+          catch { case _: Exception => "" }
+        }.asNondeterministic()
+        look(a(0).cast("string"))
 
       // --- string case/trim/len (Expression.cpp:215-227, 814, 828) ---
       case "toUpper" => upper(s0)

@@ -189,4 +189,14 @@ class ElSpec extends SparkSpec {
       "Zero > One < \"two!\" & 'true'")
     assert(eval("${message:escapeCsv():unescapeCsv()}", msg) === msg("message"))
   }
+
+  test("reverseDnsLookup resolves loopback, empty on garbage " +
+       "(Expression.cpp:191-207)") {
+    // loopback resolves without the network; exact name is host-dependent
+    val loop = eval("${reverseDnsLookup(${literal('127.0.0.1')})}", Map.empty)
+    assert(loop != null && loop.nonEmpty)
+    // unresolvable input falls back to the input or empty, never throws
+    val bad = eval("${reverseDnsLookup(${literal('256.1.1.1')})}", Map.empty)
+    assert(bad != null)
+  }
 }
