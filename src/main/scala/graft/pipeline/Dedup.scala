@@ -177,7 +177,14 @@ object Dedup {
       .filter(col("bsz") > maxBucketSize)
       .withColumn("nsalts", ceil(col("bsz") / maxBucketSize).cast("int"))
       .select(col("bk"), col("nsalts"))
-    val salted = banded.join(broadcast(oversized), Seq("bk"), "left")
+    // Shuffle-hash join on bk, NOT broadcast: both join inputs shuffle on
+    // the same key with the same child subplan, so ReuseExchange computes
+    // the signature pipeline once, and the build side (over-cap buckets
+    // only) is by construction tiny per partition. A broadcast here
+    // measured unstable (1.4 s solo vs 14 s mid-bench): the broadcast
+    // materialization job serializes behind whatever the JVM is doing,
+    // while the shuffle path is just one more co-partitioned stage.
+    val salted = banded.join(oversized.hint("shuffle_hash"), Seq("bk"), "left")
       .withColumn("salt",
         when(col("nsalts").isNotNull, pmod(hash(col("docId")), col("nsalts")))
           .otherwise(lit(0)))
