@@ -656,6 +656,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.8 EL escape family — full HTML3/4 entity tables + XML set over a
+    // constructed string mixing markup chars, Latin-1, and Greek; rt4
+    // proves unescape inverts escape on every row (Expression.cpp:468-612)
+    "el_escape" -> ((s, dir) => {
+      val inp = concat(lit("<"), col("lang"), lit("> & \""),
+        substring(col("text"), 1, 32), lit("' ¥Φ»¦"))
+      val bind: ElCompiler.AttrResolver = { case "s" => inp }
+      def el(src: String): Column = ElCompiler.template(src, bind)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        el("${s:escapeHtml3()}").as("esc3"),
+        el("${s:escapeHtml4()}").as("esc4"),
+        el("${s:escapeHtml4():unescapeHtml4()}").as("rt4"),
+        el("${s:escapeXml()}").as("xml_esc"))
+        .orderBy("doc_id")
+    }),
+
     // §2.8 EL multi-attribute quantifiers over the attributes map
     "el_multiattr" -> ((s, dir) => {
       val ff = FlowFrame.wrap(tbl(s, dir, "orders"), "o_orderkey",
@@ -1598,6 +1615,37 @@ object SparkEntry {
         | to_base64(CAST(lang AS BLOB)) AS b64,
         | string_split(text, ' ')[3] AS word3
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Independent re-derivation of the entity escape: per-char explode +
+    // entity-table join + ordered string_agg (the simultaneous-replace
+    // semantics), vs the JVM single-scan — same behavioral tables, fully
+    // different machinery. rt4's expected value is the INPUT string.
+    "el_escape" -> {
+      def vals(pairs: Seq[(String, String)]): String =
+        pairs.map { case (k, v) =>
+          s"('${k.replace("'", "''")}','${v.replace("'", "''")}')"
+        }.mkString(", ")
+      s"""WITH inp AS (
+         |  SELECT doc_id, '<' || lang || '> & "' || substr(text, 1, 32) || ''' ¥Φ»¦' AS s
+         |  FROM documents),
+         |cc AS (
+         |  SELECT doc_id, i, substr(s, i, 1) AS c
+         |  FROM (SELECT doc_id, unnest(generate_series(1, length(s))) AS i, s FROM inp)),
+         |e3(k, v) AS (VALUES ${vals(graft.el.HtmlEntities.html3Escape)}),
+         |e4(k, v) AS (VALUES ${vals(graft.el.HtmlEntities.html4Escape)}),
+         |ex(k, v) AS (VALUES ${vals(graft.el.HtmlEntities.xmlEscape)}),
+         |agg AS (
+         |  SELECT cc.doc_id,
+         |    string_agg(coalesce(e3.v, cc.c), '' ORDER BY cc.i) AS esc3,
+         |    string_agg(coalesce(e4.v, cc.c), '' ORDER BY cc.i) AS esc4,
+         |    string_agg(coalesce(ex.v, cc.c), '' ORDER BY cc.i) AS xml_esc
+         |  FROM cc LEFT JOIN e3 ON cc.c = e3.k LEFT JOIN e4 ON cc.c = e4.k
+         |    LEFT JOIN ex ON cc.c = ex.k
+         |  GROUP BY cc.doc_id)
+         |SELECT agg.doc_id, esc3, esc4, inp.s AS rt4, xml_esc
+         |FROM agg JOIN inp ON agg.doc_id = inp.doc_id
+         |ORDER BY agg.doc_id""".stripMargin
+    },
 
     "el_multiattr" ->
       """SELECT o_orderkey,

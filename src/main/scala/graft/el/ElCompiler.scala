@@ -110,16 +110,17 @@ object ElCompiler {
     * quantifiers (std::regex_match, Expression.cpp:800,1172). */
   private[graft] def anchor(pat: String): String = "^(?:" + pat + ")$"
 
-  // Escape family UDFs (Expression.cpp:446-727). Maps mirror the reference's
-  // replaceMap tables — public HTML 3/4 entity names.
-  private val html3Map = Seq(
-    "&" -> "&amp;", "\"" -> "&quot;", "'" -> "&apos;", "<" -> "&lt;", ">" -> "&gt;")
-  private val escapeHtmlUdf = udf((s: String) =>
-    if (s == null) null
-    else html3Map.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) })
-  private val unescapeHtmlUdf = udf((s: String) =>
-    if (s == null) null
-    else html3Map.reverse.foldLeft(s) { case (acc, (from, to)) => acc.replace(to, from) })
+  // Escape family UDFs (Expression.cpp:446-727). Full HTML 3/4 entity
+  // tables + XML 5-entity set live in HtmlEntities (simultaneous-replace
+  // semantics of utils::string::replaceMap, StringUtils.cpp:197-219).
+  private def nullSafe(f: String => String) =
+    udf((s: String) => if (s == null) null else f(s))
+  private val escapeHtml3Udf = nullSafe(HtmlEntities.escapeHtml3)
+  private val escapeHtml4Udf = nullSafe(HtmlEntities.escapeHtml4)
+  private val unescapeHtml3Udf = nullSafe(HtmlEntities.unescapeHtml3)
+  private val unescapeHtml4Udf = nullSafe(HtmlEntities.unescapeHtml4)
+  private val escapeXmlUdf = nullSafe(HtmlEntities.escapeXml)
+  private val unescapeXmlUdf = nullSafe(HtmlEntities.unescapeXml)
   private val escapeCsvUdf = udf((s: String) =>
     if (s == null) null
     else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
@@ -204,6 +205,21 @@ object ElCompiler {
           catch { case _: Exception => "" }
         }.asNondeterministic()
         look(a(0).cast("string"))
+      // resolve_user_id(uid) (Expression.cpp:111-121): numeric uid →
+      // username via the OS user database; empty/absent arg passes
+      // through. The JVM has no getpwuid, so consult /etc/passwd — the
+      // same store the reference's OsUtils reads on POSIX; unresolvable
+      // ids pass through unchanged, like userIdToUsername's fallback.
+      case "resolve_user_id" =>
+        val resolve = udf { uid: String =>
+          if (uid == null || uid.isEmpty) uid
+          else scala.util.Try {
+            scala.io.Source.fromFile("/etc/passwd").getLines()
+              .map(_.split(":", -1))
+              .collectFirst { case f if f.length > 2 && f(2) == uid => f(0) }
+          }.toOption.flatten.getOrElse(uid)
+        }.asNondeterministic()
+        if (args.isEmpty) lit("") else resolve(a(0).cast("string"))
 
       // --- string case/trim/len (Expression.cpp:215-227, 814, 828) ---
       case "toUpper" => upper(s0)
@@ -307,10 +323,12 @@ object ElCompiler {
         // JSON string-escape without the surrounding quotes (Expression.cpp:446)
         expr_strip_quotes(to_json(struct(s0.as("v"))))
       case "unescapeJson" => get_json_object(concat(lit("{\"v\":\""), s0, lit("\"}")), "$.v")
-      case "escapeXml"    => escapeHtmlUdf(s0)
-      case "unescapeXml"  => unescapeHtmlUdf(s0)
-      case "escapeHtml3" | "escapeHtml4"     => escapeHtmlUdf(s0)
-      case "unescapeHtml3" | "unescapeHtml4" => unescapeHtmlUdf(s0)
+      case "escapeXml"    => escapeXmlUdf(s0)
+      case "unescapeXml"  => unescapeXmlUdf(s0)
+      case "escapeHtml3"   => escapeHtml3Udf(s0)
+      case "escapeHtml4"   => escapeHtml4Udf(s0)
+      case "unescapeHtml3" => unescapeHtml3Udf(s0)
+      case "unescapeHtml4" => unescapeHtml4Udf(s0)
       case "escapeCsv"    => escapeCsvUdf(s0)
       case "unescapeCsv"  => unescapeCsvUdf(s0)
 

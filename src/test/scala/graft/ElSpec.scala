@@ -190,6 +190,49 @@ class ElSpec extends SparkSpec {
     assert(eval("${message:escapeCsv():unescapeCsv()}", msg) === msg("message"))
   }
 
+  test("XML escape round trip (ExpressionLanguageTests.cpp:1040-1062)") {
+    val msg = Map("message" -> "Zero > One < \"two!\" & 'true'")
+    assert(eval("${message:escapeXml()}", msg) ===
+      "Zero &gt; One &lt; &quot;two!&quot; &amp; &apos;true&apos;")
+    assert(eval("${message:unescapeXml()}",
+      Map("message" -> "Zero &gt; One &lt; &quot;two!&quot; &amp; &apos;true&apos;")) ===
+      "Zero > One < \"two!\" & 'true'")
+    assert(eval("${message:escapeXml():unescapeXml()}", msg) === msg("message"))
+  }
+
+  test("HTML3/4 escape: full entity tables incl. punctuation and Greek " +
+       "(ExpressionLanguageTests.cpp:1064-1110, Expression.cpp:468-558)") {
+    assert(eval("${m:escapeHtml3()}", Map("m" -> "¥ & < «")) ===
+      "&yen; &amp; &lt; &laquo;")
+    assert(eval("${m:unescapeHtml3()}",
+      Map("m" -> "&yen; &amp; &lt; &laquo;")) === "¥ & < «")
+    // escape-then-unescape round-trips entity-shaped input: the escape pass
+    // rewrites & and ; so the produced text decodes back exactly
+    assert(eval("${m:escapeHtml3():unescapeHtml3()}",
+      Map("m" -> "&yen; &amp; &lt; &laquo;")) === "&yen; &amp; &lt; &laquo;")
+    // html4 adds the Greek block; html3 leaves it alone
+    assert(eval("${m:escapeHtml4()}", Map("m" -> "¥ & Φ < «")) ===
+      "&yen; &amp; &Phi; &lt; &laquo;")
+    assert(eval("${m:escapeHtml3()}", Map("m" -> "Φ")) === "Φ")
+    assert(eval("${m:unescapeHtml4()}",
+      Map("m" -> "&yen; &iota; &amp; &lt; &laquo;")) ===
+      "¥ ι & < «")
+    assert(eval("${m:escapeHtml4():unescapeHtml4()}",
+      Map("m" -> "&yen; &amp; &lt; &Pi; &laquo;")) ===
+      "&yen; &amp; &lt; &Pi; &laquo;")
+    // reference quirks reproduced: brkbar for U+00A6, doubled-semicolon
+    // raquo (Expression.cpp:470 tables); first-insert-wins duplicate keys
+    assert(eval("${m:escapeHtml3()}", Map("m" -> "¦")) === "&brkbar;")
+    assert(eval("${m:escapeHtml3()}", Map("m" -> "»")) === "&raquo;;")
+    assert(eval("${m:unescapeHtml4()}", Map("m" -> "&circ;&tilde;")) === "^~")
+  }
+
+  test("resolve_user_id: uid 0 -> root, unresolvable passes through " +
+       "(Expression.cpp:111-121)") {
+    assert(eval("${resolve_user_id('0')}", Map.empty) === "root")
+    assert(eval("${resolve_user_id('99999')}", Map.empty) === "99999")
+  }
+
   test("reverseDnsLookup resolves loopback, empty on garbage " +
        "(Expression.cpp:191-207)") {
     // loopback resolves without the network; exact name is host-dependent
