@@ -1088,6 +1088,54 @@ object SparkEntry {
           FlowFrame.attr(FlowFrame.CoreAttrs.Priority).as("priority"))
     }),
 
+    // §3.1 flow-config runtime — YAML v3 flow assembled by FlowRunner:
+    // GetFile over files written from documents → ExtractText(first word)
+    // → UpdateAttribute(docid from path) → RouteOnAttribute (overlapping
+    // EL rules: a row lands on EVERY matching edge)
+    "flow_yaml" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_flow")
+      out.toFile.deleteOnExit()
+      tbl(s, dir, "documents").select(col("doc_id"), col("text").as("value"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out.toString)
+      val yml =
+        """MiNiFi Config Version: 3
+          |Flow Controller: {name: oracle flow}
+          |Processors:
+          |- name: get
+          |  id: g
+          |  class: org.apache.nifi.minifi.processors.GetFile
+          |  Properties:
+          |    Input Directory: __DIR__
+          |    Recurse Subdirectories: 'true'
+          |    File Filter: part-.*
+          |- name: words
+          |  id: w
+          |  class: org.apache.nifi.processors.standard.ExtractText
+          |  Properties:
+          |    word1: "^(\\S+)"
+          |- name: ids
+          |  id: i
+          |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+          |  Properties:
+          |    docid: ${path:replaceAll('.*doc_id=([0-9]+).*', '$1')}
+          |- name: route
+          |  id: r
+          |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+          |  Properties:
+          |    r_the: ${word1:equals('the')}
+          |    r_short: ${word1:length():le(4)}
+          |Connections:
+          |- {id: c1, source id: g, source relationship names: [success], destination id: w}
+          |- {id: c2, source id: w, source relationship names: [success], destination id: i}
+          |- {id: c3, source id: i, source relationship names: [success], destination id: r}
+          |""".stripMargin.replace("__DIR__", out.toString)
+      val result = flow.FlowRunner.run(s, flow.FlowConfig.parse(yml))
+      result.output("route")
+        .select(FlowFrame.attr("docid").cast("long").as("doc_id"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("doc_id", "relationship")
+    }),
+
     // §2.4 RunLlamaCppInference — stubbed model, real partition batching
     "llm_inference_stub" -> ((s, dir) => {
       import s.implicits._
@@ -1615,6 +1663,21 @@ object SparkEntry {
         | to_base64(CAST(lang AS BLOB)) AS b64,
         | string_split(text, ' ')[3] AS word3
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The flow's routing re-derived relationally: first word per doc,
+    // one row per matching rule (clone-per-match), else unmatched
+    "flow_yaml" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ')[1] AS w1 FROM documents),
+        |m AS (
+        |  SELECT doc_id, 'r_the' AS relationship FROM w WHERE w1 = 'the'
+        |  UNION ALL
+        |  SELECT doc_id, 'r_short' FROM w WHERE length(w1) <= 4),
+        |u AS (
+        |  SELECT doc_id, 'unmatched' AS relationship FROM w
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM m))
+        |SELECT doc_id, relationship FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM u)
+        |ORDER BY doc_id, relationship""".stripMargin,
 
     // Independent re-derivation of the entity escape: per-char explode +
     // entity-table join + ordered string_agg (the simultaneous-replace

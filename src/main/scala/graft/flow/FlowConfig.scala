@@ -1,0 +1,187 @@
+package graft.flow
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Flow configuration model + parsers — SURVEY §3.1 (the reference's user
+ * API: a YAML "MiNiFi Config Version: 3" document or the JSON `rootGroup`
+ * schema describing processors and connections; examples/
+ * getfile_putfile_config.{yml,json}, parser
+ * libminifi/src/core/flow/FlowSchema.cpp).
+ *
+ * The model is engine-neutral: a processor is (class, properties,
+ * auto-terminated relationships); a connection is (source id,
+ * selected relationships, destination id). FlowRunner maps this onto
+ * DataFrame assembly.
+ */
+case class ProcessorDef(
+    id: String,
+    name: String,
+    clazz: String,
+    schedulingStrategy: String,
+    schedulingPeriod: String,
+    autoTerminated: Set[String],
+    properties: Map[String, String]) {
+  /** Bare class name: the reference accepts several package spellings of
+    * the same processor (org.apache.nifi.processors.standard.X,
+    * org.apache.nifi.minifi.processors.X); behavior keys off the suffix. */
+  def kind: String = clazz.substring(clazz.lastIndexOf('.') + 1)
+}
+
+case class ConnectionDef(
+    id: String,
+    name: String,
+    sourceId: String,
+    relationships: Seq[String],
+    destinationId: String,
+    expirationMs: Option[Long])
+
+case class FlowDef(
+    name: String,
+    processors: Seq[ProcessorDef],
+    connections: Seq[ConnectionDef]) {
+  def processor(id: String): ProcessorDef =
+    processors.find(p => p.id == id || p.name == id).getOrElse(
+      throw new IllegalArgumentException(s"no processor with id/name '$id'"))
+}
+
+object FlowConfig {
+
+  /** Parse the YAML "MiNiFi Config Version: 3" document. */
+  def parseYaml(text: String): FlowDef = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text)
+    val m = root.asScala
+    val name = m.get("Flow Controller").flatMap(Option(_)).map(asMap)
+      .flatMap(_.get("name")).flatMap(Option(_)).map(_.toString)
+      .getOrElse("MiNiFi Flow")
+    val procs = asList(m.getOrElse("Processors", null)).map { p0 =>
+      val p = asMap(p0)
+      ProcessorDef(
+        id = str(p, "id", str(p, "name", "")),
+        name = str(p, "name", str(p, "id", "")),
+        clazz = str(p, "class", ""),
+        schedulingStrategy = str(p, "scheduling strategy", "TIMER_DRIVEN"),
+        schedulingPeriod = str(p, "scheduling period", "1 sec"),
+        autoTerminated = asList(p.getOrElse(
+          "auto-terminated relationships list", null)).map(_.toString).toSet,
+        properties = opt(p.getOrElse("Properties", null))
+          .map(asMap(_).map { case (k, v) =>
+            k -> (if (v == null) "" else v.toString) }.toMap)
+          .getOrElse(Map.empty))
+    }
+    val conns = asList(m.getOrElse("Connections", null)).map { c0 =>
+      val c = asMap(c0)
+      // v3 spells either "source relationship names" (list) or
+      // "source relationship name" (single)
+      val rels =
+        if (c.contains("source relationship names"))
+          asList(c("source relationship names")).map(_.toString)
+        else opt(c.getOrElse("source relationship name", null))
+          .map(_.toString).toSeq
+      ConnectionDef(
+        id = str(c, "id", ""),
+        name = str(c, "name", ""),
+        sourceId = str(c, "source id", str(c, "source name", "")),
+        relationships = rels,
+        destinationId = str(c, "destination id", str(c, "destination name", "")),
+        expirationMs = opt(c.getOrElse("flowfile expiration", null))
+          .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
+    }
+    FlowDef(name, procs, conns)
+  }
+
+  /** Parse the JSON `rootGroup` schema (the examples' .json configs). */
+  def parseJson(text: String): FlowDef = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readValue(text, classOf[java.util.Map[String, Object]])
+      .asScala
+    val rg = asMap(root.getOrElse("rootGroup",
+      throw new IllegalArgumentException("missing rootGroup")))
+    val procs = asList(rg.getOrElse("processors", null)).map { p0 =>
+      val p = asMap(p0)
+      ProcessorDef(
+        id = str(p, "identifier", str(p, "name", "")),
+        name = str(p, "name", str(p, "identifier", "")),
+        clazz = str(p, "type", ""),
+        schedulingStrategy = str(p, "schedulingStrategy", "TIMER_DRIVEN"),
+        schedulingPeriod = str(p, "schedulingPeriod", "1 sec"),
+        autoTerminated = asList(p.getOrElse("autoTerminatedRelationships",
+          null)).map(_.toString).toSet,
+        properties = opt(p.getOrElse("properties", null))
+          .map(asMap(_).map { case (k, v) =>
+            k -> (if (v == null) "" else v.toString) }.toMap)
+          .getOrElse(Map.empty))
+    }
+    val conns = asList(rg.getOrElse("connections", null)).map { c0 =>
+      val c = asMap(c0)
+      ConnectionDef(
+        id = str(c, "identifier", ""),
+        name = str(c, "name", ""),
+        sourceId = str(asMap(c.getOrElse("source", null)), "id", ""),
+        relationships = asList(c.getOrElse("selectedRelationships", null))
+          .map(_.toString),
+        destinationId = str(asMap(c.getOrElse("destination", null)), "id", ""),
+        expirationMs = opt(c.getOrElse("flowFileExpiration", null))
+          .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
+    }
+    FlowDef(str(rg, "name", "MiNiFi Flow"), procs, conns)
+  }
+
+  /** Sniff YAML vs JSON by the first non-space character. */
+  def parse(text: String): FlowDef =
+    if (text.dropWhile(_.isWhitespace).startsWith("{")) parseJson(text)
+    else parseYaml(text)
+
+  private def opt(v: Object): Option[Object] = Option(v)
+  private def str(m: scala.collection.Map[String, Object], k: String,
+                  default: String): String =
+    m.get(k).flatMap(Option(_)).map(_.toString).getOrElse(default)
+  private def asMap(v: Object): scala.collection.Map[String, Object] = v match {
+    case null => Map.empty[String, Object]
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Object] }
+    case other =>
+      throw new IllegalArgumentException(s"expected mapping, got $other")
+  }
+  private def asList(v: Object): Seq[Object] = v match {
+    case null => Nil
+    case l: java.util.List[_] => l.asScala.toSeq.map(_.asInstanceOf[Object])
+    case other =>
+      throw new IllegalArgumentException(s"expected list, got $other")
+  }
+}
+
+/** Property unit parsers: "10 MB" data sizes and "1000 ms"/"2 sec"
+  * periods (core-framework property parsing). */
+object Units {
+  private val Size = """(?i)\s*(\d+)\s*([kmgt]?i?b?)\s*""".r
+  def parseBytes(s: String): Long = s match {
+    case Size(n, u) =>
+      val mult = u.toLowerCase.stripSuffix("ib").stripSuffix("b") match {
+        case ""  => 1L
+        case "k" => 1L << 10
+        case "m" => 1L << 20
+        case "g" => 1L << 30
+        case "t" => 1L << 40
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(s"bad data size '$other'")
+  }
+
+  private val Dur = """(?i)\s*(\d+)\s*(ms|msec|millis(?:econds?)?|s|sec(?:onds?)?|m|min(?:utes?)?|h|hours?|d|days?)\s*""".r
+  def parseDurationMs(s: String): Long = s match {
+    case Dur(n, u) =>
+      val mult = u.toLowerCase match {
+        case "ms" | "msec" | "millis" | "millisecond" | "milliseconds" => 1L
+        case "s" | "sec" | "second" | "seconds" => 1000L
+        case "m" | "min" | "minute" | "minutes" => 60000L
+        case "h" | "hour" | "hours" => 3600000L
+        case "d" | "day" | "days" => 86400000L
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(s"bad duration '$other'")
+  }
+
+  def parseBool(s: String): Boolean = s.trim.equalsIgnoreCase("true")
+}

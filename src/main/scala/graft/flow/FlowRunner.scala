@@ -1,0 +1,361 @@
+package graft.flow
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.FlowFrame
+import graft.ops._
+import graft.el.ElCompiler
+import graft.sources.Sinks
+
+/**
+ * Flow assembly: a parsed [[FlowDef]] → one DataFrame per processor output,
+ * wired along connections — SURVEY §3.1/§3.2 (FlowController schedule →
+ * onTrigger loop). The batch interpretation is ONE full sweep: every source
+ * emits its current batch, every edge forwards it, every processor output
+ * is a lazily-composed DataFrame — Catalyst sees the whole flow as a
+ * single plan per terminal edge, so routing filters push down across
+ * processor boundaries (something the reference's queue-per-connection
+ * runtime cannot do). Scheduling strategies/periods map to Structured
+ * Streaming triggers in streaming mode (streaming/FlowRuntime.trigger) and
+ * are no-ops in a batch sweep.
+ *
+ * Cycles (retry loops, e.g. InvokeHTTP -> RetryFlowFile -> InvokeHTTP in
+ * examples/http_post_config.yml) cannot exist in one batch sweep: back
+ * edges found during the topological walk are dropped and reported in
+ * [[FlowResult.droppedEdges]] — the relaxed batch semantic of a queue
+ * that will be drained on the NEXT trigger (SURVEY §7.5.1 penalty/retry
+ * relaxation).
+ */
+object FlowRunner {
+
+  /** Outputs of one batch sweep. `outputs` holds each processor's routed
+    * frame (relationship column populated); `edge` filters one
+    * relationship; unconnected + non-auto-terminated edges are the flow's
+    * terminal results. */
+  case class FlowResult(flow: FlowDef, outputs: Map[String, DataFrame],
+                        droppedEdges: Seq[ConnectionDef]) {
+    def output(procIdOrName: String): DataFrame =
+      outputs(flow.processor(procIdOrName).id)
+    def edge(procIdOrName: String, relationship: String): DataFrame =
+      output(procIdOrName).filter(col(FlowFrame.Relationship) === relationship)
+  }
+
+  def run(spark: SparkSession, flow: FlowDef): FlowResult = {
+    val incoming = flow.connections.groupBy(_.destinationId)
+    // Kahn's algorithm with cycle breaking: schedule any processor whose
+    // live incoming edges all come from computed processors; when none is
+    // ready (a cycle), drop the FIRST-DECLARED blocked processor's edges
+    // from uncomputed sources. Declaration order puts sources first, so a
+    // retry loop breaks at its loop-back edge (the queue drained next
+    // trigger), not at the forward edge.
+    val procIds = flow.processors.map(_.id)
+    val order = collection.mutable.ArrayBuffer[String]()
+    val computed = collection.mutable.Set[String]()
+    val dropped = collection.mutable.ArrayBuffer[ConnectionDef]()
+    while (computed.size < procIds.size) {
+      procIds.find(id => !computed(id) &&
+        incoming.getOrElse(id, Nil).filterNot(dropped.contains)
+          .forall(c => computed(c.sourceId))) match {
+        case Some(id) => order += id; computed += id
+        case None =>
+          val blocked = procIds.find(!computed(_)).get
+          incoming.getOrElse(blocked, Nil).filterNot(dropped.contains)
+            .filterNot(c => computed(c.sourceId))
+            .foreach(dropped += _)
+      }
+    }
+    val outputs = collection.mutable.Map[String, DataFrame]()
+    order.foreach { id =>
+      val p = flow.processor(id)
+      val ins = incoming.getOrElse(id, Nil).filterNot(dropped.contains)
+        .flatMap { c =>
+          outputs.get(c.sourceId).map { up =>
+            val selected =
+              if (c.relationships.isEmpty) up
+              else up.filter(col(FlowFrame.Relationship)
+                .isin(c.relationships: _*))
+            // queue TTL at the receiving end (Connection.cpp:153-158)
+            val alive = c.expirationMs match {
+              case Some(ms) => selected.filter(
+                unix_millis(current_timestamp()) -
+                  unix_millis(col(FlowFrame.EntryDate)) <= ms)
+              case None => selected
+            }
+            alive.withColumn(FlowFrame.Relationship, lit(null: String))
+          }
+        }
+      val input = ins.reduceOption(_ unionByName _)
+      outputs(id) = Processors.apply(spark, p, input)
+    }
+    FlowResult(flow, outputs.toMap, dropped.toSeq)
+  }
+}
+
+/**
+ * Processor-class dispatch: reference property names → the graft operator
+ * surface. Dynamic properties (rules, attribute templates, regex captures)
+ * are every Properties key that is not one of the class's static property
+ * names, as in the reference's DynamicProperty support.
+ */
+object Processors {
+
+  def apply(spark: SparkSession, p: ProcessorDef,
+            input: Option[DataFrame]): DataFrame = {
+    def in: DataFrame = input.getOrElse(throw new IllegalArgumentException(
+      s"processor '${p.name}' (${p.kind}) has no incoming connection"))
+    val props = p.properties
+    def prop(name: String, default: String): String =
+      props.getOrElse(name, default)
+    def dynamicProps(static: Set[String]): Seq[(String, String)] =
+      props.view.filterKeys(!static(_)).toSeq.sortBy(_._1)
+    def success(df: DataFrame): DataFrame =
+      df.withColumn(FlowFrame.Relationship, lit("success"))
+    val content = col(FlowFrame.Content)
+
+    p.kind match {
+      // ---------------------------------------------------------- sources
+      case "GetFile" =>
+        val dir = props("Input Directory")
+        val ff = Sources.getFileFiltered(spark, dir,
+          recursive = Units.parseBool(prop("Recurse Subdirectories", "true")),
+          minSize = Units.parseBytes(prop("Minimum File Size", "0 B")),
+          maxSize = props.get("Maximum File Size").map(Units.parseBytes)
+            .getOrElse(Long.MaxValue),
+          minAgeMs = props.get("Minimum File Age").map(Units.parseDurationMs)
+            .getOrElse(0L),
+          maxAgeMs = props.get("Maximum File Age").map(Units.parseDurationMs)
+            .getOrElse(Long.MaxValue))
+        val named = ff
+          .withColumn("filename", element_at(split(col("path"), "/"), -1))
+          .filter(col("filename").rlike(
+            "^(?:" + prop("File Filter", ".*") + ")$"))
+          .filter(if (Units.parseBool(prop("Ignore Hidden Files", "true")))
+            !col("filename").startsWith(".") else lit(true))
+          .withColumn("text", col("content").cast("string"))
+        success(FlowFrame.wrap(named, "text", Seq("filename", "path")))
+
+      case "GenerateFlowFile" =>
+        val mode = (prop("Data Format", "Binary"),
+          Units.parseBool(prop("Unique FlowFiles", "true")),
+          props.contains("Custom Text")) match {
+          case (_, _, true)        => Sources.CustomText
+          case ("Text", true, _)   => Sources.UniqueText
+          case ("Text", false, _)  => Sources.NotUniqueText
+          case (_, true, _)        => Sources.UniqueBytes
+          case (_, false, _)       => Sources.NotUniqueBytes
+        }
+        val g = Sources.generateFlowFilesMode(spark,
+          batchSize = prop("Batch Size", "1").toLong,
+          fileSize = Units.parseBytes(prop("File Size", "1 kB")).toInt,
+          mode = mode, customText = prop("Custom Text", ""))
+        success(FlowFrame.wrap(g, "content", Seq("file_id")))
+
+      // ------------------------------------------------------- transforms
+      case "UpdateAttribute" =>
+        success(Transforms.updateAttribute(in, dynamicProps(Set.empty)))
+
+      case "ExtractText" =>
+        val static = Set("Regex Mode", "Include Capture Group 0",
+          "Enable repeating capture group", "Maximum Capture Group Length",
+          "Size Limit", "Insensitive Match", "Maximum Capture Group Count")
+        val pats = dynamicProps(static)
+        val out =
+          if (Units.parseBool(prop("Regex Mode", "false")))
+            Transforms.extractTextRegex(in, content.cast("string"), pats,
+              includeGroupZero =
+                Units.parseBool(prop("Include Capture Group 0", "true")),
+              repeating = Units.parseBool(
+                prop("Enable repeating capture group", "false")),
+              caseInsensitive =
+                Units.parseBool(prop("Insensitive Match", "false")),
+              maxCaptureLen =
+                prop("Maximum Capture Group Length", "1024").toInt)
+          else Transforms.extractText(in, content.cast("string"),
+            pats.map { case (n, re) => (n, re, 1) })
+        success(out)
+
+      case "ReplaceText" =>
+        val strategy = prop("Replacement Strategy", "Regex Replace") match {
+          case "Prepend"         => Transforms.Prepend
+          case "Append"          => Transforms.Append
+          case "Literal Replace" => Transforms.LiteralReplace
+          case _                 => Transforms.RegexReplace
+        }
+        val search = prop("Search Value", "")
+        val repl = prop("Replacement Value", "")
+        val replaced = prop("Evaluation Mode", "Line-by-Line") match {
+          case "Entire text" =>
+            Transforms.replaceText(content.cast("string"), strategy,
+              search, repl)
+          case _ =>
+            val scope = prop("Line-by-Line Evaluation Mode", "All") match {
+              case "First Line"        => Transforms.FirstLine
+              case "Last Line"         => Transforms.LastLine
+              case "Except-First Line" => Transforms.ExceptFirstLine
+              case "Except-Last Line"  => Transforms.ExceptLastLine
+              case _                   => Transforms.AllLines
+            }
+            Transforms.replaceTextLineByLine(content.cast("string"), "\n",
+              strategy, search, repl, scope)
+        }
+        success(in.withColumn(FlowFrame.Content, replaced))
+
+      case "HashContent" =>
+        val attr = prop("Hash Attribute", "Hash")
+        val algo = prop("Hash Algorithm", "SHA256")
+        val failEmpty = Units.parseBool(prop("Fail on empty", "false"))
+        FlowFrame.withAttrs(in, Seq(attr -> Transforms.hashContent(
+          content, algo)))
+          .withColumn(FlowFrame.Relationship,
+            when(lit(failEmpty) && length(content) === 0, "failure")
+              .otherwise("success"))
+
+      case "CompressContent" =>
+        val fmt = prop("Compression Format", "gzip").toLowerCase
+        val comp = prop("Mode", "compress") == "compress"
+        val bin = content.cast("binary")
+        val out =
+          if (fmt == "use mime.type" && !comp)
+            Content.decompressByMime(bin, FlowFrame.attr("mime.type"))
+          else if (comp) Content.compress(bin, fmt)
+          else Content.decompress(bin, fmt)
+        val mimed =
+          if (comp) FlowFrame.withAttrs(in, Seq(
+            "mime.type" -> lit(Content.mimeTypeFor(fmt))))
+          else in
+        success(mimed.withColumn(FlowFrame.Content, out))
+
+      case "AttributesToJSON" =>
+        val listed = prop("Attributes List", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val json =
+          if (listed.nonEmpty) Transforms.attributesToJson(listed)
+          else Transforms.attributesToJsonRegex(
+            prop("Attributes Regular Expression", ".*"),
+            includeCore = Units.parseBool(
+              prop("Include Core Attributes", "true")))
+        success(prop("Destination", "flowfile-attribute") match {
+          case "flowfile-content" => in.withColumn(FlowFrame.Content, json)
+          case _ => FlowFrame.withAttrs(in, Seq("JSONAttributes" -> json))
+        })
+
+      case "EvaluateJsonPath" =>
+        val static = Set("Destination", "Return Type", "Path Not Found Behavior",
+          "Null Value Representation")
+        prop("Destination", "flowfile-attribute") match {
+          case "flowfile-content" =>
+            Transforms.evaluateJsonPathContent(in, content.cast("string"),
+              dynamicProps(static).headOption.map(_._2).getOrElse("$"))
+          case _ =>
+            Transforms.evaluateJsonPathFull(in, content.cast("string"),
+              dynamicProps(static))
+        }
+
+      case "AppendHostInfo" =>
+        success(Transforms.appendHostInfo(in,
+          prop("Hostname Attribute", "source.hostname"),
+          prop("IP Attribute", "source.ipv4")))
+
+      // ---------------------------------------------------------- routing
+      case "RouteOnAttribute" =>
+        Routing.routeOnAttribute(in, dynamicProps(Set.empty))
+
+      case "RouteText" =>
+        val static = Set("Routing Strategy", "Matching Strategy",
+          "Character Set", "Ignore Leading/Trailing Whitespace",
+          "Ignore Case", "Grouping Regular Expression",
+          "Segmentation Strategy")
+        val strat = prop("Matching Strategy", "Starts With") match {
+          case "Ends With"            => Routing.EndsWith
+          case "Contains"             => Routing.ContainsStr
+          case "Equals"               => Routing.EqualsStr
+          case "Matches Regex"        => Routing.MatchesRegex
+          case "Contains Regex"       => Routing.ContainsRegex
+          case "Satisfies Expression" => Routing.SatisfiesExpression
+          case _                      => Routing.StartsWith
+        }
+        val rules = dynamicProps(static).map { case (rel, v) =>
+          (rel, strat, v) }
+        val grouping = props.get("Grouping Regular Expression")
+        val trimWs = Units.parseBool(
+          prop("Ignore Leading/Trailing Whitespace", "true"))
+        val noCase = Units.parseBool(prop("Ignore Case", "false"))
+        val routed = prop("Routing Strategy", "Dynamic Routing") match {
+          case "Route On All" => Routing.routeTextQuantified(
+            in, content.cast("string"), "\n", rules, Routing.RouteAll,
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+          case "Route On Any" => Routing.routeTextQuantified(
+            in, content.cast("string"), "\n", rules, Routing.RouteAny,
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+          case _ => Routing.routeText(
+            in, content.cast("string"), "\n", rules,
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+        }
+        // reassemble one FlowFile per (relationship, group) per input row
+        // (RouteText.cpp:225): merged lines become the content
+        val merged = Routing.routeTextMerged(routed, "\n",
+          perDocCol = Some(col(FlowFrame.Uuid)))
+        val withGroup =
+          if (merged.columns.contains("group"))
+            merged.withColumn(FlowFrame.Attributes,
+              map(lit("RouteText.Group"), col("group")))
+          else merged.withColumn(FlowFrame.Attributes,
+            map().cast("map<string,string>"))
+        withGroup.select(
+          col("docKey").as(FlowFrame.Uuid),
+          col(FlowFrame.Attributes),
+          col("merged").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          col(FlowFrame.Relationship))
+
+      case "RetryFlowFile" =>
+        Routing.retryFlowFile(in,
+          maxRetries = prop("Maximum Retries", "3").toInt,
+          failOnNonNumericalOverwrite = Units.parseBool(
+            prop("Fail on Non-numerical Overwrite", "false")))
+
+      case "Funnel" => success(in)
+
+      case "LogAttribute" =>
+        success(in.withColumn("log", Transforms.logAttributePayload))
+
+      // ------------------------------------------------------ split/merge
+      case "SplitText" =>
+        val frags = SplitMerge.splitText(in, col(FlowFrame.Uuid),
+          content.cast("string"), "\n",
+          prop("Line Split Count", "1").toInt,
+          headerLines = prop("Header Line Count", "0").toInt)
+        frags.select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(
+            lit(FlowFrame.FragmentAttrs.Identifier),
+            col("`fragment.identifier`").cast("string"),
+            lit(FlowFrame.FragmentAttrs.Index),
+            col("fragmentIndex").cast("string"),
+            lit(FlowFrame.FragmentAttrs.Count),
+            col("fragmentCount").cast("string")).as(FlowFrame.Attributes),
+          col("fragment").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          lit("splits").as(FlowFrame.Relationship))
+
+      // ------------------------------------------------------------ sinks
+      case "PutFile" =>
+        val dir = props("Directory")
+        val conflict = prop("Conflict Resolution Strategy", "fail")
+        val mkdirs = Units.parseBool(
+          prop("Create Missing Directories", "true"))
+        val put = Sinks.putFileUdf(dir, conflict, mkdirs)
+        in.withColumn(FlowFrame.Relationship,
+          put(coalesce(FlowFrame.attr("filename"), col(FlowFrame.Uuid)),
+            content.cast("binary")))
+
+      case other => throw new IllegalArgumentException(
+        s"processor class '$other' is not supported by the batch FlowRunner" +
+          " (supported: GetFile, GenerateFlowFile, UpdateAttribute, " +
+          "ExtractText, ReplaceText, HashContent, CompressContent, " +
+          "AttributesToJSON, EvaluateJsonPath, AppendHostInfo, " +
+          "RouteOnAttribute, RouteText, RetryFlowFile, Funnel, " +
+          "LogAttribute, SplitText, PutFile)")
+    }
+  }
+}

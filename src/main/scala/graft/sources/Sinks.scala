@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /**
+   * PutFile (PutFile.cpp:75): write each row's content to
+   * `directory/filename`, conflict strategies fail/replace/ignore,
+   * optional directory creation. Returns the relationship per row
+   * ("success"/"failure"); nondeterministic so the optimizer can neither
+   * duplicate nor reorder the write (same policy as Sources.fetchFile).
+   * Each task writes its own rows — distributed, no driver funnel; the
+   * directory must be a shared filesystem on a real cluster, exactly like
+   * the reference's PutFile target.
+   */
+  def putFileUdf(directory: String, conflict: String,
+                 createDirs: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (filename: String, content: Array[Byte]) =>
+      try {
+        val dir = java.nio.file.Paths.get(directory)
+        if (createDirs) java.nio.file.Files.createDirectories(dir)
+        val target = dir.resolve(filename)
+        val exists = java.nio.file.Files.exists(target)
+        conflict.toLowerCase match {
+          case "fail" if exists    => "failure"
+          case "ignore" if exists  => "success"
+          case _ =>
+            java.nio.file.Files.write(target,
+              if (content == null) Array.emptyByteArray else content)
+            "success"
+        }
+      } catch { case _: java.io.IOException => "failure" }
+    }.asNondeterministic()
+
+  /**
    * PutTCP (extensions/standard-processors/processors/PutTCP.cpp): write
    * each row's message to host:port, newline-delimited. One connection per
    * partition (the reference pools connections per processor); rows pass

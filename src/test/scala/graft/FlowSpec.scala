@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.flow._
+
+/**
+ * Flow-config → DAG assembly — SURVEY §3.1 (YAML "MiNiFi Config Version: 3"
+ * and JSON rootGroup schemas; examples/getfile_putfile_config.{yml,json},
+ * http_post_config.yml shapes re-typed as fixtures).
+ */
+class FlowSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("Units: data sizes and durations parse the reference spellings") {
+    assert(Units.parseBytes("1 MB") === (1L << 20))
+    assert(Units.parseBytes("10 kB") === 10 * (1L << 10))
+    assert(Units.parseBytes("7") === 7L)
+    assert(Units.parseDurationMs("1000 ms") === 1000L)
+    assert(Units.parseDurationMs("2 sec") === 2000L)
+    assert(Units.parseDurationMs("5 min") === 300000L)
+    assert(Units.parseBool("'true'".replaceAll("'", "")) === true)
+  }
+
+  test("YAML v3 parse: processors, properties, connections, auto-terminate") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Flow Controller:
+        |  name: test flow
+        |Processors:
+        |- name: src
+        |  id: aaa
+        |  class: org.apache.nifi.minifi.processors.GetFile
+        |  scheduling strategy: TIMER_DRIVEN
+        |  scheduling period: 1000 ms
+        |  Properties:
+        |    Input Directory: /tmp/in
+        |    Keep Source File: 'true'
+        |- name: sink
+        |  id: bbb
+        |  class: org.apache.nifi.minifi.processors.PutFile
+        |  scheduling strategy: EVENT_DRIVEN
+        |  auto-terminated relationships list:
+        |  - failure
+        |  Properties:
+        |    Directory: /tmp/out
+        |Connections:
+        |- name: src/success/sink
+        |  id: ccc
+        |  source id: aaa
+        |  source relationship names:
+        |  - success
+        |  destination id: bbb
+        |""".stripMargin
+    val f = FlowConfig.parse(yml)
+    assert(f.name === "test flow")
+    assert(f.processors.map(_.kind) === Seq("GetFile", "PutFile"))
+    assert(f.processor("aaa").properties("Input Directory") === "/tmp/in")
+    assert(f.processor("sink").autoTerminated === Set("failure"))
+    assert(f.connections === Seq(ConnectionDef("ccc", "src/success/sink",
+      "aaa", Seq("success"), "bbb", None)))
+  }
+
+  test("JSON rootGroup parse mirrors the YAML model") {
+    val json =
+      """{"rootGroup": {
+        |  "name": "j flow",
+        |  "processors": [
+        |    {"name": "gen", "identifier": "g1",
+        |     "type": "org.apache.nifi.minifi.processors.GenerateFlowFile",
+        |     "schedulingStrategy": "TIMER_DRIVEN",
+        |     "schedulingPeriod": "1 sec",
+        |     "properties": {"Batch Size": "3", "File Size": "10 B",
+        |                    "Data Format": "Text"},
+        |     "autoTerminatedRelationships": []}],
+        |  "connections": []}}""".stripMargin
+    val f = FlowConfig.parse(json)
+    assert(f.name === "j flow")
+    assert(f.processors.head.kind === "GenerateFlowFile")
+    assert(f.processors.head.properties("Batch Size") === "3")
+  }
+
+  test("GetFile -> PutFile flow copies files end to end " +
+       "(getfile_putfile_config.yml shape)") {
+    val inDir = tmpDir("flow-in")
+    val outDir = tmpDir("flow-out")
+    Files.write(Paths.get(inDir, "a.txt"), "alpha".getBytes)
+    Files.write(Paths.get(inDir, "b.txt"), "beta".getBytes)
+    Files.write(Paths.get(inDir, ".hidden"), "x".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |    Ignore Hidden Files: 'true'
+         |- name: put
+         |  id: p
+         |  class: org.apache.nifi.minifi.processors.PutFile
+         |  auto-terminated relationships list: [success, failure]
+         |  Properties:
+         |    Directory: $outDir
+         |    Conflict Resolution Strategy: fail
+         |    Create Missing Directories: 'true'
+         |Connections:
+         |- name: get/success/put
+         |  id: c
+         |  source id: g
+         |  source relationship names: [success]
+         |  destination id: p
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val putOut = result.output("put")
+    assert(putOut.filter(col("relationship") === "success").count() === 2)
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "a.txt"))) ===
+      "alpha")
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "b.txt"))) ===
+      "beta")
+    // second sweep: conflict strategy fail routes both to failure
+    val again = FlowRunner.run(spark, FlowConfig.parse(yml))
+    assert(again.output("put")
+      .filter(col("relationship") === "failure").count() === 2)
+  }
+
+  test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties:
+        |    Batch Size: '10'
+        |    File Size: 8 B
+        |    Data Format: Text
+        |- name: upd
+        |  id: u
+        |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+        |  Properties:
+        |    parity: ${file_id:mod(2)}
+        |- name: route
+        |  id: r
+        |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+        |  Properties:
+        |    even: ${parity:equals(0)}
+        |    odd: ${parity:equals(1)}
+        |Connections:
+        |- id: c1
+        |  source id: g
+        |  source relationship names: [success]
+        |  destination id: u
+        |- id: c2
+        |  source id: u
+        |  source relationship names: [success]
+        |  destination id: r
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val routed = result.output("route")
+    assert(result.edge("route", "even").count() === 5)
+    assert(result.edge("route", "odd").count() === 5)
+    assert(routed.filter(col("relationship") === "unmatched").count() === 0)
+  }
+
+  test("retry cycle drops the back edge and still runs " +
+       "(http_post_config.yml shape)") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '4', File Size: 4 B, Data Format: Text}
+        |- name: retry
+        |  id: r
+        |  class: org.apache.nifi.processors.standard.RetryFlowFile
+        |  Properties:
+        |    Maximum Retries: '2'
+        |- name: log
+        |  id: l
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |Connections:
+        |- id: c1
+        |  source id: g
+        |  source relationship names: [success]
+        |  destination id: r
+        |- id: c2
+        |  source id: r
+        |  source relationship names: [retry]
+        |  destination id: g
+        |- id: c3
+        |  source id: r
+        |  source relationship names: [retries_exceeded]
+        |  destination id: l
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    assert(result.droppedEdges.map(_.id) === Seq("c2"))
+    // fresh rows have retry count 0 -> all route to retry (queued for the
+    // next sweep under the relaxed batch semantic), none exceeded yet
+    assert(result.edge("retry", "retry").count() === 4)
+    assert(result.output("log").count() === 0)
+  }
+
+  test("RouteText flow reassembles per-relationship content with grouping") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties:
+        |    Batch Size: '1'
+        |    Custom Text: "apple one\napple two\nbanana one\ncherry three"
+        |- name: rt
+        |  id: r
+        |  class: org.apache.nifi.processors.standard.RouteText
+        |  Properties:
+        |    Routing Strategy: Dynamic Routing
+        |    Matching Strategy: Starts With
+        |    Grouping Regular Expression: "^([a-z]+) .*"
+        |    apples: apple
+        |    bananas: banana
+        |Connections:
+        |- id: c1
+        |  source id: g
+        |  source relationship names: [success]
+        |  destination id: r
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("rt")
+      .select(col("relationship"),
+        element_at(col("attributes"), "RouteText.Group").as("grp"),
+        col("content"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows === Set(
+      ("apples", "apple", "apple one\napple two"),
+      ("bananas", "banana", "banana one"),
+      ("unmatched", "cherry", "cherry three")))
+  }
+}
