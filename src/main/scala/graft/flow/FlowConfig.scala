@@ -72,11 +72,15 @@ object FlowConfig {
     }
     val conns = asList(m.getOrElse("Connections", null)).map { c0 =>
       val c = asMap(c0)
-      // v3 spells either "source relationship names" (list) or
+      // v3 spells either "source relationship names" (list OR bare
+      // scalar, both occur in the reference examples) or
       // "source relationship name" (single)
       val rels =
         if (c.contains("source relationship names"))
-          asList(c("source relationship names")).map(_.toString)
+          (c("source relationship names") match {
+            case l: java.util.List[_] => asList(l.asInstanceOf[Object])
+            case scalar               => Seq(scalar)
+          }).map(_.toString)
         else opt(c.getOrElse("source relationship name", null))
           .map(_.toString).toSeq
       ConnectionDef(
@@ -94,6 +98,12 @@ object FlowConfig {
   /** Parse the JSON `rootGroup` schema (the examples' .json configs). */
   def parseJson(text: String): FlowDef = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a couple of the reference's shipped configs carry trailing commas;
+    // its rapidjson parse is permissive there, so be equally lenient
+    mapper.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_TRAILING_COMMA, true)
+    mapper.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_COMMENTS, true)
     val root = mapper.readValue(text, classOf[java.util.Map[String, Object]])
       .asScala
     val rg = asMap(root.getOrElse("rootGroup",

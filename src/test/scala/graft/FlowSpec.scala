@@ -63,6 +63,31 @@ class FlowSpec extends SparkSpec {
       "aaa", Seq("success"), "bbb", None)))
   }
 
+  test("parser quirks from shipped configs: scalar relationship names, " +
+       "trailing JSON commas") {
+    // http_post_config.yml writes "source relationship names: retry"
+    // (bare scalar under the plural key)
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- {name: a, id: a, class: x.A}
+        |- {name: b, id: b, class: x.B}
+        |Connections:
+        |- id: c
+        |  source id: a
+        |  source relationship names: retry
+        |  destination id: b
+        |""".stripMargin
+    assert(FlowConfig.parse(yml).connections.head.relationships === Seq("retry"))
+    // couchbase_mtls_authentication.json carries a trailing comma
+    val json =
+      """{"rootGroup": {"name": "t",
+        |  "processors": [{"name": "p", "identifier": "p", "type": "x.P",
+        |                  "properties": {"k": "v",}}],
+        |  "connections": []}}""".stripMargin
+    assert(FlowConfig.parse(json).processors.head.properties("k") === "v")
+  }
+
   test("JSON rootGroup parse mirrors the YAML model") {
     val json =
       """{"rootGroup": {
