@@ -99,6 +99,24 @@ object FlowRunner {
  */
 object Processors {
 
+  /** Rebuild the FlowFrame shape from a splitter's fragment output
+    * (SplitText.h:152-156 fragment attr convention). */
+  private def fragmentFrame(frags: DataFrame, idxCol: String,
+                            fragCol: String, countCol: Option[String]): DataFrame = {
+    val attrPairs = Seq(
+      lit(FlowFrame.FragmentAttrs.Identifier),
+      col("`fragment.identifier`").cast("string"),
+      lit(FlowFrame.FragmentAttrs.Index), col(idxCol).cast("string")) ++
+      countCol.toSeq.flatMap(c =>
+        Seq(lit(FlowFrame.FragmentAttrs.Count), col(c).cast("string")))
+    frags.select(
+      expr("uuid()").as(FlowFrame.Uuid),
+      map(attrPairs: _*).as(FlowFrame.Attributes),
+      col(fragCol).as(FlowFrame.Content),
+      current_timestamp().as(FlowFrame.EntryDate),
+      lit("splits").as(FlowFrame.Relationship))
+  }
+
   def apply(spark: SparkSession, p: ProcessorDef,
             input: Option[DataFrame]): DataFrame = {
     def in: DataFrame = input.getOrElse(throw new IllegalArgumentException(
@@ -338,6 +356,132 @@ object Processors {
           current_timestamp().as(FlowFrame.EntryDate),
           lit("splits").as(FlowFrame.Relationship))
 
+      case "SplitContent" =>
+        val keep = Units.parseBool(prop("Keep Byte Sequence", "false"))
+        val loc = prop("Byte Sequence Location", "Trailing") match {
+          case "Leading" => SplitMerge.Leading
+          case _         => SplitMerge.Trailing
+        }
+        val frags = SplitMerge.splitContent(in, col(FlowFrame.Uuid),
+          content.cast("string"), prop("Byte Sequence", "\n"), keep, loc)
+        fragmentFrame(frags, "fragmentIndex", "fragment", countCol = None)
+
+      case "SegmentContent" =>
+        val frags = SplitMerge.segmentContent(in, col(FlowFrame.Uuid),
+          content.cast("string"),
+          Units.parseBytes(prop("Segment Size", "1 kB")).toInt)
+        fragmentFrame(frags, "segmentIndex", "segment", countCol = None)
+
+      case "MergeContent" =>
+        val demarcator = prop("Demarcator", "")
+        prop("Merge Strategy", "Defragment") match {
+          case "Defragment" =>
+            val merged = SplitMerge.mergeContentDefragment(in,
+              FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier),
+              FlowFrame.attr(FlowFrame.FragmentAttrs.Index).cast("int"),
+              content.cast("string"),
+              FlowFrame.attr(FlowFrame.FragmentAttrs.Count).cast("long"),
+              demarcator)
+            merged.select(
+              col("mergeId").as(FlowFrame.Uuid),
+              map(lit("merge.count"), col("fragmentsSeen").cast("string"))
+                .as(FlowFrame.Attributes),
+              col("merged").as(FlowFrame.Content),
+              current_timestamp().as(FlowFrame.EntryDate),
+              when(col(FlowFrame.Relationship) === "merged", "merged")
+                .otherwise("failure").as(FlowFrame.Relationship))
+          case _ => // "Bin-Packing Algorithm"
+            val corr = props.get("Correlation Attribute Name")
+              .map(FlowFrame.attr).getOrElse(lit(""))
+            val merged = SplitMerge.mergeContentBinPackSized(in,
+              corr, col(FlowFrame.Uuid), content.cast("string"),
+              maxEntries = prop("Maximum Number of Entries", "1000").toInt,
+              maxGroupSize = props.get("Maximum Group Size")
+                .map(Units.parseBytes).getOrElse(Long.MaxValue),
+              minEntries = prop("Minimum Number of Entries", "1").toInt,
+              minGroupSize = props.get("Minimum Group Size")
+                .map(Units.parseBytes).getOrElse(0L),
+              demarcator = demarcator,
+              header = prop("Header", ""), footer = prop("Footer", ""))
+            merged.select(
+              expr("uuid()").as(FlowFrame.Uuid),
+              map(lit("merge.count"), col("mergeCount").cast("string"),
+                lit("merge.correlation"), col("correlation").cast("string"))
+                .as(FlowFrame.Attributes),
+              col("merged").as(FlowFrame.Content),
+              current_timestamp().as(FlowFrame.EntryDate),
+              when(col(FlowFrame.Relationship) === "merged", "merged")
+                .otherwise("failure").as(FlowFrame.Relationship))
+        }
+
+      // ------------------------------------------------- content rewrites
+      case "JoltTransformJSON" =>
+        val spec = props("Jolt Specification")
+        // shift returns struct(content, relationship) — failure keeps input
+        in.withColumn("__jolt",
+            graft.ops.JoltShift.shift(spec, content.cast("string")))
+          .withColumn(FlowFrame.Content, col("__jolt._1"))
+          .withColumn(FlowFrame.Relationship, col("__jolt._2"))
+          .drop("__jolt")
+
+      case "ApplyTemplate" =>
+        val template = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(props("Template"))))
+        success(in.withColumn(FlowFrame.Content,
+          Content.applyTemplate(template)))
+
+      // ----------------------------------------------- external processes
+      case "ExecuteProcess" =>
+        import spark.implicits._
+        val argv = (prop("Command", "") +: prop("Command Arguments", "")
+          .split("\\s+").toSeq).filter(_.nonEmpty)
+        val outLines = Exec.executeProcess(
+          in.select(content.cast("string")).as[String], argv)
+        success(FlowFrame.wrap(outLines.toDF("content"), "content", Nil))
+
+      case "InvokeHTTP" =>
+        val urlEl = props("Remote URL")
+        val call = Exec.httpRequestUdf(prop("HTTP Method", "GET"))(
+          ElCompiler.template(urlEl), content.cast("string"))
+        val sent = in.withColumn("__http", call)
+        val routed = sent.withColumn(FlowFrame.Relationship,
+          when(col("__http._1") === -1, "failure")
+            .otherwise(Exec.routeByStatus(col("__http._1"))))
+        FlowFrame.withAttrs(routed, Seq(
+          "invokehttp.status.code" -> col("__http._1").cast("string"),
+          "invokehttp.response.body" -> col("__http._2")))
+          .drop("__http")
+
+      // ------------------------------------------------------ sql sources
+      case "ExecuteSQL" =>
+        val rows = SqlOps.executeSql(spark, props("SQL select query"))
+        success(FlowFrame.wrap(
+          rows.select(to_json(struct(rows.columns.map(col): _*))
+            .as("content")), "content", Nil))
+
+      case "TailFile" =>
+        // batch sweep = the FIRST tail pass: the file's current lines
+        // (per-line FlowFiles, TailFile.cpp:582); the streaming runtime
+        // (streaming/TailFileSource) owns rotation/offset state
+        val path = props("File to Tail")
+        val lines = spark.read.textFile(path).toDF("content")
+          .withColumn("filename",
+            lit(path.substring(path.lastIndexOf('/') + 1)))
+          .withColumn("path", lit(path))
+        success(FlowFrame.wrap(lines, "content", Seq("filename", "path")))
+
+      case "FetchFile" =>
+        val pathCol = props.get("File to Fetch")
+          .map(el => ElCompiler.template(el))
+          .getOrElse(FlowFrame.attr("absolute.path"))
+        val completion = prop("Completion Strategy", "None") match {
+          case "Move File"   => "move"
+          case "Delete File" => "delete"
+          case _             => "none"
+        }
+        Sources.fetchFile(in, pathCol, completion,
+          prop("Move Destination Directory", ""))
+
       // ------------------------------------------------------------ sinks
       case "PutFile" =>
         val dir = props("Directory")
@@ -351,11 +495,13 @@ object Processors {
 
       case other => throw new IllegalArgumentException(
         s"processor class '$other' is not supported by the batch FlowRunner" +
-          " (supported: GetFile, GenerateFlowFile, UpdateAttribute, " +
-          "ExtractText, ReplaceText, HashContent, CompressContent, " +
-          "AttributesToJSON, EvaluateJsonPath, AppendHostInfo, " +
+          " (supported: GetFile, GenerateFlowFile, TailFile, FetchFile, " +
+          "UpdateAttribute, ExtractText, ReplaceText, HashContent, " +
+          "CompressContent, AttributesToJSON, EvaluateJsonPath, " +
+          "AppendHostInfo, JoltTransformJSON, ApplyTemplate, " +
           "RouteOnAttribute, RouteText, RetryFlowFile, Funnel, " +
-          "LogAttribute, SplitText, PutFile)")
+          "LogAttribute, SplitText, SplitContent, SegmentContent, " +
+          "MergeContent, ExecuteProcess, InvokeHTTP, ExecuteSQL, PutFile)")
     }
   }
 }

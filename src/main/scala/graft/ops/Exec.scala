@@ -100,6 +100,36 @@ object Exec {
   }
 
   /**
+   * Per-row HTTP request for the flow runtime's InvokeHTTP
+   * (InvokeHTTP.cpp:241,270): (url, body) → (status, response body);
+   * status -1 on connect/timeout failure (the reference's `failure`
+   * edge). GET when `method` is GET, else the body is sent. Marked
+   * nondeterministic so the optimizer cannot duplicate the side-effecting
+   * call (same policy as Sources.fetchFile); a shared lazy client per
+   * executor keeps connection reuse without per-row setup.
+   */
+  def httpRequestUdf(method: String, timeoutMs: Long = 5000)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (url: String, body: String) =>
+      try {
+        val client = Exec.sharedHttpClient
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+        val req = (method.toUpperCase match {
+          case "GET" => b.GET()
+          case m => b.method(m, java.net.http.HttpRequest.BodyPublishers
+            .ofString(if (body == null) "" else body))
+        }).build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      } catch { case _: Exception => (-1, "") }
+    }.asNondeterministic()
+
+  @transient private lazy val sharedHttpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
+
+  /**
    * RunLlamaCppInference (extensions/llamacpp/processors/
    * RunLlamaCppInference.h:55): prompt a local model with content. The
    * model client is STUBBED (no inference lib in this container) — the

@@ -229,6 +229,151 @@ class FlowSpec extends SparkSpec {
     assert(result.output("log").count() === 0)
   }
 
+  test("SplitText -> MergeContent Defragment round-trips content through " +
+       "the fragment attrs") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties:
+        |    Batch Size: '3'
+        |    Custom Text: "l1\nl2\nl3\nl4\nl5"
+        |- name: split
+        |  id: s
+        |  class: org.apache.nifi.processors.standard.SplitText
+        |  Properties:
+        |    Line Split Count: '2'
+        |- name: merge
+        |  id: m
+        |  class: org.apache.nifi.minifi.processors.MergeContent
+        |  Properties:
+        |    Merge Strategy: Defragment
+        |    Demarcator: "\n"
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+        |- {id: c2, source id: s, source relationship names: [splits], destination id: m}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val merged = result.edge("merge", "merged")
+      .select(col("content"), element_at(col("attributes"), "merge.count"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(merged.length === 3)
+    assert(merged.forall(_ === ("l1\nl2\nl3\nl4\nl5", "3")))
+  }
+
+  test("ExecuteProcess flow streams content through an external command") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '4', Custom Text: hello}
+        |- name: exec
+        |  id: e
+        |  class: org.apache.nifi.minifi.processors.ExecuteProcess
+        |  Properties:
+        |    Command: tr
+        |    Command Arguments: a-z A-Z
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: e}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val out = result.output("exec").select("content")
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq.fill(4)("HELLO"))
+  }
+
+  test("JoltTransformJSON flow shifts content; bad JSON routes to failure") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: '{"a": {"b": 7}}'}
+        |- name: jolt
+        |  id: j
+        |  class: org.apache.nifi.minifi.processors.JoltTransformJSON
+        |  Properties:
+        |    Jolt Transformation DSL: Shift
+        |    Jolt Specification: '{"a": {"b": "x.y"}}'
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: j}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("jolt")
+      .select("relationship", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("success", """{"x":{"y":7}}""")))
+  }
+
+  test("InvokeHTTP flow routes by status class against a loopback server") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(status: Int): com.sun.net.httpserver.HttpHandler = ex => {
+      val resp = "ok".getBytes
+      ex.sendResponseHeaders(status, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    }
+    server.createContext("/fine", handler(200))
+    server.createContext("/boom", handler(503))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '2', File Size: 4 B, Data Format: Text}
+           |- name: path
+           |  id: u
+           |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+           |  Properties:
+           |    target: $${file_id:mod(2):equals(0):ifElse('fine','boom')}
+           |- name: http
+           |  id: h
+           |  class: org.apache.nifi.processors.standard.InvokeHTTP
+           |  Properties:
+           |    HTTP Method: POST
+           |    Remote URL: http://127.0.0.1:$port/$${target}
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+           |- {id: c2, source id: u, source relationship names: [success], destination id: h}
+           |""".stripMargin
+      val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+      val rows = result.output("http")
+        .select(col("relationship"),
+          element_at(col("attributes"), "invokehttp.status.code"),
+          element_at(col("attributes"), "invokehttp.response.body"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(rows === Set(("success", "200", "ok"), ("retry", "503", "ok")))
+    } finally server.stop(0)
+  }
+
+  test("TailFile batch sweep emits the file's current lines") {
+    val f = Files.createTempFile("flow-tail", ".log")
+    Files.write(f, "one\ntwo\nthree\n".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: tail
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: $f
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    assert(result.output("tail").select("content").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("one", "three", "two"))
+  }
+
   test("RouteText flow reassembles per-relationship content with grouping") {
     val yml =
       """MiNiFi Config Version: 3
