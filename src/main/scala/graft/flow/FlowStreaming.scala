@@ -1,0 +1,131 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.core.FlowFrame
+import graft.streaming.FlowRuntime
+
+/**
+ * Streaming interpretation of a flow config — SURVEY §3.1/§2.10: the
+ * source processor becomes a Structured Streaming source (TailFile →
+ * TailFileSource with rotation state, Listen* → NetListenerSource,
+ * GenerateFlowFile → rate), downstream processors compose as the same
+ * lazy transforms the batch sweep uses (they are relationship-routed
+ * column ops, agnostic to batch vs stream), and the terminal edge lands
+ * in a relationship-partitioned sink — one query, one checkpoint, the
+ * micro-batch as the session commit. The scheduling strategy/period of
+ * the SOURCE processor picks the trigger (FlowRuntime.trigger).
+ *
+ * Scope: linear/branching DAGs with ONE source and ONE terminal
+ * processor; stateful fan-in (MergeContent bins, DefragmentText) runs
+ * through streaming/StatefulOps and is not yet config-wired.
+ */
+object FlowStreaming {
+
+  /** Assemble the flow as a streaming DataFrame ending at the single
+    * terminal processor's routed output. */
+  def assemble(spark: SparkSession, flow: FlowDef): DataFrame = {
+    val incoming = flow.connections.groupBy(_.destinationId)
+    val outgoing = flow.connections.groupBy(_.sourceId)
+    val sources = flow.processors.filter(p => !incoming.contains(p.id))
+    require(sources.size == 1,
+      s"streaming flow needs exactly one source, got ${sources.map(_.name)}")
+    val terminals = flow.processors.filter(p => !outgoing.contains(p.id))
+    require(terminals.size == 1,
+      s"streaming flow needs exactly one terminal, got ${terminals.map(_.name)}")
+
+    val outputs = collection.mutable.Map[String, DataFrame]()
+    outputs(sources.head.id) = streamSource(spark, sources.head)
+    // processors are declared source-to-sink in every shipped example;
+    // walk until the terminal resolves (cycles rejected by the no-input rule)
+    var remaining = flow.processors.filterNot(p => outputs.contains(p.id))
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(p =>
+        incoming(p.id).forall(c => outputs.contains(c.sourceId)))
+      require(ready.nonEmpty, s"unresolvable flow (cycle?): " +
+        remaining.map(_.name).mkString(","))
+      ready.foreach { p =>
+        val ins = incoming(p.id).flatMap { c =>
+          outputs.get(c.sourceId).map { up =>
+            val sel = if (c.relationships.isEmpty) up
+              else up.filter(col(FlowFrame.Relationship)
+                .isin(c.relationships: _*))
+            sel.withColumn(FlowFrame.Relationship, lit(null: String))
+          }
+        }
+        outputs(p.id) = Processors.apply(spark, p,
+          ins.reduceOption(_ unionByName _))
+      }
+      remaining = remaining.filterNot(p => outputs.contains(p.id))
+    }
+    outputs(terminals.head.id)
+  }
+
+  /** Run the assembled flow into `outRoot` (relationship-partitioned
+    * parquet) with the source's scheduling strategy as the trigger;
+    * drains available data and returns the running query. */
+  def run(spark: SparkSession, flow: FlowDef, outRoot: String,
+          checkpoint: String): StreamingQuery = {
+    val routed = assemble(spark, flow)
+    FlowRuntime.runAvailable(
+      FlowRuntime.relationshipSink(routed, outRoot), checkpoint)
+  }
+
+  /** Source-processor → streaming DataFrame in the FlowFrame shape. */
+  private def streamSource(spark: SparkSession, p: ProcessorDef): DataFrame = {
+    val props = p.properties
+    def prop(name: String, default: String): String =
+      props.getOrElse(name, default)
+    p.kind match {
+      case "TailFile" =>
+        // Single-file mode tails exactly that name; Multiple-file mode
+        // treats "File to Tail" as a regex under the base directory
+        // (TailFile.h:141-151 tail-mode / tail-base-directory)
+        val (dir, glob) = prop("tail-mode", "Single file") match {
+          case "Multiple file" =>
+            (props("tail-base-directory"), prop("File to Tail", ".*"))
+          case _ =>
+            val f = java.nio.file.Paths.get(props("File to Tail"))
+            (f.getParent.toString,
+              java.util.regex.Pattern.quote(f.getFileName.toString))
+        }
+        val tailed = spark.readStream
+          .format("graft.streaming.TailFileSource")
+          .option("path", dir).option("glob", glob).load()
+          .withColumn("filename", element_at(split(col("path"), "/"), -1))
+        FlowFrame.wrap(tailed, "line", Seq("filename", "path"))
+          .withColumn(FlowFrame.Relationship, lit("success"))
+
+      case "ListenTCP" | "ListenUDP" | "ListenHTTP" =>
+        val protocol = p.kind.stripPrefix("Listen").toLowerCase
+        val listened = spark.readStream
+          .format("graft.sources.NetListenerSource")
+          .option("name", p.id)
+          .option("protocol", protocol)
+          .option("port", prop("Listening Port", prop("Port", "0")))
+          .option("maxQueueSize",
+            prop("Max Size of Message Queue", "10000"))
+          .load()
+        FlowFrame.wrap(listened, "message", Seq("sender"))
+          .withColumn(FlowFrame.Relationship, lit("success"))
+
+      case "GenerateFlowFile" =>
+        val rate = spark.readStream.format("rate")
+          .option("rowsPerSecond", prop("Batch Size", "1")).load()
+        val content = graft.el.ElCompiler.template(
+          prop("Custom Text", "${value}"),
+          { case "value" => col("value").cast("string") })
+        FlowFrame.wrap(
+          rate.withColumn("content", content)
+            .withColumnRenamed("value", "file_id"),
+          "content", Seq("file_id"))
+          .withColumn(FlowFrame.Relationship, lit("success"))
+
+      case other => throw new IllegalArgumentException(
+        s"'$other' is not a supported streaming source " +
+          "(supported: TailFile, ListenTCP, ListenUDP, ListenHTTP, " +
+          "GenerateFlowFile)")
+    }
+  }
+}

@@ -374,6 +374,49 @@ class FlowSpec extends SparkSpec {
       .map(_.getString(0)).sorted.toSeq === Seq("one", "three", "two"))
   }
 
+  test("streaming flow from config: TailFile -> ExtractText -> " +
+       "RouteOnAttribute -> relationship sink, offsets survive restart") {
+    val dir = tmpDir("flow-stream")
+    val ckpt = tmpDir("flow-ckpt")
+    val out = tmpDir("flow-sink")
+    Files.write(Paths.get(dir, "app.log"),
+      "ERROR disk full\nINFO all fine\nERROR cpu hot\n".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: tail
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: $dir/app.log
+         |- name: level
+         |  id: x
+         |  class: org.apache.nifi.processors.standard.ExtractText
+         |  Properties:
+         |    level: "^([A-Z]+)"
+         |- name: route
+         |  id: r
+         |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+         |  Properties:
+         |    errors: $${level:equals('ERROR')}
+         |Connections:
+         |- {id: c1, source id: t, source relationship names: [success], destination id: x}
+         |- {id: c2, source id: x, source relationship names: [success], destination id: r}
+         |""".stripMargin
+    val flow1 = FlowConfig.parse(yml)
+    FlowStreaming.run(spark, flow1, out, ckpt).stop()
+    assert(spark.read.parquet(s"$out/relationship=errors").count() === 2)
+    assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
+    // append one line, restart from the same checkpoint: only the new
+    // line is emitted (TailFileSource offset state)
+    Files.write(Paths.get(dir, "app.log"),
+      "ERROR net down\n".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    FlowStreaming.run(spark, flow1, out, ckpt).stop()
+    assert(spark.read.parquet(s"$out/relationship=errors").count() === 3)
+    assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
+  }
+
   test("RouteText flow reassembles per-relationship content with grouping") {
     val yml =
       """MiNiFi Config Version: 3
