@@ -55,13 +55,17 @@ object FlowFrame {
    */
   def wrap(df: DataFrame, contentCol: String, attrCols: Seq[String],
            uuidCol: Option[String] = None): DataFrame = {
+    // backtick-quote every name: attribute-style columns carry dots
+    // ("kafka.topic", "fragment.identifier") that bare col() would parse
+    // as struct-field access
+    def c0(c: String): Column = col(s"`$c`")
     val attrPairs: Seq[Column] =
-      attrCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    val id = uuidCol.map(c => col(c).cast("string")).getOrElse(expr("uuid()"))
+      attrCols.flatMap(c => Seq(lit(c), c0(c).cast("string")))
+    val id = uuidCol.map(c => c0(c).cast("string")).getOrElse(expr("uuid()"))
     df.select(
       id.as(Uuid),
       map(attrPairs: _*).as(Attributes),
-      col(contentCol).as(Content), // native type — BINARY must not be coerced
+      c0(contentCol).as(Content), // native type — BINARY must not be coerced
                                    // (byte-accurate ops like HashContent hash
                                    // the raw claim, HashContent.cpp:57)
       current_timestamp().as(EntryDate),

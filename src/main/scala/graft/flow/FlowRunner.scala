@@ -40,8 +40,18 @@ object FlowRunner {
       output(procIdOrName).filter(col(FlowFrame.Relationship) === relationship)
   }
 
-  def run(spark: SparkSession, flow: FlowDef): FlowResult = {
+  def run(spark: SparkSession, flow: FlowDef,
+          materializeFanOut: Boolean = true): FlowResult = {
     val incoming = flow.connections.groupBy(_.destinationId)
+    // a processor output consumed by 2+ connections would otherwise be
+    // recomputed once per downstream plan (separate DataFrame actions share
+    // no scans — the FlowFrame.routed N-scan trap); persist those nodes so
+    // the sweep materializes each shared stage once. At cluster scale this
+    // is the standard persist-the-fan-out-point pattern.
+    val fanOut: Set[String] =
+      if (!materializeFanOut) Set.empty
+      else flow.connections.groupBy(_.sourceId)
+        .filter(_._2.size > 1).keySet
     // Kahn's algorithm with cycle breaking: schedule any processor whose
     // live incoming edges all come from computed processors; when none is
     // ready (a cycle), drop the FIRST-DECLARED blocked processor's edges
@@ -85,7 +95,11 @@ object FlowRunner {
           }
         }
       val input = ins.reduceOption(_ unionByName _)
-      outputs(id) = Processors.apply(spark, p, input)
+      val out = Processors.apply(spark, p, input)
+      outputs(id) =
+        if (fanOut(id))
+          out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else out
     }
     FlowResult(flow, outputs.toMap, dropped.toSeq)
   }

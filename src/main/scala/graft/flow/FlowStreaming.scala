@@ -97,6 +97,50 @@ object FlowStreaming {
         FlowFrame.wrap(tailed, "line", Seq("filename", "path"))
           .withColumn(FlowFrame.Relationship, lit("success"))
 
+      case "ListenSyslog" =>
+        // socket listener + protocol-dispatch parse (ListenSyslog.cpp:67,81):
+        // RFC5424-first, RFC3164 fallback, else the `invalid` relationship;
+        // parsed fields land as syslog.* attributes when "Parse Messages"
+        val listened = spark.readStream
+          .format("graft.sources.NetListenerSource")
+          .option("name", p.id)
+          .option("protocol", prop("Protocol", "UDP").toLowerCase)
+          .option("port", prop("Listening Port", "0"))
+          .option("maxQueueSize", prop("Max Size of Message Queue", "10000"))
+          .load()
+        val base = FlowFrame.wrap(listened, "message", Seq("sender"))
+        if (!Units.parseBool(prop("Parse Messages", "true")))
+          base.withColumn(FlowFrame.Relationship, lit("success"))
+        else {
+          val parsed = graft.ops.Syslog.parseSyslog(
+            base.drop(FlowFrame.Relationship), col(FlowFrame.Content))
+          val fields = Seq("format", "priority", "version", "timestamp",
+            "hostname", "app_name", "procid", "msgid", "msg")
+          FlowFrame.withAttrs(parsed,
+            fields.map(f => s"syslog.$f" -> col(s"syslog_$f")))
+            .drop(fields.map(f => s"syslog_$f"): _*)
+        }
+
+      case "ConsumeKafka" =>
+        // property surface → connector options (sources/Kafka.scala); the
+        // kafka connector jar must be on the classpath (absent offline)
+        val opts = graft.sources.Kafka.consumeOptions(
+          graft.sources.Kafka.ConsumeProps(
+            brokers = props("Kafka Brokers"),
+            topicNames = props("Topic Names").split(",").map(_.trim).toSeq,
+            topicNameFormat = prop("Topic Name Format", "Names"),
+            groupId = prop("Group ID", ""),
+            offsetReset = prop("Offset Reset", "latest"),
+            honorTransactions =
+              Units.parseBool(prop("Honor Transactions", "true")),
+            maxPollRecords = prop("Max Poll Records", "10000").toInt))
+        val consumed = graft.sources.Kafka.envelopeAttrs(
+          spark.readStream.format("kafka").options(opts).load())
+        FlowFrame.wrap(
+          consumed.withColumn("content", col("value").cast("string")),
+          "content", Seq("kafka.topic", "kafka.partition", "kafka.offset"))
+          .withColumn(FlowFrame.Relationship, lit("success"))
+
       case "ListenTCP" | "ListenUDP" | "ListenHTTP" =>
         val protocol = p.kind.stripPrefix("Listen").toLowerCase
         val listened = spark.readStream

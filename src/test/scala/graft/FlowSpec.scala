@@ -417,6 +417,55 @@ class FlowSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
   }
 
+  test("streaming ListenSyslog flow parses RFC5424/RFC3164 into attributes " +
+       "and routes invalid") {
+    val out = tmpDir("syslog-sink")
+    val ckpt = tmpDir("syslog-ckpt")
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: syslog
+        |  id: s
+        |  class: org.apache.nifi.minifi.processors.ListenSyslog
+        |  Properties:
+        |    Protocol: UDP
+        |    Listening Port: '0'
+        |    Parse Messages: 'true'
+        |""".stripMargin
+    val routed = FlowStreaming.assemble(spark, FlowConfig.parse(yml))
+    val q = graft.streaming.FlowRuntime.relationshipSink(routed, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val port = graft.sources.NetListenerSource.boundPort("s")
+      val sock = new java.net.DatagramSocket()
+      Seq(
+        "<34>1 2026-08-12T22:14:15.003Z host1 app 77 ID47 - boom",
+        "<13>Aug 12 22:14:15 host2 legacy style msg",
+        "not syslog at all").foreach { m =>
+        val b = m.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getLoopbackAddress, port))
+      }
+      sock.close()
+      var ok = false
+      var i = 0
+      while (i < 40 && !ok) {
+        q.processAllAvailable()
+        ok = new java.io.File(s"$out/relationship=success").exists() &&
+          new java.io.File(s"$out/relationship=invalid").exists() &&
+          spark.read.parquet(s"$out/relationship=success").count() == 2
+        Thread.sleep(250); i += 1
+      }
+      assert(ok, "syslog messages not routed in time")
+      val attrs = spark.read.parquet(s"$out/relationship=success")
+        .select(element_at(col("attributes"), "syslog.format").as("f"),
+          element_at(col("attributes"), "syslog.hostname").as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(attrs === Set(("rfc5424", "host1"), ("rfc3164", "host2")))
+    } finally q.stop()
+  }
+
   test("RouteText flow reassembles per-relationship content with grouping") {
     val yml =
       """MiNiFi Config Version: 3
