@@ -36,13 +36,26 @@ case class ConnectionDef(
     destinationId: String,
     expirationMs: Option[Long])
 
+/** Controller service (SSL contexts, record readers/writers, cluster
+  * clients — FlowSchema.cpp controller service plane). Parsed so
+  * processors can resolve service-typed properties by id/name. */
+case class ServiceDef(
+    id: String,
+    name: String,
+    clazz: String,
+    properties: Map[String, String])
+
 case class FlowDef(
     name: String,
     processors: Seq[ProcessorDef],
-    connections: Seq[ConnectionDef]) {
+    connections: Seq[ConnectionDef],
+    services: Seq[ServiceDef] = Nil) {
   def processor(id: String): ProcessorDef =
     processors.find(p => p.id == id || p.name == id).getOrElse(
       throw new IllegalArgumentException(s"no processor with id/name '$id'"))
+  def service(id: String): ServiceDef =
+    services.find(s => s.id == id || s.name == id).getOrElse(
+      throw new IllegalArgumentException(s"no controller service '$id'"))
 }
 
 object FlowConfig {
@@ -92,7 +105,18 @@ object FlowConfig {
         expirationMs = opt(c.getOrElse("flowfile expiration", null))
           .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
     }
-    FlowDef(name, procs, conns)
+    val svcs = asList(m.getOrElse("Controller Services", null)).map { s0 =>
+      val s = asMap(s0)
+      ServiceDef(
+        id = str(s, "id", str(s, "name", "")),
+        name = str(s, "name", str(s, "id", "")),
+        clazz = str(s, "class", str(s, "type", "")),
+        properties = opt(s.getOrElse("Properties", null))
+          .map(asMap(_).map { case (k, v) =>
+            k -> (if (v == null) "" else v.toString) }.toMap)
+          .getOrElse(Map.empty))
+    }
+    FlowDef(name, procs, conns, svcs)
   }
 
   /** Parse the JSON `rootGroup` schema (the examples' .json configs). */
@@ -135,7 +159,18 @@ object FlowConfig {
         expirationMs = opt(c.getOrElse("flowFileExpiration", null))
           .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
     }
-    FlowDef(str(rg, "name", "MiNiFi Flow"), procs, conns)
+    val svcs = asList(rg.getOrElse("controllerServices", null)).map { s0 =>
+      val s = asMap(s0)
+      ServiceDef(
+        id = str(s, "identifier", str(s, "name", "")),
+        name = str(s, "name", str(s, "identifier", "")),
+        clazz = str(s, "type", ""),
+        properties = opt(s.getOrElse("properties", null))
+          .map(asMap(_).map { case (k, v) =>
+            k -> (if (v == null) "" else v.toString) }.toMap)
+          .getOrElse(Map.empty))
+    }
+    FlowDef(str(rg, "name", "MiNiFi Flow"), procs, conns, svcs)
   }
 
   /** Sniff YAML vs JSON by the first non-space character. */

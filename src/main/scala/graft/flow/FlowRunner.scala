@@ -496,6 +496,80 @@ object Processors {
         Sources.fetchFile(in, pathCol, completion,
           prop("Move Destination Directory", ""))
 
+      case "PutSplunkHTTP" =>
+        // HEC event POST (PutSplunkHTTP.cpp:40-60): metadata rides in the
+        // JSON-event form; token in the Authorization header
+        val scheme = prop("Scheme", "https")
+        val url = s"$scheme://${props("Hostname")}:${prop("Port", "8088")}" +
+          "/services/collector/event"
+        val payload = Sinks.splunkHecEvent(content.cast("string"),
+          sourceType = props.get("Source Type"),
+          source = props.get("Source"),
+          host = props.get("Host"),
+          index = props.get("Index"))
+        val headers = Map(
+          "Authorization" -> s"Splunk ${prop("Token", "")}",
+          "Content-Type" -> "application/json") ++
+          props.get("Splunk Request Channel")
+            .map("X-Splunk-Request-Channel" -> _)
+        val call = Exec.httpRequestUdf("POST", headers = headers)(
+          lit(url), payload)
+        val sent = in.withColumn("__http", call)
+        FlowFrame.withAttrs(
+          sent.withColumn(FlowFrame.Relationship,
+            when(col("__http._1").between(200, 299), "success")
+              .otherwise("failure")),
+          Seq("splunk.status.code" -> col("__http._1").cast("string"),
+            "splunk.response.body" -> col("__http._2")))
+          .drop("__http")
+
+      case "PostElasticsearch" =>
+        // per-row single-action _bulk POST; the payload contract is
+        // Sinks.esBulkLines (batching to Max Batch Size is the
+        // foreachBatch writer's job at scale)
+        val url = props("Hosts").stripSuffix("/") + "/_bulk"
+        val action = prop("Action", "index")
+        val indexEl = ElCompiler.template(props("Index"))
+        val idEl = props.get("Identifier").map(ElCompiler.template(_))
+          .getOrElse(col(FlowFrame.Uuid))
+        val payload = concat(Sinks.esBulkLines(lit(action), indexEl, idEl,
+          content.cast("string")), lit("\n"))
+        val call = Exec.httpRequestUdf("POST",
+          headers = Map("Content-Type" -> "application/x-ndjson"))(
+          lit(url), payload)
+        val sent = in.withColumn("__http", call)
+        FlowFrame.withAttrs(
+          sent.withColumn(FlowFrame.Relationship,
+            when(col("__http._1").between(200, 299), "success")
+              .otherwise("failure")),
+          Seq("elasticsearch.status.code" -> col("__http._1").cast("string")))
+          .drop("__http")
+
+      case "PushGrafanaLokiREST" =>
+        // whole-sweep aggregation into ONE push body (the reference
+        // batches by Max Batch Size; the micro-batch is the batch here)
+        val labels = prop("Stream Labels", "job=graft").split(",")
+          .map(_.trim.split("=", 2)).collect { case Array(k, v) => (k, v) }
+          .toSeq
+        val tsNanos = (unix_millis(col(FlowFrame.EntryDate)) * 1000000L)
+        val body = in.agg(Sinks.lokiPushBody(
+          Sinks.lokiStream(labels, tsNanos, content.cast("string")))
+          .as("body"))
+        val url = props("Url").stripSuffix("/") + "/loki/api/v1/push"
+        val headers = Map("Content-Type" -> "application/json") ++
+          props.get("Tenant ID").map("X-Scope-OrgID" -> _)
+        val call = Exec.httpRequestUdf("POST", headers = headers)(
+          lit(url), col("body"))
+        body.withColumn("__http", call)
+          .select(
+            expr("uuid()").as(FlowFrame.Uuid),
+            map(lit("loki.status.code"), col("__http._1").cast("string"))
+              .as(FlowFrame.Attributes),
+            col("body").as(FlowFrame.Content),
+            current_timestamp().as(FlowFrame.EntryDate),
+            when(col("__http._1").between(200, 299), "success")
+              .otherwise("failure").as(FlowFrame.Relationship))
+
       // ------------------------------------------------------------ sinks
       case "PutFile" =>
         val dir = props("Directory")

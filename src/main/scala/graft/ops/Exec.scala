@@ -108,13 +108,15 @@ object Exec {
    * call (same policy as Sources.fetchFile); a shared lazy client per
    * executor keeps connection reuse without per-row setup.
    */
-  def httpRequestUdf(method: String, timeoutMs: Long = 5000)
+  def httpRequestUdf(method: String, timeoutMs: Long = 5000,
+                     headers: Map[String, String] = Map.empty)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (url: String, body: String) =>
       try {
         val client = Exec.sharedHttpClient
-        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofMillis(timeoutMs))
+        headers.foreach { case (k, v) => b = b.header(k, v) }
         val req = (method.toUpperCase match {
           case "GET" => b.GET()
           case m => b.method(m, java.net.http.HttpRequest.BodyPublishers

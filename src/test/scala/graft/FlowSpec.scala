@@ -357,6 +357,56 @@ class FlowSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("PutSplunkHTTP flow POSTs HEC events with token header and metadata " +
+       "(PutSplunkHTTP.cpp:40-60)") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/services/collector/event", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      seen.add((ex.getRequestHeaders.getFirst("Authorization"), body))
+      val resp = """{"text":"Success","code":0}""".getBytes
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '2', Custom Text: 'log line'}
+           |- name: splunk
+           |  id: s
+           |  class: org.apache.nifi.minifi.processors.PutSplunkHTTP
+           |  Properties:
+           |    Scheme: http
+           |    Hostname: 127.0.0.1
+           |    Port: '$port'
+           |    Token: tok123
+           |    Source Type: app_log
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+           |""".stripMargin
+      val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+      val rows = result.output("splunk")
+        .select(col("relationship"),
+          element_at(col("attributes"), "splunk.status.code"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq === Seq.fill(2)(("success", "200")))
+      assert(seen.size === 2)
+      seen.forEach { case (auth, body) =>
+        assert(auth === "Splunk tok123")
+        assert(body ===
+          """{"sourcetype":"app_log","event":{"raw":"log line"}}""")
+      }
+    } finally server.stop(0)
+  }
+
   test("TailFile batch sweep emits the file's current lines") {
     val f = Files.createTempFile("flow-tail", ".log")
     Files.write(f, "one\ntwo\nthree\n".getBytes)
