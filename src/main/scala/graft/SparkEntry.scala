@@ -849,6 +849,50 @@ object SparkEntry {
         TextAnalysis.fingerprintBand(col("text"), 5, 2).as("fp_band"))
         .orderBy("doc_id")),
 
+    // intra-document repetition (C4/Gopher-family quality filters):
+    // unigram + bigram counts, top-gram share, duplicated-gram fraction
+    "text_repetition" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val uni = TextAnalysis.repetitionFeatures(docs, col("doc_id"),
+        col("text"), 1)
+        .select(col("docId").as("doc_id"),
+          col("n_grams").as("n_words"),
+          col("n_distinct_grams").as("n_distinct_words"),
+          col("top_gram_count").as("top_word_count"),
+          col("dup_gram_occurrences").as("dup_word_occ"))
+      val bi = TextAnalysis.repetitionFeatures(docs, col("doc_id"),
+        col("text"), 2)
+        .select(col("docId").as("doc_id"),
+          col("n_grams").as("n_bigrams"),
+          col("n_distinct_grams").as("n_distinct_bigrams"),
+          col("top_gram_count").as("top_bigram_count"),
+          col("dup_gram_occurrences").as("dup_bigram_occ"))
+      uni.join(bi, "doc_id")
+        .withColumn("top_word_frac",
+          col("top_word_count").cast("double") / col("n_words"))
+        .withColumn("dup_bigram_frac",
+          col("dup_bigram_occ").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction — emails/IPv4/phone-shaped digits injected
+    // deterministically, redacted + counted (training-data scrub pass)
+    "text_redact" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex.com via 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val counts = TextAnalysis.piiCounts(pii).toMap
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextAnalysis.redactPii(pii).cast("binary")).as("redacted_md5"),
+        counts("n_emails").as("emails_n"),
+        counts("n_ips").as("ips_n"),
+        counts("n_phones").as("phones_n"))
+        .orderBy("doc_id")
+    }),
+
     // §2.4 CompressContent — full codec family round trips plus the
     // "use mime.type" decompress mode with the mime attr the reference stamps
     "compress_content" -> ((s, dir) => {
@@ -1856,6 +1900,45 @@ object SparkEntry {
         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uc AS (SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+        |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct_words, max(c) AS top_word_count,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_word_occ
+        |  FROM uc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |    ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS g
+        |  FROM w),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct_bigrams, max(c) AS top_bigram_count,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_occ
+        |  FROM bc GROUP BY doc_id)
+        |SELECT uni.doc_id, n_words, n_distinct_words, top_word_count, dup_word_occ,
+        |  n_bigrams, n_distinct_bigrams, top_bigram_count, dup_bigram_occ,
+        |  CAST(top_word_count AS DOUBLE) / n_words AS top_word_frac,
+        |  CAST(dup_bigram_occ AS DOUBLE) / n_bigrams AS dup_bigram_frac
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
+
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact u' || doc_id || '@ex.com via 10.0.' ||
+        |    (doc_id % 256) || '.7 tel 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails_n,
+        |  CAST(len(regexp_extract_all(s, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips_n,
+        |  CAST(len(regexp_extract_all(s, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS phones_n
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""$ShingleCte,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -81,4 +81,52 @@ object TextAnalysis {
     array_min(filter(
       transform(Dedup.shingles(textCol, n), s => md5(s)),
       (h) => (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) % band === 0))
+
+  /**
+   * Intra-document repetition (the C4/Gopher-family filters: duplicated
+   * lines / most-common n-gram share / duplicated n-gram fraction —
+   * published web-corpus quality heuristics). Per (doc, n): total grams,
+   * distinct grams, the top gram's occurrence count, and the number of
+   * occurrences belonging to grams seen 2+ times; callers derive
+   * `top_frac`/`dup_frac` and threshold.
+   *
+   * Shape: explode + two hash-aggregates — both partial-agg map-side, keys
+   * are (doc, gram) then doc, so no skew hotter than the document itself;
+   * no window, no self-join. ~2 shuffles at any scale.
+   */
+  def repetitionFeatures(df: DataFrame, idCol: Column, textCol: Column,
+                         n: Int): DataFrame = {
+    val grams = df.select(idCol.as("docId"),
+      explode(Dedup.shingles(textCol, n)).as("g"))
+    grams.groupBy(col("docId"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("docId")).agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_gram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_gram_occurrences"))
+  }
+
+  /** PII patterns shared by redaction and counting — the common RE2/Java
+    * regex subset so any engine computes identical results. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /**
+   * PII redaction for training-data pipelines: emails → [EMAIL], IPv4 →
+   * [IP], phone-shaped digits → [PHONE]. Email first (its local part may
+   * contain digits/dots that the narrower patterns would otherwise bite
+   * into). Pure regexp_replace chain — codegen'd, no UDF.
+   */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  def piiCounts(textCol: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long"))
 }

@@ -254,6 +254,49 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) !== out(4L))
   }
 
+  test("repetition features: duplicated words/bigrams counted per doc " +
+       "(C4/Gopher-style filters)") {
+    val reps = spark.createDataFrame(Seq(
+      (1L, "a a a a"),          // one word repeated 4x
+      (2L, "a b a b a b"),      // bigram 'a b' 3x (of 5 bigrams)
+      (3L, "x y z"),            // no repetition
+      (4L, "solo")))            // single word: 1 unigram, 1 "bigram" (whole text)
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.repetitionFeatures(reps, col("doc_id"),
+      col("text"), 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(uni(1L) === ((4L, 1L, 4L, 4L)))  // 4 grams, 1 distinct, top 4, all dup
+    assert(uni(3L) === ((3L, 3L, 1L, 0L)))
+    assert(uni(4L) === ((1L, 1L, 1L, 0L)))
+    val bi = TextAnalysis.repetitionFeatures(reps, col("doc_id"),
+      col("text"), 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(bi(2L) === ((5L, 2L, 3L, 5L)))  // 'a b'x3 + 'b a'x2 — all duplicated
+    assert(bi(4L) === ((1L, 1L, 1L, 0L)))  // short doc folds to whole text
+  }
+
+  test("PII redaction replaces emails/IPs/phones and counts them") {
+    val rows = spark.createDataFrame(Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "host 192.168.0.1 and phone 555-0123"),
+      (3L, "clean text with nothing sensitive"),
+      (4L, "a@b.co 1.2.3.4 999-1111 all three")))
+      .toDF("id", "s")
+    val out = rows.select(col("id"),
+      TextAnalysis.redactPii(col("s")).as("r"),
+      TextAnalysis.piiCounts(col("s")).toMap.apply("n_emails").as("e"),
+      TextAnalysis.piiCounts(col("s")).toMap.apply("n_ips").as("i"),
+      TextAnalysis.piiCounts(col("s")).toMap.apply("n_phones").as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === (("mail [EMAIL] now", 1L, 0L, 0L)))
+    assert(out(2L) === (("host [IP] and phone [PHONE]", 0L, 1L, 1L)))
+    assert(out(3L)._1 === "clean text with nothing sensitive")
+    assert(out(4L) === (("[EMAIL] [IP] [PHONE] all three", 1L, 1L, 1L)))
+  }
+
   test("multimodal: binary wrap preserves bytes and decode batches features") {
     val wrapped = Multimodal.wrapBinary(docs.filter(col("doc_id") === 1),
       col("doc_id"), col("text"), "text/plain", lit("mem"))
