@@ -95,7 +95,7 @@ object FlowRunner {
           }
         }
       val input = ins.reduceOption(_ unionByName _)
-      val out = Processors.apply(spark, p, input)
+      val out = Processors.apply(spark, p, input, flow.services)
       outputs(id) =
         if (fanOut(id))
           out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +132,12 @@ object Processors {
   }
 
   def apply(spark: SparkSession, p: ProcessorDef,
-            input: Option[DataFrame]): DataFrame = {
+            input: Option[DataFrame],
+            services: Seq[ServiceDef] = Nil): DataFrame = {
+    def service(ref: String): ServiceDef =
+      services.find(sv => sv.id == ref || sv.name == ref).getOrElse(
+        throw new IllegalArgumentException(
+          s"processor '${p.name}' references unknown controller service '$ref'"))
     def in: DataFrame = input.getOrElse(throw new IllegalArgumentException(
       s"processor '${p.name}' (${p.kind}) has no incoming connection"))
     val props = p.properties
@@ -427,6 +432,45 @@ object Processors {
               when(col(FlowFrame.Relationship) === "merged", "merged")
                 .otherwise("failure").as(FlowFrame.Relationship))
         }
+
+      case "ConvertRecord" =>
+        // reader/writer resolve through controller services
+        // (ConvertRecord.cpp:36); the reader service carries the record
+        // schema as Spark DDL under "Schema Text" (schema-optional inference
+        // is a per-batch sample in the reference — here the schema is
+        // explicit, the plan-stable choice at scale)
+        val reader = service(props("Record Reader"))
+        val writer = service(props("Record Writer"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          reader.properties.getOrElse("Schema Text",
+            throw new IllegalArgumentException(
+              s"reader service '${reader.name}' needs a Schema Text property")))
+        val parsed = reader.clazz match {
+          case c if c.endsWith("JsonTreeReader") =>
+            graft.record.Records.jsonTreeReader(content.cast("string"), schema)
+          case c if c.endsWith("XMLReader") =>
+            graft.record.Records.xmlReader(content.cast("string"), schema)
+          case other => throw new IllegalArgumentException(
+            s"unsupported record reader '$other'")
+        }
+        val written = writer.clazz match {
+          case c if c.endsWith("JsonRecordSetWriter") =>
+            graft.record.Records.jsonPerObject(col("__rec"))
+          case c if c.endsWith("CSVRecordSetWriter") =>
+            graft.record.Records.jsonToCsvLine(col("__rec"),
+              schema.fieldNames.toSeq)
+          case c if c.endsWith("XMLRecordSetWriter") =>
+            graft.record.Records.xmlWriter(col("__rec"),
+              writer.properties.getOrElse("Name of Record Tag", "record"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported record writer '$other'")
+        }
+        in.withColumn("__rec", parsed)
+          .withColumn(FlowFrame.Relationship,
+            when(col("__rec").isNull, "failure").otherwise("success"))
+          .withColumn(FlowFrame.Content,
+            when(col("__rec").isNotNull, written).otherwise(content))
+          .drop("__rec")
 
       // ------------------------------------------------- content rewrites
       case "JoltTransformJSON" =>

@@ -55,7 +55,7 @@ object FlowStreaming {
           }
         }
         outputs(p.id) = Processors.apply(spark, p,
-          ins.reduceOption(_ unionByName _))
+          ins.reduceOption(_ unionByName _), flow.services)
       }
       remaining = remaining.filterNot(p => outputs.contains(p.id))
     }

@@ -407,6 +407,41 @@ class FlowSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ConvertRecord flow resolves reader/writer controller services " +
+       "(ConvertRecordTests.cpp:60)") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: '{"name":"ann","n":7,"x":"skipme"}'}
+        |- name: conv
+        |  id: c
+        |  class: org.apache.nifi.minifi.processors.ConvertRecord
+        |  Properties:
+        |    Record Reader: json-reader
+        |    Record Writer: csv-writer
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: c}
+        |Controller Services:
+        |- id: json-reader
+        |  name: json-reader
+        |  class: JsonTreeReader
+        |  Properties:
+        |    Schema Text: "name STRING, n BIGINT, missing STRING"
+        |- id: csv-writer
+        |  name: csv-writer
+        |  class: CSVRecordSetWriter
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("conv").select("relationship", "content")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // extra JSON field skipped; missing schema field null -> omitted by
+    // the concat_ws writer (Records.jsonToCsvLine)
+    assert(rows.toSeq === Seq(("success", "ann,7")))
+  }
+
   test("TailFile batch sweep emits the file's current lines") {
     val f = Files.createTempFile("flow-tail", ".log")
     Files.write(f, "one\ntwo\nthree\n".getBytes)
