@@ -18,8 +18,9 @@ import graft.streaming.FlowRuntime
  * the SOURCE processor picks the trigger (FlowRuntime.trigger).
  *
  * Scope: linear/branching DAGs with ONE source and ONE terminal
- * processor; stateful fan-in (MergeContent bins, DefragmentText) runs
- * through streaming/StatefulOps and is not yet config-wired.
+ * processor. Stateful fan-in (DefragmentText, MergeContent Bin-Pack)
+ * dispatches to streaming/StatefulOps flatMapGroupsWithState stages,
+ * keyed by the source's own sequence numbers for arrival order.
  */
 object FlowStreaming {
 
@@ -54,8 +55,9 @@ object FlowStreaming {
             sel.withColumn(FlowFrame.Relationship, lit(null: String))
           }
         }
-        outputs(p.id) = Processors.apply(spark, p,
-          ins.reduceOption(_ unionByName _), flow.services)
+        val input = ins.reduceOption(_ unionByName _)
+        outputs(p.id) = statefulProcessor(spark, p, input)
+          .getOrElse(Processors.apply(spark, p, input, flow.services))
       }
       remaining = remaining.filterNot(p => outputs.contains(p.id))
     }
@@ -70,6 +72,76 @@ object FlowStreaming {
     val routed = assemble(spark, flow)
     FlowRuntime.runAvailable(
       FlowRuntime.relationshipSink(routed, outRoot), checkpoint)
+  }
+
+  /** Stateful processors that only exist in streaming mode — these use
+    * flatMapGroupsWithState (streaming/StatefulOps), so the batch dispatch
+    * cannot host them; None falls through to Processors.apply. */
+  private def statefulProcessor(spark: SparkSession, p: ProcessorDef,
+                                input: Option[DataFrame]): Option[DataFrame] = {
+    import spark.implicits._
+    val props = p.properties
+    def prop(name: String, default: String): String =
+      props.getOrElse(name, default)
+    p.kind match {
+      case "DefragmentText" =>
+        val in = input.getOrElse(throw new IllegalArgumentException(
+          s"'${p.name}' has no incoming connection"))
+        // source key = filename attr (the per-file reassembly unit);
+        // arrival order from the source's own sequence (tail line offset /
+        // listener seq) — monotonically_increasing_id is not available on
+        // streaming frames
+        val ordCol = coalesce(FlowFrame.attr("tailfile.lineOffset"),
+          FlowFrame.attr("net.seq"), lit("0")).cast("long")
+        val lines = in.select(
+          coalesce(FlowFrame.attr("filename"), lit("default")).as("source"),
+          ordCol.as("ord"),
+          col(FlowFrame.Content).cast("string").as("line"))
+          .as[graft.streaming.StatefulOps.Line]
+        val msgs = graft.streaming.StatefulOps.defragmentText(lines,
+          props("Pattern"),
+          maxBufferAgeMs = props.get("Max Buffer Age")
+            .map(Units.parseDurationMs).getOrElse(0L),
+          maxBufferBytes = props.get("Max Buffer Size")
+            .map(Units.parseBytes).getOrElse(0L),
+          patternAtStart =
+            prop("Pattern Location", "Start of Message") != "End of Message")
+        Some(msgs.toDF().select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(lit("defragment.source"), col("source"),
+            lit("defragment.line.count"), col("lineCount").cast("string"))
+            .as(FlowFrame.Attributes),
+          col("message").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          col("relationship")))
+
+      case "MergeContent"
+        if prop("Merge Strategy", "Defragment") == "Bin-Packing Algorithm" =>
+        val in = input.getOrElse(throw new IllegalArgumentException(
+          s"'${p.name}' has no incoming connection"))
+        val entries = in.select(
+          coalesce(props.get("Correlation Attribute Name")
+            .map(FlowFrame.attr).getOrElse(lit("")), lit("")).as("correlation"),
+          coalesce(FlowFrame.attr("tailfile.lineOffset"),
+            FlowFrame.attr("net.seq"), lit("0")).cast("long").as("ord"),
+          col(FlowFrame.Content).cast("string").as("content"))
+          .as[graft.streaming.StatefulOps.Entry]
+        val bins = graft.streaming.StatefulOps.mergeContentBins(entries,
+          maxEntries = prop("Maximum Number of Entries", "1000").toInt,
+          maxBinAgeMs = props.get("Max Bin Age")
+            .map(Units.parseDurationMs).getOrElse(0L),
+          demarcator = prop("Demarcator", ""))
+        Some(bins.toDF().select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(lit("merge.count"), col("count").cast("string"),
+            lit("merge.correlation"), col("correlation"))
+            .as(FlowFrame.Attributes),
+          col("merged").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          col("relationship")))
+
+      case _ => None
+    }
   }
 
   /** Source-processor → streaming DataFrame in the FlowFrame shape. */
@@ -94,7 +166,9 @@ object FlowStreaming {
           .format("graft.streaming.TailFileSource")
           .option("path", dir).option("glob", glob).load()
           .withColumn("filename", element_at(split(col("path"), "/"), -1))
-        FlowFrame.wrap(tailed, "line", Seq("filename", "path"))
+          .withColumn("tailfile.lineOffset", col("lineOffset").cast("string"))
+        FlowFrame.wrap(tailed, "line",
+          Seq("filename", "path", "tailfile.lineOffset"))
           .withColumn(FlowFrame.Relationship, lit("success"))
 
       case "ListenSyslog" =>
@@ -151,7 +225,8 @@ object FlowStreaming {
           .option("maxQueueSize",
             prop("Max Size of Message Queue", "10000"))
           .load()
-        FlowFrame.wrap(listened, "message", Seq("sender"))
+        FlowFrame.wrap(listened.withColumn("net.seq",
+          col("seq").cast("string")), "message", Seq("sender", "net.seq"))
           .withColumn(FlowFrame.Relationship, lit("success"))
 
       case "GenerateFlowFile" =>

@@ -551,6 +551,41 @@ class FlowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DefragmentText flow reassembles multi-line messages " +
+       "from a config-wired stateful stage") {
+    val dir = tmpDir("defrag-in")
+    val ckpt = tmpDir("defrag-ckpt")
+    val out = tmpDir("defrag-sink")
+    Files.write(Paths.get(dir, "multi.log"),
+      ("START one\n  detail a\n  detail b\n" +
+        "START two\n  detail c\n" +
+        "START three\n").getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: tail
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: $dir/multi.log
+         |- name: defrag
+         |  id: d
+         |  class: org.apache.nifi.minifi.processors.DefragmentText
+         |  Properties:
+         |    Pattern: "^START"
+         |Connections:
+         |- {id: c1, source id: t, source relationship names: [success], destination id: d}
+         |""".stripMargin
+    FlowStreaming.run(spark, FlowConfig.parse(yml), out, ckpt).stop()
+    val msgs = spark.read.parquet(s"$out/relationship=success")
+      .select("content").collect().map(_.getString(0)).toSet
+    // the open buffer ("START three") stays in state awaiting the next
+    // boundary; the two closed messages flush
+    assert(msgs === Set(
+      "START one\n  detail a\n  detail b",
+      "START two\n  detail c"))
+  }
+
   test("RouteText flow reassembles per-relationship content with grouping") {
     val yml =
       """MiNiFi Config Version: 3
