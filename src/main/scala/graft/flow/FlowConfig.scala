@@ -60,7 +60,10 @@ case class FlowDef(
 
 object FlowConfig {
 
-  /** Parse the YAML "MiNiFi Config Version: 3" document. */
+  /** Parse the YAML "MiNiFi Config Version: 3" document. Child process
+    * groups ("Process Groups") flatten into the root — connections may
+    * cross group boundaries by id, exactly as the reference resolves them
+    * after load. Standalone "Funnels" entries become Funnel processors. */
   def parseYaml(text: String): FlowDef = {
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Object]](text)
@@ -68,7 +71,11 @@ object FlowConfig {
     val name = m.get("Flow Controller").flatMap(Option(_)).map(asMap)
       .flatMap(_.get("name")).flatMap(Option(_)).map(_.toString)
       .getOrElse("MiNiFi Flow")
-    val procs = asList(m.getOrElse("Processors", null)).map { p0 =>
+    val groups = flattenGroups(m.toMap, "Process Groups")
+    val procs = groups.flatMap(g =>
+      asList(g.getOrElse("Processors", null)) ++
+        asList(g.getOrElse("Funnels", null)).map(funnelAsProcessor))
+      .map { p0 =>
       val p = asMap(p0)
       ProcessorDef(
         id = str(p, "id", str(p, "name", "")),
@@ -83,7 +90,8 @@ object FlowConfig {
             k -> (if (v == null) "" else v.toString) }.toMap)
           .getOrElse(Map.empty))
     }
-    val conns = asList(m.getOrElse("Connections", null)).map { c0 =>
+    val conns = groups.flatMap(g => asList(g.getOrElse("Connections", null)))
+      .map { c0 =>
       val c = asMap(c0)
       // v3 spells either "source relationship names" (list OR bare
       // scalar, both occur in the reference examples) or
@@ -105,7 +113,8 @@ object FlowConfig {
         expirationMs = opt(c.getOrElse("flowfile expiration", null))
           .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
     }
-    val svcs = asList(m.getOrElse("Controller Services", null)).map { s0 =>
+    val svcs = groups.flatMap(g =>
+      asList(g.getOrElse("Controller Services", null))).map { s0 =>
       val s = asMap(s0)
       ServiceDef(
         id = str(s, "id", str(s, "name", "")),
@@ -132,7 +141,11 @@ object FlowConfig {
       .asScala
     val rg = asMap(root.getOrElse("rootGroup",
       throw new IllegalArgumentException("missing rootGroup")))
-    val procs = asList(rg.getOrElse("processors", null)).map { p0 =>
+    val jgroups = flattenGroups(rg.toMap, "processGroups")
+    val procs = jgroups.flatMap(g =>
+      asList(g.getOrElse("processors", null)) ++
+        asList(g.getOrElse("funnels", null)).map(funnelAsProcessor))
+      .map { p0 =>
       val p = asMap(p0)
       ProcessorDef(
         id = str(p, "identifier", str(p, "name", "")),
@@ -147,7 +160,8 @@ object FlowConfig {
             k -> (if (v == null) "" else v.toString) }.toMap)
           .getOrElse(Map.empty))
     }
-    val conns = asList(rg.getOrElse("connections", null)).map { c0 =>
+    val conns = jgroups.flatMap(g => asList(g.getOrElse("connections", null)))
+      .map { c0 =>
       val c = asMap(c0)
       ConnectionDef(
         id = str(c, "identifier", ""),
@@ -159,7 +173,8 @@ object FlowConfig {
         expirationMs = opt(c.getOrElse("flowFileExpiration", null))
           .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
     }
-    val svcs = asList(rg.getOrElse("controllerServices", null)).map { s0 =>
+    val svcs = jgroups.flatMap(g =>
+      asList(g.getOrElse("controllerServices", null))).map { s0 =>
       val s = asMap(s0)
       ServiceDef(
         id = str(s, "identifier", str(s, "name", "")),
@@ -177,6 +192,24 @@ object FlowConfig {
   def parse(text: String): FlowDef =
     if (text.dropWhile(_.isWhitespace).startsWith("{")) parseJson(text)
     else parseYaml(text)
+
+  /** Root group + all transitively nested child groups. */
+  private def flattenGroups(root: scala.collection.Map[String, Object],
+                            childKey: String): Seq[scala.collection.Map[String, Object]] =
+    root +: asList(root.getOrElse(childKey, null))
+      .flatMap(g => flattenGroups(asMap(g), childKey))
+
+  /** A standalone funnel entry (id/name only) as a Funnel processor. */
+  private def funnelAsProcessor(f0: Object): Object = {
+    val f = asMap(f0)
+    val m = new java.util.HashMap[String, Object]()
+    val id = f.get("id").orElse(f.get("identifier")).map(_.toString)
+      .getOrElse("")
+    m.put("id", id); m.put("identifier", id)
+    m.put("name", f.get("name").map(_.toString).getOrElse(id))
+    m.put("class", "Funnel"); m.put("type", "Funnel")
+    m
+  }
 
   private def opt(v: Object): Option[Object] = Option(v)
   private def str(m: scala.collection.Map[String, Object], k: String,

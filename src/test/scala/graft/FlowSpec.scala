@@ -88,6 +88,33 @@ class FlowSpec extends SparkSpec {
     assert(FlowConfig.parse(json).processors.head.properties("k") === "v")
   }
 
+  test("nested process groups flatten and standalone funnels become " +
+       "Funnel processors") {
+    val json =
+      """{"rootGroup": {"name": "root",
+        |  "processors": [{"name": "a", "identifier": "a", "type": "x.GenerateFlowFile",
+        |    "properties": {"Batch Size": "2", "Custom Text": "hi"}}],
+        |  "funnels": [{"identifier": "fun1"}],
+        |  "connections": [
+        |    {"identifier": "c1", "source": {"id": "a"},
+        |     "destination": {"id": "fun1"}, "selectedRelationships": ["success"]},
+        |    {"identifier": "c2", "source": {"id": "fun1"},
+        |     "destination": {"id": "b"}, "selectedRelationships": ["success"]}],
+        |  "processGroups": [
+        |    {"name": "child",
+        |     "processors": [{"name": "b", "identifier": "b",
+        |       "type": "x.UpdateAttribute", "properties": {"tag": "child"}}],
+        |     "connections": []}]}}""".stripMargin
+    val f = FlowConfig.parse(json)
+    assert(f.processors.map(_.kind).toSet === Set("GenerateFlowFile",
+      "Funnel", "UpdateAttribute"))
+    // the cross-group flow runs: gen -> funnel -> child-group processor
+    val result = FlowRunner.run(spark, f)
+    assert(result.output("b")
+      .select(element_at(col("attributes"), "tag")).collect()
+      .map(_.getString(0)).toSeq === Seq("child", "child"))
+  }
+
   test("JSON rootGroup parse mirrors the YAML model") {
     val json =
       """{"rootGroup": {
