@@ -171,6 +171,53 @@ object Processors {
           .withColumn("text", col("content").cast("string"))
         success(FlowFrame.wrap(named, "text", Seq("filename", "path")))
 
+      case "ListFile" =>
+        // zero-content listing with file metadata attrs (ListFile.cpp:92);
+        // the content column is never selected, so the binaryFile scan
+        // prunes it — a pure metadata pass even over huge files
+        val listing = spark.read.format("binaryFile")
+          .option("recursiveFileLookup",
+            Units.parseBool(prop("Recurse Subdirectories", "true")).toString)
+          .load(props("Input Directory"))
+          .select(
+            col("path"),
+            element_at(split(col("path"), "/"), -1).as("filename"),
+            col("length").cast("string").as("file.size"),
+            date_format(col("modificationTime"),
+              "yyyy-MM-dd'T'HH:mm:ss'Z'").as("file.lastModifiedTime"))
+          .withColumn("content", lit(""))
+        success(FlowFrame.wrap(listing, "content",
+          Seq("filename", "path", "file.size", "file.lastModifiedTime")))
+
+      case "QueryDatabaseTable" =>
+        // incremental catalog-table pull; the batch sweep has no state
+        // store, so the max-value floor arrives via the NiFi-convention
+        // `initial.maxvalue.<col>` property (streaming state lives in
+        // streaming/QdbSource). One FlowFile per ≤MaxRowsPerFlowFile chunk
+        // with the reference's tablename/row-count/maxvalue attrs.
+        val table = props("Table Name")
+        val maxColName = props("Maximum-value Columns")
+        val base = spark.table(table)
+        val dt = base.schema(maxColName).dataType
+        val initial = props.getOrElse(s"initial.maxvalue.$maxColName",
+          throw new IllegalArgumentException(
+            s"batch QueryDatabaseTable needs initial.maxvalue.$maxColName " +
+              "(streaming mode keeps this state in the checkpoint)"))
+        val chunks = SqlOps.queryDatabaseTable(base,
+          col(maxColName), lit(initial).cast(dt), Seq(col(maxColName)),
+          prop("Max Rows Per Flow File", "1000").toInt)
+        chunks.select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(
+            lit("tablename"), lit(table),
+            lit("querydbtable.row.count"), col("rowCount").cast("string"),
+            lit(s"maxvalue.$maxColName"), col("maxvalue").cast("string"))
+            .as(FlowFrame.Attributes),
+          to_json(struct(col("chunkPart"), col("chunkId"), col("rowCount"),
+            col("chunkMax"))).as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          lit("success").as(FlowFrame.Relationship))
+
       case "GenerateFlowFile" =>
         val mode = (prop("Data Format", "Binary"),
           Units.parseBool(prop("Unique FlowFiles", "true")),

@@ -434,6 +434,47 @@ class FlowSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ListFile flow emits zero-content metadata rows; " +
+       "QueryDatabaseTable pulls above the initial max value") {
+    val dir = tmpDir("flow-list")
+    Files.write(Paths.get(dir, "x.bin"), Array.fill[Byte](10)(1))
+    Files.write(Paths.get(dir, "y.bin"), Array.fill[Byte](20)(2))
+    spark.sql("DROP TABLE IF EXISTS qdt_src")
+    spark.sql("CREATE TABLE qdt_src (id BIGINT) USING parquet")
+    spark.range(1, 11).toDF("id").write.insertInto("qdt_src")
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: list
+         |  id: l
+         |  class: org.apache.nifi.minifi.processors.ListFile
+         |  Properties:
+         |    Input Directory: $dir
+         |- name: qdt
+         |  id: q
+         |  class: org.apache.nifi.minifi.processors.QueryDatabaseTable
+         |  Properties:
+         |    Table Name: qdt_src
+         |    Maximum-value Columns: id
+         |    initial.maxvalue.id: '4'
+         |    Max Rows Per Flow File: '4'
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val listed = result.output("list")
+      .select(element_at(col("attributes"), "filename"),
+        element_at(col("attributes"), "file.size"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed === Set(("x.bin", "10"), ("y.bin", "20")))
+    val qdt = result.output("qdt")
+      .select(element_at(col("attributes"), "querydbtable.row.count")
+        .cast("long"),
+        element_at(col("attributes"), "maxvalue.id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(qdt.map(_._1).sum === 6)          // ids 5..10
+    assert(qdt.forall(_._1 <= 4))            // chunk cap
+    assert(qdt.forall(_._2 === "10"))        // new max-value state
+  }
+
   test("ConvertRecord flow resolves reader/writer controller services " +
        "(ConvertRecordTests.cpp:60)") {
     val yml =
