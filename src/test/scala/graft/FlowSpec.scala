@@ -440,6 +440,15 @@ class FlowSpec extends SparkSpec {
     Files.write(Paths.get(dir, "x.bin"), Array.fill[Byte](10)(1))
     Files.write(Paths.get(dir, "y.bin"), Array.fill[Byte](20)(2))
     spark.sql("DROP TABLE IF EXISTS qdt_src")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory survives — clear any stale location before CREATE
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        + "/qdt_src"))
     spark.sql("CREATE TABLE qdt_src (id BIGINT) USING parquet")
     spark.range(1, 11).toDF("id").write.insertInto("qdt_src")
     val yml =
