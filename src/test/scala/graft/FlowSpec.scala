@@ -663,6 +663,38 @@ class FlowSpec extends SparkSpec {
       "START two\n  detail c"))
   }
 
+  test("streaming terminal PutFile picks the sink directory from its config") {
+    val dir = tmpDir("tsink-in")
+    val ckpt = tmpDir("tsink-ckpt")
+    val out = tmpDir("tsink-out")
+    Files.write(Paths.get(dir, "app.log"), "ERROR a\nINFO b\n".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: tail
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: $dir/app.log
+         |- name: route
+         |  id: r
+         |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+         |  Properties:
+         |    errors: $${literal(1):equals(1)}
+         |- name: put
+         |  id: p
+         |  class: org.apache.nifi.minifi.processors.PutFile
+         |  Properties:
+         |    Directory: $out
+         |Connections:
+         |- {id: c1, source id: t, source relationship names: [success], destination id: r}
+         |- {id: c2, source id: r, source relationship names: [errors], destination id: p}
+         |""".stripMargin
+    FlowStreaming.runWithTerminalSink(spark, FlowConfig.parse(yml),
+      ckpt, tmpDir("tsink-fallback")).stop()
+    assert(spark.read.parquet(s"$out/relationship=errors").count() === 2)
+  }
+
   test("RouteText flow reassembles per-relationship content with grouping") {
     val yml =
       """MiNiFi Config Version: 3
