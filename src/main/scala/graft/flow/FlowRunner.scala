@@ -457,8 +457,14 @@ object Processors {
               when(col(FlowFrame.Relationship) === "merged", "merged")
                 .otherwise("failure").as(FlowFrame.Relationship))
           case _ => // "Bin-Packing Algorithm"
+            // without a correlation attribute every row would share one
+            // window partition (a single-partition sort at scale); bins
+            // are arbitrary arrival groupings in the reference, so
+            // partition-local binning is an equally valid grouping and
+            // keeps the window partitioned
             val corr = props.get("Correlation Attribute Name")
-              .map(FlowFrame.attr).getOrElse(lit(""))
+              .map(FlowFrame.attr)
+              .getOrElse(spark_partition_id().cast("string"))
             val merged = SplitMerge.mergeContentBinPackSized(in,
               corr, col(FlowFrame.Uuid), content.cast("string"),
               maxEntries = prop("Maximum Number of Entries", "1000").toInt,
