@@ -39,6 +39,10 @@ object Plans {
     show("rtm", "route_text_merged")
     show("bps", "merge_bin_pack_sized")
     show("ndp", "embed_neardup")
+    show("lshv", "dedup_lsh_verified")
+    show("rep", "text_repetition")
+    show("shuf", "shuffle_export")
+    show("ivf", "embed_topk_ivf")
     spark.stop()
   }
 }

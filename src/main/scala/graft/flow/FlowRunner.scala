@@ -152,6 +152,12 @@ object Processors {
     p.kind match {
       // ---------------------------------------------------------- sources
       case "GetFile" =>
+        // "Keep Source File: false" (the reference default, GetFile.cpp)
+        // is relaxed to keep-always: a lazily-planned scan may legally
+        // re-run (AQE retry, downstream fan-out), so deleting inputs from
+        // inside the plan would lose data — the move/delete completion
+        // semantic lives in FetchFile, whose UDF is nondeterministic and
+        // single-reference by construction
         val dir = props("Input Directory")
         val ff = Sources.getFileFiltered(spark, dir,
           recursive = Units.parseBool(prop("Recurse Subdirectories", "true")),

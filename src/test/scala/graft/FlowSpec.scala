@@ -176,6 +176,22 @@ class FlowSpec extends SparkSpec {
     val again = FlowRunner.run(spark, FlowConfig.parse(yml))
     assert(again.output("put")
       .filter(col("relationship") === "failure").count() === 2)
+    // replace overwrites; ignore succeeds without touching the file
+    // (PutFileTests.cpp conflict battery)
+    Files.write(Paths.get(inDir, "a.txt"), "alpha2".getBytes)
+    val ymlReplace = yml.replace("Conflict Resolution Strategy: fail",
+      "Conflict Resolution Strategy: replace")
+    assert(FlowRunner.run(spark, FlowConfig.parse(ymlReplace))
+      .output("put").filter(col("relationship") === "success").count() === 2)
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "a.txt"))) ===
+      "alpha2")
+    Files.write(Paths.get(inDir, "a.txt"), "alpha3".getBytes)
+    val ymlIgnore = yml.replace("Conflict Resolution Strategy: fail",
+      "Conflict Resolution Strategy: ignore")
+    assert(FlowRunner.run(spark, FlowConfig.parse(ymlIgnore))
+      .output("put").filter(col("relationship") === "success").count() === 2)
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "a.txt"))) ===
+      "alpha2")
   }
 
   test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
