@@ -143,6 +143,13 @@ object Processors {
     val props = p.properties
     def prop(name: String, default: String): String =
       props.getOrElse(name, default)
+    // required property — fail with the processor name and property key
+    // (the reference validates these at onSchedule; a bare Map NoSuchElement
+    // would name neither)
+    def req(name: String): String = props.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"processor '${p.name}' (${p.kind}) is missing required property " +
+          s"'$name'"))
     def dynamicProps(static: Set[String]): Seq[(String, String)] =
       props.view.filterKeys(!static(_)).toSeq.sortBy(_._1)
     def success(df: DataFrame): DataFrame =
@@ -158,7 +165,7 @@ object Processors {
         // inside the plan would lose data — the move/delete completion
         // semantic lives in FetchFile, whose UDF is nondeterministic and
         // single-reference by construction
-        val dir = props("Input Directory")
+        val dir = req("Input Directory")
         val ff = Sources.getFileFiltered(spark, dir,
           recursive = Units.parseBool(prop("Recurse Subdirectories", "true")),
           minSize = Units.parseBytes(prop("Minimum File Size", "0 B")),
@@ -184,7 +191,7 @@ object Processors {
         val listing = spark.read.format("binaryFile")
           .option("recursiveFileLookup",
             Units.parseBool(prop("Recurse Subdirectories", "true")).toString)
-          .load(props("Input Directory"))
+          .load(req("Input Directory"))
           .select(
             col("path"),
             element_at(split(col("path"), "/"), -1).as("filename"),
@@ -201,8 +208,8 @@ object Processors {
         // `initial.maxvalue.<col>` property (streaming state lives in
         // streaming/QdbSource). One FlowFile per ≤MaxRowsPerFlowFile chunk
         // with the reference's tablename/row-count/maxvalue attrs.
-        val table = props("Table Name")
-        val maxColName = props("Maximum-value Columns")
+        val table = req("Table Name")
+        val maxColName = req("Maximum-value Columns")
         val base = spark.table(table)
         val dt = base.schema(maxColName).dataType
         val initial = props.getOrElse(s"initial.maxvalue.$maxColName",
@@ -498,8 +505,8 @@ object Processors {
         // schema as Spark DDL under "Schema Text" (schema-optional inference
         // is a per-batch sample in the reference — here the schema is
         // explicit, the plan-stable choice at scale)
-        val reader = service(props("Record Reader"))
-        val writer = service(props("Record Writer"))
+        val reader = service(req("Record Reader"))
+        val writer = service(req("Record Writer"))
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           reader.properties.getOrElse("Schema Text",
             throw new IllegalArgumentException(
@@ -533,7 +540,7 @@ object Processors {
 
       // ------------------------------------------------- content rewrites
       case "JoltTransformJSON" =>
-        val spec = props("Jolt Specification")
+        val spec = req("Jolt Specification")
         // shift returns struct(content, relationship) — failure keeps input
         in.withColumn("__jolt",
             graft.ops.JoltShift.shift(spec, content.cast("string")))
@@ -543,7 +550,7 @@ object Processors {
 
       case "ApplyTemplate" =>
         val template = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(props("Template"))))
+          java.nio.file.Paths.get(req("Template"))))
         success(in.withColumn(FlowFrame.Content,
           Content.applyTemplate(template)))
 
@@ -557,7 +564,7 @@ object Processors {
         success(FlowFrame.wrap(outLines.toDF("content"), "content", Nil))
 
       case "InvokeHTTP" =>
-        val urlEl = props("Remote URL")
+        val urlEl = req("Remote URL")
         val call = Exec.httpRequestUdf(prop("HTTP Method", "GET"))(
           ElCompiler.template(urlEl), content.cast("string"))
         val sent = in.withColumn("__http", call)
@@ -571,7 +578,7 @@ object Processors {
 
       // ------------------------------------------------------ sql sources
       case "ExecuteSQL" =>
-        val rows = SqlOps.executeSql(spark, props("SQL select query"))
+        val rows = SqlOps.executeSql(spark, req("SQL select query"))
         success(FlowFrame.wrap(
           rows.select(to_json(struct(rows.columns.map(col): _*))
             .as("content")), "content", Nil))
@@ -580,7 +587,7 @@ object Processors {
         // batch sweep = the FIRST tail pass: the file's current lines
         // (per-line FlowFiles, TailFile.cpp:582); the streaming runtime
         // (streaming/TailFileSource) owns rotation/offset state
-        val path = props("File to Tail")
+        val path = req("File to Tail")
         val lines = spark.read.textFile(path).toDF("content")
           .withColumn("filename",
             lit(path.substring(path.lastIndexOf('/') + 1)))
@@ -603,7 +610,7 @@ object Processors {
         // HEC event POST (PutSplunkHTTP.cpp:40-60): metadata rides in the
         // JSON-event form; token in the Authorization header
         val scheme = prop("Scheme", "https")
-        val url = s"$scheme://${props("Hostname")}:${prop("Port", "8088")}" +
+        val url = s"$scheme://${req("Hostname")}:${prop("Port", "8088")}" +
           "/services/collector/event"
         val payload = Sinks.splunkHecEvent(content.cast("string"),
           sourceType = props.get("Source Type"),
@@ -630,9 +637,9 @@ object Processors {
         // per-row single-action _bulk POST; the payload contract is
         // Sinks.esBulkLines (batching to Max Batch Size is the
         // foreachBatch writer's job at scale)
-        val url = props("Hosts").stripSuffix("/") + "/_bulk"
+        val url = req("Hosts").stripSuffix("/") + "/_bulk"
         val action = prop("Action", "index")
-        val indexEl = ElCompiler.template(props("Index"))
+        val indexEl = ElCompiler.template(req("Index"))
         val idEl = props.get("Identifier").map(ElCompiler.template(_))
           .getOrElse(col(FlowFrame.Uuid))
         val payload = concat(Sinks.esBulkLines(lit(action), indexEl, idEl,
@@ -658,7 +665,7 @@ object Processors {
         val body = in.agg(Sinks.lokiPushBody(
           Sinks.lokiStream(labels, tsNanos, content.cast("string")))
           .as("body"))
-        val url = props("Url").stripSuffix("/") + "/loki/api/v1/push"
+        val url = req("Url").stripSuffix("/") + "/loki/api/v1/push"
         val headers = Map("Content-Type" -> "application/json") ++
           props.get("Tenant ID").map("X-Scope-OrgID" -> _)
         val call = Exec.httpRequestUdf("POST", headers = headers)(
@@ -675,13 +682,20 @@ object Processors {
 
       // ------------------------------------------------------------ sinks
       case "PutFile" =>
-        val dir = props("Directory")
+        // Directory is EL-evaluated per row (the reference's common
+        // `/out/${attr}` fan-out pattern); a constant directory compiles
+        // to a literal column, so the static case costs nothing extra
+        val dirEl = req("Directory")
+        val dirCol =
+          if (dirEl.contains("${")) ElCompiler.template(dirEl)
+          else lit(dirEl)
         val conflict = prop("Conflict Resolution Strategy", "fail")
         val mkdirs = Units.parseBool(
           prop("Create Missing Directories", "true"))
-        val put = Sinks.putFileUdf(dir, conflict, mkdirs)
+        val put = Sinks.putFileUdf(conflict, mkdirs)
         in.withColumn(FlowFrame.Relationship,
-          put(coalesce(FlowFrame.attr("filename"), col(FlowFrame.Uuid)),
+          put(dirCol,
+            coalesce(FlowFrame.attr("filename"), col(FlowFrame.Uuid)),
             content.cast("binary")))
 
       case other => throw new IllegalArgumentException(

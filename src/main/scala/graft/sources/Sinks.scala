@@ -19,17 +19,22 @@ object Sinks {
   /**
    * PutFile (PutFile.cpp:75): write each row's content to
    * `directory/filename`, conflict strategies fail/replace/ignore,
-   * optional directory creation. Returns the relationship per row
+   * optional directory creation. The directory is a per-row column because
+   * the reference evaluates the Directory property per FlowFile
+   * (`/out/${lang}` EL patterns, PutFile.cpp Directory supports expression
+   * language); a null/empty directory routes to failure like an
+   * unresolvable EL result. Returns the relationship per row
    * ("success"/"failure"); nondeterministic so the optimizer can neither
    * duplicate nor reorder the write (same policy as Sources.fetchFile).
    * Each task writes its own rows — distributed, no driver funnel; the
    * directory must be a shared filesystem on a real cluster, exactly like
    * the reference's PutFile target.
    */
-  def putFileUdf(directory: String, conflict: String,
-                 createDirs: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (filename: String, content: Array[Byte]) =>
-      try {
+  def putFileUdf(conflict: String, createDirs: Boolean):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (directory: String, filename: String, content: Array[Byte]) =>
+      if (directory == null || directory.isEmpty) "failure"
+      else try {
         val dir = java.nio.file.Paths.get(directory)
         if (createDirs) java.nio.file.Files.createDirectories(dir)
         val target = dir.resolve(filename)

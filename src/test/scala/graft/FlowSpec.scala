@@ -194,6 +194,49 @@ class FlowSpec extends SparkSpec {
       "alpha2")
   }
 
+  test("PutFile evaluates Directory per row via EL; missing required " +
+       "property names the processor and key") {
+    val inDir = tmpDir("flow-el-in")
+    val outRoot = tmpDir("flow-el-out")
+    Files.write(Paths.get(inDir, "a.txt"), "alpha".getBytes)
+    Files.write(Paths.get(inDir, "b.txt"), "beta".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |- name: put
+         |  id: p
+         |  class: org.apache.nifi.minifi.processors.PutFile
+         |  auto-terminated relationships list: [success, failure]
+         |  Properties:
+         |    Directory: $outRoot/$${filename}.d
+         |Connections:
+         |- name: get/success/put
+         |  id: c
+         |  source id: g
+         |  source relationship names: [success]
+         |  destination id: p
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    assert(result.output("put")
+      .filter(col("relationship") === "success").count() === 2)
+    assert(new String(Files.readAllBytes(
+      Paths.get(outRoot, "a.txt.d", "a.txt"))) === "alpha")
+    assert(new String(Files.readAllBytes(
+      Paths.get(outRoot, "b.txt.d", "b.txt"))) === "beta")
+    // required-property validation: drop Directory entirely
+    val broken = yml.replace(s"    Directory: $outRoot/$${filename}.d\n", "")
+    val err = intercept[IllegalArgumentException] {
+      FlowRunner.run(spark, FlowConfig.parse(broken))
+    }
+    assert(err.getMessage.contains("put"))
+    assert(err.getMessage.contains("Directory"))
+  }
+
   test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
     val yml =
       """MiNiFi Config Version: 3
