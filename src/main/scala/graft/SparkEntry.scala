@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.FlowFrame
 import graft.el.ElCompiler
 import graft.ops._
-import graft.pipeline.{Clusters, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.record.Records
 
 /**
@@ -767,6 +767,35 @@ object SparkEntry {
       Sampling.deterministicShuffle(tbl(s, dir, "documents"), col("doc_id"),
         "shuf1", 8)
         .select(col("doc_id"), col("shuffle_key"))),
+
+    // Token-budget sequence packing along the deterministic shuffle order:
+    // bin = exclusive-prefix-sum(tokens) div budget, prefix sum computed
+    // distributed over 256 contiguous hash ranges (never a global window)
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(tbl(s, dir, "documents"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 512L, "pack1")
+        .select(col("docId").as("doc_id"), col("n_tokens"), col("bin"))
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: corpus docs (source != src0) sharing any
+    // word 5-gram with the benchmark set (source = src0); benchmark grams
+    // broadcast, corpus grams stream map-side through the join
+    "decontaminate" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      Decontaminate.contaminated(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 5)
+        .select(col("docId").as("doc_id"), col("nOverlaps").as("n_overlaps"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style segment dedup: 20-word windows, global first occurrence
+    // wins, docs reassembled from surviving segments
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.dedupSegments(docsPar(s, dir), col("doc_id"),
+        Dedup.wordWindows(col("text"), 20))
+        .select(col("docId").as("doc_id"), col("text"))
+        .orderBy("doc_id")),
 
     // ------- similarity search -------
     "embed_topk" -> ((s, dir) => {
@@ -1830,6 +1859,53 @@ object SparkEntry {
     "shuffle_export" ->
       """SELECT doc_id, md5('shuf1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents""".stripMargin,
+
+    // exclusive prefix sum over the md5 pack order; integer division so the
+    // bin id is exact in both engines
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  md5('pack1|' || CAST(doc_id AS VARCHAR)) AS k FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER
+        |    (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 512 AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words
+        |  FROM documents),
+        |shi AS (SELECT doc_id, source, words,
+        |  unnest(generate_series(0,
+        |    CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+        |  FROM docs),
+        |sh0 AS (SELECT doc_id, source,
+        |  CASE WHEN len(words)>=5
+        |       THEN array_to_string(list_slice(words, i+1, i+5),' ')
+        |       ELSE array_to_string(words,' ') END AS sh
+        |  FROM shi),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id, COUNT(*) AS n_overlaps
+        |FROM sh c JOIN bench b ON c.sh = b.sh
+        |WHERE c.source <> 'src0'
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_segments" ->
+      """WITH docs AS (SELECT doc_id, string_split(text,' ') AS words
+        |  FROM documents),
+        |segi AS (SELECT doc_id, words,
+        |  unnest(generate_series(0,
+        |    CAST(ceil(len(words)/20.0) AS INT)-1)) AS i
+        |  FROM docs),
+        |seg AS (SELECT doc_id, i,
+        |  array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s
+        |  FROM segi),
+        |keep AS (SELECT doc_id, i, s,
+        |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+        |  FROM seg)
+        |SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS text
+        |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 

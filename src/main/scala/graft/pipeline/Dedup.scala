@@ -230,4 +230,43 @@ object Dedup {
       .reduce(_ + _)
     sums.select(col("docId"), sig.as("simhash"))
   }
+
+  /**
+   * Segment-level dedup (the CCNet-style pass): split every document into
+   * segments, drop every segment whose exact content already occurred
+   * earlier in the corpus (global first occurrence by (docId, index) wins,
+   * including within-document repeats), and reassemble the surviving
+   * segments in order. Documents whose every segment was removed drop out.
+   *
+   * `segment` is any expression producing the ordered array<string> of
+   * segments — fixed word windows for unstructured text
+   * ([[wordWindows]]), or `split(text, sep)` for newline/paragraph-
+   * delimited corpora.
+   *
+   * Scale shape: one shuffle keyed by SEGMENT CONTENT for the
+   * first-occurrence window (partitionBy(segment) — parallel across
+   * distinct segments; the hottest key is the most-duplicated segment,
+   * which is exactly the thing being removed), then one shuffle back on
+   * docId to reassemble. No self-join, no collect.
+   */
+  def dedupSegments(df: DataFrame, idCol: Column,
+                    segments: Column): DataFrame = {
+    val seg = df.select(idCol.as("docId"), posexplode(segments).as(Seq("idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("docId"), col("idx"))
+    seg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("docId"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("seg")))),
+        s => s("seg")), " ").as("text"))
+  }
+
+  /** Fixed-size word windows: the segmentation for corpora without
+    * paragraph structure — ceil(len/n) chunks of n words (last one short). */
+  def wordWindows(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    transform(sequence(lit(0), ceil(size(words).cast("double") / n).cast("int") - 1),
+      i => array_join(slice(words, i * n + 1, lit(n)), " "))
+  }
 }

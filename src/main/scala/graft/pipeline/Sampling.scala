@@ -70,4 +70,45 @@ object Sampling {
     keyed.repartitionByRange(numPartitions, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
   }
+
+  /**
+   * Sequence packing for training export: assign each document to a
+   * token-budget bin along the deterministic shuffle order — bin =
+   * floor(exclusive-prefix-sum(tokens) / budget), i.e. a document belongs
+   * to the bin its starting token offset falls into (bins overflow by at
+   * most one document, the pack-then-overflow convention; trainers split
+   * the straddling document downstream).
+   *
+   * The prefix sum is computed DISTRIBUTED, never as a global-order window:
+   * documents land in 256 contiguous hash ranges (the first two hex chars
+   * of the md5 shuffle key), the within-range running sum is a window
+   * partitioned by range (parallel across 256 groups), and the cross-range
+   * offsets are the scanned range totals — 256 numbers, reduced and
+   * broadcast back, the same scalar-metadata pattern as
+   * queryDatabaseTable's max-value. Bin membership is a pure function of
+   * (corpus, seed, budget): stable under repartitioning and executor count.
+   */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+                    budget: Long, seed: String): DataFrame = {
+    val keyed = df.select(idCol.as("docId"), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("__key", md5(concat(lit(seed), lit("|"), col("docId").cast("string"))))
+      .withColumn("__rng", conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    val totals = keyed.groupBy(col("__rng"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 256).scanLeft(0L)((acc, r) =>
+      acc + totals.getOrElse(r, 0L)).take(256)
+    val offsetsDf = df.sparkSession.createDataFrame(
+      offsets.zipWithIndex.map { case (off, r) => (r, off) })
+      .toDF("__rng", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rng")).orderBy(col("__key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsetsDf), "__rng")
+      .withColumn("__start",
+        col("__offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("docId"), col("n_tokens"),
+        expr(s"__start div $budget").as("bin"))  // integer div: exact at any offset
+  }
 }

@@ -308,4 +308,69 @@ class PipelineSpec extends SparkSpec {
     assert(feats.getAs[Long]("width") === size % 640 + 1)
     assert(feats.getAs[Long]("nFrames") === size / 100 + 1)
   }
+
+  test("pack_sequences: bins follow the greedy offset rule, are a pure " +
+       "function of (corpus, seed), and never start mid-budget") {
+    val docs = spark.range(0, 400).toDF("doc_id")
+      .withColumn("n_tokens", (col("doc_id") % 97 + 3).cast("long"))
+    val packed = Sampling.packSequences(docs, col("doc_id"),
+      col("n_tokens"), 256L, "p")
+    val rows = packed.collect()
+    assert(rows.length === 400)                       // every doc assigned
+    // recompute the reference assignment sequentially on the driver
+    def key(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (0L until 400L).map(i => (key(i), i, i % 97 + 3)).sortBy(_._1)
+    var acc = 0L
+    val expect = ordered.map { case (_, id, tok) =>
+      val bin = acc / 256L; acc += tok; id -> bin }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") === expect(r.getAs[Long]("docId")),
+        s"doc ${r.getAs[Long]("docId")}") }
+    // determinism: a different partitioning yields identical bins
+    val repacked = Sampling.packSequences(docs.repartition(7), col("doc_id"),
+      col("n_tokens"), 256L, "p").collect()
+      .map(r => r.getAs[Long]("docId") -> r.getAs[Long]("bin")).toMap
+    assert(rows.map(r => r.getAs[Long]("docId") -> r.getAs[Long]("bin")).toMap
+      === repacked)
+  }
+
+  test("dedupSegments: global first occurrence survives, later exact " +
+       "segments vanish, fully-duplicated docs drop out") {
+    val segDocs = spark.createDataFrame(Seq(
+      (1L, "a b c d"),        // seg(2): "a b", "c d"
+      (2L, "a b x y"),        // "a b" duplicates doc1 seg0 -> only "x y" kept
+      (3L, "a b c d"),        // both segs duplicate doc1 -> doc vanishes
+      (4L, "q q q q"),        // within-doc repeat: "q q" twice -> first kept
+      (5L, "z z")))           // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(segDocs, col("doc_id"),
+      Dedup.wordWindows(col("text"), 2))
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[String]("text")).toMap
+    assert(out === Map(1L -> "a b c d", 2L -> "x y", 4L -> "q q", 5L -> "z z"))
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark and " +
+       "removeContaminated drops exactly those docs") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely unrelated document about spark plans"),
+      (3L, "we said the quick brown fox jumps again here")))
+      .toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (100L, "quick brown fox jumps over a fence")))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.contaminated(corpus, col("doc_id"),
+      col("text"), bench, col("text"), 4)
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("nOverlaps")).toMap
+    // 4-grams of bench: "quick brown fox jumps", "brown fox jumps over", ...
+    assert(flagged.keySet === Set(1L, 3L))
+    assert(flagged(1L) === 2L)  // "quick brown fox jumps" + "brown fox jumps over"
+    assert(flagged(3L) === 1L)  // "quick brown fox jumps"
+    val clean = Decontaminate.removeContaminated(corpus, col("doc_id"),
+      col("text"), bench, col("text"), 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean === Set(2L))
+  }
 }
