@@ -43,6 +43,9 @@ object Plans {
     show("rep", "text_repetition")
     show("shuf", "shuffle_export")
     show("ivf", "embed_topk_ivf")
+    show("pack", "pack_sequences")
+    show("decon", "decontaminate")
+    show("dsg", "dedup_segments")
     spark.stop()
   }
 }
