@@ -80,21 +80,25 @@ object ElCompiler {
             java.util.regex.Pattern.quote(asString(qargs(1))))
       }
       val isAll = q.startsWith("all")
-      val (mapCalls, terminal) = calls.lastOption match {
-        case Some(ElAst.Call("count", _)) => (calls.dropRight(1), "count")
-        case Some(ElAst.Call("join", _))  => (calls.dropRight(1), "join")
-        case _ => (calls, if (isAll) "all" else "any")
-      }
+      // count()/join() reduce the per-value results to ONE value anywhere in
+      // the chain; calls AFTER them apply to that scalar (Expression.cpp
+      // Join 2 test: join("|"):prepend(..):append(..) chains past the join)
+      val termIdx = calls.indexWhere(c => c.name == "count" || c.name == "join")
+      val mapCalls = if (termIdx >= 0) calls.take(termIdx) else calls
       def applyChain(v: Column): Column =
         mapCalls.foldLeft(v)((acc, c) => compileCall(Some(acc), c, attrs))
-      terminal match {
-        case "all"   => forall(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
-        case "any"   => exists(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+      val reduced = if (termIdx < 0) {
+        if (isAll) forall(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+        else exists(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+      } else calls(termIdx).name match {
         case "count" => size(filter(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))).cast("long")
-        case "join"  =>
-          val d = asString(calls.last.args.head)
+        case _ =>
+          val d = asString(calls(termIdx).args.head)
           array_join(transform(values, v => applyChain(v).cast("string")), d)
       }
+      if (termIdx < 0) reduced
+      else calls.drop(termIdx + 1)
+        .foldLeft(reduced)((acc, c) => compileCall(Some(acc), c, attrs))
     case _ =>
       calls.foldLeft(compileNode(subject, attrs))((acc, c) => compileCall(Some(acc), c, attrs))
   }
@@ -179,11 +183,16 @@ object ElCompiler {
     def num(c: Column): Column = c.cast("double")
     /** NiFi arithmetic coercion: int64 math when both operands are
       * integral strings, long-double math otherwise (Value.h asNumber). */
+    /** Reference double→string (Value.h:66-84): fixed 15 decimals, then
+      * trailing zeros and a bare trailing dot stripped — "10000011" not
+      * "1.0000011E7", "-2.24567" not "-2.245670000000000". */
+    def doubleToElString(c: Column): Column =
+      regexp_replace(format_string("%.15f", c), "\\.?0+$", "")
     def intPreserving(l: Column, r: Column, op: (Column, Column) => Column): Column = {
       val ls = l.cast("string"); val rs = r.cast("string")
       val bothInt = ls.rlike("^-?\\d+$") && rs.rlike("^-?\\d+$")
       when(bothInt, op(ls.cast("long"), rs.cast("long")).cast("string"))
-        .otherwise(op(ls.cast("double"), rs.cast("double")).cast("string"))
+        .otherwise(doubleToElString(op(ls.cast("double"), rs.cast("double"))))
     }
 
     name match {
@@ -287,7 +296,11 @@ object ElCompiler {
         regexp_replace(s0, "(?s)\\A(?:(.*?))" + sArg(0), "$1" + sArg(1))
       case "replaceAll"   => regexp_replace(s0, sArg(0), sArg(1))
       case "replaceNull"  => coalesce(s0, a(0).cast("string"))
-      case "replaceEmpty" => when(subj.isNull || trim(s0) === "", a(0).cast("string")).otherwise(s0)
+      // "empty" = whitespace-only in the space/\n/\r/\t set exactly
+      // (expr_replaceEmpty regex "^[ \n\r\t]*$", Expression.cpp:793-798);
+      // Spark's trim() strips only ' ', so an rlike is the faithful test
+      case "replaceEmpty" =>
+        when(subj.isNull || s0.rlike("^[ \\n\\r\\t]*$"), a(0).cast("string")).otherwise(s0)
 
       // --- concat (Expression.cpp:818-823) ---
       case "append"  => concat(s0, a(0).cast("string"))
@@ -301,10 +314,15 @@ object ElCompiler {
       case "minus"    => intPreserving(subj, a(0), _ - _)
       case "multiply" => intPreserving(subj, a(0), _ * _)
       case "mod"      => intPreserving(subj, a(0), _ % _)
-      case "divide"   => num(subj) / num(a(0))
+      case "divide"   => doubleToElString(num(subj) / num(a(0)))
       case "toRadix"  =>
-        val padded = conv(subj.cast("long").cast("string"), 10, sArg(0).toInt)
-        if (rawArgs.size > 1) lpad(lower(padded), sArg(1).toInt, "0") else lower(padded)
+        // conv() is unsigned — split the sign off and pad the MAGNITUDE,
+        // then re-prefix ("-000004a1", ExpressionLanguageTests.cpp:627-633)
+        val signed = subj.cast("long")
+        val mag = lower(conv(abs(signed).cast("string"), 10, sArg(0).toInt))
+        val padded =
+          if (rawArgs.size > 1) lpad(mag, sArg(1).toInt, "0") else mag
+        concat(when(signed < 0, lit("-")).otherwise(lit("")), padded)
       case "fromRadix" =>
         // conv() is unsigned — a leading '-' wraps mod 2^64, so split the
         // sign off first (ExpressionLanguageTests.cpp:651 "-000004a1")

@@ -242,4 +242,117 @@ class ElSpec extends SparkSpec {
     val bad = eval("${reverseDnsLookup(${literal('256.1.1.1')})}", Map.empty)
     assert(bad != null)
   }
+
+  // --- bulk battery ported from the remaining reference cases ---
+
+  test("text plumbing: whitespace in refs, special chars, UTF-8, quoted " +
+       "attr names (ExpressionLanguageTests.cpp:94-140)") {
+    val a = Map("attr_a" -> "__flow_a_attr_value_a__")
+    // whitespace inside ${ } around the attribute name
+    assert(eval("text_before${\n\tattr_a \r}text_after", a) ===
+      "text_before__flow_a_attr_value_a__text_after")
+    // special characters around the expression survive verbatim
+    assert(eval("text_before|{}()[],:;\\/*#'\" \t\r\n${attr_a}}()text_after", a) ===
+      "text_before|{}()[],:;\\/*#'\" \t\r\n__flow_a_attr_value_a__}()text_after")
+    // UTF-8 in template and in attribute value
+    assert(eval("text_before\u00a5\u00a3\u20ac\u20a1${attr_a}text_after", a) ===
+      "text_before\u00a5\u00a3\u20ac\u20a1__flow_a_attr_value_a__text_after")
+    assert(eval("text_before${attr_a}text_after",
+      Map("attr_a" -> "__\u00a5\u20ac\u20b9__")) ===
+      "text_before__\u00a5\u20ac\u20b9__text_after")
+    // single- and double-quoted attribute names with every special char
+    val weird = "|{}()[],:;\\/*# \t\r\n$"
+    val wk = Map(weird -> "__flow_a_attr_value_a__")
+    assert(eval("text_before${'|{}()[],:;\\\\/*# \t\r\n$'}text_after", wk) ===
+      "text_before__flow_a_attr_value_a__text_after")
+    assert(eval("text_before${\"|{}()[],:;\\\\/*# \t\r\n$\"}text_after", wk) ===
+      "text_before__flow_a_attr_value_a__text_after")
+  }
+
+  test("replaceFirst regex / replaceAll captures / replaceEmpty " +
+       "(ExpressionLanguageTests.cpp:347-418)") {
+    val a = Map("attr" -> "a brand new filename.txt")
+    assert(eval("${attr:replaceFirst('[br]', 'g')}", a) ===
+      "a grand new filename.txt")
+    assert(eval("${attr:replaceAll('\\\\..*', '')}", a) === "a brand new filename")
+    assert(eval("${attr:replaceAll('a brand (new)', '$1')}", a) ===
+      "new filename.txt")
+    assert(eval("${attr:replaceAll('XYZ', 'ZZZ')}", a) ===
+      "a brand new filename.txt")
+    assert(eval("${attr:replaceEmpty('abc')}", a) === "a brand new filename.txt")
+    assert(eval("${attr:replaceEmpty('abc')}", Map("attr" -> "  \t  \r  \n  ")) ===
+      "abc")
+    assert(eval("${attr:replaceEmpty('abc')}", Map("attr2" -> "test")) === "abc")
+  }
+
+  test("matches is fully anchored (ExpressionLanguageTests.cpp:419-441)") {
+    assert(eval("${attr:matches('^(Ct|Bt|At):.*t$')}", Map("attr" -> "At:est")) === "true")
+    assert(eval("${attr:matches('^(Ct|Bt|At):.*t$')}", Map("attr" -> "At:something")) === "false")
+    assert(eval("${attr:matches('(Ct|Bt|At):.*t')}", Map("attr" -> " At:est")) === "false")
+  }
+
+  test("integer-preserving chains and nested expression args " +
+       "(ExpressionLanguageTests.cpp:531-558,667-688)") {
+    assert(eval("${attr:plus(13)}", Map("attr" -> "11")) === "24")
+    assert(eval("${attr:plus(10e+6)}", Map("attr" -> "11")) === "10000011")
+    assert(eval("${attr:multiply(13)}", Map("attr" -> "11")) === "143")
+    assert(eval("${attr:multiply(3):plus(1)}", Map("attr" -> "7")) === "22")
+    assert(eval("${literal(10):multiply(2):plus(1):multiply(2)}", Map()) === "42")
+    assert(eval("${literal(10):multiply(2):plus(${attr:multiply(2)}):multiply(${attr})}",
+      Map("attr" -> "7")) === "238")
+    assert(eval("${attr:toRadix(2,16)}", Map("attr" -> "10")) === "0000000000001010")
+    assert(eval("${attr:toRadix(23,8)}", Map("attr" -> "-2347")) === "-000004a1")
+  }
+
+  test("boolean literals, chained numeric equals, comparison battery " +
+       "(ExpressionLanguageTests.cpp:690-951)") {
+    val one = Map("attr" -> "1")
+    assert(eval("${literal(true)}", Map()) === "true")
+    assert(eval("${literal(false)}", Map()) === "false")
+    assert(eval("${attr:plus(5):equals(6)}", one) === "true")
+    assert(eval("${attr:plus(5):equalsIgnoreCase(6)}", one) === "true")
+    assert(eval("${attr:plus(5):gt(5)}", one) === "true")
+    assert(eval("${attr:plus(5.1):gt(6.05)}", one) === "true")
+    assert(eval("${attr:plus(5.1):gt(6.15)}", one) === "false")
+    assert(eval("${attr:plus(5):ge(6)}", one) === "true")
+    assert(eval("${attr:plus(5.1):ge(6.05)}", one) === "true")
+    assert(eval("${attr:plus(5.1):ge(6.15)}", one) === "false")
+    assert(eval("${attr:plus(5):lt(5)}", one) === "false")
+    assert(eval("${attr:plus(5.1):lt(6.05)}", one) === "false")
+    assert(eval("${attr:plus(5.1):lt(6.15)}", one) === "true")
+    assert(eval("${attr:plus(5):le(6)}", one) === "true")
+    assert(eval("${attr:plus(5.1):le(6.05)}", one) === "false")
+    assert(eval("${attr:plus(5.1):le(6.15)}", one) === "true")
+    // " \t\r\n a \t\r\n " has content -> not empty
+    assert(eval("${attr:isEmpty()}", Map("attr" -> " \t\r\n a \t\r\n ")) === "false")
+  }
+
+  test("and/or/not/ifElse with whitespace-padded nested args " +
+       "(ExpressionLanguageTests.cpp:952-1014)") {
+    val f = Map("filename" -> "an example file.txt")
+    val fUp = Map("filename" -> "An example file.txt")
+    assert(eval("${filename:toLower():equals( ${filename} ):and(${filename:substring(0, 2):equals('an')})}", f) === "true")
+    assert(eval("${filename:toLower():equals( ${filename} ):and(${filename:substring(0, 2):equals('ab')})}", f) === "false")
+    assert(eval("${filename:toLower():equals( ${filename} ):or(${filename:substring(0, 2):equals('an')})}", f) === "true")
+    assert(eval("${filename:toLower():equals( ${filename} ):or(${filename:substring(0, 2):equals('ab')})}", f) === "true")
+    assert(eval("${filename:toLower():equals( ${filename} ):and(${filename:substring(0, 2):equals('an')}):not()}", f) === "false")
+    assert(eval("${filename:toLower():equals( ${filename} ):and(${filename:substring(0, 2):equals('ab')}):not()}", f) === "true")
+    assert(eval("${filename:toLower():equals( ${filename}):ifElse('yes', 'no')}", f) === "yes")
+    assert(eval("${filename:toLower():equals( ${filename}):ifElse('yes', 'no')}", fUp) === "no")
+  }
+
+  test("quantifier count/join composition (ExpressionLanguageTests.cpp:1591-1637)") {
+    val ab = Map("a" -> "hello", "b" -> "mello")
+    assert(eval("${allAttributes('a', 'b'):contains('hello'):count()}",
+      Map("a" -> "hello 1", "b" -> "mello 2")) === "1")
+    assert(eval("${allAttributes('a', 'b'):contains('mello'):count()}",
+      Map("a" -> "mello 1", "b" -> "mello 2", "c" -> "hello 3")) === "2")
+    assert(eval("abc${allAttributes('a', 'b'):contains('mello'):count()}xyz",
+      Map("a" -> "mello 1", "b" -> "mello 2", "c" -> "hello 3")) === "abc2xyz")
+    // per-element prepend/append BEFORE join vs on the joined string AFTER
+    assert(eval("abc_${allAttributes('a', 'b'):prepend('def_'):append('_ghi'):join(\"|\")}_xyz", ab) ===
+      "abc_def_hello_ghi|def_mello_ghi_xyz")
+    assert(eval("abc_${allAttributes('a', 'b'):join(\"|\"):prepend('def_'):append('_ghi')}_xyz", ab) ===
+      "abc_def_hello|mello_ghi_xyz")
+  }
 }
