@@ -110,10 +110,38 @@ object Transforms {
   def replaceText(c: Column, strategy: ReplaceStrategy, search: String,
                   replacement: String): Column = strategy match {
     case LiteralReplace => replace(c, lit(search), lit(replacement))
-    case RegexReplace   => regexp_replace(c, search, replacement)
+    case RegexReplace   =>
+      regexp_replace(c, search, sanitizeReplacement(search, replacement))
     case Prepend        => concat(lit(replacement), c)
     case Append         => concat(c, lit(replacement))
     case AlwaysReplace  => lit(replacement)
+  }
+
+  /** Translate the reference's replacement spelling to Java's and make it
+    * total (ReplaceTextTests.cpp:108-146): `$&` → `$0`, `$$` → literal `$`,
+    * and back references beyond the pattern's group count become BLANK —
+    * Java's Matcher would throw IndexOutOfBounds mid-task instead. */
+  private[graft] def sanitizeReplacement(search: String, repl: String): String = {
+    val groups = java.util.regex.Pattern.compile(search).matcher("").groupCount()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val ch = repl.charAt(i)
+      if (ch == '\\' && i + 1 < repl.length) {          // Java escape: keep
+        sb.append(ch).append(repl.charAt(i + 1)); i += 2
+      } else if (ch == '$' && i + 1 < repl.length && repl.charAt(i + 1) == '$') {
+        sb.append("\\$"); i += 2                        // reference literal $
+      } else if (ch == '$' && i + 1 < repl.length && repl.charAt(i + 1) == '&') {
+        sb.append("$0"); i += 2                         // whole-match spelling
+      } else if (ch == '$' && i + 1 < repl.length && repl.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < repl.length && repl.charAt(j).isDigit) j += 1
+        val n = repl.substring(i + 1, j).toInt
+        if (n <= groups) sb.append(repl.substring(i, j)) // else: blank
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** Line-by-line ReplaceText (ReplaceText.h:38 LINE_BY_LINE + :42-48 line
@@ -133,11 +161,14 @@ object Transforms {
       case ExceptFirstLine => i =!= 0
       case ExceptLastLine  => i =!= lastIdx
     }
-    array_join(
+    // empty content has NO lines to process — the reference emits it
+    // unchanged even for Prepend/Append (ReplaceTextTests.cpp:342-355,
+    // "Size:0"), whereas split("") would yield one empty line
+    when(length(c) === 0, c).otherwise(array_join(
       transform(lines, (line, i) =>
         when(inScope(i), replaceText(line, strategy, search, replacement))
           .otherwise(line)),
-      delimiter)
+      delimiter))
   }
 
   /**

@@ -204,6 +204,34 @@ class OperatorSpec extends SparkSpec {
     assert(subst("not ${found} is left alone") === "not ${found} is left alone")
   }
 
+  test("ReplaceText back references: out-of-range blank, $$ escape, $& " +
+       "whole match, empty-content line-by-line untouched " +
+       "(ReplaceTextTests.cpp:121-146,328-355)") {
+    def apply(strategy: Transforms.ReplaceStrategy, search: String,
+              replacement: String, input: String): String =
+      spark.createDataFrame(Seq(Tuple1(input))).toDF("c")
+        .select(Transforms.replaceText(col("c"), strategy, search, replacement))
+        .collect()(0).getString(0)
+    // non-existent back reference -> blank, never a task crash
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "_$1_ '$2'", "") === "")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "_$1_ '$2'", "abc") === "_b_ ''")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "_$1_ '$2'", "cba") === "cba")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "_$1_ '$2'",
+      "xxx abc yyy abbbc zzz") === "xxx _b_ '' yyy _bbb_ '' zzz")
+    // reference $$ escape spelling and $& whole-match spelling
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "$1 costs $$2", "abc")
+      === "b costs $2")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "<$&>", "abc") === "<abc>")
+    // empty content: entire-text prepend/append still applies, line-by-line
+    // has no lines and passes through unchanged
+    assert(apply(Transforms.Prepend, "", "hippopotamus\n", "") === "hippopotamus\n")
+    val empty = spark.createDataFrame(Seq(Tuple1(""))).toDF("c")
+    assert(empty.select(Transforms.replaceTextLineByLine(col("c"), "\n",
+      Transforms.Prepend, "", "hippopotamus\n")).collect()(0).getString(0) === "")
+    assert(empty.select(Transforms.replaceTextLineByLine(col("c"), "\n",
+      Transforms.Append, "", "hippopotamus\n")).collect()(0).getString(0) === "")
+  }
+
   test("ReplaceText line scoping + substitute variables + always replace " +
        "(ReplaceText.h:42-58, ReplaceTextTests.cpp)") {
     val df = spark.createDataFrame(Seq(
