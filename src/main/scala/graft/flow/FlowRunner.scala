@@ -326,7 +326,8 @@ object Processors {
         val listed = prop("Attributes List", "")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val json =
-          if (listed.nonEmpty) Transforms.attributesToJson(listed)
+          if (listed.nonEmpty) Transforms.attributesToJson(listed,
+            nullForMissing = Units.parseBool(prop("Null Value", "false")))
           else Transforms.attributesToJsonRegex(
             prop("Attributes Regular Expression", ".*"),
             includeCore = Units.parseBool(

@@ -200,8 +200,18 @@ object Transforms {
    * Selected names keep their given order, mirroring the attribute-list
    * property.
    */
-  def attributesToJson(attrNames: Seq[String]): Column =
-    to_json(struct(attrNames.map(n => FlowFrame.attr(n).as(n)): _*))
+  /** A selected-but-missing attribute still writes its KEY: `""` by
+    * default, JSON null when `nullForMissing` (the NullValue property,
+    * AttributesToJSON.cpp:86-92) — to_json's default of omitting null
+    * fields would drop the key entirely. */
+  def attributesToJson(attrNames: Seq[String],
+                       nullForMissing: Boolean = false): Column =
+    if (nullForMissing)
+      to_json(struct(attrNames.map(n => FlowFrame.attr(n).as(n)): _*),
+        Map("ignoreNullFields" -> "false"))
+    else
+      to_json(struct(attrNames.map(n =>
+        coalesce(FlowFrame.attr(n), lit("")).as(n)): _*))
 
   /**
    * AttributesToJSON "Attributes Regular Expression" mode

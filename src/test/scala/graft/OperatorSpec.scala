@@ -354,6 +354,34 @@ class OperatorSpec extends SparkSpec {
     assert(run("abab", "ab", keep = false, SplitMerge.Trailing) === Seq.empty)
   }
 
+  test("SplitContent tricky overlapping sequences and no-splitter passthrough " +
+       "(SplitContentTests.cpp:391-543)") {
+    import graft.ops.SplitMerge
+    def run(input: String, delim: String, keep: Boolean,
+            loc: SplitMerge.ByteSequenceLocation): Seq[String] =
+      SplitMerge.splitContent(
+        spark.createDataFrame(Seq((1L, input))).toDF("id", "c"),
+        col("id"), col("c"), delim, keep, loc)
+        .orderBy("fragmentIndex").select("fragment")
+        .collect().map(_.getString(0)).toSeq
+    // no splitter present: whole content as fragment 1 of 1
+    assert(run("UVAT", ",", keep = false, SplitMerge.Trailing) === Seq("UVAT"))
+    // overlapping candidate 'aab' in "aaabc"
+    assert(run("aaabc", "aab", keep = true, SplitMerge.Leading) === Seq("a", "aabc"))
+    assert(run("aaabc", "aab", keep = true, SplitMerge.Trailing) === Seq("aaab", "c"))
+    // partial matches before the real one: "abcabcabcdabc" on 'abcd'
+    assert(run("abcabcabcdabc", "abcd", keep = true, SplitMerge.Leading)
+      === Seq("abcabc", "abcdabc"))
+    assert(run("abcabcabcdabc", "abcd", keep = true, SplitMerge.Trailing)
+      === Seq("abcabcabcd", "abc"))
+    // double leading sequence at the start keeps each occurrence
+    // (hex-format bytes 05x8 + 01 02 03 04 split on 05050505)
+    val s05 = "\u0005\u0005\u0005\u0005"
+    val tail = "\u0001\u0002\u0003\u0004"
+    assert(run(s05 + s05 + tail, s05, keep = true, SplitMerge.Leading)
+      === Seq(s05, s05 + tail))
+  }
+
   test("SplitText strict header-edge routing (SplitTextTests.cpp:598-642)") {
     import graft.ops.SplitMerge
     def run(input: String, splitCount: Int, headerCount: Int) =
@@ -436,6 +464,19 @@ class OperatorSpec extends SparkSpec {
       Seq(("va", "$.a"), ("vb", "$.b")))
     val rels = routed.select("relationship").collect().map(_.getString(0)).toSeq
     assert(rels === Seq("matched", "unmatched"))
+  }
+
+  test("AttributesToJSON writes missing selected attributes as \"\" or " +
+       "null per NullValue (AttributesToJSONTests.cpp:166-180)") {
+    val ff = flowFrame(Seq(("", Map("my_attribute" -> "my_value",
+      "empty_attribute" -> ""))))
+    val names = Seq("my_attribute", "non_existent_attribute", "empty_attribute")
+    assert(ff.select(Transforms.attributesToJson(names))
+      .collect()(0).getString(0) ===
+      """{"my_attribute":"my_value","non_existent_attribute":"","empty_attribute":""}""")
+    assert(ff.select(Transforms.attributesToJson(names, nullForMissing = true))
+      .collect()(0).getString(0) ===
+      """{"my_attribute":"my_value","non_existent_attribute":null,"empty_attribute":""}""")
   }
 
   test("AttributesToJSON regex selection with core-attribute exclusion " +
