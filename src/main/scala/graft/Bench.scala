@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "execute_sql", "rolling_window_time", "route_text", "merge_content",
-    "query_database_table", "dedup_minhash_lsh", "embed_topk", "token_count")
+    "query_database_table", "dedup_minhash_lsh", "embed_topk", "token_count",
+    "pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,6 +46,7 @@ object Plans {
     show("pack", "pack_sequences")
     show("decon", "decontaminate")
     show("dsg", "dedup_segments")
+    show("e2e", "pipeline_e2e")
     spark.stop()
   }
 }

@@ -693,6 +693,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ------- composed north-star pipeline -------
+    // The full curation chain as ONE lazily-composed plan: quality gate →
+    // benchmark decontamination → exact dedup (first id per content hash)
+    // → frozen train/val/test split → token-budget packing of the train
+    // split. Every stage is the scale-shaped operator registered above;
+    // Catalyst fuses the narrow stages and the whole chain shuffles only
+    // where the stages themselves do.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val quality = corpus.filter(
+        TextAnalysis.tokenCountWhitespace(col("text")) >= 20)
+      val clean = Decontaminate.removeContaminated(quality, col("doc_id"),
+        col("text"), bench, col("text"), 7)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val deduped = clean.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // consumed twice (pack input + final join left side): materialize
+      // once — the staging-table pattern between curation passes
+      val splitDf = Sampling.trainValTestSplit(deduped, col("doc_id"),
+        "e2e", 0.8, 0.1).localCheckpoint()
+      val packed = Sampling.packSequences(
+        splitDf.filter(col("split") === "train"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), 512L, "e2e-pack")
+      splitDf.join(
+        packed.select(col("docId").as("doc_id"), col("n_tokens"), col("bin")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // ------- training-data pipeline: dedup family -------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsPar(s, dir), col("doc_id"), col("text"))
@@ -1890,6 +1923,53 @@ object SparkEntry {
         |FROM sh c JOIN bench b ON c.sh = b.sh
         |WHERE c.source <> 'src0'
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_e2e" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE source <> 'src0'
+        |  AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 20),
+        |bdocs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |cw AS (SELECT doc_id, string_split(text,' ') AS words FROM corpus),
+        |bw AS (SELECT doc_id, string_split(text,' ') AS words FROM bdocs),
+        |cg0 AS (SELECT doc_id, words, unnest(generate_series(0,
+        |    CASE WHEN len(words)>=7 THEN len(words)-7 ELSE 0 END)) AS i FROM cw),
+        |cg AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN len(words)>=7
+        |       THEN array_to_string(list_slice(words, i+1, i+7),' ')
+        |       ELSE array_to_string(words,' ') END AS g FROM cg0),
+        |bg0 AS (SELECT doc_id, words, unnest(generate_series(0,
+        |    CASE WHEN len(words)>=7 THEN len(words)-7 ELSE 0 END)) AS i FROM bw),
+        |bg AS (SELECT DISTINCT
+        |  CASE WHEN len(words)>=7
+        |       THEN array_to_string(list_slice(words, i+1, i+7),' ')
+        |       ELSE array_to_string(words,' ') END AS g FROM bg0),
+        |contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.g = bg.g),
+        |clean AS (SELECT c.* FROM corpus c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |dedup AS (SELECT doc_id, text,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM clean),
+        |kept AS (SELECT doc_id, text FROM dedup WHERE rn = 1),
+        |sp AS (SELECT doc_id, text,
+        |  CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5('e2e|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS f
+        |    FROM kept)),
+        |tr AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  md5('e2e-pack|' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM sp WHERE split = 'train'),
+        |packed AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER
+        |    (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 512 AS BIGINT) AS bin
+        |  FROM tr)
+        |SELECT sp.doc_id, sp.split, p.n_tokens, p.bin
+        |FROM sp LEFT JOIN packed p ON p.doc_id = sp.doc_id
+        |ORDER BY sp.doc_id""".stripMargin,
 
     "dedup_segments" ->
       """WITH docs AS (SELECT doc_id, string_split(text,' ') AS words

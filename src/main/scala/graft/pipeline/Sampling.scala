@@ -90,9 +90,14 @@ object Sampling {
    */
   def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
                     budget: Long, seed: String): DataFrame = {
+    // the frame feeds TWO actions (range totals, then the output scan) —
+    // materialize it once or an expensive upstream (a whole curation
+    // pipeline) replays per action; it is 3 narrow columns, and the
+    // cluster-scale equivalent is staging the keyed table between passes
     val keyed = df.select(idCol.as("docId"), tokensCol.cast("long").as("n_tokens"))
       .withColumn("__key", md5(concat(lit(seed), lit("|"), col("docId").cast("string"))))
       .withColumn("__rng", conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+      .localCheckpoint()
     val totals = keyed.groupBy(col("__rng"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
