@@ -43,12 +43,13 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
       }
     }
-    // Min of two measured reps per query: the container's vCPUs see bursty
-    // steal (same binary, same data: 0.4 s vs 2.9 s run-to-run), and min is
-    // the standard noise-robust point estimate — both reps do the full
+    // Min of three measured reps per query: the container's vCPUs see bursty
+    // steal (same binary, same data: 0.4 s vs 2.9 s run-to-run; the composed
+    // pipeline_e2e spans many job boundaries and swings 2-10 s), and min is
+    // the standard noise-robust point estimate — every rep does the full
     // sf-dir read, so no work is hidden, only scheduler interference.
     val results = headline.map { name =>
-      val reps = (0 until 2).map { _ =>
+      val reps = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
