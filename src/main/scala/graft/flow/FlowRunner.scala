@@ -311,16 +311,28 @@ object Processors {
         val fmt = prop("Compression Format", "gzip").toLowerCase
         val comp = prop("Mode", "compress") == "compress"
         val bin = content.cast("binary")
-        val out =
-          if (fmt == "use mime.type" && !comp)
-            Content.decompressByMime(bin, FlowFrame.attr("mime.type"))
-          else if (comp) Content.compress(bin, fmt)
-          else Content.decompress(bin, fmt)
-        val mimed =
-          if (comp) FlowFrame.withAttrs(in, Seq(
+        if (comp)
+          success(FlowFrame.withAttrs(in, Seq(
             "mime.type" -> lit(Content.mimeTypeFor(fmt))))
-          else in
-        success(mimed.withColumn(FlowFrame.Content, out))
+            .withColumn(FlowFrame.Content, Content.compress(bin, fmt)))
+        else {
+          // total decompression: a corrupt record routes its ORIGINAL
+          // content to failure (CompressContentTests.cpp:681) instead of
+          // killing the task — at 100 TB a single bad archive must not
+          // abort the job
+          val out =
+            if (fmt == "use mime.type")
+              Content.decompressByMime(bin, FlowFrame.attr("mime.type"))
+            else Content.tryDecompress(bin, fmt)
+          in.withColumn("__dec", out)
+            .withColumn(FlowFrame.Relationship,
+              when(col("__dec").isNull && bin.isNotNull, "failure")
+                .otherwise("success"))
+            .withColumn(FlowFrame.Content,
+              when(col(FlowFrame.Relationship) === "failure", bin)
+                .otherwise(col("__dec")))
+            .drop("__dec")
+        }
 
       case "AttributesToJSON" =>
         val listed = prop("Attributes List", "")

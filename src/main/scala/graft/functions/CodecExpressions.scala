@@ -49,3 +49,22 @@ case class GzipDecompress(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
     copy(child = newChild)
 }
+
+/** Total gunzip: corrupt input yields NULL instead of a task-killing
+  * exception, so callers can route the reference's decompress `failure`
+  * relationship (CompressContentTests.cpp:681 invalid-archive case).
+  * Needs nullable codegen — the strict CodecExpression's defineCodeGen
+  * assumes a non-null kernel result. */
+case class GzipTryDecompress(child: Expression) extends CodecExpression {
+  override def prettyName: String = "graft_try_gunzip"
+  override protected val kernel = "graft.functions.Codecs.tryGunzip"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] = Codecs.tryGunzip(b)
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kernel($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): GzipTryDecompress =
+    copy(child = newChild)
+}

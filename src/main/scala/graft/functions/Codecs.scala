@@ -18,4 +18,9 @@ object Codecs {
 
   def gunzip(b: Array[Byte]): Array[Byte] =
     new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes()
+
+  /** null on corrupt/truncated input (bad magic, CRC, early EOF) — the
+    * routable-failure kernel behind GzipTryDecompress. */
+  def tryGunzip(b: Array[Byte]): Array[Byte] =
+    try gunzip(b) catch { case _: java.io.IOException => null }
 }

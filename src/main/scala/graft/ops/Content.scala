@@ -150,6 +150,36 @@ object Content {
     case other      => throw new IllegalArgumentException(s"codec $other")
   }
 
+  private def safe(f: Array[Byte] => Array[Byte]) =
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else try f(b) catch { case _: Exception => null })
+
+  /**
+   * Total decompression: corrupt input yields NULL instead of a
+   * task-killing exception, so a single bad record in a 100 TB scan routes
+   * to `failure` (CompressContentTests.cpp:681) rather than aborting the
+   * job. gzip stays a native codegen'd expression; the cold formats pay a
+   * try-wrapped UDF.
+   */
+  def tryDecompress(c: Column, format: String): Column = format match {
+    case "gzip" =>
+      nativeExpr(graft.functions.GzipTryDecompress(exprOf(c.cast("binary"))))
+    case "deflate"  => safe(b =>
+      new InflaterInputStream(new ByteArrayInputStream(b)).readAllBytes())(
+      c.cast("binary"))
+    case "bzip2"    => safe(b =>
+      new BZip2CompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())(
+      c.cast("binary"))
+    case "xz-lzma2" => safe(b =>
+      new XZCompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())(
+      c.cast("binary"))
+    case "lzma"     => safe(b =>
+      new LZMACompressorInputStream(new ByteArrayInputStream(b)).readAllBytes())(
+      c.cast("binary"))
+    case other      => throw new IllegalArgumentException(s"codec $other")
+  }
+
   /** mime.type the reference stamps after compressing
     * (CompressContent.cpp:205-213 toMimeType). */
   def mimeTypeFor(format: String): String = format match {
@@ -179,7 +209,9 @@ object Content {
   def decompressByMime(c: Column, mimeCol: Column): Column =
     MimeFormats.foldLeft(Option.empty[Column]) {
       case (acc, (mime, fmt)) =>
-        val branch = decompress(c, fmt)
+        // total branches: content whose bytes don't match its claimed
+        // mime.type must route, not throw (same policy as tryDecompress)
+        val branch = tryDecompress(c, fmt)
         Some(acc.map(_.when(mimeCol === mime, branch))
           .getOrElse(when(mimeCol === mime, branch)))
     }.get.otherwise(c.cast("binary"))

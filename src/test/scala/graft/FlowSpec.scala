@@ -237,6 +237,50 @@ class FlowSpec extends SparkSpec {
     assert(err.getMessage.contains("Directory"))
   }
 
+  test("CompressContent decompress flow routes corrupt archives to failure " +
+       "with original content (CompressContentTests.cpp:681)") {
+    val inDir = tmpDir("flow-gz-in")
+    // one valid gzip member, one junk file
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("real payload".getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    Files.write(Paths.get(inDir, "good.gz"), gzBytes)
+    Files.write(Paths.get(inDir, "bad.gz"), "banana bread".getBytes("UTF-8"))
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |- name: unzip
+         |  id: u
+         |  class: org.apache.nifi.minifi.processors.CompressContent
+         |  auto-terminated relationships list: [success, failure]
+         |  Properties:
+         |    Mode: decompress
+         |    Compression Format: gzip
+         |Connections:
+         |- name: get/success/unzip
+         |  id: c
+         |  source id: g
+         |  source relationship names: [success]
+         |  destination id: u
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val out = result.output("unzip")
+      .select(col("relationship"), col("content").cast("string").as("c"),
+        element_at(col("attributes"), "filename").as("f"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      ("success", "real payload", "good.gz"),
+      ("failure", "banana bread", "bad.gz")))
+  }
+
   test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
     val yml =
       """MiNiFi Config Version: 3

@@ -48,4 +48,21 @@ class FunctionsSpec extends SparkSpec {
     val b = "graft".getBytes("UTF-8")
     assert(Codecs.gunzip(Codecs.gzip(b)).toSeq === b.toSeq)
   }
+
+  test("tryDecompress yields null on corrupt input for every format; " +
+       "valid input round-trips (CompressContentTests.cpp:681)") {
+    import graft.ops.Content
+    val formats = Seq("gzip", "deflate", "bzip2", "xz-lzma2", "lzma")
+    val junk = spark.createDataFrame(Seq(Tuple1("banana bread"))).toDF("c")
+    formats.foreach { fmt =>
+      val bad = junk.select(
+        Content.tryDecompress(col("c").cast("binary"), fmt).as("d"))
+        .collect()(0)
+      assert(bad.isNullAt(0), s"$fmt should yield null on junk")
+      val rt = junk.select(Content.tryDecompress(
+        Content.compress(col("c").cast("binary"), fmt), fmt).cast("string"))
+        .collect()(0).getString(0)
+      assert(rt === "banana bread", s"$fmt round trip")
+    }
+  }
 }
