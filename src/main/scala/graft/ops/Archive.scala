@@ -30,9 +30,12 @@ object Archive {
     })
 
   /** FocusArchiveEntry: extract the named entry's payload (null if absent). */
+  // every reader below is TOTAL: a malformed archive yields null (callers
+  // route `failure`, ManipulateArchive.cpp error relationship) — never a
+  // task-killing ZipException/IOException mid-scan
   val zipFocusUdf = udf((archive: Array[Byte], name: String) =>
     if (archive == null) null
-    else {
+    else try {
       val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
       var e = z.getNextEntry
       var found: Array[Byte] = null
@@ -41,18 +44,18 @@ object Archive {
         e = z.getNextEntry
       }
       found
-    })
+    } catch { case _: java.io.IOException => null })
 
   /** List entry names (ManipulateArchive inspection). */
   val zipEntriesUdf = udf((archive: Array[Byte]) =>
     if (archive == null) null
-    else {
+    else try {
       val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
       val names = Seq.newBuilder[String]
       var e = z.getNextEntry
       while (e != null) { names += e.getName; e = z.getNextEntry }
       names.result()
-    })
+    } catch { case _: java.io.IOException => null })
 
   def zipPack(name: Column, payload: Column): Column =
     zipPackUdf(name, payload.cast("binary"))
@@ -79,7 +82,7 @@ object Archive {
 
   val tarFocusUdf = udf((archive: Array[Byte], name: String) =>
     if (archive == null) null
-    else {
+    else try {
       val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(archive))
       var e = t.getNextEntry
       var found: Array[Byte] = null
@@ -88,17 +91,17 @@ object Archive {
         e = t.getNextEntry
       }
       found
-    })
+    } catch { case _: java.io.IOException => null })
 
   val tarEntriesUdf = udf((archive: Array[Byte]) =>
     if (archive == null) null
-    else {
+    else try {
       val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(archive))
       val names = Seq.newBuilder[String]
       var e = t.getNextEntry
       while (e != null) { names += e.getName; e = t.getNextEntry }
       names.result()
-    })
+    } catch { case _: java.io.IOException => null })
 
   def tarPack(name: Column, payload: Column): Column =
     tarPackUdf(name, payload.cast("binary"))
@@ -156,7 +159,7 @@ object Archive {
                               target: String, destination: String,
                               before: String, after: String) => {
     if (archive == null) (null: Array[Byte], "failure")
-    else {
+    else try {
       val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
       val entries = scala.collection.mutable.ListBuffer.empty[(String, Array[Byte])]
       var e = z.getNextEntry
@@ -205,7 +208,7 @@ object Archive {
           (bos.toByteArray, "success")
         }
       }
-    }
+    } catch { case _: java.io.IOException => (null: Array[Byte], "failure") }
   })
 
   /** ManipulateArchive: returns struct(result BINARY, relationship STRING). */

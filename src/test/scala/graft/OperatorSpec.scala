@@ -455,6 +455,23 @@ class OperatorSpec extends SparkSpec {
     assert(row.getString(3) === "gamma")
   }
 
+  test("archive readers are total: malformed bytes yield null, " +
+       "zipManipulate routes failure (ManipulateArchive error relationship)") {
+    import graft.ops.Archive
+    // bytes that LOOK like a zip local header but are truncated garbage
+    val junk = Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3)
+    val df = spark.createDataFrame(Seq(Tuple1(junk))).toDF("a")
+    val r = df.select(
+      Archive.zipFocus(col("a"), lit("x")).as("zf"),
+      Archive.tarFocus(col("a"), lit("x")).as("tf"),
+      Archive.tarEntries(col("a")).as("te"),
+      Archive.zipManipulate(col("a"), lit("remove"), lit("x"), lit(""),
+        lit(""), lit("")).getField("_2").as("rel")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.isNullAt(2) || r.getSeq[String](2).isEmpty)
+    assert(r.getString(3) === "failure")
+  }
+
   test("EvaluateJsonPath routes unresolved paths to unmatched " +
        "(EvaluateJsonPath.h:32-48)") {
     val ff = flowFrame(Seq(
