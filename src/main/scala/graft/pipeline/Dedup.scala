@@ -243,19 +243,22 @@ object Dedup {
    * ([[wordWindows]]), or `split(text, sep)` for newline/paragraph-
    * delimited corpora.
    *
-   * Scale shape: one shuffle keyed by SEGMENT CONTENT for the
-   * first-occurrence window (partitionBy(segment) — parallel across
-   * distinct segments; the hottest key is the most-duplicated segment,
-   * which is exactly the thing being removed), then one shuffle back on
-   * docId to reassemble. No self-join, no collect.
+   * Scale shape: the first-occurrence keeper per segment is a
+   * `min(struct(docId, idx))` hash-aggregate — map-side partial min, so a
+   * mass-duplicated segment (exactly the thing being removed) collapses to
+   * one row per input partition BEFORE the shuffle; a row_number window
+   * keyed by segment content would instead funnel every copy of the hot
+   * segment through one reducer, and unlike a skewed join (AQE-splittable)
+   * a skewed window cannot be split. Then one join back on the segment and
+   * one shuffle on docId to reassemble. No self-join, no collect.
    */
   def dedupSegments(df: DataFrame, idCol: Column,
                     segments: Column): DataFrame = {
     val seg = df.select(idCol.as("docId"), posexplode(segments).as(Seq("idx", "seg")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg")).orderBy(col("docId"), col("idx"))
-    seg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val keepers = seg.groupBy(col("seg"))
+      .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
+    seg.join(keepers, "seg")
+      .filter(struct(col("docId"), col("idx")) === col("keeper"))
       .groupBy(col("docId"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("seg")))),
