@@ -708,10 +708,13 @@ object SparkEntry {
         TextAnalysis.tokenCountWhitespace(col("text")) >= 20)
       val clean = Decontaminate.removeContaminated(quality, col("doc_id"),
         col("text"), bench, col("text"), 7)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-      val deduped = clean.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // exact dedup via the map-side-partial min aggregate (Dedup.exact) +
+      // semi-join on the kept ids — a content-keyed row_number window
+      // would funnel a mass-duplicated corpus through one reducer
+      val keepIds = Dedup.exact(clean, col("doc_id"), col("text"))
+        .select(col("keepId").as("__keep"))
+      val deduped = clean.join(keepIds,
+        col("doc_id") === col("__keep"), "left_semi")
       // consumed twice (pack input + final join left side): materialize
       // once — the staging-table pattern between curation passes
       val splitDf = Sampling.trainValTestSplit(deduped, col("doc_id"),
