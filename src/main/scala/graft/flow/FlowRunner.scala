@@ -474,14 +474,34 @@ object Processors {
               content.cast("string"),
               FlowFrame.attr(FlowFrame.FragmentAttrs.Count).cast("long"),
               demarcator)
-            merged.select(
-              col("mergeId").as(FlowFrame.Uuid),
-              map(lit("merge.count"), col("fragmentsSeen").cast("string"))
-                .as(FlowFrame.Attributes),
-              col("merged").as(FlowFrame.Content),
-              current_timestamp().as(FlowFrame.EntryDate),
-              when(col(FlowFrame.Relationship) === "merged", "merged")
-                .otherwise("failure").as(FlowFrame.Relationship))
+            // member attributes merge per the Attribute Strategy
+            // (MergeFileTests.cpp:600-700); fragment bookkeeping attrs are
+            // per-member by construction and excluded like the reference's
+            // BinFiles fragment attribute scrub
+            val fragKeys = Seq(FlowFrame.FragmentAttrs.Identifier,
+              FlowFrame.FragmentAttrs.Index, FlowFrame.FragmentAttrs.Count)
+            val memberAttrs = map_filter(col(FlowFrame.Attributes),
+              (k, _) => !k.isin(fragKeys.map(lit): _*))
+            val mergedAttrs = SplitMerge.mergedAttributes(
+              in.withColumn(FlowFrame.Attributes, memberAttrs),
+              FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier),
+              col(FlowFrame.Attributes),
+              keepOnlyCommon = prop("Attribute Strategy",
+                "Keep Only Common Attributes") == "Keep Only Common Attributes")
+            merged.join(mergedAttrs,
+                merged("mergeId") === mergedAttrs("gid"), "left")
+              .select(
+                col("mergeId").as(FlowFrame.Uuid),
+                map_concat(
+                  coalesce(col("mergedAttrs"),
+                    map_from_arrays(array().cast("array<string>"),
+                      array().cast("array<string>"))),
+                  map(lit("merge.count"), col("fragmentsSeen").cast("string")))
+                  .as(FlowFrame.Attributes),
+                col("merged").as(FlowFrame.Content),
+                current_timestamp().as(FlowFrame.EntryDate),
+                when(col(FlowFrame.Relationship) === "merged", "merged")
+                  .otherwise("failure").as(FlowFrame.Relationship))
           case _ => // "Bin-Packing Algorithm"
             // without a correlation attribute every row would share one
             // window partition (a single-partition sort at scale); bins

@@ -312,4 +312,35 @@ object SplitMerge {
           lineCol.as("l")))), e => e.getField("l")), demarcator).as("message"),
         count(lit(1)).as("lineCount"))
   }
+
+  /**
+   * MergeContent Attribute Strategy (merge_content_options
+   * ATTRIBUTE_STRATEGY_*, MergeFileTests.cpp:600-700): the merged
+   * FlowFile's attribute map from its members'.
+   *
+   * - Keep Only Common Attributes (default): a key survives iff it is
+   *   present on EVERY member with one identical value.
+   * - Keep All Unique Attributes: a key survives iff it never conflicts —
+   *   one value wherever it appears, even if absent elsewhere.
+   *
+   * Shape: explode the maps, one groupBy(gid, key) with countDistinct +
+   * count (both map-side partial), rebuild the map per gid — no window,
+   * no per-group collect of whole maps.
+   */
+  def mergedAttributes(df: DataFrame, gidCol: Column, attrsCol: Column,
+                       keepOnlyCommon: Boolean = true): DataFrame = {
+    val members = df.groupBy(gidCol.as("gid")).agg(count(lit(1)).as("__n"))
+    val kv = df.select(gidCol.as("gid"), explode(attrsCol).as(Seq("k", "v")))
+    val stats = kv.groupBy(col("gid"), col("k"))
+      .agg(count_distinct(col("v")).as("nv"), count(lit(1)).as("cnt"),
+        min(col("v")).as("v"))
+    val kept =
+      if (keepOnlyCommon)
+        stats.join(members, "gid")
+          .filter(col("nv") === 1 && col("cnt") === col("__n"))
+      else stats.filter(col("nv") === 1)
+    kept.groupBy(col("gid"))
+      .agg(map_from_arrays(
+        collect_list(col("k")), collect_list(col("v"))).as("mergedAttrs"))
+  }
 }

@@ -428,6 +428,28 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1).getString(1) === "Jan 01 00:00:01 - -: second entry")
   }
 
+  test("MergeContent attribute strategies: keep-only-common vs " +
+       "keep-all-unique (MergeFileTests.cpp:600-700)") {
+    import graft.ops.SplitMerge
+    // three members of one bin, tags per the reference fixture:
+    // i=0: tagUncommon=uncommon1; i=1: tagUnique1 + tagUncommon=uncommon2;
+    // i=2: tagUnique2 + tagUncommon=uncommon1; all carry tagCommon
+    val members = flowFrame(Seq(
+      ("c0", Map("tagCommon" -> "common", "tagUncommon" -> "uncommon1")),
+      ("c1", Map("tagCommon" -> "common", "tagUncommon" -> "uncommon2",
+        "tagUnique1" -> "unique1")),
+      ("c2", Map("tagCommon" -> "common", "tagUncommon" -> "uncommon1",
+        "tagUnique2" -> "unique2"))))
+      .withColumn("gid", lit("bin0"))
+    def attrsOf(keepOnlyCommon: Boolean): Map[String, String] =
+      SplitMerge.mergedAttributes(members, col("gid"),
+        col(FlowFrame.Attributes), keepOnlyCommon)
+        .collect()(0).getAs[Map[String, String]]("mergedAttrs")
+    assert(attrsOf(true) === Map("tagCommon" -> "common"))
+    assert(attrsOf(false) === Map("tagCommon" -> "common",
+      "tagUnique1" -> "unique1", "tagUnique2" -> "unique2"))
+  }
+
   test("MergeContent TAR/ZIP formats pack a whole bin into one archive " +
        "(MergeContent.h:293-331)") {
     import graft.ops.Archive
