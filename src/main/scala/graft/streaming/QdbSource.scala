@@ -70,16 +70,31 @@ private class QdbTable(dir: String) extends Table with SupportsRead {
     }
 }
 
-/** Offset = the max-value state ("maxvalue." attribute of the reference). */
+/** Offset = the max-value state ("maxvalue." attribute of the reference),
+  * PLUS the source identity it was collected against. The reference resets
+  * its stored state when the Table Name or Maximum-value Columns change
+  * (QueryDatabaseTableTests.cpp:170-247); here the identity is the source
+  * path, and a checkpoint replayed against a different source starts over
+  * instead of silently filtering by a stale maximum. */
 private case class QdbOffset(json: String) extends Offset {
   lazy val max: Long = {
-    val m = """\{"max":(-?\d+)\}""".r.findFirstMatchIn(json)
+    val m = """"max":(-?\d+)""".r.findFirstMatchIn(json)
     m.map(_.group(1).toLong).getOrElse(Long.MinValue)
   }
+  /** None on legacy {"max":N} offsets — treated as matching any source. */
+  lazy val src: Option[String] = {
+    val m = """"src":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+    m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+  def maxFor(currentSrc: String): Long =
+    if (src.forall(_ == currentSrc)) max else Long.MinValue
 }
 
 private object QdbOffset {
-  def of(max: Long): QdbOffset = QdbOffset(s"""{"max":$max}""")
+  def of(max: Long, src: String): QdbOffset = {
+    val esc = src.replace("\\", "\\\\").replace("\"", "\\\"")
+    QdbOffset(s"""{"src":"$esc","max":$max}""")
+  }
 }
 
 private class QdbMicroBatchStream(dir: String) extends MicroBatchStream {
@@ -90,17 +105,19 @@ private class QdbMicroBatchStream(dir: String) extends MicroBatchStream {
       .filter(f => f.isFile && f.getName.endsWith(".csv")).toSeq.sortBy(_.getPath)
   }
 
-  override def initialOffset(): Offset = QdbOffset.of(Long.MinValue)
+  override def initialOffset(): Offset = QdbOffset.of(Long.MinValue, dir)
 
   /** The reference's per-trigger MAX(...) probe against the source. */
   override def latestOffset(): Offset = {
     val ids = listFiles().iterator.flatMap(f => QdbSource.readRows(f)).map(_._1)
-    QdbOffset.of(if (ids.isEmpty) Long.MinValue else ids.max)
+    QdbOffset.of(if (ids.isEmpty) Long.MinValue else ids.max, dir)
   }
 
-  /** One partition per backing file; each emits rows in (startMax, endMax]. */
+  /** One partition per backing file; each emits rows in (startMax, endMax].
+    * A start offset recorded against a DIFFERENT source resets to the
+    * beginning (the reference's state-reset-on-config-change). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[QdbOffset].max
+    val s = start.asInstanceOf[QdbOffset].maxFor(dir)
     val e = end.asInstanceOf[QdbOffset].max
     if (e <= s) Array.empty
     else listFiles().map(f => QdbPartition(f.getPath, s, e)).toArray

@@ -200,6 +200,33 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("QdbSource: pointing a checkpoint at a different source resets the " +
+       "max-value state (QueryDatabaseTableTests.cpp:170-247)") {
+    val dirA = tmp("qdb_a"); val dirB = tmp("qdb_b")
+    val ckpt = tmp("qdb_reset_ckpt"); val out = tmp("qdb_reset_out")
+    Files.writeString(dirA.resolve("t.csv"), "1,a\n2,b\n3,c\n")
+    Files.writeString(dirB.resolve("t.csv"), "1,x\n2,y\n")
+
+    def run(dir: java.nio.file.Path): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.QdbSource")
+        .option("path", dir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(dirA)
+    // same checkpoint, different source: state must RESET — rows 1 and 2 of
+    // B re-emit even though A's persisted max (3) would have filtered them
+    run(dirB)
+    val payloads = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+    assert(payloads === Set((1L, "a"), (2L, "b"), (3L, "c"),
+      (1L, "x"), (2L, "y")))
+  }
+
   private def eventually(attempts: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
