@@ -226,7 +226,10 @@ object FlowStreaming {
         }
         val tailed = spark.readStream
           .format("graft.streaming.TailFileSource")
-          .option("path", dir).option("glob", glob).load()
+          .option("path", dir).option("glob", glob)
+          .option("initialStartPosition",
+            prop("Initial Start Position", "Beginning of File"))
+          .load()
           .withColumn("filename", element_at(split(col("path"), "/"), -1))
           .withColumn("tailfile.lineOffset", col("lineOffset").cast("string"))
         FlowFrame.wrap(tailed, "line",

@@ -41,7 +41,9 @@ class TailFileSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new TailTable(properties.get("path"),
-      Option(properties.get("glob")).getOrElse(".*"))
+      Option(properties.get("glob")).getOrElse(".*"),
+      Option(properties.get("initialStartPosition"))
+        .exists(_.equalsIgnoreCase("Current Time")))
 }
 
 object TailFileSource {
@@ -97,7 +99,8 @@ object TailFileSource {
   }
 }
 
-private class TailTable(dir: String, glob: String) extends Table with SupportsRead {
+private class TailTable(dir: String, glob: String,
+                        startAtCurrent: Boolean) extends Table with SupportsRead {
   override def name(): String = s"tail:$dir"
   override def schema(): StructType = TailFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -106,7 +109,7 @@ private class TailTable(dir: String, glob: String) extends Table with SupportsRe
     () => new Scan {
       override def readSchema(): StructType = TailFileSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailMicroBatchStream(dir, glob)
+        new TailMicroBatchStream(dir, glob, startAtCurrent)
     }
 }
 
@@ -115,7 +118,8 @@ private case class TailOffset(json: String) extends Offset {
     TailFileSource.stateFromJson(json)
 }
 
-private class TailMicroBatchStream(dir: String, glob: String)
+private class TailMicroBatchStream(dir: String, glob: String,
+                                   startAtCurrent: Boolean = false)
   extends MicroBatchStream {
   import TailFileSource._
 
@@ -125,7 +129,21 @@ private class TailMicroBatchStream(dir: String, glob: String)
       .filter(f => f.isFile && f.getName.matches(glob)).toSeq.sortBy(_.getPath)
   }
 
-  override def initialOffset(): Offset = TailOffset("{}")
+  /** Initial Start Position (TailFile.h InitialStartPositions,
+    * TailFileTests.cpp:1469-1673): "Beginning of File" (default) starts
+    * every file at byte 0; "Current Time" snapshots the files' CURRENT
+    * end positions as the initial state, so only content appended after
+    * the stream starts is emitted. Only consulted when no checkpoint
+    * exists — a restart resumes from the checkpointed positions either
+    * way, exactly like the reference's stored state taking precedence. */
+  override def initialOffset(): Offset =
+    if (!startAtCurrent) TailOffset("{}")
+    else TailOffset(stateToJson(listFiles().flatMap { f =>
+      try {
+        val crcLen = math.min(64L, f.length())
+        Some(f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen))
+      } catch { case _: java.io.IOException => None }
+    }.toMap))
 
   /** Last successfully probed (or checkpoint-restored) per-file state —
     * carried forward when a probe fails transiently, so a momentary

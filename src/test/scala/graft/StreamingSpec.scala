@@ -53,6 +53,30 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("TailFileSource Initial Start Position = Current Time skips " +
+       "pre-existing content (TailFileTests.cpp:1469-1545)") {
+    val dir = tmp("tail_isp"); val ckpt = tmp("tail_isp_ckpt")
+    val out = tmp("tail_isp_out")
+    val log = dir.resolve("app.log")
+    Files.writeString(log, "old line 1\nold line 2\n")
+    val q = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", dir.toString).option("glob", ".*\\.log")
+      .option("initialStartPosition", "Current Time").load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // nothing emitted for the pre-existing lines
+    assert(spark.read.parquet(out.toString).count() === 0)
+    Files.writeString(log, "old line 1\nold line 2\nnew line\n")
+    q.processAllAvailable(); q.stop()
+    val lines = spark.read.parquet(out.toString).collect()
+      .map(_.getAs[String]("line")).toSeq
+    assert(lines === Seq("new line"))
+  }
+
   test("streaming DefragmentText: boundary flush across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
