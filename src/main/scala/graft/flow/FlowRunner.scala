@@ -637,7 +637,8 @@ object Processors {
           case _             => "none"
         }
         Sources.fetchFile(in, pathCol, completion,
-          prop("Move Destination Directory", ""))
+          prop("Move Destination Directory", ""),
+          prop("Move Conflict Strategy", "Replace File"))
 
       case "PutSplunkHTTP" =>
         // HEC event POST (PutSplunkHTTP.cpp:40-60): metadata rides in the

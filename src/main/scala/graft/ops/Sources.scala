@@ -128,21 +128,44 @@ object Sources {
     * the move/delete completions are side effects, and a deterministic UDF
     * may be duplicated by CollapseProject/PushDownPredicates — the second
     * evaluation would find the file already moved and route `failure`. */
-  val fetchFileUdf = udf((path: String, completion: String, moveDest: String) => {
+  val fetchFileUdf = udf((path: String, completion: String, moveDest: String,
+                          moveConflict: String) => {
     val f = new java.io.File(if (path == null) "" else path)
     if (!f.isFile) (null: Array[Byte], "failure")
     else {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      completion match {
-        case "move" =>
-          val dest = java.nio.file.Paths.get(moveDest).resolve(f.getName)
-          java.nio.file.Files.createDirectories(dest.getParent)
-          java.nio.file.Files.move(f.toPath, dest,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        case "delete" => f.delete()
-        case _        =>
+      if (completion == "move") {
+        val destDir = java.nio.file.Paths.get(moveDest)
+        val dest = destDir.resolve(f.getName)
+        val conflict = java.nio.file.Files.exists(dest)
+        val strat =
+          if (moveConflict == null) "replace file" else moveConflict.toLowerCase
+        // Fail conflict strategy: route to failure BEFORE touching either
+        // file (FetchFileTests.cpp:152-167 — source stays, dest untouched)
+        if (conflict && strat == "fail") (null: Array[Byte], "failure")
+        else {
+          try {
+            java.nio.file.Files.createDirectories(destDir)
+            if (conflict && strat.startsWith("keep"))
+              f.delete()  // keep existing: drop the fetched file
+            else if (conflict && strat == "rename")
+              java.nio.file.Files.move(f.toPath, destDir.resolve(
+                java.util.UUID.randomUUID().toString + "." + f.getName))
+            else
+              java.nio.file.Files.move(f.toPath, dest,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } catch {
+            // a completion-strategy filesystem error still succeeds the
+            // fetch (FetchFileTests.cpp:258-273 "completion strategy
+            // failed" is a log line, not a failure route)
+            case _: java.io.IOException => ()
+          }
+          (bytes, "success")
+        }
+      } else {
+        if (completion == "delete") f.delete()
+        (bytes, "success")
       }
-      (bytes, "success")
     }
   }).asNondeterministic()
 
@@ -152,8 +175,11 @@ object Sources {
    * names the file to fetch (typically from the `absolute.path` attribute
    * ListFile stamped), unlike GetFile's plan-time directory scan. Missing
    * files route to `failure`; Completion Strategy `none`/`move`/`delete`
-   * runs after a successful read (move conflicts overwrite —
-   * MoveConflictStrategy REPLACE_FILE default).
+   * runs after a successful read. Move conflicts follow the
+   * MoveConflictStrategy (FetchFile.h:40-44): Replace File (default),
+   * Rename (fresh random name), Keep Existing (fetched file dropped),
+   * Fail (route to failure, both files untouched); a completion-move
+   * that fails on filesystem grounds still succeeds the fetch.
    *
    * Scale note: the fetch is a per-row side-effecting UDF, so the
    * move/delete completions are NOT idempotent under task retry or
@@ -162,8 +188,10 @@ object Sources {
    * assumes.
    */
   def fetchFile(df: DataFrame, pathCol: Column, completion: String = "none",
-                moveDestDir: String = ""): DataFrame = {
-    val fetched = fetchFileUdf(pathCol, lit(completion), lit(moveDestDir))
+                moveDestDir: String = "",
+                moveConflict: String = "Replace File"): DataFrame = {
+    val fetched = fetchFileUdf(pathCol, lit(completion), lit(moveDestDir),
+      lit(moveConflict))
     df.withColumn("__fetch", fetched)
       .withColumn("content", col("__fetch._1"))
       .withColumn("relationship", col("__fetch._2"))

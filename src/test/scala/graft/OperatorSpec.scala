@@ -584,6 +584,51 @@ class OperatorSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(moved.resolve("c.txt")) === "gamma")
   }
 
+  test("FetchFile move conflict strategies: replace/rename/keep/fail " +
+       "(FetchFileTests.cpp:152-227)") {
+    import spark.implicits._
+    import graft.ops.Sources
+    def fixture(): (java.nio.file.Path, java.nio.file.Path) = {
+      val src = java.nio.file.Files.createTempDirectory("fetch_mc_src")
+      val dst = java.nio.file.Files.createTempDirectory("fetch_mc_dst")
+      java.nio.file.Files.writeString(src.resolve("f.txt"), "new content")
+      java.nio.file.Files.writeString(dst.resolve("f.txt"), "old content")
+      (src, dst)
+    }
+    def run(src: java.nio.file.Path, dst: java.nio.file.Path,
+            strat: String): (String, String) = {
+      val r = Sources.fetchFile(
+        Seq(src.resolve("f.txt").toString).toDF("p"), col("p"),
+        completion = "move", moveDestDir = dst.toString, moveConflict = strat)
+        .select(col("content").cast("string"), col("relationship"))
+        .collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+    // Replace File: fetched content wins at the destination
+    val (s1, d1) = fixture()
+    assert(run(s1, d1, "Replace File") === ("new content", "success"))
+    assert(java.nio.file.Files.readString(d1.resolve("f.txt")) === "new content")
+    assert(!s1.resolve("f.txt").toFile.exists())
+    // Rename: old content stays under the original name, the fetched file
+    // lands under a fresh name
+    val (s2, d2) = fixture()
+    assert(run(s2, d2, "Rename") === ("new content", "success"))
+    assert(java.nio.file.Files.readString(d2.resolve("f.txt")) === "old content")
+    assert(d2.toFile.listFiles().length === 2)
+    assert(!s2.resolve("f.txt").toFile.exists())
+    // Keep Existing: fetched file dropped, destination untouched
+    val (s3, d3) = fixture()
+    assert(run(s3, d3, "Keep Existing") === ("new content", "success"))
+    assert(java.nio.file.Files.readString(d3.resolve("f.txt")) === "old content")
+    assert(d3.toFile.listFiles().length === 1)
+    assert(!s3.resolve("f.txt").toFile.exists())
+    // Fail: routes to failure, BOTH files untouched
+    val (s4, d4) = fixture()
+    assert(run(s4, d4, "Fail") === (null, "failure"))
+    assert(java.nio.file.Files.readString(d4.resolve("f.txt")) === "old content")
+    assert(java.nio.file.Files.readString(s4.resolve("f.txt")) === "new content")
+  }
+
   test("Syslog dispatch: RFC5424 first, RFC3164 fallback, else invalid " +
        "(ListenSyslog.cpp:67,81)") {
     val df = spark.createDataFrame(Seq(
