@@ -188,10 +188,23 @@ object Processors {
         // zero-content listing with file metadata attrs (ListFile.cpp:92);
         // the content column is never selected, so the binaryFile scan
         // prunes it — a pure metadata pass even over huge files
+        // min/max size + age filters (ListFile.h:64-83) as metadata
+        // predicates on the pruned scan — still no content read
+        val ageMs = lit(System.currentTimeMillis()) -
+          unix_millis(col("modificationTime"))
         val listing = spark.read.format("binaryFile")
           .option("recursiveFileLookup",
             Units.parseBool(prop("Recurse Subdirectories", "true")).toString)
           .load(req("Input Directory"))
+          .filter(col("length") >=
+            Units.parseBytes(prop("Minimum File Size", "0 B")))
+          .filter(col("length") <=
+            props.get("Maximum File Size").map(Units.parseBytes)
+              .getOrElse(Long.MaxValue))
+          .filter(ageMs >= props.get("Minimum File Age")
+            .map(Units.parseDurationMs).getOrElse(0L))
+          .filter(ageMs <= props.get("Maximum File Age")
+            .map(Units.parseDurationMs).getOrElse(Long.MaxValue))
           .select(
             col("path"),
             element_at(split(col("path"), "/"), -1).as("filename"),

@@ -622,6 +622,29 @@ class FlowSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("success", "ann,7")))
   }
 
+  test("ListFile flow applies min/max size filters from properties " +
+       "(ListFile.h:64-83)") {
+    val inDir = tmpDir("flow-lf-filter")
+    Files.write(Paths.get(inDir, "small.txt"), "ab".getBytes)
+    Files.write(Paths.get(inDir, "mid.txt"), ("x" * 100).getBytes)
+    Files.write(Paths.get(inDir, "big.txt"), ("y" * 10000).getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: ls
+         |  id: l
+         |  class: org.apache.nifi.minifi.processors.ListFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |    Minimum File Size: 10 B
+         |    Maximum File Size: 1 kB
+         |Connections: []
+         |""".stripMargin
+    val out = FlowRunner.run(spark, FlowConfig.parse(yml)).output("ls")
+    assert(out.select(element_at(col("attributes"), "filename"))
+      .collect().map(_.getString(0)).toSeq === Seq("mid.txt"))
+  }
+
   test("TailFile batch sweep emits the file's current lines") {
     val f = Files.createTempFile("flow-tail", ".log")
     Files.write(f, "one\ntwo\nthree\n".getBytes)
