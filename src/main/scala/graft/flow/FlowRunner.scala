@@ -201,10 +201,13 @@ object Processors {
           .filter(col("length") <=
             props.get("Maximum File Size").map(Units.parseBytes)
               .getOrElse(Long.MaxValue))
-          .filter(ageMs >= props.get("Minimum File Age")
-            .map(Units.parseDurationMs).getOrElse(0L))
-          .filter(ageMs <= props.get("Maximum File Age")
-            .map(Units.parseDurationMs).getOrElse(Long.MaxValue))
+          // age predicates ONLY when configured: an unconditional
+          // ageMs >= 0 would silently drop files with future mtimes
+          // (clock-skewed NFS) even though no age filter was asked for
+          .filter(props.get("Minimum File Age")
+            .map(a => ageMs >= Units.parseDurationMs(a)).getOrElse(lit(true)))
+          .filter(props.get("Maximum File Age")
+            .map(a => ageMs <= Units.parseDurationMs(a)).getOrElse(lit(true)))
           .select(
             col("path"),
             element_at(split(col("path"), "/"), -1).as("filename"),
@@ -490,15 +493,22 @@ object Processors {
             // member attributes merge per the Attribute Strategy
             // (MergeFileTests.cpp:600-700); fragment bookkeeping attrs are
             // per-member by construction and excluded like the reference's
-            // BinFiles fragment attribute scrub
+            // BinFiles fragment attribute scrub, and merge.count is the
+            // merge's OWN output attr (excluded so the final map_concat
+            // never sees a duplicate key). The gid must be materialized
+            // BEFORE the attribute map is filtered — fragment.identifier
+            // is one of the filtered keys.
             val fragKeys = Seq(FlowFrame.FragmentAttrs.Identifier,
-              FlowFrame.FragmentAttrs.Index, FlowFrame.FragmentAttrs.Count)
-            val memberAttrs = map_filter(col(FlowFrame.Attributes),
-              (k, _) => !k.isin(fragKeys.map(lit): _*))
+              FlowFrame.FragmentAttrs.Index, FlowFrame.FragmentAttrs.Count,
+              "merge.count")
+            val members = in
+              .withColumn("__gid",
+                FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier))
+              .withColumn(FlowFrame.Attributes,
+                map_filter(col(FlowFrame.Attributes),
+                  (k, _) => !k.isin(fragKeys.map(lit): _*)))
             val mergedAttrs = SplitMerge.mergedAttributes(
-              in.withColumn(FlowFrame.Attributes, memberAttrs),
-              FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier),
-              col(FlowFrame.Attributes),
+              members, col("__gid"), col(FlowFrame.Attributes),
               keepOnlyCommon = prop("Attribute Strategy",
                 "Keep Only Common Attributes") == "Keep Only Common Attributes")
             merged.join(mergedAttrs,

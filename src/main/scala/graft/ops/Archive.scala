@@ -44,7 +44,7 @@ object Archive {
         e = z.getNextEntry
       }
       found
-    } catch { case _: java.io.IOException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   /** List entry names (ManipulateArchive inspection). */
   val zipEntriesUdf = udf((archive: Array[Byte]) =>
@@ -55,7 +55,7 @@ object Archive {
       var e = z.getNextEntry
       while (e != null) { names += e.getName; e = z.getNextEntry }
       names.result()
-    } catch { case _: java.io.IOException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   def zipPack(name: Column, payload: Column): Column =
     zipPackUdf(name, payload.cast("binary"))
@@ -91,7 +91,7 @@ object Archive {
         e = t.getNextEntry
       }
       found
-    } catch { case _: java.io.IOException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   val tarEntriesUdf = udf((archive: Array[Byte]) =>
     if (archive == null) null
@@ -101,7 +101,7 @@ object Archive {
       var e = t.getNextEntry
       while (e != null) { names += e.getName; e = t.getNextEntry }
       names.result()
-    } catch { case _: java.io.IOException => null })
+    } catch { case scala.util.control.NonFatal(_) => null })
 
   def tarPack(name: Column, payload: Column): Column =
     tarPackUdf(name, payload.cast("binary"))
@@ -208,7 +208,7 @@ object Archive {
           (bos.toByteArray, "success")
         }
       }
-    } catch { case _: java.io.IOException => (null: Array[Byte], "failure") }
+    } catch { case scala.util.control.NonFatal(_) => (null: Array[Byte], "failure") }
   })
 
   /** ManipulateArchive: returns struct(result BINARY, relationship STRING). */

@@ -129,6 +129,8 @@ object Transforms {
       val ch = repl.charAt(i)
       if (ch == '\\' && i + 1 < repl.length) {          // Java escape: keep
         sb.append(ch).append(repl.charAt(i + 1)); i += 2
+      } else if (ch == '\\') {
+        sb.append("\\\\"); i += 1                       // trailing lone \
       } else if (ch == '$' && i + 1 < repl.length && repl.charAt(i + 1) == '$') {
         sb.append("\\$"); i += 2                        // reference literal $
       } else if (ch == '$' && i + 1 < repl.length && repl.charAt(i + 1) == '&') {
@@ -139,6 +141,8 @@ object Transforms {
         val n = repl.substring(i + 1, j).toInt
         if (n <= groups) sb.append(repl.substring(i, j)) // else: blank
         i = j
+      } else if (ch == '$') {
+        sb.append("\\$"); i += 1  // '$x' / trailing '$': literal, like std::regex
       } else { sb.append(ch); i += 1 }
     }
     sb.toString

@@ -36,14 +36,15 @@ object Decontaminate {
       .agg(count(lit(1)).as("nOverlaps"))
   }
 
-  /** The cleaning step: corpus minus contaminated docs — a broadcast
-    * anti-join when the contaminated set is small (it is, by construction
-    * of a good corpus), else a shuffled anti-join on the id. */
+  /** The cleaning step: corpus minus contaminated docs. No broadcast hint:
+    * a clean corpus keeps the contaminated set tiny (AQE will broadcast it
+    * from runtime stats), but a heavily contaminated corpus can flag
+    * millions of ids — forcing a broadcast there would OOM the driver
+    * instead of falling back to a shuffled anti-join. */
   def removeContaminated(corpus: DataFrame, idCol: Column, textCol: Column,
                          bench: DataFrame, benchTextCol: Column,
                          n: Int): DataFrame = {
     val bad = contaminated(corpus, idCol, textCol, bench, benchTextCol, n)
-    corpus.join(broadcast(bad.select(col("docId"))),
-      idCol === col("docId"), "left_anti")
+    corpus.join(bad.select(col("docId")), idCol === col("docId"), "left_anti")
   }
 }

@@ -241,7 +241,8 @@ object Dedup {
    * `segment` is any expression producing the ordered array<string> of
    * segments — fixed word windows for unstructured text
    * ([[wordWindows]]), or `split(text, sep)` for newline/paragraph-
-   * delimited corpora.
+   * delimited corpora (pass the matching `joiner` so reassembly keeps the
+   * original separator).
    *
    * Scale shape: the first-occurrence keeper per segment is a
    * `min(struct(docId, idx))` hash-aggregate — map-side partial min, so a
@@ -252,8 +253,8 @@ object Dedup {
    * a skewed window cannot be split. Then one join back on the segment and
    * one shuffle on docId to reassemble. No self-join, no collect.
    */
-  def dedupSegments(df: DataFrame, idCol: Column,
-                    segments: Column): DataFrame = {
+  def dedupSegments(df: DataFrame, idCol: Column, segments: Column,
+                    joiner: String = " "): DataFrame = {
     val seg = df.select(idCol.as("docId"), posexplode(segments).as(Seq("idx", "seg")))
     val keepers = seg.groupBy(col("seg"))
       .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
@@ -262,7 +263,7 @@ object Dedup {
       .groupBy(col("docId"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("seg")))),
-        s => s("seg")), " ").as("text"))
+        s => s("seg")), joiner).as("text"))
   }
 
   /** Fixed-size word windows: the segmentation for corpora without

@@ -281,6 +281,49 @@ class FlowSpec extends SparkSpec {
       ("failure", "banana bread", "bad.gz")))
   }
 
+  test("MergeContent flow carries member attributes through the " +
+       "Attribute Strategy (MergeFileTests.cpp:600-700 end to end)") {
+    val inDir = tmpDir("flow-mc-attrs")
+    Files.write(Paths.get(inDir, "doc.txt"), "l1\nl2\nl3".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |- name: split
+         |  id: s
+         |  class: org.apache.nifi.minifi.processors.SplitText
+         |  Properties:
+         |    Line Split Count: '1'
+         |- name: tag
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+         |  Properties:
+         |    tagCommon: common
+         |- name: merge
+         |  id: m
+         |  class: org.apache.nifi.minifi.processors.MergeContent
+         |  auto-terminated relationships list: [merged, failure]
+         |  Properties:
+         |    Merge Strategy: Defragment
+         |    Demarcator: "\\n"
+         |Connections:
+         |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+         |- {id: c2, source id: s, source relationship names: [splits], destination id: t}
+         |- {id: c3, source id: t, source relationship names: [success], destination id: m}
+         |""".stripMargin
+    val out = FlowRunner.run(spark, FlowConfig.parse(yml)).output("merge")
+      .filter(col("relationship") === "merged")
+      .select(col("attributes")).collect()
+    assert(out.length === 1)
+    val attrs = out(0).getAs[Map[String, String]](0)
+    assert(attrs.get("tagCommon") === Some("common"))
+    assert(attrs.get("merge.count") === Some("3"))
+  }
+
   test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
     val yml =
       """MiNiFi Config Version: 3

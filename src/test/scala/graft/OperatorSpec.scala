@@ -222,6 +222,14 @@ class OperatorSpec extends SparkSpec {
     assert(apply(Transforms.RegexReplace, "a(b+)c", "$1 costs $$2", "abc")
       === "b costs $2")
     assert(apply(Transforms.RegexReplace, "a(b+)c", "<$&>", "abc") === "<abc>")
+    // '$' before a non-digit, a trailing lone '$', and a trailing lone '\\'
+    // are literal text, never a task-killing INVALID_REGEXP_REPLACE
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "price $x", "abc")
+      === "price $x")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "trailing $", "abc")
+      === "trailing $")
+    assert(apply(Transforms.RegexReplace, "a(b+)c", "trailing \\", "abc")
+      === "trailing \\")
     // empty content: entire-text prepend/append still applies, line-by-line
     // has no lines and passes through unchanged
     assert(apply(Transforms.Prepend, "", "hippopotamus\n", "") === "hippopotamus\n")

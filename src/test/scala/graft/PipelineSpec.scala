@@ -349,6 +349,14 @@ class PipelineSpec extends SparkSpec {
       Dedup.wordWindows(col("text"), 2))
       .collect().map(r => r.getAs[Long]("docId") -> r.getAs[String]("text")).toMap
     assert(out === Map(1L -> "a b c d", 2L -> "x y", 4L -> "q q", 5L -> "z z"))
+    // separator-delimited corpora keep their separator through reassembly
+    val lineDocs = spark.createDataFrame(Seq(
+      (1L, "para one\npara two"), (2L, "para one\npara three")))
+      .toDF("doc_id", "text")
+    val byLine = Dedup.dedupSegments(lineDocs, col("doc_id"),
+      split(col("text"), "\n"), joiner = "\n")
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[String]("text")).toMap
+    assert(byLine === Map(1L -> "para one\npara two", 2L -> "para three"))
   }
 
   test("decontaminate flags n-gram overlap with the benchmark and " +
