@@ -755,15 +755,71 @@ object Processors {
             coalesce(FlowFrame.attr("filename"), col(FlowFrame.Uuid)),
             content.cast("binary")))
 
+      case "SplitJson" =>
+        // "JsonPath Expression" names the array to split (SplitJson.cpp:79);
+        // "$" splits the content itself
+        val pathExpr = prop("JsonPath Expression", "$")
+        val arrayJson =
+          if (pathExpr == "$") content.cast("string")
+          else get_json_object(content.cast("string"), pathExpr)
+        val elems = in
+          .withColumn("__fragid", col(FlowFrame.Uuid))
+          .select(col("__fragid"),
+            posexplode(Content.splitJsonArray(arrayJson)).as(Seq("__idx", "__elem")))
+        elems.select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(
+            lit(FlowFrame.FragmentAttrs.Identifier), col("__fragid"),
+            lit(FlowFrame.FragmentAttrs.Index),
+            col("__idx").cast("string")).as(FlowFrame.Attributes),
+          col("__elem").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          lit("split").as(FlowFrame.Relationship))
+
+      case "DefragmentText" =>
+        // batch sweep supports Start-of-Message patterns; End-of-Message
+        // needs cross-trigger state — use the streaming dispatch
+        // (StatefulOps.defragmentText) for that mode
+        require(prop("Pattern Location", "Start of Message") == "Start of Message",
+          s"processor '${p.name}': batch DefragmentText supports " +
+            "'Start of Message' only; run End-of-Message flows streaming")
+        val src = coalesce(FlowFrame.attr("path"),
+          FlowFrame.attr("filename"), lit(""))
+        val merged = SplitMerge.defragmentTextBatch(
+          in.withColumn("__ord", monotonically_increasing_id()),
+          src, col("__ord"), content.cast("string"), req("Pattern"), "\n")
+        merged.select(
+          expr("uuid()").as(FlowFrame.Uuid),
+          map(lit("defragment.source"), col("source").cast("string"))
+            .as(FlowFrame.Attributes),
+          col("message").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          lit("success").as(FlowFrame.Relationship))
+
+      case "PutTCP" =>
+        // the delimiter property arrives with literal backslash escapes
+        // ("\\n" in the YAML); unescape the common control spellings
+        val delim = prop("Outgoing Message Delimiter", "\n")
+          .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+        val put = Sinks.putTcpUdf(req("Hostname"), req("Port").toInt, delim)
+        in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
+
+      case "PutUDP" =>
+        val put = Sinks.putUdpUdf(req("Hostname"), req("Port").toInt)
+        in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
+
       case other => throw new IllegalArgumentException(
         s"processor class '$other' is not supported by the batch FlowRunner" +
-          " (supported: GetFile, GenerateFlowFile, TailFile, FetchFile, " +
-          "UpdateAttribute, ExtractText, ReplaceText, HashContent, " +
-          "CompressContent, AttributesToJSON, EvaluateJsonPath, " +
-          "AppendHostInfo, JoltTransformJSON, ApplyTemplate, " +
-          "RouteOnAttribute, RouteText, RetryFlowFile, Funnel, " +
-          "LogAttribute, SplitText, SplitContent, SegmentContent, " +
-          "MergeContent, ExecuteProcess, InvokeHTTP, ExecuteSQL, PutFile)")
+          " (supported: GetFile, ListFile, QueryDatabaseTable, " +
+          "GenerateFlowFile, TailFile, FetchFile, UpdateAttribute, " +
+          "ExtractText, ReplaceText, HashContent, CompressContent, " +
+          "AttributesToJSON, EvaluateJsonPath, AppendHostInfo, " +
+          "JoltTransformJSON, ApplyTemplate, RouteOnAttribute, RouteText, " +
+          "RetryFlowFile, Funnel, LogAttribute, SplitText, SplitContent, " +
+          "SegmentContent, SplitJson, DefragmentText, MergeContent, " +
+          "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, " +
+          "PutSplunkHTTP, PostElasticsearch, PushGrafanaLokiREST, " +
+          "PutTCP, PutUDP, PutFile)")
     }
   }
 }

@@ -51,6 +51,43 @@ object Sinks {
     }.asNondeterministic()
 
   /**
+   * Per-row PutTCP/PutUDP for the config-driven dispatch: one
+   * connection/datagram per row — the reference's per-FlowFile send. The
+   * per-partition [[putTcp]]/[[putUdp]] below amortize the connection for
+   * bulk paths; the dispatch favors the row shape because each row must
+   * carry its own success/failure relationship. Nondeterministic so a
+   * network send is never duplicated or reordered by the optimizer.
+   */
+  def putTcpUdf(host: String, port: Int, delimiter: String = "\n"):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (msg: String) =>
+      try {
+        val sock = new Socket(host, port)
+        try {
+          sock.getOutputStream.write(
+            ((if (msg == null) "" else msg) + delimiter)
+              .getBytes(StandardCharsets.UTF_8))
+          sock.getOutputStream.flush()
+          "success"
+        } finally sock.close()
+      } catch { case scala.util.control.NonFatal(_) => "failure" }
+    }.asNondeterministic()
+
+  def putUdpUdf(host: String, port: Int):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (msg: String) =>
+      try {
+        val sock = new DatagramSocket()
+        try {
+          val bytes = (if (msg == null) "" else msg).getBytes(StandardCharsets.UTF_8)
+          sock.send(new DatagramPacket(bytes, bytes.length,
+            InetAddress.getByName(host), port))
+          "success"
+        } finally sock.close()
+      } catch { case scala.util.control.NonFatal(_) => "failure" }
+    }.asNondeterministic()
+
+  /**
    * PutTCP (extensions/standard-processors/processors/PutTCP.cpp): write
    * each row's message to host:port, newline-delimited. One connection per
    * partition (the reference pools connections per processor); rows pass

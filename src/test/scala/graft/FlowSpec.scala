@@ -324,6 +324,64 @@ class FlowSpec extends SparkSpec {
     assert(attrs.get("merge.count") === Some("3"))
   }
 
+  test("SplitJson and DefragmentText flow dispatch produce fragments and " +
+       "reassembled messages") {
+    val inDir = tmpDir("flow-sj")
+    Files.write(Paths.get(inDir, "arr.json"),
+      """{"items": [{"k": 1}, {"k": 2}]}""".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |- name: sj
+         |  id: s
+         |  class: org.apache.nifi.minifi.processors.SplitJson
+         |  Properties:
+         |    JsonPath Expression: $$.items
+         |Connections:
+         |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+         |""".stripMargin
+    val out = FlowRunner.run(spark, FlowConfig.parse(yml)).output("sj")
+    val elems = out.select(col("content").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(elems === Set("""{"k":1}""", """{"k":2}"""))
+
+    // DefragmentText: START-pattern grouping over split lines
+    val inDir2 = tmpDir("flow-df")
+    Files.write(Paths.get(inDir2, "log.txt"),
+      "START a\ncont b\nSTART c\ncont d".getBytes)
+    val yml2 =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir2
+         |- name: split
+         |  id: s
+         |  class: org.apache.nifi.minifi.processors.SplitText
+         |  Properties:
+         |    Line Split Count: '1'
+         |- name: defrag
+         |  id: d
+         |  class: org.apache.nifi.minifi.processors.DefragmentText
+         |  Properties:
+         |    Pattern: '^START'
+         |Connections:
+         |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+         |- {id: c2, source id: s, source relationship names: [splits], destination id: d}
+         |""".stripMargin
+    val msgs = FlowRunner.run(spark, FlowConfig.parse(yml2)).output("defrag")
+      .select(col("content").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(msgs === Set("START a\ncont b", "START c\ncont d"))
+  }
+
   test("GenerateFlowFile -> UpdateAttribute -> RouteOnAttribute routes by EL") {
     val yml =
       """MiNiFi Config Version: 3

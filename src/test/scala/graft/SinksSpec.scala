@@ -107,4 +107,53 @@ class SinksSpec extends SparkSpec {
     while (i < attempts && !cond) { Thread.sleep(sleepMs); i += 1 }
     assert(cond, s"condition not met after $attempts attempts")
   }
+
+  test("PutTCP flow dispatch routes per-row delivery against a loopback " +
+       "listener; unreachable port routes failure") {
+    import graft.flow._
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "flow_sink_t").option("protocol", "tcp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("flow_put_tcp_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("flow_sink_t")
+      def run(p: Int): Seq[String] = {
+        val yml =
+          s"""MiNiFi Config Version: 3
+             |Processors:
+             |- name: gen
+             |  id: g
+             |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+             |  Properties:
+             |    Batch Size: '2'
+             |    Custom Text: hello tcp
+             |    Data Format: Text
+             |    Unique FlowFiles: 'false'
+             |- name: put
+             |  id: p
+             |  class: org.apache.nifi.minifi.processors.PutTCP
+             |  auto-terminated relationships list: [success, failure]
+             |  Properties:
+             |    Hostname: 127.0.0.1
+             |    Port: '$p'
+             |Connections:
+             |- {id: c, source id: g, source relationship names: [success], destination id: p}
+             |""".stripMargin
+        FlowRunner.run(spark, FlowConfig.parse(yml)).output("put")
+          .select(col("relationship")).collect().map(_.getString(0)).toSeq
+      }
+      assert(run(port) === Seq("success", "success"))
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("flow_put_tcp_in").collect()
+          .map(_.getAs[String]("message")).count(_ == "hello tcp") >= 2
+      }
+      // a closed port routes failure instead of failing the job
+      val deadPort = { val s = new java.net.ServerSocket(0)
+        val p = s.getLocalPort; s.close(); p }
+      assert(run(deadPort) === Seq("failure", "failure"))
+    } finally q.stop()
+  }
 }
