@@ -706,8 +706,11 @@ object SparkEntry {
       val corpus = docs.filter(col("source") =!= "src0")
       val quality = corpus.filter(
         TextAnalysis.tokenCountWhitespace(col("text")) >= 20)
+      // decontamination is the expensive stage and its output feeds BOTH
+      // sides of the dedup semi-join — stage it once (same pattern as
+      // splitDf below)
       val clean = Decontaminate.removeContaminated(quality, col("doc_id"),
-        col("text"), bench, col("text"), 7)
+        col("text"), bench, col("text"), 7).localCheckpoint()
       // exact dedup via the map-side-partial min aggregate (Dedup.exact) +
       // semi-join on the kept ids — a content-keyed row_number window
       // would funnel a mass-duplicated corpus through one reducer

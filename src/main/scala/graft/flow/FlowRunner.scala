@@ -150,6 +150,13 @@ object Processors {
       throw new IllegalArgumentException(
         s"processor '${p.name}' (${p.kind}) is missing required property " +
           s"'$name'"))
+    // delimiter-bearing properties arrive with literal backslash escapes
+    // when the config writes the plain-YAML spelling ('\n'); unescape the
+    // control spellings uniformly so Demarcator / Byte Sequence /
+    // Outgoing Message Delimiter all read the same way
+    def delimProp(name: String, default: String): String =
+      prop(name, default)
+        .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
     def dynamicProps(static: Set[String]): Seq[(String, String)] =
       props.view.filterKeys(!static(_)).toSeq.sortBy(_._1)
     def success(df: DataFrame): DataFrame =
@@ -190,7 +197,10 @@ object Processors {
         // prunes it — a pure metadata pass even over huge files
         // min/max size + age filters (ListFile.h:64-83) as metadata
         // predicates on the pruned scan — still no content read
-        val ageMs = lit(System.currentTimeMillis()) -
+        // current_timestamp() is fixed per EXECUTION, not per plan build —
+        // a lazily-collected or re-evaluated listing ages files against
+        // the clock of the run, like the reference's listing-time check
+        val ageMs = unix_millis(current_timestamp()) -
           unix_millis(col("modificationTime"))
         val listing = spark.read.format("binaryFile")
           .option("recursiveFileLookup",
@@ -471,7 +481,7 @@ object Processors {
           case _         => SplitMerge.Trailing
         }
         val frags = SplitMerge.splitContent(in, col(FlowFrame.Uuid),
-          content.cast("string"), prop("Byte Sequence", "\n"), keep, loc)
+          content.cast("string"), delimProp("Byte Sequence", "\n"), keep, loc)
         fragmentFrame(frags, "fragmentIndex", "fragment", countCol = None)
 
       case "SegmentContent" =>
@@ -481,10 +491,16 @@ object Processors {
         fragmentFrame(frags, "segmentIndex", "segment", countCol = None)
 
       case "MergeContent" =>
-        val demarcator = prop("Demarcator", "")
+        val demarcator = delimProp("Demarcator", "")
         prop("Merge Strategy", "Defragment") match {
           case "Defragment" =>
-            val merged = SplitMerge.mergeContentDefragment(in,
+            // the input feeds THREE subtrees (content merge, member-count
+            // agg, attribute-stat agg); materialize it once so a
+            // side-effecting upstream (FetchFile move/delete) cannot be
+            // re-executed per subtree and the scan doesn't run 3x
+            val inOnce = in.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val merged = SplitMerge.mergeContentDefragment(inOnce,
               FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier),
               FlowFrame.attr(FlowFrame.FragmentAttrs.Index).cast("int"),
               content.cast("string"),
@@ -501,7 +517,7 @@ object Processors {
             val fragKeys = Seq(FlowFrame.FragmentAttrs.Identifier,
               FlowFrame.FragmentAttrs.Index, FlowFrame.FragmentAttrs.Count,
               "merge.count")
-            val members = in
+            val members = inOnce
               .withColumn("__gid",
                 FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier))
               .withColumn(FlowFrame.Attributes,
@@ -757,24 +773,32 @@ object Processors {
 
       case "SplitJson" =>
         // "JsonPath Expression" names the array to split (SplitJson.cpp:79);
-        // "$" splits the content itself
+        // "$" splits the content itself. Unparseable content / a path that
+        // matches nothing routes the ORIGINAL flowfile to failure
+        // (posexplode_outer keeps the row; plain posexplode would silently
+        // drop it from the flow)
         val pathExpr = prop("JsonPath Expression", "$")
         val arrayJson =
           if (pathExpr == "$") content.cast("string")
           else get_json_object(content.cast("string"), pathExpr)
         val elems = in
           .withColumn("__fragid", col(FlowFrame.Uuid))
-          .select(col("__fragid"),
-            posexplode(Content.splitJsonArray(arrayJson)).as(Seq("__idx", "__elem")))
+          .withColumn("__arr", Content.splitJsonArray(arrayJson))
+          .withColumn("__cnt", size(col("__arr")))
+          .select(col("__fragid"), col("__cnt"), col(FlowFrame.Content).as("__orig"),
+            posexplode_outer(col("__arr")).as(Seq("__idx", "__elem")))
         elems.select(
           expr("uuid()").as(FlowFrame.Uuid),
           map(
             lit(FlowFrame.FragmentAttrs.Identifier), col("__fragid"),
             lit(FlowFrame.FragmentAttrs.Index),
-            col("__idx").cast("string")).as(FlowFrame.Attributes),
-          col("__elem").as(FlowFrame.Content),
+            coalesce(col("__idx"), lit(0)).cast("string"),
+            lit(FlowFrame.FragmentAttrs.Count),
+            greatest(col("__cnt"), lit(0)).cast("string")).as(FlowFrame.Attributes),
+          coalesce(col("__elem"), col("__orig")).as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
-          lit("split").as(FlowFrame.Relationship))
+          when(col("__elem").isNull, "failure")
+            .otherwise("split").as(FlowFrame.Relationship))
 
       case "DefragmentText" =>
         // batch sweep supports Start-of-Message patterns; End-of-Message
@@ -785,8 +809,14 @@ object Processors {
             "'Start of Message' only; run End-of-Message flows streaming")
         val src = coalesce(FlowFrame.attr("path"),
           FlowFrame.attr("filename"), lit(""))
+        // arrival order: the upstream splitter's fragment.index when
+        // present (stable across unions and repartitions), else physical
+        // row order as the last resort
+        val ord = coalesce(
+          FlowFrame.attr(FlowFrame.FragmentAttrs.Index).cast("long"),
+          monotonically_increasing_id())
         val merged = SplitMerge.defragmentTextBatch(
-          in.withColumn("__ord", monotonically_increasing_id()),
+          in.withColumn("__ord", ord),
           src, col("__ord"), content.cast("string"), req("Pattern"), "\n")
         merged.select(
           expr("uuid()").as(FlowFrame.Uuid),
@@ -797,11 +827,8 @@ object Processors {
           lit("success").as(FlowFrame.Relationship))
 
       case "PutTCP" =>
-        // the delimiter property arrives with literal backslash escapes
-        // ("\\n" in the YAML); unescape the common control spellings
-        val delim = prop("Outgoing Message Delimiter", "\n")
-          .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-        val put = Sinks.putTcpUdf(req("Hostname"), req("Port").toInt, delim)
+        val put = Sinks.putTcpUdf(req("Hostname"), req("Port").toInt,
+          delimProp("Outgoing Message Delimiter", "\n"))
         in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
 
       case "PutUDP" =>

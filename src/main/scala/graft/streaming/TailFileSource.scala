@@ -138,12 +138,19 @@ private class TailMicroBatchStream(dir: String, glob: String,
     * way, exactly like the reference's stored state taking precedence. */
   override def initialOffset(): Offset =
     if (!startAtCurrent) TailOffset("{}")
-    else TailOffset(stateToJson(listFiles().flatMap { f =>
-      try {
-        val crcLen = math.min(64L, f.length())
-        Some(f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen))
-      } catch { case _: java.io.IOException => None }
-    }.toMap))
+    else {
+      val snapshot = listFiles().flatMap { f =>
+        try {
+          val crcLen = math.min(64L, f.length())
+          // snapshot the file END (the reference starts at EOF in this
+          // mode) — lastDelimiterEnd would rewind to before a pre-existing
+          // unterminated tail line and emit it once completed
+          Some(f.getPath -> FileState(f.length(), headCrc(f, crcLen), crcLen))
+        } catch { case _: java.io.IOException => None }
+      }.toMap
+      knownState = snapshot
+      TailOffset(stateToJson(snapshot))
+    }
 
   /** Last successfully probed (or checkpoint-restored) per-file state —
     * carried forward when a probe fails transiently, so a momentary
@@ -155,7 +162,22 @@ private class TailMicroBatchStream(dir: String, glob: String,
     val next = listFiles().flatMap { f =>
       try {
         val crcLen = math.min(64L, f.length())
-        Some(f.getPath -> FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen))
+        val probed = FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen)
+        // positions must be MONOTONIC per file: Structured Streaming
+        // replaces the next batch's start with this END offset, so a
+        // delimiter-aligned probe below an EOF snapshot (a pre-existing
+        // partial tail line under Initial Start Position = Current Time)
+        // would silently rewind the stream. Clamp to the known floor when
+        // it is still the same file (head prefix verifies, length covers
+        // the floor).
+        val clamped = knownState.get(f.getPath) match {
+          case Some(prev) if probed.pos < prev.pos &&
+              f.length() >= prev.pos && f.length() >= prev.crcLen &&
+              headCrc(f, prev.crcLen) == prev.crc =>
+            probed.copy(pos = prev.pos)
+          case _ => probed
+        }
+        Some(f.getPath -> clamped)
       } catch {
         // transient probe failure (mid-rotation, permission blip): keep the
         // previous trigger's state for this path; if it was a genuine
@@ -180,7 +202,11 @@ private class TailMicroBatchStream(dir: String, glob: String,
             f.length() >= prev.crcLen &&
               TailFileSource.headCrc(f, prev.crcLen) == prev.crc
           } catch { case _: java.io.IOException => false }
-          if (sameHead && prev.pos <= endState.pos) prev.pos else 0L
+          // truncation = the file shrank below the stored position (compare
+          // against the FILE length, not endState.pos: a Current-Time
+          // snapshot sits at EOF, legitimately past the delimiter-aligned
+          // read ceiling of a trailing partial line)
+          if (sameHead && prev.pos <= f.length()) prev.pos else 0L
         case _ => 0L
       }
       if (endState.pos > from) Some(TailPartition(path, from, endState.pos))

@@ -349,6 +349,15 @@ class FlowSpec extends SparkSpec {
     val elems = out.select(col("content").cast("string")).collect()
       .map(_.getString(0)).toSet
     assert(elems === Set("""{"k":1}""", """{"k":2}"""))
+    // fragment.count stamped for downstream Defragment merges
+    assert(out.select(element_at(col("attributes"), "fragment.count"))
+      .collect().map(_.getString(0)).toSet === Set("2"))
+    // content without the array routes the ORIGINAL to failure, not to /dev/null
+    Files.write(Paths.get(inDir, "bad.json"), """{"other": 1}""".getBytes)
+    val rerun = FlowRunner.run(spark, FlowConfig.parse(yml)).output("sj")
+    val failed = rerun.filter(col("relationship") === "failure")
+      .select(col("content").cast("string")).collect().map(_.getString(0))
+    assert(failed.toSeq === Seq("""{"other": 1}"""))
 
     // DefragmentText: START-pattern grouping over split lines
     val inDir2 = tmpDir("flow-df")

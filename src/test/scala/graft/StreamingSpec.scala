@@ -75,6 +75,29 @@ class StreamingSpec extends SparkSpec {
     val lines = spark.read.parquet(out.toString).collect()
       .map(_.getAs[String]("line")).toSeq
     assert(lines === Seq("new line"))
+
+    // a pre-existing UNTERMINATED tail line is also skipped: the snapshot
+    // is the file END, not the last delimiter
+    val dir2 = tmp("tail_isp2"); val ckpt2 = tmp("tail_isp2_ckpt")
+    val out2 = tmp("tail_isp2_out")
+    val log2 = dir2.resolve("app.log")
+    Files.writeString(log2, "complete\npartial")
+    val q2 = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", dir2.toString).option("glob", ".*\\.log")
+      .option("initialStartPosition", "Current Time").load()
+      .writeStream.format("parquet")
+      .option("path", out2.toString)
+      .option("checkpointLocation", ckpt2.toString)
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    Files.writeString(log2, "complete\npartialmore\nfresh\n")
+    q2.processAllAvailable(); q2.stop()
+    val lines2 = spark.read.parquet(out2.toString).collect()
+      .map(_.getAs[String]("line")).toSeq
+    // "more" completes the pre-existing partial line from the snapshot
+    // position; "partialmore" would mean the snapshot rewound
+    assert(lines2 === Seq("more", "fresh"))
   }
 
   test("streaming DefragmentText: boundary flush across micro-batches") {
