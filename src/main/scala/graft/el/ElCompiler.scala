@@ -357,6 +357,21 @@ object ElCompiler {
         val ts = timestamp_millis(subj.cast("long"))
         val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
         date_format(zoned, sArg(0))
+      case "toDate" if rawArgs.isEmpty => // RFC3339 parse (no-arg form)
+        // utils::timeutils::parseRfc3339 grammar (ExpressionLanguageTests
+        // .cpp:1226-1280): separators ' ', 'T', 't', '_'; the offset is
+        // REQUIRED (Z/z or ±hh:mm); fractional seconds truncate to millis;
+        // no surrounding whitespace/junk. The reference throws on invalid
+        // input — here it yields null, the EL error convention upstream
+        // predicates already treat as false.
+        val rfcValid = s0.rlike(
+          "^\\d{4}-\\d{2}-\\d{2}[Tt_ ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?" +
+            "([Zz]|[+-]\\d{2}:\\d{2})$")
+        // one-to-one separator/zone normalization; in a string that passed
+        // the shape check, the letters t/z only occur in those roles
+        val norm = translate(s0, " tz_", "TTZT")
+        when(rfcValid, unix_millis(to_timestamp(norm)))
+          .otherwise(lit(null).cast("long"))
       case "toDate" => // string → epoch millis
         val parsed = to_timestamp(s0, sArg(0))
         val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed

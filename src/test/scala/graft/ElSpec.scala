@@ -355,4 +355,29 @@ class ElSpec extends SparkSpec {
     assert(eval("abc_${allAttributes('a', 'b'):join(\"|\"):prepend('def_'):append('_ghi')}_xyz", ab) ===
       "abc_def_hello|mello_ghi_xyz")
   }
+
+  test("toDate() no-arg parses RFC3339 variants, truncates to millis, " +
+       "rejects offset-less and padded inputs " +
+       "(ExpressionLanguageTests.cpp:1226-1280)") {
+    val ms = "1677697495000"; val msFrac = "1677697495190"
+    def d(litVal: String): String =
+      eval("${literal('" + litVal + "'):toDate()}", Map())
+    assert(d("2023-03-01T19:04:55Z") === ms)
+    assert(d("2023-03-01T19:04:55.190Z") === msFrac)
+    assert(d("2023-03-01T19:04:55.190999Z") === msFrac)  // truncate, not round
+    assert(d("2023-03-01t19:04:55z") === ms)
+    assert(d("2023-03-01 19:04:55Z") === ms)
+    assert(d("2023-03-01_19:04:55Z") === ms)
+    assert(d("2023-03-01T20:04:55+01:00") === ms)
+    assert(d("2023-03-01T18:04:55-01:00") === ms)
+    assert(d("2023-03-02T03:49:55+08:45") === ms)   // odd-minute offset
+    assert(d("2023-03-01 19:04:55-00:00") === ms)
+    // invalid inputs -> null (the reference throws; null is the EL error
+    // convention here)
+    assert(d("2023-03-01T19:04:55") === null)        // offset required
+    assert(d("2023-03-01T19:04:55Zbanana") === null)
+    assert(d(" 2023-03-01T19:04:55Z") === null)
+    assert(d("2023-03-01T19:04:55Z ") === null)
+    assert(d("2023-03-01") === null)
+  }
 }
