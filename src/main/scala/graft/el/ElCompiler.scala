@@ -351,12 +351,14 @@ object ElCompiler {
       case "unescapeCsv"  => unescapeCsvUdf(s0)
 
       // --- date/time (Expression.cpp:636-674; optional tz arg per
-      // ExpressionLanguageTests.cpp:1283-1291 — patterns are the JVM
-      // DateTimeFormatter dialect, not C strftime) ---
+      // ExpressionLanguageTests.cpp:1283-1291). Patterns in either
+      // dialect: C strftime (the reference's spelling — any '%' present)
+      // is translated to JVM DateTimeFormatter; '%'-free patterns pass
+      // through as JVM. ---
       case "format" => // subject: epoch millis → formatted string
         val ts = timestamp_millis(subj.cast("long"))
         val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
-        date_format(zoned, sArg(0))
+        date_format(zoned, datePattern(sArg(0)))
       case "toDate" if rawArgs.isEmpty => // RFC3339 parse (no-arg form)
         // utils::timeutils::parseRfc3339 grammar (ExpressionLanguageTests
         // .cpp:1226-1280): separators ' ', 'T', 't', '_'; the offset is
@@ -373,13 +375,74 @@ object ElCompiler {
         when(rfcValid, unix_millis(to_timestamp(norm)))
           .otherwise(lit(null).cast("long"))
       case "toDate" => // string → epoch millis
-        val parsed = to_timestamp(s0, sArg(0))
+        // strftime %S consumes an OPTIONAL fraction in the reference's
+        // parser; the JVM dialect can't express optional sections, so try
+        // the fractional pattern first and fall back to whole seconds
+        val parsed = dateParsePatterns(sArg(0)) match {
+          case Seq(single) => to_timestamp(s0, single)
+          case multiple => coalesce(multiple.map(p =>
+            call_function("try_to_timestamp", s0, lit(p))): _*)
+        }
         val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed
         unix_millis(utc)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported EL function '$other'")
     }
+  }
+
+  /** Date pattern in either dialect: '%' marks the reference's C strftime
+    * spelling (Expression.cpp format/toDate use Howard-Hinnant date parse/
+    * format flags) — translate it to the JVM DateTimeFormatter dialect;
+    * anything else is already a JVM pattern. Literal letters in an
+    * strftime pattern (the 'Z' of '%H:%M:%SZ') must be single-quoted, or
+    * the JVM would read them as pattern letters. %S carries milliseconds
+    * (the reference's millisecond-precision time_point prints/parses the
+    * fraction), hence ss.SSS. */
+  private[graft] def datePattern(fmt: String): String =
+    if (!fmt.contains('%')) fmt else strftimeToJvm(fmt)
+
+  /** Parse-side pattern candidates: strftime %S accepts the fraction
+    * optionally, so emit both spellings (fractional first). */
+  private[graft] def dateParsePatterns(fmt: String): Seq[String] =
+    if (!fmt.contains('%')) Seq(fmt)
+    else {
+      val frac = strftimeToJvm(fmt)
+      val whole = strftimeToJvm(fmt, fractionalSeconds = false)
+      if (frac == whole) Seq(frac) else Seq(frac, whole)
+    }
+
+  private[graft] def strftimeToJvm(fmt: String,
+                                   fractionalSeconds: Boolean = true): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
+      'S' -> (if (fractionalSeconds) "ss.SSS" else "ss"), 'j' -> "DDD",
+      'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a",
+      'z' -> "Z", 'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'R' -> "HH:mm",
+      'G' -> "YYYY", 'V' -> "ww", 'u' -> "e")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case '%' => sb.append('%'); i += 2
+          case 'E' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' =>
+            sb.append("XXX"); i += 3  // %Ez = ±hh:mm offset
+          case c if map.contains(c) => sb.append(map(c)); i += 2
+          case c => sb.append('\'').append(c).append('\''); i += 2
+        }
+      } else if (ch.isLetter) {  // literal letter → quote for the JVM
+        val j = fmt.indexWhere(c => !c.isLetter || c == '%', i) match {
+          case -1 => fmt.length
+          case k  => k
+        }
+        sb.append('\'').append(fmt.substring(i, j)).append('\'')
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** substr(pos → end): Spark substring with dynamic start, to end of string. */

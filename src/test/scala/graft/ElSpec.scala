@@ -380,4 +380,30 @@ class ElSpec extends SparkSpec {
     assert(d("2023-03-01T19:04:55Z ") === null)
     assert(d("2023-03-01") === null)
   }
+
+  test("strftime-dialect date patterns work verbatim " +
+       "(ExpressionLanguageTests.cpp:1168-1215,1283-1298 Parse/Reformat/" +
+       "Format Date)") {
+    // Format Date battery — %S prints milliseconds like the reference's
+    // millisecond-precision time_point; the trailing Z is literal
+    val tril = Map("trillion_milliseconds" -> "1000000000000")
+    assert(eval("${trillion_milliseconds:format('%Y/%m/%d %H:%M:%SZ', 'UTC')}",
+      tril) === "2001/09/09 01:46:40.000Z")
+    assert(eval("${trillion_milliseconds:format('%Y/%m/%d %H:%M:%SZ', 'Europe/Paris')}",
+      tril) === "2001/09/09 03:46:40.000Z")
+    assert(eval("${trillion_milliseconds:format('%Y/%m/%d %H:%M:%SZ', 'America/Los_Angeles')}",
+      tril) === "2001/09/08 18:46:40.000Z")
+    // Parse Date: timezone-aware epoch
+    assert(eval("${message:toDate('%Y/%m/%d', 'America/Los_Angeles')}",
+      Map("message" -> "2014/04/30")) === "1398841200000")
+    assert(eval("${trillion_utc:toDate('%Y/%m/%d %H:%M:%SZ', 'UTC')}",
+      Map("trillion_utc" -> "2001/09/09 01:46:40.000Z")) === "1000000000000")
+    assert(eval("${trillion_paris:toDate('%Y/%m/%d %H:%M:%SZ', 'Europe/Paris')}",
+      Map("trillion_paris" -> "2001/09/09 03:46:40.000Z")) === "1000000000000")
+    // Reformat Date: parse in UTC, print in another zone
+    assert(eval("${message:toDate('%Y/%m/%d', 'UTC'):format('%m-%d-%Y', 'America/New_York')}",
+      Map("message" -> "2014/03/14")) === "03-13-2014")
+    assert(eval("${blue:toDate('%Y%m%d%H%M%S', 'UTC'):format('%Y/%m/%d %H:%M:%SZ', 'Europe/Paris')}",
+      Map("blue" -> "20130917162643")) === "2013/09/17 18:26:43.000Z")
+  }
 }
