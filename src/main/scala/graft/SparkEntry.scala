@@ -741,7 +741,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsPar(s, dir), col("doc_id"),
-        col("text"), 5, 30)
+        col("text"), 5, 30, dfCap = 64)
         .select(col("idA").as("id_a"), col("idB").as("id_b"),
           col("inter").as("inter_n"), col("unionSize").as("union_n"))
         .orderBy("id_a", "id_b")),
@@ -1836,11 +1836,16 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    // Same df-cap rule as Dedup.ngramJaccardPairs(dfCap = 64): shingles
+    // occurring in more than 64 documents are dropped before the join,
+    // and sizes are computed over the capped set.
     "dedup_ngram_jaccard" ->
       s"""$ShingleCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 64),
+         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT i.id_a, i.id_b, i.inter_n,
          | sa.nsh + sb.nsh - i.inter_n AS union_n
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a

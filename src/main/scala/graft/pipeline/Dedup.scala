@@ -46,10 +46,32 @@ object Dedup {
    * the shingle, never a cross join); Jaccard = |A∩B| / |A∪B| entirely in
    * integer counts. `minJaccardPct` compares via cross-multiplication:
    * 100·inter ≥ pct·union.
+   *
+   * Hot-shingle guard (`dfCap`): a shingle occurring in d documents
+   * contributes d² rows to the self-join, so one common boilerplate gram
+   * ("terms of service of …") is a single-key quadratic blow-up on a raw
+   * corpus. Shingles whose document frequency exceeds `dfCap` are dropped
+   * BEFORE the join — the CCNet/Gopher treatment of top-df grams, which
+   * carry almost no Jaccard signal. Both the intersection counts and the
+   * per-doc sizes are computed over the capped shingle set, so the ratio
+   * stays internally consistent. The df aggregate is a map-side partial
+   * count (shuffle carries ~one row per distinct shingle per partition)
+   * and the semi-join shuffles on the same key as the self-join, so
+   * ReuseExchange computes the exploded-shingle frame once. Join size per
+   * shingle is bounded by dfCap²; pass `Int.MaxValue` for exact semantics
+   * on a pre-bounded subset (see [[verifyCandidates]]).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        n: Int, minJaccardPct: Int): DataFrame = {
-    val sh = df.select(idCol.as("docId"), explode(array_distinct(shingles(textCol, n))).as("sh"))
+                        n: Int, minJaccardPct: Int,
+                        dfCap: Int = 64): DataFrame = {
+    val sh0 = df.select(idCol.as("docId"), explode(array_distinct(shingles(textCol, n))).as("sh"))
+    val sh =
+      if (dfCap == Int.MaxValue) sh0
+      else {
+        val keep = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("sh"))
+        sh0.join(keep.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      }
     val sizes = sh.groupBy(col("docId")).agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.docId") < col("b.docId"))
@@ -127,7 +149,10 @@ object Dedup {
     val ids = candsM.select(explode(array(col("idA"), col("idB"))).as("cdid"))
       .distinct()
     val subset = df.join(broadcast(ids), idCol === col("cdid"), "left_semi")
-    ngramJaccardPairs(subset, idCol, textCol, n, minJaccardPct)
+    // Exact Jaccard (no df cap): the subset is already bounded to
+    // candidate members, so the hot-shingle quadratic risk the cap guards
+    // against cannot arise, and verify must score the true similarity.
+    ngramJaccardPairs(subset, idCol, textCol, n, minJaccardPct, Int.MaxValue)
       .join(candsM, Seq("idA", "idB"))
   }
 

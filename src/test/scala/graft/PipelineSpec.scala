@@ -32,6 +32,28 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard df-cap drops hot shingles: degenerate corpus with one " +
+       "shared gram stays bounded, true near-dups still found") {
+    import spark.implicits._
+    // 1000 docs share the same leading gram (think boilerplate "terms of
+    // service ..."); each has an otherwise-unique tail. Uncapped, the hot
+    // shingle alone would feed 1000*999/2 rows into the intersection join.
+    val boiler = (1L to 1000L).map(i =>
+      (i, s"common header line here unique$i tail$i words$i end$i"))
+    // a genuine near-dup pair whose shared shingles are NOT hot (df=2)
+    val nearDup = Seq(
+      (2001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val corpus = (boiler ++ nearDup).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+      3, 30, dfCap = 64).collect()
+      .map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    // boilerplate-only overlap is gone (the hot shingles were dropped) ...
+    assert(!pairs.exists(p => p._1 <= 1000L && p._2 <= 1000L))
+    // ... while the low-df near-dup pair survives with capped-set Jaccard
+    assert(pairs === Set((2001L, 2002L)))
+  }
+
   test("minhash LSH candidates include identical docs") {
     val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 8)
