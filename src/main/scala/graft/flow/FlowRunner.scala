@@ -33,11 +33,18 @@ object FlowRunner {
     * relationship; unconnected + non-auto-terminated edges are the flow's
     * terminal results. */
   case class FlowResult(flow: FlowDef, outputs: Map[String, DataFrame],
-                        droppedEdges: Seq[ConnectionDef]) {
+                        droppedEdges: Seq[ConnectionDef],
+                        persisted: Seq[DataFrame] = Nil) {
     def output(procIdOrName: String): DataFrame =
       outputs(flow.processor(procIdOrName).id)
     def edge(procIdOrName: String, relationship: String): DataFrame =
       output(procIdOrName).filter(col(FlowFrame.Relationship) === relationship)
+    /** Release the fan-out caches created by [[run]]. The persists exist
+      * only so one sweep materializes each shared stage once; a driver
+      * running many flows in one session would otherwise accumulate
+      * MEMORY_AND_DISK blocks until the session dies. Call once the
+      * outputs have been consumed (written/collected). */
+    def release(): Unit = persisted.foreach(_.unpersist(blocking = false))
   }
 
   def run(spark: SparkSession, flow: FlowDef,
@@ -75,6 +82,7 @@ object FlowRunner {
       }
     }
     val outputs = collection.mutable.Map[String, DataFrame]()
+    val procCaches = new Processors.CacheTracker
     order.foreach { id =>
       val p = flow.processor(id)
       val ins = incoming.getOrElse(id, Nil).filterNot(dropped.contains)
@@ -95,13 +103,14 @@ object FlowRunner {
           }
         }
       val input = ins.reduceOption(_ unionByName _)
-      val out = Processors.apply(spark, p, input, flow.services)
+      val out = Processors.apply(spark, p, input, flow.services, procCaches)
       outputs(id) =
         if (fanOut(id))
           out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else out
     }
-    FlowResult(flow, outputs.toMap, dropped.toSeq)
+    val cached = order.filter(fanOut).map(outputs(_)).toSeq ++ procCaches.all
+    FlowResult(flow, outputs.toMap, dropped.toSeq, cached)
   }
 }
 
@@ -131,9 +140,19 @@ object Processors {
       lit("splits").as(FlowFrame.Relationship))
   }
 
+  /** Collects DataFrames a processor persists internally (e.g. the
+    * MergeContent defragment input staged once for its three subtrees) so
+    * the flow runner can release them with the fan-out caches. */
+  final class CacheTracker {
+    private val buf = collection.mutable.ArrayBuffer[DataFrame]()
+    def track(df: DataFrame): DataFrame = { buf += df; df }
+    def all: Seq[DataFrame] = buf.toSeq
+  }
+
   def apply(spark: SparkSession, p: ProcessorDef,
             input: Option[DataFrame],
-            services: Seq[ServiceDef] = Nil): DataFrame = {
+            services: Seq[ServiceDef] = Nil,
+            tracker: CacheTracker = new CacheTracker): DataFrame = {
     def service(ref: String): ServiceDef =
       services.find(sv => sv.id == ref || sv.name == ref).getOrElse(
         throw new IllegalArgumentException(
@@ -498,8 +517,8 @@ object Processors {
             // agg, attribute-stat agg); materialize it once so a
             // side-effecting upstream (FetchFile move/delete) cannot be
             // re-executed per subtree and the scan doesn't run 3x
-            val inOnce = in.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val inOnce = tracker.track(in.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             val merged = SplitMerge.mergeContentDefragment(inOnce,
               FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier),
               FlowFrame.attr(FlowFrame.FragmentAttrs.Index).cast("int"),

@@ -430,6 +430,55 @@ class FlowSpec extends SparkSpec {
     assert(routed.filter(col("relationship") === "unmatched").count() === 0)
   }
 
+  test("FlowResult.release unpersists fan-out caches: no persistent RDDs " +
+       "outlive the flow") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties:
+        |    Batch Size: '10'
+        |    File Size: 8 B
+        |    Data Format: Text
+        |- name: route
+        |  id: r
+        |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+        |  Properties:
+        |    even: ${file_id:mod(2):equals(0)}
+        |    odd: ${file_id:mod(2):equals(1)}
+        |- name: log1
+        |  id: l1
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |- name: log2
+        |  id: l2
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |Connections:
+        |- id: c1
+        |  source id: g
+        |  source relationship names: [success]
+        |  destination id: r
+        |- id: c2
+        |  source id: r
+        |  source relationship names: [even]
+        |  destination id: l1
+        |- id: c3
+        |  source id: r
+        |  source relationship names: [odd]
+        |  destination id: l2
+        |""".stripMargin
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    assert(result.output("log1").count() === 5)
+    assert(result.output("log2").count() === 5)
+    // route feeds two edges, so its output was persisted for the sweep
+    assert(result.persisted.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    result.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
   test("retry cycle drops the back edge and still runs " +
        "(http_post_config.yml shape)") {
     val yml =
