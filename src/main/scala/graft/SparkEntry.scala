@@ -1300,6 +1300,37 @@ object SparkEntry {
         .select(col("mmId").as("mm_id"), col("width"), col("height"),
           col("nFrames").as("n_frames"))
         .orderBy("mm_id")
+    }),
+
+    // ------- multimodal REAL header decode -------
+    // Synthesize PNG (even ids) / JPEG (odd ids) payloads with Catalyst
+    // byte expressions, then parse dimensions back with the independent
+    // per-partition byte-walkers — the oracle knows the dims analytically.
+    "multimodal_decode" -> ((s, dir) => {
+      def be(c: Column, hexDigits: Int) = unhex(lpad(hex(c), hexDigits, "0"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 640 + 1).cast("int").as("w"),
+        (col("doc_id") % 480 + 1).cast("int").as("h"),
+        col("source"))
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+        be(lit(13), 8), lit("IHDR").cast("binary"),
+        be(col("w"), 8), be(col("h"), 8),
+        lit(Array[Byte](8, 6, 0, 0, 0)), be(lit(0), 8))
+      val jpeg = concat(
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte,            // SOI
+          0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08)),      // SOF0 len=11
+        be(col("h"), 4), be(col("w"), 4),
+        lit(Array[Byte](0x01, 0x01, 0x11, 0x00,              // 1 component
+          0xFF.toByte, 0xD9.toByte)))                        // EOI
+      val withImg = docs.withColumn("img",
+        when(col("doc_id") % 2 === 0, png).otherwise(jpeg))
+      val wrapped = Multimodal.wrapBinary(withImg,
+        col("doc_id"), col("img"), "image/mixed", col("source"))
+      Multimodal.decodeFeatures(wrapped)
+        .select(col("mmId").as("mm_id"), col("width"), col("height"),
+          col("nFrames").as("n_frames"))
+        .orderBy("mm_id")
     })
   )
 
@@ -2249,6 +2280,13 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
         | CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY mm_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS mm_id,
+        | CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+        | CAST(1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY mm_id""".stripMargin
   )
 }

@@ -12,12 +12,72 @@ import org.apache.spark.sql.types._
  * metadata-only stages never deserialize payload bytes (Parquet column
  * pruning), and decode runs batched per partition.
  *
- * The decode step itself is STUBBED (no image/audio libs in this
+ * Image HEADER decode is REAL: PNG (IHDR), JPEG (SOF segment walk) and
+ * GIF (logical screen descriptor) dimensions are parsed straight from the
+ * payload bytes — pure public-format parsing, no native lib. Pixel/sample
+ * decode beyond the header remains STUBBED (no image/audio libs in this
  * container): `fakeDecode` derives deterministic pseudo-features from the
- * payload size — the Spark-side plumbing (schema, partition batching,
- * feature frame shape) is real and is what's under test.
+ * payload size for non-image payloads — the Spark-side plumbing (schema,
+ * partition batching, feature frame shape) is real and is what's under
+ * test.
  */
 object Multimodal {
+
+  // --- real image-header parsers (public format specs: PNG RFC 2083 §3.1
+  // + §4.1.1; JPEG ITU-T T.81 §B.2.2; GIF89a spec §18) ---
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (always first) carries
+    * width/height as big-endian u32 at offsets 16/20. */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG: walk the marker segments from SOI until a frame header (SOFn,
+    * excluding DHT/JPG/DAC at C4/C8/CC); height then width sit at segment
+    * offsets +5/+7 as big-endian u16. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) { i += 1 }                       // fill byte
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
+        i += 2                                             // standalone
+      } else {
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+          return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+                 else None
+        i += 2 + be16(b, i + 2)
+      }
+    }
+    None
+  }
+
+  /** GIF87a/89a: width/height as little-endian u16 at offsets 6/8. */
+  def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8)))
+    else None
+
+  /** (width, height) from the first matching header format, if any. */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] =
+    pngDims(b).orElse(jpegDims(b)).orElse(gifDims(b))
 
   /** Metadata struct carried beside the payload. */
   val metadataType: StructType = StructType(Seq(
@@ -39,8 +99,10 @@ object Multimodal {
   /**
    * Batched per-partition decode — the `mapPartitions` shape a real
    * decoder (JNI/FFI image lib) would use: one library init per partition,
-   * rows streamed through. The stub features are pure arithmetic on
-   * sizeBytes so tests and oracles can verify the plumbing end-to-end.
+   * rows streamed through. Image payloads (PNG/JPEG/GIF magic) get REAL
+   * header-parsed dimensions with nFrames=1; other payloads fall back to
+   * the deterministic size-derived stub features so the plumbing stays
+   * verifiable end-to-end on any byte column.
    */
   def decodeFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -52,12 +114,20 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = df.schema.fieldIndex("mmId")
     val metaIdx = df.schema.fieldIndex("meta")
+    val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       // real decoder would initialize its native context HERE, once
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val size = r.getStruct(metaIdx).getLong(1)
-        Row(id, fakeWidth(size), fakeHeight(size), fakeFrames(size))
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        Option(payload).flatMap(imageDims) match {
+          case Some((w, h)) => Row(id, w.toLong, h.toLong, 1L)
+          case None =>
+            val size = r.getStruct(metaIdx).getLong(1)
+            Row(id, fakeWidth(size), fakeHeight(size), fakeFrames(size))
+        }
       }
     }(encoder)
   }

@@ -331,6 +331,33 @@ class PipelineSpec extends SparkSpec {
     assert(feats.getAs[Long]("nFrames") === size / 100 + 1)
   }
 
+  test("image header decode parses real PNG/JPEG/GIF bytes from the JDK " +
+       "encoders and decodeFeatures uses them over the stub") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    val img = new BufferedImage(17, 23, BufferedImage.TYPE_INT_RGB)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    assert(Multimodal.pngDims(encode("png")) === Some((17, 23)))
+    assert(Multimodal.jpegDims(encode("jpg")) === Some((17, 23)))
+    assert(Multimodal.gifDims(encode("gif")) === Some((17, 23)))
+    assert(Multimodal.imageDims("plain text payload".getBytes("UTF-8")) === None)
+    assert(Multimodal.imageDims(Array[Byte]()) === None)
+    // end to end: a real PNG payload through wrap + decode gets real dims
+    import spark.implicits._
+    val one = Seq((42L, encode("png"), "mem")).toDF("id", "img", "src")
+    val wrapped = Multimodal.wrapBinary(one, col("id"), col("img"),
+      "image/png", col("src"))
+    val feats = Multimodal.decodeFeatures(wrapped).collect().head
+    assert(feats.getAs[Long]("width") === 17L)
+    assert(feats.getAs[Long]("height") === 23L)
+    assert(feats.getAs[Long]("nFrames") === 1L)
+  }
+
   test("pack_sequences: bins follow the greedy offset rule, are a pure " +
        "function of (corpus, seed), and never start mid-budget") {
     val docs = spark.range(0, 400).toDF("doc_id")
