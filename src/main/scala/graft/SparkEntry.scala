@@ -1131,6 +1131,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.2 PutSQL — append into the session catalog, read back through a
+    // query (the reference executes INSERT statements per FlowFile;
+    // distributed append + catalog scan is the Spark-first equivalent)
+    "put_sql" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS putsql_target")
+      // a previous session's managed-table directory survives the
+      // in-memory catalog; saveAsTable refuses an existing location
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "putsql_target")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val src = tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      SqlOps.putSql(src.filter(col("n_regionkey") < 2), "putsql_target")
+      SqlOps.putSql(src.filter(col("n_regionkey") >= 2), "putsql_target")
+      s.table("putsql_target")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
+    // §2.4 ExecuteScript — user code over rows (typed map escape hatch)
+    // vs the same transform expressed relationally in the oracle
+    "execute_script" -> ((s, dir) => {
+      import s.implicits._
+      val src = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      Exec.executeScript(src, r => (
+        r.getLong(0),
+        r.getString(1).toUpperCase.reverse,
+        2L * r.getLong(0) + r.getString(1).length))
+        .toDF("c_custkey", "mangled", "score")
+        .orderBy("c_custkey")
+    }),
+
     // §2.2 InvokeHTTP — status-class relationship routing
     "invoke_http_routing" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2210,6 +2244,15 @@ object SparkEntry {
 
     "execute_process" ->
       """SELECT doc_id, md5(text) AS piped_md5 FROM documents ORDER BY doc_id""",
+
+    "put_sql" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "execute_script" ->
+      """SELECT c_custkey, reverse(upper(c_name)) AS mangled,
+        | CAST(2*c_custkey + length(c_name) AS BIGINT) AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "invoke_http_routing" ->
       """SELECT event_id, CAST((event_id % 7)*100 + 4 AS BIGINT) AS status,
