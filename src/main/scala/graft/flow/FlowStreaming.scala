@@ -192,7 +192,13 @@ object FlowStreaming {
           maxEntries = prop("Maximum Number of Entries", "1000").toInt,
           maxBinAgeMs = props.get("Max Bin Age")
             .map(Units.parseDurationMs).getOrElse(0L),
-          demarcator = prop("Demarcator", ""))
+          demarcator = prop("Demarcator", ""),
+          // BinFiles.h:190-206 size/entry thresholds
+          maxBinBytes = props.get("Maximum Group Size")
+            .map(Units.parseBytes).getOrElse(0L),
+          minEntries = prop("Minimum Number of Entries", "1").toInt,
+          minBinBytes = props.get("Minimum Group Size")
+            .map(Units.parseBytes).getOrElse(0L))
         Some(bins.toDF().select(
           expr("uuid()").as(FlowFrame.Uuid),
           map(lit("merge.count"), col("count").cast("string"),

@@ -109,11 +109,25 @@ object StatefulOps {
 
   /**
    * Streaming MergeContent (Bin-Pack): accumulate per correlation key until
-   * `maxEntries` (flush full bin) or `maxBinAgeMs` (flush partial bin to
-   * `expired` — Max Bin Age semantics, BinFiles.cpp:284).
+   * the bin is FULL — `maxEntries` entries or `maxBinBytes` content bytes
+   * (Bin::isFull, BinFiles.h:60-62; like the batch sized variant the
+   * straddling entry is admitted, so a bin may exceed `maxBinBytes` by
+   * less than one entry) — or `maxBinAgeMs` elapses with the bin open
+   * (BinFiles.cpp:284 removeOldestBin → closed → ready).
+   *
+   * Every flush routes through the same min check as the batch
+   * `mergeContentBinPackSized`: `merged` when the bin holds ≥ `minEntries`
+   * entries and ≥ `minBinBytes` content (Bin::isReadyForMerge,
+   * BinFiles.h:64-66), `undersized` otherwise — an aged-out bin below the
+   * mins is the undersized route, a full or aged bin meeting them merges.
+   * Size counts content length like the batch variant's `length(content)`
+   * (demarcators excluded). `maxBinBytes`/`minBinBytes` of 0 disable the
+   * respective size rule.
    */
   def mergeContentBins(entries: Dataset[Entry], maxEntries: Int,
-                       maxBinAgeMs: Long, demarcator: String): Dataset[Bin] = {
+                       maxBinAgeMs: Long, demarcator: String,
+                       maxBinBytes: Long = 0, minEntries: Int = 1,
+                       minBinBytes: Long = 0): Dataset[Bin] = {
     implicit val binEnc = Encoders.product[Bin]
     implicit val bufEnc = Encoders.product[BinBuffer]
     implicit val strEnc = Encoders.STRING
@@ -121,8 +135,13 @@ object StatefulOps {
       if (maxBinAgeMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
 
-    def emit(key: String, es: List[Entry], rel: String): Bin =
+    def binBytes(es: List[Entry]): Long = es.map(_.content.length.toLong).sum
+    def emit(key: String, es: List[Entry]): Bin = {
+      val rel =
+        if (es.size >= minEntries && binBytes(es) >= minBinBytes) "merged"
+        else "undersized"
       Bin(key, es.sortBy(_.ord).map(_.content).mkString(demarcator), es.size, rel)
+    }
 
     entries.groupByKey(_.correlation)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
@@ -131,14 +150,19 @@ object StatefulOps {
             val pending = state.getOption.map(_.entries).getOrElse(Nil)
             state.remove()
             if (pending.isEmpty) Iterator.empty
-            else Iterator(emit(key, pending, "expired"))
+            else Iterator(emit(key, pending))
           } else {
             // reverse arrival order (O(1) prepend); emit sorts by ord
             var buf = state.getOption.map(_.entries).getOrElse(Nil)
+            var bytes = binBytes(buf)
             val out = List.newBuilder[Bin]
             rows.toSeq.sortBy(_.ord).foreach { e =>
               buf = e :: buf
-              if (buf.size >= maxEntries) { out += emit(key, buf, "merged"); buf = Nil }
+              bytes += e.content.length
+              if (buf.size >= maxEntries ||
+                  (maxBinBytes > 0 && bytes >= maxBinBytes)) {
+                out += emit(key, buf); buf = Nil; bytes = 0L
+              }
             }
             if (buf.isEmpty) state.remove()
             else {

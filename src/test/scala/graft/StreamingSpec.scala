@@ -337,4 +337,58 @@ class StreamingSpec extends SparkSpec {
       Seq(("k1", "a,b", "merged"))) // c and x still below maxEntries
     q.stop()
   }
+
+  test("streaming MergeContent bins: Maximum Group Size flushes full-by-size " +
+       "bins, min thresholds route undersized flushes (BinFiles.h:60-66)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Entry]
+    // size-bounded: 10-byte bins, count cap high enough to never trigger;
+    // minBinBytes makes a short final flush undersized
+    val out = StatefulOps.mergeContentBins(input.toDS(), 100, 0, ",",
+      maxBinBytes = 10, minEntries = 2, minBinBytes = 4)
+    val q = out.writeStream.format("memory").queryName("bins_sized")
+      .outputMode("append").start()
+
+    input.addData(
+      StatefulOps.Entry("k1", 1, "aaaa"), StatefulOps.Entry("k1", 2, "bbbb"),
+      StatefulOps.Entry("k1", 3, "cccc"),       // 12 chars >= 10 → flush
+      StatefulOps.Entry("k1", 4, "dd"))         // buffers (2 < 10)
+    q.processAllAvailable()
+    var bins = spark.table("bins_sized").as[StatefulOps.Bin].collect()
+    assert(bins.toSeq.map(b => (b.correlation, b.merged, b.relationship)) ===
+      Seq(("k1", "aaaa,bbbb,cccc", "merged"))) // straddler admitted
+    // a second full-by-size flush that misses minEntries → undersized
+    input.addData(StatefulOps.Entry("k2", 1, "0123456789ab"))
+    q.processAllAvailable()
+    bins = spark.table("bins_sized").as[StatefulOps.Bin].collect()
+    assert(bins.toSeq.map(b => (b.correlation, b.relationship)).toSet ===
+      Set(("k1", "merged"), ("k2", "undersized")))
+    q.stop()
+  }
+
+  test("streaming MergeContent bins: age-out below the min thresholds " +
+       "routes undersized, meeting them merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Entry]
+    val out = StatefulOps.mergeContentBins(input.toDS(), 100, 300, ",",
+      minEntries = 2)
+    val q = out.writeStream.format("memory").queryName("bins_age")
+      .outputMode("append").start()
+
+    // k1 ages out with 1 entry (< minEntries=2) → undersized;
+    // k2 ages out with 2 entries → merged. Poll while the query free-runs
+    // (ProcessingTimeTimeout never settles under processAllAvailable).
+    input.addData(
+      StatefulOps.Entry("k1", 1, "solo"),
+      StatefulOps.Entry("k2", 1, "x"), StatefulOps.Entry("k2", 2, "y"))
+    eventually(30, 500) {
+      val bins = spark.table("bins_age").as[StatefulOps.Bin].collect()
+      bins.exists(b => b.correlation == "k1" && b.relationship == "undersized") &&
+        bins.exists(b => b.correlation == "k2" && b.merged == "x,y" &&
+          b.relationship == "merged")
+    }
+    q.stop()
+  }
 }
