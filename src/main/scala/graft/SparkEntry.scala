@@ -1365,6 +1365,50 @@ object SparkEntry {
         .select(col("mmId").as("mm_id"), col("width"), col("height"),
           col("nFrames").as("n_frames"))
         .orderBy("mm_id")
+    }),
+
+    // ------- provenance lineage: FORK/JOIN round trip -------
+    // Documents (one word per line) fork into per-line fragments through
+    // the real SplitText dispatch, merge back through the real Defragment
+    // dispatch, and the lineage event tables reconstruct every merged
+    // row's parents: each JOIN parent must be a FORK child whose parent is
+    // the merged uuid. mismatches = 0 proves exact reconstruction.
+    "provenance_lineage" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(
+        concat(lit("doc-"), col("doc_id").cast("string")).as("u"),
+        translate(col("text"), " ", "\n").as("multiline"),
+        col("doc_id"))
+      val ff = FlowFrame.wrap(docs, "multiline", Seq("doc_id"),
+        uuidCol = Some("u"))
+      def proc(cls: String, id: String, props: (String, String)*) =
+        flow.ProcessorDef(id, id,
+          "org.apache.nifi.minifi.processors." + cls,
+          "TIMER_DRIVEN", "1 sec", Set.empty, props.toMap)
+      val split = flow.Processors.apply(s,
+        proc("SplitText", "sp", "Line Split Count" -> "1"), Some(ff))
+      val frags = split.filter(col(FlowFrame.Relationship) === "splits")
+        .withColumn(FlowFrame.Relationship, lit(null: String))
+      val merged = flow.Processors.apply(s,
+        proc("MergeContent", "mg", "Merge Strategy" -> "Defragment",
+          "Demarcator" -> "\\n"), Some(frags))
+      val forks = flow.Lineage.events(split)
+        .select(col("childUuid").as("fork_child"),
+          col("parentUuids").getItem(0).as("fork_parent"))
+      val recon = flow.Lineage.events(merged)
+        .select(col("childUuid").as("uuid"),
+          explode(col("parentUuids")).as("member"))
+        .join(forks, col("member") === col("fork_child"), "left")
+        .groupBy(col("uuid"))
+        .agg(count(lit(1)).as("n_fragments"),
+          sum(when(col("fork_parent") === col("uuid"), 0).otherwise(1))
+            .as("mismatches"))
+      merged.select(col(FlowFrame.Uuid).as("uuid"),
+          md5(col(FlowFrame.Content).cast("binary")).as("merged_md5"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .join(recon, Seq("uuid"))
+        .select(col("uuid"), col("n_fragments"), col("mismatches"),
+          col("merged_md5"), col("relationship"))
+        .orderBy("uuid")
     })
   )
 
@@ -2330,6 +2374,14 @@ object SparkEntry {
         | CAST(doc_id % 640 + 1 AS BIGINT) AS width,
         | CAST(doc_id % 480 + 1 AS BIGINT) AS height,
         | CAST(1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY mm_id""".stripMargin
+        |FROM documents ORDER BY mm_id""".stripMargin,
+
+    "provenance_lineage" ->
+      """SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS uuid,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_fragments,
+        | CAST(0 AS BIGINT) AS mismatches,
+        | md5(replace(text, ' ', chr(10))) AS merged_md5,
+        | 'merged' AS relationship
+        |FROM documents ORDER BY uuid""".stripMargin
   )
 }

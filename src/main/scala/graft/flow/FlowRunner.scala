@@ -99,7 +99,27 @@ object FlowRunner {
                   unix_millis(col(FlowFrame.EntryDate)) <= ms)
               case None => selected
             }
-            alive.withColumn(FlowFrame.Relationship, lit(null: String))
+            val base = alive.withColumn(FlowFrame.Relationship,
+              lit(null: String))
+            // CLONE lineage (Provenance.h CLONE): a relationship feeding
+            // 2+ connections duplicates the FlowFile per queue
+            // (ProcessSession clone on multi-connection routing). Distinct
+            // relationships on separate edges are routing, not cloning.
+            // Each clone gets a deterministic child uuid and its parent
+            // recorded; the event attrs are stamped BEFORE the uuid swap
+            // so parents reference the original.
+            def overlap(o: ConnectionDef): Boolean =
+              o.relationships.isEmpty || c.relationships.isEmpty ||
+                o.relationships.exists(c.relationships.contains)
+            val isClone = flow.connections.filterNot(dropped.contains)
+              .exists(o => o.sourceId == c.sourceId && o.id != c.id &&
+                overlap(o))
+            if (!isClone) base
+            else FlowFrame.withAttrs(base, Seq(
+                Lineage.EventAttr -> lit(Lineage.Clone),
+                Lineage.ParentsAttr -> col(FlowFrame.Uuid)))
+              .withColumn(FlowFrame.Uuid,
+                Lineage.cloneUuid(col(FlowFrame.Uuid), c.id))
           }
         }
       val input = ins.reduceOption(_ unionByName _)
@@ -123,17 +143,21 @@ object FlowRunner {
 object Processors {
 
   /** Rebuild the FlowFrame shape from a splitter's fragment output
-    * (SplitText.h:152-156 fragment attr convention). */
+    * (SplitText.h:152-156 fragment attr convention). Fragments carry a
+    * FORK lineage event from their parent (Provenance.h FORK) and a
+    * deterministic child uuid (see [[Lineage]]). */
   private def fragmentFrame(frags: DataFrame, idxCol: String,
                             fragCol: String, countCol: Option[String]): DataFrame = {
+    val parent = col("`fragment.identifier`").cast("string")
     val attrPairs = Seq(
-      lit(FlowFrame.FragmentAttrs.Identifier),
-      col("`fragment.identifier`").cast("string"),
-      lit(FlowFrame.FragmentAttrs.Index), col(idxCol).cast("string")) ++
+      lit(FlowFrame.FragmentAttrs.Identifier), parent,
+      lit(FlowFrame.FragmentAttrs.Index), col(idxCol).cast("string"),
+      lit(Lineage.EventAttr), lit(Lineage.Fork),
+      lit(Lineage.ParentsAttr), parent) ++
       countCol.toSeq.flatMap(c =>
         Seq(lit(FlowFrame.FragmentAttrs.Count), col(c).cast("string")))
     frags.select(
-      expr("uuid()").as(FlowFrame.Uuid),
+      Lineage.fragmentUuid(parent, col(idxCol)).as(FlowFrame.Uuid),
       map(attrPairs: _*).as(FlowFrame.Attributes),
       col(fragCol).as(FlowFrame.Content),
       current_timestamp().as(FlowFrame.EntryDate),
@@ -481,14 +505,18 @@ object Processors {
           prop("Line Split Count", "1").toInt,
           headerLines = prop("Header Line Count", "0").toInt)
         frags.select(
-          expr("uuid()").as(FlowFrame.Uuid),
+          Lineage.fragmentUuid(col("`fragment.identifier`"),
+            col("fragmentIndex")).as(FlowFrame.Uuid),
           map(
             lit(FlowFrame.FragmentAttrs.Identifier),
             col("`fragment.identifier`").cast("string"),
             lit(FlowFrame.FragmentAttrs.Index),
             col("fragmentIndex").cast("string"),
             lit(FlowFrame.FragmentAttrs.Count),
-            col("fragmentCount").cast("string")).as(FlowFrame.Attributes),
+            col("fragmentCount").cast("string"),
+            lit(Lineage.EventAttr), lit(Lineage.Fork),
+            lit(Lineage.ParentsAttr),
+            col("`fragment.identifier`").cast("string")).as(FlowFrame.Attributes),
           col("fragment").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
           lit("splits").as(FlowFrame.Relationship))
@@ -535,7 +563,10 @@ object Processors {
             // is one of the filtered keys.
             val fragKeys = Seq(FlowFrame.FragmentAttrs.Identifier,
               FlowFrame.FragmentAttrs.Index, FlowFrame.FragmentAttrs.Count,
-              "merge.count")
+              "merge.count",
+              // per-member lineage must not leak into the merged map —
+              // the merge emits its OWN JOIN event below
+              Lineage.EventAttr, Lineage.ParentsAttr)
             val members = inOnce
               .withColumn("__gid",
                 FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier))
@@ -546,15 +577,25 @@ object Processors {
               members, col("__gid"), col(FlowFrame.Attributes),
               keepOnlyCommon = prop("Attribute Strategy",
                 "Keep Only Common Attributes") == "Keep Only Common Attributes")
+            // JOIN lineage (Provenance.h JOIN): the merged FlowFile's
+            // parents are its member uuids. Same groupBy key as the merge
+            // itself and the input is the staged inOnce, so this is one
+            // more co-partitioned agg over cached blocks.
+            val joinParents = inOnce.groupBy(
+                FlowFrame.attr(FlowFrame.FragmentAttrs.Identifier).as("__pgid"))
+              .agg(array_join(array_sort(collect_list(col(FlowFrame.Uuid))),
+                ",").as("__joinParents"))
             merged.join(mergedAttrs,
                 merged("mergeId") === mergedAttrs("gid"), "left")
+              .join(joinParents, merged("mergeId") === col("__pgid"), "left")
               .select(
                 col("mergeId").as(FlowFrame.Uuid),
                 map_concat(
                   coalesce(col("mergedAttrs"),
                     map_from_arrays(array().cast("array<string>"),
                       array().cast("array<string>"))),
-                  map(lit("merge.count"), col("fragmentsSeen").cast("string")))
+                  map(lit("merge.count"), col("fragmentsSeen").cast("string")),
+                  Lineage.eventMap(Lineage.Join, col("__joinParents")))
                   .as(FlowFrame.Attributes),
                 col("merged").as(FlowFrame.Content),
                 current_timestamp().as(FlowFrame.EntryDate),
@@ -582,7 +623,9 @@ object Processors {
             merged.select(
               expr("uuid()").as(FlowFrame.Uuid),
               map(lit("merge.count"), col("mergeCount").cast("string"),
-                lit("merge.correlation"), col("correlation").cast("string"))
+                lit("merge.correlation"), col("correlation").cast("string"),
+                lit(Lineage.EventAttr), lit(Lineage.Join),
+                lit(Lineage.ParentsAttr), col("memberIds"))
                 .as(FlowFrame.Attributes),
               col("merged").as(FlowFrame.Content),
               current_timestamp().as(FlowFrame.EntryDate),
@@ -807,13 +850,22 @@ object Processors {
           .select(col("__fragid"), col("__cnt"), col(FlowFrame.Content).as("__orig"),
             posexplode_outer(col("__arr")).as(Seq("__idx", "__elem")))
         elems.select(
-          expr("uuid()").as(FlowFrame.Uuid),
-          map(
-            lit(FlowFrame.FragmentAttrs.Identifier), col("__fragid"),
-            lit(FlowFrame.FragmentAttrs.Index),
-            coalesce(col("__idx"), lit(0)).cast("string"),
-            lit(FlowFrame.FragmentAttrs.Count),
-            greatest(col("__cnt"), lit(0)).cast("string")).as(FlowFrame.Attributes),
+          // splits get deterministic forked identity; a failure row IS the
+          // original FlowFile routed on, so it keeps the parent uuid
+          when(col("__elem").isNull, col("__fragid"))
+            .otherwise(Lineage.fragmentUuid(col("__fragid"), col("__idx")))
+            .as(FlowFrame.Uuid),
+          map_concat(
+            map(
+              lit(FlowFrame.FragmentAttrs.Identifier), col("__fragid"),
+              lit(FlowFrame.FragmentAttrs.Index),
+              coalesce(col("__idx"), lit(0)).cast("string"),
+              lit(FlowFrame.FragmentAttrs.Count),
+              greatest(col("__cnt"), lit(0)).cast("string")),
+            when(col("__elem").isNotNull,
+              Lineage.eventMap(Lineage.Fork, col("__fragid")))
+              .otherwise(map().cast("map<string,string>")))
+            .as(FlowFrame.Attributes),
           coalesce(col("__elem"), col("__orig")).as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
           when(col("__elem").isNull, "failure")

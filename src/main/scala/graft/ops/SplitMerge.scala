@@ -282,6 +282,10 @@ object SplitMerge {
         // the straddling item is the bin's last in order
         max(struct(orderCol.as("o"), col("__sz").as("s"))).getField("s")
           .as("lastItemBytes"),
+        // sorted member order-key list — the flow runner passes the row
+        // uuid as orderCol and reads this back as JOIN lineage parents
+        array_join(array_sort(collect_list(orderCol.cast("string"))), ",")
+          .as("memberIds"),
         concat(lit(header),
           array_join(transform(array_sort(collect_list(struct(orderCol.as("o"),
             contentCol.as("c")))), e => e.getField("c")), demarcator),

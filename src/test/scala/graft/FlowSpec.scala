@@ -479,6 +479,68 @@ class FlowSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
 
+  test("same-relationship fan-out clones FlowFiles: CLONE lineage with " +
+       "deterministic child uuids and shared parents; split->merge flows " +
+       "emit FORK/JOIN events") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '4', File Size: 4 B, Data Format: Text}
+        |- name: log1
+        |  id: l1
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |- name: log2
+        |  id: l2
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: l1}
+        |- {id: c2, source id: g, source relationship names: [success], destination id: l2}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val ev1 = Lineage.events(result.output("log1")).collect()
+    val ev2 = Lineage.events(result.output("log2")).collect()
+    assert(ev1.length === 4 && ev2.length === 4)
+    assert((ev1 ++ ev2).forall(_.getString(0) === "CLONE"))
+    val p1 = ev1.map(r => (r.getSeq[String](2).head, r.getString(1))).toMap
+    val p2 = ev2.map(r => (r.getSeq[String](2).head, r.getString(1))).toMap
+    assert(p1.keySet === p2.keySet) // both clone sets derive from the same originals
+    p1.foreach { case (parent, child) => assert(child === s"$parent@c1") }
+    p2.foreach { case (parent, child) => assert(child === s"$parent@c2") }
+    result.release()
+
+    // distinct relationships on separate edges are routing, not cloning
+    val routedYml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '4', File Size: 4 B, Data Format: Text}
+        |- name: route
+        |  id: r
+        |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+        |  Properties:
+        |    even: ${file_id:mod(2):equals(0)}
+        |    odd: ${file_id:mod(2):equals(1)}
+        |- name: log1
+        |  id: l1
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |- name: log2
+        |  id: l2
+        |  class: org.apache.nifi.minifi.processors.LogAttribute
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: r}
+        |- {id: c2, source id: r, source relationship names: [even], destination id: l1}
+        |- {id: c3, source id: r, source relationship names: [odd], destination id: l2}
+        |""".stripMargin
+    val routed = FlowRunner.run(spark, FlowConfig.parse(routedYml))
+    assert(Lineage.events(routed.output("log1")).count() === 0)
+    routed.release()
+  }
+
   test("retry cycle drops the back edge and still runs " +
        "(http_post_config.yml shape)") {
     val yml =
