@@ -269,28 +269,32 @@ object SparkEntry {
     }),
 
     // §2.3 RouteText — per-line match strategies + grouping regex
+    // Segments keep their trailing delimiter (reference PER-LINE
+    // semantics); matching preprocesses it away, the EL rule sees the raw
+    // segment, grouping is a full regex match with fallback.
     "route_text" -> ((s, dir) => {
       val routed = Routing.routeText(docsPar(s, dir), col("text"), " ",
         Seq(("s_words", Routing.StartsWith, "s"),
             ("oin_words", Routing.ContainsStr, "oin"),
             ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
             ("el_long", Routing.SatisfiesExpression, "${line:length():gt(8)}")),
-        groupingRegex = Some("^(.)"))
+        groupingRegex = Some("(.).*"))
       routed.groupBy(col("relationship"), col("group").as("grp"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("relationship", "grp")
     }),
 
     // §2.3 RouteText output assembly — one row per (relationship, group,
-    // doc): the reference's per-route FlowFile contents (RouteText.cpp:225)
+    // doc): the reference's per-route FlowFile contents (RouteText.cpp:225,
+    // raw segments concatenated without a demarcator)
     "route_text_merged" -> ((s, dir) => {
       val routed = Routing.routeText(docsPar(s, dir), col("text"), " ",
         Seq(("s_words", Routing.StartsWith, "s"),
             ("oin_words", Routing.ContainsStr, "oin"),
             ("short", Routing.MatchesRegex, "[a-z]{1,3}"),
             ("el_long", Routing.SatisfiesExpression, "${line:length():gt(8)}")),
-        groupingRegex = Some("^(.)"))
-      Routing.routeTextMerged(routed, " ", perDocCol = Some(col("doc_id")))
+        groupingRegex = Some("(.).*"))
+      Routing.routeTextMerged(routed, perDocCol = Some(col("doc_id")))
         .select(col("relationship"), col("group").as("grp"),
           col("docKey").cast("long").as("doc_key"),
           md5(col("merged").cast("binary")).as("merged_md5"),
@@ -1602,37 +1606,50 @@ object SparkEntry {
         | '","o_orderpriority":"' || o_orderpriority || '"}' AS attrs_json
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // Reference PER-LINE semantics: `seg` is the raw segment (word plus
+    // its trailing delimiter except the last), `word` the preprocessed
+    // value; the EL length rule sees the raw segment; grouping is a full
+    // match of '(.).*' → first char, '' (the fallback) for empty words.
     "route_text" ->
-      """WITH l AS (SELECT unnest(string_split(text,' ')) AS line FROM documents),
+      """WITH l0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+        |  generate_subscripts(string_split(text,' '), 1) AS i,
+        |  len(string_split(text,' ')) AS nw FROM documents),
+        |l AS (SELECT doc_id, word, i,
+        |  CASE WHEN i < nw THEN word || ' ' ELSE word END AS seg FROM l0
+        |  WHERE NOT (i = nw AND word = '')),
         |m AS (
-        | SELECT line, 's_words' AS relationship FROM l WHERE line LIKE 's%'
-        | UNION ALL SELECT line, 'oin_words' FROM l WHERE line LIKE '%oin%'
-        | UNION ALL SELECT line, 'short' FROM l WHERE regexp_full_match(line, '[a-z]{1,3}')
-        | UNION ALL SELECT line, 'el_long' FROM l WHERE length(line) > 8),
+        | SELECT word, seg, 's_words' AS relationship FROM l WHERE word LIKE 's%'
+        | UNION ALL SELECT word, seg, 'oin_words' FROM l WHERE word LIKE '%oin%'
+        | UNION ALL SELECT word, seg, 'short' FROM l WHERE regexp_full_match(word, '[a-z]{1,3}')
+        | UNION ALL SELECT word, seg, 'el_long' FROM l WHERE length(seg) > 8),
         |r AS (
-        | SELECT line, relationship FROM m
+        | SELECT word, relationship FROM m
         | UNION ALL
-        | SELECT line, 'unmatched' FROM l
-        | WHERE NOT (line LIKE 's%') AND NOT (line LIKE '%oin%')
-        |  AND NOT regexp_full_match(line, '[a-z]{1,3}') AND NOT (length(line) > 8))
-        |SELECT relationship, regexp_extract(line, '^(.)', 1) AS grp, COUNT(*) AS cnt
+        | SELECT word, 'unmatched' FROM l
+        | WHERE NOT (word LIKE 's%') AND NOT (word LIKE '%oin%')
+        |  AND NOT regexp_full_match(word, '[a-z]{1,3}') AND NOT (length(seg) > 8))
+        |SELECT relationship, substr(word, 1, 1) AS grp, COUNT(*) AS cnt
         |FROM r GROUP BY 1, 2 ORDER BY relationship, grp""".stripMargin,
 
     "route_text_merged" ->
-      """WITH l AS (SELECT doc_id, unnest(string_split(text,' ')) AS line,
-        |  generate_subscripts(string_split(text,' '), 1) - 1 AS line_no FROM documents),
+      """WITH l0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+        |  generate_subscripts(string_split(text,' '), 1) AS i,
+        |  len(string_split(text,' ')) AS nw FROM documents),
+        |l AS (SELECT doc_id, word, i,
+        |  CASE WHEN i < nw THEN word || ' ' ELSE word END AS seg FROM l0
+        |  WHERE NOT (i = nw AND word = '')),
         |m AS (
-        | SELECT doc_id, line, line_no, 's_words' AS relationship FROM l WHERE line LIKE 's%'
-        | UNION ALL SELECT doc_id, line, line_no, 'oin_words' FROM l WHERE line LIKE '%oin%'
-        | UNION ALL SELECT doc_id, line, line_no, 'short' FROM l
-        |   WHERE regexp_full_match(line, '[a-z]{1,3}')
-        | UNION ALL SELECT doc_id, line, line_no, 'el_long' FROM l WHERE length(line) > 8
-        | UNION ALL SELECT doc_id, line, line_no, 'unmatched' FROM l
-        |   WHERE NOT (line LIKE 's%') AND NOT (line LIKE '%oin%')
-        |    AND NOT regexp_full_match(line, '[a-z]{1,3}') AND NOT (length(line) > 8))
-        |SELECT relationship, regexp_extract(line, '^(.)', 1) AS grp,
+        | SELECT doc_id, word, seg, i, 's_words' AS relationship FROM l WHERE word LIKE 's%'
+        | UNION ALL SELECT doc_id, word, seg, i, 'oin_words' FROM l WHERE word LIKE '%oin%'
+        | UNION ALL SELECT doc_id, word, seg, i, 'short' FROM l
+        |   WHERE regexp_full_match(word, '[a-z]{1,3}')
+        | UNION ALL SELECT doc_id, word, seg, i, 'el_long' FROM l WHERE length(seg) > 8
+        | UNION ALL SELECT doc_id, word, seg, i, 'unmatched' FROM l
+        |   WHERE NOT (word LIKE 's%') AND NOT (word LIKE '%oin%')
+        |    AND NOT regexp_full_match(word, '[a-z]{1,3}') AND NOT (length(seg) > 8))
+        |SELECT relationship, substr(word, 1, 1) AS grp,
         | doc_id AS doc_key,
-        | md5(string_agg(line, ' ' ORDER BY line_no)) AS merged_md5,
+        | md5(string_agg(seg, '' ORDER BY i)) AS merged_md5,
         | COUNT(*) AS line_count
         |FROM m GROUP BY 1, 2, 3 ORDER BY relationship, grp, doc_key""".stripMargin,
 

@@ -443,7 +443,7 @@ object Processors {
         val static = Set("Routing Strategy", "Matching Strategy",
           "Character Set", "Ignore Leading/Trailing Whitespace",
           "Ignore Case", "Grouping Regular Expression",
-          "Segmentation Strategy")
+          "Grouping Fallback Value", "Segmentation Strategy")
         val strat = prop("Matching Strategy", "Starts With") match {
           case "Ends With"            => Routing.EndsWith
           case "Contains"             => Routing.ContainsStr
@@ -456,23 +456,29 @@ object Processors {
         val rules = dynamicProps(static).map { case (rel, v) =>
           (rel, strat, v) }
         val grouping = props.get("Grouping Regular Expression")
+        val fallback = prop("Grouping Fallback Value", "")
         val trimWs = Units.parseBool(
           prop("Ignore Leading/Trailing Whitespace", "true"))
         val noCase = Units.parseBool(prop("Ignore Case", "false"))
+        val fullTxt =
+          prop("Segmentation Strategy", "Per Line") == "Full Text"
         val routed = prop("Routing Strategy", "Dynamic Routing") match {
           case "Route On All" => Routing.routeTextQuantified(
             in, content.cast("string"), "\n", rules, Routing.RouteAll,
-            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase,
+            groupingFallback = fallback, fullText = fullTxt)
           case "Route On Any" => Routing.routeTextQuantified(
             in, content.cast("string"), "\n", rules, Routing.RouteAny,
-            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase,
+            groupingFallback = fallback, fullText = fullTxt)
           case _ => Routing.routeText(
             in, content.cast("string"), "\n", rules,
-            grouping, trimWhitespace = trimWs, ignoreCase = noCase)
+            grouping, trimWhitespace = trimWs, ignoreCase = noCase,
+            groupingFallback = fallback, fullText = fullTxt)
         }
         // reassemble one FlowFile per (relationship, group) per input row
-        // (RouteText.cpp:225): merged lines become the content
-        val merged = Routing.routeTextMerged(routed, "\n",
+        // (RouteText.cpp:225): raw segments concatenate into the content
+        val merged = Routing.routeTextMerged(routed,
           perDocCol = Some(col(FlowFrame.Uuid)))
         val withGroup =
           if (merged.columns.contains("group"))

@@ -63,36 +63,90 @@ object Routing {
    * codegen. SatisfiesExpression predicates compile through ElCompiler
    * with `line`/`lineNo`/`segment`/`segmentNo` resolving to the segment
    * columns and everything else to `attrs`.
+   *
+   * Segmentation follows the reference byte-exactly
+   * (RouteText.cpp:87-104 ReadCallback): each PER-LINE segment KEEPS its
+   * trailing delimiter ("include newline character to be in-line with
+   * nifi semantics"), content ending in the delimiter yields no trailing
+   * empty segment, and empty content yields no segments at all. Matching
+   * uses the PREPROCESSED value (RouteText.cpp:293-307: trailing \r/\n
+   * run stripped, then whitespace trim when enabled) for every strategy
+   * EXCEPT SatisfiesExpression, which sees the raw segment including its
+   * line ending (RouteText.cpp:233-236 "an Expression has access to the
+   * raw segment like in nifi"). EL-visible segment numbers are 1-based
+   * (RouteTextTests.cpp:463); the output lineNo column stays 0-based like
+   * the fragment index, and the output `line` column is the RAW segment —
+   * reassembly concatenates raw segments (RouteText.cpp:247
+   * `+= original_value`).
    */
   def routeText(df: DataFrame, contentCol: Column, delimiter: String,
                 rules: Seq[(String, MatchStrategy, String)],
                 groupingRegex: Option[String] = None,
                 attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs,
                 trimWhitespace: Boolean = false,
-                ignoreCase: Boolean = false): DataFrame = {
-    val lines = df.select(df.columns.map(col) :+
-      posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
-        .as(Seq("lineNo", "line")): _*)
-    // "Ignore Leading/Trailing Whitespace" preprocess (RouteText.cpp:231);
-    // the emitted `line` stays the ORIGINAL value, as upstream. Case policy
-    // (RouteText.h:141 IgnoreCase) folds both sides; neither applies to
-    // SatisfiesExpression, which sees the raw segment (RouteText.cpp:234).
-    // EL-visible segment numbers are 1-based (RouteTextTests.cpp:463);
-    // the output lineNo column stays 0-based like the fragment index.
+                ignoreCase: Boolean = false,
+                groupingFallback: String = "",
+                fullText: Boolean = false): DataFrame = {
+    val lines = segmented(df, contentCol, delimiter, fullText)
     val matched = filter(
       array(rules.map { case (rel, s, v) =>
-        when(coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase),
-          lit(false)), rel)
+        when(coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase,
+          delimiter, fullText), lit(false)), rel)
       }: _*), x => x.isNotNull)
     val routedDf = lines.withColumn(FlowFrame.Relationship,
       explode(when(size(matched) === 0, array(lit("unmatched"))).otherwise(matched)))
+    withGroup(routedDf, groupingRegex, groupingFallback, trimWhitespace,
+      delimiter, fullText)
+  }
+
+  /** Reference segmentation (RouteText.cpp:87-104): PER-LINE segments
+    * keep their delimiter; no trailing empty segment; empty content → no
+    * segments. FULL-TEXT is one segment of the whole content. */
+  private def segmented(df: DataFrame, contentCol: Column, delimiter: String,
+                        fullText: Boolean): DataFrame = {
+    val segs =
+      if (fullText) when(length(contentCol) > 0, array(contentCol))
+        .otherwise(array().cast("array<string>"))
+      else filter(
+        split(contentCol, "(?<=" + java.util.regex.Pattern.quote(delimiter) + ")", -1),
+        s => s =!= lit(""))
+    df.select(df.columns.map(col) :+
+      posexplode(segs).as(Seq("lineNo", "line")): _*)
+  }
+
+  /** The preprocess of the current `line` (RouteText.cpp:293-307): strip
+    * the trailing delimiter/\r run (PER-LINE only), then whitespace-trim
+    * when enabled. Case folding is matching-time, not preprocess. */
+  private def preprocessed(trimWhitespace: Boolean, delimiter: String,
+                           fullText: Boolean): Column = {
+    val stripped =
+      if (fullText) col("line")
+      else regexp_replace(col("line"),
+        "(?:" + java.util.regex.Pattern.quote(delimiter) + "|\r)+$", "")
+    if (trimWhitespace)
+      regexp_replace(regexp_replace(stripped, "^\\s+", ""), "\\s+$", "")
+    else stripped
+  }
+
+  /** Group extraction (RouteText.cpp:373-388): FULL regex match on the
+    * preprocessed segment; ALL capture groups joined with ", " (unused
+    * groups as empty strings); no match → the fallback value. */
+  private def withGroup(routedDf: DataFrame, groupingRegex: Option[String],
+                        fallback: String, trimWhitespace: Boolean,
+                        delimiter: String, fullText: Boolean): DataFrame =
     groupingRegex match {
-      // group extraction always uses the preprocessed value (RouteText.cpp:240)
-      case Some(re) => routedDf.withColumn("group",
-        regexp_extract(preprocessed(trimWhitespace, ignoreCase), re, 1))
+      case Some(re) =>
+        val pre = preprocessed(trimWhitespace, delimiter, fullText)
+        val anchored = "^(?:" + re + ")$"
+        val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+        val joined =
+          if (n == 0) lit("")
+          else concat_ws(", ", (1 to n).map(i =>
+            regexp_extract(pre, anchored, i)): _*)
+        routedDf.withColumn("group",
+          when(pre.rlike(anchored), joined).otherwise(lit(fallback)))
       case None => routedDf
     }
-  }
 
   /** RouteText "Routing Strategy" (RouteText.h:37-41). */
   sealed trait RoutingStrategy
@@ -116,41 +170,36 @@ object Routing {
                           groupingRegex: Option[String] = None,
                           attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs,
                           trimWhitespace: Boolean = false,
-                          ignoreCase: Boolean = false): DataFrame = {
+                          ignoreCase: Boolean = false,
+                          groupingFallback: String = "",
+                          fullText: Boolean = false): DataFrame = {
     require(strategy != DynamicRouting, "use routeText for dynamic routing")
-    val lines = df.select(df.columns.map(col) :+
-      posexplode(split(contentCol, java.util.regex.Pattern.quote(delimiter)))
-        .as(Seq("lineNo", "line")): _*)
+    val lines = segmented(df, contentCol, delimiter, fullText)
     val preds = rules.map { case (_, s, v) =>
-      coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase), lit(false))
+      coalesce(lineMatches(s, v, attrs, trimWhitespace, ignoreCase,
+        delimiter, fullText), lit(false))
     }
+    // vacuous quantifiers as in the reference's ranges::all_of/any_of
     val isMatched = strategy match {
-      case RouteAll => preds.reduce(_ && _)
-      case _        => preds.reduce(_ || _)
+      case RouteAll => preds.reduceOption(_ && _).getOrElse(lit(true))
+      case _        => preds.reduceOption(_ || _).getOrElse(lit(false))
     }
     val out = lines.withColumn(FlowFrame.Relationship,
       when(isMatched, "matched").otherwise("unmatched"))
-    groupingRegex match {
-      case Some(re) =>
-        out.withColumn("group", regexp_extract(preprocessed(trimWhitespace,
-          ignoreCase), re, 1))
-      case None => out
-    }
-  }
-
-  /** The trim/case preprocess of the current `line` (RouteText.cpp:231). */
-  private def preprocessed(trimWhitespace: Boolean, ignoreCase: Boolean): Column = {
-    val p0 = if (trimWhitespace) trim(col("line")) else col("line")
-    if (ignoreCase) lower(p0) else p0
+    withGroup(out, groupingRegex, groupingFallback, trimWhitespace,
+      delimiter, fullText)
   }
 
   /** One rule's match predicate over the exploded `line`/`lineNo` columns. */
   private def lineMatches(s: MatchStrategy, v: String,
                           attrs: ElCompiler.AttrResolver,
-                          trimWhitespace: Boolean, ignoreCase: Boolean): Column = {
-    val pre = preprocessed(trimWhitespace, ignoreCase)
+                          trimWhitespace: Boolean, ignoreCase: Boolean,
+                          delimiter: String, fullText: Boolean): Column = {
+    val pre0 = preprocessed(trimWhitespace, delimiter, fullText)
+    val pre = if (ignoreCase) lower(pre0) else pre0
     def v2: String = if (ignoreCase) v.toLowerCase else v
     val segmentAttrs: ElCompiler.AttrResolver = {
+      // raw segment incl. line ending (RouteText.cpp:233-236), 1-based no
       case "line" | "segment"     => col("line")
       case "lineNo" | "segmentNo" => (col("lineNo") + 1).cast("string")
       case other                  => attrs(other)
@@ -169,11 +218,12 @@ object Routing {
   /**
    * RouteText output assembly (RouteText.cpp:225,243-251
    * `flow_file_contents[{rel, group}] += segment`): the reference emits ONE
-   * FlowFile per (relationship, group) holding that route's segments in
-   * original order. One shuffle on the output key; order restored from
-   * lineNo inside the group, not a global sort.
+   * FlowFile per (relationship, group) holding that route's RAW segments
+   * CONCATENATED in original order — segments carry their own line
+   * endings, so no demarcator is inserted. One shuffle on the output key;
+   * order restored from lineNo inside the group, not a global sort.
    */
-  def routeTextMerged(routed: DataFrame, delimiter: String,
+  def routeTextMerged(routed: DataFrame,
                       perDocCol: Option[Column] = None): DataFrame = {
     val keys = Seq(col(FlowFrame.Relationship)) ++
       (if (routed.columns.contains("group")) Seq(col("group")) else Nil) ++
@@ -182,7 +232,7 @@ object Routing {
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("lineNo").as("n"), col("line").as("l")))),
-          e => e.getField("l")), delimiter).as("merged"),
+          e => e.getField("l")), "").as("merged"),
         count(lit(1)).as("lineCount"))
   }
 

@@ -1074,9 +1074,11 @@ class FlowSpec extends SparkSpec {
         col("content"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSet
+    // raw segments keep their line endings and concatenate without a
+    // demarcator (RouteText.cpp:247)
     assert(rows === Set(
-      ("apples", "apple", "apple one\napple two"),
-      ("bananas", "banana", "banana one"),
+      ("apples", "apple", "apple one\napple two\n"),
+      ("bananas", "banana", "banana one\n"),
       ("unmatched", "cherry", "cherry three")))
   }
 }

@@ -123,8 +123,9 @@ class OperatorSpec extends SparkSpec {
     val got = routed.orderBy("lineNo")
       .select("relationship", "line").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    // matching trims+folds; the emitted line is untouched
-    assert(got === Seq(("errs", "  ERROR x "), ("warns", "warn y"),
+    // matching trims+folds; the emitted line is the RAW segment with its
+    // line ending (RouteText.cpp:247 accumulates original_value)
+    assert(got === Seq(("errs", "  ERROR x \n"), ("warns", "warn y\n"),
       ("unmatched", "ok")))
   }
 
@@ -147,13 +148,17 @@ class OperatorSpec extends SparkSpec {
 
   test("RouteText Satisfies Expression: EL over segment/line variables " +
        "(RouteText.h:98, RouteTextTests.cpp:221,458)") {
-    val df = spark.createDataFrame(Seq(Tuple1("seven\nSeVeN\nven")))
-      .toDF("content")
+    // one FlowFile per word as in RouteTextTests.cpp:221 — the EL sees the
+    // RAW segment, so a multi-line content's non-final segments would
+    // carry their "\n" into equals()
+    val df = spark.createDataFrame(Seq(
+      Tuple1("seven"), Tuple1("SeVeN"), Tuple1("ven"))).toDF("content")
     val routed = Routing.routeText(df, col("content"), "\n",
       Seq(("here", Routing.SatisfiesExpression, "${segment:equals('seven')}")))
-    val rels = routed.orderBy("lineNo").select("relationship")
+    val rels = routed.orderBy(col("content")).select("relationship")
       .collect().map(_.getString(0)).toSeq
-    assert(rels === Seq("here", "unmatched", "unmatched"))
+    // ordered by content: SeVeN, seven, ven
+    assert(rels === Seq("unmatched", "here", "unmatched"))
 
     // injected 1-based lineNo/segmentNo variables (RouteTextTests.cpp:463)
     val df2 = spark.createDataFrame(Seq(Tuple1("toA\ntoB\ntoA"))).toDF("content")
