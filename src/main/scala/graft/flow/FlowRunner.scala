@@ -544,7 +544,23 @@ object Processors {
         fragmentFrame(frags, "segmentIndex", "segment", countCol = None)
 
       case "MergeContent" =>
-        val demarcator = delimProp("Demarcator", "")
+        // Delimiter Strategy (MergeContent.h:332-336): "Filename" resolves
+        // Header/Footer/Demarcator as files to read; "Text" (our dispatch
+        // default — shipped configs carry literal text) uses the property
+        // value. Both the reference's "Header File" and NiFi's "Header"
+        // spellings are accepted.
+        def delimiter(names: Seq[String]): String = {
+          val raw = names.collectFirst {
+            case n if props.contains(n) => delimProp(n, "")
+          }.getOrElse("")
+          if (prop("Delimiter Strategy", "Text") == "Filename" && raw.nonEmpty)
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(raw)), "UTF-8")
+          else raw
+        }
+        val demarcator = delimiter(Seq("Demarcator", "Demarcator File"))
+        val headerTxt = delimiter(Seq("Header", "Header File"))
+        val footerTxt = delimiter(Seq("Footer", "Footer File"))
         prop("Merge Strategy", "Defragment") match {
           case "Defragment" =>
             // the input feeds THREE subtrees (content merge, member-count
@@ -558,7 +574,7 @@ object Processors {
               FlowFrame.attr(FlowFrame.FragmentAttrs.Index).cast("int"),
               content.cast("string"),
               FlowFrame.attr(FlowFrame.FragmentAttrs.Count).cast("long"),
-              demarcator)
+              demarcator, headerTxt, footerTxt)
             // member attributes merge per the Attribute Strategy
             // (MergeFileTests.cpp:600-700); fragment bookkeeping attrs are
             // per-member by construction and excluded like the reference's
@@ -609,14 +625,17 @@ object Processors {
                   .otherwise("failure").as(FlowFrame.Relationship))
           case _ => // "Bin-Packing Algorithm"
             // without a correlation attribute every row would share one
-            // window partition (a single-partition sort at scale); bins
-            // are arbitrary arrival groupings in the reference, so
-            // partition-local binning is an equally valid grouping and
-            // keeps the window partitioned
+            // sequential pack partition at scale; bins are arbitrary
+            // arrival groupings in the reference, so partition-local
+            // binning is an equally valid grouping and keeps the pack
+            // parallel
             val corr = props.get("Correlation Attribute Name")
               .map(FlowFrame.attr)
               .getOrElse(spark_partition_id().cast("string"))
-            val merged = SplitMerge.mergeContentBinPackSized(in,
+            // strict-fit + close-when-ready packing, the reference's
+            // exact Bin::offer/isReadyForMerge rules (MergeFileTests.cpp
+            // "Maximum Group Size is respected")
+            val merged = SplitMerge.mergeContentBinPackStrict(in,
               corr, col(FlowFrame.Uuid), content.cast("string"),
               maxEntries = prop("Maximum Number of Entries", "1000").toInt,
               maxGroupSize = props.get("Maximum Group Size")
@@ -625,7 +644,7 @@ object Processors {
               minGroupSize = props.get("Minimum Group Size")
                 .map(Units.parseBytes).getOrElse(0L),
               demarcator = demarcator,
-              header = prop("Header", ""), footer = prop("Footer", ""))
+              header = headerTxt, footer = footerTxt)
             merged.select(
               expr("uuid()").as(FlowFrame.Uuid),
               map(lit("merge.count"), col("mergeCount").cast("string"),

@@ -209,14 +209,17 @@ object SplitMerge {
    */
   def mergeContentDefragment(frags: DataFrame, idCol: Column, indexCol: Column,
                              fragmentCol: Column, countCol: Column,
-                             demarcator: String): DataFrame =
+                             demarcator: String,
+                             header: String = "", footer: String = ""): DataFrame =
     frags
       .groupBy(idCol.as("mergeId"))
       .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(indexCol.as("i"), fragmentCol.as("f")))),
-            e => e.getField("f")),
-          demarcator).as("merged"),
+        concat(lit(header),
+          array_join(
+            transform(array_sort(collect_list(struct(indexCol.as("i"), fragmentCol.as("f")))),
+              e => e.getField("f")),
+            demarcator),
+          lit(footer)).as("merged"),
         count(lit(1)).as("fragmentsSeen"),
         first(countCol).as("fragmentsExpected"))
       .withColumn("relationship",
@@ -293,6 +296,104 @@ object SplitMerge {
       .withColumn("relationship",
         when(col("mergeCount") >= minEntries && col("binBytes") >= minGroupSize,
           "merged").otherwise("undersized"))
+  }
+
+  /**
+   * MergeContent Bin-Pack with the reference's EXACT sequential packing
+   * rules (Bin::offer, BinFiles.h:74-97 + BinManager::offer,
+   * BinFiles.cpp:164-190 + gatherReadyBins, BinFiles.cpp:97-115):
+   *
+   *  - STRICT FIT: an entry that would push the open bin past
+   *    `maxGroupSize` bytes or `maxEntries` entries CLOSES the bin (it
+   *    routes `merged`) and starts a new one — unlike
+   *    [[mergeContentBinPackSized]], which admits the straddling entry.
+   *  - CLOSE-WHEN-READY: a bin reaching BOTH `minEntries` and
+   *    `minGroupSize` is ready and closes immediately (`merged`) — the
+   *    reference gathers ready bins every trigger.
+   *  - an entry larger than `maxGroupSize` by itself becomes its own
+   *    ready bin (BinFiles.cpp:166-173).
+   *  - a group's final still-open bin is the reference's PENDING bin; the
+   *    batch sweep routes it `undersized` (the relaxed flush, same as the
+   *    sized variant's below-minimum route).
+   *
+   * Scale shape: strict-fit assignment is a non-associative fold, so it
+   * cannot be a prefix-sum window; instead repartition on the correlation
+   * key + external sortWithinPartitions, then ONE streaming pass per
+   * partition assigns and EMITS bins with O(bin) state (bounded by the
+   * bin caps — exactly what the reference holds per Bin). Parallel across
+   * correlation keys, sequential within one, no second shuffle: the merge
+   * happens in the same scan that assigns bins.
+   */
+  def mergeContentBinPackStrict(df: DataFrame, correlationCol: Column,
+                                orderCol: Column, contentCol: Column,
+                                maxEntries: Int = Int.MaxValue,
+                                maxGroupSize: Long = Long.MaxValue,
+                                minEntries: Int = 1, minGroupSize: Long = 0,
+                                demarcator: String = "",
+                                header: String = "",
+                                footer: String = ""): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val prepped = df
+      .select(coalesce(correlationCol.cast("string"), lit(""))
+          .as("correlation"),
+        orderCol.as("__ord"), // native type: numeric order keys must not
+                              // sort lexicographically
+        coalesce(contentCol.cast("string"), lit("")).as("__content"))
+      .repartition(col("correlation"))
+      .sortWithinPartitions(col("correlation"), col("__ord"))
+    val outSchema = StructType(Seq(
+      StructField("correlation", StringType),
+      StructField("binId", LongType),
+      StructField("mergeCount", LongType),
+      StructField("binBytes", LongType),
+      StructField("memberIds", StringType),
+      StructField("merged", StringType),
+      StructField("relationship", StringType)))
+    val enc = Encoders.row(outSchema)
+    prepped.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var curKey: String = null
+        private var binId = -1L
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var bytes = 0L
+        private val out = scala.collection.mutable.Queue.empty[Row]
+
+        private def close(rel: String): Unit = {
+          if (buf.nonEmpty) {
+            out.enqueue(Row(curKey, binId, buf.size.toLong, bytes,
+              ids.sorted.mkString(","),
+              header + buf.mkString(demarcator) + footer, rel))
+            buf.clear(); ids.clear(); bytes = 0L
+          }
+        }
+        private def consume(r: Row): Unit = {
+          val k = r.getString(0)
+          val c = r.getString(2)
+          val sz = c.length.toLong
+          if (curKey == null || k != curKey) {
+            close("undersized")               // pending bin of previous group
+            curKey = k; binId = -1L
+          }
+          if (buf.nonEmpty &&
+              (bytes + sz > maxGroupSize || buf.size + 1 > maxEntries))
+            close("merged")                   // strict fit: overflow closes
+          if (buf.isEmpty) binId += 1
+          buf += c; ids += String.valueOf(r.get(1)); bytes += sz
+          if (bytes >= minGroupSize && buf.size >= minEntries)
+            close("merged")                   // ready bins gather each trigger
+          else if (buf.size == 1 && bytes > maxGroupSize)
+            close("merged")                   // oversized singleton own bin
+        }
+        def hasNext: Boolean = {
+          while (out.isEmpty && rows.hasNext) consume(rows.next())
+          if (out.isEmpty) close("undersized") // final pending bin
+          out.nonEmpty
+        }
+        def next(): Row = out.dequeue()
+      }
+    }(enc)
   }
 
   /**

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.FlowFrame
+import graft.flow._
+
+/**
+ * Table-driven port of the reference MergeContent battery
+ * (extensions/libarchive/tests/MergeFileTests.cpp) — each case cites its
+ * TEST_CASE. Contents are `repeat(i, 32)` as in MergeFileTests.cpp:200.
+ * Cases run through the real flow dispatch (Processors.apply), so they
+ * exercise the strict-fit packer and the delimiter-strategy resolution.
+ * Scheduling-bound behaviors (per-trigger Batch Size, MaxBinAge resurrect)
+ * map to the batch relaxation: pending bins route to `failure`.
+ */
+class MergeFileSpec extends SparkSpec {
+
+  private val contents: IndexedSeq[String] = (0 to 5).map(i => i.toString * 32)
+
+  private def proc(props: (String, String)*) =
+    ProcessorDef("m", "merge", "org.apache.nifi.minifi.processors.MergeContent",
+      "TIMER_DRIVEN", "1 sec", Set.empty, props.toMap)
+
+  /** FlowFrame rows with deterministic uuids in arrival order. */
+  private def frame(rows: Seq[(String, String, Map[String, String])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("content", StringType),
+      StructField("attributes", MapType(StringType, StringType))))
+    spark.createDataFrame(
+      rows.map { case (u, c, m) => Row(u, c, m) }.asJava, schema)
+      .withColumn("entryDate", current_timestamp())
+      .withColumn("relationship", lit(null: String))
+  }
+
+  private def fragAttrs(id: Int, idx: Int, count: Int) = Map(
+    FlowFrame.FragmentAttrs.Identifier -> id.toString,
+    FlowFrame.FragmentAttrs.Index -> idx.toString,
+    FlowFrame.FragmentAttrs.Count -> count.toString)
+
+  /** The 6 defragment inputs in the reference's scrambled arrival order
+    * {0,2,5,4,1,3} (MergeFileTests.cpp:233). */
+  private def defragInput: DataFrame = frame(
+    Seq(0, 2, 5, 4, 1, 3).zipWithIndex.map { case (i, arrival) =>
+      (s"u$arrival", contents(i),
+        if (i < 3) fragAttrs(0, i, 3) else fragAttrs(1, i - 3, 3))
+    })
+
+  private def mergedContents(out: DataFrame): Seq[String] =
+    out.filter(col(FlowFrame.Relationship) === "merged")
+      .select(col(FlowFrame.Content).cast("string")).collect()
+      .map(_.getString(0)).toSeq.sorted
+
+  test("MergeFileDefragment: scrambled fragments reassemble by index " +
+       "(MergeFileTests.cpp:221)") {
+    val out = Processors.apply(spark,
+      proc("Merge Strategy" -> "Defragment"), Some(defragInput))
+    val merged = mergedContents(out)
+    assert(merged === Seq(
+      contents(0) + contents(1) + contents(2),
+      contents(3) + contents(4) + contents(5)))
+    assert(merged.forall(_.length === 96))
+  }
+
+  test("MergeFileDefragmentDelimiter: header/demarcator/footer resolved " +
+       "from FILES under Delimiter Strategy=Filename (MergeFileTests.cpp:275)") {
+    val dir = java.nio.file.Files.createTempDirectory("mergefile")
+    def write(name: String, text: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      p.toString
+    }
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Defragment",
+      "Delimiter Strategy" -> "Filename",
+      "Header File" -> write("hdr", "header"),
+      "Footer File" -> write("ftr", "footer"),
+      "Demarcator File" -> write("dem", "demarcator")), Some(defragInput))
+    val merged = mergedContents(out)
+    assert(merged === Seq(
+      "header" + contents(0) + "demarcator" + contents(1) + "demarcator" + contents(2) + "footer",
+      "header" + contents(3) + "demarcator" + contents(4) + "demarcator" + contents(5) + "footer"))
+    assert(merged.forall(_.length === 128))
+  }
+
+  test("MergeFileBinPack: Minimum Group Size closes ready bins of three " +
+       "32-byte files (MergeFileTests.cpp:400)") {
+    val in = frame((0 to 5).map(i =>
+      (s"u$i", contents(i), Map("tag" -> "tag"))))
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Bin-Packing Algorithm",
+      "Minimum Group Size" -> "96",
+      "Correlation Attribute Name" -> "tag"), Some(in))
+    assert(mergedContents(out) === Seq(
+      contents(0) + contents(1) + contents(2),
+      contents(3) + contents(4) + contents(5)))
+  }
+
+  test("MergeFileOnAttribute: correlation attribute partitions bins " +
+       "(MergeFileTests.cpp:551)") {
+    val in = frame((0 to 5).map(i =>
+      (s"u$i", contents(i),
+        Map("tag" -> (if (i % 2 == 0) "even" else "odd")))))
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Bin-Packing Algorithm",
+      "Minimum Number of Entries" -> "3",
+      "Correlation Attribute Name" -> "tag"), Some(in))
+    assert(mergedContents(out) === Seq(
+      contents(0) + contents(2) + contents(4),
+      contents(1) + contents(3) + contents(5)))
+  }
+
+  test("Maximum Group Size is respected: strict fit rejects the straddling " +
+       "entry, the pending bin stays unmerged (MergeFileTests.cpp:841)") {
+    val in = frame((0 to 5).map(i =>
+      (s"u$i", contents(i), Map("tag" -> "tag"))))
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Bin-Packing Algorithm",
+      "Minimum Group Size" -> "65", "Maximum Group Size" -> "65",
+      "Minimum Number of Entries" -> "3", "Maximum Number of Entries" -> "3",
+      "Correlation Attribute Name" -> "tag"), Some(in))
+    // 32+32=64 fits; a third would make 96 > 65 → bins of two, merged
+    assert(mergedContents(out) === Seq(
+      contents(0) + contents(1),
+      contents(2) + contents(3)))
+    // the reference leaves [4,5] pending (flow3 absent); the batch sweep
+    // routes the pending bin to failure instead of holding it
+    val pending = out.filter(col(FlowFrame.Relationship) === "failure")
+      .select(col(FlowFrame.Content).cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    assert(pending === Seq(contents(4) + contents(5)))
+  }
+
+  test("Batch Size analog: Maximum Number of Entries bounds bins; the " +
+       "trailing under-minimum bin is the pending one (MergeFileTests.cpp:793)") {
+    // a correlation key keeps the case deterministic — without one the
+    // dispatch bins per partition (the documented arbitrary-grouping
+    // relaxation), which is partition-layout-dependent in a test
+    val in = frame((0 to 4).map(i => (s"u$i", contents(i), Map("tag" -> "t"))))
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Bin-Packing Algorithm",
+      "Minimum Number of Entries" -> "3",
+      "Maximum Number of Entries" -> "3",
+      "Correlation Attribute Name" -> "tag"), Some(in))
+    assert(mergedContents(out) === Seq(contents(0) + contents(1) + contents(2)))
+    val pending = out.filter(col(FlowFrame.Relationship) === "failure")
+      .select(col(FlowFrame.Content).cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    assert(pending === Seq(contents(3) + contents(4)))
+  }
+
+  test("oversized singleton becomes its own ready bin (BinFiles.cpp:166-173)") {
+    val in = frame(Seq(
+      ("u0", "x" * 100, Map("tag" -> "t")),   // alone over the 65-byte max
+      ("u1", contents(1), Map("tag" -> "t")),
+      ("u2", contents(2), Map("tag" -> "t"))))
+    val out = Processors.apply(spark, proc(
+      "Merge Strategy" -> "Bin-Packing Algorithm",
+      "Maximum Group Size" -> "65",
+      "Minimum Number of Entries" -> "2",
+      "Correlation Attribute Name" -> "tag"), Some(in))
+    assert(mergedContents(out) === Seq(contents(1) + contents(2), "x" * 100))
+  }
+}
