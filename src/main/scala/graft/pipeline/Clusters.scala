@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
  * reference-style "keep first" policy and making the result oracle-checkable
  * cross-engine.
  *
- * Scale notes: each iteration is a groupBy(node) + explode — no windows, no
+ * Scale notes: each iteration is a min-agg + same-key re-join (never a
+ * per-node collect_set — a hub node's neighbors stream through the join
+ * instead of accumulating in one agg buffer) — no windows, no
  * driver-side state besides the converged flag (one count per round, the
  * standard driver-coordinated fixpoint loop; the per-round data never
  * collects). localCheckpoint per round truncates the growing lineage so
@@ -54,24 +56,28 @@ object Clusters {
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: for each node u (over BOTH edge directions), link every
-      // strictly-larger neighbor to u's minimum neighbor (including u)
+      // strictly-larger neighbor to u's minimum neighbor (including u).
+      // Shape: min-agg + re-join on u, NOT collect_set+explode — a hub
+      // node's neighbor list never materializes in a single agg buffer
+      // (degenerate graphs: an all-pairs near-dup clique makes one node's
+      // set O(clique)); the join streams hub rows through with an O(1)
+      // build side (one min per node), and both shuffles hash on u so the
+      // exchange is reused.
       val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
         .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      val largeStar = nbrs.groupBy("u")
-        .agg(min(least(col("v"), col("u"))).as("m"),
-          collect_set(col("v")).as("vs"))
-        .select(explode(col("vs")).as("v"), col("u"), col("m"))
+      val largeMins = nbrs.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val largeStar = nbrs.join(largeMins, "u")
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("src"),
           greatest(col("v"), col("m")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
       // small-star: for each node u, link all smaller-or-equal neighbors
-      // (and u) to their collective minimum
+      // (and u) to their collective minimum — same agg+join shape
       val smallNbrs = largeStar.select(col("dst").as("u"), col("src").as("v"))
-      val smallStar = smallNbrs.groupBy("u")
-        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
-        .select(col("u"), col("m"), explode(col("vs")).as("v"))
+      val smallMins = smallNbrs.groupBy("u").agg(min(col("v")).as("m"))
+      val smallStar = smallNbrs.join(smallMins, "u")
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("e"))

@@ -170,7 +170,11 @@ class PipelineSpec extends SparkSpec {
     val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
     val randomEdges = Seq.fill(60)((rnd.nextInt(40) + 100L, rnd.nextInt(40) + 100L))
       .filter { case (a, b) => a != b }
-    val edges = chain ++ clique ++ randomEdges
+    // degenerate hub: one node adjacent to 2000 others — the shape that
+    // would blow up a per-node neighbor-set agg buffer; the agg+join
+    // formulation streams it
+    val hub = (1L to 2000L).map(i => (1000000L, 1000000L + i))
+    val edges = chain ++ clique ++ randomEdges ++ hub
     // naive union-find reference
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
