@@ -1104,6 +1104,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.1/§2.2 GetCouchbaseKey + PutCouchbaseKey round trip against the
+    // in-memory stand-in cluster (the wire boundary; routing/attribute
+    // semantics are the real surface, sources/Couchbase.scala)
+    "couchbase_roundtrip" -> ((s, dir) => {
+      import graft.sources.Couchbase
+      val coords = Couchbase.Coords("graft")
+      val docs = tbl(s, dir, "documents")
+      // PutCouchbaseKey: content keyed by the doc_id attribute
+      Couchbase.putKey(FlowFrame.wrap(docs, "text", Seq("doc_id")),
+        () => Couchbase.InMemory(dir), coords, docIdAttr = Some("doc_id"))
+        .filter(col(FlowFrame.Relationship) === "success").count()
+      // GetCouchbaseKey: fetch back by Document Id; value becomes content
+      val reqs = FlowFrame.wrap(
+        docs.select(col("doc_id"), lit("").as("body")), "body", Seq("doc_id"))
+      Couchbase.getKey(reqs, () => Couchbase.InMemory(dir), coords,
+          docIdAttr = Some("doc_id"))
+        .select(FlowFrame.attr("doc_id").cast("long").as("doc_id"),
+          col(FlowFrame.Content).as("fetched"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.2 PutOPC — typed node writes; unparseable payloads route failure
+    // (putopc.cpp:232; in-memory node store at the wire boundary)
+    "put_opc" -> ((s, dir) => {
+      import graft.sources.Opc
+      val ev = events(s, dir).select(col("event_id"),
+        when(col("event_type") === "error",
+            concat(lit("v"), col("value").cast("string")))
+          .otherwise(col("value").cast("string")).as("payload"))
+      val ff = FlowFrame.wrap(ev, "payload", Seq("event_id"))
+      Opc.putOpc(ff, () => Opc.InMemory(dir), Opc.NodeId(1, "root"),
+          "Double", targetIdAttr = Some("event_id"))
+        .select(FlowFrame.attr("event_id").cast("long").as("event_id"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("event_id")
+    }),
+
     // §2.9 XMLReader / XMLRecordSetWriter round trip (Spark 4 native XML)
     "xml_roundtrip" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2298,6 +2336,16 @@ object SparkEntry {
         |UNION ALL SELECT -9, NULL, 'failure'
         |UNION ALL SELECT -8, NULL, 'failure'
         |ORDER BY doc_id""".stripMargin,
+
+    "couchbase_roundtrip" ->
+      """SELECT doc_id, text AS fetched, 'success' AS relationship
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "put_opc" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+        |   AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "xml_roundtrip" ->
       """SELECT event_id, event_id AS parsed_id, event_type AS parsed_kind

@@ -69,7 +69,10 @@ object FlowFrame {
                                    // (byte-accurate ops like HashContent hash
                                    // the raw claim, HashContent.cpp:57)
       current_timestamp().as(EntryDate),
-      lit(null: String).as(Relationship))
+      // typed null: a bare lit(null) is VOID/NullType, which poisons any
+      // operator that carries this schema through a row encoder (writing a
+      // non-null relationship into a NullType column throws at sink time)
+      lit(null).cast("string").as(Relationship))
   }
 
   /** Read one attribute (null when absent — EL's unmatched-attribute value). */
