@@ -1104,6 +1104,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 ExecuteScript session API — read/write/attribute/transfer per
+    // FlowFile (ops/Script.scala; the reference's onTrigger cadence)
+    "execute_script_session" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(tbl(s, dir, "documents"), "text", Seq("doc_id"))
+      graft.ops.Script.executeScript(ff, session =>
+        session.get().foreach { f =>
+          val txt = session.read(f)
+          if (txt.length < 100) session.transfer(f, "failure")
+          else {
+            session.write(f, txt.substring(0, 30))
+            f.setAttribute("orig_len", txt.length.toString)
+            session.transfer(f, "success")
+          }
+        })
+        .select(FlowFrame.attr("doc_id").cast("long").as("doc_id"),
+          col(FlowFrame.Content).as("content"),
+          FlowFrame.attr("orig_len").cast("long").as("orig_len"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("doc_id")
+    }),
+
     // §2.1/§2.2 GetCouchbaseKey + PutCouchbaseKey round trip against the
     // in-memory stand-in cluster (the wire boundary; routing/attribute
     // semantics are the real surface, sources/Couchbase.scala)
@@ -2339,6 +2360,16 @@ object SparkEntry {
 
     "couchbase_roundtrip" ->
       """SELECT doc_id, text AS fetched, 'success' AS relationship
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "execute_script_session" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) < 100 THEN text ELSE substr(text, 1, 30) END
+        |   AS content,
+        | CASE WHEN length(text) < 100 THEN NULL ELSE length(text) END
+        |   AS orig_len,
+        | CASE WHEN length(text) < 100 THEN 'failure' ELSE 'success' END
+        |   AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "put_opc" ->
