@@ -1104,6 +1104,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.5 SplitText, full reference surface — LineReader lines, 1-based
+    // indices, text.line.count/fragment.size attrs, trailing-newline trim
+    // (ops/SplitMerge.scala computeTextSplits; SplitTextSpec battery)
+    "split_text_full" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("body"))
+      SplitMerge.splitTextFull(docs, col("doc_id"), col("body"),
+          lineSplitCount = 5)
+        .select(col("`fragment.identifier`").cast("long").as("doc_id"),
+          col("fragmentIndex").cast("long").as("fragment_index"),
+          col("fragment"),
+          col("textLineCount").as("text_line_count"),
+          col("fragmentCount").as("fragment_count"),
+          col("fragmentSize").as("fragment_size"))
+        .orderBy("doc_id", "fragment_index")
+    }),
+
     // §2.4 ExecuteScript session API — read/write/attribute/transfer per
     // FlowFile (ops/Script.scala; the reference's onTrigger cadence)
     "execute_script_session" -> ((s, dir) => {
@@ -2361,6 +2378,19 @@ object SparkEntry {
     "couchbase_roundtrip" ->
       """SELECT doc_id, text AS fetched, 'success' AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_text_full" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |e AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, CAST(ceil(len(words)/5.0) AS BIGINT)-1)) AS i
+        |  FROM w)
+        |SELECT doc_id, CAST(i+1 AS BIGINT) AS fragment_index,
+        | array_to_string(list_slice(words, i*5+1, i*5+5), chr(10)) AS fragment,
+        | CAST(len(list_slice(words, i*5+1, i*5+5)) AS BIGINT) AS text_line_count,
+        | CAST(ceil(len(words)/5.0) AS BIGINT) AS fragment_count,
+        | CAST(length(array_to_string(list_slice(words, i*5+1, i*5+5), chr(10))) AS BIGINT)
+        |   AS fragment_size
+        |FROM e ORDER BY doc_id, fragment_index""".stripMargin,
 
     "execute_script_session" ->
       """SELECT doc_id,

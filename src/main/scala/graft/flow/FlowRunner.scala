@@ -506,10 +506,18 @@ object Processors {
 
       // ------------------------------------------------------ split/merge
       case "SplitText" =>
-        val frags = SplitMerge.splitText(in, col(FlowFrame.Uuid),
-          content.cast("string"), "\n",
-          prop("Line Split Count", "1").toInt,
-          headerLines = prop("Header Line Count", "0").toInt)
+        // full reference surface: LineReader lines, size cap, header
+        // lines/markers, trailing-newline trim (SplitText.h:60-113;
+        // semantics pinned by SplitTextSpec)
+        val frags = SplitMerge.splitTextFull(in, col(FlowFrame.Uuid),
+          content.cast("string"),
+          lineSplitCount = prop("Line Split Count", "1").toInt,
+          maxFragmentSize = props.get("Maximum Fragment Size")
+            .map(Units.parseBytes),
+          headerLineCount = prop("Header Line Count", "0").toInt,
+          headerMarker = props.get("Header Line Marker Characters"),
+          trimTrailingNewlines =
+            Units.parseBool(prop("Remove Trailing Newlines", "true")))
         frags.select(
           Lineage.fragmentUuid(col("`fragment.identifier`"),
             col("fragmentIndex")).as(FlowFrame.Uuid),
@@ -520,12 +528,14 @@ object Processors {
             col("fragmentIndex").cast("string"),
             lit(FlowFrame.FragmentAttrs.Count),
             col("fragmentCount").cast("string"),
+            lit("text.line.count"), col("textLineCount").cast("string"),
+            lit("fragment.size"), col("fragmentSize").cast("string"),
             lit(Lineage.EventAttr), lit(Lineage.Fork),
             lit(Lineage.ParentsAttr),
             col("`fragment.identifier`").cast("string")).as(FlowFrame.Attributes),
           col("fragment").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
-          lit("splits").as(FlowFrame.Relationship))
+          col("relationship").as(FlowFrame.Relationship))
 
       case "SplitContent" =>
         val keep = Units.parseBool(prop("Keep Byte Sequence", "false"))

@@ -97,6 +97,131 @@ object SplitMerge {
         col("r.cnt").as("fragmentCount"))
   }
 
+  /** One emitted SplitText fragment (reference output-attribute set,
+    * SplitText.h:115-140): 1-based index, assembled content,
+    * `text.line.count` of non-empty body lines. */
+  final case class TextFragment(index: Int, content: String, lineCount: Long)
+
+  /**
+   * The reference-exact SplitText fragment computation
+   * (SplitText.cpp + detail::LineReader; behaviors pinned by
+   * SplitTextTests.cpp:225-865):
+   *
+   *  - a line INCLUDES its endline; `\r\n` is one endline (LineReader
+   *    LineInfo.endline_size); a final segment without a newline is still
+   *    a line.
+   *  - the header is the first `headerLineCount` lines, or with
+   *    `headerMarker` every leading line starting with the marker; the
+   *    header is prepended to EVERY fragment and counts toward the size
+   *    cap.
+   *  - fragments close when `lineSplitCount` body lines are reached, or
+   *    when adding the next line would push header+body past
+   *    `maxFragmentSize` — but a lone oversized line still forms a
+   *    fragment.
+   *  - with `trimTrailingNewlines` (reference default true) trailing
+   *    `[\r\n]` runs are stripped from each assembled fragment; a
+   *    fragment that trims to empty is dropped WITHOUT consuming an index
+   *    (SplitTextTests.cpp "Fragment index should not be incremented");
+   *    with a header, an only-newlines body emits the trimmed header.
+   *  - Left(failure): header line count exceeds the content's line count,
+   *    or the header alone exceeds `maxFragmentSize` — the whole input
+   *    routes to `failure`.
+   *
+   * Pure per-document computation — the DataFrame wrapper below runs it
+   * narrow (explode, no shuffle), parallel across documents.
+   */
+  private[graft] def computeTextSplits(
+      content: String, lineSplitCount: Int,
+      maxFragmentSize: Option[Long] = None, headerLineCount: Int = 0,
+      headerMarker: Option[String] = None,
+      trimTrailingNewlines: Boolean = true): Either[String, Seq[TextFragment]] = {
+    require(lineSplitCount > 0 || maxFragmentSize.isDefined,
+      "Line Split Count can only be 0 if Maximum Fragment Size is set")
+    require(maxFragmentSize.forall(_ > 0), "Maximum Fragment Size cannot be 0")
+    // LineReader: split AFTER each \n, endline kept with its line
+    val lines = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var i = 0
+      while (i < content.length) {
+        if (content.charAt(i) == '\n') { out += content.substring(start, i + 1); start = i + 1 }
+        i += 1
+      }
+      if (start < content.length) out += content.substring(start)
+      out.toVector
+    }
+    val header: Vector[String] =
+      if (headerLineCount > 0) {
+        if (lines.length < headerLineCount)
+          return Left(s"header line count $headerLineCount exceeds line count ${lines.length}")
+        lines.take(headerLineCount)
+      } else headerMarker.filter(_.nonEmpty)
+        .map(m => lines.takeWhile(_.startsWith(m))).getOrElse(Vector.empty)
+    val headerSize = header.iterator.map(_.length.toLong).sum
+    if (maxFragmentSize.exists(headerSize > _))
+      return Left("header larger than maximum fragment size")
+    val body = lines.drop(header.length)
+
+    val rawFrags = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var cur = Vector.empty[String]
+    var curSize = headerSize
+    body.foreach { line =>
+      val closeBySize = cur.nonEmpty &&
+        maxFragmentSize.exists(m => curSize + line.length > m)
+      val closeByCount = lineSplitCount > 0 && cur.length >= lineSplitCount
+      if (closeBySize || closeByCount) {
+        rawFrags += cur; cur = Vector.empty; curSize = headerSize
+      }
+      cur = cur :+ line; curSize += line.length
+    }
+    if (cur.nonEmpty) rawFrags += cur
+
+    val headerText = header.mkString
+    var idx = 0
+    Right(rawFrags.iterator.flatMap { frag =>
+      val raw = headerText + frag.mkString
+      val out = if (trimTrailingNewlines) raw.replaceAll("[\r\n]+$", "") else raw
+      if (out.isEmpty) None
+      else {
+        idx += 1
+        val nonEmpty = frag.count(_.replaceAll("[\r\n]+$", "").nonEmpty)
+        Some(TextFragment(idx, out, nonEmpty.toLong))
+      }
+    }.toVector)
+  }
+
+  /**
+   * SplitText, full reference surface, as a DataFrame operator: one row
+   * per emitted fragment with the reference's output attribute set —
+   * `fragment.index` (1-based), `fragment.count`, `text.line.count`,
+   * `fragment.size` — or a single `failure` row carrying the original
+   * content. Narrow explode over [[computeTextSplits]].
+   */
+  def splitTextFull(df: DataFrame, idCol: Column, contentCol: Column,
+                    lineSplitCount: Int, maxFragmentSize: Option[Long] = None,
+                    headerLineCount: Int = 0, headerMarker: Option[String] = None,
+                    trimTrailingNewlines: Boolean = true): DataFrame = {
+    val splitUdf = udf { (content: String) =>
+      computeTextSplits(Option(content).getOrElse(""), lineSplitCount,
+        maxFragmentSize, headerLineCount, headerMarker,
+        trimTrailingNewlines) match {
+        case Left(_) => Seq(("failure", 0, Option(content).getOrElse(""), -1L, 0L))
+        case Right(frags) =>
+          frags.map(f => ("splits", f.index, f.content, f.lineCount,
+            frags.size.toLong))
+      }
+    }
+    df.select(idCol.as(FragmentAttrs.Identifier),
+        explode(splitUdf(contentCol)).as("r"))
+      .select(col(s"`${FragmentAttrs.Identifier}`"),
+        col("r._1").as("relationship"),
+        col("r._2").as("fragmentIndex"),
+        col("r._3").as("fragment"),
+        col("r._4").as("textLineCount"),
+        col("r._5").as("fragmentCount"),
+        length(col("r._3")).cast("long").as("fragmentSize"))
+  }
+
   /** SplitContent "Byte Sequence Location" (SplitContent.h:41). */
   sealed trait ByteSequenceLocation
   case object Trailing extends ByteSequenceLocation
