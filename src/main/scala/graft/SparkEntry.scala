@@ -337,7 +337,8 @@ object SparkEntry {
         .select(
           col("`fragment.identifier`").as("doc_id"),
           col("fragmentIndex").cast("long").as("fragment_index"),
-          md5(col("fragment").cast("binary")).as("fragment_md5"))
+          md5(col("fragment").cast("binary")).as("fragment_md5"),
+          col("fragmentCount").as("fragment_count"))
         .orderBy("doc_id", "fragment_index")),
 
     // §2.5 SegmentContent — fixed-size segmentation
@@ -347,7 +348,8 @@ object SparkEntry {
         .select(
           col("`fragment.identifier`").as("doc_id"),
           col("segmentIndex").cast("long").as("segment_index"),
-          col("segment"))
+          col("segment"),
+          col("fragmentCount").as("segment_count"))
         .orderBy("doc_id", "segment_index")),
 
     // §2.5 MergeContent (Defragment) — split→merge round-trip identity
@@ -1761,18 +1763,21 @@ object SparkEntry {
         |  generate_subscripts(string_split(text, ' the '), 1) AS pos
         |  FROM documents),
         |nf AS (SELECT doc_id, fragment,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS fragment_index
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fragment_index,
+        |  count(*) OVER (PARTITION BY doc_id) AS fragment_count
         |  FROM f WHERE fragment <> '')
         |SELECT doc_id, CAST(fragment_index AS BIGINT) AS fragment_index,
-        | md5(fragment) AS fragment_md5
+        | md5(fragment) AS fragment_md5,
+        | CAST(fragment_count AS BIGINT) AS fragment_count
         |FROM nf ORDER BY doc_id, fragment_index""".stripMargin,
 
     "segment_content" ->
       """WITH e AS (SELECT doc_id, text,
         |  unnest(generate_series(0, CAST(ceil(length(text)/100.0) AS BIGINT)-1)) AS i
         |  FROM documents)
-        |SELECT doc_id, CAST(i AS BIGINT) AS segment_index,
-        | substr(text, CAST(i*100+1 AS INT), 100) AS segment
+        |SELECT doc_id, CAST(i+1 AS BIGINT) AS segment_index,
+        | substr(text, CAST(i*100+1 AS INT), 100) AS segment,
+        | CAST(ceil(length(text)/100.0) AS BIGINT) AS segment_count
         |FROM e ORDER BY doc_id, segment_index""".stripMargin,
 
     "merge_content" ->

@@ -545,13 +545,15 @@ object Processors {
         }
         val frags = SplitMerge.splitContent(in, col(FlowFrame.Uuid),
           content.cast("string"), delimProp("Byte Sequence", "\n"), keep, loc)
-        fragmentFrame(frags, "fragmentIndex", "fragment", countCol = None)
+        fragmentFrame(frags, "fragmentIndex", "fragment",
+          countCol = Some("fragmentCount"))
 
       case "SegmentContent" =>
         val frags = SplitMerge.segmentContent(in, col(FlowFrame.Uuid),
           content.cast("string"),
           Units.parseBytes(prop("Segment Size", "1 kB")).toInt)
-        fragmentFrame(frags, "segmentIndex", "segment", countCol = None)
+        fragmentFrame(frags, "segmentIndex", "segment",
+          countCol = Some("fragmentCount"))
 
       case "MergeContent" =>
         // Delimiter Strategy (MergeContent.h:332-336): "Filename" resolves

@@ -249,10 +249,15 @@ object SplitMerge {
         case Leading => transform(parts, (p, i) =>
           when(i > 0, concat(lit(delimiter), p)).otherwise(p))
       }
+    val emitted = filter(assembled, p => length(p) > 0)
     df.select(
       idCol.as(FragmentAttrs.Identifier),
-      posexplode(filter(assembled, p => length(p) > 0))
-        .as(Seq("fragmentIndex", "fragment")))
+      posexplode(emitted).as(Seq("idx0", "fragment")),
+      size(emitted).cast("long").as("fragmentCount"))
+      // one-based indexing (SplitContent.cpp:150)
+      .select(col(s"`${FragmentAttrs.Identifier}`"),
+        (col("idx0") + 1).as("fragmentIndex"), col("fragment"),
+        col("fragmentCount"))
   }
 
   /**
@@ -271,7 +276,12 @@ object SplitMerge {
       lit(1), greatest(nSegs, lit(0)))
     df.select(
       idCol.as(FragmentAttrs.Identifier),
-      posexplode(segs).as(Seq("segmentIndex", "segment")))
+      posexplode(segs).as(Seq("idx0", "segment")),
+      size(segs).cast("long").as("fragmentCount"))
+      // one-based indexing (SegmentContent.cpp:46)
+      .select(col(s"`${FragmentAttrs.Identifier}`"),
+        (col("idx0") + 1).as("segmentIndex"), col("segment"),
+        col("fragmentCount"))
   }
 
   /**

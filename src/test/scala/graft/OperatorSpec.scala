@@ -395,6 +395,56 @@ class OperatorSpec extends SparkSpec {
       === Seq(s05, s05 + tail))
   }
 
+  test("SplitContent keep/location table, sequence-at-edges, 1-based " +
+       "index + count (SplitContentTests.cpp:110-146,248-389,391-417)") {
+    import graft.ops.SplitMerge
+    def run(input: String, delim: String, keep: Boolean,
+            loc: SplitMerge.ByteSequenceLocation): Seq[String] =
+      SplitMerge.splitContent(
+        spark.createDataFrame(Seq((1L, input))).toDF("id", "c"),
+        col("id"), col("c"), delim, keep, loc)
+        .orderBy("fragmentIndex").select("fragment")
+        .collect().map(_.getString(0)).toSeq
+    // TextFormatSplits GENERATE table (cpp:110)
+    val in1 = "This is a test. This is another test. And this is yet another test. Finally this is the last Test."
+    val in2 = "This is a test. This is another test. And this is yet another test. Finally this is the last test"
+    assert(run(in1, "test", keep = true, SplitMerge.Leading) === Seq(
+      "This is a ", "test. This is another ", "test. And this is yet another ",
+      "test. Finally this is the last Test."))
+    assert(run(in1, "test", keep = false, SplitMerge.Leading) === Seq(
+      "This is a ", ". This is another ", ". And this is yet another ",
+      ". Finally this is the last Test."))
+    assert(run(in1, "test", keep = true, SplitMerge.Trailing) === Seq(
+      "This is a test", ". This is another test", ". And this is yet another test",
+      ". Finally this is the last Test."))
+    assert(run(in2, "test", keep = true, SplitMerge.Leading) === Seq(
+      "This is a ", "test. This is another ", "test. And this is yet another ",
+      "test. Finally this is the last ", "test"))
+    assert(run(in2, "test", keep = true, SplitMerge.Trailing) === Seq(
+      "This is a test", ". This is another test", ". And this is yet another test",
+      ". Finally this is the last test"))
+    // sequence at the edges (cpp:248-389; 05x4 / 01 02 03 04 bytes as chars)
+    val s05 = "\u0005\u0005\u0005\u0005"
+    val tail = "\u0001\u0002\u0003\u0004"
+    assert(run(tail + s05, s05, keep = false, SplitMerge.Trailing) === Seq(tail))
+    assert(run(tail + s05, s05, keep = true, SplitMerge.Trailing) === Seq(tail + s05))
+    assert(run(s05 + tail, s05, keep = false, SplitMerge.Trailing) === Seq(tail))
+    assert(run(s05 + tail, s05, keep = true, SplitMerge.Trailing) === Seq(s05, tail))
+    assert(run(s05 + tail, s05, keep = true, SplitMerge.Leading) === Seq(s05 + tail))
+    // non-overlapping leftmost matching (SmallSplits, cpp:148: FF FF FF
+    // splits once on FFFF, third FF stays with the tail)
+    val ff = "\u00FF"
+    assert(run(tail + ff * 3 + tail, ff * 2, keep = false, SplitMerge.Trailing)
+      === Seq(tail, ff + tail))
+    // 1-based fragment.index and fragment.count (cpp:391 NoSplitterInString)
+    val one = SplitMerge.splitContent(
+      spark.createDataFrame(Seq((1L, "UVAT"))).toDF("id", "c"),
+      col("id"), col("c"), ",").collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Int]("fragmentIndex") === 1)
+    assert(one.head.getAs[Long]("fragmentCount") === 1L)
+  }
+
   test("SplitText strict header-edge routing (SplitTextTests.cpp:598-642)") {
     import graft.ops.SplitMerge
     def run(input: String, splitCount: Int, headerCount: Int) =
