@@ -346,13 +346,25 @@ object Transforms {
     val scalarType = returnType == JsonScalar // AutoDetect → JSON here
     val v = call_function("try_parse_json", contentCol.cast("string"))
     val invalid = contentCol.isNull || length(contentCol) === 0 || v.isNull
-    val pv = call_function("try_variant_get", v, lit(path))
-    val vnull = call_function("is_variant_null", pv)
-    val nonScalar =
-      call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
-    val value = when(vnull, lit(if (nullAsEmptyString) "" else "null"))
-      .when(nonScalar, to_json(pv))
-      .otherwise(pv.cast("string"))
+    val (pv, vnull, nonScalar, value) =
+      if (path.contains("[*]")) {
+        // multi-match wildcard query: jsoncons json_query semantics via
+        // get_json_object — one match yields the bare value, several yield
+        // a JSON array (the reference's extractQueryResult takes the lone
+        // element out of a one-element result set,
+        // EvaluateJsonPath.cpp:120-130)
+        val q = get_json_object(contentCol.cast("string"), path)
+        (q, lit(false), q.startsWith("[") || q.startsWith("{"), q)
+      } else {
+        val pv = call_function("try_variant_get", v, lit(path))
+        val vnull = call_function("is_variant_null", pv)
+        val nonScalar =
+          call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
+        val value = when(vnull, lit(if (nullAsEmptyString) "" else "null"))
+          .when(nonScalar, to_json(pv))
+          .otherwise(pv.cast("string"))
+        (pv, vnull, nonScalar, value)
+      }
     val rel = when(invalid, "failure")
       .when(pv.isNull, "unmatched")
       .when(lit(scalarType) && nonScalar && !vnull, "failure")
