@@ -114,6 +114,16 @@ object ElCompiler {
     * quantifiers (std::regex_match, Expression.cpp:800,1172). */
   private[graft] def anchor(pat: String): String = "^(?:" + pat + ")$"
 
+  /** When an EL string is exactly one bare attribute reference
+    * (`${attr.name}`), return the attribute name — processors whose
+    * property is "an attribute or a literal" (Document Id, Target node ID)
+    * use this to decide per-row vs uniform resolution. */
+  private[graft] def soleAttributeRef(el: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("""^\$\{([^${}:]+)\}$""").matcher(el.trim)
+    if (m.matches()) Some(m.group(1).trim) else None
+  }
+
   // Escape family UDFs (Expression.cpp:446-727). Full HTML 3/4 entity
   // tables + XML 5-entity set live in HtmlEntities (simultaneous-replace
   // semantics of utils::string::replaceMap, StringUtils.cpp:197-219).

@@ -943,6 +943,52 @@ object Processors {
         val put = Sinks.putUdpUdf(req("Hostname"), req("Port").toInt)
         in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
 
+      case "GetCouchbaseKey" | "PutCouchbaseKey" =>
+        // the controller service names the cluster (CouchbaseClusterService
+        // "Connection String"); offline that string keys the in-memory
+        // stand-in store — a deployment swaps the factory for a Java-SDK
+        // client and every routing/attribute behavior applies unchanged
+        val svc = service(req("Couchbase Cluster Controller Service"))
+        val conn = svc.properties.getOrElse("Connection String", svc.name)
+        val factory: graft.sources.Couchbase.ClientFactory =
+          () => graft.sources.Couchbase.InMemory(conn)
+        val coords = graft.sources.Couchbase.Coords(
+          prop("Bucket Name", "default"),
+          prop("Scope Name", "_default"),
+          prop("Collection Name", "_default"))
+        // the Document Id property carries a ${attr} EL form (per-row) or
+        // a literal (uniform across rows)
+        val (docIdAttr, docIdLit) = props.get("Document Id") match {
+          case Some(v) => graft.el.ElCompiler.soleAttributeRef(v) match {
+            case Some(a) => (Some(a), None)
+            case None => (None, Some(v))
+          }
+          case None => (None, None)
+        }
+        if (p.kind == "GetCouchbaseKey")
+          graft.sources.Couchbase.getKey(in, factory, coords, docIdAttr,
+            putValueToAttribute = props.get("Put Value to Attribute"),
+            docIdLiteral = docIdLit)
+        else
+          graft.sources.Couchbase.putKey(in, factory, coords, docIdAttr,
+            docIdLiteral = docIdLit)
+
+      case "PutOPC" =>
+        val parent = graft.sources.Opc.NodeId(
+          prop("Parent node namespace index", "0").toInt,
+          req("Parent node ID"))
+        val targetAttr = props.get("Target node ID")
+          .flatMap(graft.el.ElCompiler.soleAttributeRef)
+        val fixedTarget = props.get("Target node ID")
+          .filter(_ => targetAttr.isEmpty)
+          .map(id => graft.sources.Opc.NodeId(
+            prop("Target node namespace index", parent.nsIndex.toString).toInt, id))
+        graft.sources.Opc.putOpc(in,
+          () => graft.sources.Opc.InMemory(req("OPC server endpoint")),
+          parent, prop("Value type", "String"),
+          targetNode = fixedTarget, targetIdAttr = targetAttr,
+          browseName = prop("Target node browse name", ""))
+
       case other => throw new IllegalArgumentException(
         s"processor class '$other' is not supported by the batch FlowRunner" +
           " (supported: GetFile, ListFile, QueryDatabaseTable, " +
@@ -954,7 +1000,8 @@ object Processors {
           "SegmentContent, SplitJson, DefragmentText, MergeContent, " +
           "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, " +
           "PutSplunkHTTP, PostElasticsearch, PushGrafanaLokiREST, " +
-          "PutTCP, PutUDP, PutFile)")
+          "PutTCP, PutUDP, PutFile, GetCouchbaseKey, PutCouchbaseKey, " +
+          "PutOPC)")
     }
   }
 }

@@ -111,7 +111,8 @@ object Couchbase {
    */
   def getKey(df: DataFrame, factory: ClientFactory, coords: Coords,
              docIdAttr: Option[String] = None,
-             putValueToAttribute: Option[String] = None): DataFrame = {
+             putValueToAttribute: Option[String] = None,
+             docIdLiteral: Option[String] = None): DataFrame = {
     val in = normalized(df)
     val schema = in.schema
     val iAttrs = schema.fieldIndex(FlowFrame.Attributes)
@@ -123,7 +124,8 @@ object Couchbase {
       rows.map { r =>
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
-        val docId = docIdAttr.flatMap(a => attrs.get(a)).getOrElse(content)
+        val docId = docIdLiteral
+          .orElse(docIdAttr.flatMap(a => attrs.get(a))).getOrElse(content)
         def withRel(rel: String, newAttrs: Map[String, String] = attrs.toMap,
                     newContent: String = content): Row = {
           val vals = r.toSeq.toArray
@@ -162,7 +164,8 @@ object Couchbase {
    */
   def putKey(df: DataFrame, factory: ClientFactory, coords: Coords,
              docIdAttr: Option[String] = None,
-             persistTo: String = "NONE", replicateTo: String = "NONE"): DataFrame = {
+             persistTo: String = "NONE", replicateTo: String = "NONE",
+             docIdLiteral: Option[String] = None): DataFrame = {
     val in = normalized(df)
     val schema = in.schema
     val iUuid = schema.fieldIndex(FlowFrame.Uuid)
@@ -175,7 +178,7 @@ object Couchbase {
       rows.map { r =>
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
-        val docId = docIdAttr.flatMap(a => attrs.get(a))
+        val docId = docIdLiteral.orElse(docIdAttr.flatMap(a => attrs.get(a)))
           .getOrElse(r.getString(iUuid))
         def withRel(rel: String, newAttrs: Map[String, String] = attrs.toMap): Row = {
           val vals = r.toSeq.toArray

@@ -843,6 +843,83 @@ class FlowSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("success", "ann,7")))
   }
 
+  test("Couchbase flow: PutCouchbaseKey then GetCouchbaseKey through the " +
+       "controller-service-resolved cluster (GetCouchbaseKey.cpp:32-110)") {
+    def yml(kind: String, extra: String) =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: gen
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+         |  Properties: {Batch Size: '1', Custom Text: 'payload-1'}
+         |- name: kv
+         |  id: k
+         |  class: org.apache.nifi.minifi.processors.$kind
+         |  Properties:
+         |    Couchbase Cluster Controller Service: cb-cluster
+         |    Bucket Name: bkt
+         |    Document Id: doc-x
+         |$extra
+         |Connections:
+         |- {id: c1, source id: g, source relationship names: [success], destination id: k}
+         |Controller Services:
+         |- id: cb-cluster
+         |  name: cb-cluster
+         |  class: CouchbaseClusterService
+         |  Properties:
+         |    Connection String: couchbase://flow-spec-cluster
+         |""".stripMargin
+    val put = FlowRunner.run(spark,
+      FlowConfig.parse(yml("PutCouchbaseKey", "")))
+    val putRows = put.output("kv")
+      .select("relationship", "attributes").collect()
+    assert(putRows.length === 1 && putRows.head.getString(0) === "success")
+    assert(putRows.head.getMap[String, String](1)("couchbase.doc.id") === "doc-x")
+    put.release()
+    // fetch it back through a second flow sharing the connection string
+    val get = FlowRunner.run(spark,
+      FlowConfig.parse(yml("GetCouchbaseKey", "")))
+    val getRows = get.output("kv")
+      .select("relationship", "content").collect()
+    assert(getRows.length === 1 && getRows.head.getString(0) === "success")
+    assert(getRows.head.getString(1) === "payload-1")
+    get.release()
+  }
+
+  test("PutOPC flow: typed node write with per-row EL target " +
+       "(putopc.cpp:276-308)") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: '42'}
+        |- name: up
+        |  id: u
+        |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+        |  Properties: {node: 'n1'}
+        |- name: opc
+        |  id: o
+        |  class: org.apache.nifi.minifi.processors.PutOPC
+        |  Properties:
+        |    OPC server endpoint: opc.tcp://flow-spec-opc
+        |    Parent node ID: root
+        |    Parent node namespace index: '1'
+        |    Target node ID: ${node}
+        |    Value type: Int64
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+        |- {id: c2, source id: u, source relationship names: [success], destination id: o}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("opc").select("relationship").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("success"))
+    assert(graft.sources.Opc.InMemory("opc.tcp://flow-spec-opc")
+      .read(graft.sources.Opc.NodeId(1, "n1")) === Some(42L))
+    result.release()
+  }
+
   test("ListFile flow applies min/max size filters from properties " +
        "(ListFile.h:64-83)") {
     val inDir = tmpDir("flow-lf-filter")
