@@ -1110,7 +1110,11 @@ object SparkEntry {
     // indices, text.line.count/fragment.size attrs, trailing-newline trim
     // (ops/SplitMerge.scala computeTextSplits; SplitTextSpec battery)
     "split_text_full" -> ((s, dir) => {
+      // empty and consecutive-space docs are excluded on BOTH sides: the
+      // word→line mapping makes them empty-line cases where splitTextFull's
+      // trim/drop semantics have no list-slice SQL equivalent
       val docs = tbl(s, dir, "documents")
+        .filter(length(col("text")) > 0 && !col("text").contains("  "))
         .select(col("doc_id"), translate(col("text"), " ", "\n").as("body"))
       SplitMerge.splitTextFull(docs, col("doc_id"), col("body"),
           lineSplitCount = 5)
@@ -2385,7 +2389,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "split_text_full" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE length(text) > 0 AND NOT contains(text, '  ')),
         |e AS (SELECT doc_id, words,
         |  unnest(generate_series(0, CAST(ceil(len(words)/5.0) AS BIGINT)-1)) AS i
         |  FROM w)

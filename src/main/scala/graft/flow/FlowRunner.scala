@@ -146,6 +146,16 @@ object Processors {
     * (SplitText.h:152-156 fragment attr convention). Fragments carry a
     * FORK lineage event from their parent (Provenance.h FORK) and a
     * deterministic child uuid (see [[Lineage]]). */
+  /** Scratch attribute carrying a per-row composite-EL evaluation through
+    * an attribute-keyed operator (Document Id / Target node ID); stripped
+    * from the operator's output by [[dropScratchAttr]]. */
+  private val ElScratchAttr = "__graft.el.scratch"
+
+  private def dropScratchAttr(df: DataFrame, used: Boolean): DataFrame =
+    if (!used) df
+    else df.withColumn(FlowFrame.Attributes,
+      map_filter(col(FlowFrame.Attributes), (k, _) => k =!= ElScratchAttr))
+
   private def fragmentFrame(frags: DataFrame, idxCol: String,
                             fragCol: String, countCol: Option[String]): DataFrame = {
     val parent = col("`fragment.identifier`").cast("string")
@@ -508,8 +518,11 @@ object Processors {
       case "SplitText" =>
         // full reference surface: LineReader lines, size cap, header
         // lines/markers, trailing-newline trim (SplitText.h:60-113;
-        // semantics pinned by SplitTextSpec)
-        val frags = SplitMerge.splitTextFull(in, col(FlowFrame.Uuid),
+        // semantics pinned by SplitTextSpec). The input feeds two
+        // subtrees (fragments + failure passthrough) — staged once.
+        val inOnce = tracker.track(in.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val frags = SplitMerge.splitTextFull(inOnce, col(FlowFrame.Uuid),
           content.cast("string"),
           lineSplitCount = prop("Line Split Count", "1").toInt,
           maxFragmentSize = props.get("Maximum Fragment Size")
@@ -518,7 +531,7 @@ object Processors {
           headerMarker = props.get("Header Line Marker Characters"),
           trimTrailingNewlines =
             Units.parseBool(prop("Remove Trailing Newlines", "true")))
-        frags.select(
+        val splits = frags.filter(col("relationship") === "splits").select(
           Lineage.fragmentUuid(col("`fragment.identifier`"),
             col("fragmentIndex")).as(FlowFrame.Uuid),
           map(
@@ -536,6 +549,18 @@ object Processors {
           col("fragment").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
           col("relationship").as(FlowFrame.Relationship))
+        // failure = the ORIGINAL FlowFile routed whole (uuid, attributes
+        // and content untouched — the reference transfers the input to
+        // Failure, it does not fabricate a fragment)
+        val failedIds = frags.filter(col("relationship") === "failure")
+          .select(col("`fragment.identifier`").cast("string").as("__fid"))
+          .distinct()
+        val failures = inOnce
+          .join(failedIds, inOnce(FlowFrame.Uuid) === col("__fid"), "left_semi")
+          .withColumn(FlowFrame.Content, content.cast("string"))
+          .withColumn(FlowFrame.Relationship, lit("failure"))
+          .select(splits.columns.map(c => col(s"`$c`")): _*)
+        splits.unionByName(failures)
 
       case "SplitContent" =>
         val keep = Units.parseBool(prop("Keep Byte Sequence", "false"))
@@ -557,18 +582,27 @@ object Processors {
 
       case "MergeContent" =>
         // Delimiter Strategy (MergeContent.h:332-336): "Filename" resolves
-        // Header/Footer/Demarcator as files to read; "Text" (our dispatch
-        // default — shipped configs carry literal text) uses the property
-        // value. Both the reference's "Header File" and NiFi's "Header"
-        // spellings are accepted.
+        // Header/Footer/Demarcator as files to read, "Text" uses the
+        // property value. The reference's property spellings are
+        // "Header File"/"Demarcator File"/... with strategy default
+        // FILENAME; the bare NiFi spellings ("Demarcator") are accepted as
+        // a dispatch convenience and default to Text — an explicit
+        // Delimiter Strategy property governs both.
         def delimiter(names: Seq[String]): String = {
-          val raw = names.collectFirst {
-            case n if props.contains(n) => delimProp(n, "")
-          }.getOrElse("")
-          if (prop("Delimiter Strategy", "Text") == "Filename" && raw.nonEmpty)
-            new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(raw)), "UTF-8")
-          else raw
+          val hit = names.collectFirst {
+            case n if props.contains(n) => (n, delimProp(n, ""))
+          }
+          hit match {
+            case None => ""
+            case Some((name, raw)) =>
+              val strategyDefault =
+                if (name.endsWith(" File")) "Filename" else "Text"
+              if (prop("Delimiter Strategy", strategyDefault) == "Filename"
+                  && raw.nonEmpty)
+                new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(raw)), "UTF-8")
+              else raw
+          }
         }
         val demarcator = delimiter(Seq("Demarcator", "Demarcator File"))
         val headerTxt = delimiter(Seq("Header", "Header File"))
@@ -956,38 +990,57 @@ object Processors {
           prop("Bucket Name", "default"),
           prop("Scope Name", "_default"),
           prop("Collection Name", "_default"))
-        // the Document Id property carries a ${attr} EL form (per-row) or
-        // a literal (uniform across rows)
-        val (docIdAttr, docIdLit) = props.get("Document Id") match {
+        // the Document Id property carries a bare ${attr} (per-row attr
+        // read), a composite EL template (evaluated per row through the EL
+        // compiler into a scratch attribute), or a literal (uniform)
+        val (docIdAttr, docIdLit, elTmp) = props.get("Document Id") match {
           case Some(v) => graft.el.ElCompiler.soleAttributeRef(v) match {
-            case Some(a) => (Some(a), None)
-            case None => (None, Some(v))
+            case Some(a) => (Some(a), None, false)
+            case None if v.contains("${") => (Some(ElScratchAttr), None, true)
+            case None => (None, Some(v), false)
           }
-          case None => (None, None)
+          case None => (None, None, false)
         }
-        if (p.kind == "GetCouchbaseKey")
-          graft.sources.Couchbase.getKey(in, factory, coords, docIdAttr,
-            putValueToAttribute = props.get("Put Value to Attribute"),
-            docIdLiteral = docIdLit)
-        else
-          graft.sources.Couchbase.putKey(in, factory, coords, docIdAttr,
-            docIdLiteral = docIdLit)
+        val prepared =
+          if (elTmp) FlowFrame.withAttrs(in, Seq(ElScratchAttr ->
+            ElCompiler.template(props("Document Id"))))
+          else in
+        val out =
+          if (p.kind == "GetCouchbaseKey")
+            graft.sources.Couchbase.getKey(prepared, factory, coords, docIdAttr,
+              putValueToAttribute = props.get("Put Value to Attribute"),
+              docIdLiteral = docIdLit)
+          else
+            graft.sources.Couchbase.putKey(prepared, factory, coords, docIdAttr,
+              docIdLiteral = docIdLit)
+        dropScratchAttr(out, elTmp)
 
       case "PutOPC" =>
         val parent = graft.sources.Opc.NodeId(
           prop("Parent node namespace index", "0").toInt,
           req("Parent node ID"))
-        val targetAttr = props.get("Target node ID")
-          .flatMap(graft.el.ElCompiler.soleAttributeRef)
-        val fixedTarget = props.get("Target node ID")
+        // Target node ID: bare ${attr} reads per row, composite EL
+        // evaluates per row into a scratch attribute, literal is fixed
+        val rawTarget = props.get("Target node ID")
+        val soleRef = rawTarget.flatMap(graft.el.ElCompiler.soleAttributeRef)
+        val elTmp = soleRef.isEmpty && rawTarget.exists(_.contains("${"))
+        val targetAttr =
+          if (elTmp) Some(ElScratchAttr) else soleRef
+        val fixedTarget = rawTarget
           .filter(_ => targetAttr.isEmpty)
           .map(id => graft.sources.Opc.NodeId(
             prop("Target node namespace index", parent.nsIndex.toString).toInt, id))
-        graft.sources.Opc.putOpc(in,
+        val prepared =
+          if (elTmp) FlowFrame.withAttrs(in, Seq(ElScratchAttr ->
+            ElCompiler.template(rawTarget.get)))
+          else in
+        dropScratchAttr(graft.sources.Opc.putOpc(prepared,
           () => graft.sources.Opc.InMemory(req("OPC server endpoint")),
           parent, prop("Value type", "String"),
           targetNode = fixedTarget, targetIdAttr = targetAttr,
-          browseName = prop("Target node browse name", ""))
+          browseName = prop("Target node browse name", ""),
+          targetNsIndex = props.get("Target node namespace index").map(_.toInt)),
+          elTmp)
 
       case other => throw new IllegalArgumentException(
         s"processor class '$other' is not supported by the batch FlowRunner" +

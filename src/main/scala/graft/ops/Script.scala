@@ -98,24 +98,32 @@ object Script {
     implicit val enc: Encoder[Row] = Encoders.row(schema)
     in.mapPartitions { rows =>
       rows.flatMap { r =>
-        val ff = new ScriptFlowFile(r.getString(iUuid),
-          r.getMap[String, String](iAttrs).toMap,
-          Option(r.getString(iContent)).getOrElse(""))
+        val origAttrs = r.getMap[String, String](iAttrs).toMap
+        val origContent = Option(r.getString(iContent)).getOrElse("")
+        val ff = new ScriptFlowFile(r.getString(iUuid), origAttrs, origContent)
         val session = new ScriptSession(Some(ff),
           () => java.util.UUID.randomUUID().toString)
         onTrigger(session)
-        def emit(f: ScriptFlowFile, rel: String): Row = {
+        def emit(uuid: String, attrs: Map[String, String], content: String,
+                 rel: String): Row = {
           val vals = r.toSeq.toArray
-          vals(iUuid) = f.uuid
-          vals(iAttrs) = f.attrs
-          vals(iContent) = f.content
+          vals(iUuid) = uuid
+          vals(iAttrs) = attrs
+          vals(iContent) = content
           vals(iRel) = rel
           Row.fromSeq(vals.toIndexedSeq)
         }
+        // remove cancels any earlier transfer of the same FlowFile — the
+        // reference deletes the record outright (ProcessSession::remove)
+        val committed = session.transferred.toSeq
+          .filterNot { case (f, _) => session.removed.exists(_ eq f) }
         val handled = session.transferred.exists(_._1 eq ff) ||
           session.removed.exists(_ eq ff)
-        session.transferred.toSeq.map { case (f, rel) => emit(f, rel) } ++
-          (if (handled) Nil else Seq(emit(ff, null)))
+        committed.map { case (f, rel) => emit(f.uuid, f.attrs, f.content, rel) } ++
+          // rollback analog: the ORIGINAL row, untouched by any partial
+          // script mutation (the reference discards session-local state)
+          (if (handled) Nil
+           else Seq(emit(ff.uuid, origAttrs, origContent, null)))
       }
     }
   }

@@ -201,6 +201,11 @@ object SplitMerge {
                     lineSplitCount: Int, maxFragmentSize: Option[Long] = None,
                     headerLineCount: Int = 0, headerMarker: Option[String] = None,
                     trimTrailingNewlines: Boolean = true): DataFrame = {
+    // property validation fails ONCE on the driver (the reference rejects
+    // the property set at onSchedule) — never per row inside the UDF
+    require(lineSplitCount > 0 || maxFragmentSize.isDefined,
+      "Line Split Count can only be 0 if Maximum Fragment Size is set")
+    require(maxFragmentSize.forall(_ > 0), "Maximum Fragment Size cannot be 0")
     val splitUdf = udf { (content: String) =>
       computeTextSplits(Option(content).getOrElse(""), lineSplitCount,
         maxFragmentSize, headerLineCount, headerMarker,

@@ -262,6 +262,35 @@ object Transforms {
       when(allFound, "matched").otherwise("unmatched"))
   }
 
+  /**
+   * Multi-match wildcard query (`$.a[*].b`): jsoncons json_query
+   * semantics via get_json_object — one match yields the bare value,
+   * several yield a JSON array (extractQueryResult takes the lone element
+   * out of a one-element result set, EvaluateJsonPath.cpp:120-130).
+   * Non-scalar detection re-parses the result text: a genuine array/object
+   * result is valid JSON, a string scalar that merely starts with '[' is
+   * not. Conflations inherent to get_json_object's unquoted output: a
+   * string scalar whose text IS valid JSON (e.g. "[1,2]") classifies as
+   * non-scalar, and a lone null match is indistinguishable from a miss.
+   * Returns (result, isJsonNull, isNonScalar, renderedValue).
+   */
+  private def wildcardQuery(contentCol: Column, path: String,
+                            nullRepr: Column): (Column, Column, Column, Column) = {
+    // get_json_object already unwraps one-element result sets but returns
+    // the element's raw JSON (strings stay quoted) — re-parse to classify
+    // and to unquote scalars via the variant cast
+    val q = get_json_object(contentCol.cast("string"), path)
+    val parsed = call_function("try_parse_json", q)
+    val nonScalar = parsed.isNotNull &&
+      call_function("schema_of_variant", parsed).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
+    val vnull = parsed.isNotNull && call_function("is_variant_null", parsed)
+    val value = when(vnull, nullRepr)
+      .when(nonScalar, q)
+      .when(parsed.isNotNull, parsed.cast("string"))
+      .otherwise(q)
+    (q, vnull, nonScalar, value)
+  }
+
   /** EvaluateJsonPath Return Type (EvaluateJsonPath.h:41-45). */
   sealed trait JsonReturnType
   /** Scalar for the attribute destination, JSON for content
@@ -306,15 +335,22 @@ object Transforms {
     val invalid = contentCol.isNull || length(contentCol) === 0 || v.isNull
     val nullRepr = lit(if (nullAsEmptyString) "" else "null")
     val ps = paths.map { case (name, path) =>
-      val pv = call_function("try_variant_get", v, lit(path))
-      val missing = pv.isNull
-      val vnull = call_function("is_variant_null", pv)
-      val nonScalar =
-        call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
-      val value = when(vnull, nullRepr)
-        .when(nonScalar, to_json(pv))
-        .otherwise(pv.cast("string"))
-      (name, missing, vnull, nonScalar, value)
+      if (path.contains("[*]")) {
+        // multi-match wildcard path — same engine as the content variant
+        val (q, vnull, nonScalar, value) =
+          wildcardQuery(contentCol, path, nullRepr)
+        (name, q.isNull, vnull, nonScalar, value)
+      } else {
+        val pv = call_function("try_variant_get", v, lit(path))
+        val missing = pv.isNull
+        val vnull = call_function("is_variant_null", pv)
+        val nonScalar =
+          call_function("schema_of_variant", pv).rlike("^(OBJECT|ARRAY|STRUCT|MAP)")
+        val value = when(vnull, nullRepr)
+          .when(nonScalar, to_json(pv))
+          .otherwise(pv.cast("string"))
+        (name, missing, vnull, nonScalar, value)
+      }
     }
     val scalarViolation = ps.map { case (_, missing, vnull, nonScalar, _) =>
       !missing && !vnull && nonScalar
@@ -347,15 +383,10 @@ object Transforms {
     val v = call_function("try_parse_json", contentCol.cast("string"))
     val invalid = contentCol.isNull || length(contentCol) === 0 || v.isNull
     val (pv, vnull, nonScalar, value) =
-      if (path.contains("[*]")) {
-        // multi-match wildcard query: jsoncons json_query semantics via
-        // get_json_object — one match yields the bare value, several yield
-        // a JSON array (the reference's extractQueryResult takes the lone
-        // element out of a one-element result set,
-        // EvaluateJsonPath.cpp:120-130)
-        val q = get_json_object(contentCol.cast("string"), path)
-        (q, lit(false), q.startsWith("[") || q.startsWith("{"), q)
-      } else {
+      if (path.contains("[*]"))
+        wildcardQuery(contentCol, path,
+          lit(if (nullAsEmptyString) "" else "null"))
+      else {
         val pv = call_function("try_variant_get", v, lit(path))
         val vnull = call_function("is_variant_null", pv)
         val nonScalar =

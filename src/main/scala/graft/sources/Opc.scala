@@ -87,7 +87,8 @@ object Opc {
   def putOpc(df: DataFrame, factory: ConnectionFactory, parent: NodeId,
              valueType: String, targetNode: Option[NodeId] = None,
              targetIdAttr: Option[String] = None,
-             browseName: String = ""): DataFrame = {
+             browseName: String = "",
+             targetNsIndex: Option[Int] = None): DataFrame = {
     // row-encoder-safe: relationship/content typed string even when the
     // upstream frame carries a VOID null relationship
     val in = df
@@ -105,7 +106,7 @@ object Opc {
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
         val target = targetIdAttr.flatMap(a => attrs.get(a))
-          .map(id => NodeId(parent.nsIndex, id))
+          .map(id => NodeId(targetNsIndex.getOrElse(parent.nsIndex), id))
           .orElse(targetNode)
         val rel = target match {
           case None => "failure" // unresolvable target (putopc.cpp:296-299)

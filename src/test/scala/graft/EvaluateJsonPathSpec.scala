@@ -102,6 +102,25 @@ class EvaluateJsonPathSpec extends SparkSpec {
     assert(rel === "matched" && content === """["John","Jane"]""")
   }
 
+  test("multi-result wildcard query works in the attribute destination " +
+       "too, and fails under the scalar type only for real arrays") {
+    val users = """{"users": [{"name": "John"}, {"name": "Jane"}]}"""
+    // several matches → array → attribute destination is scalar → failure
+    val multi = one(Transforms.evaluateJsonPathFull(ff(users),
+      col(FlowFrame.Content), Seq("names" -> "$.users[*].name")))
+    assert(multi._2 === "failure")
+    // one match → bare scalar lands in the attribute
+    val single = one(Transforms.evaluateJsonPathFull(
+      ff("""{"users": [{"name": "John"}]}"""),
+      col(FlowFrame.Content), Seq("names" -> "$.users[*].name")))
+    assert(single._2 === "matched" && single._3("names") === "John")
+    // a STRING scalar that merely starts with '[' is still a scalar
+    val bracket = one(Transforms.evaluateJsonPathContent(
+      ff("""{"a": ["[x]"]}"""), col(FlowFrame.Content), "$.a[*]",
+      returnType = Transforms.JsonScalar))
+    assert(bracket._2 === "matched" && bracket._1 === "[x]")
+  }
+
   test("null result in content: empty-string vs 'null' representation " +
        "(cpp:269)") {
     val json = """{"id": 1234, "name": {"firstName": "John", "lastName": "Doe", "email": null}}"""

@@ -920,6 +920,74 @@ class FlowSpec extends SparkSpec {
     result.release()
   }
 
+  test("Couchbase flow: composite EL Document Id evaluates per row and " +
+       "the scratch attribute never leaks into the output") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: 'payload-el'}
+        |- name: up
+        |  id: u
+        |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+        |  Properties: {stem: 'doc-el'}
+        |- name: kv
+        |  id: k
+        |  class: org.apache.nifi.minifi.processors.PutCouchbaseKey
+        |  Properties:
+        |    Couchbase Cluster Controller Service: cb-cluster
+        |    Bucket Name: bkt
+        |    Document Id: ${stem}.json
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+        |- {id: c2, source id: u, source relationship names: [success], destination id: k}
+        |Controller Services:
+        |- id: cb-cluster
+        |  name: cb-cluster
+        |  class: CouchbaseClusterService
+        |  Properties:
+        |    Connection String: couchbase://flow-spec-el
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("kv").select("relationship", "attributes").collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "success")
+    val attrs = rows.head.getMap[String, String](1)
+    assert(attrs("couchbase.doc.id") === "doc-el.json")
+    assert(!attrs.keys.exists(_.startsWith("__graft")))
+    val store = graft.sources.Couchbase.InMemory("couchbase://flow-spec-el")
+    assert(new String(store.get(graft.sources.Couchbase.Coords("bkt"),
+      "doc-el.json").toOption.get.value, "UTF-8") === "payload-el")
+    result.release()
+  }
+
+  test("SplitText flow routes header-overrun inputs to failure as the " +
+       "ORIGINAL FlowFile, not a fabricated fragment") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: "l1\nl2"}
+        |- name: split
+        |  id: s
+        |  class: org.apache.nifi.minifi.processors.SplitText
+        |  Properties: {Line Split Count: '1', Header Line Count: '4'}
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("split")
+      .select("relationship", "content", "attributes", "uuid").collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "failure")
+    assert(rows.head.getString(1) === "l1\nl2")
+    val attrs = rows.head.getMap[String, String](2)
+    assert(!attrs.contains("fragment.index") && !attrs.contains("text.line.count"))
+    result.release()
+  }
+
   test("ListFile flow applies min/max size filters from properties " +
        "(ListFile.h:64-83)") {
     val inDir = tmpDir("flow-lf-filter")

@@ -134,6 +134,17 @@ class KvConnectorSpec extends SparkSpec {
     assert(Opc.InMemory(ns).read(Opc.NodeId(1, "n1")) === Some(43L))
   }
 
+  test("PutOPC honors the target namespace index for attribute-resolved " +
+       "targets (putopc.h:78-82)") {
+    val parent = Opc.NodeId(1, "root")
+    val out = Opc.putOpc(frame(Seq(("u1", "7", Map("node" -> "nX")))),
+      () => Opc.InMemory("opc-ns"), parent, "Int64",
+      targetIdAttr = Some("node"), targetNsIndex = Some(2))
+    assert(collectRel(out) === Map("u1" -> "success"))
+    assert(Opc.InMemory("opc-ns").read(Opc.NodeId(2, "nX")) === Some(7L))
+    assert(Opc.InMemory("opc-ns").read(Opc.NodeId(1, "nX")) === None)
+  }
+
   test("PutOPC value types parse per opc.h:50-59 and bad writes or " +
        "unresolvable targets route failure") {
     assert(Opc.parseValue("true", "Boolean") === Some(true))

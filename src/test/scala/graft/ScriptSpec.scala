@@ -114,6 +114,31 @@ class ScriptSpec extends SparkSpec {
       r.head.getString(2) === "keep")
   }
 
+  test("rollback emits the ORIGINAL row even when the script mutated it " +
+       "before bailing out (ProcessSession rollback discards local state)") {
+    val out = Script.executeScript(
+      frame(Seq(("u1", "orig", Map("a" -> "1")))),
+      session => session.get().foreach { ff =>
+        session.write(ff, "partial")
+        ff.setAttribute("poison", "x")
+        // neither transfer nor remove → rollback
+      })
+    val r = out.collect()
+    assert(r.length === 1 && r.head.getString(3) === null)
+    assert(r.head.getString(2) === "orig")
+    assert(r.head.getMap[String, String](1).toMap === Map("a" -> "1"))
+  }
+
+  test("remove cancels an earlier transfer of the same FlowFile " +
+       "(ProcessSession::remove deletes the record)") {
+    val out = Script.executeScript(frame(Seq(("u1", "x", Map.empty))),
+      session => session.get().foreach { ff =>
+        session.transfer(ff, "success")
+        session.remove(ff)
+      })
+    assert(out.collect().isEmpty)
+  }
+
   test("failure routing + one-to-many: a script can clone to multiple " +
        "relationships") {
     val out = Script.executeScript(
