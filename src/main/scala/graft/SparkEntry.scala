@@ -799,6 +799,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // data-mixing recipe: target shares → per-source downsampling rates
+    // at the largest total with no upsampling (pipeline/Sampling.scala)
+    "mixture_rates" -> ((s, dir) =>
+      Sampling.mixtureRates(tbl(s, dir, "documents"), col("source"),
+        Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+        .orderBy("source")),
+
+    "mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureSample(tbl(s, dir, "documents"), col("source"),
+        col("doc_id"), Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+        "mix2")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     "train_split" -> ((s, dir) =>
       Sampling.trainValTestSplit(tbl(s, dir, "documents"), col("doc_id"),
         "split1", 0.75, 0.125)
@@ -2100,6 +2114,31 @@ object SparkEntry {
          |   / 1152921504606846976.0
          |   < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.875 ELSE 0.25 END
          |ORDER BY doc_id""".stripMargin,
+
+    "mixture_rates" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src1','src2','src3') GROUP BY source),
+        |t AS (SELECT source, n,
+        |  CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3 ELSE 0.2 END AS tgt
+        |  FROM c),
+        |s AS (SELECT min(CAST(n AS DOUBLE)/tgt) AS m, sum(n) AS tot FROM t)
+        |SELECT source, n AS n_docs,
+        | CAST(n AS DOUBLE)/CAST(tot AS DOUBLE) AS natural_share,
+        | tgt*m/CAST(n AS DOUBLE) AS rate
+        |FROM t, s ORDER BY source""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src1','src2','src3') GROUP BY source),
+        |t AS (SELECT source, n,
+        |  CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3 ELSE 0.2 END AS tgt
+        |  FROM c),
+        |s AS (SELECT min(CAST(n AS DOUBLE)/tgt) AS m FROM t),
+        |r AS (SELECT source, tgt*m/CAST(n AS DOUBLE) AS rate FROM t, s)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substring(md5('mix2|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |   / 1152921504606846976.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
 
     "train_split" ->
       s"""SELECT doc_id,

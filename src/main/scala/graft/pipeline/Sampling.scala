@@ -72,6 +72,53 @@ object Sampling {
   }
 
   /**
+   * Data-mixing recipe (the Gopher/Pile-style mixture step): given a
+   * target share per source, compute each listed source's document count,
+   * natural share, and the downsampling rate that realizes the target mix
+   * at the LARGEST total achievable without upsampling any source:
+   * M* = min_s(n_s / t_s), rate_s = t_s · M* / n_s (the binding source
+   * keeps rate 1.0). One tiny groupBy — the result has one row per listed
+   * source. Deterministic, engine-portable arithmetic (plain IEEE
+   * doubles, same expression order as the SQL oracle).
+   */
+  def mixtureRates(df: DataFrame, sourceCol: Column,
+                   targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      "target shares must be positive")
+    val counts = df.select(sourceCol.as("source"))
+      .filter(col("source").isin(targetShares.keys.toSeq.map(lit): _*))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val target = targetShares.foldLeft(Option.empty[Column]) {
+      case (acc, (k, t)) =>
+        Some(acc.map(_.when(col("source") === k, lit(t)))
+          .getOrElse(when(col("source") === k, lit(t))))
+    }.get
+    val withT = counts.withColumn("__t", target)
+    // M* is one scalar over a handful of rows — the same
+    // metadata-class aggregate as packSequences' range totals
+    val mStar = min(col("n_docs").cast("double") / col("__t"))
+    val total = sum(col("n_docs"))
+    val scalars = withT.agg(mStar.as("m"), total.as("tot")).collect().head
+    val (m, tot) = (scalars.getDouble(0), scalars.getLong(1))
+    withT.select(col("source"), col("n_docs"),
+      (col("n_docs").cast("double") / lit(tot.toDouble)).as("natural_share"),
+      (col("__t") * lit(m) / col("n_docs").cast("double")).as("rate"))
+  }
+
+  /**
+   * Apply a mixture recipe: documents from listed sources keep with their
+   * computed rate (deterministic id-hash membership via
+   * [[stratifiedSample]]); unlisted sources drop. The collected rate map
+   * is one row per source — recipe metadata, not row data.
+   */
+  def mixtureSample(df: DataFrame, sourceCol: Column, idCol: Column,
+                    targetShares: Map[String, Double], seed: String): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, targetShares).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    stratifiedSample(df, sourceCol, rates, defaultRate = 0.0, idCol, seed)
+  }
+
+  /**
    * Sequence packing for training export: assign each document to a
    * token-budget bin along the deterministic shuffle order — bin =
    * floor(exclusive-prefix-sum(tokens) / budget), i.e. a document belongs

@@ -206,6 +206,37 @@ class PipelineSpec extends SparkSpec {
     assert(Seq(0L, 2L, 4L, 6L, 9L).forall(i => out(i) === ((i, true))))
   }
 
+  test("mixture rates realize the target mix at the no-upsampling maximum " +
+       "and mixtureSample keeps per-source hash membership") {
+    import spark.implicits._
+    // 100/50/10 docs of a/b/c; targets 50/30/20 → M* = min(200, 166.6, 50)
+    // = 50 → rates: a = .5*50/100 = 0.25, b = .3*50/50 = 0.3, c = 1.0
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      (151 to 160).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val rates = Sampling.mixtureRates(docs, col("source"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(rates === Seq(("a", 100L, 0.25), ("b", 50L, 0.3), ("c", 10L, 1.0)))
+    val sampled = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "seed-x")
+    // binding source keeps everything; unlisted would drop (none here);
+    // membership = the stratifiedSample hash rule, reproducible
+    val bySrc = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("c") === 10L)
+    assert(bySrc("a") > 0 && bySrc("a") < 100)
+    val again = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "seed-x")
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // unlisted sources drop entirely
+    val plus = docs.union(Seq((999L, "zz")).toDF("doc_id", "source"))
+    assert(Sampling.mixtureSample(plus, col("source"), col("doc_id"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "seed-x")
+      .filter(col("source") === "zz").count() === 0L)
+  }
+
   test("deterministic shuffle: partitions are hash-contiguous and " +
        "internally sorted (ranged sort, no global single-partition sort)") {
     val docs = spark.range(0, 500).toDF("doc_id")
