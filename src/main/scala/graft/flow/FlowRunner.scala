@@ -716,32 +716,61 @@ object Processors {
           reader.properties.getOrElse("Schema Text",
             throw new IllegalArgumentException(
               s"reader service '${reader.name}' needs a Schema Text property")))
+        // one FlowFile may carry MANY records (array or line-delimited,
+        // JsonRecordTests.cpp:119-127) — the reader yields the record
+        // array, the writer renders each, and the output FlowFile joins
+        // them one-per-line (the writer's One Line Per Object grouping)
         val parsed = reader.clazz match {
           case c if c.endsWith("JsonTreeReader") =>
-            graft.record.Records.jsonTreeReader(content.cast("string"), schema)
+            graft.record.Records.jsonTreeRecords(content.cast("string"), schema)
           case c if c.endsWith("XMLReader") =>
-            graft.record.Records.xmlReader(content.cast("string"), schema)
+            array(graft.record.Records.xmlReader(content.cast("string"), schema))
           case other => throw new IllegalArgumentException(
             s"unsupported record reader '$other'")
         }
-        val written = writer.clazz match {
+        def render(rec: Column): Column = writer.clazz match {
           case c if c.endsWith("JsonRecordSetWriter") =>
-            graft.record.Records.jsonPerObject(col("__rec"))
+            graft.record.Records.jsonPerObject(rec)
           case c if c.endsWith("CSVRecordSetWriter") =>
-            graft.record.Records.jsonToCsvLine(col("__rec"),
-              schema.fieldNames.toSeq)
+            graft.record.Records.jsonToCsvLine(rec, schema.fieldNames.toSeq)
           case c if c.endsWith("XMLRecordSetWriter") =>
-            graft.record.Records.xmlWriter(col("__rec"),
+            graft.record.Records.xmlWriter(rec,
               writer.properties.getOrElse("Name of Record Tag", "record"))
           case other => throw new IllegalArgumentException(
             s"unsupported record writer '$other'")
         }
-        in.withColumn("__rec", parsed)
+        // an element rendering to "{}" carries no fields — the XML
+        // reader's zero-record shape (<record></record>,
+        // ConvertRecordTests.cpp "Empty flow files")
+        val isXml = reader.clazz.endsWith("XMLReader")
+        val recs =
+          if (isXml) filter(col("__raw"), r => to_json(r) =!= "{}")
+          else col("__raw")
+        val readFail = col("__raw").isNull ||
+          exists(col("__raw"), r => r.isNull) ||
+          (if (isXml) lit(false)
+           else graft.record.Records.jsonTreeReadFailed(content.cast("string")))
+        val includeZero =
+          Units.parseBool(prop("Include Zero Record FlowFiles", "true"))
+        in.withColumn("__raw", parsed)
+          .withColumn("__n",
+            when(readFail, lit(-1L)).otherwise(size(recs).cast("long")))
           .withColumn(FlowFrame.Relationship,
-            when(col("__rec").isNull, "failure").otherwise("success"))
+            when(col("__n") >= 0, "success").otherwise("failure"))
+          .withColumn(FlowFrame.Attributes,
+            when(col("__n") >= 0, map_concat(
+              map_filter(col(FlowFrame.Attributes),
+                (k, _) => k =!= "record.count"),
+              map(lit("record.count"), col("__n").cast("string"))))
+              .otherwise(col(FlowFrame.Attributes)))
           .withColumn(FlowFrame.Content,
-            when(col("__rec").isNotNull, written).otherwise(content))
-          .drop("__rec")
+            when(col("__n") > 0,
+              array_join(transform(recs, r => render(r)), "\n"))
+              .when(col("__n") === 0, lit(""))
+              .otherwise(content))
+          // zero-record FlowFiles drop entirely unless included
+          .filter(col("__n") =!= 0 || lit(includeZero))
+          .drop("__raw", "__n")
 
       // ------------------------------------------------- content rewrites
       case "JoltTransformJSON" =>

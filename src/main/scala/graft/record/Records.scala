@@ -26,6 +26,35 @@ object Records {
     from_json(contentCol, schema)
 
   /**
+   * JsonTreeReader over a whole FlowFile content, all THREE reference
+   * input shapes (JsonRecordTests.cpp:32-35,119-127): a JSON array
+   * (compact or pretty-printed) parses as the record list; otherwise each
+   * non-empty line is one record ("one record per line"). Returns
+   * array<struct> — explode for per-record rows. Narrow, codegen'd.
+   */
+  def jsonTreeRecords(contentCol: Column, schema: StructType): Column = {
+    import org.apache.spark.sql.types.ArrayType
+    when(ltrim(contentCol).startsWith("["),
+      from_json(contentCol, ArrayType(schema)))
+      .otherwise(
+        // unparseable lines stay as NULL elements so callers can route
+        // the read failure; empty lines are not records
+        transform(filter(split(contentCol, "\n"), l => length(trim(l)) > 0),
+          l => from_json(l, schema)))
+  }
+
+  /** Read-failure detector companion to [[jsonTreeRecords]]: from_json's
+    * PERMISSIVE mode yields all-null structs for malformed lines, so
+    * validity is checked on the raw text (rapidjson parse failure routes
+    * the FlowFile to failure in the reference). */
+  def jsonTreeReadFailed(contentCol: Column): Column =
+    when(ltrim(contentCol).startsWith("["),
+      call_function("try_parse_json", contentCol).isNull)
+      .otherwise(exists(
+        filter(split(contentCol, "\n"), l => length(trim(l)) > 0),
+        l => call_function("try_parse_json", l).isNull))
+
+  /**
    * JsonRecordSetWriter (JsonRecordSetWriter.h:27-41): serialize records —
    * "one line per object" mode = per-row `to_json`; "array" mode = the
    * caller aggregates with `jsonArray`.
