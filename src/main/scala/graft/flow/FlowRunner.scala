@@ -943,12 +943,23 @@ object Processors {
         val arrayJson =
           if (pathExpr == "$") content.cast("string")
           else get_json_object(content.cast("string"), pathExpr)
+        // a null ELEMENT inside a matched array is data, rendered per
+        // Null Value Representation (SplitJsonTests.cpp "null values");
+        // only a null ARRAY (no match / not an array / invalid JSON)
+        // routes the original FlowFile to failure
+        val nullRepr = prop("Null Value Representation", "empty string") match {
+          case "the string 'null'" => "null"
+          case _ => ""
+        }
         val elems = in
           .withColumn("__fragid", col(FlowFrame.Uuid))
           .withColumn("__arr", Content.splitJsonArray(arrayJson))
           .withColumn("__cnt", size(col("__arr")))
           .select(col("__fragid"), col("__cnt"), col(FlowFrame.Content).as("__orig"),
-            posexplode_outer(col("__arr")).as(Seq("__idx", "__elem")))
+            posexplode_outer(
+              when(col("__arr").isNotNull,
+                transform(col("__arr"), e => coalesce(e, lit(nullRepr))))
+            ).as(Seq("__idx", "__elem")))
         elems.select(
           // splits get deterministic forked identity; a failure row IS the
           // original FlowFile routed on, so it keeps the parent uuid

@@ -324,6 +324,59 @@ class FlowSpec extends SparkSpec {
     assert(attrs.get("merge.count") === Some("3"))
   }
 
+  test("SplitJson battery: scalar/object/multi-match arrays, null value " +
+       "representations, non-array and no-match failures " +
+       "(SplitJsonTests.cpp:67-150)") {
+    def run(content: String, path: String, props: String = "") = {
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '1', Custom Text: '$content'}
+           |- name: sj
+           |  id: s
+           |  class: org.apache.nifi.minifi.processors.SplitJson
+           |  Properties:
+           |    JsonPath Expression: $path
+           |$props
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: s}
+           |""".stripMargin
+      val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+      val rows = result.output("sj")
+        .orderBy(element_at(col("attributes"), "fragment.index").cast("int"))
+        .select("relationship", "content").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      result.release()
+      rows
+    }
+    // array of scalars: strings render unquoted (cpp:128)
+    assert(run("""{"names": ["John", "Jane"]}""", "$.names") ===
+      Seq(("split", "John"), ("split", "Jane")))
+    // multi-match: each match is one split, arrays as JSON text (cpp:132)
+    val depts = """{"company": {"departments": [{"name": "Engineering", "employees": ["Alice", "Bob"]}, {"name": "Marketing", "employees": "Dave"}]}}"""
+    assert(run(depts, "$.company.departments[*].employees") ===
+      Seq(("split", """["Alice","Bob"]"""), ("split", "Dave")))
+    // array of objects: compact JSON per element (cpp:138)
+    assert(run(depts, "$.company.departments[*]").map(_._1) ===
+      Seq("split", "split"))
+    // null elements render per Null Value Representation, NOT failure
+    val fruits = """{"fruits": ["Apple", null, "Banana", null, "Cherry"]}"""
+    assert(run(fruits, "$.fruits") === Seq(("split", "Apple"), ("split", ""),
+      ("split", "Banana"), ("split", ""), ("split", "Cherry")))
+    assert(run(fruits, "$.fruits",
+      "    Null Value Representation: the string 'null'") ===
+      Seq(("split", "Apple"), ("split", "null"), ("split", "Banana"),
+        ("split", "null"), ("split", "Cherry")))
+    // non-array result and unmatched path route the original to failure
+    assert(run("""{"name": "John"}""", "$.name") ===
+      Seq(("failure", """{"name": "John"}""")))
+    assert(run("""{"name": "John"}""", "$.email") ===
+      Seq(("failure", """{"name": "John"}""")))
+  }
+
   test("SplitJson and DefragmentText flow dispatch produce fragments and " +
        "reassembled messages") {
     val inDir = tmpDir("flow-sj")
