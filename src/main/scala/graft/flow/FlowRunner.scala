@@ -142,10 +142,6 @@ object FlowRunner {
  */
 object Processors {
 
-  /** Rebuild the FlowFrame shape from a splitter's fragment output
-    * (SplitText.h:152-156 fragment attr convention). Fragments carry a
-    * FORK lineage event from their parent (Provenance.h FORK) and a
-    * deterministic child uuid (see [[Lineage]]). */
   /** Scratch attribute carrying a per-row composite-EL evaluation through
     * an attribute-keyed operator (Document Id / Target node ID); stripped
     * from the operator's output by [[dropScratchAttr]]. */
@@ -156,6 +152,10 @@ object Processors {
     else df.withColumn(FlowFrame.Attributes,
       map_filter(col(FlowFrame.Attributes), (k, _) => k =!= ElScratchAttr))
 
+  /** Rebuild the FlowFrame shape from a splitter's fragment output
+    * (SplitText.h:152-156 fragment attr convention). Fragments carry a
+    * FORK lineage event from their parent (Provenance.h FORK) and a
+    * deterministic child uuid (see [[Lineage]]). */
   private def fragmentFrame(frags: DataFrame, idxCol: String,
                             fragCol: String, countCol: Option[String]): DataFrame = {
     val parent = col("`fragment.identifier`").cast("string")
@@ -549,18 +549,21 @@ object Processors {
           col("fragment").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
           col("relationship").as(FlowFrame.Relationship))
-        // failure = the ORIGINAL FlowFile routed whole (uuid, attributes
-        // and content untouched — the reference transfers the input to
-        // Failure, it does not fabricate a fragment)
-        val failedIds = frags.filter(col("relationship") === "failure")
-          .select(col("`fragment.identifier`").cast("string").as("__fid"))
+        // failure/original = the ORIGINAL FlowFile routed whole (uuid,
+        // attributes and content untouched — the reference transfers the
+        // input onward, it does not fabricate a fragment; zero-fragment
+        // inputs forward as `original` instead of vanishing)
+        val passIds = frags
+          .filter(col("relationship").isin("failure", "original"))
+          .select(col("`fragment.identifier`").cast("string").as("__fid"),
+            col("relationship").as("__rel"))
           .distinct()
-        val failures = inOnce
-          .join(failedIds, inOnce(FlowFrame.Uuid) === col("__fid"), "left_semi")
+        val passthrough = inOnce
+          .join(passIds, inOnce(FlowFrame.Uuid) === col("__fid"))
           .withColumn(FlowFrame.Content, content.cast("string"))
-          .withColumn(FlowFrame.Relationship, lit("failure"))
+          .withColumn(FlowFrame.Relationship, col("__rel"))
           .select(splits.columns.map(c => col(s"`$c`")): _*)
-        splits.unionByName(failures)
+        splits.unionByName(passthrough)
 
       case "SplitContent" =>
         val keep = Units.parseBool(prop("Keep Byte Sequence", "false"))
@@ -748,7 +751,10 @@ object Processors {
           else col("__raw")
         val readFail = col("__raw").isNull ||
           exists(col("__raw"), r => r.isNull) ||
-          (if (isXml) lit(false)
+          // from_xml's PERMISSIVE mode masks garbage as an all-null
+          // struct; non-XML-shaped text is a read failure, while a
+          // well-formed empty record stays the zero-record success shape
+          (if (isXml) !content.cast("string").rlike("^\\s*<")
            else graft.record.Records.jsonTreeReadFailed(content.cast("string")))
         val includeZero =
           Units.parseBool(prop("Include Zero Record FlowFiles", "true"))

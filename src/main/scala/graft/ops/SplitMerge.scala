@@ -211,6 +211,11 @@ object SplitMerge {
         maxFragmentSize, headerLineCount, headerMarker,
         trimTrailingNewlines) match {
         case Left(_) => Seq(("failure", 0, Option(content).getOrElse(""), -1L, 0L))
+        case Right(frags) if frags.isEmpty =>
+          // zero fragments (empty content, header-consumes-all, trim
+          // leaves nothing): the reference forwards the ORIGINAL onward —
+          // never silently deletes the FlowFile
+          Seq(("original", 0, Option(content).getOrElse(""), 0L, 0L))
         case Right(frags) =>
           frags.map(f => ("splits", f.index, f.content, f.lineCount,
             frags.size.toLong))

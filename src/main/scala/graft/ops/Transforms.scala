@@ -320,10 +320,11 @@ object Transforms {
    * reproduced).
    *
    * Null-vs-missing needs real JSON semantics, which `get_json_object`
-   * conflates: this uses Spark 4 VARIANT (`try_parse_json` +
-   * `try_variant_get` + `is_variant_null`) — missing path = SQL NULL
-   * variant, JSON null = variant null. Single-result JSONPaths only
-   * (`$.a.b[0]`); jsoncons' multi-match wildcard queries are out of scope.
+   * conflates: single-result paths (`$.a.b[0]`) use Spark 4 VARIANT
+   * (`try_parse_json` + `try_variant_get` + `is_variant_null`) — missing
+   * path = SQL NULL variant, JSON null = variant null. Multi-match
+   * wildcard paths (`$.a[*].b`) evaluate through [[wildcardQuery]], with
+   * that helper's documented conflations.
    */
   def evaluateJsonPathFull(df: DataFrame, contentCol: Column,
                            paths: Seq[(String, String)],

@@ -81,40 +81,47 @@ object Sampling {
    * source. Deterministic, engine-portable arithmetic (plain IEEE
    * doubles, same expression order as the SQL oracle).
    */
-  def mixtureRates(df: DataFrame, sourceCol: Column,
-                   targetShares: Map[String, Double]): DataFrame = {
+  /** One counting scan → (source, n_docs, natural_share, rate) rows.
+    * Recipe metadata: a handful of rows collected once, arithmetic on the
+    * driver (plain IEEE doubles, same expression order as the SQL
+    * oracle). A listed source with NO documents is an error — the
+    * no-upsampling maximum would be zero and silently renormalizing would
+    * deliver a different mix than requested. */
+  private def mixtureTable(df: DataFrame, sourceCol: Column,
+                           targetShares: Map[String, Double]): Seq[(String, Long, Double, Double)] = {
     require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
       "target shares must be positive")
     val counts = df.select(sourceCol.as("source"))
       .filter(col("source").isin(targetShares.keys.toSeq.map(lit): _*))
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val target = targetShares.foldLeft(Option.empty[Column]) {
-      case (acc, (k, t)) =>
-        Some(acc.map(_.when(col("source") === k, lit(t)))
-          .getOrElse(when(col("source") === k, lit(t))))
-    }.get
-    val withT = counts.withColumn("__t", target)
-    // M* is one scalar over a handful of rows — the same
-    // metadata-class aggregate as packSequences' range totals
-    val mStar = min(col("n_docs").cast("double") / col("__t"))
-    val total = sum(col("n_docs"))
-    val scalars = withT.agg(mStar.as("m"), total.as("tot")).collect().head
-    val (m, tot) = (scalars.getDouble(0), scalars.getLong(1))
-    withT.select(col("source"), col("n_docs"),
-      (col("n_docs").cast("double") / lit(tot.toDouble)).as("natural_share"),
-      (col("__t") * lit(m) / col("n_docs").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetShares.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixture sources absent from the data: ${missing.toSeq.sorted.mkString(", ")}")
+    val m = counts.map { case (s, n) => n.toDouble / targetShares(s) }.min
+    val tot = counts.values.sum.toDouble
+    counts.toSeq.sortBy(_._1).map { case (s, n) =>
+      (s, n, n.toDouble / tot, targetShares(s) * m / n.toDouble)
+    }
+  }
+
+  def mixtureRates(df: DataFrame, sourceCol: Column,
+                   targetShares: Map[String, Double]): DataFrame = {
+    import df.sparkSession.implicits._
+    mixtureTable(df, sourceCol, targetShares)
+      .toDF("source", "n_docs", "natural_share", "rate")
   }
 
   /**
    * Apply a mixture recipe: documents from listed sources keep with their
    * computed rate (deterministic id-hash membership via
-   * [[stratifiedSample]]); unlisted sources drop. The collected rate map
-   * is one row per source — recipe metadata, not row data.
+   * [[stratifiedSample]]); unlisted sources drop. One counting scan, then
+   * the sampling scan.
    */
   def mixtureSample(df: DataFrame, sourceCol: Column, idCol: Column,
                     targetShares: Map[String, Double], seed: String): DataFrame = {
-    val rates = mixtureRates(df, sourceCol, targetShares).collect()
-      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rates = mixtureTable(df, sourceCol, targetShares)
+      .map { case (s, _, _, rate) => s -> rate }.toMap
     stratifiedSample(df, sourceCol, rates, defaultRate = 0.0, idCol, seed)
   }
 

@@ -34,12 +34,15 @@ object Records {
    */
   def jsonTreeRecords(contentCol: Column, schema: StructType): Column = {
     import org.apache.spark.sql.types.ArrayType
-    when(ltrim(contentCol).startsWith("["),
+    // regex whitespace checks, not trim(): Spark's trim strips spaces
+    // only, and pretty arrays may open after a newline/tab while CRLF
+    // content leaves lone '\r' blank lines
+    when(contentCol.rlike("^\\s*\\["),
       from_json(contentCol, ArrayType(schema)))
       .otherwise(
         // unparseable lines stay as NULL elements so callers can route
-        // the read failure; empty lines are not records
-        transform(filter(split(contentCol, "\n"), l => length(trim(l)) > 0),
+        // the read failure; whitespace-only lines are not records
+        transform(filter(split(contentCol, "\n"), l => l.rlike("\\S")),
           l => from_json(l, schema)))
   }
 
@@ -48,10 +51,10 @@ object Records {
     * validity is checked on the raw text (rapidjson parse failure routes
     * the FlowFile to failure in the reference). */
   def jsonTreeReadFailed(contentCol: Column): Column =
-    when(ltrim(contentCol).startsWith("["),
+    when(contentCol.rlike("^\\s*\\["),
       call_function("try_parse_json", contentCol).isNull)
       .otherwise(exists(
-        filter(split(contentCol, "\n"), l => length(trim(l)) > 0),
+        filter(split(contentCol, "\n"), l => l.rlike("\\S")),
         l => call_function("try_parse_json", l).isNull))
 
   /**

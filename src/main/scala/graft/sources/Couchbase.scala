@@ -124,8 +124,11 @@ object Couchbase {
       rows.map { r =>
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
+        // Option(_) guards null-VALUED attributes (a composite EL that
+        // evaluated to null) — absent and null both fall through
         val docId = docIdLiteral
-          .orElse(docIdAttr.flatMap(a => attrs.get(a))).getOrElse(content)
+          .orElse(docIdAttr.flatMap(a => attrs.get(a)).flatMap(Option(_)))
+          .getOrElse(content)
         def withRel(rel: String, newAttrs: Map[String, String] = attrs.toMap,
                     newContent: String = content): Row = {
           val vals = r.toSeq.toArray
@@ -178,7 +181,8 @@ object Couchbase {
       rows.map { r =>
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
-        val docId = docIdLiteral.orElse(docIdAttr.flatMap(a => attrs.get(a)))
+        val docId = docIdLiteral
+          .orElse(docIdAttr.flatMap(a => attrs.get(a)).flatMap(Option(_)))
           .getOrElse(r.getString(iUuid))
         def withRel(rel: String, newAttrs: Map[String, String] = attrs.toMap): Row = {
           val vals = r.toSeq.toArray

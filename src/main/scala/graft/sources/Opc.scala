@@ -105,7 +105,10 @@ object Opc {
       rows.map { r =>
         val attrs = r.getMap[String, String](iAttrs)
         val content = Option(r.getString(iContent)).getOrElse("")
+        // Option(_) guards null-VALUED attributes (a composite EL that
+        // evaluated to null) — an unresolvable target routes failure
         val target = targetIdAttr.flatMap(a => attrs.get(a))
+          .flatMap(Option(_))
           .map(id => NodeId(targetNsIndex.getOrElse(parent.nsIndex), id))
           .orElse(targetNode)
         val rel = target match {

@@ -119,6 +119,12 @@ class EvaluateJsonPathSpec extends SparkSpec {
       ff("""{"a": ["[x]"]}"""), col(FlowFrame.Content), "$.a[*]",
       returnType = Transforms.JsonScalar))
     assert(bracket._2 === "matched" && bracket._1 === "[x]")
+    // a STRING whose text is 'null' keeps its value: the single-match
+    // result is the element's raw JSON ("null" quoted), so it classifies
+    // as a string, not a JSON null
+    val nullStr = one(Transforms.evaluateJsonPathContent(
+      ff("""{"a": ["null"]}"""), col(FlowFrame.Content), "$.a[*]"))
+    assert(nullStr._2 === "matched" && nullStr._1 === "null")
   }
 
   test("null result in content: empty-string vs 'null' representation " +

@@ -235,6 +235,11 @@ class PipelineSpec extends SparkSpec {
     assert(Sampling.mixtureSample(plus, col("source"), col("doc_id"),
       Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "seed-x")
       .filter(col("source") === "zz").count() === 0L)
+    // a listed source with no documents is an error, not a silent renorm
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(docs, col("source"),
+        Map("a" -> 0.5, "ghost" -> 0.5)).collect()
+    }
   }
 
   test("deterministic shuffle: partitions are hash-contiguous and " +

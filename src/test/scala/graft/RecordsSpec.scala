@@ -34,6 +34,10 @@ class RecordsSpec extends SparkSpec {
     val expected = Seq(("asd", 123L), ("lorem", 98402134L))
     assert(parse(recA + "\n" + recB + "\n") === expected)
     assert(parse(s"[$recA,$recB]") === expected)
+    // leading newline before '[' and CRLF blank lines are whitespace,
+    // not content (regex-based checks, since trim() strips spaces only)
+    assert(parse("\n [" + recA + "," + recB + "]") === expected)
+    assert(parse(recA + "\r\n\r\n" + recB + "\r\n") === expected)
     val pretty =
       s"""[
          |    {
@@ -104,6 +108,15 @@ class RecordsSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getString(0) === "failure")
     assert(rows.head.getString(1) === "not json at all")
     assert(!rows.head.getMap[String, String](2).contains("record.count"))
+    result.release()
+  }
+
+  test("XMLReader: non-XML text routes failure, not zero-record success") {
+    val result = FlowRunner.run(spark, FlowConfig.parse(
+      convertYml("XMLReader", text = "not xml at all")))
+    val rows = result.output("conv").select("relationship", "content").collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "failure")
+    assert(rows.head.getString(1) === "not xml at all")
     result.release()
   }
 

@@ -215,12 +215,12 @@ class SplitTextSpec extends SparkSpec {
     }
   }
 
-  test("DataFrame wrapper: fragment attrs, failure routing, empty input " +
-       "emits nothing") {
+  test("DataFrame wrapper: fragment attrs, failure routing, zero-fragment " +
+       "input forwards as original") {
     import spark.implicits._
     val df = Seq(
       ("d1", "l1\nl2\nl3\n"),
-      ("d2", ""),                      // empty → no rows
+      ("d2", ""),                      // zero fragments → original row
       ("d3", "a\nb\n")).toDF("id", "content")
     val out = SplitMerge.splitTextFull(df, col("id"), col("content"),
       lineSplitCount = 2, trimTrailingNewlines = true)
@@ -230,6 +230,7 @@ class SplitTextSpec extends SparkSpec {
       r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq === Seq(
       ("d1", "splits", 1, "l1\nl2", 2L, 2L, 5L),
       ("d1", "splits", 2, "l3", 1L, 2L, 2L),
+      ("d2", "original", 0, "", 0L, 0L, 0L),
       ("d3", "splits", 1, "a\nb", 2L, 1L, 3L)))
     // header failure → one failure row with the original content
     val fail = SplitMerge.splitTextFull(
