@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -15,6 +16,34 @@ object Bench {
     "execute_sql", "rolling_window_time", "route_text", "merge_content",
     "query_database_table", "dedup_minhash_lsh", "embed_topk", "token_count",
     "pipeline_e2e")
+
+  /** Dedup queries re-measured on a degenerate corpus (below): the rows
+    * that prove the salt caps / keeper aggregates hold under mass
+    * duplication instead of only on the uniform synthetic data. */
+  val skewed: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e")
+
+  /**
+   * Derive a mass-duplicated variant of the sf documents table and stage it
+   * as parquet so the skewed rows read from disk exactly like the uniform
+   * rows: 30% of docs are replaced with ONE identical text (every LSH band
+   * bucket, content hash, and segment set collides for that mass), and one
+   * hot 20-word sentence is appended to EVERY doc (a single shingle/segment
+   * with document frequency = |corpus|). This is the adversarial shape the
+   * salt caps (Dedup.minHashLshPairs), keeper aggregates (Dedup.exact,
+   * dedupSegments) and shingle df-caps are designed for.
+   */
+  private def stageSkewed(spark: SparkSession, sfDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-skew"
+    val hot = (1 to 20).map(i => s"hotword$i").mkString(" ")
+    val dupText = ("mass duplicated boilerplate sentence " * 12).trim
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text",
+        concat(when(col("doc_id") % 10 < 3, lit(dupText))
+          .otherwise(col("text")), lit(" " + hot)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,16 +77,22 @@ object Bench {
     // pipeline_e2e spans many job boundaries and swings 2-10 s), and min is
     // the standard noise-robust point estimate — every rep does the full
     // sf-dir read, so no work is hidden, only scheduler interference.
-    val results = headline.map { name =>
-      val reps = (0 until 3).map { _ =>
+    def minOf3(name: String, dir: String): Double =
+      (0 until 3).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        try { SparkEntry.queries(name)(spark, dir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> reps.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      }.min
+    val results = headline.map(name => name -> minOf3(name, sfDir))
+    // Degenerate-skew rows: same queries, mass-duplicated corpus. Staging
+    // time is excluded (it is test-fixture construction, not query work);
+    // each measured rep still reads the skewed parquet from disk.
+    val skewDir = stageSkewed(spark, sfDir)
+    val skewResults = skewed.map(name => s"skew_$name" -> minOf3(name, skewDir))
+    // total stays headline-only (round-over-round comparable); the skew_*
+    // rows ride along in the queries map for the skew-vs-uniform comparison
+    val qs = (results ++ skewResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -97,7 +97,10 @@ object Sources {
     val sharedSeed = lit(s"gen-$trigger")
     val content: Column = mode match {
       case EmptyContent   => lit("")
-      case CustomText     => ElCompiler.template(customText, _ => lit(null: String))
+      // null EL results render as empty content, never null
+      // (GenerateFlowFileTests.cpp "CustomText evaluates to empty string")
+      case CustomText     =>
+        coalesce(ElCompiler.template(customText, _ => lit(null: String)), lit(""))
       case UniqueText     => keystream(uniqueSeed, fileSize)
       case NotUniqueText  => keystream(sharedSeed, fileSize)
       // byte modes: hex keystream pairs → raw bytes

@@ -445,6 +445,35 @@ class OperatorSpec extends SparkSpec {
     assert(one.head.getAs[Long]("fragmentCount") === 1L)
   }
 
+  test("GenerateFlowFile battery: unique vs shared batch content, exact " +
+       "sizes, empty file, unmatched-EL Custom Text → empty string " +
+       "(GenerateFlowFileTests.cpp:30-153)") {
+    import graft.ops.Sources
+    def contents(mode: Sources.GenerateMode, size: Int = 10,
+                 text: String = ""): Seq[String] =
+      Sources.generateFlowFilesMode(spark, 2, size, mode, customText = text)
+        .orderBy("file_id").select(col("content").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+    val unique = contents(Sources.UniqueText)
+    assert(unique(0).length === 10 && unique(1).length === 10)
+    assert(unique(0) !== unique(1))
+    val shared = contents(Sources.NotUniqueText)
+    assert(shared(0) === shared(1) && shared(0).length === 10)
+    // a later trigger refreshes the shared data (refreshNonUniqueData)
+    val shared2 = Sources.generateFlowFilesMode(spark, 2, 10,
+      Sources.NotUniqueText, trigger = 1L)
+      .select(col("content").cast("string")).collect().map(_.getString(0))
+    assert(shared2(0) !== shared(0))
+    // empty file size → empty content (cpp:71)
+    assert(contents(Sources.EmptyContent, 0) === Seq("", ""))
+    // Custom Text referencing an unset attribute renders EMPTY, not null
+    // (cpp:139 "CustomText evaluates to empty string")
+    assert(contents(Sources.CustomText, text = "${invalid_variable}") ===
+      Seq("", ""))
+    // literal Custom Text shared across the batch (cpp:87)
+    assert(contents(Sources.CustomText, text = "hello") === Seq("hello", "hello"))
+  }
+
   test("SplitText strict header-edge routing (SplitTextTests.cpp:598-642)") {
     import graft.ops.SplitMerge
     def run(input: String, splitCount: Int, headerCount: Int) =
