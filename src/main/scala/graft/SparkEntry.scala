@@ -6,7 +6,7 @@ import graft.core.FlowFrame
 import graft.el.ElCompiler
 import graft.ops._
 import graft.pipeline.{Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
-import graft.record.Records
+import graft.record.{Records, XmlRecords}
 
 /**
  * Driver contract — every implemented operator from SURVEY.md §2 registered
@@ -1201,6 +1201,27 @@ object SparkEntry {
     }),
 
     // §2.9 XMLReader / XMLRecordSetWriter round trip (Spark 4 native XML)
+    // §2.9 XMLReader dynamic mode — schema-INFERRING record parse
+    // (XMLReader.cpp:56-137): typed leaves (unsigned/signed/bool/timestamp/
+    // string), attribute lifting, repeated-tag arrays, mixed-text content
+    // field, emitted as canonical document-order JSON
+    "xml_reader_infer" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val xml = concat(
+        lit("<root><id>"), col("event_id"),
+        lit("</id><neg>"), (-col("user_id") - 1).cast("long"),
+        lit("</neg><kind>"), col("event_type"),
+        lit("</kind><flag>"), when(col("event_id") % 2 === 0, "true").otherwise("false"),
+        lit("</flag><when>2023-03-15T12:34:56Z</when><tag v=\""), col("user_id"),
+        lit("\">txt</tag><item>"), col("user_id"),
+        lit("</item><item>"), col("user_id") + 1,
+        lit("</item>mixed"), col("event_id"), lit("</root>"))
+      ev.select(col("event_id"),
+        element_at(XmlRecords.xmlRecords(xml, parseAttributes = true), 1)
+          .as("record_json"))
+        .orderBy("event_id")
+    }),
+
     "xml_roundtrip" -> ((s, dir) => {
       val ev = events(s, dir)
       val xml = concat(lit("<event><id>"), col("event_id"),
@@ -2455,6 +2476,16 @@ object SparkEntry {
       """SELECT event_id,
         | CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
         |   AS relationship
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "xml_reader_infer" ->
+      """SELECT event_id,
+        | '{"id":' || event_id || ',"neg":' || -(user_id+1) ||
+        | ',"kind":"' || event_type || '","flag":' ||
+        | CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+        | ',"when":"2023-03-15T12:34:56Z","tag":{"v":' || user_id ||
+        | ',"value":"txt"},"item":[' || user_id || ',' || (user_id+1) ||
+        | '],"value":"mixed' || event_id || '"}' AS record_json
         |FROM events ORDER BY event_id""".stripMargin,
 
     "xml_roundtrip" ->

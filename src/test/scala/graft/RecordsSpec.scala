@@ -138,4 +138,158 @@ class RecordsSpec extends SparkSpec {
     assert(drop.output("conv").count() === 0)
     drop.release()
   }
+
+  // ------------------------------------------------------------------
+  // Schema-inferring XMLReader battery (XMLReaderTests.cpp) — the dynamic
+  // reader, not the fixed-schema from_xml path.
+  // ------------------------------------------------------------------
+  import graft.record.XmlRecords
+
+  private def xmlRecs(xml: String, contentField: String = "value",
+                      parseAttributes: Boolean = false, attrPrefix: String = "",
+                      recordsAsArray: Boolean = false): Option[Seq[String]] =
+    XmlRecords.parseRecords(xml, contentField, parseAttributes, attrPrefix,
+      recordsAsArray)
+
+  test("XMLReader: invalid or empty input is a read failure; root-only XML " +
+       "is an empty record set (XMLReaderTests.cpp:56-69)") {
+    assert(xmlRecs("") === None)
+    assert(xmlRecs("<invalid_xml>") === None)
+    assert(xmlRecs("<root></root>") === Some(Nil))
+  }
+
+  test("XMLReader: single data node, empty node, and single child node " +
+       "(XMLReaderTests.cpp:71-94)") {
+    assert(xmlRecs("<root>text</root>") === Some(Seq("""{"value":"text"}""")))
+    assert(xmlRecs("<root><node></node></root>") ===
+      Some(Seq("""{"node":""}""")))
+    assert(xmlRecs("<root><child>text</child></root>") ===
+      Some(Seq("""{"child":"text"}""")))
+  }
+
+  test("XMLReader: leaf type inference — string, unsigned, signed, bool, " +
+       "double, RFC3339 timestamp (XMLReaderTests.cpp:96-113)") {
+    val xml = "<root><string>text</string><number>42</number>" +
+      "<signed>-23</signed><boolean>true</boolean><double>3.14</double>" +
+      "<timestamp>2023-03-15T12:34:56Z</timestamp></root>"
+    assert(xmlRecs(xml) === Some(Seq(
+      """{"string":"text","number":42,"signed":-23,"boolean":true,""" +
+        """"double":3.14,"timestamp":"2023-03-15T12:34:56Z"}""")))
+  }
+
+  test("XMLReader: nested subnodes become record objects " +
+       "(XMLReaderTests.cpp:115-127)") {
+    val xml = "<root><node><subnode1>text1</subnode1><subnode2>" +
+      "<subsub1>text2</subsub1><subsub2>text3</subsub2></subnode2></node></root>"
+    assert(xmlRecs(xml) === Some(Seq(
+      """{"node":{"subnode1":"text1","subnode2":""" +
+        """{"subsub1":"text2","subsub2":"text3"}}}""")))
+  }
+
+  test("XMLReader: mixed nodes and text — text concatenates under the " +
+       "content field name (XMLReaderTests.cpp:129-138)") {
+    val xml = "<root>outtext1<node>nodetext<subnode>subtext</subnode></node>outtext2</root>"
+    assert(xmlRecs(xml) === Some(Seq(
+      """{"node":{"subnode":"subtext","value":"nodetext"},""" +
+        """"value":"outtext1outtext2"}""")))
+  }
+
+  test("XMLReader: repeated sibling tags coalesce into arrays " +
+       "(XMLReaderTests.cpp:140-153)") {
+    val xml = "<root><array><item>value1</item><item>value2</item></array></root>"
+    assert(xmlRecs(xml) === Some(Seq(
+      """{"array":{"item":["value1","value2"]}}""")))
+  }
+
+  test("XMLReader: explicit tags named like the content field are ignored " +
+       "when text data is present (XMLReaderTests.cpp:155-163)") {
+    assert(xmlRecs("<root>s1<value>s2</value><value>s3</value></root>") ===
+      Some(Seq("""{"value":"s1"}""")))
+  }
+
+  test("XMLReader: Field Name for Content names tagless values " +
+       "(XMLReaderTests.cpp:165-174)") {
+    assert(xmlRecs("<root>outtext<node>nodetext</node></root>",
+      contentField = "tagvalue") ===
+      Some(Seq("""{"node":"nodetext","tagvalue":"outtext"}""")))
+  }
+
+  test("XMLReader: Parse XML Attributes lifts attributes into the record " +
+       "(XMLReaderTests.cpp:176-185)") {
+    assert(xmlRecs("""<root><node attribute="attr_value">nodetext</node></root>""",
+      parseAttributes = true) ===
+      Some(Seq("""{"node":{"attribute":"attr_value","value":"nodetext"}}""")))
+    // attributes are ignored entirely when the property is off
+    assert(xmlRecs("""<root><node attribute="attr_value">nodetext</node></root>""") ===
+      Some(Seq("""{"node":"nodetext"}""")))
+  }
+
+  test("XMLReader: attributes in a nested node array — attr-bearing " +
+       "elements force object form, bare repeats stay scalar " +
+       "(XMLReaderTests.cpp:187-204)") {
+    val xml = """<root><node attribute="attr_value">""" +
+      """<subnode subattr="subattr_value">1</subnode>nodetext""" +
+      """<subnode>2</subnode></node></root>"""
+    assert(xmlRecs(xml, parseAttributes = true) === Some(Seq(
+      """{"node":{"attribute":"attr_value","subnode":""" +
+        """[{"subattr":"subattr_value","value":1},2],"value":"nodetext"}}""")))
+  }
+
+  test("XMLReader: attributes and nodes clashing with the content field " +
+       "name are dropped (XMLReaderTests.cpp:206-235)") {
+    assert(xmlRecs(
+      """<root><node><subnode attr="attr_value" tagvalue="attr_value2">value</subnode></node></root>""",
+      contentField = "tagvalue", parseAttributes = true) ===
+      Some(Seq("""{"node":{"subnode":{"attr":"attr_value","tagvalue":"value"}}}""")))
+    assert(xmlRecs("""<root><node>value<tagvalue>ignored</tagvalue></node></root>""",
+      contentField = "tagvalue") ===
+      Some(Seq("""{"node":{"tagvalue":"value"}}""")))
+  }
+
+  test("XMLReader: Attribute Prefix un-clashes attributes from the content " +
+       "field (XMLReaderTests.cpp:237-253)") {
+    assert(xmlRecs(
+      """<root><node><subnode mykey="myattrval" fieldname="myattrval2">value</subnode></node></root>""",
+      contentField = "fieldname", parseAttributes = true, attrPrefix = "attr_") ===
+      Some(Seq("""{"node":{"subnode":{"attr_mykey":"myattrval",""" +
+        """"attr_fieldname":"myattrval2","fieldname":"value"}}}""")))
+  }
+
+  test("XMLReader: Expect Records as Array reads each child of the wrapper " +
+       "as a record (XMLReaderTests.cpp:255-270)") {
+    val xml = "<root><node><message><from>Tony</from><to>Bob</to>" +
+      "<body>Hello</body></message></node><node>Hi!</node></root>"
+    assert(xmlRecs(xml, recordsAsArray = true) === Some(Seq(
+      """{"message":{"from":"Tony","to":"Bob","body":"Hello"}}""",
+      """{"value":"Hi!"}""")))
+  }
+
+  test("XMLReader: strtod-prefix typing quirk and uint64 overflow fall " +
+       "through to double (XMLReader.cpp:74-97)") {
+    // stod parses a numeric *prefix*: "42abc" is the double 42.0
+    assert(XmlRecords.typedLeafJson("42abc") === "42.0")
+    assert(XmlRecords.typedLeafJson("1e3") === "1000.0")
+    // all-digits over uint64 range: stoull throws, stod wins
+    assert(XmlRecords.typedLeafJson("18446744073709551615") ===
+      "18446744073709551615")
+    assert(XmlRecords.typedLeafJson("18446744073709551616") ===
+      "1.8446744073709552E19")
+    // int64 underflow likewise
+    assert(XmlRecords.typedLeafJson("-9223372036854775808") ===
+      "-9223372036854775808")
+    assert(XmlRecords.typedLeafJson("-9223372036854775809") ===
+      "-9.223372036854776E18")
+    assert(XmlRecords.typedLeafJson("") === "\"\"")
+  }
+
+  test("XMLReader column form: per-row record arrays, null on parse failure") {
+    import spark.implicits._
+    val out = Seq(
+      (1, "<root><a>1</a><a>2</a>x</root>"),
+      (2, "<broken")).toDF("id", "c")
+      .select(col("id"), XmlRecords.xmlRecords(col("c")).as("recs"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1) === Seq("""{"a":[1,2],"value":"x"}"""))
+    assert(out(1).isNullAt(1))
+  }
 }
