@@ -399,6 +399,27 @@ object SparkEntry {
           bool_and(col("recCount") <= 500).as("all_within_cap"),
           sum(col("qtySum")).cast("double").as("qty_sum"))),
 
+    // §2.5 SplitRecord per-FlowFile mode — record slicing with the full
+    // fragment attribute set (0-based fragment.index, SplitRecord.cpp:71);
+    // one JSON-lines FlowFile per region, 2 records per split
+    "split_record_flowfile" -> ((s, dir) => {
+      val ff = tbl(s, dir, "nation")
+        .withColumn("line", concat(lit("{\"k\":"), col("n_nationkey"),
+          lit(",\"n\":\""), col("n_name"), lit("\"}")))
+        .groupBy(col("n_regionkey"))
+        .agg(array_sort(collect_list(struct(col("n_nationkey"), col("line"))))
+          .as("ls"))
+        .select(col("n_regionkey"),
+          concat_ws("\n", transform(col("ls"), x => x.getField("line")))
+            .as("content"))
+      SplitMerge.splitRecordJson(ff, col("n_regionkey"), lit("nation.json"),
+        col("content"), lit(2))
+        .filter(col("relationship") === "splits")
+        .select(col("ffId").as("region_key"), col("fragment_index"),
+          col("content"), col("record_count"), col("fragment_count"))
+        .orderBy("region_key", "fragment_index")
+    }),
+
     // §2.5 DefragmentText (batch) — pattern-bounded message reassembly
     "defragment_text" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -756,6 +777,21 @@ object SparkEntry {
       val sigs = Dedup.minHashSignatures(docsPar(s, dir),
         col("doc_id"), col("text"), 5, 8)
       Dedup.minHashLshPairs(sigs, 8, 2)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Same LSH with a salt cap that BINDS at test scale: on a corpus where
+    // a hot shingle degenerates a band bucket to ~the whole corpus, the
+    // uncapped pair volume is quadratic in the bucket; this variant bounds
+    // every bucket at 150 members (intra-sub-bucket pairs only — the
+    // standard recall trade). No DuckDB oracle: salt membership is
+    // hash(docId)-internal; boundedness is asserted by PipelineSpec and
+    // measured by the skewed bench rows.
+    "dedup_minhash_lsh_capped" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(docsPar(s, dir),
+        col("doc_id"), col("text"), 5, 8)
+      Dedup.minHashLshPairs(sigs, 8, 2, maxBucketSize = 150)
         .select(col("idA").as("id_a"), col("idB").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
@@ -1838,6 +1874,19 @@ object SparkEntry {
       """SELECT COUNT(*) AS total_recs, TRUE AS all_within_cap,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
         |FROM lineitem""".stripMargin,
+
+    "split_record_flowfile" ->
+      """WITH lines AS (
+        |  SELECT n_regionkey,
+        |    ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS rn,
+        |    COUNT(*) OVER (PARTITION BY n_regionkey) AS total,
+        |    '{"k":' || n_nationkey || ',"n":"' || n_name || '"}' AS line
+        |  FROM nation)
+        |SELECT n_regionkey AS region_key, rn // 2 AS fragment_index,
+        |  '[' || string_agg(line, ',' ORDER BY rn) || ']' AS content,
+        |  COUNT(*) AS record_count, (MAX(total) + 1) // 2 AS fragment_count
+        |FROM lines GROUP BY n_regionkey, rn // 2
+        |ORDER BY region_key, fragment_index""".stripMargin,
 
     "defragment_text" ->
       """WITH l AS (SELECT user_id, event_id,

@@ -315,6 +315,98 @@ object SplitMerge {
   }
 
   /**
+   * Lenient JSON record-set read, reproducing the reference JsonTreeReader
+   * quirk that SplitRecord depends on: `JsonTreeReader::read`
+   * (controllers/JsonTreeReader.cpp:124-143) IGNORES the boolean from
+   * readAsJsonLines/readAsArray, so a malformed line or a non-object array
+   * element never fails the read — records parsed BEFORE the first bad one
+   * are kept and the rest are dropped. Array mode iff the content starts
+   * with '[' (no whitespace tolerance, JsonTreeReader.cpp:133); otherwise
+   * getline('\n') per-line records. Returns each record re-serialized
+   * compactly (field order preserved).
+   */
+  private[graft] def lenientJsonRecords(content: String): Vector[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (content.startsWith("[")) {
+      try {
+        val n = mapper.readTree(content)
+        if (n == null || !n.isArray) Vector.empty
+        else {
+          val buf = Vector.newBuilder[String]
+          val it = n.elements()
+          var ok = true
+          while (ok && it.hasNext) {
+            val e = it.next()
+            if (e.isObject) buf += mapper.writeValueAsString(e) else ok = false
+          }
+          buf.result()
+        }
+      } catch { case _: Exception => Vector.empty }
+    } else if (content.isEmpty) Vector.empty
+    else {
+      // std::getline semantics: "a\n" yields ["a"], "\n" yields [""]
+      val parts = content.split("\n", -1)
+      val lines = if (content.endsWith("\n")) parts.dropRight(1) else parts
+      val buf = Vector.newBuilder[String]
+      var ok = true
+      lines.foreach { line =>
+        if (ok) {
+          val rec =
+            try {
+              val n = mapper.readTree(line)
+              if (n != null && n.isObject) Some(mapper.writeValueAsString(n))
+              else None
+            } catch { case _: Exception => None }
+          rec match { case Some(r) => buf += r; case None => ok = false }
+        }
+      }
+      buf.result()
+    }
+  }
+
+  /**
+   * SplitRecord (processors/SplitRecord.cpp:43-100): slice a record
+   * FlowFile into FlowFiles of at most `recordsPerSplit` records each,
+   * written as compact JSON arrays. Output rows per input FlowFile:
+   * `splits` rows carrying `record.count`, 0-BASED `fragment.index`
+   * (SplitRecord.cpp:71 — unlike SplitContent/SegmentContent, which are
+   * 1-based), `fragment.count` = ceil(records / recordsPerSplit),
+   * `fragment.identifier`, `segment.original.filename`; plus one
+   * `original` row — or a single `failure` row when Records Per Split
+   * (per-row, EL-evaluable) is missing, non-numeric, or < 1
+   * (SplitRecord.cpp:35-41,51-56). Narrow explode, no shuffle.
+   */
+  def splitRecordJson(df: DataFrame, idCol: Column, filenameCol: Column,
+                      contentCol: Column, recordsPerSplit: Column): DataFrame = {
+    val splitUdf = udf { (content: String, rpsStr: String) =>
+      val c = Option(content).getOrElse("")
+      val rps = Option(rpsStr).filter(_.matches("\\d+"))
+        .map(_.toLong).getOrElse(0L)
+      if (rps < 1)
+        Seq(("failure", c, None: Option[Long], None: Option[Long], None: Option[Long]))
+      else {
+        val recs = lenientJsonRecords(c)
+        val fragCount = (recs.size + rps - 1) / rps
+        val splits = recs.grouped(rps.toInt).zipWithIndex.map { case (slice, i) =>
+          ("splits", slice.mkString("[", ",", "]"),
+            Some(slice.size.toLong), Some(i.toLong), Some(fragCount))
+        }.toSeq
+        splits :+ (("original", c, None: Option[Long], None: Option[Long],
+          None: Option[Long]))
+      }
+    }
+    df.select(idCol.as("ffId"), filenameCol.as("origName"),
+        explode(splitUdf(contentCol, recordsPerSplit.cast("string"))).as("s"))
+      .select(col("ffId"),
+        col("s._1").as("relationship"), col("s._2").as("content"),
+        col("s._3").as("record_count"), col("s._4").as("fragment_index"),
+        col("s._5").as("fragment_count"),
+        col("ffId").cast("string").as("fragment_identifier"),
+        when(col("s._1") === "splits", col("origName"))
+          .as("segment_original_filename"))
+  }
+
+  /**
    * Assert the chunk ranges of a chunked frame (chunkPart, chunkId plus
    * per-chunk ordMin/ordMax struct bounds) are pairwise disjoint, without
    * a quadratic all-pairs join: within a partition chunks equi-join on

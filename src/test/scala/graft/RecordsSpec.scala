@@ -282,6 +282,76 @@ class RecordsSpec extends SparkSpec {
     assert(XmlRecords.typedLeafJson("") === "\"\"")
   }
 
+  // ------------------------------------------------------------------
+  // Per-FlowFile SplitRecord battery (SplitRecordTests.cpp)
+  // ------------------------------------------------------------------
+  import graft.ops.SplitMerge
+
+  private def splitRows(content: String, rps: String) = {
+    import spark.implicits._
+    SplitMerge.splitRecordJson(
+      Seq((7L, "in.json", content)).toDF("id", "fn", "c"),
+      col("id"), col("fn"), col("c"), lit(rps))
+      .collect().groupBy(_.getAs[String]("relationship"))
+  }
+
+  test("SplitRecord: non-numeric or zero Records Per Split routes failure " +
+       "(SplitRecordTests.cpp:64-78)") {
+    val bad = splitRows("{\"name\": \"John\"}\n{\"name\": \"Jill\"}", "invalid")
+    assert(bad("failure").length === 1 && !bad.contains("splits") &&
+      !bad.contains("original"))
+    val zero = splitRows("{\"name\": \"John\"}", "0")
+    assert(zero("failure").length === 1)
+  }
+
+  test("SplitRecord: malformed records yield zero splits, original still " +
+       "transfers with content unchanged (SplitRecordTests.cpp:80-87; " +
+       "JsonTreeReader.cpp:124-143 ignores the parse result)") {
+    val r = splitRows("""{"name": "John""", "1")
+    assert(!r.contains("splits") && !r.contains("failure"))
+    assert(r("original").head.getAs[String]("content") === """{"name": "John""")
+  }
+
+  test("SplitRecord: one-by-one split with the full fragment attribute set " +
+       "(SplitRecordTests.cpp:89-94)") {
+    val r = splitRows("{\"name\": \"John\"}\n{\"name\": \"Jill\"}", "1")
+    assert(r("original").length === 1)
+    val splits = r("splits").sortBy(_.getAs[Long]("fragment_index"))
+    assert(splits.map(_.getAs[String]("content")).toSeq ===
+      Seq("""[{"name":"John"}]""", """[{"name":"Jill"}]"""))
+    // 0-BASED fragment.index (SplitRecord.cpp:71), unlike SplitContent
+    assert(splits.map(_.getAs[Long]("fragment_index")).toSeq === Seq(0L, 1L))
+    assert(splits.forall(_.getAs[Long]("fragment_count") === 2L))
+    assert(splits.forall(_.getAs[Long]("record_count") === 1L))
+    assert(splits.map(_.getAs[String]("fragment_identifier")).distinct.length === 1)
+    assert(splits.forall(_.getAs[String]("segment_original_filename") === "in.json"))
+  }
+
+  test("SplitRecord: two-by-two split leaves a short tail fragment " +
+       "(SplitRecordTests.cpp:96-101)") {
+    val content = "{\"a\": \"1\", \"b\": \"2\"}\n{\"c\": \"3\"}\n" +
+      "{\"d\": \"4\", \"e\": \"5\"}\n{\"f\": \"6\"}\n{\"g\": \"7\", \"h\": \"8\"}\n"
+    val r = splitRows(content, "2")
+    val splits = r("splits").sortBy(_.getAs[Long]("fragment_index"))
+    assert(splits.map(_.getAs[String]("content")).toSeq === Seq(
+      """[{"a":"1","b":"2"},{"c":"3"}]""",
+      """[{"d":"4","e":"5"},{"f":"6"}]""",
+      """[{"g":"7","h":"8"}]"""))
+    assert(splits.map(_.getAs[Long]("record_count")).toSeq === Seq(2L, 2L, 1L))
+    assert(splits.forall(_.getAs[Long]("fragment_count") === 3L))
+  }
+
+  test("SplitRecord lenient reader: records before the first malformed line " +
+       "are kept; array mode stops at a non-object element") {
+    assert(SplitMerge.lenientJsonRecords(
+      "{\"a\":1}\nnot json\n{\"b\":2}") === Vector("""{"a":1}"""))
+    assert(SplitMerge.lenientJsonRecords(
+      """[{"a":1},5,{"b":2}]""") === Vector("""{"a":1}"""))
+    assert(SplitMerge.lenientJsonRecords("") === Vector.empty)
+    // getline: a lone newline is one empty (malformed) line
+    assert(SplitMerge.lenientJsonRecords("\n") === Vector.empty)
+  }
+
   test("XMLReader column form: per-row record arrays, null on parse failure") {
     import spark.implicits._
     val out = Seq(
