@@ -2029,7 +2029,7 @@ object SparkEntry {
     "list_file" ->
       """WITH listing AS (SELECT 'file_' || CAST(user_id AS VARCHAR) AS filename,
         |  epoch_ns(ts)//1000 AS mtime_us, event_id
-        |  FROM events WHERE epoch_ns(ts)//1000 > 1705708800000000),
+        |  FROM events WHERE epoch_ns(ts)//1000 >= 1705708800000000),
         |r AS (SELECT filename, mtime_us, event_id,
         |  row_number() OVER (PARTITION BY filename ORDER BY mtime_us DESC, event_id DESC) AS rn
         |  FROM listing)

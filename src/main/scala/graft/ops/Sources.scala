@@ -115,15 +115,101 @@ object Sources {
    * include/utils/ListingStateManager.h:50-56): emit entries newer than the
    * stored listing state, deduplicated to the latest observation per name.
    * One window on the name key; state advance = max(mtime) of the output.
+   *
+   * Listing state is (watermark, keys-AT-watermark), not a bare watermark:
+   * `ListingState::wasObjectListedAlready` (ListingStateManager.cpp:28-31)
+   * re-lists an entry whose mtime EQUALS the watermark if its key was not
+   * seen — a second file stamped with the same modification time as the
+   * last listed one must still be listed (ListFileTests.cpp "If a second
+   * file with the same modification time shows up later"). `lastSeenKeys`
+   * is that key set; it is by construction tiny (files sharing one exact
+   * millisecond), so an `isin` literal, never a join.
    */
   def listNewEntries(df: DataFrame, nameCol: Column, mtimeCol: Column,
-                     tieBreak: Column, lastSeen: Column): DataFrame = {
+                     tieBreak: Column, lastSeen: Column,
+                     lastSeenKeys: Seq[String] = Nil): DataFrame = {
     val rn = row_number().over(
       Window.partitionBy(nameCol).orderBy(mtimeCol.desc, tieBreak.desc))
-    df.filter(mtimeCol > lastSeen)
+    val isNew =
+      if (lastSeenKeys.isEmpty) mtimeCol >= lastSeen
+      else mtimeCol > lastSeen ||
+        (mtimeCol === lastSeen && !nameCol.isin(lastSeenKeys: _*))
+    df.filter(isNew)
       .withColumn("listRank", rn)
       .filter(col("listRank") === 1)
       .drop("listRank")
+  }
+
+  /** One listed file with the reference ListFile's attribute set
+    * (ListFile.cpp:53-86). */
+  case class ListedFileEntry(filename: String, path: String,
+      absolute_path: String, file_size: Long, mtime_ms: Long,
+      file_last_modified_time: String, file_permissions: String,
+      file_owner: String, file_group: String)
+
+  /**
+   * ListFile's listing pass with the full filter and attribute surface
+   * (ListFile.cpp:40-51,53-86; filter semantics ListedFile.h:63-100):
+   * `fileFilter`/`pathFilter` are FULL-match regexes on the filename and
+   * the relative parent directory (which is `.` for top-level files — the
+   * PathFilter pattern may match it, ListFileTests.cpp "pattern also
+   * matches ."); hidden = dot-prefixed names, ignored unless opted in;
+   * age/size bounds are inclusive. Attributes: `path` = relative parent
+   * with a trailing separator (`./` at top level), `absolute.path` =
+   * parent with trailing separator, `file.lastModifiedTime` in the
+   * reference's `%Y-%m-%dT%H:%M:%SZ` rendering, POSIX rwx permission
+   * string, owner and group.
+   *
+   * Hadoop `FileSystem.listFiles` walk, so any supported scheme (file://,
+   * s3a://, abfss://) lists identically. The walk is driver-side metadata
+   * — the same strategy as Spark's own InMemoryFileIndex; at extreme
+   * directory fan-out, split the namespace and union per-prefix listings.
+   * `nowMs` anchors age computation so filters are deterministic.
+   */
+  def listFileEntries(spark: SparkSession, dir: String,
+                      recursive: Boolean = true,
+                      fileFilter: Option[String] = None,
+                      pathFilter: Option[String] = None,
+                      ignoreHiddenFiles: Boolean = true,
+                      minAgeMs: Option[Long] = None,
+                      maxAgeMs: Option[Long] = None,
+                      minSize: Option[Long] = None,
+                      maxSize: Option[Long] = None,
+                      nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(root).toUri
+    val fileRe = fileFilter.map(_.r.pattern)
+    val pathRe = pathFilter.map(_.r.pattern)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ListedFileEntry]
+    val it = fs.listFiles(root, recursive)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val parentUri = fs.makeQualified(st.getPath.getParent).toUri
+      val rel = rootUri.relativize(parentUri).getPath.stripSuffix("/")
+      val relDir = if (rel.isEmpty) "." else rel
+      val age = nowMs - st.getModificationTime
+      val keep = (!ignoreHiddenFiles || !name.startsWith(".")) &&
+        fileRe.forall(_.matcher(name).matches) &&
+        pathRe.forall(_.matcher(relDir).matches) &&
+        minAgeMs.forall(age >= _) && maxAgeMs.forall(age <= _) &&
+        minSize.forall(st.getLen >= _) && maxSize.forall(st.getLen <= _)
+      if (keep) buf += ListedFileEntry(
+        name,
+        if (relDir == ".") "./" else relDir + "/",
+        parentUri.getPath.stripSuffix("/") + "/",
+        st.getLen,
+        st.getModificationTime,
+        fmt.format(java.time.Instant.ofEpochMilli(st.getModificationTime)),
+        st.getPermission.toString.takeRight(9),
+        st.getOwner, st.getGroup)
+    }
+    import spark.implicits._
+    buf.toSeq.toDF()
   }
 
   /** FetchFile per-row fetch + completion (see fetchFile). Returns

@@ -775,6 +775,112 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSet === Set(("f1", 2L), ("f2", 4L)))
   }
 
+  test("ListingState re-lists a second file arriving with the SAME mtime as " +
+       "the watermark (ListingStateManager.cpp:28-31; ListFileTests.cpp " +
+       "'If a second file with the same modification time shows up later')") {
+    val df = spark.createDataFrame(Seq(
+      ("file_one", 500L, 1L), ("file_two", 500L, 2L)))
+      .toDF("name", "mtime", "id")
+    // state after the first trigger: watermark 500, keys {file_one}
+    val out = Sources.listNewEntries(df, col("name"), col("mtime"), col("id"),
+      lit(500L), lastSeenKeys = Seq("file_one"))
+      .select("name").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("file_two"))
+    // with no keys recorded at the watermark, equal-mtime entries list
+    val all = Sources.listNewEntries(df, col("name"), col("mtime"), col("id"),
+      lit(500L)).count()
+    assert(all === 2L)
+  }
+
+  // --- ListFile full listing battery (ListFileTests.cpp:104-277) ---
+
+  private def listFileFixture(): (java.nio.file.Path, Long) = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("listfile_spec")
+    def put(rel: String, content: String, ageMs: Long): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes)
+      p.toFile.setLastModified(baseMs - ageMs)
+    }
+    lazy val baseMs = (System.currentTimeMillis() / 1000) * 1000
+    put(".hidden_file.txt", "hidden", 0L)
+    put("standard_file.log", "test", 0L)
+    put("empty_file.txt", "", 3600L * 1000)
+    put("first_subdir/sub_file_one.txt", "the", 2 * 3600L * 1000)
+    put("second_subdir/sub_file_two.txt", "some_other_content", 3 * 3600L * 1000)
+    (dir, baseMs)
+  }
+
+  test("ListFile default listing: recursive, hidden ignored, full attribute " +
+       "set (ListFileTests.cpp:110-145)") {
+    val (dir, now) = listFileFixture()
+    val rows = Sources.listFileEntries(spark, dir.toString, nowMs = now)
+      .collect().map(r => r.getAs[String]("filename") -> r).toMap
+    assert(rows.keySet === Set("standard_file.log", "empty_file.txt",
+      "sub_file_one.txt", "sub_file_two.txt"))
+    // path: relative parent with trailing separator; "./" at top level
+    assert(rows("standard_file.log").getAs[String]("path") === "./")
+    assert(rows("empty_file.txt").getAs[String]("path") === "./")
+    assert(rows("sub_file_one.txt").getAs[String]("path") === "first_subdir/")
+    assert(rows("sub_file_two.txt").getAs[String]("path") === "second_subdir/")
+    // absolute.path: parent dir with trailing separator
+    assert(rows("sub_file_one.txt").getAs[String]("absolute_path") ===
+      dir.resolve("first_subdir").toString + "/")
+    assert(rows("standard_file.log").getAs[String]("absolute_path") ===
+      dir.toString + "/")
+    assert(rows("standard_file.log").getAs[Long]("file_size") === 4L)
+    assert(rows("empty_file.txt").getAs[Long]("file_size") === 0L)
+    // %Y-%m-%dT%H:%M:%SZ rendering of the mtime
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    assert(rows("empty_file.txt").getAs[String]("file_last_modified_time") ===
+      fmt.format(java.time.Instant.ofEpochMilli(now - 3600L * 1000)))
+    assert(rows("standard_file.log").getAs[String]("file_permissions")
+      .matches("[rwx-]{9}"))
+    assert(rows("standard_file.log").getAs[String]("file_owner").nonEmpty)
+  }
+
+  test("ListFile filters: recursion off, File Filter regex, Path Filter " +
+       "regex incl. the '.' top-level match (ListFileTests.cpp:146-178)") {
+    val (dir, now) = listFileFixture()
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("filename").collect().map(_.getString(0)).toSet
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      recursive = false, nowMs = now)) ===
+      Set("standard_file.log", "empty_file.txt"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      fileFilter = Some("stand\\w+\\.log"), nowMs = now)) ===
+      Set("standard_file.log"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      pathFilter = Some("first.*"), nowMs = now)) === Set("sub_file_one.txt"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      pathFilter = Some("second.*|\\."), nowMs = now)) ===
+      Set("standard_file.log", "empty_file.txt", "sub_file_two.txt"))
+  }
+
+  test("ListFile age/size bounds and hidden opt-in " +
+       "(ListFileTests.cpp:180-227)") {
+    val (dir, now) = listFileFixture()
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("filename").collect().map(_.getString(0)).toSet
+    val min90 = Sources.listFileEntries(spark, dir.toString,
+      minAgeMs = Some(90L * 60 * 1000), nowMs = now)
+    assert(names(min90) === Set("sub_file_one.txt", "sub_file_two.txt"))
+    val max90 = Sources.listFileEntries(spark, dir.toString,
+      maxAgeMs = Some(90L * 60 * 1000), nowMs = now)
+    assert(names(max90) === Set("standard_file.log", "empty_file.txt"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      minSize = Some(4L), nowMs = now)) ===
+      Set("standard_file.log", "sub_file_two.txt"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      maxSize = Some(4L), nowMs = now)) ===
+      Set("standard_file.log", "empty_file.txt", "sub_file_one.txt"))
+    assert(names(Sources.listFileEntries(spark, dir.toString,
+      ignoreHiddenFiles = false, nowMs = now)).contains(".hidden_file.txt"))
+  }
+
   test("ManipulateArchive edge routing: existing destination fails, missing " +
        "anchor appends, touch collision fails (ManipulateArchive.cpp:96-190)") {
     val df = spark.createDataFrame(Seq(Tuple1("x"))).toDF("x")
