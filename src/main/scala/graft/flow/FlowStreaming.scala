@@ -155,12 +155,20 @@ object FlowStreaming {
         // streaming frames
         val ordCol = coalesce(FlowFrame.attr("tailfile.lineOffset"),
           FlowFrame.attr("net.seq"), lit("0")).cast("long")
-        val lines = in.select(
+        // the reference TailFile keeps the delimiter in each FlowFile's
+        // content (TailFile.cpp:134) and DefragmentText concatenates
+        // payloads raw — our tail source strips the '\n', so restore it
+        // for tail-fed fragments to reassemble the original text
+        val contentCol = when(FlowFrame.attr("tailfile.lineOffset").isNotNull,
+          concat(col(FlowFrame.Content).cast("string"), lit("\n")))
+          .otherwise(col(FlowFrame.Content).cast("string"))
+        val frags = in.select(
           coalesce(FlowFrame.attr("filename"), lit("default")).as("source"),
           ordCol.as("ord"),
-          col(FlowFrame.Content).cast("string").as("line"))
-          .as[graft.streaming.StatefulOps.Line]
-        val msgs = graft.streaming.StatefulOps.defragmentText(lines,
+          contentCol.as("content"),
+          lit(-1L).as("offset"))
+          .as[graft.streaming.StatefulOps.Fragment]
+        val msgs = graft.streaming.StatefulOps.defragmentText(frags,
           props("Pattern"),
           maxBufferAgeMs = props.get("Max Buffer Age")
             .map(Units.parseDurationMs).getOrElse(0L),
@@ -171,7 +179,8 @@ object FlowStreaming {
         Some(msgs.toDF().select(
           expr("uuid()").as(FlowFrame.Uuid),
           map(lit("defragment.source"), col("source"),
-            lit("defragment.line.count"), col("lineCount").cast("string"))
+            lit("defragment.fragment.count"),
+            col("fragmentCount").cast("string"))
             .as(FlowFrame.Attributes),
           col("message").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),

@@ -21,28 +21,47 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StatefulOps {
 
-  case class Line(source: String, ord: Long, line: String)
-  case class Message(source: String, message: String, lineCount: Int,
+  /** One incoming text fragment. `offset` is the fragment's byte offset in
+    * its source (the reference's `textfragment.offset` attribute); -1 when
+    * the attribute is absent. */
+  case class Fragment(source: String, ord: Long, content: String,
+                      offset: Long = -1L)
+  case class Message(source: String, message: String, fragmentCount: Int,
                      relationship: String)
-  /** Open buffer: lines in REVERSE arrival order (O(1) prepend; flush
-    * sorts by ord anyway) + running byte size for the MaxBufferSize cap. */
-  case class Buffer(lines: List[Line], bytes: Long)
+  /** Open buffer: concatenated content (the reference appends payloads
+    * directly, no demarcator — DefragmentText.cpp Buffer::append), the
+    * byte offset the NEXT contiguous fragment must carry (-1 when the
+    * buffer's first fragment carried no offset), and the processing time
+    * the buffer was opened (for the mid-stream age check). */
+  case class Buffer(content: String, fragments: Int, nextOffset: Long,
+                    openedAtMs: Long)
 
   /**
-   * Streaming DefragmentText (DefragmentText.h:64-89): buffer lines per
-   * source; pattern location decides the message boundary —
-   * START_OF_MESSAGE flushes the open buffer when a match arrives,
-   * END_OF_MESSAGE flushes buffer+match when a match arrives. MaxBufferAge
-   * without input flushes the remainder (success for start patterns,
-   * failure for end patterns — DefragmentText.h:78-80); MaxBufferSize
-   * overflow flushes the buffer to `failure` (:85-87). Age/size caps of 0
-   * disable the respective flush.
+   * Streaming DefragmentText with the reference's fragment semantics
+   * (DefragmentText.cpp:60-106, 166-190):
+   *
+   *  - Each fragment is split at its LAST pattern match
+   *    (`splitFlowFileAtLastPattern`); the head joins the buffer, the
+   *    buffer flushes to `success`, and the tail becomes the new buffer.
+   *    Content before earlier matches in the same fragment is NOT split
+   *    out — `"a<1> b<2> c"` emits one message `"a<1> b"`.
+   *  - START_OF_MESSAGE splits before the match, END_OF_MESSAGE after it
+   *    (`getSplitPosition`).
+   *  - A fragment whose offset breaks contiguity with the buffer flushes
+   *    the buffer to `failure` AND routes the fragment itself to `failure`
+   *    (processNextFragment's offset guard). Absent offsets on both sides
+   *    compare equal, mirroring the optional-attribute comparison.
+   *  - MaxBufferSize overflow (checked after each trigger's batch like the
+   *    reference's onTrigger epilogue) flushes to `failure`; MaxBufferAge
+   *    flushes to `success` for START patterns, `failure` for END
+   *    (an aged START buffer begins with a complete header; an aged END
+   *    buffer never saw its terminator). Caps of 0 disable the checks.
    */
-  def defragmentText(lines: Dataset[Line], startPattern: String,
+  def defragmentText(fragments: Dataset[Fragment], pattern: String,
                      maxBufferAgeMs: Long,
                      maxBufferBytes: Long = 0,
                      patternAtStart: Boolean = true): Dataset[Message] = {
-    val pattern = startPattern.r
+    val re = pattern.r
     implicit val msgEnc = Encoders.product[Message]
     implicit val bufEnc = Encoders.product[Buffer]
     implicit val strEnc = Encoders.STRING
@@ -53,46 +72,66 @@ object StatefulOps {
       if (maxBufferAgeMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     val ageFlushRel = if (patternAtStart) "success" else "failure"
+    def utf8Len(s: String): Long =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
-    def flush(source: String, buf: Buffer, rel: String): Option[Message] =
-      if (buf.lines.isEmpty) None
-      else Some(Message(source,
-        buf.lines.sortBy(_.ord).map(_.line).mkString("\n"), buf.lines.size, rel))
-
-    val empty = Buffer(Nil, 0L)
-
-    lines.groupByKey(_.source)
+    fragments.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
-        (source: String, rows: Iterator[Line], state: GroupState[Buffer]) =>
+        (source: String, rows: Iterator[Fragment], state: GroupState[Buffer]) =>
+          def flush(buf: Buffer, rel: String): Option[Message] =
+            if (buf.fragments == 0) None
+            else Some(Message(source, buf.content, buf.fragments, rel))
           if (state.hasTimedOut) {
-            val out = flush(source, state.getOption.getOrElse(empty), ageFlushRel)
+            val out = state.getOption.flatMap(flush(_, ageFlushRel))
             state.remove()
             out.iterator
           } else {
+            val nowMs = state.getCurrentProcessingTimeMs()
+            val empty = Buffer("", 0, -1L, nowMs)
             var buf = state.getOption.getOrElse(empty)
             val out = List.newBuilder[Message]
-            def add(l: Line): Unit = {
-              // byte-based cap like the reference (DefragmentText.h:85-87):
-              // encoded UTF-8 size + the joining newline, not char count
-              val sz = l.line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
-                (if (buf.lines.isEmpty) 0 else 1)
-              buf = Buffer(l :: buf.lines, buf.bytes + sz)
-              if (maxBufferBytes > 0 && buf.bytes > maxBufferBytes) {
-                flush(source, buf, "failure").foreach(out += _)
+            // mid-stream age flush: the reference ages the buffer even
+            // while fragments keep arriving (onTrigger epilogue)
+            if (maxBufferAgeMs > 0 && buf.fragments > 0 &&
+                nowMs - buf.openedAtMs > maxBufferAgeMs) {
+              flush(buf, ageFlushRel).foreach(out += _)
+              buf = empty
+            }
+            rows.toSeq.sortBy(_.ord).foreach { f =>
+              if (buf.fragments > 0 && buf.nextOffset != f.offset) {
+                flush(buf, "failure").foreach(out += _)
+                out += Message(source, f.content, 1, "failure")
                 buf = empty
-              }
-            }
-            rows.toSeq.sortBy(_.ord).foreach { l =>
-              val isBoundary = pattern.findFirstIn(l.line).isDefined
-              if (patternAtStart) {
-                if (isBoundary) { flush(source, buf, "success").foreach(out += _); buf = empty }
-                add(l)
               } else {
-                add(l)
-                if (isBoundary) { flush(source, buf, "success").foreach(out += _); buf = empty }
+                val endOffset = if (f.offset >= 0L) f.offset + utf8Len(f.content)
+                                else -1L
+                re.findAllMatchIn(f.content).toList.lastOption match {
+                  case Some(m) =>
+                    val splitPos = if (patternAtStart) m.start else m.end
+                    val head = f.content.substring(0, splitPos)
+                    val joined = Buffer(buf.content + head,
+                      buf.fragments + (if (head.nonEmpty) 1 else 0),
+                      -1L, buf.openedAtMs)
+                    flush(joined, "success").foreach(out += _)
+                    val tail = f.content.substring(splitPos)
+                    buf = if (tail.isEmpty) empty
+                          else Buffer(tail, 1, endOffset, nowMs)
+                  case None =>
+                    // keep the first fragment's offset basis: a buffer
+                    // opened without one never regains it (the merged
+                    // FlowFile's attribute set is the first member's)
+                    buf = Buffer(buf.content + f.content, buf.fragments + 1,
+                      if (buf.fragments == 0) endOffset
+                      else if (buf.nextOffset >= 0L) endOffset else -1L,
+                      if (buf.fragments == 0) nowMs else buf.openedAtMs)
+                }
               }
             }
-            if (buf.lines.isEmpty) state.remove()
+            if (maxBufferBytes > 0 && utf8Len(buf.content) > maxBufferBytes) {
+              flush(buf, "failure").foreach(out += _)
+              buf = empty
+            }
+            if (buf.fragments == 0) state.remove()
             else {
               state.update(buf)
               if (maxBufferAgeMs > 0) state.setTimeoutDuration(maxBufferAgeMs)

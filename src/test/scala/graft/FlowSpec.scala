@@ -1202,10 +1202,12 @@ class FlowSpec extends SparkSpec {
     val msgs = spark.read.parquet(s"$out/relationship=success")
       .select("content").collect().map(_.getString(0)).toSet
     // the open buffer ("START three") stays in state awaiting the next
-    // boundary; the two closed messages flush
+    // boundary; the two closed messages flush. Fragments keep their
+    // delimiter (TailFile.cpp:134) and concatenate raw, so the reassembled
+    // messages carry their trailing newlines like the reference's output.
     assert(msgs === Set(
-      "START one\n  detail a\n  detail b",
-      "START two\n  detail c"))
+      "START one\n  detail a\n  detail b\n",
+      "START two\n  detail c\n"))
   }
 
   test("streaming terminal PutFile picks the sink directory from its config") {

@@ -100,27 +100,121 @@ class StreamingSpec extends SparkSpec {
     assert(lines2 === Seq("more", "fresh"))
   }
 
-  test("streaming DefragmentText: boundary flush across micro-batches") {
+  test("streaming DefragmentText: single-fragment messages starting with " +
+       "pattern emit one behind (DefragmentTextTests.cpp:64-79)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[StatefulOps.Line]
-    val out = StatefulOps.defragmentText(input.toDS(), "^START", 0)
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "<[0-9]+>", 0)
     val q = out.writeStream.format("memory").queryName("defrag")
       .outputMode("append").start()
 
-    input.addData(
-      StatefulOps.Line("s1", 1, "START a"),
-      StatefulOps.Line("s1", 2, "cont b"))
+    input.addData(StatefulOps.Fragment("s1", 1, "<1> Foo"))
     q.processAllAvailable()
-    // message still buffered — no boundary seen yet
+    // buffered — the message that starts with <1> is not complete yet
     assert(spark.table("defrag").count() === 0)
 
-    input.addData(StatefulOps.Line("s1", 3, "START c"))
+    input.addData(StatefulOps.Fragment("s1", 2, "<2> Bar"))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 3, "<3> Baz"))
     q.processAllAvailable()
     val msgs = spark.table("defrag").as[StatefulOps.Message].collect()
-    assert(msgs.length === 1)
-    assert(msgs.head.message === "START a\ncont b")
-    assert(msgs.head.relationship === "success")
+    assert(msgs.map(_.message).toSeq === Seq("<1> Foo", "<2> Bar"))
+    assert(msgs.forall(_.relationship == "success"))
+    q.stop()
+  }
+
+  test("streaming DefragmentText: fragment splits at its LAST pattern match " +
+       "— earlier matches stay inside one message " +
+       "(DefragmentTextTests.cpp:98-124, splitFlowFileAtLastPattern)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // START_OF_MESSAGE: split before the last match
+    val in1 = MemoryStream[StatefulOps.Fragment]
+    val q1 = StatefulOps.defragmentText(in1.toDS(), "<[0-9]+>", 0)
+      .writeStream.format("memory").queryName("defrag_ml_start")
+      .outputMode("append").start()
+    in1.addData(StatefulOps.Fragment("s1", 1, "apple<1> banana<2> cherry<3> dragon "))
+    q1.processAllAvailable()
+    in1.addData(StatefulOps.Fragment("s1", 2, "fruit<4> elderberry<5> fig<6> grapefruit"))
+    q1.processAllAvailable()
+    val got1 = spark.table("defrag_ml_start").as[StatefulOps.Message]
+      .collect().map(_.message).toSeq
+    assert(got1 === Seq("apple<1> banana<2> cherry",
+      "<3> dragon fruit<4> elderberry<5> fig"))
+    q1.stop()
+
+    // END_OF_MESSAGE: split after the last match
+    val in2 = MemoryStream[StatefulOps.Fragment]
+    val q2 = StatefulOps.defragmentText(in2.toDS(), "<[0-9]+>", 0,
+      patternAtStart = false)
+      .writeStream.format("memory").queryName("defrag_ml_end")
+      .outputMode("append").start()
+    in2.addData(StatefulOps.Fragment("s1", 1, "apple<1> banana<2> cherry<3> dragon "))
+    q2.processAllAvailable()
+    in2.addData(StatefulOps.Fragment("s1", 2, "fruit<4> elderberry<5> fig<6> grapefruit"))
+    q2.processAllAvailable()
+    val got2 = spark.table("defrag_ml_end").as[StatefulOps.Message]
+      .collect().map(_.message).toSeq
+    assert(got2 === Seq("apple<1> banana<2> cherry<3>",
+      " dragon fruit<4> elderberry<5> fig<6>"))
+    q2.stop()
+  }
+
+  test("streaming DefragmentText: contiguous offsets append, a broken " +
+       "offset flushes buffer AND fragment to failure " +
+       "(DefragmentText.cpp processNextFragment offset guard; " +
+       "DefragmentTextTests.cpp:398-409)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "%", 0)
+    val q = out.writeStream.format("memory").queryName("defrag_off")
+      .outputMode("append").start()
+
+    // the FragmentGenerator sequence: "foo%bar" @0, "%baz,app" @7, "le%" @15
+    input.addData(StatefulOps.Fragment("s1", 1, "foo%bar", 0L))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 2, "%baz,app", 7L))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 3, "le%", 15L))
+    q.processAllAvailable()
+    val ok = spark.table("defrag_off").as[StatefulOps.Message].collect()
+    assert(ok.map(_.message).toSeq === Seq("foo", "%bar", "%baz,apple"))
+    assert(ok.forall(_.relationship == "success"))
+
+    // buffer holds "%" expecting offset 18; a fragment at 99 breaks the
+    // chain: buffer → failure, fragment itself → failure
+    input.addData(StatefulOps.Fragment("s1", 4, "stray", 99L))
+    q.processAllAvailable()
+    val bad = spark.table("defrag_off").as[StatefulOps.Message].collect()
+      .filter(_.relationship == "failure")
+    assert(bad.map(_.message).toSet === Set("%", "stray"))
+    q.stop()
+  }
+
+  test("streaming DefragmentText: independent buffers per fragment source " +
+       "(DefragmentTextTests.cpp:247-277,411-426)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "%", 0)
+    val q = out.writeStream.format("memory").queryName("defrag_src")
+      .outputMode("append").start()
+
+    input.addData(
+      StatefulOps.Fragment("input_1", 1, "abc%def"),
+      StatefulOps.Fragment("input_2", 1, "ABC%DEF"))
+    q.processAllAvailable()
+    input.addData(
+      StatefulOps.Fragment("input_1", 2, "ghi%jkl"),
+      StatefulOps.Fragment("input_2", 2, "GHI%JKL"))
+    q.processAllAvailable()
+    val msgs = spark.table("defrag_src").as[StatefulOps.Message].collect()
+    assert(msgs.filter(_.source == "input_1").map(_.message).toSeq ===
+      Seq("abc", "%defghi"))
+    assert(msgs.filter(_.source == "input_2").map(_.message).toSeq ===
+      Seq("ABC", "%DEFGHI"))
     q.stop()
   }
 
@@ -154,8 +248,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming DefragmentText: MaxBufferAge flushes stale buffer to expired") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[StatefulOps.Line]
-    val out = StatefulOps.defragmentText(input.toDS(), "^START", 300)
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "<[0-9]+>", 300)
     val q = out.writeStream.format("memory").queryName("defrag_age")
       .outputMode("append").start()
 
@@ -163,55 +257,71 @@ class StreamingSpec extends SparkSpec {
     // engine keeps scheduling timeout-evaluation batches, so "all available"
     // never settles; poll the sink while the query free-runs instead.
     // Age flush routes to success for start-of-message patterns
-    // (DefragmentText.h:78-80).
-    input.addData(StatefulOps.Line("s1", 1, "START a"))
+    // (DefragmentTextTests.cpp:126-139: "Message" ages out to success) —
+    // and to FAILURE for end-of-message patterns (:157-171), tested below.
+    input.addData(StatefulOps.Fragment("s1", 1, "Message"))
     eventually(30, 500) {
       spark.table("defrag_age").as[StatefulOps.Message].collect()
-        .exists(m => m.source == "s1" && m.relationship == "success")
+        .exists(m => m.source == "s1" && m.message == "Message" &&
+          m.relationship == "success")
     }
     q.stop()
+
+    val in2 = MemoryStream[StatefulOps.Fragment]
+    val q2 = StatefulOps.defragmentText(in2.toDS(), "<[0-9]+>", 300,
+      patternAtStart = false)
+      .writeStream.format("memory").queryName("defrag_age_end")
+      .outputMode("append").start()
+    in2.addData(StatefulOps.Fragment("s1", 1, "Message"))
+    eventually(30, 500) {
+      spark.table("defrag_age_end").as[StatefulOps.Message].collect()
+        .exists(m => m.message == "Message" && m.relationship == "failure")
+    }
+    q2.stop()
   }
 
   test("streaming DefragmentText: MaxBufferSize overflow flushes to failure " +
        "(DefragmentText.h:85-87)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[StatefulOps.Line]
-    val out = StatefulOps.defragmentText(input.toDS(), "^START", 0,
-      maxBufferBytes = 10)
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "<[0-9]+>", 0,
+      maxBufferBytes = 100)
     val q = out.writeStream.format("memory").queryName("defrag_size")
       .outputMode("append").start()
 
-    input.addData(
-      StatefulOps.Line("s1", 1, "START a"),
-      StatefulOps.Line("s1", 2, "0123456789xyz")) // overflows the 10-byte cap
+    // DefragmentTextTests.cpp:190-204 Max Buffer test: "Message" buffers
+    // under the 100 B cap, 150 '*' overflows → raw-concatenated buffer to
+    // failure
+    input.addData(StatefulOps.Fragment("s1", 1, "Message"))
+    q.processAllAvailable()
+    assert(spark.table("defrag_size").count() === 0)
+    input.addData(StatefulOps.Fragment("s1", 2, "*" * 150))
     q.processAllAvailable()
     val msgs = spark.table("defrag_size").as[StatefulOps.Message].collect()
     assert(msgs.length === 1)
     assert(msgs.head.relationship === "failure")
-    assert(msgs.head.message === "START a\n0123456789xyz")
+    assert(msgs.head.message === "Message" + "*" * 150)
     q.stop()
   }
 
-  test("streaming DefragmentText: END_OF_MESSAGE pattern closes buffer+match " +
-       "(DefragmentText.h PatternLocation)") {
+  test("streaming DefragmentText: END_OF_MESSAGE single-fragment messages " +
+       "emit immediately (DefragmentTextTests.cpp:81-96)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[StatefulOps.Line]
-    val out = StatefulOps.defragmentText(input.toDS(), "END$", 0,
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "<[0-9]+>", 0,
       patternAtStart = false)
     val q = out.writeStream.format("memory").queryName("defrag_end")
       .outputMode("append").start()
 
-    input.addData(
-      StatefulOps.Line("s1", 1, "a"),
-      StatefulOps.Line("s1", 2, "b END"),
-      StatefulOps.Line("s1", 3, "c"))
+    input.addData(StatefulOps.Fragment("s1", 1, "Foo <1>"))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 2, "Bar <2>"))
     q.processAllAvailable()
     val msgs = spark.table("defrag_end").as[StatefulOps.Message].collect()
-    assert(msgs.length === 1)
-    assert(msgs.head.message === "a\nb END") // c stays buffered
-    assert(msgs.head.relationship === "success")
+    assert(msgs.map(_.message).toSeq === Seq("Foo <1>", "Bar <2>"))
+    assert(msgs.forall(_.relationship == "success"))
     q.stop()
   }
 
