@@ -53,6 +53,48 @@ object Bench {
     out
   }
 
+  /** Queries re-measured across a scale decade (below): the rows that turn
+    * the 100 TB plan claims into measured evidence — near-linear x10 wall
+    * time means no stage is quadratic, single-reducer, or driver-bound. */
+  val x10: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export")
+
+  /**
+   * Stage a 10× corpus: the sf documents table replicated 10 times with
+   * distinct ids (docId*10+rep). Replica texts are made DISJOINT documents
+   * via a per-replica consonant rotation (`translate`), not near-copies:
+   * replicating verbatim (or with a token appended) would hand LSH 10-doc
+   * near-dup groups everywhere, and the measurement would track the
+   * quadratic pair OUTPUT of a mass-duplicated corpus — that adversarial
+   * shape is what the skew_* rows measure. The x10 rows answer a different
+   * question: does wall time stay ~linear when a UNIFORM corpus grows 10×?
+   * The rotation is codegen'd, content-deterministic, and keeps word/space
+   * structure (token counts, shingle counts, segment windows all scale
+   * exactly 10×); rep 0 is the original text.
+   */
+  private def stageX10(spark: SparkSession, sfDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-x10"
+    val marker = new java.io.File(s"$out/.staged-" +
+      java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL))
+    if (!marker.exists()) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val alpha = "bcdfghjklmnpqrstvwxz" // consonants: rotation keeps vowels,
+      // so rotated text still looks like words (segment/shingle shapes hold)
+      val reps = (0 until 10).map { r =>
+        val rot = alpha.drop(r) + alpha.take(r)
+        base.select(
+          (col("doc_id") * 10 + lit(r)).as("doc_id"),
+          (if (r == 0) col("text")
+           else translate(col("text"), alpha, rot)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      reps.reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,18 +122,28 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
       }
     }
-    // Min of three measured reps per query: the container's vCPUs see bursty
+    // Min of N measured reps per query: the container's vCPUs see bursty
     // steal (same binary, same data: 0.4 s vs 2.9 s run-to-run; the composed
     // pipeline_e2e spans many job boundaries and swings 2-10 s), and min is
-    // the standard noise-robust point estimate — every rep does the full
-    // sf-dir read, so no work is hidden, only scheduler interference.
-    def minOf3(name: String, dir: String): Double =
-      (0 until 3).map { _ =>
+    // the noise-robust point estimate under one-sided interference noise —
+    // every rep does the full sf-dir read, so no work is hidden, only
+    // scheduler interference. The LSH rows get FIVE reps instead of three:
+    // round 6 published a 2.325 s dedup_minhash_lsh that a rerun measured at
+    // 0.699 s — all three reps had landed in one steal window. More reps (not
+    // a different estimator) is the fix: min stays comparable round-over-
+    // round, while median would sit on top of whatever noise the middle rep
+    // caught.
+    val wideNoise = Set("dedup_minhash_lsh", "dedup_minhash_lsh_capped")
+    def minOfN(name: String, dir: String): Double = {
+      val reps = if (wideNoise(name)) 5 else 3
+      (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, dir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+    }
+    def minOf3(name: String, dir: String): Double = minOfN(name, dir)
     val results = headline.map(name => name -> minOf3(name, sfDir))
     // Degenerate-skew rows: same queries, mass-duplicated corpus. Staging
     // time is excluded (it is test-fixture construction, not query work);
@@ -102,9 +154,20 @@ object Bench {
     val skewResults =
       skewed.filterNot(headline.contains).map(name => name -> minOf3(name, sfDir)) ++
       skewed.map(name => s"skew_$name" -> minOf3(name, skewDir))
+    // Scale-decade rows: same queries, a 10× corpus staged from the sf
+    // documents (staging time excluded — fixture construction, not query
+    // work). Each x10_* row pairs with a 1× row measured this same run
+    // (headline or uniform comparator); the ratio is the near-linearity
+    // evidence. Queries outside the headline set get their uniform
+    // comparator row exactly like the skewed set does.
+    val x10Dir = stageX10(spark, sfDir)
+    val x10Results =
+      x10.filterNot(n => headline.contains(n) || skewed.contains(n))
+        .map(name => name -> minOf3(name, sfDir)) ++
+      x10.map(name => s"x10_$name" -> minOf3(name, x10Dir))
     // total stays headline-only (round-over-round comparable); the skew_*
-    // rows ride along in the queries map for the skew-vs-uniform comparison
-    val qs = (results ++ skewResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // and x10_* rows ride along in the queries map for the comparisons
+    val qs = (results ++ skewResults ++ x10Results).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
