@@ -440,7 +440,9 @@ object SparkEntry {
         .select(col("event_type"),
           unix_millis(col("windowStart")).as("window_ms"),
           col("cnt"), col("valueSum").as("value_sum"), col("mean").as("mean_v"),
-          when(col("cnt") > 1, col("variance")).as("var_v"),
+          // population variance (AttributeRollingWindow.cpp:110-117) is
+          // defined (0) at n=1 — no guard
+          col("variance").as("var_v"),
           col("minValue").as("min_v"), col("maxValue").as("max_v"),
           col("median").as("med_v"))
         .orderBy("event_type", "window_ms")
@@ -1903,11 +1905,10 @@ object SparkEntry {
         | COUNT(*) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS mean_v,
-        | CASE WHEN COUNT(*)>1 THEN
-        |   (CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE)
-        |    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))
-        |   /(COUNT(*)-1) ELSE NULL END AS var_v,
+        | (CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE)
+        |  - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*))
+        | /COUNT(*) AS var_v,
         | MIN(value) AS min_v, MAX(value) AS max_v,
         | median(value) AS med_v
         |FROM events GROUP BY 1, 2 ORDER BY event_type, window_ms""".stripMargin,

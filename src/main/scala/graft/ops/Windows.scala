@@ -92,14 +92,21 @@ object Windows {
     * per-row state stays O(window) at any corpus size). */
   private def withRollingStats(df: DataFrame, valueCol: Column,
                                w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
-    val n = count(lit(1)).over(w)
+    // count the VALUE, not the row: collect_list/sum drop nulls, so a
+    // count(lit(1)) n would index element_at past the sorted array's end
+    // (ANSI runtime error) and inflate mean/variance whenever valueCol has
+    // nulls — n must share the aggregates' null semantics
+    val n = count(valueCol).over(w)
     val s = sum(dec(valueCol)).over(w).cast("double")
     val sq = sum((valueCol * valueCol).cast("decimal(38,6)")).over(w).cast("double")
     val mean = s / n
     val variance = (sq - s * s / n) / n
     val sorted = array_sort(collect_list(valueCol.cast("double")).over(w))
     val mid = (n / lit(2L)).cast("int")
-    val medianC = when(n % 2 === 1, element_at(sorted, mid + 1))
+    // n == 0 (an all-null frame) must come first: the even branch would
+    // otherwise evaluate element_at(sorted, 0) — an error under ANSI
+    val medianC = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(sorted, mid + 1))
       .otherwise((element_at(sorted, mid) + element_at(sorted, mid + 1)) / 2d)
     df.withColumn("rollingCount", n)
       .withColumn("rollingSum", s)
@@ -132,8 +139,13 @@ object Windows {
       Window.partitionBy(keys: _*).orderBy(order: _*)
         .rowsBetween(-(windowLength - 1), Window.currentRow))
     val fmt = (c: Column) => format_string("%.6f", c)
+    // setAttribute overwrites (ProcessSession semantics); map_concat under the
+    // default mapKeyDedupPolicy=EXCEPTION would instead throw on a re-run, so
+    // strip any previously-stamped prefixed keys before concatenating
+    val cleaned = map_filter(col("attributes"),
+      (k, _) => !k.startsWith(prefix))
     val successes = stats
-      .withColumn("attributes", map_concat(col("attributes"), map(
+      .withColumn("attributes", map_concat(cleaned, map(
         lit(prefix + "count"), fmt(col("rollingCount").cast("double")),
         lit(prefix + "value"), fmt(col("rollingSum")),
         lit(prefix + "mean"), fmt(col("rollingMean")),
@@ -151,10 +163,7 @@ object Windows {
 
   /** ANSI-safe string→double (std::stod analog minus partial-prefix
     * parses: "12abc" is a failure here, which is the stricter contract). */
-  private def try_cast_double(c: Column): Column =
-    expr(s"try_cast(${""}null as double)").isNull match {
-      case _ => call_function("try_cast_double_placeholder", c)
-    }
+  private def try_cast_double(c: Column): Column = c.try_cast("double")
 
   /**
    * MaxCollector (extensions/sql/data/MaxCollector.h:32): running max per
