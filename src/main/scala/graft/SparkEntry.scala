@@ -15,8 +15,8 @@ import graft.record.{Records, XmlRecords}
  * Numeric policy (cross-engine hash-exactness): integer logic wherever
  * possible; double sums go through DECIMAL(18,6) (exact, order-independent);
  * every derived integer is cast to BIGINT on both sides; timestamps are
- * compared as epoch-milli/micro longs (events.parquet carries TIMESTAMP
- * NANOS, which Spark reads as long via nanosAsLong).
+ * compared as epoch-milli/micro longs (events.ts normalizes to epoch-micros
+ * whether the parquet carries TIMESTAMP NANOS or MICROS — see events()).
  */
 object SparkEntry {
 
@@ -36,11 +36,19 @@ object SparkEntry {
     tbl(s, dir, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions)
 
-  /** events.ts is TIMESTAMP(NANOS) parquet — Spark 4 reads it as LongType
-    * nanos under this legacy flag; ts_us = integer-div to microseconds. */
+  /** events.ts arrives as either TIMESTAMP(NANOS) parquet (Spark 4 reads it
+    * as LongType nanos under the nanosAsLong legacy flag) or plain
+    * TIMESTAMP(MICROS)/NTZ — the generator has shipped both. Normalize to a
+    * ts_us epoch-micros long either way (UTC session timezone, so the NTZ
+    * cast is wall-clock-preserving and matches DuckDB's naive epoch). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = tbl(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs)
   }
 
   /** Flagship query on sf0.001 — RouteOnAttribute over EL predicates →
