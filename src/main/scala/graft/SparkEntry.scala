@@ -51,6 +51,30 @@ object SparkEntry {
     raw.withColumn("ts_us", tsUs)
   }
 
+  /** Fixture for the MergeContent archive-format queries: documents as
+    * FlowFiles with a 3-or-4-entry attribute map exercising both attribute
+    * strategies — `segment.original.filename` constant per correlation
+    * (survives both), `lang` conflicting within most bins, `doc.key` unique
+    * per member (always conflicts), `flag` present on a subset with one
+    * value (Keep All Unique keeps it; Keep Only Common drops it). */
+  private def archiveMergeFlows(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir).select(
+      col("source"), col("doc_id"), col("text"),
+      concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+      map_filter(map(
+        lit("segment.original.filename"),
+        concat(lit("corpus_"), col("source"), lit(".txt")),
+        lit("lang"), col("lang"),
+        lit("doc.key"), col("doc_id").cast("string"),
+        lit("flag"), when(col("doc_id") % 3 === 0, lit("y"))),
+        (_, v) => v.isNotNull).as("attrs"))
+
+  /** Deterministic "k=v;k=v" rendering of the merged attribute map (sorted
+    * by key then value) so the DuckDB oracle can string_agg the same. */
+  private def attrsRendered: Column =
+    array_join(transform(array_sort(map_entries(col("attributes"))),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))), ";")
+
   /** Flagship query on sf0.001 — RouteOnAttribute over EL predicates →
     * per-relationship counts (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -1493,6 +1517,36 @@ object SparkEntry {
         .orderBy("correlation", "bin_count", "bin_size")
     }),
 
+    // §2.5 MergeContent TAR format + "Keep Only Common Attributes" —
+    // merged-FlowFile attribute contract: strategy intersection, then
+    // mime.type/fragment.count/filename overwrites (MergeContent.cpp:224-332)
+    "merge_archive_tar" -> ((s, dir) => {
+      val flows = archiveMergeFlows(s, dir)
+      SplitMerge.mergeContentArchive(flows, col("source"), col("doc_id"),
+        col("name"), col("text"), col("attrs"), "TAR", 10,
+        "Keep Only Common Attributes")
+        .select(col("correlation").as("source"), col("binId").as("bin_id"),
+          col("fragmentCount").as("fragment_count"),
+          array_join(col("entryNames"), ",").as("entry_names"),
+          attrsRendered.as("attrs"))
+        .orderBy("source", "bin_id")
+    }),
+
+    // §2.5 MergeContent ZIP format + "Keep All Unique Attributes" — a key
+    // with conflicting values is removed entirely; single-valued keys
+    // survive even when only some members carry them (MergeContent.cpp:357)
+    "merge_archive_zip" -> ((s, dir) => {
+      val flows = archiveMergeFlows(s, dir)
+      SplitMerge.mergeContentArchive(flows, col("source"), col("doc_id"),
+        col("name"), col("text"), col("attrs"), "ZIP", 10,
+        "Keep All Unique Attributes")
+        .select(col("correlation").as("source"), col("binId").as("bin_id"),
+          col("fragmentCount").as("fragment_count"),
+          array_join(col("entryNames"), ",").as("entry_names"),
+          attrsRendered.as("attrs"))
+        .orderBy("source", "bin_id")
+    }),
+
     // ------- multimodal plumbing (stubbed decode) -------
     "multimodal_stub" -> ((s, dir) => {
       val wrapped = Multimodal.wrapBinary(tbl(s, dir, "documents"),
@@ -1879,6 +1933,83 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS frags_seen, MIN(expected) AS frags_expected,
         | CASE WHEN COUNT(*) = MIN(expected) THEN 'merged' ELSE 'failure' END AS relationship
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "merge_archive_tar" ->
+      """WITH f AS (
+        | SELECT source AS correlation, doc_id, lang,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) / 10) AS BIGINT) AS bin_id
+        | FROM documents),
+        |b AS (
+        | SELECT correlation, bin_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(name, ',' ORDER BY doc_id) AS entry_names,
+        |  arg_min(name, doc_id) AS first_name
+        | FROM f GROUP BY 1, 2),
+        |a AS (
+        | SELECT correlation, bin_id, doc_id, 'segment.original.filename' AS k,
+        |  'corpus_' || correlation || '.txt' AS v FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'lang', lang FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'doc.key', CAST(doc_id AS VARCHAR) FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'flag', 'y' FROM f WHERE doc_id % 3 = 0),
+        |kept AS (
+        | SELECT a.correlation, a.bin_id, a.k, MIN(a.v) AS v
+        | FROM a JOIN b ON a.correlation = b.correlation AND a.bin_id = b.bin_id
+        | GROUP BY a.correlation, a.bin_id, a.k, b.n
+        | HAVING COUNT(DISTINCT a.v) = 1 AND COUNT(*) = b.n),
+        |merged AS (
+        | SELECT correlation, bin_id, k, v FROM kept
+        |  WHERE k NOT IN ('mime.type', 'fragment.count', 'filename')
+        | UNION ALL SELECT correlation, bin_id, 'mime.type', 'application/tar' FROM b
+        | UNION ALL SELECT correlation, bin_id, 'fragment.count', CAST(n AS VARCHAR) FROM b
+        | UNION ALL SELECT correlation, bin_id, 'filename',
+        |  (CASE WHEN n = 1 THEN first_name
+        |        ELSE 'corpus_' || correlation || '.txt' END) || '.tar' FROM b),
+        |fin AS (
+        | SELECT correlation, bin_id,
+        |  string_agg(k || '=' || v, ';' ORDER BY k, v) AS attrs
+        | FROM merged GROUP BY 1, 2)
+        |SELECT b.correlation AS source, b.bin_id AS bin_id, b.n AS fragment_count,
+        | b.entry_names, fin.attrs
+        |FROM b JOIN fin ON b.correlation = fin.correlation AND b.bin_id = fin.bin_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    "merge_archive_zip" ->
+      """WITH f AS (
+        | SELECT source AS correlation, doc_id, lang,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) / 10) AS BIGINT) AS bin_id
+        | FROM documents),
+        |b AS (
+        | SELECT correlation, bin_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(name, ',' ORDER BY doc_id) AS entry_names,
+        |  arg_min(name, doc_id) AS first_name
+        | FROM f GROUP BY 1, 2),
+        |a AS (
+        | SELECT correlation, bin_id, doc_id, 'segment.original.filename' AS k,
+        |  'corpus_' || correlation || '.txt' AS v FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'lang', lang FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'doc.key', CAST(doc_id AS VARCHAR) FROM f
+        | UNION ALL SELECT correlation, bin_id, doc_id, 'flag', 'y' FROM f WHERE doc_id % 3 = 0),
+        |kept AS (
+        | SELECT correlation, bin_id, k, MIN(v) AS v
+        | FROM a GROUP BY correlation, bin_id, k
+        | HAVING COUNT(DISTINCT v) = 1),
+        |merged AS (
+        | SELECT correlation, bin_id, k, v FROM kept
+        |  WHERE k NOT IN ('mime.type', 'fragment.count', 'filename')
+        | UNION ALL SELECT correlation, bin_id, 'mime.type', 'application/zip' FROM b
+        | UNION ALL SELECT correlation, bin_id, 'fragment.count', CAST(n AS VARCHAR) FROM b
+        | UNION ALL SELECT correlation, bin_id, 'filename',
+        |  (CASE WHEN n = 1 THEN first_name
+        |        ELSE 'corpus_' || correlation || '.txt' END) || '.zip' FROM b),
+        |fin AS (
+        | SELECT correlation, bin_id,
+        |  string_agg(k || '=' || v, ';' ORDER BY k, v) AS attrs
+        | FROM merged GROUP BY 1, 2)
+        |SELECT b.correlation AS source, b.bin_id AS bin_id, b.n AS fragment_count,
+        | b.entry_names, fin.attrs
+        |FROM b JOIN fin ON b.correlation = fin.correlation AND b.bin_id = fin.bin_id
+        |ORDER BY 1, 2""".stripMargin,
 
     "split_record" ->
       """SELECT COUNT(*) AS total_recs, TRUE AS all_within_cap,

@@ -141,10 +141,39 @@ object Archive {
       bos.toByteArray
     })
 
+  /** Tar multi-pack honoring the reference's per-entry mode contract
+    * (MergeContent.h:214-230): default S_IFREG|0755; a parseable
+    * `tar.permissions` attribute overrides the permission bits via a
+    * DECIMAL std::stoi parse (the reference quirk: "644" means 644₁₀).
+    * Unparseable values fall back to the default, as the reference's
+    * catch(...) does. */
+  val tarPackMultiPermsUdf = udf(
+    (names: Seq[String], payloads: Seq[Array[Byte]], perms: Seq[String]) =>
+    if (names == null || payloads == null) null
+    else {
+      val bos = new ByteArrayOutputStream()
+      val t = new TarArchiveOutputStream(bos)
+      names.indices.foreach { i =>
+        val e = new TarArchiveEntry(names(i))
+        val payload = payloads(i)
+        e.setSize(payload.length)
+        e.setModTime(0L)
+        val perm = if (perms == null || i >= perms.size) null else perms(i)
+        val mode = Option(perm).flatMap(_.toIntOption)
+          .map(p => 0x8000 | p).getOrElse(0x8000 | 0x1ed) // S_IFREG | 0755
+        e.setMode(mode)
+        t.putArchiveEntry(e); t.write(payload); t.closeArchiveEntry()
+      }
+      t.close()
+      bos.toByteArray
+    })
+
   def zipPackMulti(names: Column, payloads: Column): Column =
     zipPackMultiUdf(names, payloads)
   def tarPackMulti(names: Column, payloads: Column): Column =
     tarPackMultiUdf(names, payloads)
+  def tarPackMultiPerms(names: Column, payloads: Column, perms: Column): Column =
+    tarPackMultiPermsUdf(names, payloads, perms)
 
   // --- ManipulateArchive in-place entry edit (ManipulateArchive.cpp:96-190):
   // touch/remove/copy/move on a zip's entry list without splitting the

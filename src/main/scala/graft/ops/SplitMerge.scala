@@ -634,6 +634,113 @@ object SplitMerge {
   }
 
   /**
+   * MergeContent TAR/ZIP merge formats with the reference's full merged-
+   * FlowFile attribute contract (MergeContent.cpp:224-332, MergeContent.h:
+   * 200-246):
+   *
+   *  - archive entries named by each member's `filename`, in bin order;
+   *    TAR honors per-entry `tar.permissions` (default S_IFREG|0755).
+   *  - Attribute Strategy "Keep Only Common Attributes": a (key,value)
+   *    survives iff EVERY member carries exactly it (set intersection,
+   *    MergeContent.cpp:349-355). "Keep All Unique Attributes": a key
+   *    survives iff it never appears with two different values — a
+   *    conflicting key is removed entirely (MergeContent.cpp:357-369).
+   *  - then the processor overwrites `mime.type` (application/tar|zip,
+   *    MergeContent.cpp:261-262), `fragment.count` = bin size
+   *    (MergeContent.cpp:271), and `filename` = the single member's name
+   *    (1-element bin) else the first member's `segment.original.filename`,
+   *    + ".tar"/".zip" — set only when non-empty (MergeContent.cpp:305-331).
+   *
+   * Spark shape: two exchanges — the binning window on the correlation key,
+   * then the bin groupBy on (correlation, bin); both partial-aggregate
+   * map-side. The strategy merge runs as higher-order array functions over
+   * the bin's collected attribute maps — per-bin work is O(entries²) with
+   * entries bounded by maxEntries × attrs/flow, the same whole-bin-in-memory
+   * bound the reference's Bin holds. No driver collect; bins for different
+   * correlation keys merge in parallel.
+   */
+  def mergeContentArchive(df: DataFrame, correlationCol: Column,
+                          orderCol: Column, filenameCol: Column,
+                          contentCol: Column, attrsCol: Column,
+                          format: String, maxEntries: Int,
+                          attributeStrategy: String = "Keep Only Common Attributes"): DataFrame = {
+    val (mime, ext) = format match {
+      case "TAR" => ("application/tar", ".tar")
+      case "ZIP" => ("application/zip", ".zip")
+      case other => throw new IllegalArgumentException(
+        s"unsupported archive merge format: $other")
+    }
+    val rn = row_number().over(Window.partitionBy(correlationCol).orderBy(orderCol))
+    val binned = df
+      .withColumn("__bin", floor((rn.cast("long") - 1) / maxEntries))
+      .select(correlationCol.as("correlation"), col("__bin"),
+        orderCol.as("__ord"), filenameCol.as("__name"),
+        contentCol.cast("binary").as("__payload"),
+        attrsCol.as("__attrs"))
+    val agged = binned
+      .groupBy(col("correlation"), col("__bin").as("binId"))
+      .agg(
+        count(lit(1)).as("fragmentCount"),
+        // struct-with-map is not orderable, so the sortable member list
+        // (order, name, payload, perm) and the attribute-map list are
+        // collected separately; the map list needs no order
+        array_sort(collect_list(struct(col("__ord").as("o"),
+          col("__name").as("name"), col("__payload").as("payload"),
+          col("__attrs").getItem("tar.permissions").as("perm"))))
+          .as("members"),
+        collect_list(col("__attrs")).as("attrMaps"),
+        min_by(col("__name"), col("__ord")).as("firstName"),
+        min_by(col("__attrs").getItem("segment.original.filename"),
+          col("__ord")).as("firstSegName"))
+    val names = transform(col("members"), m => m.getField("name"))
+    val payloads = transform(col("members"), m => m.getField("payload"))
+    val perms = transform(col("members"), m => m.getField("perm"))
+    val archive =
+      if (format == "TAR") Archive.tarPackMultiPerms(names, payloads, perms)
+      else Archive.zipPackMulti(names, payloads)
+    // strategy merge over the bin's attribute maps
+    val allEntries = flatten(transform(col("attrMaps"), m => map_entries(m)))
+    val distinctEntries = array_distinct(allEntries)
+    val kept = attributeStrategy match {
+      case "Keep Only Common Attributes" =>
+        // (k,v) present in every member (keys are unique per map, so an
+        // exact-pair count of n means all n members carry it)
+        filter(distinctEntries, e =>
+          size(filter(allEntries, x =>
+            x.getField("key") === e.getField("key") &&
+            x.getField("value") <=> e.getField("value"))) ===
+          col("fragmentCount"))
+      case "Keep All Unique Attributes" =>
+        // key never appears with two different values
+        filter(distinctEntries, e =>
+          size(filter(distinctEntries, x =>
+            x.getField("key") === e.getField("key"))) === 1)
+      case other => throw new IllegalArgumentException(
+        s"unsupported attribute strategy: $other")
+    }
+    val mergedAttrs = map_from_entries(kept)
+    // processor-owned attributes overwrite the strategy's
+    val base = map_concat(
+      map_filter(mergedAttrs,
+        (k, _) => k =!= "mime.type" && k =!= "fragment.count"),
+      map(lit("mime.type"), lit(mime),
+        lit("fragment.count"), col("fragmentCount").cast("string")))
+    val fname = concat(
+      when(col("fragmentCount") === 1, col("firstName"))
+        .otherwise(col("firstSegName")), lit(ext))
+    val finalAttrs = when(fname.isNotNull && length(fname) > length(lit(ext)),
+        map_concat(map_filter(base, (k, _) => k =!= "filename"),
+          map(lit("filename"), fname)))
+      .otherwise(base)
+    agged
+      .withColumn("archive", archive)
+      .withColumn("attributes", finalAttrs)
+      .select(col("correlation"), col("binId"),
+        col("fragmentCount"), col("archive"), col("attributes"),
+        transform(col("members"), m => m.getField("name")).as("entryNames"))
+  }
+
+  /**
    * DefragmentText, batch semantics (DefragmentText.cpp:59): group
    * consecutive lines into messages bounded by a start pattern; each match
    * of `startPattern` begins a new message. Batch mapping: running count of

@@ -164,4 +164,81 @@ class MergeFileSpec extends SparkSpec {
       "Correlation Attribute Name" -> "tag"), Some(in))
     assert(mergedContents(out) === Seq(contents(1) + contents(2), "x" * 100))
   }
+
+  // ---- mergeContentArchive: TAR/ZIP formats + attribute strategies ----
+
+  private def archiveInput: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // (correlation, ord, name, content, attrs)
+      ("g1", 1, "a.txt", "alpha", Map(
+        "segment.original.filename" -> "seg1.txt", "common" -> "c",
+        "uniq" -> "u1", "tar.permissions" -> "644")),
+      ("g1", 2, "b.txt", "beta", Map(
+        "segment.original.filename" -> "seg1.txt", "common" -> "c",
+        "uniq" -> "u2")),
+      ("g2", 1, "solo.txt", "solo", Map(
+        "segment.original.filename" -> "seg2.txt", "common" -> "c",
+        "only" -> "x")))
+      .toDF("corr", "ord", "name", "content", "attrs")
+  }
+
+  private def runArchive(format: String, strategy: String): Array[Row] =
+    graft.ops.SplitMerge.mergeContentArchive(archiveInput, col("corr"),
+      col("ord"), col("name"), col("content"), col("attrs"), format, 10,
+      strategy).orderBy("correlation").collect()
+
+  test("mergeContentArchive TAR: entries in bin order, per-entry " +
+       "tar.permissions decimal-parse quirk, default S_IFREG|0755 " +
+       "(MergeContent.h:214-230)") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val rows = runArchive("TAR", "Keep Only Common Attributes")
+    assert(rows.length === 2)
+    val g1 = rows(0)
+    val tin = new TarArchiveInputStream(
+      new java.io.ByteArrayInputStream(g1.getAs[Array[Byte]]("archive")))
+    val e1 = tin.getNextEntry
+    assert(e1.getName === "a.txt")
+    assert(new String(tin.readNBytes(e1.getSize.toInt)) === "alpha")
+    // reference quirk: "644" is parsed DECIMAL → mode bits 644₁₀ = 0o1204
+    assert((e1.getMode & 0xFFF) === 644)
+    val e2 = tin.getNextEntry
+    assert(e2.getName === "b.txt")
+    assert((e2.getMode & 0xFFF) === 0x1ed) // default 0755
+    assert(tin.getNextEntry === null)
+  }
+
+  test("mergeContentArchive ZIP + Keep Only Common: exact (key,value) " +
+       "intersection, then mime.type/fragment.count/filename overwrite " +
+       "(MergeContent.cpp:349-355,261-331)") {
+    import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+    val rows = runArchive("ZIP", "Keep Only Common Attributes")
+    val g1 = rows(0)
+    val zin = new ZipArchiveInputStream(
+      new java.io.ByteArrayInputStream(g1.getAs[Array[Byte]]("archive")))
+    assert(zin.getNextEntry.getName === "a.txt")
+    assert(zin.getNextEntry.getName === "b.txt")
+    val a1 = g1.getAs[Map[String, String]]("attributes")
+    // uniq conflicts (u1/u2) and tar.permissions is on only one member →
+    // both dropped by the every-member intersection
+    assert(a1 === Map(
+      "segment.original.filename" -> "seg1.txt", "common" -> "c",
+      "mime.type" -> "application/zip", "fragment.count" -> "2",
+      "filename" -> "seg1.txt.zip"))
+    // single-member bin: filename is the member's own name + ext
+    val a2 = rows(1).getAs[Map[String, String]]("attributes")
+    assert(a2("filename") === "solo.txt.zip")
+    assert(a2("fragment.count") === "1")
+  }
+
+  test("mergeContentArchive Keep All Unique: conflicting key removed " +
+       "entirely, single-valued subset key survives (MergeContent.cpp:357-369)") {
+    val rows = runArchive("TAR", "Keep All Unique Attributes")
+    val a1 = rows(0).getAs[Map[String, String]]("attributes")
+    assert(!a1.contains("uniq")) // u1 vs u2 → removed
+    // tar.permissions appears once with one value → survives under Unique
+    assert(a1("tar.permissions") === "644")
+    assert(a1("common") === "c")
+    assert(a1("mime.type") === "application/tar")
+  }
 }
