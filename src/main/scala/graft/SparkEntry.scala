@@ -1954,6 +1954,7 @@ object SparkEntry {
         |kept AS (
         | SELECT a.correlation, a.bin_id, a.k, MIN(a.v) AS v
         | FROM a JOIN b ON a.correlation = b.correlation AND a.bin_id = b.bin_id
+        | WHERE a.v IS NOT NULL
         | GROUP BY a.correlation, a.bin_id, a.k, b.n
         | HAVING COUNT(DISTINCT a.v) = 1 AND COUNT(*) = b.n),
         |merged AS (

@@ -159,7 +159,12 @@ object Archive {
         e.setSize(payload.length)
         e.setModTime(0L)
         val perm = if (perms == null || i >= perms.size) null else perms(i)
-        val mode = Option(perm).flatMap(_.toIntOption)
+        // std::stoi semantics (MergeContent.h:223): skip leading whitespace,
+        // accept an optional sign, parse the longest decimal digit prefix,
+        // ignore trailing junk; throw (→ default) only when no digits lead.
+        val mode = Option(perm)
+          .map(s => "^\\s*[+-]?\\d+".r.findFirstIn(s).getOrElse(""))
+          .map(_.trim).filter(_.nonEmpty).flatMap(_.toIntOption)
           .map(p => 0x8000 | p).getOrElse(0x8000 | 0x1ed) // S_IFREG | 0755
         e.setMode(mode)
         t.putArchiveEntry(e); t.write(payload); t.closeArchiveEntry()

@@ -725,9 +725,14 @@ object SplitMerge {
         (k, _) => k =!= "mime.type" && k =!= "fragment.count"),
       map(lit("mime.type"), lit(mime),
         lit("fragment.count"), col("fragmentCount").cast("string")))
+    // Multi-member fallback: when the first member lacks
+    // segment.original.filename, the reference's TarMerge/ZipMerge keeps the
+    // strategy-merged filename (FlowFile::getAttribute leaves the string
+    // unchanged on miss) and still appends the archive extension to it.
     val fname = concat(
       when(col("fragmentCount") === 1, col("firstName"))
-        .otherwise(col("firstSegName")), lit(ext))
+        .otherwise(coalesce(col("firstSegName"),
+          element_at(mergedAttrs, lit("filename")))), lit(ext))
     val finalAttrs = when(fname.isNotNull && length(fname) > length(lit(ext)),
         map_concat(map_filter(base, (k, _) => k =!= "filename"),
           map(lit("filename"), fname)))

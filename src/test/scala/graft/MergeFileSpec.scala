@@ -241,4 +241,43 @@ class MergeFileSpec extends SparkSpec {
     assert(a1("common") === "c")
     assert(a1("mime.type") === "application/tar")
   }
+
+  test("tar.permissions std::stoi prefix parse: trailing junk ignored, " +
+       "leading whitespace skipped, non-numeric falls back to 0755 " +
+       "(MergeContent.h:223)") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    import spark.implicits._
+    val in = Seq(
+      ("g", 1, "a.txt", "alpha", Map("tar.permissions" -> "644 ")),   // trailing space
+      ("g", 2, "b.txt", "beta",  Map("tar.permissions" -> "0644x")),  // numeric prefix
+      ("g", 3, "c.txt", "gamma", Map("tar.permissions" -> " 711")),   // leading ws
+      ("g", 4, "d.txt", "delta", Map("tar.permissions" -> "x644")))   // no digit prefix
+      .toDF("corr", "ord", "name", "content", "attrs")
+    val rows = graft.ops.SplitMerge.mergeContentArchive(in, col("corr"),
+      col("ord"), col("name"), col("content"), col("attrs"), "TAR", 10,
+      "Keep All Unique Attributes").collect()
+    val tin = new TarArchiveInputStream(
+      new java.io.ByteArrayInputStream(rows(0).getAs[Array[Byte]]("archive")))
+    val modes = Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> (e.getMode & 0xFFF)).toMap
+    assert(modes("a.txt") === 644)   // "644 "  → stoi prefix 644
+    assert(modes("b.txt") === 644)   // "0644x" → decimal prefix 0644 = 644
+    assert(modes("c.txt") === 711)   // " 711"  → whitespace skipped
+    assert(modes("d.txt") === 0x1ed) // "x644"  → unparseable → default 0755
+  }
+
+  test("multi-member bin without segment.original.filename keeps the " +
+       "strategy-merged filename and appends the extension " +
+       "(MergeContent.cpp: FlowFile::getAttribute miss leaves name)") {
+    import spark.implicits._
+    val in = Seq(
+      ("g", 1, "a.txt", "alpha", Map("filename" -> "orig.log", "c" -> "v")),
+      ("g", 2, "b.txt", "beta",  Map("filename" -> "orig.log", "c" -> "v")))
+      .toDF("corr", "ord", "name", "content", "attrs")
+    val rows = graft.ops.SplitMerge.mergeContentArchive(in, col("corr"),
+      col("ord"), col("name"), col("content"), col("attrs"), "TAR", 10,
+      "Keep Only Common Attributes").collect()
+    val attrs = rows(0).getAs[Map[String, String]]("attributes")
+    assert(attrs("filename") === "orig.log.tar")
+  }
 }
