@@ -57,7 +57,8 @@ object Bench {
     * the 100 TB plan claims into measured evidence — near-linear x10 wall
     * time means no stage is quadratic, single-reducer, or driver-bound. */
   val x10: Seq[String] = Seq(
-    "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export")
+    "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export",
+    "embed_topk", "embed_neardup")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with
@@ -74,7 +75,8 @@ object Bench {
    */
   private def stageX10(spark: SparkSession, sfDir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-x10"
-    val marker = new java.io.File(s"$out/.staged-" +
+    // marker versioned by staged content: v2 added embeddings.parquet
+    val marker = new java.io.File(s"$out/.staged2-" +
       java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL))
     if (!marker.exists()) {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -90,6 +92,22 @@ object Bench {
       }
       reps.reduce(_ unionAll _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      // 10× embeddings for the ANN rows: replica r circularly shifts the
+      // vector by r positions — same norm, distinct direction, so replicas
+      // are DISJOINT points (not near-dups; same rationale as the text
+      // rotation above). rep 0 keeps the original vector, and the query
+      // subset (vec_id % 100 = 0) stays 1% of the corpus under id*10+rep.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val embReps = (0 until 10).map { r =>
+        emb.select(
+          (col("vec_id") * 10 + lit(r)).as("vec_id"),
+          (if (r == 0) col("embedding")
+           else concat(slice(col("embedding"), r + 1, Int.MaxValue),
+                       slice(col("embedding"), 1, r))).as("embedding"),
+          col("label"))
+      }
+      embReps.reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
       marker.createNewFile()
     }
     out

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{GzipCompress, GzipDecompress}
+import graft.functions.{DotQ, GzipCompress, GzipDecompress, NormSqQ}
 
 /**
  * SparkSessionExtensions injector — SURVEY §7.4 custom-operator tier (c)
@@ -29,5 +29,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => GzipCompress(args.head)),
     (FunctionIdentifier("graft_gunzip"),
       new ExpressionInfo(classOf[GzipDecompress].getName, "graft_gunzip"),
-      (args: Seq[Expression]) => GzipDecompress(args.head)))
+      (args: Seq[Expression]) => GzipDecompress(args.head)),
+    (FunctionIdentifier("graft_dotq"),
+      new ExpressionInfo(classOf[DotQ].getName, "graft_dotq"),
+      (args: Seq[Expression]) => DotQ(args(0), args(1))),
+    (FunctionIdentifier("graft_normsq"),
+      new ExpressionInfo(classOf[NormSqQ].getName, "graft_normsq"),
+      (args: Seq[Expression]) => NormSqQ(args.head)))
 }

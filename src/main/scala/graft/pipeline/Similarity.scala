@@ -24,14 +24,20 @@ object Similarity {
   def quantize(embCol: Column): Column =
     transform(embCol, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** Integer dot product of two quantized vectors (left fold — but integer
-    * addition is associative+commutative, so any order matches). */
+  /** Integer dot product of two quantized vectors — a native codegen'd
+    * expression (graft.functions.DotQ): the O(pairs·dim) scoring loop of
+    * every top-k/near-dup query stays inside whole-stage codegen instead
+    * of paying two interpreted higher-order functions per pair. Integer
+    * addition is associative+commutative, so any order matches. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.DotQ(
+      org.apache.spark.sql.GraftColumnShim.expression(a),
+      org.apache.spark.sql.GraftColumnShim.expression(b)))
 
-  /** Squared L2 norm of a quantized vector (integer). */
+  /** Squared L2 norm of a quantized vector (integer, codegen'd). */
   def normSqQ(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.NormSqQ(
+      org.apache.spark.sql.GraftColumnShim.expression(a)))
 
   /** Cosine from integer dot + norms — fixed double expression shape. */
   def cosineFromQ(dot: Column, na: Column, nb: Column): Column =

@@ -65,4 +65,56 @@ class FunctionsSpec extends SparkSpec {
       assert(rt === "banana bread", s"$fmt round trip")
     }
   }
+
+  test("vector kernels agree with the higher-order-function formulation " +
+       "and preserve its null semantics") {
+    import graft.pipeline.Similarity
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(3L, -4L, 5L),          array(2L, 0L, -1L)),
+        | (array(1000000L, -1000000L),  array(1000000L, 1000000L)),
+        | (array(CAST(NULL AS BIGINT), 1L), array(1L, 1L)),
+        | (array(1L, 2L),               array(1L, 2L, 3L)),
+        | (CAST(NULL AS ARRAY<BIGINT>), array(1L)),
+        | (array(), array())
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(
+      Similarity.dotQ(col("a"), col("b")).as("dot"),
+      Similarity.normSqQ(col("a")).as("nsq"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("dot_hof"),
+      aggregate(col("a"), lit(0L), (acc, x) => acc + x * x).as("nsq_hof"))
+      .collect()
+    rows.foreach { r =>
+      assert((r.isNullAt(0), if (r.isNullAt(0)) 0L else r.getLong(0)) ===
+             (r.isNullAt(2), if (r.isNullAt(2)) 0L else r.getLong(2)), "dot")
+      assert((r.isNullAt(1), if (r.isNullAt(1)) 0L else r.getLong(1)) ===
+             (r.isNullAt(3), if (r.isNullAt(3)) 0L else r.getLong(3)), "normSq")
+    }
+    assert(rows(0).getLong(0) === 1L)      // 6 + 0 - 5
+    assert(rows(0).getLong(1) === 50L)     // 9 + 16 + 25
+    assert(rows(1).getLong(0) === 0L)      // 1e12 - 1e12 (no overflow at 1e6 scale)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1)) // null element → null
+    assert(rows(3).isNullAt(0))            // length mismatch → null (zip_with pad)
+    assert(rows(5).getLong(0) === 0L)      // empty arrays → 0
+  }
+
+  test("graft_dotq / graft_normsq are SQL-addressable via the extension " +
+       "descriptors and stay inside whole-stage codegen") {
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val r = spark.sql(
+      "SELECT graft_dotq(array(2L, 3L), array(4L, 5L)), graft_normsq(array(3L, 4L))")
+      .collect()(0)
+    assert(r.getLong(0) === 23L)
+    assert(r.getLong(1) === 25L)
+    // the scoring expression must not fall out of codegen: the plan's
+    // codegen dump contains the kernel call (WholeStageCodegen covers it)
+    val plan = spark.sql(
+      "SELECT graft_dotq(array(id), array(id + 1)) FROM range(10)")
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      plan.queryExecution.executedPlan)
+    assert(gen.contains("VectorKernels.dotQ"))
+  }
 }
