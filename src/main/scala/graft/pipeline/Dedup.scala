@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (array of 'w1 w2 .. wn'). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(textCol, " ")
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(words, " ")))
-  }
+  /** Word n-gram shingles of a text column (array of 'w1 w2 .. wn') — a
+    * native codegen'd generator (graft.functions.WordShingles): the
+    * map-side hot loop of the whole dedup family emits zero-copy substring
+    * slices instead of paying four interpreted higher-order functions per
+    * document (see ShingleExpressions.scala). */
+  def shingles(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.WordShingles(
+      org.apache.spark.sql.GraftColumnShim.expression(textCol), n))
 
   /**
    * Exact dedup: hash-groupBy on content md5 — keep the smallest id per
@@ -292,10 +292,9 @@ object Dedup {
   }
 
   /** Fixed-size word windows: the segmentation for corpora without
-    * paragraph structure — ceil(len/n) chunks of n words (last one short). */
-  def wordWindows(textCol: Column, n: Int): Column = {
-    val words = split(textCol, " ")
-    transform(sequence(lit(0), ceil(size(words).cast("double") / n).cast("int") - 1),
-      i => array_join(slice(words, i * n + 1, lit(n)), " "))
-  }
+    * paragraph structure — ceil(len/n) chunks of n words (last one short).
+    * Native codegen'd generator; see [[shingles]]. */
+  def wordWindows(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.WordWindows(
+      org.apache.spark.sql.GraftColumnShim.expression(textCol), n))
 }

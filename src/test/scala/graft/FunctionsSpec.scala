@@ -99,6 +99,41 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(5).getLong(0) === 0L)      // empty arrays → 0
   }
 
+  test("native shingle/window generators agree with the higher-order " +
+       "formulation on every edge shape (empty, short, consecutive spaces, " +
+       "leading/trailing space, multi-byte UTF-8, null)") {
+    // the historical HOF formulations ARE the spec
+    def hofShingles(t: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(t, " ")
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(words, " ")))
+    }
+    def hofWindows(t: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(t, " ")
+      transform(sequence(lit(0), ceil(size(words).cast("double") / n).cast("int") - 1),
+        i => array_join(slice(words, i * n + 1, lit(n)), " "))
+    }
+    val texts = Seq(
+      "one two three four five six", "single", "", "a b", "a  b   c",
+      " leading", "trailing ", "  ", "über ñandú 中文 字 emoji 🎉 end",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11", null)
+    val df = spark.createDataFrame(
+      texts.map(Tuple1(_))).toDF("t").repartition(3)
+    Seq(1, 2, 5).foreach { n =>
+      val rows = df.select(
+        graft.pipeline.Dedup.shingles(col("t"), n).as("sh"),
+        hofShingles(col("t"), n).as("sh_hof"),
+        graft.pipeline.Dedup.wordWindows(col("t"), n).as("w"),
+        hofWindows(col("t"), n).as("w_hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"shingles n=$n")
+        assert(r.getSeq[String](2) === r.getSeq[String](3), s"windows n=$n")
+      }
+    }
+  }
+
   test("graft_dotq / graft_normsq are SQL-addressable via the extension " +
        "descriptors and stay inside whole-stage codegen") {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
