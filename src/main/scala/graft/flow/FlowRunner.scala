@@ -235,6 +235,15 @@ object Processors {
             .getOrElse(0L),
           maxAgeMs = props.get("Maximum File Age").map(Units.parseDurationMs)
             .getOrElse(Long.MaxValue))
+        // reference attribute contract (GetFile.cpp getFileAttrs,
+        // GetFileTests.cpp:264-292): `path` is the directory RELATIVE to
+        // Input Directory with a trailing slash ("./" for a direct child),
+        // `absolute.path` the absolute directory with a trailing slash
+        val dirAbs = new java.io.File(dir).getAbsolutePath
+        val relFile = regexp_replace(
+          regexp_replace(col("path"), "^file:", ""),
+          "^" + java.util.regex.Pattern.quote(dirAbs) + "/", "")
+        val relDir = regexp_replace(relFile, "[^/]*$", "")
         val named = ff
           .withColumn("filename", element_at(split(col("path"), "/"), -1))
           .filter(col("filename").rlike(
@@ -242,7 +251,19 @@ object Processors {
           .filter(if (Units.parseBool(prop("Ignore Hidden Files", "true")))
             !col("filename").startsWith(".") else lit(true))
           .withColumn("text", col("content").cast("string"))
-        success(FlowFrame.wrap(named, "text", Seq("filename", "path")))
+          // absolute.path FIRST: relDir reads col("path"), which the next
+          // line overwrites with the relative form
+          .withColumn("absolute.path", concat(lit(dirAbs + "/"), relDir))
+          .withColumn("path", when(relDir === "", lit("./")).otherwise(relDir))
+        // Batch Size caps files per trigger ONLY when explicitly configured
+        // (GetFileTests.cpp:220-235); the batch relaxation otherwise
+        // processes the whole poll. orderBy+limit plans as
+        // TakeOrderedAndProject — per-partition top-K, no global sort.
+        val batched = props.get("Batch Size").map(_.trim.toInt)
+          .map(nLim => named.orderBy(col("path"), col("filename")).limit(nLim))
+          .getOrElse(named)
+        success(FlowFrame.wrap(batched, "text",
+          Seq("filename", "path", "absolute.path")))
 
       case "ListFile" =>
         // zero-content listing with file metadata attrs (ListFile.cpp:92);
@@ -416,11 +437,16 @@ object Processors {
       case "AttributesToJSON" =>
         val listed = prop("Attributes List", "")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val regexProp = prop("Attributes Regular Expression", "").trim
+        // list and/or regex → union selection, core filter NOT applied;
+        // neither → all attributes minus the core filter
+        // (AttributesToJSON.cpp:63-83,102-107)
         val json =
-          if (listed.nonEmpty) Transforms.attributesToJson(listed,
-            nullForMissing = Units.parseBool(prop("Null Value", "false")))
-          else Transforms.attributesToJsonRegex(
-            prop("Attributes Regular Expression", ".*"),
+          if (listed.nonEmpty || regexProp.nonEmpty)
+            Transforms.attributesToJsonSelected(listed,
+              Option(regexProp).filter(_.nonEmpty),
+              nullForMissing = Units.parseBool(prop("Null Value", "false")))
+          else Transforms.attributesToJsonAll(
             includeCore = Units.parseBool(
               prop("Include Core Attributes", "true")))
         success(prop("Destination", "flowfile-attribute") match {
@@ -995,8 +1021,11 @@ object Processors {
         require(prop("Pattern Location", "Start of Message") == "Start of Message",
           s"processor '${p.name}': batch DefragmentText supports " +
             "'Start of Message' only; run End-of-Message flows streaming")
-        val src = coalesce(FlowFrame.attr("path"),
-          FlowFrame.attr("filename"), lit(""))
+        // origin-file key: path alone is a DIRECTORY (relative, shared by
+        // sibling files — GetFile contract), so join it with filename
+        val src = concat_ws("/",
+          coalesce(FlowFrame.attr("path"), lit("")),
+          coalesce(FlowFrame.attr("filename"), lit("")))
         // arrival order: the upstream splitter's fragment.index when
         // present (stable across unions and repartitions), else physical
         // row order as the last resort

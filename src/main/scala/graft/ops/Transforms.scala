@@ -61,7 +61,22 @@ object Transforms {
       if (sizeLimit > 0) substring(contentCol.cast("binary"), 1, sizeLimit).cast("string")
       else contentCol
     val emptyArr = array().cast("array<string>")
-    val perPattern: Seq[Column] = patterns.map { case (name, pattern) =>
+    // An unparseable dynamic-property regex is logged and SKIPPED — the
+    // other properties still apply (ExtractText.cpp onSchedule catch;
+    // ExtractTextTests.cpp "InvalidRegex" case: the error is reported and
+    // the valid RegexAttr captures still land).
+    val valid = patterns.filter { case (name, pattern) =>
+      try { java.util.regex.Pattern.compile(pattern); true }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          System.err.println("[graft] error encountered when trying to " +
+            s"construct regular expression from property (key: $name): " +
+            e.getMessage)
+          false
+      }
+    }
+    if (valid.isEmpty) return df
+    val perPattern: Seq[Column] = valid.map { case (name, pattern) =>
       val nGroups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
       val pat = lit(if (caseInsensitive) "(?i)" + pattern else pattern)
       val groups = (if (includeGroupZero) 0 else 1) to nGroups
@@ -218,21 +233,50 @@ object Transforms {
         coalesce(FlowFrame.attr(n), lit("")).as(n)): _*))
 
   /**
-   * AttributesToJSON "Attributes Regular Expression" mode
-   * (AttributesToJSON.h): select by name regex instead of a fixed list;
-   * `includeCore` false also drops the core attribute set
-   * (SpecialFlowAttribute.h:22-33). Key order follows the attribute map.
+   * AttributesToJSON explicit selection (AttributesToJSON.cpp:63-83
+   * getAttributesToBeWritten): when an Attributes List and/or an
+   * Attributes Regular Expression is configured, the selection is their
+   * UNION, and the Include Core Attributes filter does NOT apply — core
+   * attributes are written if they match the list or regex
+   * (AttributesToJSONTests.cpp:250-278). List keys always emit (missing →
+   * "" / null per NullValue); regex keys only exist if present.
    */
-  def attributesToJsonRegex(regex: String, includeCore: Boolean = true): Column = {
+  def attributesToJsonSelected(attrList: Seq[String], regex: Option[String],
+                               nullForMissing: Boolean = false): Column = {
+    val listCol: Column =
+      if (attrList.isEmpty) map().cast("map<string,string>")
+      else map_from_arrays(
+        array(attrList.map(lit(_)): _*),
+        array(attrList.map(n =>
+          if (nullForMissing) FlowFrame.attr(n)
+          else coalesce(FlowFrame.attr(n), lit(""))): _*))
+    val selected = regex match {
+      case Some(r) =>
+        // whole-name match (utils::regexMatch, AttributesToJSON.cpp:76)
+        val anchored = graft.el.ElCompiler.anchor(r)
+        val listKeys = array(attrList.map(lit(_)): _*)
+        map_concat(listCol, map_filter(col(FlowFrame.Attributes),
+          (k, _) => k.rlike(anchored) && !array_contains(listKeys, k)))
+      case None => listCol
+    }
+    to_json(selected)
+  }
+
+  /**
+   * AttributesToJSON default mode — no list, no regex: ALL attributes,
+   * minus the core attribute set when `includeCore` is false
+   * (AttributesToJSON.cpp:58-61,102-107; SpecialFlowAttribute.h:22-33).
+   * Key order follows the attribute map.
+   */
+  def attributesToJsonAll(includeCore: Boolean = true): Column = {
     val core = Seq(FlowFrame.CoreAttrs.Path, FlowFrame.CoreAttrs.AbsolutePath,
       FlowFrame.CoreAttrs.Filename, FlowFrame.CoreAttrs.Uuid,
       FlowFrame.CoreAttrs.Priority, FlowFrame.CoreAttrs.MimeType,
       FlowFrame.CoreAttrs.FlowId)
-    // whole-name match (utils::regexMatch, AttributesToJSON.cpp:76)
-    val anchored = graft.el.ElCompiler.anchor(regex)
-    val selected = map_filter(col(FlowFrame.Attributes), (k, _) =>
-      if (includeCore) k.rlike(anchored)
-      else k.rlike(anchored) && !k.isin(core.map(lit): _*))
+    val selected =
+      if (includeCore) col(FlowFrame.Attributes)
+      else map_filter(col(FlowFrame.Attributes),
+        (k, _) => !k.isin(core.map(lit(_)): _*))
     to_json(selected)
   }
 

@@ -194,6 +194,38 @@ class FlowSpec extends SparkSpec {
       "alpha2")
   }
 
+  test("GetFile sets path/absolute.path relative to Input Directory and " +
+       "honors an explicit Batch Size (GetFileTests.cpp:220-292)") {
+    val inDir = tmpDir("flow-attr-in")
+    Files.createDirectories(Paths.get(inDir, "subdir"))
+    Files.write(Paths.get(inDir, "direct.txt"), "d".getBytes)
+    Files.write(Paths.get(inDir, "subdir", "sub_file.txt"), "s".getBytes)
+    def yml(extra: String) =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: get
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties:
+         |    Input Directory: $inDir
+         |$extra
+         |""".stripMargin
+    val out = FlowRunner.run(spark, FlowConfig.parse(yml(""))).output("get")
+    val attrs = out.select(col(graft.core.FlowFrame.Attributes)).collect()
+      .map(_.getMap[String, String](0).toMap)
+      .map(m => m("filename") -> m).toMap
+    // file directly in the input directory (GetFileTests.cpp:282)
+    assert(attrs("direct.txt")("path") === "./")
+    assert(attrs("direct.txt")("absolute.path") === s"$inDir/")
+    // file in a subdirectory (GetFileTests.cpp:272)
+    assert(attrs("sub_file.txt")("path") === "subdir/")
+    assert(attrs("sub_file.txt")("absolute.path") === s"$inDir/subdir/")
+    // explicit Batch Size caps the files of one trigger
+    val capped = FlowRunner.run(spark, FlowConfig.parse(yml(
+      "    Batch Size: '1'"))).output("get")
+    assert(capped.count() === 1)
+  }
+
   test("PutFile evaluates Directory per row via EL; missing required " +
        "property names the processor and key") {
     val inDir = tmpDir("flow-el-in")

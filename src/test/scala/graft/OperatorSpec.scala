@@ -610,17 +610,60 @@ class OperatorSpec extends SparkSpec {
       """{"my_attribute":"my_value","non_existent_attribute":null,"empty_attribute":""}""")
   }
 
-  test("AttributesToJSON regex selection with core-attribute exclusion " +
-       "(AttributesToJSON.h)") {
+  test("AttributesToJSON selection battery: regex keeps matching core " +
+       "attributes, list+regex union, all-mode core filter, no-match empty " +
+       "object (AttributesToJSONTests.cpp:199-292)") {
     val ff = flowFrame(Seq(("", Map(
-      "app.name" -> "x", "app.ver" -> "2", "other" -> "y", "path" -> "/tmp"))))
-    val all = ff.select(Transforms.attributesToJsonRegex("^(app|path).*"))
-      .collect()(0).getString(0)
-    assert(all.contains("\"app.name\":\"x\"") && all.contains("\"path\":\"/tmp\""))
-    assert(!all.contains("other"))
-    val noCore = ff.select(Transforms.attributesToJsonRegex("^(app|path).*",
-      includeCore = false)).collect()(0).getString(0)
-    assert(noCore.contains("\"app.ver\":\"2\"") && !noCore.contains("path"))
+      "my_attribute" -> "my_value", "my_attribute_1" -> "my_value_1",
+      "other_attribute" -> "other_value", "empty_attribute" -> "",
+      "filename" -> "tstFile.ext", "path" -> "./"))))
+    def parse(c: org.apache.spark.sql.Column): Map[String, Option[String]] = {
+      val s = ff.select(c).collect()(0).getString(0)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      import scala.jdk.CollectionConverters._
+      m.properties().asScala.map(e => e.getKey ->
+        (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap
+    }
+    // regex selection keeps the attrs it matches — even without the list
+    assert(parse(Transforms.attributesToJsonSelected(Nil, Some("[a-z]+y_attribute")))
+      === Map("empty_attribute" -> Some(""), "my_attribute" -> Some("my_value")))
+    // core attributes ARE written when they match the regex, regardless of
+    // Include Core Attributes (AttributesToJSONTests.cpp:250)
+    assert(parse(Transforms.attributesToJsonSelected(Nil, Some("file.*")))
+      === Map("filename" -> Some("tstFile.ext")))
+    // list + regex union, list keys never duplicated
+    assert(parse(Transforms.attributesToJsonSelected(
+      Seq("filename", "path", "my_attribute"), Some("[a-z]+y_attribute")))
+      === Map("filename" -> Some("tstFile.ext"), "path" -> Some("./"),
+        "my_attribute" -> Some("my_value"), "empty_attribute" -> Some("")))
+    // no matching attribute in list nor by regex → empty JSON object
+    assert(parse(Transforms.attributesToJsonSelected(Nil, Some("non-exist.*")))
+      === Map.empty)
+    // NullValue battery case through the selected path: missing list key →
+    // JSON null when NullValue=true, "" otherwise; existing empty stays ""
+    assert(parse(Transforms.attributesToJsonSelected(
+      Seq("my_attribute", "non_existent_attribute", "empty_attribute"), None,
+      nullForMissing = true))
+      === Map("my_attribute" -> Some("my_value"),
+        "non_existent_attribute" -> None, "empty_attribute" -> Some("")))
+    assert(parse(Transforms.attributesToJsonSelected(
+      Seq("non_existent_attribute"), None))
+      === Map("non_existent_attribute" -> Some("")))
+    // all-mode: Include Core Attributes=false drops the core set
+    assert(parse(Transforms.attributesToJsonAll(includeCore = false))
+      === Map("my_attribute" -> Some("my_value"),
+        "my_attribute_1" -> Some("my_value_1"),
+        "other_attribute" -> Some("other_value"),
+        "empty_attribute" -> Some("")))
+    // all-mode default keeps everything
+    assert(parse(Transforms.attributesToJsonAll()).size === 6)
+    // special characters survive JSON escaping round-trip
+    val spec = flowFrame(Seq(("", Map("special_attribute" -> "\\\""))))
+    val sj = spec.select(Transforms.attributesToJsonSelected(
+      Seq("special_attribute"), None)).collect()(0).getString(0)
+    val sv = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sj).get("special_attribute").asText()
+    assert(sv === "\\\"")
   }
 
   test("InvokeHTTP attributes-to-headers regex projection (InvokeHTTP.h)") {
@@ -941,6 +984,17 @@ class OperatorSpec extends SparkSpec {
     val none = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
       Seq(("Nope", "xyzzy([0-9]+)")), repeating = true))
     assert(!none.exists(_._1.startsWith("Nope")))
+    // an invalid dynamic-property regex is skipped with an error; the
+    // valid properties still capture (ExtractTextTests.cpp "InvalidRegex")
+    val mixed = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("RegexAttr", "Speed limit ([0-9]+)"), ("InvalidRegex", "[Invalid)A(F)")),
+      repeating = true))
+    assert(mixed("RegexAttr") === "Speed limit 130")
+    assert(!mixed.exists(_._1.startsWith("InvalidRegex")))
+    // ALL patterns invalid → frame passes through unchanged
+    val allBad = attrsOf(Transforms.extractTextRegex(df, col(FlowFrame.Content),
+      Seq(("InvalidRegex", "[Invalid)A(F)"))))
+    assert(allBad === Map.empty)
   }
 
   test("RetryFlowFile reuse modes: FailOnReuse → failure, WarnOnReuse " +
