@@ -597,8 +597,23 @@ object Processors {
           case "Leading" => SplitMerge.Leading
           case _         => SplitMerge.Trailing
         }
-        val frags = SplitMerge.splitContent(in, col(FlowFrame.Uuid),
-          content.cast("string"), delimProp("Byte Sequence", "\n"), keep, loc)
+        // Byte Sequence is REQUIRED (SplitContentTests.cpp
+        // "WithoutByteSequence": PropertyNotSet error) and its format
+        // DEFAULTS to Hexadecimal over raw bytes (SplitContent.h:40-49);
+        // Text mode takes the property bytes with the usual control-char
+        // unescapes. Both run binary-safe — fragments stay BINARY.
+        val rawSeq = req("Byte Sequence")
+        val delimBytes: Array[Byte] =
+          prop("Byte Sequence Format", "Hexadecimal") match {
+            case "Text" => delimProp("Byte Sequence", "\n").getBytes("UTF-8")
+            case _ =>
+              require(rawSeq.matches("(?i)[0-9a-f]+") && rawSeq.length % 2 == 0,
+                s"processor '${p.name}': Byte Sequence '$rawSeq' is not " +
+                  "valid hexadecimal")
+              rawSeq.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          }
+        val frags = SplitMerge.splitContentBinary(in, col(FlowFrame.Uuid),
+          content.cast("binary"), delimBytes, keep, loc)
         fragmentFrame(frags, "fragmentIndex", "fragment",
           countCol = Some("fragmentCount"))
 

@@ -271,6 +271,30 @@ object SplitMerge {
   }
 
   /**
+   * SplitContent over BINARY content — the reference's DEFAULT Byte
+   * Sequence Format is Hexadecimal over raw bytes (SplitContent.h:40-49),
+   * which a string split corrupts (0xFF is invalid UTF-8). The scan +
+   * keep-mode assembly runs in one native codegen'd expression
+   * (graft.functions.SplitByteSequence); fragments stay BINARY end to end.
+   */
+  def splitContentBinary(df: DataFrame, idCol: Column, contentCol: Column,
+                         delimiter: Array[Byte],
+                         keepDelimiter: Boolean = false,
+                         location: ByteSequenceLocation = Trailing): DataFrame = {
+    val emitted = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SplitByteSequence(
+        org.apache.spark.sql.GraftColumnShim.expression(contentCol),
+        delimiter, keepDelimiter, location == Leading))
+    df.select(
+      idCol.as(FragmentAttrs.Identifier),
+      posexplode(emitted).as(Seq("idx0", "fragment")),
+      size(emitted).cast("long").as("fragmentCount"))
+      .select(col(s"`${FragmentAttrs.Identifier}`"),
+        (col("idx0") + 1).as("fragmentIndex"), col("fragment"),
+        col("fragmentCount"))
+  }
+
+  /**
    * SegmentContent (SegmentContent.cpp:54): fixed-size segmentation.
    * `sequence` + `substring` — pure Catalyst, no UDF, one row in → k rows
    * out with no shuffle. Empty content emits NO segments

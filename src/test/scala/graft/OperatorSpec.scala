@@ -445,6 +445,69 @@ class OperatorSpec extends SparkSpec {
     assert(one.head.getAs[Long]("fragmentCount") === 1L)
   }
 
+  test("SplitContent binary mode: byte-exact splits with non-UTF8 bytes, " +
+       "hex default format through flow dispatch " +
+       "(SplitContentTests.cpp:148-389, SplitContent.h:40-49)") {
+    import graft.ops.SplitMerge
+    def bv(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def run(input: Array[Byte], delim: Array[Byte], keep: Boolean,
+            loc: SplitMerge.ByteSequenceLocation): Seq[Seq[Byte]] =
+      SplitMerge.splitContentBinary(
+        spark.createDataFrame(Seq((1L, input))).toDF("id", "c"),
+        col("id"), col("c"), delim, keep, loc)
+        .orderBy("fragmentIndex").select("fragment")
+        .collect().map(_.getAs[Array[Byte]](0).toSeq).toSeq
+    val d4 = bv(5, 5, 5, 5)
+    val tail = bv(1, 2, 3, 4)
+    // SmallSplits: FFFF over FF FF FF — leftmost non-overlapping match,
+    // the third FF stays payload (cpp:148)
+    assert(run(bv(1, 2, 3, 4, 5, 0xFF, 0xFF, 0xFF, 5, 4, 3, 2, 1),
+        bv(0xFF, 0xFF), keep = false, SplitMerge.Trailing)
+      === Seq(bv(1, 2, 3, 4, 5).toSeq, bv(0xFF, 5, 4, 3, 2, 1).toSeq))
+    // WithSingleByteSplit (cpp:173)
+    assert(run(bv(1, 2, 3, 4, 5, 0xFF, 5, 4, 3, 2, 1),
+        bv(0xFF), keep = false, SplitMerge.Trailing)
+      === Seq(bv(1, 2, 3, 4, 5).toSeq, bv(5, 4, 3, 2, 1).toSeq))
+    // KeepingSequence: trailing keep, match at the first full run (cpp:223)
+    assert(run(bv(1, 2, 3, 4, 5, 5, 5, 5, 5, 5, 4, 3, 2, 1),
+        d4, keep = true, SplitMerge.Trailing)
+      === Seq(bv(1, 2, 3, 4, 5, 5, 5, 5).toSeq, bv(5, 5, 4, 3, 2, 1).toSeq))
+    // EndsWithSequence / AndKeepSequence (cpp:248,271)
+    assert(run(tail ++ d4, d4, keep = false, SplitMerge.Trailing)
+      === Seq(tail.toSeq))
+    assert(run(tail ++ d4, d4, keep = true, SplitMerge.Trailing)
+      === Seq((tail ++ d4).toSeq))
+    // StartsWith family (cpp:294,317,343,365)
+    assert(run(d4 ++ tail, d4, keep = false, SplitMerge.Trailing)
+      === Seq(tail.toSeq))
+    assert(run(d4 ++ tail, d4, keep = true, SplitMerge.Trailing)
+      === Seq(d4.toSeq, tail.toSeq))
+    assert(run(d4 ++ tail, d4, keep = true, SplitMerge.Leading)
+      === Seq((d4 ++ tail).toSeq))
+    assert(run(d4 ++ d4 ++ tail, d4, keep = true, SplitMerge.Leading)
+      === Seq(d4.toSeq, (d4 ++ tail).toSeq))
+    // OnlyByteSequences family (cpp:545-600)
+    val ab = "ab".getBytes
+    val ab3 = "ababab".getBytes
+    assert(run(ab3, ab, keep = false, SplitMerge.Trailing) === Seq.empty)
+    assert(run(ab3, ab, keep = true, SplitMerge.Trailing)
+      === Seq(ab.toSeq, ab.toSeq, ab.toSeq))
+    assert(run(ab3, ab, keep = true, SplitMerge.Leading)
+      === Seq(ab.toSeq, ab.toSeq, ab.toSeq))
+    // empty content → no splits (cpp:45 EmptyFlowFile)
+    assert(run(Array.empty[Byte], ab, keep = true, SplitMerge.Leading)
+      === Seq.empty)
+    // flow dispatch: hexadecimal is the DEFAULT Byte Sequence Format
+    val ffIn = flowFrame(Seq(("a,b", Map.empty[String, String])))
+    val hexSplit = graft.flow.Processors.apply(spark,
+      graft.flow.ProcessorDef("s", "split",
+        "org.apache.nifi.minifi.processors.SplitContent", "TIMER_DRIVEN",
+        "1 sec", Set.empty, Map("Byte Sequence" -> "2c")), Some(ffIn))
+    assert(hexSplit.filter(col("relationship") === "splits")
+      .select(col(FlowFrame.Content).cast("string"))
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
   test("GenerateFlowFile battery: unique vs shared batch content, exact " +
        "sizes, empty file, unmatched-EL Custom Text → empty string " +
        "(GenerateFlowFileTests.cpp:30-153)") {
