@@ -157,7 +157,8 @@ object Processors {
     * FORK lineage event from their parent (Provenance.h FORK) and a
     * deterministic child uuid (see [[Lineage]]). */
   private def fragmentFrame(frags: DataFrame, idxCol: String,
-                            fragCol: String, countCol: Option[String]): DataFrame = {
+                            fragCol: String, countCol: Option[String],
+                            relationship: String = "splits"): DataFrame = {
     val parent = col("`fragment.identifier`").cast("string")
     val attrPairs = Seq(
       lit(FlowFrame.FragmentAttrs.Identifier), parent,
@@ -171,7 +172,7 @@ object Processors {
       map(attrPairs: _*).as(FlowFrame.Attributes),
       col(fragCol).as(FlowFrame.Content),
       current_timestamp().as(FlowFrame.EntryDate),
-      lit("splits").as(FlowFrame.Relationship))
+      lit(relationship).as(FlowFrame.Relationship))
   }
 
   /** Collects DataFrames a processor persists internally (e.g. the
@@ -618,11 +619,17 @@ object Processors {
           countCol = Some("fragmentCount"))
 
       case "SegmentContent" =>
+        // BINARY content: Segment Size counts BYTES (SegmentContentTests
+        // .cpp:134 byte-input battery) — substring/length operate on raw
+        // bytes for BinaryType, so a string cast (which would re-measure
+        // in chars and corrupt non-UTF8 bytes) must not happen here
         val frags = SplitMerge.segmentContent(in, col(FlowFrame.Uuid),
-          content.cast("string"),
+          content.cast("binary"),
           Units.parseBytes(prop("Segment Size", "1 kB")).toInt)
+        // the reference routes segments to "segments", not "splits"
+        // (SegmentContent.h:50-53)
         fragmentFrame(frags, "segmentIndex", "segment",
-          countCol = Some("fragmentCount"))
+          countCol = Some("fragmentCount"), relationship = "segments")
 
       case "MergeContent" =>
         // Delimiter Strategy (MergeContent.h:332-336): "Filename" resolves

@@ -90,6 +90,36 @@ class OperatorSpec extends SparkSpec {
     assert(segs.toSeq === Seq("abcd", "efgh", "ij"))
   }
 
+  test("SegmentContent byte input: Segment Size counts raw bytes, non-UTF8 " +
+       "bytes survive, size table from the battery " +
+       "(SegmentContentTests.cpp:134-170)") {
+    def bytesOf(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 31 + 7) % 256).toByte) // incl. >0x7F bytes
+    // battery GENERATE table: (original, segment) → ceil coverage
+    Seq((1020, 30), (1020, 31), (2000, 1010), (2000, 1050),
+        (100, 100), (99, 100), (100, 99)).foreach { case (orig, seg) =>
+      val data = bytesOf(orig)
+      val df = spark.createDataFrame(Seq((1L, data))).toDF("id", "c")
+      val segs = SplitMerge.segmentContent(df, col("id"), col("c"), seg)
+        .orderBy("segmentIndex").select("segment")
+        .collect().map(_.getAs[Array[Byte]](0))
+      assert(segs.length === math.ceil(orig.toDouble / seg).toInt,
+        s"($orig,$seg) segment count")
+      assert(segs.map(_.length).sum === orig, s"($orig,$seg) coverage")
+      assert(segs.flatten.toSeq === data.toSeq, s"($orig,$seg) bytes")
+    }
+    // flow dispatch keeps content binary (no string round trip) and
+    // routes to "segments" (SegmentContent.h:50-53)
+    val ff = flowFrame(Seq(("ab", Map.empty[String, String])))
+    val out = graft.flow.Processors.apply(spark,
+      graft.flow.ProcessorDef("seg", "seg",
+        "org.apache.nifi.minifi.processors.SegmentContent", "TIMER_DRIVEN",
+        "1 sec", Set.empty, Map("Segment Size" -> "1 B")), Some(ff))
+    assert(out.filter(col("relationship") === "segments")
+      .select(col(FlowFrame.Content).cast("string"))
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
   test("DefragmentText batch groups lines between start-pattern boundaries") {
     val lines = spark.createDataFrame(Seq(
       (1L, 1L, "START a"), (1L, 2L, "cont b"), (1L, 3L, "START c"),
