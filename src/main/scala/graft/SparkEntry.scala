@@ -2140,19 +2140,32 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "syslog_parse" ->
-      """SELECT event_id,
-        | CASE WHEN event_id % 10 = 0 THEN 'invalid' ELSE 'success' END AS relationship,
-        | CASE WHEN event_id % 10 = 0 THEN NULL
-        |      WHEN event_id % 10 = 5 THEN 'rfc3164' ELSE 'rfc5424' END AS syslog_format,
-        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 AS VARCHAR) END AS syslog_priority,
-        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE 'h' || CAST(user_id AS VARCHAR) END AS syslog_hostname,
-        | CASE WHEN event_id % 10 IN (0, 5) THEN NULL ELSE event_type END AS syslog_app_name,
-        | CASE WHEN event_id % 10 = 0 THEN NULL
-        |      WHEN event_id % 10 = 5 THEN 'payload ' || CAST(event_id AS VARCHAR)
-        |      ELSE 'm' END AS syslog_msg,
-        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 192 % 8 AS BIGINT) END AS severity,
-        | CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST((event_id % 192) // 8 AS BIGINT) END AS facility
-        |FROM events ORDER BY event_id""".stripMargin,
+      // reference quirk mirrored: the RFC5424 priority alternation
+      // (\d|\d{2}|1[1-8]\d|19[01], ListenSyslog.cpp:28) REJECTS 100-109,
+      // so those 5424 fixtures route invalid; RFC3164 allows \d{1,3}
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |  event_id % 192 AS pri,
+        |  CASE WHEN event_id % 10 = 0 THEN 'garbage'
+        |       WHEN event_id % 10 = 5 THEN 'rfc3164'
+        |       WHEN event_id % 192 BETWEEN 100 AND 109 THEN 'inv5424'
+        |       ELSE 'rfc5424' END AS kind
+        |  FROM events)
+        |SELECT event_id,
+        | CASE WHEN kind IN ('garbage', 'inv5424') THEN 'invalid'
+        |      ELSE 'success' END AS relationship,
+        | CASE WHEN kind IN ('rfc3164', 'rfc5424') THEN kind END AS syslog_format,
+        | CASE WHEN kind IN ('rfc3164', 'rfc5424')
+        |      THEN CAST(pri AS VARCHAR) END AS syslog_priority,
+        | CASE WHEN kind IN ('rfc3164', 'rfc5424')
+        |      THEN 'h' || CAST(user_id AS VARCHAR) END AS syslog_hostname,
+        | CASE WHEN kind = 'rfc5424' THEN event_type END AS syslog_app_name,
+        | CASE WHEN kind = 'rfc3164' THEN 'payload ' || CAST(event_id AS VARCHAR)
+        |      WHEN kind = 'rfc5424' THEN 'm' END AS syslog_msg,
+        | CASE WHEN kind IN ('rfc3164', 'rfc5424')
+        |      THEN CAST(pri % 8 AS BIGINT) END AS severity,
+        | CASE WHEN kind IN ('rfc3164', 'rfc5424')
+        |      THEN CAST(pri // 8 AS BIGINT) END AS facility
+        |FROM b ORDER BY event_id""".stripMargin,
 
     "journald_parse" ->
       """SELECT event_id,

@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
 object Syslog {
 
   /** RFC5424: `<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD MSG`
-    * (ListenSyslog.cpp:28-37). */
+    * — the reference regex verbatim (ListenSyslog.cpp:27-37): priority
+    * capped at 191, nillable `-` timestamp, RFC3339 timestamp shape,
+    * length-capped header fields, MULTIPLE adjacent `[..]` structured-data
+    * blocks, and an optional message after an optional space (doc example 4
+    * ends at the structured data). */
   val Rfc5424Pattern: String =
-    "^<(\\d{1,3})>(\\d{1,2}) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*\\])(?: (.*))?$"
+    "^<(\\d|\\d{2}|1[1-8]\\d|19[01])>(\\d{1,2}) " +
+    "(?:(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,6})?" +
+    "(?:[+-]\\d{2}:\\d{2}|Z)?)|-) " +
+    "(\\S{1,255}) (\\S{1,48}) (\\S{1,128}) (\\S{1,32}) " +
+    "(-|(?:\\[.+?\\])+)\\s?(.+)?$"
 
   /** RFC3164: `<PRI>MMM dd HH:mm:ss HOSTNAME MSG` — the reference's 3164
     * parse captures priority, timestamp, hostname, and msg only
@@ -42,6 +50,8 @@ object Syslog {
       .withColumn("syslog_app_name", when(col("syslog_valid"), regexp_extract(lineCol, p, 5)))
       .withColumn("syslog_procid", when(col("syslog_valid"), regexp_extract(lineCol, p, 6)))
       .withColumn("syslog_msgid", when(col("syslog_valid"), regexp_extract(lineCol, p, 7)))
+      .withColumn("syslog_structured_data",
+        when(col("syslog_valid"), regexp_extract(lineCol, p, 8)))
       .withColumn("syslog_msg", when(col("syslog_valid"), regexp_extract(lineCol, p, 9)))
       .withColumn("relationship", when(col("syslog_valid"), "success").otherwise("invalid"))
       .drop("syslog_valid")
@@ -84,7 +94,13 @@ object Syslog {
       .withColumn("syslog_app_name", when(is5, regexp_extract(lineCol, p5, 5)))
       .withColumn("syslog_procid", when(is5, regexp_extract(lineCol, p5, 6)))
       .withColumn("syslog_msgid", when(is5, regexp_extract(lineCol, p5, 7)))
+      .withColumn("syslog_structured_data",
+        when(is5, regexp_extract(lineCol, p5, 8)))
       .withColumn("syslog_msg", pick(9, 4))
+      .withColumn("syslog_severity",
+        when(is5 || is3, severity(col("syslog_priority")).cast("string")))
+      .withColumn("syslog_facility",
+        when(is5 || is3, facility(col("syslog_priority")).cast("string")))
       .withColumn("relationship", when(is5 || is3, "success").otherwise("invalid"))
   }
 

@@ -871,6 +871,76 @@ class OperatorSpec extends SparkSpec {
     assert(parsed(2) === ((null, "invalid", null, null)))
   }
 
+  test("Syslog RFC doc-example battery: exact priority/severity/facility, " +
+       "structured data (single + multiple blocks, absent msg), nilvalue " +
+       "fields (ListenSyslogTests.cpp:102-199)") {
+    // (line, format, pri, sev, fac, ts, host, app, procid, msgid, sd, msg)
+    val cases = Seq(
+      ("<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - " +
+         "'su root' failed for lonvick on /dev/pts/8",
+       "rfc5424", "34", "2", "4", "2003-10-11T22:14:15.003Z",
+       "mymachine.example.com", "su", "-", "ID47", "-",
+       "'su root' failed for lonvick on /dev/pts/8"),
+      ("<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - " +
+         "%% It's time to make the do-nuts.",
+       "rfc5424", "165", "5", "20", "2003-08-24T05:14:15.000003-07:00",
+       "192.0.2.1", "myproc", "8710", "-", "-",
+       "%% It's time to make the do-nuts."),
+      ("<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 " +
+         "[exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"] " +
+         "An application event log entry...",
+       "rfc5424", "165", "5", "20", "2003-10-11T22:14:15.003Z",
+       "mymachine.example.com", "evntslog", "-", "ID47",
+       "[exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"]",
+       "An application event log entry..."),
+      // doc example 4: TWO adjacent SD blocks, NO message
+      ("<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 " +
+         "[exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"]" +
+         "[examplePriority@32473class=\"high\"]",
+       "rfc5424", "165", "5", "20", "2003-10-11T22:14:15.003Z",
+       "mymachine.example.com", "evntslog", "-", "ID47",
+       "[exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"]" +
+         "[examplePriority@32473class=\"high\"]",
+       ""),
+      ("<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick on /dev/pts/8",
+       "rfc3164", "34", "2", "4", "Oct 11 22:14:15", "mymachine", null, null,
+       null, null, "su: 'su root' failed for lonvick on /dev/pts/8"),
+      ("<13>Feb 5 17:32:18 10.0.0.99 Use the BFG!",
+       "rfc3164", "13", "5", "1", "Feb 5 17:32:18", "10.0.0.99", null, null,
+       null, null, "Use the BFG!"),
+      ("<0>Oct 22 10:52:12 scapegoat 1990 Oct 22 10:52:01 TZ-6 " +
+         "scapegoat.dmz.example.org 10.1.2.3 sched[0]: That's All Folks!",
+       "rfc3164", "0", "0", "0", "Oct 22 10:52:12", "scapegoat", null, null,
+       null, null, "1990 Oct 22 10:52:01 TZ-6 scapegoat.dmz.example.org " +
+         "10.1.2.3 sched[0]: That's All Folks!"),
+      ("not syslog",
+       null, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("line")
+    val got = Syslog.parseSyslog(df, col("line")).select(
+      "line", "syslog_format", "syslog_priority", "syslog_severity",
+      "syslog_facility", "syslog_timestamp", "syslog_hostname",
+      "syslog_app_name", "syslog_procid", "syslog_msgid",
+      "syslog_structured_data", "syslog_msg", "relationship")
+      .collect().map(r => r.getString(0) -> r).toMap
+    cases.foreach { c =>
+      val r = got(c._1)
+      def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+      assert(s(1) === c._2, s"format: ${c._1}")
+      assert(s(2) === c._3, s"priority: ${c._1}")
+      assert(s(3) === c._4, s"severity: ${c._1}")
+      assert(s(4) === c._5, s"facility: ${c._1}")
+      assert(s(5) === c._6, s"timestamp: ${c._1}")
+      assert(s(6) === c._7, s"hostname: ${c._1}")
+      assert(s(7) === c._8, s"app_name: ${c._1}")
+      assert(s(8) === c._9, s"procid: ${c._1}")
+      assert(s(9) === c._10, s"msgid: ${c._1}")
+      assert(s(10) === c._11, s"structured_data: ${c._1}")
+      assert(s(11) === c._12, s"msg: ${c._1}")
+      assert(s(12) === (if (c._2 == null) "invalid" else "success"),
+        s"relationship: ${c._1}")
+    }
+  }
+
   test("Syslog RFC5424 parse + invalid routing (ListenSyslog.h:42-46)") {
     val df = spark.createDataFrame(Seq(
       Tuple1("<34>1 2026-08-12T22:14:15.003Z host app 1234 ID47 - hello"),
