@@ -409,31 +409,103 @@ object Processors {
               .otherwise("success"))
 
       case "CompressContent" =>
-        val fmt = prop("Compression Format", "gzip").toLowerCase
-        val comp = prop("Mode", "compress") == "compress"
+        // Full reference surface (CompressContent.cpp:84-203): format
+        // resolution (fixed or USE_MIME_TYPE — the reference DEFAULT),
+        // Encapsulate in TAR (default true: tar-wrap the content in a
+        // single entry named by `filename` before compressing; expect and
+        // unwrap it on decompression), Update Filename extension
+        // bookkeeping, mime.type stamped on compress / removed on
+        // decompress. Corrupt input routes its ORIGINAL content to
+        // failure — at 100 TB a single bad archive must not abort the job.
+        val isCompress = prop("Mode", "compress") == "compress"
+        val encapsulate = Units.parseBool(prop("Encapsulate in TAR", "true"))
+        val updateName = Units.parseBool(prop("Update Filename", "false"))
+        val fmtProp = prop("Compression Format", "use mime.type").toLowerCase
         val bin = content.cast("binary")
-        if (comp)
-          success(FlowFrame.withAttrs(in, Seq(
-            "mime.type" -> lit(Content.mimeTypeFor(fmt))))
-            .withColumn(FlowFrame.Content, Content.compress(bin, fmt)))
-        else {
-          // total decompression: a corrupt record routes its ORIGINAL
-          // content to failure (CompressContentTests.cpp:681) instead of
-          // killing the task — at 100 TB a single bad archive must not
-          // abort the job
-          val out =
-            if (fmt == "use mime.type")
-              Content.decompressByMime(bin, FlowFrame.attr("mime.type"))
-            else Content.tryDecompress(bin, fmt)
-          in.withColumn("__dec", out)
-            .withColumn(FlowFrame.Relationship,
-              when(col("__dec").isNull && bin.isNotNull, "failure")
-                .otherwise("success"))
-            .withColumn(FlowFrame.Content,
-              when(col(FlowFrame.Relationship) === "failure", bin)
-                .otherwise(col("__dec")))
-            .drop("__dec")
-        }
+        val formats = Seq("gzip", "bzip2", "lzma", "xz-lzma2")
+        val extFor = Map("gzip" -> ".gz", "bzip2" -> ".bz2",
+          "lzma" -> ".lzma", "xz-lzma2" -> ".xz")
+        // per-row format: __missing__ (no mime → failure) / __unknown__
+        // (unmapped mime → success untouched) only arise in mime mode
+        val rowFmt: Column =
+          if (fmtProp == "use mime.type") {
+            val mime = FlowFrame.attr("mime.type")
+            Content.MimeFormats.foldLeft(
+              when(mime.isNull || mime === "", lit("__missing__"))) {
+              case (acc, (m, f)) => acc.when(mime === m, lit(f))
+            }.otherwise(lit("__unknown__"))
+          } else lit(fmtProp)
+        // non-TAR encapsulation only supports GZIP (CompressContent.cpp:110)
+        val formatOk = formats.map(f => rowFmt === f).reduce(_ || _) &&
+          (lit(encapsulate) || rowFmt === "gzip")
+        val fname = coalesce(FlowFrame.attr("filename"), lit(""))
+        def perFormat(f: String => Column): Column =
+          formats.tail.foldLeft(when(rowFmt === formats.head, f(formats.head))) {
+            case (acc, fmt) => acc.when(rowFmt === fmt, f(fmt))
+          }
+        val transformed: Column =
+          if (isCompress)
+            perFormat(f => Content.compress(
+              if (encapsulate) Archive.tarPack(fname, bin) else bin, f))
+          else perFormat { f =>
+            val dec = Content.tryDecompress(bin, f)
+            if (encapsulate) Archive.tarFirst(dec) else dec
+          }
+        val rel =
+          when(rowFmt === "__unknown__", "success")        // pass through
+            .when(rowFmt === "__missing__" || !formatOk, "failure")
+            .when(transformed.isNull && bin.isNotNull, "failure")
+            .otherwise("success")
+        val pass = rowFmt === "__unknown__"
+        val newContent = when(col(FlowFrame.Relationship) === "failure" || pass,
+          bin).otherwise(transformed)
+        // attribute bookkeeping on the success edge only
+        val ext = perFormat(f => lit(extFor(f)))
+        val newAttrs =
+          if (isCompress) {
+            val mimed = map_concat(
+              map_filter(col(FlowFrame.Attributes), (k, _) => k =!= "mime.type"),
+              map(lit("mime.type"), perFormat(f => lit(Content.mimeTypeFor(f)))))
+            // filename + [".tar"] + ext (CompressContent.cpp:181-186)
+            val renamed =
+              if (!updateName) mimed
+              else map_concat(
+                map_filter(mimed, (k, _) => k =!= "filename"),
+                map(lit("filename"), concat(fname,
+                  lit(if (encapsulate) ".tar" else ""), ext)))
+            when(col(FlowFrame.Relationship) === "failure" || pass,
+              col(FlowFrame.Attributes)).otherwise(renamed)
+          } else {
+            // mime.type is REMOVED on decompression; Update Filename
+            // strips the format extension if present, then a remaining
+            // ".tar" when encapsulated (CompressContent.cpp:188-198)
+            val noMime = map_filter(col(FlowFrame.Attributes),
+              (k, _) => k =!= "mime.type")
+            val stripped =
+              if (!updateName) noMime
+              else {
+                val afterExt = when(fname.endsWith(ext),
+                  fname.substr(lit(1), length(fname) - length(ext)))
+                  .otherwise(fname)
+                val afterTar =
+                  if (!encapsulate) afterExt
+                  else when(fname.endsWith(ext) && afterExt.endsWith(".tar"),
+                    afterExt.substr(lit(1), length(afterExt) - lit(4)))
+                    .otherwise(afterExt)
+                // the reference only rewrites an EXISTING filename here
+                // (getAttribute-miss never adds one on decompress)
+                when(FlowFrame.attr("filename").isNotNull,
+                  map_concat(
+                    map_filter(noMime, (k, _) => k =!= "filename"),
+                    map(lit("filename"), afterTar)))
+                  .otherwise(noMime)
+              }
+            when(col(FlowFrame.Relationship) === "failure" || pass,
+              col(FlowFrame.Attributes)).otherwise(stripped)
+          }
+        in.withColumn(FlowFrame.Relationship, rel)
+          .withColumn(FlowFrame.Content, newContent)
+          .withColumn(FlowFrame.Attributes, newAttrs)
 
       case "AttributesToJSON" =>
         val listed = prop("Attributes List", "")

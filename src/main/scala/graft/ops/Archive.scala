@@ -103,10 +103,23 @@ object Archive {
       names.result()
     } catch { case scala.util.control.NonFatal(_) => null })
 
+  /** First entry's payload of a tar archive, null when the bytes are not a
+    * readable tar (CompressContent decompress with Encapsulate in TAR:
+    * ReadArchiveStream::nextEntry failure routes the original to failure,
+    * CompressContent.cpp:146-153). */
+  val tarFirstUdf = udf((archive: Array[Byte]) =>
+    if (archive == null) null
+    else try {
+      val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(archive))
+      val e = t.getNextEntry
+      if (e == null) null else t.readAllBytes()
+    } catch { case scala.util.control.NonFatal(_) => null })
+
   def tarPack(name: Column, payload: Column): Column =
     tarPackUdf(name, payload.cast("binary"))
   def tarFocus(archive: Column, name: Column): Column = tarFocusUdf(archive, name)
   def tarEntries(archive: Column): Column = tarEntriesUdf(archive)
+  def tarFirst(archive: Column): Column = tarFirstUdf(archive)
 
   // --- multi-entry packing: MergeContent's TAR/ZIP merge formats pack a
   // whole bin of FlowFiles into one archive (MergeContent.h:293-331);

@@ -296,6 +296,7 @@ class FlowSpec extends SparkSpec {
          |  Properties:
          |    Mode: decompress
          |    Compression Format: gzip
+         |    Encapsulate in TAR: 'false'
          |Connections:
          |- name: get/success/unzip
          |  id: c
@@ -311,6 +312,78 @@ class FlowSpec extends SparkSpec {
     assert(out === Set(
       ("success", "real payload", "good.gz"),
       ("failure", "banana bread", "bad.gz")))
+  }
+
+  test("CompressContent reference defaults: TAR encapsulation round trip, " +
+       "filename/mime bookkeeping, USE_MIME_TYPE resolution, non-TAR " +
+       "non-GZIP rejection (CompressContentTests.cpp:270-335)") {
+    import graft.core.FlowFrame
+    def proc(props: (String, String)*) = graft.flow.ProcessorDef("c", "comp",
+      "org.apache.nifi.minifi.processors.CompressContent", "TIMER_DRIVEN",
+      "1 sec", Set.empty, props.toMap)
+    def ff(content: String, attrs: Map[String, String]) = {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uuid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("attributes",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+      spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row("u1", content, attrs)).asJava, schema)
+        .withColumn("entryDate", current_timestamp())
+        .withColumn("relationship", lit(null: String))
+    }
+    // compress with the reference defaults (encapsulate=true) + gzip format
+    val comp = graft.flow.Processors.apply(spark, proc(
+      "Mode" -> "compress", "Compression Format" -> "gzip",
+      "Update Filename" -> "true"),
+      Some(ff("test content", Map("filename" -> "inputfile")))).collect()(0)
+    val cAttrs = comp.getAs[Map[String, String]]("attributes")
+    assert(comp.getAs[String]("relationship") === "success")
+    assert(cAttrs("mime.type") === "application/gzip")
+    assert(cAttrs("filename") === "inputfile.tar.gz")
+    val gzBytes = comp.getAs[Array[Byte]]("content")
+    // ...bytes are a gzip of a tar whose single entry holds the content
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gzBytes)))
+    val entry = tin.getNextEntry
+    assert(entry.getName === "inputfile")
+    assert(new String(tin.readAllBytes(), "UTF-8") === "test content")
+    // decompress via USE_MIME_TYPE (the reference default format) reads
+    // mime.type, unwraps the tar, strips the extension, removes mime.type
+    val b64 = java.util.Base64.getEncoder.encodeToString(gzBytes)
+    val decIn = ff("", Map.empty).withColumn(FlowFrame.Content,
+      unbase64(lit(b64))).withColumn(FlowFrame.Attributes,
+      map(lit("filename"), lit("inputfile.tar.gz"),
+        lit("mime.type"), lit("application/gzip")))
+    val dec = graft.flow.Processors.apply(spark, proc(
+      "Mode" -> "decompress", "Update Filename" -> "true"),
+      Some(decIn)).collect()(0)
+    val dAttrs = dec.getAs[Map[String, String]]("attributes")
+    assert(dec.getAs[String]("relationship") === "success")
+    assert(new String(dec.getAs[Array[Byte]]("content"), "UTF-8") === "test content")
+    assert(!dAttrs.contains("mime.type"))
+    assert(dAttrs("filename") === "inputfile")
+    // unknown mime in USE_MIME_TYPE mode passes through on success
+    val unknown = graft.flow.Processors.apply(spark, proc(
+      "Mode" -> "compress"),
+      Some(ff("x", Map("mime.type" -> "text/plain")))).collect()(0)
+    assert(unknown.getAs[String]("relationship") === "success")
+    assert(new String(unknown.getAs[Array[Byte]]("content"), "UTF-8") === "x")
+    // missing mime in USE_MIME_TYPE mode routes to failure
+    val missing = graft.flow.Processors.apply(spark, proc(
+      "Mode" -> "compress"), Some(ff("x", Map.empty))).collect()(0)
+    assert(missing.getAs[String]("relationship") === "failure")
+    // non-TAR encapsulation only supports gzip (CompressContent.cpp:110)
+    val nonTar = graft.flow.Processors.apply(spark, proc(
+      "Mode" -> "compress", "Compression Format" -> "bzip2",
+      "Encapsulate in TAR" -> "false"),
+      Some(ff("x", Map.empty))).collect()(0)
+    assert(nonTar.getAs[String]("relationship") === "failure")
   }
 
   test("MergeContent flow carries member attributes through the " +
