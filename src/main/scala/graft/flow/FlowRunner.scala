@@ -373,29 +373,39 @@ object Processors {
         success(out)
 
       case "ReplaceText" =>
-        val strategy = prop("Replacement Strategy", "Regex Replace") match {
-          case "Prepend"         => Transforms.Prepend
-          case "Append"          => Transforms.Append
-          case "Literal Replace" => Transforms.LiteralReplace
-          case _                 => Transforms.RegexReplace
-        }
+        val strategyName = prop("Replacement Strategy", "Regex Replace")
         val search = prop("Search Value", "")
         val repl = prop("Replacement Value", "")
-        val replaced = prop("Evaluation Mode", "Line-by-Line") match {
-          case "Entire text" =>
-            Transforms.replaceText(content.cast("string"), strategy,
-              search, repl)
-          case _ =>
-            val scope = prop("Line-by-Line Evaluation Mode", "All") match {
-              case "First Line"        => Transforms.FirstLine
-              case "Last Line"         => Transforms.LastLine
-              case "Except-First Line" => Transforms.ExceptFirstLine
-              case "Except-Last Line"  => Transforms.ExceptLastLine
-              case _                   => Transforms.AllLines
+        val replaced =
+          if (strategyName == "Substitute Variables")
+            // placeholder substitution is per-occurrence and line-local,
+            // so both evaluation modes compute the same result
+            Transforms.substituteVariables(content.cast("string"),
+              col(FlowFrame.Attributes))
+          else {
+            val strategy = strategyName match {
+              case "Prepend"         => Transforms.Prepend
+              case "Append"          => Transforms.Append
+              case "Literal Replace" => Transforms.LiteralReplace
+              case "Always Replace"  => Transforms.AlwaysReplace
+              case _                 => Transforms.RegexReplace
             }
-            Transforms.replaceTextLineByLine(content.cast("string"), "\n",
-              strategy, search, repl, scope)
-        }
+            prop("Evaluation Mode", "Line-by-Line") match {
+              case "Entire text" =>
+                Transforms.replaceText(content.cast("string"), strategy,
+                  search, repl)
+              case _ =>
+                val scope = prop("Line-by-Line Evaluation Mode", "All") match {
+                  case "First Line"        => Transforms.FirstLine
+                  case "Last Line"         => Transforms.LastLine
+                  case "Except-First Line" => Transforms.ExceptFirstLine
+                  case "Except-Last Line"  => Transforms.ExceptLastLine
+                  case _                   => Transforms.AllLines
+                }
+                Transforms.replaceTextLineByLine(content.cast("string"), "\n",
+                  strategy, search, repl, scope)
+            }
+          }
         success(in.withColumn(FlowFrame.Content, replaced))
 
       case "HashContent" =>

@@ -298,6 +298,23 @@ class OperatorSpec extends SparkSpec {
       "\n", Transforms.AlwaysReplace, "", "X", Transforms.ExceptFirstLine))
       .collect()(0).getString(0)
     assert(always === "apple\nX\nX")
+
+    // flow dispatch reaches Substitute Variables and Always Replace —
+    // previously both fell through to Regex Replace there
+    def dispatch(props: (String, String)*) = graft.flow.Processors.apply(
+      spark, graft.flow.ProcessorDef("r", "rt",
+        "org.apache.nifi.minifi.processors.ReplaceText", "TIMER_DRIVEN",
+        "1 sec", Set.empty, props.toMap),
+      Some(flowFrame(Seq(
+        ("I like ${color} ${food}!", Map("color" -> "green",
+          "food" -> "eggs and ham"))))))
+      .select(col(FlowFrame.Content).cast("string"))
+      .collect()(0).getString(0)
+    assert(dispatch("Replacement Strategy" -> "Substitute Variables")
+      === "I like green eggs and ham!")
+    assert(dispatch("Replacement Strategy" -> "Always Replace",
+      "Evaluation Mode" -> "Entire text", "Replacement Value" -> "orange")
+      === "orange")
   }
 
   test("range-partitioned chunking: per-chunk cap holds and chunk ranges " +
