@@ -227,15 +227,19 @@ object Processors {
         // semantic lives in FetchFile, whose UDF is nondeterministic and
         // single-reference by construction
         val dir = req("Input Directory")
+        // a ZERO max size/age means DISABLED — the reference defaults are
+        // "0 B"/"0 sec" and GetFile only applies a max filter when the
+        // parsed value is positive, so an explicit 0 must not filter
+        // everything out
+        def maxOrDisabled(name: String, parse: String => Long): Long =
+          props.get(name).map(parse).filter(_ > 0L).getOrElse(Long.MaxValue)
         val ff = Sources.getFileFiltered(spark, dir,
           recursive = Units.parseBool(prop("Recurse Subdirectories", "true")),
           minSize = Units.parseBytes(prop("Minimum File Size", "0 B")),
-          maxSize = props.get("Maximum File Size").map(Units.parseBytes)
-            .getOrElse(Long.MaxValue),
+          maxSize = maxOrDisabled("Maximum File Size", Units.parseBytes),
           minAgeMs = props.get("Minimum File Age").map(Units.parseDurationMs)
             .getOrElse(0L),
-          maxAgeMs = props.get("Maximum File Age").map(Units.parseDurationMs)
-            .getOrElse(Long.MaxValue))
+          maxAgeMs = maxOrDisabled("Maximum File Age", Units.parseDurationMs))
         // reference attribute contract (GetFile.cpp getFileAttrs,
         // GetFileTests.cpp:264-292): `path` is the directory RELATIVE to
         // Input Directory with a trailing slash ("./" for a direct child),
@@ -409,7 +413,8 @@ object Processors {
         success(in.withColumn(FlowFrame.Content, replaced))
 
       case "HashContent" =>
-        val attr = prop("Hash Attribute", "Hash")
+        // reference default attribute name is "Checksum" (HashContent.h:151)
+        val attr = prop("Hash Attribute", "Checksum")
         val algo = prop("Hash Algorithm", "SHA256")
         val failEmpty = Units.parseBool(prop("Fail on empty", "false"))
         FlowFrame.withAttrs(in, Seq(attr -> Transforms.hashContent(
