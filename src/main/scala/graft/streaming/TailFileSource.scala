@@ -8,7 +8,7 @@ import java.util.zip.CRC32
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,31 +19,69 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Re-expresses the reference's TailFile processor (extensions/
  * standard-processors/processors/TailFile.cpp:582; state struct
- * TailFile.h:90-113: per-file {position, checksum}; recovery
- * TailFile.h:243-245) as a Spark DataSource v2 `MicroBatchStream`:
+ * TailFile.h:90-113: per-file {position, checksum, last_read_time};
+ * recovery TailFile.h:243-245) as a Spark DataSource v2
+ * `MicroBatchStream`:
  *
- *  - offset = JSON map path → {pos, crc} — persisted in the streaming
- *    checkpoint exactly where the reference uses its StateManager;
- *  - rotation detection: CRC32 of the first 64 bytes; a changed head CRC
- *    or a shrunk file means the path was rotated/truncated → restart at 0
- *    (TailFile "Initial Start Position" semantics);
- *  - only complete lines are emitted: the batch end position is capped at
- *    the last delimiter, like the reference's read-up-to-last-\n loop;
+ *  - offset = JSON map path → {pos, crc, crcLen, lastReadMs} — persisted
+ *    in the streaming checkpoint exactly where the reference uses its
+ *    StateManager;
+ *  - rotation detection (TailFile.cpp:617-621 `fsize < state.position_`,
+ *    strengthened with a head-CRC identity check): a shrunk file or a
+ *    changed head prefix means the path was rotated/truncated;
+ *  - rotated-file continuation (TailFile.cpp:558-575
+ *    `sortAndSkipMainFilePrefix`): on rotation, files matching the
+ *    Rolling Filename Pattern (`${filename}.*`, TailFile.cpp:504-508)
+ *    with mtime >= the tracked file's last read time
+ *    (`findRotatedFilesAfterLastReadTime`, TailFile.cpp:532-556) join
+ *    the offset map; a rotated file whose prefix CRC matches the stored
+ *    state CONTINUES from the stored position instead of re-reading —
+ *    the pending-data-after-rename case — and the main path restarts
+ *    at 0 (`processRotatedFiles`, TailFile.cpp:655-659);
+ *  - only complete delimited pieces are emitted: the batch end position
+ *    is capped at the last delimiter, like the reference's hold-back of
+ *    the unfinished tail piece (FileReaderCallback, TailFile.cpp:681);
+ *    the reference emits one FlowFile per piece *including* the
+ *    delimiter — the row model here emits the piece text without it,
+ *    with (path, lineOffset) carrying the provenance the reference
+ *    encodes in the `filename.<start>-<end>` attribute;
  *  - one InputPartition per tailed file → per-file parallelism on a
  *    cluster; readers seek directly (no full-file re-read per batch).
  *
  * Usage: spark.readStream.format("graft.streaming.TailFileSource")
  *          .option("path", dir).option("glob", ".*\\.log").load()
+ * Options: glob (file-name regex, Multiple-file-mode FileName),
+ *   delimiter (single char, default "\n" — TailFile.cpp Delimiter),
+ *   rollingPattern (glob with ${filename}, default "${filename}.*"),
+ *   recursive ("true" recurses the base dir — Recursive lookup),
+ *   initialStartPosition ("Beginning of File" default | "Beginning of
+ *   Time" = also read already-rotated files | "Current Time" = start
+ *   at the current EOF; TailFile.h InitialStartPositions).
  */
 class TailFileSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TailFileSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new TailTable(properties.get("path"),
-      Option(properties.get("glob")).getOrElse(".*"),
-      Option(properties.get("initialStartPosition"))
-        .exists(_.equalsIgnoreCase("Current Time")))
+                        properties: util.Map[String, String]): Table = {
+    val opts = TailOptions(
+      dir = properties.get("path"),
+      glob = Option(properties.get("glob")).getOrElse(".*"),
+      delimiter = Option(properties.get("delimiter")).filter(_.nonEmpty)
+        .map(_.charAt(0).toByte).getOrElse('\n'.toByte),
+      rollingPattern = Option(properties.get("rollingPattern"))
+        .getOrElse("${filename}.*"),
+      recursive = Option(properties.get("recursive")).exists(_.toBoolean),
+      initialStart = Option(properties.get("initialStartPosition"))
+        .getOrElse("Beginning of File"))
+    new TailTable(opts)
+  }
+}
+
+private[streaming] final case class TailOptions(
+    dir: String, glob: String, delimiter: Byte,
+    rollingPattern: String, recursive: Boolean, initialStart: String) {
+  def startAtCurrent: Boolean = initialStart.equalsIgnoreCase("Current Time")
+  def beginningOfTime: Boolean = initialStart.equalsIgnoreCase("Beginning of Time")
 }
 
 object TailFileSource {
@@ -53,23 +91,34 @@ object TailFileSource {
     StructField("line", StringType, nullable = false)))
 
   /** Tail state per file: read position + head checksum over the first
-    * `crcLen` bytes (TailFile.h:90-113 position+checksum). The window
-    * length is stored so a grown file re-verifies over the SAME prefix. */
-  final case class FileState(pos: Long, crc: Long, crcLen: Long)
+    * `crcLen` bytes + the last time the position advanced
+    * (TailFile.h:90-113 position+checksum+last_read_time). The window
+    * length is stored so a grown file re-verifies over the SAME prefix.
+    * `rotatedFinal` marks a rolled file swept in by rotation detection
+    * (TailState::is_rotated_, TailFile.h:113): its read ceiling is EOF and
+    * the unterminated final piece IS emitted (TailFile.cpp:688
+    * `endedWithDelimiter() || is_rotated_`) — a rolled file never grows. */
+  final case class FileState(pos: Long, crc: Long, crcLen: Long,
+                             lastReadMs: Long = 0L,
+                             rotatedFinal: Boolean = false)
 
-  /** Minimal JSON for the offset map — {"path":[pos,crc,crcLen],...}. */
+  /** Minimal JSON for the offset map —
+    * {"path":[pos,crc,crcLen,lastRead,rotated01]}. */
   def stateToJson(m: Map[String, FileState]): String =
     m.toSeq.sortBy(_._1).map { case (p, s) =>
       "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") +
-        s"""":[${s.pos},${s.crc},${s.crcLen}]"""
+        s"""":[${s.pos},${s.crc},${s.crcLen},${s.lastReadMs},${if (s.rotatedFinal) 1 else 0}]"""
     }.mkString("{", ",", "}")
 
   def stateFromJson(j: String): Map[String, FileState] = {
-    // hand-rolled parse of the fixed shape above
-    val entry = """"((?:[^"\\]|\\.)*)":\[(\d+),(\d+),(\d+)\]""".r
+    // hand-rolled parse of the fixed shape above; accepts the pre-round-10
+    // 3-element form (no lastReadMs/rotated flag) for checkpoint compat
+    val entry = """"((?:[^"\\]|\\.)*)":\[(\d+),(\d+),(\d+)(?:,(\d+))?(?:,(\d+))?\]""".r
     entry.findAllMatchIn(j).map { m =>
       val path = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      path -> FileState(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+      path -> FileState(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong).getOrElse(0L),
+        Option(m.group(6)).exists(_ == "1"))
     }.toMap
   }
 
@@ -84,24 +133,43 @@ object TailFileSource {
     } finally raf.close()
   }
 
-  /** Position just past the last '\n' at or before EOF (complete lines only). */
-  def lastDelimiterEnd(f: java.io.File): Long = {
+  /** Position just past the last delimiter at or before EOF (complete
+    * pieces only — the unfinished tail piece is held back, like the
+    * reference's FileReaderCallback latching only up to the delimiter). */
+  def lastDelimiterEnd(f: java.io.File, delim: Byte = '\n'.toByte): Long = {
     val raf = new RandomAccessFile(f, "r")
     try {
       var p = raf.length() - 1
       while (p >= 0) {
         raf.seek(p)
-        if (raf.readByte() == '\n') return p + 1
+        if (raf.readByte() == delim) return p + 1
         p -= 1
       }
       0L
     } finally raf.close()
   }
+
+  /** The reference's rolling-pattern expansion (TailFile.cpp:504-508):
+    * `${filename}` is the tailed file's name up to its LAST dot; the glob
+    * (`*`/`?`) is then matched against sibling file names. */
+  def rollingRegex(fileName: String, pattern: String): scala.util.matching.Regex = {
+    val lastDot = fileName.lastIndexOf('.')
+    val base = if (lastDot >= 0) fileName.substring(0, lastDot) else fileName
+    val glob = pattern.replace("${filename}", base)
+    // glob → regex, quoting everything but * and ?
+    val sb = new StringBuilder
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString.r
+  }
 }
 
-private class TailTable(dir: String, glob: String,
-                        startAtCurrent: Boolean) extends Table with SupportsRead {
-  override def name(): String = s"tail:$dir"
+private class TailTable(opts: TailOptions) extends Table with SupportsRead {
+  override def name(): String = s"tail:${opts.dir}"
   override def schema(): StructType = TailFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -109,7 +177,7 @@ private class TailTable(dir: String, glob: String,
     () => new Scan {
       override def readSchema(): StructType = TailFileSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TailMicroBatchStream(dir, glob, startAtCurrent)
+        new TailMicroBatchStream(opts)
     }
 }
 
@@ -118,15 +186,27 @@ private case class TailOffset(json: String) extends Offset {
     TailFileSource.stateFromJson(json)
 }
 
-private class TailMicroBatchStream(dir: String, glob: String,
-                                   startAtCurrent: Boolean = false)
-  extends MicroBatchStream {
+private class TailMicroBatchStream(opts: TailOptions)
+  extends MicroBatchStream with SupportsAdmissionControl {
   import TailFileSource._
 
   private def listFiles(): Seq[java.io.File] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches(glob)).toSeq.sortBy(_.getPath)
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val children = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      children.filter(f => f.isFile && f.getName.matches(opts.glob)) ++
+        (if (opts.recursive) children.filter(_.isDirectory).flatMap(walk)
+         else Seq.empty)
+    }
+    walk(new java.io.File(opts.dir)).sortBy(_.getPath)
+  }
+
+  /** Sibling files matching the rolling pattern for `main`, excluding the
+    * main file itself (TailFile.cpp:517-518 `file_name != state.file_name_`). */
+  private def rollingFiles(main: java.io.File): Seq[java.io.File] = {
+    val re = rollingRegex(main.getName, opts.rollingPattern)
+    Option(main.getParentFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName != main.getName &&
+        re.pattern.matcher(f.getName).matches())
   }
 
   /** Initial Start Position (TailFile.h InitialStartPositions,
@@ -137,15 +217,16 @@ private class TailMicroBatchStream(dir: String, glob: String,
     * exists — a restart resumes from the checkpointed positions either
     * way, exactly like the reference's stored state taking precedence. */
   override def initialOffset(): Offset =
-    if (!startAtCurrent) TailOffset("{}")
+    if (!opts.startAtCurrent) TailOffset("{}")
     else {
+      val now = System.currentTimeMillis()
       val snapshot = listFiles().flatMap { f =>
         try {
           val crcLen = math.min(64L, f.length())
           // snapshot the file END (the reference starts at EOF in this
           // mode) — lastDelimiterEnd would rewind to before a pre-existing
           // unterminated tail line and emit it once completed
-          Some(f.getPath -> FileState(f.length(), headCrc(f, crcLen), crcLen))
+          Some(f.getPath -> FileState(f.length(), headCrc(f, crcLen), crcLen, now))
         } catch { case _: java.io.IOException => None }
       }.toMap
       knownState = snapshot
@@ -157,41 +238,136 @@ private class TailMicroBatchStream(dir: String, glob: String,
     * IOException does not drop the stored position and force a re-read
     * from byte 0 (only a real head-CRC mismatch restarts a file). */
   @volatile private var knownState: Map[String, FileState] = Map.empty
+  private var firstLatest = true
+
+  private def probe(f: java.io.File, now: Long): Option[FileState] =
+    try {
+      val crcLen = math.min(64L, f.length())
+      Some(FileState(lastDelimiterEnd(f, opts.delimiter), headCrc(f, crcLen),
+        crcLen, now))
+    } catch { case _: java.io.IOException => None }
+
+  /** SupportsAdmissionControl entry point — the one Spark actually calls,
+    * passing the restored START offset on a checkpoint restart. Seeding the
+    * carry-forward state from it BEFORE probing is what lets the first
+    * trigger after a restart still detect a rotation that happened while
+    * the stream was down (TailFileTests.cpp:1038-1092): the plain
+    * latestOffset() has no argument, and deserializeOffset is only invoked
+    * lazily at planInputPartitions time — too late for the probe. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    if (knownState.isEmpty && start != null)
+      knownState = start.asInstanceOf[TailOffset].state
+    latestOffset()
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(): Offset = {
-    val next = listFiles().flatMap { f =>
-      try {
-        val crcLen = math.min(64L, f.length())
-        val probed = FileState(lastDelimiterEnd(f), headCrc(f, crcLen), crcLen)
-        // positions must be MONOTONIC per file: Structured Streaming
-        // replaces the next batch's start with this END offset, so a
-        // delimiter-aligned probe below an EOF snapshot (a pre-existing
-        // partial tail line under Initial Start Position = Current Time)
-        // would silently rewind the stream. Clamp to the known floor when
-        // it is still the same file (head prefix verifies, length covers
-        // the floor).
-        val clamped = knownState.get(f.getPath) match {
-          case Some(prev) if probed.pos < prev.pos &&
-              f.length() >= prev.pos && f.length() >= prev.crcLen &&
-              headCrc(f, prev.crcLen) == prev.crc =>
-            probed.copy(pos = prev.pos)
-          case _ => probed
-        }
-        Some(f.getPath -> clamped)
-      } catch {
-        // transient probe failure (mid-rotation, permission blip): keep the
-        // previous trigger's state for this path; if it was a genuine
-        // rotation the next successful probe's CRC check catches it
-        case _: java.io.IOException => knownState.get(f.getPath).map(f.getPath -> _)
+    val now = System.currentTimeMillis()
+    val mains = listFiles()
+    val mainPaths = mains.map(_.getPath).toSet
+    val next = collection.mutable.Map[String, FileState]()
+    mains.foreach { f =>
+      val prev = knownState.get(f.getPath)
+      probe(f, now) match {
+        case Some(probed) =>
+          // rotation suspected: the file shrank below the stored position
+          // (TailFile.cpp:617-621) or its head prefix no longer matches
+          val rotated = prev.exists { p =>
+            val len = f.length()
+            len < p.pos || len < p.crcLen ||
+              (try headCrc(f, p.crcLen) != p.crc
+               catch { case _: java.io.IOException => true })
+          }
+          // sweep rolled files into the offset map when the tracked file
+          // rotated (mtime >= last read, TailFile.cpp:545-549) or on the
+          // very first look under Beginning of Time (findAllRotatedFiles,
+          // TailFile.cpp:510-530 — no mtime filter)
+          val sweepAll = opts.beginningOfTime && prev.isEmpty && firstLatest
+          if (rotated || sweepAll) {
+            val floorSec = prev.map(_.lastReadMs / 1000).getOrElse(0L)
+            rollingFiles(f)
+              .filter(r => sweepAll || r.lastModified() / 1000 >= floorSec)
+              .filterNot(r => mainPaths(r.getPath))
+              .foreach { r =>
+                // a rolled file is FINAL: its read ceiling is EOF and the
+                // unterminated last piece is emitted (is_rotated_,
+                // TailFile.cpp:688). planInputPartitions decides whether it
+                // CONTINUES a rotated-away main state (prefix CRC match) or
+                // is read from 0.
+                try {
+                  val crcLen = math.min(64L, r.length())
+                  next(r.getPath) = FileState(r.length(), headCrc(r, crcLen),
+                    crcLen, now, rotatedFinal = true)
+                } catch { case _: java.io.IOException => () }
+              }
+          }
+          // positions must be MONOTONIC per file: Structured Streaming
+          // replaces the next batch's start with this END offset, so a
+          // delimiter-aligned probe below an EOF snapshot (a pre-existing
+          // partial tail line under Initial Start Position = Current Time)
+          // would silently rewind the stream. Clamp to the known floor when
+          // it is still the same file (head prefix verifies, length covers
+          // the floor).
+          val clamped = prev match {
+            case Some(p) if !rotated && probed.pos < p.pos => probed.copy(pos = p.pos)
+            case _ => probed
+          }
+          // keep the stored lastRead when the position did not advance
+          val withRead = prev match {
+            case Some(p) if !rotated && clamped.pos <= p.pos =>
+              clamped.copy(lastReadMs = p.lastReadMs)
+            case _ => clamped
+          }
+          next(f.getPath) = withRead
+        case None =>
+          // transient probe failure (mid-rotation, permission blip): keep
+          // the previous trigger's state for this path; if it was a genuine
+          // rotation the next successful probe's CRC check catches it
+          prev.foreach(p => next(f.getPath) = p)
       }
-    }.toMap
-    knownState = next
-    TailOffset(stateToJson(next))
+    }
+    // rolled files from previous batches stay in the offset map (their
+    // entries are what prevents a re-read if they match again) — carry
+    // them forward untouched unless this trigger re-probed them above
+    knownState.foreach { case (p, s) =>
+      if (!next.contains(p) && !mainPaths(p)) next(p) = s
+    }
+    firstLatest = false
+    knownState = next.toMap
+    TailOffset(stateToJson(knownState))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset].state
     val e = end.asInstanceOf[TailOffset].state
+    // Rotated-file continuation (TailFile.cpp:558-575): a path NEW in this
+    // batch may be the renamed remains of a tracked file — identified by the
+    // prefix checksum over the stored window matching the stored CRC and the
+    // file still covering the stored position. Like the reference, only the
+    // FIRST matching new file per old state continues from the stored
+    // position (sortAndSkipMainFilePrefix promotes exactly matched_files[0]);
+    // any further checksum twin is read in full from 0.
+    val newPaths = e.keys.filterNot(s.contains).toSeq.sorted
+    val rotatedAway = s.filter { case (oldPath, old) =>
+      old.pos > 0 &&
+        // the old path no longer carries old's state forward in the end map
+        e.get(oldPath).forall(n => n.crc != old.crc || n.pos < old.pos)
+    }.toSeq.sortBy(_._1)
+    val transfers = collection.mutable.Map[String, Long]()
+    val usedOld = collection.mutable.Set[String]()
+    newPaths.foreach { np =>
+      val f = new java.io.File(np)
+      rotatedAway.foreach { case (oldPath, old) =>
+        if (!usedOld(oldPath) && !transfers.contains(np) && oldPath != np &&
+          (try {
+            f.length() >= old.pos &&
+              TailFileSource.headCrc(f, old.crcLen) == old.crc
+          } catch { case _: java.io.IOException => false })) {
+          transfers(np) = old.pos
+          usedOld += oldPath
+        }
+      }
+    }
     e.flatMap { case (path, endState) =>
       val from = s.get(path) match {
         // rotation/truncation: the previous head prefix no longer matches
@@ -207,9 +383,10 @@ private class TailMicroBatchStream(dir: String, glob: String,
           // snapshot sits at EOF, legitimately past the delimiter-aligned
           // read ceiling of a trailing partial line)
           if (sameHead && prev.pos <= f.length()) prev.pos else 0L
-        case _ => 0L
+        case None => transfers.getOrElse(path, 0L)
       }
-      if (endState.pos > from) Some(TailPartition(path, from, endState.pos))
+      if (endState.pos > from) Some(TailPartition(path, from, endState.pos,
+        opts.delimiter, endState.rotatedFinal))
       else None
     }.toArray
   }
@@ -228,15 +405,16 @@ private class TailMicroBatchStream(dir: String, glob: String,
   }
 }
 
-private case class TailPartition(path: String, from: Long, until: Long)
+private case class TailPartition(path: String, from: Long, until: Long,
+                                 delim: Byte, emitTail: Boolean)
   extends InputPartition
 
 /**
- * Seeks to `from`, reads [from, until), emits one row per line.
+ * Seeks to `from`, reads [from, until), emits one row per delimited piece.
  *
  * Robust to the file rotating/truncating BETWEEN offset planning and the
  * read (the reference re-opens and re-checks per trigger): the read clamps
- * to the currently-available length and drops a trailing incomplete line;
+ * to the currently-available length and drops a trailing incomplete piece;
  * a vanished or shrunk-below-`from` file yields zero rows. The next
  * batch's head-CRC check then detects the rotation and restarts at 0 —
  * a truncation mid-batch must not fail the task.
@@ -254,9 +432,15 @@ private class TailReader(p: TailPartition) extends PartitionReader[InternalRow] 
           val buf = new Array[Byte]((until - p.from).toInt)
           raf.readFully(buf)
           val text = new String(buf, StandardCharsets.UTF_8)
-          // `until == p.until` is just past a '\n' by construction; a
-          // clamped read may end mid-line — drop the incomplete tail
-          text.split("\n", -1).dropRight(1)
+          val pieces =
+            text.split(java.util.regex.Pattern.quote(p.delim.toChar.toString), -1)
+          // `until == p.until` is just past a delimiter by construction —
+          // the trailing split element is the empty post-delimiter slice —
+          // EXCEPT for a rotated-final read to EOF, whose unterminated last
+          // piece is emitted (TailFile.cpp:688). A clamped read (the file
+          // shrank mid-batch) may end mid-piece — drop the incomplete tail.
+          if (p.emitTail && until == p.until && pieces.last.nonEmpty) pieces
+          else pieces.dropRight(1)
         }
       } finally raf.close()
     } catch { case _: java.io.IOException => Array.empty }
