@@ -115,11 +115,7 @@ object FlowRunner {
               .exists(o => o.sourceId == c.sourceId && o.id != c.id &&
                 overlap(o))
             if (!isClone) base
-            else FlowFrame.withAttrs(base, Seq(
-                Lineage.EventAttr -> lit(Lineage.Clone),
-                Lineage.ParentsAttr -> col(FlowFrame.Uuid)))
-              .withColumn(FlowFrame.Uuid,
-                Lineage.cloneUuid(col(FlowFrame.Uuid), c.id))
+            else Lineage.stampClone(base, c.id)
           }
         }
       val input = ins.reduceOption(_ unionByName _)

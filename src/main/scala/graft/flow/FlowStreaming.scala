@@ -52,7 +52,18 @@ object FlowStreaming {
             val sel = if (c.relationships.isEmpty) up
               else up.filter(col(FlowFrame.Relationship)
                 .isin(c.relationships: _*))
-            sel.withColumn(FlowFrame.Relationship, lit(null: String))
+            val base = sel.withColumn(FlowFrame.Relationship,
+              lit(null: String))
+            // CLONE lineage on multi-connection routing — same rule as the
+            // batch runner (FlowRunner edge wiring): a relationship feeding
+            // 2+ connections duplicates the FlowFile per queue, each clone
+            // stamped with its parent and a deterministic child uuid
+            def overlap(o: ConnectionDef): Boolean =
+              o.relationships.isEmpty || c.relationships.isEmpty ||
+                o.relationships.exists(c.relationships.contains)
+            val isClone = flow.connections.exists(o =>
+              o.sourceId == c.sourceId && o.id != c.id && overlap(o))
+            if (!isClone) base else Lineage.stampClone(base, c.id)
           }
         }
         val input = ins.reduceOption(_ unionByName _)
@@ -166,7 +177,8 @@ object FlowStreaming {
           coalesce(FlowFrame.attr("filename"), lit("default")).as("source"),
           ordCol.as("ord"),
           contentCol.as("content"),
-          lit(-1L).as("offset"))
+          lit(-1L).as("offset"),
+          col(FlowFrame.Uuid).cast("string").as("uuid"))
           .as[graft.streaming.StatefulOps.Fragment]
         val msgs = graft.streaming.StatefulOps.defragmentText(frags,
           props("Pattern"),
@@ -176,11 +188,16 @@ object FlowStreaming {
             .map(Units.parseBytes).getOrElse(0L),
           patternAtStart =
             prop("Pattern Location", "Start of Message") != "End of Message")
+        // JOIN lineage (Provenance.h JOIN): the reassembled message's
+        // parents are the member fragment uuids — same event shape as the
+        // batch MergeContent defragment path
         Some(msgs.toDF().select(
           expr("uuid()").as(FlowFrame.Uuid),
           map(lit("defragment.source"), col("source"),
             lit("defragment.fragment.count"),
-            col("fragmentCount").cast("string"))
+            col("fragmentCount").cast("string"),
+            lit(Lineage.EventAttr), lit(Lineage.Join),
+            lit(Lineage.ParentsAttr), col("parents"))
             .as(FlowFrame.Attributes),
           col("message").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
@@ -195,7 +212,8 @@ object FlowStreaming {
             .map(FlowFrame.attr).getOrElse(lit("")), lit("")).as("correlation"),
           coalesce(FlowFrame.attr("tailfile.lineOffset"),
             FlowFrame.attr("net.seq"), lit("0")).cast("long").as("ord"),
-          col(FlowFrame.Content).cast("string").as("content"))
+          col(FlowFrame.Content).cast("string").as("content"),
+          col(FlowFrame.Uuid).cast("string").as("uuid"))
           .as[graft.streaming.StatefulOps.Entry]
         val bins = graft.streaming.StatefulOps.mergeContentBins(entries,
           maxEntries = prop("Maximum Number of Entries", "1000").toInt,
@@ -208,10 +226,14 @@ object FlowStreaming {
           minEntries = prop("Minimum Number of Entries", "1").toInt,
           minBinBytes = props.get("Minimum Group Size")
             .map(Units.parseBytes).getOrElse(0L))
+        // JOIN lineage: the merged bin's parents are its member uuids —
+        // the same event shape the batch bin-pack path stamps
         Some(bins.toDF().select(
           expr("uuid()").as(FlowFrame.Uuid),
           map(lit("merge.count"), col("count").cast("string"),
-            lit("merge.correlation"), col("correlation"))
+            lit("merge.correlation"), col("correlation"),
+            lit(Lineage.EventAttr), lit(Lineage.Join),
+            lit(Lineage.ParentsAttr), col("parents"))
             .as(FlowFrame.Attributes),
           col("merged").as(FlowFrame.Content),
           current_timestamp().as(FlowFrame.EntryDate),
@@ -247,8 +269,16 @@ object FlowStreaming {
           .load()
           .withColumn("filename", element_at(split(col("path"), "/"), -1))
           .withColumn("tailfile.lineOffset", col("lineOffset").cast("string"))
+          // deterministic FlowFile identity: (path, byte offset) names a
+          // tailed line uniquely and survives batch replay — a random
+          // uuid() would fork a line's identity between a replayed batch
+          // and the provenance recorded downstream (see Lineage's
+          // determinism note)
+          .withColumn("tail_uuid",
+            concat(col("path"), lit("@"), col("lineOffset").cast("string")))
         FlowFrame.wrap(tailed, "line",
-          Seq("filename", "path", "tailfile.lineOffset"))
+          Seq("filename", "path", "tailfile.lineOffset"),
+          uuidCol = Some("tail_uuid"))
           .withColumn(FlowFrame.Relationship, lit("success"))
 
       case "ListenSyslog" =>

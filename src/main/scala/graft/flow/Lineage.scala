@@ -45,6 +45,20 @@ object Lineage {
   def eventMap(event: String, parents: Column): Column =
     map(lit(EventAttr), lit(event), lit(ParentsAttr), parents.cast("string"))
 
+  /** Stamp a CLONE event onto every row of an edge feeding one of several
+    * same-relationship connections (ProcessSession clone on
+    * multi-connection routing): the clone's parent is the original uuid,
+    * recorded BEFORE the uuid swap, and the child uuid is deterministic per
+    * connection. Shared by the batch runner and the streaming
+    * interpretation — the event shape must match for [[events]] to read
+    * both. */
+  def stampClone(base: DataFrame, connectionId: String): DataFrame =
+    FlowFrame.withAttrs(base, Seq(
+        EventAttr -> lit(Clone),
+        ParentsAttr -> col(FlowFrame.Uuid)))
+      .withColumn(FlowFrame.Uuid,
+        cloneUuid(col(FlowFrame.Uuid), connectionId))
+
   /**
    * The provenance-event table of a flow output: one row per FlowFile that
    * carries a lineage event — (eventType, childUuid, parentUuids). Rows

@@ -23,18 +23,24 @@ object StatefulOps {
 
   /** One incoming text fragment. `offset` is the fragment's byte offset in
     * its source (the reference's `textfragment.offset` attribute); -1 when
-    * the attribute is absent. */
+    * the attribute is absent. `uuid` (optional) is the fragment FlowFile's
+    * identity — carried into the emitted message's `parents` for JOIN
+    * provenance (Provenance.h JOIN; ProcessSession.cpp:973 records an
+    * event per FlowFile on every commit, batch or streaming). */
   case class Fragment(source: String, ord: Long, content: String,
-                      offset: Long = -1L)
+                      offset: Long = -1L, uuid: String = "")
+  /** `parents` = comma-joined sorted uuids of the member fragments that
+    * contributed to this message (empty when members carried no uuid). */
   case class Message(source: String, message: String, fragmentCount: Int,
-                     relationship: String)
+                     relationship: String, parents: String = "")
   /** Open buffer: concatenated content (the reference appends payloads
     * directly, no demarcator — DefragmentText.cpp Buffer::append), the
     * byte offset the NEXT contiguous fragment must carry (-1 when the
-    * buffer's first fragment carried no offset), and the processing time
-    * the buffer was opened (for the mid-stream age check). */
+    * buffer's first fragment carried no offset), the processing time
+    * the buffer was opened (for the mid-stream age check), and the member
+    * uuids accumulated for JOIN provenance. */
   case class Buffer(content: String, fragments: Int, nextOffset: Long,
-                    openedAtMs: Long)
+                    openedAtMs: Long, parents: List[String] = Nil)
 
   /**
    * Streaming DefragmentText with the reference's fragment semantics
@@ -80,14 +86,17 @@ object StatefulOps {
         (source: String, rows: Iterator[Fragment], state: GroupState[Buffer]) =>
           def flush(buf: Buffer, rel: String): Option[Message] =
             if (buf.fragments == 0) None
-            else Some(Message(source, buf.content, buf.fragments, rel))
+            else Some(Message(source, buf.content, buf.fragments, rel,
+              buf.parents.distinct.sorted.mkString(",")))
           if (state.hasTimedOut) {
             val out = state.getOption.flatMap(flush(_, ageFlushRel))
             state.remove()
             out.iterator
           } else {
             val nowMs = state.getCurrentProcessingTimeMs()
-            val empty = Buffer("", 0, -1L, nowMs)
+            val empty = Buffer("", 0, -1L, nowMs, Nil)
+            def withParent(ps: List[String], u: String): List[String] =
+              if (u.isEmpty) ps else ps :+ u
             var buf = state.getOption.getOrElse(empty)
             val out = List.newBuilder[Message]
             // mid-stream age flush: the reference ages the buffer even
@@ -100,7 +109,7 @@ object StatefulOps {
             rows.toSeq.sortBy(_.ord).foreach { f =>
               if (buf.fragments > 0 && buf.nextOffset != f.offset) {
                 flush(buf, "failure").foreach(out += _)
-                out += Message(source, f.content, 1, "failure")
+                out += Message(source, f.content, 1, "failure", f.uuid)
                 buf = empty
               } else {
                 val endOffset = if (f.offset >= 0L) f.offset + utf8Len(f.content)
@@ -111,11 +120,14 @@ object StatefulOps {
                     val head = f.content.substring(0, splitPos)
                     val joined = Buffer(buf.content + head,
                       buf.fragments + (if (head.nonEmpty) 1 else 0),
-                      -1L, buf.openedAtMs)
+                      -1L, buf.openedAtMs,
+                      if (head.nonEmpty) withParent(buf.parents, f.uuid)
+                      else buf.parents)
                     flush(joined, "success").foreach(out += _)
                     val tail = f.content.substring(splitPos)
                     buf = if (tail.isEmpty) empty
-                          else Buffer(tail, 1, endOffset, nowMs)
+                          else Buffer(tail, 1, endOffset, nowMs,
+                            withParent(Nil, f.uuid))
                   case None =>
                     // keep the first fragment's offset basis: a buffer
                     // opened without one never regains it (the merged
@@ -123,7 +135,8 @@ object StatefulOps {
                     buf = Buffer(buf.content + f.content, buf.fragments + 1,
                       if (buf.fragments == 0) endOffset
                       else if (buf.nextOffset >= 0L) endOffset else -1L,
-                      if (buf.fragments == 0) nowMs else buf.openedAtMs)
+                      if (buf.fragments == 0) nowMs else buf.openedAtMs,
+                      withParent(buf.parents, f.uuid))
                 }
               }
             }
@@ -141,9 +154,12 @@ object StatefulOps {
       }
   }
 
-  case class Entry(correlation: String, ord: Long, content: String)
+  /** `uuid` (optional): the member FlowFile identity carried into the
+    * emitted bin's `parents` for JOIN provenance. */
+  case class Entry(correlation: String, ord: Long, content: String,
+                   uuid: String = "")
   case class Bin(correlation: String, merged: String, count: Int,
-                 relationship: String)
+                 relationship: String, parents: String = "")
   case class BinBuffer(entries: List[Entry])
 
   /**
@@ -179,7 +195,8 @@ object StatefulOps {
       val rel =
         if (es.size >= minEntries && binBytes(es) >= minBinBytes) "merged"
         else "undersized"
-      Bin(key, es.sortBy(_.ord).map(_.content).mkString(demarcator), es.size, rel)
+      Bin(key, es.sortBy(_.ord).map(_.content).mkString(demarcator), es.size,
+        rel, es.map(_.uuid).filter(_.nonEmpty).distinct.sorted.mkString(","))
     }
 
     entries.groupByKey(_.correlation)

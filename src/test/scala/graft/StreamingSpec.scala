@@ -439,12 +439,38 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
 
     input.addData(
-      StatefulOps.Entry("k1", 1, "a"), StatefulOps.Entry("k1", 2, "b"),
-      StatefulOps.Entry("k1", 3, "c"), StatefulOps.Entry("k2", 1, "x"))
+      StatefulOps.Entry("k1", 1, "a", "u1"), StatefulOps.Entry("k1", 2, "b", "u2"),
+      StatefulOps.Entry("k1", 3, "c", "u3"), StatefulOps.Entry("k2", 1, "x", "u4"))
     q.processAllAvailable()
     val bins = spark.table("bins").as[StatefulOps.Bin].collect()
     assert(bins.toSeq.map(b => (b.correlation, b.merged, b.relationship)) ===
       Seq(("k1", "a,b", "merged"))) // c and x still below maxEntries
+    // JOIN provenance: the bin's parents are its member uuids
+    assert(bins.head.parents === "u1,u2")
+    q.stop()
+  }
+
+  test("streaming DefragmentText carries member uuids into the message's " +
+       "parents (JOIN provenance, ProcessSession.cpp:973)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Fragment]
+    val out = StatefulOps.defragmentText(input.toDS(), "<[0-9]+>", 0)
+    val q = out.writeStream.format("memory").queryName("defrag_prov")
+      .outputMode("append").start()
+
+    input.addData(StatefulOps.Fragment("s1", 1, "<1> Foo", -1L, "fa"))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 2, "continued", -1L, "fb"))
+    q.processAllAvailable()
+    input.addData(StatefulOps.Fragment("s1", 3, "<2> Bar", -1L, "fc"))
+    q.processAllAvailable()
+    val msgs = spark.table("defrag_prov").as[StatefulOps.Message].collect()
+    // "<1> Foo" + "continued" flush as one message when <2> arrives; its
+    // parents are the two contributing fragments — the tail "<2> Bar"
+    // seeds the next buffer with parent fc
+    assert(msgs.map(m => (m.message, m.parents)).toSeq ===
+      Seq(("<1> Foocontinued", "fa,fb")))
     q.stop()
   }
 
