@@ -949,10 +949,66 @@ object Processors {
 
       // ------------------------------------------------------ sql sources
       case "ExecuteSQL" =>
-        val rows = SqlOps.executeSql(spark, req("SQL select query"))
-        success(FlowFrame.wrap(
-          rows.select(to_json(struct(rows.columns.map(col): _*))
-            .as("content")), "content", Nil))
+        // Full FlowFile surface (ExecuteSQLTests.cpp:27-232): statement
+        // from the property (EL over the input's attributes) or from the
+        // input CONTENT when the property is absent; positional `?`
+        // parameters bound from sql.args.N.value attributes in N order;
+        // rowsets render as JSON arrays chunked by Max Rows Per Flow File
+        // with executesql.row.count + fragment attrs; a statement that
+        // fails to parse/analyze/bind routes its INPUT FlowFile to
+        // `failure` untouched. Statements are control-plane cardinality —
+        // the per-statement loop is a metadata-scale collect; each
+        // statement's ROWS stay distributed end to end.
+        val maxRows = prop("Max Rows Per Flow File", "0").toInt
+        def wrapRowsets(rs: DataFrame): DataFrame = rs.select(
+          concat(col("fragmentId"), lit("#"),
+            col("fragmentIndex").cast("string")).as(FlowFrame.Uuid),
+          map(
+            lit("executesql.row.count"), col("rowCount").cast("string"),
+            lit(FlowFrame.FragmentAttrs.Identifier), col("fragmentId"),
+            lit(FlowFrame.FragmentAttrs.Index),
+            col("fragmentIndex").cast("string"),
+            lit(FlowFrame.FragmentAttrs.Count),
+            col("fragmentCount").cast("string")).as(FlowFrame.Attributes),
+          col("content").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          lit("success").as(FlowFrame.Relationship))
+        input match {
+          case None =>
+            val stmt = req("SQL select query")
+            wrapRowsets(SqlOps.executeSqlRowsets(spark, stmt, Nil, maxRows,
+              "sql-" + java.util.UUID.nameUUIDFromBytes(
+                stmt.getBytes("UTF-8")).toString))
+          case Some(in0) =>
+            val stmtCol = props.get("SQL select query")
+              .map(el => ElCompiler.template(el))
+              .getOrElse(col(FlowFrame.Content).cast("string"))
+            val staged = in0.select(
+              col(FlowFrame.Uuid).cast("string").as("__u"),
+              stmtCol.as("__stmt"),
+              col(FlowFrame.Attributes).as("__attrs")).collect()
+            val argRe = """sql\.args\.(\d+)\.value""".r
+            val results = staged.toSeq.map { r =>
+              val u = r.getString(0)
+              val attrs = r.getMap[String, String](r.fieldIndex("__attrs"))
+              val args = attrs.toSeq.flatMap {
+                case (argRe(n), v) => Some((n.toInt, v))
+                case _ => None
+              }.sortBy(_._1).map(_._2)
+              try Right(SqlOps.executeSqlRowsets(spark, r.getString(1), args,
+                maxRows, u + "#sql"))
+              catch { case scala.util.control.NonFatal(_) => Left(u) }
+            }
+            val ok = results.collect { case Right(rs) => wrapRowsets(rs) }
+            val failedIds = results.collect { case Left(u) => u }
+            val failures =
+              if (failedIds.isEmpty) Nil
+              else Seq(in0.filter(col(FlowFrame.Uuid).cast("string")
+                  .isin(failedIds: _*))
+                .withColumn(FlowFrame.Relationship, lit("failure")))
+            (ok ++ failures).reduceOption(_ unionByName _)
+              .getOrElse(in0.limit(0)) // no inputs → no outputs, same shape
+        }
 
       case "TailFile" =>
         // batch sweep = the FIRST tail pass: the file's current lines

@@ -37,6 +37,95 @@ object SqlOps {
   private val MidOffsetMask = (1L << 33) - 1
 
   /**
+   * Substitute positional `?` parameters with escaped string literals —
+   * the reference binds `sql.args.N.value` attributes positionally through
+   * soci (SQLProcessor collectArguments); string literals with doubled
+   * quotes are the engine-portable re-expression. `?` inside single-quoted
+   * strings is not a parameter. Throws when the statement has more
+   * parameters than arguments (ExecuteSQLTests.cpp:210 routes that input
+   * to failure).
+   */
+  private[graft] def bindPositionalArgs(statement: String,
+                                        args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var argI = 0
+    statement.foreach { ch =>
+      if (inStr) { sb.append(ch); if (ch == '\'') inStr = false }
+      else if (ch == '\'') { inStr = true; sb.append(ch) }
+      else if (ch == '?') {
+        require(argI < args.length,
+          s"statement has ${argI + 1}+ positional parameters but only " +
+            s"${args.length} sql.args values")
+        sb.append('\'').append(args(argI).replace("'", "''")).append('\'')
+        argI += 1
+      } else sb.append(ch)
+    }
+    sb.toString
+  }
+
+  /**
+   * ExecuteSQL's FlowFile output surface (ExecuteSQL.cpp:32,
+   * FlowFileSource.h:58-64): the rowset renders as a JSON array of row
+   * objects in result order, split into FlowFiles of at most
+   * `maxRowsPerFlowFile` rows (0 = the whole rowset in one), each carrying
+   * `executesql.row.count` and the fragment attribute trio. An empty
+   * rowset still emits ONE FlowFile with `[]` and row count 0.
+   *
+   * Returns (content, rowCount, fragmentIndex, fragmentCount, fragmentId).
+   *
+   * Scale shape: the global row index = per-partition cumulative offset
+   * (a metadata-scale collect of partition counts, the Sampling range-total
+   * pattern) + the row's partition-local monotonic offset — no global
+   * window. Chunks then group in ONE shuffle with at most `maxRows` rows
+   * per group. With maxRows=0 the whole rowset lands in one group — the
+   * reference's single-FlowFile semantic; set a cap for large results.
+   */
+  def executeSqlRowsets(spark: SparkSession, statement: String,
+                        args: Seq[String], maxRowsPerFlowFile: Int,
+                        fragmentId: String): DataFrame = {
+    val rows = spark.sql(bindPositionalArgs(statement, args))
+    val jsonOpts = new java.util.HashMap[String, String]()
+    jsonOpts.put("ignoreNullFields", "false") // SELECT * keeps null columns
+    val json = to_json(struct(rows.columns.map(c => col(s"`$c`")): _*),
+      jsonOpts)
+    val withMid = rows.select(json.as("__j"))
+      .withColumn("__mid", monotonically_increasing_id())
+    val parts = withMid
+      .groupBy(shiftrightunsigned(col("__mid"), 33).as("__p"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = parts.map(_._2).sum
+    if (total == 0)
+      return spark.range(1).select(
+        lit("[]").as("content"), lit(0L).as("rowCount"),
+        lit(0L).as("fragmentIndex"), lit(1L).as("fragmentCount"),
+        lit(fragmentId).as("fragmentId"))
+    val effMax =
+      if (maxRowsPerFlowFile > 0) maxRowsPerFlowFile.toLong else total
+    val fragCount = (total + effMax - 1) / effMax
+    var acc = 0L
+    val offsets = parts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+    val offCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }.toSeq: _*),
+      shiftrightunsigned(col("__mid"), 33))
+    withMid
+      .withColumn("__gidx", offCol + col("__mid").bitwiseAND(lit(MidOffsetMask)))
+      .withColumn("__chunk", (col("__gidx") / effMax).cast("long"))
+      .groupBy("__chunk")
+      .agg(count(lit(1)).as("rowCount"),
+        concat(lit("["),
+          array_join(transform(
+            sort_array(collect_list(struct(col("__gidx"), col("__j")))),
+            _.getField("__j")), ","),
+          lit("]")).as("content"))
+      .select(col("content"), col("rowCount"),
+        col("__chunk").as("fragmentIndex"),
+        lit(fragCount).as("fragmentCount"),
+        lit(fragmentId).as("fragmentId"))
+  }
+
+  /**
    * QueryDatabaseTable (extensions/sql/processors/QueryDatabaseTable.cpp:79,
    * buildSelectQuery :196): incremental pull `WHERE maxCol > lastMax`,
    * chunked into ≤ maxRowsPerFlowFile rowsets, with per-chunk row counts,

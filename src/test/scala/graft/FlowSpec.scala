@@ -1413,6 +1413,110 @@ class FlowSpec extends SparkSpec {
       (s"$p@0@c2", "CLONE", s"$p@0", "right")))
   }
 
+  test("ExecuteSQL battery: rowset JSON arrays, EL statements, content " +
+       "statements, sql.args binding, Max Rows chunking, failure routing " +
+       "(ExecuteSQLTests.cpp:27-232)") {
+    import graft.core.FlowFrame
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE OR REPLACE TEMP VIEW test_table AS " +
+      "SELECT * FROM VALUES (11, 'one'), (22, 'two') AS t(int_col, text_col)")
+    def proc(props: (String, String)*) = graft.flow.ProcessorDef("sq", "sql",
+      "org.apache.nifi.minifi.processors.ExecuteSQL", "TIMER_DRIVEN",
+      "1 sec", Set.empty, props.toMap)
+    def ff(uuid: String, content: String, attrs: Map[String, String]) = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uuid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("attributes",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+      spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(uuid, content, attrs)).asJava, schema)
+        .withColumn("entryDate", current_timestamp())
+        .withColumn("relationship", lit(null: String))
+    }
+    def attrsOf(r: org.apache.spark.sql.Row) =
+      r.getAs[Map[String, String]]("attributes")
+
+    // ExecuteSQL1: no incoming FlowFile — one FlowFile, whole rowset
+    val r1 = graft.flow.Processors.apply(spark,
+      proc("SQL select query" ->
+        "SELECT * FROM test_table ORDER BY int_col ASC"), None).collect()
+    assert(r1.length === 1)
+    assert(r1(0).getAs[String]("content") ===
+      """[{"int_col":11,"text_col":"one"},{"int_col":22,"text_col":"two"}]""")
+    assert(attrsOf(r1(0))("executesql.row.count") === "2")
+
+    // ExecuteSQL2: EL in the statement resolves from the input's attributes
+    val r2 = graft.flow.Processors.apply(spark,
+      proc("SQL select query" ->
+        "SELECT * FROM test_table WHERE int_col = ${int_col_value}"),
+      Some(ff("u2", "", Map("int_col_value" -> "11")))).collect()
+    assert(r2.length === 1)
+    assert(r2(0).getAs[String]("content") ===
+      """[{"int_col":11,"text_col":"one"}]""")
+    assert(attrsOf(r2(0))("executesql.row.count") === "1")
+
+    // ExecuteSQL3: statement from the input CONTENT when no property
+    val r3 = graft.flow.Processors.apply(spark, proc(),
+      Some(ff("u3", "SELECT * FROM test_table ORDER BY int_col ASC", Map())))
+      .collect()
+    assert(r3.length === 1)
+    assert(attrsOf(r3(0))("executesql.row.count") === "2")
+
+    // ExecuteSQL4: positional ? bound from sql.args.N.value in N order
+    spark.sql("CREATE OR REPLACE TEMP VIEW test_table4 AS SELECT * FROM " +
+      "VALUES (11, 'apple'), (11, 'banana'), (22, 'banana') " +
+      "AS t(int_col, text_col)")
+    val r4 = graft.flow.Processors.apply(spark, proc(),
+      Some(ff("u4",
+        "SELECT * FROM test_table4 WHERE int_col = ? AND text_col = ?",
+        Map("sql.args.1.value" -> "11", "sql.args.2.value" -> "banana"))))
+      .collect()
+    assert(r4.length === 1)
+    assert(r4(0).getAs[String]("content") ===
+      """[{"int_col":11,"text_col":"banana"}]""")
+    assert(attrsOf(r4(0))("executesql.row.count") === "1")
+
+    // ExecuteSQL5: Max Rows Per Flow File chunks the ordered rowset with
+    // fragment attributes
+    spark.sql("CREATE OR REPLACE TEMP VIEW test_table5 AS SELECT * FROM " +
+      "VALUES (101, 'apple'), (102, 'banana'), (103, 'pear'), " +
+      "(104, 'strawberry'), (105, 'pineapple') AS t(int_col, text_col)")
+    val r5 = graft.flow.Processors.apply(spark,
+      proc("SQL select query" ->
+        "SELECT text_col FROM test_table5 ORDER BY int_col ASC",
+        "Max Rows Per Flow File" -> "2"), None).collect()
+      .sortBy(r => attrsOf(r)("fragment.index").toInt)
+    assert(r5.length === 3)
+    assert(r5.map(_.getAs[String]("content")).toSeq === Seq(
+      """[{"text_col":"apple"},{"text_col":"banana"}]""",
+      """[{"text_col":"pear"},{"text_col":"strawberry"}]""",
+      """[{"text_col":"pineapple"}]"""))
+    assert(r5.map(r => attrsOf(r)("executesql.row.count")).toSeq ===
+      Seq("2", "2", "1"))
+    assert(r5.map(r => attrsOf(r)("fragment.count")).toSet === Set("3"))
+    assert(r5.map(r => attrsOf(r)("fragment.identifier")).toSet.size === 1)
+
+    // ExecuteSQL6/7: malformed statement / missing table / unbound ? —
+    // the INPUT routes to failure with content untouched
+    for (bad <- Seq(
+      ff("u6", "not a valid sql statement", Map()),
+      ff("u6b", "SELECT * FROM no_such_table", Map()),
+      ff("u7", "ignored content", Map()))) {
+      val isArgCase = bad.collect()(0).getString(1) == "ignored content"
+      val p = if (isArgCase)
+        proc("SQL select query" -> "SELECT * FROM test_table WHERE int_col = ?")
+      else proc()
+      val out = graft.flow.Processors.apply(spark, p, Some(bad)).collect()
+      assert(out.length === 1)
+      assert(out(0).getAs[String]("relationship") === "failure")
+    }
+  }
+
   test("streaming terminal PutFile picks the sink directory from its config") {
     val dir = tmpDir("tsink-in")
     val ckpt = tmpDir("tsink-ckpt")
