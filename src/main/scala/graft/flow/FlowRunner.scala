@@ -307,8 +307,12 @@ object Processors {
         // incremental catalog-table pull; the batch sweep has no state
         // store, so the max-value floor arrives via the NiFi-convention
         // `initial.maxvalue.<col>` property (streaming state lives in
-        // streaming/QdbSource). One FlowFile per ≤MaxRowsPerFlowFile chunk
-        // with the reference's tablename/row-count/maxvalue attrs.
+        // streaming/QdbSource). Output = the reference's rowset FlowFiles
+        // (QueryDatabaseTableTests.cpp:124-168): JSON arrays of the
+        // Columns-to-Return projection in max-column order, chunked by Max
+        // Rows Per Flow File with tablename/row-count/fragment/maxvalue
+        // attrs; no new rows → no output FlowFiles (unlike ExecuteSQL's
+        // [] rowset).
         val table = req("Table Name")
         val maxColName = req("Maximum-value Columns")
         val base = spark.table(table)
@@ -317,20 +321,38 @@ object Processors {
           throw new IllegalArgumentException(
             s"batch QueryDatabaseTable needs initial.maxvalue.$maxColName " +
               "(streaming mode keeps this state in the checkpoint)"))
-        val chunks = SqlOps.queryDatabaseTable(base,
-          col(maxColName), lit(initial).cast(dt), Seq(col(maxColName)),
-          prop("Max Rows Per Flow File", "1000").toInt)
-        chunks.select(
-          expr("uuid()").as(FlowFrame.Uuid),
-          map(
-            lit("tablename"), lit(table),
-            lit("querydbtable.row.count"), col("rowCount").cast("string"),
-            lit(s"maxvalue.$maxColName"), col("maxvalue").cast("string"))
-            .as(FlowFrame.Attributes),
-          to_json(struct(col("chunkPart"), col("chunkId"), col("rowCount"),
-            col("chunkMax"))).as(FlowFrame.Content),
-          current_timestamp().as(FlowFrame.EntryDate),
-          lit("success").as(FlowFrame.Relationship))
+        val filtered = base.filter(col(maxColName) > lit(initial).cast(dt))
+        // the new max-value state: a tree-reduced scalar (one tiny job),
+        // stamped on every output FlowFile like the reference's state attr
+        val newMax = filtered.agg(max(col(maxColName)).cast("string"))
+          .collect()(0).getString(0)
+        val projected = props.get("Columns to Return")
+          .map(cs => cs.split(",").map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty) match {
+          case Some(cs) => filtered.orderBy(col(maxColName))
+            .select(cs.map(c => col(s"`$c`")).toSeq: _*)
+          case None => filtered.orderBy(col(maxColName))
+        }
+        val fragId = "qdt-" + java.util.UUID.nameUUIDFromBytes(
+          s"$table/$maxColName/$initial".getBytes("UTF-8")).toString
+        SqlOps.rowsetChunks(projected,
+          prop("Max Rows Per Flow File", "0").toInt, fragId)
+          .select(
+            concat(col("fragmentId"), lit("#"),
+              col("fragmentIndex").cast("string")).as(FlowFrame.Uuid),
+            map(
+              lit("tablename"), lit(table),
+              lit("querydbtable.row.count"), col("rowCount").cast("string"),
+              lit(FlowFrame.FragmentAttrs.Identifier), col("fragmentId"),
+              lit(FlowFrame.FragmentAttrs.Index),
+              col("fragmentIndex").cast("string"),
+              lit(FlowFrame.FragmentAttrs.Count),
+              col("fragmentCount").cast("string"),
+              lit(s"maxvalue.$maxColName"), lit(newMax))
+              .as(FlowFrame.Attributes),
+            col("content").as(FlowFrame.Content),
+            current_timestamp().as(FlowFrame.EntryDate),
+            lit("success").as(FlowFrame.Relationship))
 
       case "GenerateFlowFile" =>
         val mode = (prop("Data Format", "Binary"),

@@ -83,8 +83,28 @@ object SqlOps {
    */
   def executeSqlRowsets(spark: SparkSession, statement: String,
                         args: Seq[String], maxRowsPerFlowFile: Int,
-                        fragmentId: String): DataFrame = {
-    val rows = spark.sql(bindPositionalArgs(statement, args))
+                        fragmentId: String): DataFrame =
+    rowsetChunks(spark.sql(bindPositionalArgs(statement, args)),
+      maxRowsPerFlowFile, fragmentId, emptyRowset = true)
+
+  /**
+   * Chunk `rows` — whose partition-major physical order IS the output
+   * order (a sorted frame's range partitions are pid-ascending) — into
+   * JSON-array rowset FlowFiles of at most `maxRows` rows (0 = all in
+   * one). Shared by ExecuteSQL and QueryDatabaseTable
+   * (FlowFileSource.h:50-64). `emptyRowset` controls the zero-row case:
+   * ExecuteSQL emits one `[]` FlowFile, QueryDatabaseTable emits nothing
+   * (QueryDatabaseTableTests.cpp:54-92 requery with no new rows).
+   *
+   * Scale shape: the global row index is the per-partition cumulative
+   * offset (a metadata-scale collect of partition counts, the Sampling
+   * range-total pattern) + the row's partition-local monotonic offset —
+   * no global window; chunks then group in ONE shuffle bounded by
+   * `maxRows` rows per group.
+   */
+  def rowsetChunks(rows: DataFrame, maxRows: Int, fragmentId: String,
+                   emptyRowset: Boolean = false): DataFrame = {
+    val spark = rows.sparkSession
     val jsonOpts = new java.util.HashMap[String, String]()
     jsonOpts.put("ignoreNullFields", "false") // SELECT * keeps null columns
     val json = to_json(struct(rows.columns.map(c => col(s"`$c`")): _*),
@@ -96,13 +116,14 @@ object SqlOps {
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = parts.map(_._2).sum
-    if (total == 0)
-      return spark.range(1).select(
+    if (total == 0) {
+      val one = spark.range(1).select(
         lit("[]").as("content"), lit(0L).as("rowCount"),
         lit(0L).as("fragmentIndex"), lit(1L).as("fragmentCount"),
         lit(fragmentId).as("fragmentId"))
-    val effMax =
-      if (maxRowsPerFlowFile > 0) maxRowsPerFlowFile.toLong else total
+      return if (emptyRowset) one else one.limit(0)
+    }
+    val effMax = if (maxRows > 0) maxRows.toLong else total
     val fragCount = (total + effMax - 1) / effMax
     var acc = 0L
     val offsets = parts.map { case (p, n) => val o = acc; acc += n; (p, o) }

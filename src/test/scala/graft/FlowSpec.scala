@@ -1517,6 +1517,44 @@ class FlowSpec extends SparkSpec {
     }
   }
 
+  test("QueryDatabaseTable rowset output: Columns-to-Return projection in " +
+       "max-column order, fragment attrs, no-new-rows emits nothing " +
+       "(QueryDatabaseTableTests.cpp:54-168)") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW qdt_rows AS SELECT * FROM " +
+      "VALUES (101, 'one'), (102, 'two'), (103, 'three'), (104, 'four'), " +
+      "(105, 'five') AS t(int_col, text_col)")
+    def proc(props: (String, String)*) = graft.flow.ProcessorDef("q", "qdt",
+      "org.apache.nifi.minifi.processors.QueryDatabaseTable", "TIMER_DRIVEN",
+      "1 sec", Set.empty, props.toMap)
+    val out = graft.flow.Processors.apply(spark, proc(
+      "Table Name" -> "qdt_rows",
+      "Maximum-value Columns" -> "int_col",
+      "Columns to Return" -> "text_col",
+      "Max Rows Per Flow File" -> "3",
+      "initial.maxvalue.int_col" -> "0"), None).collect()
+      .sortBy(r => r.getAs[Map[String, String]]("attributes")("fragment.index").toInt)
+    assert(out.length === 2)
+    def attrs(i: Int) = out(i).getAs[Map[String, String]]("attributes")
+    assert(out(0).getAs[String]("content") ===
+      """[{"text_col":"one"},{"text_col":"two"},{"text_col":"three"}]""")
+    assert(out(1).getAs[String]("content") ===
+      """[{"text_col":"four"},{"text_col":"five"}]""")
+    assert(attrs(0)("tablename") === "qdt_rows")
+    assert(attrs(0)("querydbtable.row.count") === "3")
+    assert(attrs(1)("querydbtable.row.count") === "2")
+    assert(Seq(0, 1).map(attrs(_)("fragment.count")).toSet === Set("2"))
+    assert(Seq(0, 1).map(attrs(_)("fragment.index")) === Seq("0", "1"))
+    assert(attrs(0)("fragment.identifier") === attrs(1)("fragment.identifier"))
+    assert(Seq(0, 1).map(attrs(_)("maxvalue.int_col")).toSet === Set("105"))
+
+    // requerying above the new max emits NOTHING (no [] rowset)
+    val none = graft.flow.Processors.apply(spark, proc(
+      "Table Name" -> "qdt_rows",
+      "Maximum-value Columns" -> "int_col",
+      "initial.maxvalue.int_col" -> "105"), None).collect()
+    assert(none.isEmpty)
+  }
+
   test("streaming terminal PutFile picks the sink directory from its config") {
     val dir = tmpDir("tsink-in")
     val ckpt = tmpDir("tsink-ckpt")
