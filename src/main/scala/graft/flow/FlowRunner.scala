@@ -143,6 +143,15 @@ object Processors {
     * from the operator's output by [[dropScratchAttr]]. */
   private val ElScratchAttr = "__graft.el.scratch"
 
+  /** `sql.args.N.value` attributes in positional order (SQLProcessor
+    * argument collection — soci positional binds). */
+  private val SqlArgRe = """sql\.args\.(\d+)\.value""".r
+  private def sqlArgs(attrs: scala.collection.Map[String, String]): Seq[String] =
+    attrs.toSeq.flatMap {
+      case (SqlArgRe(n), v) => Some((n.toInt, v))
+      case _ => None
+    }.sortBy(_._1).map(_._2)
+
   private def dropScratchAttr(df: DataFrame, used: Boolean): DataFrame =
     if (!used) df
     else df.withColumn(FlowFrame.Attributes,
@@ -970,6 +979,34 @@ object Processors {
           .drop("__http")
 
       // ------------------------------------------------------ sql sources
+      case "PutSQL" =>
+        // PutSQL (PutSQL.h:34-44; PutSQLTests.cpp:36-136): execute the SQL
+        // Statement property (EL over the input's attributes) or the input
+        // CONTENT per FlowFile, with sql.args.N.value positional binds.
+        // The INPUT FlowFile routes to success, or to failure when the
+        // statement cannot bind/parse/execute. Statements are
+        // control-plane cardinality (one per FlowFile) — Spark runs each
+        // INSERT as an eager distributed command.
+        val stmtCol = props.get("SQL Statement")
+          .map(el => ElCompiler.template(el))
+          .getOrElse(col(FlowFrame.Content).cast("string"))
+        val staged = in.select(col(FlowFrame.Uuid).cast("string").as("__u"),
+          stmtCol.as("__stmt"), col(FlowFrame.Attributes).as("__attrs"))
+          .collect()
+        val failed = staged.flatMap { r =>
+          val args = sqlArgs(r.getMap[String, String](r.fieldIndex("__attrs")))
+          try {
+            spark.sql(SqlOps.bindPositionalArgs(r.getString(1), args))
+            None
+          } catch {
+            case scala.util.control.NonFatal(_) => Some(r.getString(0))
+          }
+        }.toSeq
+        in.withColumn(FlowFrame.Relationship,
+          if (failed.isEmpty) lit("success")
+          else when(col(FlowFrame.Uuid).cast("string").isin(failed: _*),
+            "failure").otherwise("success"))
+
       case "ExecuteSQL" =>
         // Full FlowFile surface (ExecuteSQLTests.cpp:27-232): statement
         // from the property (EL over the input's attributes) or from the
@@ -1009,14 +1046,10 @@ object Processors {
               col(FlowFrame.Uuid).cast("string").as("__u"),
               stmtCol.as("__stmt"),
               col(FlowFrame.Attributes).as("__attrs")).collect()
-            val argRe = """sql\.args\.(\d+)\.value""".r
             val results = staged.toSeq.map { r =>
               val u = r.getString(0)
-              val attrs = r.getMap[String, String](r.fieldIndex("__attrs"))
-              val args = attrs.toSeq.flatMap {
-                case (argRe(n), v) => Some((n.toInt, v))
-                case _ => None
-              }.sortBy(_._1).map(_._2)
+              val args = sqlArgs(r.getMap[String, String](
+                r.fieldIndex("__attrs")))
               try Right(SqlOps.executeSqlRowsets(spark, r.getString(1), args,
                 maxRows, u + "#sql"))
               catch { case scala.util.control.NonFatal(_) => Left(u) }
@@ -1309,7 +1342,7 @@ object Processors {
           "JoltTransformJSON, ApplyTemplate, RouteOnAttribute, RouteText, " +
           "RetryFlowFile, Funnel, LogAttribute, SplitText, SplitContent, " +
           "SegmentContent, SplitJson, DefragmentText, MergeContent, " +
-          "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, " +
+          "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, PutSQL, " +
           "PutSplunkHTTP, PostElasticsearch, PushGrafanaLokiREST, " +
           "PutTCP, PutUDP, PutFile, GetCouchbaseKey, PutCouchbaseKey, " +
           "PutOPC)")

@@ -37,14 +37,18 @@ object SqlOps {
   private val MidOffsetMask = (1L << 33) - 1
 
   /**
-   * Substitute positional `?` parameters with escaped string literals —
-   * the reference binds `sql.args.N.value` attributes positionally through
-   * soci (SQLProcessor collectArguments); string literals with doubled
-   * quotes are the engine-portable re-expression. `?` inside single-quoted
-   * strings is not a parameter. Throws when the statement has more
-   * parameters than arguments (ExecuteSQLTests.cpp:210 routes that input
-   * to failure).
+   * Substitute positional `?` parameters with literals — the reference
+   * binds `sql.args.N.value` attributes positionally through soci
+   * (SQLProcessor collectArguments) and lets SQLite's column affinity
+   * coerce; under Spark's ANSI store assignment a quoted numeric cannot
+   * INSERT into a numeric column, so an argument that lexes as a SQL
+   * number binds as a bare numeric literal and anything else as an
+   * escaped string. `?` inside single-quoted strings is not a parameter.
+   * Throws when the statement has more parameters than arguments
+   * (ExecuteSQLTests.cpp:210 / PutSQLTests.cpp:85 route that input to
+   * failure).
    */
+  private val SqlNumber = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
   private[graft] def bindPositionalArgs(statement: String,
                                         args: Seq[String]): String = {
     val sb = new StringBuilder
@@ -57,7 +61,10 @@ object SqlOps {
         require(argI < args.length,
           s"statement has ${argI + 1}+ positional parameters but only " +
             s"${args.length} sql.args values")
-        sb.append('\'').append(args(argI).replace("'", "''")).append('\'')
+        args(argI) match {
+          case n if SqlNumber.matches(n) => sb.append(n)
+          case s => sb.append('\'').append(s.replace("'", "''")).append('\'')
+        }
         argI += 1
       } else sb.append(ch)
     }
