@@ -269,14 +269,75 @@ object Content {
   }
 
   /**
-   * ApplyTemplate: mustache-style {{attr}} substitution — rewritten to EL
-   * `${attr}` and compiled once to a concat chain (the reference renders
-   * per FlowFile with bustache).
+   * ApplyTemplate: mustache rendering over the attribute map — the
+   * reference formats the template file with bustache against a flat
+   * string map (extensions/bustache/ApplyTemplate.cpp:56-64, no escape
+   * function → raw interpolation). Compiled ONCE to a Column tree:
+   *
+   *  - `{{ name }}` / `{{{ name }}}` / `{{& name }}` interpolate the
+   *    attribute raw (bustache applies no HTML escaping here), padding
+   *    trimmed per the mustache spec; a missing attribute renders empty;
+   *  - `{{! comment }}` drops;
+   *  - `{{#name}}…{{/name}}` renders its body when the attribute is
+   *    PRESENT, `{{^name}}…{{/name}}` when absent — the flat string-map
+   *    truthiness (a missing key is the only falsey value bustache sees
+   *    from an unordered_map<string,string>);
+   *  - text segments still pass through the EL compiler, so `${expr}`
+   *    expression language composes with mustache tags (an extension the
+   *    reference reaches by EL-evaluating the Template *path* only).
    */
   def applyTemplate(template: String,
                     attrs: ElCompiler.AttrResolver = ElCompiler.flowAttrs): Column = {
-    val el = "\\{\\{([A-Za-z0-9_.-]+)\\}\\}".r
-      .replaceAllIn(template, m => java.util.regex.Matcher.quoteReplacement(s"$${${m.group(1)}}"))
-    ElCompiler.template(el, attrs)
+    sealed trait MTok
+    case class MText(s: String) extends MTok
+    case class MVar(name: String) extends MTok
+    case class MSection(name: String, inverted: Boolean, body: List[MTok]) extends MTok
+
+    val tag = ("\\{\\{\\{\\s*([A-Za-z0-9_.\\-]+)\\s*\\}\\}\\}" +
+      "|\\{\\{\\s*([!#^/&]?)\\s*([^}]*?)\\s*\\}\\}").r
+    // stack of open sections: (name, inverted, tokens-so-far)
+    var stack = List((Option.empty[(String, Boolean)],
+      List.newBuilder[MTok]))
+    var pos = 0
+    def pushText(until: Int): Unit =
+      if (until > pos) stack.head._2 += MText(template.substring(pos, until))
+    tag.findAllMatchIn(template).foreach { m =>
+      pushText(m.start)
+      pos = m.end
+      val (sigil, name) =
+        if (m.group(1) != null) ("", m.group(1))
+        else (m.group(2), m.group(3))
+      sigil match {
+        case "!" => () // comment
+        case "#" | "^" =>
+          stack = (Some((name, sigil == "^")), List.newBuilder[MTok]) :: stack
+        case "/" =>
+          stack match {
+            case (Some((open, inv)), body) :: rest =>
+              require(open == name,
+                s"ApplyTemplate: {{/$name}} closes {{${if (inv) "^" else "#"}$open}}")
+              rest.head._2 += MSection(open, inv, body.result())
+              stack = rest
+            case _ => throw new IllegalArgumentException(
+              s"ApplyTemplate: {{/$name}} without an open section")
+          }
+        case _ => stack.head._2 += MVar(name)
+      }
+    }
+    pushText(template.length)
+    require(stack.tail.isEmpty,
+      s"ApplyTemplate: unclosed section {{#${stack.head._1.map(_._1).getOrElse("")}}}")
+
+    def render(toks: List[MTok]): Column =
+      if (toks.isEmpty) lit("")
+      else concat(toks.map {
+        case MText(s) => ElCompiler.template(s, attrs)
+        case MVar(n) => coalesce(attrs(n).cast("string"), lit(""))
+        case MSection(n, inverted, body) =>
+          val present = attrs(n).isNotNull
+          when(if (inverted) !present else present, render(body))
+            .otherwise("")
+      }: _*)
+    render(stack.head._2.result())
   }
 }

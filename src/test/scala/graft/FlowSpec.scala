@@ -1521,15 +1521,15 @@ class FlowSpec extends SparkSpec {
        "binds, malformed statement routes the input to failure " +
        "(PutSQLTests.cpp:36-136)") {
     import scala.jdk.CollectionConverters._
-    spark.sql("DROP TABLE IF EXISTS putsql_t")
+    spark.sql("DROP TABLE IF EXISTS putsql_flow_t")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete(): Unit
     }
     rm(new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        + "/putsql_t"))
-    spark.sql("CREATE TABLE putsql_t (int_col INT, text_col STRING) USING parquet")
+        + "/putsql_flow_t"))
+    spark.sql("CREATE TABLE putsql_flow_t (int_col INT, text_col STRING) USING parquet")
     def proc(props: (String, String)*) = graft.flow.ProcessorDef("ps", "put",
       "org.apache.nifi.minifi.processors.PutSQL", "TIMER_DRIVEN",
       "1 sec", Set.empty, props.toMap)
@@ -1552,27 +1552,27 @@ class FlowSpec extends SparkSpec {
     // statement from the property, ? bound from sql.args.1.value
     val r1 = graft.flow.Processors.apply(spark,
       proc("SQL Statement" ->
-        "INSERT INTO putsql_t (int_col, text_col) VALUES (?, 'asdf')"),
+        "INSERT INTO putsql_flow_t (int_col, text_col) VALUES (?, 'asdf')"),
       Some(ff("u1", "", Map("sql.args.1.value" -> "42")))).collect()
     assert(r1.map(_.getAs[String]("relationship")).toSeq === Seq("success"))
-    assert(spark.table("putsql_t").collect()
+    assert(spark.table("putsql_flow_t").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet === Set((42, "asdf")))
 
     // statement from the CONTENT with two binds
     val r2 = graft.flow.Processors.apply(spark, proc(),
-      Some(ff("u2", "INSERT INTO putsql_t VALUES(?, ?)",
+      Some(ff("u2", "INSERT INTO putsql_flow_t VALUES(?, ?)",
         Map("sql.args.1.value" -> "4242", "sql.args.2.value" -> "fdsa"))))
       .collect()
     assert(r2.map(_.getAs[String]("relationship")).toSeq === Seq("success"))
-    assert(spark.table("putsql_t").count() === 2)
+    assert(spark.table("putsql_flow_t").count() === 2)
 
     // missing parameter → the input routes to failure, nothing inserted
     val r3 = graft.flow.Processors.apply(spark,
       proc("SQL Statement" ->
-        "INSERT INTO putsql_t (int_col, text_col) VALUES (?, 'asdf')"),
+        "INSERT INTO putsql_flow_t (int_col, text_col) VALUES (?, 'asdf')"),
       Some(ff("u3", "", Map()))).collect()
     assert(r3.map(_.getAs[String]("relationship")).toSeq === Seq("failure"))
-    assert(spark.table("putsql_t").count() === 2)
+    assert(spark.table("putsql_flow_t").count() === 2)
   }
 
   test("QueryDatabaseTable rowset output: Columns-to-Return projection in " +

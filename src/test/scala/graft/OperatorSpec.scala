@@ -26,6 +26,42 @@ class OperatorSpec extends SparkSpec {
     assert(split("unmatched").count() === 1)
   }
 
+  test("ApplyTemplate renders bustache semantics: padded tags, comments, " +
+       "sections over the flat attribute map " +
+       "(extensions/bustache/tests/ApplyTemplateTests.cpp:43-47,56)") {
+    // the battery's exact template/value/output triple — note the PADDED
+    // {{ ExampleAttribute }} tag
+    val df = flowFrame(Seq(("", Map("ExampleAttribute" -> "ExampleValue"))))
+    val out = df.select(Content.applyTemplate(
+      "TemplateBegins\n{{ ExampleAttribute }}\nTemplateEnds").as("r"))
+      .collect().head.getString(0)
+    assert(out === "TemplateBegins\nExampleValue\nTemplateEnds")
+
+    // missing attribute interpolates empty; comments drop; triple/& raw
+    val df2 = flowFrame(Seq(("", Map("a" -> "<b>&x</b>"))))
+    val out2 = df2.select(Content.applyTemplate(
+      "[{{missing}}]{{! note }}{{{a}}}={{&a}}={{a}}").as("r"))
+      .collect().head.getString(0)
+    assert(out2 === "[]<b>&x</b>=<b>&x</b>=<b>&x</b>")
+
+    // sections: present key renders #, absent renders ^; nesting works
+    val df3 = flowFrame(Seq(
+      ("", Map("flag" -> "on", "name" -> "n1")),
+      ("", Map("name" -> "n2"))))
+    val out3 = df3.select(Content.applyTemplate(
+      "{{#flag}}Y:{{name}}{{/flag}}{{^flag}}N:{{name}}{{/flag}}").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out3 === Seq("Y:n1", "N:n2"))
+
+    // unbalanced sections fail at compile time
+    intercept[IllegalArgumentException] {
+      Content.applyTemplate("{{#a}}x")
+    }
+    intercept[IllegalArgumentException] {
+      Content.applyTemplate("{{#a}}x{{/b}}")
+    }
+  }
+
   test("UpdateAttribute overwrites and adds (UpdateAttribute.cpp:37)") {
     val df = flowFrame(Seq(("", Map("color" -> "red", "keep" -> "yes"))))
     val up = Transforms.updateAttribute(df, Seq(
