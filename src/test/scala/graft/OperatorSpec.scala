@@ -1140,6 +1140,69 @@ class OperatorSpec extends SparkSpec {
       ignoreHiddenFiles = false, nowMs = now)).contains(".hidden_file.txt"))
   }
 
+  test("ManipulateArchive battery: touch/copy/move/remove with and without " +
+       "before/after ordering anchors, archive order and contents verified " +
+       "(ManipulateArchiveTests.cpp:119-340)") {
+    val df = spark.createDataFrame(Seq(Tuple1("x"))).toDF("x")
+    // the battery's fixture: entries first/middle/last with known contents
+    val names = Seq("first", "middle", "last")
+    val contents = Seq("Test file 1\n", "Test file 2\n", "Test file 3\n")
+    val archive = Archive.zipPackMulti(
+      array(names.map(lit(_)): _*),
+      array(contents.map(c => lit(c.getBytes("UTF-8"))): _*))
+    // run one operation and return the resulting (name → content) in order
+    def run(op: String, target: String, dest: String,
+            before: String, after: String): (Seq[(String, String)], String) = {
+      val e = Archive.zipManipulate(archive, lit(op), lit(target), lit(dest),
+        lit(before), lit(after))
+      val resultCol = e.getField("_1")
+      val namesRow = df.select(Archive.zipEntries(resultCol).as("n"),
+        e.getField("_2").as("rel")).collect().head
+      val outNames = Option(namesRow.getSeq[String](0)).getOrElse(Seq.empty)
+      val rel = namesRow.getString(1)
+      val pairs = outNames.map { n =>
+        val c = df.select(Archive.zipFocus(resultCol, lit(n))).collect()
+          .head.getAs[Array[Byte]](0)
+        n -> new String(c, "UTF-8")
+      }
+      (pairs, rel)
+    }
+    val (f1, f2, f3) = (contents(0), contents(1), contents(2))
+
+    // unordered: touch appends an empty entry; copy appends the source's
+    // content; move renames in place of an append; remove drops
+    assert(run("touch", "", "modified", "", "") ===
+      (Seq("first" -> f1, "middle" -> f2, "last" -> f3, "modified" -> ""),
+        "success"))
+    assert(run("copy", "first", "modified", "", "") ===
+      (Seq("first" -> f1, "middle" -> f2, "last" -> f3, "modified" -> f1),
+        "success"))
+    assert(run("move", "first", "modified", "", "")._1.toMap ===
+      Map("middle" -> f2, "last" -> f3, "modified" -> f1))
+    assert(run("remove", "first", "", "", "") ===
+      (Seq("middle" -> f2, "last" -> f3), "success"))
+
+    // ordered (before middle): the new entry lands before the anchor
+    assert(run("touch", "", "modified", "middle", "") ===
+      (Seq("first" -> f1, "modified" -> "", "middle" -> f2, "last" -> f3),
+        "success"))
+    assert(run("copy", "first", "modified", "middle", "") ===
+      (Seq("first" -> f1, "modified" -> f1, "middle" -> f2, "last" -> f3),
+        "success"))
+    assert(run("move", "first", "modified", "middle", "") ===
+      (Seq("modified" -> f1, "middle" -> f2, "last" -> f3), "success"))
+
+    // ordered (after middle): the new entry lands after the anchor
+    assert(run("touch", "", "modified", "", "middle") ===
+      (Seq("first" -> f1, "middle" -> f2, "modified" -> "", "last" -> f3),
+        "success"))
+    assert(run("copy", "first", "modified", "", "middle") ===
+      (Seq("first" -> f1, "middle" -> f2, "modified" -> f1, "last" -> f3),
+        "success"))
+    assert(run("move", "first", "modified", "", "middle") ===
+      (Seq("middle" -> f2, "modified" -> f1, "last" -> f3), "success"))
+  }
+
   test("ManipulateArchive edge routing: existing destination fails, missing " +
        "anchor appends, touch collision fails (ManipulateArchive.cpp:96-190)") {
     val df = spark.createDataFrame(Seq(Tuple1("x"))).toDF("x")
