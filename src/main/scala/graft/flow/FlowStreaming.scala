@@ -334,10 +334,29 @@ object FlowStreaming {
           .option("port", prop("Listening Port", prop("Port", "0")))
           .option("maxQueueSize",
             prop("Max Size of Message Queue", "10000"))
+          .option("headersAttrRegex",
+            prop("HTTP Headers to receive as Attributes (Regex)", ""))
           .load()
-        FlowFrame.wrap(listened.withColumn("net.seq",
-          col("seq").cast("string")), "message", Seq("sender", "net.seq"))
-          .withColumn(FlowFrame.Relationship, lit("success"))
+        // ListenHTTP: captured request headers become attributes
+        // (HeadersAsAttributesRegex, ListenHTTPTests.cpp:354-394). wrap()
+        // projects away extra columns, so the http path builds the
+        // FlowFrame shape directly with the header map merged in.
+        val withHeaders =
+          if (protocol != "http")
+            FlowFrame.wrap(listened.withColumn("net.seq",
+              col("seq").cast("string")), "message", Seq("sender", "net.seq"))
+          else listened.select(
+            expr("uuid()").as(FlowFrame.Uuid),
+            map_concat(
+              map(lit("sender"), col("sender").cast("string"),
+                lit("net.seq"), col("seq").cast("string")),
+              coalesce(col("headers"),
+                map_from_arrays(array().cast("array<string>"),
+                  array().cast("array<string>"))))
+              .as(FlowFrame.Attributes),
+            col("message").as(FlowFrame.Content),
+            current_timestamp().as(FlowFrame.EntryDate))
+        withHeaders.withColumn(FlowFrame.Relationship, lit("success"))
 
       case "GenerateFlowFile" =>
         val rate = spark.readStream.format("rate")

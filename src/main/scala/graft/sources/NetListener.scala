@@ -50,14 +50,16 @@ class NetListenerSource extends TableProvider {
       Option(properties.get("port")).map(_.toInt).getOrElse(0),
       Option(properties.get("delimiter")).getOrElse("\n"),
       Option(properties.get("basePath")).getOrElse("/contentListener"),
-      Option(properties.get("maxQueueSize")).map(_.toInt).getOrElse(10000))
+      Option(properties.get("maxQueueSize")).map(_.toInt).getOrElse(10000),
+      Option(properties.get("headersAttrRegex")).filter(_.nonEmpty))
 }
 
 object NetListenerSource {
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("sender", StringType, nullable = false),
-    StructField("message", StringType, nullable = false)))
+    StructField("message", StringType, nullable = false),
+    StructField("headers", MapType(StringType, StringType), nullable = true)))
 
   /** One listener per source name (the reference: one server per
     * processor instance); lets tests find the ephemeral bound port. */
@@ -72,9 +74,11 @@ object NetListenerSource {
   private[sources] def listenerFor(name: String, protocol: String, port: Int,
                                    delimiter: String,
                                    basePath: String = "/contentListener",
-                                   maxQueueSize: Int = 10000): Listener =
+                                   maxQueueSize: Int = 10000,
+                                   headersAttrRegex: Option[String] = None): Listener =
     listeners.computeIfAbsent(name, _ => {
-      val l = new Listener(protocol, port, delimiter, basePath, maxQueueSize)
+      val l = new Listener(protocol, port, delimiter, basePath, maxQueueSize,
+        headersAttrRegex)
       l.start()
       l
     })
@@ -92,8 +96,9 @@ object NetListenerSource {
   private[sources] final class Listener(protocol: String, requestedPort: Int,
                                         delimiter: String,
                                         basePath: String = "/contentListener",
-                                        maxQueueSize: Int = 10000) {
-    private val log = new ArrayBuffer[(Long, String, String)]()
+                                        maxQueueSize: Int = 10000,
+                                        headersAttrRegex: Option[String] = None) {
+    private val log = new ArrayBuffer[(Long, String, String, Map[String, String])]()
     private val nextSeq = new AtomicLong(0L)
     @volatile private var droppedCount = 0L
     @volatile private var running = true
@@ -107,14 +112,17 @@ object NetListenerSource {
       case _      => serverSocket.getLocalPort
     }
 
-    private def append(sender: String, msg: String): Unit = log.synchronized {
-      if (log.length >= maxQueueSize) droppedCount += 1  // full queue drops, as the reference
-      else log += ((nextSeq.getAndIncrement(), sender, msg))
-    }
+    private def append(sender: String, msg: String,
+                       headers: Map[String, String] = Map.empty): Unit =
+      log.synchronized {
+        if (log.length >= maxQueueSize) droppedCount += 1  // full queue drops, as the reference
+        else log += ((nextSeq.getAndIncrement(), sender, msg, headers))
+      }
 
     /** Entries are seq-ordered, so the range is a contiguous slice; with
       * commit-time pruning the scan is bounded by maxQueueSize. */
-    def range(fromExclusive: Long, untilInclusive: Long): Seq[(Long, String, String)] =
+    def range(fromExclusive: Long,
+              untilInclusive: Long): Seq[(Long, String, String, Map[String, String])] =
       log.synchronized {
         val from = log.indexWhere(_._1 > fromExclusive)
         if (from < 0) Seq.empty
@@ -136,14 +144,43 @@ object NetListenerSource {
       case "http" =>
         httpServer = com.sun.net.httpserver.HttpServer.create(
           new InetSocketAddress(requestedPort), 0)
+        // Method semantics per the reference battery (ListenHTTPTests.cpp:
+        // 277-333): POST commits the body as a FlowFile; GET commits an
+        // EMPTY FlowFile (a liveness probe that still flows); HEAD answers
+        // 200 without committing; PUT/DELETE answer 405. Headers matching
+        // HeadersAsAttributesRegex (whole-name, case-insensitive via
+        // lowercased keys — the JDK server title-cases names) ride with
+        // the message (ListenHTTPTests.cpp:354-394).
         httpServer.createContext(basePath, exchange => {
           val method = exchange.getRequestMethod
-          if (method == "POST" || method == "PUT") {
-            val body = new String(exchange.getRequestBody.readAllBytes(),
-              StandardCharsets.UTF_8)
-            append(exchange.getRemoteAddress.getAddress.getHostAddress, body)
-            exchange.sendResponseHeaders(200, -1)
-          } else exchange.sendResponseHeaders(405, -1)
+          def capturedHeaders: Map[String, String] = headersAttrRegex match {
+            case Some(re) =>
+              import scala.jdk.CollectionConverters._
+              val p = java.util.regex.Pattern.compile(re)
+              exchange.getRequestHeaders.entrySet().asScala.flatMap { e =>
+                val k = e.getKey.toLowerCase(java.util.Locale.ROOT)
+                if (p.matcher(k).matches())
+                  Some(k -> e.getValue.asScala.mkString(","))
+                else None
+              }.toMap
+            case None => Map.empty
+          }
+          method match {
+            case "POST" =>
+              val body = new String(exchange.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              append(exchange.getRemoteAddress.getAddress.getHostAddress,
+                body, capturedHeaders)
+              exchange.sendResponseHeaders(200, -1)
+            case "GET" =>
+              append(exchange.getRemoteAddress.getAddress.getHostAddress,
+                "", capturedHeaders)
+              exchange.sendResponseHeaders(200, -1)
+            case "HEAD" =>
+              exchange.sendResponseHeaders(200, -1)
+            case _ =>
+              exchange.sendResponseHeaders(405, -1)
+          }
           exchange.close()
         })
         httpServer.start()
@@ -210,7 +247,7 @@ object NetListenerSource {
 
 private class NetListenerTable(name: String, protocol: String, port: Int,
                                delimiter: String, basePath: String,
-                               maxQueueSize: Int)
+                               maxQueueSize: Int, headersAttrRegex: Option[String])
   extends Table with SupportsRead {
   override def name(): String = s"listen:$protocol:$name"
   override def schema(): StructType = NetListenerSource.schema
@@ -220,7 +257,8 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
     () => new Scan {
       override def readSchema(): StructType = NetListenerSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new NetListenerStream(name, protocol, port, delimiter, basePath, maxQueueSize)
+        new NetListenerStream(name, protocol, port, delimiter, basePath,
+          maxQueueSize, headersAttrRegex)
     }
 }
 
@@ -230,10 +268,12 @@ private case class SeqOffset(json: String) extends Offset {
 
 private class NetListenerStream(name: String, protocol: String, port: Int,
                                 delimiter: String, basePath: String,
-                                maxQueueSize: Int)
+                                maxQueueSize: Int,
+                                headersAttrRegex: Option[String])
   extends MicroBatchStream {
   private val listener =
-    NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath, maxQueueSize)
+    NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath,
+      maxQueueSize, headersAttrRegex)
 
   override def initialOffset(): Offset = SeqOffset("-1")
   override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)
@@ -259,15 +299,22 @@ private class NetListenerStream(name: String, protocol: String, port: Int,
   override def deserializeOffset(json: String): Offset = SeqOffset(json)
 }
 
-private case class NetBatchPartition(rows: Seq[(Long, String, String)])
+private case class NetBatchPartition(
+    rows: Seq[(Long, String, String, Map[String, String])])
   extends InputPartition
 
 private class NetBatchReader(p: NetBatchPartition) extends PartitionReader[InternalRow] {
   private var idx = -1
   override def next(): Boolean = { idx += 1; idx < p.rows.length }
   override def get(): InternalRow = {
-    val (seq, sender, msg) = p.rows(idx)
-    InternalRow(seq, UTF8String.fromString(sender), UTF8String.fromString(msg))
+    val (seq, sender, msg, headers) = p.rows(idx)
+    val ks = headers.keys.toArray.map(k => UTF8String.fromString(k): Any)
+    val vs = headers.keys.toArray
+      .map(k => UTF8String.fromString(headers(k)): Any)
+    InternalRow(seq, UTF8String.fromString(sender), UTF8String.fromString(msg),
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs)))
   }
   override def close(): Unit = ()
 }

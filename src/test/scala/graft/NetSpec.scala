@@ -59,8 +59,9 @@ class NetSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ListenHTTP: POST bodies become messages, GET rejected " +
-       "(ListenHTTP.h:66-85)") {
+  test("ListenHTTP method battery: POST commits the body, GET commits an " +
+       "empty FlowFile, HEAD answers without committing, PUT/DELETE are " +
+       "405 (ListenHTTPTests.cpp:277-333)") {
     val q = spark.readStream.format("graft.sources.NetListenerSource")
       .option("name", "h1").option("protocol", "http")
       .option("port", "0").option("basePath", "/contentListener")
@@ -79,13 +80,51 @@ class NetSpec extends SparkSpec {
         client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
           .statusCode()
       }
-      assert(send("POST", "payload one") === 200)
-      assert(send("PUT", "payload two") === 200)
-      assert(send("GET", "") === 405)
+      assert(send("POST", "Test payload") === 200)
+      assert(send("PUT", "put payload") === 405)
+      assert(send("DELETE", "") === 405)
+      assert(send("HEAD", "") === 200)
+      assert(send("GET", "") === 200)
       eventually(40, 250) {
         q.processAllAvailable()
+        // exactly two committed requests: the POST body and the GET's
+        // empty message — PUT/DELETE/HEAD commit nothing
         spark.table("http_in").collect()
-          .map(_.getAs[String]("message")).toSet == Set("payload one", "payload two")
+          .map(_.getAs[String]("message")).sorted.toSeq ==
+          Seq("", "Test payload")
+      }
+    } finally q.stop()
+  }
+
+  test("ListenHTTP headers-as-attributes regex captures matching request " +
+       "headers (ListenHTTPTests.cpp:354-394)") {
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "h2").option("protocol", "http")
+      .option("port", "0").option("basePath", "/contentListener")
+      .option("headersAttrRegex", "f.*")
+      .load()
+      .writeStream.format("memory").queryName("http_hdr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("h2")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/contentListener"))
+        .header("foo", "1").header("bar", "2")
+        .method("POST",
+          java.net.http.HttpRequest.BodyPublishers.ofString("Test payload"))
+        .build()
+      assert(client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode() === 200)
+      eventually(40, 250) {
+        q.processAllAvailable()
+        val rows = spark.table("http_hdr").collect()
+        rows.nonEmpty && {
+          val h = rows.head.getMap[String, String](
+            rows.head.fieldIndex("headers")).toMap
+          h.get("foo").contains("1") && !h.contains("bar")
+        }
       }
     } finally q.stop()
   }
