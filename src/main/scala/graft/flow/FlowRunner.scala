@@ -979,6 +979,14 @@ object Processors {
           .drop("__http")
 
       // ------------------------------------------------------ sql sources
+      case "RunLlamaCppInference" =>
+        // prompt is EL over the input's attributes (context.getProperty
+        // with the flow file); generation stays at the native-lib stub
+        Exec.runLlamaInference(in, content,
+          promptCol = ElCompiler.template(prop("Prompt", "")),
+          systemPrompt =
+            props.getOrElse("System Prompt", Exec.LlamaDefaultSystemPrompt))
+
       case "PutSQL" =>
         // PutSQL (PutSQL.h:34-44; PutSQLTests.cpp:36-136): execute the SQL
         // Statement property (EL over the input's attributes) or the input
@@ -1345,7 +1353,7 @@ object Processors {
           "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, PutSQL, " +
           "PutSplunkHTTP, PostElasticsearch, PushGrafanaLokiREST, " +
           "PutTCP, PutUDP, PutFile, GetCouchbaseKey, PutCouchbaseKey, " +
-          "PutOPC)")
+          "PutOPC, RunLlamaCppInference)")
     }
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
 import org.apache.spark.sql.functions._
+import graft.core.FlowFrame
 
 /**
  * Process/script/HTTP execution operators — SURVEY §2.1/§2.2/§2.4.
@@ -145,5 +146,77 @@ object Exec {
       // real impl: load the model HERE once per partition
       rows.map(stub)
     }
+  }
+
+  /** The reference's built-in system prompt
+    * (RunLlamaCppInference.h SystemPrompt default). */
+  val LlamaDefaultSystemPrompt: String =
+    "You are a helpful assistant. You are given a question with some " +
+      "possible input data otherwise called flow file content. You are " +
+      "expected to generate a response based on the question and the " +
+      "input data."
+
+  final case class LlamaMessage(role: String, content: String)
+
+  /**
+   * Chat-message assembly (RunLlamaCppInference.cpp:81-109) — the REAL,
+   * fully-testable half of the processor; only token generation sits
+   * behind the native-lib stub. Non-empty content prefixes the user
+   * message with "Input data (or flow file content):\n<content>\n\n"; the
+   * prompt follows; an empty system prompt drops the system message; an
+   * empty user message is the failure route (None).
+   */
+  def llamaMessages(content: String, prompt: String,
+                    systemPrompt: String = LlamaDefaultSystemPrompt)
+      : Option[Seq[LlamaMessage]] = {
+    val user =
+      (if (content.nonEmpty) s"Input data (or flow file content):\n$content\n\n"
+       else "") + prompt
+    if (user.isEmpty) None
+    else Some(
+      (if (systemPrompt.nonEmpty) Seq(LlamaMessage("system", systemPrompt))
+       else Seq.empty) :+ LlamaMessage("user", user))
+  }
+
+  /**
+   * RunLlamaCppInference over a FlowFrame: assembles the user message in
+   * codegen'd column space, routes empty prompt+content to `failure`
+   * untouched (RunLlamaCppInference.cpp:98-103), and stamps the
+   * reference's output metrics — `llamacpp.time.to.first.token` as
+   * "<ms> ms" and `llamacpp.tokens.per.second` 2-decimal formatted
+   * (RunLlamaCppInferenceTests.cpp:340-369). `generate` is the stub at
+   * the native boundary: (messagesJson → (generated, ttftMs, tokensPerSec)),
+   * invoked once per row inside a partition-mapped UDF exactly where a
+   * llama.cpp binding would run.
+   */
+  def runLlamaInference(df: DataFrame, contentCol: Column, promptCol: Column,
+                        systemPrompt: String = LlamaDefaultSystemPrompt,
+                        generate: String => (String, Long, Double) =
+                          m => (s"echo:${m.length}", 100L, 2.0)): DataFrame = {
+    val user = concat(
+      when(length(coalesce(contentCol.cast("string"), lit(""))) > 0,
+        concat(lit("Input data (or flow file content):\n"),
+          contentCol.cast("string"), lit("\n\n"))).otherwise(""),
+      coalesce(promptCol, lit("")))
+    val messagesJson = to_json(struct(
+      lit(systemPrompt).as("system"), user.as("user")))
+    val gen = udf { (m: String) =>
+      val (text, ttft, tps) = generate(m)
+      (text, s"$ttft ms", f"$tps%.2f")
+    }.asNondeterministic()
+    val out = gen(messagesJson)
+    df.withColumn("__llm", when(length(user) > 0, out))
+      .withColumn(FlowFrame.Relationship,
+        when(length(user) === 0, "failure").otherwise("success"))
+      .withColumn(FlowFrame.Attributes,
+        when(col(FlowFrame.Relationship) === "failure",
+          col(FlowFrame.Attributes))
+          .otherwise(map_concat(col(FlowFrame.Attributes),
+            map(lit("llamacpp.time.to.first.token"), col("__llm._2"),
+              lit("llamacpp.tokens.per.second"), col("__llm._3")))))
+      .withColumn(FlowFrame.Content,
+        when(col(FlowFrame.Relationship) === "failure",
+          col(FlowFrame.Content)).otherwise(col("__llm._1")))
+      .drop("__llm")
   }
 }

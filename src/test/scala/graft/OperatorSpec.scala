@@ -1140,6 +1140,48 @@ class OperatorSpec extends SparkSpec {
       ignoreHiddenFiles = false, nowMs = now)).contains(".hidden_file.txt"))
   }
 
+  test("RunLlamaCppInference battery: message assembly, optional system " +
+       "prompt, empty-input failure, output metrics " +
+       "(RunLlamaCppInferenceTests.cpp:88-369)") {
+    val q = "Question: What is the answer to life, the universe and everything?"
+    // default parameters: system + user, input data prefixed
+    assert(Exec.llamaMessages("42", q) === Some(Seq(
+      Exec.LlamaMessage("system", Exec.LlamaDefaultSystemPrompt),
+      Exec.LlamaMessage("user",
+        s"Input data (or flow file content):\n42\n\n$q"))))
+    // empty flow file: no input-data prefix (cpp:191)
+    assert(Exec.llamaMessages("", q) === Some(Seq(
+      Exec.LlamaMessage("system", Exec.LlamaDefaultSystemPrompt),
+      Exec.LlamaMessage("user", q))))
+    // system prompt optional (cpp:316)
+    assert(Exec.llamaMessages("42", q, systemPrompt = "") === Some(Seq(
+      Exec.LlamaMessage("user",
+        s"Input data (or flow file content):\n42\n\n$q"))))
+    // both empty → failure (cpp:298)
+    assert(Exec.llamaMessages("", "", "") === None)
+
+    // FlowFrame surface: success rows carry the metric attributes in the
+    // reference's exact rendering; the empty row routes failure untouched
+    val df = flowFrame(Seq(
+      ("42", Map("keep" -> "yes")),
+      ("", Map.empty[String, String])))
+    val out = Exec.runLlamaInference(df, col(FlowFrame.Content),
+      when(col(FlowFrame.Content).cast("string") === "42", q).otherwise(""))
+      .select(col(FlowFrame.Content).cast("string"),
+        col(FlowFrame.Relationship), col(FlowFrame.Attributes))
+      .collect()
+    val okRow = out.find(_.getString(1) == "success").get
+    val okAttrs = okRow.getMap[String, String](2).toMap
+    assert(okAttrs("llamacpp.time.to.first.token") === "100 ms")
+    assert(okAttrs("llamacpp.tokens.per.second") === "2.00")
+    assert(okRow.getString(0).startsWith("echo:"))
+    assert(okAttrs("keep") === "yes")
+    val failRow = out.find(_.getString(1) == "failure").get
+    assert(failRow.getString(0) === "")
+    assert(!failRow.getMap[String, String](2).toMap
+      .contains("llamacpp.tokens.per.second"))
+  }
+
   test("ManipulateArchive battery: touch/copy/move/remove with and without " +
        "before/after ordering anchors, archive order and contents verified " +
        "(ManipulateArchiveTests.cpp:119-340)") {
