@@ -1098,30 +1098,48 @@ object Processors {
           prop("Move Conflict Strategy", "Replace File"))
 
       case "PutSplunkHTTP" =>
-        // HEC event POST (PutSplunkHTTP.cpp:40-60): metadata rides in the
-        // JSON-event form; token in the Authorization header
+        // Raw HEC POST, reference-exact (PutSplunkHTTP.cpp getEndpoint):
+        // content as-is to /services/collector/raw, metadata as URL-escaped
+        // query parameters (sourcetype, source, host, index, in that
+        // order), token in the Authorization header, per-row Content-Type
+        // from the property else the mime.type attribute. Success requires
+        // status 200 AND response JSON code==0 AND a present ackId
+        // (enrichFlowFileWithAttributes); the splunk.* attributes mirror
+        // SplunkAttributes.h, with code/ackId stamped only when the
+        // response carries them (PutSplunkHTTPTests.cpp:58-112).
         val scheme = prop("Scheme", "https")
+        val queryParams = Seq(
+          "sourcetype" -> props.get("Source Type"),
+          "source" -> props.get("Source"),
+          "host" -> props.get("Host"),
+          "index" -> props.get("Index")).collect { case (k, Some(v)) =>
+          k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
         val url = s"$scheme://${req("Hostname")}:${prop("Port", "8088")}" +
-          "/services/collector/event"
-        val payload = Sinks.splunkHecEvent(content.cast("string"),
-          sourceType = props.get("Source Type"),
-          source = props.get("Source"),
-          host = props.get("Host"),
-          index = props.get("Index"))
+          "/services/collector/raw" +
+          (if (queryParams.isEmpty) "" else queryParams.mkString("?", "&", ""))
         val headers = Map(
-          "Authorization" -> s"Splunk ${prop("Token", "")}",
-          "Content-Type" -> "application/json") ++
+          "Authorization" -> s"Splunk ${prop("Token", "")}") ++
           props.get("Splunk Request Channel")
             .map("X-Splunk-Request-Channel" -> _)
-        val call = Exec.httpRequestUdf("POST", headers = headers)(
-          lit(url), payload)
+        val contentType = props.get("Content Type").map(lit(_))
+          .getOrElse(FlowFrame.attr("mime.type"))
+        val call = Exec.httpRequestTypedUdf("POST", headers = headers)(
+          lit(url), content.cast("string"), contentType)
         val sent = in.withColumn("__http", call)
-        FlowFrame.withAttrs(
+        val respCode = get_json_object(col("__http._2"), "$.code")
+        val ackId = get_json_object(col("__http._2"), "$.ackId")
+        val ok = col("__http._1") === 200 && respCode === "0" &&
+          ackId.isNotNull
+        FlowFrame.withAttrsMap(
           sent.withColumn(FlowFrame.Relationship,
-            when(col("__http._1").between(200, 299), "success")
-              .otherwise("failure")),
-          Seq("splunk.status.code" -> col("__http._1").cast("string"),
-            "splunk.response.body" -> col("__http._2")))
+            when(ok, "success").otherwise("failure")),
+          map_filter(map(
+            lit("splunk.status.code"), col("__http._1").cast("string"),
+            lit("splunk.responded.at"),
+              unix_millis(current_timestamp()).cast("string"),
+            lit("splunk.response.code"), respCode,
+            lit("splunk.acknowledgement.id"), ackId),
+            (_, v) => v.isNotNull))
           .drop("__http")
 
       case "PostElasticsearch" =>

@@ -129,6 +129,30 @@ object Exec {
       } catch { case _: Exception => (-1, "") }
     }.asNondeterministic()
 
+  /** [[httpRequestUdf]] with a per-row Content-Type third argument (null =
+    * no header) — PutSplunkHTTP resolves the type per FlowFile from the
+    * Content Type property else the mime.type attribute
+    * (PutSplunkHTTP.cpp getContentType). */
+  def httpRequestTypedUdf(method: String, timeoutMs: Long = 5000,
+                          headers: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (url: String, body: String, contentType: String) =>
+      try {
+        val client = Exec.sharedHttpClient
+        var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+        headers.foreach { case (k, v) => b = b.header(k, v) }
+        if (contentType != null && contentType.nonEmpty)
+          b = b.header("Content-Type", contentType)
+        val req = b.method(method.toUpperCase,
+          java.net.http.HttpRequest.BodyPublishers
+            .ofString(if (body == null) "" else body)).build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      } catch { case _: Exception => (-1, "") }
+    }.asNondeterministic()
+
   @transient private lazy val sharedHttpClient: java.net.http.HttpClient =
     java.net.http.HttpClient.newHttpClient()
 

@@ -866,29 +866,35 @@ class FlowSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("PutSplunkHTTP flow POSTs HEC events with token header and metadata " +
-       "(PutSplunkHTTP.cpp:40-60)") {
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  test("PutSplunkHTTP flow: raw HEC POST with metadata query parameters, " +
+       "splunk.* response attributes, invalid-token failure " +
+       "(PutSplunkHTTPTests.cpp:34-112; PutSplunkHTTP.cpp getEndpoint)") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/services/collector/event", ex => {
+    server.createContext("/services/collector/raw", ex => {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      seen.add((ex.getRequestHeaders.getFirst("Authorization"), body))
-      val resp = """{"text":"Success","code":0}""".getBytes
-      ex.sendResponseHeaders(200, resp.length)
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      seen.add((auth, Option(ex.getRequestURI.getQuery).getOrElse(""), body))
+      val resp =
+        if (auth == "Splunk tok123")
+          """{"text":"Success","code":0,"ackId":42}""".getBytes
+        else """{"text":"Invalid token","code":4}""".getBytes
+      ex.sendResponseHeaders(if (auth == "Splunk tok123") 200 else 403,
+        resp.length)
       ex.getResponseBody.write(resp)
       ex.close()
     })
     server.start()
     try {
       val port = server.getAddress.getPort
-      val yml =
+      def yml(token: String) =
         s"""MiNiFi Config Version: 3
            |Processors:
            |- name: gen
            |  id: g
            |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
-           |  Properties: {Batch Size: '2', Custom Text: 'log line'}
+           |  Properties: {Batch Size: '2', Custom Text: 'foobar'}
            |- name: splunk
            |  id: s
            |  class: org.apache.nifi.minifi.processors.PutSplunkHTTP
@@ -896,23 +902,51 @@ class FlowSpec extends SparkSpec {
            |    Scheme: http
            |    Hostname: 127.0.0.1
            |    Port: '$port'
-           |    Token: tok123
-           |    Source Type: app_log
+           |    Token: $token
+           |    Source: foo
+           |    Source Type: bar
+           |    Host: baz
+           |    Index: qux
            |Connections:
            |- {id: c1, source id: g, source relationship names: [success], destination id: s}
            |""".stripMargin
-      val result = FlowRunner.run(spark, FlowConfig.parse(yml))
-      val rows = result.output("splunk")
+
+      // happy path: 200 + code 0 + ackId → success with the full attr set
+      val ok = FlowRunner.run(spark, FlowConfig.parse(yml("tok123")))
+        .output("splunk")
         .select(col("relationship"),
-          element_at(col("attributes"), "splunk.status.code"))
-        .collect().map(r => (r.getString(0), r.getString(1)))
-      assert(rows.toSeq === Seq.fill(2)(("success", "200")))
+          element_at(col("attributes"), "splunk.status.code"),
+          element_at(col("attributes"), "splunk.response.code"),
+          element_at(col("attributes"), "splunk.acknowledgement.id"),
+          element_at(col("attributes"), "splunk.responded.at"))
+        .collect()
+      assert(ok.map(_.getString(0)).toSeq === Seq("success", "success"))
+      assert(ok.map(_.getString(1)).toSet === Set("200"))
+      assert(ok.map(_.getString(2)).toSet === Set("0"))
+      assert(ok.map(_.getString(3)).toSet === Set("42"))
+      assert(ok.forall(_.getString(4).toLong > 0))
       assert(seen.size === 2)
-      seen.forEach { case (auth, body) =>
+      seen.forEach { case (auth, query, body) =>
         assert(auth === "Splunk tok123")
-        assert(body ===
-          """{"sourcetype":"app_log","event":{"raw":"log line"}}""")
+        assert(body === "foobar") // raw content, not a JSON event wrapper
+        assert(query.split("&").toSet ===
+          Set("sourcetype=bar", "source=foo", "host=baz", "index=qux"))
       }
+      seen.clear()
+
+      // invalid token: 403, code 4, no ackId → failure, content untouched
+      val bad = FlowRunner.run(spark, FlowConfig.parse(yml("wrong")))
+        .output("splunk")
+        .select(col("relationship"), col("content").cast("string"),
+          element_at(col("attributes"), "splunk.status.code"),
+          element_at(col("attributes"), "splunk.response.code"),
+          element_at(col("attributes"), "splunk.acknowledgement.id"))
+        .collect()
+      assert(bad.map(_.getString(0)).toSeq === Seq("failure", "failure"))
+      assert(bad.map(_.getString(1)).toSet === Set("foobar"))
+      assert(bad.map(_.getString(2)).toSet === Set("403"))
+      assert(bad.map(_.getString(3)).toSet === Set("4"))
+      assert(bad.forall(_.isNullAt(4)))
     } finally server.stop(0)
   }
 
