@@ -1142,6 +1142,66 @@ object Processors {
             (_, v) => v.isNotNull))
           .drop("__http")
 
+      case "QuerySplunkIndexingStatus" =>
+        // Ack-status poll (QuerySplunkIndexingStatus.cpp:49-160): the
+        // batch's pending splunk.acknowledgement.id set — metadata scale,
+        // the pending-ack window — is queried in Maximum Query Size chunks
+        // with ONE driver-side POST per chunk (the reference makes one
+        // call per trigger). Routing per row: duplicate ids in the batch →
+        // failure (all occurrences, QuerySplunkIndexingStatusTests.cpp
+        // "Multiple inputs with same id"); ack true → acknowledged; ack
+        // false older than Maximum Waiting Time (or with no
+        // splunk.responded.at) → unacknowledged; ack false and young →
+        // undetermined (the retry edge); id missing from the response, no
+        // id attribute, or a failed call → failure.
+        val scheme = prop("Scheme", "https")
+        val url = s"$scheme://${req("Hostname")}:${prop("Port", "8088")}" +
+          "/services/collector/ack"
+        val maxAgeMs = Units.parseDurationMs(
+          prop("Maximum Waiting Time", "1 hour"))
+        val maxQuery = prop("Maximum Query Size", "1000").toInt
+        val idCol = FlowFrame.attr("splunk.acknowledgement.id")
+        val counts = in.groupBy(idCol.as("__id"))
+          .agg(count(lit(1)).as("__n")).collect()
+        val dups = counts.filter(r => !r.isNullAt(0) && r.getLong(1) > 1)
+          .map(_.getString(0)).toSeq
+        val unique = counts.filter(r => !r.isNullAt(0) && r.getLong(1) == 1)
+          .map(_.getString(0)).toSeq
+        val headers = Map(
+          "Authorization" -> s"Splunk ${prop("Token", "")}",
+          "Content-Type" -> "application/json") ++
+          props.get("Splunk Request Channel")
+            .map("X-Splunk-Request-Channel" -> _)
+        val statuses = collection.mutable.Map[String, Boolean]()
+        unique.grouped(maxQuery).foreach { chunk =>
+          val body = chunk.mkString("{\"acks\":[", ",", "]}")
+          val (status, respBody) =
+            Exec.httpRequestOnce(url, "POST", body, headers)
+          if (status == 200) {
+            try {
+              val acks = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(respBody).path("acks")
+              chunk.foreach { id =>
+                val n = acks.path(id)
+                if (n.isBoolean) statuses(id) = n.asBoolean
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        def inSet(ids: Seq[String]): Column =
+          if (ids.isEmpty) lit(false) else idCol.isin(ids: _*)
+        val ackedTrue = statuses.filter(_._2).keys.toSeq
+        val ackedFalse = statuses.filterNot(_._2).keys.toSeq
+        val respondedAt = FlowFrame.attr("splunk.responded.at").cast("long")
+        val timedOut = respondedAt.isNull ||
+          unix_millis(current_timestamp()) > respondedAt + maxAgeMs
+        in.withColumn(FlowFrame.Relationship,
+          when(idCol.isNull || inSet(dups), "failure")
+            .when(inSet(ackedTrue), "acknowledged")
+            .when(inSet(ackedFalse) && timedOut, "unacknowledged")
+            .when(inSet(ackedFalse), "undetermined")
+            .otherwise("failure"))
+
       case "PostElasticsearch" =>
         // per-row single-action _bulk POST; the payload contract is
         // Sinks.esBulkLines (batching to Max Batch Size is the
@@ -1369,7 +1429,8 @@ object Processors {
           "RetryFlowFile, Funnel, LogAttribute, SplitText, SplitContent, " +
           "SegmentContent, SplitJson, DefragmentText, MergeContent, " +
           "ConvertRecord, ExecuteProcess, InvokeHTTP, ExecuteSQL, PutSQL, " +
-          "PutSplunkHTTP, PostElasticsearch, PushGrafanaLokiREST, " +
+          "PutSplunkHTTP, QuerySplunkIndexingStatus, PostElasticsearch, " +
+          "PushGrafanaLokiREST, " +
           "PutTCP, PutUDP, PutFile, GetCouchbaseKey, PutCouchbaseKey, " +
           "PutOPC, RunLlamaCppInference)")
     }

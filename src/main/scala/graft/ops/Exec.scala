@@ -156,6 +156,23 @@ object Exec {
   @transient private lazy val sharedHttpClient: java.net.http.HttpClient =
     java.net.http.HttpClient.newHttpClient()
 
+  /** One driver-side HTTP request — for control-plane calls a processor
+    * makes once per trigger (e.g. the Splunk ack-status query), not per
+    * row. Returns (status, body); (-1, "") on connect failure. */
+  def httpRequestOnce(url: String, method: String, body: String,
+                      headers: Map[String, String],
+                      timeoutMs: Long = 5000): (Int, String) =
+    try {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+      headers.foreach { case (k, v) => b = b.header(k, v) }
+      val req = b.method(method.toUpperCase,
+        java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = sharedHttpClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch { case _: Exception => (-1, "") }
+
   /**
    * RunLlamaCppInference (extensions/llamacpp/processors/
    * RunLlamaCppInference.h:55): prompt a local model with content. The

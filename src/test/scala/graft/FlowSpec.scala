@@ -1551,6 +1551,65 @@ class FlowSpec extends SparkSpec {
     }
   }
 
+  test("QuerySplunkIndexingStatus battery: acknowledged/undetermined/" +
+       "unacknowledged/failure routing incl. duplicate ids and the max-age " +
+       "rule (QuerySplunkIndexingStatusTests.cpp:35-130)") {
+    import scala.jdk.CollectionConverters._
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/services/collector/ack", ex => {
+      ex.getRequestBody.readAllBytes()
+      val resp = """{"acks":{"1":true,"100":false,"300":false}}""".getBytes
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val now = System.currentTimeMillis()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uuid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("attributes",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+      def row(u: String, attrs: Map[String, String]) =
+        org.apache.spark.sql.Row(u, "foobar", attrs)
+      val in = spark.createDataFrame(Seq(
+        row("a", Map("splunk.acknowledgement.id" -> "1",
+          "splunk.responded.at" -> now.toString)),          // indexed
+        row("b", Map("splunk.acknowledgement.id" -> "100",
+          "splunk.responded.at" -> now.toString)),          // young, not indexed
+        row("c", Map("splunk.acknowledgement.id" -> "300",
+          "splunk.responded.at" -> (now - 2 * 3600 * 1000L).toString)), // old
+        row("d1", Map("splunk.acknowledgement.id" -> "200")), // duplicate id
+        row("d2", Map("splunk.acknowledgement.id" -> "200")),
+        row("e", Map.empty[String, String])                  // no ack id
+      ).asJava, schema)
+        .withColumn("entryDate", current_timestamp())
+        .withColumn("relationship", lit(null: String))
+      val out = graft.flow.Processors.apply(spark,
+        graft.flow.ProcessorDef("q", "ack",
+          "org.apache.nifi.minifi.processors.QuerySplunkIndexingStatus",
+          "TIMER_DRIVEN", "1 sec", Set.empty,
+          Map("Scheme" -> "http", "Hostname" -> "127.0.0.1",
+            "Port" -> port.toString, "Token" -> "tok",
+            "Splunk Request Channel" -> "chan")),
+        Some(in)).select("uuid", "relationship").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out === Map(
+        "a" -> "acknowledged",
+        "b" -> "undetermined",
+        "c" -> "unacknowledged",
+        "d1" -> "failure", "d2" -> "failure",
+        "e" -> "failure"))
+    } finally server.stop(0)
+  }
+
   test("PutSQL battery: statement from property or content with sql.args " +
        "binds, malformed statement routes the input to failure " +
        "(PutSQLTests.cpp:36-136)") {
