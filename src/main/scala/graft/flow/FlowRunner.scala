@@ -1203,26 +1203,72 @@ object Processors {
             .otherwise("failure"))
 
       case "PostElasticsearch" =>
-        // per-row single-action _bulk POST; the payload contract is
-        // Sinks.esBulkLines (batching to Max Batch Size is the
-        // foreachBatch writer's job at scale)
+        // per-row single-action _bulk POST (PostElasticsearchTests.cpp:
+        // 28-120; batching to Max Batch Size is the foreachBatch writer's
+        // job at scale). Action is attribute EL; upsert maps onto the
+        // _bulk update+doc_as_upsert form; credentials come from the
+        // ElasticsearchCredentialsControllerService (Basic user/password
+        // or 'ApiKey <key>'); the response's per-item result stamps
+        // elasticsearch.<action>._id/._index, an item-level error adds
+        // .error.type/.error.reason and routes to the ERROR relationship
+        // (transport/auth failures stay on `failure`).
         val url = req("Hosts").stripSuffix("/") + "/_bulk"
-        val action = prop("Action", "index")
+        val actionCol = ElCompiler.template(prop("Action", "index"))
         val indexEl = ElCompiler.template(req("Index"))
         val idEl = props.get("Identifier").map(ElCompiler.template(_))
           .getOrElse(col(FlowFrame.Uuid))
-        val payload = concat(Sinks.esBulkLines(lit(action), indexEl, idEl,
+        val auth: Option[(String, String)] =
+          props.get("Elasticsearch Credentials Provider Service").map { ref =>
+            val sv = service(ref)
+            sv.properties.get("API Key") match {
+              case Some(key) => "Authorization" -> s"ApiKey $key"
+              case None =>
+                val user = sv.properties.getOrElse("Username", "")
+                val pass = sv.properties.getOrElse("Password", "")
+                "Authorization" -> ("Basic " + java.util.Base64.getEncoder
+                  .encodeToString(s"$user:$pass".getBytes("UTF-8")))
+            }
+          }
+        val payload = concat(Sinks.esBulkLines(actionCol, indexEl, idEl,
           content.cast("string")), lit("\n"))
         val call = Exec.httpRequestUdf("POST",
-          headers = Map("Content-Type" -> "application/x-ndjson"))(
+          headers = Map("Content-Type" -> "application/x-ndjson") ++ auth)(
           lit(url), payload)
-        val sent = in.withColumn("__http", call)
-        FlowFrame.withAttrs(
-          sent.withColumn(FlowFrame.Relationship,
-            when(col("__http._1").between(200, 299), "success")
-              .otherwise("failure")),
-          Seq("elasticsearch.status.code" -> col("__http._1").cast("string")))
-          .drop("__http")
+        val sent = in.withColumn("__act",
+            coalesce(when(actionCol.isin("update", "upsert"), "update")
+              .otherwise(actionCol), lit("unknown")))
+          .withColumn("__http", call)
+        // one action per POST → the row's result is items[0]; the item
+        // object's single key is the resolved action name
+        val itemMap = from_json(
+          get_json_object(col("__http._2"), "$.items[0]"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))
+        val itemJson = element_at(itemMap, col("__act"))
+        val errType = get_json_object(itemJson, "$.error.type")
+        val errReason = get_json_object(itemJson, "$.error.reason")
+        val transportOk = col("__http._1").between(200, 299)
+        val withItem = sent.withColumn("__item", itemJson)
+        FlowFrame.withAttrsMap(
+          withItem.withColumn(FlowFrame.Relationship,
+            when(!transportOk || col("__item").isNull, "failure")
+              .when(get_json_object(col("__item"), "$.error").isNotNull,
+                "error")
+              .otherwise("success")),
+          map_filter(map(
+            lit("elasticsearch.status.code"),
+              col("__http._1").cast("string"),
+            concat(lit("elasticsearch."), col("__act"), lit("._id")),
+              get_json_object(col("__item"), "$._id"),
+            concat(lit("elasticsearch."), col("__act"), lit("._index")),
+              get_json_object(col("__item"), "$._index"),
+            concat(lit("elasticsearch."), col("__act"), lit(".error.type")),
+              errType,
+            concat(lit("elasticsearch."), col("__act"),
+              lit(".error.reason")), errReason),
+            (_, v) => v.isNotNull))
+          .drop("__http", "__item", "__act")
 
       case "PushGrafanaLokiREST" =>
         // whole-sweep aggregation into ONE push body (the reference

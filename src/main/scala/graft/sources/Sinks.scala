@@ -140,10 +140,20 @@ object Sinks {
    */
   def esBulkLines(action: Column, indexCol: Column, idCol: Column,
                   docJson: Column): Column = {
+    // upsert is the _bulk "update" action with doc_as_upsert
+    // (PostElasticsearch.cpp:100-111); update/upsert wrap the content in
+    // a {"doc": ...} envelope; delete has no payload line
+    val metaAction = when(action.isin("update", "upsert"), "update")
+      .otherwise(action)
     val meta = concat(
-      lit("{\""), action, lit("\":{\"_index\":\""), indexCol,
+      lit("{\""), metaAction, lit("\":{\"_index\":\""), indexCol,
       lit("\",\"_id\":\""), idCol, lit("\"}}"))
     when(action === "delete", meta)
+      .when(action === "update",
+        concat(meta, lit("\n{\"doc\":"), docJson, lit("}")))
+      .when(action === "upsert",
+        concat(meta, lit("\n{\"doc\":"), docJson,
+          lit(",\"doc_as_upsert\":true}")))
       .otherwise(concat(meta, lit("\n"), docJson))
   }
 

@@ -1551,6 +1551,105 @@ class FlowSpec extends SparkSpec {
     }
   }
 
+  test("PostElasticsearch battery: EL action, credentials service, " +
+       "per-item attrs, item-error routing, auth failure " +
+       "(PostElasticsearchTests.cpp:28-120)") {
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      bodies.add(body)
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      val okAuth = auth == "ApiKey goodkey" ||
+        auth == "Basic " + java.util.Base64.getEncoder
+          .encodeToString("user:pass".getBytes("UTF-8"))
+      val resp =
+        if (!okAuth) """{"error":"unauthorized"}""".getBytes
+        else if (body.contains("\"update\"") && body.contains("fail-me"))
+          ("""{"took":1,"errors":true,"items":[{"update":{"_index":""" +
+            """"test_index","_id":"doc1","status":409,"error":{"type":""" +
+            """"version_conflict","reason":"stale"}}}]}""").getBytes
+        else if (body.contains("\"update\""))
+          ("""{"took":1,"errors":false,"items":[{"update":{"_index":""" +
+            """"test_index","_id":"doc1","status":200}}]}""").getBytes
+        else
+          ("""{"took":1,"errors":false,"items":[{"index":{"_index":""" +
+            """"test_index","_id":"auto1","status":201}}]}""").getBytes
+      ex.sendResponseHeaders(if (okAuth) 200 else 401, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      def run(creds: Map[String, String], action: String,
+              content: String): org.apache.spark.sql.Row = {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("uuid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("attributes",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))))
+        val in = spark.createDataFrame(Seq(org.apache.spark.sql.Row(
+          "u1", content, Map("elastic_action" -> action))).asJava, schema)
+          .withColumn("entryDate", current_timestamp())
+          .withColumn("relationship", lit(null: String))
+        graft.flow.Processors.apply(spark,
+          graft.flow.ProcessorDef("es", "post",
+            "org.apache.nifi.minifi.processors.PostElasticsearch",
+            "TIMER_DRIVEN", "1 sec", Set.empty,
+            Map("Hosts" -> s"http://127.0.0.1:$port",
+              "Action" -> "${elastic_action}",
+              "Index" -> "test_index",
+              "Identifier" -> "doc1",
+              "Elasticsearch Credentials Provider Service" -> "creds")),
+          Some(in),
+          services = Seq(graft.flow.ServiceDef("creds", "creds",
+            "ElasticsearchCredentialsControllerService", creds)))
+          .select(col("relationship"), col("attributes")).collect().head
+      }
+      val basic = Map("Username" -> "user", "Password" -> "pass")
+      val apiKey = Map("API Key" -> "goodkey")
+
+      // index with valid basic auth → success + per-item attrs
+      val ok = run(basic, "index", """{"field1":"value1"}""")
+      assert(ok.getString(0) === "success")
+      val okAttrs = ok.getMap[String, String](1).toMap
+      assert(okAttrs("elasticsearch.index._id") === "auto1")
+      assert(okAttrs("elasticsearch.index._index") === "test_index")
+
+      // upsert with ApiKey → update action attrs; doc_as_upsert payload
+      val up = run(apiKey, "upsert", """{"field1":"value1"}""")
+      assert(up.getString(0) === "success")
+      val upAttrs = up.getMap[String, String](1).toMap
+      assert(upAttrs("elasticsearch.update._id") === "doc1")
+      assert(upAttrs("elasticsearch.update._index") === "test_index")
+      var sawUpsert = false
+      bodies.forEach(b =>
+        if (b.contains("\"doc_as_upsert\":true")) sawUpsert = true)
+      assert(sawUpsert)
+
+      // item-level error → ERROR relationship with error attrs
+      val err = run(apiKey, "upsert", """{"field1":"fail-me"}""")
+      assert(err.getString(0) === "error")
+      val errAttrs = err.getMap[String, String](1).toMap
+      assert(errAttrs("elasticsearch.update.error.type") === "version_conflict")
+      assert(errAttrs("elasticsearch.update.error.reason") === "stale")
+      assert(errAttrs("elasticsearch.update._id") === "doc1")
+
+      // invalid credentials → transport failure
+      val bad = run(Map("API Key" -> "wrong"), "create",
+        """{"field1":"value1"}""")
+      assert(bad.getString(0) === "failure")
+    } finally server.stop(0)
+  }
+
   test("QuerySplunkIndexingStatus battery: acknowledged/undetermined/" +
        "unacknowledged/failure routing incl. duplicate ids and the max-age " +
        "rule (QuerySplunkIndexingStatusTests.cpp:35-130)") {
