@@ -1277,8 +1277,16 @@ object Processors {
           .map(_.trim.split("=", 2)).collect { case Array(k, v) => (k, v) }
           .toSeq
         val tsNanos = (unix_millis(col(FlowFrame.EntryDate)) * 1000000L)
+        // Log Line Metadata Attributes: listed attributes that are PRESENT
+        // on the row ride as each value's metadata object
+        val metadataCol = props.get("Log Line Metadata Attributes")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+          .map(names => map_filter(col(FlowFrame.Attributes),
+            (k, _) => k.isin(names.map(lit(_)): _*)))
         val body = in.agg(Sinks.lokiPushBody(
-          Sinks.lokiStream(labels, tsNanos, content.cast("string")))
+          Sinks.lokiStream(labels, tsNanos, content.cast("string"),
+            metadataCol))
           .as("body"))
         val url = req("Url").stripSuffix("/") + "/loki/api/v1/push"
         val headers = Map("Content-Type" -> "application/json") ++

@@ -191,16 +191,29 @@ object Sinks {
    * label set; labels are a plan-time map.
    */
   def lokiStream(labels: Seq[(String, String)], tsNanosCol: Column,
-                 lineCol: Column): Column = {
+                 lineCol: Column,
+                 metadataCol: Option[Column] = None): Column = {
     val labelJson = labels.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    // Log Line Metadata Attributes (PushGrafanaLokiREST.cpp:101-116): when
+    // the attribute list is configured, every value triple carries the
+    // present-attribute object as a third element — {} when none matched
+    val valueStruct = metadataCol match {
+      case Some(m) => struct(tsNanosCol.as("t"), lineCol.as("l"),
+        to_json(coalesce(m, map_from_arrays(
+          array().cast("array<string>"),
+          array().cast("array<string>")))).as("m"))
+      case None => struct(tsNanosCol.as("t"), lineCol.as("l"), lit("").as("m"))
+    }
     concat(
       lit(s"""{"stream":{$labelJson},"values":["""),
       array_join(
         transform(
-          array_sort(collect_list(struct(tsNanosCol.as("t"), lineCol.as("l")))),
+          array_sort(collect_list(valueStruct)),
           e => concat(lit("[\""), e.getField("t").cast("string"), lit("\","),
             to_json(struct(e.getField("l").as("v"))).substr(lit(6),
               length(to_json(struct(e.getField("l").as("v")))) - 6),
+            if (metadataCol.isDefined)
+              concat(lit(","), e.getField("m")) else lit(""),
             lit("]"))),
         ","),
       lit("]}"))

@@ -87,6 +87,37 @@ class SinksSpec extends SparkSpec {
       """["1000000","first line"],["2000000","second \"line\""]]}]}""")
   }
 
+  test("Loki log-line metadata: configured attributes present on the row " +
+       "ride as each value's third element, {} when none matched " +
+       "(PushGrafanaLokiRESTTest.cpp:233-244; PushGrafanaLokiREST.cpp:101-116)") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType),
+      StructField("line", StringType),
+      StructField("attrs", MapType(StringType, StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000000L, "log line 1",
+        Map("label1" -> "value1", "label4" -> "value4")),
+      org.apache.spark.sql.Row(2000000L, "log line 2",
+        Map("label1" -> "value1", "label2" -> "value2")),
+      org.apache.spark.sql.Row(3000000L, "log line 3",
+        Map.empty[String, String])).asJava, schema)
+    val wanted = Seq("label1", "label2", "label3")
+    val metadata = map_filter(col("attrs"),
+      (k, _) => k.isin(wanted.map(lit(_)): _*))
+    val stream = df.agg(Sinks.lokiStream(Seq("job" -> "graft"),
+      col("ts"), col("line"), Some(metadata)).as("s"))
+    val body = stream.select(Sinks.lokiPushBody(col("s")))
+      .collect()(0).getString(0)
+    // label4 is not in the configured list; line 3 has no matches → {}
+    assert(body ===
+      """{"streams":[{"stream":{"job":"graft"},"values":[""" +
+      """["1000000","log line 1",{"label1":"value1"}],""" +
+      """["2000000","log line 2",{"label1":"value1","label2":"value2"}],""" +
+      """["3000000","log line 3",{}]]}]}""")
+  }
+
   test("Splunk ack polling: request body + per-id status routing " +
        "(QuerySplunkIndexingStatus.cpp:38,75)") {
     import spark.implicits._
