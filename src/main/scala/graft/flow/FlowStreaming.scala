@@ -336,6 +336,12 @@ object FlowStreaming {
             prop("Max Size of Message Queue", "10000"))
           .option("headersAttrRegex",
             prop("HTTP Headers to receive as Attributes (Regex)", ""))
+          // Message Delimiter arrives with literal backslash escapes in
+          // plain-YAML spellings ('\n'); Consume Delimiter default true
+          // (ListenTCP.h:71-79)
+          .option("delimiter", prop("Message Delimiter", "\n")
+            .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t"))
+          .option("consumeDelimiter", prop("Consume Delimiter", "true"))
           .load()
         // ListenHTTP: captured request headers become attributes
         // (HeadersAsAttributesRegex, ListenHTTPTests.cpp:354-394). wrap()

@@ -51,7 +51,8 @@ class NetListenerSource extends TableProvider {
       Option(properties.get("delimiter")).getOrElse("\n"),
       Option(properties.get("basePath")).getOrElse("/contentListener"),
       Option(properties.get("maxQueueSize")).map(_.toInt).getOrElse(10000),
-      Option(properties.get("headersAttrRegex")).filter(_.nonEmpty))
+      Option(properties.get("headersAttrRegex")).filter(_.nonEmpty),
+      Option(properties.get("consumeDelimiter")).forall(_.toBoolean))
 }
 
 object NetListenerSource {
@@ -75,10 +76,11 @@ object NetListenerSource {
                                    delimiter: String,
                                    basePath: String = "/contentListener",
                                    maxQueueSize: Int = 10000,
-                                   headersAttrRegex: Option[String] = None): Listener =
+                                   headersAttrRegex: Option[String] = None,
+                                   consumeDelimiter: Boolean = true): Listener =
     listeners.computeIfAbsent(name, _ => {
       val l = new Listener(protocol, port, delimiter, basePath, maxQueueSize,
-        headersAttrRegex)
+        headersAttrRegex, consumeDelimiter)
       l.start()
       l
     })
@@ -97,7 +99,8 @@ object NetListenerSource {
                                         delimiter: String,
                                         basePath: String = "/contentListener",
                                         maxQueueSize: Int = 10000,
-                                        headersAttrRegex: Option[String] = None) {
+                                        headersAttrRegex: Option[String] = None,
+                                        consumeDelimiter: Boolean = true) {
     private val log = new ArrayBuffer[(Long, String, String, Map[String, String])]()
     private val nextSeq = new AtomicLong(0L)
     @volatile private var droppedCount = 0L
@@ -212,8 +215,10 @@ object NetListenerSource {
         t.setDaemon(true); t.start()
     }
 
-    /** Split the connection's byte stream on the delimiter; the delimiter
-      * is consumed (ListenTCP.h:77-79 Consume Delimiter default). */
+    /** Split the connection's byte stream on the (possibly multi-char)
+      * delimiter; Consume Delimiter (ListenTCP.h:77-79, default true)
+      * strips it from the message, false keeps it (ListenTcpTests.cpp:290
+      * "Custom delimiter" battery). */
     private def handleTcp(client: Socket): Unit = {
       val sender = client.getInetAddress.getHostAddress
       val in = client.getInputStream
@@ -224,7 +229,8 @@ object NetListenerSource {
         buf.appendAll(new String(bytes, 0, n, StandardCharsets.UTF_8))
         var idx = buf.indexOf(delimiter)
         while (idx >= 0) {
-          append(sender, buf.substring(0, idx))
+          append(sender, buf.substring(0,
+            if (consumeDelimiter) idx else idx + delimiter.length))
           buf.delete(0, idx + delimiter.length)
           idx = buf.indexOf(delimiter)
         }
@@ -247,7 +253,9 @@ object NetListenerSource {
 
 private class NetListenerTable(name: String, protocol: String, port: Int,
                                delimiter: String, basePath: String,
-                               maxQueueSize: Int, headersAttrRegex: Option[String])
+                               maxQueueSize: Int,
+                               headersAttrRegex: Option[String],
+                               consumeDelimiter: Boolean)
   extends Table with SupportsRead {
   override def name(): String = s"listen:$protocol:$name"
   override def schema(): StructType = NetListenerSource.schema
@@ -258,7 +266,7 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
       override def readSchema(): StructType = NetListenerSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new NetListenerStream(name, protocol, port, delimiter, basePath,
-          maxQueueSize, headersAttrRegex)
+          maxQueueSize, headersAttrRegex, consumeDelimiter)
     }
 }
 
@@ -269,11 +277,12 @@ private case class SeqOffset(json: String) extends Offset {
 private class NetListenerStream(name: String, protocol: String, port: Int,
                                 delimiter: String, basePath: String,
                                 maxQueueSize: Int,
-                                headersAttrRegex: Option[String])
+                                headersAttrRegex: Option[String],
+                                consumeDelimiter: Boolean)
   extends MicroBatchStream {
   private val listener =
     NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath,
-      maxQueueSize, headersAttrRegex)
+      maxQueueSize, headersAttrRegex, consumeDelimiter)
 
   override def initialOffset(): Offset = SeqOffset("-1")
   override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)
@@ -324,20 +333,50 @@ private class NetBatchReader(p: NetBatchPartition) extends PartitionReader[Inter
  * `host:port` endpoints, read delimiter-framed messages. Batch shape:
  * endpoints distribute across partitions, one connection per endpoint,
  * messages become rows.
+ *
+ * Message semantics per the reference battery (GetTCPTests.cpp:154-225):
+ * each message KEEPS its trailing Message Delimiter ("Hello\n"); a message
+ * longer than Max Message Size splits into max-size chunks that ALL route
+ * to `partial` — including the delimiter-terminated tail chunk — while a
+ * message within the cap routes to `success`. Max Message Size 0 disables
+ * chunking.
  */
 object GetTcp {
-  def read(endpoints: Dataset[String], delimiter: String = "\n"): Dataset[(String, String)] = {
+  def read(endpoints: Dataset[String],
+           delimiter: String = "\n"): Dataset[(String, String)] = {
     implicit val enc: Encoder[(String, String)] =
       Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    readRouted(endpoints, delimiter).map(r => (r._1, r._2))
+  }
+
+  /** (endpoint, message, relationship) rows with the partial/success
+    * routing above. */
+  def readRouted(endpoints: Dataset[String], delimiter: String = "\n",
+                 maxMessageSize: Int = 0): Dataset[(String, String, String)] = {
+    implicit val enc: Encoder[(String, String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
     endpoints.mapPartitions { eps =>
       eps.flatMap { ep =>
         val Array(host, port) = ep.split(":", 2)
         val sock = new Socket(host, port.toInt)
         try {
-          val all = new String(sock.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-          val parts = all.split(java.util.regex.Pattern.quote(delimiter), -1)
-          val msgs = if (parts.nonEmpty && parts.last.isEmpty) parts.dropRight(1) else parts
-          msgs.toSeq.map(m => (ep, m))
+          val all = new String(sock.getInputStream.readAllBytes(),
+            StandardCharsets.UTF_8)
+          // split KEEPING the delimiter on each message
+          val msgs = collection.mutable.ArrayBuffer[String]()
+          var rest = all
+          var idx = rest.indexOf(delimiter)
+          while (idx >= 0) {
+            msgs += rest.substring(0, idx + delimiter.length)
+            rest = rest.substring(idx + delimiter.length)
+            idx = rest.indexOf(delimiter)
+          }
+          if (rest.nonEmpty) msgs += rest // unterminated tail on close
+          msgs.toSeq.flatMap { m =>
+            if (maxMessageSize <= 0 || m.length <= maxMessageSize)
+              Seq((ep, m, "success"))
+            else m.grouped(maxMessageSize).map(c => (ep, c, "partial")).toSeq
+          }
         } finally sock.close()
       }
     }

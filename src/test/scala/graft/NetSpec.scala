@@ -129,27 +129,75 @@ class NetSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("GetTCP: client connects to endpoints and reads framed messages") {
+  test("GetTCP: messages keep their delimiter; Max Message Size chunks " +
+       "oversized messages to partial (GetTCPTests.cpp:154-225)") {
     import spark.implicits._
-    val server = new ServerSocket(0)
-    val port = server.getLocalPort
-    val t = new Thread(() => {
-      // serve two connections (Spark may retry partitions)
-      var served = 0
-      while (served < 4) {
-        try {
-          val c = server.accept()
-          c.getOutputStream.write("a\nb\nc\n".getBytes(StandardCharsets.UTF_8))
-          c.close(); served += 1
-        } catch { case _: Exception => served = 4 }
-      }
-    })
-    t.setDaemon(true); t.start()
+    def serve(payload: String): ServerSocket = {
+      val server = new ServerSocket(0)
+      val t = new Thread(() => {
+        var served = 0
+        while (served < 8) {
+          try {
+            val c = server.accept()
+            c.getOutputStream.write(payload.getBytes(StandardCharsets.UTF_8))
+            c.close(); served += 1
+          } catch { case _: Exception => served = 8 }
+        }
+      })
+      t.setDaemon(true); t.start()
+      server
+    }
+    // delimiter stays on each message (reference: content == "Hello\n")
+    val s1 = serve("a\nb\nc\n")
     try {
-      val eps = Seq(s"127.0.0.1:$port").toDS()
-      val out = GetTcp.read(eps).collect().map(_._2).toSeq
-      assert(out === Seq("a", "b", "c"))
-    } finally server.close()
+      val out = GetTcp.read(Seq(s"127.0.0.1:${s1.getLocalPort}").toDS())
+        .collect().map(_._2).toSeq
+      assert(out === Seq("a\n", "b\n", "c\n"))
+    } finally s1.close()
+
+    // the battery's too-large case: delimiter '\r', max size 10 — the
+    // 27-char message chunks to partial (incl. its delimiter-bearing
+    // tail); "Bye\r" fits and routes success
+    val s2 = serve("abcdefghijklmnopqrstuvwxyz\rBye\r")
+    try {
+      val out = GetTcp.readRouted(Seq(s"127.0.0.1:${s2.getLocalPort}").toDS(),
+        delimiter = "\r", maxMessageSize = 10)
+        .collect().map(r => (r._2, r._3)).toSeq
+      assert(out === Seq(
+        ("abcdefghij", "partial"), ("klmnopqrst", "partial"),
+        ("uvwxyz\r", "partial"), ("Bye\r", "success")))
+    } finally s2.close()
+  }
+
+  test("ListenTCP custom delimiters: multi-char and multi-byte delimiters " +
+       "with Consume Delimiter on/off (ListenTcpTests.cpp:290-316)") {
+    for ((delim, consume, name) <- Seq(
+      ("foo\nbar", true, "tcd1"), ("💩", false, "tcd2"))) {
+      val q = spark.readStream.format("graft.sources.NetListenerSource")
+        .option("name", name).option("protocol", "tcp").option("port", "0")
+        .option("delimiter", delim)
+        .option("consumeDelimiter", consume.toString)
+        .load()
+        .writeStream.format("memory").queryName(s"tcp_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val port = NetListenerSource.boundPort(name)
+        val c = new Socket(InetAddress.getLoopbackAddress, port)
+        c.getOutputStream.write(
+          (s"test_message_1${delim}another_message$delim")
+            .getBytes(StandardCharsets.UTF_8))
+        c.close()
+        val want =
+          if (consume) Set("test_message_1", "another_message")
+          else Set(s"test_message_1$delim", s"another_message$delim")
+        eventually(40, 250) {
+          q.processAllAvailable()
+          spark.table(s"tcp_$name").collect()
+            .map(_.getAs[String]("message")).toSet == want
+        }
+      } finally q.stop()
+    }
   }
 
   test("end-to-end ListenSyslog flow: TCP listener -> syslog dispatch -> " +
