@@ -49,13 +49,30 @@ object Journald {
    * (the reference omits absent parts — "-" keeps the shape fixed for
    * relational use; timestamp comes from __REALTIME_TIMESTAMP µs).
    */
-  def syslogPayload(fields: Column): Column = {
+  def syslogPayload(fields: Column): Column =
+    syslogPayloadFmt(fields, "MMM dd HH:mm:ss")
+
+  /** The entry's __REALTIME_TIMESTAMP rendered per the Timestamp Format
+    * property (ConsumeJournald.cpp:64-70): the ISO/ISO 8601/ISO8601
+    * aliases mean `%FT%T%Ez` — microsecond ISO with a +hh:mm offset
+    * (ConsumeJournaldTest.cpp pins "2021-04-15T17:17:09.123456+00:00");
+    * any other spelling routes through the strftime→JVM pattern
+    * translator the EL compiler uses. */
+  def journaldTimestamp(fields: Column, format: String): Column = {
     val ts = timestamp_micros(
       element_at(fields, "__REALTIME_TIMESTAMP").cast("long"))
+    format match {
+      case "ISO" | "ISO 8601" | "ISO8601" =>
+        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")
+      case other => date_format(ts, graft.el.ElCompiler.datePattern(other))
+    }
+  }
+
+  def syslogPayloadFmt(fields: Column, timestampFormat: String): Column = {
     val pid = coalesce(element_at(fields, "SYSLOG_PID"),
       element_at(fields, "_PID"))
     concat(
-      date_format(ts, "MMM dd HH:mm:ss"), lit(" "),
+      journaldTimestamp(fields, timestampFormat), lit(" "),
       coalesce(element_at(fields, "_HOSTNAME"), lit("-")), lit(" "),
       coalesce(element_at(fields, "SYSLOG_IDENTIFIER"), lit("-")),
       when(pid.isNotNull, concat(lit("["), pid, lit("]"))).otherwise(lit("")),

@@ -664,6 +664,23 @@ class OperatorSpec extends SparkSpec {
     assert(rows(0).getString(2) === "a=b=c") // value keeps embedded '='
     assert(rows(1).getString(0) === "second entry")
     assert(rows(1).getString(1) === "Jan 01 00:00:01 - -: second entry")
+
+    // ISO8601 Timestamp Format (ConsumeJournaldTest.cpp:162-177 pins the
+    // microsecond ISO rendering "2021-04-15T17:17:09.123456+00:00"); the
+    // battery's exact timestamp: 1618507029123456 µs
+    val iso = spark.createDataFrame(Seq(Tuple1(
+      "MESSAGE=Mounted /boot.\n_HOSTNAME=test-pc\n" +
+      "SYSLOG_IDENTIFIER=systemd\n_PID=1\n" +
+      "__REALTIME_TIMESTAMP=1618507029123456\n"))).toDF("export")
+    val isoRow = Journald.splitEntries(iso, col("export"))
+      .withColumn("fields", Journald.fieldsMap(col("entry")))
+      .select(
+        Journald.syslogPayloadFmt(col("fields"), "ISO8601"),
+        Journald.journaldTimestamp(col("fields"), "ISO 8601"))
+      .collect().head
+    assert(isoRow.getString(0) ===
+      "2021-04-15T17:17:09.123456+00:00 test-pc systemd[1]: Mounted /boot.")
+    assert(isoRow.getString(1) === "2021-04-15T17:17:09.123456+00:00")
   }
 
   test("MergeContent attribute strategies: keep-only-common vs " +

@@ -86,10 +86,15 @@ class TailFileSpec extends SparkSpec {
     t.trigger()
     assert(t.pieces() === Seq("one", "two", "three\nfour", "five", "six"))
 
-    // logrotate: rename, then a new file under the original name
+    // logrotate between runs: the reference mutates between discrete
+    // triggers; a free-running query could observe the half-rotated state,
+    // so stop the stream around the mutation window (restart-safe rotation
+    // recovery is itself under test in the restart spec)
+    t.stop()
     Files.move(log, dir.resolve("testfifo.txt.1"))
     setMtime(dir.resolve("testfifo.txt.1"), System.currentTimeMillis())
     Files.writeString(log, "five,six,")
+    t.start()
     t.trigger()
     val rows = t.rows()
     // the rotated file's pending " seven" IS emitted (read to EOF), from
@@ -115,7 +120,9 @@ class TailFileSpec extends SparkSpec {
 
     // two rotations between triggers: the tracked file (with pending
     // "Pear:") becomes fruits.0.log; an intermediate never-tracked file
-    // becomes fruits.1.log; a fresh main file appears
+    // becomes fruits.1.log; a fresh main file appears. Stop the stream
+    // for the mutation window (see the single-rotation test).
+    t.stop()
     Files.writeString(log, "Pear:", java.nio.file.StandardOpenOption.APPEND)
     Files.move(log, dir.resolve("fruits.0.log"))
     setMtime(dir.resolve("fruits.0.log"), System.currentTimeMillis())
@@ -123,6 +130,7 @@ class TailFileSpec extends SparkSpec {
     Files.move(log, dir.resolve("fruits.1.log"))
     setMtime(dir.resolve("fruits.1.log"), System.currentTimeMillis())
     Files.writeString(log, "Apricot:")
+    t.start()
     t.trigger()
 
     val rows = t.rows()
@@ -151,9 +159,11 @@ class TailFileSpec extends SparkSpec {
     t.trigger()
     assert(t.pieces() === Seq("line5", "line6", "line7"))
 
+    t.stop()
     Files.move(log, dir.resolve("test.2020-05-18"))
     setMtime(dir.resolve("test.2020-05-18"), System.currentTimeMillis())
     Files.writeString(log, "line8\nline9\n")
+    t.start()
     t.trigger()
     val rows = t.rows()
     // the fresh rotated file was already fully read (continuation finds no
@@ -177,6 +187,7 @@ class TailFileSpec extends SparkSpec {
       t.trigger()
       assert(t.pieces() === Seq("some stuff"))
 
+      t.stop() // mutation window — see the single-rotation test
       Files.writeString(log, "some stuff\none more line\n")
       Files.move(log, dir.resolve("test.rolled.log"))
       setMtime(dir.resolve("test.rolled.log"), System.currentTimeMillis())
@@ -187,6 +198,7 @@ class TailFileSpec extends SparkSpec {
         "some stuff\none more line\n")
       setMtime(dir.resolve("other_rolled.log"), System.currentTimeMillis())
       Files.writeString(log, "")
+      t.start()
       t.trigger()
       val rows = t.rows(); t.stop(); rows
     }
