@@ -1382,6 +1382,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 Focus/UnfocusArchiveEntry — unfocus writes the edited focused
+    // entry back into the archive in place, siblings and order intact
+    // (FocusArchiveTests.cpp:64-140)
+    "archive_unfocus" -> ((s, dir) => {
+      val archive = Archive.zipPackMulti(
+        array(lit("a.txt"), lit("b.txt")),
+        array(col("text").cast("binary"), col("source").cast("binary")))
+      val edited = concat(col("text"), lit(" EDITED"))
+      val unfocused = Archive.zipUnfocus(archive, lit("a.txt"), edited)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Archive.zipFocus(unfocused, lit("a.txt"))).as("edited_md5"),
+        md5(Archive.zipFocus(unfocused, lit("b.txt"))).as("sibling_md5"),
+        array_join(Archive.zipEntries(unfocused), ",").as("entry_names"))
+        .orderBy("doc_id")
+    }),
+
     // §2.4 ManipulateArchive — in-place entry edits on a 3-entry zip, one
     // operation per doc (remove/move/copy/touch + a missing-target failure);
     // result = surviving entry order + first entry's payload md5
@@ -2720,6 +2737,12 @@ object SparkEntry {
         | 'doc-' || CAST(doc_id AS VARCHAR) AS entry_name,
         | md5(text) AS tar_focused_md5,
         | 'doc-' || CAST(doc_id AS VARCHAR) AS tar_entry_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "archive_unfocus" ->
+      """SELECT doc_id, md5(text || ' EDITED') AS edited_md5,
+        | md5(source) AS sibling_md5,
+        | 'a.txt,b.txt' AS entry_names
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // expected post-edit entry lists per operation (doc_id % 5):

@@ -57,9 +57,38 @@ object Archive {
       names.result()
     } catch { case scala.util.control.NonFatal(_) => null })
 
+  /** UnfocusArchiveEntry (extensions/libarchive/UnfocusArchiveEntry.cpp):
+    * write the (possibly modified) focused entry's content back into the
+    * archive under its name, preserving every other entry and the entry
+    * ORDER. Null when the archive is malformed or the entry is absent
+    * (the reference's error route — unfocus without a focused entry). */
+  val zipUnfocusUdf = udf((archive: Array[Byte], name: String,
+                           newContent: Array[Byte]) =>
+    if (archive == null || newContent == null) null
+    else try {
+      val z = new ZipInputStream(new java.io.ByteArrayInputStream(archive))
+      val bos = new ByteArrayOutputStream()
+      val out = new ZipOutputStream(bos)
+      var found = false
+      var e = z.getNextEntry
+      while (e != null) {
+        val ne = new ZipEntry(e.getName)
+        ne.setTime(0L)
+        out.putNextEntry(ne)
+        if (e.getName == name) { found = true; out.write(newContent) }
+        else out.write(z.readAllBytes())
+        out.closeEntry()
+        e = z.getNextEntry
+      }
+      out.close()
+      if (found) bos.toByteArray else null
+    } catch { case scala.util.control.NonFatal(_) => null })
+
   def zipPack(name: Column, payload: Column): Column =
     zipPackUdf(name, payload.cast("binary"))
   def zipFocus(archive: Column, name: Column): Column = zipFocusUdf(archive, name)
+  def zipUnfocus(archive: Column, name: Column, newContent: Column): Column =
+    zipUnfocusUdf(archive, name, newContent.cast("binary"))
   def zipEntries(archive: Column): Column = zipEntriesUdf(archive)
 
   // --- TAR format (MergeContent.h:293-331 MERGE_FORMAT_TAR_VALUE) ---

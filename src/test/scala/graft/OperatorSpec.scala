@@ -1199,6 +1199,44 @@ class OperatorSpec extends SparkSpec {
       .contains("llamacpp.tokens.per.second"))
   }
 
+  test("FocusArchive round trip: focus extracts the entry, unfocus writes " +
+       "the (modified) content back preserving the other entries and order " +
+       "(FocusArchiveTests.cpp:64-140; UnfocusArchiveEntry.cpp)") {
+    val df = spark.createDataFrame(Seq(Tuple1("x"))).toDF("x")
+    val names = Seq("first", "middle", "last")
+    val contents = Seq("Test file 1\n", "Test file 2\n", "Test file 3\n")
+    val archive = Archive.zipPackMulti(
+      array(names.map(lit(_)): _*),
+      array(contents.map(c => lit(c.getBytes("UTF-8"))): _*))
+
+    // identity round trip: unfocus with the focused content unchanged
+    // reproduces the original archive bytes (fixed entry mtimes)
+    val focused = Archive.zipFocus(archive, lit("middle"))
+    val same = Archive.zipUnfocus(archive, lit("middle"), focused)
+    val r1 = df.select(md5(archive), md5(same),
+      focused.cast("string")).collect().head
+    assert(r1.getString(2) === "Test file 2\n")
+    assert(r1.getString(0) === r1.getString(1))
+
+    // modified content writes back in place; siblings and order intact
+    val modified = Archive.zipUnfocus(archive, lit("middle"),
+      lit("EDITED\n".getBytes("UTF-8")))
+    val r2 = df.select(
+      Archive.zipEntries(modified),
+      Archive.zipFocus(modified, lit("first")).cast("string"),
+      Archive.zipFocus(modified, lit("middle")).cast("string"),
+      Archive.zipFocus(modified, lit("last")).cast("string")).collect().head
+    assert(r2.getSeq[String](0) === Seq("first", "middle", "last"))
+    assert(r2.getString(1) === "Test file 1\n")
+    assert(r2.getString(2) === "EDITED\n")
+    assert(r2.getString(3) === "Test file 3\n")
+
+    // unfocus of an absent entry is the error route (null)
+    val absent = df.select(Archive.zipUnfocus(archive, lit("nope"),
+      lit("x".getBytes("UTF-8")))).collect().head
+    assert(absent.isNullAt(0))
+  }
+
   test("ManipulateArchive battery: touch/copy/move/remove with and without " +
        "before/after ordering anchors, archive order and contents verified " +
        "(ManipulateArchiveTests.cpp:119-340)") {
