@@ -132,6 +132,32 @@ object Archive {
       names.result()
     } catch { case scala.util.control.NonFatal(_) => null })
 
+  /** Tar UnfocusArchiveEntry write-back — same contract as the zip form
+    * (the reference's libarchive focus/unfocus is format-agnostic). */
+  val tarUnfocusUdf = udf((archive: Array[Byte], name: String,
+                           newContent: Array[Byte]) =>
+    if (archive == null || newContent == null) null
+    else try {
+      val in = new TarArchiveInputStream(
+        new java.io.ByteArrayInputStream(archive))
+      val bos = new ByteArrayOutputStream()
+      val out = new TarArchiveOutputStream(bos)
+      var found = false
+      var e = in.getNextEntry
+      while (e != null) {
+        val payload =
+          if (e.getName == name) { found = true; newContent }
+          else in.readAllBytes()
+        val ne = new TarArchiveEntry(e.getName)
+        ne.setSize(payload.length)
+        ne.setModTime(0L)
+        out.putArchiveEntry(ne); out.write(payload); out.closeArchiveEntry()
+        e = in.getNextEntry
+      }
+      out.close()
+      if (found) bos.toByteArray else null
+    } catch { case scala.util.control.NonFatal(_) => null })
+
   /** First entry's payload of a tar archive, null when the bytes are not a
     * readable tar (CompressContent decompress with Encapsulate in TAR:
     * ReadArchiveStream::nextEntry failure routes the original to failure,
@@ -147,6 +173,8 @@ object Archive {
   def tarPack(name: Column, payload: Column): Column =
     tarPackUdf(name, payload.cast("binary"))
   def tarFocus(archive: Column, name: Column): Column = tarFocusUdf(archive, name)
+  def tarUnfocus(archive: Column, name: Column, newContent: Column): Column =
+    tarUnfocusUdf(archive, name, newContent.cast("binary"))
   def tarEntries(archive: Column): Column = tarEntriesUdf(archive)
   def tarFirst(archive: Column): Column = tarFirstUdf(archive)
 

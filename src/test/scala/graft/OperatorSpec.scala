@@ -1235,6 +1235,25 @@ class OperatorSpec extends SparkSpec {
     val absent = df.select(Archive.zipUnfocus(archive, lit("nope"),
       lit("x".getBytes("UTF-8")))).collect().head
     assert(absent.isNullAt(0))
+
+    // the tar form carries the same contract (libarchive focus/unfocus is
+    // format-agnostic in the reference)
+    val tarArchive = Archive.tarPackMulti(
+      array(names.map(lit(_)): _*),
+      array(contents.map(c => lit(c.getBytes("UTF-8"))): _*))
+    val tarMod = Archive.tarUnfocus(tarArchive, lit("middle"),
+      lit("EDITED\n".getBytes("UTF-8")))
+    val r3 = df.select(
+      Archive.tarEntries(tarMod),
+      Archive.tarFocus(tarMod, lit("middle")).cast("string"),
+      Archive.tarFocus(tarMod, lit("last")).cast("string"),
+      md5(tarArchive),
+      md5(Archive.tarUnfocus(tarArchive, lit("middle"),
+        Archive.tarFocus(tarArchive, lit("middle"))))).collect().head
+    assert(r3.getSeq[String](0) === Seq("first", "middle", "last"))
+    assert(r3.getString(1) === "EDITED\n")
+    assert(r3.getString(2) === "Test file 3\n")
+    assert(r3.getString(3) === r3.getString(4)) // identity round trip
   }
 
   test("ManipulateArchive battery: touch/copy/move/remove with and without " +
