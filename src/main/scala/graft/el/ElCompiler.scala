@@ -190,7 +190,11 @@ object ElCompiler {
     def s0: Column = subj.cast("string")
     def a(i: Int): Column = args(i)
     def sArg(i: Int): String = asString(rawArgs(i))
-    def num(c: Column): Column = c.cast("double")
+    // try_cast everywhere attribute data coerces to a number: the
+    // reference throws per-FlowFile on garbage ("banana1337"), but an ANSI
+    // cast would poison the whole task at scale — null is the EL error
+    // convention here (predicates read it as false)
+    def num(c: Column): Column = c.try_cast("double")
     /** NiFi arithmetic coercion: int64 math when both operands are
       * integral strings, long-double math otherwise (Value.h asNumber). */
     /** Reference double→string (Value.h:66-84): fixed 15 decimals, then
@@ -202,7 +206,8 @@ object ElCompiler {
       val ls = l.cast("string"); val rs = r.cast("string")
       val bothInt = ls.rlike("^-?\\d+$") && rs.rlike("^-?\\d+$")
       when(bothInt, op(ls.cast("long"), rs.cast("long")).cast("string"))
-        .otherwise(doubleToElString(op(ls.cast("double"), rs.cast("double"))))
+        .otherwise(doubleToElString(op(ls.try_cast("double"),
+          rs.try_cast("double"))))
     }
 
     name match {
@@ -328,7 +333,7 @@ object ElCompiler {
       case "toRadix"  =>
         // conv() is unsigned — split the sign off and pad the MAGNITUDE,
         // then re-prefix ("-000004a1", ExpressionLanguageTests.cpp:627-633)
-        val signed = subj.cast("long")
+        val signed = subj.try_cast("long")
         val mag = lower(conv(abs(signed).cast("string"), 10, sArg(0).toInt))
         val padded =
           if (rawArgs.size > 1) lpad(mag, sArg(1).toInt, "0") else mag
@@ -338,8 +343,8 @@ object ElCompiler {
         // sign off first (ExpressionLanguageTests.cpp:651 "-000004a1")
         val mag = conv(regexp_replace(s0, "^-", ""), sArg(0).toInt, 10).cast("long")
         when(s0.startsWith("-"), -mag).otherwise(mag)
-      case "toNumber"  => subj.cast("long")
-      case "toDecimal" => subj.cast("double")
+      case "toNumber"  => subj.try_cast("long")
+      case "toDecimal" => subj.try_cast("double")
       case "toString"  => s0
 
       // --- encode/decode (Expression.cpp:446-751) ---
@@ -366,7 +371,7 @@ object ElCompiler {
       // is translated to JVM DateTimeFormatter; '%'-free patterns pass
       // through as JVM. ---
       case "format" => // subject: epoch millis → formatted string
-        val ts = timestamp_millis(subj.cast("long"))
+        val ts = timestamp_millis(subj.try_cast("long"))
         val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
         date_format(zoned, datePattern(sArg(0)))
       case "toDate" if rawArgs.isEmpty => // RFC3339 parse (no-arg form)

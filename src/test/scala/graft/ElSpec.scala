@@ -160,6 +160,25 @@ class ElSpec extends SparkSpec {
       .toDouble - 11.0 / 13.0) < 1e-12)
   }
 
+  test("exponent literals, trim, length " +
+       "(ExpressionLanguageTests.cpp 'Plus Exponent'/'Trim'/'Length')") {
+    // Plus Exponent: integer attr + scientific literal
+    assert(math.abs(eval("${attr:plus(10e+6)}", Map("attr" -> "11"))
+      .toDouble - 10000011.0) < 1e-6)
+    // Plus Exponent 2: decimal attr keeps its fraction through the sum
+    assert(math.abs(eval("${attr:plus(10e+6)}",
+      Map("attr" -> "11.345678901234")).toDouble - 10000011.345678901234) < 1e-6)
+    assert(eval("${message:trim()}", Map("message" -> " 1 2 3 ")) === "1 2 3")
+    assert(eval("${message:length()}",
+      Map("message" -> "a brand new filename.txt")) === "24")
+    // unparseable comparison operands are the EL error/false convention
+    // (GT4 'Value parsing errors' throws in the reference; here the
+    // predicate is false, never a poisoned row)
+    assert(eval("${attr:gt(5)}", Map("attr" -> "banana1337")) !== "true")
+    assert(eval("${attr:gt(5)}",
+      Map("attr" -> "18446744073709551616")) !== null) // no crash
+  }
+
   test("fromRadix incl. negative and padding " +
        "(ExpressionLanguageTests.cpp:635-658)") {
     assert(eval("${attr:fromRadix(2)}", Map("attr" -> "0000000000001010")) === "10")
