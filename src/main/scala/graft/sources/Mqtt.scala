@@ -50,4 +50,51 @@ object Mqtt {
   def publishOptions(p: ConnectionProps, topic: String,
                      retain: Boolean = false): Map[String, String] =
     base(p) + ("topic" -> topic, "retained" -> retain.toString)
+
+  final case class Validation(errors: Seq[String], warnings: Seq[String])
+
+  /**
+   * ConsumeMQTT schedule-time validation
+   * (AbstractMQTTProcessor::onSchedule + ConsumeMQTT checks;
+   * ConsumeMQTTTests.cpp:134-245): missing topic/broker are errors; the
+   * version-specific durability and property-applicability rules are the
+   * reference's exact warning texts — a durable session (3.x Clean
+   * Session=false, 5.0 Session Expiry Interval>0) with QoS<1 does not
+   * preserve messages, and version-foreign properties are ignored with a
+   * warning (Clean Start / Session Expiry / Topic Alias Maximum / Receive
+   * Maximum on 3.x; Clean Session on 5.0).
+   */
+  def validateConsume(p: ConnectionProps, topicFilter: String,
+                      cleanStartSet: Boolean = false,
+                      sessionExpirySec: Option[Long] = None,
+                      topicAliasMaximum: Option[Int] = None,
+                      receiveMaximum: Option[Int] = None,
+                      cleanSessionSet: Boolean = false): Validation = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    if (topicFilter.isEmpty)
+      errors += "Expected valid value from \"Topic\", but got PropertyNotSet"
+    if (p.brokerUri.isEmpty)
+      errors += "Expected valid value from \"Broker URI\", but got PropertyNotSet"
+    val is5 = p.mqttVersion.startsWith("5")
+    val durable =
+      if (is5) sessionExpirySec.exists(_ > 0) else !p.cleanSession
+    if (durable && p.qos < 1)
+      warnings += ("Messages are not preserved during client disconnection " +
+        "by the broker when QoS is less than 1 for durable " +
+        (if (is5) "(Session Expiry Interval > 0)" else "(non-clean)") +
+        " sessions. Only subscriptions are preserved.")
+    if (!is5) {
+      if (cleanStartSet)
+        warnings += "MQTT 3.x specification does not support Clean Start. Property is not used."
+      if (sessionExpirySec.isDefined)
+        warnings += "MQTT 3.x specification does not support Session Expiry Intervals. Property is not used."
+      if (topicAliasMaximum.isDefined)
+        warnings += "MQTT 3.x specification does not support Topic Alias Maximum. Property is not used."
+      if (receiveMaximum.isDefined)
+        warnings += "MQTT 3.x specification does not support Receive Maximum. Property is not used."
+    } else if (cleanSessionSet)
+      warnings += "MQTT 5.0 specification does not support Clean Session. Property is not used."
+    Validation(errors.result(), warnings.result())
+  }
 }

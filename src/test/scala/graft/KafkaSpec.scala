@@ -89,6 +89,62 @@ class KafkaSpec extends SparkSpec {
     assert(publish("retained") === "true")
   }
 
+  test("ConsumeMQTT validation battery: topic/broker errors, QoS-0 durable " +
+       "warning per version, version-foreign property warnings " +
+       "(ConsumeMQTTTests.cpp:134-245)") {
+    import graft.sources.Mqtt
+    def conn(qos: Int = 0, version: String = "3.1.1",
+             cleanSession: Boolean = true) =
+      Mqtt.ConnectionProps("127.0.0.1:1883", clientId = "subscriber",
+        qos = qos, mqttVersion = version, cleanSession = cleanSession)
+
+    // EmptyTopic / EmptyBrokerURI
+    assert(Mqtt.validateConsume(conn(), "").errors
+      .exists(_.contains("\"Topic\"")))
+    assert(Mqtt.validateConsume(
+      Mqtt.ConnectionProps(""), "mytopic").errors
+      .exists(_.contains("\"Broker URI\"")))
+
+    // DurableSessionWithID: QoS 1 durable → no warning
+    assert(Mqtt.validateConsume(conn(qos = 1, cleanSession = false),
+      "mytopic").warnings.isEmpty)
+    // DurableSessionWithQoS0: QoS 0 durable → the 3.x warning text
+    assert(Mqtt.validateConsume(conn(qos = 0, cleanSession = false),
+      "mytopic").warnings === Seq(
+      "Messages are not preserved during client disconnection by the " +
+        "broker when QoS is less than 1 for durable (non-clean) sessions. " +
+        "Only subscriptions are preserved."))
+    // V5 variants keyed on Session Expiry Interval
+    assert(Mqtt.validateConsume(conn(qos = 1, version = "5.0"), "mytopic",
+      sessionExpirySec = Some(3600)).warnings.isEmpty)
+    assert(Mqtt.validateConsume(conn(qos = 0, version = "5.0"), "mytopic",
+      sessionExpirySec = Some(3600)).warnings === Seq(
+      "Messages are not preserved during client disconnection by the " +
+        "broker when QoS is less than 1 for durable " +
+        "(Session Expiry Interval > 0) sessions. " +
+        "Only subscriptions are preserved."))
+
+    // version-foreign properties warn and are not used
+    assert(Mqtt.validateConsume(conn(), "mytopic", cleanStartSet = true)
+      .warnings === Seq("MQTT 3.x specification does not support Clean " +
+      "Start. Property is not used."))
+    assert(Mqtt.validateConsume(conn(), "mytopic",
+      sessionExpirySec = Some(3600)).warnings === Seq("MQTT 3.x " +
+      "specification does not support Session Expiry Intervals. " +
+      "Property is not used."))
+    assert(Mqtt.validateConsume(conn(), "mytopic",
+      topicAliasMaximum = Some(1)).warnings === Seq("MQTT 3.x " +
+      "specification does not support Topic Alias Maximum. " +
+      "Property is not used."))
+    assert(Mqtt.validateConsume(conn(), "mytopic",
+      receiveMaximum = Some(1)).warnings === Seq("MQTT 3.x specification " +
+      "does not support Receive Maximum. Property is not used."))
+    assert(Mqtt.validateConsume(conn(version = "5.0"), "mytopic",
+      sessionExpirySec = Some(0), cleanSessionSet = true).warnings ===
+      Seq("MQTT 5.0 specification does not support Clean Session. " +
+        "Property is not used."))
+  }
+
   test("envelope projection stamps the kafka.* attribute set") {
     val df = spark.sql(
       """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,
