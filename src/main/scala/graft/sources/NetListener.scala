@@ -72,6 +72,15 @@ object NetListenerSource {
     l.port
   }
 
+  /** (queued, dropped) message counts — the observable face of the
+    * bounded-queue contract (the reference logs "Queue is full. TCP
+    * message ignored." per drop). */
+  def queueStats(name: String): (Int, Long) = {
+    val l = listeners.get(name)
+    require(l != null, s"no listener named $name")
+    (l.queuedCount, l.dropped)
+  }
+
   private[sources] def listenerFor(name: String, protocol: String, port: Int,
                                    delimiter: String,
                                    basePath: String = "/contentListener",

@@ -169,6 +169,38 @@ class NetSpec extends SparkSpec {
     } finally s2.close()
   }
 
+  test("ListenTCP max queue size: messages beyond the cap are dropped, " +
+       "the retained window flows (ListenTcpTests.cpp:80-112)") {
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(q: String): Long = {
+      val query = spark.readStream.format("graft.sources.NetListenerSource")
+        .option("name", "qcap").option("protocol", "tcp").option("port", "0")
+        .option("maxQueueSize", "50")
+        .load()
+        .writeStream.format("memory").queryName(q)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      query.awaitTermination()
+      spark.table(q).count()
+    }
+    assert(drain("qcap_bind") === 0) // binds the listener, nothing queued
+    val port = NetListenerSource.boundPort("qcap")
+    for (i <- 0 until 100) {
+      val c = new Socket(InetAddress.getLoopbackAddress, port)
+      c.getOutputStream.write(s"test_message_$i\n".getBytes(StandardCharsets.UTF_8))
+      c.close()
+    }
+    // no query ran while sending: the 50-entry queue filled, the rest
+    // dropped (the reference logs "Queue is full. TCP message ignored."
+    // 50 times); wait for every handler to account for its message, then
+    // one drain delivers exactly the retained window
+    eventually(40, 250) {
+      val (queued, dropped) = NetListenerSource.queueStats("qcap")
+      queued + dropped == 100
+    }
+    assert(NetListenerSource.queueStats("qcap") === ((50, 50L)))
+    assert(drain("qcap_out") === 50)
+  }
+
   test("ListenTCP custom delimiters: multi-char and multi-byte delimiters " +
        "with Consume Delimiter on/off (ListenTcpTests.cpp:290-316)") {
     for ((delim, consume, name) <- Seq(
