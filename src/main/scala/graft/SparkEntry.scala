@@ -815,17 +815,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Same LSH with a salt cap that BINDS at test scale: on a corpus where
-    // a hot shingle degenerates a band bucket to ~the whole corpus, the
-    // uncapped pair volume is quadratic in the bucket; this variant bounds
-    // every bucket at 150 members (intra-sub-bucket pairs only — the
-    // standard recall trade). No DuckDB oracle: salt membership is
-    // hash(docId)-internal; boundedness is asserted by PipelineSpec and
+    // Same LSH with a salt cap: on a corpus where a hot shingle degenerates
+    // a band bucket to ~the whole corpus, the uncapped pair volume is
+    // quadratic in the bucket; this variant bounds every bucket at 150
+    // members (intra-sub-bucket pairs only — the standard recall trade).
+    // The salt assignment is the engine-portable md5-prefix hash, so the
+    // DuckDB oracle recomputes the exact capped pair set (bucket sizes →
+    // nsalts → per-member salt → within-sub-bucket pairs). Boundedness on
+    // an adversarial corpus is additionally asserted by PipelineSpec and
     // measured by the skewed bench rows.
     "dedup_minhash_lsh_capped" -> ((s, dir) => {
       val sigs = Dedup.minHashSignatures(docsPar(s, dir),
         col("doc_id"), col("text"), 5, 8)
       Dedup.minHashLshPairs(sigs, 8, 2, maxBucketSize = 150)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Cap chosen to BIND at verify scale: cap=1 salts every multi-member
+    // band bucket into bsz sub-buckets, so only md5-salt-colliding pairs
+    // survive — a deliberately degenerate config (not a dedup setting)
+    // that makes the output maximally sensitive to the salt arithmetic.
+    // This row proves that arithmetic — bucket-size census, nsalts
+    // fan-out, md5-prefix salt, within-sub-bucket pair expansion —
+    // against an oracle that recomputes every step independently
+    // (verified discriminating: perturbing the salt hash by one hex
+    // position changes the result set at sf0.01).
+    "dedup_minhash_lsh_salted" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(docsPar(s, dir),
+        col("doc_id"), col("text"), 5, 8)
+      Dedup.minHashLshPairs(sigs, 8, 2, maxBucketSize = 1)
         .select(col("idA").as("id_a"), col("idB").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
@@ -943,6 +962,21 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5,
         nCentroids = 8, nProbe = 8)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Seeded random-hyperplane LSH + Hamming-1 multi-probe ANN — the
+    // bucketed scale path (one bucket-keyed join instead of the full
+    // cross). The Rademacher planes derive from md5(seed|p|d), so the
+    // DuckDB oracle recomputes the ENTIRE path independently: plane
+    // matrix, per-vector sign buckets, the 9-probe fan-out, candidate
+    // scoring, and the (cosine desc, cid) ranking.
+    "embed_topk_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshTopKSeeded(emb, emb.filter(col("vec_id") % 100 === 0), 5,
+        nPlanes = 8, dim = 64, seed = 7L)
         .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
           col("cosine"))
         .orderBy("qid", "rnk")
@@ -1725,6 +1759,36 @@ object SparkEntry {
       |  FROM scored)
       |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Seeded-LSH multi-probe ANN oracle: independently recomputes the full
+    * lshTopKSeeded path — md5-derived Rademacher plane matrix, per-vector
+    * sign buckets, identity + Hamming-1 probe fan-out, bucket-joined
+    * candidate scoring, (cosine desc, cid) ranking. */
+  private val EmbedTopKLshOracle: String =
+    """WITH pl AS (SELECT tp.range AS p, td.range AS d,
+      |  CASE WHEN substr(md5('7|' || CAST(tp.range AS VARCHAR) || '|' || CAST(td.range AS VARCHAR)), 2, 1)
+      |       IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+      |  FROM range(8) tp, range(64) td),
+      |c AS (SELECT vec_id AS cid,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS cq
+      |  FROM embeddings),
+      |cn AS (SELECT cid, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM c),
+      |cdot AS (SELECT cid, p, SUM(cq[CAST(d AS INT) + 1] * w) AS dot FROM c, pl GROUP BY 1, 2),
+      |cbuck AS (SELECT cid,
+      |  CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM cdot GROUP BY cid),
+      |cv AS (SELECT cn.cid, cn.cq, cn.cn2, cbuck.bucket FROM cn JOIN cbuck ON cn.cid = cbuck.cid),
+      |qv AS (SELECT cid AS qid, cq AS qq, cn2 AS qn2, bucket FROM cv WHERE cid % 100 = 0),
+      |probes AS (SELECT qid, qq, qn2, bucket AS probe FROM qv
+      |  UNION ALL SELECT qid, qq, qn2, xor(bucket, CAST(1 << CAST(ti.range AS INT) AS BIGINT)) FROM qv, range(8) ti),
+      |cand AS (SELECT pr.qid, cv.cid,
+      |  round(CAST(list_sum(list_transform(range(1, 65), i -> pr.qq[CAST(i AS INT)] * cv.cq[CAST(i AS INT)])) AS DOUBLE)
+      |    / (sqrt(CAST(cv.cn2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))), 6) AS cosine
+      |  FROM probes pr JOIN cv ON cv.bucket = pr.probe AND cv.cid <> pr.qid),
+      |dd AS (SELECT qid, cid, MIN(cosine) AS cosine FROM cand GROUP BY 1, 2),
+      |ranked AS (SELECT qid, cid, cosine,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk FROM dd)
+      |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** Shared CTE chain ending in `cand` (LSH band-collision candidates) and
     * `ver` (exact n-gram-Jaccard-verified pairs at the 30% threshold) —
     * the oracle counterpart of minHashLshPairs + verifyCandidates. */
@@ -1760,6 +1824,33 @@ object SparkEntry {
        |bands AS ($bands)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key AND a.doc_id<b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full-equality oracle for the salt-capped LSH variant: recomputes the
+    * band-bucket census, the ceil(bsz/cap) salt fan-out, the md5-prefix
+    * per-member salt (the same engine-portable hash
+    * Dedup.minHashLshPairs assigns), and the within-sub-bucket pair
+    * expansion — byte-for-byte the capped candidate set. */
+  private def minhashCappedOracle(cap: Int): String = {
+    val mins = MinhashMinsSql
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$ShingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |bsz AS (SELECT band, key, COUNT(*) AS bsz FROM bands GROUP BY 1, 2),
+       |memb AS (SELECT b.doc_id, b.band, b.key,
+       |  CASE WHEN z.bsz > $cap THEN
+       |    CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % CAST(ceil(z.bsz / $cap.0) AS BIGINT)
+       |  ELSE 0 END AS salt
+       |  FROM bands b JOIN bsz z ON b.band = z.band AND b.key = z.key)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM memb a JOIN memb b ON a.band = b.band AND a.key = b.key
+       | AND a.salt = b.salt AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2010,7 +2101,8 @@ object SparkEntry {
         | UNION ALL SELECT correlation, bin_id, doc_id, 'flag', 'y' FROM f WHERE doc_id % 3 = 0),
         |kept AS (
         | SELECT correlation, bin_id, k, MIN(v) AS v
-        | FROM a GROUP BY correlation, bin_id, k
+        | FROM a WHERE v IS NOT NULL
+        | GROUP BY correlation, bin_id, k
         | HAVING COUNT(DISTINCT v) = 1),
         |merged AS (
         | SELECT correlation, bin_id, k, v FROM kept
@@ -2320,6 +2412,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_minhash_lsh_capped" -> minhashCappedOracle(150),
+    "dedup_minhash_lsh_salted" -> minhashCappedOracle(1),
 
     "dedup_lsh_verified" ->
       s"""$LshVerifiedCtes
@@ -2495,6 +2589,7 @@ object SparkEntry {
 
     // exhaustive-probe IVF must reproduce the brute-force ranking exactly
     "embed_topk_ivf" -> EmbedTopKOracle,
+    "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {
       val bucketExpr = (1 to 8).map(i =>

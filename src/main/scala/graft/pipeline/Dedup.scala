@@ -167,7 +167,9 @@ object Dedup {
    * the same band bucket, and an uncapped `collect_list` would then hold
    * the whole bucket in one agg buffer. Buckets larger than
    * `maxBucketSize` are salted into ≤maxBucketSize sub-buckets first
-   * (hash(docId)-based), bounding both agg memory and per-row pair
+   * (md5(docId)-prefix-based, engine-portable — an external SQL oracle
+   * can recompute the exact capped output), bounding both agg memory and
+   * per-row pair
    * expansion; only intra-sub-bucket pairs are emitted for such buckets —
    * for a bucket that degenerate (near-identical docs), the lost
    * cross-salt pairs are redundant candidates, the standard recall
@@ -194,9 +196,7 @@ object Dedup {
     // would shuffle+sort every banded row): aggregate bucket counts (map-side
     // partial agg means the shuffle carries ~one row per distinct bk per
     // partition), keep only buckets over the cap — by construction a tiny
-    // set — and broadcast-join the salt fan-out factor back. hash() is
-    // Spark-internal only; it never reaches the result because buckets
-    // within the cap always get salt 0.
+    // set — and broadcast-join the salt fan-out factor back.
     val oversized = banded.groupBy(col("bk"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
@@ -209,9 +209,17 @@ object Dedup {
     // measured unstable (1.4 s solo vs 14 s mid-bench): the broadcast
     // materialization job serializes behind whatever the JVM is doing,
     // while the shuffle path is just one more co-partitioned stage.
+    // Salt assignment is the md5-prefix long already used for the minhash
+    // permutations (engine-portable: any SQL engine with md5 reproduces
+    // it), NOT Spark-internal murmur3 hash() — so the capped output is
+    // exactly recomputable by an external oracle. The md5 sits inside the
+    // `when` branch: codegen evaluates it only for members of over-cap
+    // buckets, a tiny set by construction.
+    val saltHash = conv(substring(md5(col("docId").cast("string")), 1, 15), 16, 10)
+      .cast("long")
     val salted = banded.join(oversized.hint("shuffle_hash"), Seq("bk"), "left")
       .withColumn("salt",
-        when(col("nsalts").isNotNull, pmod(hash(col("docId")), col("nsalts")))
+        when(col("nsalts").isNotNull, pmod(saltHash, col("nsalts")))
           .otherwise(lit(0)))
     // Single pass: group each (band bucket, salt) and expand in-bucket
     // pairs with higher-order functions — a self-join here would recompute

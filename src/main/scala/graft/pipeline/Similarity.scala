@@ -79,22 +79,35 @@ object Similarity {
       when(element_at(qvec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Engine-portable Rademacher sign for plane `p`, dimension `d` under
+    * `seed`: parity of md5("seed|p|d")'s first byte (= second hex digit),
+    * +1 on even. Any engine with md5 reproduces the plane matrix exactly,
+    * so an external SQL oracle can recompute seeded-LSH buckets — and the
+    * draw is i.i.d. uniform ±1 per (p,d), the same family a seeded PRNG
+    * gives. Driver-side only: nPlanes·dim hashes at plan build. */
+  private def planeSign(seed: Long, p: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$p|$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1L else -1L
+  }
+
   /**
    * Seeded random-hyperplane bucket (the production variant of
-   * `lshBucket`): `nPlanes` Rademacher (±1) hyperplanes drawn from a
-   * seeded PRNG at plan build — deterministic given (seed, nPlanes, dim),
-   * embedded as literals so the per-row work stays integer codegen. Random
-   * hyperplanes spread variance across all dimensions, fixing the
-   * coordinate-axis family's recall/skew problem when embedding dims are
-   * not zero-centered or carry unequal variance.
+   * `lshBucket`): `nPlanes` Rademacher (±1) hyperplanes drawn
+   * deterministically from (seed, plane, dim) via md5 — engine-portable
+   * (see [[planeSign]]), embedded as literals so the per-row work stays
+   * integer codegen. Random hyperplanes spread variance across all
+   * dimensions, fixing the coordinate-axis family's recall/skew problem
+   * when embedding dims are not zero-centered or carry unequal variance.
    */
   def lshBucketSeeded(qvec: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
-    val rng = new java.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1L else -1L)
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeSign(seed, p, d))
     (0 until nPlanes).map { p =>
+      // Plane dot via the codegen'd DotQ kernel — O(corpus·nPlanes·dim)
+      // map-side work that an aggregate(zip_with(...)) formulation would
+      // run through interpreted HOFs (bit-identical: integer math).
       val w = array(planes(p).map(lit(_)): _*)
-      val dot = aggregate(zip_with(qvec, w, (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      val dot = dotQ(qvec, w)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -134,6 +134,47 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("lshBucketSeeded via the DotQ kernel is bit-identical to the " +
+       "higher-order-function formulation, including mismatch/null cases") {
+    import graft.pipeline.Similarity
+    // the pre-kernel formulation: aggregate(zip_with(...)) per plane,
+    // with the same md5-derived Rademacher planes
+    def hofBucket(qvec: org.apache.spark.sql.Column, nPlanes: Int, dim: Int,
+                  seed: Long): org.apache.spark.sql.Column = {
+      val planes = Array.tabulate(nPlanes, dim) { (p, d) =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed|$p|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1L else -1L
+      }
+      (0 until nPlanes).map { p =>
+        val w = array(planes(p).map(lit(_)): _*)
+        val dot = aggregate(zip_with(qvec, w, (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(3L, -1L, 2L, 7L)),
+        | (array(-5L, -5L, -5L, -5L)),
+        | (array(0L, 0L, 0L, 0L)),
+        | (array(1L, 2L)),
+        | (array(1L, 2L, 3L, 4L, 5L, 6L)),
+        | (array(9L, CAST(NULL AS BIGINT), 1L, 1L)),
+        | (CAST(NULL AS ARRAY<BIGINT>))
+        |AS t(v)""".stripMargin)
+    Seq((4, 4, 7L), (6, 4, 42L), (1, 4, 0L)).foreach { case (np, dim, seed) =>
+      val rows = df.select(
+        Similarity.lshBucketSeeded(col("v"), np, dim, seed).as("k"),
+        hofBucket(col("v"), np, dim, seed).as("h")).collect()
+      rows.foreach { r =>
+        val k = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val h = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+        assert(k === h, s"nPlanes=$np seed=$seed")
+      }
+    }
+  }
+
   test("graft_dotq / graft_normsq are SQL-addressable via the extension " +
        "descriptors and stay inside whole-stage codegen") {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
