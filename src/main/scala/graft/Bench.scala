@@ -113,6 +113,72 @@ object Bench {
     out
   }
 
+  /**
+   * Stage a multi-file log corpus for the streaming row from a directory's
+   * documents table: each document becomes a `<doc_id>`-headed message
+   * split across 12-word continuation lines, hash-spread over 32 log
+   * files with per-file contiguity (repartition by doc + partition-local
+   * sort), so the tail source gets real per-file parallelism and the
+   * defragment state real per-source reassembly work.
+   */
+  private def stageTailCorpus(spark: SparkSession, docsDir: String,
+                              tag: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tail-$tag"
+    val marker = new java.io.File(s"$out/.staged-" +
+      java.lang.Long.toHexString(docsDir.hashCode.toLong & 0xffffffffL))
+    if (!marker.exists()) {
+      val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      val words = split(col("text"), " ")
+      val nWin = greatest(ceil(size(words) / lit(12.0)).cast("int"), lit(1))
+      val wins = transform(sequence(lit(0), nWin - 1),
+        i => array_join(slice(words, i * lit(12) + 1, lit(12)), " "))
+      docs.select(col("doc_id"), posexplode(wins).as(Seq("pos", "win")))
+        .select(col("doc_id"), col("pos"),
+          when(col("pos") === 0,
+            concat(lit("<"), col("doc_id").cast("string"), lit("> "), col("win")))
+            .otherwise(col("win")).as("value"))
+        .repartition(32, col("doc_id"))
+        .sortWithinPartitions("doc_id", "pos")
+        .select("value")
+        .write.mode(SaveMode.Overwrite).text(s"$out/logs")
+      marker.createNewFile()
+    }
+    s"$out/logs"
+  }
+
+  /**
+   * One measured streaming drain: DSv2 TailFileSource over the staged log
+   * files → a routing projection (header/body relationship, the
+   * RouteOnAttribute shape) → stateful DefragmentText keyed per source
+   * file (flatMapGroupsWithState) → relationship-partitioned parquet sink,
+   * drained to completion (processAllAvailable over an on-disk corpus =
+   * the AvailableNow batch-like run; FlowRuntime.runAvailable). Fresh
+   * checkpoint + sink per rep so every rep tails the full corpus from
+   * offset zero. Row value = wall seconds for the drain, same unit as the
+   * batch rows; lines/value is the implied rows/s.
+   */
+  private def tailDrainSeconds(spark: SparkSession, corpus: String): Double = {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tailrun-" +
+      java.util.UUID.randomUUID
+    val t0 = System.nanoTime()
+    val tailed = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", corpus).option("glob", ".*\\.txt").load()
+    val routed = tailed.withColumn("relationship",
+      when(col("line").rlike("^<[0-9]+>"), "header").otherwise("body"))
+    val frags = routed.select(col("path").as("source"),
+      col("lineOffset").as("ord"), col("line").as("content"),
+      lit(-1L).as("offset"), lit("").as("uuid"))
+      .as[graft.streaming.StatefulOps.Fragment]
+    val msgs = graft.streaming.StatefulOps.defragmentText(frags, "<[0-9]+>", 0)
+    val q = graft.streaming.FlowRuntime.runAvailable(
+      graft.streaming.FlowRuntime.relationshipSink(msgs.toDF(), s"$base/out"),
+      s"$base/ckpt")
+    q.stop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -183,9 +249,22 @@ object Bench {
       x10.filterNot(n => headline.contains(n) || skewed.contains(n))
         .map(name => name -> minOf3(name, sfDir)) ++
       x10.map(name => s"x10_$name" -> minOf3(name, x10Dir))
-    // total stays headline-only (round-over-round comparable); the skew_*
-    // and x10_* rows ride along in the queries map for the comparisons
-    val qs = (results ++ skewResults ++ x10Results).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Streaming rows: every other row is batch; these measure the DSv2
+    // tail source + stateful defragment + partitioned streaming sink at
+    // 1× and 10× (corpora staged from the same sf/x10 documents; staging
+    // excluded as fixture construction). One warm drain at the warm-up
+    // scale pays the streaming plane's one-time codegen, like the batch
+    // warm-up does.
+    tailDrainSeconds(spark, stageTailCorpus(spark, warmDir, "warm"))
+    val tail1x = stageTailCorpus(spark, sfDir, "1x")
+    val tail10x = stageTailCorpus(spark, x10Dir, "10x")
+    val streamResults = Seq(
+      "streaming_tail_e2e" -> (0 until 3).map(_ => tailDrainSeconds(spark, tail1x)).min,
+      "x10_streaming_tail_e2e" -> (0 until 3).map(_ => tailDrainSeconds(spark, tail10x)).min)
+    // total stays headline-only (round-over-round comparable); the skew_*,
+    // x10_* and streaming rows ride along in the queries map for the
+    // comparisons
+    val qs = (results ++ skewResults ++ x10Results ++ streamResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

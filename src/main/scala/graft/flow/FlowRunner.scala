@@ -998,8 +998,16 @@ object Processors {
         val stmtCol = props.get("SQL Statement")
           .map(el => ElCompiler.template(el))
           .getOrElse(col(FlowFrame.Content).cast("string"))
+        // Driver-side bound: the collect stages exactly three columns per
+        // input FlowFile — uuid, the rendered statement, and ONLY the
+        // sql.args.* map entries (filtered distributed-side) — never the
+        // full attribute map or content. Cardinality is control-plane by
+        // contract: each FlowFile IS one statement for the driver's SQL
+        // loop; the rows every statement touches stay distributed.
         val staged = in.select(col(FlowFrame.Uuid).cast("string").as("__u"),
-          stmtCol.as("__stmt"), col(FlowFrame.Attributes).as("__attrs"))
+          stmtCol.as("__stmt"),
+          map_filter(col(FlowFrame.Attributes),
+            (k, _) => k.startsWith("sql.args.")).as("__attrs"))
           .collect()
         val failed = staged.flatMap { r =>
           val args = sqlArgs(r.getMap[String, String](r.fieldIndex("__attrs")))
@@ -1050,10 +1058,13 @@ object Processors {
             val stmtCol = props.get("SQL select query")
               .map(el => ElCompiler.template(el))
               .getOrElse(col(FlowFrame.Content).cast("string"))
+            // Same driver-side bound as PutSQL: uuid + rendered statement
+            // + only the sql.args.* entries reach the collect.
             val staged = in0.select(
               col(FlowFrame.Uuid).cast("string").as("__u"),
               stmtCol.as("__stmt"),
-              col(FlowFrame.Attributes).as("__attrs")).collect()
+              map_filter(col(FlowFrame.Attributes),
+                (k, _) => k.startsWith("sql.args.")).as("__attrs")).collect()
             val results = staged.toSeq.map { r =>
               val u = r.getString(0)
               val args = sqlArgs(r.getMap[String, String](
