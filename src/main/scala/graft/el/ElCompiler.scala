@@ -88,7 +88,11 @@ object ElCompiler {
       def applyChain(v: Column): Column =
         mapCalls.foldLeft(v)((acc, c) => compileCall(Some(acc), c, attrs))
       val reduced = if (termIdx < 0) {
-        if (isAll) forall(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
+        // all() over an EMPTY candidate set is false, not vacuously true
+        // (ExpressionLanguageTests.cpp:1488 "All Matching Contains 2":
+        // a name pattern matching no attribute fails the all())
+        if (isAll) (coalesce(size(values), lit(0)) > 0) &&
+          forall(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
         else exists(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))
       } else calls(termIdx).name match {
         case "count" => size(filter(values, v => coalesce(applyChain(v).cast("boolean"), lit(false)))).cast("long")
@@ -348,8 +352,18 @@ object ElCompiler {
       case "toString"  => s0
 
       // --- encode/decode (Expression.cpp:446-751) ---
-      case "urlEncode" => url_encode(s0)
-      case "urlDecode" => url_decode(s0)
+      case "urlEncode" =>
+        // curl_easy_escape semantics (Expression.cpp:708-725): RFC 3986 —
+        // every byte outside [A-Za-z0-9-._~] percent-encoded, space as %20
+        // never '+'. java.net.URLEncoder (Spark url_encode) diverges on
+        // exactly three characters (space→'+', '*' kept, '~' encoded);
+        // each is unambiguous in the encoded text, so fix up post-encode.
+        replace(replace(replace(url_encode(s0),
+          lit("+"), lit("%20")), lit("*"), lit("%2A")), lit("%7E"), lit("~"))
+      case "urlDecode" =>
+        // curl_easy_unescape decodes %XX only — a literal '+' stays '+'
+        // (java.net.URLDecoder would turn it into a space); shield it.
+        url_decode(replace(s0, lit("+"), lit("%2B")))
       case "base64Encode" => base64(encode(s0, "UTF-8"))
       case "base64Decode" => decode(unbase64(s0), "UTF-8")
       case "escapeJson"   =>

@@ -122,7 +122,7 @@ class ElSpec extends SparkSpec {
   test("base64 / url / json escapes") {
     val attrs = Map("s" -> "a b&c", "j" -> "say \"hi\"\n")
     assert(eval("${s:base64Encode():base64Decode()}", attrs) === "a b&c")
-    assert(eval("${s:urlEncode()}", attrs) === "a+b%26c")
+    assert(eval("${s:urlEncode()}", attrs) === "a%20b%26c")
     assert(eval("${j:escapeJson()}", attrs) === "say \\\"hi\\\"\\n")
     assert(eval("${s:escapeXml()}", attrs) === "a b&amp;c")
   }
@@ -424,5 +424,118 @@ class ElSpec extends SparkSpec {
       Map("message" -> "2014/03/14")) === "03-13-2014")
     assert(eval("${blue:toDate('%Y%m%d%H%M%S', 'UTC'):format('%Y/%m/%d %H:%M:%SZ', 'Europe/Paris')}",
       Map("blue" -> "20130917162643")) === "2013/09/17 18:26:43.000Z")
+  }
+
+  test("quantifier Contains battery over multiple / matching / delineated " +
+       "attributes (ExpressionLanguageTests.cpp:1443-1589)") {
+    // All Contains / All Contains 2 / Any Contains / Any Contains 2
+    assert(eval("${allAttributes('a', 'b'):contains('hello')}",
+      Map("a" -> "hello 1", "b" -> "hello 2")) === "true")
+    assert(eval("${allAttributes('a', 'b'):contains('hello')}",
+      Map("a" -> "hello 1", "b" -> "mello 2")) === "false")
+    assert(eval("${anyAttribute('a', 'b'):contains('hello')}",
+      Map("a" -> "hello 1", "b" -> "mello 2")) === "true")
+    assert(eval("${anyAttribute('a', 'b'):contains('hello')}",
+      Map("a" -> "mello 1", "b" -> "mello 2")) === "false")
+    // All/Any Matching Contains 1-4: the name pattern is a WHOLE-name
+    // match; an empty candidate set makes all() false (2) and the
+    // matching subset alone decides (3)
+    assert(eval("${allMatchingAttributes('xyz_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "xyz_2" -> "hello 2")) === "true")
+    assert(eval("${allMatchingAttributes('abc_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "xyz_2" -> "hello 2")) === "false")
+    assert(eval("${allMatchingAttributes('abc_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "abc_2" -> "hello 2")) === "true")
+    assert(eval("${allMatchingAttributes('xyz_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "xyz_2" -> "2")) === "false")
+    assert(eval("${anyMatchingAttribute('xyz_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "xyz_2" -> "mello 2")) === "true")
+    assert(eval("${anyMatchingAttribute('abc_.*'):contains('hello')}",
+      Map("xyz_1" -> "hello 1", "xyz_2" -> "mello 2")) === "false")
+    assert(eval("${anyMatchingAttribute('abc_.*'):contains('hello')}",
+      Map("abc_1" -> "hello 1", "xyz_2" -> "mello 2")) === "true")
+    assert(eval("${anyMatchingAttribute('abc_.*'):contains('hello')}",
+      Map("xyz_1" -> "mello 1", "xyz_2" -> "mello 2")) === "false")
+    // All/Any Delineated Contains — incl. the delimiter-not-present case
+    // (3): one candidate = the whole value
+    val wl = Map("word_list" -> "hello_1,hello_2")
+    assert(eval("${allDelineatedValues(${word_list}, ','):contains('hello')}",
+      wl) === "true")
+    assert(eval("${allDelineatedValues(${word_list}, ','):contains('hello')}",
+      Map("word_list" -> "hello_1,mello_2")) === "false")
+    assert(eval("${allDelineatedValues(${word_list}, ' '):contains('1,h')}",
+      wl) === "true")
+    assert(eval("${anyDelineatedValue(${word_list}, ','):contains('hello')}",
+      Map("word_list" -> "hello_1,mello_2")) === "true")
+    assert(eval("${anyDelineatedValue(${word_list}, ','):contains('hello')}",
+      Map("word_list" -> "mello_1,mello_2")) === "false")
+  }
+
+  test("JSON / URL / B64 encode-decode reference vectors " +
+       "(ExpressionLanguageTests.cpp:1016-1038,1144-1166,1419-1442)") {
+    // Encode/Decode/Round-trip JSON
+    assert(eval("${message:escapeJson()}",
+      Map("message" -> "This is a \"test!\"")) === "This is a \\\"test!\\\"")
+    assert(eval("${message:unescapeJson()}",
+      Map("message" -> "This is a \\\"test!\\\"")) === "This is a \"test!\"")
+    assert(eval("${message:escapeJson():unescapeJson()}",
+      Map("message" -> "This is a \"test!\"")) === "This is a \"test!\"")
+    // Encode/Decode/Round-trip URL — curl_easy_escape semantics: %20 for
+    // space (never '+'), '~' unreserved, '*' escaped, '+' survives decode
+    assert(eval("${message:urlEncode()}",
+      Map("message" -> "some value with spaces")) ===
+      "some%20value%20with%20spaces")
+    assert(eval("${message:urlDecode()}",
+      Map("message" -> "some%20value%20with%20spaces")) ===
+      "some value with spaces")
+    assert(eval("${message:urlEncode():urlDecode()}",
+      Map("message" -> "some value with spaces")) === "some value with spaces")
+    assert(eval("${message:urlEncode()}", Map("message" -> "a~b*c+d")) ===
+      "a~b%2Ac%2Bd")
+    assert(eval("${message:urlDecode()}", Map("message" -> "a+b%20c")) ===
+      "a+b c")
+    // Encode/Decode/Round-trip B64
+    assert(eval("${message:base64Encode()}",
+      Map("message" -> "admin:admin")) === "YWRtaW46YWRtaW4=")
+    assert(eval("${message:base64Decode()}",
+      Map("message" -> "YWRtaW46YWRtaW4=")) === "admin:admin")
+    assert(eval("${message:base64Encode():base64Decode()}",
+      Map("message" -> "Zero > One < \"two!\" & 'true'")) ===
+      "Zero > One < \"two!\" & 'true'")
+  }
+
+  test("binary-op coercion table: int op iff both sides non-decimal, " +
+       "divide always decimal, mod both forms (Expression.cpp:833-861)") {
+    // both integral → integer op, integer rendering (no trailing .0)
+    assert(eval("${attr:plus(2)}", Map("attr" -> "3")) === "5")
+    assert(eval("${attr:multiply(-2)}", Map("attr" -> "3")) === "-6")
+    assert(eval("${attr:mod(3)}", Map("attr" -> "11")) === "2")
+    // either side decimal → long-double path
+    assert(eval("${attr:plus(2.5)}", Map("attr" -> "3")) === "5.5")
+    assert(eval("${attr:plus(2)}", Map("attr" -> "3.5")) === "5.5")
+    assert(math.abs(eval("${attr:mod(2.5)}", Map("attr" -> "11"))
+      .toDouble - 1.0) < 1e-9)
+    // divide is long_only=true: 11/2 is 5.5, never integer division
+    assert(eval("${attr:divide(2)}", Map("attr" -> "11")) === "5.5")
+    // GT3: int attr + decimal literal flows decimal through the chain
+    assert(eval("${attr:plus(5.1):gt(6.15)}", Map("attr" -> "1")) === "false")
+    assert(eval("${attr:plus(5.2):gt(6.15)}", Map("attr" -> "1")) === "true")
+    // GT4 'Value parsing errors' corner table: the reference throws
+    // per-FlowFile; a columnar engine cannot poison the whole batch
+    // (the try_cast design, ElCompiler.num), so the corners resolve:
+    //  - genuinely unparseable text -> null operand -> NEVER true, for
+    //    both polarities, instead of erroring;
+    for (bad <- Seq("banana1337", "app.le+1337")) {
+      assert(eval("${attr1:gt(13.37)}", Map("attr1" -> bad)) !== "true")
+      assert(eval("${attr1:le(13.37)}", Map("attr1" -> bad)) !== "true")
+    }
+    //  - out-of-int64/quad-range NUMERIC text (the reference's strtoll/
+    //    strtold "out of range" throws) parses on the double path and
+    //    compares by magnitude (2^64 and 1.19e4933 -> huge positives).
+    for (huge <- Seq("18446744073709551616",
+        "1.1897314953572317650857593266280070162e+4933", "1e300")) {
+      assert(eval("${attr1:gt(13.37)}", Map("attr1" -> huge)) === "true")
+      assert(eval("${attr1:le(13.37)}", Map("attr1" -> huge)) === "false")
+    }
   }
 }
