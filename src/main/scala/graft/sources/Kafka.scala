@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
  */
 object Kafka {
 
-  /** ConsumeKafka property surface (ConsumeKafka.h:93-233). */
+  /** ConsumeKafka property surface — the FULL set from
+    * ConsumeKafka.h:93-233 plus the enum planes at ConsumeKafka.h:40-46.
+    * Every field maps to a connector option (consumeOptions), an
+    * envelope/header projection (envelopeAttrs / headerAttr /
+    * headersAsAttrs), the bundle transform (demarcate), or a documented
+    * subsumption/rejection (commit policy — see consumeOptions). */
   case class ConsumeProps(
       brokers: String,                           // Kafka Brokers
       topicNames: Seq[String],                   // Topic Names
@@ -26,16 +31,40 @@ object Kafka {
       offsetReset: String = "latest",            // earliest | latest | none
       honorTransactions: Boolean = true,         // Honor Transactions
       maxPollRecords: Int = 10000,               // Max Poll Records
-      sessionTimeoutMs: Long = 60000)            // Session Timeout
+      sessionTimeoutMs: Long = 60000,            // Session Timeout
+      maxPollTimeMs: Long = 4000,                // Max Poll Time
+      keyAttributeEncoding: String = "UTF8",     // UTF8 | HEX
+      messageDemarcator: Option[String] = None,  // Message Demarcator
+      messageHeaderEncoding: String = "UTF8",    // UTF8 | HEX
+      headersToAddAsAttributes: Seq[String] = Nil,
+      duplicateHeaderHandling: String = "KEEP_LATEST",
+      commitPolicy: String = "Commit After Batch") // Commit Offsets Policy
 
   /**
    * → `spark.readStream.format("kafka").options(...)`. Offset Reset maps
    * to `startingOffsets` (the checkpoint supersedes it on restart, exactly
-   * like the reference's committed group offsets); Honor Transactions maps
+   * like the reference's committed group offsets); `none` (= error when no
+   * stored offset) keeps `failOnDataLoss=true` so a missing/expired offset
+   * fails the query instead of silently resetting. Honor Transactions maps
    * to `isolation.level`; Max Poll Records bounds the micro-batch via
-   * `maxOffsetsPerTrigger`.
+   * `maxOffsetsPerTrigger`; Max Poll Time maps to the consumer poll bound
+   * `kafkaConsumer.pollTimeoutMs`.
+   *
+   * Commit Offsets Policy (ConsumeKafka.h:40, :226-235): progress is
+   * owned by the streaming checkpoint — exactly-once, strictly stronger
+   * than the reference's at-least-once commit points — so `No Commit`,
+   * `Auto Commit` and `Commit After Batch` are subsumed (no option;
+   * Spark forbids `enable.auto.commit` outright).
+   * `Commit from incoming flowfiles` drives the consumer from OTHER
+   * flowfiles' attributes, which contradicts checkpoint-owned progress —
+   * rejected at build time with this explanation.
    */
   def consumeOptions(p: ConsumeProps): Map[String, String] = {
+    if (p.commitPolicy.equalsIgnoreCase("Commit from incoming flowfiles"))
+      throw new IllegalArgumentException(
+        "Commit Offsets Policy 'Commit from incoming flowfiles' is not " +
+        "supported: streaming progress is owned by the query checkpoint " +
+        "(exactly-once); external offset control would corrupt it")
     val subscription =
       if (p.topicNameFormat.equalsIgnoreCase("Patterns"))
         "subscribePattern" -> p.topicNames.mkString("|")
@@ -48,9 +77,12 @@ object Kafka {
         case "earliest" => "earliest"
         case _          => "latest"
       }),
+      "failOnDataLoss" ->
+        (if (p.offsetReset.equalsIgnoreCase("none")) "true" else "false"),
       "kafka.isolation.level" ->
         (if (p.honorTransactions) "read_committed" else "read_uncommitted"),
       "maxOffsetsPerTrigger" -> p.maxPollRecords.toString,
+      "kafkaConsumer.pollTimeoutMs" -> p.maxPollTimeMs.toString,
       "kafka.session.timeout.ms" -> p.sessionTimeoutMs.toString) ++
       (if (p.groupId.nonEmpty) Map("kafka.group.id" -> p.groupId) else Map.empty)
   }
@@ -77,13 +109,67 @@ object Kafka {
     "kafka.compression.type" -> p.compressCodec,
     "kafka.batch.size" -> p.batchSize.toString)
 
+  /** KafkaProcessorBase security surface (KafkaProcessorBase.h:34-90):
+    * Security Protocol {plaintext, ssl, sasl_plaintext, sasl_ssl}, SASL
+    * Mechanism {GSSAPI, PLAIN} with username/password, and the Kerberos
+    * triplet — each maps onto the consumer/producer `kafka.`-prefixed
+    * client config the connector passes through verbatim. */
+  case class SecurityProps(
+      securityProtocol: String = "plaintext",
+      saslMechanism: String = "GSSAPI",
+      username: String = "",              // for SASL PLAIN
+      password: String = "",
+      kerberosServiceName: String = "",
+      kerberosPrincipal: String = "",
+      kerberosKeytabPath: String = "")
+
+  def securityOptions(p: SecurityProps): Map[String, String] = {
+    val proto = p.securityProtocol.toLowerCase match {
+      case "plaintext"      => "PLAINTEXT"
+      case "ssl"            => "SSL"
+      case "sasl_plaintext" => "SASL_PLAINTEXT"
+      case "sasl_ssl"       => "SASL_SSL"
+      case other => throw new IllegalArgumentException(s"security protocol $other")
+    }
+    val sasl =
+      if (!proto.startsWith("SASL")) Map.empty[String, String]
+      else p.saslMechanism.toUpperCase match {
+        case "PLAIN" => Map(
+          "kafka.sasl.mechanism" -> "PLAIN",
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+             s"""username="${p.username}" password="${p.password}";"""))
+        case "GSSAPI" => Map(
+          "kafka.sasl.mechanism" -> "GSSAPI",
+          "kafka.sasl.kerberos.service.name" -> p.kerberosServiceName,
+          "kafka.sasl.jaas.config" ->
+            ("com.sun.security.auth.module.Krb5LoginModule required " +
+             s"""useKeyTab=true keyTab="${p.kerberosKeytabPath}" """ +
+             s"""principal="${p.kerberosPrincipal}";"""))
+        case other => throw new IllegalArgumentException(s"SASL mechanism $other")
+      }
+    Map("kafka.security.protocol" -> proto) ++ sasl
+  }
+
+  /** Key Attribute Encoding / Message Header Encoding
+    * (rdkafka_utils.h:32, rdkafka_utils.cpp:158-161): UTF8 passes the
+    * bytes through as text, HEX renders uppercase hex. */
+  def encoded(c: Column, encoding: String): Column =
+    encoding.toUpperCase match {
+      case "UTF8" | "UTF-8" => c.cast("string")
+      case "HEX"            => upper(hex(c.cast("binary")))
+      case other => throw new IllegalArgumentException(s"encoding $other")
+    }
+
   /**
    * Project the Kafka record envelope into FlowFile attributes
-   * (ConsumeKafka.cpp attribute stamping): key (UTF8 per Key Attribute
-   * Encoding), topic, partition, offset, timestamp.
+   * (ConsumeKafka.cpp:248-259 addAttributesToSingleMessageFlowFile):
+   * kafka.count = 1, key per Key Attribute Encoding, topic, partition,
+   * offset, timestamp.
    */
-  def envelopeAttrs(df: DataFrame): DataFrame = df
-    .withColumn("kafka.key", col("key").cast("string"))
+  def envelopeAttrs(df: DataFrame, keyEncoding: String = "UTF8"): DataFrame = df
+    .withColumn("kafka.count", lit("1"))
+    .withColumn("kafka.key", encoded(col("key"), keyEncoding))
     .withColumn("kafka.topic", col("topic"))
     .withColumn("kafka.partition", col("partition").cast("string"))
     .withColumn("kafka.offset", col("offset").cast("string"))
@@ -93,20 +179,59 @@ object Kafka {
    * Headers To Add As Attributes (ConsumeKafka.h:176-196): the connector
    * exposes `headers` as ARRAY<STRUCT<key,value>>; pick the named headers
    * with the Duplicate Header Handling policy — KEEP_FIRST, KEEP_LATEST
-   * (reference default) or COMMA_SEPARATED_MERGE.
+   * (reference default) or COMMA_SEPARATED_MERGE — then apply Message
+   * Header Encoding to the RESOLVED value (the reference encodes after
+   * the merge, ConsumeKafka.cpp:242).
    */
   def headerAttr(headersCol: Column, name: String,
-                 policy: String = "KEEP_LATEST"): Column = {
+                 policy: String = "KEEP_LATEST",
+                 encoding: String = "UTF8"): Column = {
     val matching = filter(headersCol, h => h.getField("key") === name)
     val values = transform(matching, h => h.getField("value").cast("string"))
     // try_element_at: an absent header is null, not an ANSI index error
-    policy match {
+    val resolved = policy match {
       case "KEEP_FIRST"            => try_element_at(values, lit(1))
       case "KEEP_LATEST"           => try_element_at(values, lit(-1))
       case "COMMA_SEPARATED_MERGE" => when(size(values) > 0, array_join(values, ", "))
       case other => throw new IllegalArgumentException(s"header policy $other")
     }
+    encoded(resolved, encoding)
   }
+
+  /** All configured headers as one attribute map (the per-FlowFile
+    * attribute stamping loop, ConsumeKafka.cpp:236-246): absent headers
+    * contribute no entry. */
+  def headersAsAttrs(headersCol: Column, names: Seq[String],
+                     policy: String = "KEEP_LATEST",
+                     encoding: String = "UTF8"): Column =
+    map_filter(
+      map_from_arrays(
+        array(names.map(lit(_)): _*),
+        array(names.map(headerAttr(headersCol, _, policy, encoding)): _*)),
+      (_, v) => v.isNotNull)
+
+  /**
+   * Message Demarcator (ConsumeKafka.h:156-166 + MessageBundle assembly,
+   * ConsumeKafka.cpp:262-268): one output per (topic, partition) poll
+   * bundle — contents joined by the demarcator in offset order,
+   * kafka.count = bundle size, kafka.offset = LARGEST offset in the
+   * bundle (the commit point), no header attributes (the reference only
+   * stamps headers on single-message FlowFiles). Map-side scale shape:
+   * one hash-agg keyed by (topic, partition).
+   */
+  def demarcate(df: DataFrame, demarcator: String): DataFrame = df
+    .groupBy(col("topic"), col("partition"))
+    .agg(
+      count(lit(1)).cast("string").as("kafka.count"),
+      max(col("offset")).cast("string").as("kafka.offset"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("offset"),
+            col("value").cast("string").as("v")))),
+          s => s.getField("v")),
+        demarcator).as("content"))
+    .withColumn("kafka.topic", col("topic"))
+    .withColumn("kafka.partition", col("partition").cast("string"))
 
   /** PublishKafka "Attributes to Send as Headers" (PublishKafka.h:125):
     * build the connector's headers array from the attribute map for the

@@ -97,4 +97,57 @@ object Mqtt {
       warnings += "MQTT 5.0 specification does not support Clean Session. Property is not used."
     Validation(errors.result(), warnings.result())
   }
+
+  /**
+   * Disposition of every reference MQTT property that does NOT map to a
+   * Bahir connector option string (AbstractMQTTProcessor.h:98-175,
+   * ConsumeMQTT.h, PublishMQTT.h): the conformance spec asserts the union
+   * of `consumeOptions`/`publishOptions` keys and this map covers the
+   * reference's full property tables, so nothing is silently dropped —
+   * a property is an option, a downstream transform, a validation rule,
+   * or an explicit connector-boundary rejection with the reason recorded.
+   */
+  val propertyDispositions: Map[String, String] = Map(
+    "Last Will Topic" ->
+      "rejected: the public Bahir MQTT source does not expose paho last-will configuration",
+    "Last Will Message" ->
+      "rejected: see Last Will Topic",
+    "Last Will QoS" ->
+      "rejected: see Last Will Topic",
+    "Last Will Retain" ->
+      "rejected: see Last Will Topic",
+    "Last Will Content Type" ->
+      "rejected: MQTT 5 will-properties; see Last Will Topic",
+    "Security Protocol" ->
+      "subsumed: the broker URI scheme (tcp:// vs ssl://) selects the transport in paho",
+    "Security CA" ->
+      "rejected: JVM TLS trust comes from the truststore, not a PEM path option",
+    "Security Cert" ->
+      "rejected: JVM TLS client certs come from the keystore, not a PEM path option",
+    "Security Private Key" ->
+      "rejected: see Security Cert",
+    "Security Pass Phrase" ->
+      "rejected: see Security Cert",
+    "Record Reader" ->
+      "transform: record.Records readers parse the payload AFTER the source (ConvertRecord composition)",
+    "Record Writer" ->
+      "transform: record.Records writers render the payload BEFORE the sink",
+    "Clean Start" ->
+      "validated: MQTT 5-only; validateConsume warns and ignores it on 3.x",
+    "Session Expiry Interval" ->
+      "validated: MQTT 5-only durability plane; validateConsume applies the version matrix",
+    "Queue Max Message" ->
+      "subsumed: backpressure is the micro-batch admission bound, not an in-process queue cap",
+    "Attribute From Content Type" ->
+      "rejected: MQTT 5 content-type metadata is not surfaced by the connector",
+    "Topic Alias Maximum" ->
+      "validated: MQTT 5-only; validateConsume warns and ignores it on 3.x",
+    "Receive Maximum" ->
+      "validated: MQTT 5-only; validateConsume warns and ignores it on 3.x",
+    "Add Attributes As Fields" ->
+      "transform: envelope columns are projected into the frame by the source schema",
+    "Message Expiry Interval" ->
+      "rejected: MQTT 5 publish-properties are not surfaced by the connector",
+    "Content Type" ->
+      "rejected: MQTT 5 publish-properties are not surfaced by the connector")
 }

@@ -145,6 +145,198 @@ class KafkaSpec extends SparkSpec {
         "Property is not used."))
   }
 
+  test("ConsumeKafka conformance table: every property and enum value " +
+       "(ConsumeKafka.h:40-46,93-235; KafkaProcessorBase.h:34-90) maps to " +
+       "a connector option, a projection/transform, or a documented " +
+       "rejection") {
+    import Kafka._
+    def opts(f: ConsumeProps => ConsumeProps): Map[String, String] =
+      consumeOptions(f(ConsumeProps("b:9092", Seq("t"))))
+    val headersDf = spark.sql(
+      """SELECT array(
+        |  named_struct('key', 'h', 'value', CAST('x' AS BINARY)),
+        |  named_struct('key', 'h', 'value', CAST('y' AS BINARY))
+        |) AS headers""".stripMargin)
+    val recordsDf = spark.sql(
+      """SELECT * FROM VALUES
+        | ('t', 0, CAST(5 AS LONG), CAST('m1' AS BINARY), CAST('k' AS BINARY), CAST('2026-01-01' AS TIMESTAMP)),
+        | ('t', 0, CAST(7 AS LONG), CAST('m2' AS BINARY), CAST('k' AS BINARY), CAST('2026-01-01' AS TIMESTAMP)),
+        | ('t', 1, CAST(3 AS LONG), CAST('m3' AS BINARY), CAST('k' AS BINARY), CAST('2026-01-01' AS TIMESTAMP))
+        |AS t(topic, partition, offset, value, key, timestamp)""".stripMargin)
+    val table: Seq[(String, () => Unit)] = Seq(
+      "Kafka Brokers" -> (() =>
+        assert(opts(identity)("kafka.bootstrap.servers") === "b:9092")),
+      "Topic Names" -> (() => assert(opts(identity)("subscribe") === "t")),
+      "Topic Name Format" -> { () => // enum: Names | Patterns
+        assert(opts(identity).contains("subscribe"))
+        assert(opts(_.copy(topicNameFormat = "Patterns"))
+          .contains("subscribePattern"))
+      },
+      "Honor Transactions" -> { () => // bool → isolation.level
+        assert(opts(identity)("kafka.isolation.level") === "read_committed")
+        assert(opts(_.copy(honorTransactions = false))("kafka.isolation.level")
+          === "read_uncommitted")
+      },
+      "Group ID" -> (() =>
+        assert(opts(_.copy(groupId = "g"))("kafka.group.id") === "g")),
+      "Offset Reset" -> { () => // enum: earliest | latest | none
+        assert(opts(_.copy(offsetReset = "earliest"))("startingOffsets") === "earliest")
+        assert(opts(identity)("startingOffsets") === "latest")
+        // none = fail when no/expired offset: failOnDataLoss carries it
+        assert(opts(_.copy(offsetReset = "none"))("failOnDataLoss") === "true")
+        assert(opts(identity)("failOnDataLoss") === "false")
+      },
+      "Key Attribute Encoding" -> { () => // enum: UTF8 | HEX
+        val r = Kafka.envelopeAttrs(recordsDf.limit(1), "HEX")
+          .select(col("`kafka.key`")).collect()(0).getString(0)
+        assert(r === "6B") // uppercase hex of 'k' (rdkafka_utils.cpp:160)
+        val u = Kafka.envelopeAttrs(recordsDf.limit(1), "UTF8")
+          .select(col("`kafka.key`")).collect()(0).getString(0)
+        assert(u === "k")
+      },
+      "Message Demarcator" -> { () => // bundle transform
+        val rows = Kafka.demarcate(recordsDf, "|").orderBy("partition")
+          .select(col("content"), col("`kafka.count`"), col("`kafka.offset`"))
+          .collect()
+        assert(rows(0).getString(0) === "m1|m2") // offset order within bundle
+        assert(rows(0).getString(1) === "2")     // kafka.count = bundle size
+        assert(rows(0).getString(2) === "7")     // kafka.offset = largest
+        assert(rows(1).getString(0) === "m3")
+      },
+      "Message Header Encoding" -> { () => // enum: UTF8 | HEX, post-merge
+        val hexMerged = headersDf.select(Kafka.headerAttr(col("headers"),
+          "h", "COMMA_SEPARATED_MERGE", "HEX")).collect()(0).getString(0)
+        assert(hexMerged === "782C2079") // hex("x, y") — encode AFTER merge
+      },
+      "Headers To Add As Attributes" -> { () =>
+        val m = headersDf.select(Kafka.headersAsAttrs(col("headers"),
+          Seq("h", "absent")).as("m")).collect()(0)
+          .getMap[String, String](0)
+        assert(m === Map("h" -> "y")) // absent header → no attribute entry
+      },
+      "Duplicate Header Handling" -> { () => // enum: 3 policies
+        def get(p: String) = headersDf.select(
+          Kafka.headerAttr(col("headers"), "h", p)).collect()(0).getString(0)
+        assert(get("KEEP_FIRST") === "x")
+        assert(get("KEEP_LATEST") === "y")
+        assert(get("COMMA_SEPARATED_MERGE") === "x, y")
+      },
+      "Max Poll Records" -> (() =>
+        assert(opts(_.copy(maxPollRecords = 42))("maxOffsetsPerTrigger") === "42")),
+      "Max Poll Time" -> (() =>
+        assert(opts(_.copy(maxPollTimeMs = 1234))("kafkaConsumer.pollTimeoutMs") === "1234")),
+      "Session Timeout" -> (() =>
+        assert(opts(_.copy(sessionTimeoutMs = 9000))("kafka.session.timeout.ms") === "9000")),
+      "Commit Offsets Policy" -> { () => // enum: 3 subsumed + 1 rejected
+        for (subsumed <- Seq("No Commit", "Auto Commit", "Commit After Batch"))
+          assert(!opts(_.copy(commitPolicy = subsumed)).keys
+            .exists(_.contains("commit"))) // checkpoint owns progress
+        intercept[IllegalArgumentException] {
+          opts(_.copy(commitPolicy = "Commit from incoming flowfiles"))
+        }
+      },
+      "SSL Context Service" -> { () => // base security plane
+        assert(Kafka.securityOptions(Kafka.SecurityProps("ssl"))(
+          "kafka.security.protocol") === "SSL")
+      },
+      "Security Protocol" -> { () => // enum: 4 values
+        for ((in, out) <- Seq("plaintext" -> "PLAINTEXT", "ssl" -> "SSL",
+            "sasl_plaintext" -> "SASL_PLAINTEXT", "sasl_ssl" -> "SASL_SSL"))
+          assert(Kafka.securityOptions(Kafka.SecurityProps(in))(
+            "kafka.security.protocol") === out)
+      },
+      "SASL Mechanism" -> { () => // enum: GSSAPI | PLAIN
+        val plain = Kafka.securityOptions(Kafka.SecurityProps(
+          "sasl_plaintext", "PLAIN", username = "u", password = "p"))
+        assert(plain("kafka.sasl.mechanism") === "PLAIN")
+        assert(plain("kafka.sasl.jaas.config").contains("username=\"u\""))
+        val gss = Kafka.securityOptions(Kafka.SecurityProps(
+          "sasl_ssl", "GSSAPI", kerberosServiceName = "kafka",
+          kerberosPrincipal = "svc@REALM", kerberosKeytabPath = "/kt"))
+        assert(gss("kafka.sasl.mechanism") === "GSSAPI")
+        assert(gss("kafka.sasl.kerberos.service.name") === "kafka")
+      },
+      "Kerberos Service Name" -> (() => ()), // asserted under SASL Mechanism
+      "Kerberos Principal" -> { () =>
+        assert(Kafka.securityOptions(Kafka.SecurityProps("sasl_ssl", "GSSAPI",
+          kerberosPrincipal = "svc@REALM"))("kafka.sasl.jaas.config")
+          .contains("principal=\"svc@REALM\""))
+      },
+      "Kerberos Keytab Path" -> { () =>
+        assert(Kafka.securityOptions(Kafka.SecurityProps("sasl_ssl", "GSSAPI",
+          kerberosKeytabPath = "/kt"))("kafka.sasl.jaas.config")
+          .contains("keyTab=\"/kt\""))
+      },
+      "Username" -> (() => ()),  // asserted under SASL Mechanism (PLAIN)
+      "Password" -> (() => ()))
+    table.foreach { case (prop, check) =>
+      withClue(s"property '$prop': ")(check())
+    }
+    // completeness: the table names every property in the reference's
+    // ConsumeKafka + KafkaProcessorBase Properties arrays
+    val referenceProps = Set(
+      "Kafka Brokers", "Topic Names", "Topic Name Format",
+      "Honor Transactions", "Group ID", "Offset Reset",
+      "Key Attribute Encoding", "Message Demarcator",
+      "Message Header Encoding", "Headers To Add As Attributes",
+      "Duplicate Header Handling", "Max Poll Records", "Max Poll Time",
+      "Session Timeout", "Commit Offsets Policy",
+      "SSL Context Service", "Security Protocol", "Kerberos Service Name",
+      "Kerberos Principal", "Kerberos Keytab Path", "SASL Mechanism",
+      "Username", "Password")
+    assert(referenceProps.subsetOf(table.map(_._1).toSet))
+  }
+
+  test("MQTT conformance table: every AbstractMQTTProcessor/ConsumeMQTT/" +
+       "PublishMQTT property maps to a connector option or a documented " +
+       "disposition (option, transform, validation rule, or rejection " +
+       "with reason)") {
+    import graft.sources.Mqtt
+    val conn = Mqtt.ConnectionProps("tcp://b:1883", clientId = "c",
+      qos = 1, username = "u", password = "p", connectionTimeoutSec = 11,
+      keepAliveSec = 22, mqttVersion = "3.1.1", cleanSession = false)
+    val consume = Mqtt.consumeOptions(conn, "top/#", "/tmp/store")
+    val publish = Mqtt.publishOptions(conn, "out", retain = true)
+    // option-mapped plane, property name → option key
+    val optionMapped = Map(
+      "Broker URI" -> "brokerUrl", "Client ID" -> "clientId",
+      "Quality of Service" -> "QoS", "MQTT Version" -> "mqttVersion",
+      "Connection Timeout" -> "connectionTimeout",
+      "Keep Alive Interval" -> "keepAlive", "Username" -> "username",
+      "Password" -> "password", "Clean Session" -> "cleanSession",
+      "Topic" -> "topic")
+    optionMapped.foreach { case (prop, key) =>
+      withClue(s"property '$prop': ")(
+        assert(consume.contains(key) || publish.contains(key)))
+    }
+    assert(publish("retained") === "true") // PublishMQTT Retain
+    // completeness: the union of option-mapped names, the Retain flag,
+    // and the documented dispositions covers the reference tables
+    val referenceProps = Set(
+      // AbstractMQTTProcessor.h:98-175
+      "Broker URI", "Client ID", "Quality of Service", "MQTT Version",
+      "Connection Timeout", "Keep Alive Interval", "Last Will Topic",
+      "Last Will Message", "Last Will QoS", "Last Will Retain",
+      "Last Will Content Type", "Username", "Password",
+      "Security Protocol", "Security CA", "Security Cert",
+      "Security Private Key", "Security Pass Phrase",
+      // ConsumeMQTT.h
+      "Record Reader", "Topic", "Clean Session", "Clean Start",
+      "Session Expiry Interval", "Queue Max Message",
+      "Attribute From Content Type", "Topic Alias Maximum",
+      "Receive Maximum", "Add Attributes As Fields",
+      // PublishMQTT.h
+      "Record Writer", "Retain", "Message Expiry Interval", "Content Type")
+    val covered = optionMapped.keySet ++ Set("Retain") ++
+      Mqtt.propertyDispositions.keySet
+    val missing = referenceProps -- covered
+    assert(missing.isEmpty, s"undocumented properties: $missing")
+    // every disposition carries a category and a reason
+    Mqtt.propertyDispositions.values.foreach { d =>
+      assert(d.matches("^(rejected|subsumed|transform|validated): .+"))
+    }
+  }
+
   test("envelope projection stamps the kafka.* attribute set") {
     val df = spark.sql(
       """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,
