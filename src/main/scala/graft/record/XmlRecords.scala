@@ -281,4 +281,166 @@ object XmlRecords {
     }
     fn(content)
   }
+
+  // -- XMLRecordSetWriter --------------------------------------------------
+
+  /**
+   * XMLRecordSetWriter configuration — the controller's full property
+   * surface (XMLRecordSetWriter.h; semantics XMLRecordSetWriter.cpp:27-64).
+   * `validated()` applies the reference's onEnable rules with its exact
+   * error texts: record/root tag required, the two array-wrap modes
+   * require Array Tag Name, unknown wrap values rejected.
+   */
+  case class XmlWriterOptions(
+      recordTag: String,
+      rootTag: String,
+      wrapElementsOfArrays: String = "No Wrapping",
+      arrayTagName: String = "",
+      omitXmlDeclaration: Boolean = false,
+      prettyPrint: Boolean = false) {
+    def validated(): XmlWriterOptions = {
+      val wrapValues =
+        Set("No Wrapping", "Use Property as Wrapper", "Use Property for Elements")
+      if (!wrapValues(wrapElementsOfArrays))
+        throw new IllegalArgumentException(
+          s"Invalid value for Wrap Elements of Arrays property: $wrapElementsOfArrays")
+      if (arrayTagName.isEmpty && wrapElementsOfArrays != "No Wrapping")
+        throw new IllegalArgumentException(
+          "Array Tag Name property must be set when Wrap Elements of Arrays " +
+          "is set to Use Property as Wrapper or Use Property for Elements")
+      if (recordTag.isEmpty)
+        throw new IllegalArgumentException("Name of Record Tag property must be set")
+      if (rootTag.isEmpty)
+        throw new IllegalArgumentException("Name of Root Tag property must be set")
+      this
+    }
+  }
+
+  private sealed trait WNode
+  private final case class WElem(name: String, children: Seq[WElem],
+                                 text: Option[String]) extends WNode
+
+  /** fmt "{:g}" (XMLRecordSetWriter.cpp:117): %g with trailing zeros and a
+    * bare trailing dot stripped from the mantissa; inf/nan lowercase. */
+  private def gFormat(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    val s = String.format(java.util.Locale.ROOT, "%g", Double.box(d))
+    val i = s.indexWhere(c => c == 'e' || c == 'E')
+    val (m, e) = if (i < 0) (s, "") else (s.substring(0, i), s.substring(i))
+    val m2 =
+      if (m.contains('.')) m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else m
+    m2 + e
+  }
+
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c   => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def leafText(v: Any): String = v match {
+    case b: Boolean => if (b) "true" else "false"
+    case d: Double  => gFormat(d)
+    case f: Float   => gFormat(f.toDouble)
+    case t: java.sql.Timestamp =>
+      StrictUtc.format(t.toInstant) // second precision, like getDateTimeStr
+    case i: Instant => StrictUtc.format(i)
+    case other      => other.toString
+  }
+
+  /** convertRecordField / convertRecordArrayField
+    * (XMLRecordSetWriter.cpp:82-136): arrays dispatch on the wrap mode —
+    * wrapper = one Array-Tag node holding field-named elements; elements =
+    * one field-named node holding Array-Tag elements; no wrapping =
+    * repeated field-named siblings. Null fields emit nothing. */
+  private def fieldNodes(name: String, v: Any,
+                         o: XmlWriterOptions): Seq[WElem] = v match {
+    case null => Nil
+    case arr: scala.collection.Seq[_] => o.wrapElementsOfArrays match {
+      case "Use Property as Wrapper" =>
+        Seq(WElem(o.arrayTagName,
+          arr.toSeq.flatMap(fieldNodes(name, _, o)), None))
+      case "Use Property for Elements" =>
+        Seq(WElem(name,
+          arr.toSeq.flatMap(fieldNodes(o.arrayTagName, _, o)), None))
+      case _ =>
+        arr.toSeq.flatMap(fieldNodes(name, _, o))
+    }
+    case r: org.apache.spark.sql.Row =>
+      Seq(WElem(name, rowNodes(r, o), None))
+    case other => Seq(WElem(name, Nil, Some(leafText(other))))
+  }
+
+  private def rowNodes(r: org.apache.spark.sql.Row,
+                       o: XmlWriterOptions): Seq[WElem] =
+    r.schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      fieldNodes(f.name, if (r.isNullAt(i)) null else r.get(i), o)
+    }
+
+  /** pugixml save with format_indent ("  ") or format_raw, optional
+    * declaration (formatXmlOutput, XMLRecordSetWriter.cpp:66-80):
+    * childless elements self-close, text-only elements stay inline,
+    * pretty output ends with a newline. */
+  private def serialize(root: WElem, o: XmlWriterOptions): String = {
+    val sb = new StringBuilder
+    if (!o.omitXmlDeclaration) {
+      sb.append("<?xml version=\"1.0\"?>")
+      if (o.prettyPrint) sb.append('\n')
+    }
+    def ser(e: WElem, depth: Int): Unit = {
+      if (o.prettyPrint) sb.append("  " * depth)
+      sb.append('<').append(e.name)
+      if (e.children.isEmpty && e.text.isEmpty) sb.append("/>")
+      else if (e.children.isEmpty) {
+        sb.append('>').append(xmlEscape(e.text.get))
+          .append("</").append(e.name).append('>')
+      } else {
+        sb.append('>')
+        if (o.prettyPrint) sb.append('\n')
+        e.children.foreach { k =>
+          ser(k, depth + 1)
+          if (o.prettyPrint) sb.append('\n')
+        }
+        if (o.prettyPrint) sb.append("  " * depth)
+        sb.append("</").append(e.name).append('>')
+      }
+    }
+    ser(root, 0)
+    if (o.prettyPrint) sb.append('\n')
+    sb.toString
+  }
+
+  /** Render one record set (a Seq of record Rows) as the reference's XML
+    * document: root tag wrapping one record-tag node per record
+    * (convertRecordSetToXml, XMLRecordSetWriter.cpp:138-151). */
+  def recordSetToXml(records: scala.collection.Seq[org.apache.spark.sql.Row],
+                     opts: XmlWriterOptions): String = {
+    val o = opts.validated()
+    val root = WElem(o.rootTag,
+      Option(records).getOrElse(Nil).toSeq
+        .map(r => WElem(o.recordTag, rowNodes(r, o), None)),
+      None)
+    serialize(root, o)
+  }
+
+  /** Column form: ARRAY<STRUCT<...>> record set → XML string. Options are
+    * validated at plan build (schedule time), exactly like onEnable. */
+  def recordSetXml(recordsCol: Column, opts: XmlWriterOptions): Column = {
+    val o = opts.validated()
+    val fn = udf(
+      new org.apache.spark.sql.api.java.UDF1[
+          scala.collection.Seq[org.apache.spark.sql.Row], String] {
+        override def call(rows: scala.collection.Seq[org.apache.spark.sql.Row])
+            : String = recordSetToXml(rows, o)
+      },
+      org.apache.spark.sql.types.StringType)
+    fn(recordsCol)
+  }
 }

@@ -362,4 +362,115 @@ class RecordsSpec extends SparkSpec {
     assert(out(0).getSeq[String](1) === Seq("""{"a":[1,2],"value":"x"}"""))
     assert(out(1).isNullAt(1))
   }
+
+  test("XMLRecordSetWriter validation: wrap modes need Array Tag Name, " +
+       "record/root tags required (XMLRecordSetWriterTests.cpp:151-167)") {
+    import graft.record.XmlRecords.XmlWriterOptions
+    for (wrap <- Seq("Use Property as Wrapper", "Use Property for Elements")) {
+      val e = intercept[IllegalArgumentException](
+        XmlWriterOptions("record", "root", wrap).validated())
+      assert(e.getMessage.contains("Array Tag Name property must be set"))
+    }
+    assert(intercept[IllegalArgumentException](
+      XmlWriterOptions("", "root").validated()).getMessage ===
+      "Name of Record Tag property must be set")
+    assert(intercept[IllegalArgumentException](
+      XmlWriterOptions("record", "").validated()).getMessage ===
+      "Name of Root Tag property must be set")
+    assert(intercept[IllegalArgumentException](
+      XmlWriterOptions("record", "root", "bogus").validated()).getMessage
+      .contains("Invalid value for Wrap Elements of Arrays"))
+  }
+
+  test("XMLRecordSetWriter battery: empty set, primitives incl. {:g} " +
+       "doubles and second-precision timestamps, nested objects, the three " +
+       "array wrap modes, multiple records, pretty print " +
+       "(XMLRecordSetWriterTests.cpp:169-353)") {
+    import graft.record.XmlRecords
+    import graft.record.XmlRecords.XmlWriterOptions
+    val base = XmlWriterOptions("record", "root")
+
+    // empty record set, with and without the declaration
+    assert(XmlRecords.recordSetToXml(Nil, base) ===
+      """<?xml version="1.0"?><root/>""")
+    assert(XmlRecords.recordSetToXml(Nil,
+      base.copy(omitXmlDeclaration = true)) === "<root/>")
+
+    // primitives through the Column form (real Spark types end-to-end)
+    val prim = spark.sql(
+      """SELECT array(named_struct(
+        |  'string_field', 'value1',
+        |  'uint_field', CAST(42 AS BIGINT),
+        |  'double_field', CAST(2.3 AS DOUBLE),
+        |  'bool_field', true,
+        |  'time_point_field', CAST('2025-01-01 00:00:00 UTC' AS TIMESTAMP)
+        |)) AS rs""".stripMargin)
+      .select(XmlRecords.recordSetXml(col("rs"), base)).collect()(0).getString(0)
+    assert(prim ===
+      """<?xml version="1.0"?><root><record><string_field>value1</string_field>""" +
+      """<uint_field>42</uint_field><double_field>2.3</double_field>""" +
+      """<bool_field>true</bool_field>""" +
+      """<time_point_field>2025-01-01T00:00:00Z</time_point_field>""" +
+      """</record></root>""")
+
+    // nested object + object array, No Wrapping (repeated siblings)
+    val nested = spark.sql(
+      """SELECT array(named_struct(
+        | 'string_field', 'value1',
+        | 'inner_object', named_struct(
+        |   'inner_field', array('inner_value1', 'inner_value2'))
+        |)) AS rs""".stripMargin)
+      .select(XmlRecords.recordSetXml(col("rs"), base)).collect()(0).getString(0)
+    assert(nested.contains("<inner_object>" +
+      "<inner_field>inner_value1</inner_field>" +
+      "<inner_field>inner_value2</inner_field></inner_object>"))
+
+    // wrapper mode: root/record/array/array_field*
+    val arrDf = spark.sql(
+      "SELECT array(named_struct('array_field', " +
+        "array('inner_value1', 'inner_value2'))) AS rs")
+    val wrapped = arrDf.select(XmlRecords.recordSetXml(col("rs"),
+      base.copy(wrapElementsOfArrays = "Use Property as Wrapper",
+        arrayTagName = "array"))).collect()(0).getString(0)
+    assert(wrapped.contains("<record><array>" +
+      "<array_field>inner_value1</array_field>" +
+      "<array_field>inner_value2</array_field></array></record>"))
+
+    // elements mode: root/record/array_field/element_name*
+    val elements = arrDf.select(XmlRecords.recordSetXml(col("rs"),
+      base.copy(wrapElementsOfArrays = "Use Property for Elements",
+        arrayTagName = "element_name"))).collect()(0).getString(0)
+    assert(elements.contains("<record><array_field>" +
+      "<element_name>inner_value1</element_name>" +
+      "<element_name>inner_value2</element_name></array_field></record>"))
+
+    // multiple records under one root
+    val multi = spark.sql(
+      """SELECT array(
+        | named_struct('string_field', 'value1', 'uint_field', CAST(42 AS BIGINT)),
+        | named_struct('string_field', 'value1', 'uint_field', CAST(42 AS BIGINT))
+        |) AS rs""".stripMargin)
+      .select(XmlRecords.recordSetXml(col("rs"), base)).collect()(0).getString(0)
+    assert("<record>".r.findAllIn(multi).size === 2)
+
+    // pretty print: exact reference bytes
+    val pretty = spark.sql(
+      "SELECT array(named_struct('bool_field', true)) AS rs")
+      .select(XmlRecords.recordSetXml(col("rs"),
+        base.copy(prettyPrint = true))).collect()(0).getString(0)
+    assert(pretty ===
+      "<?xml version=\"1.0\"?>\n<root>\n  <record>\n    " +
+      "<bool_field>true</bool_field>\n  </record>\n</root>\n")
+
+    // {:g} double formatting corners + escaping
+    val g = spark.sql(
+      """SELECT array(named_struct(
+        | 'six_sig', CAST(1234567.0 AS DOUBLE),
+        | 'whole', CAST(42.0 AS DOUBLE),
+        | 'esc', 'a<b&c>d')) AS rs""".stripMargin)
+      .select(XmlRecords.recordSetXml(col("rs"), base)).collect()(0).getString(0)
+    assert(g.contains("<six_sig>1.23457e+06</six_sig>")) // %g rounds to 6 sig
+    assert(g.contains("<whole>42</whole>"))              // zeros stripped
+    assert(g.contains("<esc>a&lt;b&amp;c&gt;d</esc>"))
+  }
 }
