@@ -26,8 +26,20 @@ object ElCompiler {
 
   type AttrResolver = String => Column
 
-  /** Default resolver: FlowFrame attributes map (null when absent). */
-  val flowAttrs: AttrResolver = name => element_at(col(FlowFrame.Attributes), name)
+  /** Variable registry — the reference's minifi.properties-backed plane
+    * (ExpressionLanguageInDynamicPropertiesTests.cpp:42
+    * `${'nifi.my.own.property'}`): an EL name reference resolves the
+    * FlowFile attribute first and falls back to the registry constant.
+    * Set per flow build (FlowRunner.run) on the driver at plan-build
+    * time; the value embeds as a literal, executors never see the map. */
+  @volatile var variableRegistry: Map[String, String] = Map.empty
+
+  /** Default resolver: FlowFrame attributes map (null when absent),
+    * with the variable registry as the absent-attribute fallback. */
+  val flowAttrs: AttrResolver = name => {
+    val attr = element_at(col(FlowFrame.Attributes), name)
+    variableRegistry.get(name).map(v => coalesce(attr, lit(v))).getOrElse(attr)
+  }
 
   /** Compile a full property value (text + embedded expressions) to a string
     * Column. Multiple parts concatenate, like the reference's expression

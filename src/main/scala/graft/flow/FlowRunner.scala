@@ -48,7 +48,13 @@ object FlowRunner {
   }
 
   def run(spark: SparkSession, flow: FlowDef,
-          materializeFanOut: Boolean = true): FlowResult = {
+          materializeFanOut: Boolean = true,
+          variables: Map[String, String] = Map.empty): FlowResult = {
+    // the variable registry backs ${'name'} refs for attributes that do
+    // not exist on the FlowFile (minifi.properties plane); plan building
+    // below is synchronous on the driver, so a plain set-before-build is
+    // race-free and the compiled plans embed the values as literals
+    graft.el.ElCompiler.variableRegistry = variables
     val incoming = flow.connections.groupBy(_.destinationId)
     // a processor output consumed by 2+ connections would otherwise be
     // recomputed once per downstream plan (separate DataFrame actions share
@@ -386,10 +392,21 @@ object Processors {
       case "ExtractText" =>
         val static = Set("Regex Mode", "Include Capture Group 0",
           "Enable repeating capture group", "Maximum Capture Group Length",
-          "Size Limit", "Insensitive Match", "Maximum Capture Group Count")
+          "Size Limit", "Insensitive Match", "Maximum Capture Group Count",
+          "Attribute")
         val pats = dynamicProps(static)
         val out =
-          if (Units.parseBool(prop("Regex Mode", "false")))
+          if (!Units.parseBool(prop("Regex Mode", "false")) &&
+              props.contains("Attribute")) {
+            // non-regex mode: the whole content (bounded by Size Limit
+            // during the read, 0 = unlimited) lands in the named
+            // attribute (ExtractText.cpp:61-63,138)
+            val limit = prop("Size Limit", "2097152").toLong
+            val text = content.cast("string")
+            FlowFrame.withAttrs(in, Seq(req("Attribute") ->
+              (if (limit == 0) text else substring(text, 1, limit.toInt))))
+          }
+          else if (Units.parseBool(prop("Regex Mode", "false")))
             Transforms.extractTextRegex(in, content.cast("string"), pats,
               includeGroupZero =
                 Units.parseBool(prop("Include Capture Group 0", "true")),
@@ -893,16 +910,31 @@ object Processors {
           case other => throw new IllegalArgumentException(
             s"unsupported record reader '$other'")
         }
+        val isXmlWriter = writer.clazz.endsWith("XMLRecordSetWriter")
         def render(rec: Column): Column = writer.clazz match {
           case c if c.endsWith("JsonRecordSetWriter") =>
             graft.record.Records.jsonPerObject(rec)
           case c if c.endsWith("CSVRecordSetWriter") =>
             graft.record.Records.jsonToCsvLine(rec, schema.fieldNames.toSeq)
-          case c if c.endsWith("XMLRecordSetWriter") =>
-            graft.record.Records.xmlWriter(rec,
-              writer.properties.getOrElse("Name of Record Tag", "record"))
           case other => throw new IllegalArgumentException(
             s"unsupported record writer '$other'")
+        }
+        // XMLRecordSetWriter writes the WHOLE record set as one rooted
+        // document (convertRecordSetToXml) with the controller's full
+        // option surface — validated at flow build, like onEnable
+        def renderXmlSet(recs: Column): Column = {
+          val p = writer.properties
+          graft.record.XmlRecords.recordSetXml(recs,
+            graft.record.XmlRecords.XmlWriterOptions(
+              recordTag = p.getOrElse("Name of Record Tag", ""),
+              rootTag = p.getOrElse("Name of Root Tag", ""),
+              wrapElementsOfArrays =
+                p.getOrElse("Wrap Elements of Arrays", "No Wrapping"),
+              arrayTagName = p.getOrElse("Array Tag Name", ""),
+              omitXmlDeclaration =
+                Units.parseBool(p.getOrElse("Omit XML Declaration", "false")),
+              prettyPrint =
+                Units.parseBool(p.getOrElse("Pretty Print XML", "false"))))
         }
         // an element rendering to "{}" carries no fields — the XML
         // reader's zero-record shape (<record></record>,
@@ -933,8 +965,11 @@ object Processors {
               .otherwise(col(FlowFrame.Attributes)))
           .withColumn(FlowFrame.Content,
             when(col("__n") > 0,
-              array_join(transform(recs, r => render(r)), "\n"))
-              .when(col("__n") === 0, lit(""))
+              if (isXmlWriter) renderXmlSet(recs)
+              else array_join(transform(recs, r => render(r)), "\n"))
+              .when(col("__n") === 0,
+                // zero records still produce the empty rooted document
+                if (isXmlWriter) renderXmlSet(recs) else lit(""))
               .otherwise(content))
           // zero-record FlowFiles drop entirely unless included
           .filter(col("__n") =!= 0 || lit(includeZero))

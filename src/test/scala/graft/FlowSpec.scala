@@ -1035,6 +1035,103 @@ class FlowSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("success", "ann,7")))
   }
 
+  test("EL in dynamic properties: variable-registry refs and per-FlowFile " +
+       "PutFile directories (ExpressionLanguageInDynamicPropertiesTests.cpp)") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-eldp-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-eldp-out")
+    java.nio.file.Files.writeString(inDir.resolve("file"), "extracted_attr")
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: GetFile
+         |  id: g
+         |  class: org.apache.nifi.minifi.processors.GetFile
+         |  Properties: {Input Directory: '$inDir'}
+         |- name: UpdateAttribute
+         |  id: u
+         |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+         |  Properties:
+         |    prop_attr: $${'nifi.my.own.property'}_added
+         |- name: ExtractText
+         |  id: e
+         |  class: org.apache.nifi.minifi.processors.ExtractText
+         |  Properties: {Attribute: extracted_attr_name}
+         |- name: PutFile
+         |  id: p
+         |  class: org.apache.nifi.minifi.processors.PutFile
+         |  Properties:
+         |    Directory: $outDir/$${extracted_attr_name}
+         |    Conflict Resolution Strategy: replace
+         |    Create Missing Directories: 'true'
+         |Connections:
+         |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+         |- {id: c2, source id: u, source relationship names: [success], destination id: e}
+         |- {id: c3, source id: e, source relationship names: [success], destination id: p}
+         |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml),
+      variables = Map("nifi.my.own.property" -> "custom_value"))
+    val rows = result.output("PutFile")
+      .select(col("relationship"),
+        element_at(col("attributes"), "prop_attr"),
+        element_at(col("attributes"), "extracted_attr_name"))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "success")
+    // the registry value resolved at plan build and composed with text
+    assert(rows(0).getString(1) === "custom_value_added")
+    assert(rows(0).getString(2) === "extracted_attr")
+    // the EL-evaluated per-FlowFile directory received the content
+    val written = outDir.resolve("extracted_attr").resolve("file")
+    assert(java.nio.file.Files.readString(written) === "extracted_attr")
+  }
+
+  test("ConvertRecord with XMLRecordSetWriter renders the whole record set " +
+       "as one rooted document with the controller's option surface " +
+       "(XMLRecordSetWriterTests.cpp wrapper mode)") {
+    val yml =
+      """MiNiFi Config Version: 3
+        |Processors:
+        |- name: gen
+        |  id: g
+        |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+        |  Properties: {Batch Size: '1', Custom Text: '[{"name":"ann","tags":["a","b"]},{"name":"bob","tags":["c"]}]'}
+        |- name: conv
+        |  id: c
+        |  class: org.apache.nifi.minifi.processors.ConvertRecord
+        |  Properties:
+        |    Record Reader: json-reader
+        |    Record Writer: xml-writer
+        |Connections:
+        |- {id: c1, source id: g, source relationship names: [success], destination id: c}
+        |Controller Services:
+        |- id: json-reader
+        |  name: json-reader
+        |  class: JsonTreeReader
+        |  Properties:
+        |    Schema Text: "name STRING, tags ARRAY<STRING>"
+        |- id: xml-writer
+        |  name: xml-writer
+        |  class: XMLRecordSetWriter
+        |  Properties:
+        |    Name of Record Tag: record
+        |    Name of Root Tag: root
+        |    Wrap Elements of Arrays: Use Property as Wrapper
+        |    Array Tag Name: array
+        |    Omit XML Declaration: 'true'
+        |""".stripMargin
+    val result = FlowRunner.run(spark, FlowConfig.parse(yml))
+    val rows = result.output("conv").select("relationship", "content")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === 1 && rows(0)._1 === "success")
+    assert(rows(0)._2 ===
+      "<root>" +
+        "<record><name>ann</name>" +
+          "<array><tags>a</tags><tags>b</tags></array></record>" +
+        "<record><name>bob</name>" +
+          "<array><tags>c</tags></array></record>" +
+      "</root>")
+  }
+
   test("Couchbase flow: PutCouchbaseKey then GetCouchbaseKey through the " +
        "controller-service-resolved cluster (GetCouchbaseKey.cpp:32-110)") {
     def yml(kind: String, extra: String) =

@@ -88,6 +88,69 @@ class OperatorSpec extends SparkSpec {
       (2L, "retry"), (3L, "retries_exceeded"), (1L, "retry")))
   }
 
+  test("RetryFlowFile routing matrix: reuse modes × uuid match × " +
+       "non-numeric counts × retry limits (RetryFlowFileTests.cpp:190-245)") {
+    val uuid = "proc-1"; val other = "proc-2"
+    // (value-before, .uuid attr, maxRetries, failOnNonNum, reuseMode,
+    //  expected relationship, expected outbound count attr)
+    case class Case(value: Option[String], uuidAttr: Option[String],
+                    maxRetries: Int = 3, failNonNum: Boolean = false,
+                    mode: Routing.ReuseMode = Routing.FailOnReuse,
+                    expRel: String, expCount: Option[String])
+    val matrix = Seq(
+      // no attr at all → first retry
+      Case(None, None, expRel = "retry", expCount = Some("1")),
+      // own uuid: plain counting up to the limit
+      Case(Some("1"), Some(uuid), expRel = "retry", expCount = Some("2")),
+      Case(Some("3"), Some(uuid), expRel = "retries_exceeded", expCount = Some("3")),
+      Case(Some("4"), Some(uuid), expRel = "retries_exceeded", expCount = Some("4")),
+      Case(Some("5"), Some(uuid), maxRetries = 6, expRel = "retry", expCount = Some("6")),
+      // non-numeric count: reset to 0 (default) or fail when configured
+      Case(Some("incorrect"), Some(uuid), expRel = "retry", expCount = Some("1")),
+      Case(Some("incorrect"), Some(uuid), failNonNum = true,
+        expRel = "failure", expCount = Some("incorrect")),
+      Case(Some("incorrect"), Some(uuid), maxRetries = 6,
+        expRel = "retry", expCount = Some("1")),
+      // matching uuid: every reuse mode counts normally
+      Case(Some("1"), Some(uuid), mode = Routing.FailOnReuse,
+        expRel = "retry", expCount = Some("2")),
+      Case(Some("1"), Some(uuid), mode = Routing.WarnOnReuse,
+        expRel = "retry", expCount = Some("2")),
+      Case(Some("1"), Some(uuid), mode = Routing.ResetReuse,
+        expRel = "retry", expCount = Some("2")),
+      // foreign uuid: Fail on Reuse (the default) routes to failure,
+      // Warn/Reset restart the count at 0 → retry with 1
+      Case(Some("1"), Some(other), expRel = "failure", expCount = Some("1")),
+      Case(Some("1"), Some(other), mode = Routing.FailOnReuse,
+        expRel = "failure", expCount = Some("1")),
+      Case(Some("1"), Some(other), mode = Routing.WarnOnReuse,
+        expRel = "retry", expCount = Some("1")),
+      Case(Some("1"), Some(other), mode = Routing.ResetReuse,
+        expRel = "retry", expCount = Some("1")))
+    matrix.zipWithIndex.foreach { case (c, i) =>
+      val attrs = c.value.map("flowfile.retries" -> _).toMap ++
+        c.uuidAttr.map("flowfile.retries.uuid" -> _).toMap
+      val out = Routing.retryFlowFile(flowFrame(Seq(("", attrs))),
+        "flowfile.retries", c.maxRetries, processorUuid = Some(uuid),
+        reuseMode = c.mode, failOnNonNumericalOverwrite = c.failNonNum,
+        exceededAttrs = Seq(
+          "retries_exceeded_property_key_1" -> "retries_exceeded_property_value_1",
+          "retries_exceeded_property_key_2" -> "retries_exceeded_property_value_2"))
+      val row = out.select(col(FlowFrame.Relationship),
+        FlowFrame.attr("flowfile.retries"),
+        FlowFrame.attr("retries_exceeded_property_key_1"),
+        FlowFrame.attr("retries_exceeded_property_key_2")).collect()(0)
+      withClue(s"matrix row $i ($c): ") {
+        assert(row.getString(0) === c.expRel)
+        assert(Option(row.getString(1)) === c.expCount)
+        // the dynamic properties land ONLY on the retries_exceeded edge
+        val exceeded = c.expRel == "retries_exceeded"
+        assert((row.getString(2) == "retries_exceeded_property_value_1") === exceeded)
+        assert((row.getString(3) == "retries_exceeded_property_value_2") === exceeded)
+      }
+    }
+  }
+
   test("SplitText → MergeContent round trip with header copy") {
     val content = "h1\nh2\nl1\nl2\nl3\nl4\nl5"
     val df = flowFrame(Seq((content, Map[String, String]())))
