@@ -1446,13 +1446,18 @@ object Processors {
           lit("success").as(FlowFrame.Relationship))
 
       case "PutTCP" =>
-        val put = Sinks.putTcpUdf(req("Hostname"), req("Port").toInt,
-          delimProp("Outgoing Message Delimiter", "\n"))
-        in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
+        // Hostname/Port are EL per FlowFile (PutTCP.h:55-67): a
+        // ${tcp_port}-style property fans one processor over many servers
+        val put = Sinks.putTcpUdf(delimProp("Outgoing Message Delimiter", "\n"))
+        in.withColumn(FlowFrame.Relationship, put(content.cast("string"),
+          ElCompiler.template(req("Hostname")),
+          ElCompiler.template(req("Port")).try_cast("int")))
 
       case "PutUDP" =>
-        val put = Sinks.putUdpUdf(req("Hostname"), req("Port").toInt)
-        in.withColumn(FlowFrame.Relationship, put(content.cast("string")))
+        val put = Sinks.putUdpUdf()
+        in.withColumn(FlowFrame.Relationship, put(content.cast("string"),
+          ElCompiler.template(req("Hostname")),
+          ElCompiler.template(req("Port")).try_cast("int")))
 
       case "GetCouchbaseKey" | "PutCouchbaseKey" =>
         // the controller service names the cluster (CouchbaseClusterService

@@ -58,11 +58,17 @@ object Sinks {
    * carry its own success/failure relationship. Nondeterministic so a
    * network send is never duplicated or reordered by the optimizer.
    */
-  def putTcpUdf(host: String, port: Int, delimiter: String = "\n"):
+  /** Host/port arrive per ROW: the reference's Hostname and Port
+    * properties are EL-evaluated per FlowFile (PutTCP.h:55-67 —
+    * `${tcp_port}` fans one processor out over many servers,
+    * PutTCPTests.cpp "multiple servers"). An unparseable port or an
+    * unreachable destination routes that row to failure. */
+  def putTcpUdf(delimiter: String = "\n"):
       org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (msg: String) =>
-      try {
-        val sock = new Socket(host, port)
+    udf { (msg: String, host: String, port: Integer) =>
+      if (host == null || port == null) "failure"
+      else try {
+        val sock = new Socket(host, port.intValue())
         try {
           sock.getOutputStream.write(
             ((if (msg == null) "" else msg) + delimiter)
@@ -73,15 +79,16 @@ object Sinks {
       } catch { case scala.util.control.NonFatal(_) => "failure" }
     }.asNondeterministic()
 
-  def putUdpUdf(host: String, port: Int):
+  def putUdpUdf():
       org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (msg: String) =>
-      try {
+    udf { (msg: String, host: String, port: Integer) =>
+      if (host == null || port == null) "failure"
+      else try {
         val sock = new DatagramSocket()
         try {
           val bytes = (if (msg == null) "" else msg).getBytes(StandardCharsets.UTF_8)
           sock.send(new DatagramPacket(bytes, bytes.length,
-            InetAddress.getByName(host), port))
+            InetAddress.getByName(host), port.intValue()))
           "success"
         } finally sock.close()
       } catch { case scala.util.control.NonFatal(_) => "failure" }

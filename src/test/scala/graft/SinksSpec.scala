@@ -187,4 +187,66 @@ class SinksSpec extends SparkSpec {
       assert(run(deadPort) === Seq("failure", "failure"))
     } finally q.stop()
   }
+
+  test("PutTCP fans out over multiple servers via an EL port property, " +
+       "and an invalid host routes failure (PutTCPTests.cpp:355-487)") {
+    import graft.flow._
+    // two loopback listeners; each FlowFile carries its target port in
+    // the tcp_port attribute, the processor's Port property is EL
+    def startListener(name: String, table: String) = spark.readStream
+      .format("graft.sources.NetListenerSource")
+      .option("name", name).option("protocol", "tcp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    val q1 = startListener("multi_a", "multi_a_in")
+    val q2 = startListener("multi_b", "multi_b_in")
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val portA = graft.sources.NetListenerSource.boundPort("multi_a")
+      val portB = graft.sources.NetListenerSource.boundPort("multi_b")
+      def yml(updateProps: String) =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '1', Custom Text: probe, Data Format: Text, Unique FlowFiles: 'false'}
+           |- name: upd
+           |  id: u
+           |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+           |  Properties:
+           |$updateProps
+           |- name: put
+           |  id: p
+           |  class: org.apache.nifi.minifi.processors.PutTCP
+           |  auto-terminated relationships list: [success, failure]
+           |  Properties:
+           |    Hostname: $${tcp_host}
+           |    Port: $${tcp_port}
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+           |- {id: c2, source id: u, source relationship names: [success], destination id: p}
+           |""".stripMargin
+      def run(host: String, port: String): String =
+        FlowRunner.run(spark, FlowConfig.parse(yml(
+          s"    tcp_host: '$host'\n    tcp_port: '$port'")))
+          .output("put").select(col("relationship")).collect()(0).getString(0)
+      // one processor, two servers — the EL port picks the destination
+      assert(run("127.0.0.1", portA.toString) === "success")
+      assert(run("127.0.0.1", portB.toString) === "success")
+      eventually(40, 250) {
+        q1.processAllAvailable(); q2.processAllAvailable()
+        spark.table("multi_a_in").collect()
+          .exists(_.getAs[String]("message") == "probe") &&
+        spark.table("multi_b_in").collect()
+          .exists(_.getAs[String]("message") == "probe")
+      }
+      // invalid-host / unparseable-port corners route failure
+      // (PutTCPTests.cpp "invalid host" / "invalid server")
+      assert(run("invalid_hostname_that_does_not_resolve", portA.toString)
+        === "failure")
+      assert(run("127.0.0.1", "not_a_port") === "failure")
+    } finally { q1.stop(); q2.stop() }
+  }
 }
