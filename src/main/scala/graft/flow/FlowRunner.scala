@@ -670,7 +670,24 @@ object Processors {
       case "Funnel" => success(in)
 
       case "LogAttribute" =>
-        success(in.withColumn("log", Transforms.logAttributePayload))
+        // full property surface (LogAttribute.h:55-95): list filters,
+        // payload logging with hex + line wrap, the centered dash prefix.
+        // FlowFiles To Log caps the PER-TRIGGER batch in the reference,
+        // which re-triggers until the queue drains — this batch sweep IS
+        // the drained queue, so every row renders regardless of the cap.
+        // Log Level only selects the logger severity; the message is
+        // identical, so it needs no dispatch plumbing.
+        def csv(p: String): Option[Seq[String]] =
+          props.get(p).filter(_.nonEmpty)
+            .map(_.split(",").map(_.trim).toSeq)
+        success(in.withColumn("log", Transforms.logAttributeMessage(
+          content,
+          attributesToLog = csv("Attributes to Log"),
+          attributesToIgnore = csv("Attributes to Ignore"),
+          logPayload = Units.parseBool(prop("Log Payload", "false")),
+          hexencode = Units.parseBool(prop("Hexencode Payload", "false")),
+          maxLineLength = prop("Maximum Payload Line Length", "80").toInt,
+          logPrefix = prop("Log Prefix", ""))))
 
       // ------------------------------------------------------ split/merge
       case "SplitText" =>

@@ -487,4 +487,78 @@ object Transforms {
         array_sort(map_entries(col(FlowFrame.Attributes))),
         e => concat(lit("key:"), e.getField("key"), lit(" value:"), e.getField("value"))),
       "\n")
+
+  /** fmt "{:-^50}" (LogAttribute.cpp:72): the prefix centered in a
+    * 50-char dash line, extra fill on the right; an over-long prefix
+    * stands alone. */
+  private[graft] def logDashLine(prefix: String): String =
+    if (prefix.length >= 50) prefix
+    else {
+      val pad = 50 - prefix.length
+      "-" * (pad / 2) + prefix + "-" * (pad - pad / 2)
+    }
+
+  /**
+   * Full LogAttribute message (generateLogMessage, LogAttribute.cpp:78-122):
+   * header + dash line + standard attributes (uuid, size, offset 0) +
+   * the attribute map filtered by Attributes to Log / Attributes to Ignore
+   * (log-list first, then ignores — both optional), then the payload when
+   * `logPayload` and the content is within the 1 MiB cap (hex-encoded on
+   * request, wrapped at `maxLineLength`, 0 = one line), closed by the
+   * dash line. Attribute order is sorted — the reference iterates a
+   * std::map, so the rendering matches byte-for-byte.
+   */
+  def logAttributeMessage(content: Column,
+                          attributesToLog: Option[Seq[String]] = None,
+                          attributesToIgnore: Option[Seq[String]] = None,
+                          logPayload: Boolean = false,
+                          hexencode: Boolean = false,
+                          maxLineLength: Int = 80,
+                          logPrefix: String = ""): Column = {
+    val dash = lit(logDashLine(logPrefix))
+    val kept0 = attributesToLog match {
+      case Some(names) => map_filter(col(FlowFrame.Attributes),
+        (k, _) => k.isin(names: _*))
+      case None => col(FlowFrame.Attributes)
+    }
+    val kept = attributesToIgnore match {
+      case Some(names) => map_filter(kept0, (k, _) => !k.isin(names: _*))
+      case None => kept0
+    }
+    val attrLines = concat(
+      lit("\nFlowFile Attributes Map Content"),
+      array_join(
+        transform(array_sort(map_entries(kept)),
+          e => concat(lit("\nkey:"), e.getField("key"),
+            lit(" value:"), e.getField("value"))), ""))
+    val bytes = content.cast("binary")
+    val size = length(bytes)
+    val payloadText =
+      if (hexencode) lower(hex(bytes)) else content.cast("string")
+    val wrapped =
+      if (maxLineLength == 0) concat(payloadText, lit("\n"))
+      else concat(array_join(
+        // chunk the printable payload at the line cap
+        transform(
+          sequence(lit(0),
+            greatest(floor((length(payloadText) - 1) / maxLineLength)
+              .cast("int"), lit(0))),
+          i => substring(payloadText, (i * maxLineLength + 1).cast("int"),
+            lit(maxLineLength))),
+        "\n"), lit("\n"))
+    val payloadPart =
+      if (logPayload)
+        when(size <= 1024 * 1024, concat(lit("\nPayload:\n"), wrapped))
+          .otherwise(lit("\n"))
+      else lit("\n")
+    concat(
+      lit("Logging for flow file\n"), dash,
+      lit("\nStandard FlowFile Attributes"),
+      lit("\nUUID:"), col(FlowFrame.Uuid).cast("string"),
+      lit("\nSize:"), size.cast("string"), lit(" Offset:0"),
+      attrLines,
+      lit("\nFlowFile Resource Claim Content"),
+      payloadPart,
+      dash)
+  }
 }

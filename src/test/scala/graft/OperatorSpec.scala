@@ -88,6 +88,46 @@ class OperatorSpec extends SparkSpec {
       (2L, "retry"), (3L, "retries_exceeded"), (1L, "retry")))
   }
 
+  test("LogAttribute full message: filter lists, dash prefix, payload " +
+       "hex + wrap (LogAttributeTests.cpp:56-128)") {
+    val attrs = Map("eng" -> "apple", "ger" -> "Apfel", "fra" -> "pomme")
+    def msg(log: Option[Seq[String]] = None, ign: Option[Seq[String]] = None,
+            payload: Boolean = false, hex: Boolean = false,
+            wrap: Int = 80, prefix: String = ""): String =
+      flowFrame(Seq(("hello world", attrs)))
+        .select(Transforms.logAttributeMessage(col(FlowFrame.Content),
+          log, ign, payload, hex, wrap, prefix)).collect()(0).getString(0)
+    // filtering truth table (LogAttributeTests.cpp:83-128)
+    val all = msg()
+    assert(all.contains("key:eng value:apple") &&
+      all.contains("key:ger value:Apfel") && all.contains("key:fra value:pomme"))
+    val ignored = msg(ign = Some(Seq("eng", "fra")))
+    assert(!ignored.contains("key:eng") && ignored.contains("key:ger") &&
+      !ignored.contains("key:fra"))
+    val logged = msg(log = Some(Seq("eng", "fra")))
+    assert(logged.contains("key:eng") && !logged.contains("key:ger") &&
+      logged.contains("key:fra"))
+    val both = msg(log = Some(Seq("eng", "fra")), ign = Some(Seq("fra")))
+    assert(both.contains("key:eng") && !both.contains("key:ger") &&
+      !both.contains("key:fra"))
+    // header plumbing: dash line, standard attrs, claim header
+    assert(all.startsWith("Logging for flow file\n" + "-" * 50))
+    assert(all.contains("Size:11 Offset:0"))
+    assert(all.contains("\nFlowFile Attributes Map Content"))
+    assert(all.contains("\nFlowFile Resource Claim Content"))
+    assert(all.endsWith("-" * 50))
+    // prefix centered in the 50-dash line (fmt {:-^50})
+    assert(msg(prefix = "foo").contains(
+      "-" * 23 + "foo" + "-" * 24))
+    assert(Transforms.logDashLine("x" * 60) === "x" * 60)
+    // payload rendering: plain, wrapped, hex-encoded
+    assert(msg(payload = true).contains("\nPayload:\nhello world\n"))
+    assert(msg(payload = true, wrap = 4).contains(
+      "\nPayload:\nhell\no wo\nrld\n"))
+    assert(msg(payload = true, hex = true).contains(
+      "\nPayload:\n68656c6c6f20776f726c64\n"))
+  }
+
   test("RetryFlowFile routing matrix: reuse modes × uuid match × " +
        "non-numeric counts × retry limits (RetryFlowFileTests.cpp:190-245)") {
     val uuid = "proc-1"; val other = "proc-2"
