@@ -329,13 +329,17 @@ object Processors {
         // attrs; no new rows → no output FlowFiles (unlike ExecuteSQL's
         // [] rowset).
         val table = req("Table Name")
-        val maxColName = req("Maximum-value Columns")
+        // the property may carry any SQL escape form ("id", [id], `id`) —
+        // schema lookups and state keys use the escape-agnostic value
+        val maxColId = SqlOps.SqlColumnIdentifier(req("Maximum-value Columns"))
+        val maxColName = maxColId.value
         val base = spark.table(table)
         val dt = base.schema(maxColName).dataType
-        val initial = props.getOrElse(s"initial.maxvalue.$maxColName",
-          throw new IllegalArgumentException(
-            s"batch QueryDatabaseTable needs initial.maxvalue.$maxColName " +
-              "(streaming mode keeps this state in the checkpoint)"))
+        val initial = props.getOrElse(s"initial.maxvalue.${maxColId.str}",
+          props.getOrElse(s"initial.maxvalue.$maxColName",
+            throw new IllegalArgumentException(
+              s"batch QueryDatabaseTable needs initial.maxvalue.$maxColName " +
+                "(streaming mode keeps this state in the checkpoint)")))
         val filtered = base.filter(col(maxColName) > lit(initial).cast(dt))
         // the new max-value state: a tree-reduced scalar (one tiny job),
         // stamped on every output FlowFile like the reference's state attr

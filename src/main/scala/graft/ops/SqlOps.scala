@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
 object SqlOps {
 
   /**
+   * SQL column identifier with escape-agnostic value semantics
+   * (extensions/sql/data/SQLColumnIdentifier.h;
+   * SQLColumnIdentifierTests.cpp): `Abc`, `"Abc"` (standard), `[Abc]`
+   * (MS SQL) and backticked (MySQL) forms all denote column Abc; a
+   * single-character string never unescapes; `str` keeps the original
+   * representation; equality and hashing compare the unescaped value
+   * (case-sensitively).
+   */
+  final case class SqlColumnIdentifier(str: String) {
+    val value: String =
+      if (str.length < 2) str
+      else (str.head, str.last) match {
+        case ('"', '"') | ('`', '`') | ('[', ']') =>
+          str.substring(1, str.length - 1)
+        case _ => str
+      }
+    override def equals(o: Any): Boolean = o match {
+      case other: SqlColumnIdentifier => value == other.value
+      case _ => false
+    }
+    override def hashCode: Int = value.hashCode
+  }
+
+  /**
    * ExecuteSQL (extensions/sql/processors/ExecuteSQL.cpp): run a SQL query;
    * rowsets become FlowFiles. Catalyst plans/optimizes the statement —
    * pushdown and pruning come free where the reference streams whole

@@ -95,12 +95,22 @@ object Kafka {
       maxRequestSizeBytes: Long = 1048576,       // Max Request Size
       requestTimeoutMs: Long = 10000,            // Request Timeout
       compressCodec: String = "none",            // Compress Codec
-      batchSize: Int = 10)                       // Batch Size
+      batchSize: Int = 10,                       // Batch Size
+      queueBufferMaxMessage: Int = 1000)         // Queue Buffering Max Messages
 
   /** → `df.writeStream.format("kafka").options(...)`. Delivery Guarantee
     * maps to producer `acks`; codec/batch/request caps map to their
-    * librdkafka-equivalent producer settings. */
-  def publishOptions(p: PublishProps): Map[String, String] = Map(
+    * librdkafka-equivalent producer settings. Schedule-time rule
+    * (PublishKafkaTests.cpp:28-38): Batch Size must not exceed Queue Max
+    * Message, with the reference's error text. */
+  def publishOptions(p: PublishProps): Map[String, String] = {
+    if (p.batchSize > p.queueBufferMaxMessage)
+      throw new IllegalArgumentException("Invalid configuration: " +
+        "Batch Size cannot be larger than Queue Max Message")
+    publishOptions0(p)
+  }
+
+  private def publishOptions0(p: PublishProps): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> p.brokers,
     "topic" -> p.topic,
     "kafka.acks" -> p.deliveryGuarantee,

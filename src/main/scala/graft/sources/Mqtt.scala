@@ -99,6 +99,31 @@ object Mqtt {
   }
 
   /**
+   * PublishMQTT schedule-time validation (PublishMQTTTests.cpp:74-100):
+   * a missing topic/broker is an error with the reference's text; the
+   * MQTT-5-only publish properties (Message Expiry Interval, Content
+   * Type) warn and are ignored on 3.x.
+   */
+  def validatePublish(p: ConnectionProps, topic: String,
+                      messageExpirySec: Option[Long] = None,
+                      contentTypeSet: Boolean = false): Validation = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    if (topic.isEmpty) errors += "PublishMQTT: Topic is required"
+    if (p.brokerUri.isEmpty)
+      errors += "Expected valid value from \"Broker URI\", but got PropertyNotSet"
+    if (!p.mqttVersion.startsWith("5")) {
+      if (messageExpirySec.isDefined)
+        warnings += ("MQTT 3.x specification does not support Message " +
+          "Expiry Intervals. Property is not used.")
+      if (contentTypeSet)
+        warnings += ("MQTT 3.x specification does not support Content " +
+          "Types. Property is not used.")
+    }
+    Validation(errors.result(), warnings.result())
+  }
+
+  /**
    * Disposition of every reference MQTT property that does NOT map to a
    * Bahir connector option string (AbstractMQTTProcessor.h:98-175,
    * ConsumeMQTT.h, PublishMQTT.h): the conformance spec asserts the union

@@ -337,6 +337,39 @@ class KafkaSpec extends SparkSpec {
     }
   }
 
+  test("PublishKafka schedule rule: Batch Size capped by Queue Max Message " +
+       "(PublishKafkaTests.cpp:28-38)") {
+    val e = intercept[IllegalArgumentException] {
+      Kafka.publishOptions(Kafka.PublishProps("b:9092", "t",
+        batchSize = 1500, queueBufferMaxMessage = 1000))
+    }
+    assert(e.getMessage ===
+      "Invalid configuration: Batch Size cannot be larger than Queue Max Message")
+    // at the cap is fine
+    assert(Kafka.publishOptions(Kafka.PublishProps("b:9092", "t",
+      batchSize = 1000, queueBufferMaxMessage = 1000)).nonEmpty)
+  }
+
+  test("PublishMQTT validation: topic/broker errors, v5-only publish " +
+       "properties warn on 3.x (PublishMQTTTests.cpp:74-100)") {
+    import graft.sources.Mqtt
+    def conn(version: String = "3.1.1") =
+      Mqtt.ConnectionProps("127.0.0.1:1883", mqttVersion = version)
+    assert(Mqtt.validatePublish(conn(), "").errors ===
+      Seq("PublishMQTT: Topic is required"))
+    assert(Mqtt.validatePublish(Mqtt.ConnectionProps(""), "mytopic").errors
+      .exists(_.contains("\"Broker URI\"")))
+    assert(Mqtt.validatePublish(conn(), "mytopic",
+      messageExpirySec = Some(60)).warnings === Seq("MQTT 3.x " +
+      "specification does not support Message Expiry Intervals. " +
+      "Property is not used."))
+    assert(Mqtt.validatePublish(conn(), "mytopic",
+      contentTypeSet = true).warnings === Seq("MQTT 3.x specification " +
+      "does not support Content Types. Property is not used."))
+    assert(Mqtt.validatePublish(conn("5.0"), "mytopic",
+      messageExpirySec = Some(60), contentTypeSet = true).warnings.isEmpty)
+  }
+
   test("envelope projection stamps the kafka.* attribute set") {
     val df = spark.sql(
       """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,

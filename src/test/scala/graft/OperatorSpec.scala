@@ -88,6 +88,28 @@ class OperatorSpec extends SparkSpec {
       (2L, "retry"), (3L, "retries_exceeded"), (1L, "retry")))
   }
 
+  test("SqlColumnIdentifier: escaped forms, original representation, " +
+       "escape-agnostic equality and hashing (SQLColumnIdentifierTests.cpp)") {
+    import graft.ops.SqlOps.SqlColumnIdentifier
+    assert(SqlColumnIdentifier("Abc").value === "Abc")
+    assert(SqlColumnIdentifier("\"Abc\"").value === "Abc") // standard
+    assert(SqlColumnIdentifier("[Abc]").value === "Abc")   // MS SQL
+    assert(SqlColumnIdentifier("`Abc`").value === "Abc")   // MySQL
+    assert(SqlColumnIdentifier("\"").value === "\"")       // single char kept
+    assert(SqlColumnIdentifier("Abc").str === "Abc")
+    assert(SqlColumnIdentifier("\"Abc\"").str === "\"Abc\"")
+    assert(SqlColumnIdentifier("[Abc]").str === "[Abc]")
+    assert(SqlColumnIdentifier("`Abc`").str === "`Abc`")
+    assert(SqlColumnIdentifier("Abc") === SqlColumnIdentifier("\"Abc\""))
+    assert(SqlColumnIdentifier("\"Abc\"") === SqlColumnIdentifier("[Abc]"))
+    assert(SqlColumnIdentifier("[Abc]") === SqlColumnIdentifier("`Abc`"))
+    val ids = Set(SqlColumnIdentifier("[Abc]"))
+    assert(ids(SqlColumnIdentifier("\"Abc\"")))
+    assert(ids(SqlColumnIdentifier("`Abc`")))
+    assert(ids(SqlColumnIdentifier("Abc")))
+    assert(!ids(SqlColumnIdentifier("abc"))) // case-sensitive
+  }
+
   test("LogAttribute full message: filter lists, dash prefix, payload " +
        "hex + wrap (LogAttributeTests.cpp:56-128)") {
     val attrs = Map("eng" -> "apple", "ger" -> "Apfel", "fra" -> "pomme")
