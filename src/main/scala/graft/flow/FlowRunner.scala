@@ -1015,11 +1015,34 @@ object Processors {
       // ----------------------------------------------- external processes
       case "ExecuteProcess" =>
         import spark.implicits._
-        val argv = (prop("Command", "") +: prop("Command Arguments", "")
-          .split("\\s+").toSeq).filter(_.nonEmpty)
-        val outLines = Exec.executeProcess(
-          in.select(content.cast("string")).as[String], argv)
-        success(FlowFrame.wrap(outLines.toDF("content"), "content", Nil))
+        val command = prop("Command", "")
+        val arguments = prop("Command Arguments", "")
+        def stampCmd(df: DataFrame): DataFrame =
+          df.withColumn(FlowFrame.Attributes,
+            map_concat(col(FlowFrame.Attributes),
+              map(lit("command"), lit(command),
+                lit("command.arguments"), lit(arguments))))
+        input match {
+          case None =>
+            // reference shape (ExecuteProcessTests.cpp): a SOURCE — one
+            // process per trigger on the driver, stdout becomes one
+            // FlowFile, no output → no FlowFile, command attrs stamped,
+            // Working Directory + Redirect Error Stream honored
+            val out = Exec.runProcessOnce(command, arguments,
+              workingDir = props.get("Working Directory").filter(_.nonEmpty),
+              redirectErrorStream =
+                Units.parseBool(prop("Redirect Error Stream", "false")))
+            success(stampCmd(FlowFrame.wrap(
+              out.toSeq.toDF("content"), "content", Nil)))
+          case Some(in0) =>
+            // input-streaming extension: rows pipe through the command's
+            // stdin per partition (quote-aware argv, same tokenizer)
+            val argv = Exec.tokenizeCommand((command + " " + arguments).trim)
+            val outLines = Exec.executeProcess(
+              in0.select(col(FlowFrame.Content).cast("string")).as[String], argv)
+            success(stampCmd(FlowFrame.wrap(
+              outLines.toDF("content"), "content", Nil)))
+        }
 
       case "InvokeHTTP" =>
         val urlEl = req("Remote URL")

@@ -10,6 +10,67 @@ import graft.core.FlowFrame
 object Exec {
 
   /**
+   * Command-line tokenizer mirroring the reference's argv assembly
+   * (ExecuteProcess::readArgs, ExecuteProcess.cpp:69-80 — repeated
+   * `stream >> std::quoted(word)`): words split on whitespace; a word
+   * STARTING with a double quote reads through escaped quotes/backslashes
+   * until the closing quote (or end of input); unquoted words keep every
+   * character verbatim.
+   */
+  def tokenizeCommand(full: String): Seq[String] = {
+    val args = Seq.newBuilder[String]
+    var i = 0
+    val n = full.length
+    while (i < n) {
+      while (i < n && full(i).isWhitespace) i += 1
+      if (i < n) {
+        val sb = new StringBuilder
+        if (full(i) == '"') {
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            full(i) match {
+              case '\\' if i + 1 < n &&
+                  (full(i + 1) == '"' || full(i + 1) == '\\') =>
+                sb.append(full(i + 1)); i += 2
+              case '"' => closed = true; i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+        } else {
+          while (i < n && !full(i).isWhitespace) { sb.append(full(i)); i += 1 }
+        }
+        if (sb.nonEmpty) args += sb.toString
+      }
+    }
+    args.result()
+  }
+
+  /**
+   * Source-mode ExecuteProcess (the reference's shape — the processor has
+   * no input; ExecuteProcessTests.cpp): run `command + arguments` once,
+   * capture stdout (stderr folded in under Redirect Error Stream,
+   * discarded otherwise), in the given working directory. No output → no
+   * FlowFile (None). Control-plane: one process per trigger, driver-side.
+   */
+  def runProcessOnce(command: String, arguments: String = "",
+                     workingDir: Option[String] = None,
+                     redirectErrorStream: Boolean = false): Option[String] = {
+    val argv = tokenizeCommand((command + " " + arguments).trim)
+    if (argv.isEmpty) return None
+    val pb = new ProcessBuilder(argv: _*)
+    workingDir.foreach(d => pb.directory(new java.io.File(d)))
+    if (redirectErrorStream) pb.redirectErrorStream(true)
+    else pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val proc = pb.start()
+    proc.getOutputStream.close()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    proc.waitFor()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /**
    * ExecuteProcess (extensions/execute-process/ExecuteProcess.cpp): run a
    * command per partition, stream rows through stdin, stdout lines become
    * output rows — the Spark shape is `mapPartitions` spawning one process

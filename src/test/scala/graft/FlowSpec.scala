@@ -1035,6 +1035,47 @@ class FlowSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("success", "ann,7")))
   }
 
+  test("ExecuteProcess source mode: one FlowFile per run with command " +
+       "attrs, no-output/no-FlowFile, stderr redirect, workdir " +
+       "(ExecuteProcessTests.cpp:41-127)") {
+    def run(props: String, name: String = "exec"): Seq[(String, String, String)] = {
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: $name
+           |  id: x
+           |  class: org.apache.nifi.minifi.processors.ExecuteProcess
+           |  Properties:
+           |$props
+           |""".stripMargin
+      FlowRunner.run(spark, FlowConfig.parse(yml)).output(name)
+        .select(col("content").cast("string"),
+          element_at(col("attributes"), "command"),
+          element_at(col("attributes"), "command.arguments"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq
+    }
+    // single command: content, command attr, empty arguments attr
+    assert(run("    Command: echo -n test") ===
+      Seq(("test", "echo -n test", "")))
+    // no output → no FlowFile
+    assert(run("    Command: 'true'").isEmpty)
+    // quote-aware argument handling end-to-end (the reference's
+    // escaped-parameters case via printf)
+    assert(run(
+      """    Command: printf
+        |    Command Arguments: '%s\n "test data 3"'""".stripMargin) ===
+      Seq(("test data 3\n", "printf", "%s\\n \"test data 3\"")))
+    // stderr discarded by default, folded into stdout on request
+    val errCmd = "    Command: sh\n    Command Arguments: '-c \"echo err 1>&2\"'"
+    assert(run(errCmd).isEmpty)
+    assert(run(errCmd + "\n    Redirect Error Stream: 'true'")
+      .map(_._1) === Seq("err\n"))
+    // Working Directory
+    assert(run("    Command: pwd\n    Working Directory: /tmp")
+      .map(_._1) === Seq("/tmp\n"))
+  }
+
   test("EL in dynamic properties: variable-registry refs and per-FlowFile " +
        "PutFile directories (ExpressionLanguageInDynamicPropertiesTests.cpp)") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-eldp-in")

@@ -88,6 +88,22 @@ class OperatorSpec extends SparkSpec {
       (2L, "retry"), (3L, "retries_exceeded"), (1L, "retry")))
   }
 
+  test("ExecuteProcess command tokenizer matches std::quoted argv assembly " +
+       "(ExecuteProcess.cpp:69-80; ExecuteProcessTests.cpp:70-84)") {
+    import graft.ops.Exec.tokenizeCommand
+    assert(tokenizeCommand("echo -n test") === Seq("echo", "-n", "test"))
+    // the reference's escaped-parameters vector: quoted groups keep
+    // spaces; escaped quotes inside a quoted group stay literal
+    assert(tokenizeCommand(
+      """0 test_data test_data2 "test data 3" "\"test data 4\"""") ===
+      Seq("0", "test_data", "test_data2", "test data 3", "\"test data 4\""))
+    // unquoted words keep backslashes verbatim; empty input → no args
+    assert(tokenizeCommand("""a\b c""") === Seq("a\\b", "c"))
+    assert(tokenizeCommand("   ") === Nil)
+    // unterminated quote reads to end of input (std::quoted behavior)
+    assert(tokenizeCommand("\"open end") === Seq("open end"))
+  }
+
   test("SqlColumnIdentifier: escaped forms, original representation, " +
        "escape-agnostic equality and hashing (SQLColumnIdentifierTests.cpp)") {
     import graft.ops.SqlOps.SqlColumnIdentifier
