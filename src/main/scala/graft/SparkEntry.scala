@@ -1012,6 +1012,28 @@ object SparkEntry {
           "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // The published Gopher document filter (Rae et al. 2021, Appendix A)
+    // as a first-class keep/reject decision — thresholds at the published
+    // values except the minimum word count (30) and stop-word minimum
+    // (1), tightened/loosened so the synthetic lowercase corpus (whose
+    // vocabulary carries at most one of the 8 English stop words)
+    // exercises BOTH outcomes of each binding rule.
+    "quality_gopher" -> ((s, dir) => {
+      val fmap = TextAnalysis.gopherRules(col("text"), minWords = 30,
+        minStopHits = 1).toMap
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        fmap("words_n").as("words_n"),
+        fmap("mean_word_len").as("mean_wlen"),
+        fmap("symbol_ratio").as("symbol_ratio"),
+        fmap("bullet_frac").as("bullet_frac"),
+        fmap("ellipsis_frac").as("ellipsis_frac"),
+        fmap("alpha_frac").as("alpha_frac"),
+        fmap("stop_hits").as("stop_hits"),
+        fmap("keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"),
         Seq("the", "a", "data"))
@@ -2631,6 +2653,43 @@ object SparkEntry {
         | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
         | ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words_n,
+        |  length(text) AS chars_n,
+        |  (length(text)-length(replace(text,'#','')))
+        |   + (length(text)-length(replace(text,'...','')))//3 AS sym_n,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |g AS (SELECT doc_id, words_n,
+        |  CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END AS mean_wlen,
+        |  CASE WHEN words_n > 0 THEN CAST(sym_n AS DOUBLE)/words_n ELSE 0.0 END AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lines) AS bullet_frac,
+        |  CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)/len(lines) AS ellipsis_frac,
+        |  CASE WHEN words_n > 0 THEN
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/words_n
+        |  ELSE 0.0 END AS alpha_frac,
+        |  CAST((CASE WHEN position(' the ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' be ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' to ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' of ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' and ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' that ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' have ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' with ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS stop_hits
+        | FROM f)
+        |SELECT doc_id, CAST(words_n AS BIGINT) AS words_n, mean_wlen,
+        | symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+        | (words_n >= 30 AND words_n <= 100000
+        |  AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |  AND stop_hits >= 1) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH f AS (SELECT doc_id, length(text) AS chars_n,

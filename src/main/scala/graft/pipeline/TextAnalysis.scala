@@ -69,6 +69,61 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher document-quality rules — the published web-corpus document
+   * filter (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
+   * & Insights from Training Gopher", Appendix A; reused by MassiveText
+   * and the Dolma pipeline). Per document:
+   *  - word count within [minWords, maxWords] (published: 50..100,000)
+   *  - mean word length within [3, 10]
+   *  - symbol-to-word ratio ('#' or '...') at most 0.1
+   *  - at most 90% of lines start with a bullet ('-', '*', '•')
+   *  - at most 30% of lines end with an ellipsis
+   *  - at least 80% of words contain an alphabetic character
+   *  - at least 2 of the 8 English stop words
+   *    (the, be, to, of, and, that, have, with) present
+   * Returns the measured columns, per-rule flags folded into the single
+   * conjunctive `keep` decision. Pure codegen'd arithmetic over the text
+   * column — map-side at any scale, no shuffle, oracle-recomputable.
+   */
+  def gopherRules(textCol: Column, minWords: Long = 50,
+                  maxWords: Long = 100000,
+                  minStopHits: Int = 2): Seq[(String, Column)] = {
+    val nWords = tokenCountWhitespace(textCol)
+    val nChars = length(textCol).cast("long")
+    val meanWordLen = when(nWords > 0,
+      (nChars - (nWords - 1)).cast("double") / nWords).otherwise(0.0)
+    val symbolRatio = when(nWords > 0,
+      (occurrences(textCol, "#") + occurrences(textCol, "..."))
+        .cast("double") / nWords).otherwise(0.0)
+    val lines = split(textCol, "\n")
+    val nLines = size(lines).cast("long") // split never yields 0 elements
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac = when(nWords > 0,
+      size(filter(split(trim(textCol), "\\s+"), w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords).otherwise(0.0)
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(concat(lit(" "), textCol, lit(" "))
+        .contains(" " + w + " "), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val keep = nWords >= minWords && nWords <= maxWords &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= minStopHits
+    Seq(
+      "words_n" -> nWords,
+      "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_frac" -> bulletFrac,
+      "ellipsis_frac" -> ellipsisFrac,
+      "alpha_frac" -> alphaFrac,
+      "stop_hits" -> stopHits,
+      "keep" -> keep)
+  }
+
+  /**
    * Document fingerprint (winnowing-style): the minimum md5 over word
    * 5-gram shingles — robust to local edits, engine-portable (hex-string
    * min), O(tokens) per doc with no shuffle. A second fingerprint over

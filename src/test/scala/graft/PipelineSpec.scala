@@ -470,4 +470,36 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(clean === Set(2L))
   }
+
+  test("gopherRules: each published rule binds on a crafted document " +
+       "(Rae et al. 2021, Appendix A)") {
+    import spark.implicits._
+    val good = ("the data and that " * 15).trim  // 60 words, 2+ stop words
+    val docs = Seq(
+      (1L, good),                                    // passes every rule
+      (2L, "the of and short"),                      // under min word count
+      (3L, good + " " + ("# " * 20).trim),           // symbol ratio > 0.1
+      (4L, (1 to 60).map(_ => "ab").mkString(" ")),  // no stop words
+      (5L, Seq.fill(10)("- " + good).mkString("\n")), // 100% bullet lines
+      (6L, Seq.fill(10)(good + " so...").mkString("\n")), // ellipsis lines
+      (7L, ("the be " * 10 + "12 34 56 78 90 " * 10).trim), // alpha < 0.8
+      (8L, ("synthesizing " * 60).trim))             // mean word len > 10
+      .toDF("doc_id", "text")
+    val fmap = graft.pipeline.TextAnalysis.gopherRules(col("text")).toMap
+    val out = docs.select(col("doc_id"), fmap("keep").as("keep"),
+      fmap("symbol_ratio").as("sym"), fmap("bullet_frac").as("bul"),
+      fmap("ellipsis_frac").as("ell"), fmap("alpha_frac").as("alf"),
+      fmap("stop_hits").as("sh"), fmap("mean_word_len").as("mwl"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(1)).toMap ===
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+        5L -> false, 6L -> false, 7L -> false, 8L -> false))
+    // the rule that kills each: crafted feature actually crossed the bound
+    assert(out(2).getDouble(2) > 0.1)   // doc 3 symbol ratio
+    assert(out(3).getLong(6) < 2)       // doc 4 stop hits
+    assert(out(4).getDouble(3) > 0.9)   // doc 5 bullet fraction
+    assert(out(5).getDouble(4) > 0.3)   // doc 6 ellipsis fraction
+    assert(out(6).getDouble(5) < 0.8)   // doc 7 alpha fraction
+    assert(out(7).getDouble(7) > 10.0)  // doc 8 mean word length
+  }
 }
