@@ -1034,6 +1034,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over a derived page:
+    // the flat synthetic docs are re-chunked into 10-word lines where
+    // every third line lacks terminal punctuation, a deterministic subset
+    // gains a "javascript" line, a "lorem ipsum" line, or a '{' line —
+    // so every line rule and every page rule binds both ways. The oracle
+    // recomputes the page derivation AND the rules independently.
+    "c4_clean" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        val withJs = when(i === 1 && col("doc_id") % 11 === 0,
+          concat(li, lit(" javascript"))).otherwise(li)
+        when(i % 3 === 2, withJs).otherwise(concat(withJs, lit(".")))
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 17 === 0,
+          lit("\nthis page has lorem ipsum inside it.")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
+      val fmap = TextAnalysis.c4Clean(page).toMap
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        fmap("kept_lines").as("kept_lines"),
+        fmap("sentences").as("sentences"),
+        fmap("keep").as("keep"),
+        md5(fmap("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"),
         Seq("the", "a", "data"))
@@ -2653,6 +2683,39 @@ object SparkEntry {
         | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
         | ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "c4_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words,
+        |  CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
+        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
+        |l0 AS (SELECT doc_id, i,
+        |  array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS li FROM ln),
+        |l1 AS (SELECT doc_id, i,
+        |  CASE WHEN i = 1 AND doc_id % 11 = 0 THEN li || ' javascript' ELSE li END AS lj FROM l0),
+        |l2 AS (SELECT doc_id, i,
+        |  CASE WHEN i % 3 = 2 THEN lj ELSE lj || '.' END AS line FROM l1),
+        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0
+        |  FROM l2 GROUP BY doc_id),
+        |pg AS (SELECT doc_id, page0
+        |  || (CASE WHEN doc_id % 17 = 0 THEN chr(10)||'this page has lorem ipsum inside it.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 13 = 0 THEN chr(10)||'var cfg = { a: 1 };' ELSE '' END) AS page
+        |  FROM pg0),
+        |cl AS (SELECT doc_id, page,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
+        |fin AS (SELECT doc_id, page,
+        |  array_to_string(kept, chr(10)) AS cleaned,
+        |  len(kept) AS kept_lines FROM cl)
+        |SELECT doc_id, CAST(kept_lines AS BIGINT) AS kept_lines,
+        | CAST(length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) AS BIGINT) AS sentences,
+        | (length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+        |  AND NOT contains(lower(page), 'lorem ipsum')
+        |  AND NOT contains(page, '{')) AS keep,
+        | md5(cleaned) AS cleaned_md5
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "quality_gopher" ->
       """WITH f AS (SELECT doc_id, text,

@@ -124,6 +124,39 @@ object TextAnalysis {
   }
 
   /**
+   * C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+   * Transfer Learning..." §2.2 — the public C4 web-corpus pipeline; the
+   * word blocklist is a deployment parameter and omitted here):
+   *  - keep only lines ending in a terminal punctuation mark (. ! ? ")
+   *  - keep only lines with at least `minLineWords` (3) words
+   *  - drop lines containing the word "javascript" (case-insensitive)
+   *  - after line filtering, drop the whole page when it has fewer than
+   *    `minSentences` (5) sentences, contains the phrase "lorem ipsum"
+   *    (case-insensitive), or contains a curly brace '{'
+   * Returns the cleaned text (kept lines re-joined), the kept-line and
+   * sentence counts, and the page keep decision. Pure codegen'd per-row
+   * arithmetic — map-side at any scale, oracle-recomputable.
+   */
+  def c4Clean(textCol: Column, minLineWords: Int = 3,
+              minSentences: Int = 5): Seq[(String, Column)] = {
+    val lines = split(textCol, "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val sentences = (length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))).cast("long")
+    val keep = sentences >= minSentences &&
+      !lower(textCol).contains("lorem ipsum") && !textCol.contains("{")
+    Seq(
+      "cleaned" -> cleaned,
+      "kept_lines" -> size(kept).cast("long"),
+      "sentences" -> sentences,
+      "keep" -> keep)
+  }
+
+  /**
    * Document fingerprint (winnowing-style): the minimum md5 over word
    * 5-gram shingles — robust to local edits, engine-portable (hex-string
    * min), O(tokens) per doc with no shuffle. A second fingerprint over

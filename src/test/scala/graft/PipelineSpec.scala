@@ -471,6 +471,47 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("c4Clean: each published line and page rule binds " +
+       "(Raffel et al. 2020 §2.2)") {
+    import spark.implicits._
+    val page = Seq(
+      "this line ends with a period.",     // kept
+      "no terminal punctuation here",      // dropped: no terminal mark
+      "too short.",                        // dropped: < 3 words
+      "enable javascript to continue.",    // dropped: javascript
+      "is this a question?",               // kept
+      "quoted line \"ends in a quote\"",   // dropped: quote not terminal? no — ends with '"' => kept
+      "an exclamation happens here!"       // kept
+    ).mkString("\n")
+    val docs = Seq(
+      (1L, page),
+      (2L, page + "\nsome lorem ipsum filler."),    // page rule: lorem
+      (3L, page + "\njson blob { inside }."),       // page rule: brace
+      (4L, "one sentence only line here.")          // < 5 sentences
+    ).toDF("doc_id", "text")
+    val fmap = graft.pipeline.TextAnalysis.c4Clean(col("text"),
+      minSentences = 4).toMap
+    val out = docs.select(col("doc_id"), fmap("cleaned").as("cleaned"),
+      fmap("kept_lines").as("kl"), fmap("sentences").as("sn"),
+      fmap("keep").as("keep")).orderBy("doc_id").collect()
+    val cleaned1 = out(0).getString(1)
+    assert(cleaned1.split("\n").toSeq === Seq(
+      "this line ends with a period.",
+      "is this a question?",
+      "quoted line \"ends in a quote\"",
+      "an exclamation happens here!"))
+    assert(out(0).getLong(2) === 4L)         // kept lines
+    assert(out(0).getLong(3) === 3L)         // . ? ! (the quote is no sentence mark)
+    assert(!out(0).getBoolean(4))            // 3 sentences < 4
+    assert(!out(1).getBoolean(4))            // lorem ipsum page
+    assert(!out(2).getBoolean(4))            // '{' page
+    assert(!out(3).getBoolean(4))            // single sentence
+    // a page clearing the sentence bar keeps
+    val ok = Seq((9L, Seq.fill(5)("five words ending with period.")
+      .mkString("\n"))).toDF("doc_id", "text")
+    assert(ok.select(fmap("keep")).collect()(0).getBoolean(0))
+  }
+
   test("gopherRules: each published rule binds on a crafted document " +
        "(Rae et al. 2021, Appendix A)") {
     import spark.implicits._
