@@ -1034,6 +1034,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top terms per document (smooth idf, scored rounded before
+    // ranking so ties break identically cross-engine)
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docsPar(s, dir), col("doc_id"),
+        col("text"), 5)
+        .select(col("docId").as("doc_id"), col("rank").cast("long").as("rnk"),
+          col("term"), col("tfidf"), col("tf").as("tf_n"), col("df").as("df_n"))
+        .orderBy("doc_id", "rnk")),
+
     // C4 cleaning rules (Raffel et al. 2020 §2.2) over a derived page:
     // the flat synthetic docs are re-chunked into 10-word lines where
     // every third line lacks terminal punctuation, a deterministic subset
@@ -2683,6 +2692,22 @@ object SparkEntry {
         | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
         | ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  round(tf.tf * (ln(CAST(nn.n + 1 AS DOUBLE)/(dfq.df + 1)) + 1), 6) AS tfidf
+        | FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        |rk AS (SELECT doc_id, term, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM sc)
+        |SELECT doc_id, rnk, term, tfidf,
+        | CAST(tf AS BIGINT) AS tf_n, CAST(df AS BIGINT) AS df_n
+        |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     "c4_clean" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -124,6 +124,40 @@ object TextAnalysis {
   }
 
   /**
+   * TF-IDF top-k terms per document — corpus vocabulary statistics for
+   * filter/feature engineering, using the standard smooth-idf formula
+   * idf = ln((1+N)/(1+df)) + 1 (the scikit-learn default, published).
+   *
+   * 100 TB shapes: one explode feeding a per-(doc,term) Tungsten hash-agg
+   * (map-side partial combine — the shuffle carries term counts, not
+   * tokens), a term-keyed hash-agg for document frequency, a shuffle join
+   * on term (both sides term-partitioned, no broadcast of the vocabulary),
+   * the corpus size as ONE broadcast scalar, and the per-doc top-k through
+   * a docId-partitioned window (keys = documents, no global sort). The
+   * score is rounded to 6 digits BEFORE ranking so rank ties break
+   * identically on any engine.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: Column, textCol: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("docId"),
+      explode(split(trim(textCol), "\\s+")).as("term"))
+    val tf = toks.groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(idCol).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("docId"))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("docId"), col("rank"), col("term"), col("tfidf"),
+        col("tf"), col("df"))
+  }
+
+  /**
    * C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
    * Transfer Learning..." §2.2 — the public C4 web-corpus pipeline; the
    * word blocklist is a deployment parameter and omitted here):
