@@ -47,6 +47,11 @@ object Plans {
     show("decon", "decontaminate")
     show("dsg", "dedup_segments")
     show("e2e", "pipeline_e2e")
+    show("lshs", "embed_topk_lsh")
+    show("goph", "quality_gopher")
+    show("c4", "c4_clean")
+    show("tfidf", "tfidf_topk")
+    show("salted", "dedup_minhash_lsh_salted")
     spark.stop()
   }
 }

@@ -229,4 +229,55 @@ object StatefulOps {
           }
       }
   }
+
+  /** One keyed row for streaming dedup: `key` is the caller-computed
+    * identity (typically a content hash). */
+  case class Keyed(key: String, ord: Long, content: String,
+                   uuid: String = "")
+  case class Deduped(key: String, content: String, relationship: String,
+                     seen: Long, uuid: String = "")
+  case class SeenState(count: Long)
+
+  /**
+   * Streaming exact dedup — a capability the training-data pipeline needs
+   * that the reference engine lacks (the semantics mirror Apache NiFi's
+   * public DetectDuplicate processor): rows group on a caller-computed
+   * key; the FIRST arrival of a key routes `non-duplicate`, every later
+   * arrival routes `duplicate` carrying `seen` = how many arrivals the
+   * key has had so far. `ageMs > 0` expires a key's state after that
+   * idle period (the processor's cache-TTL contract) — the next arrival
+   * is `non-duplicate` again, and state memory stays bounded by the
+   * active key window.
+   *
+   * 100 TB shape: state is one counter per key, hash-sharded by the
+   * state store across executors; the per-batch work is one shuffle on
+   * the key — the standard streaming-dedup deployment.
+   */
+  def detectDuplicates(rows: Dataset[Keyed], ageMs: Long = 0): Dataset[Deduped] = {
+    implicit val outEnc = Encoders.product[Deduped]
+    implicit val stEnc = Encoders.product[SeenState]
+    implicit val strEnc = Encoders.STRING
+    val timeoutConf =
+      if (ageMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, batch: Iterator[Keyed], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var count = state.getOption.map(_.count).getOrElse(0L)
+            val out = batch.toSeq.sortBy(_.ord).map { r =>
+              count += 1
+              Deduped(key, r.content,
+                if (count == 1) "non-duplicate" else "duplicate",
+                count, r.uuid)
+            }
+            state.update(SeenState(count))
+            if (ageMs > 0) state.setTimeoutDuration(ageMs)
+            out.iterator
+          }
+      }
+  }
 }

@@ -280,6 +280,59 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streaming detectDuplicates: first arrival non-duplicate, later " +
+       "arrivals duplicate with seen counts, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val q = StatefulOps.detectDuplicates(input.toDS())
+      .writeStream.format("memory").queryName("dedup_seen")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct keys + an in-batch repeat
+      input.addData(
+        StatefulOps.Keyed("h1", 1, "a"),
+        StatefulOps.Keyed("h2", 2, "b"),
+        StatefulOps.Keyed("h1", 3, "a'"))
+      q.processAllAvailable()
+      // batch 2: both keys repeat
+      input.addData(
+        StatefulOps.Keyed("h1", 4, "a''"),
+        StatefulOps.Keyed("h2", 5, "b'"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_seen").as[StatefulOps.Deduped].collect()
+        .sortBy(r => (r.key, r.seen))
+      assert(rows.map(r => (r.key, r.relationship, r.seen)).toSeq === Seq(
+        ("h1", "non-duplicate", 1L), ("h1", "duplicate", 2L),
+        ("h1", "duplicate", 3L),
+        ("h2", "non-duplicate", 1L), ("h2", "duplicate", 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming detectDuplicates: an idle key's state expires after " +
+       "ageMs and the next arrival is non-duplicate again") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Keyed]
+    val q = StatefulOps.detectDuplicates(input.toDS(), ageMs = 300)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(StatefulOps.Keyed("h1", 1, "a"))
+      eventually(30, 250) {
+        spark.table("dedup_ttl").count() == 1
+      }
+      Thread.sleep(700) // let the TTL lapse (timeout batches free-run)
+      input.addData(StatefulOps.Keyed("h1", 2, "late"))
+      eventually(30, 250) {
+        val rows = spark.table("dedup_ttl").as[StatefulOps.Deduped]
+          .collect().sortBy(_.seen)
+        rows.length == 2 &&
+          rows.forall(_.relationship == "non-duplicate") // state expired
+      }
+    } finally q.stop()
+  }
+
   test("streaming DefragmentText: MaxBufferSize overflow flushes to failure " +
        "(DefragmentText.h:85-87)") {
     import spark.implicits._
