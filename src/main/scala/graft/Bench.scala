@@ -58,7 +58,7 @@ object Bench {
     * time means no stage is quadratic, single-reducer, or driver-bound. */
   val x10: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export",
-    "embed_topk", "embed_neardup", "embed_topk_lsh")
+    "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

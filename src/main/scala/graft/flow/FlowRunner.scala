@@ -1046,15 +1046,25 @@ object Processors {
 
       case "InvokeHTTP" =>
         val urlEl = req("Remote URL")
-        val call = Exec.httpRequestUdf(prop("HTTP Method", "GET"))(
-          ElCompiler.template(urlEl), content.cast("string"))
+        // Attributes to Send: FULL-string regex over attribute names, with
+        // the invalid-header-field policy (fail vetoes the request →
+        // failure; drop skips; transform rewrites) — InvokeHTTP.cpp:213-239
+        val hdrCol = Exec.headerPrepUdf(
+          props.get("Attributes to Send").filter(_.nonEmpty),
+          prop("Invalid HTTP Header Field Handling Strategy", "transform"))(
+          col(FlowFrame.Attributes))
+        val call = Exec.httpRequestHeadersUdf(prop("HTTP Method", "GET"))(
+          ElCompiler.template(urlEl), content.cast("string"), hdrCol)
         val sent = in.withColumn("__http", call)
         val routed = sent.withColumn(FlowFrame.Relationship,
-          when(col("__http._1") === -1, "failure")
+          when(col("__http._1") <= -1, "failure")
             .otherwise(Exec.routeByStatus(col("__http._1"))))
+        val bodyAttr = props.get("Put Response Body in Attribute")
+          .filter(_.nonEmpty)
         FlowFrame.withAttrs(routed, Seq(
           "invokehttp.status.code" -> col("__http._1").cast("string"),
-          "invokehttp.response.body" -> col("__http._2")))
+          "invokehttp.response.body" -> col("__http._2")) ++
+          bodyAttr.map(a => a -> col("__http._2")))
           .drop("__http")
 
       // ------------------------------------------------------ sql sources

@@ -170,6 +170,81 @@ object Exec {
    * call (same policy as Sources.fetchFile); a shared lazy client per
    * executor keeps connection reuse without per-row setup.
    */
+  /** RFC822 3.1.2 header-field-name validity (HTTPClient.cpp:503-510):
+    * nonempty, printable ASCII 33..126, no colon. */
+  def isValidHttpHeaderField(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c >= 33 && c <= 126 && c != ':')
+
+  /** Invalid chars → '-', empty → the reference's sentinel name
+    * (HTTPClient.cpp:513-524). */
+  def replaceInvalidCharactersInHttpHeaderFieldName(name: String): String =
+    if (name.isEmpty) "X-MiNiFi-Empty-Attribute-Name"
+    else name.map(c => if (c >= 33 && c <= 126 && c != ':') c else '-')
+
+  /** Control characters (< 32) removed from header bodies
+    * (HTTPClient.cpp:526-530). */
+  def removeInvalidCharactersFromHttpHeaderFieldBody(body: String): String =
+    body.filter(_ >= 32)
+
+  /**
+   * InvokeHTTP "Attributes to Send" + "Invalid HTTP Header Field Handling
+   * Strategy" (InvokeHTTP.cpp:213-239): attribute names matching the
+   * regex as a FULL string become request headers; `fail` vetoes the
+   * whole request when any matching name is invalid (null result →
+   * failure routing), `drop` skips invalid names, `transform` rewrites
+   * them; bodies always lose control characters. A udf over the
+   * attribute map so the policy runs distributed, per FlowFile.
+   */
+  def headerPrepUdf(attributesToSend: Option[String], strategy: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val re = attributesToSend.map(_.r)
+    udf { (attrs: Map[String, String]) =>
+      re match {
+        case None => Map.empty[String, String]
+        case Some(rx) =>
+          val matching = attrs.toSeq
+            .filter { case (k, _) => rx.pattern.matcher(k).matches() }
+          strategy.toLowerCase match {
+            case "fail" =>
+              if (matching.exists(kv => !isValidHttpHeaderField(kv._1))) null
+              else matching.map { case (k, v) =>
+                k -> removeInvalidCharactersFromHttpHeaderFieldBody(v) }.toMap
+            case "drop" =>
+              matching.filter(kv => isValidHttpHeaderField(kv._1))
+                .map { case (k, v) =>
+                  k -> removeInvalidCharactersFromHttpHeaderFieldBody(v) }.toMap
+            case _ => // transform (the reference default)
+              matching.map { case (k, v) =>
+                replaceInvalidCharactersInHttpHeaderFieldName(k) ->
+                  removeInvalidCharactersFromHttpHeaderFieldBody(v) }.toMap
+          }
+      }
+    }
+  }
+
+  /** [[httpRequestUdf]] with a per-row header map third argument: a NULL
+    * map means the header policy vetoed the request (strategy = fail) —
+    * no network call, status -2 → failure routing. */
+  def httpRequestHeadersUdf(method: String, timeoutMs: Long = 5000)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (url: String, body: String, hdrs: Map[String, String]) =>
+      if (hdrs == null) (-2, "")
+      else try {
+        val client = Exec.sharedHttpClient
+        var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+        hdrs.foreach { case (k, v) => b = b.header(k, v) }
+        val req = (method.toUpperCase match {
+          case "GET" => b.GET()
+          case m => b.method(m, java.net.http.HttpRequest.BodyPublishers
+            .ofString(if (body == null) "" else body))
+        }).build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      } catch { case _: Exception => (-1, "") }
+    }.asNondeterministic()
+
   def httpRequestUdf(method: String, timeoutMs: Long = 5000,
                      headers: Map[String, String] = Map.empty)
       : org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -866,6 +866,77 @@ class FlowSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("InvokeHTTP sends matched attributes as headers under the invalid-" +
+       "name policy; Put Response Body in Attribute lands the body " +
+       "(InvokeHTTPTests.cpp:140-330)") {
+    val seenHeaders =
+      new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/echo", ex => {
+      import scala.jdk.CollectionConverters._
+      seenHeaders.add(ex.getRequestHeaders.asScala
+        .map { case (k, v) => k.toLowerCase -> v.get(0) }.toMap)
+      val resp = "pong".getBytes
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      def yml(extra: String) =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '1', Custom Text: ping, Data Format: Text, Unique FlowFiles: 'false'}
+           |- name: upd
+           |  id: u
+           |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+           |  Properties:
+           |    x-good-header: good
+           |    'x-bad:header': bad
+           |- name: http
+           |  id: h
+           |  class: org.apache.nifi.processors.standard.InvokeHTTP
+           |  Properties:
+           |    HTTP Method: POST
+           |    Remote URL: http://127.0.0.1:$port/echo
+           |$extra
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+           |- {id: c2, source id: u, source relationship names: [success], destination id: h}
+           |""".stripMargin
+      def run(extra: String) = FlowRunner.run(spark, FlowConfig.parse(yml(extra)))
+        .output("http")
+        .select(col("relationship"),
+          element_at(col("attributes"), "resp.body"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+      // transform (default): the invalid name arrives rewritten
+      assert(run(
+        """    Attributes to Send: x-.*
+          |    Put Response Body in Attribute: resp.body""".stripMargin) ===
+        Seq(("success", "pong")))
+      val h1 = seenHeaders.poll()
+      assert(h1("x-good-header") === "good")
+      assert(h1("x-bad-header") === "bad") // ':' transformed to '-'
+      // fail: the invalid matched name vetoes the request entirely
+      assert(run("    Attributes to Send: x-.*\n" +
+        "    Invalid HTTP Header Field Handling Strategy: fail") ===
+        Seq(("failure", null)))
+      assert(seenHeaders.isEmpty) // nothing reached the server
+      // drop: only the valid name arrives
+      assert(run("    Attributes to Send: x-.*\n" +
+        "    Invalid HTTP Header Field Handling Strategy: drop")
+        .head._1 === "success")
+      val h2 = seenHeaders.poll()
+      assert(h2("x-good-header") === "good")
+      assert(!h2.contains("x-bad-header"))
+    } finally server.stop(0)
+  }
+
   test("PutSplunkHTTP flow: raw HEC POST with metadata query parameters, " +
        "splunk.* response attributes, invalid-token failure " +
        "(PutSplunkHTTPTests.cpp:34-112; PutSplunkHTTP.cpp getEndpoint)") {

@@ -981,6 +981,59 @@ class OperatorSpec extends SparkSpec {
       "http.header.auth" -> "tok"))
   }
 
+  test("HTTP header field helpers match the reference vectors " +
+       "(HTTPClientTests.cpp:104-121; HTTPClient.cpp:503-530)") {
+    import graft.ops.Exec._
+    assert(!isValidHttpHeaderField(""))
+    assert(isValidHttpHeaderField("valid"))
+    assert(!isValidHttpHeaderField(" "))
+    assert(!isValidHttpHeaderField("invalid" + 11.toChar + "character"))
+    assert(!isValidHttpHeaderField("invalid" + 128.toChar + "character"))
+    assert(!isValidHttpHeaderField("contains:invalid"))
+    assert(replaceInvalidCharactersInHttpHeaderFieldName("") ===
+      "X-MiNiFi-Empty-Attribute-Name")
+    assert(replaceInvalidCharactersInHttpHeaderFieldName("valid") === "valid")
+    assert(replaceInvalidCharactersInHttpHeaderFieldName(" ") === "-")
+    assert(replaceInvalidCharactersInHttpHeaderFieldName(
+      "invalid" + 11.toChar + "character") === "invalid-character")
+    assert(replaceInvalidCharactersInHttpHeaderFieldName(
+      "invalid" + 128.toChar + "character") === "invalid-character")
+    assert(replaceInvalidCharactersInHttpHeaderFieldName("contains:invalid")
+      === "contains-invalid")
+    assert(removeInvalidCharactersFromHttpHeaderFieldBody("abc")
+      === "abc")
+  }
+
+  test("InvokeHTTP header policy: full-string attribute matching and the " +
+       "fail/drop/transform strategies (InvokeHTTPTests.cpp:140-306)") {
+    import graft.ops.Exec
+    val attrs = Map("header1" -> "v1", "header1suffix" -> "v2",
+      "bad:name" -> "v3", "other" -> "v4")
+    def prep(regex: String, strategy: String): Map[String, String] = {
+      val r = flowFrame(Seq(("", attrs)))
+        .select(Exec.headerPrepUdf(Some(regex), strategy)(
+          col(FlowFrame.Attributes)).as("h")).collect()(0)
+      if (r.isNullAt(0)) null else r.getMap[String, String](0).toMap
+    }
+    // full-string matching: 'header1' does NOT match 'header1suffix'
+    assert(prep("header1", "transform") === Map("header1" -> "v1"))
+    // fail: an invalid MATCHED name vetoes the whole request (null)
+    assert(prep("header1|bad:name", "fail") === null)
+    // fail with the invalid name UNMATCHED: request proceeds
+    assert(prep("header1", "fail") === Map("header1" -> "v1"))
+    // drop: invalid matched names skipped
+    assert(prep("header1|bad:name", "drop") === Map("header1" -> "v1"))
+    // transform: invalid matched names rewritten
+    assert(prep("header1|bad:name", "transform") ===
+      Map("header1" -> "v1", "bad-name" -> "v3"))
+    // no Attributes to Send → no headers at all
+    val none = flowFrame(Seq(("", attrs)))
+      .select(Exec.headerPrepUdf(None, "transform")(
+        col(FlowFrame.Attributes)).as("h")).collect()(0)
+      .getMap[String, String](0)
+    assert(none.isEmpty)
+  }
+
   test("PutSQL appends rows into a catalog table (PutSQL.h:34-44)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS putsql_t")
