@@ -1700,6 +1700,43 @@ object SparkEntry {
         .orderBy("mm_id")
     }),
 
+    // Audio plane: canonical RIFF/WAVE headers synthesized per doc (the
+    // same trust model as multimodal_decode: the generator's parameters
+    // derive from doc_id, the REAL header parser recovers them, the
+    // oracle recomputes the expectation from doc_id independently).
+    // Every third doc gets a non-WAV payload to exercise the stub path.
+    "multimodal_audio" -> ((s, dir) => {
+      def u8(c: Column) = unhex(lpad(hex(c.cast("long") % 256), 2, "0"))
+      def le16c(c: Column) = concat(u8(c), u8(floor(c / 256)))
+      def le32c(c: Column) = concat(u8(c), u8(floor(c / 256)),
+        u8(floor(c / 65536)), u8(floor(c / 16777216)))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("long").as("ch"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("long").as("rate"),
+        lit(16L).as("bits"),
+        ((col("doc_id") * 37) % 50000).cast("long").as("dataBytes"),
+        col("source"))
+      val wav = concat(
+        lit("RIFF").cast("binary"), le32c(col("dataBytes") + 36),
+        lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), le32c(lit(16)), le16c(lit(1)),
+        le16c(col("ch")), le32c(col("rate")),
+        le32c(col("rate") * col("ch") * 2), le16c(col("ch") * 2),
+        le16c(col("bits")),
+        lit("data").cast("binary"), le32c(col("dataBytes")))
+      val withAudio = docs.withColumn("snd",
+        when(col("doc_id") % 3 === 0, lit("not audio").cast("binary"))
+          .otherwise(wav))
+      val wrapped = Multimodal.wrapBinary(withAudio,
+        col("doc_id"), col("snd"), "audio/wav", col("source"))
+      Multimodal.audioFeatures(wrapped)
+        .select(col("mmId").as("mm_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("bitsPerSample").as("bits_per_sample"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("mm_id")
+    }),
+
     // ------- provenance lineage: FORK/JOIN round trip -------
     // Documents (one word per line) fork into per-line fragments through
     // the real SplitText dispatch, merge back through the real Defragment
@@ -3041,6 +3078,19 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
         | CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY mm_id""".stripMargin,
+
+    "multimodal_audio" ->
+      """SELECT doc_id AS mm_id,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
+        |      ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(8000 AS BIGINT)
+        |      ELSE CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) END AS sample_rate,
+        | CAST(16 AS BIGINT) AS bits_per_sample,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(9 AS BIGINT)
+        |      ELSE CAST(((doc_id * 37) % 50000) * 1000
+        |        // ((8000 + (doc_id % 3) * 4000) * (doc_id % 2 + 1) * 2) AS BIGINT)
+        | END AS duration_ms
         |FROM documents ORDER BY mm_id""".stripMargin,
 
     "multimodal_decode" ->

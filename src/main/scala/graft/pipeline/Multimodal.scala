@@ -33,6 +33,9 @@ object Multimodal {
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8) |
+      ((b(i + 2) & 0xFF).toLong << 16) | ((b(i + 3) & 0xFF).toLong << 24)
 
   /** PNG: 8-byte signature, then the IHDR chunk (always first) carries
     * width/height as big-endian u32 at offsets 16/20. */
@@ -127,6 +130,57 @@ object Multimodal {
           case None =>
             val size = r.getStruct(metaIdx).getLong(1)
             Row(id, fakeWidth(size), fakeHeight(size), fakeFrames(size))
+        }
+      }
+    }(encoder)
+  }
+
+  /** WAV — canonical RIFF/WAVE header (public spec; Microsoft/IBM RIFF
+    * 1991): 'RIFF'@0, 'WAVE'@8, 'fmt '@12 with channels (LE16@22),
+    * sample rate (LE32@24) and bits per sample (LE16@34), 'data'@36 with
+    * the PCM byte count (LE32@40). Returns
+    * (channels, sampleRate, bitsPerSample, dataBytes). */
+  def wavInfo(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+    if (b == null || b.length < 44) return None
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt ") && tag(36, "data"))
+      Some((le16(b, 22), le32(b, 24), le16(b, 34), le32(b, 40)))
+    else None
+  }
+
+  /**
+   * Audio analog of [[decodeFeatures]] — same batched `mapPartitions`
+   * decode shape: WAV payloads get REAL header-parsed channels/rate/bits
+   * and the implied duration (dataBytes·1000 / byteRate, floor); other
+   * payloads fall back to deterministic size-derived stub features so the
+   * plumbing stays verifiable end-to-end on any byte column.
+   */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("mmId", LongType),
+      StructField("channels", LongType),
+      StructField("sampleRate", LongType),
+      StructField("bitsPerSample", LongType),
+      StructField("durationMs", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex("mmId")
+    val metaIdx = df.schema.fieldIndex("meta")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        Option(payload).flatMap(wavInfo) match {
+          case Some((ch, rate, bits, dataBytes)) =>
+            val byteRate = rate * ch * (bits / 8)
+            val durMs = if (byteRate > 0) dataBytes * 1000L / byteRate else 0L
+            Row(id, ch.toLong, rate, bits.toLong, durMs)
+          case None =>
+            val size = r.getStruct(metaIdx).getLong(1)
+            Row(id, size % 2 + 1, 8000L, 16L, size)
         }
       }
     }(encoder)

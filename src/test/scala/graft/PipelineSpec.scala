@@ -471,6 +471,34 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("wavInfo parses the canonical RIFF/WAVE header; malformed bytes " +
+       "fall to the stub path") {
+    import graft.pipeline.Multimodal
+    // 44-byte canonical header: 2ch, 44100 Hz, 16-bit, 88200 data bytes
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 88200)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 2 * 2)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(88200)
+    val wav = bb.array()
+    assert(Multimodal.wavInfo(wav) === Some((2, 44100L, 16, 88200L)))
+    assert(Multimodal.wavInfo("RIFFnot really a wav".getBytes) === None)
+    assert(Multimodal.wavInfo(Array.emptyByteArray) === None)
+    assert(Multimodal.wavInfo(null) === None)
+    // one-second stereo CD-rate clip: duration math through audioFeatures
+    import spark.implicits._
+    val df = Seq((7L, wav)).toDF("mmId", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("mimeType"),
+        octet_length(col("payload")).cast("long").as("sizeBytes"),
+        lit("mem").as("sourceUri")))
+    val r = Multimodal.audioFeatures(df).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 44100L, 16L, 500L))) // 88200 bytes / 176400 B/s = 0.5 s
+  }
+
   test("c4Clean: each published line and page rule binds " +
        "(Raffel et al. 2020 §2.2)") {
     import spark.implicits._
