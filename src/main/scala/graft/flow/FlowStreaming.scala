@@ -203,6 +203,34 @@ object FlowStreaming {
           current_timestamp().as(FlowFrame.EntryDate),
           col("relationship")))
 
+      case "DetectDuplicate" =>
+        // Apache NiFi's public DetectDuplicate surface over the stateful
+        // dedup op: Cache Entry Identifier (EL; default = content md5)
+        // keys the state, Age Off Duration expires idle keys
+        val in = input.getOrElse(throw new IllegalArgumentException(
+          s"'${p.name}' has no incoming connection"))
+        val keyCol = props.get("Cache Entry Identifier")
+          .map(el => graft.el.ElCompiler.template(el))
+          .getOrElse(md5(col(FlowFrame.Content).cast("binary")))
+        val ordCol = coalesce(FlowFrame.attr("tailfile.lineOffset"),
+          FlowFrame.attr("net.seq"), lit("0")).cast("long")
+        val keyed = in.select(keyCol.cast("string").as("key"),
+          ordCol.as("ord"),
+          col(FlowFrame.Content).cast("string").as("content"),
+          col(FlowFrame.Uuid).cast("string").as("uuid"))
+          .as[graft.streaming.StatefulOps.Keyed]
+        val out = graft.streaming.StatefulOps.detectDuplicates(keyed,
+          ageMs = props.get("Age Off Duration")
+            .map(Units.parseDurationMs).getOrElse(0L))
+        Some(out.toDF().select(
+          col("uuid").as(FlowFrame.Uuid),
+          map(lit("detectduplicate.key"), col("key"),
+            lit("detectduplicate.seen"), col("seen").cast("string"))
+            .as(FlowFrame.Attributes),
+          col("content").as(FlowFrame.Content),
+          current_timestamp().as(FlowFrame.EntryDate),
+          col("relationship")))
+
       case "MergeContent"
         if prop("Merge Strategy", "Defragment") == "Bin-Packing Algorithm" =>
         val in = input.getOrElse(throw new IllegalArgumentException(

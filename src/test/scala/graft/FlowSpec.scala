@@ -1558,6 +1558,38 @@ class FlowSpec extends SparkSpec {
       "START two\n  detail c\n"))
   }
 
+  test("streaming DetectDuplicate flow: tailed lines dedup on content " +
+       "hash, duplicates route with seen counts") {
+    val dir = tmpDir("dedup-in")
+    val ckpt = tmpDir("dedup-ckpt")
+    val out = tmpDir("dedup-sink")
+    Files.write(Paths.get(dir, "lines.log"),
+      "alpha\nbeta\nalpha\ngamma\nbeta\nalpha\n".getBytes)
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Processors:
+         |- name: tail
+         |  id: t
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: $dir/lines.log
+         |- name: dedup
+         |  id: d
+         |  class: org.apache.nifi.minifi.processors.DetectDuplicate
+         |Connections:
+         |- {id: c1, source id: t, source relationship names: [success], destination id: d}
+         |""".stripMargin
+    FlowStreaming.run(spark, FlowConfig.parse(yml), out, ckpt).stop()
+    val firsts = spark.read.parquet(s"$out/relationship=non-duplicate")
+      .select("content").collect().map(_.getString(0)).toSet
+    assert(firsts === Set("alpha", "beta", "gamma"))
+    val dups = spark.read.parquet(s"$out/relationship=duplicate")
+      .select(col("content"),
+        element_at(col("attributes"), "detectduplicate.seen"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dups === Set(("alpha", "2"), ("alpha", "3"), ("beta", "2")))
+  }
+
   test("streaming DefragmentText flow stamps JOIN provenance whose parents " +
        "reconstruct the tailed lines (VERDICT r6 ask: streaming lineage " +
        "parity; ProcessSession.cpp:973 records events on EVERY commit)") {
