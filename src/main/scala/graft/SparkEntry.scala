@@ -7,6 +7,7 @@ import graft.el.ElCompiler
 import graft.ops._
 import graft.pipeline.{Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.record.{Records, XmlRecords}
+import graft.sources.Sinks
 
 /**
  * Driver contract — every implemented operator from SURVEY.md §2 registered
@@ -1260,6 +1261,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.1 TailFile batch mode (the first tail pass: per-line FlowFiles
+    // with filename/path attrs; rotation state is the streaming source's
+    // plane, covered by TailFileSpec) — staged file read back through the
+    // real flow dispatch
+    "tail_file" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tail")
+      out.toFile.deleteOnExit()
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("doc_id"), lit("|"), md5(col("text").cast("binary")))
+            .as("value"))
+        .repartition(1).sortWithinPartitions("doc_id").select("value")
+        .write.mode("overwrite").text(out.toString)
+      val part = new java.io.File(out.toString).listFiles()
+        .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: tail
+           |  id: t
+           |  class: org.apache.nifi.minifi.processors.TailFile
+           |  Properties:
+           |    File to Tail: $part
+           |""".stripMargin
+      graft.flow.FlowRunner.run(s, graft.flow.FlowConfig.parse(yml))
+        .output("tail")
+        .select(
+          split(col("content").cast("string"), "\\|").getItem(0)
+            .cast("long").as("doc_id"),
+          split(col("content").cast("string"), "\\|").getItem(1)
+            .as("line_md5"),
+          element_at(col("attributes"), "filename").rlike("^part-")
+            .as("filename_ok"),
+          col("relationship"))
+        .orderBy("doc_id")
+    }),
+
     // §2.1 FetchFile — attribute-driven per-row fetch; missing → failure
     "fetch_file" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_fetchfile")
@@ -1699,6 +1737,53 @@ object SparkEntry {
           col("nFrames").as("n_frames"))
         .orderBy("mm_id")
     }),
+
+    // HTTP-sink payload planes, oracle-checked: the network hop needs a
+    // live service, but every BYTE the sinks emit is a deterministic
+    // column expression — these rows pin the exact _bulk / HEC / Loki
+    // payloads against independent DuckDB reconstruction.
+    "es_bulk_payload" -> ((s, dir) => {
+      val action = element_at(
+        array(lit("index"), lit("create"), lit("update"),
+          lit("upsert"), lit("delete")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val docJson = concat(lit("{\"lang\":\""), col("lang"), lit("\"}"))
+      val lines = Sinks.esBulkLines(action, col("source"),
+        col("doc_id").cast("string"), docJson)
+      val perDoc = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), lines.as("payload"))
+      perDoc.groupBy(col("source"))
+        .agg(md5(Sinks.esBulkBody(col("payload"), col("doc_id"))
+          .cast("binary")).as("bulk_md5"),
+          count(lit(1)).as("n_actions"))
+        .orderBy("source")
+    }),
+
+    "splunk_hec_payload" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Sinks.splunkHecEvent(col("text"), sourceType = Some("st1"),
+          source = Some("src1"), index = Some("main")).as("hec_event"))
+        .orderBy("doc_id")),
+
+    "loki_payload" -> ((s, dir) => {
+      val streams = tbl(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(Sinks.lokiStream(Seq("job" -> "graft", "env" -> "test"),
+          (col("doc_id") * 1000000L).as("ts"), col("text")).as("stream"))
+      streams.select(col("source"),
+        md5(Sinks.lokiPushBody(col("stream")).cast("binary"))
+          .as("push_md5"))
+        .orderBy("source")
+    }),
+
+    "splunk_ack_payload" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(Sinks.splunkAckRequestBody(
+          array_sort(collect_list(col("doc_id")))).as("ack_body"))
+        .select(col("source"), col("ack_body"))
+        .orderBy("source")),
 
     // Audio plane: canonical RIFF/WAVE headers synthesized per doc (the
     // same trust model as multimodal_decode: the generator's parameters
@@ -3079,6 +3164,52 @@ object SparkEntry {
         | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
         | CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY mm_id""".stripMargin,
+
+    "tail_file" ->
+      """SELECT doc_id, md5(text) AS line_md5, true AS filename_ok,
+        | 'success' AS relationship
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "es_bulk_payload" ->
+      """WITH a AS (SELECT doc_id, source, lang,
+        |  (['index','create','update','upsert','delete'])[CAST(doc_id % 5 AS INT) + 1] AS action
+        | FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  '{"' || (CASE WHEN action IN ('update','upsert') THEN 'update' ELSE action END)
+        |   || '":{"_index":"' || source || '","_id":"' || CAST(doc_id AS VARCHAR) || '"}}' AS meta,
+        |  '{"lang":"' || lang || '"}' AS doc, action FROM a),
+        |l AS (SELECT doc_id, source,
+        |  CASE WHEN action = 'delete' THEN meta
+        |       WHEN action = 'update' THEN meta || chr(10) || '{"doc":' || doc || '}'
+        |       WHEN action = 'upsert' THEN meta || chr(10) || '{"doc":' || doc || ',"doc_as_upsert":true}'
+        |       ELSE meta || chr(10) || doc END AS payload FROM m)
+        |SELECT source,
+        | md5(string_agg(payload, chr(10) ORDER BY doc_id) || chr(10)) AS bulk_md5,
+        | COUNT(*) AS n_actions
+        |FROM l GROUP BY source ORDER BY source""".stripMargin,
+
+    "splunk_hec_payload" ->
+      """SELECT doc_id,
+        | '{"sourcetype":"st1","source":"src1","index":"main","event":{"raw":'
+        |  || to_json(text) || '}}' AS hec_event
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "loki_payload" ->
+      """WITH v AS (SELECT source, doc_id,
+        |  '["' || CAST(doc_id * 1000000 AS VARCHAR) || '",' || to_json(text) || ']' AS val
+        | FROM documents),
+        |st AS (SELECT source,
+        |  '{"stream":{"job":"graft","env":"test"},"values":['
+        |   || string_agg(val, ',' ORDER BY doc_id) || ']}' AS stream
+        | FROM v GROUP BY source)
+        |SELECT source,
+        | md5('{"streams":[' || stream || ']}') AS push_md5
+        |FROM st ORDER BY source""".stripMargin,
+
+    "splunk_ack_payload" ->
+      """SELECT source,
+        | '{"acks":[' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) || ']}' AS ack_body
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "multimodal_audio" ->
       """SELECT doc_id AS mm_id,
