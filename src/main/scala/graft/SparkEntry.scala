@@ -1785,6 +1785,59 @@ object SparkEntry {
         .select(col("source"), col("ack_body"))
         .orderBy("source")),
 
+    // ConsumeKafka's record-to-FlowFile planes (no broker jar in this
+    // container, but the envelope stamping, duplicate-header policies,
+    // encodings and the demarcator bundling are deterministic Catalyst
+    // columns over the connector's record shape — synthesized here from
+    // documents and pinned against independent DuckDB reconstruction)
+    "kafka_envelope" -> ((s, dir) => {
+      import graft.sources.Kafka
+      val recs = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("value"),
+        concat(lit("k"), col("doc_id").cast("string")).cast("binary").as("key"),
+        col("source").as("topic"),
+        (col("doc_id") % 8).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("timestamp"),
+        array(
+          struct(lit("h1").as("key"),
+            concat(lit("a"), col("doc_id").cast("string")).cast("binary").as("value")),
+          struct(lit("h2").as("key"), lit("x").cast("binary").as("value")),
+          struct(lit("h1").as("key"),
+            concat(lit("b"), col("doc_id").cast("string")).cast("binary").as("value")))
+          .as("headers"))
+      Kafka.envelopeAttrs(recs, keyEncoding = "HEX")
+        .select(col("doc_id"),
+          col("`kafka.key`").as("key_hex"),
+          col("`kafka.count`").as("count_attr"),
+          col("`kafka.partition`").as("part_attr"),
+          Kafka.headerAttr(col("headers"), "h1", "KEEP_FIRST").as("h1_first"),
+          Kafka.headerAttr(col("headers"), "h1", "KEEP_LATEST").as("h1_latest"),
+          Kafka.headerAttr(col("headers"), "h1", "COMMA_SEPARATED_MERGE")
+            .as("h1_merged"),
+          Kafka.headerAttr(col("headers"), "h1", "COMMA_SEPARATED_MERGE", "HEX")
+            .as("h1_hex"),
+          Kafka.headerAttr(col("headers"), "missing", "KEEP_LATEST")
+            .as("h_missing"))
+        .orderBy("doc_id")
+    }),
+
+    "kafka_demarcate" -> ((s, dir) => {
+      import graft.sources.Kafka
+      val recs = tbl(s, dir, "documents").select(
+        md5(col("text")).cast("binary").as("value"),
+        col("source").as("topic"),
+        (col("doc_id") % 8).cast("int").as("partition"),
+        col("doc_id").as("offset"))
+      Kafka.demarcate(recs, "|")
+        .select(col("topic"), col("partition").cast("long").as("part_n"),
+          col("`kafka.count`").as("count_attr"),
+          col("`kafka.offset`").as("offset_attr"),
+          md5(col("content").cast("binary")).as("content_md5"))
+        .orderBy("topic", "part_n")
+    }),
+
     // Audio plane: canonical RIFF/WAVE headers synthesized per doc (the
     // same trust model as multimodal_decode: the generator's parameters
     // derive from doc_id, the REAL header parser recovers them, the
@@ -3169,6 +3222,25 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS line_md5, true AS filename_ok,
         | 'success' AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "kafka_envelope" ->
+      """SELECT doc_id,
+        | upper(hex('k' || CAST(doc_id AS VARCHAR))) AS key_hex,
+        | '1' AS count_attr,
+        | CAST(doc_id % 8 AS VARCHAR) AS part_attr,
+        | 'a' || CAST(doc_id AS VARCHAR) AS h1_first,
+        | 'b' || CAST(doc_id AS VARCHAR) AS h1_latest,
+        | 'a' || CAST(doc_id AS VARCHAR) || ', b' || CAST(doc_id AS VARCHAR) AS h1_merged,
+        | upper(hex('a' || CAST(doc_id AS VARCHAR) || ', b' || CAST(doc_id AS VARCHAR))) AS h1_hex,
+        | CAST(NULL AS VARCHAR) AS h_missing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "kafka_demarcate" ->
+      """SELECT source AS topic, CAST(doc_id % 8 AS BIGINT) AS part_n,
+        | CAST(COUNT(*) AS VARCHAR) AS count_attr,
+        | CAST(MAX(doc_id) AS VARCHAR) AS offset_attr,
+        | md5(string_agg(md5(text), '|' ORDER BY doc_id)) AS content_md5
+        |FROM documents GROUP BY 1, 2 ORDER BY topic, part_n""".stripMargin,
 
     "es_bulk_payload" ->
       """WITH a AS (SELECT doc_id, source, lang,
