@@ -1074,6 +1074,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The modern web-corpus filter chain COMPOSED: C4 line/page cleaning
+    // feeds the Gopher document filter over the CLEANED text; survivors
+    // exact-dedup on cleaned content. One lazily-composed plan, all
+    // map-side until the final keeper aggregation — and ONE DuckDB oracle
+    // recomputes the whole chain.
+    "curate_filters_e2e" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        when(i % 3 === 2, li).otherwise(concat(li, lit(".")))
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
+      val c4 = TextAnalysis.c4Clean(page).toMap
+      val cleanedDocs = tbl(s, dir, "documents")
+        .select(col("doc_id"), c4("cleaned").as("cleaned"),
+          c4("keep").as("c4_keep"))
+        .filter(col("c4_keep"))
+      val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
+        minStopHits = 1).toMap
+      val filtered = cleanedDocs
+        .withColumn("g_keep", gopher("keep"))
+        .filter(col("g_keep"))
+      Dedup.exact(filtered, col("doc_id"), col("cleaned"))
+        .select(col("contentHash").as("content_hash"),
+          col("keepId").as("keep_id"), col("dupCount").as("dup_count"))
+        .orderBy("content_hash")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"),
         Seq("the", "a", "data"))
@@ -3222,6 +3253,53 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS line_md5, true AS filename_ok,
         | 'success' AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curate_filters_e2e" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words, CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
+        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
+        |l2 AS (SELECT doc_id, i,
+        |  CASE WHEN i % 3 = 2 THEN array_to_string(list_slice(words, i*10+1, i*10+10), ' ')
+        |       ELSE array_to_string(list_slice(words, i*10+1, i*10+10), ' ') || '.' END AS line FROM ln),
+        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0 FROM l2 GROUP BY doc_id),
+        |pg AS (SELECT doc_id, page0 ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10)||'var cfg = { a: 1 };' ELSE '' END) AS page FROM pg0),
+        |cl AS (SELECT doc_id, page,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
+        |fin AS (SELECT doc_id, page, array_to_string(kept, chr(10)) AS cleaned FROM cl),
+        |c4 AS (SELECT doc_id, cleaned FROM fin
+        |  WHERE length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+        |    AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')),
+        |g0 AS (SELECT doc_id, cleaned,
+        |  CASE WHEN length(trim(cleaned)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(cleaned), '\s+')) END AS wn,
+        |  length(cleaned) AS cn,
+        |  (length(cleaned)-length(replace(cleaned,'#','')))
+        |   + (length(cleaned)-length(replace(cleaned,'...','')))//3 AS sym,
+        |  string_split(cleaned, chr(10)) AS lns FROM c4),
+        |g AS (SELECT doc_id, cleaned FROM g0 WHERE
+        |  wn >= 20 AND wn <= 100000
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) >= 3.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) <= 10.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(sym AS DOUBLE)/wn ELSE 0 END) <= 0.1
+        |  AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*\u2022]'))) AS DOUBLE)/len(lns) <= 0.9
+        |  AND CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)/len(lns) <= 0.3
+        |  AND (CASE WHEN wn > 0 THEN CAST(len(list_filter(regexp_split_to_array(trim(cleaned), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/wn ELSE 0 END) >= 0.8
+        |  AND ((CASE WHEN position(' the ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' be ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' to ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' of ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' and ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' that ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' have ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' with ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)) >= 1)
+        |SELECT md5(cleaned) AS content_hash, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS dup_count
+        |FROM g GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "kafka_envelope" ->
       """SELECT doc_id,
