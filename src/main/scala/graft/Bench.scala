@@ -58,7 +58,8 @@ object Bench {
     * time means no stage is quadratic, single-reducer, or driver-bound. */
   val x10: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export",
-    "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk")
+    "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk",
+    "curate_filters_e2e")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

@@ -52,6 +52,7 @@ object Plans {
     show("c4", "c4_clean")
     show("tfidf", "tfidf_topk")
     show("salted", "dedup_minhash_lsh_salted")
+    show("cfe2e", "curate_filters_e2e")
     spark.stop()
   }
 }

@@ -193,4 +193,20 @@ class FunctionsSpec extends SparkSpec {
       plan.queryExecution.executedPlan)
     assert(gen.contains("VectorKernels.dotQ"))
   }
+
+  test("graft_shingles / graft_word_windows are SQL-addressable with a " +
+       "literal width; non-literal width rejected at resolution") {
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val r = spark.sql(
+      "SELECT graft_shingles('a b c d', 2), graft_word_windows('a b c d', 3)")
+      .collect()(0)
+    assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1) === Seq("a b c", "d"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', CAST(rand()*2 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
 }
