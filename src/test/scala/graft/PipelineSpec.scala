@@ -471,6 +471,31 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("tfIdfTopTerms: hand-computed smooth-idf scores, rank ties break " +
+       "on term order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .tfIdfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .orderBy("docId", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    // idf(df=1) = ln(4/2)+1 = 1.693147; idf(df=2) = ln(4/3)+1 = 1.287682
+    // the operator rounds AFTER the tf multiply — mirror that here
+    def score(tf: Int, df: Int): Double =
+      math.round(tf * (math.log(4.0 / (df + 1)) + 1) * 1e6) / 1e6
+    assert(out.toSeq === Seq(
+      (1L, 1, "apple", score(2, 1)),  // tf=2 on the rare term wins
+      (1L, 2, "banana", score(1, 2)),
+      (2L, 1, "banana", score(1, 2)), // equal scores: term order breaks tie
+      (2L, 2, "cherry", score(1, 2)),
+      (3L, 1, "cherry", score(3, 2)),
+      (3L, 2, "date", score(1, 1))))
+  }
+
   test("wavInfo parses the canonical RIFF/WAVE header; malformed bytes " +
        "fall to the stub path") {
     import graft.pipeline.Multimodal
