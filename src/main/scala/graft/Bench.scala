@@ -201,8 +201,12 @@ object Bench {
     // volume that the JIT actually tiers the generated code (one pass at
     // sf0.001 measured insufficient: the measured pass still paid compile).
     val warmDir = "/root/testdata/sf0.01"
+    // warm EVERY benched query shape, not only the headline set — a
+    // non-headline row whose first measured rep pays codegen compile
+    // publishes an inverted 1×-vs-x10 pair (observed: a cold 1× row
+    // slower than its warm x10 row)
     (0 until 2).foreach { _ =>
-      headline.foreach { name =>
+      (headline ++ skewed ++ x10).distinct.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
       }
@@ -239,9 +243,18 @@ object Bench {
     // each measured rep still reads the skewed parquet from disk. Skewed
     // queries outside the headline set also get a uniform comparator row;
     // neither counts toward the round-over-round total.
+    // uniform comparator rows are measured BEFORE any staging write: a
+    // just-finished multi-hundred-MB corpus write leaves GC/page-cache
+    // pressure that outlasts min-of-3 (measured: a comparator row 5×
+    // slower right after stageX10 vs identical in isolation)
+    val skewComparators =
+      skewed.filterNot(headline.contains).map(name => name -> minOf3(name, sfDir))
+    val x10Comparators =
+      x10.filterNot(n => headline.contains(n) || skewed.contains(n))
+        .map(name => name -> minOf3(name, sfDir))
     val skewDir = stageSkewed(spark, sfDir)
     val skewResults =
-      skewed.filterNot(headline.contains).map(name => name -> minOf3(name, sfDir)) ++
+      skewComparators ++
       skewed.map(name => s"skew_$name" -> minOf3(name, skewDir))
     // Scale-decade rows: same queries, a 10× corpus staged from the sf
     // documents (staging time excluded — fixture construction, not query
@@ -251,8 +264,7 @@ object Bench {
     // comparator row exactly like the skewed set does.
     val x10Dir = stageX10(spark, sfDir)
     val x10Results =
-      x10.filterNot(n => headline.contains(n) || skewed.contains(n))
-        .map(name => name -> minOf3(name, sfDir)) ++
+      x10Comparators ++
       x10.map(name => s"x10_$name" -> minOf3(name, x10Dir))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at

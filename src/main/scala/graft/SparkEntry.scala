@@ -1022,7 +1022,7 @@ object SparkEntry {
     "quality_gopher" -> ((s, dir) => {
       val fmap = TextAnalysis.gopherRules(col("text"), minWords = 30,
         minStopHits = 1).toMap
-      tbl(s, dir, "documents").select(
+      docsPar(s, dir).select(
         col("doc_id"),
         fmap("words_n").as("words_n"),
         fmap("mean_word_len").as("mean_wlen"),
@@ -1065,7 +1065,7 @@ object SparkEntry {
         when(col("doc_id") % 13 === 0,
           lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
       val fmap = TextAnalysis.c4Clean(page).toMap
-      tbl(s, dir, "documents").select(
+      docsPar(s, dir).select(
         col("doc_id"),
         fmap("kept_lines").as("kept_lines"),
         fmap("sentences").as("sentences"),
@@ -1090,7 +1090,12 @@ object SparkEntry {
         when(col("doc_id") % 13 === 0,
           lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
       val c4 = TextAnalysis.c4Clean(page).toMap
-      val cleanedDocs = tbl(s, dir, "documents")
+      // docsPar, not tbl: the per-row work here (page derivation + both
+      // rule sets) is the heaviest map stage in the suite, and the fixture
+      // parquet is one file — without the repartition the whole chain runs
+      // on a couple of scan partitions (measured: the 10× STAGED corpus,
+      // which is 32-way, ran 3× faster than 1×)
+      val cleanedDocs = docsPar(s, dir)
         .select(col("doc_id"), c4("cleaned").as("cleaned"),
           c4("keep").as("c4_keep"))
         .filter(col("c4_keep"))
