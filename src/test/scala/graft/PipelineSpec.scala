@@ -471,6 +471,28 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("contaminatedBloom: superset of the exact overlap set (no false " +
+       "negatives), equal on this fixture at tight fpp") {
+    import spark.implicits._
+    val bench = Seq((100L, "quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated words only here"),
+      (3L, "prefix quick brown fox jumps suffix")).toDF("doc_id", "text")
+    val exact = graft.pipeline.Decontaminate.contaminated(corpus,
+      col("doc_id"), col("text"), bench, col("text"), 4)
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("nOverlaps")).toMap
+    val bloom = graft.pipeline.Decontaminate.contaminatedBloom(corpus,
+      col("doc_id"), col("text"), bench, col("text"), 4,
+      expectedGrams = 1000L, fpp = 1e-9)
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("nOverlaps")).toMap
+    // no false negatives: every exact hit present with >= its exact count
+    exact.foreach { case (id, cnt) => assert(bloom.getOrElse(id, 0L) >= cnt) }
+    // at fpp 1e-9 on this vocabulary the sets coincide
+    assert(bloom === exact)
+  }
+
   test("tfIdfTopTerms: hand-computed smooth-idf scores, rank ties break " +
        "on term order") {
     import spark.implicits._
