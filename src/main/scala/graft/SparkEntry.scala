@@ -929,6 +929,20 @@ object SparkEntry {
     // Benchmark decontamination: corpus docs (source != src0) sharing any
     // word 5-gram with the benchmark set (source = src0); benchmark grams
     // broadcast, corpus grams stream map-side through the join
+    // Bloom scale path at a tight fpp: xxhash64 is deterministic, so on
+    // this fixed corpus the probe either collides or it doesn't — same
+    // result every run; the EXACT-overlap oracle doubles as the
+    // no-false-positive witness at this vocabulary size.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      Decontaminate.contaminatedBloom(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), 5,
+        expectedGrams = 100000L, fpp = 1e-9)
+        .select(col("docId").as("doc_id"), col("nOverlaps").as("n_overlaps"))
+        .orderBy("doc_id")
+    }),
+
     "decontaminate" -> ((s, dir) => {
       val docs = docsPar(s, dir)
       Decontaminate.contaminated(
@@ -2774,6 +2788,25 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words
+        |  FROM documents),
+        |shi AS (SELECT doc_id, source, words,
+        |  unnest(generate_series(0,
+        |    CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+        |  FROM docs),
+        |sh0 AS (SELECT doc_id, source,
+        |  CASE WHEN len(words)>=5
+        |       THEN array_to_string(list_slice(words, i+1, i+5),' ')
+        |       ELSE array_to_string(words,' ') END AS sh
+        |  FROM shi),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id, COUNT(*) AS n_overlaps
+        |FROM sh c JOIN bench b ON c.sh = b.sh
+        |WHERE c.source <> 'src0'
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words
         |  FROM documents),
         |shi AS (SELECT doc_id, source, words,
