@@ -982,6 +982,20 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // Lloyd-trained IVF (2 deterministic k-means rounds: integer sums +
+    // integer division, no float accumulation) with exhaustive probing —
+    // training moves the cells, but probing every cell must STILL
+    // reproduce the brute-force ranking, so the same oracle checks the
+    // whole trained plumbing
+    "embed_topk_ivf_trained" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0), 5,
+        nCentroids = 8, nProbe = 8, lloydIters = 2)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Seeded random-hyperplane LSH + Hamming-1 multi-probe ANN — the
     // bucketed scale path (one bucket-keyed join instead of the full
     // cross). The Rademacher planes derive from md5(seed|p|d), so the
@@ -2894,6 +2908,7 @@ object SparkEntry {
 
     // exhaustive-probe IVF must reproduce the brute-force ranking exactly
     "embed_topk_ivf" -> EmbedTopKOracle,
+    "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -227,16 +227,68 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
-    // Deterministic centroid sample via orderBy+limit — Spark plans this as
-    // TakeOrderedAndProject (per-partition top-K, driver merge), NOT a
-    // global sort, so it scales. The md5 hex itself is the cell key.
-    val centroids = c.orderBy(md5(col("cid").cast("string")), col("cid"))
-      .limit(nCentroids)
+    probeWithCentroids(c, queries, k, nProbe,
+      sampleCentroids(c).limit(nCentroids))
+  }
+
+  /** Deterministic centroid sample via orderBy+limit — Spark plans this as
+    * TakeOrderedAndProject (per-partition top-K, driver merge), NOT a
+    * global sort, so it scales. The md5 hex itself is the cell key. */
+  private def sampleCentroids(c: DataFrame): DataFrame =
+    c.orderBy(md5(col("cid").cast("string")), col("cid"))
       .select(md5(col("cid").cast("string")).as("cent"),
         col("cq").as("centq"), col("cn").as("centn"))
+
+  /**
+   * IVF with Lloyd-refined centroids — the standard k-means training
+   * step, made DETERMINISTIC and partition-independent: each round
+   * assigns every corpus vector to its nearest centroid, then the new
+   * centroid is the per-dimension integer mean (exact long sums, integer
+   * division — no floating accumulation order anywhere). Cells that lose
+   * all members keep their previous centroid. Exhaustive probing must
+   * still reproduce the brute-force ranking exactly (the oracle);
+   * training only moves WHERE the recall/cost knob (nProbe) bites.
+   * Shape per round: one map-side assignment pass + a (cell, dim)-keyed
+   * hash-agg — the canonical distributed k-means iteration.
+   */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int, nProbe: Int,
+                     lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    var cents = sampleCentroids(c).limit(nCentroids)
+    for (_ <- 0 until lloydIters) {
+      val centsArr = cents
+        .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+      val assigned = c.crossJoin(broadcast(centsArr))
+        .withColumn("cent",
+          array_min(transform(col("cents"), x =>
+            struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
+              col("cn"), x.getField("centn")), 6)).as("negCos"),
+              x.getField("cent").as("cent")))).getField("cent"))
+      val means = assigned
+        .select(col("cent"), posexplode(col("cq")).as(Seq("pos", "v")))
+        .groupBy(col("cent"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("s DIV cnt"))
+        .groupBy(col("cent"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("newq"))
+      cents = cents.join(means, Seq("cent"), "left")
+        .select(col("cent"),
+          coalesce(col("newq"), col("centq")).as("centq"))
+        .withColumn("centn", normSqQ(col("centq")))
+    }
+    probeWithCentroids(c, queries, k, nProbe, cents)
+  }
+
+  private def probeWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
+                                 nProbe: Int,
+                                 centroidRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = centroidRows
       .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
     // Cell assignment is PER-ROW: the single-row centroid array broadcasts
     // onto every row and a higher-order transform scores all cells in one

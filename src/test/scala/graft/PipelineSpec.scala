@@ -471,6 +471,25 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("ivfTopKTrained: deterministic across runs and partitionings; " +
+       "exhaustive probing equals brute force after training") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Similarity.ivfTopKTrained(df, queries, 3,
+        nCentroids = 4, nProbe = 4, lloydIters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+    val a = run(emb)
+    val b = run(emb.repartition(7))   // partition-independent training
+    assert(a === b && a.nonEmpty)
+    val brute = graft.pipeline.Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(a === brute)               // exhaustive probe = exact ranking
+  }
+
   test("contaminatedBloom: superset of the exact overlap set (no false " +
        "negatives), equal on this fixture at tight fpp") {
     import spark.implicits._
