@@ -201,6 +201,39 @@ class NetSpec extends SparkSpec {
     assert(drain("qcap_out") === 50)
   }
 
+  test("ListenUDP max queue size: datagrams beyond the cap are dropped, " +
+       "the retained window flows (ListenUDPTests.cpp:86-119)") {
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(q: String): Long = {
+      val query = spark.readStream.format("graft.sources.NetListenerSource")
+        .option("name", "uqcap").option("protocol", "udp").option("port", "0")
+        .option("maxQueueSize", "50")
+        .load()
+        .writeStream.format("memory").queryName(q)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      query.awaitTermination()
+      spark.table(q).count()
+    }
+    assert(drain("uqcap_bind") === 0)
+    val port = NetListenerSource.boundPort("uqcap")
+    val sock = new java.net.DatagramSocket()
+    try {
+      val addr = InetAddress.getLoopbackAddress
+      for (i <- 0 until 100) {
+        val b = "test_message".getBytes(StandardCharsets.UTF_8)
+        sock.send(new java.net.DatagramPacket(b, b.length, addr, port))
+      }
+    } finally sock.close()
+    // UDP is lossy even on loopback, so the total accounted may fall a
+    // hair short of 100 — but the queue must never exceed the cap, and
+    // everything past the cap must be counted dropped, not queued
+    eventually(40, 250) {
+      val (queued, dropped) = NetListenerSource.queueStats("uqcap")
+      queued == 50 && dropped >= 40
+    }
+    assert(drain("uqcap_out") === 50)
+  }
+
   test("ListenTCP custom delimiters: multi-char and multi-byte delimiters " +
        "with Consume Delimiter on/off (ListenTcpTests.cpp:290-316)") {
     for ((delim, consume, name) <- Seq(
