@@ -1197,6 +1197,44 @@ class FlowSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(written) === "extracted_attr")
   }
 
+  test("HashContent: empty content routes by Fail on empty; invalid " +
+       "algorithm rejected at build (HashContentTest.cpp:126-173)") {
+    def run(failOnEmpty: String): Seq[(String, String)] = {
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '1', File Size: 0 B}
+           |- name: hash
+           |  id: h
+           |  class: org.apache.nifi.minifi.processors.HashContent
+           |  Properties:
+           |    Hash Attribute: md5attr
+           |    Hash Algorithm: MD5
+           |    Fail on empty: '$failOnEmpty'
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: h}
+           |""".stripMargin
+      FlowRunner.run(spark, FlowConfig.parse(yml)).output("hash")
+        .select(col("relationship"),
+          element_at(col("attributes"), "md5attr"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+    // empty + fail=false: hashes the empty content (md5 of "" is the
+    // well-known d41d8...) and routes success
+    assert(run("false") ===
+      Seq(("success", "d41d8cd98f00b204e9800998ecf8427e")))
+    // empty + fail=true: failure
+    assert(run("true").map(_._1) === Seq("failure"))
+    // invalid algorithm rejected at plan build, like onSchedule
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Transforms.hashContent(lit("x"), "NOPE")
+    }
+    assert(e.getMessage.contains("NOPE"))
+  }
+
   test("ConvertRecord with XMLRecordSetWriter renders the whole record set " +
        "as one rooted document with the controller's option surface " +
        "(XMLRecordSetWriterTests.cpp wrapper mode)") {
