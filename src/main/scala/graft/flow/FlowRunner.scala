@@ -605,7 +605,8 @@ object Processors {
       case "AppendHostInfo" =>
         success(Transforms.appendHostInfo(in,
           prop("Hostname Attribute", "source.hostname"),
-          prop("IP Attribute", "source.ipv4")))
+          prop("IP Attribute", "source.ipv4"),
+          props.get("Network Interface Filter").filter(_.nonEmpty)))
 
       // ---------------------------------------------------------- routing
       case "RouteOnAttribute" =>

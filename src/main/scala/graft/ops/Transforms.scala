@@ -464,16 +464,33 @@ object Transforms {
   }
 
   /**
-   * AppendHostInfo (AppendHostInfo.cpp): adds hostname/IP attributes —
-   * resolved at plan-build time on the driver (lit), matching the
-   * reference's onSchedule resolution.
+   * AppendHostInfo (AppendHostInfo.cpp:55-100): adds hostname/IP
+   * attributes — resolved at plan-build time on the driver (lit),
+   * matching the reference's onSchedule resolution (Refresh Policy's
+   * scheduled refresh collapses into the build). With a Network Interface
+   * Filter, the IPv4 addresses of every whole-name-matching interface
+   * join with commas; a filter matching NO interface leaves the IP
+   * attribute off entirely (AppendHostInfoTests.cpp:42-58).
    */
   def appendHostInfo(df: DataFrame, hostnameAttr: String = "source.hostname",
-                     ipAttr: String = "source.ipv4"): DataFrame = {
+                     ipAttr: String = "source.ipv4",
+                     interfaceNameFilter: Option[String] = None): DataFrame = {
     val host = java.net.InetAddress.getLocalHost
-    FlowFrame.withAttrs(df, Seq(
-      hostnameAttr -> lit(host.getHostName),
-      ipAttr -> lit(host.getHostAddress)))
+    val ips: Option[String] = interfaceNameFilter match {
+      case None => Some(host.getHostAddress)
+      case Some(re) =>
+        import scala.jdk.CollectionConverters._
+        val p = java.util.regex.Pattern.compile(re)
+        val matched = java.net.NetworkInterface.getNetworkInterfaces.asScala
+          .filter(ni => p.matcher(ni.getName).matches())
+          .flatMap(_.getInetAddresses.asScala)
+          .collect { case a: java.net.Inet4Address => a.getHostAddress }
+          .toSeq.distinct
+        if (matched.isEmpty) None else Some(matched.mkString(","))
+    }
+    FlowFrame.withAttrs(df,
+      Seq(hostnameAttr -> lit(host.getHostName)) ++
+        ips.map(v => ipAttr -> lit(v)))
   }
 
   /**

@@ -981,6 +981,27 @@ class OperatorSpec extends SparkSpec {
       "http.header.auth" -> "tok"))
   }
 
+  test("AppendHostInfo interface filter: unmatchable regex drops the IP " +
+       "attribute, loopback-only match yields 127.0.0.1 " +
+       "(AppendHostInfoTests.cpp:27-85)") {
+    import graft.ops.Transforms
+    val df = flowFrame(Seq(("", Map[String, String]())))
+    def attrs(filter: Option[String]): Map[String, String] =
+      Transforms.appendHostInfo(df, interfaceNameFilter = filter)
+        .select(col(FlowFrame.Attributes)).collect()(0)
+        .getMap[String, String](0).toMap
+    val noFilter = attrs(None)
+    assert(noFilter.contains("source.hostname"))
+    assert(noFilter.contains("source.ipv4"))
+    // a regex matching no interface: hostname present, NO ipv4 attribute
+    val unmatchable = attrs(Some("\\b"))
+    assert(unmatchable.contains("source.hostname"))
+    assert(!unmatchable.contains("source.ipv4"))
+    // loopback-only: the joined address list is exactly 127.0.0.1
+    val loopback = attrs(Some("lo"))
+    assert(loopback.get("source.ipv4").contains("127.0.0.1"))
+  }
+
   test("HTTP header field helpers match the reference vectors " +
        "(HTTPClientTests.cpp:104-121; HTTPClient.cpp:503-530)") {
     import graft.ops.Exec._
