@@ -1197,6 +1197,47 @@ class FlowSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(written) === "extracted_attr")
   }
 
+  test("RouteOnAttribute flow: an EL dynamic-property relationship routes " +
+       "matched, a false predicate routes unmatched, and the downstream " +
+       "edge consumes it (RouteOnAttributeTests.cpp:26-93)") {
+    def run(condition: String, takeEdge: String): Seq[String] = {
+      val yml =
+        s"""MiNiFi Config Version: 3
+           |Processors:
+           |- name: gen
+           |  id: g
+           |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+           |  Properties: {Batch Size: '1', Custom Text: x, Data Format: Text, Unique FlowFiles: 'false'}
+           |- name: upd
+           |  id: u
+           |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+           |  Properties:
+           |    route_condition_attr: '$condition'
+           |- name: route
+           |  id: r
+           |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+           |  Properties:
+           |    route_matched: $${route_condition_attr}
+           |- name: mark
+           |  id: m
+           |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+           |  Properties:
+           |    route_check_attr: good
+           |Connections:
+           |- {id: c1, source id: g, source relationship names: [success], destination id: u}
+           |- {id: c2, source id: u, source relationship names: [success], destination id: r}
+           |- {id: c3, source id: r, source relationship names: [$takeEdge], destination id: m}
+           |""".stripMargin
+      FlowRunner.run(spark, FlowConfig.parse(yml)).output("mark")
+        .select(element_at(col("attributes"), "route_check_attr"))
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(run("true", "route_matched") === Seq("good"))
+    assert(run("false", "route_matched") === Nil)   // nothing on the edge
+    assert(run("false", "unmatched") === Seq("good"))
+    assert(run("true", "unmatched") === Nil)
+  }
+
   test("HashContent: empty content routes by Fail on empty; invalid " +
        "algorithm rejected at build (HashContentTest.cpp:126-173)") {
     def run(failOnEmpty: String): Seq[(String, String)] = {
