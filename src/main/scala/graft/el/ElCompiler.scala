@@ -30,15 +30,23 @@ object ElCompiler {
     * (ExpressionLanguageInDynamicPropertiesTests.cpp:42
     * `${'nifi.my.own.property'}`): an EL name reference resolves the
     * FlowFile attribute first and falls back to the registry constant.
-    * Set per flow build (FlowRunner.run) on the driver at plan-build
-    * time; the value embeds as a literal, executors never see the map. */
-  @volatile var variableRegistry: Map[String, String] = Map.empty
+    * Thread-local and scoped: [[withVariables]] binds it for the duration
+    * of one flow's plan build, so concurrent flow builds on one driver
+    * don't race and nothing leaks into EL compiled outside a flow run.
+    * The resolved value embeds as a literal; executors never see the map. */
+  private val variableRegistry =
+    new scala.util.DynamicVariable[Map[String, String]](Map.empty)
+
+  /** Bind the variable registry for `body` (plan-build scope). */
+  def withVariables[A](variables: Map[String, String])(body: => A): A =
+    variableRegistry.withValue(variables)(body)
 
   /** Default resolver: FlowFrame attributes map (null when absent),
     * with the variable registry as the absent-attribute fallback. */
   val flowAttrs: AttrResolver = name => {
     val attr = element_at(col(FlowFrame.Attributes), name)
-    variableRegistry.get(name).map(v => coalesce(attr, lit(v))).getOrElse(attr)
+    variableRegistry.value.get(name)
+      .map(v => coalesce(attr, lit(v))).getOrElse(attr)
   }
 
   /** Compile a full property value (text + embedded expressions) to a string

@@ -51,10 +51,11 @@ object FlowRunner {
           materializeFanOut: Boolean = true,
           variables: Map[String, String] = Map.empty): FlowResult = {
     // the variable registry backs ${'name'} refs for attributes that do
-    // not exist on the FlowFile (minifi.properties plane); plan building
-    // below is synchronous on the driver, so a plain set-before-build is
-    // race-free and the compiled plans embed the values as literals
-    graft.el.ElCompiler.variableRegistry = variables
+    // not exist on the FlowFile (minifi.properties plane); the binding is
+    // thread-local and scoped to this plan build, so concurrent flow
+    // builds don't race and nothing leaks to EL compiled outside a run —
+    // the compiled plans embed the values as literals
+    graft.el.ElCompiler.withVariables(variables) {
     val incoming = flow.connections.groupBy(_.destinationId)
     // a processor output consumed by 2+ connections would otherwise be
     // recomputed once per downstream plan (separate DataFrame actions share
@@ -133,6 +134,7 @@ object FlowRunner {
     }
     val cached = order.filter(fanOut).map(outputs(_)).toSeq ++ procCaches.all
     FlowResult(flow, outputs.toMap, dropped.toSeq, cached)
+    }
   }
 }
 

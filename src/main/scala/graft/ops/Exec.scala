@@ -30,8 +30,9 @@ object Exec {
           var closed = false
           while (i < n && !closed) {
             full(i) match {
-              case '\\' if i + 1 < n &&
-                  (full(i + 1) == '"' || full(i + 1) == '\\') =>
+              // std::quoted: inside quotes the escape char is dropped and
+              // the NEXT character kept unconditionally ("a\x" -> ax)
+              case '\\' if i + 1 < n =>
                 sb.append(full(i + 1)); i += 2
               case '"' => closed = true; i += 1
               case c => sb.append(c); i += 1

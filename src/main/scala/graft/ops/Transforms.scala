@@ -523,7 +523,14 @@ object Transforms {
    * `logPayload` and the content is within the 1 MiB cap (hex-encoded on
    * request, wrapped at `maxLineLength`, 0 = one line), closed by the
    * dash line. Attribute order is sorted — the reference iterates a
-   * std::map, so the rendering matches byte-for-byte.
+   * std::map, so the attribute-map section matches byte-for-byte.
+   * EntryDate/lineageStartDate render with the reference TIME_FORMAT
+   * ("%Y-%m-%d %H:%M:%S" at ms precision, TimeUtil.h:45,79);
+   * lineageStartDate equals EntryDate here — FlowFrame does not track a
+   * separate lineage epoch (clones inherit entryDate). The reference's
+   * conditional "Content Claim:" line is omitted: content is inline in
+   * the frame, so there is no resource claim, matching the reference's
+   * no-claim branch (LogAttribute.cpp:96-98).
    */
   def logAttributeMessage(content: Column,
                           attributesToLog: Option[Seq[String]] = None,
@@ -554,24 +561,29 @@ object Transforms {
       if (hexencode) lower(hex(bytes)) else content.cast("string")
     val wrapped =
       if (maxLineLength == 0) concat(payloadText, lit("\n"))
-      else concat(array_join(
-        // chunk the printable payload at the line cap
-        transform(
-          sequence(lit(0),
-            greatest(floor((length(payloadText) - 1) / maxLineLength)
-              .cast("int"), lit(0))),
-          i => substring(payloadText, (i * maxLineLength + 1).cast("int"),
-            lit(maxLineLength))),
-        "\n"), lit("\n"))
+      else when(length(payloadText) === 0, lit(""))  // empty chunk loop emits nothing
+        .otherwise(concat(array_join(
+          // chunk the printable payload at the line cap
+          transform(
+            sequence(lit(0),
+              greatest(floor((length(payloadText) - 1) / maxLineLength)
+                .cast("int"), lit(0))),
+            i => substring(payloadText, (i * maxLineLength + 1).cast("int"),
+              lit(maxLineLength))),
+          "\n"), lit("\n")))
     val payloadPart =
       if (logPayload)
         when(size <= 1024 * 1024, concat(lit("\nPayload:\n"), wrapped))
           .otherwise(lit("\n"))
       else lit("\n")
+    val timeStr = date_format(col(FlowFrame.EntryDate),
+      "yyyy-MM-dd HH:mm:ss.SSS")
     concat(
       lit("Logging for flow file\n"), dash,
       lit("\nStandard FlowFile Attributes"),
       lit("\nUUID:"), col(FlowFrame.Uuid).cast("string"),
+      lit("\nEntryDate:"), timeStr,
+      lit("\nlineageStartDate:"), timeStr,
       lit("\nSize:"), size.cast("string"), lit(" Offset:0"),
       attrLines,
       lit("\nFlowFile Resource Claim Content"),

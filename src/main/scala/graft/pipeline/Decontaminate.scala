@@ -75,6 +75,16 @@ object Decontaminate {
       .select(explode(Dedup.shingles(benchTextCol, n)).as("gram"))
       .agg(bloomAgg.as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
+    // empty benchmark frame → null filter blob; the sensible result is
+    // "no contamination", not a NullType literal feeding might_contain
+    if (bfBytes == null)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("docId",
+            corpus.select(idCol).schema.head.dataType),
+          org.apache.spark.sql.types.StructField("nOverlaps",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     corpus
       .select(idCol.as("docId"),
         explode(array_distinct(Dedup.shingles(textCol, n))).as("gram"))

@@ -77,6 +77,14 @@ object Kafka {
         case "earliest" => "earliest"
         case _          => "latest"
       }),
+      // 'none' = the consumer errors when no stored offset exists.
+      // failOnDataLoss=true carries the MID-STREAM half (expired/lost
+      // offsets fail the query) but NOT the first-run half: Structured
+      // Streaming has no stored-offset-or-error start mode, so a fresh
+      // checkpoint silently starts at `latest`. RESIDUAL GAP, documented
+      // in COVERAGE.md §2.1 — progress is owned by the query checkpoint,
+      // which exists from batch 0, so the reference's "no committed group
+      // offset" state is unreachable after the first trigger.
       "failOnDataLoss" ->
         (if (p.offsetReset.equalsIgnoreCase("none")) "true" else "false"),
       "kafka.isolation.level" ->

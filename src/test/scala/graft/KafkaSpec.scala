@@ -182,7 +182,9 @@ class KafkaSpec extends SparkSpec {
       "Offset Reset" -> { () => // enum: earliest | latest | none
         assert(opts(_.copy(offsetReset = "earliest"))("startingOffsets") === "earliest")
         assert(opts(identity)("startingOffsets") === "latest")
-        // none = fail when no/expired offset: failOnDataLoss carries it
+        // none = fail when no/expired offset: failOnDataLoss carries the
+        // mid-stream half only — first run on a fresh checkpoint starts
+        // at latest (documented residual gap, Kafka.scala consumeOptions)
         assert(opts(_.copy(offsetReset = "none"))("failOnDataLoss") === "true")
         assert(opts(identity)("failOnDataLoss") === "false")
       },

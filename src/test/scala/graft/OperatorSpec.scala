@@ -102,6 +102,10 @@ class OperatorSpec extends SparkSpec {
     assert(tokenizeCommand("   ") === Nil)
     // unterminated quote reads to end of input (std::quoted behavior)
     assert(tokenizeCommand("\"open end") === Seq("open end"))
+    // inside quotes std::quoted drops the escape char before ANY
+    // following character: "a\x" extracts as ax
+    assert(tokenizeCommand("\"a\\x\"") === Seq("ax"))
+    assert(tokenizeCommand("\"mixed \\q\\\" end\"") === Seq("mixed q\" end"))
   }
 
   test("SqlColumnIdentifier: escaped forms, original representation, " +
@@ -150,6 +154,10 @@ class OperatorSpec extends SparkSpec {
       !both.contains("key:fra"))
     // header plumbing: dash line, standard attrs, claim header
     assert(all.startsWith("Logging for flow file\n" + "-" * 50))
+    // EntryDate/lineageStartDate in reference TIME_FORMAT (TimeUtil.h:45)
+    val dateRe = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}"""
+    assert(("\nEntryDate:" + dateRe).r.findFirstIn(all).isDefined)
+    assert(("\nlineageStartDate:" + dateRe).r.findFirstIn(all).isDefined)
     assert(all.contains("Size:11 Offset:0"))
     assert(all.contains("\nFlowFile Attributes Map Content"))
     assert(all.contains("\nFlowFile Resource Claim Content"))
@@ -164,6 +172,13 @@ class OperatorSpec extends SparkSpec {
       "\nPayload:\nhell\no wo\nrld\n"))
     assert(msg(payload = true, hex = true).contains(
       "\nPayload:\n68656c6c6f20776f726c64\n"))
+    // empty payload with a wrap cap: the reference's chunk loop emits
+    // nothing — no extra blank line before the closing dash
+    val empty = flowFrame(Seq(("", attrs)))
+      .select(Transforms.logAttributeMessage(col(FlowFrame.Content),
+        None, None, true, false, 80, "")).collect()(0).getString(0)
+    assert(empty.contains("\nPayload:\n" + "-" * 50))
+    assert(!empty.contains("\nPayload:\n\n"))
   }
 
   test("RetryFlowFile routing matrix: reuse modes × uuid match × " +

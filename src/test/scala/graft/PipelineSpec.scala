@@ -510,6 +510,12 @@ class PipelineSpec extends SparkSpec {
     exact.foreach { case (id, cnt) => assert(bloom.getOrElse(id, 0L) >= cnt) }
     // at fpp 1e-9 on this vocabulary the sets coincide
     assert(bloom === exact)
+    // empty benchmark → empty contamination set (null bloom blob guarded)
+    val none = graft.pipeline.Decontaminate.contaminatedBloom(corpus,
+      col("doc_id"), col("text"), bench.filter(lit(false)), col("text"), 4,
+      expectedGrams = 1000L, fpp = 1e-9)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("docId", "nOverlaps"))
   }
 
   test("tfIdfTopTerms: hand-computed smooth-idf scores, rank ties break " +
