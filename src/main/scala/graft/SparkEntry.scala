@@ -1063,6 +1063,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Full published Gopher decision (Rae et al. 2021): the quality rules
+    // (Appendix A prose, quality_gopher's surface) JOINed with the
+    // repetition table (Table A1) evaluated on a derived page — the flat
+    // synthetic docs are re-chunked into 8-word lines, with deterministic
+    // injections (a duplicate first line for doc_id%3, a hot-2-gram line
+    // twice for doc_id%5, a duplicated-5-gram line for doc_id%7) so every
+    // repetition rule binds BOTH ways across the 10-99-word length
+    // spread. The oracle recomputes the page derivation AND every
+    // fraction independently.
+    "quality_gopher_rep" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(8.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+      val s2 = array_join(slice(words, 1, 2), " ")
+      val s5 = array_join(slice(words, 1, 5), " ")
+      val rep2 = array_join(array_repeat(s2, 6), " ")
+      val rep5 = array_join(array_repeat(s5, 4), " ")
+      val none = typedLit(Seq.empty[String])
+      val extras = concat(
+        when(col("doc_id") % 3 === 0, array(element_at(baseLines, 1)))
+          .otherwise(none),
+        when(col("doc_id") % 5 === 0, array(rep2, rep2)).otherwise(none),
+        when(col("doc_id") % 7 === 0, array(rep5)).otherwise(none))
+      val page = array_join(concat(baseLines, extras), "\n")
+      val d = docsPar(s, dir)
+      val rep = TextAnalysis.gopherRepetition(
+        d.select(col("doc_id"), page.as("page")), col("doc_id"), col("page"))
+      val fmap = TextAnalysis.gopherRules(col("text"), minWords = 30,
+        minStopHits = 1).toMap
+      val qual = d.select(col("doc_id"), fmap("keep").as("base_keep"))
+      rep.join(qual, rep("docId") === qual("doc_id"))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_2gram_char_frac"), col("top_3gram_char_frac"),
+          col("top_4gram_char_frac"), col("dup_5gram_char_frac"),
+          col("dup_6gram_char_frac"), col("dup_7gram_char_frac"),
+          col("dup_8gram_char_frac"), col("dup_9gram_char_frac"),
+          col("dup_10gram_char_frac"), col("rep_keep"), col("base_keep"),
+          (col("rep_keep") && col("base_keep")).as("keep_full"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document (smooth idf, scored rounded before
     // ranking so ties break identically cross-engine)
     "tfidf_topk" -> ((s, dir) =>
@@ -3037,6 +3079,112 @@ object SparkEntry {
         |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
         |  AND stop_hits >= 1) AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher_rep" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS words FROM documents),
+        |pl AS (SELECT doc_id, text, words,
+        |  GREATEST(CAST(ceil(len(words)/8.0) AS INT), 1) AS n_lines FROM d),
+        |lines0 AS (SELECT doc_id, text, words,
+        |  list_transform(generate_series(0, n_lines-1),
+        |    i -> array_to_string(list_slice(words, i*8+1, i*8+8), ' ')) AS base_lines
+        |  FROM pl),
+        |lines1 AS (SELECT doc_id, text, base_lines,
+        |  array_to_string([s2,s2,s2,s2,s2,s2], ' ') AS rep2,
+        |  array_to_string([s5,s5,s5,s5], ' ') AS rep5
+        |  FROM (SELECT doc_id, text, base_lines,
+        |    array_to_string(list_slice(words,1,2),' ') AS s2,
+        |    array_to_string(list_slice(words,1,5),' ') AS s5 FROM lines0)),
+        |pages AS (SELECT doc_id, text, array_to_string(
+        |  list_concat(list_concat(list_concat(base_lines,
+        |    CASE WHEN doc_id%3=0 THEN [base_lines[1]] ELSE CAST([] AS VARCHAR[]) END),
+        |    CASE WHEN doc_id%5=0 THEN [rep2, rep2] ELSE CAST([] AS VARCHAR[]) END),
+        |    CASE WHEN doc_id%7=0 THEN [rep5] ELSE CAST([] AS VARCHAR[]) END),
+        |  chr(10)) AS page FROM lines1),
+        |lx AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM pages),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lx GROUP BY 1,2),
+        |lf AS (SELECT doc_id,
+        |  round(CAST(SUM(CASE WHEN c>1 THEN c ELSE 0 END) AS DOUBLE)/SUM(c), 6) AS dup_line_frac,
+        |  round(CASE WHEN SUM(length(line)*c)=0 THEN 0.0
+        |    ELSE CAST(SUM(CASE WHEN c>1 THEN length(line)*c ELSE 0 END) AS DOUBLE)
+        |      /SUM(length(line)*c) END, 6) AS dup_line_char_frac
+        |  FROM lc GROUP BY doc_id),
+        |pw AS (SELECT doc_id, length(page) AS n_chars,
+        |  string_split(page,' ') AS ws FROM pages),
+        |gi AS (SELECT doc_id, n_chars, ws, n,
+        |  unnest(generate_series(0, CASE WHEN len(ws)>=n THEN len(ws)-n ELSE 0 END)) AS i
+        |  FROM pw, (SELECT unnest(generate_series(2,10)) AS n) ns),
+        |g0 AS (SELECT doc_id, n_chars, n,
+        |  CASE WHEN len(ws)>=n THEN array_to_string(list_slice(ws, i+1, i+n),' ')
+        |       ELSE array_to_string(ws,' ') END AS g FROM gi),
+        |gc AS (SELECT doc_id, n_chars, n, g, COUNT(*) AS c FROM g0 GROUP BY 1,2,3,4),
+        |topg AS (SELECT doc_id, n_chars, n,
+        |  CASE WHEN c>1 THEN length(g)*c ELSE 0 END AS chars
+        |  FROM (SELECT doc_id, n_chars, n, g, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rk
+        |    FROM gc) WHERE rk=1 AND n BETWEEN 2 AND 4),
+        |dupg AS (SELECT doc_id, MAX(n_chars) AS n_chars, n,
+        |  SUM(CASE WHEN c>1 THEN length(g)*c ELSE 0 END) AS chars
+        |  FROM gc WHERE n BETWEEN 5 AND 10 GROUP BY doc_id, n),
+        |allg AS (SELECT doc_id, n_chars, n, chars FROM topg
+        |  UNION ALL SELECT doc_id, n_chars, n, chars FROM dupg),
+        |gf AS (SELECT doc_id,
+        |  round(CAST(MAX(CASE WHEN n=2 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS top_2gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=3 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS top_3gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=4 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS top_4gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=5 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_5gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=6 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_6gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=7 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_7gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=8 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_8gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=9 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_9gram_char_frac,
+        |  round(CAST(MAX(CASE WHEN n=10 THEN chars END) AS DOUBLE)/MAX(n_chars), 6) AS dup_10gram_char_frac
+        |  FROM allg GROUP BY doc_id),
+        |qf AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words_n,
+        |  length(text) AS chars_n,
+        |  (length(text)-length(replace(text,'#','')))
+        |   + (length(text)-length(replace(text,'...','')))//3 AS sym_n,
+        |  string_split(text, chr(10)) AS qlines
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  (words_n >= 30 AND words_n <= 100000
+        |   AND (CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END) >= 3.0
+        |   AND (CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END) <= 10.0
+        |   AND (CASE WHEN words_n > 0 THEN CAST(sym_n AS DOUBLE)/words_n ELSE 0.0 END) <= 0.1
+        |   AND CAST(len(list_filter(qlines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(qlines) <= 0.9
+        |   AND CAST(len(list_filter(qlines, l -> l LIKE '%...')) AS DOUBLE)/len(qlines) <= 0.3
+        |   AND (CASE WHEN words_n > 0 THEN
+        |     CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/words_n
+        |   ELSE 0.0 END) >= 0.8
+        |   AND ((CASE WHEN position(' the ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' be ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' to ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' of ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' and ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' that ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' have ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' with ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)) >= 1
+        |  ) AS base_keep FROM qf),
+        |fin AS (SELECT p.doc_id, lf.dup_line_frac, lf.dup_line_char_frac,
+        |  gf.top_2gram_char_frac, gf.top_3gram_char_frac, gf.top_4gram_char_frac,
+        |  gf.dup_5gram_char_frac, gf.dup_6gram_char_frac, gf.dup_7gram_char_frac,
+        |  gf.dup_8gram_char_frac, gf.dup_9gram_char_frac, gf.dup_10gram_char_frac,
+        |  (lf.dup_line_frac <= 0.30 AND lf.dup_line_char_frac <= 0.20
+        |   AND gf.top_2gram_char_frac <= 0.20 AND gf.top_3gram_char_frac <= 0.18
+        |   AND gf.top_4gram_char_frac <= 0.16 AND gf.dup_5gram_char_frac <= 0.15
+        |   AND gf.dup_6gram_char_frac <= 0.14 AND gf.dup_7gram_char_frac <= 0.13
+        |   AND gf.dup_8gram_char_frac <= 0.12 AND gf.dup_9gram_char_frac <= 0.11
+        |   AND gf.dup_10gram_char_frac <= 0.10) AS rep_keep,
+        |  q.base_keep
+        | FROM pages p JOIN lf USING(doc_id) JOIN gf USING(doc_id)
+        |  JOIN q USING(doc_id))
+        |SELECT doc_id, dup_line_frac, dup_line_char_frac,
+        | top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+        | dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+        | dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+        | rep_keep, base_keep, (rep_keep AND base_keep) AS keep_full
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH f AS (SELECT doc_id, length(text) AS chars_n,

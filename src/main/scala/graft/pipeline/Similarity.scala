@@ -280,6 +280,11 @@ object Similarity {
         .select(col("cent"),
           coalesce(col("newq"), col("centq")).as("centq"))
         .withColumn("centn", normSqQ(col("centq")))
+        // cut the lineage per round: without this, round N's plan embeds
+        // round N-1's full corpus-assignment subtree (geometric plan
+        // growth in lloydIters). The frame is nCentroids rows — the
+        // checkpoint is a few KB of executor storage per round.
+        .localCheckpoint()
     }
     probeWithCentroids(c, queries, k, nProbe, cents)
   }

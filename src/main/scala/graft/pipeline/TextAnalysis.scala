@@ -228,6 +228,97 @@ object TextAnalysis {
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_gram_occurrences"))
   }
 
+  /** Per-n thresholds of the published repetition table (Rae et al. 2021,
+    * Appendix A, Table A1): remove the document when the fraction of
+    * characters in the TOP n-gram (n=2..4) or in DUPLICATED n-grams
+    * (n=5..10) exceeds the limit. */
+  val GopherTopGramLimits: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupGramLimits: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /**
+   * Gopher repetition rules — the published repetition half of the Gopher
+   * document filter (Rae et al. 2021, Appendix A, Table A1; the quality
+   * half is [[gopherRules]]). Per document:
+   *  - fraction of duplicate lines ≤ 0.30 (all occurrences in duplicated
+   *    groups over total lines)
+   *  - fraction of characters in duplicate lines ≤ 0.20
+   *  - fraction of characters in the most frequent {2,3,4}-gram
+   *    ≤ {0.20, 0.18, 0.16} (zero when the top gram occurs once; ties
+   *    break on the lexicographically smallest gram)
+   *  - fraction of characters in duplicated {5..10}-grams
+   *    ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10} (sum of len(gram)·count over
+   *    grams occurring more than once — counts every occurrence, the
+   *    common reimplementation of the paper's position-marking variant,
+   *    which never under-flags)
+   * The paper's duplicate-paragraph rules are this same machinery with a
+   * blank-line splitter; on documents without paragraph structure they
+   * coincide with the line rules.
+   *
+   * All fractions are rounded to 6 decimals BEFORE thresholding so the
+   * keep decision is engine-portable. 100 TB shape: one line explode and
+   * one tagged gram explode, each feeding (doc, key)-keyed partial
+   * hash-aggs; the only window partitions by (doc, n) — nothing hotter
+   * than one document anywhere, no self-join, no global sort.
+   */
+  def gopherRepetition(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("docId"), textCol.as("t"),
+      length(textCol).cast("long").as("nChars"))
+    // line plane
+    val lc = base.select(col("docId"), explode(split(col("t"), "\n")).as("line"))
+      .groupBy("docId", "line").agg(count(lit(1)).as("c"))
+    val lineChars = sum(length(col("line")).cast("long") * col("c"))
+    val dupLineChars = sum(when(col("c") > 1,
+      length(col("line")).cast("long") * col("c")).otherwise(0L))
+    val lf = lc.groupBy("docId").agg(
+      round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+        sum(col("c")), 6).as("dup_line_frac"),
+      round(when(lineChars === 0, 0.0)
+        .otherwise(dupLineChars.cast("double") / lineChars), 6)
+        .as("dup_line_char_frac"))
+    // gram plane: one explode of (n, gram) for n = 2..10
+    val tagged = base.select(col("docId"),
+      explode(concat((2 to 10).map(n =>
+        transform(Dedup.shingles(col("t"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*)).as("x"))
+      .select(col("docId"), col("x.n").as("n"), col("x.g").as("g"))
+    val gc = tagged.groupBy("docId", "n", "g").agg(count(lit(1)).as("c"))
+    val top = gc.filter(col("n").between(2, 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("docId", "n").orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rk") === 1)
+      .select(col("docId"), col("n"),
+        when(col("c") > 1, length(col("g")).cast("long") * col("c"))
+          .otherwise(0L).as("chars"))
+    val dup = gc.filter(col("n").between(5, 10))
+      .groupBy("docId", "n")
+      .agg(sum(when(col("c") > 1, length(col("g")).cast("long") * col("c"))
+        .otherwise(0L)).as("chars"))
+    val pivotAggs = (2 to 10).map(n =>
+      max(when(col("n") === n, col("chars"))).as(s"chars$n"))
+    val feat = top.unionByName(dup).groupBy("docId")
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    def frac(chars: Column, nChars: Column): Column =
+      round(when(nChars > 0, chars.cast("double") / nChars).otherwise(0.0), 6)
+    val joined = base.select("docId", "nChars")
+      .join(lf, "docId").join(feat, "docId")
+    val fracCols = (2 to 10).map(n =>
+      frac(col(s"chars$n"), col("nChars")).as(
+        if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"))
+    val withFracs = joined.select(
+      Seq(col("docId"), col("dup_line_frac"), col("dup_line_char_frac")) ++
+        fracCols: _*)
+    val keep = col("dup_line_frac") <= 0.30 &&
+      col("dup_line_char_frac") <= 0.20 &&
+      GopherTopGramLimits.toSeq.sortBy(_._1).map { case (n, lim) =>
+        col(s"top_${n}gram_char_frac") <= lim }.reduce(_ && _) &&
+      GopherDupGramLimits.toSeq.sortBy(_._1).map { case (n, lim) =>
+        col(s"dup_${n}gram_char_frac") <= lim }.reduce(_ && _)
+    withFracs.withColumn("rep_keep", keep)
+  }
+
   /** PII patterns shared by redaction and counting — the common RE2/Java
     * regex subset so any engine computes identical results. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -643,4 +643,68 @@ class PipelineSpec extends SparkSpec {
     assert(out(6).getDouble(5) < 0.8)   // doc 7 alpha fraction
     assert(out(7).getDouble(7) > 10.0)  // doc 8 mean word length
   }
+
+  test("gopherRepetition: matches a plain-Scala reference on crafted docs; " +
+       "every repetition rule binds (Rae et al. 2021, Table A1)") {
+    import spark.implicits._
+    // plain-Scala reference implementation of the same published rules
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def grams(words: Array[String], n: Int): Seq[String] =
+      if (words.length < n) Seq(words.mkString(" "))
+      else words.sliding(n).map(_.mkString(" ")).toSeq
+    def ref(text: String): (Double, Double, Map[Int, Double], Boolean) = {
+      val nChars = text.length
+      val lines = text.split("\n", -1)
+      val lcounts = lines.groupBy(identity).view.mapValues(_.length).toMap
+      val dupLineFrac = r6(
+        lcounts.collect { case (_, c) if c > 1 => c }.sum.toDouble / lines.length)
+      val lchars = lcounts.map { case (l, c) => l.length.toLong * c }.sum
+      val dupLineCharFrac = r6(if (lchars == 0) 0.0 else
+        lcounts.collect { case (l, c) if c > 1 => l.length.toLong * c }.sum
+          .toDouble / lchars)
+      val words = text.split(" ", -1)
+      val byN = (2 to 10).map { n =>
+        val gc = grams(words, n).groupBy(identity).view.mapValues(_.length)
+        val chars: Long =
+          if (n <= 4) {
+            val (g, c) = gc.toSeq.minBy { case (g, c) => (-c, g) }
+            if (c > 1) g.length.toLong * c else 0L
+          } else gc.collect { case (g, c) if c > 1 => g.length.toLong * c }.sum
+        n -> r6(if (nChars > 0) chars.toDouble / nChars else 0.0)
+      }.toMap
+      val keep = dupLineFrac <= 0.30 && dupLineCharFrac <= 0.20 &&
+        (2 to 4).forall(n => byN(n) <= TextAnalysis.GopherTopGramLimits(n)) &&
+        (5 to 10).forall(n => byN(n) <= TextAnalysis.GopherDupGramLimits(n))
+      (dupLineFrac, dupLineCharFrac, byN, keep)
+    }
+    val varied = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> varied,                                   // clean → keep
+      2L -> ("x y z\nx y z\n" + varied),              // duplicate lines
+      3L -> (("a b " * 30).trim + " " + varied),      // hot top 2-gram
+      4L -> ((1 to 4).map(_ => "p q r s t").mkString(" ") + " " + varied),
+                                                      // duplicated 5-grams
+      5L -> "",                                       // empty text guard
+      6L -> "one two")                                // fewer words than n
+    val out = TextAnalysis.gopherRepetition(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .orderBy("docId").collect()
+    docs.sortBy(_._1).zip(out).foreach { case ((id, text), row) =>
+      val (dlf, dlcf, byN, keep) = ref(text)
+      assert(row.getAs[Double]("dup_line_frac") === dlf, s"doc $id dup_line_frac")
+      assert(row.getAs[Double]("dup_line_char_frac") === dlcf, s"doc $id char")
+      (2 to 10).foreach { n =>
+        val cn = if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
+        assert(row.getAs[Double](cn) === byN(n), s"doc $id $cn")
+      }
+      assert(row.getAs[Boolean]("rep_keep") === keep, s"doc $id keep")
+    }
+    // the crafted corpus exercises both outcomes of each rule family
+    val keepById = out.map(r => r.getAs[Long]("docId") -> r.getAs[Boolean]("rep_keep")).toMap
+    assert(keepById(1L) && !keepById(2L) && !keepById(3L) && !keepById(4L))
+    assert(out(1).getAs[Double]("dup_line_frac") > 0.30)         // doc 2
+    assert(out(2).getAs[Double]("top_2gram_char_frac") > 0.20)   // doc 3
+    assert(out(3).getAs[Double]("dup_5gram_char_frac") > 0.15)   // doc 4
+  }
 }
