@@ -794,6 +794,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // NiFi DetectDuplicate semantics, batch plane (the streaming path keeps
+    // its StreamingSpec coverage): flatMapGroupsWithState runs in batch
+    // mode with empty initial state, so first-arrival-by-ord routes
+    // non-duplicate and later arrivals route duplicate with running seen
+    // counts — deterministic given ord, recomputed by the oracle as a
+    // row_number window. Keys collide on (status, priority) so both
+    // relationships occur.
+    "detect_duplicate" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = tbl(s, dir, "orders").select(
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("key"),
+        col("o_orderkey").cast("long").as("ord"),
+        col("o_orderstatus").as("content"),
+        col("o_orderkey").cast("string").as("uuid"))
+        .as[graft.streaming.StatefulOps.Keyed]
+      graft.streaming.StatefulOps.detectDuplicates(keyed)
+        .select(col("key"), col("uuid").cast("long").as("ord"),
+          col("relationship"), col("seen"))
+        .orderBy("key", "ord")
+    }),
+
     // ------- training-data pipeline: dedup family -------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsPar(s, dir), col("doc_id"), col("text"))
@@ -1929,6 +1950,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PublishKafka's producer-record plane (PublishKafka.cpp:653 loop +
+    // ReadCallback): EL topic/key per FlowFile, regex-selected header
+    // attributes, Max-Flow-Segment-Size content segmentation — all
+    // deterministic, recomputed independently by the oracle.
+    "kafka_publish_envelope" -> ((s, dir) => {
+      import graft.sources.Kafka
+      val ff = FlowFrame.wrap(tbl(s, dir, "documents"), "text",
+        Seq("doc_id", "source", "lang"), uuidCol = Some("doc_id"))
+      Kafka.publishRecords(ff, topicEl = "docs-${source}",
+        kafkaKeyEl = Some("${lang}-${doc_id}"),
+        attributeNameRegex = Some("^(source|lang)$"),
+        maxSegSizeBytes = 64L)
+        .select(col("uuid").cast("long").as("doc_id"), col("topic"),
+          col("key"), col("segment").cast("long").as("segment"),
+          md5(col("value").cast("string").cast("binary")).as("value_md5"),
+          col("headers"))
+        .orderBy("doc_id", "segment")
+    }),
+
+    // PublishMQTT's message-envelope plane (PublishMQTT.cpp:58-126 +
+    // setMqtt5Properties): EL topic, payload, MQTT 5 content type /
+    // expiry / attributes-as-user-properties.
+    "mqtt_publish_envelope" -> ((s, dir) => {
+      import graft.sources.Mqtt
+      val ff = FlowFrame.wrap(tbl(s, dir, "documents"), "text",
+        Seq("doc_id", "source"), uuidCol = Some("doc_id"))
+      Mqtt.publishEnvelope(ff, topicEl = "base/${source}", qos = 1,
+        retain = false, contentTypeEl = Some("text/plain"),
+        messageExpirySec = Some(60L), mqttVersion = "5.0")
+        .select(col("uuid").cast("long").as("doc_id"), col("topic"),
+          md5(col("payload").cast("binary")).as("payload_md5"),
+          col("qos").cast("long").as("qos"), col("retain"),
+          col("content_type"), col("message_expiry_sec"),
+          col("user_properties"))
+        .orderBy("doc_id")
+    }),
+
     "kafka_demarcate" -> ((s, dir) => {
       import graft.sources.Kafka
       val recs = tbl(s, dir, "documents").select(
@@ -2732,6 +2790,16 @@ object SparkEntry {
         | list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS any_urgent_part
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "detect_duplicate" ->
+      """SELECT key, ord,
+        | CASE WHEN rn = 1 THEN 'non-duplicate' ELSE 'duplicate' END AS relationship,
+        | rn AS seen
+        |FROM (SELECT o_orderstatus || '|' || o_orderpriority AS key,
+        |  o_orderkey AS ord,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus || '|' || o_orderpriority
+        |    ORDER BY o_orderkey) AS rn FROM orders)
+        |ORDER BY key, ord""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
@@ -3512,6 +3580,26 @@ object SparkEntry {
         | 'a' || CAST(doc_id AS VARCHAR) || ', b' || CAST(doc_id AS VARCHAR) AS h1_merged,
         | upper(hex('a' || CAST(doc_id AS VARCHAR) || ', b' || CAST(doc_id AS VARCHAR))) AS h1_hex,
         | CAST(NULL AS VARCHAR) AS h_missing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "kafka_publish_envelope" ->
+      """WITH f AS (SELECT doc_id, source, lang, text, length(text) AS sz
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, lang, text,
+        |  unnest(generate_series(0, CAST(ceil(sz/64.0) AS INT) - 1)) AS segment
+        |  FROM f)
+        |SELECT doc_id, 'docs-' || source AS topic,
+        | lang || '-' || CAST(doc_id AS VARCHAR) AS key,
+        | CAST(segment AS BIGINT) AS segment,
+        | md5(substr(text, segment*64 + 1, 64)) AS value_md5,
+        | 'lang=' || lang || ',source=' || source AS headers
+        |FROM e ORDER BY doc_id, segment""".stripMargin,
+
+    "mqtt_publish_envelope" ->
+      """SELECT doc_id, 'base/' || source AS topic, md5(text) AS payload_md5,
+        | CAST(1 AS BIGINT) AS qos, FALSE AS retain,
+        | 'text/plain' AS content_type, CAST(60 AS BIGINT) AS message_expiry_sec,
+        | 'doc_id=' || CAST(doc_id AS VARCHAR) || ',source=' || source AS user_properties
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "kafka_demarcate" ->

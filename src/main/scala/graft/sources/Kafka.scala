@@ -260,4 +260,64 @@ object Kafka {
         lit(n).as("key"),
         element_at(attrsMap, n).cast("binary").as("value"))): _*),
       h => h.getField("value").isNotNull)
+
+  /**
+   * PublishKafka producer-record assembly plane
+   * (PublishKafka.cpp:653-726 onTrigger per-FlowFile loop + the
+   * ReadCallback at PublishKafka.cpp:153-295): one FlowFrame row becomes
+   * the producer records the reference enqueues —
+   *  - Topic and Kafka Key are EL-evaluated per FlowFile; a missing Kafka
+   *    Key property defaults to the FlowFile id (PublishKafka.cpp:676)
+   *  - headers are the attributes whose NAME matches "Attributes to Send
+   *    as Headers" (make_headers, PublishKafka.cpp:162-178); the
+   *    reference iterates a std::map, so they are key-sorted — rendered
+   *    here as a canonical "k=v" comma join; no regex → no headers
+   *  - content splits into ceil(size / Max Flow Segment Size) segments
+   *    (0 = whole content as one message), every segment carrying the
+   *    SAME key and headers (ReadCallback::operator(), :254-283)
+   *  - partition is RD_KAFKA_PARTITION_UA (:210) — placement belongs to
+   *    the key partitioner, so the envelope has no partition field
+   *  - an empty FlowFile still produces one empty-value message unless
+   *    Fail Empty Flow Files (:269-271), in which case it produces none
+   *    and the FlowFile routes failure
+   * Map-side scale shape: pure per-row projection + a bounded explode
+   * (segments of one FlowFile) — no shuffle at any scale.
+   */
+  def publishRecords(ff: DataFrame, topicEl: String,
+                     kafkaKeyEl: Option[String] = None,
+                     attributeNameRegex: Option[String] = None,
+                     maxSegSizeBytes: Long = 0L,
+                     failEmptyFlowFiles: Boolean = false): DataFrame = {
+    import graft.core.FlowFrame
+    import graft.el.ElCompiler
+    val topic = ElCompiler.template(topicEl)
+    val key = kafkaKeyEl.map(el => ElCompiler.template(el))
+      .getOrElse(col(FlowFrame.Uuid).cast("string"))
+    val headers = attributeNameRegex match {
+      case Some(re) => array_join(
+        transform(
+          array_sort(map_entries(map_filter(col(FlowFrame.Attributes),
+            (k, _) => k.rlike(re)))),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))),
+        ",")
+      case None => lit("")
+    }
+    val bytes = col(FlowFrame.Content).cast("binary")
+    val size = length(bytes).cast("long")
+    // max_seg_size_ = (max == 0 || size < max) ? size : max
+    val seg =
+      if (maxSegSizeBytes == 0L) size else least(size, lit(maxSegSizeBytes))
+    val nSegs = when(size === 0, lit(if (failEmptyFlowFiles) 0 else 1))
+      .otherwise(floor((size - 1).cast("double") / seg).cast("int") + 1)
+    ff.select(
+      col(FlowFrame.Uuid).cast("string").as("uuid"),
+      topic.as("topic"), key.as("key"), headers.as("headers"),
+      bytes.as("bytes"), seg.as("seg"),
+      explode(when(nSegs > 0, sequence(lit(0), nSegs - 1))
+        .otherwise(array().cast("array<int>"))).as("segment"))
+      .select(col("uuid"), col("topic"), col("key"), col("segment"),
+        col("bytes").substr((col("segment").cast("long") * col("seg") + 1)
+          .cast("int"), col("seg").cast("int")).as("value"),
+        col("headers"))
+  }
 }

@@ -175,4 +175,50 @@ object Mqtt {
       "rejected: MQTT 5 publish-properties are not surfaced by the connector",
     "Content Type" ->
       "rejected: MQTT 5 publish-properties are not surfaced by the connector")
+
+  /**
+   * PublishMQTT message-envelope assembly plane (PublishMQTT.cpp:58-126
+   * onTrigger + setMqtt5Properties at :243-282): one FlowFrame row becomes
+   * the MQTTAsync_message the reference enqueues —
+   *  - Topic is EL-evaluated per FlowFile (getTopic, :227-233; required)
+   *  - payload is the FlowFile content verbatim (sendMessage)
+   *  - qos / retain are static message flags (readProperties, :51)
+   *  - MQTT 5 properties: Message Expiry Interval in seconds when set
+   *    (:249-253), Content Type (EL per FlowFile) when explicitly set and
+   *    non-empty (:255-261), and EVERY attribute as a user property
+   *    (addAttributesAsUserProperties, :266-282 — the reference iterates
+   *    the attribute std::map, so key-sorted; canonical "k=v" comma join
+   *    here). On MQTT 3.x the property set is empty (:244-246).
+   * Pure per-row projection — no shuffle at any scale.
+   */
+  def publishEnvelope(ff: org.apache.spark.sql.DataFrame, topicEl: String,
+                      qos: Int = 0, retain: Boolean = false,
+                      contentTypeEl: Option[String] = None,
+                      messageExpirySec: Option[Long] = None,
+                      mqttVersion: String = "5.0"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.core.FlowFrame
+    import graft.el.ElCompiler
+    val v5 = mqttVersion.startsWith("5")
+    val userProps =
+      if (!v5) lit("")
+      else array_join(
+        transform(array_sort(map_entries(col(FlowFrame.Attributes))),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+    val contentType =
+      if (!v5) lit(null: String)
+      else contentTypeEl.map(el => ElCompiler.template(el))
+        .getOrElse(lit(null: String))
+    val expiry =
+      if (v5) messageExpirySec.map(s => lit(s)).getOrElse(lit(null: java.lang.Long))
+      else lit(null: java.lang.Long)
+    ff.select(
+      col(FlowFrame.Uuid).cast("string").as("uuid"),
+      ElCompiler.template(topicEl).as("topic"),
+      col(FlowFrame.Content).cast("string").as("payload"),
+      lit(qos).as("qos"), lit(retain).as("retain"),
+      contentType.as("content_type"),
+      expiry.cast("long").as("message_expiry_sec"),
+      userProps.as("user_properties"))
+  }
 }

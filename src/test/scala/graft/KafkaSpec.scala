@@ -372,6 +372,55 @@ class KafkaSpec extends SparkSpec {
       messageExpirySec = Some(60), contentTypeSet = true).warnings.isEmpty)
   }
 
+  test("publishRecords: default key = FlowFile id, segmentation caps, " +
+       "empty-content policy, no-regex no-headers (PublishKafka.cpp:676, " +
+       "ReadCallback :237,:269)") {
+    import graft.core.FlowFrame
+    val ff = flowFrame(Seq(("abcdefghij", Map("s" -> "t1", "h.x" -> "v"))))
+      .withColumn(FlowFrame.Uuid, lit("ff-1"))
+    // Max Flow Segment Size 0 → whole content one message; key defaults
+    // to the FlowFile id when Kafka Key is unset; no regex → no headers
+    val whole = Kafka.publishRecords(ff, topicEl = "t-${s}").collect()
+    assert(whole.length === 1)
+    assert(whole(0).getAs[String]("topic") === "t-t1")
+    assert(whole(0).getAs[String]("key") === "ff-1")
+    assert(whole(0).getAs[Int]("segment") === 0)
+    assert(new String(whole(0).getAs[Array[Byte]]("value")) === "abcdefghij")
+    assert(whole(0).getAs[String]("headers") === "")
+    // seg size 4 over 10 bytes → 3 segments (4, 4, 2), same key+headers
+    val segs = Kafka.publishRecords(ff, "t", attributeNameRegex = Some("h\\..*"),
+      maxSegSizeBytes = 4).orderBy("segment").collect()
+    assert(segs.map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq ===
+      Seq("abcd", "efgh", "ij"))
+    assert(segs.forall(_.getAs[String]("headers") === "h.x=v"))
+    // empty content: one empty-value message, or none under Fail Empty
+    val empty = flowFrame(Seq(("", Map.empty[String, String])))
+    assert(Kafka.publishRecords(empty, "t").count() === 1)
+    assert(Kafka.publishRecords(empty, "t").collect()(0)
+      .getAs[Array[Byte]]("value").length === 0)
+    assert(Kafka.publishRecords(empty, "t",
+      failEmptyFlowFiles = true).count() === 0)
+  }
+
+  test("Mqtt.publishEnvelope: MQTT 3.x drops every v5 property " +
+       "(setMqtt5Properties PublishMQTT.cpp:244-246)") {
+    import graft.sources.Mqtt
+    val ff = flowFrame(Seq(("payload", Map("a" -> "1", "b" -> "2"))))
+    val v5 = Mqtt.publishEnvelope(ff, "top", qos = 2, retain = true,
+      contentTypeEl = Some("ct-${a}"), messageExpirySec = Some(9L),
+      mqttVersion = "5.0").collect()(0)
+    assert(v5.getAs[String]("content_type") === "ct-1")
+    assert(v5.getAs[Long]("message_expiry_sec") === 9L)
+    assert(v5.getAs[String]("user_properties") === "a=1,b=2")
+    assert(v5.getAs[Int]("qos") === 2 && v5.getAs[Boolean]("retain"))
+    val v3 = Mqtt.publishEnvelope(ff, "top", qos = 2, retain = true,
+      contentTypeEl = Some("ct-${a}"), messageExpirySec = Some(9L),
+      mqttVersion = "3.1.1").collect()(0)
+    assert(v3.getAs[String]("content_type") === null)
+    assert(v3.isNullAt(v3.fieldIndex("message_expiry_sec")))
+    assert(v3.getAs[String]("user_properties") === "")
+  }
+
   test("envelope projection stamps the kafka.* attribute set") {
     val df = spark.sql(
       """SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS value,
