@@ -58,13 +58,17 @@ object Bench {
     * time means no stage is quadratic, single-reducer, or driver-bound. */
   val x10: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export",
-    "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk")
+    "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk",
+    "curate_filters_map")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
     * corpus's consonant rotation changes survivor counts 10× — an
     * x10 pair would measure corpus content shift, not scale (probed:
-    * 142 vs 1433 survivors, inverted wall times). */
+    * 142 vs 1433 survivors, inverted wall times). Its map-side prefix
+    * (curate_filters_map: per-doc keep flags, no dedup) does the same
+    * per-row work regardless of content, so THAT row carries the scale
+    * pair in the x10 set. */
   val extra: Seq[String] = Seq("curate_filters_e2e")
 
   /**
@@ -80,12 +84,29 @@ object Bench {
    * structure (token counts, shingle counts, segment windows all scale
    * exactly 10×); rep 0 is the original text.
    */
+  /** Stage-once marker protocol shared by the staging helpers: ONE marker
+    * may exist per staging dir. The dir's content is mutually exclusive
+    * across scale factors (each restage OVERWRITES it), so a marker is
+    * only trustworthy if every restage first deletes all other markers —
+    * without that, running sf A then sf B then sf A again leaves A's stale
+    * marker pointing at B's content (observed: an sf0.1 bench measuring
+    * its x10 rows on the 10× corpus of sf0.01 — 10× smaller than claimed). */
+  private def stageOnce(out: String, key: String)(stage: => Unit): Unit = {
+    val dir = new java.io.File(out)
+    val marker = new java.io.File(dir, ".staged3-" +
+      java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL))
+    if (!marker.exists()) {
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".staged"))
+        .foreach(_.delete())
+      stage
+      marker.createNewFile()
+    }
+  }
+
   private def stageX10(spark: SparkSession, sfDir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-x10"
-    // marker versioned by staged content: v2 added embeddings.parquet
-    val marker = new java.io.File(s"$out/.staged2-" +
-      java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL))
-    if (!marker.exists()) {
+    stageOnce(out, sfDir) {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
       val alpha = "bcdfghjklmnpqrstvwxz" // consonants: rotation keeps vowels,
       // so rotated text still looks like words (segment/shingle shapes hold)
@@ -115,7 +136,6 @@ object Bench {
       }
       embReps.reduce(_ unionAll _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
-      marker.createNewFile()
     }
     out
   }
@@ -127,14 +147,33 @@ object Bench {
    * files with per-file contiguity (repartition by doc + partition-local
    * sort), so the tail source gets real per-file parallelism and the
    * defragment state real per-source reassembly work.
+   *
+   * `mult` replicates each document into that many distinct messages
+   * (distinct header ids, identical bodies — splitting and reassembly are
+   * content-insensitive, so replicas are valid THROUGHPUT work, unlike
+   * the dedup rows' corpora). Round-11 finding: at mult=1 the drain was
+   * fixed-overhead-dominated — the 10× corpus drained as fast as 1×
+   * (1.095 vs 1.091 s), proving nothing about per-row cost. The measured
+   * rows stage ~30× more lines so data cost dominates and the 1×/x10
+   * pair separates.
    */
   private def stageTailCorpus(spark: SparkSession, docsDir: String,
-                              tag: String): String = {
+                              tag: String, mult: Int = 1,
+                              contentKey: String = ""): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tail-$tag"
-    val marker = new java.io.File(s"$out/.staged-" +
-      java.lang.Long.toHexString(docsDir.hashCode.toLong & 0xffffffffL))
-    if (!marker.exists()) {
-      val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    // the marker keys on the CONTENT identity (docsDir + upstream sf),
+    // not only the path: the staged-x10 dir keeps one fixed path across
+    // scale factors, so a path-keyed marker silently reuses the previous
+    // SF's corpus (observed: an sf0.1 run draining the sf0.01-staged 10×
+    // corpus). stageOnce also invalidates other SFs' markers on restage.
+    stageOnce(out, docsDir + "|" + contentKey) {
+      val docs0 = spark.read.parquet(s"$docsDir/documents.parquet")
+      val docs =
+        if (mult == 1) docs0
+        else docs0
+          .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+          .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+            col("text"))
       val words = split(col("text"), " ")
       val nWin = greatest(ceil(size(words) / lit(12.0)).cast("int"), lit(1))
       val wins = transform(sequence(lit(0), nWin - 1),
@@ -148,7 +187,6 @@ object Bench {
         .sortWithinPartitions("doc_id", "pos")
         .select("value")
         .write.mode(SaveMode.Overwrite).text(s"$out/logs")
-      marker.createNewFile()
     }
     s"$out/logs"
   }
@@ -230,9 +268,15 @@ object Bench {
     // caught.
     // pipeline_e2e spans many job boundaries and measured 1.5-2.7 s
     // run-to-run under scheduler steal — same fix as the LSH rows: more
-    // reps, min stays the comparable estimator
+    // reps, min stays the comparable estimator.
+    // route_text and the ANN probe rows joined the set in round 12: the
+    // published r11 numbers (route_text 0.799, x10_embed_topk_lsh 1.956)
+    // were 2-4× one-sided steal spikes that min-of-3 failed to reject
+    // (idle reruns: 0.524 / 0.498). The base name keys both the 1× and
+    // x10/skew variants of a query.
     val wideNoise = Set("dedup_minhash_lsh", "dedup_minhash_lsh_capped",
-      "pipeline_e2e")
+      "pipeline_e2e", "route_text", "embed_topk_lsh", "embed_topk",
+      "embed_neardup", "tfidf_topk")
     def minOfN(name: String, dir: String): Double = {
       val reps = if (wideNoise(name)) 5 else 3
       (0 until reps).map { _ =>
@@ -279,11 +323,22 @@ object Bench {
     // scale pays the streaming plane's one-time codegen, like the batch
     // warm-up does.
     tailDrainSeconds(spark, stageTailCorpus(spark, warmDir, "warm"))
-    val tail1x = stageTailCorpus(spark, sfDir, "1x")
-    val tail10x = stageTailCorpus(spark, x10Dir, "10x")
+    // mult=30 per the round-11 finding (see stageTailCorpus): the drain
+    // must be data-dominated before the 1×/x10 pair means anything. The
+    // *_lines_per_sec rows carry the throughput number directly (the only
+    // non-seconds rows in the map; the name is the unit).
+    val tail1x = stageTailCorpus(spark, sfDir, "1x", mult = 30)
+    val tail10x = stageTailCorpus(spark, x10Dir, "10x", mult = 30,
+      contentKey = sfDir)
+    val lines1x = spark.read.textFile(tail1x).count()
+    val lines10x = spark.read.textFile(tail10x).count()
+    val drain1x = (0 until 3).map(_ => tailDrainSeconds(spark, tail1x)).min
+    val drain10x = (0 until 3).map(_ => tailDrainSeconds(spark, tail10x)).min
     val streamResults = Seq(
-      "streaming_tail_e2e" -> (0 until 3).map(_ => tailDrainSeconds(spark, tail1x)).min,
-      "x10_streaming_tail_e2e" -> (0 until 3).map(_ => tailDrainSeconds(spark, tail10x)).min)
+      "streaming_tail_e2e" -> drain1x,
+      "x10_streaming_tail_e2e" -> drain10x,
+      "streaming_tail_lines_per_sec" -> lines1x / drain1x,
+      "x10_streaming_tail_lines_per_sec" -> lines10x / drain10x)
     // total stays headline-only (round-over-round comparable); the skew_*,
     // x10_* and streaming rows ride along in the queries map for the
     // comparisons

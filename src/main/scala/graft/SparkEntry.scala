@@ -1201,6 +1201,35 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
 
+    // The map-side PREFIX of the curation chain — per-doc C4 + Gopher keep
+    // flags, NO dedup. This is the content-insensitive surface the bench
+    // scales across a decade (curate_filters_e2e can't: its survivor set
+    // shifts under the x10 consonant rotation, so an x10 pair there would
+    // measure content shift, not scale). Flags are computed unconditionally
+    // (Gopher on the cleaned text even when C4 rejects) so every row costs
+    // the same work.
+    "curate_filters_map" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        when(i % 3 === 2, li).otherwise(concat(li, lit(".")))
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
+      val c4 = TextAnalysis.c4Clean(page).toMap
+      val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
+        minStopHits = 1).toMap
+      docsPar(s, dir)
+        .select(col("doc_id"), c4("cleaned").as("cleaned"),
+          c4("keep").as("c4_keep"))
+        .select(col("doc_id"), col("c4_keep"),
+          (col("c4_keep") && gopher("keep")).as("keep_full"),
+          md5(col("cleaned").cast("binary")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"),
         Seq("the", "a", "data"))
@@ -3569,6 +3598,53 @@ object SparkEntry {
         |SELECT md5(cleaned) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS dup_count
         |FROM g GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "curate_filters_map" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words, CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
+        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
+        |l2 AS (SELECT doc_id, i,
+        |  CASE WHEN i % 3 = 2 THEN array_to_string(list_slice(words, i*10+1, i*10+10), ' ')
+        |       ELSE array_to_string(list_slice(words, i*10+1, i*10+10), ' ') || '.' END AS line FROM ln),
+        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0 FROM l2 GROUP BY doc_id),
+        |pg AS (SELECT doc_id, page0 ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10)||'var cfg = { a: 1 };' ELSE '' END) AS page FROM pg0),
+        |cl AS (SELECT doc_id, page,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
+        |fin AS (SELECT doc_id, page, array_to_string(kept, chr(10)) AS cleaned FROM cl),
+        |fl AS (SELECT doc_id, cleaned,
+        |  (length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+        |   AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_keep
+        |  FROM fin),
+        |g0 AS (SELECT doc_id, cleaned, c4_keep,
+        |  CASE WHEN length(trim(cleaned)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(cleaned), '\s+')) END AS wn,
+        |  length(cleaned) AS cn,
+        |  (length(cleaned)-length(replace(cleaned,'#','')))
+        |   + (length(cleaned)-length(replace(cleaned,'...','')))//3 AS sym,
+        |  string_split(cleaned, chr(10)) AS lns FROM fl)
+        |SELECT doc_id, c4_keep,
+        | (c4_keep AND wn >= 20 AND wn <= 100000
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) >= 3.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) <= 10.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(sym AS DOUBLE)/wn ELSE 0 END) <= 0.1
+        |  AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lns) <= 0.9
+        |  AND CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)/len(lns) <= 0.3
+        |  AND (CASE WHEN wn > 0 THEN CAST(len(list_filter(regexp_split_to_array(trim(cleaned), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/wn ELSE 0 END) >= 0.8
+        |  AND ((CASE WHEN position(' the ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' be ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' to ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' of ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' and ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' that ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' have ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' with ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)) >= 1) AS keep_full,
+        | md5(cleaned) AS cleaned_md5
+        |FROM g0 ORDER BY doc_id""".stripMargin,
 
     "kafka_envelope" ->
       """SELECT doc_id,
