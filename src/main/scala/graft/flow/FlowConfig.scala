@@ -28,13 +28,40 @@ case class ProcessorDef(
   def kind: String = clazz.substring(clazz.lastIndexOf('.') + 1)
 }
 
+/**
+ * Connection queue limits — the StructuredConnectionParser surface
+ * (libminifi/src/core/flow/StructuredConnectionParser.cpp:74-205).
+ * Every accessor there is LENIENT for backward compatibility: an invalid
+ * value logs and falls back to the default instead of failing the flow
+ * load (YamlConnectionParserTest.cpp "values of incorrect format" /
+ * "known incorrect formats" sections) — the parse helpers in [[Units]]
+ * mirror that with Option-returning variants.
+ */
 case class ConnectionDef(
     id: String,
     name: String,
     sourceId: String,
     relationships: Seq[String],
     destinationId: String,
-    expirationMs: Option[Long])
+    expirationMs: Option[Long],
+    // "max work queue size": plain integral only ("2 KB" is INVALID here
+    // and falls back — parseIntegral, StructuredConnectionParser.cpp:77)
+    maxQueueSize: Long = ConnectionDef.DefaultQueueSize,
+    // "max work queue data size": data-size parse (binary units; a bare
+    // number is bytes), default 100_MB = 100,000,000 (decimal literal,
+    // Connection.h:45 — the default and the unit parse intentionally
+    // disagree about what "MB" means, preserved as-is)
+    maxQueueDataSize: Long = ConnectionDef.DefaultQueueDataSize,
+    // "swap threshold": data-size parse, default 0 (no swap)
+    swapThreshold: Long = 0L,
+    // "drop empty": toBool.value_or(false) — "sup"/"NULL" are false
+    dropEmpty: Boolean = false)
+
+object ConnectionDef {
+  /** Connection.h:44-45. */
+  val DefaultQueueSize: Long = 2000L
+  val DefaultQueueDataSize: Long = 100000000L
+}
 
 /** Controller service (SSL contexts, record readers/writers, cluster
   * clients — FlowSchema.cpp controller service plane). Parsed so
@@ -44,6 +71,21 @@ case class ServiceDef(
     name: String,
     clazz: String,
     properties: Map[String, String])
+
+/** One parameter of a parameter context (FlowSchema parameters plane).
+  * Sensitive values arrive property-encrypted in the reference and are
+  * decrypted with the configured cipher; this engine has no config
+  * cipher, so the value is carried as-is and the sensitive flag only
+  * drives the reference's reference-rules (a sensitive parameter cannot
+  * feed a non-sensitive property — ParameterTokenParser.cpp:101-106). */
+case class ParameterDef(name: String, value: String,
+                        sensitive: Boolean = false)
+
+/** A named parameter context with ordered inheritance
+  * (ParameterContext.cpp:29-40: own parameters first, then the inherited
+  * contexts in declaration order, depth-first). */
+case class ParameterContextDef(name: String, parameters: Seq[ParameterDef],
+                               inherits: Seq[String] = Nil)
 
 case class FlowDef(
     name: String,
@@ -110,8 +152,20 @@ object FlowConfig {
         sourceId = str(c, "source id", str(c, "source name", "")),
         relationships = rels,
         destinationId = str(c, "destination id", str(c, "destination name", "")),
+        // lenient like getFlowFileExpiration (a unitless "12" or "0"
+        // parses to 0 = never expire, it does not fail the load)
         expirationMs = opt(c.getOrElse("flowfile expiration", null))
-          .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
+          .flatMap(v => Units.parseDurationMsOpt(v.toString)).filter(_ > 0),
+        maxQueueSize = opt(c.getOrElse("max work queue size", null))
+          .flatMap(v => Units.parseIntegralOpt(v.toString))
+          .getOrElse(ConnectionDef.DefaultQueueSize),
+        maxQueueDataSize = opt(c.getOrElse("max work queue data size", null))
+          .flatMap(v => Units.parseBytesOpt(v.toString))
+          .getOrElse(ConnectionDef.DefaultQueueDataSize),
+        swapThreshold = opt(c.getOrElse("swap threshold", null))
+          .flatMap(v => Units.parseBytesOpt(v.toString)).getOrElse(0L),
+        dropEmpty = opt(c.getOrElse("drop empty", null))
+          .flatMap(v => Units.parseBoolOpt(v.toString)).getOrElse(false))
     }
     val svcs = groups.flatMap(g =>
       asList(g.getOrElse("Controller Services", null))).map { s0 =>
@@ -171,7 +225,17 @@ object FlowConfig {
           .map(_.toString),
         destinationId = str(asMap(c.getOrElse("destination", null)), "id", ""),
         expirationMs = opt(c.getOrElse("flowFileExpiration", null))
-          .map(v => Units.parseDurationMs(v.toString)).filter(_ > 0))
+          .flatMap(v => Units.parseDurationMsOpt(v.toString)).filter(_ > 0),
+        // JSON schema spellings (FlowSchema.cpp:115-124); the JSON plane
+        // has no swap-threshold key
+        maxQueueSize = opt(c.getOrElse("backPressureObjectThreshold", null))
+          .flatMap(v => Units.parseIntegralOpt(v.toString))
+          .getOrElse(ConnectionDef.DefaultQueueSize),
+        maxQueueDataSize = opt(c.getOrElse("backPressureDataSizeThreshold", null))
+          .flatMap(v => Units.parseBytesOpt(v.toString))
+          .getOrElse(ConnectionDef.DefaultQueueDataSize),
+        dropEmpty = opt(c.getOrElse("dropEmpty", null))
+          .flatMap(v => Units.parseBoolOpt(v.toString)).getOrElse(false))
     }
     val svcs = jgroups.flatMap(g =>
       asList(g.getOrElse("controllerServices", null))).map { s0 =>
@@ -262,4 +326,31 @@ object Units {
   }
 
   def parseBool(s: String): Boolean = s.trim.equalsIgnoreCase("true")
+
+  // ---- lenient variants (StructuredConnectionParser backward-compat
+  // contract: invalid values fall back instead of failing the load) ----
+
+  /** parseDataSize: None on any format the strict parser rejects
+    * ("10 Incorrect", "2 Baby Pandas (img, 20 MB) that are …"). A bare
+    * number is bytes. */
+  def parseBytesOpt(s: String): Option[Long] =
+    try Some(parseBytes(s)) catch { case _: IllegalArgumentException => None }
+
+  /** parseIntegral: digits only — "2 KB" is invalid for a COUNT field
+    * (StructuredConnectionParser.cpp:77). */
+  def parseIntegralOpt(s: String): Option[Long] = s.trim.toLongOption
+
+  /** StringToDuration: None on a unitless "12"/"0" (the reference logs
+    * and treats it as 0 — "we should throw here, but we do not",
+    * StructuredConnectionParser.cpp:186-193). */
+  def parseDurationMsOpt(s: String): Option[Long] =
+    try Some(parseDurationMs(s)) catch { case _: IllegalArgumentException => None }
+
+  /** utils::string::toBool: case-insensitive true/false, None otherwise
+    * ("sup", "NULL" → caller's value_or). */
+  def parseBoolOpt(s: String): Option[Boolean] = s.trim.toLowerCase match {
+    case "true" => Some(true)
+    case "false" => Some(false)
+    case _ => None
+  }
 }

@@ -100,12 +100,18 @@ object FlowRunner {
               else up.filter(col(FlowFrame.Relationship)
                 .isin(c.relationships: _*))
             // queue TTL at the receiving end (Connection.cpp:153-158)
-            val alive = c.expirationMs match {
+            val alive0 = c.expirationMs match {
               case Some(ms) => selected.filter(
                 unix_millis(current_timestamp()) -
                   unix_millis(col(FlowFrame.EntryDate)) <= ms)
               case None => selected
             }
+            // "drop empty": zero-size FlowFiles never enqueue
+            // (Connection.cpp:98,124)
+            val alive =
+              if (!c.dropEmpty) alive0
+              else alive0.filter(coalesce(
+                length(col(FlowFrame.Content).cast("binary")), lit(0)) > 0)
             val base = alive.withColumn(FlowFrame.Relationship,
               lit(null: String))
             // CLONE lineage (Provenance.h CLONE): a relationship feeding
