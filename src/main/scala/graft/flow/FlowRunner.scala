@@ -132,7 +132,14 @@ object FlowRunner {
           }
         }
       val input = ins.reduceOption(_ unionByName _)
-      val out = Processors.apply(spark, p, input, flow.services, procCaches)
+      val out =
+        try Processors.apply(spark, p, input, flow.services, procCaches)
+        catch {
+          case _: Processors.NoInputException =>
+            // never scheduled this sweep (no live upstream — e.g. its only
+            // connection failed group-scoped resolution)
+            Processors.emptyFlowFrame(spark)
+        }
       outputs(id) =
         if (fanOut(id))
           out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -197,11 +204,28 @@ object Processors {
   /** Collects DataFrames a processor persists internally (e.g. the
     * MergeContent defragment input staged once for its three subtrees) so
     * the flow runner can release them with the fan-out caches. */
+  /** An INPUT_REQUIRED processor invoked with no upstream. Direct callers
+    * see it as a config error; a flow sweep treats it as "never scheduled"
+    * (the reference's isWorkAvailable gate — such a processor simply does
+    * not fire, e.g. one whose only incoming connection failed group-scoped
+    * resolution). */
+  final class NoInputException(msg: String)
+      extends IllegalArgumentException(msg)
+
   final class CacheTracker {
     private val buf = collection.mutable.ArrayBuffer[DataFrame]()
     def track(df: DataFrame): DataFrame = { buf += df; df }
     def all: Seq[DataFrame] = buf.toSeq
   }
+
+  /** Zero-row frame in the canonical FlowFrame shape (wrap's schema). */
+  private[flow] def emptyFlowFrame(spark: SparkSession): DataFrame =
+    spark.range(0).select(
+      lit("").as(FlowFrame.Uuid),
+      map().cast("map<string,string>").as(FlowFrame.Attributes),
+      lit("").as(FlowFrame.Content),
+      current_timestamp().as(FlowFrame.EntryDate),
+      lit(null).cast("string").as(FlowFrame.Relationship))
 
   def apply(spark: SparkSession, p: ProcessorDef,
             input: Option[DataFrame],
@@ -211,7 +235,7 @@ object Processors {
       services.find(sv => sv.id == ref || sv.name == ref).getOrElse(
         throw new IllegalArgumentException(
           s"processor '${p.name}' references unknown controller service '$ref'"))
-    def in: DataFrame = input.getOrElse(throw new IllegalArgumentException(
+    def in: DataFrame = input.getOrElse(throw new Processors.NoInputException(
       s"processor '${p.name}' (${p.kind}) has no incoming connection"))
     val props = p.properties
     def prop(name: String, default: String): String =
@@ -681,6 +705,21 @@ object Processors {
             prop("Fail on Non-numerical Overwrite", "false")))
 
       case "Funnel" => success(in)
+
+      // local process-group ports are pure pass-throughs (ForwardingNode.h:
+      // 35 — single "success" relationship); a remote-process-group port's
+      // site-to-site transmission is a live-socket surface (COVERAGE.md),
+      // so in a batch sweep it forwards on its DefaultRelationship
+      // "undefined" (RemoteProcessGroupPort.h:87) and the wire protocol is
+      // out of scope
+      // a declared-but-unconnected port (an output port whose traffic
+      // arrives on the NEXT trigger, or an unused input port) simply emits
+      // nothing this sweep
+      case "InputPort" | "OutputPort" =>
+        success(input.getOrElse(emptyFlowFrame(spark)))
+      case "RemoteProcessGroupPort" =>
+        input.getOrElse(emptyFlowFrame(spark))
+          .withColumn(FlowFrame.Relationship, lit("undefined"))
 
       case "LogAttribute" =>
         // full property surface (LogAttribute.h:55-95): list filters,

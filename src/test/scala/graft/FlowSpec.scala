@@ -108,11 +108,16 @@ class FlowSpec extends SparkSpec {
     val f = FlowConfig.parse(json)
     assert(f.processors.map(_.kind).toSet === Set("GenerateFlowFile",
       "Funnel", "UpdateAttribute"))
-    // the cross-group flow runs: gen -> funnel -> child-group processor
+    // connection resolution is GROUP-SCOPED (ProcessGroup.cpp:412-474,
+    // YamlProcessGroupParserTests.cpp "Cannot connect processors from
+    // different groups"): c2 targets a child group's processor by id, so
+    // its destination stays unresolved with the reference's error line,
+    // and the child processor is simply never scheduled this sweep
+    assert(f.resolutionErrors === Seq("Cannot find the destination " +
+      "processor with id 'b' for the connection [name = 'c2', id = 'c2']"))
+    assert(f.connections.find(_.id == "c2").get.destinationId === "")
     val result = FlowRunner.run(spark, f)
-    assert(result.output("b")
-      .select(element_at(col("attributes"), "tag")).collect()
-      .map(_.getString(0)).toSeq === Seq("child", "child"))
+    assert(result.output("b").count() === 0)
   }
 
   test("JSON rootGroup parse mirrors the YAML model") {
