@@ -1779,6 +1779,53 @@ object SparkEntry {
         .orderBy("doc_id", "relationship")
     }),
 
+    // §2.10 parameter contexts driving a flow end-to-end: context
+    // inheritance (own value shadows inherited, ParameterContext.cpp:29-40),
+    // escaped ##{token} surviving as a literal, and a parameter composed
+    // INSIDE an EL expression — all substituted at config load
+    // (StructuredConfiguration.cpp parsePropertiesNode), then the flow runs
+    "flow_params" -> ((s, _) => {
+      val yml =
+        """MiNiFi Config Version: 3
+          |Flow Controller: {name: param flow}
+          |Parameter Contexts:
+          |  - id: base
+          |    name: base
+          |    Parameters:
+          |      - {name: batch, sensitive: false, value: '64'}
+          |      - {name: greeting, sensitive: false, value: 'hello'}
+          |      - {name: cutoff, sensitive: false, value: '30'}
+          |  - id: override
+          |    name: override
+          |    Inherited Parameter Contexts: [base]
+          |    Parameters:
+          |      - {name: greeting, sensitive: false, value: 'bonjour'}
+          |Parameter Context Name: override
+          |Processors:
+          |- name: gen
+          |  id: gen
+          |  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+          |  Properties:
+          |    Custom Text: '#{greeting} file ##{file} of a parameterized flow'
+          |    Batch Size: '#{batch}'
+          |    Data Format: Text
+          |- name: route
+          |  id: route
+          |  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+          |  Properties:
+          |    r_low: ${file_id:lt(#{cutoff})}
+          |Connections:
+          |- {id: c1, source id: gen, source relationship names: [success],
+          |   destination id: route}
+          |""".stripMargin
+      val result = flow.FlowRunner.run(s, flow.FlowConfig.parse(yml))
+      result.output("route")
+        .select(FlowFrame.attr("file_id").cast("long").as("file_id"),
+          col(FlowFrame.Content).cast("string").as("content"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("file_id")
+    }),
+
     // §2.4 RunLlamaCppInference — stubbed model, real partition batching
     "llm_inference_stub" -> ((s, dir) => {
       import s.implicits._
@@ -2777,6 +2824,16 @@ object SparkEntry {
         |SELECT doc_id, relationship FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM u)
         |ORDER BY doc_id, relationship""".stripMargin,
+
+    // The substituted flow re-derived as constants: 'override' shadows the
+    // inherited greeting, the escaped token survives literally, and the
+    // inherited cutoff lands inside the routing predicate
+    "flow_params" ->
+      """SELECT CAST(range AS BIGINT) AS file_id,
+        |       'bonjour file #{file} of a parameterized flow' AS content,
+        |       CASE WHEN range < 30 THEN 'r_low' ELSE 'unmatched' END
+        |         AS relationship
+        |FROM range(64) ORDER BY file_id""".stripMargin,
 
     // Independent re-derivation of the entity escape: per-char explode +
     // entity-table join + ordered string_agg (the simultaneous-replace

@@ -64,18 +64,31 @@ case class ConnectionDef(
     destinationId: String,
     expirationMs: Option[Long],
     // "max work queue size": plain integral only ("2 KB" is INVALID here
-    // and falls back — parseIntegral, StructuredConnectionParser.cpp:77)
-    maxQueueSize: Long = ConnectionDef.DefaultQueueSize,
+    // and falls back — parseIntegral, StructuredConnectionParser.cpp:77).
+    // None = not explicitly configured; the REFERENCE default (2000,
+    // Connection.h:44) still answers queueSizeLimit, but only an explicit
+    // value engages streaming admission control — inheriting NiFi's
+    // implicit 2000 would shred micro-batches at scale for flows that
+    // never asked for back pressure
+    maxQueueSize: Option[Long] = None,
     // "max work queue data size": data-size parse (the NiFi unit quirk:
     // "12 MB" is 12 MiB), default 100_MB = 100,000,000 (decimal literal,
     // Connection.h:45 — the default and the unit parse intentionally
     // disagree about what "MB" means, preserved as-is)
-    maxQueueDataSize: Long = ConnectionDef.DefaultQueueDataSize,
-    // "swap threshold": data-size parse, default 0 (no swap)
+    maxQueueDataSize: Option[Long] = None,
+    // "swap threshold": data-size parse, default 0 (no swap). Parsed for
+    // parity; a Spark runtime has no FlowFile swap — shuffle/state spill
+    // subsumes it (documented in COVERAGE.md §2.10)
     swapThreshold: Long = 0L,
     // "drop empty": toBool.value_or(false) — "sup"/"NULL" are false
     dropEmpty: Boolean = false,
-    groupIdx: Int = 0)
+    groupIdx: Int = 0) {
+  /** The effective back-pressure limits with the reference defaults. */
+  def queueSizeLimit: Long =
+    maxQueueSize.getOrElse(ConnectionDef.DefaultQueueSize)
+  def queueDataSizeLimit: Long =
+    maxQueueDataSize.getOrElse(ConnectionDef.DefaultQueueDataSize)
+}
 
 object ConnectionDef {
   /** Connection.h:44-45. */
@@ -246,11 +259,9 @@ object FlowConfig {
               expirationMs = opt(c.getOrElse("flowfile expiration", null))
                 .flatMap(v => Units.parseDurationMsOpt(v.toString)).filter(_ > 0),
               maxQueueSize = opt(c.getOrElse("max work queue size", null))
-                .flatMap(v => Units.parseIntegralOpt(v.toString))
-                .getOrElse(ConnectionDef.DefaultQueueSize),
+                .flatMap(v => Units.parseIntegralOpt(v.toString)),
               maxQueueDataSize = opt(c.getOrElse("max work queue data size", null))
-                .flatMap(v => Units.parseBytesOpt(v.toString))
-                .getOrElse(ConnectionDef.DefaultQueueDataSize),
+                .flatMap(v => Units.parseBytesOpt(v.toString)),
               swapThreshold = opt(c.getOrElse("swap threshold", null))
                 .flatMap(v => Units.parseBytesOpt(v.toString)).getOrElse(0L),
               dropEmpty = opt(c.getOrElse("drop empty", null))
@@ -379,11 +390,9 @@ object FlowConfig {
               // JSON schema spellings (FlowSchema.cpp:115-124); the JSON
               // plane has no swap-threshold key
               maxQueueSize = opt(c.getOrElse("backPressureObjectThreshold", null))
-                .flatMap(v => Units.parseIntegralOpt(v.toString))
-                .getOrElse(ConnectionDef.DefaultQueueSize),
+                .flatMap(v => Units.parseIntegralOpt(v.toString)),
               maxQueueDataSize = opt(c.getOrElse("backPressureDataSizeThreshold", null))
-                .flatMap(v => Units.parseBytesOpt(v.toString))
-                .getOrElse(ConnectionDef.DefaultQueueDataSize),
+                .flatMap(v => Units.parseBytesOpt(v.toString)),
               dropEmpty = opt(c.getOrElse("dropEmpty", null))
                 .flatMap(v => Units.parseBoolOpt(v.toString)).getOrElse(false),
               groupIdx = idx),

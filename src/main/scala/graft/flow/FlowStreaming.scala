@@ -37,7 +37,15 @@ object FlowStreaming {
       s"streaming flow needs exactly one terminal, got ${terminals.map(_.name)}")
 
     val outputs = collection.mutable.Map[String, DataFrame]()
-    outputs(sources.head.id) = streamSource(spark, sources.head)
+    // EXPLICIT queue limits on the source's outgoing connection(s) become
+    // per-trigger admission control (SURVEY §2.10: "max work queue size" →
+    // a maxOffsetsPerTrigger-style rate limit; the strictest edge wins).
+    // swapThreshold has no Spark analogue — spill subsumes it.
+    val srcConns = flow.connections.filter(_.sourceId == sources.head.id)
+    val limits = QueueLimits(
+      maxCount = srcConns.flatMap(_.maxQueueSize).minOption,
+      maxBytes = srcConns.flatMap(_.maxQueueDataSize).minOption)
+    outputs(sources.head.id) = streamSource(spark, sources.head, limits)
     // processors are declared source-to-sink in every shipped example;
     // walk until the terminal resolves (cycles rejected by the no-input rule)
     var remaining = flow.processors.filterNot(p => outputs.contains(p.id))
@@ -271,8 +279,14 @@ object FlowStreaming {
     }
   }
 
+  /** Back-pressure limits of the source's outgoing connection, applied as
+    * per-trigger admission control where the source supports it. */
+  private[flow] case class QueueLimits(maxCount: Option[Long],
+                                       maxBytes: Option[Long])
+
   /** Source-processor → streaming DataFrame in the FlowFrame shape. */
-  private def streamSource(spark: SparkSession, p: ProcessorDef): DataFrame = {
+  private def streamSource(spark: SparkSession, p: ProcessorDef,
+                           limits: QueueLimits = QueueLimits(None, None)): DataFrame = {
     val props = p.properties
     def prop(name: String, default: String): String =
       props.getOrElse(name, default)
@@ -289,12 +303,16 @@ object FlowStreaming {
             (f.getParent.toString,
               java.util.regex.Pattern.quote(f.getFileName.toString))
         }
-        val tailed = spark.readStream
+        val tailBase = spark.readStream
           .format("graft.streaming.TailFileSource")
           .option("path", dir).option("glob", glob)
           .option("initialStartPosition",
             prop("Initial Start Position", "Beginning of File"))
-          .load()
+        val tailLimited = Seq(
+          limits.maxCount.map(n => "maxLinesPerTrigger" -> n.toString),
+          limits.maxBytes.map(n => "maxBytesPerTrigger" -> n.toString))
+          .flatten.foldLeft(tailBase) { case (r, (k, v)) => r.option(k, v) }
+        val tailed = tailLimited.load()
           .withColumn("filename", element_at(split(col("path"), "/"), -1))
           .withColumn("tailfile.lineOffset", col("lineOffset").cast("string"))
           // deterministic FlowFile identity: (path, byte offset) names a

@@ -72,14 +72,26 @@ class TailFileSource extends TableProvider {
         .getOrElse("${filename}.*"),
       recursive = Option(properties.get("recursive")).exists(_.toBoolean),
       initialStart = Option(properties.get("initialStartPosition"))
-        .getOrElse("Beginning of File"))
+        .getOrElse("Beginning of File"),
+      maxLinesPerTrigger = Option(properties.get("maxLinesPerTrigger"))
+        .map(_.toLong).getOrElse(0L),
+      maxBytesPerTrigger = Option(properties.get("maxBytesPerTrigger"))
+        .map(_.toLong).getOrElse(0L))
     new TailTable(opts)
   }
 }
 
 private[streaming] final case class TailOptions(
     dir: String, glob: String, delimiter: Byte,
-    rollingPattern: String, recursive: Boolean, initialStart: String) {
+    rollingPattern: String, recursive: Boolean, initialStart: String,
+    // per-trigger admission control (0 = all available) — the flow
+    // runtime maps an EXPLICIT connection "max work queue size" /
+    // "max work queue data size" onto these (SURVEY §2.10's
+    // maxOffsetsPerTrigger-style mapping); repeated triggers drain the
+    // backlog in capped micro-batches
+    maxLinesPerTrigger: Long = 0L, maxBytesPerTrigger: Long = 0L) {
+  def admissionCapped: Boolean =
+    maxLinesPerTrigger > 0 || maxBytesPerTrigger > 0
   def startAtCurrent: Boolean = initialStart.equalsIgnoreCase("Current Time")
   def beginningOfTime: Boolean = initialStart.equalsIgnoreCase("Beginning of Time")
 }
@@ -146,6 +158,44 @@ object TailFileSource {
         p -= 1
       }
       0L
+    } finally raf.close()
+  }
+
+  /** Admission-control ceiling: position just past the last delimiter
+    * reachable from `from` within `maxLines` complete lines and `maxBytes`
+    * bytes (0 = unlimited), plus the number of lines admitted. Scans
+    * forward only over the capped span — the bytes the batch is about to
+    * read anyway — so the per-trigger cost is bounded by the cap itself. */
+  def cappedDelimiterEnd(f: java.io.File, from: Long, maxLines: Long,
+                         maxBytes: Long,
+                         delim: Byte = '\n'.toByte): (Long, Long) = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val ceiling = if (maxBytes > 0) math.min(len, from + maxBytes) else len
+      raf.seek(from)
+      val buf = new Array[Byte](64 * 1024)
+      var pos = from
+      var lines = 0L
+      var lastEnd = from
+      var exhausted = false
+      while (pos < ceiling && !exhausted) {
+        val n = raf.read(buf, 0, math.min(buf.length.toLong, ceiling - pos).toInt)
+        if (n <= 0) exhausted = true
+        else {
+          var i = 0
+          while (i < n && !exhausted) {
+            if (buf(i) == delim) {
+              lines += 1
+              lastEnd = pos + i + 1
+              if (maxLines > 0 && lines >= maxLines) exhausted = true
+            }
+            i += 1
+          }
+          pos += n
+        }
+      }
+      (lastEnd, lines)
     } finally raf.close()
   }
 
@@ -266,18 +316,46 @@ private class TailMicroBatchStream(opts: TailOptions)
     val mains = listFiles()
     val mainPaths = mains.map(_.getPath).toSet
     val next = collection.mutable.Map[String, FileState]()
+    // admission-control budget shared across files this trigger (0 caps
+    // disable a dimension); repeated triggers drain the remainder
+    var remLines = opts.maxLinesPerTrigger
+    var remBytes = opts.maxBytesPerTrigger
     mains.foreach { f =>
       val prev = knownState.get(f.getPath)
       probe(f, now) match {
-        case Some(probed) =>
-          // rotation suspected: the file shrank below the stored position
-          // (TailFile.cpp:617-621) or its head prefix no longer matches
-          val rotated = prev.exists { p =>
+        case Some(probed0) =>
+          // cap the advance at the per-trigger budget (non-rotated mains
+          // only: a rotated-away file is final and must be read to EOF to
+          // release its rolled state)
+          val capBudgets =
+            (if (opts.maxLinesPerTrigger > 0) Some(remLines) else None,
+             if (opts.maxBytesPerTrigger > 0) Some(remBytes) else None)
+          def cappedProbe(p: FileState): FileState = {
+            val floor = prev.map(_.pos).getOrElse(0L)
+            if (p.pos <= floor) p
+            else if (capBudgets._1.exists(_ <= 0) ||
+                     capBudgets._2.exists(_ <= 0)) p.copy(pos = floor)
+            else {
+              val (end, lines) = TailFileSource.cappedDelimiterEnd(f, floor,
+                capBudgets._1.getOrElse(0L), capBudgets._2.getOrElse(0L),
+                opts.delimiter)
+              remLines -= lines
+              remBytes -= (end - floor)
+              p.copy(pos = end)
+            }
+          }
+          val rotatedPre = prev.exists { p =>
             val len = f.length()
             len < p.pos || len < p.crcLen ||
               (try headCrc(f, p.crcLen) != p.crc
                catch { case _: java.io.IOException => true })
           }
+          val probed =
+            if (!opts.admissionCapped || rotatedPre) probed0
+            else cappedProbe(probed0)
+          // rotation suspected: the file shrank below the stored position
+          // (TailFile.cpp:617-621) or its head prefix no longer matches
+          val rotated = rotatedPre
           // sweep rolled files into the offset map when the tracked file
           // rotated (mtime >= last read, TailFile.cpp:545-549) or on the
           // very first look under Beginning of Time (findAllRotatedFiles,

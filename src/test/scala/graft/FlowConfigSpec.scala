@@ -102,8 +102,8 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |swap threshold: 231
         |flowfile expiration: 2 min
         |drop empty: true""".stripMargin).connections.head
-    assert(c.maxQueueSize === 231L)
-    assert(c.maxQueueDataSize === 12L << 20) // 12_MiB
+    assert(c.maxQueueSize === Some(231L))
+    assert(c.maxQueueDataSize === Some(12L << 20)) // 12_MiB
     assert(c.swapThreshold === 231L)
     assert(c.expirationMs === Some(120000L))
     assert(c.dropEmpty === true)
@@ -141,8 +141,8 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |flowfile expiration:
         |drop empty:""".stripMargin).connections.head
     assert(c.relationships === Seq("")) // empty item added as-is
-    assert(c.maxQueueSize === ConnectionDef.DefaultQueueSize)      // 2000
-    assert(c.maxQueueDataSize === ConnectionDef.DefaultQueueDataSize) // 100 MB
+    assert(c.queueSizeLimit === ConnectionDef.DefaultQueueSize)      // 2000
+    assert(c.queueDataSizeLimit === ConnectionDef.DefaultQueueDataSize) // 100 MB
     assert(c.swapThreshold === 0L)
     assert(c.expirationMs === None) // 0 = never expire
     assert(c.dropEmpty === false)
@@ -164,8 +164,8 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |max work queue data size: 10 Incorrect
         |flowfile expiration: 12
         |drop empty: sup""".stripMargin).connections.head
-    assert(c.maxQueueSize === 2000L)     // "2 KB" invalid for a COUNT field
-    assert(c.maxQueueDataSize === ConnectionDef.DefaultQueueDataSize)
+    assert(c.queueSizeLimit === 2000L)   // "2 KB" invalid for a COUNT field
+    assert(c.queueDataSizeLimit === ConnectionDef.DefaultQueueDataSize)
     assert(c.expirationMs === None)      // unitless "12" → 0
     assert(c.dropEmpty === false)        // toBool("sup").value_or(false)
     val strange = yamlFlow(
@@ -175,7 +175,7 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |max work queue data size: 2 Baby Pandas (img, 20 MB) that are cared for by a group of 30 giraffes
         |flowfile expiration: 0
         |drop empty: NULL""".stripMargin).connections.head
-    assert(strange.maxQueueDataSize === ConnectionDef.DefaultQueueDataSize)
+    assert(strange.queueDataSizeLimit === ConnectionDef.DefaultQueueDataSize)
     assert(strange.expirationMs === None)
     assert(strange.dropEmpty === false)
   }
@@ -389,8 +389,8 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(port.properties("url") === "https://localhost:8090/nifi")
     val c1 = f.connections.find(_.name == "GenToFunnel").get
     assert(c1.relationships === Seq("a", "b"))
-    assert(c1.maxQueueSize === 7L)
-    assert(c1.maxQueueDataSize === 11L * 1024) // 11_KiB
+    assert(c1.maxQueueSize === Some(7L))
+    assert(c1.maxQueueDataSize === Some(11L * 1024)) // 11_KiB
     assert(c1.expirationMs === Some(13000L))
     val c2 = f.connections.find(_.name == "FunnelToS2S").get
     assert(c2.sourceId === "00000000-0000-0000-0000-000000000010")

@@ -468,6 +468,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/relationship=unmatched").count() === 1)
   }
 
+  test("TailFileSource admission control: maxLinesPerTrigger bounds every " +
+       "micro-batch, repeated triggers drain the backlog completely") {
+    val dir = tmp("cap_in"); val ckpt = tmp("cap_ckpt"); val out = tmp("cap_out")
+    Files.writeString(dir.resolve("app.log"),
+      (0 until 100).map(i => s"line-$i").mkString("", "\n", "\n"))
+    val q = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", dir.toString).option("glob", ".*\\.log")
+      .option("maxLinesPerTrigger", "30")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    q.stop()
+    assert(spark.read.parquet(out.toString).count() === 100)
+    assert(batches.size >= 4, s"expected >=4 capped batches, got $batches")
+    assert(batches.forall(_ <= 30), s"a batch exceeded the cap: $batches")
+  }
+
+  test("flow-level back pressure: an explicit connection 'max work queue " +
+       "size' becomes per-trigger admission control (SURVEY §2.10 mapping; " +
+       "StructuredConnectionParser.cpp:74-84)") {
+    val dir = tmp("bp_in"); val ckpt = tmp("bp_ckpt"); val out = tmp("bp_out")
+    Files.writeString(dir.resolve("app.log"),
+      (0 until 80).map(i => s"r-$i").mkString("", "\n", "\n"))
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Flow Controller: {name: bp flow}
+         |Processors:
+         |- name: tail
+         |  id: tail
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  Properties:
+         |    File to Tail: ${dir.resolve("app.log")}
+         |- name: tag
+         |  id: tag
+         |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+         |  Properties:
+         |    marker: seen
+         |Connections:
+         |- id: c1
+         |  source id: tail
+         |  source relationship names: [success]
+         |  destination id: tag
+         |  max work queue size: 25
+         |""".stripMargin
+    val q = graft.flow.FlowStreaming.run(spark,
+      graft.flow.FlowConfig.parse(yml), out.toString, ckpt.toString)
+    val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    q.stop()
+    assert(spark.read.parquet(out.toString).count() === 80)
+    assert(batches.size >= 4, s"expected >=4 capped batches, got $batches")
+    assert(batches.forall(_ <= 25), s"a batch exceeded the cap: $batches")
+  }
+
   test("ProvenanceListener records plan-level lineage events (SURVEY §7.5.7)") {
     import spark.implicits._
     val listener = new graft.streaming.ProvenanceListener
