@@ -2040,7 +2040,10 @@ object SparkEntry {
         maxSegSizeBytes = 64L)
         .select(col("uuid").cast("long").as("doc_id"), col("topic"),
           col("key"), col("segment").cast("long").as("segment"),
-          md5(col("value").cast("string").cast("binary")).as("value_md5"),
+          // hash the segment's raw BYTES via their hex image — DuckDB can
+          // slice/hash hex text but not blobs, and a string-cast of a
+          // mid-codepoint split would mangle multibyte content
+          md5(hex(col("value"))).as("value_md5"),
           col("headers"))
         .orderBy("doc_id", "segment")
     }),
@@ -3715,16 +3718,20 @@ object SparkEntry {
         | CAST(NULL AS VARCHAR) AS h_missing
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Byte-based segmentation via the hex image: 64 content BYTES = 128
+    // hex chars, so the compare is exact even for multibyte text (the
+    // engine segments UTF-8 bytes, never characters)
     "kafka_publish_envelope" ->
-      """WITH f AS (SELECT doc_id, source, lang, text, length(text) AS sz
+      """WITH f AS (SELECT doc_id, source, lang,
+        |  hex(encode(text)) AS hx, octet_length(encode(text)) AS sz
         |  FROM documents),
-        |e AS (SELECT doc_id, source, lang, text,
+        |e AS (SELECT doc_id, source, lang, hx,
         |  unnest(generate_series(0, CAST(ceil(sz/64.0) AS INT) - 1)) AS segment
         |  FROM f)
         |SELECT doc_id, 'docs-' || source AS topic,
         | lang || '-' || CAST(doc_id AS VARCHAR) AS key,
         | CAST(segment AS BIGINT) AS segment,
-        | md5(substr(text, segment*64 + 1, 64)) AS value_md5,
+        | md5(substr(hx, segment*128 + 1, 128)) AS value_md5,
         | 'lang=' || lang || ',source=' || source AS headers
         |FROM e ORDER BY doc_id, segment""".stripMargin,
 

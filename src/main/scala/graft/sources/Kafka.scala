@@ -283,6 +283,14 @@ object Kafka {
    * Map-side scale shape: pure per-row projection + a bounded explode
    * (segments of one FlowFile) — no shuffle at any scale.
    */
+  /** Long position → int with an explicit analysis-time error instead of
+    * a silent wrap past 2 GiB (segment arithmetic guard). */
+  private def checkedIntPos(pos: Column): Column =
+    when(pos <= Int.MaxValue.toLong, pos)
+      .otherwise(raise_error(lit(
+        "publishRecords: segment position exceeds Int.MaxValue")).cast("long"))
+      .cast("int")
+
   def publishRecords(ff: DataFrame, topicEl: String,
                      kafkaKeyEl: Option[String] = None,
                      attributeNameRegex: Option[String] = None,
@@ -294,10 +302,13 @@ object Kafka {
     val key = kafkaKeyEl.map(el => ElCompiler.template(el))
       .getOrElse(col(FlowFrame.Uuid).cast("string"))
     val headers = attributeNameRegex match {
+      // FULL-match like the reference's make_headers (utils::regexMatch =
+      // std::regex_match, RegexUtils.cpp:250): an unanchored "lang" must
+      // not also select "language"
       case Some(re) => array_join(
         transform(
           array_sort(map_entries(map_filter(col(FlowFrame.Attributes),
-            (k, _) => k.rlike(re)))),
+            (k, _) => k.rlike(graft.el.ElCompiler.anchor(re))))),
           e => concat(e.getField("key"), lit("="), e.getField("value"))),
         ",")
       case None => lit("")
@@ -316,8 +327,12 @@ object Kafka {
       explode(when(nSegs > 0, sequence(lit(0), nSegs - 1))
         .otherwise(array().cast("array<int>"))).as("segment"))
       .select(col("uuid"), col("topic"), col("key"), col("segment"),
-        col("bytes").substr((col("segment").cast("long") * col("seg") + 1)
-          .cast("int"), col("seg").cast("int")).as("value"),
+        // positions stay int-safe structurally (a JVM binary cell caps at
+        // Int.MaxValue bytes, and (nSegs-1)*seg < size), but assert rather
+        // than silently wrap if that invariant ever breaks
+        col("bytes").substr(checkedIntPos(
+          col("segment").cast("long") * col("seg") + 1),
+          col("seg").cast("int")).as("value"),
         col("headers"))
   }
 }

@@ -402,6 +402,30 @@ class KafkaSpec extends SparkSpec {
       failEmptyFlowFiles = true).count() === 0)
   }
 
+  test("publishRecords header regex is a FULL match (make_headers uses " +
+       "std::regex_match, RegexUtils.cpp:250) and byte segmentation splits " +
+       "multibyte text mid-codepoint") {
+    import graft.core.FlowFrame
+    // "lang" must select ONLY the attribute named exactly lang — an
+    // unanchored partial match would also emit language/slang
+    val ff = flowFrame(Seq(("héllo wörld", Map(
+      "lang" -> "de", "language" -> "german", "slang" -> "no"))))
+      .withColumn(FlowFrame.Uuid, lit("ff-1"))
+    val rows = Kafka.publishRecords(ff, "t",
+      attributeNameRegex = Some("lang")).collect()
+    assert(rows.head.getAs[String]("headers") === "lang=de")
+    // UTF-8 "héllo wörld" = 13 bytes (é, ö are 2 bytes); seg size 4 →
+    // ceil(13/4) = 4 segments, and segment 0 ends INSIDE é's two bytes —
+    // reassembling the raw bytes restores the original exactly
+    val segs = Kafka.publishRecords(ff, "t", maxSegSizeBytes = 4)
+      .orderBy("segment").collect()
+    assert(segs.length === 4)
+    val joined = segs.flatMap(_.getAs[Array[Byte]]("value"))
+    assert(new String(joined, "UTF-8") === "héllo wörld")
+    assert(segs(0).getAs[Array[Byte]]("value").length === 4)
+    assert(segs(3).getAs[Array[Byte]]("value").length === 1)
+  }
+
   test("Mqtt.publishEnvelope: MQTT 3.x drops every v5 property " +
        "(setMqtt5Properties PublishMQTT.cpp:244-246)") {
     import graft.sources.Mqtt
