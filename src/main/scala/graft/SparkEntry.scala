@@ -1962,6 +1962,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // §2.2 PutTCP/PutUDP wire plane: per-FlowFile EL endpoint resolution,
+    // empty endpoint → failure, delimiter-framed TCP stream vs bare UDP
+    // datagram (PutTCP.cpp:77-99,134-160; PutUDP.cpp:61-75)
+    "puttcp_envelope" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        // every 5th doc loses its endpoint — the reference's empty-
+        // hostname failure route
+        .withColumn("target",
+          when(col("doc_id") % 5 === 0, lit("")).otherwise(col("source")))
+      val ff = FlowFrame.wrap(docs, "text",
+        Seq("doc_id", "source", "target"), uuidCol = Some("doc_id"))
+      graft.sources.Sinks.putTcpEnvelope(ff,
+        hostnameEl = "${target}", portEl = "${doc_id:mod(3):plus(9000)}",
+        delimiter = "\n")
+        .select(col("uuid").cast("long").as("doc_id"),
+          col("hostname"), col("port"),
+          md5(hex(col("payload"))).as("payload_md5"),
+          md5(hex(col("datagram"))).as("datagram_md5"),
+          col("relationship"))
+        .orderBy("doc_id")
+    }),
+
     "splunk_hec_payload" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -3766,6 +3788,18 @@ object SparkEntry {
         | md5(string_agg(payload, chr(10) ORDER BY doc_id) || chr(10)) AS bulk_md5,
         | COUNT(*) AS n_actions
         |FROM l GROUP BY source ORDER BY source""".stripMargin,
+
+    // Endpoint + framing re-derived relationally; payload bytes compared
+    // through their hex image like kafka_publish_envelope
+    "puttcp_envelope" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN '' ELSE source END AS hostname,
+        | CAST(doc_id % 3 + 9000 AS VARCHAR) AS port,
+        | md5(hex(encode(text || chr(10)))) AS payload_md5,
+        | md5(hex(encode(text))) AS datagram_md5,
+        | CASE WHEN doc_id % 5 = 0 THEN 'failure' ELSE 'success' END
+        |   AS relationship
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "splunk_hec_payload" ->
       """SELECT doc_id,

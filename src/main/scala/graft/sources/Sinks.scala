@@ -95,6 +95,35 @@ object Sinks {
     }.asNondeterministic()
 
   /**
+   * PutTCP/PutUDP's deterministic wire plane (PutTCP.cpp:77-99,134-160;
+   * PutUDP.cpp:61-75): Hostname and Port resolve PER FLOWFILE via EL, an
+   * empty endpoint routes `failure` without sending, the TCP stream is the
+   * content bytes followed by the Outgoing Message Delimiter bytes
+   * (sendStreamWithDelimiter), and UDP sends the bare content as one
+   * datagram. Pure projection — the live-socket transmission on top of it
+   * is [[putTcp]]/[[putUdp]]. Map-side only at any scale.
+   */
+  def putTcpEnvelope(ff: org.apache.spark.sql.DataFrame, hostnameEl: String,
+                     portEl: String,
+                     delimiter: String = ""): org.apache.spark.sql.DataFrame = {
+    import graft.core.FlowFrame
+    import graft.el.ElCompiler
+    val host = coalesce(ElCompiler.template(hostnameEl), lit(""))
+    val port = coalesce(ElCompiler.template(portEl), lit(""))
+    val content = col(FlowFrame.Content).cast("binary")
+    val delimBytes = delimiter.getBytes(StandardCharsets.UTF_8)
+    ff.select(
+      col(FlowFrame.Uuid).cast("string").as("uuid"),
+      host.as("hostname"), port.as("port"),
+      // TCP payload: content + delimiter; UDP datagram: bare content
+      (if (delimBytes.isEmpty) content
+       else concat(content, lit(delimBytes))).as("payload"),
+      content.as("datagram"),
+      when(host === "" || port === "", "failure")
+        .otherwise("success").as("relationship"))
+  }
+
+  /**
    * PutTCP (extensions/standard-processors/processors/PutTCP.cpp): write
    * each row's message to host:port, newline-delimited. One connection per
    * partition (the reference pools connections per processor); rows pass
