@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Regenerate the COVERAGE.md totals numbers from the artifacts so they
+cannot drift from reality (VERDICT r12 #7).
+
+- Oracle-query count: the keys of SparkEntry.oracleSql — the exact map
+  Verify dumps as oracle_sql.json and tools/check.py iterates, so this IS
+  the number of oracle-checked rows in CORRECTNESS_r{N}.json.
+- Test count: pass the runtime total from the latest `sbt test` summary
+  ("Total number of tests run: N") via --tests N, or let the script run
+  `sbt -batch test` itself with --run-tests (slow). A bare static grep
+  over-counts registrations inside string fixtures, so runtime is the
+  source of truth.
+
+Usage:
+  python3 tools/totals.py --tests 386
+  python3 tools/totals.py --run-tests
+"""
+import argparse
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ENTRY = REPO / "src/main/scala/graft/SparkEntry.scala"
+
+
+def map_keys(src: str, defname: str) -> list:
+    m = re.search(r"def %s[^\n]*Map\(" % defname, src)
+    if not m:
+        sys.exit(f"cannot find 'def {defname}' in {ENTRY}")
+    # keys up to the next def (or EOF); entries sit at 4-space indent,
+    # which keeps string-literal "k" -> "v" pairs INSIDE query bodies
+    # (routing rules, loki labels) from being miscounted as map keys
+    tail = src[m.end():]
+    nxt = re.search(r"\n  (?:def|val) ", tail)
+    region = tail[: nxt.start()] if nxt else tail
+    return re.findall(r'^    "([a-z0-9_]+)" ->', region, re.MULTILINE)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tests", type=int, default=None,
+                    help="runtime test total from the sbt test summary")
+    ap.add_argument("--run-tests", action="store_true",
+                    help="run 'sbt -batch test' to obtain the test total")
+    args = ap.parse_args()
+
+    src = ENTRY.read_text()
+    oracle = map_keys(src, "oracleSql")
+    queries = map_keys(src, "queries")
+    missing = sorted(set(oracle) - set(queries))
+    if missing:
+        sys.exit(f"oracleSql keys with no queries entry: {missing}")
+
+    tests = args.tests
+    suites = None
+    if args.run_tests:
+        out = subprocess.run(["sbt", "-batch", "test"], cwd=REPO,
+                             capture_output=True, text=True).stdout
+        mt = re.search(r"Total number of tests run: (\d+)", out)
+        ms = re.search(r"Suites: completed (\d+)", out)
+        if not mt:
+            sys.exit("sbt test produced no summary line")
+        tests = int(mt.group(1))
+        suites = int(ms.group(1)) if ms else None
+
+    print(f"oracle-checked queries: {len(oracle)}")
+    print(f"queries without SQL oracle (rows-only check): "
+          f"{len(set(queries) - set(oracle))}")
+    print(f"tests: {tests if tests is not None else '(pass --tests N)'}"
+          + (f" across {suites} suites" if suites else ""))
+    print()
+    print("COVERAGE.md totals line:")
+    print(f"**Totals (regenerate with tools/totals.py): {len(oracle)} "
+          f"oracle-checked queries, every one with a full rows+schema+hash "
+          f"DuckDB oracle; {tests if tests is not None else 'N'} unit tests "
+          f"green.**")
+
+
+if __name__ == "__main__":
+    main()
