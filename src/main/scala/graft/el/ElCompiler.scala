@@ -41,6 +41,17 @@ object ElCompiler {
   def withVariables[A](variables: Map[String, String])(body: => A): A =
     variableRegistry.withValue(variables)(body)
 
+  /** Registry map from a minifi.properties-style map:
+    * `minifi.variable.registry.blacklist` names (comma-separated) are
+    * invisible to EL (VariableRegistryImpl; ExpressionLanguageTests.cpp
+    * "variable registry test": blacklisted `foo` resolves empty). */
+  def registryFromProperties(props: Map[String, String]): Map[String, String] = {
+    val blacklist = props.getOrElse("minifi.variable.registry.blacklist", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    (props - "minifi.variable.registry.blacklist")
+      .filter { case (k, _) => !blacklist(k) }
+  }
+
   /** Default resolver: FlowFrame attributes map (null when absent),
     * with the variable registry as the absent-attribute fallback. */
   val flowAttrs: AttrResolver = name => {
@@ -166,9 +177,16 @@ object ElCompiler {
     else s)
   private val unescapeCsvUdf = udf((s: String) =>
     if (s == null) null
-    else if (s.length >= 2 && s.head == '"' && s.last == '"')
-      s.substring(1, s.length - 1).replace("\"\"", "\"")
-    else s)
+    else if (s.length >= 2 && s.head == '"' && s.last == '"') {
+      // only unquote a field that NEEDED quoting — an interior quote or a
+      // \r/\n/comma; a merely-quoted plain value stays quoted
+      // (expr_unescapeCsv, Expression.cpp: quote_required check;
+      // ExpressionLanguageTests.cpp:1128 Decode CSV 2)
+      val quoteRequired = s.indexOf('"', 1) != s.length - 1 ||
+        s.exists(c => c == '\r' || c == '\n' || c == ',')
+      if (quoteRequired) s.substring(1, s.length - 1).replace("\"\"", "\"")
+      else s
+    } else s)
 
   /** getDelimitedField (Expression.cpp:269-380): quote-aware field scan —
     * delimiters inside quoted regions don't split, even in the basic form;
@@ -240,7 +258,11 @@ object ElCompiler {
       case "hostname" => lit(java.net.InetAddress.getLocalHost.getHostName)
       case "ip"       => lit(java.net.InetAddress.getLocalHost.getHostAddress)
       case "UUID"     => expr("uuid()")
-      case "now"      => current_timestamp()
+      // epoch MILLIS, the EL date value convention (${now():toNumber()}
+      // is milliseconds; format() takes a millis subject) — a raw
+      // TIMESTAMP would cast to epoch SECONDS and format() would read it
+      // as millis (caught by the Now Date battery: format('%Y') -> 1970)
+      case "now"      => unix_millis(current_timestamp())
       case "random"   => (rand() * lit(Long.MaxValue)).cast("long")
       case "nextInt"  => monotonically_increasing_id()
       // reverseDnsLookup(ip[, timeoutMs]) (Expression.cpp:191-207): resolver

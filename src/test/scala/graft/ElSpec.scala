@@ -207,6 +207,42 @@ class ElSpec extends SparkSpec {
       Map("message" -> "\"Zero > One < \"\"two!\"\" & 'true'\"")) ===
       "Zero > One < \"two!\" & 'true'")
     assert(eval("${message:escapeCsv():unescapeCsv()}", msg) === msg("message"))
+    // Decode CSV 2 (cpp:1128-1135): a quoted field whose content never
+    // NEEDED quoting (no interior quote, no \r/\n/,) stays quoted — the
+    // reference's quote_required check in expr_unescapeCsv
+    assert(eval("${message:unescapeCsv()}",
+      Map("message" -> "\"quoted\"")) === "\"quoted\"")
+    // ...while a quoted field with a comma does unquote
+    assert(eval("${message:unescapeCsv()}",
+      Map("message" -> "\"a,b\"")) === "a,b")
+    // escapeCsv leaves a plain value untouched (expr_escapeCsv)
+    assert(eval("${message:escapeCsv()}",
+      Map("message" -> "plain value")) === "plain value")
+  }
+
+  test("variable registry: blacklisted names invisible, plain variables " +
+       "resolve, FlowFile attributes shadow variables " +
+       "(ExpressionLanguageTests.cpp:1659-1683)") {
+    val registry = ElCompiler.registryFromProperties(Map(
+      "foo" -> "foo_val",
+      "minifi.variable.registry.blacklist" -> "foo",
+      "bar" -> "bar_val",
+      "baz" -> "baz_val"))
+    ElCompiler.withVariables(registry) {
+      val attrs = Map("baz" -> "ff_baz")
+      assert(eval("${foo}", attrs) === null)          // blacklisted
+      assert(eval("${bar}", attrs) === "bar_val")     // registry constant
+      assert(eval("${baz}", attrs) === "ff_baz")      // attribute shadows
+    }
+  }
+
+  test("now()/random() evaluate per the reference surface " +
+       "(ExpressionLanguageTests.cpp:659-665 Random, 1216-1224 Now Date)") {
+    // ${now():format('%Y')} prints the current year
+    val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
+    assert(eval("${now():format('%Y', 'UTC')}", Map()).toInt === year)
+    // random() yields a positive signed long
+    assert(eval("${random()}", Map()).toLong > 0L)
   }
 
   test("XML escape round trip (ExpressionLanguageTests.cpp:1040-1062)") {
