@@ -59,7 +59,12 @@ object Bench {
   val x10: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_segments", "pipeline_e2e", "shuffle_export",
     "embed_topk", "embed_neardup", "embed_topk_lsh", "tfidf_topk",
-    "curate_filters_map")
+    "curate_filters_map",
+    // the consonant rotation preserves duplicate STRUCTURE (both members
+    // of a duplicated span rotate identically per replica), so duplicated
+    // windows scale exactly 10× and stay disjoint across replicas — a
+    // valid scale pair for the substring-dedup shuffle
+    "dedup_substrings")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

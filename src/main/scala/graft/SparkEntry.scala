@@ -981,6 +981,18 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Exact substring dedup (Lee et al. 2021 EXACTSUBSTR, arXiv:2107.06499
+    // — distributed window-count formulation): every token covered by a
+    // duplicated 8-token window is removed; short docs survive intact
+    "dedup_substrings" -> ((s, dir) =>
+      Dedup.dedupSubstrings(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 8)
+        .select(col("docId").as("doc_id"),
+          col("nTokens").cast("long").as("n_tokens"),
+          col("nRemoved").cast("long").as("n_removed"),
+          md5(col("text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // ------- similarity search -------
     "embed_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -3122,6 +3134,30 @@ object SparkEntry {
         |  FROM seg)
         |SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS text
         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Suffix-span removal re-derived relationally: duplicated 8-windows →
+    // per-doc position spans → NOT EXISTS coverage per token → re-join
+    "dedup_substrings" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, g.i AS i,
+        |    md5(array_to_string(toks[g.i:g.i+7], ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(toks) - 7, 0))) AS i) g
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        |spans AS (SELECT doc_id, i AS s, i + 8 AS e FROM w JOIN dup USING (h)),
+        |tok AS (SELECT doc_id, gg.i AS idx, toks[gg.i] AS tk FROM t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) gg),
+        |kept AS (SELECT tok.doc_id, tok.idx, tok.tk FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = tok.doc_id AND tok.idx >= s.s AND tok.idx < s.e)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY idx) AS clean FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(a.clean, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 

@@ -299,6 +299,63 @@ object Dedup {
         s => s("seg")), joiner).as("text"))
   }
 
+  /**
+   * Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+   * Makes Language Models Better", arXiv:2107.06499 — their EXACTSUBSTR
+   * pass removes any >=50-token span that appears verbatim elsewhere in
+   * the corpus). Their implementation is a single-node suffix array; the
+   * distributed formulation here is window-count equivalence at token
+   * granularity: a k-token window whose exact text occurs more than once
+   * in the corpus is a duplicated span, and every token covered by at
+   * least one duplicated window is removed. A maximal duplicated run of
+   * m >= k tokens is exactly the union of its m-k+1 duplicated windows,
+   * so the removed regions coincide with the suffix-array spans at
+   * window granularity. Documents shorter than k tokens have no windows
+   * and always survive intact.
+   *
+   * Returns (docId, nTokens, nRemoved, text) with the covered tokens cut
+   * out and the remainder re-joined on single spaces.
+   *
+   * Scale shape: the window explode is linear in corpus tokens and feeds
+   * a map-side partial count on the window hash (duplicated windows are
+   * a sliver of the corpus, so the partial agg collapses the hot keys
+   * before the shuffle, exactly like [[dedupSegments]]'s keeper agg); one
+   * shuffle join back on the hash tags the duplicated positions; one
+   * groupBy(doc) gathers each doc's own span list; and the final left
+   * join re-attaches spans to the corpus. The per-token coverage test is
+   * a higher-order `exists` over the doc's OWN spans — no self-join, no
+   * quadratic stage, and AQE can split a skewed hash join if one window
+   * dominates (mass-duplicated boilerplate).
+   */
+  def dedupSubstrings(df: DataFrame, idCol: Column, textCol: Column,
+                      k: Int = 50): DataFrame = {
+    val base = df.select(idCol.as("docId"), textCol.as("text"),
+      split(textCol, " ").as("toks"))
+    // windows only exist for docs with >= k tokens (the shingle kernel's
+    // whole-text fallback for short docs must NOT become a window here —
+    // a duplicated short doc is not a duplicated k-token span)
+    val wins = base
+      .select(col("docId"),
+        posexplode(when(size(col("toks")) >= k, shingles(col("text"), k))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
+      .select(col("docId"), col("pos"), md5(col("win")).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val spans = wins.join(dup, "h")
+      .groupBy("docId")
+      .agg(collect_list(struct(col("pos").as("s"),
+        (col("pos") + k).as("e"))).as("spans"))
+    base.join(spans, Seq("docId"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        !exists(col("spans"), sp => i >= sp("s") && i < sp("e"))))
+      .select(col("docId"),
+        size(col("toks")).as("nTokens"),
+        (size(col("toks")) - size(col("kept"))).as("nRemoved"),
+        array_join(col("kept"), " ").as("text"))
+  }
+
   /** Fixed-size word windows: the segmentation for corpora without
     * paragraph structure — ceil(len/n) chunks of n words (last one short).
     * Native codegen'd generator; see [[shingles]]. */

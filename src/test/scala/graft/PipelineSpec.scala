@@ -54,6 +54,38 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === Set((2001L, 2002L)))
   }
 
+  test("exact substring dedup removes duplicated k-token runs, merges " +
+       "overlapping windows, spares short docs (Lee et al. 2021 " +
+       "EXACTSUBSTR, window-count formulation)") {
+    import spark.implicits._
+    // docs 1+2 share a 10-token run (> k=8): the union of its duplicated
+    // 8-windows covers all 10 shared tokens in both docs; their unique
+    // prefix/suffix tokens survive. docs 3+4 are identical but only 5
+    // tokens (< k): no windows, intact. doc 5 is unique: intact.
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"intro1 $shared tail1"),
+      (2L, s"intro2 $shared"),
+      (3L, "tiny doc of five words"),
+      (4L, "tiny doc of five words"),
+      (5L, "a wholly unique document with enough tokens to window")).toDF(
+      "doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Int]("nRemoved"), r.getAs[String]("text")))).toMap
+    assert(out(1L) === ((10, "intro1 tail1")))
+    assert(out(2L) === ((10, "intro2")))
+    assert(out(3L) === ((0, "tiny doc of five words")))
+    assert(out(4L) === ((0, "tiny doc of five words")))
+    assert(out(5L)._1 === 0)
+    // a doc that IS entirely a duplicated span empties out completely
+    val twice = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val wiped = Dedup.dedupSubstrings(twice, col("doc_id"), col("text"), k = 8)
+      .collect()
+    assert(wiped.forall(_.getAs[String]("text") === ""))
+    assert(wiped.forall(_.getAs[Int]("nRemoved") === 10))
+  }
+
   test("minhash LSH candidates include identical docs") {
     val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 8)
