@@ -19,7 +19,9 @@ object FlowRuntime {
 
   /** Scheduling strategy → Trigger (TimerDrivenSchedulingAgent.cpp:28,
     * EventDrivenSchedulingAgent.cpp:39, CronDrivenSchedulingAgent.cpp —
-    * cron fires an external AvailableNow run). */
+    * cron fires an external AvailableNow run at the instants
+    * [[cronDelayMs]] computes from the scheduling period's Quartz
+    * expression). */
   def trigger(strategy: String, periodMs: Long = 1000): Trigger =
     strategy match {
       case "TIMER_DRIVEN" => Trigger.ProcessingTime(periodMs)
@@ -27,6 +29,16 @@ object FlowRuntime {
       case "CRON_DRIVEN"  => Trigger.AvailableNow()
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
+
+  /** Milliseconds from `now` until a CRON_DRIVEN source's next scheduled
+    * drain: the scheduling period carries the Quartz expression
+    * (CronDrivenSchedulingAgent.cpp uses utils::Cron the same way) —
+    * None when the schedule never fires again. */
+  def cronDelayMs(cronExpr: String,
+                  now: java.time.LocalDateTime =
+                    java.time.LocalDateTime.now()): Option[Long] =
+    Cron(cronExpr).calculateNextTrigger(now)
+      .map(next => java.time.Duration.between(now, next).toMillis)
 
   /** Relationship-partitioned sink: every micro-batch writes each output
     * edge under <root>/relationship=<name>/ (parquet). The micro-batch is
