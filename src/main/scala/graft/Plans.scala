@@ -53,6 +53,7 @@ object Plans {
     show("tfidf", "tfidf_topk")
     show("salted", "dedup_minhash_lsh_salted")
     show("cfe2e", "curate_filters_e2e")
+    show("dsub", "dedup_substrings")
     spark.stop()
   }
 }
