@@ -904,6 +904,17 @@ object SparkEntry {
     }),
 
     // ------- sampling / data mixing -------
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): hashed
+    // unigram+bigram bag models, target = English docs, weight =
+    // log p_target − log p_raw as order-independent integer micro-units
+    "dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === "en")
+        .select(col("docId").as("doc_id"),
+          col("nGrams").cast("long").as("n_grams"),
+          col("weightMicro").cast("long").as("weight_micro"))
+        .orderBy("doc_id")),
+
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.875), 0.25, col("doc_id"), "mix1")
@@ -2974,6 +2985,38 @@ object SparkEntry {
           |FROM comp ORDER BY doc_id""".stripMargin),
 
     // hash-fraction = first 15 md5 hex chars as integer / 16^15 — division
+    // Hashed-bucket bag models re-derived: unigrams + adjacent bigrams
+    // (a sub-2-word doc contributes its whole text, the shingle-kernel
+    // fallback), md5-prefix buckets, add-one smoothing, per-BUCKET
+    // fixed-point log-ratio then integer per-doc sums — ln agreement at
+    // 1e-6 quanta over ~1024 bucket values is the same cross-engine float
+    // exposure the tfidf oracle has carried green since round 11
+    "dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, array_to_string(toks[gg.i:gg.i+1], ' ') AS g
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) gg
+        |  WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, text AS g FROM t WHERE len(toks) < 2
+        |),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+        |  FROM g),
+        |c AS (SELECT b, count(*) FILTER (lang = 'en') AS ct, count(*) AS cr
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |r AS (SELECT b, CAST(round((ln(ct + 1) - ln(tt + 1024)
+        |    - ln(cr + 1) + ln(tr + 1024)) * 1e6) AS BIGINT) AS lr
+        |  FROM c, tot)
+        |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(r.lr) AS BIGINT) AS weight_micro
+        |FROM bk JOIN r USING (b) GROUP BY bk.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // by a power of two is exact in IEEE, so the cut-point compares are
     // bit-identical cross-engine
     "stratified_sample" ->

@@ -170,4 +170,49 @@ object Sampling {
       .select(col("docId"), col("n_tokens"),
         expr(s"__start div $budget").as("bin"))  // integer div: exact at any offset
   }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling", arXiv:2302.03169 §3): each raw
+   * example is weighted by log p_target(x) − log p_raw(x) under hashed
+   * n-gram bag-of-words models — the published feature space is unigrams
+   * + bigrams hashed into a fixed bucket count, with the two distributions
+   * estimated from the target sample and the full raw corpus.
+   *
+   * Determinism: buckets are md5-prefix hashes mod `buckets`
+   * (engine-portable like every other hash here); both distributions are
+   * add-one smoothed; and each BUCKET's log-ratio is fixed-pointed to
+   * integer micro-units before the per-doc sum, so the weight is an
+   * order-independent LONG — no float summation across grams at all.
+   * Resampling on the weights composes with [[stratifiedSample]]-style
+   * hash thresholds downstream.
+   *
+   * Scale shape: one bucket-count aggregation (map-side partial into at
+   * most `buckets` rows — the aggregated state is tiny no matter the
+   * corpus), a scalar total, the B-row ratio table broadcast back onto
+   * the gram stream, and one groupBy(doc) sum. Nothing quadratic; the
+   * corpus text is read once.
+   */
+  def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val grams = df.select(idCol.as("docId"), isTarget.as("isTarget"),
+      explode(concat(split(textCol, " "),
+        Dedup.shingles(textCol, 2))).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
+    val counts = grams.groupBy("b").agg(
+      sum(when(col("isTarget"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    // log ((ct+1)/(tt+B)) - log ((cr+1)/(tr+B)), in micro-units per bucket
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log(col("ct") + 1) - log(col("tt") + buckets) -
+          log(col("cr") + 1) + log(col("tr") + buckets)) * 1e6)
+          .cast("long").as("lrMicro"))
+    grams.join(broadcast(ratios), "b")
+      .groupBy("docId")
+      .agg(count(lit(1)).as("nGrams"),
+        sum(col("lrMicro")).as("weightMicro"))
+  }
 }

@@ -54,6 +54,30 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === Set((2001L, 2002L)))
   }
 
+  test("DSIR importance weights rank target-like docs above raw docs and " +
+       "are partition-independent (Xie et al. 2023 §3)") {
+    import spark.implicits._
+    // target style: 'alpha'-heavy docs; raw style: 'omega'-heavy. A raw
+    // doc written in the target style must outrank raw-style docs.
+    val corpus = Seq(
+      (1L, "alpha beta alpha gamma alpha beta", true),
+      (2L, "alpha gamma beta alpha alpha gamma", true),
+      (3L, "omega psi omega chi omega psi", false),
+      (4L, "omega chi psi omega omega chi", false),
+      (5L, "alpha beta alpha gamma beta alpha", false) // target-style raw doc
+    ).toDF("doc_id", "text", "is_target")
+    def weights(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sampling.dsirWeights(df, col("doc_id"), col("text"), col("is_target"))
+        .collect().map(r => r.getAs[Long]("docId") ->
+          r.getAs[Long]("weightMicro")).toMap
+    val w = weights(corpus)
+    assert(w(5L) > w(3L) && w(5L) > w(4L))
+    assert(w(1L) > w(3L))
+    // partition count must not change a single micro-unit (integer sums
+    // of per-bucket fixed-point ratios)
+    assert(weights(corpus.repartition(7)) === w)
+  }
+
   test("exact substring dedup removes duplicated k-token runs, merges " +
        "overlapping windows, spares short docs (Lee et al. 2021 " +
        "EXACTSUBSTR, window-count formulation)") {
