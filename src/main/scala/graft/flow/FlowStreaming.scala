@@ -373,13 +373,19 @@ object FlowStreaming {
 
       case "ListenTCP" | "ListenUDP" | "ListenHTTP" =>
         val protocol = p.kind.stripPrefix("Listen").toLowerCase
-        val listened = spark.readStream
+        val listenBase = spark.readStream
           .format("graft.sources.NetListenerSource")
           .option("name", p.id)
           .option("protocol", protocol)
           .option("port", prop("Listening Port", prop("Port", "0")))
           .option("maxQueueSize",
             prop("Max Size of Message Queue", "10000"))
+        // an explicit connection count limit caps each micro-batch; a
+        // data-size limit has no per-message byte ledger in this queue
+        // source, so only the count plane maps here
+        val listened = limits.maxCount
+          .map(n => listenBase.option("maxRowsPerTrigger", n.toString))
+          .getOrElse(listenBase)
           .option("headersAttrRegex",
             prop("HTTP Headers to receive as Attributes (Regex)", ""))
           // Message Delimiter arrives with literal backslash escapes in

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +52,8 @@ class NetListenerSource extends TableProvider {
       Option(properties.get("basePath")).getOrElse("/contentListener"),
       Option(properties.get("maxQueueSize")).map(_.toInt).getOrElse(10000),
       Option(properties.get("headersAttrRegex")).filter(_.nonEmpty),
-      Option(properties.get("consumeDelimiter")).forall(_.toBoolean))
+      Option(properties.get("consumeDelimiter")).forall(_.toBoolean),
+      Option(properties.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(0L))
 }
 
 object NetListenerSource {
@@ -264,7 +265,8 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
                                delimiter: String, basePath: String,
                                maxQueueSize: Int,
                                headersAttrRegex: Option[String],
-                               consumeDelimiter: Boolean)
+                               consumeDelimiter: Boolean,
+                               maxRowsPerTrigger: Long = 0L)
   extends Table with SupportsRead {
   override def name(): String = s"listen:$protocol:$name"
   override def schema(): StructType = NetListenerSource.schema
@@ -275,7 +277,8 @@ private class NetListenerTable(name: String, protocol: String, port: Int,
       override def readSchema(): StructType = NetListenerSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new NetListenerStream(name, protocol, port, delimiter, basePath,
-          maxQueueSize, headersAttrRegex, consumeDelimiter)
+          maxQueueSize, headersAttrRegex, consumeDelimiter,
+          maxRowsPerTrigger)
     }
 }
 
@@ -287,14 +290,30 @@ private class NetListenerStream(name: String, protocol: String, port: Int,
                                 delimiter: String, basePath: String,
                                 maxQueueSize: Int,
                                 headersAttrRegex: Option[String],
-                                consumeDelimiter: Boolean)
-  extends MicroBatchStream {
+                                consumeDelimiter: Boolean,
+                                maxRowsPerTrigger: Long = 0L)
+  extends MicroBatchStream with SupportsAdmissionControl {
   private val listener =
     NetListenerSource.listenerFor(name, protocol, port, delimiter, basePath,
       maxQueueSize, headersAttrRegex, consumeDelimiter)
 
   override def initialOffset(): Offset = SeqOffset("-1")
   override def latestOffset(): Offset = SeqOffset(listener.maxSeq.toString)
+
+  /** Per-trigger admission control: an explicit connection queue limit
+    * caps each micro-batch at maxRowsPerTrigger messages past the start
+    * offset; commit() prunes only delivered entries, so the rest drain on
+    * subsequent triggers (same mapping as TailFileSource's
+    * maxLinesPerTrigger). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = listener.maxSeq
+    if (maxRowsPerTrigger <= 0) SeqOffset(latest.toString)
+    else {
+      val s = if (start == null) -1L else start.asInstanceOf[SeqOffset].seq
+      SeqOffset(math.min(latest, s + maxRowsPerTrigger).toString)
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq

@@ -201,6 +201,34 @@ class NetSpec extends SparkSpec {
     assert(drain("qcap_out") === 50)
   }
 
+  test("ListenTCP admission control: maxRowsPerTrigger bounds every " +
+       "micro-batch while the queued backlog drains completely") {
+    def start(q: String) = spark.readStream
+      .format("graft.sources.NetListenerSource")
+      .option("name", "rowcap").option("protocol", "tcp").option("port", "0")
+      .option("maxQueueSize", "500")
+      .option("maxRowsPerTrigger", "12")
+      .load()
+      .writeStream.format("memory").queryName(q).outputMode("append").start()
+    val bind = start("rowcap_bind"); bind.processAllAvailable(); bind.stop()
+    val port = NetListenerSource.boundPort("rowcap")
+    for (i <- 0 until 40) {
+      val c = new Socket(InetAddress.getLoopbackAddress, port)
+      c.getOutputStream.write(s"m$i\n".getBytes(StandardCharsets.UTF_8))
+      c.close()
+    }
+    eventually(40, 250) {
+      NetListenerSource.queueStats("rowcap")._1 == 40
+    }
+    val query = start("rowcap_out")
+    query.processAllAvailable()
+    val batches = query.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    query.stop()
+    assert(spark.table("rowcap_out").count() === 40)
+    assert(batches.size >= 4, s"expected >=4 capped batches, got $batches")
+    assert(batches.forall(_ <= 12), s"a batch exceeded the cap: $batches")
+  }
+
   test("ListenUDP max queue size: datagrams beyond the cap are dropped, " +
        "the retained window flows (ListenUDPTests.cpp:86-119)") {
     import org.apache.spark.sql.streaming.Trigger
