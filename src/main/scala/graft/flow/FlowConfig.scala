@@ -420,10 +420,24 @@ object FlowConfig {
     assemble(str(rg, "name", "MiNiFi Flow"), groups.toSeq, contexts)
   }
 
-  /** Sniff YAML vs JSON by the first non-space character. */
-  def parse(text: String): FlowDef =
-    if (text.dropWhile(_.isWhitespace).startsWith("{")) parseJson(text)
-    else parseYaml(text)
+  /** Adaptive payload dispatch (AdaptiveConfiguration.cpp, exercised by
+    * AdaptiveConfigurationTests.cpp): a JSON payload carries EITHER the
+    * NiFi `rootGroup` schema or the YAML key dialect serialized as JSON
+    * ("Flow Controller"/"Processors" keys in a JSON document — JSON is
+    * valid YAML, so the reference's yaml fallback parses it with the
+    * yaml schema); a non-JSON payload is YAML. A payload valid in
+    * neither dialect propagates the YAML parser's error, like the
+    * reference's "not valid json … not valid yaml" double log. */
+  def parse(text: String): FlowDef = {
+    if (!text.dropWhile(_.isWhitespace).startsWith("{")) return parseYaml(text)
+    try parseJson(text)
+    catch {
+      case e: IllegalArgumentException if e.getMessage == "missing rootGroup" =>
+        parseYaml(text)
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        parseYaml(text)
+    }
+  }
 
   // ---- shared back half: parameter substitution + connection resolution --
 

@@ -441,6 +441,27 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(f.resolutionErrors === Nil)
   }
 
+  test("adaptive payload dispatch: YAML-dialect keys serialized as JSON " +
+       "parse via the yaml schema; broken JSON falls through to the yaml " +
+       "error (AdaptiveConfigurationTests.cpp:27-93)") {
+    val jsonWithYamlKeys =
+      """{
+        |  "Flow Controller": {"name": "root"},
+        |  "Processors": [
+        |    {"id": "00000000-0000-0000-0000-000000000001",
+        |     "class": "DummyProcessor", "name": "Proc1"}
+        |  ],
+        |  "Connections": []
+        |}""".stripMargin
+    val f = FlowConfig.parse(jsonWithYamlKeys)
+    assert(f.name === "root")
+    assert(f.processor("Proc1").kind === "DummyProcessor")
+    // a payload valid in neither dialect errors out of the yaml fallback
+    intercept[Exception](FlowConfig.parse(
+      """{ "Flow Controller": {"name
+        |  "Processors": []}""".stripMargin))
+  }
+
   // ------------------------- ParameterTokenParserTest.cpp battery ----
 
   test("token parse: empty, single, multiple, repeated " +
