@@ -490,7 +490,12 @@ object ElCompiler {
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
       'S' -> (if (fractionalSeconds) "ss.SSS" else "ss"), 'j' -> "DDD",
       'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a",
-      'z' -> "Z", 'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", 'R' -> "HH:mm",
+      // %T ≡ %H:%M:%S, so it carries the same millisecond fraction as %S
+      // (Parse Date's '%FT%T%Ez' consumes "03:49:55.190",
+      // ExpressionLanguageTests.cpp:1183-1187)
+      'z' -> "Z", 'F' -> "yyyy-MM-dd",
+      'T' -> (if (fractionalSeconds) "HH:mm:ss.SSS" else "HH:mm:ss"),
+      'R' -> "HH:mm",
       'G' -> "YYYY", 'V' -> "ww", 'u' -> "e")
     val sb = new StringBuilder
     var i = 0

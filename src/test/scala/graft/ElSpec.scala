@@ -460,6 +460,17 @@ class ElSpec extends SparkSpec {
       Map("message" -> "2014/03/14")) === "03-13-2014")
     assert(eval("${blue:toDate('%Y%m%d%H%M%S', 'UTC'):format('%Y/%m/%d %H:%M:%SZ', 'Europe/Paris')}",
       Map("blue" -> "20130917162643")) === "2013/09/17 18:26:43.000Z")
+    assert(eval("${blue:toDate('%Y%m%d%H%M%S', 'UTC'):format('%Y/%m/%d %H:%M:%SZ', 'America/Los_Angeles')}",
+      Map("blue" -> "20130917162643")) === "2013/09/17 09:26:43.000Z")
+    // %FT%T%Ez consumes the embedded zone offset, incl. the odd-minute
+    // +08:45 form; %T carries the fraction like %S (cpp:1183-1195)
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> "2023-03-02T03:49:55.190+08:45")) === "1677697495190")
+    // padded inputs fail the parse (the reference throws; null here)
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> " 2023-03-02T03:49:55.190+08:45")) === null)
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> "2023-03-02T03:49:55.190+08:45 ")) === null)
   }
 
   test("quantifier Contains battery over multiple / matching / delineated " +
