@@ -62,8 +62,12 @@ object Bench {
     "curate_filters_map",
     // the consonant rotation preserves duplicate STRUCTURE (both members
     // of a duplicated span rotate identically per replica), so duplicated
-    // windows scale exactly 10× and stay disjoint across replicas — a
-    // valid scale pair for the substring-dedup shuffle
+    // windows scale exactly 10× (probed: 10,533 → 105,330 dup keys at
+    // sf0.1) and stay disjoint across replicas. NOTE the measured pair is
+    // fixed-cost-dominated on this corpus of short docs (~0.13 s at both
+    // scales on 32 cores — ~2.7M windows is tiny); the row's value is the
+    // REGRESSION GUARD: any quadratic span stage would inflate the x10
+    // side immediately
     "dedup_substrings")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is

@@ -462,6 +462,25 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |  "Processors": []}""".stripMargin))
   }
 
+  test("every example config shipped with the reference parses, with " +
+       "every connection endpoint resolving under group scoping") {
+    val dir = new java.io.File("/root/reference/examples")
+    assume(dir.isDirectory, "reference examples not present")
+    val configs = dir.listFiles().toSeq
+      .filter(f => f.getName.endsWith(".yml") || f.getName.endsWith(".json"))
+    assert(configs.size >= 40, s"unexpected example count: ${configs.size}")
+    configs.foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val flow = FlowConfig.parse(text)
+      assert(flow.processors.nonEmpty, f.getName)
+      // the shipped examples are all well-formed: no unresolved endpoints
+      assert(flow.resolutionErrors === Nil, f.getName)
+      assert(flow.connections.forall(c =>
+        c.sourceId.nonEmpty && c.destinationId.nonEmpty), f.getName)
+    }
+  }
+
   // ------------------------- ParameterTokenParserTest.cpp battery ----
 
   test("token parse: empty, single, multiple, repeated " +
