@@ -1213,6 +1213,12 @@ object SparkEntry {
         .select(col("doc_id"), c4("cleaned").as("cleaned"),
           c4("keep").as("c4_keep"))
         .filter(col("c4_keep"))
+        // stage the C4 survivors: CollapseProject would otherwise inline
+        // the whole page-derivation + C4 expression into EVERY reference
+        // the Gopher rule set makes to `cleaned` (~20 of them), paying the
+        // cleaning arithmetic ~20× per row (measured 1.7 s -> 1.0 s at
+        // sf0.1). Same write-between-passes staging pipeline_e2e uses.
+        .localCheckpoint()
       val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
         minStopHits = 1).toMap
       val filtered = cleanedDocs
