@@ -160,6 +160,21 @@ object FlowConfig {
       destIdKey: Option[String], destNameKey: Option[String],
       explicitRels: Boolean)
 
+  /** Explicit component ids share ONE uniqueness namespace across the
+    * whole document — processors, funnels, ports, connections, remote
+    * process groups, their ports, and controller services
+    * (StructuredConfiguration::addNewId, exercised by
+    * YamlConfigurationTests.cpp "Test UUID duplication checks"). */
+  private final class IdRegistry {
+    private val seen = collection.mutable.Set[String]()
+    def register(id: String): String = {
+      if (id.nonEmpty && !seen.add(id))
+        throw new IllegalArgumentException(
+          s"General Operation: UUID $id is duplicated in the flow configuration")
+      id
+    }
+  }
+
   /** Parse the YAML "MiNiFi Config Version: 3" document. */
   def parseYaml(text: String): FlowDef = {
     val root = new org.yaml.snakeyaml.Yaml()
@@ -172,6 +187,7 @@ object FlowConfig {
       asList(m.getOrElse("Parameter Contexts", null)),
       idKey = "id", inheritsKey = "Inherited Parameter Contexts",
       parametersKey = "Parameters")
+    val ids = new IdRegistry
 
     val groups = collection.mutable.ArrayBuffer[RawGroup]()
     def walk(g: scala.collection.Map[String, Object], parentIdx: Int): Unit = {
@@ -181,7 +197,10 @@ object FlowConfig {
       asList(g.getOrElse("Processors", null)).foreach { p0 =>
         val p = asMap(p0)
         procs += ProcessorDef(
-          id = str(p, "id", str(p, "name", "")),
+          id = ids.register(str(p, "id", "")) match {
+            case "" => str(p, "name", "")
+            case v  => v
+          },
           name = str(p, "name", str(p, "id", "")),
           clazz = str(p, "class", ""),
           schedulingStrategy = str(p, "scheduling strategy", "TIMER_DRIVEN"),
@@ -194,6 +213,7 @@ object FlowConfig {
       }
       asList(g.getOrElse("Funnels", null)).foreach { f0 =>
         val f = asMap(f0)
+        ids.register(str(f, "id", ""))
         val fid = str(f, "id", str(f, "name", ""))
         procs += ProcessorDef(fid, str(f, "name", fid), "Funnel",
           "TIMER_DRIVEN", "1 sec", Set.empty, Map.empty, idx)
@@ -202,6 +222,7 @@ object FlowConfig {
       def addPorts(key: String, isInput: Boolean): Unit =
         asList(g.getOrElse(key, null)).foreach { o0 =>
           val o = asMap(o0)
+          ids.register(str(o, "id", ""))
           val pid = str(o, "id", str(o, "name", ""))
           ports(pid) = isInput
           procs += ProcessorDef(pid, str(o, "name", pid),
@@ -215,9 +236,11 @@ object FlowConfig {
       Seq("Remote Processing Groups", "Remote Process Groups").foreach { k =>
         asList(g.getOrElse(k, null)).foreach { r0 =>
           val r = asMap(r0)
+          ids.register(str(r, "id", ""))
           Seq("Input Ports", "Output Ports").foreach { pk =>
             asList(r.getOrElse(pk, null)).foreach { o0 =>
               val o = asMap(o0)
+              ids.register(str(o, "id", ""))
               val pid = str(o, "id", str(o, "name", ""))
               procs += ProcessorDef(pid, str(o, "name", pid),
                 "RemoteProcessGroupPort", "TIMER_DRIVEN", "1 sec", Set.empty,
@@ -251,7 +274,7 @@ object FlowConfig {
           }
           RawConn(
             ConnectionDef(
-              id = str(c, "id", ""),
+              id = ids.register(str(c, "id", "")),
               name = str(c, "name", str(c, "id", "")),
               sourceId = "", relationships = rels, destinationId = "",
               // lenient like getFlowFileExpiration (a unitless "12" or "0"
@@ -276,6 +299,7 @@ object FlowConfig {
       }
       val svcs = asList(g.getOrElse("Controller Services", null)).map { s0 =>
         val s = asMap(s0)
+        ids.register(str(s, "id", ""))
         ServiceDef(
           id = str(s, "id", str(s, "name", "")),
           name = str(s, "name", str(s, "id", "")),
@@ -309,6 +333,7 @@ object FlowConfig {
       asList(root.getOrElse("parameterContexts", null)),
       idKey = "identifier", inheritsKey = "inheritedParameterContexts",
       parametersKey = "parameters")
+    val ids = new IdRegistry
 
     val groups = collection.mutable.ArrayBuffer[RawGroup]()
     def walk(g: scala.collection.Map[String, Object], parentIdx: Int): Unit = {
@@ -319,7 +344,10 @@ object FlowConfig {
         val p = asMap(p0)
         val (firstVals, lists) = propPlanes(p.getOrElse("properties", null))
         procs += ProcessorDef(
-          id = str(p, "identifier", str(p, "name", "")),
+          id = ids.register(str(p, "identifier", "")) match {
+            case "" => str(p, "name", "")
+            case v  => v
+          },
           name = str(p, "name", str(p, "identifier", "")),
           clazz = str(p, "type", ""),
           schedulingStrategy = str(p, "schedulingStrategy", "TIMER_DRIVEN"),
@@ -332,6 +360,7 @@ object FlowConfig {
       }
       asList(g.getOrElse("funnels", null)).foreach { f0 =>
         val f = asMap(f0)
+        ids.register(str(f, "identifier", ""))
         val fid = str(f, "identifier", str(f, "name", ""))
         procs += ProcessorDef(fid, str(f, "name", fid), "Funnel",
           "TIMER_DRIVEN", "1 sec", Set.empty, Map.empty, idx)
@@ -340,6 +369,7 @@ object FlowConfig {
       def addPorts(key: String, isInput: Boolean): Unit =
         asList(g.getOrElse(key, null)).foreach { o0 =>
           val o = asMap(o0)
+          ids.register(str(o, "identifier", ""))
           val pid = str(o, "identifier", str(o, "name", ""))
           ports(pid) = isInput
           procs += ProcessorDef(pid, str(o, "name", pid),
@@ -350,6 +380,7 @@ object FlowConfig {
       addPorts("outputPorts", isInput = false)
       asList(g.getOrElse("remoteProcessGroups", null)).foreach { r0 =>
         val r = asMap(r0)
+        ids.register(str(r, "identifier", ""))
         // "targetUris" (single value OR array) takes precedence over
         // "targetUri" (FlowSchema.cpp:156 — rpg_url = {targetUris, targetUri})
         val uris: Seq[String] = r.get("targetUris").flatMap(Option(_)) match {
@@ -361,6 +392,7 @@ object FlowConfig {
         Seq("inputPorts", "outputPorts").foreach { pk =>
           asList(r.getOrElse(pk, null)).foreach { o0 =>
             val o = asMap(o0)
+            ids.register(str(o, "identifier", ""))
             val pid = str(o, "identifier", str(o, "name", ""))
             procs += ProcessorDef(pid, str(o, "name", pid),
               "RemoteProcessGroupPort", "TIMER_DRIVEN", "1 sec", Set.empty,
@@ -382,7 +414,7 @@ object FlowConfig {
             .map(v => if (v == null) "" else v.toString)
           RawConn(
             ConnectionDef(
-              id = str(c, "identifier", ""),
+              id = ids.register(str(c, "identifier", "")),
               name = str(c, "name", str(c, "identifier", "")),
               sourceId = "", relationships = rels, destinationId = "",
               expirationMs = opt(c.getOrElse("flowFileExpiration", null))
@@ -405,6 +437,7 @@ object FlowConfig {
       }
       val svcs = asList(g.getOrElse("controllerServices", null)).map { s0 =>
         val s = asMap(s0)
+        ids.register(str(s, "identifier", ""))
         ServiceDef(
           id = str(s, "identifier", str(s, "name", "")),
           name = str(s, "name", str(s, "identifier", "")),

@@ -462,6 +462,50 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
         |  "Processors": []}""".stripMargin))
   }
 
+  test("explicit component ids share one uniqueness namespace: any " +
+       "duplicate UUID fails the load (YamlConfigurationTests.cpp:683-737)") {
+    val base =
+      """Flow Controller:
+        |  name: root
+        |Processors:
+        |- {id: 00000000-0000-0000-0000-000000000001, name: Gen, class: GenerateFlowFile}
+        |- {id: 00000000-0000-0000-0000-000000000002, name: Log, class: LogAttribute}
+        |Funnels:
+        |- {id: 00000000-0000-0000-0000-000000000003}
+        |- {id: 99999999-9999-9999-9999-999999999999}
+        |Connections:
+        |- id: 00000000-0000-0000-0000-000000000004
+        |  name: f/Log
+        |  source id: 00000000-0000-0000-0000-000000000003
+        |  source relationship names: []
+        |  destination id: 00000000-0000-0000-0000-000000000002
+        |- id: 00000000-0000-0000-0000-000000000005
+        |  name: Gen/success/f
+        |  source id: 00000000-0000-0000-0000-000000000001
+        |  source relationship names: [success]
+        |  destination id: 00000000-0000-0000-0000-000000000003
+        |Remote Process Groups:
+        |- id: 00000000-0000-0000-0000-000000000006
+        |  name: ''
+        |  url: http://localhost:8080/nifi
+        |  Input Ports:
+        |  - {id: 00000000-0000-0000-0000-000000000007, name: test2}
+        |  Output Ports: []
+        |Controller Services:
+        |- {name: SSLContextService, id: 00000000-0000-0000-0000-000000000008, class: SSLContextService}
+        |""".stripMargin
+    assert(FlowConfig.parseYaml(base).processors.nonEmpty) // sanity: unique ids load
+    // duplicating ANY component id against the second funnel's id fails
+    (1 to 8).foreach { i =>
+      val dup = base.replace(s"00000000-0000-0000-0000-00000000000$i",
+        "99999999-9999-9999-9999-999999999999")
+      val e = intercept[IllegalArgumentException](FlowConfig.parseYaml(dup))
+      assert(e.getMessage === "General Operation: UUID " +
+        "99999999-9999-9999-9999-999999999999 is duplicated in the flow " +
+        "configuration", s"field $i")
+    }
+  }
+
   test("every example config shipped with the reference parses, with " +
        "every connection endpoint resolving under group scoping") {
     val dir = new java.io.File("/root/reference/examples")
