@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
 
 /**
  * Flow-graph runtime glue — SURVEY §2.10/§3.1.
@@ -39,6 +39,27 @@ object FlowRuntime {
                     java.time.LocalDateTime.now()): Option[Long] =
     Cron(cronExpr).calculateNextTrigger(now)
       .map(next => java.time.Duration.between(now, next).toMillis)
+
+  /** ProcessorMetrics' transfer ledger (ProcessSession.cpp:858-866:
+    * FlowFile count + content bytes per relationship recorded at each
+    * session commit) — the micro-batch IS the session commit here, so
+    * observed metrics on the routed frame surface the same ledger per
+    * batch through QueryProgressEvent.observedMetrics (and through
+    * QueryExecutionListener for a batch sweep). Executor-side accumulator
+    * arithmetic only — no extra action, no shuffle. */
+  def observeTransfers(routed: DataFrame, relationships: Seq[String],
+                       name: String = "transfers"): DataFrame = {
+    import graft.core.FlowFrame
+    def bytes(filter: Column): Column = coalesce(
+      sum(when(filter, length(col(FlowFrame.Content).cast("binary")))),
+      lit(0L))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("rows"), bytes(lit(true)).as("bytes")) ++
+        relationships.flatMap(r => Seq(
+          count(when(col(FlowFrame.Relationship) === r, 1)).as(s"rows_$r"),
+          bytes(col(FlowFrame.Relationship) === r).as(s"bytes_$r")))
+    routed.observe(name, aggs.head, aggs.tail: _*)
+  }
 
   /** Relationship-partitioned sink: every micro-batch writes each output
     * edge under <root>/relationship=<name>/ (parquet). The micro-batch is

@@ -526,6 +526,38 @@ class StreamingSpec extends SparkSpec {
     assert(batches.forall(_ <= 25), s"a batch exceeded the cap: $batches")
   }
 
+  test("observeTransfers surfaces the per-relationship transfer ledger in " +
+       "the micro-batch progress (ProcessSession.cpp:858-866 ProcessorMetrics)") {
+    val dir = tmp("obs_in"); val ckpt = tmp("obs_ckpt"); val out = tmp("obs_out")
+    Files.writeString(dir.resolve("app.log"),
+      "ERROR aa\nINFO bbbb\nERROR cc\nDEBUG d\n")
+    val tailed = spark.readStream
+      .format("graft.streaming.TailFileSource")
+      .option("path", dir.toString).option("glob", ".*\\.log").load()
+    val routed = tailed.select(
+      lit("u").as("uuid"),
+      map().cast("map<string,string>").as("attributes"),
+      col("line").as("content"),
+      current_timestamp().as("entryDate"),
+      when(col("line").startsWith("ERROR"), "errors")
+        .otherwise("other").as("relationship"))
+    val observed = graft.streaming.FlowRuntime.observeTransfers(
+      routed, Seq("errors", "other"))
+    val q = graft.streaming.FlowRuntime.runAvailable(
+      graft.streaming.FlowRuntime.relationshipSink(observed, out.toString),
+      ckpt.toString)
+    val m = q.recentProgress.toSeq.flatMap(p =>
+      Option(p.observedMetrics.get("transfers"))).head
+    q.stop()
+    assert(m.getAs[Long]("rows") === 4)
+    assert(m.getAs[Long]("rows_errors") === 2)
+    assert(m.getAs[Long]("rows_other") === 2)
+    // ERROR lines are 8 bytes each ("ERROR aa"/"ERROR cc")
+    assert(m.getAs[Long]("bytes_errors") === 16)
+    assert(m.getAs[Long]("bytes") ===
+      m.getAs[Long]("bytes_errors") + m.getAs[Long]("bytes_other"))
+  }
+
   test("ProvenanceListener records plan-level lineage events (SURVEY §7.5.7)") {
     import spark.implicits._
     val listener = new graft.streaming.ProvenanceListener
