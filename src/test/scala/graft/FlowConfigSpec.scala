@@ -50,6 +50,14 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Units.parseDurationMsOpt("12ss") === None)
     assert(Units.parseDurationMsOpt("2 fortnights") === None)
     assert(Units.parseDurationMsOpt("12") === None) // unitless: caller's 0
+    // StringToDuration vectors (TimeUtilTests.cpp:148-177): multi-space
+    // separation, uppercase units, sub-ms flooring
+    assert(Units.parseDurationMs("102             hours") === 102L * 3600000)
+    assert(Units.parseDurationMs("100 SEC") === 100000L)
+    assert(Units.parseDurationMs("5 ns") === 0L)
+    assert(Units.parseDurationMs("2             weeks") === 14L * 86400000)
+    assert(Units.parseDurationMs("2 months") === 2L * 2629746000L)
+    assert(Units.parseDurationMs("2 years") === 2L * 31556952000L)
   }
 
   // ---------------------------- YamlConnectionParserTest.cpp battery ----
