@@ -68,7 +68,10 @@ object Bench {
     // scales on 32 cores — ~2.7M windows is tiny); the row's value is the
     // REGRESSION GUARD: any quadratic span stage would inflate the x10
     // side immediately
-    "dedup_substrings")
+    "dedup_substrings",
+    // bucket table stays 1024 rows at ANY corpus size — the scale story
+    // is the bounded-state aggregation; per-gram work is linear
+    "dsir_weights")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
