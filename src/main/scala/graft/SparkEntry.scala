@@ -2013,6 +2013,98 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.1 network-listener framing planes, oracle-checked: the sockets
+    // need a live network, but the bytes→FlowFile framing is pure — these
+    // rows run the EXACT functions the socket read loops call
+    // (NetFraming.splitFrames / getTcpMessages / httpEnvelope, see
+    // NetListener.handleTcp and GetTcp.readRouted) over streams
+    // synthesized from documents, pinned against independent DuckDB
+    // reconstruction.
+
+    // ListenTCP delimiter framing (TcpServer.cpp:54-78): complete frames
+    // only — an unterminated tail is discarded at EOF; Consume Delimiter
+    // on keeps/strips the delimiter (ListenTcpTests.cpp:290-316). Even
+    // docs end with a delimiter (clean close), odd docs leave a dangling
+    // tail the framing must drop.
+    "listen_tcp_frames" -> ((s, dir) => {
+      import graft.sources.NetFraming
+      val streams = tbl(s, dir, "documents").withColumn("stream",
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" ")).otherwise(lit(""))))
+      def frames(consume: Boolean, mode: String) = streams
+        .select(col("doc_id"), lit(mode).as("mode"),
+          posexplode(NetFraming.tcpFramesUdf(col("stream"), lit(" "),
+            lit(consume))))
+        .select(col("doc_id"), col("mode"),
+          (col("pos") + 1).cast("long").as("frame_idx"), col("col").as("frame"))
+      frames(consume = true, "consume").unionAll(frames(consume = false, "keep"))
+        .orderBy("doc_id", "mode", "frame_idx")
+    }),
+
+    // ListenUDP datagram envelope: one datagram = one FlowFile with the
+    // reference's output attributes (ListenUDP.h:66-68 — udp.port,
+    // udp.sender, udp.sender.port), stamped by the same envelope() the
+    // stream uses.
+    "listen_udp_envelope" -> ((s, dir) => {
+      import graft.sources.NetListenerSource
+      val dgrams = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        col("text").as("message"),
+        concat(lit("10.0."), (col("doc_id") % 4).cast("string"), lit("."),
+          (col("doc_id") % 250 + 1).cast("string")).as("sender"),
+        (col("doc_id") % 1000 + 30000).cast("int").as("sender_port"),
+        lit(514).cast("int").as("port"))
+      NetListenerSource.envelope(dgrams, "udp")
+        .select(col("doc_id"),
+          md5(col("message").cast("binary")).as("message_md5"),
+          element_at(col("attrs"), "udp.port").as("udp_port"),
+          element_at(col("attrs"), "udp.sender").as("udp_sender"),
+          element_at(col("attrs"), "udp.sender.port").as("udp_sender_port"))
+        .orderBy("doc_id")
+    }),
+
+    // ListenHTTP request plane (ListenHTTPTests.cpp:277-394): POST commits
+    // the body, GET commits empty, HEAD answers 200 without committing,
+    // PUT/DELETE are 405; headers whose lowercased name full-matches
+    // HeadersAsAttributesRegex become attributes — the regex outcome is
+    // data-dependent (x-en/x-de/x-fr capture, x-es/x-zh don't).
+    "listen_http_envelope" -> ((s, dir) => {
+      import graft.sources.NetFraming
+      val reqs = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("text"),
+        element_at(array(lit("POST"), lit("GET"), lit("HEAD"), lit("PUT"),
+          lit("DELETE")), (col("doc_id") % 5 + 1).cast("int")).as("method"))
+      reqs.select(col("doc_id"), col("method"),
+          NetFraming.httpEnvelopeUdf(col("method"),
+            array(concat(lit("X-"), col("lang")), lit("Content-Type"),
+              lit("X-Request-Id")),
+            array(lit("v1"), lit("text/plain"), col("doc_id").cast("string")),
+            col("text"), lit("x-(en|de|fr|request-id)")).as("r"))
+        .select(col("doc_id"), col("method"),
+          col("r.status").cast("long").as("status"),
+          col("r.committed").as("committed"),
+          md5(col("r.content").cast("binary")).as("content_md5"),
+          array_join(array_sort(transform(map_entries(col("r.captured")),
+            e => concat(e("key"), lit("="), e("value")))), ";").as("captured"))
+        .orderBy("doc_id")
+    }),
+
+    // GetTCP client framing (GetTCP.cpp:183-220, GetTCPTests.cpp:185-225):
+    // messages keep their delimiter; a message over Max Message Size (20
+    // here) chunks to max-size `partial` frames including the
+    // delimiter-bearing tail chunk; an unterminated tail is discarded.
+    "get_tcp_frames" -> ((s, dir) => {
+      import graft.sources.NetFraming
+      val streams = tbl(s, dir, "documents").withColumn("stream",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("")).otherwise(lit(" "))))
+      streams.select(col("doc_id"),
+          posexplode(NetFraming.getTcpUdf(col("stream"), lit(" "), lit(20))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+          col("col._1").as("frame"), col("col._2").as("relationship"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "splunk_hec_payload" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -3885,6 +3977,72 @@ object SparkEntry {
         | CASE WHEN doc_id % 5 = 0 THEN 'failure' ELSE 'success' END
         |   AS relationship
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Listener framing planes re-derived relationally: complete frames
+    // are all split segments but the last (the unterminated remainder an
+    // EOF discards — a trailing delimiter leaves an empty remainder that
+    // likewise emits nothing)
+    "listen_tcp_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |  string_split(text || CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '' END,
+        |               ' ') AS parts FROM documents),
+        |i AS (SELECT doc_id, parts,
+        |  unnest(generate_series(1, len(parts) - 1)) AS fi FROM p),
+        |f AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  parts[fi] AS frame FROM i)
+        |SELECT doc_id, 'consume' AS mode, frame_idx, frame FROM f
+        |UNION ALL
+        |SELECT doc_id, 'keep' AS mode, frame_idx, frame || ' ' AS frame FROM f
+        |ORDER BY doc_id, mode, frame_idx""".stripMargin,
+
+    "listen_udp_envelope" ->
+      """SELECT doc_id,
+        | md5(text) AS message_md5,
+        | '514' AS udp_port,
+        | '10.0.' || CAST(doc_id % 4 AS VARCHAR) || '.'
+        |   || CAST(doc_id % 250 + 1 AS VARCHAR) AS udp_sender,
+        | CAST(doc_id % 1000 + 30000 AS VARCHAR) AS udp_sender_port
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "listen_http_envelope" ->
+      """WITH m AS (SELECT doc_id, lang, text,
+        |  (['POST','GET','HEAD','PUT','DELETE'])[CAST(doc_id % 5 AS INT) + 1]
+        |    AS method FROM documents)
+        |SELECT doc_id, method,
+        | CAST(CASE WHEN method IN ('POST','GET','HEAD') THEN 200 ELSE 405 END
+        |   AS BIGINT) AS status,
+        | method IN ('POST','GET') AS committed,
+        | md5(CASE WHEN method = 'POST' THEN text ELSE '' END) AS content_md5,
+        | CASE WHEN method IN ('POST','GET') THEN
+        |   CASE WHEN lang IN ('en','de','fr')
+        |     THEN 'x-' || lang || '=v1;x-request-id=' || CAST(doc_id AS VARCHAR)
+        |     ELSE 'x-request-id=' || CAST(doc_id AS VARCHAR) END
+        |  ELSE '' END AS captured
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // messages = all-but-last split segments, each keeping its delimiter;
+    // chunking is a 20-char substr fan-out, success only when the whole
+    // message fits
+    "get_tcp_frames" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' ' END AS stream
+        | FROM documents),
+        |p AS (SELECT doc_id, string_split(stream, ' ') AS parts FROM s),
+        |m0 AS (SELECT doc_id, parts,
+        |  unnest(generate_series(1, len(parts) - 1)) AS mi FROM p),
+        |m AS (SELECT doc_id, mi, parts[mi] || ' ' AS msg FROM m0),
+        |c0 AS (SELECT doc_id, mi, msg, len(msg) AS msg_len,
+        |  unnest(generate_series(1, CAST(ceil(len(msg) / 20.0) AS BIGINT)))
+        |    AS ci FROM m),
+        |c AS (SELECT doc_id, mi, ci,
+        |  substr(msg, CAST((ci - 1) * 20 + 1 AS INT), 20) AS frame,
+        |  CASE WHEN msg_len <= 20 THEN 'success' ELSE 'partial' END
+        |    AS relationship FROM c0)
+        |SELECT doc_id,
+        | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY mi, ci)
+        |   AS BIGINT) AS chunk_idx,
+        | frame, relationship
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "splunk_hec_payload" ->
       """SELECT doc_id,

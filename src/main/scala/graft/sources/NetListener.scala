@@ -8,7 +8,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -60,8 +60,30 @@ object NetListenerSource {
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("sender", StringType, nullable = false),
+    StructField("sender_port", IntegerType, nullable = false),
+    StructField("port", IntegerType, nullable = false),
     StructField("message", StringType, nullable = false),
     StructField("headers", MapType(StringType, StringType), nullable = true)))
+
+  /** Stamp the reference's output attributes onto listener rows —
+    * ListenTCP.cpp:46-47 (`tcp.port`, `tcp.sender`), ListenUDP.h:66-68
+    * (`udp.port`, `udp.sender`, `udp.sender.port`): the FlowFile envelope
+    * plane the `listen_udp_envelope` oracle row pins. A narrow map
+    * projection — no shuffle, rides whatever partitioning the stream
+    * already has. */
+  def envelope(df: DataFrame, protocol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val attrs = protocol match {
+      case "udp" => map(
+        lit("udp.port"), col("port").cast("string"),
+        lit("udp.sender"), col("sender"),
+        lit("udp.sender.port"), col("sender_port").cast("string"))
+      case _ => map(
+        lit("tcp.port"), col("port").cast("string"),
+        lit("tcp.sender"), col("sender"))
+    }
+    df.withColumn("attrs", attrs)
+  }
 
   /** One listener per source name (the reference: one server per
     * processor instance); lets tests find the ephemeral bound port. */
@@ -111,7 +133,7 @@ object NetListenerSource {
                                         maxQueueSize: Int = 10000,
                                         headersAttrRegex: Option[String] = None,
                                         consumeDelimiter: Boolean = true) {
-    private val log = new ArrayBuffer[(Long, String, String, Map[String, String])]()
+    private val log = new ArrayBuffer[(Long, String, Int, String, Map[String, String])]()
     private val nextSeq = new AtomicLong(0L)
     @volatile private var droppedCount = 0L
     @volatile private var running = true
@@ -125,17 +147,17 @@ object NetListenerSource {
       case _      => serverSocket.getLocalPort
     }
 
-    private def append(sender: String, msg: String,
+    private def append(sender: String, senderPort: Int, msg: String,
                        headers: Map[String, String] = Map.empty): Unit =
       log.synchronized {
         if (log.length >= maxQueueSize) droppedCount += 1  // full queue drops, as the reference
-        else log += ((nextSeq.getAndIncrement(), sender, msg, headers))
+        else log += ((nextSeq.getAndIncrement(), sender, senderPort, msg, headers))
       }
 
     /** Entries are seq-ordered, so the range is a contiguous slice; with
       * commit-time pruning the scan is bounded by maxQueueSize. */
     def range(fromExclusive: Long,
-              untilInclusive: Long): Seq[(Long, String, String, Map[String, String])] =
+              untilInclusive: Long): Seq[(Long, String, Int, String, Map[String, String])] =
       log.synchronized {
         val from = log.indexWhere(_._1 > fromExclusive)
         if (from < 0) Seq.empty
@@ -165,35 +187,21 @@ object NetListenerSource {
         // lowercased keys — the JDK server title-cases names) ride with
         // the message (ListenHTTPTests.cpp:354-394).
         httpServer.createContext(basePath, exchange => {
-          val method = exchange.getRequestMethod
-          def capturedHeaders: Map[String, String] = headersAttrRegex match {
-            case Some(re) =>
-              import scala.jdk.CollectionConverters._
-              val p = java.util.regex.Pattern.compile(re)
-              exchange.getRequestHeaders.entrySet().asScala.flatMap { e =>
-                val k = e.getKey.toLowerCase(java.util.Locale.ROOT)
-                if (p.matcher(k).matches())
-                  Some(k -> e.getValue.asScala.mkString(","))
-                else None
-              }.toMap
-            case None => Map.empty
-          }
-          method match {
-            case "POST" =>
-              val body = new String(exchange.getRequestBody.readAllBytes(),
-                StandardCharsets.UTF_8)
-              append(exchange.getRemoteAddress.getAddress.getHostAddress,
-                body, capturedHeaders)
-              exchange.sendResponseHeaders(200, -1)
-            case "GET" =>
-              append(exchange.getRemoteAddress.getAddress.getHostAddress,
-                "", capturedHeaders)
-              exchange.sendResponseHeaders(200, -1)
-            case "HEAD" =>
-              exchange.sendResponseHeaders(200, -1)
-            case _ =>
-              exchange.sendResponseHeaders(405, -1)
-          }
+          // the request plane is the shared pure function the oracle row
+          // `listen_http_envelope` pins — only the transport lives here
+          import scala.jdk.CollectionConverters._
+          val headers = exchange.getRequestHeaders.entrySet().asScala.toSeq
+            .flatMap(e => e.getValue.asScala.map(v => e.getKey -> v))
+          val body =
+            if (exchange.getRequestMethod == "POST")
+              new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            else ""
+          val r = NetFraming.httpEnvelope(exchange.getRequestMethod, headers,
+            body, headersAttrRegex)
+          if (r.committed)
+            append(exchange.getRemoteAddress.getAddress.getHostAddress,
+              exchange.getRemoteAddress.getPort, r.content, r.captured)
+          exchange.sendResponseHeaders(r.status, -1)
           exchange.close()
         })
         httpServer.start()
@@ -205,7 +213,7 @@ object NetListenerSource {
             try {
               val p = new DatagramPacket(buf, buf.length)
               udpSocket.receive(p)
-              append(p.getAddress.getHostAddress,
+              append(p.getAddress.getHostAddress, p.getPort,
                 new String(p.getData, p.getOffset, p.getLength, StandardCharsets.UTF_8))
             } catch { case _: Exception if !running => }
           }
@@ -226,28 +234,27 @@ object NetListenerSource {
     }
 
     /** Split the connection's byte stream on the (possibly multi-char)
-      * delimiter; Consume Delimiter (ListenTCP.h:77-79, default true)
-      * strips it from the message, false keeps it (ListenTcpTests.cpp:290
-      * "Custom delimiter" battery). */
+      * delimiter via the shared framing plane (NetFraming.splitFrames —
+      * the code the `listen_tcp_frames` oracle row pins); Consume
+      * Delimiter (ListenTCP.h:77-79, default true) strips it from the
+      * message, false keeps it (ListenTcpTests.cpp:290 "Custom delimiter"
+      * battery). An unterminated tail at connection close is DISCARDED,
+      * matching TcpServer.cpp:58-62's eof return. */
     private def handleTcp(client: Socket): Unit = {
       val sender = client.getInetAddress.getHostAddress
+      val senderPort = client.getPort
       val in = client.getInputStream
-      val buf = new StringBuilder
+      var carry = ""
       val bytes = new Array[Byte](8192)
       var n = in.read(bytes)
       while (n >= 0) {
-        buf.appendAll(new String(bytes, 0, n, StandardCharsets.UTF_8))
-        var idx = buf.indexOf(delimiter)
-        while (idx >= 0) {
-          append(sender, buf.substring(0,
-            if (consumeDelimiter) idx else idx + delimiter.length))
-          buf.delete(0, idx + delimiter.length)
-          idx = buf.indexOf(delimiter)
-        }
+        val (frames, rest) = NetFraming.splitFrames(
+          carry + new String(bytes, 0, n, StandardCharsets.UTF_8),
+          delimiter, consumeDelimiter)
+        frames.foreach(append(sender, senderPort, _))
+        carry = rest
         n = in.read(bytes)
       }
-      // trailing bytes without a delimiter flush on connection close
-      if (buf.nonEmpty) append(sender, buf.toString)
       client.close()
     }
 
@@ -321,7 +328,7 @@ private class NetListenerStream(name: String, protocol: String, port: Int,
     if (e <= s) Array.empty
     // the queued range travels inside the partition descriptor — the
     // listener's buffer lives with the driver, like the reference's queue
-    else Array(NetBatchPartition(listener.range(s, e)))
+    else Array(NetBatchPartition(listener.range(s, e), listener.port))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -337,18 +344,20 @@ private class NetListenerStream(name: String, protocol: String, port: Int,
 }
 
 private case class NetBatchPartition(
-    rows: Seq[(Long, String, String, Map[String, String])])
+    rows: Seq[(Long, String, Int, String, Map[String, String])],
+    localPort: Int)
   extends InputPartition
 
 private class NetBatchReader(p: NetBatchPartition) extends PartitionReader[InternalRow] {
   private var idx = -1
   override def next(): Boolean = { idx += 1; idx < p.rows.length }
   override def get(): InternalRow = {
-    val (seq, sender, msg, headers) = p.rows(idx)
+    val (seq, sender, senderPort, msg, headers) = p.rows(idx)
     val ks = headers.keys.toArray.map(k => UTF8String.fromString(k): Any)
     val vs = headers.keys.toArray
       .map(k => UTF8String.fromString(headers(k)): Any)
-    InternalRow(seq, UTF8String.fromString(sender), UTF8String.fromString(msg),
+    InternalRow(seq, UTF8String.fromString(sender), senderPort, p.localPort,
+      UTF8String.fromString(msg),
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vs)))
@@ -367,7 +376,10 @@ private class NetBatchReader(p: NetBatchPartition) extends PartitionReader[Inter
  * longer than Max Message Size splits into max-size chunks that ALL route
  * to `partial` — including the delimiter-terminated tail chunk — while a
  * message within the cap routes to `success`. Max Message Size 0 disables
- * chunking.
+ * chunking. An unterminated tail at stream close is DISCARDED
+ * (GetTCP.cpp:197-201 returns the read error before enqueuing). The
+ * framing itself is the shared NetFraming.getTcpMessages plane, pinned by
+ * the `get_tcp_frames` oracle row.
  */
 object GetTcp {
   def read(endpoints: Dataset[String],
@@ -390,21 +402,8 @@ object GetTcp {
         try {
           val all = new String(sock.getInputStream.readAllBytes(),
             StandardCharsets.UTF_8)
-          // split KEEPING the delimiter on each message
-          val msgs = collection.mutable.ArrayBuffer[String]()
-          var rest = all
-          var idx = rest.indexOf(delimiter)
-          while (idx >= 0) {
-            msgs += rest.substring(0, idx + delimiter.length)
-            rest = rest.substring(idx + delimiter.length)
-            idx = rest.indexOf(delimiter)
-          }
-          if (rest.nonEmpty) msgs += rest // unterminated tail on close
-          msgs.toSeq.flatMap { m =>
-            if (maxMessageSize <= 0 || m.length <= maxMessageSize)
-              Seq((ep, m, "success"))
-            else m.grouped(maxMessageSize).map(c => (ep, c, "partial")).toSeq
-          }
+          NetFraming.getTcpMessages(all, delimiter, maxMessageSize)
+            .map { case (m, rel) => (ep, m, rel) }
         } finally sock.close()
       }
     }

@@ -20,9 +20,12 @@ class NetSpec extends SparkSpec {
       val port = NetListenerSource.boundPort("t1")
 
       val c1 = new Socket(InetAddress.getLoopbackAddress, port)
-      c1.getOutputStream.write("m1\nm2\npartial".getBytes(StandardCharsets.UTF_8))
+      c1.getOutputStream.write("m1\nm2\ndangling".getBytes(StandardCharsets.UTF_8))
       c1.getOutputStream.flush()
-      c1.close() // close flushes the trailing undelimited bytes
+      // close WITHOUT a final delimiter: the unterminated tail is
+      // discarded, as the reference's readLoop returns on eof before
+      // enqueuing the partial buffer (TcpServer.cpp:58-62)
+      c1.close()
       val c2 = new Socket(InetAddress.getLoopbackAddress, port)
       c2.getOutputStream.write("other\n".getBytes(StandardCharsets.UTF_8))
       c2.close()
@@ -31,7 +34,7 @@ class NetSpec extends SparkSpec {
         q.processAllAvailable()
         val msgs = spark.table("tcp_in").collect()
           .map(_.getAs[String]("message")).toSet
-        msgs == Set("m1", "m2", "partial", "other")
+        msgs == Set("m1", "m2", "other")
       }
     } finally q.stop()
   }
@@ -323,6 +326,74 @@ class NetSpec extends SparkSpec {
       assert(success.select("syslog_format").collect().map(_.getString(0)).sorted
         === Array("rfc3164", "rfc5424"))
       assert(spark.read.parquet(s"$out/relationship=invalid").count() === 1)
+    } finally q.stop()
+  }
+
+  test("NetFraming pure planes: delimiter split, EOF discard, GetTCP " +
+       "chunking battery, HTTP envelope dispatch") {
+    import graft.sources.NetFraming
+    // incremental carry: delimiter split across reads
+    assert(NetFraming.splitFrames("m1\nm2\npart", "\n", consumeDelimiter = true)
+      === ((Vector("m1", "m2"), "part")))
+    assert(NetFraming.splitFrames("m1\nm2\n", "\n", consumeDelimiter = false)
+      === ((Vector("m1\n", "m2\n"), "")))
+    // consecutive delimiters emit empty frames; EOF discards the tail
+    assert(NetFraming.connectionFrames("a\n\nb", "\n", consumeDelimiter = true)
+      === Vector("a", ""))
+    // multi-char delimiter
+    assert(NetFraming.connectionFrames("xfoobaryfoobar", "foobar", consumeDelimiter = false)
+      === Vector("xfoobar", "yfoobar"))
+    // the GetTCPTests.cpp:185-225 battery, as a pure plane
+    assert(NetFraming.getTcpMessages("abcdefghijklmnopqrstuvwxyz\rBye\r", "\r", 10)
+      === Vector(("abcdefghij", "partial"), ("klmnopqrst", "partial"),
+        ("uvwxyz\r", "partial"), ("Bye\r", "success")))
+    assert(NetFraming.getTcpMessages("Hello\n", "\n", 0)
+      === Vector(("Hello\n", "success")))
+    assert(NetFraming.getTcpMessages("Hello\nleftover", "\n", 0)
+      === Vector(("Hello\n", "success"))) // tail discarded
+    // HTTP dispatch (ListenHTTPTests.cpp:277-394)
+    val post = NetFraming.httpEnvelope("POST",
+      Seq("Foo" -> "1", "Bar" -> "2", "foo" -> "3"), "body", Some("f.*"))
+    assert(post === NetFraming.HttpResult(200, committed = true, "body",
+      Map("foo" -> "1,3")))
+    assert(NetFraming.httpEnvelope("GET", Seq("foo" -> "1"), "", Some("f.*"))
+      === NetFraming.HttpResult(200, committed = true, "", Map("foo" -> "1")))
+    assert(NetFraming.httpEnvelope("HEAD", Seq("foo" -> "1"), "", Some("f.*"))
+      === NetFraming.HttpResult(200, committed = false, "", Map.empty))
+    assert(NetFraming.httpEnvelope("DELETE", Nil, "", None)
+      === NetFraming.HttpResult(405, committed = false, "", Map.empty))
+    // full-match anchoring: "oo.*" must NOT capture "foo"
+    assert(NetFraming.httpEnvelope("POST", Seq("foo" -> "1"), "b", Some("oo.*"))
+      .captured.isEmpty)
+  }
+
+  test("listener rows carry sender/local ports; envelope() stamps the " +
+       "reference attribute names (ListenTCP.cpp:46-47, ListenUDP.h:66-68)") {
+    val q = spark.readStream.format("graft.sources.NetListenerSource")
+      .option("name", "env1").option("protocol", "udp").option("port", "0")
+      .load()
+      .writeStream.format("memory").queryName("udp_env")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val port = NetListenerSource.boundPort("env1")
+      val sock = new DatagramSocket()
+      val b = "dgram".getBytes(StandardCharsets.UTF_8)
+      sock.send(new DatagramPacket(b, b.length, InetAddress.getLoopbackAddress, port))
+      val senderPort = sock.getLocalPort
+      sock.close()
+      eventually(40, 250) {
+        q.processAllAvailable()
+        spark.table("udp_env").count() == 1
+      }
+      val row = NetListenerSource.envelope(spark.table("udp_env"), "udp")
+        .selectExpr("message", "attrs['udp.port']", "attrs['udp.sender']",
+          "attrs['udp.sender.port']")
+        .collect().head
+      assert(row.getString(0) === "dgram")
+      assert(row.getString(1) === port.toString)
+      assert(row.getString(2) === InetAddress.getLoopbackAddress.getHostAddress)
+      assert(row.getString(3) === senderPort.toString)
     } finally q.stop()
   }
 
