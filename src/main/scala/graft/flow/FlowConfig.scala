@@ -506,19 +506,24 @@ object FlowConfig {
       g.paramContextName.filter(_.nonEmpty).flatMap(contexts.get)
     val substituted = groups.map { g =>
       val ctx = ctxOf(g)
-      def subst(props: Map[String, String]): Map[String, String] =
+      // sensitivity is read per COMPONENT CLASS declaration — a dynamic
+      // property named e.g. "Password" on a RouteOnAttribute is not
+      // sensitive (StructuredConfiguration.cpp:819-828,896-912)
+      def subst(clazz: String,
+                props: Map[String, String]): Map[String, String] =
         props.map { case (k, v) =>
           k -> ParameterTokens.substitute(v, ctx,
-            ParameterContexts.isSensitiveProperty(k))
+            ParameterContexts.isSensitiveProperty(clazz, k))
         }
       g.copy(
         procs = g.procs.map(p => p.copy(
-          properties = subst(p.properties),
+          properties = subst(p.clazz, p.properties),
           propertyLists = p.propertyLists.map { case (k, vs) =>
             k -> vs.map(ParameterTokens.substitute(_, ctx,
-              ParameterContexts.isSensitiveProperty(k)))
+              ParameterContexts.isSensitiveProperty(p.clazz, k)))
           })),
-        services = g.services.map(s => s.copy(properties = subst(s.properties))))
+        services = g.services.map(s =>
+          s.copy(properties = subst(s.clazz, s.properties))))
     }
 
     val allProcs = substituted.flatMap(_.procs)

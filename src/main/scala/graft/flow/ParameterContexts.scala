@@ -183,19 +183,63 @@ object ParameterContexts {
     byName.toMap
   }
 
-  /** Property sensitivity: the reference reads it off each processor's
-    * property declaration (StructuredConfiguration.cpp:819-828); this
-    * engine keeps the declared-sensitive property names of the processor/
-    * service classes it supports (InvokeHTTP.h ProxyPassword,
-    * KafkaProcessorBase.h/AbstractMQTTProcessor.h Username+Password,
-    * SplunkHECProcessor.h Token, ElasticsearchCredentialsControllerService.h
-    * ApiKey, CouchbaseClusterService.h UserPassword, SSLContextService
-    * passphrases). Dynamic properties are never sensitive (cpp:911). */
-  val SensitivePropertyNames: Set[String] = Set(
-    "Proxy Password", "Password", "User Password", "Passphrase",
-    "Security Pass Phrase", "Security Private Key", "Security Cert",
-    "API Key", "Token", "Client Key Password", "Key Password")
+  /** Property sensitivity is scoped to each component class's DECLARED
+    * properties: the reference reads it off `getSupportedProperty`
+    * (StructuredConfiguration.cpp:896-912), so a property the class does
+    * not declare — a dynamic property like a RouteOnAttribute rule, even
+    * one named "Password" — is NEVER sensitive
+    * (StructuredConfiguration.cpp:819-828, parsePropertyValueSequence's
+    * valueOrElse(false)). The table mirrors every `isSensitive(true)`
+    * declaration in the reference, with base-class declarations
+    * (KafkaProcessorBase.h:87, AbstractMQTTProcessor.h:153+169,
+    * SFTPProcessorBase.h, AwsProcessor.h, SplunkHECProcessor.h:52,
+    * AzureBlobStorageProcessorBase.h) expanded to their concrete
+    * processors. */
+  private val KafkaSensitive = Set("Password")
+  private val MqttSensitive = Set("Password", "Security Pass Phrase")
+  private val SftpSensitive =
+    Set("Password", "Private Key Passphrase", "Http Proxy Password")
+  private val AwsSensitive = Set("Secret Key", "Proxy Password")
+  private val AzureBlobSensitive =
+    Set("Storage Account Key", "SAS Token", "Managed Identity Client ID")
+  private val SplunkSensitive = Set("Token")
+  private val GcsSensitive = Set("Server Side Encryption Key")
+  private val OpcSensitive = Set("Password")
 
-  def isSensitiveProperty(name: String): Boolean =
-    SensitivePropertyNames.contains(name)
+  val SensitiveByClass: Map[String, Set[String]] = Map(
+    "InvokeHTTP" -> Set("Proxy Password"),                 // InvokeHTTP.h:193
+    "PublishKafka" -> (KafkaSensitive + "Security Pass Phrase"), // PublishKafka.h:192
+    "ConsumeKafka" -> KafkaSensitive,
+    "PublishMQTT" -> MqttSensitive, "ConsumeMQTT" -> MqttSensitive,
+    "PutSplunkHTTP" -> SplunkSensitive,
+    "QuerySplunkIndexingStatus" -> SplunkSensitive,
+    "PushGrafanaLokiREST" -> Set("Password"),              // PushGrafanaLokiREST.h
+    "PutSFTP" -> SftpSensitive, "FetchSFTP" -> SftpSensitive,
+    "ListSFTP" -> SftpSensitive,
+    "PutS3Object" -> AwsSensitive, "DeleteS3Object" -> AwsSensitive,
+    "FetchS3Object" -> AwsSensitive, "ListS3" -> AwsSensitive,
+    "PutKinesisStream" -> AwsSensitive,
+    "PutAzureBlobStorage" -> AzureBlobSensitive,
+    "DeleteAzureBlobStorage" -> AzureBlobSensitive,
+    "FetchAzureBlobStorage" -> AzureBlobSensitive,
+    "ListAzureBlobStorage" -> AzureBlobSensitive,
+    "PutGCSObject" -> GcsSensitive, "FetchGCSObject" -> GcsSensitive,
+    "PutOPCProcessor" -> OpcSensitive, "FetchOPCProcessor" -> OpcSensitive,
+    // controller services
+    "SSLContextService" -> Set("Passphrase"),              // SSLContextService.h:141
+    "ElasticsearchCredentialsControllerService" -> Set("Password", "API Key"),
+    "CouchbaseClusterService" -> Set("User Password"),
+    "ProxyConfigurationService" -> Set("Proxy User Password"),
+    "AWSCredentialsService" -> Set("Secret Key"),
+    "AzureStorageCredentialsService" -> AzureBlobSensitive,
+    "GCPCredentialsControllerService" -> Set("Service Account JSON"),
+    "SmbConnectionControllerService" -> Set("Password"),
+    "ODBCService" -> Set("Connection String"))             // DatabaseService.h
+
+  /** componentClass may be fully qualified (org.apache.nifi.minifi.* —
+    * the last dotted segment is the class). */
+  def isSensitiveProperty(componentClass: String, name: String): Boolean = {
+    val kind = componentClass.substring(componentClass.lastIndexOf('.') + 1)
+    SensitiveByClass.getOrElse(kind, Set.empty).contains(name)
+  }
 }

@@ -625,7 +625,9 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
   // ----------------- FlowJsonTests.cpp parameter-context plane ----
 
   private def paramJson(contexts: String, rootExtra: String,
-                        props: String): String =
+                        props: String,
+                        procType: String =
+                          "org.apache.nifi.processors.standard.GenerateFlowFile"): String =
     s"""{
        |  $contexts
        |  "rootGroup": {
@@ -633,7 +635,7 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
        |    "processors": [{
        |      "identifier": "00000000-0000-0000-0000-000000000001",
        |      "name": "MyGenFF",
-       |      "type": "org.apache.nifi.processors.standard.GenerateFlowFile",
+       |      "type": "$procType",
        |      "properties": { $props }
        |    }],
        |    $rootExtra
@@ -691,7 +693,44 @@ class FlowConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
        "property declaration, e.g. InvokeHTTP Proxy Password)") {
     val e = intercept[ParameterException](FlowConfig.parseJson(paramJson(
       TwoContexts, """"parameterContextName": "my-context",""",
-      """"Proxy Password": "#{file_size}"""")))
+      """"Proxy Password": "#{file_size}"""",
+      procType = "org.apache.nifi.minifi.processors.InvokeHTTP")))
+    assert(e.getMessage === "Parameter Operation: Non-sensitive parameter " +
+      "'file_size' cannot be referenced in a sensitive property")
+  }
+
+  test("sensitivity is scoped to the declaring class: a DYNAMIC property " +
+       "named like a sensitive one is never sensitive " +
+       "(StructuredConfiguration.cpp:819-828,896-912 — getSupportedProperty " +
+       "drives is_sensitive; unsupported names default false)") {
+    // "Proxy Password" is InvokeHTTP's declaration — on GenerateFlowFile
+    // it is a dynamic property, so a non-sensitive #{param} is fine
+    val f = FlowConfig.parseJson(paramJson(TwoContexts,
+      """"parameterContextName": "my-context",""",
+      """"Proxy Password": "#{file_size}""""))
+    assert(f.processor("MyGenFF").properties("Proxy Password") === "10 B")
+    // a RouteOnAttribute rule named "Password" is likewise dynamic
+    val r = FlowConfig.parseJson(paramJson(TwoContexts,
+      """"parameterContextName": "my-context",""",
+      """"Password": "#{file_size}"""",
+      procType = "org.apache.nifi.minifi.processors.RouteOnAttribute"))
+    assert(r.processor("MyGenFF").properties("Password") === "10 B")
+    // but the SAME name on a class that declares it sensitive still
+    // enforces the pairing rule (AbstractMQTTProcessor.h:153)
+    val e = intercept[ParameterException](FlowConfig.parseJson(paramJson(
+      TwoContexts, """"parameterContextName": "my-context",""",
+      """"Password": "#{file_size}"""",
+      procType = "org.apache.nifi.minifi.processors.ConsumeMQTT")))
+    assert(e.getMessage === "Parameter Operation: Non-sensitive parameter " +
+      "'file_size' cannot be referenced in a sensitive property")
+  }
+
+  test("sensitive property value sequences enforce the pairing rule per " +
+       "element (FlowJsonTests.cpp:424-468)") {
+    val e = intercept[ParameterException](FlowConfig.parseJson(paramJson(
+      TwoContexts, """"parameterContextName": "my-context",""",
+      """"Proxy Password": [{"value": "#{file_size}"}]""",
+      procType = "org.apache.nifi.minifi.processors.InvokeHTTP")))
     assert(e.getMessage === "Parameter Operation: Non-sensitive parameter " +
       "'file_size' cannot be referenced in a sensitive property")
   }
