@@ -915,6 +915,19 @@ object SparkEntry {
           col("weightMicro").cast("long").as("weight_micro"))
         .orderBy("doc_id")),
 
+    // DSIR §3.2 selection: Gumbel top-k over the §3.1 weights — the
+    // complete published algorithm end-to-end (weights feed straight into
+    // the resampler)
+    "dsir_resample" -> ((s, dir) => {
+      val w = Sampling.dsirWeights(tbl(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === "en")
+      Sampling.dsirResample(w, col("docId"), col("weightMicro"),
+        k = 100, seed = "dsirres")
+        .select(col("docId").as("doc_id"), col("rank"),
+          col("scoreMicro").as("score_micro"))
+        .orderBy("rank")
+    }),
+
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.875), 0.25, col("doc_id"), "mix1")
@@ -3114,6 +3127,44 @@ object SparkEntry {
         |  CAST(sum(r.lr) AS BIGINT) AS weight_micro
         |FROM bk JOIN r USING (b) GROUP BY bk.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-k over the recomputed weight table; u over 2^60 is an
+    // exact power-of-two division and the ln/round-to-micro exposure is
+    // the one dsir_weights already carries
+    "dsir_resample" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, array_to_string(toks[gg.i:gg.i+1], ' ') AS g
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) gg
+        |  WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, text AS g FROM t WHERE len(toks) < 2
+        |),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+        |  FROM g),
+        |c AS (SELECT b, count(*) FILTER (lang = 'en') AS ct, count(*) AS cr
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |r AS (SELECT b, CAST(round((ln(ct + 1) - ln(tt + 1024)
+        |    - ln(cr + 1) + ln(tr + 1024)) * 1e6) AS BIGINT) AS lr
+        |  FROM c, tot),
+        |w AS (SELECT bk.doc_id, CAST(sum(r.lr) AS BIGINT) AS wm
+        |  FROM bk JOIN r USING (b) GROUP BY bk.doc_id),
+        |s AS (SELECT doc_id, wm,
+        |  (CAST(('0x' || substring(md5('dsirres|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |     AS BIGINT) + 0.5) / 1152921504606846976.0 AS u FROM w),
+        |sc AS (SELECT doc_id,
+        |  wm + CAST(round(-ln(-ln(u)) * 1e6) AS BIGINT) AS score_micro
+        | FROM s)
+        |SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |   AS BIGINT) AS rank,
+        | score_micro
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     // by a power of two is exact in IEEE, so the cut-point compares are
     // bit-identical cross-engine

@@ -227,4 +227,48 @@ object Sampling {
       .agg(count(lit(1)).as("nGrams"),
         sum(element_at(typedlit(lr), col("b"))).as("weightMicro"))
   }
+
+  /**
+   * DSIR importance RESAMPLING (Xie et al. 2023 arXiv:2302.03169 §3.2) —
+   * the published algorithm's output: draw k raw examples WITHOUT
+   * replacement with probability proportional to their importance weight,
+   * via the Gumbel top-k trick (perturb each log-weight with an
+   * independent Gumbel(0,1) variate, keep the k largest perturbed
+   * scores). Composes directly with [[dsirWeights]]: its `weightMicro`
+   * IS the log-weight in micro-units.
+   *
+   * Determinism: the Gumbel variate derives from an md5-prefix uniform
+   * (the engine-portable recipe every sampler here uses) —
+   * u = (h60 + 0.5) / 2^60 with h60 the first 15 hex digits of
+   * md5(seed|docId), g = −ln(−ln u) — and the perturbed score is
+   * fixed-pointed to integer micro-units (round-half-away, the exact
+   * cross-engine float exposure dsirWeights' log-ratio table has carried
+   * green), so selection and emitted scores are long-exact. Ties break
+   * on docId.
+   *
+   * Scale shape: the perturbation is a narrow codegen'd projection; the
+   * global top-k plans as TakeOrderedAndProject — a size-k heap per
+   * partition, then a merge of the per-partition winners. No global
+   * sort, no all-rows single-partition exchange; the merge is bounded by
+   * k·partitions and k rows ARE the requested output. For a 100 TB
+   * corpus keep each selection's k in the 10^6–10^7 range (or run one
+   * selection per mixture domain, as the paper does) so the heap stays
+   * executor-resident.
+   */
+  def dsirResample(weights: DataFrame, idCol: Column, weightMicroCol: Column,
+                   k: Int, seed: String = "dsir"): DataFrame = {
+    val h60 = conv(substring(md5(concat(lit(seed + "|"),
+      idCol.cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (h60.cast("double") + 0.5) / 1.152921504606846976e18 // 2^60
+    val gumbel = -log(-log(u))
+    val scored = weights.select(idCol.as("docId"),
+      (weightMicroCol + round(gumbel * 1e6).cast("long")).as("scoreMicro"))
+    val top = scored
+      .orderBy(col("scoreMicro").desc, col("docId")).limit(k)
+    // rank the k survivors; the window is output-sized (k rows), not
+    // corpus-sized
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("scoreMicro").desc, col("docId"))).cast("long"))
+  }
 }

@@ -78,6 +78,37 @@ class PipelineSpec extends SparkSpec {
     assert(weights(corpus.repartition(7)) === w)
   }
 
+  test("DSIR resampling: Gumbel top-k favors high-weight docs, selects " +
+       "without replacement, plans as TakeOrderedAndProject (Xie et al. " +
+       "2023 §3.2)") {
+    import spark.implicits._
+    // one doc with an overwhelming weight must always survive; the rest
+    // have equal weight so the Gumbel noise picks among them
+    val weights = ((1L, 10_000_000L) +: (2L to 50L).map(i => (i, 0L)))
+      .toDF("doc_id", "weight_micro")
+    val picked = Sampling.dsirResample(weights, col("doc_id"),
+      col("weight_micro"), k = 10, seed = "t1")
+    val rows = picked.collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("docId")).distinct.length === 10) // w/o replacement
+    assert(rows.map(_.getAs[Long]("docId")).contains(1L))
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 10L))
+    // determinism + seed sensitivity
+    val again = Sampling.dsirResample(weights, col("doc_id"),
+      col("weight_micro"), k = 10, seed = "t1").collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+    val other = Sampling.dsirResample(weights, col("doc_id"),
+      col("weight_micro"), k = 10, seed = "t2")
+      .collect().map(_.getAs[Long]("docId")).toSet
+    assert(other !== rows.map(_.getAs[Long]("docId")).toSet)
+    // scale shape: global top-k must be a TakeOrderedAndProject, never a
+    // full Sort + GlobalLimit
+    val plan = Sampling.dsirResample(weights, col("doc_id"),
+      col("weight_micro"), k = 10, seed = "t1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("exact substring dedup removes duplicated k-token runs, merges " +
        "overlapping windows, spares short docs (Lee et al. 2021 " +
        "EXACTSUBSTR, window-count formulation)") {
