@@ -1044,6 +1044,14 @@ object SparkEntry {
     // training moves the cells, but probing every cell must STILL
     // reproduce the brute-force ranking, so the same oracle checks the
     // whole trained plumbing
+    // SemDeDup (Abbas 2023): k-means clusters confine the cosine
+    // quadratic; within each cluster the lowest id of every duplicate
+    // neighborhood survives
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
+        nCentroids = 8, lloydIters = 2)
+        .orderBy("vec_id")),
+
     "embed_topk_ivf_trained" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0), 5,
@@ -2371,6 +2379,55 @@ object SparkEntry {
       .mkString(", ")
   }
 
+  /** SemDeDup oracle: independently re-derives the full semDedup path in
+    * SQL — md5-ordered seed sample, TWO unrolled Lloyd rounds (integer
+    * means with TRUNCATING division, matching Spark's `DIV`; empty cells
+    * keep their centroid), rounded-cosine assignment with the
+    * (cos desc, cent asc) tie-break, then the within-cluster
+    * smaller-id-duplicate removal rule at threshold 0.3. */
+  private val SemDedupOracle: String = {
+    def cos(av: String, an: String, bv: String, bn: String): String =
+      s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
+        s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
+        s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6)"
+    def assign(cents: String): String =
+      s"""(SELECT vec_id, qv, n2, cent FROM (
+         |  SELECT b.vec_id, b.qv, b.n2, c.cent,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${cos("b.qv", "b.n2", "c.cq", "c.cn2")} DESC, c.cent) AS rn
+         |  FROM b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def lloydRound(prevCents: String, a: String): String =
+      s"""${a} AS ${assign(prevCents)},
+         |${a}_m AS (SELECT cent, pos,
+         |  CAST(trunc(CAST(sum(val) AS DOUBLE)/count(*)) AS BIGINT) AS m
+         |  FROM (SELECT cent, unnest(qv) AS val,
+         |        generate_subscripts(qv,1) AS pos FROM ${a})
+         |  GROUP BY cent, pos),
+         |${a}_c0 AS (SELECT p.cent, COALESCE(mm.cq, p.cq) AS cq
+         |  FROM $prevCents p LEFT JOIN
+         |  (SELECT cent, list(m ORDER BY pos) AS cq FROM ${a}_m GROUP BY cent)
+         |    mm USING (cent)),
+         |${a}_c AS (SELECT cent, cq,
+         |  CAST(list_sum(list_transform(cq, x->x*x)) AS BIGINT) AS cn2
+         |  FROM ${a}_c0)""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM v),
+       |c0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS cent, qv AS cq, n2 AS cn2
+       |  FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |${lloydRound("c0", "r1")},
+       |${lloydRound("r1_c", "r2")},
+       |af AS ${assign("r2_c")},
+       |rem AS (SELECT DISTINCT bb.vec_id FROM af a JOIN af bb
+       |  ON a.cent = bb.cent AND a.vec_id < bb.vec_id
+       |  WHERE ${cos("a.qv", "a.n2", "bb.qv", "bb.n2")} >= 0.3)
+       |SELECT af.vec_id, af.cent AS cluster,
+       |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+       |FROM af ORDER BY af.vec_id""".stripMargin
+  }
+
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
     * exhaustive-probe configuration must reproduce this ranking exactly. */
   private val EmbedTopKOracle: String =
@@ -3358,6 +3415,7 @@ object SparkEntry {
     // exhaustive-probe IVF must reproduce the brute-force ranking exactly
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
+    "dedup_semantic" -> SemDedupOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

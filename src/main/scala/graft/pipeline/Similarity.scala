@@ -258,6 +258,16 @@ object Similarity {
                      lloydIters: Int = 2): DataFrame = {
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
+    probeWithCentroids(c, queries, k, nProbe,
+      trainCentroids(c, nCentroids, lloydIters))
+  }
+
+  /** The Lloyd loop of [[ivfTopKTrained]], shared with [[semDedup]]:
+    * md5-ordered seed sample, then per-round nearest-centroid assignment
+    * + per-dimension integer mean (exact long sums, truncating division —
+    * no floating accumulation order anywhere; partition-independent). */
+  private[pipeline] def trainCentroids(c: DataFrame, nCentroids: Int,
+                                       lloydIters: Int): DataFrame = {
     var cents = sampleCentroids(c).limit(nCentroids)
     for (_ <- 0 until lloydIters) {
       val centsArr = cents
@@ -286,7 +296,63 @@ object Similarity {
         // checkpoint is a few KB of executor storage per round.
         .localCheckpoint()
     }
-    probeWithCentroids(c, queries, k, nProbe, cents)
+    cents
+  }
+
+  /**
+   * SemDeDup — semantic deduplication over the embedding space (Abbas et
+   * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication", arXiv:2303.09540): k-means cluster the
+   * corpus (the [[trainCentroids]] substrate), then WITHIN each cluster
+   * mark every example that has a semantic duplicate — cosine ≥
+   * `threshold` — with a smaller id; the smallest id of each duplicate
+   * neighborhood survives as its representative. Returns every vector
+   * with its cluster label and a `kept` flag.
+   *
+   * Scale shape: the paper's own device confines the quadratic to
+   * clusters — the pair enumeration is ONE self-join keyed on the
+   * cluster id (shuffle on `cent`, AQE-skew-splittable), never an
+   * all-pairs product over the corpus. `maxClusterSize` > 0 bounds a
+   * degenerate cluster the way the capped-LSH variant bounds a hot
+   * bucket: only the cluster's md5-first `maxClusterSize` members serve
+   * as comparison pivots (documented recall trade; 0 = exact within
+   * clusters). The scoring kernel is the codegen'd integer DotQ.
+   */
+  def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int,
+               lloydIters: Int = 2, maxClusterSize: Int = 0): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val centroids = trainCentroids(c, nCentroids, lloydIters)
+      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cent",
+        array_min(transform(col("cents"), x =>
+          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
+            col("cn"), x.getField("centn")), 6)).as("negCos"),
+            x.getField("cent").as("cent")))).getField("cent"))
+      .drop("cents")
+    val pivots = {
+      val base = assigned.select(col("cent"), col("cid").as("idA"),
+        col("cq").as("qA"), col("cn").as("nA"))
+      if (maxClusterSize <= 0) base
+      else {
+        import org.apache.spark.sql.expressions.Window
+        base.withColumn("r", row_number().over(Window.partitionBy(col("cent"))
+            .orderBy(md5(col("idA").cast("string")), col("idA"))))
+          .filter(col("r") <= maxClusterSize).drop("r")
+      }
+    }
+    val removed = pivots
+      .join(assigned.select(col("cent"), col("cid").as("idB"),
+        col("cq").as("qB"), col("cn").as("nB")), "cent")
+      .filter(col("idA") < col("idB"))
+      .filter(round(cosineFromQ(dotQ(col("qA"), col("qB")),
+        col("nA"), col("nB")), 6) >= threshold)
+      .select(col("idB").as("cid")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.join(removed, Seq("cid"), "left")
+      .select(col("cid").as("vec_id"), col("cent").as("cluster"),
+        col("removed").isNull.as("kept"))
   }
 
   private def probeWithCentroids(c: DataFrame, queries: DataFrame, k: Int,

@@ -219,6 +219,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[Long]("cid") === 1L)
   }
 
+  test("SemDeDup: within-cluster near-dups collapse to the lowest id, " +
+       "cross-cluster lookalikes and distinct vectors survive, the " +
+       "cluster cap bounds the pivot set (Abbas 2023 arXiv:2303.09540)") {
+    // two tight direction families; 0/1/2 are near-identical (one
+    // cluster), 3/4 near-identical in the opposite family, 5 isolated
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.02f, 0.01f, 0.0f)),
+      (1L, Array(0.99f, 0.03f, 0.0f, 0.01f)),
+      (2L, Array(1.0f, 0.0f, 0.02f, 0.02f)),
+      (3L, Array(-0.01f, 1.0f, 0.02f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.0f, 0.03f)),
+      (5L, Array(0.0f, 0.01f, -1.0f, 0.4f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, threshold = 0.9, nCentroids = 2,
+      lloydIters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> true, 4L -> false, 5L -> true))
+    // determinism across partitionings
+    val again = Similarity.semDedup(emb.repartition(5), threshold = 0.9,
+      nCentroids = 2, lloydIters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(again === out)
+    // a cluster cap of 1 leaves only one pivot per cluster: every doc
+    // beyond the pivot's reach survives, but the pivot still prunes its
+    // own above-threshold neighbors — the md5-first member of the 0/1/2
+    // cluster is doc 0 (md5("0") sorts first among 0,1,2)
+    val capped = Similarity.semDedup(emb, threshold = 0.9, nCentroids = 2,
+      lloydIters = 1, maxClusterSize = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(capped.count(!_._2) <= out.count(!_._2)) // cap only loses recall
+    assert(capped(0L) && capped(3L) && capped(5L))  // keepers never flip
+  }
+
   test("IVF top-k agrees with brute force when probing enough cells, and " +
        "is deterministic") {
     val emb = spark.createDataFrame(Seq(
