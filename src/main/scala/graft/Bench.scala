@@ -153,6 +153,39 @@ object Bench {
   }
 
   /**
+   * Long-doc variant for the EXACTSUBSTR pair (r13 verdict: the 1×/x10
+   * dedup_substrings rows were fixed-overhead-dominated — ~0.2M windows
+   * at sf0.1 is far below the ~0.1 s job-scheduling floor, so the 10×
+   * corpus measured as fast as 1× and the pair proved nothing). Each doc
+   * becomes the concatenation of `reps` sections, section j the doc's own
+   * text with every token suffixed `_j` — token count ×`reps`, window
+   * count ×`reps`, while duplicate STRUCTURE is preserved and scales
+   * linearly: a span duplicated between docs A and B is duplicated
+   * between their section-j copies, sections of one doc never collide
+   * with each other, and (unlike a consonant-rotation family, whose
+   * members COMPOSE with the x10 corpus's rotation — rot_j∘rot_r =
+   * rot_{j+r} made every x10 replica pair share whole sections, an
+   * accidental mass-duplication corpus) the suffix commutes with nothing.
+   * With the window explode finally dominating, the longdoc 1×/x10 pair
+   * is the scale evidence for the distributed EXACTSUBSTR formulation.
+   */
+  private def stageLongDocs(spark: SparkSession, docsDir: String,
+                            tag: String, reps: Int = 16,
+                            contentKey: String = ""): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-long-$tag"
+    stageOnce(out, docsDir + "|" + contentKey + s"|$reps|v2") {
+      val base = spark.read.parquet(s"$docsDir/documents.parquet")
+      val long = concat_ws(" ", (0 until reps).map { r =>
+        regexp_replace(col("text"), "(\\S+)", "$1_" + r)
+      }: _*)
+      base.select(col("doc_id"), long.as("text"), col("lang"),
+        col("source"), col("n_chars"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
+    out
+  }
+
+  /**
    * Stage a multi-file log corpus for the streaming row from a directory's
    * documents table: each document becomes a `<doc_id>`-headed message
    * split across 12-word continuation lines, hash-spread over 32 log
@@ -261,9 +294,22 @@ object Bench {
     // non-headline row whose first measured rep pays codegen compile
     // publishes an inverted 1×-vs-x10 pair (observed: a cold 1× row
     // slower than its warm x10 row)
+    // Force FULL output materialization through the noop sink. r14 audit
+    // (CountPlanProbe): under `.count()` Catalyst's column pruning +
+    // unique-key outer-join elimination gutted several rows to a bare
+    // parquet scan — dedup_substrings' count plan was literally
+    // `count(1) over Relation` (probed 0.4 s counted vs 40+ s
+    // materialized), token_count and curate_filters_map lost all their
+    // per-doc computation, and shuffle_export shuffled only the 32-byte
+    // key. The noop sink executes the exact output schema every engine
+    // consumer would receive and discards it executor-side — no driver
+    // collect, no files.
+    def force(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     (0 until 2).foreach { _ =>
       (headline ++ skewed ++ x10 ++ extra).distinct.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir).count()
+        try force(name, warmDir)
         catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
       }
     }
@@ -293,8 +339,8 @@ object Bench {
       val reps = if (wideNoise(name)) 5 else 3
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, dir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        try { force(name, dir) }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         (System.nanoTime() - t0) / 1e9
       }.min
     }
@@ -325,9 +371,32 @@ object Bench {
     // evidence. Queries outside the headline set get their uniform
     // comparator row exactly like the skewed set does.
     val x10Dir = stageX10(spark, sfDir)
+    // Pin a warm pass AT the x10 scale before measuring: r13's
+    // x10_dedup_minhash_lsh published 0.723 s against a 1.051 s idle
+    // rerun — this row's second >30% excursion in three rounds. The
+    // sf0.01 warm-up tiers the codegen but leaves the first x10-scale rep
+    // with cold page cache and un-scaled JIT profiles; one unmeasured
+    // x10 pass makes every measured rep steady-state in both directions.
+    x10.foreach { name =>
+      try force(name, x10Dir)
+      catch { case e: Throwable => System.err.println(s"[bench] x10 warm $name: $e") }
+    }
     val x10Results =
       x10Comparators ++
       x10.map(name => s"x10_$name" -> minOf3(name, x10Dir))
+    // EXACTSUBSTR long-doc pair (see stageLongDocs): the same registered
+    // query, 16× the tokens per doc — the explode/agg path dominates the
+    // job floor, so THIS pair carries the near-linearity evidence; the
+    // plain dedup_substrings rows above stay as the regression guard.
+    val longDir1 = stageLongDocs(spark, sfDir, "1x")
+    val longDir10 = stageLongDocs(spark, x10Dir, "10x", contentKey = sfDir)
+    Seq(longDir1, longDir10).foreach { d =>
+      try force("dedup_substrings", d)
+      catch { case e: Throwable => System.err.println(s"[bench] long warm: $e") }
+    }
+    val longResults = Seq(
+      "longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir1),
+      "x10_longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir10))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -362,8 +431,9 @@ object Bench {
     // x10_* and streaming rows ride along in the queries map for the
     // comparisons
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
-    val qs = (results ++ skewResults ++ x10Results ++ streamResults ++
-      extraResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = (results ++ skewResults ++ x10Results ++ longResults ++
+      streamResults ++ extraResults)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }
       .mkString("{", ",", "}")

@@ -24,10 +24,14 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.queries(name)
+    // PROFILE_FULL=1: force EVERY output column to materialize (count()
+    // lets Catalyst prune projections the row count doesn't need)
+    val full = sys.env.get("PROFILE_FULL").contains("1")
     (0 until reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = q(spark, sfDir).count()
-      println(f"[profile] $name rep=$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = q(spark, sfDir)
+      val n = if (full) df.queryExecution.toRdd.count() else df.count()
+      println(f"[profile] $name rep=$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3f s full=$full")
     }
     if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
       q(spark, sfDir).explain("formatted")

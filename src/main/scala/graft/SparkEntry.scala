@@ -3390,7 +3390,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents),
         |w AS (SELECT doc_id, g.i AS i,
-        |    md5(array_to_string(toks[g.i:g.i+7], ' ')) AS h
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')),
+        |      1, 15)) AS BIGINT) AS h
         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
         |    greatest(len(toks) - 7, 0))) AS i) g
         |  WHERE len(toks) >= 8),

@@ -94,6 +94,45 @@ object FlowStreaming {
   }
 
   /**
+   * CRON_DRIVEN flow execution (CronDrivenSchedulingAgent.cpp — the agent
+   * sleeps until utils::Cron's next trigger instant, then runs one
+   * onTrigger sweep): each cron instant fires ONE AvailableNow drain
+   * against a persistent checkpoint, so a drain picks up exactly what
+   * arrived since the previous instant and NOTHING runs between instants.
+   * The source processor's `scheduling period` carries the Quartz
+   * expression. `maxDrains` bounds the loop (the reference agent runs
+   * until the flow stops); returns each drain's scheduled fire instant,
+   * for observability and the schedule-adherence test. Driver-side
+   * arithmetic + sleep only — the drain itself is the same distributed
+   * AvailableNow run every other strategy uses.
+   */
+  def runCron(spark: SparkSession, flow: FlowDef, outRoot: String,
+              checkpoint: String, maxDrains: Int): Seq[java.time.LocalDateTime] = {
+    val incoming = flow.connections.groupBy(_.destinationId)
+    val source = flow.processors.filter(p => !incoming.contains(p.id)) match {
+      case Seq(s) => s
+      case other => throw new IllegalArgumentException(
+        s"streaming flow needs exactly one source, got ${other.map(_.name)}")
+    }
+    require(source.schedulingStrategy == "CRON_DRIVEN",
+      s"runCron needs a CRON_DRIVEN source, got ${source.schedulingStrategy}")
+    val cron = graft.streaming.Cron(source.schedulingPeriod)
+    (0 until maxDrains).map { _ =>
+      val now = java.time.LocalDateTime.now()
+      val next = cron.calculateNextTrigger(now).getOrElse(
+        throw new IllegalArgumentException(
+          s"cron '${source.schedulingPeriod}' never fires again"))
+      val delay = java.time.Duration.between(now, next).toMillis
+      if (delay > 0) Thread.sleep(delay)
+      val q = FlowRuntime.runAvailable(
+        FlowRuntime.relationshipSink(assemble(spark, flow), outRoot),
+        checkpoint)
+      q.stop()
+      next
+    }
+  }
+
+  /**
    * Run with the sink chosen by the TERMINAL processor: PutFile → its
    * Directory as the relationship-partitioned root; PublishKafka /
    * PublishMQTT → the connector writeStream with the property surface

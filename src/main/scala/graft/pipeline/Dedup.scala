@@ -316,19 +316,28 @@ object Dedup {
    * Returns (docId, nTokens, nRemoved, text) with the covered tokens cut
    * out and the remainder re-joined on single spaces.
    *
-   * Scale shape: the window explode is linear in corpus tokens and feeds
-   * a map-side partial count on the window hash (duplicated windows are
-   * a sliver of the corpus, so the partial agg collapses the hot keys
-   * before the shuffle, exactly like [[dedupSegments]]'s keeper agg); one
-   * shuffle join back on the hash tags the duplicated positions; one
-   * groupBy(doc) gathers each doc's own span list; and the final left
-   * join re-attaches spans to the corpus. The per-token coverage test is
-   * a higher-order `exists` over the doc's OWN spans — no self-join, no
-   * quadratic stage, and AQE can split a skewed hash join if one window
-   * dominates (mass-duplicated boilerplate).
+   * Scale shape (re-profiled r14, SubstrProbe): the window explode is
+   * linear in corpus tokens and feeds ONE shuffle on a 60-bit window-hash
+   * LONG (md5-prefix, engine-portable; the first formulation shuffled
+   * 32-char md5 strings TWICE — once into a groupBy whose map-side
+   * partial collapses nothing on mostly-unique keys, once into the
+   * tag-back self-join that also recomputed the explode subtree — 2×
+   * the bytes and 2× the compute for the same answer). Duplicate
+   * detection is a count over the hash partition; the surviving
+   * positions MERGE into disjoint intervals before they ever become an
+   * array — a gaps-and-islands pass over the (docId, pos) window (a
+   * duplicated m-token run is m−k+1 overlapping windows that collapse
+   * to ONE interval, without which the per-token coverage test was
+   * O(tokens × windows) interpreted per doc). One groupBy(doc) gathers
+   * the few merged intervals; the final left join re-attaches them to
+   * the corpus; the per-token coverage test is a higher-order `exists`
+   * over the doc's OWN merged intervals — no self-join, no quadratic
+   * stage. A mass-duplicated window key lands in one hash partition;
+   * its count-only window is O(group) with constant state.
    */
   def dedupSubstrings(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(idCol.as("docId"), textCol.as("text"),
       split(textCol, " ").as("toks"))
     // windows only exist for docs with >= k tokens (the shingle kernel's
@@ -338,13 +347,22 @@ object Dedup {
       .select(col("docId"),
         posexplode(when(size(col("toks")) >= k, shingles(col("text"), k))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
-      .select(col("docId"), col("pos"), md5(col("win")).as("h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val spans = wins.join(dup, "h")
+      .select(col("docId"), col("pos"),
+        conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long").as("h"))
+    // two k-windows at positions p <= q cover a contiguous region iff
+    // q - p <= k; a greater gap starts a new island
+    val byDoc = Window.partitionBy("docId").orderBy("pos")
+    val spans = wins
+      .withColumn("dupC", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("dupC") > 1)
+      .withColumn("newIsland",
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(-(k + 1))) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("newIsland")).over(byDoc))
+      .groupBy("docId", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
       .groupBy("docId")
-      .agg(collect_list(struct(col("pos").as("s"),
-        (col("pos") + k).as("e"))).as("spans"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     base.join(spans, Seq("docId"), "left")
       .withColumn("spans", coalesce(col("spans"),
         array().cast("array<struct<s:int,e:int>>")))

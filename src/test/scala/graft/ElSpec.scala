@@ -420,6 +420,12 @@ class ElSpec extends SparkSpec {
     assert(d("2023-03-01T19:04:55Z") === ms)
     assert(d("2023-03-01T19:04:55.190Z") === msFrac)
     assert(d("2023-03-01T19:04:55.190999Z") === msFrac)  // truncate, not round
+    // variable fraction widths (cpp:1233-1239): one digit = tenths, two =
+    // hundredths — NOT left-padded milli digits
+    assert(d("2023-03-01T19:04:55.1Z") === "1677697495100")
+    assert(d("2023-03-01T19:04:55.19Z") === msFrac)
+    assert(d("2023-03-01 20:04:55.1+01:00") === "1677697495100")
+    assert(d("2023-03-01 20:04:55.19+01:00") === msFrac)
     assert(d("2023-03-01t19:04:55z") === ms)
     assert(d("2023-03-01 19:04:55Z") === ms)
     assert(d("2023-03-01_19:04:55Z") === ms)
@@ -466,6 +472,12 @@ class ElSpec extends SparkSpec {
     // +08:45 form; %T carries the fraction like %S (cpp:1183-1195)
     assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
       Map("ts" -> "2023-03-02T03:49:55.190+08:45")) === "1677697495190")
+    // the strftime fraction is VARIABLE width too (date.h %T parses to
+    // the stream's precision): .19 = 190 ms, .1 = 100 ms
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> "2023-03-02T03:49:55.19+08:45")) === "1677697495190")
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> "2023-03-02T03:49:55.1+08:45")) === "1677697495100")
     // padded inputs fail the parse (the reference throws; null here)
     assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
       Map("ts" -> " 2023-03-02T03:49:55.190+08:45")) === null)

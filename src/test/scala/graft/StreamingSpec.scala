@@ -490,6 +490,73 @@ class StreamingSpec extends SparkSpec {
     assert(batches.forall(_ <= 30), s"a batch exceeded the cap: $batches")
   }
 
+  test("CRON_DRIVEN flow: drains fire at the Quartz instants the Cron " +
+       "engine computes, pick up exactly what arrived since the previous " +
+       "instant, and nothing drains between (CronDrivenSchedulingAgent)") {
+    val dir = tmp("cron_in"); val ckpt = tmp("cron_ckpt"); val out = tmp("cron_out")
+    val log = dir.resolve("app.log")
+    Files.writeString(log, "a-1\na-2\na-3\n")
+    val yml =
+      s"""MiNiFi Config Version: 3
+         |Flow Controller: {name: cron flow}
+         |Processors:
+         |- name: tail
+         |  id: tail
+         |  class: org.apache.nifi.minifi.processors.TailFile
+         |  scheduling strategy: CRON_DRIVEN
+         |  scheduling period: '* * * * * *'
+         |  Properties:
+         |    File to Tail: $log
+         |- name: tag
+         |  id: tag
+         |  class: org.apache.nifi.minifi.processors.UpdateAttribute
+         |  Properties:
+         |    marker: seen
+         |Connections:
+         |- id: c1
+         |  source id: tail
+         |  source relationship names: [success]
+         |  destination id: tag
+         |""".stripMargin
+    val flow = graft.flow.FlowConfig.parse(yml)
+    def rows(): Long =
+      try spark.read.parquet(s"$out/relationship=success").count()
+      catch { case _: Exception => 0L }
+
+    val t0 = java.time.LocalDateTime.now()
+    val fires1 = graft.flow.FlowStreaming.runCron(spark, flow, out.toString,
+      ckpt.toString, maxDrains = 1)
+    // the drain fired AT a computed future cron instant (whole-second
+    // boundary for '* * * * * *'), not immediately on call
+    assert(fires1.size === 1)
+    assert(fires1.head.isAfter(t0))
+    assert(fires1.head.getNano === 0)
+    assert(rows() === 3)
+
+    // new data between instants does NOT drain — cron, not arrival,
+    // triggers the sweep
+    Files.writeString(log, "b-4\nb-5\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    Thread.sleep(200)
+    assert(rows() === 3)
+
+    // the next instant picks up ONLY the two new lines (checkpoint
+    // continuity: 5 total, not a 3-line re-read)
+    val fires2 = graft.flow.FlowStreaming.runCron(spark, flow, out.toString,
+      ckpt.toString, maxDrains = 1)
+    assert(fires2.head.isAfter(fires1.head))
+    assert(fires2.head.getNano === 0)
+    assert(rows() === 5)
+
+    // a TIMER_DRIVEN source is rejected — the cron runner is not a
+    // generic scheduler
+    val timerFlow = graft.flow.FlowConfig.parse(
+      yml.replace("CRON_DRIVEN", "TIMER_DRIVEN"))
+    intercept[IllegalArgumentException](
+      graft.flow.FlowStreaming.runCron(spark, timerFlow, out.toString,
+        ckpt.toString, maxDrains = 1))
+  }
+
   test("flow-level back pressure: an explicit connection 'max work queue " +
        "size' becomes per-trigger admission control (SURVEY §2.10 mapping; " +
        "StructuredConnectionParser.cpp:74-84)") {
