@@ -173,13 +173,19 @@ object Bench {
                             tag: String, reps: Int = 16,
                             contentKey: String = ""): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-long-$tag"
-    stageOnce(out, docsDir + "|" + contentKey + s"|$reps|v2") {
+    stageOnce(out, docsDir + "|" + contentKey + s"|$reps|v3") {
       val base = spark.read.parquet(s"$docsDir/documents.parquet")
       val long = concat_ws(" ", (0 until reps).map { r =>
         regexp_replace(col("text"), "(\\S+)", "$1_" + r)
       }: _*)
       base.select(col("doc_id"), long.as("text"), col("lang"),
         col("source"), col("n_chars"))
+        // spread over 32 files: a staged corpus inherits its INPUT's file
+        // count otherwise (the sf fixture is one row group → the 1× long
+        // corpus exploded on ONE core while the x10 one, staged from 10
+        // unioned files, got 10 — the r14 pair measured parallelism, not
+        // data cost)
+        .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     }
     out

@@ -908,7 +908,7 @@ object SparkEntry {
     // unigram+bigram bag models, target = English docs, weight =
     // log p_target − log p_raw as order-independent integer micro-units
     "dsir_weights" -> ((s, dir) =>
-      Sampling.dsirWeights(tbl(s, dir, "documents"), col("doc_id"),
+      Sampling.dsirWeights(docsPar(s, dir), col("doc_id"),
         col("text"), col("lang") === "en")
         .select(col("docId").as("doc_id"),
           col("nGrams").cast("long").as("n_grams"),
@@ -919,7 +919,7 @@ object SparkEntry {
     // complete published algorithm end-to-end (weights feed straight into
     // the resampler)
     "dsir_resample" -> ((s, dir) => {
-      val w = Sampling.dsirWeights(tbl(s, dir, "documents"), col("doc_id"),
+      val w = Sampling.dsirWeights(docsPar(s, dir), col("doc_id"),
         col("text"), col("lang") === "en")
       Sampling.dsirResample(w, col("docId"), col("weightMicro"),
         k = 100, seed = "dsirres")
@@ -1009,7 +1009,7 @@ object SparkEntry {
     // — distributed window-count formulation): every token covered by a
     // duplicated 8-token window is removed; short docs survive intact
     "dedup_substrings" -> ((s, dir) =>
-      Dedup.dedupSubstrings(tbl(s, dir, "documents"), col("doc_id"),
+      Dedup.dedupSubstrings(docsPar(s, dir), col("doc_id"),
         col("text"), k = 8)
         .select(col("docId").as("doc_id"),
           col("nTokens").cast("long").as("n_tokens"),
@@ -1050,6 +1050,14 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
         nCentroids = 8, lloydIters = 2)
+        .orderBy("vec_id")),
+
+    // D4's second half (Tirumala 2023): drop the 30% most prototypical
+    // of each cluster — no pair comparisons at all, one broadcast
+    // assignment + one rank window per cluster
+    "dedup_prototypes" -> ((s, dir) =>
+      Similarity.prototypePrune(tbl(s, dir, "embeddings"),
+        dropFraction = 0.3, nCentroids = 8, lloydIters = 2)
         .orderBy("vec_id")),
 
     "embed_topk_ivf_trained" -> ((s, dir) => {
@@ -2379,20 +2387,18 @@ object SparkEntry {
       .mkString(", ")
   }
 
-  /** SemDeDup oracle: independently re-derives the full semDedup path in
-    * SQL — md5-ordered seed sample, TWO unrolled Lloyd rounds (integer
-    * means with TRUNCATING division, matching Spark's `DIV`; empty cells
-    * keep their centroid), rounded-cosine assignment with the
-    * (cos desc, cent asc) tie-break, then the within-cluster
-    * smaller-id-duplicate removal rule at threshold 0.3. */
-  private val SemDedupOracle: String = {
-    def cos(av: String, an: String, bv: String, bn: String): String =
-      s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
-        s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
-        s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6)"
+  /** Shared SQL plumbing for the k-means-family oracles (dedup_semantic,
+    * dedup_prototypes): md5-ordered seed sample, TWO unrolled Lloyd
+    * rounds (integer means with TRUNCATING division, matching Spark's
+    * `DIV` — DuckDB's floor-division `//` diverges on negative sums;
+    * empty cells keep their centroid), then a final rounded-cosine
+    * assignment with the (cos desc, cent asc) tie-break that ALSO
+    * carries each member's cosine to its own centroid. */
+  private def kmeansOracleSql(cos: (String, String, String, String) => String): String = {
     def assign(cents: String): String =
-      s"""(SELECT vec_id, qv, n2, cent FROM (
+      s"""(SELECT vec_id, qv, n2, cent, cs FROM (
          |  SELECT b.vec_id, b.qv, b.n2, c.cent,
+         |    ${cos("b.qv", "b.n2", "c.cq", "c.cn2")} AS cs,
          |    row_number() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${cos("b.qv", "b.n2", "c.cq", "c.cn2")} DESC, c.cent) AS rn
          |  FROM b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
@@ -2419,14 +2425,36 @@ object SparkEntry {
        |  FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
        |${lloydRound("c0", "r1")},
        |${lloydRound("r1_c", "r2")},
-       |af AS ${assign("r2_c")},
+       |af AS ${assign("r2_c")}""".stripMargin
+  }
+
+  private def kmeansCos(av: String, an: String, bv: String, bn: String): String =
+    s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
+      s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
+      s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6)"
+
+  /** SemDeDup oracle: the k-means plumbing above + the within-cluster
+    * smaller-id-duplicate removal rule at threshold 0.3. */
+  private val SemDedupOracle: String =
+    s"""${kmeansOracleSql(kmeansCos)},
        |rem AS (SELECT DISTINCT bb.vec_id FROM af a JOIN af bb
        |  ON a.cent = bb.cent AND a.vec_id < bb.vec_id
-       |  WHERE ${cos("a.qv", "a.n2", "bb.qv", "bb.n2")} >= 0.3)
+       |  WHERE ${kmeansCos("a.qv", "a.n2", "bb.qv", "bb.n2")} >= 0.3)
        |SELECT af.vec_id, af.cent AS cluster,
        |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
        |FROM af ORDER BY af.vec_id""".stripMargin
-  }
+
+  /** D4 prototype-pruning oracle: the k-means plumbing + per-cluster
+    * (cosine desc, id) ranking; the top dropFraction of each cluster —
+    * the most prototypical points — are dropped. */
+  private val PrototypeOracle: String =
+    s"""${kmeansOracleSql(kmeansCos)},
+       |rk AS (SELECT vec_id, cent, cs,
+       |  row_number() OVER (PARTITION BY cent ORDER BY cs DESC, vec_id) AS rnk,
+       |  count(*) OVER (PARTITION BY cent) AS sz FROM af)
+       |SELECT vec_id, cent AS cluster, cs AS proto,
+       |  rnk > CAST(floor(0.3 * sz) AS BIGINT) AS kept
+       |FROM rk ORDER BY vec_id""".stripMargin
 
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
     * exhaustive-probe configuration must reproduce this ranking exactly. */
@@ -3417,6 +3445,7 @@ object SparkEntry {
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "dedup_semantic" -> SemDedupOracle,
+    "dedup_prototypes" -> PrototypeOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

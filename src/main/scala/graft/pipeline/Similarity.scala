@@ -355,6 +355,55 @@ object Similarity {
         col("removed").isNull.as("kept"))
   }
 
+  /**
+   * SSL-prototype pruning — the second half of D4 (Tirumala et al. 2023,
+   * "D4: Improving LLM Pretraining via Document De-Duplication and
+   * Diversification", arXiv:2308.12284, building on Sorscher et al.
+   * 2022's SSL prototypes): k-means cluster the corpus, score each
+   * example by its cosine to its OWN cluster centroid (its
+   * "prototypicality"), and DROP the most prototypical fraction of each
+   * cluster — the points nearest the centroid carry the least marginal
+   * information, so pruning them diversifies the corpus. Composes with
+   * [[semDedup]] into the full D4 recipe (SemDeDup first, prototypes on
+   * the survivors).
+   *
+   * Deterministic like the rest of the family: shared [[trainCentroids]]
+   * substrate, cosines rounded to 6 digits, (cos desc, id asc) ranking —
+   * the keep rule is rank > floor(dropFraction · clusterSize), so ties
+   * resolve identically everywhere. Returns every vector with its
+   * cluster, prototypicality score, and `kept` flag.
+   *
+   * Scale shape: one broadcast centroid assignment (map-side), one
+   * rank-within-cluster window partitioned by the cluster id — no
+   * self-join at all (unlike the dedup half, nothing compares pairs);
+   * the window's per-partition state is a sort of that cluster's
+   * members, AQE-skew territory only if one cluster swallows the corpus,
+   * which the k-means objective itself resists.
+   */
+  def prototypePrune(corpus: DataFrame, dropFraction: Double,
+                     nCentroids: Int, lloydIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val centroids = trainCentroids(c, nCentroids, lloydIters)
+      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("best",
+        array_min(transform(col("cents"), x =>
+          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
+            col("cn"), x.getField("centn")), 6)).as("negCos"),
+            x.getField("cent").as("cent")))))
+      .select(col("cid"), col("best.cent").as("cluster"),
+        (-col("best.negCos")).as("proto"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    val ranked = assigned
+      .withColumn("rnk", row_number().over(
+        byCluster.orderBy(col("proto").desc, col("cid"))))
+      .withColumn("sz", count(lit(1)).over(byCluster))
+    ranked.select(col("cid").as("vec_id"), col("cluster"), col("proto"),
+      (col("rnk") > floor(lit(dropFraction) * col("sz"))).as("kept"))
+  }
+
   private def probeWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
                                  nProbe: Int,
                                  centroidRows: DataFrame): DataFrame = {

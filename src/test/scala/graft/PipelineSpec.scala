@@ -256,6 +256,44 @@ class PipelineSpec extends SparkSpec {
     assert(capped(0L) && capped(3L) && capped(5L))  // keepers never flip
   }
 
+  test("D4 prototype pruning drops the most-centroid-like fraction of " +
+       "each cluster, keeps outliers, is partition-independent " +
+       "(Tirumala 2023 arXiv:2308.12284)") {
+    // one tight family around +x whose most prototypical member is 0 (the
+    // exact axis) and whose least prototypical member is 3 (largest
+    // off-axis component); a second family around +y
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.06f, 0.0f)),
+      (3L, Array(0.8f, 0.3f, 0.3f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.02f, 0.0f)),
+      (5L, Array(0.02f, 1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.prototypePrune(emb, dropFraction = 0.5,
+      nCentroids = 2, lloydIters = 1)
+    val rows = out.collect()
+    assert(rows.length === 6)
+    val kept = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    val byCluster = rows.groupBy(_.getAs[String]("cluster"))
+    // every cluster keeps size - floor(0.5*size) members
+    byCluster.values.foreach { members =>
+      val expectKept = members.length - members.length / 2
+      assert(members.count(_.getAs[Boolean]("kept")) === expectKept)
+    }
+    // the least prototypical member of the x-family (doc 3) survives; in
+    // its 4-member cluster exactly the 2 most prototypical are dropped
+    assert(kept(3L))
+    // scores are cosines to the member's own centroid: within [−1, 1]
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("proto"); p >= -1.0 && p <= 1.0 })
+    // partition independence
+    val again = Similarity.prototypePrune(emb.repartition(5),
+      dropFraction = 0.5, nCentroids = 2, lloydIters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(again === kept)
+  }
+
   test("IVF top-k agrees with brute force when probing enough cells, and " +
        "is deterministic") {
     val emb = spark.createDataFrame(Seq(
