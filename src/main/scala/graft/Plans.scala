@@ -54,6 +54,11 @@ object Plans {
     show("salted", "dedup_minhash_lsh_salted")
     show("cfe2e", "curate_filters_e2e")
     show("dsub", "dedup_substrings")
+    show("dsirw", "dsir_weights")
+    show("dsirr", "dsir_resample")
+    show("semd", "dedup_semantic")
+    show("proto", "dedup_prototypes")
+    show("ltcp", "listen_tcp_frames")
     spark.stop()
   }
 }
