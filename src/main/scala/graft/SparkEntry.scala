@@ -1060,6 +1060,33 @@ object SparkEntry {
         dropFraction = 0.3, nCentroids = 8, lloydIters = 2)
         .orderBy("vec_id")),
 
+    // BPE tokenizer induction (Sennrich 2016): the corpus pass is ONE
+    // word-frequency agg; every merge round runs on the vocab-bounded
+    // distinct-word table with a single argmax row of driver metadata
+    "bpe_train" -> ((s, dir) => {
+      import graft.pipeline.Bpe
+      Bpe.train(docsPar(s, dir), col("text"), nMerges = 6)
+        .select(col("rank").cast("long").as("rank"), col("left_sym"),
+          col("right_sym"), col("pair_count"))
+        .orderBy("rank")
+    }),
+
+    // BPE tokenization: the learned merge table (6 rows of driver
+    // metadata) replays as a narrow chain of literal `replace`
+    // projections — pure codegen over the corpus, no shuffle, no join
+    "bpe_encode" -> ((s, dir) => {
+      import graft.pipeline.Bpe
+      val docs = docsPar(s, dir)
+      val merges = Bpe.train(docs, col("text"), nMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+      Bpe.encode(docs, col("doc_id"), col("text"), merges)
+        .select(col("docId"), size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy("docId")
+    }),
+
     "embed_topk_ivf_trained" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0), 5,
@@ -2456,6 +2483,78 @@ object SparkEntry {
        |  rnk > CAST(floor(0.3 * sz) AS BIGINT) AS kept
        |FROM rk ORDER BY vec_id""".stripMargin
 
+  /** The shared BPE merge-loop CTE chain: the wrapped symbol form
+    * `<a><b>`, weighted adjacent-pair counts, the (count desc, left,
+    * right) argmax, and the sequential left-to-right `replace` rewrite,
+    * one unrolled CTE round per merge (m{i}_b holds round i's winner). */
+  private def bpeRoundsCte(n: Int): String = {
+    def round(prev: String, a: String): String =
+      s"""${a}_p AS (
+         |  SELECT syms[i.i] AS l, syms[i.i+1] AS r, sum(freq) AS c
+         |  FROM (SELECT string_split(substr(sym, 2, len(sym)-2), '><') AS syms,
+         |        freq FROM $prev),
+         |       LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) i
+         |  GROUP BY 1, 2),
+         |${a}_b AS (SELECT l, r, c FROM ${a}_p ORDER BY c DESC, l, r LIMIT 1),
+         |${a} AS (SELECT replace(w.sym, '<'||b.l||'><'||b.r||'>',
+         |                        '<'||b.l||b.r||'>') AS sym, w.freq
+         |        FROM $prev w CROSS JOIN ${a}_b b)""".stripMargin
+    val rounds = (0 until n).map(i =>
+      round(if (i == 0) "w0" else s"m${i - 1}", s"m$i")).mkString(",\n")
+    s"""w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(
+       |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |w0 AS (SELECT '<' || array_to_string(string_split(word,''), '><') || '>'
+       |  AS sym, freq FROM w),
+       |$rounds""".stripMargin
+  }
+
+  /** BPE-training oracle: replays the full merge loop in SQL. */
+  private val BpeTrainOracle: String = {
+    val n = 6
+    val sel = (0 until n).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, l AS left_sym, " +
+        s"r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m${i}_b")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsCte(n)}
+       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
+  /** BPE-encode oracle: retrains the merge table via the shared CTE chain,
+    * then replays it per document as the same nested literal-`replace`
+    * chain the Spark encode path compiles to, applied word-by-word inside
+    * a list lambda (order-preserving, so the flattened token stream
+    * matches Spark's `flatten(transform(words, ...))` exactly). */
+  private val BpeEncodeOracle: String = {
+    val n = 6
+    val mtCols = (0 until n).map(i => s"m${i}_b.l AS l$i, m${i}_b.r AS r$i")
+      .mkString(", ")
+    val mtFrom = (0 until n).map(i => s"m${i}_b").mkString(", ")
+    val chain = (0 until n).foldLeft(
+      "'<' || array_to_string(string_split(w, ''), '><') || '>'") {
+      (acc, i) =>
+        s"replace($acc, '<'||mt.l$i||'><'||mt.r$i||'>', '<'||mt.l$i||mt.r$i||'>')"
+    }
+    s"""WITH ${bpeRoundsCte(n)},
+       |mt AS (SELECT $mtCols FROM $mtFrom)
+       |SELECT d.doc_id AS "docId",
+       |  CAST(len(flatten(list_transform(
+       |    list_filter(string_split(
+       |      regexp_replace(lower(d.text), '[^a-z ]', '', 'g'), ' '),
+       |      w -> w <> ''),
+       |    w -> string_split(trim($chain, '<>'), '><')))) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(flatten(list_transform(
+       |    list_filter(string_split(
+       |      regexp_replace(lower(d.text), '[^a-z ]', '', 'g'), ' '),
+       |      w -> w <> ''),
+       |    w -> string_split(trim($chain, '<>'), '><'))), ' ') AS toks
+       |FROM documents d CROSS JOIN mt
+       |ORDER BY "docId"""".stripMargin
+  }
+
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
     * exhaustive-probe configuration must reproduce this ranking exactly. */
   private val EmbedTopKOracle: String =
@@ -3446,6 +3545,8 @@ object SparkEntry {
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_prototypes" -> PrototypeOracle,
+    "bpe_train" -> BpeTrainOracle,
+    "bpe_encode" -> BpeEncodeOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -141,6 +141,46 @@ class PipelineSpec extends SparkSpec {
     assert(wiped.forall(_.getAs[Int]("nRemoved") === 10))
   }
 
+  test("BPE training learns the classic merge sequence and encode applies " +
+       "it greedily left-to-right (Sennrich 2016 arXiv:1508.07909)") {
+    import spark.implicits._
+    // 'ababab' dominates: first merge must be (a,b); second, with 'ab'
+    // now atomic, (ab,ab). Pair counts are per adjacent POSITION
+    // (Sennrich's get_stats counts overlaps: [ab,ab,ab] has two (ab,ab)
+    // positions) while the rewrite is greedy non-overlapping, so after
+    // merge 2 the word is [abab, ab] and (abab, ab)=5 still beats (c,d)=4
+    val corpus = Seq(
+      (1L, "ababab ababab ababab"),
+      (2L, "ababab ababab"),
+      (3L, "cdcd cdcd")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, col("text"), nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count")))
+    assert(merges(0) === (("a", "b", 15L)))     // 3 positions × 5 words
+    assert(merges(1) === (("ab", "ab", 10L)))   // 2 positions × 5 words
+    assert(merges(2) === (("abab", "ab", 5L)))
+    // encode replays the merges: 'ababab' -> [abab, ab]; unseen chars
+    // stay single symbols
+    val toks = Bpe.encode(corpus, col("doc_id"), col("text"),
+      Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+      .collect().map(r => r.getAs[Long]("docId") ->
+        r.getSeq[String](r.fieldIndex("tokens")).toList).toMap
+    assert(toks(1L) === Seq("abab", "ab", "abab", "ab", "abab", "ab"))
+    assert(toks(3L) === Seq("cd", "cd", "cd", "cd"))
+    val freeRow = Bpe.encode(Seq((9L, "xyz ab")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq(("a", "b")))
+      .collect().head
+    assert(freeRow.getSeq[String](freeRow.fieldIndex("tokens")).toList ===
+      Seq("x", "y", "z", "ab"))
+    // determinism across partitionings
+    val again = Bpe.train(corpus.repartition(4), col("text"), nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count")))
+    assert(again.toSeq === merges.toSeq)
+  }
+
   test("minhash LSH candidates include identical docs") {
     val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 8)
