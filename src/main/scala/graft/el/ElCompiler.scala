@@ -190,7 +190,12 @@ object ElCompiler {
 
   /** getDelimitedField (Expression.cpp:269-380): quote-aware field scan —
     * delimiters inside quoted regions don't split, even in the basic form;
-    * the optional 5th arg strips the quotes from the result. */
+    * the optional 5th arg strips quote/escape chars from the result.
+    * Reference quirk preserved (Expression.cpp:309-326): the escape char
+    * emits ITSELF (when not stripping) and then the following char is
+    * processed with full special meaning — there is no `continue` after
+    * the escape branch in the reference, so `\,` still splits the field
+    * and `\"` still toggles the quote state. */
   private val getDelimitedFieldUdf =
     udf((s: String, index: Int, delim: String, quote: String, esc: String,
          strip: Boolean) => {
@@ -199,22 +204,35 @@ object ElCompiler {
         val d = if (delim.nonEmpty) delim.charAt(0) else ','
         val q = if (quote.nonEmpty) quote.charAt(0) else '"'
         val e = if (esc.nonEmpty) esc.charAt(0) else '\\'
+        val n = s.length
         var field = 1
         var inQuote = false
-        var escaped = false
         val buf = new StringBuilder
         var i = 0
-        while (i < s.length && field <= index) {
-          val c = s.charAt(i)
-          if (escaped) {
-            if (field == index) buf.append(c); escaped = false
-          } else if (c == e) {
-            escaped = true; if (field == index && !strip) buf.append(c)
-          } else if (c == q) {
-            inQuote = !inQuote; if (field == index && !strip) buf.append(c)
-          } else if (c == d && !inQuote) {
-            field += 1
-          } else if (field == index) buf.append(c)
+        while (i < n && field <= index) {
+          var c = s.charAt(i)
+          var have = true
+          if (c == e) {
+            if (!strip && field == index) buf.append(e)
+            i += 1
+            if (i < n) c = s.charAt(i) else have = false
+          }
+          if (have) {
+            // per-state branch order matches the reference switch: in
+            // `value` the delimiter test precedes the quote test
+            if (!inQuote) {
+              if (c == d) field += 1
+              else if (c == q) {
+                inQuote = true
+                if (!strip && field == index) buf.append(q)
+              } else if (field == index) buf.append(c)
+            } else {
+              if (c == q) {
+                inQuote = false
+                if (!strip && field == index) buf.append(q)
+              } else if (field == index) buf.append(c)
+            }
+          }
           i += 1
         }
         buf.toString

@@ -71,6 +71,36 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:getDelimitedField(1)}", attrs) === "\"Jacobson, John\"")
   }
 
+  test("getDelimitedField 5-arg strip mode and the reference's escape " +
+       "fall-through quirk (ExpressionLanguageTests.cpp Get Delimited 2/3, " +
+       "Expression.cpp:309-326)") {
+    // Get Delimited 3: explicit delim/quote/escape + strip_chars=true
+    // unquotes the field ('\"' and '\\' are quoted-text escapes in the
+    // grammar, Parser.yy:146-148)
+    val attrs = Map("attr" -> "\"Jacobson, John\", 32, Mr.")
+    assert(eval("""${attr:getDelimitedField(1, ',', '\"', '\\', 'true')}""",
+      attrs) === "Jacobson, John")
+    assert(eval("""${attr:getDelimitedField(3, ',', '\"', '\\', 'true')}""",
+      attrs) === " Mr.")
+    // the reference escape branch has NO continue: the escape char emits
+    // itself (when not stripping) and the NEXT char keeps its special
+    // meaning — an escaped delimiter still splits the field...
+    assert(eval("${attr:getDelimitedField(1)}",
+      Map("attr" -> "a\\,b,c")) === "a\\")
+    assert(eval("${attr:getDelimitedField(2)}",
+      Map("attr" -> "a\\,b,c")) === "b")
+    // ...and an escaped quote still opens a quoted region, swallowing the
+    // delimiter after 'b' into field 1
+    assert(eval("${attr:getDelimitedField(1)}",
+      Map("attr" -> "a\\\"b,c")) === "a\\\"b,c")
+    assert(eval("""${attr:getDelimitedField(1, ',', '\"', '\\', 'true')}""",
+      Map("attr" -> "a\\\"b,c")) === "ab,c")
+    // trailing escape at end-of-input: emitted (not stripping), nothing
+    // follows (Expression.cpp:320-325 break)
+    assert(eval("${attr:getDelimitedField(1)}",
+      Map("attr" -> "ab\\")) === "ab\\")
+  }
+
   test("startsWith is case-sensitive (ExpressionLanguageTests.cpp:255-270)") {
     assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "A BRAND TEST")) === "false")
     assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "a brand new TEST")) === "true")
