@@ -928,6 +928,18 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // CCNet perplexity bucketing (Wenzek 2020, arXiv:1911.00359 §4.3):
+    // reference-trained bucketed bigram LM, per-doc cross-entropy in
+    // integer micro-nats, head/middle/tail tertiles on the reference
+    // score distribution
+    "perplexity_buckets" -> ((s, dir) =>
+      graft.pipeline.Perplexity.perplexityBuckets(docsPar(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")
+        .select(col("docId").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.875), 0.25, col("doc_id"), "mix1")
@@ -3349,6 +3361,44 @@ object SparkEntry {
         |   AS BIGINT) AS rank,
         | score_micro
         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
+
+    // CCNet bucketed-bigram LM replay: same md5 buckets, component-wise
+    // micro-rounded logs (the ln/round exposure dsir_weights carries
+    // green), collision clamp at 0, integer-division cross-entropy, and
+    // tertile cutpoints as multiset k-th smallest via integer rank
+    // conditions (3·rn ≤ n+2 ⇔ rn ≤ ceil(n/3))
+    "perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    ['<s>'] || string_split(text, ' ') AS arr,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, arr[i.i] AS ctx,
+        |         arr[i.i] || ' ' || arr[i.i + 1] AS g
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i
+        |),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS bg,
+        |    CAST(('0x' || substring(md5(ctx), 1, 6)) AS BIGINT) % 1024 AS bc
+        |  FROM g),
+        |cb AS (SELECT bg AS b, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang = 'en' GROUP BY bg),
+        |cc AS (SELECT bc AS b, CAST(round(ln(count(*) + 1024) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang = 'en' GROUP BY bc),
+        |term AS (SELECT bk.doc_id, bk.lang,
+        |    greatest(coalesce(cc.lp, CAST(round(ln(1024) * 1e6) AS BIGINT))
+        |      - coalesce(cb.lp, 0), 0) AS t
+        |  FROM bk LEFT JOIN cb ON bk.bg = cb.b LEFT JOIN cc ON bk.bc = cc.b),
+        |sc AS (SELECT doc_id, any_value(lang) AS lang,
+        |    CAST(count(*) AS BIGINT) AS n, sum(t) // count(*) AS ce
+        |  FROM term GROUP BY doc_id),
+        |ref AS (SELECT ce, row_number() OVER (ORDER BY ce) AS rn,
+        |    count(*) OVER () AS nn FROM sc WHERE lang = 'en'),
+        |th AS (SELECT max(CASE WHEN 3 * rn <= nn + 2 THEN ce END) AS t1,
+        |    max(CASE WHEN 3 * rn <= 2 * nn + 2 THEN ce END) AS t2 FROM ref)
+        |SELECT sc.doc_id, sc.n AS n_bigrams, CAST(sc.ce AS BIGINT) AS ce_micro,
+        |  CASE WHEN sc.ce <= th.t1 THEN 'head'
+        |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin,
 
     // by a power of two is exact in IEEE, so the cut-point compares are
     // bit-identical cross-engine

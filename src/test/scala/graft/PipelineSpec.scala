@@ -181,6 +181,37 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq === merges.toSeq)
   }
 
+  test("CCNet perplexity buckets: reference-like text scores head, " +
+       "out-of-distribution text tail (Wenzek 2020 arXiv:1911.00359 §4.3)") {
+    import spark.implicits._
+    // reference corpus = repeated in-distribution phrase; the crawl has
+    // one doc echoing it (should land head with the lowest ce) and one of
+    // unseen vocabulary (every bigram bucket unsmoothed-unseen -> tail)
+    val corpus = (1L to 6L).map(i => (i, "the cat sat on the mat", true)) ++
+      Seq((7L, "the cat sat on the mat", false),
+        (8L, "zq wx vk jj qq pp", false),
+        (9L, "the cat sat on the mat", false))
+    val out = Perplexity.perplexityBuckets(corpus.toDF("id", "text", "ref"),
+      col("id"), col("text"), col("ref"), buckets = 256)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("ce_micro"), r.getAs[String]("ppl_bucket")))).toMap
+    assert(out.size === 9)
+    // echo docs score identically to the reference docs and sit in head
+    assert(out(7L) === out(1L))
+    assert(out(7L)._2 === "head")
+    // unseen vocabulary pays the unsmoothed-bucket price: strictly worse
+    // ce than every reference doc, bucketed tail
+    assert(out(8L)._1 > out(1L)._1)
+    assert(out(8L)._2 === "tail")
+    // determinism across partitionings
+    val again = Perplexity.perplexityBuckets(
+      corpus.toDF("id", "text", "ref").repartition(7),
+      col("id"), col("text"), col("ref"), buckets = 256)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("ce_micro"), r.getAs[String]("ppl_bucket")))).toMap
+    assert(again === out)
+  }
+
   test("minhash LSH candidates include identical docs") {
     val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 8)
