@@ -73,8 +73,9 @@ object Bench {
     // is the bounded-state aggregation; per-gram work is linear
     "dsir_weights",
     // same bounded-LM design as dsir_weights (≤2·1024-row model, map-side
-    // lookup, one groupBy(doc)); per-bigram work is linear and the
-    // tertile heaps are reference-corpus-sized
+    // lookup, one groupBy(doc)); per-bigram work is linear, both LM
+    // histograms come from ONE reference pass, and the tertile cutpoints
+    // are one rank-condition job over the reference score histogram
     "perplexity_buckets",
     // corpus pass is one word-frequency agg; the 6 merge rounds run on
     // the distinct-word table (Zipf-bounded, grows sublinearly with the

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,14 +29,21 @@ import org.apache.spark.sql.functions._
  * cross-entropy is an integer division `sum div n` — every corpus-scale
  * sum is over longs, order-independent, bit-equal in any engine.
  *
- * Scale shape: one corpus-scale bigram explode (narrow, codegen'd), a
- * map-side partial count into ≤ 2·`buckets` rows, one groupBy(doc)
- * shuffle for the scores, and a TakeOrderedAndProject per tertile
- * threshold over the REFERENCE corpus's scores only. CCNet's reference
- * corpus (Wikipedia) is bounded — it does not grow with the crawl — so
- * the threshold heaps are reference-sized, never crawl-sized; at 100 TB
- * the thresholds are computed once and shipped as two scalars, exactly
- * like the paper's precomputed per-language cutoffs.
+ * Scale shape: ONE reference-scale bigram explode feeding BOTH histograms
+ * (each gram emits a tagged (bigram-bucket, context-bucket) pair and a
+ * single map-side partial count collapses them to ≤ 2·`buckets` rows in
+ * one job), then ONE corpus-scale explode for the scoring pass, whose
+ * per-document output is localCheckpoint'd so the returned frame never
+ * re-runs the explode. Tertile cutpoints come from a single
+ * rank-condition job over the score HISTOGRAM of the REFERENCE
+ * documents (k-th smallest = min value whose cumulative count reaches
+ * k; no data-derived `limit(k)`, so no Int ceiling and no k-sized
+ * per-partition heaps, and the cumulative window sorts per-value
+ * counts, never rows). CCNet's reference corpus (Wikipedia) is
+ * bounded — it does not grow with the crawl — so the histogram is
+ * reference-bounded metadata; at 100 TB the thresholds are computed
+ * once and shipped as two scalars, exactly like the paper's
+ * precomputed per-language cutoffs.
  */
 object Perplexity {
 
@@ -78,13 +86,20 @@ object Perplexity {
 
     // the LM: bigram-bucket and context-bucket histograms over the
     // REFERENCE grams only — ≤ 2·buckets rows of aggregate state no
-    // matter the corpus size, collected like DSIR's bucket table
-    val ref = grams.filter(col("isRef"))
-    val cb = ref.groupBy("bg").agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getAs[Long]("bg") -> microLog(r.getAs[Long]("c") + 1.0))
+    // matter the corpus size, collected like DSIR's bucket table.
+    // ONE pass: each reference gram emits a tagged pair and a single
+    // map-side partial count collapses both histograms in one job.
+    val hist = grams.filter(col("isRef"))
+      .select(explode(array(
+        struct(lit(true).as("isG"), col("bg").as("b")),
+        struct(lit(false).as("isG"), col("bc").as("b")))).as("p"))
+      .groupBy(col("p.isG").as("isG"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val cb = hist.iterator.filter(_.getAs[Boolean]("isG"))
+      .map(r => r.getAs[Long]("b") -> microLog(r.getAs[Long]("c") + 1.0))
       .toMap
-    val cc = ref.groupBy("bc").agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getAs[Long]("bc") ->
+    val cc = hist.iterator.filterNot(_.getAs[Boolean]("isG"))
+      .map(r => r.getAs[Long]("b") ->
         microLog(r.getAs[Long]("c") + buckets.toDouble))
       .toMap
     val lpbDefault = 0L                           // log(0 + 1)
@@ -98,23 +113,41 @@ object Perplexity {
     val lpc =
       if (cc.isEmpty) lit(lpcDefault)
       else coalesce(element_at(typedlit(cc), col("bc")), lit(lpcDefault))
+    // doc-level output is checkpointed so the corpus explode runs ONCE —
+    // both the tertile job and the returned frame read the checkpoint
     val scores = grams
       .select(col("docId"), col("isRef"), greatest(lpc - lpb, lit(0L)).as("t"))
       .groupBy("docId")
       .agg(first(col("isRef")).as("isRef"), count(lit(1)).as("n_bigrams"),
         expr("sum(t) div count(1)").as("ce_micro"))
-
-    // tertile cutpoints over the reference documents' scores: the k-th
-    // smallest is max-of-the-k-smallest — TakeOrderedAndProject (size-k
-    // heap per partition + bounded merge), never a global sort
-    val refScores = scores.filter(col("isRef")).select(col("ce_micro"))
       .localCheckpoint()
-    val n = refScores.count()
-    def kth(k: Long): Long =
-      refScores.orderBy(col("ce_micro")).limit(k.toInt)
-        .agg(max(col("ce_micro"))).collect()(0).getLong(0)
-    val t1 = kth((n + 2) / 3)
-    val t2 = kth((2 * n + 2) / 3)
+
+    // tertile cutpoints in ONE rank-condition job (k-th smallest = min
+    // value whose cumulative count reaches k; with k1 = ceil(n/3) and
+    // k2 = ceil(2n/3) the integer conditions are 3·cum ≥ n and
+    // 3·cum ≥ 2n — the oracle's rank formulation on the value axis).
+    // The cumulative window runs over the groupBy(ce_micro) HISTOGRAM,
+    // not the row stream: per-value counts are aggregate-state metadata
+    // (≤ |distinct scores| rows of the bounded reference corpus, the
+    // same class as packSequences' range totals), so the unpartitioned
+    // window sorts metadata, never row data. All counts are longs — no
+    // Int ceiling, no data-derived limit(k) heaps.
+    val wCum = Window.orderBy(col("ce_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("ce_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cuts = scores.filter(col("isRef"))
+      .groupBy("ce_micro").agg(count(lit(1)).as("cnt"))
+      .select(col("ce_micro"), sum(col("cnt")).over(wCum).as("cum"),
+        sum(col("cnt")).over(wAll).as("nn"))
+      .agg(coalesce(max(col("nn")), lit(0L)).as("n"),
+        min(when(lit(3) * col("cum") >= col("nn"), col("ce_micro"))).as("t1"),
+        min(when(lit(3) * col("cum") >= lit(2) * col("nn"), col("ce_micro"))).as("t2"))
+      .collect()(0)
+    require(cuts.getAs[Long]("n") > 0,
+      "perplexity bucketing needs a non-empty reference corpus")
+    val t1 = cuts.getAs[Long]("t1")
+    val t2 = cuts.getAs[Long]("t2")
 
     scores.select(col("docId"), col("n_bigrams"), col("ce_micro"),
       when(col("ce_micro") <= t1, "head")

@@ -212,6 +212,17 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("perplexity buckets: empty reference corpus fails fast, not NPE") {
+    import spark.implicits._
+    val crawlOnly = Seq((1L, "no reference here", false),
+      (2L, "still none", false)).toDF("id", "text", "ref")
+    val e = intercept[IllegalArgumentException] {
+      Perplexity.perplexityBuckets(crawlOnly, col("id"), col("text"),
+        col("ref"), buckets = 256).collect()
+    }
+    assert(e.getMessage.contains("non-empty reference corpus"))
+  }
+
   test("minhash LSH candidates include identical docs") {
     val sigs = Dedup.minHashSignatures(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 8)
