@@ -3562,13 +3562,14 @@ object SparkEntry {
         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Suffix-span removal re-derived relationally: duplicated 8-windows →
-    // per-doc position spans → NOT EXISTS coverage per token → re-join
+    // per-doc position spans → NOT EXISTS coverage per token → re-join.
+    // The key is the FULL md5 (the Spark side carries the same 128 bits
+    // as three longs) — exact, no truncation false positives
     "dedup_substrings" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents),
         |w AS (SELECT doc_id, g.i AS i,
-        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')),
-        |      1, 15)) AS BIGINT) AS h
+        |    md5(array_to_string(toks[g.i:g.i+7], ' ')) AS h
         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
         |    greatest(len(toks) - 7, 0))) AS i) g
         |  WHERE len(toks) >= 8),

@@ -28,12 +28,14 @@ object SubstrProbe {
       posexplode(when(size(col("toks")) >= k,
         graft.pipeline.Dedup.shingles(col("text"), k))
         .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
-      .select(col("docId"), col("pos"), md5(col("win")).as("h"))
+      .select(col("docId"), col("pos"),
+        conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("win")), 16, 15), 16, 10).cast("long").as("h2"))
     time("explode+md5")(wins.write.format("noop").mode("overwrite").save().asInstanceOf[Unit].hashCode().toLong)
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
+    val dup = wins.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h1", "h2")
     time("dup-agg")(dup.count())
-    time("span-join")(wins.join(dup, "h").count())
+    time("span-join")(wins.join(dup, Seq("h1", "h2")).count())
     time("full")(
       graft.pipeline.Dedup.dedupSubstrings(df, col("doc_id"), col("text"), k)
         .write.format("noop").mode("overwrite").save().asInstanceOf[Unit].hashCode().toLong)

@@ -316,24 +316,40 @@ object Dedup {
    * Returns (docId, nTokens, nRemoved, text) with the covered tokens cut
    * out and the remainder re-joined on single spaces.
    *
-   * Scale shape (re-profiled r14, SubstrProbe): the window explode is
-   * linear in corpus tokens and feeds ONE shuffle on a 60-bit window-hash
-   * LONG (md5-prefix, engine-portable; the first formulation shuffled
-   * 32-char md5 strings TWICE — once into a groupBy whose map-side
-   * partial collapses nothing on mostly-unique keys, once into the
-   * tag-back self-join that also recomputed the explode subtree — 2×
-   * the bytes and 2× the compute for the same answer). Duplicate
-   * detection is a count over the hash partition; the surviving
-   * positions MERGE into disjoint intervals before they ever become an
-   * array — a gaps-and-islands pass over the (docId, pos) window (a
-   * duplicated m-token run is m−k+1 overlapping windows that collapse
-   * to ONE interval, without which the per-token coverage test was
-   * O(tokens × windows) interpreted per doc). One groupBy(doc) gathers
-   * the few merged intervals; the final left join re-attaches them to
-   * the corpus; the per-token coverage test is a higher-order `exists`
-   * over the doc's OWN merged intervals — no self-join, no quadratic
-   * stage. A mass-duplicated window key lands in one hash partition;
-   * its count-only window is O(group) with constant state.
+   * Scale shape (re-profiled r14 SubstrProbe; detection REWORKED r15):
+   * the window explode is linear in corpus tokens. The key is a 120-bit
+   * md5 image carried as two longs (hex chars 1-15 and 16-30 — the r14
+   * 60-bit prefix would birthday-collide at the 100 TB design point's
+   * ~1e13 windows, falsely deleting on the order of 1e8 unique spans;
+   * at 120 bits the expected number of colliding PAIRS at 1e13 windows
+   * is n²/2^121 ≈ 4e-11, i.e. less than one false span per 10^10 full
+   * corpus runs — two fixed-width longs still shuffle tighter than the
+   * 32-char string and both engines convert 15 hex chars without
+   * overflow). Duplicate detection is the dedupSegments shape: a
+   * map-side-partial groupBy count over the key (a mass-duplicated
+   * window collapses to one row per map partition BEFORE the shuffle),
+   * the >1 keys joined back to the window stream — unhinted, so AQE
+   * broadcasts the dup-key set when it is small (2.7 MB at the sf0.1
+   * long-doc corpus's 169k dup keys) and skew-splits the probe
+   * partitions when it is not; the r14 `count().over(partitionBy(h))`
+   * funneled every copy of a hot hash through one reducer that AQE
+   * cannot split and that WindowExec must buffer — real crawls carry
+   * boilerplate spans duplicated 1e8+ times. Measured trade (QProbe,
+   * sf0.1 long-doc): the window formulation is ~1.2 s faster at this
+   * scale (1.8 vs 3.0 s — the agg pays a map-side hash table over
+   * mostly-unique keys plus a recomputed explode, both embarrassingly
+   * parallel), accepted for the un-funnelable detection; on the
+   * periodic-fill funnel corpus (8 keys × ~600k copies) both complete,
+   * but only this shape's hot-key cost stays splittable as copies grow.
+   * Surviving positions MERGE into disjoint intervals before they ever
+   * become an array — a gaps-and-islands pass over the (docId, pos)
+   * window (a duplicated m-token run is m−k+1 overlapping windows that
+   * collapse to ONE interval, without which the per-token coverage test
+   * was O(tokens × windows) interpreted per doc). One groupBy(doc)
+   * gathers the few merged intervals; the final left join re-attaches
+   * them to the corpus; the per-token coverage test is a higher-order
+   * `exists` over the doc's OWN merged intervals — no self-join, no
+   * quadratic stage.
    */
   def dedupSubstrings(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int = 50): DataFrame = {
@@ -343,18 +359,22 @@ object Dedup {
     // windows only exist for docs with >= k tokens (the shingle kernel's
     // whole-text fallback for short docs must NOT become a window here —
     // a duplicated short doc is not a duplicated k-token span)
+    val m = md5(col("win"))
     val wins = base
       .select(col("docId"),
         posexplode(when(size(col("toks")) >= k, shingles(col("text"), k))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
       .select(col("docId"), col("pos"),
-        conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long").as("h"))
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 16, 15), 16, 10).cast("long").as("h2"))
+    val dupKeys = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("dupC")).filter(col("dupC") > 1)
+      .select("h1", "h2")
     // two k-windows at positions p <= q cover a contiguous region iff
     // q - p <= k; a greater gap starts a new island
     val byDoc = Window.partitionBy("docId").orderBy("pos")
     val spans = wins
-      .withColumn("dupC", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("dupC") > 1)
+      .join(dupKeys, Seq("h1", "h2"))
       .withColumn("newIsland",
         when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
           lit(-(k + 1))) > k, 1).otherwise(0))
