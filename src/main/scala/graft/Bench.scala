@@ -472,6 +472,24 @@ object Bench {
     val semResults = Seq(
       "dedup_semantic" -> semDedupMin(sfDir, 8),
       "x10_dedup_semantic" -> semDedupMin(x10Dir, 80))
+    // Full D4 pair, same cluster-count scaling rule as the SemDeDup pair
+    // (k ∝ corpus per Abbas 2023 §3; the re-cluster phase scales with it)
+    def d4Once(dir: String, nC: Int): Unit =
+      graft.pipeline.Similarity.d4(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.3, dropFraction = 0.3, nCentroids = nC, lloydIters = 2)
+        .write.format("noop").mode("overwrite").save()
+    def d4Min(dir: String, nC: Int): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        try d4Once(dir, nC)
+        catch { case e: Throwable => System.err.println(s"[bench] d4: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    d4Once(warmDir, 8); d4Once(x10Dir, 80)
+    val d4Results = Seq(
+      "d4_e2e" -> d4Min(sfDir, 8),
+      "x10_d4_e2e" -> d4Min(x10Dir, 80))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -507,7 +525,8 @@ object Bench {
     // comparisons
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
     val qs = (results ++ skewResults ++ x10Results ++ longResults ++
-      substrSkewResults ++ semResults ++ streamResults ++ extraResults)
+      substrSkewResults ++ semResults ++ d4Results ++ streamResults ++
+      extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }

@@ -1072,6 +1072,14 @@ object SparkEntry {
         dropFraction = 0.3, nCentroids = 8, lloydIters = 2)
         .orderBy("vec_id")),
 
+    // The full D4 composition (Tirumala 2023 §2 — the paper's
+    // contribution IS the chain): SemDeDup, RE-cluster the survivors,
+    // prune the 30% most prototypical of each new cluster
+    "d4_e2e" -> ((s, dir) =>
+      Similarity.d4(tbl(s, dir, "embeddings"), threshold = 0.3,
+        dropFraction = 0.3, nCentroids = 8, lloydIters = 2)
+        .orderBy("vec_id")),
+
     // BPE tokenizer induction (Sennrich 2016): the corpus pass is ONE
     // word-frequency agg; every merge round runs on the vocab-bounded
     // distinct-word table with a single argmax row of driver metadata
@@ -2433,14 +2441,20 @@ object SparkEntry {
     * empty cells keep their centroid), then a final rounded-cosine
     * assignment with the (cos desc, cent asc) tie-break that ALSO
     * carries each member's cosine to its own centroid. */
-  private def kmeansOracleSql(cos: (String, String, String, String) => String): String = {
+  /** The k-means CTE chain with every CTE name prefixed by `pfx`, the
+    * base set given by `srcSql` (must yield (vec_id, qv)), and `k`
+    * seeds — so a second-phase Lloyd (the D4 re-cluster on SemDeDup
+    * survivors) can coexist with the first in one statement. */
+  private def kmeansCtes(pfx: String, srcSql: String, k: Int,
+                         cos: (String, String, String, String) => String): String = {
+    val b = s"${pfx}b"
     def assign(cents: String): String =
       s"""(SELECT vec_id, qv, n2, cent, cs FROM (
-         |  SELECT b.vec_id, b.qv, b.n2, c.cent,
-         |    ${cos("b.qv", "b.n2", "c.cq", "c.cn2")} AS cs,
-         |    row_number() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${cos("b.qv", "b.n2", "c.cq", "c.cn2")} DESC, c.cent) AS rn
-         |  FROM b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |  SELECT $b.vec_id, $b.qv, $b.n2, c.cent,
+         |    ${cos(s"$b.qv", s"$b.n2", "c.cq", "c.cn2")} AS cs,
+         |    row_number() OVER (PARTITION BY $b.vec_id
+         |      ORDER BY ${cos(s"$b.qv", s"$b.n2", "c.cq", "c.cn2")} DESC, c.cent) AS rn
+         |  FROM $b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     def lloydRound(prevCents: String, a: String): String =
       s"""${a} AS ${assign(prevCents)},
          |${a}_m AS (SELECT cent, pos,
@@ -2455,17 +2469,23 @@ object SparkEntry {
          |${a}_c AS (SELECT cent, cq,
          |  CAST(list_sum(list_transform(cq, x->x*x)) AS BIGINT) AS cn2
          |  FROM ${a}_c0)""".stripMargin
-    s"""WITH v AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |b AS (SELECT vec_id, qv,
-       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM v),
-       |c0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS cent, qv AS cq, n2 AS cn2
-       |  FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       |${lloydRound("c0", "r1")},
-       |${lloydRound("r1_c", "r2")},
-       |af AS ${assign("r2_c")}""".stripMargin
+    s"""${pfx}v AS ($srcSql),
+       |$b AS (SELECT vec_id, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM ${pfx}v),
+       |${pfx}c0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS cent, qv AS cq, n2 AS cn2
+       |  FROM $b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |${lloydRound(s"${pfx}c0", s"${pfx}r1")},
+       |${lloydRound(s"${pfx}r1_c", s"${pfx}r2")},
+       |${pfx}af AS ${assign(s"${pfx}r2_c")}""".stripMargin
   }
+
+  private val KmeansSrcSql: String =
+    """SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      |  FROM embeddings""".stripMargin
+
+  private def kmeansOracleSql(cos: (String, String, String, String) => String): String =
+    "WITH " + kmeansCtes("", KmeansSrcSql, 8, cos)
 
   private def kmeansCos(av: String, an: String, bv: String, bn: String): String =
     s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
@@ -2491,6 +2511,25 @@ object SparkEntry {
        |rk AS (SELECT vec_id, cent, cs,
        |  row_number() OVER (PARTITION BY cent ORDER BY cs DESC, vec_id) AS rnk,
        |  count(*) OVER (PARTITION BY cent) AS sz FROM af)
+       |SELECT vec_id, cent AS cluster, cs AS proto,
+       |  rnk > CAST(floor(0.3 * sz) AS BIGINT) AS kept
+       |FROM rk ORDER BY vec_id""".stripMargin
+
+  /** Full D4 oracle: the SemDeDup phase verbatim (threshold 0.3), then
+    * a SECOND prefixed Lloyd chain seeded from the md5-ordered
+    * SURVIVORS (the paper re-clusters the deduplicated pool), then the
+    * prototype ranking at dropFraction 0.3 over the phase-2 clusters. */
+  private val D4Oracle: String =
+    s"""${kmeansOracleSql(kmeansCos)},
+       |rem AS (SELECT DISTINCT bb.vec_id FROM af a JOIN af bb
+       |  ON a.cent = bb.cent AND a.vec_id < bb.vec_id
+       |  WHERE ${kmeansCos("a.qv", "a.n2", "bb.qv", "bb.n2")} >= 0.3),
+       |keep1 AS (SELECT vec_id FROM af
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),
+       |${kmeansCtes("p", "SELECT vec_id, qv FROM v WHERE vec_id IN (SELECT vec_id FROM keep1)", 8, kmeansCos)},
+       |rk AS (SELECT vec_id, cent, cs,
+       |  row_number() OVER (PARTITION BY cent ORDER BY cs DESC, vec_id) AS rnk,
+       |  count(*) OVER (PARTITION BY cent) AS sz FROM paf)
        |SELECT vec_id, cent AS cluster, cs AS proto,
        |  rnk > CAST(floor(0.3 * sz) AS BIGINT) AS kept
        |FROM rk ORDER BY vec_id""".stripMargin
@@ -3596,6 +3635,7 @@ object SparkEntry {
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_prototypes" -> PrototypeOracle,
+    "d4_e2e" -> D4Oracle,
     "bpe_train" -> BpeTrainOracle,
     "bpe_encode" -> BpeEncodeOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,

@@ -404,6 +404,35 @@ object Similarity {
       (col("rnk") > floor(lit(dropFraction) * col("sz"))).as("kept"))
   }
 
+  /**
+   * The full D4 recipe (Tirumala et al. 2023, arXiv:2308.12284 §2 — the
+   * paper's contribution IS this composition): [[semDedup]] at
+   * `threshold` first, then RE-cluster the survivors and drop the most
+   * prototypical `dropFraction` of each new cluster ([[prototypePrune]]).
+   * Returns the SemDeDup survivors with their phase-2 cluster,
+   * prototypicality, and final `kept` flag; examples SemDeDup removed
+   * are absent. (The paper then resamples the pruned pool — compose
+   * with [[Sampling.dsirResample]] on the joined document table when a
+   * text column is available; this operator stays in embedding space.)
+   *
+   * Scale shape: each phase keeps its own documented shape (cluster-
+   * confined pair join; broadcast assignment + rank window). The
+   * survivor set is localCheckpoint-staged between phases — the same
+   * write-between-passes discipline as `curate_filters_e2e` — because
+   * phase 2's Lloyd rounds consume it once per round; without the
+   * barrier every round would re-run the entire SemDeDup pair join.
+   */
+  def d4(corpus: DataFrame, threshold: Double, dropFraction: Double,
+         nCentroids: Int, lloydIters: Int = 2,
+         maxClusterSize: Int = 0): DataFrame = {
+    val sem = semDedup(corpus, threshold, nCentroids, lloydIters,
+      maxClusterSize)
+    val survivors = corpus
+      .join(sem.filter(col("kept")).select(col("vec_id")), "vec_id")
+      .localCheckpoint()
+    prototypePrune(survivors, dropFraction, nCentroids, lloydIters)
+  }
+
   private def probeWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
                                  nProbe: Int,
                                  centroidRows: DataFrame): DataFrame = {

@@ -376,6 +376,31 @@ class PipelineSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("D4 composition: SemDeDup survivors feed the prototype phase — " +
+       "removed near-dups are absent, the output equals prototypePrune " +
+       "run on the survivor set (Tirumala 2023 §2)") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.02f, 0.01f, 0.0f)),
+      (1L, Array(0.99f, 0.03f, 0.0f, 0.01f)),   // near-dup of 0 → removed
+      (2L, Array(1.0f, 0.0f, 0.02f, 0.02f)),    // near-dup of 0 → removed
+      (3L, Array(-0.01f, 1.0f, 0.02f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.0f, 0.03f)),    // near-dup of 3 → removed
+      (5L, Array(0.0f, 0.01f, -1.0f, 0.4f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.d4(emb, threshold = 0.9, dropFraction = 0.5,
+      nCentroids = 2, lloydIters = 1).collect()
+    // phase 1 removed 1, 2, 4 (the SemDeDup test's exact outcome)
+    assert(out.map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(0L, 3L, 5L))
+    // identical to running the prototype phase directly on the survivors
+    val direct = Similarity.prototypePrune(
+      emb.filter(col("vec_id").isin(0L, 3L, 5L)), dropFraction = 0.5,
+      nCentroids = 2, lloydIters = 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("kept"))).toMap
+    assert(out.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Boolean]("kept"))).toMap === direct)
+  }
+
   test("IVF top-k agrees with brute force when probing enough cells, and " +
        "is deterministic") {
     val emb = spark.createDataFrame(Seq(
