@@ -77,8 +77,9 @@ object Bench {
     // histograms come from ONE reference pass, and the tertile cutpoints
     // are one rank-condition job over the reference score histogram
     "perplexity_buckets",
-    // corpus pass is one word-frequency agg; the 6 merge rounds run on
-    // the distinct-word table (Zipf-bounded, grows sublinearly with the
+    // corpus pass is one word-frequency agg; the merge rounds (64
+    // merges in 8 batched-greedy rounds since r15) run on the
+    // distinct-word table (Zipf-bounded, grows sublinearly with the
     // corpus) — wall should track the corpus scan, not the loop
     "bpe_train",
     // D4 prototype pruning: broadcast assignment + rank window per

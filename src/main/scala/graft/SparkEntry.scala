@@ -1083,9 +1083,12 @@ object SparkEntry {
     // BPE tokenizer induction (Sennrich 2016): the corpus pass is ONE
     // word-frequency agg; every merge round runs on the vocab-bounded
     // distinct-word table with a single argmax row of driver metadata
+    // 64 merges in 8 batched-greedy rounds (maxBatch = 8): real-vocab
+    // shape — one pair-count job per ROUND, not per merge; the oracle
+    // replays the same K-bounded greedy selection
     "bpe_train" -> ((s, dir) => {
       import graft.pipeline.Bpe
-      Bpe.train(docsPar(s, dir), col("text"), nMerges = 6)
+      Bpe.train(docsPar(s, dir), col("text"), nMerges = 64, maxBatch = 8)
         .select(col("rank").cast("long").as("rank"), col("left_sym"),
           col("right_sym"), col("pair_count"))
         .orderBy("rank")
@@ -2562,15 +2565,77 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  /** BPE-training oracle: replays the full merge loop in SQL. */
+  /** Batched-greedy BPE rounds (mirrors Bpe.train with maxBatch > 1):
+    * per round one pair count, a top-(batch·16) ranked candidate window,
+    * `batch` greedy selections each excluding symbols taken earlier in
+    * the round, and one rewrite applying the round's picks in rank
+    * order. Empty selections (exhausted window) contribute no merge row
+    * and leave the vocabulary untouched (the CASE guard). */
+  private def bpeBatchedRoundsCte(n: Int, batch: Int): String = {
+    val k = batch * graft.pipeline.Bpe.CandidateFactor
+    val rounds = (n + batch - 1) / batch
+    def round(b: Int, prev: String): String = {
+      val want = math.min(batch, n - b * batch)
+      val kCte =
+        s"""bb${b}_k AS MATERIALIZED (SELECT l, r, c, rn FROM (
+           |  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rn
+           |  FROM (SELECT syms[i.i] AS l, syms[i.i+1] AS r, sum(freq) AS c
+           |    FROM (SELECT string_split(substr(sym, 2, len(sym)-2), '><') AS syms,
+           |          freq FROM $prev),
+           |         LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) i
+           |    GROUP BY 1, 2)) WHERE rn <= $k)""".stripMargin
+      val sels = (1 to want).map { j =>
+        val excl =
+          if (j == 1) ""
+          else {
+            val prevSyms = (1 until j).flatMap(p =>
+              Seq(s"SELECT l AS s FROM bb${b}_s$p", s"SELECT r AS s FROM bb${b}_s$p"))
+              .mkString(" UNION ALL ")
+            s" WHERE l NOT IN (SELECT s FROM ($prevSyms))" +
+              s" AND r NOT IN (SELECT s FROM ($prevSyms))"
+          }
+        s"bb${b}_s$j AS MATERIALIZED (SELECT l, r, c, rn FROM bb${b}_k$excl ORDER BY rn LIMIT 1)"
+      }
+      val selCols = (1 to want).map(j =>
+        s"(SELECT max(l) FROM bb${b}_s$j) AS l$j, " +
+          s"(SELECT max(r) FROM bb${b}_s$j) AS r$j").mkString(", ")
+      val selCte = s"bb${b}_sel AS MATERIALIZED (SELECT $selCols)"
+      val chain = (1 to want).foldLeft("w.sym") { (acc, j) =>
+        s"CASE WHEN s.l$j IS NULL THEN $acc ELSE " +
+          s"replace($acc, '<'||s.l$j||'><'||s.r$j||'>', '<'||s.l$j||s.r$j||'>') END"
+      }
+      val rewrite =
+        s"""bb$b AS MATERIALIZED (SELECT $chain AS sym, w.freq
+           |  FROM $prev w CROSS JOIN bb${b}_sel s)""".stripMargin
+      (Seq(kCte) ++ sels ++ Seq(selCte, rewrite)).mkString(",\n")
+    }
+    val roundCtes = (0 until rounds).map(b =>
+      round(b, if (b == 0) "w0" else s"bb${b - 1}")).mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(
+       |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT '<' || array_to_string(string_split(word,''), '><') || '>'
+       |  AS sym, freq FROM w),
+       |$roundCtes""".stripMargin
+  }
+
+  /** BPE-training oracle: replays the batched-greedy merge loop in SQL
+    * (nMerges = 64, maxBatch = 8 — the registered query's config). */
   private val BpeTrainOracle: String = {
-    val n = 6
-    val sel = (0 until n).map(i =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, l AS left_sym, " +
-        s"r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m${i}_b")
-      .mkString(" UNION ALL ")
-    s"""WITH ${bpeRoundsCte(n)}
-       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+    val n = 64
+    val batch = 8
+    val rounds = (n + batch - 1) / batch
+    val sel = (0 until rounds).flatMap { b =>
+      val want = math.min(batch, n - b * batch)
+      (1 to want).map(j =>
+        s"SELECT $b AS b, $j AS j, l, r, c FROM bb${b}_s$j")
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeBatchedRoundsCte(n, batch)}
+       |SELECT CAST(row_number() OVER (ORDER BY b, j) AS BIGINT) AS rank,
+       |  l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count
+       |FROM ($sel) ORDER BY rank""".stripMargin
   }
 
   /** BPE-encode oracle: retrains the merge table via the shared CTE chain,

@@ -57,51 +57,123 @@ object Bpe {
         .as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
 
-  /** The learned merge table: (rank, left_sym, right_sym, pair_count) for
-    * the nMerges most frequent adjacent symbol pairs, each applied to the
-    * vocabulary before the next is counted. */
-  def train(df: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+  /** Candidate window per batch round: both engines pick greedily from
+    * the top `maxBatch * CandidateFactor` ranked pairs, so the selection
+    * is identical however deep the conflict skips go. */
+  private[graft] val CandidateFactor = 16
+
+  /**
+   * The learned merge table: (rank, left_sym, right_sym, pair_count) for
+   * the `nMerges` most frequent adjacent symbol pairs, each applied to
+   * the vocabulary before the next is counted.
+   *
+   * `maxBatch` > 1 runs the batched-greedy variant — the standard
+   * distributed-trainer device for real vocabulary sizes (a 32k-merge
+   * GPT-2-class vocabulary cannot afford one driver-synchronized job
+   * pair PER merge): each of the ceil(nMerges/maxBatch) rounds counts
+   * pairs ONCE, ranks the top `maxBatch · 16` candidates, and greedily
+   * takes up to `maxBatch` pairs that share NO symbol with an
+   * earlier-taken pair of the same batch (symbol-disjoint pairs have
+   * non-interfering occurrences, so their batch-start counts are exact
+   * and in-batch application order cannot matter). The DOCUMENTED
+   * deviation from strictly-sequential Sennrich training: a symbol
+   * created in round b cannot merge again until round b+1, even if the
+   * new pair would outrank the batch's remaining picks — maxBatch = 1
+   * recovers the sequential algorithm exactly. The candidate window is
+   * part of the contract (both the Spark side and the SQL oracle pick
+   * from the same top-(maxBatch·16) ranked list, so conflict skips
+   * resolve identically); a round that exhausts the window short of
+   * `maxBatch` simply picks fewer, and ranks stay consecutive.
+   */
+  def train(df: DataFrame, textCol: Column, nMerges: Int,
+            maxBatch: Int = 1): DataFrame = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     var syms = wordTable(df, textCol)
       .select(wrap(col("word")).as("sym"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (i <- 0 until nMerges) {
-      val best = adjacentPairs(syms)
+    var done = 0
+    val rounds = (nMerges + maxBatch - 1) / maxBatch
+    var round = 0
+    var exhausted = false
+    while (round < rounds && done < nMerges && !exhausted) {
+      val want = math.min(maxBatch, nMerges - done)
+      val ranked = adjacentPairs(syms)
         .groupBy("l", "r").agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((i + 1, l, r, c))
-        syms = syms.select(
-          expr(s"replace(sym, '<$l><$r>', '<$l$r>')").as("sym"), col("freq"))
-          .localCheckpoint()
+        .limit(maxBatch * CandidateFactor).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picks = Seq.newBuilder[(String, String, Long)]
+      var taken = 0
+      ranked.iterator.takeWhile(_ => taken < want).foreach { r =>
+        val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (!used(l) && !used(rt)) {
+          picks += ((l, rt, c)); used += l; used += rt; taken += 1
+        }
       }
+      val batch = picks.result()
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.foreach { case (l, r, c) =>
+          done += 1; merges += ((done, l, r, c))
+        }
+        val rewritten = batch.foldLeft(col("sym")) { case (acc, (l, r, _)) =>
+          call_function("replace", acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+        }
+        syms = syms.select(rewritten.as("sym"), col("freq")).localCheckpoint()
+      }
+      round += 1
     }
     import spark.implicits._
     merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Above this merge count the replay switches from a literal-`replace`
+    * expression chain to a closure UDF: a real vocabulary's 32k merges
+    * as nested expressions would blow the generated-code constant pool
+    * and method limits long before codegen could compile them. */
+  private[pipeline] val MaxExprMerges = 64
+
   /** Apply an ordered merge list to tokenize text: words re-wrap to char
-    * symbols, each merge replays in rank order (a narrow chain of literal
-    * `replace` projections — pure codegen, no shuffle), and the symbol
-    * sequences come back as token arrays. `merges` is (left, right) in
-    * rank order — the driver-bounded metadata [[train]] produces. */
+    * symbols, each merge replays in rank order, and the symbol sequences
+    * come back as token arrays. `merges` is (left, right) in rank order —
+    * the driver-bounded metadata [[train]] produces. Up to
+    * [[MaxExprMerges]] merges the replay is a narrow chain of literal
+    * `replace` projections (pure codegen, no shuffle); beyond that it is
+    * ONE deterministic closure UDF over the word array (`String.replace`
+    * has the same leftmost-non-overlapping literal semantics as the SQL
+    * function, so both paths produce identical tokens — the expression
+    * tree stays O(1) however large the vocabulary). */
   def encode(df: DataFrame, idCol: Column, textCol: Column,
              merges: Seq[(String, String)]): DataFrame = {
-    def chain(c: Column): Column =
-      merges.foldLeft(c) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
-      }
     val words = filter(
       split(regexp_replace(lower(textCol), "[^a-z ]", ""), " "),
       w => w =!= "")
-    val toks = flatten(transform(words, w => {
-      val sym = chain(concat(lit("<"), array_join(split(w, ""), "><"), lit(">")))
-      split(sym.substr(lit(2), length(sym) - 2), "><")
-    }))
+    val toks =
+      if (merges.size <= MaxExprMerges) {
+        def chain(c: Column): Column =
+          merges.foldLeft(c) { case (acc, (l, r)) =>
+            call_function("replace", acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+          }
+        flatten(transform(words, w => {
+          val sym = chain(concat(lit("<"), array_join(split(w, ""), "><"), lit(">")))
+          split(sym.substr(lit(2), length(sym) - 2), "><")
+        }))
+      } else {
+        val table = merges.map { case (l, r) => (s"<$l><$r>", s"<$l$r>") }.toArray
+        val enc = udf { (ws: Seq[String]) =>
+          ws.flatMap { w =>
+            var s = "<" + w.split("").mkString("><") + ">"
+            var i = 0
+            while (i < table.length) {
+              s = s.replace(table(i)._1, table(i)._2); i += 1
+            }
+            s.substring(1, s.length - 1).split("><").toSeq
+          }
+        }
+        enc(words)
+      }
     df.select(idCol.as("docId"), toks.as("tokens"))
   }
 }

@@ -181,6 +181,49 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq === merges.toSeq)
   }
 
+  test("BPE batched-greedy training: symbol-disjoint picks per round, " +
+       "conflicting pairs deferred; equals sequential when batches " +
+       "don't interfere") {
+    import spark.implicits._
+    // two independent dominant families — (a,b) and (c,d) share no
+    // symbols, so a batch of 2 picks both in one round and the result
+    // equals two sequential rounds exactly
+    val corpus = Seq(
+      (1L, "abab abab abab"),
+      (2L, "cdcd cdcd")).toDF("doc_id", "text")
+    def tab(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    val seqT = tab(Bpe.train(corpus, col("text"), nMerges = 2))
+    val batT = tab(Bpe.train(corpus, col("text"), nMerges = 2, maxBatch = 2))
+    assert(batT.toSeq === seqT.toSeq)
+    // a batch whose 2nd-RANKED pair CONFLICTS with the 1st: 'ababab'
+    // counts (a,b)=9 and (b,a)=6, 'cd' only 4 — the greedy scan must
+    // skip (b,a) (shares both symbols with the first pick) and take the
+    // next disjoint pair (c,d) to fill the batch
+    val corpus2 = Seq(
+      (1L, "ababab ababab ababab"),
+      (2L, "cd cd cd cd")).toDF("doc_id", "text")
+    val bat2 = tab(Bpe.train(corpus2, col("text"), nMerges = 2, maxBatch = 2))
+    assert(bat2(0)._2 === "a" && bat2(0)._3 === "b")
+    assert(bat2(1)._2 === "c" && bat2(1)._3 === "d")
+  }
+
+  test("BPE encode at a 1000-merge table: the chunked UDF path compiles, " +
+       "runs, and matches the literal-chain path on the effective merges") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ababab xyz"), (2L, "cdcd ab")).toDF("doc_id", "text")
+    val real = Seq(("a", "b"), ("ab", "ab"), ("c", "d"))
+    // pad with merges that can never fire (symbols outside the corpus)
+    val padded = real ++ (1 to 997).map(i => (s"q$i", s"z$i"))
+    assert(padded.size === 1000)
+    def toks(ms: Seq[(String, String)]) =
+      Bpe.encode(corpus, col("doc_id"), col("text"), ms)
+        .collect().map(r => r.getAs[Long]("docId") ->
+          r.getSeq[String](r.fieldIndex("tokens")).toList).toMap
+    assert(toks(padded) === toks(real))
+  }
+
   test("CCNet perplexity buckets: reference-like text scores head, " +
        "out-of-distribution text tail (Wenzek 2020 arXiv:1911.00359 §4.3)") {
     import spark.implicits._
