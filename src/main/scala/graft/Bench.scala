@@ -93,8 +93,11 @@ object Bench {
     * 142 vs 1433 survivors, inverted wall times). Its map-side prefix
     * (curate_filters_map: per-doc keep flags, no dedup) does the same
     * per-row work regardless of content, so THAT row carries the scale
-    * pair in the x10 set. */
-  val extra: Seq[String] = Seq("curate_filters_e2e")
+    * pair in the x10 set. ccnet_e2e is content-sensitive the same way
+    * (the consonant rotation strips the LID marker tokens, emptying the
+    * predicted-en set at x10), so it is measured uniform-only too; its
+    * stages' scale pairs live in dedup_segments and perplexity_buckets. */
+  val extra: Seq[String] = Seq("curate_filters_e2e", "ccnet_e2e")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

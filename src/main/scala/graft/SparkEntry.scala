@@ -940,6 +940,33 @@ object SparkEntry {
           col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
         .orderBy("doc_id")),
 
+    // The full CCNet pipeline (Wenzek 2020 arXiv:1911.00359 Fig. 1, the
+    // paper's order): segment dedup FIRST (boilerplate confuses LID),
+    // marker LID on the DEDUPED text, then the bucketed-bigram LM
+    // buckets the predicted-en docs against the trusted (fixture
+    // lang='en') reference. The LID+reference-joined survivor set is
+    // localCheckpoint-staged — the perplexity phase consumes its input
+    // several times (histogram pass + scoring pass), and without the
+    // barrier each would re-run the two dedup shuffles.
+    "ccnet_e2e" -> ((s, dir) => {
+      val deduped = Dedup.dedupSegments(docsPar(s, dir), col("doc_id"),
+        Dedup.wordWindows(col("text"), 20))
+      val lid = deduped.select(col("docId"), col("text"),
+        TextAnalysis.languageId(col("text"), Seq(
+          "en" -> Seq("the"), "es" -> Seq("data"),
+          "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"))
+      val en = lid.filter(col("lang_pred") === "en")
+        .join(tbl(s, dir, "documents")
+          .select(col("doc_id").as("docId"), col("lang")), "docId")
+        .localCheckpoint()
+      graft.pipeline.Perplexity.perplexityBuckets(en, col("docId"),
+        col("text"), col("lang") === "en")
+        .select(col("docId").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), col("source"),
         Map("src0" -> 0.5, "src1" -> 0.875), 0.25, col("doc_id"), "mix1")
@@ -2490,6 +2517,45 @@ object SparkEntry {
   private def kmeansOracleSql(cos: (String, String, String, String) => String): String =
     "WITH " + kmeansCtes("", KmeansSrcSql, 8, cos)
 
+  /** The CCNet perplexity-bucketing CTE chain over a (doc_id, lang, text)
+    * source — shared by the standalone `perplexity_buckets` oracle
+    * (src = documents) and the composed `ccnet_e2e` oracle (src = the
+    * deduped, LID-filtered set). */
+  private def PplChain(src: String): String =
+    s"""t AS (SELECT doc_id, lang,
+       |    ['<s>'] || string_split(text, ' ') AS arr,
+       |    len(string_split(text, ' ')) AS nt FROM $src),
+       |g AS (
+       |  SELECT doc_id, lang, arr[i.i] AS ctx,
+       |         arr[i.i] || ' ' || arr[i.i + 1] AS g
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i
+       |),
+       |bk AS (SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS bg,
+       |    CAST(('0x' || substring(md5(ctx), 1, 6)) AS BIGINT) % 1024 AS bc
+       |  FROM g),
+       |cb AS (SELECT bg AS b, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lp
+       |  FROM bk WHERE lang = 'en' GROUP BY bg),
+       |cc AS (SELECT bc AS b, CAST(round(ln(count(*) + 1024) * 1e6) AS BIGINT) AS lp
+       |  FROM bk WHERE lang = 'en' GROUP BY bc),
+       |term AS (SELECT bk.doc_id, bk.lang,
+       |    greatest(coalesce(cc.lp, CAST(round(ln(1024) * 1e6) AS BIGINT))
+       |      - coalesce(cb.lp, 0), 0) AS t
+       |  FROM bk LEFT JOIN cb ON bk.bg = cb.b LEFT JOIN cc ON bk.bc = cc.b),
+       |sc AS (SELECT doc_id, any_value(lang) AS lang,
+       |    CAST(count(*) AS BIGINT) AS n, sum(t) // count(*) AS ce
+       |  FROM term GROUP BY doc_id),
+       |ref AS (SELECT ce, row_number() OVER (ORDER BY ce) AS rn,
+       |    count(*) OVER () AS nn FROM sc WHERE lang = 'en'),
+       |th AS (SELECT max(CASE WHEN 3 * rn <= nn + 2 THEN ce END) AS t1,
+       |    max(CASE WHEN 3 * rn <= 2 * nn + 2 THEN ce END) AS t2 FROM ref)""".stripMargin
+
+  private val PplSelect: String =
+    """SELECT sc.doc_id, sc.n AS n_bigrams, CAST(sc.ce AS BIGINT) AS ce_micro,
+      |  CASE WHEN sc.ce <= th.t1 THEN 'head'
+      |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+      |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin
+
   private def kmeansCos(av: String, an: String, bv: String, bn: String): String =
     s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
       s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
@@ -3472,37 +3538,46 @@ object SparkEntry {
     // tertile cutpoints as multiset k-th smallest via integer rank
     // conditions (3·rn ≤ n+2 ⇔ rn ≤ ceil(n/3))
     "perplexity_buckets" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |    ['<s>'] || string_split(text, ' ') AS arr,
-        |    len(string_split(text, ' ')) AS nt FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang, arr[i.i] AS ctx,
-        |         arr[i.i] || ' ' || arr[i.i + 1] AS g
-        |  FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i
-        |),
-        |bk AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS bg,
-        |    CAST(('0x' || substring(md5(ctx), 1, 6)) AS BIGINT) % 1024 AS bc
-        |  FROM g),
-        |cb AS (SELECT bg AS b, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lp
-        |  FROM bk WHERE lang = 'en' GROUP BY bg),
-        |cc AS (SELECT bc AS b, CAST(round(ln(count(*) + 1024) * 1e6) AS BIGINT) AS lp
-        |  FROM bk WHERE lang = 'en' GROUP BY bc),
-        |term AS (SELECT bk.doc_id, bk.lang,
-        |    greatest(coalesce(cc.lp, CAST(round(ln(1024) * 1e6) AS BIGINT))
-        |      - coalesce(cb.lp, 0), 0) AS t
-        |  FROM bk LEFT JOIN cb ON bk.bg = cb.b LEFT JOIN cc ON bk.bc = cc.b),
-        |sc AS (SELECT doc_id, any_value(lang) AS lang,
-        |    CAST(count(*) AS BIGINT) AS n, sum(t) // count(*) AS ce
-        |  FROM term GROUP BY doc_id),
-        |ref AS (SELECT ce, row_number() OVER (ORDER BY ce) AS rn,
-        |    count(*) OVER () AS nn FROM sc WHERE lang = 'en'),
-        |th AS (SELECT max(CASE WHEN 3 * rn <= nn + 2 THEN ce END) AS t1,
-        |    max(CASE WHEN 3 * rn <= 2 * nn + 2 THEN ce END) AS t2 FROM ref)
-        |SELECT sc.doc_id, sc.n AS n_bigrams, CAST(sc.ce AS BIGINT) AS ce_micro,
-        |  CASE WHEN sc.ce <= th.t1 THEN 'head'
-        |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-        |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin,
+      s"""WITH ${PplChain("documents")}
+         |$PplSelect""".stripMargin,
+
+    // The full CCNet pipeline (Wenzek 2020 arXiv:1911.00359 Fig. 1, in
+    // the paper's order): paragraph/segment dedup FIRST (boilerplate
+    // confuses LID), then language identification on the DEDUPED text,
+    // then LM perplexity bucketing of the predicted-en docs against the
+    // trusted (fixture lang='en') reference
+    "ccnet_e2e" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text,' ') AS words
+         |  FROM documents),
+         |segi AS (SELECT doc_id, words,
+         |  unnest(generate_series(0,
+         |    CAST(ceil(len(words)/20.0) AS INT)-1)) AS i
+         |  FROM docs),
+         |seg AS (SELECT doc_id, i,
+         |  array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s
+         |  FROM segi),
+         |keep AS (SELECT doc_id, i, s,
+         |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+         |  FROM seg),
+         |dd AS (SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS text
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+         |sco AS (SELECT doc_id, text,
+         | (length(text)-length(replace(text,' the ','')))//5 AS s_en,
+         | (length(text)-length(replace(text,' data ','')))//6 AS s_es,
+         | (length(text)-length(replace(text,' join ','')))//6 AS s_de,
+         | (length(text)-length(replace(text,' merge ','')))//7 AS s_fr
+         | FROM dd),
+         |lid AS (SELECT doc_id, text, CASE
+         | WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+         | WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+         | WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+         | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+         | ELSE 'und' END AS lang_pred
+         |FROM sco),
+         |en AS (SELECT l.doc_id, l.text, d.lang FROM lid l
+         |  JOIN documents d USING (doc_id) WHERE l.lang_pred = 'en'),
+         |${PplChain("en")}
+         |$PplSelect""".stripMargin,
 
     // by a power of two is exact in IEEE, so the cut-point compares are
     // bit-identical cross-engine
