@@ -232,6 +232,24 @@ object Bench {
     out
   }
 
+  /** Degenerate-cluster embedding corpus (see the skew_dedup_semantic
+    * rows in main): 70% of vectors become ONE exact direction. */
+  private[graft] def stageEmbSkew(spark: SparkSession, sfDir: String,
+                                  tag: String = ""): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-embskew$tag"
+    stageOnce(out, sfDir) {
+      val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("size(embedding) AS d").head().getInt(0)
+      val hot = array((0 until dim).map(i =>
+        lit(if (i == 0) 1.0f else 0.001f * i)): _*)
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("embedding",
+          when(col("vec_id") % 10 < 7, hot).otherwise(col("embedding")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   /**
    * Stage a multi-file log corpus for the streaming row from a directory's
    * documents table: each document becomes a `<doc_id>`-headed message
@@ -494,6 +512,47 @@ object Bench {
     val d4Results = Seq(
       "d4_e2e" -> d4Min(sfDir, 8),
       "x10_d4_e2e" -> d4Min(x10Dir, 80))
+    // Degenerate-cluster contrast pair (r15, mirroring the capped LSH
+    // pair): 70% of the corpus becomes ONE exact direction — identical
+    // quantized vectors score identical cosines to every centroid and
+    // the (negCos, cent) tie-break sends the whole mass to one cluster,
+    // so the uncapped within-cluster pair join is quadratic over 70% of
+    // the corpus while the md5-pivot cap bounds it at 64·|cluster|.
+    // Both measured; the capped row is the one that must hold the band.
+    // staged from the x10 embeddings (20k vectors at sf0.1): at the 1×
+    // corpus's 2,000 vectors the hot cluster's quadratic term is below
+    // the job floor (probed 2.19 vs 2.13 uniform) and the pair proves
+    // nothing — 14k identical vectors make the uncapped pair join ~100M
+    // cosine evaluations, a contrast the cap must visibly bound
+    val embSkewDir = stageEmbSkew(spark, x10Dir, "10x")
+    def semDedupCappedOnce(dir: String, nC: Int, cap: Int): Unit =
+      graft.pipeline.Similarity.semDedup(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.3, nCentroids = nC, lloydIters = 2,
+        maxClusterSize = cap)
+        .write.format("noop").mode("overwrite").save()
+    def semDedupCappedMin(dir: String, nC: Int, cap: Int): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        try semDedupCappedOnce(dir, nC, cap)
+        catch { case e: Throwable => System.err.println(s"[bench] semdedup cap: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    // the capped row gets the usual warm + min-of-3; the uncapped row is
+    // the deliberately-adversarial contrast (probed 42-51 s vs 3.5 s
+    // capped — ~100M cosine evaluations through one cluster) and gets
+    // min-of-2 with no separate warm: its code shape is warmed by the
+    // capped/x10 rows, and burning 45 s on a third rep of a row whose
+    // point is an order-of-magnitude gap buys nothing
+    semDedupCappedOnce(embSkewDir, 80, 64)
+    val semSkewResults = Seq(
+      "skew_dedup_semantic" -> (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try semDedupOnce(embSkewDir, 80)
+        catch { case e: Throwable => System.err.println(s"[bench] semskew: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min,
+      "skew_dedup_semantic_capped" -> semDedupCappedMin(embSkewDir, 80, 64))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -529,8 +588,8 @@ object Bench {
     // comparisons
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
     val qs = (results ++ skewResults ++ x10Results ++ longResults ++
-      substrSkewResults ++ semResults ++ d4Results ++ streamResults ++
-      extraResults)
+      substrSkewResults ++ semResults ++ d4Results ++ semSkewResults ++
+      streamResults ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }

@@ -45,6 +45,7 @@ object QProbe {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$out/documents.parquet")
         out
+      case "EMBSKEW" => Bench.stageEmbSkew(spark, "/root/testdata/sf0.1")
       case d => d
     }
     names.foreach { name =>

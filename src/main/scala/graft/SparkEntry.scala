@@ -1091,6 +1091,14 @@ object SparkEntry {
         nCentroids = 8, lloydIters = 2)
         .orderBy("vec_id")),
 
+    // The capped variant oracle-pinned: only the md5-first 16 members
+    // of each cluster serve as pivots — the degenerate-cluster bound,
+    // md5-deterministic so DuckDB recomputes the capped output exactly
+    "dedup_semantic_capped" -> ((s, dir) =>
+      Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
+        nCentroids = 8, lloydIters = 2, maxClusterSize = 16)
+        .orderBy("vec_id")),
+
     // D4's second half (Tirumala 2023): drop the 30% most prototypical
     // of each cluster — no pair comparisons at all, one broadcast
     // assignment + one rank window per cluster
@@ -2572,6 +2580,24 @@ object SparkEntry {
        |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
        |FROM af ORDER BY af.vec_id""".stripMargin
 
+  /** Capped SemDeDup oracle: identical plumbing, but only the md5-first
+    * 16 members of each cluster serve as comparison pivots — the
+    * documented recall trade for degenerate clusters, md5-deterministic
+    * so DuckDB recomputes the capped output exactly. */
+  private val SemDedupCappedOracle: String =
+    s"""${kmeansOracleSql(kmeansCos)},
+       |piv AS (SELECT vec_id, qv, n2, cent FROM (
+       |  SELECT vec_id, qv, n2, cent,
+       |    row_number() OVER (PARTITION BY cent
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+       |  FROM af) WHERE pr <= 16),
+       |rem AS (SELECT DISTINCT bb.vec_id FROM piv a JOIN af bb
+       |  ON a.cent = bb.cent AND a.vec_id < bb.vec_id
+       |  WHERE ${kmeansCos("a.qv", "a.n2", "bb.qv", "bb.n2")} >= 0.3)
+       |SELECT af.vec_id, af.cent AS cluster,
+       |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+       |FROM af ORDER BY af.vec_id""".stripMargin
+
   /** D4 prototype-pruning oracle: the k-means plumbing + per-cluster
     * (cosine desc, id) ranking; the top dropFraction of each cluster —
     * the most prototypical points — are dropped. */
@@ -3774,6 +3800,7 @@ object SparkEntry {
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "dedup_semantic" -> SemDedupOracle,
+    "dedup_semantic_capped" -> SemDedupCappedOracle,
     "dedup_prototypes" -> PrototypeOracle,
     "d4_e2e" -> D4Oracle,
     "bpe_train" -> BpeTrainOracle,
