@@ -1186,7 +1186,11 @@ object SparkEntry {
           .as("formatted"),
         ElCompiler.template(
           "${ts_ms:format('yyyy-MM-dd HH:mm'):toDate('yyyy-MM-dd HH:mm')}", byName)
-          .cast("long").as("minute_ms"))
+          .cast("long").as("minute_ms"),
+        // the r15 strftime renderer path (week-based + ordinal
+        // specifiers Spark's own dialect rejects), DuckDB-pinned
+        ElCompiler.template("${ts_ms:format('%G-W%V-%u %U %W %j')}", byName)
+          .as("iso_week"))
         .orderBy("event_id")
     }),
 
@@ -3830,7 +3834,8 @@ object SparkEntry {
 
     "el_dates" ->
       """SELECT event_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS formatted,
-        | epoch_ms(date_trunc('minute', ts)) AS minute_ms
+        | epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+        | strftime(ts, '%G-W%V-%u %U %W %j') AS iso_week
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_langid" ->

@@ -445,9 +445,27 @@ object ElCompiler {
       // is translated to JVM DateTimeFormatter; '%'-free patterns pass
       // through as JVM. ---
       case "format" => // subject: epoch millis → formatted string
-        val ts = timestamp_millis(subj.try_cast("long"))
-        val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
-        date_format(zoned, datePattern(sArg(0)))
+        if (needsStrftimeUdf(sArg(0))) {
+          // specifiers Spark's datetime dialect cannot express: the
+          // week-based letters %G/%g/%V/%u THROW at runtime since Spark 3
+          // (probed: SparkUpgradeException), %U/%W/%C/%w/%s have no JVM
+          // pattern letter at all, and %e must SPACE-pad like C strftime
+          // — render those driver-faithfully via java.time (C/POSIX
+          // locale names, ISO week fields), everything common stays on
+          // the codegen'd date_format fast path below
+          val fmtS = sArg(0)
+          val zoneS = if (rawArgs.size > 1) sArg(1) else "UTC"
+          val f = udf { (ms: java.lang.Long) =>
+            if (ms == null) null
+            else strftimeRender(java.time.Instant.ofEpochMilli(ms)
+              .atZone(java.time.ZoneId.of(zoneS)), fmtS)
+          }
+          f(subj.try_cast("long"))
+        } else {
+          val ts = timestamp_millis(subj.try_cast("long"))
+          val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
+          date_format(zoned, datePattern(sArg(0), forFormat = true))
+        }
       case "toDate" if rawArgs.isEmpty => // RFC3339 parse (no-arg form)
         // utils::timeutils::parseRfc3339 grammar (ExpressionLanguageTests
         // .cpp:1226-1280): separators ' ', 'T', 't', '_'; the offset is
@@ -488,8 +506,110 @@ object ElCompiler {
     * the JVM would read them as pattern letters. %S carries milliseconds
     * (the reference's millisecond-precision time_point prints/parses the
     * fraction), hence ss.SSS. */
-  private[graft] def datePattern(fmt: String): String =
-    if (!fmt.contains('%')) fmt else strftimeToJvm(fmt)
+  private[graft] def datePattern(fmt: String, forFormat: Boolean = false): String =
+    if (!fmt.contains('%')) fmt
+    else strftimeToJvm(fmt, offsetColonLower = forFormat)
+
+  /** strftime specifiers the Spark date_format dialect cannot express:
+    * %G/%g/%V/%u are week-based letters Spark rejects at runtime,
+    * %U/%W/%C/%w/%s/%c/%x/%X/%D/%r have no (C-faithful) pattern letter,
+    * %e needs C's SPACE padding, and %z/%Z/%Ez need the REAL zone — the
+    * fast path's from_utc_timestamp shifts the wall clock but leaves the
+    * session zone, so offset specifiers would print +0000 for every tz.
+    * Patterns carrying any of them render via [[strftimeRender]]. */
+  private val StrftimeUdfSpecs = "GgVuUWCwscxXDrezZ".toSet
+  private[graft] def needsStrftimeUdf(fmt: String): Boolean = {
+    var i = 0
+    while (i < fmt.length - 1) {
+      if (fmt.charAt(i) == '%') {
+        val c = fmt.charAt(i + 1)
+        if (c == 'E') {
+          if (i + 2 < fmt.length && StrftimeUdfSpecs(fmt.charAt(i + 2)))
+            return true
+          i += 3
+        } else if (StrftimeUdfSpecs(c)) return true
+        else i += 2
+      } else i += 1
+    }
+    false
+  }
+
+  /** C-strftime renderer for the specifiers Spark cannot express —
+    * C/POSIX-locale English names, ISO week fields, millisecond %S (the
+    * reference formats millisecond-precision time_points). */
+  private[graft] def strftimeRender(zdt: java.time.ZonedDateTime,
+                                    fmt: String): String = {
+    import java.time.temporal.{ChronoField, WeekFields}
+    import java.util.Locale
+    val iso = WeekFields.ISO
+    def p2(n: Long) = f"$n%02d"
+    val sb = new StringBuilder
+    var i = 0
+    def secMs: String =
+      f"${zdt.getSecond}%02d.${zdt.get(ChronoField.MILLI_OF_SECOND)}%03d"
+    def emit(spec: Char, eMod: Boolean): Unit = spec match {
+      case '%' => sb.append('%')
+      case 'a' => sb.append(zdt.getDayOfWeek.getDisplayName(
+        java.time.format.TextStyle.SHORT, Locale.US))
+      case 'A' => sb.append(zdt.getDayOfWeek.getDisplayName(
+        java.time.format.TextStyle.FULL, Locale.US))
+      case 'b' | 'h' => sb.append(zdt.getMonth.getDisplayName(
+        java.time.format.TextStyle.SHORT, Locale.US))
+      case 'B' => sb.append(zdt.getMonth.getDisplayName(
+        java.time.format.TextStyle.FULL, Locale.US))
+      case 'c' => sb.append(strftimeRender(zdt, "%a %b %e %H:%M:%S %Y"))
+      case 'C' => sb.append(p2(zdt.getYear / 100))
+      case 'd' => sb.append(p2(zdt.getDayOfMonth))
+      case 'e' => sb.append(f"${zdt.getDayOfMonth}%2d")
+      case 'D' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
+      case 'F' => sb.append(f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d")
+      case 'g' => sb.append(p2(zdt.get(iso.weekBasedYear()) % 100))
+      case 'G' => sb.append(zdt.get(iso.weekBasedYear()).toString)
+      case 'H' => sb.append(p2(zdt.getHour))
+      case 'I' => sb.append(p2(((zdt.getHour + 11) % 12) + 1))
+      case 'j' => sb.append(f"${zdt.getDayOfYear}%03d")
+      case 'm' => sb.append(p2(zdt.getMonthValue))
+      case 'M' => sb.append(p2(zdt.getMinute))
+      case 'n' => sb.append('\n')
+      case 'p' => sb.append(if (zdt.getHour < 12) "AM" else "PM")
+      case 'r' => sb.append(strftimeRender(zdt, "%I:%M:%S %p"))
+      case 'R' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d")
+      case 's' => sb.append(zdt.toInstant.getEpochSecond.toString)
+      case 'S' => sb.append(secMs)
+      case 'T' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d:" + secMs)
+      case 't' => sb.append('\t')
+      case 'u' => sb.append(zdt.get(iso.dayOfWeek()).toString)
+      case 'U' =>
+        val wdaySun0 = zdt.getDayOfWeek.getValue % 7
+        sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdaySun0) / 7))
+      case 'V' => sb.append(p2(zdt.get(iso.weekOfWeekBasedYear())))
+      case 'w' => sb.append((zdt.getDayOfWeek.getValue % 7).toString)
+      case 'W' =>
+        val wdayMon0 = zdt.getDayOfWeek.getValue - 1
+        sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdayMon0) / 7))
+      case 'x' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
+      case 'X' => sb.append(strftimeRender(zdt, "%H:%M:%S"))
+      case 'y' => sb.append(p2(zdt.getYear % 100))
+      case 'Y' => sb.append(zdt.getYear.toString)
+      case 'z' =>
+        val off = zdt.getOffset.getTotalSeconds
+        val s = if (off < 0) "-" else "+"
+        val a = math.abs(off)
+        if (eMod) sb.append(f"$s${a / 3600}%02d:${(a % 3600) / 60}%02d")
+        else sb.append(f"$s${a / 3600}%02d${(a % 3600) / 60}%02d")
+      case 'Z' => sb.append(zdt.getZone.getId)
+      case other => sb.append('%'); if (eMod) sb.append('E'); sb.append(other)
+    }
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        if (fmt.charAt(i + 1) == 'E' && i + 2 < fmt.length) {
+          emit(fmt.charAt(i + 2), eMod = true); i += 3
+        } else { emit(fmt.charAt(i + 1), eMod = false); i += 2 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Parse-side pattern candidates: strftime %S accepts the fraction
     * optionally, so emit both spellings (fractional first). */
@@ -502,7 +622,8 @@ object ElCompiler {
     }
 
   private[graft] def strftimeToJvm(fmt: String,
-                                   fractionalSeconds: Boolean = true): String = {
+                                   fractionalSeconds: Boolean = true,
+                                   offsetColonLower: Boolean = false): String = {
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
@@ -523,7 +644,9 @@ object ElCompiler {
         fmt.charAt(i + 1) match {
           case '%' => sb.append('%'); i += 2
           case 'E' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' =>
-            sb.append("XXX"); i += 3  // %Ez = ±hh:mm offset
+            // %Ez = ±hh:mm offset. Parse side accepts 'Z' too (XXX);
+            // format side must print "+00:00" like C, never 'Z' (xxx)
+            sb.append(if (offsetColonLower) "xxx" else "XXX"); i += 3
           case c if map.contains(c) => sb.append(map(c)); i += 2
           case c => sb.append('\'').append(c).append('\''); i += 2
         }

@@ -515,6 +515,48 @@ class ElSpec extends SparkSpec {
       Map("ts" -> "2023-03-02T03:49:55.190+08:45 ")) === null)
   }
 
+  test("strftime week/ordinal/padding specifiers format C-faithfully — " +
+       "%G/%V/%u crashed Spark's dialect, %e lost its space pad, " +
+       "%U/%W/%C/%s printed raw letters (Expression.cpp format via " +
+       "date.h strftime flags; r15 UDF path)") {
+    // 2021-01-01T00:00:00Z is a Friday, ISO 2020-W53-5 — the classic
+    // year-boundary case where the ISO week-based year (%G) differs
+    // from %Y. Spark rejects week-based pattern letters at runtime
+    // (probed: SparkUpgradeException for the old 'YYYY'/'ww'/'e'
+    // translations), so these route through the strftime renderer.
+    val ny = Map("ms" -> "1609459200000")
+    assert(eval("${ms:format('%G-W%V-%u', 'UTC')}", ny) === "2020-W53-5")
+    assert(eval("${ms:format('%g', 'UTC')}", ny) === "20")
+    assert(eval("${ms:format('%Y %U %W', 'UTC')}", ny) === "2021 00 00")
+    // C pads %e with a SPACE, never zero; %C is the century
+    assert(eval("${ms:format('%e|%C|%w', 'UTC')}", ny) === " 1|20|5")
+    // the trillion timestamp: 2001-09-09 is a SUNDAY — %U (Sunday-start
+    // weeks) and %W (Monday-start) agree at 36, %u is 7, %w is 0
+    val tril = Map("ms" -> "1000000000000")
+    assert(eval("${ms:format('%V %G %u %U %W %w', 'UTC')}", tril) ===
+      "36 2001 7 36 36 0")
+    assert(eval("${ms:format('%s', 'UTC')}", tril) === "1000000000")
+    // %c / %x / %X compose from the C-locale sub-patterns; %S (and so
+    // %X, %c) carries milliseconds like every other format in this
+    // dialect (the reference formats millisecond-precision time_points)
+    assert(eval("${ms:format('%c', 'UTC')}", tril) ===
+      "Sun Sep  9 01:46:40.000 2001")
+    assert(eval("${ms:format('%x %X', 'UTC')}", tril) ===
+      "09/09/01 01:46:40.000")
+    assert(eval("${ms:format('%D %r', 'UTC')}", tril) ===
+      "09/09/01 01:46:40.000 AM")
+    // zone rendering: %z is ±hhmm, %Ez is ±hh:mm — and a ZERO offset
+    // must print +00:00 like C, never the JVM's 'Z' shorthand
+    assert(eval("${ms:format('%z', 'UTC')}", tril) === "+0000")
+    assert(eval("${ms:format('%FT%T%Ez', 'UTC')}", tril) ===
+      "2001-09-09T01:46:40.000+00:00")
+    assert(eval("${ms:format('%FT%T%Ez', 'Asia/Kathmandu')}", tril) ===
+      "2001-09-09T07:31:40.000+05:45")  // odd-minute offset zone
+    // fast path unaffected: the common specifiers still codegen
+    assert(eval("${ms:format('%Y/%m/%d %H:%M:%SZ', 'UTC')}", tril) ===
+      "2001/09/09 01:46:40.000Z")
+  }
+
   test("quantifier Contains battery over multiple / matching / delineated " +
        "attributes (ExpressionLanguageTests.cpp:1443-1589)") {
     // All Contains / All Contains 2 / Any Contains / Any Contains 2
