@@ -325,22 +325,29 @@ object Dedup {
    * is n²/2^121 ≈ 4e-11, i.e. less than one false span per 10^10 full
    * corpus runs — two fixed-width longs still shuffle tighter than the
    * 32-char string and both engines convert 15 hex chars without
-   * overflow). Duplicate detection is the dedupSegments shape: a
-   * map-side-partial groupBy count over the key (a mass-duplicated
-   * window collapses to one row per map partition BEFORE the shuffle),
-   * the >1 keys joined back to the window stream — unhinted, so AQE
-   * broadcasts the dup-key set when it is small (2.7 MB at the sf0.1
-   * long-doc corpus's 169k dup keys) and skew-splits the probe
-   * partitions when it is not; the r14 `count().over(partitionBy(h))`
-   * funneled every copy of a hot hash through one reducer that AQE
-   * cannot split and that WindowExec must buffer — real crawls carry
-   * boilerplate spans duplicated 1e8+ times. Measured trade (QProbe,
-   * sf0.1 long-doc): the window formulation is ~1.2 s faster at this
-   * scale (1.8 vs 3.0 s — the agg pays a map-side hash table over
-   * mostly-unique keys plus a recomputed explode, both embarrassingly
-   * parallel), accepted for the un-funnelable detection; on the
-   * periodic-fill funnel corpus (8 keys × ~600k copies) both complete,
-   * but only this shape's hot-key cost stays splittable as copies grow.
+   * overflow). Duplicate detection is a count window over the key
+   * partition — ONE corpus shuffle, no sort beyond the window's own,
+   * no second pass. The r15 bench DECIDED this shape against the
+   * alternative the skew concern suggested (map-side-partial groupBy
+   * count + join back, the dedupSegments shape): that formulation pays
+   * a second corpus-scale shuffle for the probe side whenever the
+   * dup-key set outgrows the broadcast threshold — measured on the
+   * long-doc corpora it was 1.8→3.0 s at 1× and, when the 2.7 MB 1×
+   * dup-key set grew to ~27 MB at x10 and the broadcast flipped to a
+   * sort-merge join, 5.9→20.8 s at x10 — a plan change across the
+   * decade that also destroys the linearity evidence. The funnel risk
+   * that motivated the alternative is MEASURED as bounded: on a
+   * periodic-fill corpus whose every hot window key carries ~600k
+   * copies (8 keys, 30% of the corpus) the window shape runs 2.7 s vs
+   * the agg+join's 4.6 s — the count-only frame streams each hot
+   * partition with constant aggregate state (WindowExec spills the
+   * buffered rows, it does not OOM), so a 1e8-copy boilerplate key at
+   * the design point is a bounded reducer tail on 0.001% of keys,
+   * where the agg+join doubles shuffle volume on 100% of them. The
+   * `skew_longdoc_dedup_substrings` bench row keeps this claim
+   * measured every round; if a real corpus ever pushes the tail out of
+   * band, salt-counting ONLY the detected-hot keys (heavy-hitter
+   * pre-pass) is the escape hatch that keeps the single shuffle.
    * Surviving positions MERGE into disjoint intervals before they ever
    * become an array — a gaps-and-islands pass over the (docId, pos)
    * window (a duplicated m-token run is m−k+1 overlapping windows that
@@ -367,14 +374,13 @@ object Dedup {
       .select(col("docId"), col("pos"),
         conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(m, 16, 15), 16, 10).cast("long").as("h2"))
-    val dupKeys = wins.groupBy("h1", "h2")
-      .agg(count(lit(1)).as("dupC")).filter(col("dupC") > 1)
-      .select("h1", "h2")
     // two k-windows at positions p <= q cover a contiguous region iff
     // q - p <= k; a greater gap starts a new island
     val byDoc = Window.partitionBy("docId").orderBy("pos")
     val spans = wins
-      .join(dupKeys, Seq("h1", "h2"))
+      .withColumn("dupC",
+        count(lit(1)).over(Window.partitionBy("h1", "h2")))
+      .filter(col("dupC") > 1)
       .withColumn("newIsland",
         when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
           lit(-(k + 1))) > k, 1).otherwise(0))
