@@ -1036,6 +1036,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GPT-3-style SPAN decontamination (Brown 2020 arXiv:2005.14165
+    // App. C): cut a padded window around each matched n-gram, keep the
+    // surviving pieces, drop splintered docs — word-granular here
+    // (n=4, ±2 words, ≥3-word pieces, ≤10 pieces: all THREE outcomes
+    // occur on the fixture — 2 removed / 47 split / rest clean at
+    // sf0.01) on the same src0 benchmark split as `decontaminate`
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      Decontaminate.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"),
+        n = 4, padWords = 2, minPieceWords = 3, maxPieces = 10)
+        .select(col("docId").as("doc_id"),
+          col("nMatches").cast("long").as("n_matches"),
+          col("nPieces").cast("long").as("n_pieces"), col("action"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style segment dedup: 20-word windows, global first occurrence
     // wins, docs reassembled from surviving segments
     "dedup_segments" -> ((s, dir) =>
@@ -3753,6 +3772,64 @@ object SparkEntry {
         |SELECT sp.doc_id, sp.split, p.n_tokens, p.bin
         |FROM sp LEFT JOIN packed p ON p.doc_id = sp.doc_id
         |ORDER BY sp.doc_id""".stripMargin,
+
+    // Span decontamination replay: true-4-gram match positions →
+    // gaps-and-islands removal intervals (merge iff gap < n + 2·pad
+    // = 8) → pieces from consecutive-span boundaries → the Brown 2020
+    // keep/split/remove rule
+    "decontaminate_spans" ->
+      """WITH docs AS (SELECT doc_id, source, text,
+        |    string_split(text,' ') AS words FROM documents),
+        |corp AS (SELECT doc_id, text, words, len(words) AS nt FROM docs
+        |  WHERE source <> 'src0'),
+        |bshi AS (SELECT words, unnest(generate_series(0, len(words)-4)) AS i
+        |  FROM docs WHERE source = 'src0' AND len(words) >= 4),
+        |bench AS (SELECT DISTINCT
+        |    array_to_string(list_slice(words, i+1, i+4),' ') AS gram FROM bshi),
+        |wshi AS (SELECT doc_id, words,
+        |    unnest(generate_series(0, len(words)-4)) AS i
+        |  FROM corp WHERE nt >= 4),
+        |w AS (SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(words, i+1, i+4),' ') AS win FROM wshi),
+        |m AS (SELECT doc_id, pos FROM w JOIN bench ON win = gram),
+        |isl AS (SELECT doc_id, pos, CASE WHEN pos -
+        |    coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -100)
+        |    >= 8 THEN 1 ELSE 0 END AS ni FROM m),
+        |isl2 AS (SELECT doc_id, pos,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |sp AS (SELECT doc_id, island, greatest(min(pos) - 2, 0) AS s,
+        |    max(pos) + 6 AS e, count(*) AS cnt FROM isl2
+        |  GROUP BY doc_id, island),
+        |spd AS (SELECT doc_id, sum(cnt) AS n_matches, count(*) AS n_spans
+        |  FROM sp GROUP BY doc_id),
+        |pb AS (
+        |  SELECT sp.doc_id,
+        |    coalesce(lag(least(sp.e, d.nt))
+        |      OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) AS ps,
+        |    sp.s AS pe
+        |  FROM sp JOIN corp d USING (doc_id)
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(least(sp.e, d.nt)) AS ps, any_value(d.nt) AS pe
+        |  FROM sp JOIN corp d USING (doc_id) GROUP BY sp.doc_id),
+        |kept AS (SELECT doc_id, ps, pe FROM pb WHERE pe - ps >= 3),
+        |agg AS (SELECT k.doc_id, count(*) AS n_pieces,
+        |    string_agg(array_to_string(list_slice(d.words, k.ps+1, k.pe), ' '),
+        |      ' ' ORDER BY k.ps) AS clean
+        |  FROM kept k JOIN corp d USING (doc_id) GROUP BY k.doc_id)
+        |SELECT c.doc_id, CAST(coalesce(spd.n_matches, 0) AS BIGINT) AS n_matches,
+        |  CAST(CASE WHEN spd.doc_id IS NULL THEN 1
+        |       ELSE coalesce(agg.n_pieces, 0) END AS BIGINT) AS n_pieces,
+        |  CASE WHEN spd.doc_id IS NULL THEN 'clean'
+        |       WHEN coalesce(agg.n_pieces, 0) = 0
+        |         OR coalesce(agg.n_pieces, 0) > 10 THEN 'removed'
+        |       ELSE 'split' END AS action,
+        |  md5(CASE WHEN spd.doc_id IS NULL THEN c.text
+        |       WHEN coalesce(agg.n_pieces, 0) = 0
+        |         OR coalesce(agg.n_pieces, 0) > 10 THEN ''
+        |       ELSE agg.clean END) AS clean_md5
+        |FROM corp c LEFT JOIN spd ON c.doc_id = spd.doc_id
+        |LEFT JOIN agg ON c.doc_id = agg.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_segments" ->
       """WITH docs AS (SELECT doc_id, string_split(text,' ') AS words

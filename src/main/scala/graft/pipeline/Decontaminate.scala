@@ -94,6 +94,99 @@ object Decontaminate {
       .agg(count(lit(1)).as("nOverlaps"))
   }
 
+  /**
+   * Span-level decontamination (Brown et al. 2020, "Language Models are
+   * Few-Shot Learners", arXiv:2005.14165, Appendix C): instead of
+   * dropping every document that shares an n-gram with the benchmark
+   * set, REMOVE a window around each matched n-gram and keep the rest —
+   * the paper cuts the colliding 13-gram plus 200 characters each side,
+   * splits the document at the removed spans, discards pieces shorter
+   * than 200 characters, and removes outright any document that
+   * splinters into more than 10 pieces. This formulation applies the
+   * same rule at WORD granularity (`padWords` each side of the matched
+   * n-gram, `minPieceWords` minimum piece, `maxPieces` splinter cap),
+   * which keeps every boundary exact under the whitespace tokenization
+   * the rest of the pipeline uses.
+   *
+   * Returns (docId, nMatches, nPieces, action, text): action `clean`
+   * (no matches — text untouched), `split` (matched spans cut, the
+   * surviving ≥minPieceWords pieces re-joined), or `removed` (no piece
+   * survived, or more than `maxPieces` did — text empty).
+   *
+   * Scale shape: the benchmark gram set broadcasts (or swap in the
+   * bloom plane for the regime beyond broadcast); the corpus window
+   * explode is linear and map-side; matched positions MERGE into
+   * disjoint removal intervals via the gaps-and-islands pass
+   * ([[Dedup.dedupSubstrings]]'s device — two matches at positions
+   * p ≤ q merge iff q − p < n + 2·pad), so the per-doc span list is a
+   * sliver; piece extraction is a pure per-row array expression. ONE
+   * shuffle beyond the match join: the per-doc span gather. Only docs
+   * with ≥ n tokens have windows; the benchmark side likewise uses only
+   * true n-grams (sub-n-gram texts cannot collide, matching the
+   * paper's fixed-n rule).
+   */
+  def decontaminateSpans(corpus: DataFrame, idCol: Column, textCol: Column,
+                         bench: DataFrame, benchTextCol: Column, n: Int,
+                         padWords: Int, minPieceWords: Int,
+                         maxPieces: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchGrams = bench
+      .filter(size(split(benchTextCol, " ")) >= n)
+      .select(explode(Dedup.shingles(benchTextCol, n)).as("gram"))
+      .distinct()
+    val base = corpus.select(idCol.as("docId"), textCol.as("text"),
+      split(textCol, " ").as("toks"))
+    val matches = base
+      .select(col("docId"),
+        posexplode(when(size(col("toks")) >= n, Dedup.shingles(col("text"), n))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
+      .join(broadcast(benchGrams), col("win") === col("gram"))
+      .select(col("docId"), col("pos"))
+    val byDoc = Window.partitionBy("docId").orderBy("pos")
+    val spans = matches
+      .withColumn("newIsland",
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(-(n + 2 * padWords + 1))) >= n + 2 * padWords, 1).otherwise(0))
+      .withColumn("island", sum(col("newIsland")).over(byDoc))
+      .groupBy("docId", "island")
+      .agg(greatest(min(col("pos")) - padWords, lit(0)).as("s"),
+        (max(col("pos")) + n + padWords).as("e"),
+        count(lit(1)).as("cnt"))
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        sum(col("cnt")).as("nMatches"))
+    val joined = base.join(spans, Seq("docId"), "left")
+      .withColumn("nMatches", coalesce(col("nMatches"), lit(0L)))
+      .withColumn("nTokens", size(col("toks")))
+      .withColumn("spans", coalesce(
+        expr("transform(spans, sp -> struct(sp.s AS s, least(sp.e, nTokens) AS e))"),
+        array().cast("array<struct<s:int,e:int>>")))
+    val pieces = expr(
+      """filter(
+        |  transform(sequence(0, size(spans)), i -> struct(
+        |    CASE WHEN i = 0 THEN 0 ELSE element_at(spans, i).e END AS ps,
+        |    CASE WHEN i = size(spans) THEN nTokens
+        |         ELSE element_at(spans, i + 1).s END AS pe)),
+        |  p -> p.pe - p.ps >= """.stripMargin + minPieceWords + ")")
+    joined
+      .withColumn("kept", pieces)
+      .withColumn("action",
+        when(size(col("spans")) === 0, "clean")
+          .when(size(col("kept")) === 0 || size(col("kept")) > maxPieces,
+            "removed")
+          .otherwise("split"))
+      .select(col("docId"), col("nMatches"),
+        when(col("action") === "clean", 1)
+          .otherwise(size(col("kept"))).as("nPieces"),
+        col("action"),
+        when(col("action") === "clean", col("text"))
+          .when(col("action") === "removed", lit(""))
+          .otherwise(expr(
+            """array_join(transform(kept,
+              |  p -> array_join(slice(toks, p.ps + 1, p.pe - p.ps), ' ')),
+              |  ' ')""".stripMargin)).as("text"))
+  }
+
   /** The cleaning step: corpus minus contaminated docs. No broadcast hint:
     * a clean corpus keeps the contaminated set tiny (AQE will broadcast it
     * from runtime stats), but a heavily contaminated corpus can flag

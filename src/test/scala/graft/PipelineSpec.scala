@@ -783,6 +783,42 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("span decontamination cuts padded windows around matches, keeps " +
+       "surviving pieces, removes splintered docs (Brown 2020 " +
+       "arXiv:2005.14165 App. C, word-granular)") {
+    val bench = spark.createDataFrame(Seq((100L, "x y z")))
+      .toDF("doc_id", "text")
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "a b c d x y z e f g h"),        // one match at pos 4
+      (2L, "totally clean words here"),      // no match
+      (3L, "x y z q x y z"),                 // two merging matches → all cut
+      // three far-apart matches → 4 surviving pieces > maxPieces=2
+      (4L, "p p p x y z q q q q q x y z r r r r r x y z s s s")))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.decontaminateSpans(corpus, col("doc_id"),
+      col("text"), bench, col("text"),
+      n = 3, padWords = 1, minPieceWords = 2, maxPieces = 2)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("nMatches"), r.getAs[Int]("nPieces"),
+          r.getAs[String]("action"), r.getAs[String]("text")))).toMap
+    // doc 1: span [3,8) removes "d x y z e" → pieces "a b c" + "f g h"
+    assert(out(1L) === ((1L, 2, "split", "a b c f g h")))
+    assert(out(2L) === ((0L, 1, "clean", "totally clean words here")))
+    // doc 3: matches at 0 and 4 merge (gap 4 < n+2·pad = 5) → one span
+    // covering everything → zero surviving pieces
+    assert(out(3L) === ((2L, 0, "removed", "")))
+    // doc 4: spans [2,7) [10,15) [18,23) → pieces of 2/3/3/2 words = 4 > 2
+    assert(out(4L) === ((3L, 4, "removed", "")))
+    // determinism across partitionings
+    val again = Decontaminate.decontaminateSpans(corpus.repartition(5),
+      col("doc_id"), col("text"), bench, col("text"),
+      n = 3, padWords = 1, minPieceWords = 2, maxPieces = 2)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("nMatches"), r.getAs[Int]("nPieces"),
+          r.getAs[String]("action"), r.getAs[String]("text")))).toMap
+    assert(again === out)
+  }
+
   test("ivfTopKTrained: deterministic across runs and partitionings; " +
        "exhaustive probing equals brute force after training") {
     import spark.implicits._
