@@ -84,7 +84,12 @@ object Bench {
     "bpe_train",
     // D4 prototype pruning: broadcast assignment + rank window per
     // cluster, no pair enumeration — linear in rows at fixed k
-    "dedup_prototypes")
+    "dedup_prototypes",
+    // PQ ANN (r15): codebooks are driver metadata, encoding map-side,
+    // ADC tables ride the broadcast query side — candidate scoring
+    // reads m code ints per corpus row, so the x10 side should track
+    // the (much smaller) scan, not the pair count
+    "embed_topk_pq")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1102,6 +1102,18 @@ object SparkEntry {
     // training moves the cells, but probing every cell must STILL
     // reproduce the brute-force ranking, so the same oracle checks the
     // whole trained plumbing
+    // Product-quantization ANN (Jégou 2011): m=8 subspace codebooks of
+    // k=16 codewords, corpus encoded to 8 code ints, queries score via
+    // the asymmetric-distance table — the memory-bound regime's path
+    "embed_topk_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        topK = 5, m = 8, k = 16, iters = 2)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
     // SemDeDup (Abbas 2023): k-means clusters confine the cosine
     // quadratic; within each cluster the lowest id of every duplicate
     // neighborhood survives
@@ -2603,6 +2615,83 @@ object SparkEntry {
        |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
        |FROM af ORDER BY af.vec_id""".stripMargin
 
+  /** PQ-ANN oracle: replays [[graft.pipeline.Similarity.pqTopK]] —
+    * per subspace an md5-first-seeded integer-L2 Lloyd (two rounds,
+    * truncating means, empty codes keep their codeword), ordinal code
+    * assignment with (dist, code) ties, then the ADC cosine (exact |q|,
+    * codeword-reconstructed |x̃|) ranked per query. All CTEs
+    * MATERIALIZED (DuckDB inlines CTEs — the chained rounds would
+    * otherwise expand exponentially). */
+  private val PqTopKOracle: String = {
+    val m = 8; val k = 16; val dim = 64; val sub = dim / m; val topK = 5
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+        s"i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) AS BIGINT)"
+    def sq(a: String) =
+      s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
+    def assign(mi: Int, cents: String, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, sv, n2, code FROM (
+         |  SELECT b.vec_id, b.sv, b.n2, c.code,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY b.n2 + c.cn2 - 2*${dot("b.sv", "c.cw")}, c.code) AS rn
+         |  FROM pm${mi}n b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def roundCte(mi: Int, prev: String, a: String): String =
+      s"""${assign(mi, prev, s"pm$mi$a")},
+         |pm$mi${a}_m AS (SELECT code, pos,
+         |  CAST(trunc(CAST(sum(val) AS DOUBLE)/count(*)) AS BIGINT) AS mv
+         |  FROM (SELECT code, unnest(sv) AS val,
+         |        generate_subscripts(sv,1) AS pos FROM pm$mi$a)
+         |  GROUP BY code, pos),
+         |pm$mi${a}_c0 AS (SELECT p.code, COALESCE(mm.cw, p.cw) AS cw
+         |  FROM $prev p LEFT JOIN
+         |  (SELECT code, list(mv ORDER BY pos) AS cw FROM pm$mi${a}_m
+         |   GROUP BY code) mm USING (code)),
+         |pm$mi${a}_c AS MATERIALIZED (SELECT code, cw, ${sq("cw")} AS cn2
+         |  FROM pm$mi${a}_c0)""".stripMargin
+    def subspace(mi: Int): String =
+      s"""pm${mi}b AS MATERIALIZED (SELECT vec_id,
+         |  list_slice(qv, ${mi * sub + 1}, ${(mi + 1) * sub}) AS sv FROM v),
+         |pm${mi}n AS MATERIALIZED (SELECT vec_id, sv, ${sq("sv")} AS n2
+         |  FROM pm${mi}b),
+         |pm${mi}c0 AS MATERIALIZED (SELECT
+         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         |    AS code, sv AS cw, ${sq("sv")} AS cn2
+         |  FROM pm${mi}b ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         |${roundCte(mi, s"pm${mi}c0", "r1")},
+         |${roundCte(mi, s"pm${mi}r1_c", "r2")},
+         |${assign(mi, s"pm${mi}r2_c", s"pm${mi}e")}""".stripMargin
+    val chains = (0 until m).map(subspace).mkString(",\n")
+    val codeJoin = (1 until m).map(mi => s"JOIN pm${mi}e e$mi USING (vec_id)")
+      .mkString(" ")
+    val codeCols = (0 until m).map(mi => s"e$mi.code AS c$mi").mkString(", ")
+    val cbJoins = (0 until m).map(mi =>
+      s"JOIN pm${mi}r2_c cb$mi ON cb$mi.code = d.c$mi").mkString(" ")
+    val dotSum = (0 until m).map(mi =>
+      dot(s"list_slice(q.qv, ${mi * sub + 1}, ${(mi + 1) * sub})",
+        s"cb$mi.cw")).mkString(" + ")
+    val cnSum = (0 until m).map(mi => s"cb$mi.cn2").mkString(" + ")
+    s"""WITH v AS MATERIALIZED ($KmeansSrcSql),
+       |$chains,
+       |codes AS MATERIALIZED (SELECT e0.vec_id, $codeCols
+       |  FROM pm0e e0 $codeJoin),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv, ${sq("qv")} AS qn2
+       |  FROM v WHERE vec_id % 100 = 0),
+       |sc AS (SELECT q.qid, d.vec_id AS cid, q.qn2,
+       |    ($dotSum) AS dotadc, ($cnSum) AS cn2
+       |  FROM q CROSS JOIN codes d $cbJoins
+       |  WHERE d.vec_id <> q.qid),
+       |scored AS (SELECT qid, cid,
+       |  CASE WHEN cn2 = 0 THEN 0.0
+       |       ELSE round(CAST(dotadc AS DOUBLE)
+       |         /(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6)
+       |  END AS cosine FROM sc),
+       |ranked AS (SELECT qid, cid, cosine,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, cid) AS BIGINT) AS rnk FROM scored)
+       |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= $topK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Capped SemDeDup oracle: identical plumbing, but only the md5-first
     * 16 members of each cluster serve as comparison pivots — the
     * documented recall trade for degenerate clusters, md5-deterministic
@@ -3880,6 +3969,7 @@ object SparkEntry {
     // exhaustive-probe IVF must reproduce the brute-force ranking exactly
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
+    "embed_topk_pq" -> PqTopKOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_semantic_capped" -> SemDedupCappedOracle,
     "dedup_prototypes" -> PrototypeOracle,
