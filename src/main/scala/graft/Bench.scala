@@ -89,7 +89,11 @@ object Bench {
     // ADC tables ride the broadcast query side — candidate scoring
     // reads m code ints per corpus row, so the x10 side should track
     // the (much smaller) scan, not the pair count
-    "embed_topk_pq")
+    "embed_topk_pq",
+    // GPT-3 quality filter (r15): ONE bounded training agg + one
+    // map-side scoring pass + groupBy(doc) — the dsir_weights shape,
+    // so the pair should scale with the token explode, near-linearly
+    "quality_filter_pareto")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.FlowFrame
 import graft.el.ElCompiler
 import graft.ops._
-import graft.pipeline.{Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Classifier, Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.record.{Records, XmlRecords}
 import graft.sources.Sinks
 
@@ -913,6 +913,27 @@ object SparkEntry {
         .select(col("docId").as("doc_id"),
           col("nGrams").cast("long").as("n_grams"),
           col("weightMicro").cast("long").as("weight_micro"))
+        .orderBy("doc_id")),
+
+    // GPT-3 quality classifier (Brown 2020 App. A): NB log-odds over
+    // hashed unigrams, positives = the curated-source stand-in
+    // (src0/src1), length-normalized sigmoid probability in micro-units
+    "quality_classifier" -> ((s, dir) =>
+      Classifier.qualityScores(docsPar(s, dir), col("doc_id"),
+        col("text"), col("source").isin("src0", "src1"))
+        .select(col("docId").as("doc_id"),
+          col("nTokens").cast("long").as("n_tokens"),
+          col("lorMicro").cast("long").as("lor_micro"),
+          col("probMicro").as("prob_micro"))
+        .orderBy("doc_id")),
+
+    // the paper's full filter: keep iff pareto(9) > 1 − score, the
+    // variate drawn from the doc-id hash so the decision replays exactly
+    "quality_filter_pareto" -> ((s, dir) =>
+      Classifier.qualityFilterPareto(docsPar(s, dir), col("doc_id"),
+        col("text"), col("source").isin("src0", "src1"))
+        .select(col("docId").as("doc_id"), col("probMicro").as("prob_micro"),
+          col("paretoMicro").as("pareto_micro"), col("kept"))
         .orderBy("doc_id")),
 
     // DSIR §3.2 selection: Gumbel top-k over the §3.1 weights — the
@@ -2615,6 +2636,37 @@ object SparkEntry {
        |  af.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
        |FROM af ORDER BY af.vec_id""".stripMargin
 
+  /** Shared CTE chain for the GPT-3 quality-classifier oracles: hashed
+    * unigram buckets (the dsir_weights device), add-one NB log-odds per
+    * bucket in micro-nats, summed per doc, length-normalized sigmoid.
+    * Every bucket scored appears in the training histogram (trained on
+    * the same corpus), so the join replays the map-literal lookup. */
+  private val QualityChain: String =
+    """t AS (SELECT doc_id, source IN ('src0', 'src1') AS is_hq,
+      |    string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, is_hq, unnest(toks) AS g FROM t),
+      |bk AS (SELECT doc_id, is_hq,
+      |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+      |  FROM g),
+      |c AS (SELECT b, count(*) FILTER (is_hq) AS cp,
+      |    count(*) - count(*) FILTER (is_hq) AS cn
+      |  FROM bk GROUP BY b),
+      |tot AS (SELECT CAST(sum(cp) + 1024 AS DOUBLE) AS tp,
+      |    CAST(sum(cn) + 1024 AS DOUBLE) AS tn FROM c),
+      |r AS (SELECT b, CAST(round((ln(cp + 1) - ln(tp)
+      |    - ln(cn + 1) + ln(tn)) * 1e6) AS BIGINT) AS lo
+      |  FROM c, tot),
+      |pr AS (SELECT CAST(round((ln(tp) - ln(tn)) * 1e6) AS BIGINT)
+      |    AS prior FROM tot),
+      |w AS (SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(r.lo) AS BIGINT) AS lor_micro
+      |  FROM bk JOIN r USING (b) GROUP BY bk.doc_id),
+      |scored AS (SELECT doc_id, n_tokens, lor_micro,
+      |    CAST(round(1e6 / (1.0 + exp(-(prior
+      |      + CAST(lor_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |      / 1e6))) AS BIGINT) AS prob_micro
+      |  FROM w, pr)""".stripMargin
+
   /** PQ-ANN oracle: replays [[graft.pipeline.Similarity.pqTopK]] —
     * per subspace an md5-first-seeded integer-L2 Lloyd (two rounds,
     * truncating means, empty codes keep their codeword), ordinal code
@@ -3631,6 +3683,32 @@ object SparkEntry {
         |  CAST(sum(r.lr) AS BIGINT) AS weight_micro
         |FROM bk JOIN r USING (b) GROUP BY bk.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // GPT-3 quality classifier replay: same md5 hash buckets and
+    // micro-rounded ln exposure as dsir_weights, add-one NB log-odds in
+    // the EXACT Scala evaluation order (ln(cp+1) − ln(tp) − ln(cn+1) +
+    // ln(tn)), length-normalized sigmoid via IEEE double division (not
+    // integer div — Spark truncates toward zero, DuckDB floors)
+    "quality_classifier" ->
+      s"""WITH $QualityChain
+         |SELECT doc_id, n_tokens, lor_micro, prob_micro
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the Pareto acceptance rule on top: u over 2^60 is an exact
+    // power-of-two division; power() vs Math.pow is the same ≤1-ulp
+    // libm exposure ln/exp carry green, micro-rounded before the
+    // comparison so keep/drop is a long comparison
+    "quality_filter_pareto" ->
+      s"""WITH $QualityChain,
+         |pv AS (SELECT doc_id, prob_micro,
+         |  CAST(round((power(
+         |    (CAST(('0x' || substring(md5('quality|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |       AS BIGINT) + 0.5) / 1152921504606846976.0,
+         |    -1.0/9.0) - 1.0) * 1e6) AS BIGINT) AS pareto_micro
+         |  FROM scored)
+         |SELECT doc_id, prob_micro, pareto_micro,
+         |  pareto_micro > 1000000 - prob_micro AS kept
+         |FROM pv ORDER BY doc_id""".stripMargin,
 
     // Gumbel top-k over the recomputed weight table; u over 2^60 is an
     // exact power-of-two division and the ln/round-to-micro exposure is

@@ -844,6 +844,53 @@ class PipelineSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("quality classifier (Brown 2020 App. A): NB log-odds separate the " +
+       "classes, probability is length-stable, Pareto rule keeps a " +
+       "low-score tail and is deterministic across partitionings") {
+    import spark.implicits._
+    // positives share a vocabulary; negatives another; a few mixed docs
+    val hiWords = Seq("theorem", "lemma", "proof", "analysis", "journal")
+    val loWords = Seq("click", "buy", "cheap", "deal", "subscribe")
+    val rows =
+      (0 until 40).map { i => (i.toLong, true,
+        (0 until 30).map(j => hiWords((i + j) % 5)).mkString(" ")) } ++
+      (40 until 80).map { i => (i.toLong, false,
+        (0 until 30).map(j => loWords((i + j) % 5)).mkString(" ")) } ++
+      // unlabeled-crawl stand-ins scored against the trained model: one
+      // hi-vocab doc, one lo-vocab doc, at DIFFERENT lengths
+      Seq((80L, false, (0 until 300).map(j => hiWords(j % 5)).mkString(" ")),
+          (81L, false, (0 until 300).map(j => loWords(j % 5)).mkString(" ")))
+    val df = rows.toDF("doc_id", "is_hq", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classifier.qualityFilterPareto(d, col("doc_id"), col("text"),
+        col("is_hq")).collect()
+        .map(r => (r.getAs[Long]("docId"), r.getAs[Long]("probMicro"),
+          r.getAs[Long]("paretoMicro"), r.getAs[Boolean]("kept")))
+        .sortBy(_._1)
+    val out = run(df)
+    assert(out.toSeq === run(df.repartition(7)).toSeq)
+    val byId = out.map(t => t._1 -> t).toMap
+    // class separation: every hi-vocab doc outscores every lo-vocab doc
+    val hiProbs = (0L until 40L).map(byId(_)._2) :+ byId(80L)._2
+    val loProbs = (40L until 80L).map(byId(_)._2) :+ byId(81L)._2
+    assert(hiProbs.min > loProbs.max)
+    // length normalization: the 300-token hi doc scores like the
+    // 30-token hi docs (saturated sums would pin it to 1e6 regardless
+    // of the per-token evidence)
+    assert(math.abs(byId(80L)._2 - byId(0L)._2) < 100000)
+    // the Pareto acceptance is stochastic, not a threshold — keep
+    // probability is (2 − score)^(−9), so even well-scored docs keep at
+    // a minority rate (the paper kept ~10% of CommonCrawl) and the rates
+    // order by score: hi docs keep strictly more often than lo docs, and
+    // neither class is all-or-nothing deterministic
+    val hiKeep = out.filter(t => hiProbs.min <= t._2).count(_._4)
+    val loKeep = out.filter(t => t._2 <= loProbs.max).count(_._4)
+    assert(hiKeep > loKeep)
+    assert(hiKeep > 0 && hiKeep < hiProbs.size)
+    // the variate really is pareto(9)-shaped: all draws positive
+    assert(out.forall(_._3 > 0L))
+  }
+
   test("ivfTopKTrained: deterministic across runs and partitionings; " +
        "exhaustive probing equals brute force after training") {
     import spark.implicits._
