@@ -105,8 +105,11 @@ object Bench {
     * pair in the x10 set. ccnet_e2e is content-sensitive the same way
     * (the consonant rotation strips the LID marker tokens, emptying the
     * predicted-en set at x10), so it is measured uniform-only too; its
-    * stages' scale pairs live in dedup_segments and perplexity_buckets. */
-  val extra: Seq[String] = Seq("curate_filters_e2e", "ccnet_e2e")
+    * stages' scale pairs live in dedup_segments and perplexity_buckets.
+    * gpt3_e2e likewise (rotation moves the classifier's vocabulary and
+    * so the survivor counts); its stages' pairs live in
+    * quality_filter_pareto, dedup_minhash_lsh, and decontaminate. */
+  val extra: Seq[String] = Seq("curate_filters_e2e", "ccnet_e2e", "gpt3_e2e")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

@@ -936,6 +936,61 @@ object SparkEntry {
           col("paretoMicro").as("pareto_micro"), col("kept"))
         .orderBy("doc_id")),
 
+    // The full GPT-3 data pipeline (Brown 2020 App. A + C, the paper's
+    // order): quality classifier + Pareto acceptance → MinHash-LSH fuzzy
+    // dedup of the survivors (verified pairs → connected components,
+    // component minimum kept) → 13-gram-style span decontamination of
+    // the remainder against the benchmark stand-in (src0). Survivor
+    // frames are localCheckpoint-staged between phases — each downstream
+    // phase consumes its input in several actions/joins, and without the
+    // barrier the LSH index build and the span explode would replay the
+    // whole upstream chain (the curate_filters_e2e discipline). One row
+    // per corpus doc with stage attribution.
+    "gpt3_e2e" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      // α=2 here (the operator's knob; `quality_filter_pareto` keeps the
+      // paper's α=9): the synthetic fixture can't produce GPT-3's
+      // calibrated score separation, and the paper's sharp tail would
+      // starve stages 2–3 of the composition — at α=2 every stage has
+      // docs to act on (measured: 9-to-1 quality drops at α=9 left the
+      // dedup and span stages with 4 docs)
+      val q = Classifier.qualityFilterPareto(corpus, col("doc_id"),
+        col("text"), col("source") === "src1", alpha = 2.0)
+        .select(col("docId").as("doc_id"), col("kept").as("q_kept"))
+        .localCheckpoint()
+      val surv = corpus.select(col("doc_id"), col("text"))
+        .join(q.filter(col("q_kept")).select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("text"), 5, 8)
+      val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
+        col("text"), 5, 30)
+      val dec = Clusters.dedupDecisions(surv, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("keep").as("dup_keep"))
+        .localCheckpoint()
+      val kept2 = surv.join(dec.filter(col("dup_keep")).select("doc_id"),
+        "doc_id").localCheckpoint()
+      val spans = Decontaminate.decontaminateSpans(kept2, col("doc_id"),
+        col("text"), bench, col("text"),
+        n = 4, padWords = 2, minPieceWords = 3, maxPieces = 10)
+        .select(col("docId").as("doc_id"), col("action"),
+          md5(col("text")).as("span_md5"))
+      corpus.select(col("doc_id"))
+        .join(q, "doc_id")
+        .join(dec, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q_kept"),
+          when(col("q_kept"), col("dup_keep")).as("dup_keep"),
+          when(!col("q_kept"), "quality_drop")
+            .when(!col("dup_keep"), "dup_drop")
+            .otherwise(col("action")).as("action"),
+          when(col("q_kept") && col("dup_keep"), col("span_md5"))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR §3.2 selection: Gumbel top-k over the §3.1 weights — the
     // complete published algorithm end-to-end (weights feed straight into
     // the resampler)
@@ -2491,8 +2546,11 @@ object SparkEntry {
   /** Shared DuckDB CTE: distinct word 5-gram shingles per document.
     * (generate_series used as a scalar list + unnest — DuckDB's table
     * function form does not allow lateral column refs.) */
-  private val ShingleCte: String =
-    """WITH docs AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+  /** Shingle CTEs over `src` (any relation with doc_id, text); ends in
+    * `sh`. The composable no-WITH form lets multi-stage oracles
+    * (gpt3_e2e) run the LSH chain over an upstream survivor CTE. */
+  private def ShingleCtesFrom(src: String): String =
+    s"""docs AS (SELECT doc_id, string_split(text,' ') AS words FROM $src),
       |shi AS (SELECT doc_id, words,
       |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
       |  FROM docs),
@@ -2501,6 +2559,8 @@ object SparkEntry {
       |       ELSE array_to_string(words,' ') END AS sh
       |  FROM shi),
       |sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+
+  private val ShingleCte: String = "WITH " + ShingleCtesFrom("documents")
 
   private def simhashOracle: String = {
     val vCols = (0 until 8).map(j =>
@@ -2641,31 +2701,83 @@ object SparkEntry {
     * bucket in micro-nats, summed per doc, length-normalized sigmoid.
     * Every bucket scored appears in the training histogram (trained on
     * the same corpus), so the join replays the map-literal lookup. */
-  private val QualityChain: String =
-    """t AS (SELECT doc_id, source IN ('src0', 'src1') AS is_hq,
-      |    string_split(text, ' ') AS toks FROM documents),
-      |g AS (SELECT doc_id, is_hq, unnest(toks) AS g FROM t),
-      |bk AS (SELECT doc_id, is_hq,
+  /** CTE chain replaying [[graft.pipeline.Classifier.qualityScores]]
+    * over `src` with `posCond` as the positive-class predicate; CTE
+    * names are q-prefixed so the chain composes into multi-stage
+    * oracles (gpt3_e2e) without collisions. Ends in `qscored`. */
+  private def QualityChainFrom(src: String, posCond: String): String =
+    s"""qt AS (SELECT doc_id, $posCond AS is_hq,
+      |    string_split(text, ' ') AS toks FROM $src),
+      |qg AS (SELECT doc_id, is_hq, unnest(toks) AS g FROM qt),
+      |qbk AS (SELECT doc_id, is_hq,
       |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
-      |  FROM g),
-      |c AS (SELECT b, count(*) FILTER (is_hq) AS cp,
+      |  FROM qg),
+      |qc AS (SELECT b, count(*) FILTER (is_hq) AS cp,
       |    count(*) - count(*) FILTER (is_hq) AS cn
-      |  FROM bk GROUP BY b),
-      |tot AS (SELECT CAST(sum(cp) + 1024 AS DOUBLE) AS tp,
-      |    CAST(sum(cn) + 1024 AS DOUBLE) AS tn FROM c),
-      |r AS (SELECT b, CAST(round((ln(cp + 1) - ln(tp)
+      |  FROM qbk GROUP BY b),
+      |qtot AS (SELECT CAST(sum(cp) + 1024 AS DOUBLE) AS tp,
+      |    CAST(sum(cn) + 1024 AS DOUBLE) AS tn FROM qc),
+      |qr AS (SELECT b, CAST(round((ln(cp + 1) - ln(tp)
       |    - ln(cn + 1) + ln(tn)) * 1e6) AS BIGINT) AS lo
-      |  FROM c, tot),
-      |pr AS (SELECT CAST(round((ln(tp) - ln(tn)) * 1e6) AS BIGINT)
-      |    AS prior FROM tot),
-      |w AS (SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |    CAST(sum(r.lo) AS BIGINT) AS lor_micro
-      |  FROM bk JOIN r USING (b) GROUP BY bk.doc_id),
-      |scored AS (SELECT doc_id, n_tokens, lor_micro,
+      |  FROM qc, qtot),
+      |qpr AS (SELECT CAST(round((ln(tp) - ln(tn)) * 1e6) AS BIGINT)
+      |    AS prior FROM qtot),
+      |qw AS (SELECT qbk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(qr.lo) AS BIGINT) AS lor_micro
+      |  FROM qbk JOIN qr USING (b) GROUP BY qbk.doc_id),
+      |qscored AS (SELECT doc_id, n_tokens, lor_micro,
       |    CAST(round(1e6 / (1.0 + exp(-(prior
       |      + CAST(lor_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE))
       |      / 1e6))) AS BIGINT) AS prob_micro
-      |  FROM w, pr)""".stripMargin
+      |  FROM qw, qpr)""".stripMargin
+
+  private val QualityChain: String =
+    QualityChainFrom("documents", "source IN ('src0', 'src1')")
+
+  /** Span-decontamination CTEs (the Brown 2020 App. C replay of
+    * [[graft.pipeline.Decontaminate.decontaminateSpans]], n=4 padWords=2
+    * minPieceWords=3) over `corpusSrc` (doc_id, text) against
+    * `benchSrc` (text); sp-prefixed for composition, ends in
+    * `corp`/`spd`/`spagg` — the caller writes the keep/split/remove
+    * SELECT. */
+  private def SpanCtesFrom(corpusSrc: String, benchSrc: String): String =
+    s"""corp AS (SELECT doc_id, text, string_split(text,' ') AS words,
+      |    len(string_split(text,' ')) AS nt FROM $corpusSrc),
+      |bwords AS (SELECT string_split(text,' ') AS words FROM $benchSrc),
+      |bshi AS (SELECT words, unnest(generate_series(0, len(words)-4)) AS i
+      |  FROM bwords WHERE len(words) >= 4),
+      |bench AS (SELECT DISTINCT
+      |    array_to_string(list_slice(words, i+1, i+4),' ') AS gram FROM bshi),
+      |wshi AS (SELECT doc_id, words,
+      |    unnest(generate_series(0, len(words)-4)) AS i
+      |  FROM corp WHERE nt >= 4),
+      |spw AS (SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(words, i+1, i+4),' ') AS win FROM wshi),
+      |spm AS (SELECT doc_id, pos FROM spw JOIN bench ON win = gram),
+      |spisl AS (SELECT doc_id, pos, CASE WHEN pos -
+      |    coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -100)
+      |    >= 8 THEN 1 ELSE 0 END AS ni FROM spm),
+      |spisl2 AS (SELECT doc_id, pos,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM spisl),
+      |spn AS (SELECT doc_id, island, greatest(min(pos) - 2, 0) AS s,
+      |    max(pos) + 6 AS e, count(*) AS cnt FROM spisl2
+      |  GROUP BY doc_id, island),
+      |spd AS (SELECT doc_id, sum(cnt) AS n_matches, count(*) AS n_spans
+      |  FROM spn GROUP BY doc_id),
+      |sppb AS (
+      |  SELECT spn.doc_id,
+      |    coalesce(lag(least(spn.e, d.nt))
+      |      OVER (PARTITION BY spn.doc_id ORDER BY spn.s), 0) AS ps,
+      |    spn.s AS pe
+      |  FROM spn JOIN corp d USING (doc_id)
+      |  UNION ALL
+      |  SELECT spn.doc_id, max(least(spn.e, d.nt)) AS ps, any_value(d.nt) AS pe
+      |  FROM spn JOIN corp d USING (doc_id) GROUP BY spn.doc_id),
+      |spkept AS (SELECT doc_id, ps, pe FROM sppb WHERE pe - ps >= 3),
+      |spagg AS (SELECT k.doc_id, count(*) AS n_pieces,
+      |    string_agg(array_to_string(list_slice(d.words, k.ps+1, k.pe), ' '),
+      |      ' ' ORDER BY k.ps) AS clean
+      |  FROM spkept k JOIN corp d USING (doc_id) GROUP BY k.doc_id)""".stripMargin
 
   /** PQ-ANN oracle: replays [[graft.pipeline.Similarity.pqTopK]] —
     * per subspace an md5-first-seeded integer-L2 Lloyd (two rounds,
@@ -2983,13 +3095,16 @@ object SparkEntry {
   /** Shared CTE chain ending in `cand` (LSH band-collision candidates) and
     * `ver` (exact n-gram-Jaccard-verified pairs at the 30% threshold) —
     * the oracle counterpart of minHashLshPairs + verifyCandidates. */
-  private lazy val LshVerifiedCtes: String = {
+  /** The LSH-dedup chain (shingles, 8-min signatures, 4 bands of 2,
+    * Jaccard >= 0.3 verification) over `src`; no WITH prefix, ends in
+    * `ver`. */
+  private def LshVerifiedCtesFrom(src: String): String = {
     val mins = MinhashMinsSql
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || " +
         s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig")
       .mkString(" UNION ALL ")
-    s"""$ShingleCte,
+    s"""${ShingleCtesFrom(src)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3003,6 +3118,9 @@ object SparkEntry {
        |   JOIN sizes sb ON sb.doc_id = i.id_b
        |  WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n))""".stripMargin
   }
+
+  private lazy val LshVerifiedCtes: String =
+    "WITH " + LshVerifiedCtesFrom("documents")
 
   private def minhashOracle: String = {
     val mins = MinhashMinsSql
@@ -3692,7 +3810,7 @@ object SparkEntry {
     "quality_classifier" ->
       s"""WITH $QualityChain
          |SELECT doc_id, n_tokens, lor_micro, prob_micro
-         |FROM scored ORDER BY doc_id""".stripMargin,
+         |FROM qscored ORDER BY doc_id""".stripMargin,
 
     // the Pareto acceptance rule on top: u over 2^60 is an exact
     // power-of-two division; power() vs Math.pow is the same ≤1-ulp
@@ -3705,10 +3823,63 @@ object SparkEntry {
          |    (CAST(('0x' || substring(md5('quality|' || CAST(doc_id AS VARCHAR)), 1, 15))
          |       AS BIGINT) + 0.5) / 1152921504606846976.0,
          |    -1.0/9.0) - 1.0) * 1e6) AS BIGINT) AS pareto_micro
-         |  FROM scored)
+         |  FROM qscored)
          |SELECT doc_id, prob_micro, pareto_micro,
          |  pareto_micro > 1000000 - prob_micro AS kept
          |FROM pv ORDER BY doc_id""".stripMargin,
+
+    // The full GPT-3 pipeline replay: the three parameterized chains
+    // composed in the paper's order — quality (trained on the corpus
+    // minus the benchmark, positives src1) → LSH dedup over the Pareto
+    // survivors with the recursive-reach component minimum → span
+    // decontamination of the remainder vs the src0 benchmark — plus the
+    // per-doc stage attribution
+    "gpt3_e2e" ->
+      ("WITH RECURSIVE " + QualityChainFrom(
+          "(SELECT doc_id, text, source FROM documents WHERE source <> 'src0')",
+          "source = 'src1'") + s""",
+        |qpv AS (SELECT doc_id,
+        |  CAST(round((power(
+        |    (CAST(('0x' || substring(md5('quality|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) + 0.5) / 1152921504606846976.0,
+        |    -1.0/2.0) - 1.0) * 1e6) AS BIGINT)
+        |    > 1000000 - prob_micro AS q_kept
+        |  FROM qscored),
+        |qsurv AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN qpv USING (doc_id) WHERE qpv.q_kept),
+        |${LshVerifiedCtesFrom("qsurv")},
+        |prs AS (SELECT v.id_a, v.id_b
+        |  FROM ver v JOIN cand cc ON cc.id_a = v.id_a AND cc.id_b = v.id_b),
+        |und AS (SELECT id_a AS u, id_b AS w FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM qsurv
+        |  UNION
+        |    SELECT und.w, reach.r FROM reach JOIN und ON und.u = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |dsurv AS (SELECT q2.doc_id, q2.text FROM qsurv q2
+        |  JOIN comp ON comp.id = q2.doc_id WHERE comp.component = q2.doc_id),
+        |${SpanCtesFrom("dsurv",
+          "(SELECT text FROM documents WHERE source = 'src0')")}
+        |SELECT c0.doc_id, qpv.q_kept,
+        |  CASE WHEN qpv.q_kept THEN comp.component = c0.doc_id END AS dup_keep,
+        |  CASE WHEN NOT qpv.q_kept THEN 'quality_drop'
+        |       WHEN comp.component <> c0.doc_id THEN 'dup_drop'
+        |       WHEN spd.doc_id IS NULL THEN 'clean'
+        |       WHEN coalesce(spagg.n_pieces, 0) = 0
+        |         OR coalesce(spagg.n_pieces, 0) > 10 THEN 'removed'
+        |       ELSE 'split' END AS action,
+        |  CASE WHEN qpv.q_kept AND comp.component = c0.doc_id THEN
+        |    md5(CASE WHEN spd.doc_id IS NULL THEN c0.text
+        |         WHEN coalesce(spagg.n_pieces, 0) = 0
+        |           OR coalesce(spagg.n_pieces, 0) > 10 THEN ''
+        |         ELSE spagg.clean END) END AS clean_md5
+        |FROM (SELECT doc_id, text FROM documents WHERE source <> 'src0') c0
+        |JOIN qpv USING (doc_id)
+        |LEFT JOIN comp ON comp.id = c0.doc_id
+        |LEFT JOIN spd ON spd.doc_id = c0.doc_id
+        |LEFT JOIN spagg ON spagg.doc_id = c0.doc_id
+        |ORDER BY c0.doc_id""".stripMargin),
 
     // Gumbel top-k over the recomputed weight table; u over 2^60 is an
     // exact power-of-two division and the ln/round-to-micro exposure is
@@ -3945,57 +4116,22 @@ object SparkEntry {
     // = 8) → pieces from consecutive-span boundaries → the Brown 2020
     // keep/split/remove rule
     "decontaminate_spans" ->
-      """WITH docs AS (SELECT doc_id, source, text,
-        |    string_split(text,' ') AS words FROM documents),
-        |corp AS (SELECT doc_id, text, words, len(words) AS nt FROM docs
-        |  WHERE source <> 'src0'),
-        |bshi AS (SELECT words, unnest(generate_series(0, len(words)-4)) AS i
-        |  FROM docs WHERE source = 'src0' AND len(words) >= 4),
-        |bench AS (SELECT DISTINCT
-        |    array_to_string(list_slice(words, i+1, i+4),' ') AS gram FROM bshi),
-        |wshi AS (SELECT doc_id, words,
-        |    unnest(generate_series(0, len(words)-4)) AS i
-        |  FROM corp WHERE nt >= 4),
-        |w AS (SELECT doc_id, i AS pos,
-        |    array_to_string(list_slice(words, i+1, i+4),' ') AS win FROM wshi),
-        |m AS (SELECT doc_id, pos FROM w JOIN bench ON win = gram),
-        |isl AS (SELECT doc_id, pos, CASE WHEN pos -
-        |    coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -100)
-        |    >= 8 THEN 1 ELSE 0 END AS ni FROM m),
-        |isl2 AS (SELECT doc_id, pos,
-        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
-        |sp AS (SELECT doc_id, island, greatest(min(pos) - 2, 0) AS s,
-        |    max(pos) + 6 AS e, count(*) AS cnt FROM isl2
-        |  GROUP BY doc_id, island),
-        |spd AS (SELECT doc_id, sum(cnt) AS n_matches, count(*) AS n_spans
-        |  FROM sp GROUP BY doc_id),
-        |pb AS (
-        |  SELECT sp.doc_id,
-        |    coalesce(lag(least(sp.e, d.nt))
-        |      OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) AS ps,
-        |    sp.s AS pe
-        |  FROM sp JOIN corp d USING (doc_id)
-        |  UNION ALL
-        |  SELECT sp.doc_id, max(least(sp.e, d.nt)) AS ps, any_value(d.nt) AS pe
-        |  FROM sp JOIN corp d USING (doc_id) GROUP BY sp.doc_id),
-        |kept AS (SELECT doc_id, ps, pe FROM pb WHERE pe - ps >= 3),
-        |agg AS (SELECT k.doc_id, count(*) AS n_pieces,
-        |    string_agg(array_to_string(list_slice(d.words, k.ps+1, k.pe), ' '),
-        |      ' ' ORDER BY k.ps) AS clean
-        |  FROM kept k JOIN corp d USING (doc_id) GROUP BY k.doc_id)
+      s"""WITH ${SpanCtesFrom(
+             "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+             "(SELECT text FROM documents WHERE source = 'src0')")}
         |SELECT c.doc_id, CAST(coalesce(spd.n_matches, 0) AS BIGINT) AS n_matches,
         |  CAST(CASE WHEN spd.doc_id IS NULL THEN 1
-        |       ELSE coalesce(agg.n_pieces, 0) END AS BIGINT) AS n_pieces,
+        |       ELSE coalesce(spagg.n_pieces, 0) END AS BIGINT) AS n_pieces,
         |  CASE WHEN spd.doc_id IS NULL THEN 'clean'
-        |       WHEN coalesce(agg.n_pieces, 0) = 0
-        |         OR coalesce(agg.n_pieces, 0) > 10 THEN 'removed'
+        |       WHEN coalesce(spagg.n_pieces, 0) = 0
+        |         OR coalesce(spagg.n_pieces, 0) > 10 THEN 'removed'
         |       ELSE 'split' END AS action,
         |  md5(CASE WHEN spd.doc_id IS NULL THEN c.text
-        |       WHEN coalesce(agg.n_pieces, 0) = 0
-        |         OR coalesce(agg.n_pieces, 0) > 10 THEN ''
-        |       ELSE agg.clean END) AS clean_md5
+        |       WHEN coalesce(spagg.n_pieces, 0) = 0
+        |         OR coalesce(spagg.n_pieces, 0) > 10 THEN ''
+        |       ELSE spagg.clean END) AS clean_md5
         |FROM corp c LEFT JOIN spd ON c.doc_id = spd.doc_id
-        |LEFT JOIN agg ON c.doc_id = agg.doc_id
+        |LEFT JOIN spagg ON c.doc_id = spagg.doc_id
         |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_segments" ->
