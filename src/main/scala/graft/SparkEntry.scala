@@ -1112,6 +1112,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EMBEDDING-space decontamination (Gunasekar 2023 §2.3): flag corpus
+    // vectors cosine-close to any benchmark vector — the paraphrase-
+    // robust complement to the n-gram rows; bench stand-in = the ANN
+    // query subset, threshold tuned so the fixture yields both outcomes
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Decontaminate.contaminatedSemantic(
+        emb.filter(col("vec_id") % 100 =!= 0),
+        emb.filter(col("vec_id") % 100 === 0), threshold = 0.2)
+        .select(col("vec_id"), col("max_cosine"),
+          col("nearest_bench"), col("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     // GPT-3-style SPAN decontamination (Brown 2020 arXiv:2005.14165
     // App. C): cut a padded window around each matched n-gram, keep the
     // surviving pieces, drop splintered docs — word-granular here
@@ -4044,6 +4058,28 @@ object SparkEntry {
         |FROM sh c JOIN bench b ON c.sh = b.sh
         |WHERE c.source <> 'src0'
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // embedding-space decontamination: brute-force max cosine per corpus
+    // vector over the benchmark subset, the fixed-point cosine device
+    "decontaminate_semantic" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |b AS (SELECT vec_id AS bid, qv AS bq, n2 AS bn FROM n WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, qv AS cq, n2 AS cn FROM n WHERE vec_id % 100 <> 0),
+        |sc AS (SELECT c.vec_id, b.bid,
+        |  round(CAST(CAST(list_sum(list_transform(range(1, len(cq)+1),
+        |      i -> cq[CAST(i AS INT)]*bq[CAST(i AS INT)])) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(cn AS DOUBLE))*sqrt(CAST(bn AS DOUBLE))), 6) AS cos
+        |  FROM c CROSS JOIN b),
+        |rk AS (SELECT vec_id, bid, cos,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+        |  FROM sc)
+        |SELECT vec_id, cos AS max_cosine, bid AS nearest_bench,
+        |  cos >= 0.2 AS contaminated
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words

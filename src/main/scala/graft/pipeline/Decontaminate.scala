@@ -198,4 +198,45 @@ object Decontaminate {
     val bad = contaminated(corpus, idCol, textCol, bench, benchTextCol, n)
     corpus.join(bad.select(col("docId")), idCol === col("docId"), "left_anti")
   }
+
+  /**
+   * EMBEDDING-space decontamination — the paraphrase-robust complement
+   * to n-gram overlap (Gunasekar et al. 2023, "Textbooks Are All You
+   * Need", arXiv:2306.11644 §2.3 tests train/benchmark contamination by
+   * embedding-cosine similarity precisely because surface n-grams miss
+   * reworded leaks): flag every corpus vector whose cosine to ANY
+   * benchmark vector reaches `threshold`, and report that nearest
+   * benchmark item for audit. Scoring rides the family's fixed-point
+   * substrate ([[Similarity.quantize]]/dotQ, cosine rounded to 6
+   * digits), nearest = (cosine desc, bench id asc) — deterministic in
+   * any engine.
+   *
+   * Scale shape: the benchmark set is tiny by definition, so it
+   * collapses to ONE row of (id, vector, norm) structs broadcast to
+   * every scan task (the trainCentroids device); the corpus pass is a
+   * single map-side argmax projection through the codegen'd DotQ kernel
+   * — no join, no shuffle at all, linear in corpus rows × benchmark
+   * size. For benchmark sets past broadcast width, cluster them and
+   * probe per cell (the IVF path); the flag stays a pure projection.
+   */
+  def contaminatedSemantic(corpus: DataFrame, bench: DataFrame,
+                           threshold: Double): DataFrame = {
+    import Similarity.{quantize, dotQ, normSqQ, cosineFromQ}
+    val b = bench.select(col("vec_id").as("bid"),
+        quantize(col("embedding")).as("bq"))
+      .withColumn("bn", normSqQ(col("bq")))
+      .agg(collect_list(struct(col("bid"), col("bq"), col("bn"))).as("bs"))
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+      .crossJoin(broadcast(b))
+      .withColumn("best",
+        array_min(transform(col("bs"), x =>
+          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("bq")),
+            col("cn"), x.getField("bn")), 6)).as("negCos"),
+            x.getField("bid").as("bid")))))
+      .select(col("vec_id"),
+        (-col("best.negCos")).as("max_cosine"),
+        col("best.bid").as("nearest_bench"),
+        (-col("best.negCos") >= threshold).as("contaminated"))
+  }
 }

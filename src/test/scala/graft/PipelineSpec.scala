@@ -844,6 +844,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("contaminatedSemantic (Gunasekar 2023): a scaled copy of a benchmark " +
+       "vector flags at cosine 1, an orthogonal one stays clean, and the " +
+       "nearest-bench attribution is deterministic across partitionings") {
+    import spark.implicits._
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+                    (200L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy of bench 100
+      (2L, Array(0.0f, 0.0f, 3.0f, 0.0f)),   // orthogonal to both
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)))   // cos ~0.707 to both, tie->100
+      .toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Decontaminate.contaminatedSemantic(c, bench, threshold = 0.9)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Double]("max_cosine"), r.getAs[Long]("nearest_bench"),
+          r.getAs[Boolean]("contaminated"))).sortBy(_._1)
+    val out = run(corpus)
+    assert(out.toSeq === run(corpus.repartition(5)).toSeq)
+    assert(out(0) === ((1L, 1.0, 100L, true)))
+    assert(out(1)._2 === 0.0 && !out(1)._4)
+    assert(out(2)._3 === 100L && out(2)._2 === 0.707107 && !out(2)._4)
+  }
+
   test("quality classifier (Brown 2020 App. A): NB log-odds separate the " +
        "classes, probability is length-stable, Pareto rule keeps a " +
        "low-score tail and is deterministic across partitionings") {
