@@ -1427,6 +1427,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RefinedWeb line-wise corrections (Penedo 2023 App. G.2): the page
+    // is staged from the word stream like c4_clean's (the fixture text
+    // has no newlines), with deterministic plants exercising every rule
+    // — uppercased lines (every 4th line for doc%9, one line for doc%7,
+    // enough to trip the >5% doc-removal rule only in the former),
+    // a digits-only line (doc%5), a "<n> likes" counter (doc%6), and a
+    // one-word line (doc%4)
+    "refinedweb_lines" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        when(col("doc_id") % 9 === 0 && i % 4 === 0, upper(li))
+          .when(col("doc_id") % 7 === 0 && i === 0, upper(li))
+          .otherwise(li)
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 5 === 0, lit("\n12345")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n"), (col("doc_id") % 90 + 1).cast("string"),
+            lit(" likes"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nsubscribe")).otherwise(lit("")))
+      val fmap = TextAnalysis.refinedWebLineCorrections(page).toMap
+      docsPar(s, dir).select(
+        col("doc_id"),
+        fmap("kept_lines").as("kept_lines"),
+        fmap("removed_chars").as("removed_chars"),
+        fmap("keep").as("keep"),
+        md5(fmap("cleaned")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The modern web-corpus filter chain COMPOSED: C4 line/page cleaning
     // feeds the Gopher document filter over the CLEANED text; survivors
     // exact-dedup on cleaned content. One lazily-composed plan, all
@@ -4317,6 +4349,47 @@ object SparkEntry {
         |  AND NOT contains(lower(page), 'lorem ipsum')
         |  AND NOT contains(page, '{')) AS keep,
         | md5(cleaned) AS cleaned_md5
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // RefinedWeb line corrections: page staged exactly as the Spark row,
+    // the four line rules + the >5% document rule replayed with 'g'-flag
+    // global regexp_replace (DuckDB replaces first match by default —
+    // Spark replaces all)
+    "refinedweb_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words,
+        |  CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
+        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
+        |l0 AS (SELECT doc_id, i,
+        |  array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS li FROM ln),
+        |l1 AS (SELECT doc_id, i,
+        |  CASE WHEN doc_id % 9 = 0 AND i % 4 = 0 THEN upper(li)
+        |       WHEN doc_id % 7 = 0 AND i = 0 THEN upper(li)
+        |       ELSE li END AS line FROM l0),
+        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0
+        |  FROM l1 GROUP BY doc_id),
+        |pg AS (SELECT doc_id, page0
+        |  || (CASE WHEN doc_id % 5 = 0 THEN chr(10)||'12345' ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0
+        |      THEN chr(10)||CAST(doc_id % 90 + 1 AS VARCHAR)||' likes' ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN chr(10)||'subscribe' ELSE '' END) AS page
+        |  FROM pg0),
+        |cl AS (SELECT doc_id, page,
+        |  list_filter(string_split(page, chr(10)), l -> NOT (
+        |    (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) > 0
+        |     AND CAST(length(regexp_replace(trim(l), '[^A-Z]', '', 'g')) AS DOUBLE)
+        |         >= 0.6 * length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')))
+        |    OR regexp_matches(trim(l), '^[0-9]+$')
+        |    OR regexp_matches(trim(l), '^[0-9]+ (likes?|views?|comments?|shares?|retweets?|upvotes?)$')
+        |    OR (length(trim(l)) > 0 AND NOT regexp_matches(trim(l), '\s'))
+        |  )) AS kept FROM pg),
+        |fin AS (SELECT doc_id, page,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+        |  len(kept) AS kept_lines FROM cl)
+        |SELECT doc_id, CAST(kept_lines AS BIGINT) AS kept_lines,
+        | CAST(length(page) - length(cleaned) AS BIGINT) AS removed_chars,
+        | (CAST(length(page) - length(cleaned) AS DOUBLE) <= 0.05 * length(page)) AS keep,
+        | md5(cleaned) AS clean_md5
         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "quality_gopher" ->

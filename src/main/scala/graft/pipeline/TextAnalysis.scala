@@ -191,6 +191,42 @@ object TextAnalysis {
   }
 
   /**
+   * RefinedWeb line-wise corrections (Penedo et al. 2023, "The RefinedWeb
+   * Dataset for Falcon LLM", arXiv:2306.01116 App. G.2) — the filter
+   * family between C4's line rules and Gopher's doc rules: remove lines
+   * that (1) are mainly uppercase (uppercase letters ≥ `upperFrac` of
+   * the line's letters — the "mainly composed of uppercase characters"
+   * rule made precise), (2) consist only of digits, (3) are social
+   * counters ("3 likes"), or (4) contain a single word; then, per the
+   * paper, if the corrections remove more than `maxRemovedFrac` of the
+   * document's length, drop the whole document. Pure per-row
+   * projections — no shuffle, no UDF, linear in corpus chars.
+   */
+  def refinedWebLineCorrections(textCol: Column, upperFrac: Double = 0.6,
+                                maxRemovedFrac: Double = 0.05): Seq[(String, Column)] = {
+    val lines = split(textCol, "\n")
+    def bad(l: Column): Column = {
+      val t = trim(l)
+      val letc = length(regexp_replace(t, "[^A-Za-z]", ""))
+      val upc = length(regexp_replace(t, "[^A-Z]", ""))
+      (letc > 0 &&
+        upc.cast("double") >= lit(upperFrac) * letc.cast("double")) ||
+        t.rlike("^[0-9]+$") ||
+        t.rlike("^[0-9]+ (likes?|views?|comments?|shares?|retweets?|upvotes?)$") ||
+        (length(t) > 0 && !t.rlike("\\s"))
+    }
+    val kept = filter(lines, l => !bad(l))
+    val cleaned = array_join(kept, "\n")
+    val removed = (length(textCol) - length(cleaned)).cast("long")
+    Seq(
+      "cleaned" -> cleaned,
+      "kept_lines" -> size(kept).cast("long"),
+      "removed_chars" -> removed,
+      "keep" -> (removed.cast("double") <=
+        lit(maxRemovedFrac) * length(textCol).cast("double")))
+  }
+
+  /**
    * Document fingerprint (winnowing-style): the minimum md5 over word
    * 5-gram shingles — robust to local edits, engine-portable (hex-string
    * min), O(tokens) per doc with no shuffle. A second fingerprint over

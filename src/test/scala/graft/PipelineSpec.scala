@@ -1015,6 +1015,46 @@ class PipelineSpec extends SparkSpec {
       ((2L, 44100L, 16L, 500L))) // 88200 bytes / 176400 B/s = 0.5 s
   }
 
+  test("refinedWebLineCorrections (Penedo 2023 App. G.2): each line rule " +
+       "binds on its crafted line, clean lines survive, and the >5% " +
+       "document rule drops heavily-corrected docs") {
+    import spark.implicits._
+    val page = Seq(
+      "this line is a perfectly normal sentence with words",
+      "THIS LINE IS SHOUTING IN ALL UPPERCASE AT EVERYONE",
+      "8675309",
+      "42 likes",
+      "17 retweets",
+      "subscribe",
+      "another normal line that should definitely survive here",
+      "Mixed Case Title Line With Initial Capitals Only").mkString("\n")
+    val df = Seq((1L, page),
+      // a doc where the only content is bad lines -> keep = false
+      (2L, Seq("AAAA BBBB CCCC", "999", "one").mkString("\n")),
+      // all-clean doc: nothing removed, keep = true
+      (3L, "just a tiny clean doc with several normal words here"))
+      .toDF("doc_id", "text")
+    val fmap = TextAnalysis.refinedWebLineCorrections(col("text")).toMap
+    val out = df.select(col("doc_id"), fmap("cleaned").as("cleaned"),
+        fmap("kept_lines").as("kl"), fmap("keep").as("keep"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned"), r.getAs[Long]("kl"),
+          r.getAs[Boolean]("keep")))).toMap
+    val (clean1, kl1, keep1) = out(1L)
+    // exactly the three normal-ish lines survive: the shouting line,
+    // digits, both counters, and the one-word line all drop; the
+    // Initial-Capitals line stays (8 of 41 letters uppercase < 0.6)
+    assert(kl1 === 3L)
+    assert(clean1.linesIterator.toSeq === Seq(
+      "this line is a perfectly normal sentence with words",
+      "another normal line that should definitely survive here",
+      "Mixed Case Title Line With Initial Capitals Only"))
+    assert(!keep1)  // removed well over 5% of the page
+    assert(out(2L)._2 === 0L && !out(2L)._3)
+    assert(out(3L) === ((
+      "just a tiny clean doc with several normal words here", 1L, true)))
+  }
+
   test("c4Clean: each published line and page rule binds " +
        "(Raffel et al. 2020 §2.2)") {
     import spark.implicits._
