@@ -93,7 +93,11 @@ object Bench {
     // GPT-3 quality filter (r15): ONE bounded training agg + one
     // map-side scoring pass + groupBy(doc) — the dsir_weights shape,
     // so the pair should scale with the token explode, near-linearly
-    "quality_filter_pareto")
+    "quality_filter_pareto",
+    // IVF-PQ (r15): the index build (coarse Lloyd + residual-PQ Lloyd)
+    // is a fixed number of bounded jobs, so the x10 side should be
+    // dominated by the probed-cell code scan — strongly sublinear
+    "embed_topk_ivfpq")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

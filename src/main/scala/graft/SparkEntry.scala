@@ -1204,6 +1204,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ / IVFADC (Jégou 2011 §IV): coarse cosine cells route each
+    // query to nProbe cells; candidates score from product-quantized
+    // RESIDUALS via exact integer reconstruction — the architecture
+    // billion-vector deployments actually run
+    "embed_topk_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        topK = 5, nCells = 8, m = 8, k = 16, iters = 2, nProbe = 3)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
     // SemDeDup (Abbas 2023): k-means clusters confine the cosine
     // quadratic; within each cluster the lowest id of every duplicate
     // neighborhood survives
@@ -2832,20 +2845,24 @@ object SparkEntry {
     * codeword-reconstructed |x̃|) ranked per query. All CTEs
     * MATERIALIZED (DuckDB inlines CTEs — the chained rounds would
     * otherwise expand exponentially). */
-  private val PqTopKOracle: String = {
-    val m = 8; val k = 16; val dim = 64; val sub = dim / m; val topK = 5
-    def dot(a: String, b: String) =
+  /** Shared SQL builders for the PQ oracle family: `chainsFrom` emits
+    * the per-subspace Lloyd chains (seeds, two rounds, final assignment
+    * pm{mi}e + codebook pm{mi}r2_c) over any (vec_id, qv) CTE, so the
+    * flat-PQ and IVF-PQ (residual-source) oracles replay the identical
+    * training. */
+  private object PqSql {
+    def dot(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
         s"i -> $a[CAST(i AS INT)]*$b[CAST(i AS INT)])) AS BIGINT)"
-    def sq(a: String) =
+    def sq(a: String): String =
       s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
-    def assign(mi: Int, cents: String, name: String): String =
+    private def assign(mi: Int, cents: String, name: String): String =
       s"""$name AS MATERIALIZED (SELECT vec_id, sv, n2, code FROM (
          |  SELECT b.vec_id, b.sv, b.n2, c.code,
          |    row_number() OVER (PARTITION BY b.vec_id
          |      ORDER BY b.n2 + c.cn2 - 2*${dot("b.sv", "c.cw")}, c.code) AS rn
          |  FROM pm${mi}n b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-    def roundCte(mi: Int, prev: String, a: String): String =
+    private def roundCte(mi: Int, prev: String, a: String): String =
       s"""${assign(mi, prev, s"pm$mi$a")},
          |pm$mi${a}_m AS (SELECT code, pos,
          |  CAST(trunc(CAST(sum(val) AS DOUBLE)/count(*)) AS BIGINT) AS mv
@@ -2858,9 +2875,9 @@ object SparkEntry {
          |   GROUP BY code) mm USING (code)),
          |pm$mi${a}_c AS MATERIALIZED (SELECT code, cw, ${sq("cw")} AS cn2
          |  FROM pm$mi${a}_c0)""".stripMargin
-    def subspace(mi: Int): String =
+    private def subspace(mi: Int, src: String, k: Int, sub: Int): String =
       s"""pm${mi}b AS MATERIALIZED (SELECT vec_id,
-         |  list_slice(qv, ${mi * sub + 1}, ${(mi + 1) * sub}) AS sv FROM v),
+         |  list_slice(qv, ${mi * sub + 1}, ${(mi + 1) * sub}) AS sv FROM $src),
          |pm${mi}n AS MATERIALIZED (SELECT vec_id, sv, ${sq("sv")} AS n2
          |  FROM pm${mi}b),
          |pm${mi}c0 AS MATERIALIZED (SELECT
@@ -2870,30 +2887,99 @@ object SparkEntry {
          |${roundCte(mi, s"pm${mi}c0", "r1")},
          |${roundCte(mi, s"pm${mi}r1_c", "r2")},
          |${assign(mi, s"pm${mi}r2_c", s"pm${mi}e")}""".stripMargin
-    val chains = (0 until m).map(subspace).mkString(",\n")
-    val codeJoin = (1 until m).map(mi => s"JOIN pm${mi}e e$mi USING (vec_id)")
-      .mkString(" ")
-    val codeCols = (0 until m).map(mi => s"e$mi.code AS c$mi").mkString(", ")
-    val cbJoins = (0 until m).map(mi =>
-      s"JOIN pm${mi}r2_c cb$mi ON cb$mi.code = d.c$mi").mkString(" ")
-    val dotSum = (0 until m).map(mi =>
-      dot(s"list_slice(q.qv, ${mi * sub + 1}, ${(mi + 1) * sub})",
-        s"cb$mi.cw")).mkString(" + ")
-    val cnSum = (0 until m).map(mi => s"cb$mi.cn2").mkString(" + ")
+    def chainsFrom(src: String, m: Int, k: Int, sub: Int): String =
+      (0 until m).map(subspace(_, src, k, sub)).mkString(",\n")
+    def codeJoin(m: Int): String =
+      (1 until m).map(mi => s"JOIN pm${mi}e e$mi USING (vec_id)").mkString(" ")
+    def codeCols(m: Int): String =
+      (0 until m).map(mi => s"e$mi.code AS c$mi").mkString(", ")
+    def cbJoins(m: Int): String =
+      (0 until m).map(mi =>
+        s"JOIN pm${mi}r2_c cb$mi ON cb$mi.code = d.c$mi").mkString(" ")
+    def sliceDotSum(vec: String, m: Int, sub: Int): String =
+      (0 until m).map(mi =>
+        dot(s"list_slice($vec, ${mi * sub + 1}, ${(mi + 1) * sub})",
+          s"cb$mi.cw")).mkString(" + ")
+    def cnSum(m: Int): String =
+      (0 until m).map(mi => s"cb$mi.cn2").mkString(" + ")
+  }
+
+  /** PQ-ANN oracle: replays [[graft.pipeline.Similarity.pqTopK]] —
+    * per subspace an md5-first-seeded integer-L2 Lloyd (two rounds,
+    * truncating means, empty codes keep their codeword), ordinal code
+    * assignment with (dist, code) ties, then the ADC cosine (exact |q|,
+    * codeword-reconstructed |x̃|) ranked per query. All CTEs
+    * MATERIALIZED (DuckDB inlines CTEs — the chained rounds would
+    * otherwise expand exponentially). */
+  private val PqTopKOracle: String = {
+    val m = 8; val k = 16; val dim = 64; val sub = dim / m; val topK = 5
+    import PqSql._
     s"""WITH v AS MATERIALIZED ($KmeansSrcSql),
-       |$chains,
-       |codes AS MATERIALIZED (SELECT e0.vec_id, $codeCols
-       |  FROM pm0e e0 $codeJoin),
+       |${chainsFrom("v", m, k, sub)},
+       |codes AS MATERIALIZED (SELECT e0.vec_id, ${codeCols(m)}
+       |  FROM pm0e e0 ${codeJoin(m)}),
        |q AS MATERIALIZED (SELECT vec_id AS qid, qv, ${sq("qv")} AS qn2
        |  FROM v WHERE vec_id % 100 = 0),
        |sc AS (SELECT q.qid, d.vec_id AS cid, q.qn2,
-       |    ($dotSum) AS dotadc, ($cnSum) AS cn2
-       |  FROM q CROSS JOIN codes d $cbJoins
+       |    (${sliceDotSum("q.qv", m, sub)}) AS dotadc, (${cnSum(m)}) AS cn2
+       |  FROM q CROSS JOIN codes d ${cbJoins(m)}
        |  WHERE d.vec_id <> q.qid),
        |scored AS (SELECT qid, cid,
        |  CASE WHEN cn2 = 0 THEN 0.0
        |       ELSE round(CAST(dotadc AS DOUBLE)
        |         /(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6)
+       |  END AS cosine FROM sc),
+       |ranked AS (SELECT qid, cid, cosine,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, cid) AS BIGINT) AS rnk FROM scored)
+       |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= $topK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** IVF-PQ (IVFADC) oracle: the coarse kmeans chain routes queries to
+    * their nProbe cells; PQ chains train on the RESIDUAL source `rv`;
+    * scoring reconstructs dot and norm exactly (integer terms: dot(q,c)
+    * + ADC, |c|² + 2·dot(c_sub, cw) + |cw|²) and ranks the
+    * rounded cosine. */
+  private val IvfPqOracle: String = {
+    val m = 8; val k = 16; val dim = 64; val sub = dim / m
+    val nProbe = 3; val topK = 5
+    import PqSql._
+    val centDotSum = (0 until m).map(mi =>
+      dot(s"list_slice(ctr.cq, ${mi * sub + 1}, ${(mi + 1) * sub})",
+        s"cb$mi.cw")).mkString(" + ")
+    s"""WITH ${kmeansCtes("ip", KmeansSrcSql, 8, kmeansCos)},
+       |ipc AS MATERIALIZED (SELECT cent, cq, cn2 FROM ipr2_c),
+       |rv AS MATERIALIZED (SELECT a.vec_id,
+       |    list_transform(range(1, len(a.qv)+1),
+       |      i -> a.qv[CAST(i AS INT)] - c.cq[CAST(i AS INT)]) AS qv
+       |  FROM ipaf a JOIN ipc c USING (cent)),
+       |${chainsFrom("rv", m, k, sub)},
+       |codes AS MATERIALIZED (SELECT e0.vec_id, a.cent, ctr.cn2 AS centn,
+       |    ${codeCols(m)}
+       |  FROM pm0e e0 ${codeJoin(m)}
+       |  JOIN ipaf a ON a.vec_id = e0.vec_id
+       |  JOIN ipc ctr ON ctr.cent = a.cent),
+       |qs AS MATERIALIZED (SELECT vec_id AS qid, qv, n2 AS qn2 FROM ipb
+       |  WHERE vec_id % 100 = 0),
+       |qc AS MATERIALIZED (SELECT qid, qv, qn2, cent, dotqc FROM (
+       |  SELECT q.qid, q.qv, q.qn2, c.cent,
+       |    ${dot("q.qv", "c.cq")} AS dotqc,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${kmeansCos("q.qv", "q.qn2", "c.cq", "c.cn2")} DESC,
+       |        c.cent) AS rn
+       |  FROM qs q CROSS JOIN ipc c) WHERE rn <= $nProbe),
+       |sc AS (SELECT qc.qid, d.vec_id AS cid, qc.qn2,
+       |    qc.dotqc + (${sliceDotSum("qc.qv", m, sub)}) AS dotx,
+       |    d.centn + 2*($centDotSum) + (${cnSum(m)}) AS xn2
+       |  FROM qc JOIN codes d ON d.cent = qc.cent
+       |  JOIN ipc ctr ON ctr.cent = d.cent
+       |  ${cbJoins(m)}
+       |  WHERE d.vec_id <> qc.qid),
+       |scored AS (SELECT qid, cid,
+       |  CASE WHEN xn2 <= 0 THEN 0.0
+       |       ELSE round(CAST(dotx AS DOUBLE)
+       |         /(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(xn2 AS DOUBLE))), 6)
        |  END AS cosine FROM sc),
        |ranked AS (SELECT qid, cid, cosine,
        |  CAST(row_number() OVER (PARTITION BY qid
@@ -4252,6 +4338,7 @@ object SparkEntry {
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "embed_topk_pq" -> PqTopKOracle,
+    "embed_topk_ivfpq" -> IvfPqOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_semantic_capped" -> SemDedupCappedOracle,
     "dedup_prototypes" -> PrototypeOracle,

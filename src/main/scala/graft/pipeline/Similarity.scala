@@ -575,6 +575,117 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
   }
 
+  /**
+   * IVF-PQ top-k — the IVFADC architecture (Jégou et al. 2011 §IV, the
+   * composition production ANN systems actually deploy at billion-vector
+   * scale): a coarse inverted file (the [[trainCentroids]] substrate,
+   * cosine cells) routes each query to its `nProbe` nearest cells, and
+   * candidates inside those cells are scored from PRODUCT-QUANTIZED
+   * RESIDUALS — each corpus vector stores its cell id plus m code ints
+   * over x − centroid(x), and the reconstruction
+   * x̃ = centroid + decoded residual gives
+   * dot(q, x̃) = dot(q, c) + Σᵢ ADC[i][codeᵢ] and
+   * |x̃|² = |c|² + 2·Σᵢ dot(c_subᵢ, cwᵢ) + Σᵢ |cwᵢ|² — every term
+   * integer-exact over the quantized grid, so ranking (reconstructed
+   * cosine rounded to 6, ties by id) replays in any engine.
+   *
+   * Scale shape: coarse centroids and residual codebooks are driver
+   * metadata (nCells·d + m·k·(d/m) longs; the per-(cell, subspace, code)
+   * centroid-codeword dot table is nCells·m·k more); the corpus pass is
+   * one map-side assign + residual-encode projection whose output —
+   * cell id + m code ints per row, the artifact an IVFADC deployment
+   * persists — is localCheckpoint'd; query routing explodes only the
+   * tiny query side; candidate scoring joins codes to the BROADCAST
+   * probed-cell table keyed on the cell id, so only nProbe/nCells of
+   * the corpus is read per query and each candidate costs m lookups +
+   * integer adds. Only the final ranking window shuffles.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                nCells: Int, m: Int, k: Int, iters: Int = 2,
+                nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"),
+        quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val dim = c.select(size(col("cq")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = trainCentroids(c, nCells, iters)
+    val centArr: Array[(String, Array[Long], Long)] = cents.collect()
+      .map(r => (r.getAs[String]("cent"), r.getSeq[Long](1).toArray,
+        r.getAs[Long]("centn")))
+    val centsRow = cents
+      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    // cell assignment carrying the winning centroid so the residual is a
+    // pure projection (ties impossible past the unique cent field)
+    val resid = c.crossJoin(broadcast(centsRow))
+      .withColumn("best", array_min(transform(col("cents"), x =>
+        struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
+          col("cn"), x.getField("centn")), 6)).as("negCos"),
+          x.getField("cent").as("cent"), x.getField("centq").as("centq"),
+          x.getField("centn").as("centn")))))
+      .select(col("cid"), col("cq"), col("best.cent").as("cent"),
+        col("best.centn").as("centn"),
+        zip_with(col("cq"), col("best.centq"), (a, b) => a - b).as("rq"))
+      .localCheckpoint()  // feeds the PQ Lloyd jobs AND the encode pass
+    val books = pqLloydAll(resid.select(col("cid"), col("rq").as("cq")),
+      m, sub, k, iters)
+    // the stored artifact: cell id + m residual code ints (+ |c|² carried
+    // for the norm term); checkpoint = the persisted IVFADC index
+    val codes = (0 until m).foldLeft(resid) { (df, mi) =>
+      df.withColumn(s"code$mi",
+        pqAssign(slice(col("rq"), mi * sub + 1, sub), books(mi)))
+    }.select(col("cid") +: col("cent") +: col("centn") +:
+        (0 until m).map(mi => col(s"code$mi")): _*)
+      .localCheckpoint(eager = false)
+    // driver metadata tables: centroid-codeword dots and codeword norms
+    def dotArr(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ccMap: Map[String, Long] = (for {
+      (cent, cq, _) <- centArr; mi <- 0 until m; j <- 0 until k
+    } yield s"$cent|$mi|$j" ->
+      dotArr(cq.slice(mi * sub, (mi + 1) * sub), books(mi)(j))).toMap
+    // query side: probe the nProbe nearest cells, carry dot(q, c) and
+    // the per-subspace ADC tables (all broadcast-sized)
+    val q0 = queries.select(col("vec_id").as("qid"),
+        quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq")))
+    val qcells = q0.crossJoin(broadcast(centsRow))
+      .select(col("qid"), col("qq"), col("qn"), explode(col("cents")).as("c"))
+      .select(col("qid"), col("qq"), col("qn"), col("c.cent").as("cent"),
+        dotQ(col("qq"), col("c.centq")).as("dotqc"),
+        round(cosineFromQ(dotQ(col("qq"), col("c.centq")), col("qn"),
+          col("c.centn")), 6).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cent"))))
+      .filter(col("rn") <= nProbe)
+    val qtab = (0 until m).foldLeft(qcells) { (df, mi) =>
+      df.withColumn(s"adc$mi", array(books(mi).map(w =>
+        dotQ(slice(col("qq"), mi * sub + 1, sub),
+          array(w.map(lit(_)): _*))): _*))
+    }.drop("qq", "cs", "rn")
+    val dotAdc = (0 until m).map(mi =>
+      element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)
+    val ccSum = (0 until m).map(mi =>
+      element_at(typedlit(ccMap),
+        concat_ws("|", col("cent"), lit(mi), col(s"code$mi")))).reduce(_ + _)
+    val cwn2Sum = (0 until m).map(mi =>
+      element_at(array(books(mi).map(w => lit(dotArr(w, w))): _*),
+        col(s"code$mi") + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(qtab), "cent")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("xn2", col("centn") + lit(2L) * ccSum + cwn2Sum)
+      .withColumn("cosine",
+        when(col("xn2") <= 0, lit(0.0))  // degenerate zero reconstruction
+          .otherwise(round(cosineFromQ(col("dotqc") + dotAdc,
+            col("qn"), col("xn2")), 6)))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
   private def probeWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
                                  nProbe: Int,
                                  centroidRows: DataFrame): DataFrame = {
