@@ -280,4 +280,109 @@ object StatefulOps {
           }
       }
   }
+
+  // ------- streaming MinHash near-dup: the streaming plane of the batch
+  // LSH family (Dedup.minHashSignatures / minHashLshPairs) -------
+
+  /** One (band-bucket, document) arrival: `sig` is the doc's full
+    * MinHash signature, `band` the LSH bucket key this row landed in. */
+  case class BandedDoc(band: String, ord: Long, docId: Long, sig: List[Long])
+  case class NearDupHit(docId: Long, candId: Long, band: String,
+                        estJaccard: Double)
+  case class BucketMember(id: Long, sig: List[Long])
+  case class BucketState(members: List[BucketMember])
+
+  /** Map-side banding for [[detectNearDuplicates]]: per-ROW MinHash
+    * signature (min over the doc's own distinct shingles of the same
+    * double-hash family `Dedup.minHashSignatures` aggregates — identical
+    * values, but as a pure projection with NO shuffle, the shape a
+    * stream stage needs) + the band-key explode. */
+  def bandDocs(df: org.apache.spark.sql.DataFrame,
+               idCol: org.apache.spark.sql.Column,
+               textCol: org.apache.spark.sql.Column,
+               ordCol: org.apache.spark.sql.Column,
+               n: Int, numHashes: Int, rowsPerBand: Int): Dataset[BandedDoc] = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Dedup
+    import df.sparkSession.implicits._
+    require(numHashes % rowsPerBand == 0, "numHashes must split into bands")
+    val sh = array_distinct(Dedup.shingles(textCol, n))
+    val sig = array((0 until numHashes).map { k =>
+      array_min(transform(sh, s => {
+        val h = md5(s)
+        conv(substring(h, 1, 15), 16, 10).cast("long") +
+          lit(k.toLong) *
+            (conv(substring(h, 17, 15), 16, 10).cast("long") %
+              lit(Dedup.DoubleHashMod))
+      }))
+    }: _*)
+    val numBands = numHashes / rowsPerBand
+    df.select(idCol.cast("long").as("docId"), ordCol.cast("long").as("ord"),
+        sig.as("sig"))
+      .select(col("docId"), col("ord"), col("sig"),
+        explode(array((0 until numBands).map { b =>
+          concat_ws("|", lit(b) +:
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(k => element_at(col("sig"), k + 1)): _*)
+        }: _*)).as("band"))
+      .select(col("band"), col("ord"), col("docId"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /**
+   * Streaming near-duplicate detection — the batch MinHash-LSH family's
+   * banding with bucket state instead of a bucket groupBy: documents
+   * colliding in a band bucket are scored by the Broder (1997, "On the
+   * resemblance and containment of documents") signature estimator
+   * |{k : mhA_k = mhB_k}| / numHashes, so NO document text ever lives
+   * in the state store. State per bucket = the first-seen `maxBucket`
+   * members' signatures (the capped-LSH recall trade the batch
+   * `minHashLshPairs` cap makes: later arrivals still score against the
+   * stored members but are not stored), TTL-evicted after `ageMs` like
+   * [[detectDuplicates]]. Emits one hit per (arriving doc, stored
+   * member) clearing `minEstJaccard`; a pair colliding in several bands
+   * repeats — the caller's distinct, exactly the batch pair-dedup
+   * groupBy.
+   *
+   * 100 TB posture: one state entry per ACTIVE bucket, bounded at
+   * maxBucket·numHashes longs, keyed on the band hash — the same key the
+   * batch plane shuffles on; RocksDB state store at scale.
+   */
+  def detectNearDuplicates(docs: Dataset[BandedDoc], maxBucket: Int,
+                           minEstJaccard: Double,
+                           ageMs: Long = 0): Dataset[NearDupHit] = {
+    implicit val outEnc = Encoders.product[NearDupHit]
+    implicit val stEnc = Encoders.product[BucketState]
+    implicit val strEnc = Encoders.STRING
+    val timeoutConf =
+      if (ageMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (band: String, batch: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[NearDupHit]
+            batch.toSeq.sortBy(_.ord).foreach { d =>
+              val n = d.sig.length.toDouble
+              members.foreach { m =>
+                if (m.id != d.docId) {
+                  val eq = m.sig.zip(d.sig).count { case (a, b) => a == b }
+                  val est = eq / n
+                  if (est >= minEstJaccard)
+                    out += NearDupHit(d.docId, m.id, band, est)
+                }
+              }
+              if (members.size < maxBucket)
+                members = members :+ BucketMember(d.docId, d.sig)
+            }
+            state.update(BucketState(members))
+            if (ageMs > 0) state.setTimeoutDuration(ageMs)
+            out.result().iterator
+          }
+      }
+  }
 }

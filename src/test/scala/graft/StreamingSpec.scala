@@ -737,4 +737,57 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
   }
+
+  test("bandDocs: the per-row streaming signature equals the batch " +
+       "minHashSignatures aggregation value-for-value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different words about spark engines running fast"))
+      .toDF("doc_id", "text")
+    val batchSig = graft.pipeline.Dedup
+      .minHashSignatures(docs, col("doc_id"), col("text"), 5, 8)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        (0 until 8).map(k => r.getAs[Long](s"mh$k")).toList).toMap
+    val streamSig = StatefulOps.bandDocs(docs, col("doc_id"), col("text"),
+        col("doc_id"), 5, 8, 2)
+      .collect().map(b => b.docId -> b.sig).toMap
+    assert(streamSig === batchSig)
+  }
+
+  test("streaming detectNearDuplicates: near-dups colliding in a band " +
+       "score above threshold across batches, unrelated docs don't, and " +
+       "the bucket cap bounds state without losing detection against " +
+       "stored members") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.BandedDoc]
+    val q = StatefulOps.detectNearDuplicates(input.toDS(), maxBucket = 2,
+        minEstJaccard = 0.5)
+      .writeStream.format("memory").queryName("neardup_hits")
+      .outputMode("append").start()
+    try {
+      val sigA = List(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+      val sigB = List(1L, 2L, 3L, 4L, 5L, 6L, 99L, 98L)  // est 0.75 vs A
+      val sigC = List(9L, 9L, 9L, 9L, 9L, 9L, 9L, 9L)    // est 0 vs A/B
+      // batch 1: A opens the bucket; C collides in the band but scores 0
+      input.addData(
+        StatefulOps.BandedDoc("b0", 1, 10L, sigA),
+        StatefulOps.BandedDoc("b0", 2, 30L, sigC))
+      q.processAllAvailable()
+      // batch 2: B arrives later, must hit A (cross-batch state); the
+      // bucket is now at cap=2 (A, C) so B itself is NOT stored
+      input.addData(StatefulOps.BandedDoc("b0", 3, 20L, sigB))
+      q.processAllAvailable()
+      // batch 3: a second copy of B — its only >threshold partner (B)
+      // was never stored, so it too only hits A (the capped trade)
+      input.addData(StatefulOps.BandedDoc("b0", 4, 21L, sigB))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_hits").as[StatefulOps.NearDupHit]
+        .collect().map(h => (h.docId, h.candId, h.estJaccard)).sorted
+      assert(hits.toSeq === Seq((20L, 10L, 0.75), (21L, 10L, 0.75)))
+    } finally q.stop()
+  }
 }
