@@ -97,7 +97,12 @@ object Bench {
     // IVF-PQ (r15): the index build (coarse Lloyd + residual-PQ Lloyd)
     // is a fixed number of bounded jobs, so the x10 side should be
     // dominated by the probed-cell code scan — strongly sublinear
-    "embed_topk_ivfpq")
+    "embed_topk_ivfpq",
+    // CMS + HLL (r15): both sketches aggregate into config-bounded state
+    // (4096 cells / 1024 registers) via map-side partials — the x10 side
+    // should track the token-explode scan linearly with no growth in
+    // shuffle or driver state
+    "sketch_cms", "sketch_hll")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1126,6 +1126,31 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Count-min sketch point queries (Cormode & Muthukrishnan 2005): the
+    // 4×1024-cell sketch is built in ONE corpus pass (bounded aggregate
+    // state), then a deterministic probe set (distinct tokens of every
+    // 97th doc) estimates map-side from the collected cell literal — the
+    // oracle recomputes the identical cells, so the sketch itself is
+    // hash-checked, not just its error bound
+    "sketch_cms" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val cells = graft.pipeline.Sketches.countMinCells(
+        docs.select(explode(split(col("text"), " ")).as("tok")), col("tok"))
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      graft.pipeline.Sketches.cmsEstimates(cells, probes, col("tok"))
+        .orderBy("token")
+    }),
+
+    // HyperLogLog vocabulary-size estimate (Flajolet 2007): 1024
+    // max-rank registers from one corpus pass; the exact scaled
+    // indicator sum and the rounded estimate are both emitted so the
+    // oracle pins the REGISTER STATE, not only the final scalar
+    "sketch_hll" -> ((s, dir) =>
+      graft.pipeline.Sketches.hllEstimate(
+        docsPar(s, dir).select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"))),
+
     // GPT-3-style SPAN decontamination (Brown 2020 arXiv:2005.14165
     // App. C): cut a padded window around each matched n-gram, keep the
     // surviving pieces, drop splintered docs — word-granular here
@@ -4198,6 +4223,49 @@ object SparkEntry {
         |SELECT vec_id, cos AS max_cosine, bid AS nearest_bench,
         |  cos >= 0.2 AS contaminated
         |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // full CMS replay: identical 48-bit md5-prefix buckets, min over the
+    // 4 salted rows per probe
+    "sketch_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |cells AS (SELECT j,
+        |    CAST('0x'||substring(md5('cms'||j||'|'||w),1,12) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) GROUP BY j, b),
+        |probes AS (SELECT DISTINCT unnest(string_split(text,' ')) AS token
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT p.token, CAST(MIN(c.c) AS BIGINT) AS est_count
+        |FROM probes p JOIN cells c
+        |  ON c.b = CAST('0x'||substring(md5('cms'||c.j||'|'||p.token),1,12) AS BIGINT) % 1024
+        |GROUP BY p.token ORDER BY token""".stripMargin,
+
+    // full HLL replay: 16-bit register index, rank = 61 − bit-length of
+    // the next 60 md5 bits, indicator sum exact in 2^-61 units (HUGEINT),
+    // then Flajolet's raw estimator with the linear-counting branch in
+    // the same double expression order as the Scala driver arithmetic
+    "sketch_hll" ->
+      """WITH tok0 AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |tok AS (SELECT md5('hll|'||w) AS h FROM tok0),
+        |rr AS (SELECT CAST('0x'||substring(h,1,4) AS BIGINT) % 1024 AS idx,
+        |    CASE WHEN CAST('0x'||substring(h,5,15) AS BIGINT) = 0 THEN 61
+        |         ELSE 61 - length(bin(CAST('0x'||substring(h,5,15) AS BIGINT)))
+        |    END AS rho
+        |  FROM tok),
+        |regs AS (SELECT idx, MAX(rho) AS r FROM rr GROUP BY idx),
+        |agg AS (SELECT COUNT(*) AS filled,
+        |    SUM(1::HUGEINT << (61 - r)) AS s_filled FROM regs),
+        |s AS (SELECT filled, 1024 - filled AS zeros,
+        |    CAST(s_filled + (1024 - filled)::HUGEINT * (1::HUGEINT << 61) AS DOUBLE) AS sd
+        |  FROM agg),
+        |e AS (SELECT filled, zeros, sd,
+        |    0.7213/(1.0 + 1.079/1024) * 1024 * 1024 * 2305843009213693952.0 / sd AS raw
+        |  FROM s)
+        |SELECT CAST(1024 AS BIGINT) AS m, CAST(filled AS BIGINT) AS filled,
+        |  CAST(zeros AS BIGINT) AS zeros, sd AS s_scaled,
+        |  CAST(round(CASE WHEN raw <= 2.5*1024 AND zeros > 0
+        |                  THEN 1024 * ln(1024.0/zeros) ELSE raw END) AS BIGINT)
+        |    AS est_distinct
+        |FROM e""".stripMargin,
 
     "decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words

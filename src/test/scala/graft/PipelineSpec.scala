@@ -1229,4 +1229,51 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getAs[Double]("top_2gram_char_frac") > 0.20)   // doc 3
     assert(out(3).getAs[Double]("dup_5gram_char_frac") > 0.15)   // doc 4
   }
+
+  test("count-min sketch never underestimates and is near-exact at low " +
+       "load factor (Cormode & Muthukrishnan 2005)") {
+    import spark.implicits._
+    // Zipf-ish token stream: token t_i appears 201-2i times — known exact
+    // counts, ~100 distinct tokens in a 4×1024 sketch (load factor ~0.1)
+    val toks = (1 to 100).flatMap(i => Seq.fill(201 - 2 * i)(s"tok$i"))
+      .toDF("tok")
+    val cells = Sketches.countMinCells(toks, col("tok"))
+    // state bound: at most depth×width cells regardless of stream size
+    assert(cells.count() <= 4L * 1024)
+    val probes = (1 to 100).map(i => s"tok$i").toDF("tok")
+    val est = Sketches.cmsEstimates(cells, probes, col("tok"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count"))
+      .toMap
+    (1 to 100).foreach { i =>
+      val exact = 201L - 2 * i
+      assert(est(s"tok$i") >= exact, s"tok$i underestimated")  // CMS guarantee
+      assert(est(s"tok$i") <= exact + 400, s"tok$i error blown") // ε·N bound
+    }
+    // min-over-rows is exact for most probes at this load factor
+    val exactHits = (1 to 100).count(i => est(s"tok$i") == 201L - 2 * i)
+    assert(exactHits >= 90)
+    // absent token estimates 0 or a small collision count, never negative
+    val ghost = Sketches.cmsEstimates(cells, Seq("neverseen").toDF("tok"),
+      col("tok")).collect()(0).getAs[Long]("est_count")
+    assert(ghost >= 0L && ghost <= 400L)
+  }
+
+  test("HyperLogLog estimates cardinality within the published error band " +
+       "(Flajolet 2007: ~1.04/sqrt(m) = 3.3% at m=1024)") {
+    import spark.implicits._
+    // 5000 distinct tokens, each repeated 3x (cardinality must ignore
+    // multiplicity); 5000/1024 ≈ 4.9 fill → raw estimator regime
+    val toks = (1 to 5000).flatMap(i => Seq.fill(3)(s"word$i")).toDF("tok")
+    val r = Sketches.hllEstimate(toks, col("tok")).collect()(0)
+    assert(r.getAs[Long]("m") === 1024L)
+    val est = r.getAs[Long]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"est $est vs 5000")
+    // small-cardinality corpus lands in the linear-counting branch and
+    // is near-exact there
+    val small = (1 to 40).map(i => s"w$i").toDF("tok")
+    val rs = Sketches.hllEstimate(small, col("tok")).collect()(0)
+    assert(rs.getAs[Long]("zeros") > 0L)
+    val estS = rs.getAs[Long]("est_distinct")
+    assert(math.abs(estS - 40.0) <= 3.0, s"linear-counting est $estS vs 40")
+  }
 }
