@@ -102,7 +102,12 @@ object Bench {
     // (4096 cells / 1024 registers) via map-side partials — the x10 side
     // should track the token-explode scan linearly with no growth in
     // shuffle or driver state
-    "sketch_cms", "sketch_hll")
+    "sketch_cms", "sketch_hll",
+    // DoReMi (r15): the proxy-loss pass is the shared perplexity chain
+    // (its scale pair lives in perplexity_buckets); the DRO loop itself
+    // runs on ≤|domains| rows of collected metadata, so the x10 delta
+    // should be pure scoring-pass growth
+    "doremi_weights")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1151,6 +1151,32 @@ object SparkEntry {
         docsPar(s, dir).select(explode(split(col("text"), " ")).as("tok")),
         col("tok"))),
 
+    // DoReMi domain reweighting (Xie 2023 arXiv:2305.10429 Alg. 1): the
+    // Group-DRO multiplicative-weights loop over per-SOURCE excess
+    // cross-entropy under the CCNet reference LM — the proxy-loss frame
+    // is the shared Perplexity.crossEntropy stage with the domain
+    // carried through the gram explode (no corpus join back)
+    "doremi_weights" -> ((s, dir) => {
+      val ce = graft.pipeline.Perplexity.crossEntropy(docsPar(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en",
+        carry = Seq("domain" -> col("source")))
+      graft.pipeline.Mixing.doremiWeights(ce, col("domain"), col("ce_micro"))
+        .orderBy("domain")
+    }),
+
+    // UniMax language-budget allocation (Chung 2023 arXiv:2304.09151):
+    // waterfill a char budget (80% of the corpus) over languages
+    // ascending by size with a one-epoch cap — the fixture's skewed
+    // lang sizes put every tail language at the cap and truncate 'en'
+    "unimax_budget" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val budget =
+        docs.agg(sum(col("n_chars"))).collect()(0).getLong(0) * 4L / 5L
+      graft.pipeline.Mixing.unimaxAllocation(docs, col("lang"),
+        col("n_chars"), budget, maxEpochs = 1L)
+        .orderBy("source")
+    }),
+
     // GPT-3-style SPAN decontamination (Brown 2020 arXiv:2005.14165
     // App. C): cut a padded window around each matched n-gram, keep the
     // surviving pieces, drop splintered docs — word-granular here
@@ -2764,6 +2790,23 @@ object SparkEntry {
       |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
       |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin
 
+  /** DoReMi's 5 unrolled mirror-ascent steps (Mixing.doremiWeights):
+    * exponentiate at η=1 → exact-integer normalize → smooth at c=1e-3 →
+    * re-fix to 1e-12 units, each in the Scala driver loop's exact double
+    * expression order. Starts from `a0` (uniform), ends in `a5`. */
+  private val DoremiSteps: String = (1 to 5).map { t =>
+    val prev = if (t == 1) "a0" else s"a${t - 1}"
+    s"""r$t AS (SELECT domain, n, ex, CAST(round(CAST(a AS DOUBLE) *
+       |    exp(1.0 * (CAST(ex AS DOUBLE) / 1000000.0))) AS BIGINT) AS r
+       |  FROM $prev),
+       |a$t AS (SELECT domain, n, ex,
+       |    CAST(round((1.0 - 0.001) *
+       |      (CAST(r AS DOUBLE) / CAST((SELECT sum(r) FROM r$t) AS DOUBLE)) *
+       |      1000000000000.0 +
+       |      0.001 * 1000000000000.0 / (SELECT nl FROM l)) AS BIGINT) AS a
+       |  FROM r$t)""".stripMargin
+  }.mkString(",\n")
+
   private def kmeansCos(av: String, an: String, bv: String, bn: String): String =
     s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
       s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
@@ -4266,6 +4309,54 @@ object SparkEntry {
         |                  THEN 1024 * ln(1024.0/zeros) ELSE raw END) AS BIGINT)
         |    AS est_distinct
         |FROM e""".stripMargin,
+
+    // the full DoReMi replay: the shared perplexity chain supplies the
+    // per-doc proxy loss, domains join via doc_id (the Spark side
+    // carries the domain through the explode instead), then the 5
+    // unrolled multiplicative-weight steps
+    "doremi_weights" ->
+      s"""WITH ${PplChain("documents")},
+         |dom AS (SELECT d.source AS domain, count(*) AS n, sum(sc.ce) AS s
+         |  FROM sc JOIN documents d USING (doc_id) GROUP BY d.source),
+         |gm AS (SELECT sum(s) // sum(n) AS mu FROM dom),
+         |lam AS (SELECT domain, n,
+         |    greatest(s // n - (SELECT mu FROM gm), 0) AS ex FROM dom),
+         |l AS (SELECT count(*) AS nl FROM lam),
+         |a0 AS (SELECT domain, n, ex,
+         |    CAST(round(1000000000000.0 / (SELECT nl FROM l)) AS BIGINT) AS a
+         |  FROM lam),
+         |$DoremiSteps
+         |SELECT domain, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(ex AS BIGINT) AS excess_micro, CAST(a AS BIGINT) AS alpha_micro
+         |FROM a5 ORDER BY domain""".stripMargin,
+
+    // pure-integer waterfilling replay: capped prefix by the ascending
+    // rank condition, equal split of the remainder, truncating epochs
+    "unimax_budget" ->
+      """WITH sz AS (SELECT lang AS source, sum(n_chars) AS n
+        |  FROM documents GROUP BY lang),
+        |b AS (SELECT (sum(n) * 4) // 5 AS bgt FROM sz),
+        |rk AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS r,
+        |    coalesce(sum(n) OVER (ORDER BY n, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev,
+        |    count(*) OVER () AS nl FROM sz),
+        |ok AS (SELECT rk.*,
+        |    CASE WHEN 1 * n * (nl - r + 1) <= (SELECT bgt FROM b) - 1 * cumprev
+        |         THEN 1 ELSE 0 END AS fits FROM rk),
+        |kk AS (SELECT coalesce(min(r), (SELECT max(nl) FROM rk) + 1) - 1 AS k
+        |  FROM ok WHERE fits = 0),
+        |cumk AS (SELECT coalesce(sum(n), 0) AS ck FROM ok
+        |  WHERE r <= (SELECT k FROM kk)),
+        |fin AS (SELECT source, n,
+        |    CASE WHEN r <= (SELECT k FROM kk) THEN 1 * n
+        |         ELSE ((SELECT bgt FROM b) - 1 * (SELECT ck FROM cumk))
+        |              // (nl - (SELECT k FROM kk)) END AS alloc
+        |  FROM ok)
+        |SELECT source, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(alloc AS BIGINT) AS alloc_chars,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE alloc * 1000000 // n END AS BIGINT)
+        |    AS epochs_micro
+        |FROM fin ORDER BY source""".stripMargin,
 
     "decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words

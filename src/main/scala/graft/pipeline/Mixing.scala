@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/**
+ * Domain-mixture optimization for training-data pipelines — the stage that
+ * decides HOW MUCH of each source/language the final training set draws:
+ *
+ *  - DoReMi (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+ *    Language Model Pretraining", arXiv:2305.10429, Algorithm 1): Group-DRO
+ *    multiplicative-weights ascent on per-domain EXCESS loss.
+ *  - UniMax (Chung et al. 2023, "UniMax: Fairer and More Effective Language
+ *    Sampling for Large-Scale Multilingual Pretraining", ICLR 2023,
+ *    arXiv:2304.09151): budget-constrained uniform allocation with a
+ *    per-language epoch cap — waterfilling over ascending language sizes.
+ *
+ * Both reduce the corpus to ONE bounded aggregation (a row per domain —
+ * a handful at any corpus size) and run the published update/allocation
+ * arithmetic on that metadata, so the 100 TB cost is a single map-side-
+ * partial groupBy regardless of T steps or language count.
+ */
+object Mixing {
+
+  /**
+   * DoReMi domain weights from a per-document proxy-loss frame. The
+   * published Algorithm 1 interleaves proxy-model training with the
+   * weight updates; this engine-side formulation runs the SAME
+   * multiplicative-weights loop over a STATIC excess-loss vector (the
+   * per-domain mean cross-entropy above the corpus mean, e.g. from
+   * [[Perplexity.crossEntropy]] — proxy losses from any scorer plug in),
+   * which is Algorithm 1 with the per-step loss re-estimation pinned to
+   * its first measurement:
+   *
+   *   λ_k   = max(0, mean_k(loss) − mean(loss))          (excess loss)
+   *   α⁰    = uniform
+   *   α'    = α^{t−1} · exp(η·λ)        (mirror ascent, t = 1..steps)
+   *   α^t   = (1−c) · α'/‖α'‖₁ + c·u    (smoothing toward uniform u)
+   *
+   * Determinism: domain means are integer micro-nat divisions
+   * (`sum div count`); each step's α is re-fixed-pointed to integer
+   * 1e-12 units and the normalizer is an EXACT integer sum, so the only
+   * float exposure per step is one exp/multiply/divide chain in
+   * oracle-matched expression order (the established microLog class).
+   *
+   * Input: one row per document with (domain, lossMicro). Output: one row
+   * per domain — (domain, n_docs, excess_micro, alpha_micro), α scaled
+   * 1e12.
+   */
+  def doremiWeights(df: DataFrame, domainCol: Column, lossMicroCol: Column,
+                    steps: Int = 5, eta: Double = 1.0,
+                    smoothing: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    // ONE corpus-scale agg: per-domain loss sums AND the global sum ride
+    // the same frame (the global mean derives from the collected rows —
+    // no second job)
+    val dom = df.select(domainCol.as("domain"),
+        lossMicroCol.cast("long").as("lm"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n"), sum(col("lm")).as("s"))
+      .collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n"),
+        r.getAs[Long]("s")))
+      .sortBy(_._1)
+    require(dom.nonEmpty, "doremi needs a non-empty corpus")
+    val totalN = dom.map(_._2).sum
+    val totalS = dom.map(_._3).sum
+    val mu = totalS / totalN                       // integer micro mean
+    val lam = dom.map { case (_, n, s) => math.max(0L, s / n - mu) }
+    val L = dom.length
+    val S = 1e12
+    def half(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // α in integer 1e-12 units; each step: exponentiate, exact-integer
+    // normalize, smooth, re-fix — the oracle replays the identical chain
+    var a: Array[Long] = Array.fill(L)(half(S / L))
+    for (_ <- 1 to steps) {
+      val r = a.indices.map(k =>
+        half(a(k).toDouble * math.exp(eta * (lam(k).toDouble / 1e6)))).toArray
+      val d = r.sum
+      a = r.map(rk =>
+        half((1.0 - smoothing) * (rk.toDouble / d.toDouble) * S +
+          smoothing * S / L))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(dom.indices.map(k =>
+        Row(dom(k)._1, dom(k)._2, lam(k), a(k))): _*),
+      StructType(Seq(
+        StructField("domain", StringType, nullable = true),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("excess_micro", LongType, nullable = false),
+        StructField("alpha_micro", LongType, nullable = false))))
+  }
+
+  /**
+   * UniMax budget allocation: given per-language sizes n_l (characters),
+   * a total training budget B and an epoch cap N, allocate ascending by
+   * size — a language small enough that N full epochs fit under an equal
+   * split of the remaining budget is CAPPED at N·n_l; every larger
+   * language splits what remains equally (Chung et al. 2023 §3,
+   * Algorithm 1 — the closed-form waterfilling):
+   *
+   *   capped prefix k = max prefix (sizes ascending, ties by name) with
+   *     N·n_r·(L−r+1) ≤ B − N·cum_{r−1}   for all r ≤ k
+   *   alloc_r = N·n_r                      (r ≤ k)
+   *   alloc_r = (B − N·cum_k) div (L − k)  (r > k)
+   *
+   * PURE integer arithmetic end to end (comparisons, sums, truncating
+   * divisions) — bit-equal in any engine, no float anywhere. Returns one
+   * row per language: (source, n_chars, alloc_chars, epochs_micro).
+   *
+   * Scale shape: one map-side-partial groupBy(language) over the corpus;
+   * the waterfilling runs on the collected ≤|languages|-row table
+   * (bounded metadata, the mixtureRates discipline).
+   */
+  def unimaxAllocation(df: DataFrame, sourceCol: Column, sizeCol: Column,
+                       budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "unimax needs positive budget/cap")
+    val spark = df.sparkSession
+    val sizes = df.select(sourceCol.as("source"),
+        sizeCol.cast("long").as("sz"))
+      .groupBy("source").agg(sum(col("sz")).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n")))
+      .sortBy { case (s, n) => (n, s) }            // ascending, name ties
+    val L = sizes.length
+    require(L > 0, "unimax needs a non-empty corpus")
+    var cum = 0L
+    var k = 0
+    var broken = false
+    sizes.zipWithIndex.foreach { case ((_, n), i) =>
+      val r = i + 1
+      if (!broken && maxEpochs * n * (L - r + 1) <= budget - maxEpochs * cum) {
+        k = r; cum += n
+      } else broken = true
+    }
+    val share = if (k == L) 0L else (budget - maxEpochs * cum) / (L - k)
+    val rows = sizes.zipWithIndex.map { case ((s, n), i) =>
+      val alloc = if (i + 1 <= k) maxEpochs * n else share
+      Row(s, n, alloc, if (n == 0) 0L else alloc * 1000000L / n)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = false),
+        StructField("alloc_chars", LongType, nullable = false),
+        StructField("epochs_micro", LongType, nullable = false))))
+  }
+}

@@ -50,15 +50,18 @@ object Perplexity {
   /** (ctx, bigram) stream: tokens are raw space-splits (the DSIR
     * tokenization), with a BOS marker so every document scores. */
   private def gramStream(df: DataFrame, idCol: Column, textCol: Column,
-                         isRef: Column): DataFrame = {
+                         isRef: Column,
+                         carry: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = split(textCol, " ")
     val arr = concat(array(lit("<s>")), toks)
-    df.select(idCol.as("docId"), isRef.as("isRef"),
+    df.select(Seq(idCol.as("docId"), isRef.as("isRef"),
         explode(transform(sequence(lit(1), size(toks)), j =>
           struct(element_at(arr, j).as("ctx"),
             concat_ws(" ", element_at(arr, j), element_at(arr, j + 1))
-              .as("g")))).as("p"))
-      .select(col("docId"), col("isRef"), col("p.ctx"), col("p.g"))
+              .as("g")))).as("p")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("docId"), col("isRef"), col("p.ctx"), col("p.g")) ++
+        carry.map { case (n, _) => col(n) }: _*)
   }
 
   private def bucket(c: Column, buckets: Int): Column =
@@ -78,11 +81,25 @@ object Perplexity {
    * ambiguity).
    */
   def perplexityBuckets(df: DataFrame, idCol: Column, textCol: Column,
-                        isRef: Column, buckets: Int = 1024): DataFrame = {
-    val grams = gramStream(df, idCol, textCol, isRef)
-      .select(col("docId"), col("isRef"),
+                        isRef: Column, buckets: Int = 1024): DataFrame =
+    bucketize(crossEntropy(df, idCol, textCol, isRef, buckets))
+
+  /**
+   * The per-document scoring stage alone: (docId, isRef, n_bigrams,
+   * ce_micro) under the reference-trained bucketed bigram LM, checkpointed
+   * (the corpus explode runs once however many consumers follow). `carry`
+   * names constant-per-document columns to thread through the gram
+   * explode (e.g. the mixture domain for [[Mixing.doremiWeights]]) so
+   * downstream stages need no corpus-scale join back to the source table.
+   */
+  def crossEntropy(df: DataFrame, idCol: Column, textCol: Column,
+                   isRef: Column, buckets: Int = 1024,
+                   carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val grams = gramStream(df, idCol, textCol, isRef, carry)
+      .select(Seq(col("docId"), col("isRef"),
         bucket(col("g"), buckets).as("bg"),
-        bucket(col("ctx"), buckets).as("bc"))
+        bucket(col("ctx"), buckets).as("bc")) ++
+        carry.map { case (n, _) => col(n) }: _*)
 
     // the LM: bigram-bucket and context-bucket histograms over the
     // REFERENCE grams only — ≤ 2·buckets rows of aggregate state no
@@ -115,13 +132,20 @@ object Perplexity {
       else coalesce(element_at(typedlit(cc), col("bc")), lit(lpcDefault))
     // doc-level output is checkpointed so the corpus explode runs ONCE —
     // both the tertile job and the returned frame read the checkpoint
-    val scores = grams
-      .select(col("docId"), col("isRef"), greatest(lpc - lpb, lit(0L)).as("t"))
+    grams
+      .select(Seq(col("docId"), col("isRef"),
+        greatest(lpc - lpb, lit(0L)).as("t")) ++
+        carry.map { case (n, _) => col(n) }: _*)
       .groupBy("docId")
-      .agg(first(col("isRef")).as("isRef"), count(lit(1)).as("n_bigrams"),
-        expr("sum(t) div count(1)").as("ce_micro"))
+      .agg(first(col("isRef")).as("isRef"),
+        (Seq(count(lit(1)).as("n_bigrams"),
+          expr("sum(t) div count(1)").as("ce_micro")) ++
+          carry.map { case (n, _) => first(col(n)).as(n) }): _*)
       .localCheckpoint()
+  }
 
+  /** Head/middle/tail tertile assignment over a [[crossEntropy]] frame. */
+  private def bucketize(scores: DataFrame): DataFrame = {
     // tertile cutpoints in ONE rank-condition job (k-th smallest = min
     // value whose cumulative count reaches k; with k1 = ceil(n/3) and
     // k2 = ceil(2n/3) the integer conditions are 3·cum ≥ n and

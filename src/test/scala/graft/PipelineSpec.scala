@@ -1258,6 +1258,63 @@ class PipelineSpec extends SparkSpec {
     assert(ghost >= 0L && ghost <= 400L)
   }
 
+  test("DoReMi mirror ascent upweights high-excess-loss domains, keeps a " +
+       "normalized smoothed simplex (Xie 2023 Alg. 1)") {
+    import spark.implicits._
+    // three domains: loss 9, 7, 5 mean micro-nats (per-doc variation
+    // cancels in the integer means)
+    val losses = Seq(
+      ("hard", 9000000L), ("hard", 9000000L),
+      ("mid", 7000000L), ("mid", 7000000L),
+      ("easy", 5000000L), ("easy", 5000000L)).toDF("domain", "loss")
+    val w = Mixing.doremiWeights(losses, col("domain"), col("loss"))
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("excess_micro"), r.getAs[Long]("alpha_micro"))).toMap
+    // excess = max(0, domain mean − global mean 7e6)
+    assert(w("hard")._1 === 2000000L && w("mid")._1 === 0L && w("easy")._1 === 0L)
+    // ascent concentrates on the binding domain; ties stay equal
+    assert(w("hard")._2 > w("mid")._2)
+    assert(w("mid")._2 === w("easy")._2)
+    // simplex: alphas sum to 1e12 within per-domain rounding
+    val total = w.values.map(_._2).sum
+    assert(math.abs(total - 1000000000000L) <= 3)
+    // smoothing floor: no domain collapses to zero
+    assert(w.values.forall(_._2 > 100000000L))
+    // equal losses → uniform weights exactly
+    val flat = Mixing.doremiWeights(
+      Seq(("a", 5L), ("b", 5L)).toDF("d", "l"), col("d"), col("l"))
+      .collect().map(_.getAs[Long]("alpha_micro")).toSet
+    assert(flat === Set(500000000000L))
+  }
+
+  test("UniMax waterfilling caps small languages at the epoch budget and " +
+       "splits the remainder over the head (Chung 2023)") {
+    import spark.implicits._
+    // sizes 10, 20, 1000; budget 200, cap 4 epochs: both small languages
+    // fit 4 full epochs under the equal split; the big one gets the rest
+    val corpus = Seq(("tiny", 10L), ("small", 20L), ("big", 1000L))
+      .toDF("src", "chars")
+    val out = Mixing.unimaxAllocation(corpus, col("src"), col("chars"),
+      budget = 200L, maxEpochs = 4L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc_chars"), r.getAs[Long]("epochs_micro"))).toMap
+    assert(out("tiny") === ((40L, 4000000L)))     // capped: 4 epochs
+    assert(out("small") === ((80L, 4000000L)))    // capped: 4 epochs
+    assert(out("big") === ((80L, 80000L)))        // remainder: 200-120
+    // budget conservation: never exceeds, undershoots only by division
+    assert(out.values.map(_._1).sum <= 200L)
+    // all-capped corner: budget ample → every language at the cap
+    val all = Mixing.unimaxAllocation(corpus, col("src"), col("chars"),
+      budget = 100000L, maxEpochs = 2L)
+      .collect().map(r => r.getAs[Long]("epochs_micro")).toSet
+    assert(all === Set(2000000L))
+    // none-capped corner: budget tiny → pure equal split
+    val none = Mixing.unimaxAllocation(corpus, col("src"), col("chars"),
+      budget = 30L, maxEpochs = 4L)
+      .collect().map(r => r.getAs[Long]("alloc_chars")).toSet
+    assert(none === Set(10L))
+  }
+
   test("HyperLogLog estimates cardinality within the published error band " +
        "(Flajolet 2007: ~1.04/sqrt(m) = 3.3% at m=1024)") {
     import spark.implicits._
