@@ -107,7 +107,10 @@ object Bench {
     // (its scale pair lives in perplexity_buckets); the DRO loop itself
     // runs on ≤|domains| rows of collected metadata, so the x10 delta
     // should be pure scoring-pass growth
-    "doremi_weights")
+    "doremi_weights",
+    // Dolma paragraph dedup (r15): bloom probe map-side + the
+    // dedupSegments keeper/join/reassembly shapes — linear in segments
+    "dedup_paragraphs_bloom")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1177,6 +1177,72 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Dolma paragraph dedup (Soldaini 2024 arXiv:2402.00159 §4): 20-word
+    // windows of the NEW snapshot (source != src0) probed against a
+    // Bloom filter of the PRIOR snapshot's (src0) paragraphs, then the
+    // first-occurrence keeper within the batch — one explode, both
+    // duplicate classes. At fpp 1e-9 the exact-NOT-IN oracle doubles as
+    // the no-false-positive witness (the decontaminate_bloom device).
+    "dedup_paragraphs_bloom" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      Dedup.dedupSegmentsBloom(
+        docs.filter(col("source") =!= "src0"), col("doc_id"),
+        Dedup.wordWindows(col("text"), 20),
+        docs.filter(col("source") === "src0"),
+        Dedup.wordWindows(col("text"), 20),
+        expectedItems = 100000L, fpp = 1e-9)
+        .select(col("docId").as("doc_id"),
+          col("nSegments").cast("long").as("n_segments"),
+          col("nDropped").cast("long").as("n_dropped"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // The composed Dolma pipeline (Soldaini 2024 §4, the paper's stage
+    // order): language filter → Gopher quality rules → paragraph dedup
+    // (against-history Bloom + within-batch keeper) → exact doc dedup,
+    // with per-doc stage attribution (the gpt3_e2e device). The
+    // content/toxicity stage has no fixture surface — text_redact
+    // carries that family standalone.
+    "dolma_e2e" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val prior = docs.filter(col("source") === "src0")
+      val gopher = TextAnalysis.gopherRules(col("text"), minWords = 30,
+        minStopHits = 1).toMap
+      // flags staged: the frame feeds the dedup phase AND the final
+      // attribution join (write-between-passes, the e2e discipline)
+      val flagged = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.languageId(col("text"), Seq(
+            "en" -> Seq("the"), "es" -> Seq("data"),
+            "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"),
+          gopher("keep").as("g_keep"))
+        .localCheckpoint()
+      val survivors = flagged
+        .filter(col("lang_pred") === "en" && col("g_keep"))
+      val para = Dedup.dedupSegmentsBloom(survivors, col("doc_id"),
+          Dedup.wordWindows(col("text"), 20), prior,
+          Dedup.wordWindows(col("text"), 20),
+          expectedItems = 100000L, fpp = 1e-9)
+        .select(col("docId"), col("nDropped"), col("text").as("ptext"))
+        .localCheckpoint()
+      val keepers = Dedup.exact(para, col("docId"), col("ptext"))
+        .select(col("contentHash"), col("keepId"))
+      val action =
+        when(col("lang_pred") =!= "en", "lang_drop")
+          .when(!col("g_keep"), "quality_drop")
+          .when(col("ptext").isNull, "para_emptied")
+          .when(col("keepId") =!= col("doc_id"), "dup_drop")
+          .when(col("nDropped") > 0, "trimmed")
+          .otherwise("clean")
+      flagged
+        .join(para, flagged("doc_id") === para("docId"), "left")
+        .join(keepers, md5(col("ptext")) === col("contentHash"), "left")
+        .select(col("doc_id"), action.as("action"),
+          when(action.isin("trimmed", "clean"), md5(col("ptext")))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // GPT-3-style SPAN decontamination (Brown 2020 arXiv:2005.14165
     // App. C): cut a padded window around each matched n-gram, keep the
     // surviving pieces, drop splintered docs — word-granular here
@@ -4357,6 +4423,119 @@ object SparkEntry {
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE alloc * 1000000 // n END AS BIGINT)
         |    AS epochs_micro
         |FROM fin ORDER BY source""".stripMargin,
+
+    // exact NOT-IN prior + first-occurrence keeper over the fresh
+    // survivors — at fpp 1e-9 this is also the bloom no-FP witness
+    "dedup_paragraphs_bloom" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words
+        |  FROM documents),
+        |segi AS (SELECT doc_id, source, words,
+        |  unnest(generate_series(0,
+        |    CAST(ceil(len(words)/20.0) AS INT)-1)) AS i FROM docs),
+        |seg AS (SELECT doc_id, source, i,
+        |  array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s
+        |  FROM segi),
+        |pri AS (SELECT DISTINCT s FROM seg WHERE source = 'src0'),
+        |tot AS (SELECT doc_id, count(*) AS n FROM seg
+        |  WHERE source <> 'src0' GROUP BY doc_id),
+        |fresh AS (SELECT doc_id, i, s FROM seg
+        |  WHERE source <> 'src0' AND s NOT IN (SELECT s FROM pri)),
+        |keep AS (SELECT doc_id, i, s,
+        |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+        |  FROM fresh)
+        |SELECT k.doc_id, CAST(t.n AS BIGINT) AS n_segments,
+        |  CAST(t.n - count(*) AS BIGINT) AS n_dropped,
+        |  string_agg(k.s, ' ' ORDER BY k.i) AS text
+        |FROM keep k JOIN tot t USING (doc_id) WHERE k.rn = 1
+        |GROUP BY k.doc_id, t.n ORDER BY k.doc_id""".stripMargin,
+
+    // the composed Dolma replay: langid scores + the full Gopher rule
+    // chain on raw text (quality_gopher's oracle at the same thresholds)
+    // + the paragraph chain over the survivors + exact dedup keeper +
+    // the attribution CASE in the Spark side's exact branch order
+    "dolma_e2e" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE source <> 'src0'),
+        |ls AS (SELECT doc_id, text,
+        | (length(text)-length(replace(text,' the ','')))//5 AS s_en,
+        | (length(text)-length(replace(text,' data ','')))//6 AS s_es,
+        | (length(text)-length(replace(text,' join ','')))//6 AS s_de,
+        | (length(text)-length(replace(text,' merge ','')))//7 AS s_fr
+        | FROM base),
+        |lp AS (SELECT doc_id, text, CASE
+        | WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+        | WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+        | WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+        | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+        | ELSE 'und' END AS lang_pred FROM ls),
+        |gf AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words_n,
+        |  length(text) AS chars_n,
+        |  (length(text)-length(replace(text,'#','')))
+        |   + (length(text)-length(replace(text,'...','')))//3 AS sym_n,
+        |  string_split(text, chr(10)) AS lines
+        | FROM base),
+        |gg AS (SELECT doc_id,
+        |  (words_n >= 30 AND words_n <= 100000
+        |   AND (CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END) >= 3.0
+        |   AND (CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END) <= 10.0
+        |   AND (CASE WHEN words_n > 0 THEN CAST(sym_n AS DOUBLE)/words_n ELSE 0.0 END) <= 0.1
+        |   AND CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lines) <= 0.9
+        |   AND CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)/len(lines) <= 0.3
+        |   AND (CASE WHEN words_n > 0 THEN
+        |     CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/words_n ELSE 0.0 END) >= 0.8
+        |   AND ((CASE WHEN position(' the ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' be ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' to ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' of ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' and ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' that ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' have ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' with ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)) >= 1)
+        |  AS g_keep FROM gf),
+        |fl AS (SELECT lp.doc_id, lp.text, lp.lang_pred, gg.g_keep
+        |  FROM lp JOIN gg USING (doc_id)),
+        |srv AS (SELECT doc_id, text FROM fl
+        |  WHERE lang_pred = 'en' AND g_keep),
+        |d2 AS (SELECT doc_id, string_split(text,' ') AS words FROM srv),
+        |segi AS (SELECT doc_id, words, unnest(generate_series(0,
+        |    CAST(ceil(len(words)/20.0) AS INT)-1)) AS i FROM d2),
+        |seg AS (SELECT doc_id, i,
+        |  array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s
+        |  FROM segi),
+        |pri AS (SELECT DISTINCT
+        |    array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s
+        |  FROM (SELECT string_split(text,' ') AS words,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(len(string_split(text,' '))/20.0) AS INT)-1)) AS i
+        |        FROM documents WHERE source = 'src0')),
+        |tot AS (SELECT doc_id, count(*) AS n FROM seg GROUP BY doc_id),
+        |fresh AS (SELECT doc_id, i, s FROM seg
+        |  WHERE s NOT IN (SELECT s FROM pri)),
+        |keep AS (SELECT doc_id, i, s,
+        |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+        |  FROM fresh),
+        |para AS (SELECT k.doc_id, t.n - count(*) AS n_dropped,
+        |    string_agg(k.s, ' ' ORDER BY k.i) AS ptext
+        |  FROM keep k JOIN tot t USING (doc_id) WHERE k.rn = 1
+        |  GROUP BY k.doc_id, t.n),
+        |ex AS (SELECT md5(ptext) AS h, MIN(doc_id) AS keep_id
+        |  FROM para GROUP BY 1),
+        |att AS (SELECT fl.doc_id,
+        |  CASE WHEN fl.lang_pred <> 'en' THEN 'lang_drop'
+        |       WHEN NOT fl.g_keep THEN 'quality_drop'
+        |       WHEN p.doc_id IS NULL THEN 'para_emptied'
+        |       WHEN e.keep_id <> fl.doc_id THEN 'dup_drop'
+        |       WHEN p.n_dropped > 0 THEN 'trimmed'
+        |       ELSE 'clean' END AS action,
+        |  md5(p.ptext) AS pm
+        |  FROM fl LEFT JOIN para p USING (doc_id)
+        |  LEFT JOIN ex e ON md5(p.ptext) = e.h)
+        |SELECT doc_id, action,
+        |  CASE WHEN action IN ('trimmed', 'clean') THEN pm END AS clean_md5
+        |FROM att ORDER BY doc_id""".stripMargin,
 
     "decontaminate_bloom" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS words

@@ -400,6 +400,81 @@ object Dedup {
         array_join(col("kept"), " ").as("text"))
   }
 
+  /**
+   * Cross-snapshot paragraph dedup via Bloom filter — the Dolma recipe
+   * (Soldaini et al. 2024, "Dolma: an Open Corpus of Three Trillion
+   * Tokens...", arXiv:2402.00159 §4: paragraph-level dedup against a
+   * Bloom filter of everything already ingested). [[dedupSegments]]
+   * handles WITHIN-corpus first-occurrence dedup; this plane removes
+   * paragraphs of a NEW snapshot that already exist in a PRIOR corpus
+   * too large to broadcast as a hash set: the prior's distinct segments
+   * fold into one Spark-native Bloom filter (config-bounded bytes at the
+   * chosen fpp), and the new snapshot probes it map-side — no join on
+   * either corpus.
+   *
+   * Dolma's single streaming filter catches BOTH duplicate classes —
+   * paragraphs seen in history AND repeats within the new batch (each
+   * processed paragraph is added to the filter). The deterministic
+   * distributed equivalent here: one explode, the prior-bloom probe
+   * map-side, then [[dedupSegments]]'s first-occurrence keeper
+   * (min(docId, idx) per segment) over the fresh survivors — order-
+   * independent where the streaming formulation depends on scan order.
+   *
+   * Bloom semantics are the safe direction for dedup-against-history:
+   * no false negatives (every truly seen paragraph IS removed), rare
+   * false positives over-remove at the configured fpp (they cost fresh
+   * paragraphs, never re-admit duplicates). Returns one row per NEW doc
+   * with at least one surviving segment — (docId, nSegments, nDropped,
+   * text) with survivors re-joined in position order; fully-deduplicated
+   * docs drop from the output (Dolma removes emptied documents).
+   *
+   * Scale shape: ONE aggregation over the prior corpus (the filter bytes
+   * — driver metadata of configuration-bounded size, embedded as a
+   * literal exactly like Spark's own injected runtime filters), then a
+   * map-side probe, the keeper min-agg + segment join of dedupSegments
+   * (map-side-partial, AQE-splittable — the documented skew-safe shape)
+   * and one groupBy(docId) reassembly shuffle on the new snapshot. The
+   * 100 TB deployment keeps the prior's filter as a persisted artifact
+   * and unions per-epoch filters instead of re-scanning history.
+   */
+  def dedupSegmentsBloom(df: DataFrame, idCol: Column, segments: Column,
+                         prior: DataFrame, priorSegments: Column,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.000001,
+                         joiner: String = " "): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col("seg"))),
+      expression(lit(expectedItems)),
+      expression(lit(numBits))).toAggregateExpression())
+    val bfBytes = prior
+      .select(explode(priorSegments).as("seg"))
+      .agg(bloomAgg.as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val seen: Column =
+      if (bfBytes == null) lit(false)              // empty prior: keep all
+      else column(BloomFilterMightContain(
+        expression(lit(bfBytes)), expression(xxhash64(col("seg")))))
+    val fresh = df
+      .select(idCol.as("docId"), size(segments).as("nSegments"),
+        posexplode(segments).as(Seq("idx", "seg")))
+      .filter(!seen)
+    val keepers = fresh.groupBy(col("seg"))
+      .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
+    fresh.join(keepers, "seg")
+      .filter(struct(col("docId"), col("idx")) === col("keeper"))
+      .groupBy(col("docId"))
+      .agg(first(col("nSegments")).as("nSegments"),
+        (first(col("nSegments")) - count(lit(1))).as("nDropped"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          s => s("seg")), joiner).as("text"))
+  }
+
   /** Fixed-size word windows: the segmentation for corpora without
     * paragraph structure — ceil(len/n) chunks of n words (last one short).
     * Native codegen'd generator; see [[shingles]]. */

@@ -1258,6 +1258,39 @@ class PipelineSpec extends SparkSpec {
     assert(ghost >= 0L && ghost <= 400L)
   }
 
+  test("Dolma paragraph dedup drops prior-seen and within-batch duplicate " +
+       "segments, removes emptied docs (Soldaini 2024 §4)") {
+    import spark.implicits._
+    val prior = Seq((100L, "p1 w2 w3")).toDF("doc_id", "text")
+    val now = Seq(
+      (1L, "p1 w2 w3 a1 a2 a3"),  // first window in history → trimmed
+      (2L, "b1 b2 b3 c1 c2 c3"),  // fresh, first occurrence of b-window
+      (3L, "b1 b2 b3 d1 d2 d3"),  // within-batch dup of doc 2's window
+      (4L, "p1 w2 w3"))           // fully seen → emptied, absent
+      .toDF("doc_id", "text")
+    def run(pri: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupSegmentsBloom(now, col("doc_id"),
+        Dedup.wordWindows(col("text"), 3), pri,
+        Dedup.wordWindows(col("text"), 3),
+        expectedItems = 1000L, fpp = 1e-9)
+        .selectExpr("docId", "cast(nSegments as long) ns",
+          "cast(nDropped as long) nd", "text")
+        .collect().map(r => r.getAs[Long]("docId") ->
+          ((r.getAs[Long]("ns"), r.getAs[Long]("nd"),
+            r.getAs[String]("text")))).toMap
+    val out = run(prior)
+    assert(out.keySet === Set(1L, 2L, 3L))        // doc 4 emptied
+    assert(out(1L) === ((2L, 1L, "a1 a2 a3")))    // history plane
+    assert(out(2L) === ((2L, 0L, "b1 b2 b3 c1 c2 c3")))
+    assert(out(3L) === ((2L, 1L, "d1 d2 d3")))    // batch keeper = doc 2
+    // empty prior: only the within-batch plane fires — doc 1 now keeps
+    // its p-window (first occurrence), which empties doc 4 instead
+    val noPrior = run(prior.filter(lit(false)))
+    assert(noPrior.keySet === Set(1L, 2L, 3L))
+    assert(noPrior(1L) === ((2L, 0L, "p1 w2 w3 a1 a2 a3")))
+    assert(noPrior(3L)._2 === 1L)
+  }
+
   test("DoReMi mirror ascent upweights high-excess-loss domains, keeps a " +
        "normalized smoothed simplex (Xie 2023 Alg. 1)") {
     import spark.implicits._
