@@ -110,7 +110,10 @@ object Bench {
     "doremi_weights",
     // Dolma paragraph dedup (r15): bloom probe map-side + the
     // dedupSegments keeper/join/reassembly shapes — linear in segments
-    "dedup_paragraphs_bloom")
+    "dedup_paragraphs_bloom",
+    // k-means|| (r15): a fixed number of corpus passes against a
+    // bounded candidate broadcast — the x10 side should track the scan
+    "kmeans_parallel_init")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1177,6 +1177,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // k-means|| scalable initialization (Bahmani 2012 arXiv:1203.6402):
+    // distance-proportional oversampling in O(rounds) corpus passes
+    // instead of kmeans++'s k sequential ones; integer micro-cosine
+    // accounting end to end so the oracle replays φ and every coin flip
+    // exactly. Output = the k chosen seeds with attraction weights.
+    "kmeans_parallel_init" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("cq"))
+        .withColumn("cn", Similarity.normSqQ(col("cq")))
+      Similarity.kmeansParallelInit(c, k = 8, l = 8, rounds = 2)
+        .select(col("rank"), col("cid").as("vec_id"), col("weight"))
+        .orderBy("rank")
+    }),
+
     // Dolma paragraph dedup (Soldaini 2024 arXiv:2402.00159 §4): 20-word
     // windows of the NEW snapshot (source != src0) probed against a
     // Bloom filter of the PRIOR snapshot's (src0) paragraphs, then the
@@ -2856,6 +2871,30 @@ object SparkEntry {
       |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
       |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin
 
+  /** Integer micro-cosine between point row `p` and candidate row `c` —
+    * the k-means|| oracle kernel: round(round(cos, 6)·1e6), matching
+    * Similarity.kmeansParallelInit.cosMicro exactly. */
+  private def KmppCm(p: String, c: String): String =
+    s"CAST(round(round(CAST(list_sum(list_transform(range(1, len($p.qv)+1), " +
+      s"i -> $p.qv[CAST(i AS INT)]*$c.qv[CAST(i AS INT)])) AS DOUBLE) / " +
+      s"(sqrt(CAST($p.n2 AS DOUBLE))*sqrt(CAST($c.n2 AS DOUBLE))), 6) " +
+      s"* 1000000) AS BIGINT)"
+
+  /** One k-means|| oversampling round in SQL: max micro-cosine vs the
+    * candidate CTE, exact integer φ, the md5-uniform coin at ℓ=8. */
+  private def KmppRound(r: Int, prevCands: String): String =
+    s"""m$r AS (SELECT p.vec_id, max(${KmppCm("p", "c")}) AS mc
+       |  FROM nn p CROSS JOIN $prevCands c GROUP BY p.vec_id),
+       |p$r AS (SELECT vec_id, (1000000 - mc)*(1000000 - mc) AS d2 FROM m$r),
+       |f$r AS (SELECT SUM(d2) AS phi FROM p$r),
+       |s$r AS (SELECT d.vec_id FROM p$r d CROSS JOIN f$r
+       |  WHERE f$r.phi > 0 AND
+       |    (CAST(CAST('0x'||substring(md5('kmpp|$r|'||CAST(d.vec_id AS VARCHAR)),1,15) AS BIGINT) AS DOUBLE) + 0.5)
+       |      / 1152921504606846976.0
+       |    < 8 * CAST(d.d2 AS DOUBLE) / CAST(f$r.phi AS DOUBLE)),
+       |c$r AS (SELECT * FROM $prevCands
+       |  UNION SELECT nn.vec_id, nn.qv, nn.n2 FROM nn JOIN s$r USING (vec_id))""".stripMargin
+
   /** DoReMi's 5 unrolled mirror-ascent steps (Mixing.doremiWeights):
     * exponentiate at η=1 → exact-integer normalize → smooth at c=1e-3 →
     * re-fix to 1e-12 units, each in the Scala driver loop's exact double
@@ -4423,6 +4462,31 @@ object SparkEntry {
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE alloc * 1000000 // n END AS BIGINT)
         |    AS epochs_micro
         |FROM fin ORDER BY source""".stripMargin,
+
+    // full k-means|| replay: md5-first seed, two oversampling rounds
+    // (exact integer φ, md5-uniform coins), attraction weights, rank cut
+    "kmeans_parallel_init" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM v),
+         |c0 AS (SELECT vec_id, qv, n2 FROM nn
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+         |${KmppRound(1, "c0")},
+         |${KmppRound(2, "c1")},
+         |asg AS (SELECT p.vec_id, c.vec_id AS cand,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${KmppCm("p", "c")} DESC, c.vec_id) AS rn
+         |  FROM nn p CROSS JOIN c2 c),
+         |w AS (SELECT cand, count(*) AS weight FROM asg WHERE rn = 1
+         |  GROUP BY cand),
+         |top AS (SELECT c2.vec_id, coalesce(w.weight, 0) AS weight
+         |  FROM c2 LEFT JOIN w ON w.cand = c2.vec_id),
+         |rk AS (SELECT vec_id, weight,
+         |    row_number() OVER (ORDER BY weight DESC, vec_id) AS rnk FROM top)
+         |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, CAST(weight AS BIGINT) AS weight
+         |FROM rk WHERE rnk <= 8 ORDER BY rank""".stripMargin,
 
     // exact NOT-IN prior + first-occurrence keeper over the fresh
     // survivors — at fpp 1e-9 this is also the bloom no-FP witness

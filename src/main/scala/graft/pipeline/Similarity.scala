@@ -300,6 +300,83 @@ object Similarity {
   }
 
   /**
+   * k-means|| initialization (Bahmani et al. 2012, "Scalable k-means++",
+   * PVLDB 5(7), arXiv:1203.6402): kmeans++'s D²-weighted seeding needs k
+   * SEQUENTIAL corpus passes (each new seed depends on all previous), so
+   * it cannot run at cluster scale; k-means|| reaches the same seeding
+   * quality in O(rounds) passes by OVERSAMPLING — each round samples
+   * every point independently with probability min(1, ℓ·d²(x,C)/φ(C))
+   * and adds the draws to the candidate set, then the ≈ ℓ·rounds
+   * candidates are reduced to k by their attraction weights.
+   *
+   * Determinized for the oracle: cosine distance is carried as integer
+   * MICRO-cosines (the Lloyd substrate's 6-decimal rounding scaled to
+   * 1e6 — max over candidates and φ are exact integer operations, no
+   * order-dependent float summation anywhere); the per-point coin is
+   * the md5-prefix uniform every sampler here uses (u = (h60+0.5)/2^60,
+   * the dsirResample device), and the final reduction keeps the k
+   * candidates with the LARGEST weights (ties by id) — rank-based where
+   * the paper re-runs kmeans++ over the weighted candidates (documented
+   * deviation: the weights are the paper's, only the bounded-metadata
+   * reduction step differs; feed the result to [[trainCentroids]]-style
+   * Lloyd rounds exactly as the paper does).
+   *
+   * Scale shape: per round one corpus pass for φ (map-side agg to ONE
+   * scalar) and one for the sample (narrow filter against the broadcast
+   * candidate array); the weight pass is one more assignment scan. The
+   * candidate frame stays expected-ℓ-per-round rows (localCheckpoint'd
+   * per round — bounded metadata, never corpus data). φ = 0 (every
+   * point coincides with a candidate) samples nothing, correctly.
+   *
+   * Input `c`: (cid, cq, cn) — the quantized substrate frame. Returns
+   * (rank, cid, weight, centq, centn) for the top-k candidates.
+   */
+  def kmeansParallelInit(c: DataFrame, k: Int, l: Int = 8,
+                         rounds: Int = 2,
+                         seed: String = "kmpp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cosMicro(q: Column, n2: Column, cq: Column, cn2: Column): Column =
+      round(round(cosineFromQ(dotQ(q, cq), n2, cn2), 6) * 1e6).cast("long")
+    var cands = c.orderBy(md5(col("cid").cast("string")), col("cid")).limit(1)
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val candArr = cands
+        .agg(collect_list(struct(col("cq").as("kq"), col("cn").as("kn")))
+          .as("ks"))
+      val withD = c.crossJoin(broadcast(candArr))
+        .withColumn("mc", array_max(transform(col("ks"), x =>
+          cosMicro(col("cq"), col("cn"), x.getField("kq"), x.getField("kn")))))
+        .withColumn("d2",
+          (lit(1000000L) - col("mc")) * (lit(1000000L) - col("mc")))
+        .drop("ks")
+      val phi = withD.agg(sum(col("d2").cast("decimal(38,0)")).as("phi"))
+      val u = (conv(substring(md5(concat(lit(s"$seed|$r|"),
+        col("cid").cast("string"))), 1, 15), 16, 10).cast("long")
+        .cast("double") + 0.5) / 1.152921504606846976e18 // 2^60
+      val sampled = withD.crossJoin(broadcast(phi))
+        .filter(col("phi").isNotNull && col("phi") > 0 &&
+          u < lit(l) * col("d2").cast("double") / col("phi").cast("double"))
+        .select(col("cid"), col("cq"), col("cn"))
+      cands = cands.unionByName(sampled).localCheckpoint()
+    }
+    val finalArr = cands
+      .agg(collect_list(struct(col("cid").as("kid"), col("cq").as("kq"),
+        col("cn").as("kn"))).as("ks"))
+    val weights = c.crossJoin(broadcast(finalArr))
+      .withColumn("best", array_min(transform(col("ks"), x =>
+        struct((-cosMicro(col("cq"), col("cn"), x.getField("kq"),
+          x.getField("kn"))).as("negCm"),
+          x.getField("kid").as("kid")))).getField("kid"))
+      .groupBy(col("best")).agg(count(lit(1)).as("weight"))
+    cands.join(weights, cands("cid") === weights("best"), "left")
+      .select(col("cid"), col("cq").as("centq"), col("cn").as("centn"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy(col("weight").desc, col("cid")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("cid"))).cast("long"))
+  }
+
+  /**
    * SemDeDup — semantic deduplication over the embedding space (Abbas et
    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
    * semantic deduplication", arXiv:2303.09540): k-means cluster the

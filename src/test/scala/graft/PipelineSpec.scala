@@ -1258,6 +1258,40 @@ class PipelineSpec extends SparkSpec {
     assert(ghost >= 0L && ghost <= 400L)
   }
 
+  test("k-means|| oversampling seeds every separated cluster and is " +
+       "partition-independent (Bahmani 2012)") {
+    import spark.implicits._
+    // two well-separated direction bundles (axis 0 vs axis 3), 200 points
+    // each with tiny deterministic jitter — kmeans++-quality seeding must
+    // place seeds in BOTH bundles, and most attraction mass splits evenly
+    val pts = (0 until 400).map { i =>
+      val axis = if (i < 200) 0 else 3
+      val v = Array.fill(6)(0.01f + (i % 7) * 0.001f)
+      v(axis) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val emb = pts.toDF("cid", "emb")
+      .select(col("cid"), Similarity.quantize(col("emb")).as("cq"))
+      .withColumn("cn", Similarity.normSqQ(col("cq")))
+    val out = Similarity.kmeansParallelInit(emb, k = 4, l = 6, rounds = 2)
+      .collect()
+    assert(out.length === 4)
+    val ids = out.map(_.getAs[Long]("cid"))
+    assert(ids.exists(_ < 200) && ids.exists(_ >= 200)) // both bundles seeded
+    // ranks are 1..k by (weight desc, id); weights cover most of the corpus
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val w = out.map(_.getAs[Long]("weight"))
+    assert(w.sameElements(w.sortBy(-_)) && w.sum <= 400)
+    assert(w.sum > 300) // top-4 candidates attract the bulk
+    // partition independence: same seeds and weights at any layout
+    val rep = Similarity.kmeansParallelInit(emb.repartition(7), k = 4,
+      l = 6, rounds = 2).collect()
+    assert(rep.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("cid"),
+        r.getAs[Long]("weight"))).toSeq ===
+      out.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("cid"),
+        r.getAs[Long]("weight"))).toSeq)
+  }
+
   test("Dolma paragraph dedup drops prior-seen and within-batch duplicate " +
        "segments, removes emptied docs (Soldaini 2024 §4)") {
     import spark.implicits._
