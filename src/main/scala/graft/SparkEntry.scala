@@ -1177,6 +1177,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // FineWeb custom heuristic filters (Penedo 2024 arXiv:2406.17557
+    // §3.6) over a derived page whose line width / punctuation / dup
+    // lines vary by doc so every rule fires both ways: doc%3 → 2-word
+    // (short) lines, doc%7 → no terminal punctuation, doc%5 → the first
+    // line appended 3× (duplicated-line mass)
+    "fineweb_filters" -> ((s, dir) => {
+      val fw = TextAnalysis.fineWebFilters(finewebPage).toMap
+      docsPar(s, dir).select(col("doc_id"),
+          fw("n_lines").as("n_lines"), fw("punct_frac").as("punct_frac"),
+          fw("short_frac").as("short_frac"),
+          fw("dup_char_frac").as("dup_char_frac"), fw("keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // The composed FineWeb pipeline (Penedo 2024 §3, the paper's
+    // distinctive stages: language filter → the §3.6 custom filters →
+    // per-snapshot MinHash dedup; the C4/Gopher stages FineWeb inherits
+    // are composed in curate_filters_e2e) with per-doc attribution
+    "fineweb_e2e" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val fw = TextAnalysis.fineWebFilters(finewebPage).toMap
+      val flagged = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.languageId(col("text"), Seq(
+            "en" -> Seq("the"), "es" -> Seq("data"),
+            "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"),
+          fw("keep").as("fw_keep"))
+        .localCheckpoint()
+      val surv = flagged.filter(col("lang_pred") === "en" && col("fw_keep"))
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("text"), 5, 8)
+      val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
+        col("text"), 5, 30)
+      val dec = Clusters.dedupDecisions(surv, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("keep").as("dup_keep"))
+      val action =
+        when(col("lang_pred") =!= "en", "lang_drop")
+          .when(!col("fw_keep"), "filter_drop")
+          .when(!col("dup_keep"), "dup_drop")
+          .otherwise("clean")
+      flagged.join(dec, Seq("doc_id"), "left")
+        .select(col("doc_id"), action.as("action"),
+          when(action === "clean", md5(col("text"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // k-means|| scalable initialization (Bahmani 2012 arXiv:1203.6402):
     // distance-proportional oversampling in O(rounds) corpus passes
     // instead of kmeans++'s k sequential ones; integer micro-cosine
@@ -2871,6 +2917,62 @@ object SparkEntry {
       |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
       |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin
 
+  /** The FineWeb-filter fixture page: line width 6 words (2 for doc%3 —
+    * short lines), terminal '.' except doc%7 (punctuation rule), the
+    * first line appended 3× for doc%5 (duplicated-line mass). */
+  private def finewebPage: Column = {
+    val words = split(col("text"), " ")
+    val lw = when(col("doc_id") % 3 === 0, lit(2)).otherwise(lit(6))
+    val nLines = greatest(
+      ceil(size(words).cast("double") / lw.cast("double")).cast("int"), lit(1))
+    val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+      val li = array_join(slice(words, i * lw + 1, lw), " ")
+      when(col("doc_id") % 7 === 0, li).otherwise(concat(li, lit(".")))
+    })
+    val pageLines = when(col("doc_id") % 5 === 0,
+      concat(baseLines, array(element_at(baseLines, 1),
+        element_at(baseLines, 1), element_at(baseLines, 1))))
+      .otherwise(baseLines)
+    array_join(pageLines, "\n")
+  }
+
+  /** The FineWeb page + §3.6 filter replay in SQL, ending in
+    * `fagg(doc_id, n, punct_n, short_n, dupc, totc)` — CTE names
+    * f-prefixed so the chain composes with the shingle CTEs. */
+  private def FinewebFilterCtes(src: String): String =
+    s"""fd AS (SELECT doc_id, string_split(text,' ') AS words FROM $src),
+       |fp0 AS (SELECT doc_id, words,
+       |  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 6 END AS lw FROM fd),
+       |fp1 AS (SELECT doc_id, words, lw,
+       |  CAST(greatest(ceil(len(words)/(1.0*lw)), 1) AS INT) AS nl FROM fp0),
+       |flx AS (SELECT doc_id, lw, nl, words,
+       |  unnest(generate_series(0, nl-1)) AS i FROM fp1),
+       |fl2 AS (SELECT doc_id, i, CASE WHEN doc_id % 7 = 0
+       |   THEN array_to_string(list_slice(words, i*lw+1, i*lw+lw), ' ')
+       |   ELSE array_to_string(list_slice(words, i*lw+1, i*lw+lw), ' ') || '.'
+       |  END AS line FROM flx),
+       |fl3 AS (SELECT doc_id, i, line FROM fl2
+       |  UNION ALL
+       |  SELECT fl2.doc_id, fp1.nl + t.j, fl2.line
+       |  FROM fl2 JOIN fp1 USING (doc_id)
+       |  CROSS JOIN (SELECT unnest([0,1,2]) AS j) t
+       |  WHERE fl2.doc_id % 5 = 0 AND fl2.i = 0),
+       |fr AS (SELECT doc_id, i, line,
+       |  row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+       |  FROM fl3),
+       |fagg AS (SELECT doc_id, count(*) AS n,
+       |  sum(CASE WHEN regexp_matches(line, '[.!?"]$$') THEN 1 ELSE 0 END) AS punct_n,
+       |  sum(CASE WHEN length(line) < 30 THEN 1 ELSE 0 END) AS short_n,
+       |  sum(CASE WHEN rn > 1 THEN length(line) ELSE 0 END) AS dupc,
+       |  sum(length(line)) AS totc FROM fr GROUP BY doc_id)""".stripMargin
+
+  /** The §3.6 keep flag over a `fagg` row — the Spark expression's exact
+    * double order. */
+  private val FinewebKeepSql: String =
+    """(CAST(punct_n AS DOUBLE)/n > 0.12
+      | AND (CASE WHEN totc > 0 THEN CAST(dupc AS DOUBLE)/totc ELSE 0.0 END) < 0.1
+      | AND CAST(short_n AS DOUBLE)/n < 0.67)""".stripMargin.replace("\n", "")
+
   /** Integer micro-cosine between point row `p` and candidate row `c` —
     * the k-means|| oracle kernel: round(round(cos, 6)·1e6), matching
     * Similarity.kmeansParallelInit.cosMicro exactly. */
@@ -4462,6 +4564,60 @@ object SparkEntry {
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE alloc * 1000000 // n END AS BIGINT)
         |    AS epochs_micro
         |FROM fin ORDER BY source""".stripMargin,
+
+    // full FineWeb-filter replay: derived page + the three §3.6 rules
+    "fineweb_filters" ->
+      s"""WITH ${FinewebFilterCtes("documents")}
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+         | CAST(punct_n AS DOUBLE)/n AS punct_frac,
+         | CAST(short_n AS DOUBLE)/n AS short_frac,
+         | CASE WHEN totc > 0 THEN CAST(dupc AS DOUBLE)/totc ELSE 0.0 END
+         |   AS dup_char_frac,
+         | $FinewebKeepSql AS keep
+         |FROM fagg ORDER BY doc_id""".stripMargin,
+
+    // composed FineWeb replay: langid + the filter chain + the full
+    // LSH/verify/connected-components dedup over the survivor CTE (the
+    // gpt3_e2e machinery) + the attribution CASE in branch order
+    "fineweb_e2e" ->
+      ("WITH RECURSIVE " + FinewebFilterCtes("documents") + s""",
+        |fls AS (SELECT doc_id, text,
+        | (length(text)-length(replace(text,' the ','')))//5 AS s_en,
+        | (length(text)-length(replace(text,' data ','')))//6 AS s_es,
+        | (length(text)-length(replace(text,' join ','')))//6 AS s_de,
+        | (length(text)-length(replace(text,' merge ','')))//7 AS s_fr
+        | FROM documents),
+        |flp AS (SELECT doc_id, text, CASE
+        | WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+        | WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+        | WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+        | WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+        | ELSE 'und' END AS lang_pred FROM fls),
+        |ffl AS (SELECT flp.doc_id, flp.text, flp.lang_pred,
+        |  $FinewebKeepSql AS fw_keep
+        |  FROM flp JOIN fagg ON fagg.doc_id = flp.doc_id),
+        |srv AS (SELECT doc_id, text FROM ffl
+        |  WHERE lang_pred = 'en' AND fw_keep),
+        |${LshVerifiedCtesFrom("srv")},
+        |prs AS (SELECT v.id_a, v.id_b
+        |  FROM ver v JOIN cand cc ON cc.id_a = v.id_a AND cc.id_b = v.id_b),
+        |und AS (SELECT id_a AS u, id_b AS w FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM srv
+        |  UNION
+        |    SELECT und.w, reach.r FROM reach JOIN und ON und.u = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT ffl.doc_id,
+        |  CASE WHEN ffl.lang_pred <> 'en' THEN 'lang_drop'
+        |       WHEN NOT ffl.fw_keep THEN 'filter_drop'
+        |       WHEN comp.component <> ffl.doc_id THEN 'dup_drop'
+        |       ELSE 'clean' END AS action,
+        |  CASE WHEN ffl.lang_pred = 'en' AND ffl.fw_keep
+        |        AND comp.component = ffl.doc_id THEN md5(ffl.text) END
+        |    AS clean_md5
+        |FROM ffl LEFT JOIN comp ON comp.id = ffl.doc_id
+        |ORDER BY ffl.doc_id""".stripMargin),
 
     // full k-means|| replay: md5-first seed, two oversampling rounds
     // (exact integer φ, md5-uniform coins), attraction weights, rank cut

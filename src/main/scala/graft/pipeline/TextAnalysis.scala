@@ -227,6 +227,53 @@ object TextAnalysis {
   }
 
   /**
+   * FineWeb custom heuristic filters (Penedo et al. 2024, "The FineWeb
+   * Datasets: Decanting the Web for the Finest Text Data at Scale",
+   * arXiv:2406.17557 §3.6): the three line-level rules FineWeb ablated
+   * as its own contribution beyond C4/Gopher — drop a document when
+   *
+   *   - the fraction of lines ending in punctuation is ≤ `minPunctFrac`
+   *     (published 0.12),
+   *   - the fraction of characters inside DUPLICATED lines (2nd+
+   *     occurrence, by position) is ≥ `maxDupCharFrac` (published 0.1),
+   *   - the fraction of lines shorter than `shortLineLen` chars
+   *     (published 30) is ≥ `maxShortFrac` (published 0.67).
+   *
+   * Pure per-row array arithmetic (the c4Clean class) — rides the scan
+   * with no shuffle at any scale. The duplicate-line scan is O(lines²)
+   * per document inside one codegen'd expression; for pathological
+   * million-line documents the grouped formulation ([[gopherRepetition]]'s
+   * line explode) is the escape hatch — web documents sit far below
+   * that, and the explode costs a corpus-scale shuffle this avoids.
+   */
+  def fineWebFilters(textCol: Column, minPunctFrac: Double = 0.12,
+                     maxDupCharFrac: Double = 0.1, shortLineLen: Int = 30,
+                     maxShortFrac: Double = 0.67): Seq[(String, Column)] = {
+    val lines = split(textCol, "\n")
+    val n = size(lines)
+    val punct = size(filter(lines, l => l.rlike("[.!?\"]$")))
+    val short = size(filter(lines, l => length(l) < shortLineLen))
+    val dupChars = aggregate(
+      transform(lines, (l, i) =>
+        when(exists(slice(lines, lit(1), i), p => p === l),
+          length(l).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val totChars = aggregate(
+      transform(lines, l => length(l).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val pf = punct.cast("double") / n.cast("double")
+    val sf = short.cast("double") / n.cast("double")
+    val df = when(totChars > 0, dupChars.cast("double") / totChars.cast("double"))
+      .otherwise(lit(0.0))
+    Seq(
+      "n_lines" -> n.cast("long"),
+      "punct_frac" -> pf,
+      "short_frac" -> sf,
+      "dup_char_frac" -> df,
+      "keep" -> (pf > minPunctFrac && df < maxDupCharFrac && sf < maxShortFrac))
+  }
+
+  /**
    * Document fingerprint (winnowing-style): the minimum md5 over word
    * 5-gram shingles — robust to local edits, engine-portable (hex-string
    * min), O(tokens) per doc with no shuffle. A second fingerprint over

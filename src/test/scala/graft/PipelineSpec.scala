@@ -1258,6 +1258,38 @@ class PipelineSpec extends SparkSpec {
     assert(ghost >= 0L && ghost <= 400L)
   }
 
+  test("FineWeb custom filters: punctuation / duplicated-line-chars / " +
+       "short-line rules at the published thresholds (Penedo 2024 §3.6)") {
+    import spark.implicits._
+    val long = "this line carries enough characters to clear thirty."
+    val docs = Seq(
+      1L -> Seq(long, long + "?", long.dropRight(1) + "!").mkString("\n"),
+      2L -> Seq(long, long.dropRight(1), long.dropRight(2)).mkString("\n"),
+      3L -> Seq(long, long, long, "unique closing line of this doc here.")
+        .mkString("\n"),
+      4L -> Seq(long, "short.", "tiny.", "wee.").mkString("\n"),
+      5L -> "").toDF("doc_id", "text")
+    val fw = TextAnalysis.fineWebFilters(col("text")).toMap
+    val out = docs.select(col("doc_id"), fw("n_lines").as("nl"),
+        fw("punct_frac").as("pf"), fw("short_frac").as("sf"),
+        fw("dup_char_frac").as("df"), fw("keep").as("keep"))
+      .orderBy("doc_id").collect()
+    // doc 1: all lines punctuated, unique, long → keep
+    assert(out(0).getAs[Double]("pf") === 1.0 && out(0).getAs[Boolean]("keep"))
+    // doc 2: only 1/3 lines end in punctuation → 0.33 > 0.12 still keeps;
+    // the rule binds at <= 0.12
+    assert(math.abs(out(1).getAs[Double]("pf") - 1.0 / 3) < 1e-9)
+    assert(out(1).getAs[Boolean]("keep"))
+    // doc 3: two duplicated copies of a 53-char line out of ~4 lines →
+    // dup-char fraction far above 0.1 → drop
+    assert(out(2).getAs[Double]("df") > 0.1 && !out(2).getAs[Boolean]("keep"))
+    // doc 4: 3 of 4 lines under 30 chars → 0.75 >= 0.67 → drop
+    assert(out(3).getAs[Double]("sf") === 0.75 && !out(3).getAs[Boolean]("keep"))
+    // doc 5: empty text → one empty line: short and unpunctuated → drop,
+    // no division blowup
+    assert(out(4).getAs[Long]("nl") === 1L && !out(4).getAs[Boolean]("keep"))
+  }
+
   test("k-means|| oversampling seeds every separated cluster and is " +
        "partition-independent (Bahmani 2012)") {
     import spark.implicits._
