@@ -385,4 +385,91 @@ object StatefulOps {
           }
       }
   }
+
+  // ------- streaming Bloom paragraph dedup: the streaming plane of the
+  // batch Dedup.dedupSegmentsBloom (Soldaini 2024 — Dolma's actual
+  // deployment shape: ONE growing Bloom filter, paragraphs checked and
+  // inserted in arrival order) -------
+
+  /** One paragraph arrival. `shard` must be a pure function of `seg`
+    * (hash mod shards — see [[shardSegments]]) so identical paragraphs
+    * always meet the same filter. */
+  case class SegArrival(shard: Int, ord: Long, docId: Long, idx: Int,
+                        seg: String)
+  case class SegDecision(docId: Long, idx: Int, seg: String,
+                         relationship: String)
+  case class BloomBits(bits: Array[Byte])
+
+  /** Map-side sharding for [[dedupSegmentsStream]]: md5-prefix of the
+    * segment mod `shards` — the state-store key. */
+  def shardSegments(df: org.apache.spark.sql.DataFrame,
+                    idCol: org.apache.spark.sql.Column,
+                    segments: org.apache.spark.sql.Column,
+                    ordCol: org.apache.spark.sql.Column,
+                    shards: Int): Dataset[SegArrival] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    df.select(idCol.cast("long").as("docId"), ordCol.cast("long").as("ord"),
+        posexplode(segments).as(Seq("idx", "seg")))
+      .select(
+        (conv(substring(md5(col("seg")), 1, 12), 16, 10).cast("long") %
+          shards).cast("int").as("shard"),
+        col("ord"), col("docId"), col("idx"), col("seg"))
+      .as[SegArrival]
+  }
+
+  /** k Bloom positions of a segment within an m-bit filter — md5-salted,
+    * the same double-hash family as everything else here. */
+  private def bloomPositions(seg: String, bits: Int, k: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"sbloom|$seg".getBytes("UTF-8"))
+    // two independent 48-bit words → k positions via double hashing
+    def word(off: Int): Long =
+      (0 until 6).foldLeft(0L)((a, i) => (a << 8) | (h(off + i) & 0xffL))
+    val h1 = word(0); val h2 = word(6) | 1L // odd step
+    (0 until k).map(j => (((h1 + j * h2) % bits + bits) % bits).toInt)
+  }
+
+  /**
+   * Streaming paragraph dedup behind a per-shard Bloom filter — Dolma's
+   * deployment semantics exactly: the filter only GROWS (no per-key
+   * counters, no stored text), a paragraph whose bits are all set routes
+   * `seen`, otherwise `fresh` and its bits are inserted. Identical
+   * paragraphs meet the same shard by construction, so the decision is
+   * exact up to Bloom false positives (over-dedup, the safe direction —
+   * size `bitsPerShard` for the expected per-shard load). Within a
+   * shard, arrivals process in (ord, docId, idx) order — deterministic
+   * under replay, which is what the filter's order-dependence needs.
+   *
+   * 100 TB posture: state per shard is a FIXED byte array (the whole
+   * point of Dolma's Bloom choice — memory bounded regardless of corpus
+   * length); shards spread the filter across the state store's
+   * executors, and the per-batch work is one shuffle on the shard key.
+   * The batch plane ([[graft.pipeline.Dedup.dedupSegmentsBloom]]) is the
+   * order-independent equivalent for bounded snapshots.
+   */
+  def dedupSegmentsStream(segs: Dataset[SegArrival], bitsPerShard: Int,
+                          numHashes: Int = 4): Dataset[SegDecision] = {
+    require(bitsPerShard % 8 == 0, "bitsPerShard must be byte-aligned")
+    implicit val outEnc = Encoders.product[SegDecision]
+    implicit val stEnc = Encoders.product[BloomBits]
+    implicit val intEnc = Encoders.scalaInt
+    segs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, batch: Iterator[SegArrival], state: GroupState[BloomBits]) =>
+          val bits = state.getOption.map(_.bits)
+            .getOrElse(new Array[Byte](bitsPerShard / 8))
+          val out = batch.toSeq.sortBy(a => (a.ord, a.docId, a.idx)).map { a =>
+            val pos = bloomPositions(a.seg, bitsPerShard, numHashes)
+            val seen = pos.forall(p => (bits(p / 8) & (1 << (p % 8))) != 0)
+            if (!seen) pos.foreach(p =>
+              bits(p / 8) = (bits(p / 8) | (1 << (p % 8))).toByte)
+            SegDecision(a.docId, a.idx, a.seg,
+              if (seen) "seen" else "fresh")
+          }
+          state.update(BloomBits(bits))
+          out.iterator
+      }
+  }
 }

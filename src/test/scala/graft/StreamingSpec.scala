@@ -790,4 +790,49 @@ class StreamingSpec extends SparkSpec {
       assert(hits.toSeq === Seq((20L, 10L, 0.75), (21L, 10L, 0.75)))
     } finally q.stop()
   }
+
+  test("streaming Bloom paragraph dedup: first arrival fresh, repeats " +
+       "seen across batches and documents, state stays one fixed bitset " +
+       "per shard (Dolma's growing-filter semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.SegArrival]
+    val q = StatefulOps.dedupSegmentsStream(input.toDS(),
+        bitsPerShard = 4096, numHashes = 4)
+      .writeStream.format("memory").queryName("bloom_dedup")
+      .outputMode("append").start()
+    try {
+      // shardSegments is the map-side plane; here arrivals are staged
+      // directly with the same shard function (md5 prefix mod 4)
+      def shardOf(s: String): Int =
+        (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+          % 4).toInt
+      def arr(ord: Long, doc: Long, idx: Int, s: String) =
+        StatefulOps.SegArrival(shardOf(s), ord, doc, idx, s)
+      // batch 1: doc 1 carries p1 twice (within-doc repeat) and p2
+      input.addData(arr(1, 1L, 0, "p1"), arr(1, 1L, 1, "p2"),
+        arr(1, 1L, 2, "p1"))
+      q.processAllAvailable()
+      // batch 2: doc 2 repeats p2 (cross-batch, cross-doc) + fresh p3
+      input.addData(arr(2, 2L, 0, "p2"), arr(2, 2L, 1, "p3"))
+      q.processAllAvailable()
+      val out = spark.table("bloom_dedup").as[StatefulOps.SegDecision]
+        .collect().map(d => (d.docId, d.idx, d.seg, d.relationship)).sorted
+      assert(out.toSeq === Seq(
+        (1L, 0, "p1", "fresh"), (1L, 1, "p2", "fresh"),
+        (1L, 2, "p1", "seen"),
+        (2L, 0, "p2", "seen"), (2L, 1, "p3", "fresh")))
+    } finally q.stop()
+
+    // the map-side shard plane matches the in-test shard function and
+    // explodes positions faithfully
+    val docs = Seq((7L, "a b c d e f")).toDF("doc_id", "text")
+    val segs = StatefulOps.shardSegments(docs, col("doc_id"),
+      graft.pipeline.Dedup.wordWindows(col("text"), 3), col("doc_id"), 4)
+      .collect()
+    assert(segs.map(s => (s.docId, s.idx, s.seg)).sorted.toSeq ===
+      Seq((7L, 0, "a b c"), (7L, 1, "d e f")))
+    assert(segs.forall(s => s.shard >= 0 && s.shard < 4))
+  }
 }
