@@ -129,7 +129,12 @@ object Bench {
     * gpt3_e2e likewise (rotation moves the classifier's vocabulary and
     * so the survivor counts); its stages' pairs live in
     * quality_filter_pareto, dedup_minhash_lsh, and decontaminate. */
-  val extra: Seq[String] = Seq("curate_filters_e2e", "ccnet_e2e", "gpt3_e2e")
+  val extra: Seq[String] = Seq("curate_filters_e2e", "ccnet_e2e", "gpt3_e2e",
+    // r15: the Dolma and FineWeb compositions are content-sensitive the
+    // same way (the rotation moves langid markers and filter survivor
+    // sets), so uniform-only; their stages' scale pairs live in
+    // dedup_paragraphs_bloom / dedup_minhash_lsh / curate_filters_map
+    "dolma_e2e", "fineweb_e2e")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

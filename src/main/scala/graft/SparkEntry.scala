@@ -1466,6 +1466,20 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // The full scalable IVF training stack: k-means|| seeding → Lloyd
+    // refinement → probe. Exhaustive probing (nProbe = nCentroids) must
+    // reproduce the brute-force ranking exactly — the ivf_trained oracle
+    // device: seeding/training only move where the recall knob bites,
+    // and the seeding itself is pinned by kmeans_parallel_init
+    "embed_topk_ivf_kmpp" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopKScalable(emb, emb.filter(col("vec_id") % 100 === 0),
+        5, nCentroids = 8, nProbe = 8, lloydIters = 2)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Seeded random-hyperplane LSH + Hamming-1 multi-probe ANN — the
     // bucketed scale path (one bucket-keyed join instead of the full
     // cross). The Rademacher planes derive from md5(seed|p|d), so the
@@ -4895,6 +4909,7 @@ object SparkEntry {
     // exhaustive-probe IVF must reproduce the brute-force ranking exactly
     "embed_topk_ivf" -> EmbedTopKOracle,
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
+    "embed_topk_ivf_kmpp" -> EmbedTopKOracle,
     "embed_topk_pq" -> PqTopKOracle,
     "embed_topk_ivfpq" -> IvfPqOracle,
     "dedup_semantic" -> SemDedupOracle,

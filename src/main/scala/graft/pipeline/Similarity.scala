@@ -267,8 +267,15 @@ object Similarity {
     * + per-dimension integer mean (exact long sums, truncating division —
     * no floating accumulation order anywhere; partition-independent). */
   private[pipeline] def trainCentroids(c: DataFrame, nCentroids: Int,
-                                       lloydIters: Int): DataFrame = {
-    var cents = sampleCentroids(c).limit(nCentroids)
+                                       lloydIters: Int): DataFrame =
+    refineCentroids(c, sampleCentroids(c).limit(nCentroids), lloydIters)
+
+  /** The Lloyd refinement loop alone, over ANY initial (cent, centq,
+    * centn) frame — md5-sample init ([[trainCentroids]]) and k-means||
+    * init ([[ivfTopKScalable]]) share it. */
+  private[pipeline] def refineCentroids(c: DataFrame, init: DataFrame,
+                                        lloydIters: Int): DataFrame = {
+    var cents = init
     for (_ <- 0 until lloydIters) {
       val centsArr = cents
         .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
@@ -297,6 +304,28 @@ object Similarity {
         .localCheckpoint()
     }
     cents
+  }
+
+  /**
+   * IVF with the full scalable training stack — [[kmeansParallelInit]]
+   * seeding (Bahmani 2012) feeding [[refineCentroids]]' Lloyd rounds,
+   * then the standard probe: the composition a 1000-executor deployment
+   * actually runs, since the md5-sample init [[ivfTopKTrained]] uses is
+   * cheap but seed-quality-blind while kmeans++ is sequential. With
+   * `nProbe = nCentroids` (exhaustive) the ranking equals brute force
+   * exactly — the same oracle device ivfTopKTrained uses: training and
+   * seeding only move WHERE the recall/cost knob bites.
+   */
+  def ivfTopKScalable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nCentroids: Int, nProbe: Int, lloydIters: Int = 2,
+                      l: Int = 8, rounds: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val seeds = kmeansParallelInit(c, nCentroids, l, rounds)
+      .select(md5(col("cid").cast("string")).as("cent"),
+        col("centq"), col("centn"))
+    probeWithCentroids(c, queries, k, nProbe,
+      refineCentroids(c, seeds, lloydIters))
   }
 
   /**

@@ -1258,6 +1258,37 @@ class PipelineSpec extends SparkSpec {
     assert(ghost >= 0L && ghost <= 400L)
   }
 
+  test("scalable IVF (kmeans|| seeding + Lloyd refinement) at exhaustive " +
+       "probe matches the md5-init path exactly — seeding only moves " +
+       "where the recall knob bites") {
+    import spark.implicits._
+    val pts = (0 until 300).map { i =>
+      val axis = i % 3
+      val v = Array.fill(6)(0.02f + (i % 5) * 0.003f)
+      v(axis) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rank").cast("long"), col("cid"),
+          col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    val scal = rows(Similarity.ivfTopKScalable(emb, qs, 3,
+      nCentroids = 4, nProbe = 4, lloydIters = 1))
+    val base = rows(Similarity.ivfTopKTrained(emb, qs, 3,
+      nCentroids = 4, nProbe = 4, lloydIters = 1))
+    assert(scal === base)
+    // partial probe still emits k rows per query and stays deterministic
+    // under repartitioning
+    val part = rows(Similarity.ivfTopKScalable(emb.repartition(5), qs, 3,
+      nCentroids = 4, nProbe = 2, lloydIters = 1))
+    assert(part === rows(Similarity.ivfTopKScalable(emb, qs, 3,
+      nCentroids = 4, nProbe = 2, lloydIters = 1)))
+    assert(part.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("FineWeb custom filters: punctuation / duplicated-line-chars / " +
        "short-line rules at the published thresholds (Penedo 2024 §3.6)") {
     import spark.implicits._
