@@ -59,6 +59,16 @@ object Plans {
     show("semd", "dedup_semantic")
     show("proto", "dedup_prototypes")
     show("ltcp", "listen_tcp_frames")
+    show("cms", "sketch_cms")
+    show("hll", "sketch_hll")
+    show("drm", "doremi_weights")
+    show("unx", "unimax_budget")
+    show("dpb", "dedup_paragraphs_bloom")
+    show("dolma", "dolma_e2e")
+    show("kmpp", "kmeans_parallel_init")
+    show("fwf", "fineweb_filters")
+    show("fwe", "fineweb_e2e")
+    show("ivfk", "embed_topk_ivf_kmpp")
     spark.stop()
   }
 }
