@@ -1238,6 +1238,15 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Temperature-scaled language sampling (XLM-R arXiv:1911.02116 §3.1
+    // at the published α=0.3; T5's examples-proportional-with-temperature
+    // is the same law): q ∝ p^α — the standard multilingual upweighting
+    // of tail languages, completing the mixing family
+    "mixture_temperature" -> ((s, dir) =>
+      graft.pipeline.Mixing.temperatureShares(docsPar(s, dir), col("lang"),
+        alpha = 0.3)
+        .orderBy("source")),
+
     // Dolma paragraph dedup (Soldaini 2024 arXiv:2402.00159 §4): 20-word
     // windows of the NEW snapshot (source != src0) probed against a
     // Bloom filter of the PRIOR snapshot's (src0) paragraphs, then the
@@ -4657,6 +4666,26 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY weight DESC, vec_id) AS rnk FROM top)
          |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, CAST(weight AS BIGINT) AS weight
          |FROM rk WHERE rnk <= 8 ORDER BY rank""".stripMargin,
+
+    // temperature replay: per-language p^α fixed-pointed to 1e-12 units,
+    // exact-integer normalizer, shares in the driver's expression order
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang AS source, count(*) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT source, n, (SELECT sum(n) FROM c) AS tot FROM c),
+        |t2 AS (SELECT source, n, tot,
+        |  CAST(round(pow(CAST(n AS DOUBLE)/CAST(tot AS DOUBLE), 0.3)
+        |    * 1000000000000.0) AS BIGINT) AS tm FROM t),
+        |z AS (SELECT sum(tm) AS z FROM t2)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        | CAST(round(CAST(n AS DOUBLE)/CAST(tot AS DOUBLE) * 1000000.0)
+        |   AS BIGINT) AS natural_micro,
+        | CAST(round(CAST(tm AS DOUBLE)/CAST((SELECT z FROM z) AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) AS q_micro,
+        | CAST(round(CAST(tm AS DOUBLE)/CAST((SELECT z FROM z) AS DOUBLE)
+        |   / (CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)) * 1000000.0)
+        |   AS BIGINT) AS boost_micro
+        |FROM t2 ORDER BY source""".stripMargin,
 
     // exact NOT-IN prior + first-occurrence keeper over the fresh
     // survivors — at fpp 1e-9 this is also the bloom no-FP witness

@@ -94,6 +94,59 @@ object Mixing {
   }
 
   /**
+   * Temperature-scaled language sampling — the standard multilingual
+   * mixing baseline (Conneau & Lample et al. 2020, XLM-R,
+   * arXiv:1911.02116 §3.1; Raffel et al. 2020, T5, arXiv:1910.10683
+   * §3.4.1 "examples-proportional with temperature"): sampling
+   * probability q_l ∝ p_l^α where p_l is the natural share — α = 1 is
+   * proportional, α → 0 uniform; XLM-R's published α = 0.3 upweights
+   * tail languages. Returns one row per language:
+   * (source, n_docs, natural_micro, q_micro, boost_micro) with every
+   * share fixed-pointed to integer micro-units. Each p^α term is
+   * fixed-pointed to 1e-12 units BEFORE the normalizer sums them, so the
+   * sum is an exact integer — order-independent, no float accumulation
+   * (the DoReMi normalizer discipline).
+   *
+   * Scale shape: one map-side-partial groupBy(language); the temperature
+   * arithmetic runs on the collected bounded table (the mixtureRates
+   * discipline). Compose with [[Sampling.stratifiedSample]] downstream:
+   * rate_l = q_l·M/n_l for the chosen corpus size M.
+   */
+  def temperatureShares(df: DataFrame, sourceCol: Column,
+                        alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0, "temperature exponent must be positive")
+    val spark = df.sparkSession
+    val counts = df.select(sourceCol.as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperature sampling needs a non-empty corpus")
+    val total = counts.map(_._2).sum
+    def half(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // p^α fixed-pointed to 1e-12 units per language; the normalizer is
+    // their EXACT integer sum
+    val tMicro = counts.map { case (_, n) =>
+      half(math.pow(n.toDouble / total.toDouble, alpha) * 1e12)
+    }
+    val z = tMicro.sum
+    val rows = counts.zipWithIndex.map { case ((s, n), i) =>
+      val p = n.toDouble / total.toDouble
+      val q = tMicro(i).toDouble / z.toDouble
+      Row(s, n, half(p * 1e6), half(q * 1e6), half(q / p * 1e6))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = true),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("natural_micro", LongType, nullable = false),
+        StructField("q_micro", LongType, nullable = false),
+        StructField("boost_micro", LongType, nullable = false))))
+  }
+
+  /**
    * UniMax budget allocation: given per-language sizes n_l (characters),
    * a total training budget B and an epoch cap N, allocate ascending by
    * size — a language small enough that N full epochs fit under an equal

@@ -1417,6 +1417,33 @@ class PipelineSpec extends SparkSpec {
     assert(flat === Set(500000000000L))
   }
 
+  test("temperature sampling upweights tail languages, is proportional at " +
+       "alpha=1 and flattens toward uniform as alpha drops (XLM-R §3.1)") {
+    import spark.implicits._
+    // 80/15/5 split — the classic head/tail multilingual shape
+    val corpus = (Seq.fill(80)("en") ++ Seq.fill(15)("fr") ++
+      Seq.fill(5)("sw")).zipWithIndex.map(_.swap).toDF("id", "lang")
+    def shares(a: Double) =
+      Mixing.temperatureShares(corpus, col("lang"), alpha = a)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("natural_micro"), r.getAs[Long]("q_micro"),
+            r.getAs[Long]("boost_micro"))).toMap
+    val t03 = shares(0.3)
+    assert(t03("en")._1 === 800000L && t03("sw")._1 === 50000L)
+    // tail boosted, head damped; shares still a simplex
+    assert(t03("sw")._2 > t03("sw")._1 && t03("en")._2 < t03("en")._1)
+    assert(t03("sw")._3 > 1000000L && t03("en")._3 < 1000000L)
+    assert(math.abs(t03.values.map(_._2).sum - 1000000L) <= 2)
+    // alpha = 1 recovers proportional sampling exactly
+    val t1 = shares(1.0)
+    assert(t1.values.forall { case (nat, q, _) => math.abs(q - nat) <= 1 })
+    // lower alpha is flatter: sw's share grows monotonically as α drops
+    val t01 = shares(0.1)
+    assert(t01("sw")._2 > t03("sw")._2)
+    // ordering never flips: bigger language keeps the bigger share
+    assert(t01("en")._2 > t01("fr")._2 && t01("fr")._2 > t01("sw")._2)
+  }
+
   test("UniMax waterfilling caps small languages at the epoch budget and " +
        "splits the remainder over the head (Chung 2023)") {
     import spark.implicits._
