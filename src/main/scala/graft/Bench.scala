@@ -22,7 +22,12 @@ object Bench {
     * duplication instead of only on the uniform synthetic data. */
   val skewed: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_minhash_lsh_capped", "dedup_segments",
-    "pipeline_e2e")
+    "pipeline_e2e",
+    // r15: 30% identical docs make every paragraph window of the mass a
+    // single hot segment — the bloom probe stays map-side and the keeper
+    // min-agg collapses the mass before its shuffle (the dedup_segments
+    // skew argument, now measured on the bloom plane too)
+    "dedup_paragraphs_bloom")
 
   /**
    * Derive a mass-duplicated variant of the sf documents table and stage it
