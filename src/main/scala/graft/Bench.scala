@@ -118,7 +118,10 @@ object Bench {
     "dedup_paragraphs_bloom",
     // k-means|| (r15): a fixed number of corpus passes against a
     // bounded candidate broadcast — the x10 side should track the scan
-    "kmeans_parallel_init")
+    "kmeans_parallel_init",
+    // example export (r15): one per-token shuffle on exampleId — the
+    // export's inherent volume; the pair should scale with token count
+    "export_examples")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

@@ -1238,6 +1238,18 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Training-example export (Brown 2020 §2.3: packed documents with an
+    // end-of-text delimiter, cut into fixed context windows): 128-token
+    // examples off the deterministic global token stream; the trailing
+    // partial drops. Emitted as md5(text) so the compared rows stay
+    // narrow while pinning every token and boundary.
+    "export_examples" -> ((s, dir) =>
+      Sampling.exportExamples(docsPar(s, dir), col("doc_id"), col("text"),
+        seqLen = 128L, seed = "ex1")
+        .select(col("exampleId").as("example_id"),
+          col("nTokens").as("n_tokens"), md5(col("text")).as("text_md5"))
+        .orderBy("example_id")),
+
     // Temperature-scaled language sampling (XLM-R arXiv:1911.02116 §3.1
     // at the published α=0.3; T5's examples-proportional-with-temperature
     // is the same law): q ∝ p^α — the standard multilingual upweighting
@@ -4666,6 +4678,26 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY weight DESC, vec_id) AS rnk FROM top)
          |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, CAST(weight AS BIGINT) AS weight
          |FROM rk WHERE rnk <= 8 ORDER BY rank""".stripMargin,
+
+    // example-export replay: same md5 layout order as pack_sequences
+    // (one global window where the Spark side runs the 256-range
+    // distributed prefix sum — the established pack equivalence), eos
+    // appended per doc, positions cut at 128
+    "export_examples" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(text,' ') || ['<|eos|>'] AS toks,
+        |  md5('ex1|' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |  COALESCE(SUM(len(toks)) OVER
+        |    (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS strt FROM t),
+        |tok AS (SELECT strt + i.i - 1 AS pos, toks[CAST(i.i AS INT)] AS tk
+        |  FROM o, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+        |ex AS (SELECT pos // 128 AS example_id, count(*) AS n_tokens,
+        |  string_agg(tk, ' ' ORDER BY pos) AS text FROM tok GROUP BY 1)
+        |SELECT CAST(example_id AS BIGINT) AS example_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, md5(text) AS text_md5
+        |FROM ex WHERE n_tokens = 128 ORDER BY example_id""".stripMargin,
 
     // temperature replay: per-language p^α fixed-pointed to 1e-12 units,
     // exact-integer normalizer, shares in the driver's expression order

@@ -172,6 +172,66 @@ object Sampling {
   }
 
   /**
+   * Training-example materialization — the export last mile (Brown et
+   * al. 2020, arXiv:2005.14165 §2.3: "documents are packed into a single
+   * sequence... delimited with a special end-of-text token", the
+   * convention every GPT-style trainer consumes): documents are laid on
+   * the deterministic global token stream in [[packSequences]]' md5
+   * order, each followed by `eosToken`, and the stream is cut into
+   * consecutive `seqLen`-token examples; the trailing partial example is
+   * dropped (the standard convention — it would need padding).
+   *
+   * Returns (exampleId, nTokens, text) with nTokens ≡ seqLen. Examples
+   * cross document boundaries by construction; membership is a pure
+   * function of (corpus, seed, seqLen) — stable under repartitioning and
+   * executor count, like every pack decision here.
+   *
+   * Scale shape: the global document offsets come from the SAME 256-
+   * range distributed prefix sum packSequences uses (range totals are
+   * collected scalar metadata); then ONE per-token explode shuffles on
+   * exampleId — the export's inherent data volume, since every output
+   * token must land in its example — and each example gathers its
+   * seqLen tokens with a position sort that is example-local. No global
+   * sort, no single-partition stage; at 100 TB the exampleId shuffle IS
+   * the write fan-out, partitioned exactly like the output files.
+   */
+  def exportExamples(df: DataFrame, idCol: Column, textCol: Column,
+                     seqLen: Long, seed: String,
+                     eosToken: String = "<|eos|>"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(idCol.as("docId"),
+        concat(split(textCol, " "), array(lit(eosToken))).as("toks"))
+      .withColumn("__key",
+        md5(concat(lit(seed), lit("|"), col("docId").cast("string"))))
+      .withColumn("__rng",
+        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__n", size(col("toks")).cast("long"))
+      .localCheckpoint()                 // feeds the totals AND the export
+    val totals = keyed.groupBy(col("__rng"))
+      .agg(sum(col("__n")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 256).scanLeft(0L)((acc, r) =>
+      acc + totals.getOrElse(r, 0L)).take(256)
+    val offsetsDf = df.sparkSession.createDataFrame(
+      offsets.zipWithIndex.map { case (off, r) => (r, off) })
+      .toDF("__rng", "__offset")
+    val w = Window.partitionBy(col("__rng")).orderBy(col("__key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsetsDf), "__rng")
+      .withColumn("__start",
+        col("__offset") + coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__start"), posexplode(col("toks")).as(Seq("i", "tk")))
+      .withColumn("pos", col("__start") + col("i"))
+      .groupBy(expr(s"pos div $seqLen").as("exampleId"))
+      .agg(count(lit(1)).as("nTokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x("tk")), " ").as("text"))
+      .filter(col("nTokens") === seqLen)
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
    * Models via Importance Resampling", arXiv:2302.03169 §3): each raw
    * example is weighted by log p_target(x) − log p_raw(x) under hashed

@@ -1417,6 +1417,40 @@ class PipelineSpec extends SparkSpec {
     assert(flat === Set(500000000000L))
   }
 
+  test("training-example export packs documents in deterministic order " +
+       "with eos delimiters, cuts exact fixed-length windows, drops the " +
+       "tail (Brown 2020 §2.3)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3"), (2L, "b1 b2 b3 b4 b5"), (3L, "c1 c2"))
+      .toDF("doc_id", "text")
+    // stream = docs in md5('s|id') order, eos after each: 3+1+5+1+2+1 =
+    // 13 tokens → two full 5-token examples, 3-token tail dropped
+    val out = Sampling.exportExamples(docs, col("doc_id"), col("text"),
+        seqLen = 5L, seed = "s")
+      .orderBy("exampleId").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("nTokens") === 5L))
+    val joined = out.map(_.getAs[String]("text")).mkString(" ")
+    // reconstruct the expected stream on the driver
+    val order = Seq(1L, 2L, 3L).sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val stream = order.flatMap {
+      case 1L => Seq("a1", "a2", "a3", "<|eos|>")
+      case 2L => Seq("b1", "b2", "b3", "b4", "b5", "<|eos|>")
+      case 3L => Seq("c1", "c2", "<|eos|>")
+    }
+    assert(joined === stream.take(10).mkString(" "))
+    // examples cross document boundaries and carry the eos delimiters
+    assert(joined.contains("<|eos|>"))
+    // partition independence: identical examples at any layout
+    val rep = Sampling.exportExamples(docs.repartition(5), col("doc_id"),
+        col("text"), seqLen = 5L, seed = "s")
+      .orderBy("exampleId").collect().map(_.getAs[String]("text")).toSeq
+    assert(rep === out.map(_.getAs[String]("text")).toSeq)
+  }
+
   test("temperature sampling upweights tail languages, is proportional at " +
        "alpha=1 and flattens toward uniform as alpha drops (XLM-R §3.1)") {
     import spark.implicits._
