@@ -121,7 +121,14 @@ object Bench {
     "kmeans_parallel_init",
     // example export (r15): one per-token shuffle on exampleId — the
     // export's inherent volume; the pair should scale with token count
-    "export_examples")
+    "export_examples",
+    // SlimPajama (r15): unlike the other compositions this one is NOT
+    // content-sensitive (no langid markers, no stop-word rules — NFC is
+    // content-independent, the 200-char gate is length-preserved by the
+    // rotation, and the in-query clones scale 10× because rep-0 ids are
+    // exactly the doc_id%10==0 set), so the full e2e carries a real
+    // scale pair: expect the LSH stages to dominate, near-linearly
+    "slimpajama_e2e")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10

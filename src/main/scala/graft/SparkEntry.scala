@@ -1259,6 +1259,64 @@ object SparkEntry {
         alpha = 0.3)
         .orderBy("source")),
 
+    // RedPajama-v2 quality signals (Weber 2024 arXiv:2411.12372 §3.2):
+    // the "signals, not verdicts" corpus — a wide per-doc measurement
+    // frame over a derived page that fires every signal both ways
+    // (doc%7 ellipsis lines, doc%4 all-caps prefix, doc%9 lorem/curly
+    // tokens). Map-side battery + the one shuffled signal (unigram
+    // entropy) joined doc-keyed.
+    "rpv2_signals" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val proj = docs.select(col("doc_id") +:
+        TextAnalysis.rpv2Signals(rpv2Page, stops)
+          .map { case (n, c) => c.as(n) }: _*)
+      val ent = TextAnalysis.unigramEntropyMicro(docs, col("doc_id"), rpv2Page)
+        .select(col("docId").as("doc_id"), col("entropy_micro"),
+          col("n_tokens"))
+      proj.join(ent, Seq("doc_id")).orderBy("doc_id")
+    }),
+
+    // The composed SlimPajama pipeline (Soboleva 2023, Cerebras: the
+    // published two-stage cleaning — NFC normalization + <200-char drop —
+    // then GLOBAL MinHash-LSH dedup over lowercase punctuation-stripped
+    // 13-grams at Jaccard ≥ 0.8). Derived corpus: doc%4 gets a
+    // decomposed-accent "Café " prefix (exercises NFC composition —
+    // the md5 pins the composed bytes), doc%10 a tail-extended clone (J ≈ 0.93
+    // ≥ 0.8, exercises dup_drop); 148/500 fixture docs are naturally
+    // under 200 chars (short_drop).
+    "slimpajama_e2e" -> ((s, dir) => {
+      val base = docsPar(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit("Cafe\u0301 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(10000L)).as("doc_id"),
+            concat(col("text"), lit(" slimpajama clone tail")).as("text")))
+      // NFC runs once (checkpoint) — the attribution pass and the dedup
+      // branch both read the normalized frame
+      val normed = corpus.select(col("doc_id"),
+        TextAnalysis.nfc(col("text")).as("text")).localCheckpoint()
+      val surv = normed.filter(length(col("text")) >= 200)
+        .select(col("doc_id"),
+          TextAnalysis.slimPajamaDedupText(col("text")).as("dtext"))
+        .localCheckpoint()
+      val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("dtext"), 13, 8)
+      val cands = Dedup.minHashLshPairs(sigs, 8, 2)
+      val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
+        col("dtext"), 13, 80)
+      val dec = Clusters.dedupDecisions(surv, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("keep").as("dup_keep"))
+      val action =
+        when(length(col("text")) < 200, "short_drop")
+          .when(!coalesce(col("dup_keep"), lit(true)), "dup_drop")
+          .otherwise("clean")
+      normed.join(dec, Seq("doc_id"), "left")
+        .select(col("doc_id"), action.as("action"),
+          when(action === "clean", md5(col("text"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Dolma paragraph dedup (Soldaini 2024 arXiv:2402.00159 §4): 20-word
     // windows of the NEW snapshot (source != src0) probed against a
     // Bloom filter of the PRIOR snapshot's (src0) paragraphs, then the
@@ -2821,13 +2879,13 @@ object SparkEntry {
   /** Shingle CTEs over `src` (any relation with doc_id, text); ends in
     * `sh`. The composable no-WITH form lets multi-stage oracles
     * (gpt3_e2e) run the LSH chain over an upstream survivor CTE. */
-  private def ShingleCtesFrom(src: String): String =
+  private def ShingleCtesFrom(src: String, n: Int = 5): String =
     s"""docs AS (SELECT doc_id, string_split(text,' ') AS words FROM $src),
       |shi AS (SELECT doc_id, words,
-      |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+      |  unnest(generate_series(0, CASE WHEN len(words)>=$n THEN len(words)-$n ELSE 0 END)) AS i
       |  FROM docs),
       |sh0 AS (SELECT doc_id,
-      |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+      |  CASE WHEN len(words)>=$n THEN array_to_string(list_slice(words, i+1, i+$n),' ')
       |       ELSE array_to_string(words,' ') END AS sh
       |  FROM shi),
       |sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
@@ -2970,6 +3028,48 @@ object SparkEntry {
       .otherwise(baseLines)
     array_join(pageLines, "\n")
   }
+
+  /** The RedPajama-v2 fixture page: 8-word lines with a '.' terminator
+    * ('...' for doc%7 — ellipsis/sentence signals), the first 3 words
+    * uppercased for doc%4 (all-caps signal), and a "{ lorem ipsum }"
+    * token prefix for doc%9 (lorem / curly-bracket / no-alph signals) —
+    * every signal in the battery fires both ways. */
+  private def rpv2Page: Column = {
+    val w0 = split(col("text"), " ")
+    val w1 = when(col("doc_id") % 4 === 0,
+      concat(transform(slice(w0, 1, 3), w => upper(w)),
+        slice(w0, lit(4), greatest(size(w0) - 3, lit(0)))))
+      .otherwise(w0)
+    val words = when(col("doc_id") % 9 === 0,
+      concat(array(lit("{"), lit("lorem"), lit("ipsum"), lit("}")), w1))
+      .otherwise(w1)
+    val nLines = greatest(
+      ceil(size(words).cast("double") / 8d).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(array_join(slice(words, i * 8 + 1, lit(8)), " "),
+        when(col("doc_id") % 7 === 0, lit("...")).otherwise(lit("."))))
+    array_join(lines, "\n")
+  }
+
+  /** The rpv2 page in SQL, ending in `rpage(doc_id, text)` — CTE names
+    * r-prefixed. */
+  private def Rpv2PageCtes(src: String): String =
+    s"""r0 AS (SELECT doc_id, string_split(text,' ') AS w0 FROM $src),
+       |r1 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN
+       |    list_concat(list_transform(list_slice(w0, 1, 3), x -> upper(x)),
+       |      list_slice(w0, 4, len(w0)))
+       |  ELSE w0 END AS w1 FROM r0),
+       |r2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+       |    THEN list_concat(['{','lorem','ipsum','}'], w1)
+       |    ELSE w1 END AS words FROM r1),
+       |r3 AS (SELECT doc_id, words,
+       |  unnest(generate_series(0,
+       |    CAST(greatest(ceil(len(words)/8.0), 1) AS INT) - 1)) AS i FROM r2),
+       |r4 AS (SELECT doc_id, i,
+       |  array_to_string(list_slice(words, i*8+1, i*8+8), ' ') ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '...' ELSE '.' END AS line FROM r3),
+       |rpage AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+       |  FROM r4 GROUP BY doc_id)""".stripMargin
 
   /** The FineWeb page + §3.6 filter replay in SQL, ending in
     * `fagg(doc_id, n, punct_n, short_n, dupc, totc)` — CTE names
@@ -3540,13 +3640,14 @@ object SparkEntry {
   /** The LSH-dedup chain (shingles, 8-min signatures, 4 bands of 2,
     * Jaccard >= 0.3 verification) over `src`; no WITH prefix, ends in
     * `ver`. */
-  private def LshVerifiedCtesFrom(src: String): String = {
+  private def LshVerifiedCtesFrom(src: String, n: Int = 5,
+                                  pct: Int = 30): String = {
     val mins = MinhashMinsSql
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '|' || " +
         s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig")
       .mkString(" UNION ALL ")
-    s"""${ShingleCtesFrom(src)},
+    s"""${ShingleCtesFrom(src, n)},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3558,7 +3659,7 @@ object SparkEntry {
        |  sa.nsh + sb.nsh - i.inter_n AS union_n
        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
        |   JOIN sizes sb ON sb.doc_id = i.id_b
-       |  WHERE 100*i.inter_n >= 30*(sa.nsh + sb.nsh - i.inter_n))""".stripMargin
+       |  WHERE 100*i.inter_n >= $pct*(sa.nsh + sb.nsh - i.inter_n))""".stripMargin
   }
 
   private lazy val LshVerifiedCtes: String =
@@ -4718,6 +4819,109 @@ object SparkEntry {
         |   / (CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)) * 1000000.0)
         |   AS BIGINT) AS boost_micro
         |FROM t2 ORDER BY source""".stripMargin,
+
+    // RedPajama-v2 signal replay: the derived page + the full battery,
+    // each fraction as round(num/den*1e6), entropy in pre-rounded
+    // integer micro-nats (ln parity Java↔DuckDB verified to 2e6)
+    "rpv2_signals" ->
+      (s"""WITH ${Rpv2PageCtes("documents")},
+         |sg AS (SELECT doc_id, text, length(text) AS n_chars,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+         |    ' ' || replace(text, chr(10), ' ') || ' ' AS sp
+         |  FROM rpage),
+         |sg2 AS (SELECT *, len(ws) AS nw FROM sg),
+         |proj AS (SELECT doc_id,
+         |  CAST(n_chars AS BIGINT) AS ccnet_length,
+         |  CAST(n_lines AS BIGINT) AS ccnet_nlines,
+         |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+         |    AS num_sentences,
+         |  CAST(nw AS BIGINT) AS word_count,
+         |  CAST(round(CAST(n_chars-(nw-1) AS DOUBLE)/CAST(nw AS DOUBLE)
+         |    *1000000.0) AS BIGINT) AS mean_word_len_micro,
+         |  CAST(round(CAST(
+         |      (length(sp)-length(replace(sp,' the ','')))//5
+         |    + (length(sp)-length(replace(sp,' be ','')))//4
+         |    + (length(sp)-length(replace(sp,' to ','')))//4
+         |    + (length(sp)-length(replace(sp,' of ','')))//4
+         |    + (length(sp)-length(replace(sp,' and ','')))//5
+         |    + (length(sp)-length(replace(sp,' that ','')))//6
+         |    + (length(sp)-length(replace(sp,' have ','')))//6
+         |    + (length(sp)-length(replace(sp,' with ','')))//6
+         |    AS DOUBLE)/CAST(nw AS DOUBLE)*1000000.0) AS BIGINT)
+         |    AS stop_frac_micro,
+         |  CAST(round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |    /CAST(nw AS DOUBLE)*1000000.0) AS BIGINT) AS uniq_frac_micro,
+         |  CAST(round(CAST(len(list_filter(ws, x ->
+         |      regexp_matches(x, '[A-Za-z]') AND x = upper(x))) AS DOUBLE)
+         |    /CAST(nw AS DOUBLE)*1000000.0) AS BIGINT) AS all_caps_frac_micro,
+         |  CAST(round(CAST(len(list_filter(ws, x ->
+         |      NOT regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |    /CAST(nw AS DOUBLE)*1000000.0) AS BIGINT) AS no_alph_frac_micro,
+         |  CAST((length(lower(text))
+         |    - length(replace(lower(text), 'lorem ipsum', '')))//11 AS BIGINT)
+         |    AS lorem_ipsum_n,
+         |  CAST(round(CAST(
+         |      (length(text)-length(replace(text,'#','')))
+         |    + (length(text)-length(replace(text,'...','')))//3
+         |    AS DOUBLE)/CAST(nw AS DOUBLE)*1000000.0) AS BIGINT)
+         |    AS symbol_ratio_micro,
+         |  CAST(round(CAST(length(text)
+         |      - length(replace(replace(text,'{',''),'}','')) AS DOUBLE)
+         |    /CAST(n_chars AS DOUBLE)*1000000.0) AS BIGINT)
+         |    AS curly_frac_micro,
+         |  CAST(round(CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> ends_with(l, '...'))) AS DOUBLE)
+         |    /CAST(n_lines AS DOUBLE)*1000000.0) AS BIGINT)
+         |    AS ellipsis_line_frac_micro
+         |  FROM sg2),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM rpage),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ent AS (SELECT doc_id,
+         |    CAST(round(ln(sum(c))*1000000) AS BIGINT)
+         |      - CAST(sum(c*CAST(round(ln(c)*1000000) AS BIGINT)) // sum(c)
+         |        AS BIGINT) AS entropy_micro,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT proj.*, ent.entropy_micro, ent.n_tokens
+         |FROM proj JOIN ent USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // composed SlimPajama replay: the derived corpus (decomposed-accent
+    // prefix + tail-extended clones), nfc_normalize (DuckDB's UAX #15 =
+    // java.text.Normalizer NFC), the 200-char gate, then the full
+    // 13-gram/80%-Jaccard LSH machinery + connected components
+    "slimpajama_e2e" ->
+      ("""WITH RECURSIVE base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Cafe' || chr(769) || ' ' || text
+        |       ELSE text END AS text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' slimpajama clone tail'
+        |  FROM base WHERE doc_id % 10 = 0),
+        |normed AS (SELECT doc_id, nfc_normalize(text) AS text FROM corpus),
+        |srv AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS text
+        |  FROM normed WHERE length(text) >= 200),
+        |""".stripMargin + LshVerifiedCtesFrom("srv", 13, 80) + """,
+        |prs AS (SELECT v.id_a, v.id_b
+        |  FROM ver v JOIN cand cc ON cc.id_a = v.id_a AND cc.id_b = v.id_b),
+        |und AS (SELECT id_a AS u, id_b AS w FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM srv
+        |  UNION
+        |    SELECT und.w, reach.r FROM reach JOIN und ON und.u = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT n.doc_id,
+        |  CASE WHEN length(n.text) < 200 THEN 'short_drop'
+        |       WHEN comp.component <> n.doc_id THEN 'dup_drop'
+        |       ELSE 'clean' END AS action,
+        |  CASE WHEN length(n.text) >= 200 AND comp.component = n.doc_id
+        |       THEN md5(n.text) END AS clean_md5
+        |FROM normed n LEFT JOIN comp ON comp.id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin),
 
     // exact NOT-IN prior + first-occurrence keeper over the fresh
     // survivors — at fpp 1e-9 this is also the bloom no-FP witness

@@ -425,4 +425,105 @@ object TextAnalysis {
     "n_emails" -> size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long"),
     "n_ips" -> size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long"),
     "n_phones" -> size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long"))
+
+  /** Unicode NFC canonical composition (UAX #15) — the first stage of the
+    * SlimPajama recipe (Soboleva 2023). Native codegen'd expression with a
+    * zero-copy ASCII fast path ([[graft.functions.NfcNormalize]]); DuckDB's
+    * `nfc_normalize` replays it byte-exactly. */
+  def nfc(textCol: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.NfcNormalize(
+      org.apache.spark.sql.GraftColumnShim.expression(textCol)))
+
+  /** SlimPajama's dedup-key preprocessing (Soboleva 2023: lowercase +
+    * punctuation strip before 13-gram MinHash): keep `[a-z0-9]` and
+    * spaces, drop everything else. The removal COLLAPSES (no space
+    * substitution), matching the published preprocessing's behavior of
+    * hashing over the cleaned byte stream. */
+  def slimPajamaDedupText(textCol: Column): Column =
+    regexp_replace(lower(textCol), "[^a-z0-9 ]", "")
+
+  /**
+   * RedPajama-v2 quality signals (Together AI, RedPajama-Data-v2;
+   * Weber et al. 2024, arXiv:2411.12372 §3.2): v2's contribution is
+   * shipping per-document quality SIGNALS rather than filter verdicts —
+   * a wide measurement frame downstream consumers threshold themselves
+   * (the C4/Gopher/ccnet rule INPUTS, precomputed once at corpus scale).
+   *
+   * A representative doc-level subset with the published signal
+   * semantics over the house whitespace tokenization (`\s+` on the
+   * trimmed page; line = `\n` split). All counts are integers; every
+   * fraction is emitted in integer micro-units via ONE double division
+   * rounded HALF_UP — order-independent and engine-exact (DuckDB's
+   * `round()` is half-away-from-zero = HALF_UP on these non-negative
+   * values). Pure codegen'd per-row projection — map-side at any scale,
+   * no shuffle; the one corpus-shuffle signal (unigram entropy) lives in
+   * [[unigramEntropyMicro]].
+   */
+  def rpv2Signals(pageCol: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    def micro(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double") * 1e6, 0))
+        .otherwise(0d).cast("long")
+    val nChars = length(pageCol).cast("long")
+    val lines = split(pageCol, "\n")
+    val nLines = size(lines).cast("long")
+    val ws = split(trim(pageCol), "\\s+")
+    val nWords = tokenCountWhitespace(pageCol)
+    val spaced = concat(lit(" "), regexp_replace(pageCol, "\n", " "), lit(" "))
+    val stopCount = stopwords.map(w => occurrences(spaced, " " + w + " "))
+      .reduce(_ + _)
+    val ellipsisN = ((length(pageCol) -
+      length(replace(pageCol, lit("..."), lit("")))) / 3).cast("long")
+    Seq(
+      "ccnet_length" -> nChars,
+      "ccnet_nlines" -> nLines,
+      // terminator-RUN count ([.!?]+): "..." ends ONE sentence
+      "num_sentences" ->
+        size(regexp_extract_all(pageCol, lit("[.!?]+"), lit(0))).cast("long"),
+      "word_count" -> nWords,
+      "mean_word_len_micro" -> micro(nChars - (nWords - 1), nWords),
+      "stop_frac_micro" -> micro(stopCount, nWords),
+      "uniq_frac_micro" -> micro(size(array_distinct(ws)).cast("long"), nWords),
+      "all_caps_frac_micro" -> micro(
+        size(filter(ws, w => w.rlike("[A-Za-z]") && w === upper(w))).cast("long"),
+        nWords),
+      "no_alph_frac_micro" -> micro(
+        size(filter(ws, w => !w.rlike("[A-Za-z]"))).cast("long"), nWords),
+      "lorem_ipsum_n" -> occurrences(lower(pageCol), "lorem ipsum"),
+      "symbol_ratio_micro" -> micro(occurrences(pageCol, "#") + ellipsisN, nWords),
+      "curly_frac_micro" -> micro(
+        (length(pageCol) - length(translate(pageCol, "{}", ""))).cast("long"),
+        nChars),
+      "ellipsis_line_frac_micro" -> micro(
+        size(filter(lines, l => l.endsWith("..."))).cast("long"), nLines))
+  }
+
+  /**
+   * Per-document unigram entropy in integer micro-nats — the one
+   * RedPajama-v2 signal needing a corpus shuffle (the doc's word
+   * histogram): H = ln n − (Σ c·ln c)/n over unigram counts c.
+   *
+   * Determinism: each ln rounds to integer micro-nats BEFORE the sums
+   * (the [[Perplexity]] discipline) so every aggregate is over longs —
+   * order-independent — and the final division truncates (`div`).
+   * Engine parity of `round(ln(k)·1e6)` verified Java vs DuckDB over
+   * k ≤ 2·10⁶ (0 mismatches on a 20k-point sweep; both libms agree to
+   * well under the half-micro-nat rounding slack).
+   *
+   * Scale shape: explode → (doc,word) Tungsten hash-agg with map-side
+   * partial combine (the shuffle carries histogram rows, not tokens) →
+   * doc-keyed agg. No driver state, no windows.
+   */
+  def unigramEntropyMicro(df: DataFrame, idCol: Column,
+                          pageCol: Column): DataFrame = {
+    val lnMicro = (c: Column) => round(log(c.cast("double")) * 1e6, 0).cast("long")
+    df.select(idCol.as("docId"),
+        explode(split(trim(pageCol), "\\s+")).as("w"))
+      .groupBy(col("docId"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cln", col("c") * lnMicro(col("c")))
+      .groupBy(col("docId"))
+      .agg((lnMicro(sum(col("c"))) -
+        expr("sum(cln) div sum(c)")).as("entropy_micro"),
+        sum(col("c")).as("n_tokens"))
+  }
 }

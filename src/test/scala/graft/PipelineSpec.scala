@@ -1524,4 +1524,69 @@ class PipelineSpec extends SparkSpec {
     val estS = rs.getAs[Long]("est_distinct")
     assert(math.abs(estS - 40.0) <= 3.0, s"linear-counting est $estS vs 40")
   }
+
+  test("NFC normalization composes decomposed sequences, is zero-copy on " +
+       "ASCII, propagates null (SlimPajama stage 1)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("decomp", "Cafe\u0301 au lait"),      // e + combining acute
+      ("composed", "Caf\u00e9 au lait"),     // already NFC
+      ("ascii", "plain ascii stays put"),
+      ("angstrom", "\u212b"),                 // ANGSTROM SIGN → U+00C5
+      ("empty", ""),
+      ("nul", null))
+      .toDF("k", "t")
+    val out = rows.select(col("k"), TextAnalysis.nfc(col("t")).as("n"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[String]("n")).toMap
+    assert(out("decomp") === "Caf\u00e9 au lait")
+    assert(out("decomp") === out("composed"))
+    assert(out("ascii") === "plain ascii stays put")
+    assert(out("angstrom") === "\u00c5")
+    assert(out("empty") === "")
+    assert(out("nul") === null)
+    // length counts CHARS: composition shortens the decomposed form,
+    // which is what the SlimPajama 200-char gate measures
+    val lens = rows.filter(col("k").isin("decomp", "composed"))
+      .select(length(TextAnalysis.nfc(col("t")))).collect().map(_.getInt(0))
+    assert(lens.toSeq === Seq(12, 12))
+  }
+
+  test("RedPajama-v2 signal battery: hand-computed doc (caps, ellipsis " +
+       "lines, lorem, curly, entropy in pre-rounded micro-nats)") {
+    import spark.implicits._
+    val page = "AA bb AA cc...\n{ lorem ipsum } of the end."
+    val df = Seq((1L, page)).toDF("doc_id", "t")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val sig = df.select(TextAnalysis.rpv2Signals(col("t"), stops)
+      .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(sig.getAs[Long]("ccnet_nlines") === 2L)
+    assert(sig.getAs[Long]("num_sentences") === 2L) // "..." is ONE run
+    assert(sig.getAs[Long]("word_count") === 11L)
+    // AA AA are the all-caps words ("{" has no alpha; "cc..." is lower)
+    assert(sig.getAs[Long]("all_caps_frac_micro") === Math.round(2.0 / 11 * 1e6))
+    // "{" "}" have no alphabetic char
+    assert(sig.getAs[Long]("no_alph_frac_micro") === Math.round(2.0 / 11 * 1e6))
+    assert(sig.getAs[Long]("lorem_ipsum_n") === 1L)
+    // stop hits: " of " and " the " once each, space-padded occurrences
+    assert(sig.getAs[Long]("stop_frac_micro") === Math.round(2.0 / 11 * 1e6))
+    // 1 of 2 lines ends with "..."
+    assert(sig.getAs[Long]("ellipsis_line_frac_micro") === 500000L)
+    assert(sig.getAs[Long]("curly_frac_micro") > 0L)
+
+    val ent = TextAnalysis.unigramEntropyMicro(df, col("doc_id"), col("t"))
+      .collect()(0)
+    assert(ent.getAs[Long]("n_tokens") === 11L)
+    // counts: AA×2, 9 singletons; H_micro = lnµ(11) − (2·lnµ(2)) div 11
+    val expected = Math.round(math.log(11) * 1e6) -
+      (2L * Math.round(math.log(2) * 1e6)) / 11L
+    assert(ent.getAs[Long]("entropy_micro") === expected)
+  }
+
+  test("SlimPajama dedup-key preprocessing lowercases and strips " +
+       "punctuation, keeping digits and spaces") {
+    import spark.implicits._
+    val got = Seq("Hello, World! 42 -- na\u00efve (test)").toDF("t")
+      .select(TextAnalysis.slimPajamaDedupText(col("t"))).collect()(0).getString(0)
+    assert(got === "hello world 42  nave test")
+  }
 }
