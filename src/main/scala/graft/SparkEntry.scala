@@ -1259,6 +1259,20 @@ object SparkEntry {
         alpha = 0.3)
         .orderBy("source")),
 
+    // Data-constrained scaling allocation (Muennighoff 2023
+    // arXiv:2305.16264 Eq. 6, R*=15.39): equal token budget per
+    // language — 'en' (the big source) stays under one epoch (utility
+    // 1.0), the tail languages repeat into the decay regime. Budget =
+    // the corpus's own token count.
+    "data_constrained" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val toks = size(split(col("text"), " ")).cast("long")
+      val budget = docs.agg(sum(toks)).collect()(0).getLong(0)
+      graft.pipeline.Mixing.dataConstrainedEffective(docs, col("lang"),
+        toks, budget)
+        .orderBy("source")
+    }),
+
     // RedPajama-v2 quality signals (Weber 2024 arXiv:2411.12372 §3.2):
     // the "signals, not verdicts" corpus — a wide per-doc measurement
     // frame over a derived page that fires every signal both ways
@@ -4819,6 +4833,34 @@ object SparkEntry {
         |   / (CAST(n AS DOUBLE)/CAST(tot AS DOUBLE)) * 1000000.0)
         |   AS BIGINT) AS boost_micro
         |FROM t2 ORDER BY source""".stripMargin,
+
+    // data-constrained replay: equal split, the Eq. 6 decay with e^x
+    // fixed-pointed to nano-units (exp parity verified over [-45, 0])
+    "data_constrained" ->
+      """WITH u AS (SELECT lang AS source,
+        |    sum(len(string_split(text, ' '))) AS u
+        |  FROM documents GROUP BY lang),
+        |l AS (SELECT count(*) AS nl FROM u),
+        |b AS (SELECT source, u,
+        |  (SELECT sum(u) FROM u) // (SELECT nl FROM l) AS bs FROM u),
+        |e AS (SELECT source, u, bs,
+        |  CAST(bs AS DOUBLE)/CAST(u AS DOUBLE) AS ep FROM b),
+        |d AS (SELECT source, u, bs, ep,
+        |  CASE WHEN ep > 1.0 THEN
+        |    CAST(round(exp(-(ep - 1.0)/15.39)*1000000000) AS BIGINT)
+        |  END AS en FROM e),
+        |f AS (SELECT source, u, bs, ep,
+        |  CASE WHEN ep <= 1.0 THEN bs
+        |       ELSE u + CAST(round(CAST(u AS DOUBLE)*15.39
+        |         *(1.0 - CAST(en AS DOUBLE)/1000000000.0)) AS BIGINT)
+        |  END AS eff FROM d)
+        |SELECT source, CAST(u AS BIGINT) AS unique_tokens,
+        |  CAST(bs AS BIGINT) AS seen_tokens,
+        |  CAST(round(ep*1000000.0) AS BIGINT) AS epochs_micro,
+        |  CAST(eff AS BIGINT) AS effective_tokens,
+        |  CAST(round(CAST(eff AS DOUBLE)/CAST(bs AS DOUBLE)*1000000.0)
+        |    AS BIGINT) AS utility_micro
+        |FROM f ORDER BY source""".stripMargin,
 
     // RedPajama-v2 signal replay: the derived page + the full battery,
     // each fraction as round(num/den*1e6), entropy in pre-rounded

@@ -1582,6 +1582,35 @@ class PipelineSpec extends SparkSpec {
     assert(ent.getAs[Long]("entropy_micro") === expected)
   }
 
+  test("data-constrained scaling: under-one-epoch source keeps face value, " +
+       "repeated source decays per Eq. 6, asymptote bounded by U(1+R*)") {
+    import spark.implicits._
+    // source A: 100 unique tokens; B: 400 — budget 500, equal split 250
+    val docs = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(10)(("b", 40L)))
+      .toDF("src", "t")
+    val out = Mixing.dataConstrainedEffective(docs, col("src"), col("t"),
+        budget = 500L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a"); val b = out("b")
+    assert(b.getAs[Long]("seen_tokens") === 250L)
+    assert(b.getAs[Long]("epochs_micro") === 625000L)  // 250/400
+    assert(b.getAs[Long]("effective_tokens") === 250L) // fresh = face value
+    assert(b.getAs[Long]("utility_micro") === 1000000L)
+    assert(a.getAs[Long]("epochs_micro") === 2500000L) // 250/100
+    val en = Math.round(math.exp(-1.5 / 15.39) * 1e9)
+    val expected = 100L +
+      Math.round(100.0 * 15.39 * (1.0 - en.toDouble / 1e9))
+    assert(a.getAs[Long]("effective_tokens") === expected)
+    assert(a.getAs[Long]("effective_tokens") < 250L)   // decay bites
+    assert(a.getAs[Long]("effective_tokens") > 100L)   // repeats still help
+    assert(a.getAs[Long]("utility_micro") < 1000000L)
+    // deep-repeat asymptote: ep = 1000 on 1 unique token → ~U·(1+R*)
+    val deep = Mixing.dataConstrainedEffective(
+      Seq(("c", 1L)).toDF("src", "t"), col("src"), col("t"), budget = 1000L)
+      .collect()(0)
+    assert(deep.getAs[Long]("effective_tokens") === 16L) // 1 + 15.39 rounded
+  }
+
   test("SlimPajama dedup-key preprocessing lowercases and strips " +
        "punctuation, keeping digits and spaces") {
     import spark.implicits._
