@@ -1550,6 +1550,35 @@ object SparkEntry {
         .orderBy("docId")
     }),
 
+    // Tokenizer fertility per language (Rust et al. 2021, "How Good is
+    // Your Tokenizer?", arXiv:2012.15613 §3: fertility = subword tokens
+    // per word — THE standard multilingual tokenizer-equity metric; ~1
+    // means the vocabulary serves the language, high values mean
+    // over-fragmentation). Encode rides the same merge table as
+    // bpe_encode with lang as the carried key — two map-side corpus
+    // passes into 5-row aggregates, no doc-keyed join.
+    "bpe_fertility" -> ((s, dir) => {
+      import graft.pipeline.Bpe
+      val docs = docsPar(s, dir)
+      val merges = Bpe.train(docs, col("text"), nMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+      val toks = Bpe.encode(docs, col("lang"), col("text"), merges)
+        .select(col("docId").as("source"),
+          size(col("tokens")).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+      val words = docs.select(col("lang").as("source"),
+          size(filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+            " "), w => w =!= "")).cast("long").as("nw"))
+        .groupBy("source").agg(sum(col("nw")).as("n_words"))
+      words.join(toks, Seq("source"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words").cast("double")
+            * 1e6, 0).cast("long").as("fertility_micro"))
+        .orderBy("source")
+    }),
+
     "embed_topk_ivf_trained" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0), 5,
@@ -3567,8 +3596,9 @@ object SparkEntry {
     * chain the Spark encode path compiles to, applied word-by-word inside
     * a list lambda (order-preserving, so the flattened token stream
     * matches Spark's `flatten(transform(words, ...))` exactly). */
-  private val BpeEncodeOracle: String = {
-    val n = 6
+  /** The 6-merge train replay + the encode replace chain shared by the
+    * BPE oracles: (CTE prefix ending in `mt`, per-word chain over `w`). */
+  private def bpeMtChain(n: Int): (String, String) = {
     val mtCols = (0 until n).map(i => s"m${i}_b.l AS l$i, m${i}_b.r AS r$i")
       .mkString(", ")
     val mtFrom = (0 until n).map(i => s"m${i}_b").mkString(", ")
@@ -3577,8 +3607,13 @@ object SparkEntry {
       (acc, i) =>
         s"replace($acc, '<'||mt.l$i||'><'||mt.r$i||'>', '<'||mt.l$i||mt.r$i||'>')"
     }
-    s"""WITH ${bpeRoundsCte(n)},
-       |mt AS (SELECT $mtCols FROM $mtFrom)
+    (s"""${bpeRoundsCte(n)},
+        |mt AS (SELECT $mtCols FROM $mtFrom)""".stripMargin, chain)
+  }
+
+  private val BpeEncodeOracle: String = {
+    val (ctes, chain) = bpeMtChain(6)
+    s"""WITH $ctes
        |SELECT d.doc_id AS "docId",
        |  CAST(len(flatten(list_transform(
        |    list_filter(string_split(
@@ -3593,6 +3628,28 @@ object SparkEntry {
        |    w -> string_split(trim($chain, '<>'), '><'))), ' ') AS toks
        |FROM documents d CROSS JOIN mt
        |ORDER BY "docId"""".stripMargin
+  }
+
+  /** Per-language tokenizer fertility under the corpus-trained merges:
+    * the encode replay aggregated lang-wise. */
+  private val BpeFertilityOracle: String = {
+    val (ctes, chain) = bpeMtChain(6)
+    s"""WITH $ctes,
+       |per AS (SELECT d.lang AS source,
+       |  len(list_filter(string_split(
+       |    regexp_replace(lower(d.text), '[^a-z ]', '', 'g'), ' '),
+       |    w -> w <> '')) AS nw,
+       |  len(flatten(list_transform(
+       |    list_filter(string_split(
+       |      regexp_replace(lower(d.text), '[^a-z ]', '', 'g'), ' '),
+       |      w -> w <> ''),
+       |    w -> string_split(trim($chain, '<>'), '><')))) AS nt
+       |  FROM documents d CROSS JOIN mt)
+       |SELECT source, CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(round(CAST(sum(nt) AS DOUBLE)/CAST(sum(nw) AS DOUBLE)
+       |    *1000000.0) AS BIGINT) AS fertility_micro
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
@@ -5225,6 +5282,8 @@ object SparkEntry {
     "d4_e2e" -> D4Oracle,
     "bpe_train" -> BpeTrainOracle,
     "bpe_encode" -> BpeEncodeOracle,
+
+    "bpe_fertility" -> BpeFertilityOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {
