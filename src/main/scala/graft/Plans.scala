@@ -69,6 +69,10 @@ object Plans {
     show("fwf", "fineweb_filters")
     show("fwe", "fineweb_e2e")
     show("ivfk", "embed_topk_ivf_kmpp")
+    show("slim", "slimpajama_e2e")
+    show("rpv2", "rpv2_signals")
+    show("dcs", "data_constrained")
+    show("bft", "bpe_fertility")
     spark.stop()
   }
 }

@@ -1259,6 +1259,49 @@ object SparkEntry {
         alpha = 0.3)
         .orderBy("source")),
 
+    // Corpus datasheet (Gebru 2021 arXiv:1803.09010 "Datasheets for
+    // Datasets" §3.2 composition/statistics — the per-source reporting
+    // frame a data team publishes with a training corpus): doc/token/
+    // char counts, language spread, exact-duplicate mass, Gopher-keep
+    // rate, PII density, mean doc length. Derived corpus: doc%6 gains
+    // an email (PII fires), doc%9 an exact clone (dup mass fires).
+    // Shape: ONE wide map-side projection, a content-hash keeper agg +
+    // co-keyed join, and a source rollup — no windows, no driver state.
+    "datasheet" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" contact u"),
+            col("doc_id").cast("string"), lit("@ex.com")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + lit(20000L)).as("doc_id"), col("source"),
+            col("lang"), col("text")))
+      val fmap = TextAnalysis.gopherRules(col("text"), minWords = 30,
+        minStopHits = 1).toMap
+      val per = corpus.select(col("doc_id"), col("source"), col("lang"),
+        fmap("words_n").as("nt"), length(col("text")).cast("long").as("nc"),
+        fmap("keep").as("gk"),
+        TextAnalysis.piiCounts(col("text")).head._2.as("ne"),
+        md5(col("text")).as("h"))
+      val keepers = per.groupBy("h").agg(min("doc_id").as("keeper"))
+      per.join(keepers, Seq("h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          sum("nc").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher_keep"),
+          sum("ne").as("n_emails"))
+        .withColumn("mean_doc_tokens_micro",
+          round(col("n_tokens").cast("double") / col("n_docs").cast("double")
+            * 1e6, 0).cast("long"))
+        .orderBy("source")
+    }),
+
     // Data-constrained scaling allocation (Muennighoff 2023
     // arXiv:2305.16264 Eq. 6, R*=15.39): equal token budget per
     // language — 'en' (the big source) stays under one epoch (utility
@@ -3071,6 +3114,46 @@ object SparkEntry {
       .otherwise(baseLines)
     array_join(pageLines, "\n")
   }
+
+  /** Gopher rule replay over `src` (any relation with doc_id, text) —
+    * ends in `g(doc_id, words_n, mean_wlen, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, stop_hits)`; the conjunctive decision is
+    * [[GopherKeepSql]]. CTE names f/g. */
+  private def GopherCtes(src: String): String =
+    s"""f AS (SELECT doc_id, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words_n,
+       |  length(text) AS chars_n,
+       |  (length(text)-length(replace(text,'#','')))
+       |   + (length(text)-length(replace(text,'...','')))//3 AS sym_n,
+       |  string_split(text, chr(10)) AS lines
+       | FROM $src),
+       |g AS (SELECT doc_id, words_n,
+       |  CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END AS mean_wlen,
+       |  CASE WHEN words_n > 0 THEN CAST(sym_n AS DOUBLE)/words_n ELSE 0.0 END AS symbol_ratio,
+       |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lines) AS bullet_frac,
+       |  CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)/len(lines) AS ellipsis_frac,
+       |  CASE WHEN words_n > 0 THEN
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/words_n
+       |  ELSE 0.0 END AS alpha_frac,
+       |  CAST((CASE WHEN position(' the ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' be ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' to ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' of ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' and ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' that ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' have ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN position(' with ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS stop_hits
+       | FROM f)""".stripMargin
+
+  private val GopherKeepSql: String =
+    """(words_n >= 30 AND words_n <= 100000
+      |  AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+      |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |  AND stop_hits >= 1)""".stripMargin
 
   /** The RedPajama-v2 fixture page: 8-word lines with a '.' terminator
     * ('...' for doc%7 — ellipsis/sentence signals), the first 3 words
@@ -4891,6 +4974,40 @@ object SparkEntry {
         |   AS BIGINT) AS boost_micro
         |FROM t2 ORDER BY source""".stripMargin,
 
+    // datasheet replay: derived corpus (PII injection + exact clones),
+    // the shared Gopher CTE chain, keeper-hash dup mass, source rollup
+    "datasheet" ->
+      (s"""WITH cd0 AS (SELECT doc_id, source, lang,
+         |  CASE WHEN doc_id % 6 = 0
+         |    THEN text || ' contact u' || doc_id || '@ex.com'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (SELECT doc_id, source, lang, text FROM cd0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, source, lang, text
+         |  FROM cd0 WHERE doc_id % 9 = 0),
+         |${GopherCtes("corpus")},
+         |dd AS (SELECT c.doc_id, c.source, c.lang, length(c.text) AS nc,
+         |    md5(c.text) AS h,
+         |    len(regexp_extract_all(c.text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+         |    g.words_n, CASE WHEN $GopherKeepSql THEN 1 ELSE 0 END AS gk
+         |  FROM corpus c JOIN g ON g.doc_id = c.doc_id),
+         |kp AS (SELECT h, min(doc_id) AS keeper FROM dd GROUP BY h)
+         |SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dd.words_n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(dd.nc) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT dd.lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN dd.doc_id <> kp.keeper THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(gk) AS BIGINT) AS n_gopher_keep,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(round(CAST(sum(dd.words_n) AS DOUBLE)
+         |    /CAST(count(*) AS DOUBLE)*1000000.0) AS BIGINT)
+         |    AS mean_doc_tokens_micro
+         |FROM dd JOIN kp USING (h)
+         |GROUP BY dd.source ORDER BY dd.source""".stripMargin),
+
     // data-constrained replay: equal split, the Eq. 6 decay with e^x
     // fixed-pointed to nano-units (exp parity verified over [-45, 0])
     "data_constrained" ->
@@ -5419,41 +5536,11 @@ object SparkEntry {
         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "quality_gopher" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words_n,
-        |  length(text) AS chars_n,
-        |  (length(text)-length(replace(text,'#','')))
-        |   + (length(text)-length(replace(text,'...','')))//3 AS sym_n,
-        |  string_split(text, chr(10)) AS lines
-        | FROM documents),
-        |g AS (SELECT doc_id, words_n,
-        |  CASE WHEN words_n > 0 THEN CAST(chars_n - (words_n - 1) AS DOUBLE)/words_n ELSE 0.0 END AS mean_wlen,
-        |  CASE WHEN words_n > 0 THEN CAST(sym_n AS DOUBLE)/words_n ELSE 0.0 END AS symbol_ratio,
-        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lines) AS bullet_frac,
-        |  CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)/len(lines) AS ellipsis_frac,
-        |  CASE WHEN words_n > 0 THEN
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/words_n
-        |  ELSE 0.0 END AS alpha_frac,
-        |  CAST((CASE WHEN position(' the ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' be ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' to ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' of ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' and ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' that ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' have ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' with ' IN ' '||text||' ') > 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS stop_hits
-        | FROM f)
-        |SELECT doc_id, CAST(words_n AS BIGINT) AS words_n, mean_wlen,
-        | symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
-        | (words_n >= 30 AND words_n <= 100000
-        |  AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-        |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-        |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-        |  AND stop_hits >= 1) AS keep
-        |FROM g ORDER BY doc_id""".stripMargin,
+      (s"""WITH ${GopherCtes("documents")}
+         |SELECT doc_id, CAST(words_n AS BIGINT) AS words_n, mean_wlen,
+         | symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+         | $GopherKeepSql AS keep
+         |FROM g ORDER BY doc_id""".stripMargin),
 
     "quality_gopher_rep" ->
       """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS words FROM documents),
