@@ -73,6 +73,7 @@ object Plans {
     show("rpv2", "rpv2_signals")
     show("dcs", "data_constrained")
     show("bft", "bpe_fertility")
+    show("ds", "datasheet")
     spark.stop()
   }
 }
