@@ -87,6 +87,10 @@ object Bench {
     // distinct-word table (Zipf-bounded, grows sublinearly with the
     // corpus) — wall should track the corpus scan, not the loop
     "bpe_train",
+    // unigram-LM train (r15): same bounded-loop class as bpe_train —
+    // the corpus pass is one word-frequency agg, both EM rounds run on
+    // the Zipf-bounded distinct-word table with ≤122-row vocab metadata
+    "unigram_train",
     // D4 prototype pruning: broadcast assignment + rank window per
     // cluster, no pair enumeration — linear in rows at fixed k
     "dedup_prototypes",

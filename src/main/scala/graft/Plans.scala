@@ -74,6 +74,7 @@ object Plans {
     show("dcs", "data_constrained")
     show("bft", "bpe_fertility")
     show("ds", "datasheet")
+    show("ut", "unigram_train")
     spark.stop()
   }
 }

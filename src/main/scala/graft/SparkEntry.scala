@@ -1622,6 +1622,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Unigram-LM tokenizer induction (Kudo 2018 arXiv:1804.10959 §3,
+    // the SentencePiece algorithm — hard-EM/Viterbi variant): ONE
+    // corpus word-frequency pass, then seed/segment/prune rounds on the
+    // Zipf-bounded distinct-word table with the vocabulary as ≤122-row
+    // driver metadata; all costs integer micro-nats so the DuckDB
+    // oracle replays seeding, both EM rounds, and every Viterbi
+    // tie-break bit-for-bit (packed-long DP in a list_reduce)
+    "unigram_train" -> ((s, dir) => {
+      import graft.pipeline.Unigram
+      Unigram.train(docsPar(s, dir), col("text"), rounds = 2)
+        .orderBy("rank")
+    }),
+
+    // Unigram tokenization: the trained cost table segments each doc's
+    // words by the same packed-cost Viterbi — one map-side closure UDF,
+    // no shuffle, linear in corpus tokens
+    "unigram_encode" -> ((s, dir) => {
+      import graft.pipeline.Unigram
+      val docs = docsPar(s, dir)
+      val vocab = Unigram.train(docs, col("text"), rounds = 2)
+        .collect()
+        .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cost_micro")))
+        .toSeq
+      Unigram.encode(docs, col("doc_id"), col("text"), vocab)
+        .select(col("docId"), size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy("docId")
+    }),
+
     "embed_topk_ivf_trained" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") % 100 === 0), 5,
@@ -3735,6 +3764,140 @@ object SparkEntry {
        |FROM per GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Unigram-LM tokenizer train replay (Kudo 2018 hard-EM/Viterbi
+    * variant — mirrors [[graft.pipeline.Unigram]] exactly): seed = top
+    * 96 multi-char substrings by (cnt·len desc, piece asc) + the
+    * alphabet; each round Viterbi-segments the distinct-word table,
+    * recounts pieces, prunes to 48 multi + floored singles, and re-fits
+    * integer micro-nat costs (every ln takes an INTEGER argument and is
+    * pre-rounded — the established ln-parity device).
+    *
+    * The per-word DP runs as RECURSIVE CTEs carrying one state row per
+    * word — `u_dp<r>` appends best[k] per step (packed cost·64+len, so
+    * an unrolled LEAST over the 6 piece lengths reproduces the
+    * (cost asc, shorter-final-piece) tie-break; least() skips NULL
+    * no-lookup branches), `u_bt<r>` walks the packed lengths back into
+    * the piece list. Everything is scalar arithmetic + list indexing —
+    * deliberately NO list lambdas in the DP: DuckDB 1.0's list_reduce
+    * mis-executes on multi-row inputs (reproduced: identical SQL
+    * returned a truncated backtrack for 3 of 31 words under a full
+    * scan but the correct one under a WHERE filter), so the replay
+    * avoids the primitive entirely. Ends in `u_v<rounds>` (final
+    * vocab), `u_vm<rounds>` (cost map), `u_seg<rounds>` (per-word
+    * segmentations under the ROUND-INPUT vocab). Callers must open
+    * with WITH RECURSIVE. */
+  private def unigramChain(rounds: Int, maxLen: Int = 6, seedMulti: Int = 96,
+                           pruneMulti: Int = 48): String = {
+    def lnM(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE))*1000000) AS BIGINT)"
+    def vmCte(i: Int, src: String) =
+      s"""u_vm$i AS (SELECT map(list(piece),
+         |  list((SELECT ${lnM("sum(cnt)")} FROM $src) - ${lnM("cnt")})) AS m
+         | FROM $src)""".stripMargin
+    def dpCtes(r: Int): String = {
+      val cands = (1 to maxLen).map { j =>
+        val piece = s"substr(word, CAST(k+2-$j AS INT), $j)"
+        s"""CASE WHEN k+1 >= $j AND m[$piece][1] IS NOT NULL
+           |      THEN (bests[CAST(k+2-$j AS INT)]//64 + m[$piece][1])*64 + $j END""".stripMargin
+      }.mkString(",\n      ")
+      s"""u_dp$r AS (
+         |  SELECT word, freq, 0 AS k, [CAST(0 AS BIGINT)] AS bests FROM u_w
+         |  UNION ALL
+         |  SELECT word, freq, k+1, list_append(bests, least(
+         |      $cands))
+         |  FROM u_dp$r CROSS JOIN u_vm${r - 1} WHERE k < length(word)),
+         |u_bt$r AS (
+         |  SELECT word, freq, bests, length(word) AS pos,
+         |    CAST([] AS VARCHAR[]) AS psrev
+         |  FROM u_dp$r WHERE k = length(word)
+         |  UNION ALL
+         |  SELECT word, freq, bests, pos - CAST(bests[pos+1]%64 AS INT),
+         |    list_append(psrev, substr(word,
+         |      pos - CAST(bests[pos+1]%64 AS INT) + 1,
+         |      CAST(bests[pos+1]%64 AS INT)))
+         |  FROM u_bt$r WHERE pos > 0),
+         |u_seg$r AS (SELECT word, freq, list_reverse(psrev) AS ps
+         |  FROM u_bt$r WHERE pos = 0),
+         |u_cnt$r AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(ps) AS piece, freq FROM u_seg$r) GROUP BY piece),
+         |u_v$r AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM u_cnt$r WHERE length(piece) > 1) WHERE rn <= $pruneMulti
+         |  UNION ALL
+         |  SELECT s.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+         |  FROM (SELECT piece FROM u_cand WHERE length(piece) = 1) s
+         |  LEFT JOIN u_cnt$r c ON c.piece = s.piece),
+         |${vmCte(r, s"u_v$r")}""".stripMargin
+    }
+    (s"""u_w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |      x -> x <> '')) AS word
+        |    FROM documents) GROUP BY word),
+        |u_cand AS (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, length(word)+1), i ->
+        |      list_filter(list_transform(range(1, ${maxLen + 1}), l ->
+        |        CASE WHEN i + l - 1 <= length(word)
+        |             THEN substr(word, CAST(i AS INT), CAST(l AS INT)) END),
+        |        p -> p IS NOT NULL)))) AS piece, freq
+        |    FROM u_w) GROUP BY piece),
+        |u_seed AS (
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt*length(piece) DESC, piece) AS rn
+        |    FROM u_cand WHERE length(piece) > 1) WHERE rn <= $seedMulti
+        |  UNION ALL
+        |  SELECT piece, cnt FROM u_cand WHERE length(piece) = 1),
+        |${vmCte(0, "u_seed")},
+        |""".stripMargin
+      + (1 to rounds).map(dpCtes).mkString(",\n"))
+  }
+
+  private val UnigramTrainOracle: String = {
+    def lnM(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE))*1000000) AS BIGINT)"
+    s"""WITH RECURSIVE ${unigramChain(2)}
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+       |    AS rank,
+       |  piece, cnt,
+       |  (SELECT ${lnM("sum(cnt)")} FROM u_v2) - ${lnM("cnt")} AS cost_micro
+       |FROM u_v2 ORDER BY rank""".stripMargin
+  }
+
+  /** Encode replay: a third DP round segments the SAME distinct-word
+    * table under the FINAL vocab (u_vm2), then each document's token
+    * stream rebuilds by position-joining its word list to the per-word
+    * segmentations (unnest + ordered string_agg — every occurrence of a
+    * word segments identically, so values match Spark's per-occurrence
+    * UDF exactly). */
+  private val UnigramEncodeOracle: String =
+    s"""WITH RECURSIVE ${unigramChain(3)}
+       |, u_etok AS (
+       |  SELECT word, array_to_string(ps, ' ') AS t,
+       |    CAST(len(ps) AS BIGINT) AS nt
+       |  FROM u_seg3),
+       |u_docs AS (SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words FROM documents),
+       |u_flat AS (
+       |  SELECT d.doc_id, i, d.words[CAST(i AS INT)] AS word
+       |  FROM u_docs d, unnest(range(1, len(d.words)+1)) t(i)),
+       |u_agg AS (
+       |  SELECT f.doc_id,
+       |    string_agg(e.t, ' ' ORDER BY f.i) AS toks,
+       |    CAST(sum(e.nt) AS BIGINT) AS n_tokens
+       |  FROM u_flat f JOIN u_etok e ON e.word = f.word
+       |  GROUP BY f.doc_id)
+       |SELECT d.doc_id AS "docId",
+       |  coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.toks, '') AS toks
+       |FROM documents d LEFT JOIN u_agg a ON a.doc_id = d.doc_id
+       |ORDER BY "docId"""".stripMargin
+
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
     * exhaustive-probe configuration must reproduce this ranking exactly. */
   private val EmbedTopKOracle: String =
@@ -5401,6 +5564,8 @@ object SparkEntry {
     "bpe_encode" -> BpeEncodeOracle,
 
     "bpe_fertility" -> BpeFertilityOracle,
+    "unigram_train" -> UnigramTrainOracle,
+    "unigram_encode" -> UnigramEncodeOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -1618,4 +1618,76 @@ class PipelineSpec extends SparkSpec {
       .select(TextAnalysis.slimPajamaDedupText(col("t"))).collect()(0).getString(0)
     assert(got === "hello world 42  nave test")
   }
+
+  test("unigram Viterbi: cost-optimal path, shorter-final-piece tie-break, " +
+       "alphabet fallback") {
+    val cost = Map("a" -> 100L, "b" -> 200L, "c" -> 300L,
+      "ab" -> 150L, "bc" -> 250L, "abc" -> 500L)
+    // a(100)+bc(250)+ab(150)=500 beats abc(500)+ab(150)=650
+    assert(Unigram.segment("abcab", cost, 6) === Seq("a", "bc", "ab"))
+    assert(Unigram.segment("cab", cost, 6) === Seq("c", "ab"))
+    assert(Unigram.segment("bbbb", cost, 6) === Seq("b", "b", "b", "b"))
+    assert(Unigram.segment("", cost, 6) === Seq.empty)
+    // equal-cost tie: [x, y] (200) vs [xy] (200) \u2014 packed cost\u00b764+len
+    // prefers the SHORTER final piece
+    val tie = Map("x" -> 100L, "y" -> 100L, "xy" -> 200L)
+    assert(Unigram.segment("xy", tie, 6) === Seq("x", "y"))
+    // a char outside the vocab segments as a prohibitive-cost single
+    // (defensive \u2014 the trained alphabet always covers the corpus)
+    assert(Unigram.segment("azb", Map("a" -> 1L, "b" -> 1L), 6) ===
+      Seq("a", "z", "b"))
+  }
+
+  test("unigram train: whole alphabet kept with a count floor, vocabulary " +
+       "segments every corpus word, deterministic across partitionings") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "ababab ababab cding"),
+      (2L, "ababab abab cding"),
+      (3L, "cding cding zz")).toDF("doc_id", "text")
+    def tab(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cost_micro")))
+    val t1 = tab(Unigram.train(corpus, col("text"), rounds = 2))
+    val t2 = tab(Unigram.train(corpus.repartition(4), col("text"), rounds = 2))
+    assert(t1.toSeq === t2.toSeq)
+    val pieces = t1.map(_._2).toSet
+    // every corpus character survives as a single (coverage guarantee)
+    "abcdingz".foreach(ch => assert(pieces.contains(ch.toString)))
+    assert(t1.forall(_._3 >= 1L))                  // count floor
+    assert(t1.map(_._1).toSeq === (1L to t1.length).toSeq)  // dense ranks
+    // higher rank never has a larger count; equal counts order by piece
+    t1.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2))
+    }
+    // cost is monotone: fewer counts cost more micro-nats
+    val byCnt = t1.sortBy(_._3)
+    assert(byCnt.head._4 >= byCnt.last._4)
+    // the trained vocabulary round-trips every distinct corpus word
+    val cm = t1.map(x => (x._2, x._4)).toMap
+    Seq("ababab", "abab", "cding", "zz").foreach { w =>
+      assert(Unigram.segment(w, cm, 6).mkString === w)
+    }
+  }
+
+  test("unigram encode: per-word segmentation concatenates back to the " +
+       "normalized text; empty and symbol-only docs yield no tokens") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "ababab ababab cding"),
+      (2L, "Punct-only!! 123"),
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Unigram.train(corpus.filter(col("doc_id") === 1L),
+      col("text"), rounds = 2)
+      .collect().map(r => (r.getAs[String]("piece"),
+        r.getAs[Long]("cost_micro"))).toSeq
+    val out = Unigram.encode(corpus, col("doc_id"), col("text"), vocab)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        r.getSeq[String](r.fieldIndex("tokens")).toList).toMap
+    assert(out(1L).mkString === "abababababab" + "cding")
+    // doc 2 normalizes to 'punctonly' \u2014 chars outside doc-1's alphabet
+    // (p,u,t,o,l,y) fall back to prohibitive-cost singles, still covered
+    assert(out(2L).mkString === "punctonly")
+    assert(out(3L) === Nil)
+  }
 }
