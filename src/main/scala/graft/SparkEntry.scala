@@ -1316,6 +1316,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Chinchilla compute-optimal plan (Hoffmann 2022 arXiv:2203.15556):
+    // for each compute-budget decade, the optimal (N*, D*) under the
+    // Approach-3 fit and whether THIS corpus covers D* — log-space
+    // integer outputs (the exp/pow replay-parity rationale in the
+    // scaladoc); one map-side token agg, the law on literal constants
+    "chinchilla_plan" -> ((s, dir) => {
+      val docs = docsPar(s, dir)
+      val toks = size(split(col("text"), " ")).cast("long")
+      graft.pipeline.Mixing.chinchillaPlan(docs, toks)
+    }),
+
     // RedPajama-v2 quality signals (Weber 2024 arXiv:2411.12372 §3.2):
     // the "signals, not verdicts" corpus — a wide per-doc measurement
     // frame over a derived page that fires every signal both ways
@@ -5170,6 +5181,42 @@ object SparkEntry {
          |    AS mean_doc_tokens_micro
          |FROM dd JOIN kp USING (h)
          |GROUP BY dd.source ORDER BY dd.source""".stripMargin),
+
+    // Chinchilla replay: the ladder + fitted-law constants are the SAME
+    // Scala-computed integer literals the Spark plan uses, so the whole
+    // allocation is literal integer arithmetic; only T comes from data
+    "chinchilla_plan" -> {
+      import graft.pipeline.Mixing
+      val ladder = Mixing.chinchillaLadder(18, 26)
+        .map { case (e, l) => s"($e, $l)" }.mkString(", ")
+      s"""WITH t AS (SELECT CAST(sum(len(string_split(text, ' ')))
+         |    AS BIGINT) AS corpus_tokens FROM documents),
+         |lad AS (SELECT CAST(c_exp AS BIGINT) AS c_exp,
+         |    CAST(lnc6 AS BIGINT) AS lnc6
+         |  FROM (VALUES $ladder) v(c_exp, lnc6))
+         |SELECT CAST(c_exp AS BIGINT) AS c_exp,
+         |  ${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaNExpMicro} * lnc6) // 1000000
+         |    AS ln_n_opt_micro,
+         |  -${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaDExpMicro} * lnc6) // 1000000
+         |    AS ln_d_opt_micro,
+         |  corpus_tokens,
+         |  (-${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaDExpMicro} * lnc6) // 1000000)
+         |   - (${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaNExpMicro} * lnc6) // 1000000)
+         |    AS ln_tokens_per_param_micro,
+         |  (-${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaDExpMicro} * lnc6) // 1000000)
+         |   - CAST(round(ln(CAST(corpus_tokens AS DOUBLE))*1000000) AS BIGINT)
+         |    AS data_deficit_ln_micro,
+         |  ((-${Mixing.ChinchillaLnGMicro}
+         |    + (${Mixing.ChinchillaDExpMicro} * lnc6) // 1000000)
+         |   - CAST(round(ln(CAST(corpus_tokens AS DOUBLE))*1000000) AS BIGINT))
+         |   > 0 AS data_constrained
+         |FROM lad CROSS JOIN t ORDER BY c_exp""".stripMargin
+    },
 
     // data-constrained replay: equal split, the Eq. 6 decay with e^x
     // fixed-pointed to nano-units (exp parity verified over [-45, 0])

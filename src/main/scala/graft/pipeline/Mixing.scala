@@ -232,6 +232,65 @@ object Mixing {
    * utility_micro) — utility = D′/D, the fraction of the spent budget
    * that still buys learning.
    */
+  /** Hoffmann 2022 ("Training Compute-Optimal Large Language Models",
+    * arXiv:2203.15556) Approach-3 fitted constants: L(N, D) = E + A/N^α
+    * + B/D^β with A = 406.4, B = 410.7, α = 0.34, β = 0.28. Under the
+    * C = 6·N·D budget the optimum is N* = G·(C/6)^{β/(α+β)},
+    * D* = (C/6)^{α/(α+β)}/G with G = (αA/βB)^{1/(α+β)}. The exponents
+    * and ln G are fixed to integer micro-nats ONCE here; the oracle SQL
+    * embeds the same literals, so the allocation arithmetic is pure
+    * integer and engine-exact. */
+  private[graft] val ChinchillaNExpMicro: Long = 451613  // β/(α+β)
+  private[graft] val ChinchillaDExpMicro: Long = 548387  // α/(α+β)
+  private[graft] val ChinchillaLnGMicro: Long = 296179   // ln G
+
+  /** ln(10^e / 6) in micro-nats for a compute-budget decade ladder —
+    * shared literal source for the Spark plan and the SQL oracle. */
+  private[graft] def chinchillaLadder(minExp: Int, maxExp: Int): Seq[(Int, Long)] =
+    (minExp to maxExp).map(e =>
+      e -> math.round((e * math.log(10) - math.log(6)) * 1e6))
+
+  /**
+   * Compute-optimal training plan for THIS corpus (Hoffmann 2022): for
+   * each compute budget C = 10^e FLOPs on the ladder, the optimal model
+   * size N*, token count D*, and whether the corpus covers D* — the
+   * feasibility read a data team takes before committing a budget
+   * ([[dataConstrainedEffective]] is the follow-on when it doesn't).
+   *
+   * All outputs are LOG-SPACE integer micro-nats: ln N*, ln D*, the
+   * tokens-per-param ratio, and the data deficit ln(D* over T). Deliberate —
+   * exponentiating back to raw counts would put a double `exp`/`pow` on
+   * positive arguments in the replay path, outside the range where
+   * Java↔DuckDB parity is verified; in log space the law is literal
+   * constants + integer multiply/divide, exact in any engine. The only
+   * corpus-dependent input is T (one map-side-partial aggregation);
+   * everything else is bounded metadata at any scale.
+   */
+  def chinchillaPlan(df: DataFrame, tokensCol: Column, minExp: Int = 18,
+                     maxExp: Int = 26): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.agg(sum(tokensCol.cast("long")).as("corpus_tokens"))
+    val ladder = chinchillaLadder(minExp, maxExp)
+      .toDF("c_exp", "lnc6_micro")
+    ladder.crossJoin(broadcast(total))
+      .select(col("c_exp").cast("long").as("c_exp"),
+        (lit(ChinchillaLnGMicro) +
+          expr(s"($ChinchillaNExpMicro * lnc6_micro) div 1000000"))
+          .as("ln_n_opt_micro"),
+        (lit(-ChinchillaLnGMicro) +
+          expr(s"($ChinchillaDExpMicro * lnc6_micro) div 1000000"))
+          .as("ln_d_opt_micro"),
+        col("corpus_tokens"))
+      .withColumn("ln_tokens_per_param_micro",
+        col("ln_d_opt_micro") - col("ln_n_opt_micro"))
+      .withColumn("data_deficit_ln_micro",
+        col("ln_d_opt_micro") -
+          round(log(col("corpus_tokens").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("data_constrained", col("data_deficit_ln_micro") > 0)
+      .orderBy("c_exp")
+  }
+
   def dataConstrainedEffective(df: DataFrame, sourceCol: Column,
                                tokensCol: Column, budget: Long,
                                rdStar: Double = 15.39): DataFrame = {

@@ -1619,6 +1619,40 @@ class PipelineSpec extends SparkSpec {
     assert(got === "hello world 42  nave test")
   }
 
+  test("chinchilla plan: log-space law matches the hand-computed rung, " +
+       "N*/D* grow with compute, the deficit flag flips where the corpus " +
+       "runs out") {
+    import spark.implicits._
+    // 100 docs × 100 words = 10k tokens: D*(10^8 FLOPs) ≈ 6.8k tokens
+    // (covered) while every rung ≥ 10^9 is data-constrained
+    val corpus = (1 to 100)
+      .map(i => (i.toLong, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val out = Mixing.chinchillaPlan(corpus, toks, minExp = 8, maxExp = 12)
+      .collect()
+    assert(out.length === 5)
+    val r8 = out.head
+    // hand replay of the e = 8 rung: lnC6 = 8·ln10 − ln6 micro-rounded,
+    // then the literal-constant integer law
+    val lnc6 = Math.round((8 * math.log(10) - math.log(6)) * 1e6)
+    assert(r8.getAs[Long]("ln_n_opt_micro") === 296179L + 451613L * lnc6 / 1000000L)
+    assert(r8.getAs[Long]("ln_d_opt_micro") === -296179L + 548387L * lnc6 / 1000000L)
+    assert(r8.getAs[Long]("ln_tokens_per_param_micro") ===
+      r8.getAs[Long]("ln_d_opt_micro") - r8.getAs[Long]("ln_n_opt_micro"))
+    assert(r8.getAs[Long]("corpus_tokens") === 10000L)
+    assert(!r8.getAs[Boolean]("data_constrained"))          // 6.8k < 10k
+    assert(out.tail.forall(_.getAs[Boolean]("data_constrained")))
+    // monotone in compute, and D* grows faster than N* (β < α ⇒ the
+    // fitted exponent on D is the larger one)
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("ln_n_opt_micro") > lo.getAs[Long]("ln_n_opt_micro"))
+      assert(hi.getAs[Long]("ln_d_opt_micro") > lo.getAs[Long]("ln_d_opt_micro"))
+      assert(hi.getAs[Long]("ln_tokens_per_param_micro") >
+        lo.getAs[Long]("ln_tokens_per_param_micro"))
+    }
+  }
+
   test("unigram Viterbi: cost-optimal path, shorter-final-piece tie-break, " +
        "alphabet fallback") {
     val cost = Map("a" -> 100L, "b" -> 200L, "c" -> 300L,
