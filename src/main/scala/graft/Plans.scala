@@ -75,6 +75,7 @@ object Plans {
     show("bft", "bpe_fertility")
     show("ds", "datasheet")
     show("ut", "unigram_train")
+    show("so", "source_overlap")
     spark.stop()
   }
 }

@@ -1151,6 +1151,14 @@ object SparkEntry {
         docsPar(s, dir).select(explode(split(col("text"), " ")).as("tok")),
         col("tok"))),
 
+    // Cross-source overlap telemetry (Broder resemblance via Li 2012
+    // one-permutation hashing): per-source 256-bin min sketches from
+    // ONE map-side-partial hash-agg over the shingle stream; the pair
+    // join runs on the bounded sketch, never on shingles
+    "source_overlap" -> ((s, dir) =>
+      graft.pipeline.Dedup.sourceOverlap(docsPar(s, dir), col("source"),
+        col("text"))),
+
     // DoReMi domain reweighting (Xie 2023 arXiv:2305.10429 Alg. 1): the
     // Group-DRO multiplicative-weights loop over per-SOURCE excess
     // cross-entropy under the CCNet reference LM — the proxy-loss frame
@@ -4985,6 +4993,34 @@ object SparkEntry {
     // per-doc proxy loss, domains join via doc_id (the Spark side
     // carries the domain through the explode instead), then the 5
     // unrolled multiplicative-weight steps
+    // one-permutation min-hash sketch replay: bin mins, exact distinct
+    // counts, matched-bin Jaccard — all md5-derived integers
+    "source_overlap" ->
+      """WITH docs AS (SELECT source, doc_id, string_split(text,' ') AS words
+        |  FROM documents),
+        |shi AS (SELECT source, doc_id, words,
+        |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+        |  FROM docs),
+        |sh0 AS (SELECT source,
+        |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+        |       ELSE array_to_string(words,' ') END AS sh
+        |  FROM shi),
+        |h AS (SELECT source, CAST('0x'||substring(md5(sh),1,15) AS BIGINT) AS h FROM sh0),
+        |sk AS (SELECT source, h % 256 AS bin, min(h) AS mn FROM h GROUP BY source, bin),
+        |cnt AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS nsh FROM h GROUP BY source),
+        |nb AS (SELECT source, CAST(count(*) AS BIGINT) AS nbins FROM sk GROUP BY source),
+        |p AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(count(*) AS BIGINT) AS nboth,
+        |    CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS bins_match
+        |  FROM sk a JOIN sk b ON a.bin = b.bin AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.sa AS source_a, p.sb AS source_b, ca.nsh AS n_a, cb.nsh AS n_b,
+        |  na.nbins + nb2.nbins - p.nboth AS bins_either, p.bins_match,
+        |  (p.bins_match * 1000000) // (na.nbins + nb2.nbins - p.nboth) AS jaccard_micro
+        |FROM p JOIN cnt ca ON ca.source = p.sa JOIN cnt cb ON cb.source = p.sb
+        |  JOIN nb na ON na.source = p.sa JOIN nb nb2 ON nb2.source = p.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "doremi_weights" ->
       s"""WITH ${PplChain("documents")},
          |dom AS (SELECT d.source AS domain, count(*) AS n, sum(sc.ce) AS s

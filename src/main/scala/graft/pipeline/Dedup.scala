@@ -126,6 +126,64 @@ object Dedup {
   val DoubleHashMod: Long = (1L << 59) - 1
 
   /**
+   * Cross-source corpus overlap via one-permutation min-hash sketches
+   * (Broder 1997 resemblance, in the one-permutation-with-bins
+   * construction of Li et al. 2012, "One Permutation Hashing", NeurIPS):
+   * every shingle hashes ONCE, lands in bin h mod `bins`, and each
+   * (source, bin) keeps the min — so the per-source sketch is `bins`
+   * longs of aggregate state however many shingles the source has, built
+   * by ONE map-side-partial hash-agg over the shingle stream. The
+   * Jaccard estimate for a source pair is the fraction of jointly-used
+   * bins whose mins agree (bins empty on both sides are excluded; no
+   * densification — with corpus-scale sources and default bins = 256,
+   * empty bins are the measure-zero case, and the estimator stays the
+   * paper's unbiased matched-bin form).
+   *
+   * This is corpus TELEMETRY, not dedup: the read a data team takes
+   * before mixing two crawls ("how much of source B is already in A").
+   * Returns one row per unordered source pair: exact distinct-shingle
+   * counts (n_a, n_b — the exact pass; [[graft.pipeline.Sketches]] HLL
+   * is the sketch path when even distinct hashes out-scale a shuffle),
+   * jointly-used bins, matching bins, and the Jaccard estimate in
+   * integer micro units — everything md5-derived and integer-exact, so
+   * an external SQL engine replays the sketch bit-for-bit.
+   *
+   * 100 TB shape: one shingle explode feeding two aggs — the
+   * (source, bin)-keyed sketch (≤ |sources|·bins rows) and the
+   * per-source distinct count; the pair join runs ON THE SKETCH
+   * (bounded metadata), never on shingles.
+   */
+  def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column,
+                    n: Int = 5, bins: Int = 256): DataFrame = {
+    val sh = df.select(sourceCol.as("src"),
+      explode(array_distinct(shingles(textCol, n))).as("sh"))
+    val h1 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val hashed = sh.select(col("src"), h1.as("h"))
+    val sk = hashed.groupBy(col("src"), pmod(col("h"), lit(bins)).as("bin"))
+      .agg(min("h").as("mn"))
+      .localCheckpoint()  // consumed by the pair join twice + the bin count
+    val nsh = hashed.groupBy("src").agg(countDistinct("h").as("nsh"))
+    val nbins = sk.groupBy("src").agg(count(lit(1)).as("nbins"))
+    val a = sk.select(col("src").as("sa"), col("bin"), col("mn").as("mna"))
+    val b = sk.select(col("src").as("sb"), col("bin"), col("mn").as("mnb"))
+    a.join(b, Seq("bin")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("both"),
+        sum(when(col("mna") === col("mnb"), 1L).otherwise(0L)).as("bins_match"))
+      .join(nsh.select(col("src").as("sa"), col("nsh").as("n_a")), Seq("sa"))
+      .join(nsh.select(col("src").as("sb"), col("nsh").as("n_b")), Seq("sb"))
+      .join(nbins.select(col("src").as("sa"), col("nbins").as("nba")), Seq("sa"))
+      .join(nbins.select(col("src").as("sb"), col("nbins").as("nbb")), Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"),
+        (col("nba") + col("nbb") - col("both")).as("bins_either"),
+        col("bins_match"),
+        expr("(bins_match * 1000000) div (nba + nbb - both)")
+          .as("jaccard_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /**
    * Verify candidate pairs by exact n-gram Jaccard, touching ONLY the
    * candidate docs: the candidate id set (small — it came out of LSH
    * banding) broadcast-semi-joins the corpus down to candidate members

@@ -1619,6 +1619,38 @@ class PipelineSpec extends SparkSpec {
     assert(got === "hello world 42  nave test")
   }
 
+  test("source overlap sketch: identical sources estimate Jaccard 1, " +
+       "disjoint sources 0, a half-shared source lands in between; " +
+       "deterministic across partitionings") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, "sA", base), (2L, "sB", base),              // identical
+      (3L, "sC", other),                               // disjoint from A/B
+      (4L, "sD", base + " " + other))                  // contains both
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(corpus, col("source"), col("text"))
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("jaccard_micro")).toMap
+    assert(out(("sA", "sB")) === 1000000L)
+    assert(!out.contains(("sA", "sC")) || out(("sA", "sC")) === 0L)
+    val ad = out(("sA", "sD"))
+    assert(ad > 0L && ad < 1000000L)
+    // n_a is the exact distinct-shingle count: 10 words → 6 5-gram shingles
+    val rows = Dedup.sourceOverlap(corpus, col("source"), col("text"))
+      .filter(col("source_a") === "sA" && col("source_b") === "sB")
+      .collect()(0)
+    assert(rows.getAs[Long]("n_a") === 6L)
+    assert(rows.getAs[Long]("bins_match") === rows.getAs[Long]("bins_either"))
+    val again = Dedup.sourceOverlap(corpus.repartition(7), col("source"),
+      col("text")).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("jaccard_micro")).toMap
+    assert(again === out)
+  }
+
   test("chinchilla plan: log-space law matches the hand-computed rung, " +
        "N*/D* grow with compute, the deficit flag flips where the corpus " +
        "runs out") {
