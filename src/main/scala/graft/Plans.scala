@@ -76,6 +76,7 @@ object Plans {
     show("ds", "datasheet")
     show("ut", "unigram_train")
     show("so", "source_overlap")
+    show("wpt", "wordpiece_train")
     spark.stop()
   }
 }

@@ -1641,6 +1641,37 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // WordPiece tokenizer induction (Schuster & Nakajima 2012 — BERT's
+    // vocabulary algorithm): BPE's data movement under the LIKELIHOOD
+    // merge rule — each round one adjacent-pair count + one
+    // symbol-occurrence count over the Zipf-bounded distinct-word
+    // table, the vocab-bounded symbol counts broadcast onto the pair
+    // table, score = exact atto-scaled lift c·1e18/(cl·cr), one argmax
+    // row of driver metadata per round
+    "wordpiece_train" -> ((s, dir) => {
+      import graft.pipeline.WordPiece
+      WordPiece.train(docsPar(s, dir), col("text"), nMerges = 16)
+        .orderBy("rank")
+    }),
+
+    // WordPiece tokenization: BERT greedy longest-match-first
+    // (MaxMatch) under the trained vocabulary (alphabet + merged
+    // pieces — driver-bounded metadata), whole-word [UNK] on a dead
+    // position; one map-side closure UDF, no shuffle, linear in
+    // corpus tokens
+    "wordpiece_encode" -> ((s, dir) => {
+      import graft.pipeline.WordPiece
+      val docs = docsPar(s, dir)
+      val vocab = WordPiece.alphabet(docs, col("text")) ++
+        WordPiece.train(docs, col("text"), nMerges = 8)
+          .orderBy("rank").collect().map(_.getAs[String]("new_sym"))
+      WordPiece.encode(docs, col("doc_id"), col("text"), vocab)
+        .select(col("docId"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy("docId")
+    }),
+
     // Unigram-LM tokenizer induction (Kudo 2018 arXiv:1804.10959 §3,
     // the SentencePiece algorithm — hard-EM/Viterbi variant): ONE
     // corpus word-frequency pass, then seed/segment/prune rounds on the
@@ -3783,6 +3814,113 @@ object SparkEntry {
        |FROM per GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The shared WordPiece merge-loop CTE chain (mirrors
+    * [[graft.pipeline.WordPiece.train]]): ##-marked wrapped symbols, per
+    * round one symbol-occurrence count + one adjacent-pair count, the
+    * exact atto-scaled likelihood argmax
+    * `(c·1e18) // (cl·cr)` in HUGEINT (the Spark side's DECIMAL(38,0)
+    * div — both exact through 1e12-scale counts), (score desc, l, r)
+    * tie-break, and the sequential leftmost-non-overlapping `replace`
+    * rewrite with the merged symbol named `l + strip##(r)`.
+    * MATERIALIZED throughout: the chain is n rounds deep and DuckDB
+    * inlines plain CTEs exponentially. */
+  private def wordPieceRoundsCte(n: Int): String = {
+    def round(i: Int, prev: String): String =
+      s"""wr${i}_t AS MATERIALIZED (SELECT string_split(substr(sym, 2, len(sym)-2), '><') AS syms, freq FROM $prev),
+         |wr${i}_s AS MATERIALIZED (SELECT sym, sum(freq) AS c FROM (SELECT unnest(syms) AS sym, freq FROM wr${i}_t) GROUP BY 1),
+         |wr${i}_p AS MATERIALIZED (SELECT syms[i.i] AS l, syms[i.i+1] AS r, sum(freq) AS c
+         |  FROM wr${i}_t, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) i GROUP BY 1, 2),
+         |wr${i}_b AS MATERIALIZED (SELECT p.l, p.r, p.c,
+         |  (CAST(p.c AS HUGEINT) * ${graft.pipeline.WordPiece.ScoreScale}) // (CAST(sl.c AS HUGEINT) * CAST(sr.c AS HUGEINT)) AS sc,
+         |  p.l || CASE WHEN starts_with(p.r, '##') THEN substr(p.r, 3) ELSE p.r END AS ns
+         |  FROM wr${i}_p p JOIN wr${i}_s sl ON sl.sym = p.l JOIN wr${i}_s sr ON sr.sym = p.r
+         |  ORDER BY sc DESC, p.l, p.r LIMIT 1),
+         |wr$i AS MATERIALIZED (SELECT replace(w.sym, '<'||b.l||'><'||b.r||'>', '<'||b.ns||'>') AS sym, w.freq
+         |  FROM $prev w CROSS JOIN wr${i}_b b)""".stripMargin
+    val rounds = (0 until n).map(i =>
+      round(i, if (i == 0) "wp0" else s"wr${i - 1}")).mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(
+       |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |wp0 AS MATERIALIZED (SELECT CASE WHEN length(word) = 1 THEN '<' || word || '>'
+       |  ELSE '<' || substr(word, 1, 1) || '><##' ||
+       |    array_to_string(string_split(substr(word, 2), ''), '><##') || '>' END AS sym,
+       |  freq FROM w),
+       |$rounds""".stripMargin
+  }
+
+  /** WordPiece-training oracle: the 16-round sequential likelihood
+    * merge replay (the registered query's config). */
+  private val WordPieceTrainOracle: String = {
+    val n = 16
+    val sel = (0 until n).map(i =>
+      s"SELECT $i AS b, l, r, ns, c, sc FROM wr${i}_b").mkString(" UNION ALL ")
+    s"""WITH ${wordPieceRoundsCte(n)}
+       |SELECT CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS rank,
+       |  l AS left_sym, r AS right_sym, ns AS new_sym,
+       |  CAST(c AS BIGINT) AS pair_count, CAST(sc AS BIGINT) AS score_atto
+       |FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
+  /** WordPiece-encode oracle: retrains the 8-merge table, builds the
+    * vocabulary (corpus singles under the ## convention + merged
+    * pieces), then replays BERT's greedy longest-match-first walk as a
+    * recursive CTE over the DISTINCT-WORD table — the candidate unroll
+    * (16, longest-first COALESCE) exceeds the longest learnable core
+    * piece (8 merges bound cores at 9 chars), so the SQL walk and the
+    * Scala UDF see identical match sets; a dead position collapses the
+    * word to [UNK] exactly as the UDF does. Docs reassemble by
+    * position-joining word lists to per-word segmentations (the
+    * UnigramEncodeOracle device). */
+  private val WordPieceEncodeOracle: String = {
+    val n = 8
+    val mergeSel = (0 until n).map(i => s"SELECT ns FROM wr${i}_b")
+      .mkString(" UNION ALL ")
+    val unroll = 16
+    val jexpr = "COALESCE(" + (unroll to 1 by -1).map { j =>
+      s"CASE WHEN pos+$j <= length(word) AND m[(CASE WHEN pos=0 THEN '' ELSE '##' END)||substr(word, pos+1, $j)][1] IS NOT NULL THEN $j END"
+    }.mkString(",\n    ") + ")"
+    s"""WITH RECURSIVE ${wordPieceRoundsCte(n)},
+       |wpv AS MATERIALIZED (
+       |  SELECT DISTINCT substr(word, 1, 1) AS piece FROM w
+       |  UNION
+       |  SELECT DISTINCT '##' || c AS piece FROM (
+       |    SELECT unnest(string_split(substr(word, 2), '')) AS c FROM w
+       |    WHERE length(word) > 1)
+       |  UNION
+       |  SELECT ns FROM ($mergeSel)),
+       |wpm AS MATERIALIZED (SELECT map(list(piece), list(1)) AS m FROM wpv),
+       |wp_e AS (
+       |  SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS ps FROM w
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN j IS NULL THEN length(word) ELSE pos + j END,
+       |    CASE WHEN j IS NULL THEN ['[UNK]']
+       |         ELSE list_append(ps, (CASE WHEN pos=0 THEN '' ELSE '##' END)||substr(word, pos+1, j)) END
+       |  FROM (SELECT word, pos, ps, $jexpr AS j
+       |        FROM wp_e CROSS JOIN wpm WHERE pos < length(word))),
+       |wp_seg AS MATERIALIZED (SELECT word, ps FROM wp_e WHERE pos = length(word)),
+       |wp_etok AS (SELECT word, array_to_string(ps, ' ') AS t,
+       |  CAST(len(ps) AS BIGINT) AS nt FROM wp_seg),
+       |wp_docs AS (SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words FROM documents),
+       |wp_flat AS (
+       |  SELECT d.doc_id, i, d.words[CAST(i AS INT)] AS word
+       |  FROM wp_docs d, unnest(range(1, len(d.words)+1)) t(i)),
+       |wp_agg AS (
+       |  SELECT f.doc_id, string_agg(e.t, ' ' ORDER BY f.i) AS toks,
+       |    CAST(sum(e.nt) AS BIGINT) AS n_tokens
+       |  FROM wp_flat f JOIN wp_etok e ON e.word = f.word
+       |  GROUP BY f.doc_id)
+       |SELECT d.doc_id AS "docId", coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.toks, '') AS toks
+       |FROM documents d LEFT JOIN wp_agg a ON a.doc_id = d.doc_id
+       |ORDER BY "docId"""".stripMargin
+  }
+
   /** Unigram-LM tokenizer train replay (Kudo 2018 hard-EM/Viterbi
     * variant — mirrors [[graft.pipeline.Unigram]] exactly): seed = top
     * 96 multi-char substrings by (cnt·len desc, piece asc) + the
@@ -5649,6 +5787,8 @@ object SparkEntry {
     "bpe_fertility" -> BpeFertilityOracle,
     "unigram_train" -> UnigramTrainOracle,
     "unigram_encode" -> UnigramEncodeOracle,
+    "wordpiece_train" -> WordPieceTrainOracle,
+    "wordpiece_encode" -> WordPieceEncodeOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

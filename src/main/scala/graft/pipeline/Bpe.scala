@@ -46,7 +46,7 @@ object Bpe {
   private def wrap(word: Column): Column =
     concat(lit("<"), array_join(split(word, ""), "><"), lit(">"))
 
-  private def adjacentPairs(syms: DataFrame): DataFrame =
+  private[pipeline] def adjacentPairs(syms: DataFrame): DataFrame =
     syms.select(col("freq"),
         split(expr("substring(sym, 2, length(sym) - 2)"), "><").as("s"))
       .select(col("freq"), explode(expr(

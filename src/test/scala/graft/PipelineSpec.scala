@@ -1651,6 +1651,63 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("wordpiece train: likelihood score outranks raw pair frequency, " +
+       "## continuation naming, exact atto-score arithmetic") {
+    import spark.implicits._
+    // "xy" appears 3 times but x,y are everywhere (low lift);
+    // "qz" appears twice and q,z appear ONLY there (maximal lift):
+    // BPE would merge (x,##y) first, WordPiece must merge (q,##z).
+    val docs = Seq(
+      (1L, "xy xy xy xq yq qz qz"),
+      (2L, "xa ya xb yb"))
+      .toDF("doc_id", "text")
+    val m = WordPiece.train(docs, col("text"), nMerges = 1).collect()(0)
+    assert((m.getAs[String]("left_sym"), m.getAs[String]("right_sym")) ===
+      ("q", "##z"))
+    assert(m.getAs[String]("new_sym") === "qz")
+    assert(m.getAs[Long]("pair_count") === 2L)
+    // counts over the word table: initial q only in qz, qz → 2 (the q
+    // in xq/yq is the DISTINCT symbol ##q); ##z only in qz, qz → 2;
+    // score = 2e18 / (2·2)
+    assert(m.getAs[Long]("score_atto") === 2L * 1000000000000000000L / 4L)
+  }
+
+  test("wordpiece train: merged continuation symbols keep ##, rewrite " +
+       "feeds later rounds, determinism across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abc abc ae")).toDF("doc_id", "text")
+    val ms = WordPiece.train(docs, col("text"), nMerges = 2)
+      .orderBy("rank").collect()
+    // ##b+##c (4e18/(4·4)) outranks a+##b (4e18/(5·4)); round 2 ties
+    // (a,##bc) with (a,##e) at 2e17 and the (l, r) tie-break picks ##bc
+    assert(ms(0).getAs[String]("new_sym") === "##bc")
+    assert(ms(1).getAs[String]("new_sym") === "abc")
+    val again = WordPiece.train(docs.repartition(7), col("text"), nMerges = 2)
+      .orderBy("rank").collect()
+    assert(ms.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("wordpiece encode: greedy longest-match-first with ## pieces, " +
+       "whole-word [UNK] on a dead position, alphabet floor") {
+    import spark.implicits._
+    val vocab = Seq("a", "##b", "##c", "##bc", "ab")
+    val docs = Seq((1L, "abc ab a cab")).toDF("doc_id", "text")
+    val toks = WordPiece.encode(docs, col("doc_id"), col("text"), vocab)
+      .collect()(0).getAs[scala.collection.Seq[String]]("tokens").toSeq
+    // abc: longest initial match "ab", then "##c"; cab: 'c' has no
+    // initial piece → whole word [UNK]
+    assert(toks === Seq("ab", "##c", "ab", "a", "[UNK]"))
+    // trained vocab + alphabet round-trips the corpus with no [UNK]
+    val corpus = Seq((1L, "hello world hello word")).toDF("doc_id", "text")
+    val merges = WordPiece.train(corpus, col("text"), nMerges = 4)
+      .collect().map(_.getAs[String]("new_sym")).toSeq
+    val full = WordPiece.alphabet(corpus, col("text")) ++ merges
+    val enc = WordPiece.encode(corpus, col("doc_id"), col("text"), full)
+      .collect()(0).getAs[scala.collection.Seq[String]]("tokens").toSeq
+    assert(!enc.contains("[UNK]"))
+    assert(enc.mkString.replace("##", "") === "helloworldhelloword")
+  }
+
   test("chinchilla plan: log-space law matches the hand-computed rung, " +
        "N*/D* grow with compute, the deficit flag flips where the corpus " +
        "runs out") {
