@@ -77,6 +77,7 @@ object Plans {
     show("ut", "unigram_train")
     show("so", "source_overlap")
     show("wpt", "wordpiece_train")
+    show("bm", "bm25_topk")
     spark.stop()
   }
 }

@@ -1641,6 +1641,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Okapi BM25 ranked retrieval (Robertson TREC-3; Lucene-standard
+    // non-negative IDF): the decontamination-by-search read — corpus
+    // docs ranked against benchmark queries. The broadcast query-term
+    // semi-join runs BEFORE any shuffle (postings/df/scoring all on
+    // the matching sliver); doc length rides the token explode; scores
+    // are integer-exact micro units via ln(2N+2)−ln(2df+1) and the
+    // cleared-denominator saturation rational
+    "bm25_topk" -> ((s, dir) => {
+      import graft.pipeline.Bm25
+      val docs = docsPar(s, dir)
+      val qs = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(filter(split(regexp_replace(lower(col("text")),
+            "[^a-z ]", ""), " "), w => w =!= ""), 1, 8), " ").as("qtext"))
+      Bm25.topK(docs, qs, k = 5).orderBy("qid", "rnk")
+    }),
+
     // WordPiece tokenizer induction (Schuster & Nakajima 2012 — BERT's
     // vocabulary algorithm): BPE's data movement under the LIKELIHOOD
     // merge rule — each round one adjacent-pair count + one
@@ -3814,6 +3831,50 @@ object SparkEntry {
        |FROM per GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** BM25 oracle (mirrors [[graft.pipeline.Bm25.topK]] with the
+    * registered doc_id % 101 query set): micro-nat IDF via the two
+    * integer-argument lns, the cleared-denominator saturation rational
+    * in HUGEINT (the Spark side's DECIMAL(38,0) div), (score desc,
+    * doc_id) ranking. The saturation constants are emitted from the
+    * same K1/B centi-unit parameters the Scala defaults use. */
+  private val Bm25TopKOracle: String = {
+    val (k1, b) = (120L, 75L)
+    val (cNum, cTf, cT, cLen) =
+      (100L * (100L + k1), 10000L, k1 * (100L - b), k1 * b)
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS w FROM documents),
+       |q AS (SELECT doc_id AS qid, list_slice(w, 1, 8) AS qw FROM tk
+       |  WHERE doc_id % 101 = 0),
+       |qt AS (SELECT DISTINCT qid, t.term FROM q, unnest(qw) AS t(term)),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len(w)) AS BIGINT) AS t FROM tk),
+       |tok AS (SELECT doc_id, len(w) AS dlen, t.term
+       |  FROM tk, unnest(w) AS t(term)),
+       |post AS (SELECT doc_id, dlen, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM post GROUP BY 1),
+       |idf AS (SELECT term,
+       |  CAST(round(ln(CAST(2*(SELECT n FROM nt)+2 AS DOUBLE))*1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(2*df+1 AS DOUBLE))*1000000) AS BIGINT) AS idf_micro
+       |  FROM dfs),
+       |con AS (SELECT qt.qid, p.doc_id,
+       |  (CAST(i.idf_micro AS HUGEINT) * $cNum * (SELECT t FROM nt) * p.tf) //
+       |  (CAST($cTf AS HUGEINT) * (SELECT t FROM nt) * p.tf
+       |   + CAST($cT AS HUGEINT) * (SELECT t FROM nt)
+       |   + CAST($cLen AS HUGEINT) * (SELECT n FROM nt) * p.dlen) AS c
+       |  FROM post p JOIN idf i ON i.term = p.term JOIN qt ON qt.term = p.term),
+       |sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM con GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score_micro,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT qid, rnk, doc_id, score_micro FROM rk WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The shared WordPiece merge-loop CTE chain (mirrors
     * [[graft.pipeline.WordPiece.train]]): ##-marked wrapped symbols, per
     * round one symbol-occurrence count + one adjacent-pair count, the
@@ -5789,6 +5850,7 @@ object SparkEntry {
     "unigram_encode" -> UnigramEncodeOracle,
     "wordpiece_train" -> WordPieceTrainOracle,
     "wordpiece_encode" -> WordPieceEncodeOracle,
+    "bm25_topk" -> Bm25TopKOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Okapi BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+ * relevance framework; the BM25 form of Robertson et al., TREC-3 1994)
+ * over the corpus — the retrieval read a curation pipeline takes when
+ * decontaminating BY SEARCH (rank corpus documents against benchmark
+ * queries and inspect/drop the top hits) or when auditing what a crawl
+ * contains for a topic. IDF uses the Lucene-standard non-negative
+ * variant `ln(1 + (N − df + ½)/(df + ½))`, which simplifies to
+ * `ln(2N+2) − ln(2df+1)` — two INTEGER-argument logarithms, so the
+ * established micro-nat parity device (`round(ln(int)·1e6)` per
+ * argument) makes scores integer-exact and externally replayable.
+ *
+ * The tf saturation term `tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))`
+ * clears its denominators exactly: with k1, b in centi-units (K1 = 120,
+ * B = 75 default — the canonical 1.2/0.75), avgdl = T/N (T = corpus
+ * tokens, N = docs, both driver scalars from ONE bounded agg), the
+ * contribution of a term is
+ *
+ *   score_micro += idf_micro · (100+K1)·100·T·tf
+ *                  div (10000·T·tf + K1·(100−B)·T + K1·B·N·len)
+ *
+ * computed in DECIMAL(38,0) — exact through 10¹³-token corpora (the
+ * 100 TB design point) with the numerator peaking near 10²⁷ ≪ 10³⁸.
+ * Ties rank (score desc, doc_id asc).
+ *
+ * 100 TB shape: the corpus is touched ONCE — the token explode
+ * semi-joins the BROADCAST query-term set BEFORE any shuffle, so tf
+ * postings, document frequencies, and scoring all run on the
+ * query-matching sliver; document length rides the explode as a
+ * carried column (no corpus-wide length join); the only corpus-scale
+ * aggregate is the 1-row (N, T) scalar. The per-query rank window
+ * partitions on qid over candidate postings only.
+ *
+ * Normalization matches the tokenizer family ([[Bpe]]): lowercase,
+ * strip outside [a-z ], split on spaces.
+ */
+object Bm25 {
+
+  private def toks(c: Column): Column =
+    filter(split(regexp_replace(lower(c), "[^a-z ]", ""), " "),
+      w => w =!= "")
+
+  private[pipeline] def lnMicro(x: Long): Long =
+    math.round(math.log(x.toDouble) * 1e6)
+
+  /**
+   * Top-k BM25 hits per query: (qid, rnk, doc_id, score_micro).
+   * `docs` carries (doc_id, text); `queries` carries (qid, qtext) and
+   * must be broadcast-sized (benchmark-scale — the decontamination
+   * contract; beyond broadcast width, shard the query set and union).
+   */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1Centi: Int = 120, bCenti: Int = 75): DataFrame = {
+    val qterms = queries
+      .select(col("qid"), explode(array_distinct(toks(col("qtext"))))
+        .as("term"))
+    val tokens = docs.select(col("doc_id"),
+        size(toks(col("text"))).as("len"), explode(toks(col("text")))
+        .as("term"))
+    // the broadcast semi-join runs BEFORE the tf shuffle: everything
+    // downstream is the query-matching sliver
+    val postings = tokens
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+    val nt = docs.select(count(lit(1)).as("n"),
+      coalesce(sum(size(toks(col("text")))), lit(0L)).as("t")).collect()(0)
+    val n = nt.getAs[Long]("n")
+    val t = nt.getAs[Long]("t")
+    require(n > 0 && t > 0, "BM25 needs a non-empty corpus")
+    val lnN = lnMicro(2L * n + 2L)
+    val dfs = postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .withColumn("idf_micro",
+        lit(lnN) - expr("CAST(round(ln(CAST(2*df+1 AS DOUBLE))*1000000) AS BIGINT)"))
+    val contrib = postings
+      .join(broadcast(dfs.select("term", "idf_micro")), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("c", expr(
+        s"(CAST(idf_micro AS DECIMAL(38,0)) * ${100L * (100L + k1Centi)} * CAST($t AS DECIMAL(38,0)) * tf) div " +
+          s"(CAST(10000 AS DECIMAL(38,0)) * $t * tf + CAST(${k1Centi.toLong * (100L - bCenti)} AS DECIMAL(38,0)) * $t + " +
+          s"CAST(${k1Centi.toLong * bCenti} AS DECIMAL(38,0)) * $n * len)"))
+    contrib.groupBy("qid", "doc_id")
+      .agg(sum("c").as("score_micro"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score_micro"))
+  }
+}

@@ -1651,6 +1651,33 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("bm25 top-k: hand-computed exact micro scores, saturation ranks " +
+       "tf against doc length, ties break on doc_id, determinism") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat sat"), (2L, "cat cat dog"),
+      (3L, "dog runs far away")).toDF("doc_id", "text")
+    val qs = Seq((10L, "cat")).toDF("qid", "qtext")
+    val out = Bm25.topK(docs, qs, k = 5).orderBy("rnk").collect()
+    // N=3, T=9; idf(cat) = lnM(8) - lnM(5) = 2079442 - 1609438 = 470004
+    // d2 (tf 2, len 3): 470004*22000*9*2 div (180000+27000+81000) = 646255
+    // d1 (tf 1, len 2): 470004*22000*9   div ( 90000+27000+54000) = 544215
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("score_micro"))).toSeq ===
+      Seq((2L, 646255L), (1L, 544215L)))
+    assert(out.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L))
+    // tied docs rank by doc_id; k cuts the tail; unmatched query absent
+    val docs2 = Seq((1L, "zig"), (2L, "zig"), (3L, "zig"), (4L, "zag"))
+      .toDF("doc_id", "text")
+    val qs2 = Seq((7L, "zig"), (8L, "missing")).toDF("qid", "qtext")
+    val out2 = Bm25.topK(docs2, qs2, k = 2).collect()
+    assert(out2.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+      r.getAs[Long]("doc_id"))).sorted.toSeq ===
+      Seq((7L, 1L, 1L), (7L, 2L, 2L)))
+    val again = Bm25.topK(docs.repartition(5), qs, k = 5)
+      .orderBy("rnk").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("wordpiece train: likelihood score outranks raw pair frequency, " +
        "## continuation naming, exact atto-score arithmetic") {
     import spark.implicits._
