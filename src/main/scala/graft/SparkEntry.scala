@@ -1016,6 +1016,20 @@ object SparkEntry {
           col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
         .orderBy("doc_id")),
 
+    // Interpolated Kneser-Ney perplexity bucketing (Kneser & Ney 1995;
+    // Chen & Goodman 1999 §2.7 — KenLM's smoothing family, at bigram
+    // order over the bucketed model space): absolute discount D = 3/4
+    // as ONE exact integer rational per gram, continuation-probability
+    // backoff on unseen contexts, same tertile assignment as
+    // perplexity_buckets
+    "perplexity_kn" -> ((s, dir) =>
+      graft.pipeline.Perplexity.perplexityBucketsKN(docsPar(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")
+        .select(col("docId").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
+        .orderBy("doc_id")),
+
     // The full CCNet pipeline (Wenzek 2020 arXiv:1911.00359 Fig. 1, the
     // paper's order): segment dedup FIRST (boilerplate confuses LID),
     // marker LID on the DEDUPED text, then the bucketed-bigram LM
@@ -3191,6 +3205,56 @@ object SparkEntry {
       |  CASE WHEN sc.ce <= th.t1 THEN 'head'
       |       WHEN sc.ce <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
       |FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin
+
+  /** Interpolated Kneser-Ney replay (mirrors
+    * [[graft.pipeline.Perplexity.crossEntropyKN]]): occurrence counts
+    * from the hashed-bigram/context buckets, type counts N1+ from the
+    * (context-bucket, word-bucket) pair space, the D = dNum/dDen
+    * discount cleared into one exact integer rational per gram, engine
+    * lns on integer arguments, collision clamp at 0, and the shared
+    * tertile rank conditions. */
+  private val PerplexityKnOracle: String = {
+    val (dNum, dDen) = (3, 4)
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    ['<s>'] || string_split(text, ' ') AS arr,
+       |    len(string_split(text, ' ')) AS nt FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, arr[i.i] AS ctx,
+       |         arr[i.i] || ' ' || arr[i.i + 1] AS g, arr[i.i + 1] AS w
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i),
+       |bk AS (SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS bg,
+       |    CAST(('0x' || substring(md5(ctx), 1, 6)) AS BIGINT) % 1024 AS bc,
+       |    CAST(('0x' || substring(md5(w), 1, 6)) AS BIGINT) % 1024 AS bw
+       |  FROM g),
+       |cb AS (SELECT bg AS b, CAST(count(*) AS BIGINT) AS c FROM bk
+       |  WHERE lang = 'en' GROUP BY 1),
+       |ccx AS (SELECT bc AS b, CAST(count(*) AS BIGINT) AS c FROM bk
+       |  WHERE lang = 'en' GROUP BY 1),
+       |pr AS (SELECT bc, bw FROM bk WHERE lang = 'en' GROUP BY bc, bw),
+       |n1p AS (SELECT bc AS b, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1),
+       |n1w AS (SELECT bw AS b, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1),
+       |ncc AS (SELECT CAST(count(*) + 1024 AS BIGINT) AS c FROM pr),
+       |term AS (SELECT bk.doc_id, bk.lang,
+       |  greatest(CASE WHEN cc.c IS NULL
+       |    THEN CAST(round(ln(CAST((SELECT c FROM ncc) AS DOUBLE))*1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(coalesce(nw.c, 0) + 1 AS DOUBLE))*1e6) AS BIGINT)
+       |    ELSE CAST(round(ln(CAST($dDen*cc.c*(SELECT c FROM ncc) AS DOUBLE))*1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(greatest($dDen*coalesce(cb.c,0)-$dNum, 0)*(SELECT c FROM ncc)
+       |              + $dNum*coalesce(np.c,0)*(coalesce(nw.c,0)+1) AS DOUBLE))*1e6) AS BIGINT)
+       |  END, 0) AS t
+       |  FROM bk LEFT JOIN cb ON bk.bg = cb.b LEFT JOIN ccx cc ON bk.bc = cc.b
+       |  LEFT JOIN n1p np ON np.b = bk.bc LEFT JOIN n1w nw ON nw.b = bk.bw),
+       |sc AS (SELECT doc_id, any_value(lang) AS lang,
+       |    CAST(count(*) AS BIGINT) AS n, sum(t) // count(*) AS ce
+       |  FROM term GROUP BY doc_id),
+       |ref AS (SELECT ce, row_number() OVER (ORDER BY ce) AS rn,
+       |    count(*) OVER () AS nn FROM sc WHERE lang = 'en'),
+       |th AS (SELECT max(CASE WHEN 3 * rn <= nn + 2 THEN ce END) AS t1,
+       |    max(CASE WHEN 3 * rn <= 2 * nn + 2 THEN ce END) AS t2 FROM ref)
+       |$PplSelect""".stripMargin
+  }
+
 
   /** The FineWeb-filter fixture page: line width 6 words (2 for doc%3 —
     * short lines), terminal '.' except doc%7 (punctuation rule), the
@@ -5851,6 +5915,7 @@ object SparkEntry {
     "wordpiece_train" -> WordPieceTrainOracle,
     "wordpiece_encode" -> WordPieceEncodeOracle,
     "bm25_topk" -> Bm25TopKOracle,
+    "perplexity_kn" -> PerplexityKnOracle,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -58,9 +58,11 @@ object Perplexity {
         explode(transform(sequence(lit(1), size(toks)), j =>
           struct(element_at(arr, j).as("ctx"),
             concat_ws(" ", element_at(arr, j), element_at(arr, j + 1))
-              .as("g")))).as("p")) ++
+              .as("g"),
+            element_at(arr, j + 1).as("w")))).as("p")) ++
         carry.map { case (n, c) => c.as(n) }: _*)
-      .select(Seq(col("docId"), col("isRef"), col("p.ctx"), col("p.g")) ++
+      .select(Seq(col("docId"), col("isRef"), col("p.ctx"), col("p.g"),
+        col("p.w")) ++
         carry.map { case (n, _) => col(n) }: _*)
   }
 
@@ -141,6 +143,114 @@ object Perplexity {
         (Seq(count(lit(1)).as("n_bigrams"),
           expr("sum(t) div count(1)").as("ce_micro")) ++
           carry.map { case (n, _) => first(col(n)).as(n) }): _*)
+      .localCheckpoint()
+  }
+
+  /**
+   * Per-document cross-entropy under a reference-trained bucketed
+   * INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995, ICASSP; the
+   * interpolated form of Chen & Goodman 1999 §2.7 — the smoothing
+   * family CCNet's KenLM actually implements, here at bigram order),
+   * with the same head/middle/tail tertile assignment as
+   * [[perplexityBuckets]]:
+   *
+   *   P(w|prev) = max(c(prev,w) − D, 0)/c(prev)
+   *             + D·N1+(prev,·)/c(prev) · P_cont(w)
+   *   P_cont(w) = (N1+(·,w) + 1) / (N1+(·,·) + B)     (add-one floored)
+   *
+   * with the canonical absolute discount D = `dNum`/`dDen` (¾ default)
+   * and backoff to P_cont alone when the context is unseen. In the
+   * bucketed-hash model space ([[crossEntropy]]'s device) the
+   * occurrence counts come from the hashed-bigram/context buckets and
+   * the TYPE counts N1+ from the (context-bucket, word-bucket) pair
+   * space — so the whole model stays config-bounded: three ≤B-row maps
+   * + one scalar, collected as driver metadata.
+   *
+   * Determinism: the interpolated probability is computed as ONE exact
+   * integer rational — clearing D's denominator,
+   *
+   *   num = max(dDen·c(prev,w) − dNum, 0)·(N1+(·,·)+B)
+   *         + dNum·N1+(prev,·)·(N1+(·,w)+1)
+   *   den = dDen·c(prev)·(N1+(·,·)+B)
+   *
+   * and −log P = lnMicro(den) − lnMicro(num), both logs taking exact
+   * INTEGER arguments (the ln-parity device; arguments stay below 2⁵³
+   * through reference corpora of 10¹² grams), clamped at 0 per gram
+   * (hash collisions can push p past 1). A seen context guarantees
+   * N1+(prev,·) ≥ 1, so num ≥ dNum — no log of zero on any path.
+   *
+   * Scale shape: ONE reference-scale pass builds all model tables (each
+   * ref gram emits three tagged rows; a single map-side-partial count
+   * collapses them — the tag-2 (bc, bw) plane is ≤B² rows of aggregate
+   * state, reduced to the ≤B-row N1+ maps by vocab-bounded follow-up
+   * aggs before collection), then ONE corpus-scale scoring explode.
+   */
+  def perplexityBucketsKN(df: DataFrame, idCol: Column, textCol: Column,
+                          isRef: Column, buckets: Int = 1024,
+                          dNum: Int = 3, dDen: Int = 4): DataFrame =
+    bucketize(crossEntropyKN(df, idCol, textCol, isRef, buckets, dNum, dDen))
+
+  /** The KN scoring stage alone: (docId, isRef, n_bigrams, ce_micro),
+    * checkpointed — see [[perplexityBucketsKN]]. */
+  def crossEntropyKN(df: DataFrame, idCol: Column, textCol: Column,
+                     isRef: Column, buckets: Int = 1024,
+                     dNum: Int = 3, dDen: Int = 4): DataFrame = {
+    require(dNum > 0 && dDen > dNum, "discount must satisfy 0 < D < 1")
+    val grams = gramStream(df, idCol, textCol, isRef)
+      .select(col("docId"), col("isRef"),
+        bucket(col("g"), buckets).as("bg"),
+        bucket(col("ctx"), buckets).as("bc"),
+        bucket(col("w"), buckets).as("bw"))
+
+    // ONE reference pass: tag 0 = bigram-bucket counts, tag 1 =
+    // context-bucket counts, tag 2 = distinct (context, word) bucket
+    // pairs; ≤ 2B + B² rows of aggregate state at any corpus size
+    val tagged = grams.filter(col("isRef"))
+      .select(explode(array(
+        struct(lit(0).as("tag"), col("bg").as("k1"), lit(0L).as("k2")),
+        struct(lit(1).as("tag"), col("bc").as("k1"), lit(0L).as("k2")),
+        struct(lit(2).as("tag"), col("bc").as("k1"), col("bw").as("k2"))))
+        .as("p"))
+      .groupBy(col("p.tag").as("tag"), col("p.k1").as("k1"),
+        col("p.k2").as("k2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed by 4 bounded follow-ups
+    def toMap(f: DataFrame): Map[Long, Long] = f.collect().iterator
+      .map(r => r.getAs[Long]("k")  -> r.getAs[Long]("c")).toMap
+    val cbMap = toMap(tagged.filter(col("tag") === 0)
+      .select(col("k1").as("k"), col("c")))
+    val ccMap = toMap(tagged.filter(col("tag") === 1)
+      .select(col("k1").as("k"), col("c")))
+    val pairs = tagged.filter(col("tag") === 2)
+    val n1pMap = toMap(pairs.groupBy(col("k1").as("k"))
+      .agg(count(lit(1)).as("c")))
+    val n1wMap = toMap(pairs.groupBy(col("k2").as("k"))
+      .agg(count(lit(1)).as("c")))
+    val nccB = pairs.count() + buckets
+
+    def look(m: Map[Long, Long], k: Column): Column =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), k), lit(0L))
+    def lnMicroCol(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    val cg = look(cbMap, col("bg"))
+    val cp = look(ccMap, col("bc"))
+    val n1p = look(n1pMap, col("bc"))
+    val n1w = look(n1wMap, col("bw"))
+    val num = greatest(lit(dDen.toLong) * cg - dNum, lit(0L)) * nccB +
+      lit(dNum.toLong) * n1p * (n1w + 1L)
+    val den = lit(dDen.toLong) * cp * nccB
+    val t = greatest(
+      when(cp === 0L, lit(microLog(nccB.toDouble)) - lnMicroCol(n1w + 1L))
+        .otherwise(lnMicroCol(den) - lnMicroCol(num)),
+      lit(0L))
+
+    grams
+      .select(col("docId"), col("isRef"), t.as("t"))
+      .groupBy("docId")
+      .agg(first(col("isRef")).as("isRef"),
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(t) div count(1)").as("ce_micro"))
       .localCheckpoint()
   }
 

@@ -1651,6 +1651,34 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("kneser-ney perplexity: reference-like docs score below unseen " +
+       "text, the unseen-context branch backs off to continuation " +
+       "probability, tertiles assign, determinism across partitionings") {
+    import spark.implicits._
+    val ref = (1 to 12).map(i =>
+      (i.toLong, "en", "the cat sat on the mat and the dog ran"))
+    val crawl = Seq(
+      (100L, "xx", "the cat sat on the mat"),       // in-distribution
+      (101L, "xx", "zq wv kp jx qn bv"),            // fully unseen
+      (102L, "xx", "the dog ran and the cat sat"))  // in-distribution
+    val docs = (ref ++ crawl).toDF("doc_id", "lang", "text")
+    val out = Perplexity.perplexityBucketsKN(docs, col("doc_id"),
+      col("text"), col("lang") === "en")
+    val byId = out.collect().map(r => r.getAs[Long]("docId") ->
+      (r.getAs[Long]("ce_micro"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(byId(100L)._1 < byId(101L)._1)
+    assert(byId(102L)._1 < byId(101L)._1)
+    assert(byId(101L)._2 === "tail")
+    assert(byId(1L)._2 === "head") // reference scores head of itself
+    // gibberish still gets a finite positive score (the backoff branch)
+    assert(byId(101L)._1 > 0L)
+    val again = Perplexity.perplexityBucketsKN(docs.repartition(7),
+      col("doc_id"), col("text"), col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("docId") ->
+        (r.getAs[Long]("ce_micro"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(again === byId)
+  }
+
   test("bm25 top-k: hand-computed exact micro scores, saturation ranks " +
        "tf against doc length, ties break on doc_id, determinism") {
     import spark.implicits._
