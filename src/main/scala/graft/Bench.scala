@@ -132,7 +132,24 @@ object Bench {
     // rotation, and the in-query clones scale 10× because rep-0 ids are
     // exactly the doc_id%10==0 set), so the full e2e carries a real
     // scale pair: expect the LSH stages to dominate, near-linearly
-    "slimpajama_e2e")
+    "slimpajama_e2e",
+    // Kneser-Ney perplexity (r15): the perplexity_buckets shape with a
+    // bigger bounded model (three ≤B-row maps from one tagged reference
+    // pass) — per-gram work is a lookup chain + two codegen'd lns, so
+    // the pair should track the gram explode linearly
+    "perplexity_kn",
+    // BM25 (r15): queries (doc_id % 101) and corpus both grow 10×, but
+    // the broadcast term semi-join keeps every shuffle on the
+    // query-matching sliver — expect near-linear from the scan + sliver
+    "bm25_topk",
+    // WordPiece (r15): the bpe_train class — one corpus pass, 16
+    // likelihood rounds on the Zipf-bounded distinct-word table; wall
+    // should track the corpus scan, not the merge loop
+    "wordpiece_train",
+    // source-overlap sketches (r15): aggregate state is |sources|·256
+    // longs at ANY corpus size and the pair join reads only the sketch —
+    // the x10 side should be pure shingle-scan growth
+    "source_overlap")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
