@@ -78,6 +78,7 @@ object Plans {
     show("so", "source_overlap")
     show("wpt", "wordpiece_train")
     show("bm", "bm25_topk")
+    show("wn", "wimbd_ngrams")
     spark.stop()
   }
 }

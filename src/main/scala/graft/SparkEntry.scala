@@ -1655,6 +1655,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // WIMBD count primitives (Elazar 2023 arXiv:2310.20707): exact
+    // top-k most-frequent n-grams — one map-side-partial gram count,
+    // top-k as per-partition heaps (TakeOrderedAndProject)
+    "wimbd_ngrams" -> ((s, dir) =>
+      graft.pipeline.Wimbd.topNgrams(docsPar(s, dir), col("text"),
+        n = 3, k = 20).orderBy("rank")),
+
+    // WIMBD corpus summary card: duplicate n-gram mass, duplicate doc
+    // mass (content-hash keeper), rank-condition histogram median —
+    // one pass per read, bounded outputs
+    "wimbd_summary" -> ((s, dir) =>
+      graft.pipeline.Wimbd.summary(docsPar(s, dir), col("text"), n = 3)),
+
     // Okapi BM25 ranked retrieval (Robertson TREC-3; Lucene-standard
     // non-negative IDF): the decontamination-by-search read — corpus
     // docs ranked against benchmark queries. The broadcast query-term
@@ -5916,6 +5929,47 @@ object SparkEntry {
     "wordpiece_encode" -> WordPieceEncodeOracle,
     "bm25_topk" -> Bm25TopKOracle,
     "perplexity_kn" -> PerplexityKnOracle,
+
+    // WIMBD top-k n-grams: whitespace trigrams, (cnt desc, gram) ties
+    "wimbd_ngrams" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT array_to_string(list_slice(w, i.i, i.i + 2), ' ') AS gram
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) i
+        |  WHERE len(w) >= 3),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank,
+        |  gram, cnt
+        |FROM c ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // WIMBD summary card: dup gram/doc mass + histogram median
+    "wimbd_summary" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w,
+        |  md5(text) AS h FROM documents),
+        |base AS (SELECT len(w) AS l, h FROM tk),
+        |g AS (SELECT array_to_string(list_slice(w, i.i, i.i + 2), ' ') AS gram
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) i
+        |  WHERE len(w) >= 3),
+        |gs AS (SELECT CAST(count(*) AS BIGINT) AS gtok,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS gtyp FROM g),
+        |dd AS (SELECT CAST(sum(c - 1) AS BIGINT) AS dups,
+        |  CAST(sum(c) AS BIGINT) AS docs FROM
+        |  (SELECT count(*) AS c FROM base GROUP BY h)),
+        |nt AS (SELECT CAST(sum(l) AS BIGINT) AS t FROM base),
+        |md AS (SELECT CAST(min(CASE WHEN 2 * cum >= (SELECT docs FROM dd)
+        |    THEN l END) AS BIGINT) AS m
+        |  FROM (SELECT l, sum(c) OVER (ORDER BY l) AS cum FROM
+        |    (SELECT l, count(*) AS c FROM base GROUP BY l)))
+        |SELECT (SELECT docs FROM dd) AS n_docs, (SELECT t FROM nt) AS n_tokens,
+        |  gs.gtok AS n_gram_tokens, gs.gtyp AS n_gram_types,
+        |  CAST(CASE WHEN gs.gtok = 0 THEN 0
+        |       ELSE (CAST(gs.gtok AS HUGEINT) - gs.gtyp) * 1000000 // gs.gtok
+        |       END AS BIGINT) AS dup_gram_micro,
+        |  CAST(CAST((SELECT dups FROM dd) AS HUGEINT) * 1000000
+        |       // (SELECT docs FROM dd) AS BIGINT) AS dup_doc_micro,
+        |  (SELECT m FROM md) AS median_len
+        |FROM gs""".stripMargin,
     "embed_topk_lsh" -> EmbedTopKLshOracle,
 
     "embed_neardup" -> {

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * WIMBD corpus analysis (Elazar et al. 2023, "What's In My Big Data?",
+ * arXiv:2310.20707) — the paper's COUNT primitive family, the
+ * look-before-you-train reads it runs over C4/Pile/RedPajama-scale
+ * corpora: most-common n-grams, duplicate n-gram mass, duplicate
+ * document mass, and the document-length distribution. (The paper's
+ * other primitive, SEARCH, is [[Bm25]]; its contamination analysis is
+ * the [[Decontaminate]] family; the approximate heavy-hitter path when
+ * even one n-gram shuffle is too much is [[Sketches.countMin]].)
+ *
+ * Scale shape — each read is ONE corpus pass into bounded output:
+ *  - [[topNgrams]]: n-gram explode → count (map-side partial) → top-k
+ *    as TakeOrderedAndProject (size-k heap per partition, never a
+ *    global sort). The gram count state is vocabulary-bounded (Zipf),
+ *    the output k rows.
+ *  - [[summary]]: ONE n-gram-keyed agg for type/token counts, one
+ *    content-hash agg for duplicate-doc mass, and a rank-condition
+ *    median over the doc-length HISTOGRAM (the perplexity-tertile
+ *    device: the cumulative window sorts per-value counts, never rows —
+ *    no data-derived limit(k), no Int ceiling). Output: one row.
+ *
+ * Determinism: counts are longs; fractions are reported in integer
+ * micro units via `x * 1000000 div y`; top-k ties break on the gram
+ * string ascending. Tokenization is raw whitespace splitting (the
+ * paper counts surface n-grams; empty tokens filtered).
+ */
+object Wimbd {
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+
+  private[pipeline] def ngrams(c: Column, n: Int): Column =
+    if (n == 1) toks(c)
+    else {
+      val t = toks(c)
+      // sequence(1, 0) DESCENDS in Spark — guard the short-doc case
+      when(size(t) >= n, transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** The k most frequent n-grams: (rank, gram, cnt), ties on the gram
+    * string. One shuffle (map-side-partial count), top-k per-partition
+    * heaps. */
+  def topNgrams(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame =
+    df.select(explode(ngrams(textCol, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram"))).cast("long"))
+      .select(col("rank"), col("gram"), col("cnt"))
+
+  /**
+   * The corpus summary card: one row of
+   * (n_docs, n_tokens, n_gram_tokens, n_gram_types, dup_gram_micro,
+   * dup_doc_micro, median_len) for n-grams of order `n` —
+   * `dup_gram_micro` = 1 − types/tokens (the paper's duplicate n-gram
+   * mass, §3.2), `dup_doc_micro` = fraction of docs whose exact text
+   * repeats an earlier doc (content-hash keeper), `median_len` = the
+   * multiset median token count via the rank-condition histogram.
+   */
+  def summary(df: DataFrame, textCol: Column, n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(size(toks(textCol)).as("len"),
+      size(ngrams(textCol, n)).as("ng"), md5(textCol).as("h"))
+      .localCheckpoint() // feeds three bounded aggs, one projection pass
+    val grams = df.select(explode(ngrams(textCol, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("gtok"),
+        count(lit(1)).as("gtyp")).collect()(0)
+    val (gtok, gtyp) = (grams.getAs[Long]("gtok"), grams.getAs[Long]("gtyp"))
+    val dupDocs = base.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1L), lit(0L)).as("dups"),
+        coalesce(sum("c"), lit(0L)).as("docs")).collect()(0)
+    val (dups, docs) = (dupDocs.getAs[Long]("dups"), dupDocs.getAs[Long]("docs"))
+    require(docs > 0, "WIMBD summary needs a non-empty corpus")
+    val ntok = base.agg(coalesce(sum("len"), lit(0L)).as("t"))
+      .collect()(0).getAs[Long]("t")
+    // multiset median over the length histogram: min len with 2·cum ≥ n
+    val wCum = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = base.groupBy("len").agg(count(lit(1)).as("c"))
+      .select(col("len"), sum(col("c")).over(wCum).as("cum"))
+      .agg(min(when(lit(2) * col("cum") >= docs, col("len"))).as("m"))
+      .collect()(0).getAs[Int]("m").toLong
+    // micro fractions through BigInt: gram counts at the 100 TB design
+    // point (~1e13) overflow a long when scaled by 1e6
+    def micro(a: Long, b: Long): Long =
+      if (b == 0) 0L else ((BigInt(a) * 1000000) / BigInt(b)).toLong
+    import spark.implicits._
+    Seq((docs, ntok, gtok, gtyp, micro(gtok - gtyp, gtok),
+      micro(dups, docs), med))
+      .toDF("n_docs", "n_tokens", "n_gram_tokens", "n_gram_types",
+        "dup_gram_micro", "dup_doc_micro", "median_len")
+  }
+}

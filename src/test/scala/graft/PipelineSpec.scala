@@ -1651,6 +1651,36 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("wimbd: exact top-k n-grams with string tie-break, summary card " +
+       "hand-computed (dup gram/doc mass, histogram median), short-doc " +
+       "n-gram guard, determinism across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val top = Wimbd.topNgrams(docs.filter(col("doc_id") === 1), col("text"),
+      n = 2, k = 3).collect()
+    assert(top.map(r => (r.getAs[Long]("rank"), r.getAs[String]("gram"),
+      r.getAs[Long]("cnt"))).toSeq ===
+      Seq((1L, "a b", 2L), (2L, "b c", 2L), (3L, "c a", 1L)))
+    val s = Wimbd.summary(docs, col("text"), n = 3).collect()(0)
+    // trigram stream: 2 docs × 4 grams = 8 tokens, 3 types → dup mass
+    // (8−3)/8; one exact clone in 3 docs; lens {2,6,6} → median 6
+    assert(s.getAs[Long]("n_docs") === 3L)
+    assert(s.getAs[Long]("n_tokens") === 14L)
+    assert(s.getAs[Long]("n_gram_tokens") === 8L)
+    assert(s.getAs[Long]("n_gram_types") === 3L)
+    assert(s.getAs[Long]("dup_gram_micro") === 625000L)
+    assert(s.getAs[Long]("dup_doc_micro") === 333333L)
+    assert(s.getAs[Long]("median_len") === 6L)
+    // the size-2 doc contributes zero trigrams, not a phantom gram
+    val z = Wimbd.topNgrams(docs.filter(col("doc_id") === 3), col("text"),
+      n = 3, k = 5).collect()
+    assert(z.isEmpty)
+    val again = Wimbd.summary(docs.repartition(7), col("text"), n = 3)
+      .collect()(0)
+    assert(again.toSeq === s.toSeq)
+  }
+
   test("kneser-ney perplexity: reference-like docs score below unseen " +
        "text, the unseen-context branch backs off to continuation " +
        "probability, tertiles assign, determinism across partitionings") {
