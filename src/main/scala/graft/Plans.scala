@@ -79,6 +79,7 @@ object Plans {
     show("wpt", "wordpiece_train")
     show("bm", "bm25_topk")
     show("wn", "wimbd_ngrams")
+    show("kn", "perplexity_kn")
     spark.stop()
   }
 }

@@ -1272,6 +1272,41 @@ object SparkEntry {
           col("nTokens").as("n_tokens"), md5(col("text")).as("text_md5"))
         .orderBy("example_id")),
 
+    // Trainer-ready export: the SAME packed-example stream with REAL
+    // integer token ids from the corpus-trained BPE vocabulary (eos id
+    // 0, alphabet ids in char order, merged pieces after in rank
+    // order) — the loop the tokenizer + export families exist to
+    // close. Encode is the Bpe.encode codegen chain; the id map is
+    // vocab-bounded driver metadata; the export machinery is
+    // exportExamples VERBATIM over the id stream
+    "export_examples_ids" -> ((s, dir) => {
+      import graft.pipeline.Bpe
+      val docs = docsPar(s, dir)
+      val mrows = Bpe.train(docs, col("text"), nMerges = 6)
+        .orderBy("rank").collect()
+      val merges = mrows.map(r => (r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"))).toSeq
+      val alphabet = docs
+        .select(explode(split(regexp_replace(lower(col("text")),
+          "[^a-z]", ""), "")).as("ch"))
+        .filter(col("ch") =!= "").distinct()
+        .collect().map(_.getString(0)).sorted
+      val idMap: Map[String, Long] =
+        (alphabet.zipWithIndex.map { case (c, i) => c -> (i + 1L) } ++
+          merges.zipWithIndex.map { case ((l, r), i) =>
+            (l + r) -> (alphabet.length + i + 1L) }).toMap
+      val idText = Bpe.encode(docs, col("doc_id"), col("text"), merges)
+        .select(col("docId").as("doc_id"),
+          array_join(transform(col("tokens"),
+            t => element_at(typedlit(idMap), t).cast("string")), " ")
+            .as("text"))
+      Sampling.exportExamples(idText, col("doc_id"), col("text"),
+        seqLen = 128L, seed = "ex1", eosToken = "0")
+        .select(col("exampleId").as("example_id"),
+          col("nTokens").as("n_tokens"), md5(col("text")).as("ids_md5"))
+        .orderBy("example_id")
+    }),
+
     // Temperature-scaled language sampling (XLM-R arXiv:1911.02116 §3.1
     // at the published α=0.3; T5's examples-proportional-with-temperature
     // is the same law): q ∝ p^α — the standard multilingual upweighting
@@ -3886,6 +3921,45 @@ object SparkEntry {
        |ORDER BY "docId"""".stripMargin
   }
 
+  /** Token-id export oracle: the BPE encode replay mapped through the
+    * deterministic id assignment (eos 0, alphabet in char order, merged
+    * pieces after in rank order), then the export_examples pack chain
+    * VERBATIM over the id stream. */
+  private val ExportExamplesIdsOracle: String = {
+    val (ctes, chain) = bpeMtChain(6)
+    val mgSel = (0 until 6).map(i =>
+      s"SELECT mt.l$i || mt.r$i AS p, ${i + 1} AS rk FROM mt")
+      .mkString(" UNION ALL ")
+    s"""WITH $ctes,
+       |xal AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT unnest(string_split(word, '')) AS ch FROM w)),
+       |xmg AS (SELECT p, CAST((SELECT count(*) FROM xal) + rk AS BIGINT) AS id
+       |  FROM ($mgSel)),
+       |xvm AS (SELECT map(list(p), list(id)) AS m FROM
+       |  (SELECT ch AS p, id FROM xal UNION ALL SELECT p, id FROM xmg)),
+       |xenc AS (SELECT d.doc_id,
+       |  list_transform(flatten(list_transform(
+       |    list_filter(string_split(
+       |      regexp_replace(lower(d.text), '[^a-z ]', '', 'g'), ' '),
+       |      w -> w <> ''),
+       |    w -> string_split(trim($chain, '<>'), '><'))),
+       |    p -> CAST(xvm.m[p][1] AS VARCHAR)) AS idtoks
+       |  FROM documents d CROSS JOIN mt CROSS JOIN xvm),
+       |xt AS (SELECT doc_id, idtoks || ['0'] AS toks,
+       |  md5('ex1|' || CAST(doc_id AS VARCHAR)) AS k FROM xenc),
+       |xo AS (SELECT doc_id, toks,
+       |  COALESCE(SUM(len(toks)) OVER
+       |    (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS strt FROM xt),
+       |xtok AS (SELECT strt + i.i - 1 AS pos, toks[CAST(i.i AS INT)] AS tk
+       |  FROM xo, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+       |xex AS (SELECT pos // 128 AS example_id, count(*) AS n_tokens,
+       |  string_agg(tk, ' ' ORDER BY pos) AS ids FROM xtok GROUP BY 1)
+       |SELECT CAST(example_id AS BIGINT) AS example_id,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, md5(ids) AS ids_md5
+       |FROM xex WHERE n_tokens = 128 ORDER BY example_id""".stripMargin
+  }
+
   /** Per-language tokenizer fertility under the corpus-trained merges:
     * the encode replay aggregated lang-wise. */
   private val BpeFertilityOracle: String = {
@@ -5929,6 +6003,8 @@ object SparkEntry {
     "wordpiece_encode" -> WordPieceEncodeOracle,
     "bm25_topk" -> Bm25TopKOracle,
     "perplexity_kn" -> PerplexityKnOracle,
+
+    "export_examples_ids" -> ExportExamplesIdsOracle,
 
     // WIMBD top-k n-grams: whitespace trigrams, (cnt desc, gram) ties
     "wimbd_ngrams" ->
