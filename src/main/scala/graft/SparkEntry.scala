@@ -2036,6 +2036,34 @@ object SparkEntry {
     // measure content shift, not scale). Flags are computed unconditionally
     // (Gopher on the cleaned text even when C4 rejects) so every row costs
     // the same work.
+    // Stage-attrition funnel over the C4 → Gopher → exact-dedup chain
+    // (the removal-rate table C4 §2.2 / Gopher A.1.2 publish): ONE
+    // corpus pass for every flag/count, one bounded stage agg, one
+    // hash-keyed keeper agg — the whole report costs one scan
+    "curate_funnel" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        when(i % 3 === 2, li).otherwise(concat(li, lit(".")))
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar cfg = { a: 1 };")).otherwise(lit("")))
+      val c4 = TextAnalysis.c4Clean(page).toMap
+      val pre = docsPar(s, dir).select(col("doc_id"),
+          size(words).cast("long").as("raw_n"),
+          c4("cleaned").as("cleaned"), c4("keep").as("c4_keep"))
+        .localCheckpoint() // the gopher rules reference `cleaned` ~20×
+      val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
+        minStopHits = 1).toMap
+      graft.pipeline.Funnel.report(pre, col("raw_n"),
+        Seq(("c4", col("c4_keep"), gopher("words_n")),
+          ("gopher", col("c4_keep") && gopher("keep"), gopher("words_n"))),
+        dedupOn = Some(col("cleaned")))
+        .orderBy("stage_idx")
+    }),
+
     "curate_filters_map" -> ((s, dir) => {
       val words = split(col("text"), " ")
       val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
@@ -3920,6 +3948,52 @@ object SparkEntry {
        |FROM documents d CROSS JOIN mt
        |ORDER BY "docId"""".stripMargin
   }
+
+  private val CurateChainCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words, CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
+        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
+        |l2 AS (SELECT doc_id, i,
+        |  CASE WHEN i % 3 = 2 THEN array_to_string(list_slice(words, i*10+1, i*10+10), ' ')
+        |       ELSE array_to_string(list_slice(words, i*10+1, i*10+10), ' ') || '.' END AS line FROM ln),
+        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0 FROM l2 GROUP BY doc_id),
+        |pg AS (SELECT doc_id, page0 ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10)||'var cfg = { a: 1 };' ELSE '' END) AS page FROM pg0),
+        |cl AS (SELECT doc_id, page,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
+        |fin AS (SELECT doc_id, page, array_to_string(kept, chr(10)) AS cleaned FROM cl),
+        |fl AS (SELECT doc_id, cleaned,
+        |  (length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+        |   AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_keep
+        |  FROM fin),
+        |g0 AS (SELECT doc_id, cleaned, c4_keep,
+        |  CASE WHEN length(trim(cleaned)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(cleaned), '\s+')) END AS wn,
+        |  length(cleaned) AS cn,
+        |  (length(cleaned)-length(replace(cleaned,'#','')))
+        |   + (length(cleaned)-length(replace(cleaned,'...','')))//3 AS sym,
+        |  string_split(cleaned, chr(10)) AS lns FROM fl)""".stripMargin
+
+  private val CurateKeepFullSql: String =
+    """| (c4_keep AND wn >= 20 AND wn <= 100000
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) >= 3.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) <= 10.0
+        |  AND (CASE WHEN wn > 0 THEN CAST(sym AS DOUBLE)/wn ELSE 0 END) <= 0.1
+        |  AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lns) <= 0.9
+        |  AND CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)/len(lns) <= 0.3
+        |  AND (CASE WHEN wn > 0 THEN CAST(len(list_filter(regexp_split_to_array(trim(cleaned), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/wn ELSE 0 END) >= 0.8
+        |  AND ((CASE WHEN position(' the ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' be ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' to ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' of ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' and ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' that ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' have ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN position(' with ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)) >= 1)""".stripMargin
 
   /** Token-id export oracle: the BPE encode replay mapped through the
     * deterministic id assignment (eos 0, alphabet in char order, merged
@@ -6610,51 +6684,35 @@ object SparkEntry {
         |FROM g GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "curate_filters_map" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |n AS (SELECT doc_id, words, CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM d),
-        |ln AS (SELECT doc_id, words, unnest(generate_series(0, nl-1)) AS i FROM n),
-        |l2 AS (SELECT doc_id, i,
-        |  CASE WHEN i % 3 = 2 THEN array_to_string(list_slice(words, i*10+1, i*10+10), ' ')
-        |       ELSE array_to_string(list_slice(words, i*10+1, i*10+10), ' ') || '.' END AS line FROM ln),
-        |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0 FROM l2 GROUP BY doc_id),
-        |pg AS (SELECT doc_id, page0 ||
-        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10)||'var cfg = { a: 1 };' ELSE '' END) AS page FROM pg0),
-        |cl AS (SELECT doc_id, page,
-        |  list_filter(string_split(page, chr(10)), l ->
-        |    regexp_matches(trim(l), '[.!?"]$')
-        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
-        |    AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
-        |fin AS (SELECT doc_id, page, array_to_string(kept, chr(10)) AS cleaned FROM cl),
-        |fl AS (SELECT doc_id, cleaned,
-        |  (length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
-        |   AND NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')) AS c4_keep
-        |  FROM fin),
-        |g0 AS (SELECT doc_id, cleaned, c4_keep,
-        |  CASE WHEN length(trim(cleaned)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(cleaned), '\s+')) END AS wn,
-        |  length(cleaned) AS cn,
-        |  (length(cleaned)-length(replace(cleaned,'#','')))
-        |   + (length(cleaned)-length(replace(cleaned,'...','')))//3 AS sym,
-        |  string_split(cleaned, chr(10)) AS lns FROM fl)
+      (s"""WITH $CurateChainCtes
         |SELECT doc_id, c4_keep,
-        | (c4_keep AND wn >= 20 AND wn <= 100000
-        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) >= 3.0
-        |  AND (CASE WHEN wn > 0 THEN CAST(cn - (wn-1) AS DOUBLE)/wn ELSE 0 END) <= 10.0
-        |  AND (CASE WHEN wn > 0 THEN CAST(sym AS DOUBLE)/wn ELSE 0 END) <= 0.1
-        |  AND CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lns) <= 0.9
-        |  AND CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)/len(lns) <= 0.3
-        |  AND (CASE WHEN wn > 0 THEN CAST(len(list_filter(regexp_split_to_array(trim(cleaned), '\s+'),
-        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)/wn ELSE 0 END) >= 0.8
-        |  AND ((CASE WHEN position(' the ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' be ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' to ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' of ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' and ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' that ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' have ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN position(' with ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)) >= 1) AS keep_full,
+        |$CurateKeepFullSql AS keep_full,
         | md5(cleaned) AS cleaned_md5
-        |FROM g0 ORDER BY doc_id""".stripMargin,
+        |FROM g0 ORDER BY doc_id""").stripMargin,
+
+    // funnel replay: the SAME chain, stage totals + the keeper agg
+    "curate_funnel" ->
+      (s"""WITH $CurateChainCtes,
+        |kf AS (SELECT g0.doc_id, cleaned, c4_keep, wn,
+        |$CurateKeepFullSql AS g_keep FROM g0),
+        |rw AS (SELECT doc_id, len(words) AS rawn FROM d),
+        |j AS (SELECT kf.doc_id, cleaned, c4_keep, wn, g_keep, rw.rawn
+        |  FROM kf JOIN rw ON rw.doc_id = kf.doc_id),
+        |ddp AS (SELECT count(*) AS d, coalesce(sum(n), 0) AS t FROM
+        |  (SELECT md5(cleaned) AS h, min(wn) AS n FROM j WHERE g_keep
+        |   GROUP BY 1))
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(rawn), 0) AS BIGINT) AS n_tokens FROM j
+        | UNION ALL SELECT 1, 'c4',
+        |  CAST(sum(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c4_keep THEN wn ELSE 0 END), 0) AS BIGINT) FROM j
+        | UNION ALL SELECT 2, 'gopher',
+        |  CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN g_keep THEN wn ELSE 0 END), 0) AS BIGINT) FROM j
+        | UNION ALL SELECT 3, 'exact_dedup', CAST(d AS BIGINT), CAST(t AS BIGINT) FROM ddp
+        |) ORDER BY stage_idx""").stripMargin,
 
     "kafka_envelope" ->
       """SELECT doc_id,

@@ -1651,6 +1651,35 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("funnel report: hand-computed stage attrition, cumulative flags, " +
+       "exact-dedup terminal stage counts keepers not copies, " +
+       "determinism across partitionings") {
+    import spark.implicits._
+    // 4 docs: d4 fails stage A; d3 fails stage B; d1/d2 survive both
+    // and are exact clones → dedup keeps 1
+    val docs = Seq(
+      (1L, "x y z", true, true), (2L, "x y z", true, true),
+      (3L, "p q", true, false), (4L, "r s t u", false, false))
+      .toDF("doc_id", "text", "ka", "kb")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val out = Funnel.report(docs, toks,
+      Seq(("stage_a", col("ka"), toks), ("stage_b", col("kb"), toks)),
+      dedupOn = Some(col("text")))
+      .collect().map(r => (r.getAs[Long]("stage_idx"),
+        r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    assert(out === Seq(
+      (0L, "raw", 4L, 12L),        // 3+3+2+4
+      (1L, "stage_a", 3L, 8L),     // d1 d2 d3
+      (2L, "stage_b", 2L, 6L),     // d1 d2
+      (3L, "exact_dedup", 1L, 3L)))
+    val again = Funnel.report(docs.repartition(5), toks,
+      Seq(("stage_a", col("ka"), toks), ("stage_b", col("kb"), toks)),
+      dedupOn = Some(col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(again === out.map(t => Seq(t._1, t._2, t._3, t._4)))
+  }
+
   test("wimbd: exact top-k n-grams with string tie-break, summary card " +
        "hand-computed (dup gram/doc mass, histogram median), short-doc " +
        "n-gram guard, determinism across partitionings") {
