@@ -1697,6 +1697,14 @@ object SparkEntry {
       graft.pipeline.Wimbd.topNgrams(docsPar(s, dir), col("text"),
         n = 3, k = 20).orderBy("rank")),
 
+    // Heaps'-law vocabulary-growth curve: cumulative (tokens, types)
+    // along the deterministic md5 256-range document order — the
+    // tokenizer-budget sizing read; type side is a vocab-bounded
+    // min-range agg, both cumulative windows run on 256 metadata rows
+    "heaps_curve" -> ((s, dir) =>
+      graft.pipeline.Wimbd.heapsCurve(docsPar(s, dir), col("doc_id"),
+        col("text"), seed = "h1")),
+
     // WIMBD corpus summary card: duplicate n-gram mass, duplicate doc
     // mass (content-hash keeper), rank-condition histogram median —
     // one pass per read, bounded outputs
@@ -6091,6 +6099,26 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank,
         |  gram, cnt
         |FROM c ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // Heaps replay: the same md5 range order, min-range first
+    // appearance, 256-row cumulative windows
+    "heaps_curve" ->
+      """WITH r AS (SELECT
+        |  CAST(('0x' || substring(md5('h1|' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS rng,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tpr AS (SELECT rng, CAST(sum(len(w)) AS BIGINT) AS t FROM r GROUP BY 1),
+        |fw AS (SELECT word, min(rng) AS fr FROM
+        |  (SELECT rng, unnest(w) AS word FROM r) GROUP BY 1),
+        |nw AS (SELECT fr AS rng, CAST(count(*) AS BIGINT) AS v FROM fw GROUP BY 1),
+        |rs AS (SELECT range AS rng FROM range(256)),
+        |j AS (SELECT rs.rng, coalesce(tpr.t, 0) AS t, coalesce(nw.v, 0) AS v
+        |  FROM rs LEFT JOIN tpr ON tpr.rng = rs.rng
+        |  LEFT JOIN nw ON nw.rng = rs.rng)
+        |SELECT CAST(rng AS BIGINT) AS range,
+        |  CAST(sum(t) OVER (ORDER BY rng) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(v) OVER (ORDER BY rng) AS BIGINT) AS vocab_cum
+        |FROM j ORDER BY range""".stripMargin,
 
     // WIMBD summary card: dup gram/doc mass + histogram median
     "wimbd_summary" ->

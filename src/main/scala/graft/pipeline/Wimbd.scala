@@ -58,6 +58,49 @@ object Wimbd {
       .select(col("rank"), col("gram"), col("cnt"))
 
   /**
+   * Heaps'-law vocabulary-growth curve (Heaps 1978, "Information
+   * Retrieval: Computational and Theoretical Aspects" §5.7; Herdan's
+   * law) — V(n) ≈ K·nᵝ, the read that sizes tokenizer vocabularies and
+   * predicts how many new types the next 10× of crawl will bring. The
+   * "growing prefix" is the deterministic md5 256-range document order
+   * ([[Sampling.packSequences]]' device), so the curve is a pure
+   * function of (corpus, seed): per range, cumulative token count and
+   * cumulative NEW-word count, where a word's range of first appearance
+   * is `min(range)` over the docs containing it — an order-free
+   * aggregate, not a scan.
+   *
+   * Scale shape: token mass per range needs NO explode (a map-side
+   * size() sum); the type side is one word-keyed min-range agg
+   * (vocabulary-bounded state — Zipf) collapsed to a 256-row
+   * first-appearance histogram; both cumulative windows run over 256
+   * rows of metadata. Output: (range, tokens_cum, vocab_cum), 256 rows
+   * — the log-log β fit happens downstream on this bounded frame.
+   */
+  def heapsCurve(df: DataFrame, idCol: Column, textCol: Column,
+                 seed: String): DataFrame = {
+    val spark = df.sparkSession
+    val rng = conv(substring(md5(concat(lit(seed), lit("|"),
+      idCol.cast("string"))), 1, 2), 16, 10).cast("int").as("rng")
+    val perRange = df.select(rng, size(toks(textCol)).as("n"))
+      .groupBy("rng").agg(sum("n").as("t"))
+    val newWords = df.select(rng, explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(min("rng").as("fr"))
+      .groupBy(col("fr").as("rng")).agg(count(lit(1)).as("v"))
+    val ranges = spark.range(256).select(col("id").cast("int").as("rng"))
+    val w = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranges
+      .join(perRange, Seq("rng"), "left")
+      .join(newWords, Seq("rng"), "left")
+      .select(col("rng"), coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .select(col("rng").cast("long").as("range"),
+        sum(col("t")).over(w).as("tokens_cum"),
+        sum(col("v")).over(w).as("vocab_cum"))
+      .orderBy("range")
+  }
+
+  /**
    * The corpus summary card: one row of
    * (n_docs, n_tokens, n_gram_tokens, n_gram_types, dup_gram_micro,
    * dup_doc_micro, median_len) for n-grams of order `n` —

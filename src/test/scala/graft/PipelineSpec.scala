@@ -1651,6 +1651,28 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("heaps curve: 256 monotone rows, totals equal corpus token and " +
+       "type counts, repeated words count once at first appearance, " +
+       "determinism across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "alpha epsilon"), (4L, "zeta")).toDF("doc_id", "text")
+    val out = Wimbd.heapsCurve(docs, col("doc_id"), col("text"), "h1")
+      .collect()
+    assert(out.length === 256)
+    val toksCum = out.map(_.getAs[Long]("tokens_cum"))
+    val vocabCum = out.map(_.getAs[Long]("vocab_cum"))
+    assert(toksCum.last === 9L)   // 3+3+2+1 tokens
+    assert(vocabCum.last === 6L)  // alpha beta gamma delta epsilon zeta
+    assert(toksCum.zip(toksCum.tail).forall { case (a, b) => a <= b })
+    assert(vocabCum.zip(vocabCum.tail).forall { case (a, b) => a <= b })
+    // vocab never exceeds tokens at any prefix
+    assert(toksCum.zip(vocabCum).forall { case (t, v) => v <= t })
+    val again = Wimbd.heapsCurve(docs.repartition(5), col("doc_id"),
+      col("text"), "h1").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("funnel report: hand-computed stage attrition, cumulative flags, " +
        "exact-dedup terminal stage counts keepers not copies, " +
        "determinism across partitionings") {
