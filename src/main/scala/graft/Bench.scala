@@ -27,7 +27,13 @@ object Bench {
     // single hot segment — the bloom probe stays map-side and the keeper
     // min-agg collapses the mass before its shuffle (the dedup_segments
     // skew argument, now measured on the bloom plane too)
-    "dedup_paragraphs_bloom")
+    "dedup_paragraphs_bloom",
+    // r15: the 30% mass puts boilerplate terms (df ≈ 30%) in ~a third
+    // of the queries — every such query's candidate set becomes the
+    // whole mass, and the per-qid rank windows eat it. The capped twin
+    // (df cap 20% < the mass's 30%) drops those terms from scoring, so
+    // the pair brackets the stop-word funnel like the capped-LSH pair
+    "bm25_topk", "bm25_topk_capped")
 
   /**
    * Derive a mass-duplicated variant of the sf documents table and stage it

@@ -1728,6 +1728,33 @@ object SparkEntry {
       Bm25.topK(docs, qs, k = 5).orderBy("qid", "rnk")
     }),
 
+    // The df-capped BM25 variant (stop-word pruning, the capped-LSH
+    // pattern): terms carried by > 20% of docs drop from scoring, so a
+    // boilerplate query term cannot drag the corpus into the per-query
+    // rank windows — the skew_bm25 bench pair measures exactly this
+    // (the skew corpus's duplicated mass puts 30%-df terms in ~a third
+    // of the queries; the cap removes them, the uncapped row eats
+    // them). The fixture derives a per-doc rare term (letter-encoded
+    // doc id — the synthetic vocabulary is uniformly common, so an
+    // underived capped result would be empty) and queries carry 4
+    // common words + their own rare term: under the cap each query
+    // retrieves by its rare terms alone.
+    "bm25_topk_capped" -> ((s, dir) => {
+      import graft.pipeline.Bm25
+      val derived = docsPar(s, dir).withColumn("text",
+        concat(col("text"), lit(" uniq"),
+          translate(col("doc_id").cast("string"), "0123456789",
+            "abcdefghij")))
+      val t = filter(split(regexp_replace(lower(col("text")),
+        "[^a-z ]", ""), " "), w => w =!= "")
+      val qs = derived.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", array_join(slice(t, 1, 4), " "),
+            element_at(t, -1)).as("qtext"))
+      Bm25.topK(derived, qs, k = 5, dfCapMicro = 200000L)
+        .orderBy("qid", "rnk")
+    }),
+
     // WordPiece tokenizer induction (Schuster & Nakajima 2012 — BERT's
     // vocabulary algorithm): BPE's data movement under the LIKELIHOOD
     // merge rule — each round one adjacent-pair count + one
@@ -4070,14 +4097,22 @@ object SparkEntry {
     * in HUGEINT (the Spark side's DECIMAL(38,0) div), (score desc,
     * doc_id) ranking. The saturation constants are emitted from the
     * same K1/B centi-unit parameters the Scala defaults use. */
-  private val Bm25TopKOracle: String = {
+  private def bm25Oracle(dfCapMicro: Long, derived: Boolean = false): String = {
     val (k1, b) = (120L, 75L)
+    val srcSql =
+      if (!derived) "documents"
+      else "(SELECT doc_id, text || ' uniq' || " +
+        "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') " +
+        "AS text FROM documents)"
+    val qwSql =
+      if (!derived) "list_slice(w, 1, 8)"
+      else "list_slice(w, 1, 4) || [w[len(w)]]"
     val (cNum, cTf, cT, cLen) =
       (100L * (100L + k1), 10000L, k1 * (100L - b), k1 * b)
     s"""WITH tk AS (SELECT doc_id, list_filter(string_split(
        |    regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-       |    x -> x <> '') AS w FROM documents),
-       |q AS (SELECT doc_id AS qid, list_slice(w, 1, 8) AS qw FROM tk
+       |    x -> x <> '') AS w FROM $srcSql),
+       |q AS (SELECT doc_id AS qid, $qwSql AS qw FROM tk
        |  WHERE doc_id % 101 = 0),
        |qt AS (SELECT DISTINCT qid, t.term FROM q, unnest(qw) AS t(term)),
        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -4088,7 +4123,8 @@ object SparkEntry {
        |  FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
        |  GROUP BY 1, 2, 3),
        |dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM post GROUP BY 1),
+       |  FROM post GROUP BY 1
+       |  HAVING count(DISTINCT doc_id) * 1000000 <= $dfCapMicro * (SELECT n FROM nt)),
        |idf AS (SELECT term,
        |  CAST(round(ln(CAST(2*(SELECT n FROM nt)+2 AS DOUBLE))*1000000) AS BIGINT)
        |  - CAST(round(ln(CAST(2*df+1 AS DOUBLE))*1000000) AS BIGINT) AS idf_micro
@@ -6083,7 +6119,8 @@ object SparkEntry {
     "unigram_encode" -> UnigramEncodeOracle,
     "wordpiece_train" -> WordPieceTrainOracle,
     "wordpiece_encode" -> WordPieceEncodeOracle,
-    "bm25_topk" -> Bm25TopKOracle,
+    "bm25_topk" -> bm25Oracle(1000000L),
+    "bm25_topk_capped" -> bm25Oracle(200000L, derived = true),
     "perplexity_kn" -> PerplexityKnOracle,
 
     "export_examples_ids" -> ExportExamplesIdsOracle,

@@ -54,9 +54,20 @@ object Bm25 {
    * `docs` carries (doc_id, text); `queries` carries (qid, qtext) and
    * must be broadcast-sized (benchmark-scale — the decontamination
    * contract; beyond broadcast width, shard the query set and union).
+   *
+   * `dfCapMicro` bounds the query-matching sliver under stop-word-like
+   * query terms (the adversarial shape for the pre-shuffle semi-join:
+   * ONE term carried by most of the corpus drags the whole corpus into
+   * the postings shuffle): a term whose document frequency exceeds
+   * `dfCapMicro`·N/10⁶ is dropped from scoring entirely — the standard
+   * IR stop-word-pruning trade (such terms carry near-zero IDF anyway;
+   * Lucene deployments routinize the same cut). The default 10⁶ keeps
+   * every term. The capped variant is exactly reproducible: the cut is
+   * an integer comparison on exact df.
    */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
-           k1Centi: Int = 120, bCenti: Int = 75): DataFrame = {
+           k1Centi: Int = 120, bCenti: Int = 75,
+           dfCapMicro: Long = 1000000L): DataFrame = {
     val qterms = queries
       .select(col("qid"), explode(array_distinct(toks(col("qtext"))))
         .as("term"))
@@ -76,6 +87,7 @@ object Bm25 {
     val lnN = lnMicro(2L * n + 2L)
     val dfs = postings.groupBy("term")
       .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") * 1000000L <= lit(dfCapMicro) * n)
       .withColumn("idf_micro",
         lit(lnN) - expr("CAST(round(ln(CAST(2*df+1 AS DOUBLE))*1000000) AS BIGINT)"))
     val contrib = postings

@@ -1785,6 +1785,13 @@ class PipelineSpec extends SparkSpec {
     val again = Bm25.topK(docs.repartition(5), qs, k = 5)
       .orderBy("rnk").collect()
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // df cap: "cat" sits in 2/3 docs → dropped at cap 0.5, kept at 0.7;
+    // a capped run with no over-cap terms equals the uncapped run
+    val capped = Bm25.topK(docs, qs, k = 5, dfCapMicro = 500000L).collect()
+    assert(capped.isEmpty)
+    val loose = Bm25.topK(docs, qs, k = 5, dfCapMicro = 700000L)
+      .orderBy("rnk").collect()
+    assert(loose.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
   test("wordpiece train: likelihood score outranks raw pair frequency, " +
