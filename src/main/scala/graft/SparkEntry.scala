@@ -927,6 +927,21 @@ object SparkEntry {
           col("probMicro").as("prob_micro"))
         .orderBy("doc_id")),
 
+    // TRAINED logistic quality classifier (fastText-class linear model,
+    // Joulin 2016; the DCLM curation stage, Li 2024 §4.4): 2 full-batch
+    // GD epochs over the hashed-unigram space — weights are ≤1024-row
+    // driver metadata re-embedded per epoch; every arithmetic leg is
+    // the established device (per-doc micro sigmoid, decimal gradient
+    // sums, truncating-division updates that replay in any engine)
+    "quality_logistic" -> ((s, dir) =>
+      Classifier.logisticScores(docsPar(s, dir), col("doc_id"),
+        col("text"), col("source").isin("src0", "src1"), steps = 2)
+        .select(col("docId").as("doc_id"),
+          col("nTokens").cast("long").as("n_tokens"),
+          col("dotMicro").cast("long").as("dot_micro"),
+          col("probMicro").as("prob_micro"))
+        .orderBy("doc_id")),
+
     // the paper's full filter: keep iff pareto(9) > 1 − score, the
     // variate drawn from the doc-id hash so the decision replays exactly
     "quality_filter_pareto" -> ((s, dir) =>
@@ -4030,6 +4045,67 @@ object SparkEntry {
         |   + (CASE WHEN position(' have ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)
         |   + (CASE WHEN position(' with ' IN ' '||cleaned||' ') > 0 THEN 1 ELSE 0 END)) >= 1)""".stripMargin
 
+  /** Trained-logistic-classifier oracle (mirrors
+    * [[graft.pipeline.Classifier.logisticScores]] at steps = 2, lr =
+    * 1/2): one CTE block per GD epoch — per-doc dot under the previous
+    * epoch's weight map, the micro sigmoid, residuals, HUGEINT bucket
+    * gradients, truncating-division weight/bias updates (DuckDB `//`
+    * truncates toward zero exactly like Scala BigInt division) — then
+    * the final scoring pass under the last weights. */
+  private val QualityLogisticOracle: String = {
+    val steps = 2
+    val (lrNum, lrDen) = (1, 2)
+    def sig(dot: String, n: String, bias: String) =
+      s"CAST(round(1e6/(1 + exp(-((CAST($dot AS DOUBLE)/$n) + $bias)/1e6))) AS BIGINT)"
+    def sCte(t: Int) =
+      if (t == 1) s"s$t AS (SELECT d.doc_id, CAST(0 AS BIGINT) AS dot FROM d)"
+      else
+        s"""s$t AS (SELECT c.doc_id,
+           |  CAST(sum(c.cnt * coalesce(wm${t - 1}.m[c.b][1], 0)) AS BIGINT) AS dot
+           |  FROM c CROSS JOIN wm${t - 1} GROUP BY 1)""".stripMargin
+    def biasRef(t: Int) =
+      if (t == 1) "0.0" else s"CAST((SELECT bias FROM b${t - 1}) AS DOUBLE)"
+    val epochs = (1 to steps).map { t =>
+      val wSel =
+        if (t == 1)
+          s"SELECT g1.b, CAST(($lrNum * g1.g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS w FROM g1"
+        else
+          s"""SELECT w${t - 1}.b, CAST(w${t - 1}.w +
+             |  ($lrNum * g$t.g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS w
+             |  FROM w${t - 1} JOIN g$t ON g$t.b = w${t - 1}.b""".stripMargin
+      val bPrev = if (t == 1) "0" else s"(SELECT bias FROM b${t - 1})"
+      s"""${sCte(t)},
+         |p$t AS (SELECT d.doc_id, d.n, d.hq, s$t.dot,
+         |  ${sig(s"s$t.dot", "d.n", biasRef(t))} AS sig
+         |  FROM d JOIN s$t USING (doc_id)),
+         |r$t AS (SELECT doc_id, (CASE WHEN hq THEN 1000000 ELSE 0 END) - sig AS r FROM p$t),
+         |g$t AS (SELECT c.b, sum(CAST(c.cnt AS HUGEINT) * r$t.r) AS g
+         |  FROM c JOIN r$t USING (doc_id) GROUP BY 1),
+         |bg$t AS (SELECT sum(CAST(r AS HUGEINT)) AS g FROM r$t),
+         |w$t AS ($wSel),
+         |b$t AS (SELECT CAST($bPrev +
+         |  ($lrNum * g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS bias FROM bg$t),
+         |wm$t AS (SELECT map(list(b), list(w)) AS m FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    val f = steps + 1
+    s"""WITH lt AS (SELECT doc_id, hq,
+       |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT doc_id, source IN ('src0', 'src1') AS hq,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
+       |  bool_and(hq) AS hq FROM lt GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+       |  bool_and(hq) AS hq FROM c GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+       |$epochs,
+       |s$f AS (SELECT c.doc_id,
+       |  CAST(sum(c.cnt * coalesce(wm$steps.m[c.b][1], 0)) AS BIGINT) AS dot
+       |  FROM c CROSS JOIN wm$steps GROUP BY 1)
+       |SELECT d.doc_id, d.n AS n_tokens, s$f.dot AS dot_micro,
+       |  ${sig(s"s$f.dot", "d.n", s"CAST((SELECT bias FROM b$steps) AS DOUBLE)")} AS prob_micro
+       |FROM d JOIN s$f USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Token-id export oracle: the BPE encode replay mapped through the
     * deterministic id assignment (eos 0, alphabet in char order, merged
     * pieces after in rank order), then the export_examples pack chain
@@ -6124,6 +6200,7 @@ object SparkEntry {
     "perplexity_kn" -> PerplexityKnOracle,
 
     "export_examples_ids" -> ExportExamplesIdsOracle,
+    "quality_logistic" -> QualityLogisticOracle,
 
     // WIMBD top-k n-grams: whitespace trigrams, (cnt desc, gram) ties
     "wimbd_ngrams" ->

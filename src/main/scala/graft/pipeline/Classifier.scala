@@ -102,6 +102,99 @@ object Classifier {
   }
 
   /**
+   * TRAINED logistic-regression quality classifier (Joulin et al. 2016,
+   * "Bag of Tricks for Efficient Text Classification" — the fastText
+   * linear model; the trained-classifier curation stage of DCLM, Li et
+   * al. 2024, arXiv:2406.11794 §4.4) over the SAME hashed-unigram
+   * feature space as [[qualityScores]]: where NB derives weights
+   * closed-form from counts, this FITS them by `steps` full-batch
+   * gradient-descent epochs on the logistic loss —
+   *
+   *   σ_doc   = σ((Σ_b cnt_b·w_b)/n_doc/1e6 + bias)   (micro-rounded,
+   *             the established per-doc sigmoid device)
+   *   grad_b  = Σ_docs cnt_b·(y − σ)                  (exact long/decimal
+   *             sum, order-independent)
+   *   w_b    += (lrNum·grad_b) / (lrDen·N)            (truncating integer
+   *             division — Scala BigInt `/`, Spark `div`, and DuckDB `//`
+   *             all truncate toward zero, so the update replays exactly)
+   *
+   * Weights live in integer micro-nats as driver metadata (≤ `buckets`
+   * rows, the DSIR/Lloyd bounded-model device) re-embedded as a map
+   * literal each epoch. Full-batch GD (not fastText's SGD) is the
+   * DOCUMENTED deviation: per-example updates are order-dependent and
+   * cannot be engine-replayed; the batch gradient is an
+   * order-independent sum, costs the same one pass per epoch, and is
+   * the standard distributed formulation.
+   *
+   * Scale shape: ONE corpus-scale token pass builds the per-(doc,
+   * bucket) count sliver (localCheckpoint'd — every epoch reads it, the
+   * corpus text is touched exactly once); each epoch is one doc-keyed
+   * scoring agg + one doc-keyed residual join + one bucket-keyed
+   * gradient agg (map-side partial into ≤ buckets rows; the gradient
+   * sums in DECIMAL(38,0) — corpus-scale residual mass overflows a
+   * long at the 100 TB design point).
+   *
+   * Returns (docId, nTokens, dotMicro, probMicro) under the final
+   * weights — dotMicro = Σ cnt·w exact, probMicro the micro-rounded
+   * classifier probability.
+   */
+  def logisticScores(df: DataFrame, idCol: Column, textCol: Column,
+                     isHq: Column, buckets: Int = 1024, steps: Int = 2,
+                     lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    require(steps >= 1 && lrNum > 0 && lrDen > 0, "bad GD config")
+    val toks = hashedTokens(df, idCol, textCol, isHq, buckets)
+    val cnts = toks.groupBy("docId", "b")
+      .agg(count(lit(1)).as("cnt"), first(col("isHq")).as("isHq"))
+      .localCheckpoint() // every epoch reads this, the corpus only once
+    val docs = cnts.groupBy("docId")
+      .agg(sum("cnt").as("n"), first(col("isHq")).as("isHq"))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    require(nDocs > 0, "logistic training needs a non-empty corpus")
+
+    def score(w: Map[Long, Long], bias: Long): DataFrame = {
+      val wCol =
+        if (w.isEmpty) lit(0L)
+        else coalesce(element_at(typedlit(w), col("b")), lit(0L))
+      val s = cnts.groupBy("docId")
+        .agg(sum(col("cnt") * wCol).as("dotMicro"))
+      docs.join(s, "docId")
+        .withColumn("probMicro",
+          round(lit(1e6) / (lit(1.0) + exp(
+            -(col("dotMicro").cast("double") / col("n").cast("double")
+              + bias.toDouble) / 1e6))).cast("long"))
+    }
+
+    var w = Map.empty[Long, Long]
+    var bias = 0L
+    var t = 0
+    while (t < steps) {
+      val scored = score(w, bias)
+        .withColumn("r",
+          when(col("isHq"), lit(1000000L)).otherwise(lit(0L))
+            - col("probMicro"))
+      val grads = cnts.join(scored.select("docId", "r"), "docId")
+        .groupBy("b")
+        .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * r")).as("g"))
+        .collect().map(x => x.getAs[Long]("b") ->
+          BigInt(x.getAs[java.math.BigDecimal]("g").toBigInteger)).toMap
+      val bg = BigInt(scored
+        .agg(coalesce(sum(expr("CAST(r AS DECIMAL(38,0))")),
+          lit(java.math.BigDecimal.ZERO)).as("g"))
+        .collect()(0).getAs[java.math.BigDecimal]("g").toBigInteger)
+      val den = BigInt(lrDen) * nDocs
+      w = (w.keySet ++ grads.keySet).iterator.map { b =>
+        b -> (w.getOrElse(b, 0L) +
+          ((BigInt(lrNum) * grads.getOrElse(b, BigInt(0))) / den).toLong)
+      }.toMap
+      bias = bias + ((BigInt(lrNum) * bg) / den).toLong
+      t += 1
+    }
+    score(w, bias).select(col("docId"), col("n").as("nTokens"),
+      col("dotMicro"), col("probMicro"))
+  }
+
+  /**
    * The full GPT-3 Appendix-A filter: score, draw the document's Pareto
    * variate from its id hash, keep iff `pareto > 1 − prob` — compared in
    * micro-units so the decision is a long comparison. Returns every

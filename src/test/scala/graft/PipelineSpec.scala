@@ -1651,6 +1651,32 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("logistic classifier: two full-batch GD epochs reproduce the " +
+       "hand-derived weights on a separable pair, probabilities " +
+       "separate by label, determinism across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa", true), (2L, "bbb bbb", false))
+      .toDF("doc_id", "text", "hq")
+    val out = Classifier.logisticScores(docs, col("doc_id"), col("text"),
+      col("hq"), steps = 2).collect()
+      .map(r => r.getAs[Long]("docId") ->
+        (r.getAs[Long]("dotMicro"), r.getAs[Long]("probMicro"))).toMap
+    // epoch 1: sigma = 0.5 both, r = ±5e5, grad = ±1e6, w = ±1e6/4;
+    // epoch 2: sigma(0.25) = 562177, r = ±437823, grad = ±875646,
+    // w = ±(250000 + 218911) = ±468911 → dot = ±937822
+    assert(out(1L)._1 === 937822L)
+    assert(out(2L)._1 === -937822L)
+    val expectHq = math.round(1e6 / (1.0 + math.exp(-0.468911)))
+    assert(out(1L)._2 === expectHq)
+    assert(out(2L)._2 === 1000000L - expectHq)
+    assert(out(1L)._2 > out(2L)._2)
+    val again = Classifier.logisticScores(docs.repartition(5),
+      col("doc_id"), col("text"), col("hq"), steps = 2).collect()
+      .map(r => r.getAs[Long]("docId") ->
+        (r.getAs[Long]("dotMicro"), r.getAs[Long]("probMicro"))).toMap
+    assert(again === out)
+  }
+
   test("heaps curve: 256 monotone rows, totals equal corpus token and " +
        "type counts, repeated words count once at first appearance, " +
        "determinism across partitionings") {
