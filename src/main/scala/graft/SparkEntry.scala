@@ -2012,6 +2012,76 @@ object SparkEntry {
     // enough to trip the >5% doc-removal rule only in the former),
     // a digits-only line (doc%5), a "<n> likes" counter (doc%6), and a
     // one-word line (doc%4)
+    // The composed DCLM-Baseline pipeline (Li et al. 2024,
+    // arXiv:2406.11794 §4, the paper's stage order): RefinedWeb-style
+    // heuristic line filtering → paragraph dedup against the src0
+    // history (the paper's Bloom stage) → the TRAINED fastText-class
+    // classifier keeping the top 10% by score (multiset rank-condition
+    // threshold — the tertile device in descending order). Each stage
+    // rides its standalone query's exact machinery.
+    "dclm_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsPar(s, dir)
+      val words = split(col("text"), " ")
+      val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+      val baseLines = transform(sequence(lit(0), nLines - 1), i => {
+        val li = array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+        when(col("doc_id") % 9 === 0 && i % 4 === 0, upper(li))
+          .when(col("doc_id") % 7 === 0 && i === 0, upper(li))
+          .otherwise(li)
+      })
+      val page = concat(array_join(baseLines, "\n"),
+        when(col("doc_id") % 5 === 0, lit("\n12345")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n"), (col("doc_id") % 90 + 1).cast("string"),
+            lit(" likes"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nsubscribe")).otherwise(lit("")))
+      val fmap = TextAnalysis.refinedWebLineCorrections(page).toMap
+      // stage 1 survivors staged: the frame feeds BOTH dedup inputs.
+      // NB the cleaned column is renamed to `text` in a SECOND select:
+      // aliasing it to `text` in the same projection would make the
+      // sibling keep expression's col("text") resolve to the ALIAS via
+      // Spark's lateral-column-alias rule (observed: 254 vs 325
+      // survivors), not the input column
+      val corrected = docs.select(col("doc_id"), col("source"),
+          fmap("cleaned").as("cleanedText"), fmap("keep").as("rwKeep"))
+        .filter(col("rwKeep"))
+        .select(col("doc_id"), col("source"),
+          col("cleanedText").as("text"))
+        .localCheckpoint()
+      // stage 2: paragraph dedup, prior = the src0 history
+      val dd = Dedup.dedupSegmentsBloom(
+        corrected.filter(col("source") =!= "src0"), col("doc_id"),
+        Dedup.wordWindows(col("text"), 20),
+        corrected.filter(col("source") === "src0"),
+        Dedup.wordWindows(col("text"), 20),
+        expectedItems = 100000L, fpp = 1e-9)
+        .localCheckpoint() // feeds scoring AND the output join
+      // stage 3: classifier trained on the labeled RAW corpus, scoring
+      // the dedup survivors, top decile kept
+      val (w, bias) = Classifier.logisticModel(docs, col("doc_id"),
+        col("text"), col("source").isin("src0", "src1"), steps = 2)
+      val scored = Classifier.logisticApply(dd, col("docId"), col("text"),
+        w, bias).localCheckpoint() // feeds the threshold AND the output
+      val wCum = Window.orderBy(col("probMicro").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("probMicro").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = scored.groupBy("probMicro").agg(count(lit(1)).as("c"))
+        .select(col("probMicro"), sum(col("c")).over(wCum).as("cum"),
+          sum(col("c")).over(wAll).as("nn"))
+        .agg(max(when(lit(10) * col("cum") >= col("nn"), col("probMicro")))
+          .as("t"))
+        .collect()(0).getAs[Long]("t")
+      dd.join(scored.select(col("docId"), col("probMicro")), "docId")
+        .select(col("docId").as("doc_id"),
+          col("nSegments").cast("long").as("n_segments"),
+          col("nDropped").cast("long").as("n_dropped"),
+          col("probMicro").as("prob_micro"),
+          (col("probMicro") >= t).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "refinedweb_lines" -> ((s, dir) => {
       val words = split(col("text"), " ")
       val nLines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
@@ -4052,58 +4122,73 @@ object SparkEntry {
     * gradients, truncating-division weight/bias updates (DuckDB `//`
     * truncates toward zero exactly like Scala BigInt division) — then
     * the final scoring pass under the last weights. */
-  private val QualityLogisticOracle: String = {
+  /** The logistic GD chain as prefixed CTEs (mirrors
+    * [[graft.pipeline.Classifier.logisticModel]] at steps = 2, lr =
+    * 1/2): one block per epoch — per-doc dot under the previous epoch's
+    * weight map, the micro sigmoid, residuals, HUGEINT bucket
+    * gradients, truncating-division weight/bias updates (DuckDB `//`
+    * truncates toward zero exactly like Scala BigInt division). Ends at
+    * `${p}wm2` (weight map) and `${p}b2` (bias); `${p}c`/`${p}d` hold
+    * the per-(doc, bucket) counts and doc totals of `src`. */
+  private def logisticChainSql(p: String, src: String = "documents"): String = {
     val steps = 2
     val (lrNum, lrDen) = (1, 2)
     def sig(dot: String, n: String, bias: String) =
       s"CAST(round(1e6/(1 + exp(-((CAST($dot AS DOUBLE)/$n) + $bias)/1e6))) AS BIGINT)"
     def sCte(t: Int) =
-      if (t == 1) s"s$t AS (SELECT d.doc_id, CAST(0 AS BIGINT) AS dot FROM d)"
+      if (t == 1) s"${p}s$t AS (SELECT ${p}d.doc_id, CAST(0 AS BIGINT) AS dot FROM ${p}d)"
       else
-        s"""s$t AS (SELECT c.doc_id,
-           |  CAST(sum(c.cnt * coalesce(wm${t - 1}.m[c.b][1], 0)) AS BIGINT) AS dot
-           |  FROM c CROSS JOIN wm${t - 1} GROUP BY 1)""".stripMargin
+        s"""${p}s$t AS (SELECT ${p}c.doc_id,
+           |  CAST(sum(${p}c.cnt * coalesce(${p}wm${t - 1}.m[${p}c.b][1], 0)) AS BIGINT) AS dot
+           |  FROM ${p}c CROSS JOIN ${p}wm${t - 1} GROUP BY 1)""".stripMargin
     def biasRef(t: Int) =
-      if (t == 1) "0.0" else s"CAST((SELECT bias FROM b${t - 1}) AS DOUBLE)"
+      if (t == 1) "0.0" else s"CAST((SELECT bias FROM ${p}b${t - 1}) AS DOUBLE)"
     val epochs = (1 to steps).map { t =>
       val wSel =
         if (t == 1)
-          s"SELECT g1.b, CAST(($lrNum * g1.g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS w FROM g1"
+          s"SELECT ${p}g1.b, CAST(($lrNum * ${p}g1.g) // ($lrDen * (SELECT nd FROM ${p}nd)) AS BIGINT) AS w FROM ${p}g1"
         else
-          s"""SELECT w${t - 1}.b, CAST(w${t - 1}.w +
-             |  ($lrNum * g$t.g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS w
-             |  FROM w${t - 1} JOIN g$t ON g$t.b = w${t - 1}.b""".stripMargin
-      val bPrev = if (t == 1) "0" else s"(SELECT bias FROM b${t - 1})"
+          s"""SELECT ${p}w${t - 1}.b, CAST(${p}w${t - 1}.w +
+             |  ($lrNum * ${p}g$t.g) // ($lrDen * (SELECT nd FROM ${p}nd)) AS BIGINT) AS w
+             |  FROM ${p}w${t - 1} JOIN ${p}g$t ON ${p}g$t.b = ${p}w${t - 1}.b""".stripMargin
+      val bPrev = if (t == 1) "0" else s"(SELECT bias FROM ${p}b${t - 1})"
       s"""${sCte(t)},
-         |p$t AS (SELECT d.doc_id, d.n, d.hq, s$t.dot,
-         |  ${sig(s"s$t.dot", "d.n", biasRef(t))} AS sig
-         |  FROM d JOIN s$t USING (doc_id)),
-         |r$t AS (SELECT doc_id, (CASE WHEN hq THEN 1000000 ELSE 0 END) - sig AS r FROM p$t),
-         |g$t AS (SELECT c.b, sum(CAST(c.cnt AS HUGEINT) * r$t.r) AS g
-         |  FROM c JOIN r$t USING (doc_id) GROUP BY 1),
-         |bg$t AS (SELECT sum(CAST(r AS HUGEINT)) AS g FROM r$t),
-         |w$t AS ($wSel),
-         |b$t AS (SELECT CAST($bPrev +
-         |  ($lrNum * g) // ($lrDen * (SELECT nd FROM nd)) AS BIGINT) AS bias FROM bg$t),
-         |wm$t AS (SELECT map(list(b), list(w)) AS m FROM w$t)""".stripMargin
+         |${p}p$t AS (SELECT ${p}d.doc_id, ${p}d.n, ${p}d.hq, ${p}s$t.dot,
+         |  ${sig(s"${p}s$t.dot", s"${p}d.n", biasRef(t))} AS sig
+         |  FROM ${p}d JOIN ${p}s$t USING (doc_id)),
+         |${p}r$t AS (SELECT doc_id, (CASE WHEN hq THEN 1000000 ELSE 0 END) - sig AS r FROM ${p}p$t),
+         |${p}g$t AS (SELECT ${p}c.b, sum(CAST(${p}c.cnt AS HUGEINT) * ${p}r$t.r) AS g
+         |  FROM ${p}c JOIN ${p}r$t USING (doc_id) GROUP BY 1),
+         |${p}bg$t AS (SELECT sum(CAST(r AS HUGEINT)) AS g FROM ${p}r$t),
+         |${p}w$t AS ($wSel),
+         |${p}b$t AS (SELECT CAST($bPrev +
+         |  ($lrNum * g) // ($lrDen * (SELECT nd FROM ${p}nd)) AS BIGINT) AS bias FROM ${p}bg$t),
+         |${p}wm$t AS (SELECT map(list(b), list(w)) AS m FROM ${p}w$t)""".stripMargin
     }.mkString(",\n")
-    val f = steps + 1
-    s"""WITH lt AS (SELECT doc_id, hq,
+    s"""${p}lt AS (SELECT doc_id, hq,
        |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
        |  FROM (SELECT doc_id, source IN ('src0', 'src1') AS hq,
-       |    unnest(string_split(text, ' ')) AS tok FROM documents)),
-       |c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
-       |  bool_and(hq) AS hq FROM lt GROUP BY 1, 2),
-       |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
-       |  bool_and(hq) AS hq FROM c GROUP BY 1),
-       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
-       |$epochs,
-       |s$f AS (SELECT c.doc_id,
-       |  CAST(sum(c.cnt * coalesce(wm$steps.m[c.b][1], 0)) AS BIGINT) AS dot
-       |  FROM c CROSS JOIN wm$steps GROUP BY 1)
-       |SELECT d.doc_id, d.n AS n_tokens, s$f.dot AS dot_micro,
-       |  ${sig(s"s$f.dot", "d.n", s"CAST((SELECT bias FROM b$steps) AS DOUBLE)")} AS prob_micro
-       |FROM d JOIN s$f USING (doc_id) ORDER BY d.doc_id""".stripMargin
+       |    unnest(string_split(text, ' ')) AS tok FROM $src)),
+       |${p}c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt,
+       |  bool_and(hq) AS hq FROM ${p}lt GROUP BY 1, 2),
+       |${p}d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+       |  bool_and(hq) AS hq FROM ${p}c GROUP BY 1),
+       |${p}nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ${p}d),
+       |$epochs""".stripMargin
+  }
+
+  /** Trained-logistic-classifier oracle: the GD chain + the final
+    * scoring pass under the last weights. */
+  private val QualityLogisticOracle: String = {
+    def sig(dot: String, n: String, bias: String) =
+      s"CAST(round(1e6/(1 + exp(-((CAST($dot AS DOUBLE)/$n) + $bias)/1e6))) AS BIGINT)"
+    s"""WITH ${logisticChainSql("")},
+       |s3 AS (SELECT c.doc_id,
+       |  CAST(sum(c.cnt * coalesce(wm2.m[c.b][1], 0)) AS BIGINT) AS dot
+       |  FROM c CROSS JOIN wm2 GROUP BY 1)
+       |SELECT d.doc_id, d.n AS n_tokens, s3.dot AS dot_micro,
+       |  ${sig("s3.dot", "d.n", "CAST((SELECT bias FROM b2) AS DOUBLE)")} AS prob_micro
+       |FROM d JOIN s3 USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   /** Token-id export oracle: the BPE encode replay mapped through the
@@ -6201,6 +6286,80 @@ object SparkEntry {
 
     "export_examples_ids" -> ExportExamplesIdsOracle,
     "quality_logistic" -> QualityLogisticOracle,
+
+    // the composed DCLM replay: the refinedweb_lines chain carrying
+    // source, the paragraph chain over the corrected survivors, the
+    // shared logistic GD chain (prefix q, trained on raw documents),
+    // survivor scoring, and the top-decile rank-condition threshold
+    "dclm_e2e" -> {
+      def sig(dot: String, n: String, bias: String) =
+        s"CAST(round(1e6/(1 + exp(-((CAST($dot AS DOUBLE)/$n) + $bias)/1e6))) AS BIGINT)"
+      raw"""WITH rd AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         |rn2 AS (SELECT doc_id, source, words,
+         |  CAST(greatest(ceil(len(words)/10.0), 1) AS INT) AS nl FROM rd),
+         |rln AS (SELECT doc_id, source, words, unnest(generate_series(0, nl-1)) AS i FROM rn2),
+         |rl0 AS (SELECT doc_id, source, i,
+         |  array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS li FROM rln),
+         |rl1 AS (SELECT doc_id, source, i,
+         |  CASE WHEN doc_id % 9 = 0 AND i % 4 = 0 THEN upper(li)
+         |       WHEN doc_id % 7 = 0 AND i = 0 THEN upper(li)
+         |       ELSE li END AS line FROM rl0),
+         |rpg0 AS (SELECT doc_id, source, string_agg(line, chr(10) ORDER BY i) AS page0
+         |  FROM rl1 GROUP BY doc_id, source),
+         |rpg AS (SELECT doc_id, source, page0
+         |  || (CASE WHEN doc_id % 5 = 0 THEN chr(10)||'12345' ELSE '' END)
+         |  || (CASE WHEN doc_id % 6 = 0
+         |      THEN chr(10)||CAST(doc_id % 90 + 1 AS VARCHAR)||' likes' ELSE '' END)
+         |  || (CASE WHEN doc_id % 4 = 0 THEN chr(10)||'subscribe' ELSE '' END) AS page
+         |  FROM rpg0),
+         |rcl AS (SELECT doc_id, source, page,
+         |  list_filter(string_split(page, chr(10)), l -> NOT (
+         |    (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) > 0
+         |     AND CAST(length(regexp_replace(trim(l), '[^A-Z]', '', 'g')) AS DOUBLE)
+         |         >= 0.6 * length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')))
+         |    OR regexp_matches(trim(l), '^[0-9]+$$')
+         |    OR regexp_matches(trim(l), '^[0-9]+ (likes?|views?|comments?|shares?|retweets?|upvotes?)$$')
+         |    OR (length(trim(l)) > 0 AND NOT regexp_matches(trim(l), '\s'))
+         |  )) AS kept FROM rpg),
+         |rwc AS (SELECT doc_id, source,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text
+         |  FROM rcl
+         |  WHERE CAST(length(page) - length(coalesce(array_to_string(kept, chr(10)), '')) AS DOUBLE)
+         |        <= 0.05 * length(page)),
+         |ddocs AS (SELECT doc_id, source, string_split(text,' ') AS words FROM rwc),
+         |dsegi AS (SELECT doc_id, source, words,
+         |  unnest(generate_series(0, CAST(ceil(len(words)/20.0) AS INT)-1)) AS i FROM ddocs),
+         |dseg AS (SELECT doc_id, source, i,
+         |  array_to_string(list_slice(words, i*20+1, i*20+20),' ') AS s FROM dsegi),
+         |dpri AS (SELECT DISTINCT s FROM dseg WHERE source = 'src0'),
+         |dtot AS (SELECT doc_id, count(*) AS n FROM dseg WHERE source <> 'src0' GROUP BY doc_id),
+         |dfresh AS (SELECT doc_id, i, s FROM dseg
+         |  WHERE source <> 'src0' AND s NOT IN (SELECT s FROM dpri)),
+         |dkeep AS (SELECT doc_id, i, s,
+         |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn FROM dfresh),
+         |ddres AS (SELECT k.doc_id, CAST(t.n AS BIGINT) AS n_segments,
+         |  CAST(t.n - count(*) AS BIGINT) AS n_dropped,
+         |  string_agg(k.s, ' ' ORDER BY k.i) AS text
+         |  FROM dkeep k JOIN dtot t USING (doc_id) WHERE k.rn = 1
+         |  GROUP BY k.doc_id, t.n),
+         |${logisticChainSql("q")},
+         |sc AS (SELECT tt.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(qwm2.m[tt.b][1], 0)) AS BIGINT) AS dot
+         |  FROM (SELECT doc_id,
+         |      CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |          FROM ddres)) tt CROSS JOIN qwm2 GROUP BY 1),
+         |pr AS (SELECT doc_id, n, dot,
+         |  ${sig("dot", "n", "CAST((SELECT bias FROM qb2) AS DOUBLE)")} AS prob FROM sc),
+         |th AS (SELECT max(CASE WHEN 10 * cum >= nn THEN prob END) AS t FROM
+         |  (SELECT prob, sum(c) OVER (ORDER BY prob DESC) AS cum,
+         |     sum(c) OVER () AS nn FROM
+         |   (SELECT prob, count(*) AS c FROM pr GROUP BY 1)))
+         |SELECT dd.doc_id, dd.n_segments, dd.n_dropped,
+         |  pr.prob AS prob_micro, pr.prob >= th.t AS kept
+         |FROM ddres dd JOIN pr USING (doc_id) CROSS JOIN th
+         |ORDER BY dd.doc_id""".stripMargin
+    },
 
     // WIMBD top-k n-grams: whitespace trigrams, (cnt desc, gram) ties
     "wimbd_ngrams" ->

@@ -141,6 +141,18 @@ object Classifier {
   def logisticScores(df: DataFrame, idCol: Column, textCol: Column,
                      isHq: Column, buckets: Int = 1024, steps: Int = 2,
                      lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    val (w, bias) = logisticModel(df, idCol, textCol, isHq, buckets,
+      steps, lrNum, lrDen)
+    logisticApply(df, idCol, textCol, w, bias, buckets)
+  }
+
+  /** Train the logistic model alone: (bucket → micro-nat weight, bias)
+    * — bounded driver metadata, appliable to ANY text frame (the DCLM
+    * composition trains on the labeled corpus and scores dedup
+    * survivors). See [[logisticScores]] for the algorithm. */
+  def logisticModel(df: DataFrame, idCol: Column, textCol: Column,
+                    isHq: Column, buckets: Int = 1024, steps: Int = 2,
+                    lrNum: Long = 1L, lrDen: Long = 2L): (Map[Long, Long], Long) = {
     require(steps >= 1 && lrNum > 0 && lrDen > 0, "bad GD config")
     val toks = hashedTokens(df, idCol, textCol, isHq, buckets)
     val cnts = toks.groupBy("docId", "b")
@@ -190,8 +202,28 @@ object Classifier {
       bias = bias + ((BigInt(lrNum) * bg) / den).toLong
       t += 1
     }
-    score(w, bias).select(col("docId"), col("n").as("nTokens"),
-      col("dotMicro"), col("probMicro"))
+    (w, bias)
+  }
+
+  /** Score any text frame under a trained logistic model: one map-side
+    * bucket pass + one doc-keyed agg — (docId, nTokens, dotMicro,
+    * probMicro). */
+  def logisticApply(df: DataFrame, idCol: Column, textCol: Column,
+                    w: Map[Long, Long], bias: Long,
+                    buckets: Int = 1024): DataFrame = {
+    val wCol =
+      if (w.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(w), col("b")), lit(0L))
+    hashedTokens(df, idCol, textCol, lit(false), buckets)
+      .groupBy("docId")
+      .agg(count(lit(1)).as("nTokens"),
+        sum(wCol).as("dotMicro"))
+      .withColumn("probMicro",
+        round(lit(1e6) / (lit(1.0) + exp(
+          -(col("dotMicro").cast("double") / col("nTokens").cast("double")
+            + bias.toDouble) / 1e6))).cast("long"))
+      .select(col("docId"), col("nTokens"), col("dotMicro"),
+        col("probMicro"))
   }
 
   /**
