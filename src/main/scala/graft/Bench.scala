@@ -155,7 +155,12 @@ object Bench {
     // source-overlap sketches (r15): aggregate state is |sources|·256
     // longs at ANY corpus size and the pair join reads only the sketch —
     // the x10 side should be pure shingle-scan growth
-    "source_overlap")
+    "source_overlap",
+    // trained logistic classifier (r15): the corpus is tokenized ONCE
+    // into the checkpointed count sliver; each GD epoch is sliver-scale
+    // shuffles + a ≤1024-row collect — the pair should track the token
+    // pass, with the epochs flat across the decade
+    "quality_logistic")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
@@ -176,7 +181,13 @@ object Bench {
     // same way (the rotation moves langid markers and filter survivor
     // sets), so uniform-only; their stages' scale pairs live in
     // dedup_paragraphs_bloom / dedup_minhash_lsh / curate_filters_map
-    "dolma_e2e", "fineweb_e2e")
+    "dolma_e2e", "fineweb_e2e",
+    // r15: DCLM is content-sensitive through its classifier (the
+    // rotation moves the trained vocabulary and so the decile), so
+    // uniform-only; its stages' scale pairs live in quality_logistic's
+    // epochs (perplexity-class), dedup_paragraphs_bloom, and
+    // curate_filters_map
+    "dclm_e2e")
 
   /**
    * Stage a 10× corpus: the sf documents table replicated 10 times with

@@ -80,6 +80,8 @@ object Plans {
     show("bm", "bm25_topk")
     show("wn", "wimbd_ngrams")
     show("kn", "perplexity_kn")
+    show("ql", "quality_logistic")
+    show("dclm", "dclm_e2e")
     spark.stop()
   }
 }
