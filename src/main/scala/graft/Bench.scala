@@ -149,8 +149,9 @@ object Bench {
     // query-matching sliver — expect near-linear from the scan + sliver
     "bm25_topk",
     // WordPiece (r15): the bpe_train class — one corpus pass, 16
-    // likelihood rounds on the Zipf-bounded distinct-word table; wall
-    // should track the corpus scan, not the merge loop
+    // merges in 4 batched-greedy likelihood rounds on the Zipf-bounded
+    // distinct-word table; wall should track the corpus scan, not the
+    // merge loop
     "wordpiece_train",
     // source-overlap sketches (r15): aggregate state is |sources|·256
     // longs at ANY corpus size and the pair join reads only the sketch —

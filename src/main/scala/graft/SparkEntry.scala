@@ -1777,10 +1777,13 @@ object SparkEntry {
     // table, the vocab-bounded symbol counts broadcast onto the pair
     // table, score = exact atto-scaled lift c·1e18/(cl·cr), one argmax
     // row of driver metadata per round
+    // 16 merges in 4 batched-greedy rounds (maxBatch = 4): real-vocab
+    // shape — one count/rank job pair per ROUND; symbol-disjoint picks
+    // keep the likelihood scores exact within a batch
     "wordpiece_train" -> ((s, dir) => {
       import graft.pipeline.WordPiece
-      WordPiece.train(docsPar(s, dir), col("text"), nMerges = 16)
-        .orderBy("rank")
+      WordPiece.train(docsPar(s, dir), col("text"), nMerges = 16,
+        maxBatch = 4).orderBy("rank")
     }),
 
     // WordPiece tokenization: BERT greedy longest-match-first
@@ -4342,14 +4345,84 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  /** WordPiece-training oracle: the 16-round sequential likelihood
-    * merge replay (the registered query's config). */
+  /** Batched-greedy WordPiece rounds (mirrors WordPiece.train with
+    * maxBatch > 1 — the bpeBatchedRoundsCte shape under the likelihood
+    * ranking): per round one symbol count + one scored pair ranking, a
+    * top-(batch·16) candidate window, greedy symbol-disjoint
+    * selections, and one rewrite applying the round's picks in rank
+    * order with the ##-stripped merged names. */
+  private def wordPieceBatchedRoundsCte(n: Int, batch: Int): String = {
+    val k = batch * graft.pipeline.Bpe.CandidateFactor
+    val rounds = (n + batch - 1) / batch
+    def round(b: Int, prev: String): String = {
+      val want = math.min(batch, n - b * batch)
+      val head =
+        s"""wb${b}_t AS MATERIALIZED (SELECT string_split(substr(sym, 2, len(sym)-2), '><') AS syms, freq FROM $prev),
+           |wb${b}_sc AS MATERIALIZED (SELECT sym, sum(freq) AS c FROM (SELECT unnest(syms) AS sym, freq FROM wb${b}_t) GROUP BY 1),
+           |wb${b}_k AS MATERIALIZED (SELECT l, r, c, sc, ns, rn FROM (
+           |  SELECT l, r, c, sc, ns, row_number() OVER (ORDER BY sc DESC, l, r) AS rn FROM (
+           |    SELECT p.l, p.r, p.c,
+           |      (CAST(p.c AS HUGEINT) * ${graft.pipeline.WordPiece.ScoreScale}) // (CAST(sl.c AS HUGEINT) * CAST(sr.c AS HUGEINT)) AS sc,
+           |      p.l || CASE WHEN starts_with(p.r, '##') THEN substr(p.r, 3) ELSE p.r END AS ns
+           |    FROM (SELECT syms[i.i] AS l, syms[i.i+1] AS r, sum(freq) AS c
+           |          FROM wb${b}_t, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) i
+           |          GROUP BY 1, 2) p
+           |    JOIN wb${b}_sc sl ON sl.sym = p.l
+           |    JOIN wb${b}_sc sr ON sr.sym = p.r))
+           |  WHERE rn <= $k)""".stripMargin
+      val sels = (1 to want).map { j =>
+        val excl =
+          if (j == 1) ""
+          else {
+            val prevSyms = (1 until j).flatMap(p =>
+              Seq(s"SELECT l AS s FROM wb${b}_s$p", s"SELECT r AS s FROM wb${b}_s$p"))
+              .mkString(" UNION ALL ")
+            s" WHERE l NOT IN (SELECT s FROM ($prevSyms))" +
+              s" AND r NOT IN (SELECT s FROM ($prevSyms))"
+          }
+        s"wb${b}_s$j AS MATERIALIZED (SELECT l, r, c, sc, ns, rn FROM wb${b}_k$excl ORDER BY rn LIMIT 1)"
+      }
+      val selCols = (1 to want).map(j =>
+        s"(SELECT max(l) FROM wb${b}_s$j) AS l$j, " +
+          s"(SELECT max(r) FROM wb${b}_s$j) AS r$j, " +
+          s"(SELECT max(ns) FROM wb${b}_s$j) AS ns$j").mkString(", ")
+      val selCte = s"wb${b}_sel AS MATERIALIZED (SELECT $selCols)"
+      val chain = (1 to want).foldLeft("w.sym") { (acc, j) =>
+        s"CASE WHEN s.l$j IS NULL THEN $acc ELSE " +
+          s"replace($acc, '<'||s.l$j||'><'||s.r$j||'>', '<'||s.ns$j||'>') END"
+      }
+      val rewrite =
+        s"""wb$b AS MATERIALIZED (SELECT $chain AS sym, w.freq
+           |  FROM $prev w CROSS JOIN wb${b}_sel s)""".stripMargin
+      (Seq(head) ++ sels ++ Seq(selCte, rewrite)).mkString(",\n")
+    }
+    val roundCtes = (0 until rounds).map(b =>
+      round(b, if (b == 0) "wp0" else s"wb${b - 1}")).mkString(",\n")
+    s"""w AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(
+       |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |wp0 AS MATERIALIZED (SELECT CASE WHEN length(word) = 1 THEN '<' || word || '>'
+       |  ELSE '<' || substr(word, 1, 1) || '><##' ||
+       |    array_to_string(string_split(substr(word, 2), ''), '><##') || '>' END AS sym,
+       |  freq FROM w),
+       |$roundCtes""".stripMargin
+  }
+
+  /** WordPiece-training oracle: the batched-greedy likelihood replay
+    * (nMerges = 16, maxBatch = 4 — the registered query's config). */
   private val WordPieceTrainOracle: String = {
     val n = 16
-    val sel = (0 until n).map(i =>
-      s"SELECT $i AS b, l, r, ns, c, sc FROM wr${i}_b").mkString(" UNION ALL ")
-    s"""WITH ${wordPieceRoundsCte(n)}
-       |SELECT CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS rank,
+    val batch = 4
+    val rounds = (n + batch - 1) / batch
+    val sel = (0 until rounds).flatMap { b =>
+      val want = math.min(batch, n - b * batch)
+      (1 to want).map(j =>
+        s"SELECT $b AS b, $j AS j, l, r, ns, c, sc FROM wb${b}_s$j")
+    }.mkString(" UNION ALL ")
+    s"""WITH ${wordPieceBatchedRoundsCte(n, batch)}
+       |SELECT CAST(row_number() OVER (ORDER BY b, j) AS BIGINT) AS rank,
        |  l AS left_sym, r AS right_sym, ns AS new_sym,
        |  CAST(c AS BIGINT) AS pair_count, CAST(sc AS BIGINT) AS score_atto
        |FROM ($sel) ORDER BY rank""".stripMargin

@@ -56,10 +56,25 @@ object WordPiece {
 
   /**
    * The learned merge table: (rank, left_sym, right_sym, new_sym,
-   * pair_count, score_atto) for `nMerges` sequential likelihood-ranked
-   * merges. Stops early if no pair remains (single-symbol vocabulary).
+   * pair_count, score_atto) for `nMerges` likelihood-ranked merges.
+   * Stops early if no pair remains (single-symbol vocabulary).
+   *
+   * `maxBatch` > 1 runs the batched-greedy variant ([[Bpe.train]]'s
+   * real-vocabulary device — one driver round-trip per ROUND, not per
+   * merge): each round ranks the top `maxBatch · CandidateFactor`
+   * candidates by (score desc, l, r) and greedily takes up to
+   * `maxBatch` pairs sharing NO symbol with an earlier pick of the
+   * round. For WordPiece the batch is EXACTLY sequential-equivalent on
+   * the taken pairs — the likelihood score c·10¹⁸/(cl·cr) is purely
+   * local to (l, r), and merging a symbol-disjoint pair changes
+   * neither the pair count nor either symbol count of the others — so
+   * the only deviation (shared with BPE) is that a symbol created in
+   * round b cannot merge again until round b+1; maxBatch = 1 recovers
+   * strict sequential training.
    */
-  def train(df: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: Column, nMerges: Int,
+            maxBatch: Int = 1): DataFrame = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     var syms = Bpe.wordTable(df, textCol)
       .select(wrap(col("word")).as("sym"), col("freq"))
@@ -68,11 +83,12 @@ object WordPiece {
     var done = 0
     var exhausted = false
     while (done < nMerges && !exhausted) {
+      val want = math.min(maxBatch, nMerges - done)
       val symCnt = syms
         .select(explode(split(expr("substring(sym, 2, length(sym) - 2)"),
           "><")).as("sym"), col("freq"))
         .groupBy("sym").agg(sum("freq").as("sc"))
-      val best = Bpe.adjacentPairs(syms)
+      val ranked = Bpe.adjacentPairs(syms)
         .groupBy("l", "r").agg(sum("freq").as("c"))
         .join(broadcast(symCnt.select(col("sym").as("l"),
           col("sc").as("cl"))), Seq("l"))
@@ -82,19 +98,32 @@ object WordPiece {
           s"(CAST(c AS DECIMAL(38,0)) * $ScoreScale) div " +
             "(CAST(cl AS DECIMAL(38,0)) * CAST(cr AS DECIMAL(38,0)))"))
         .orderBy(col("score_atto").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val row = best(0)
+        .limit(maxBatch * Bpe.CandidateFactor).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picks = Seq.newBuilder[(String, String, Long, Long)]
+      var taken = 0
+      ranked.iterator.takeWhile(_ => taken < want).foreach { row =>
         val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
-        val ns = l + strip(r)
-        done += 1
-        merges += ((done.toLong, l, r, ns, row.getAs[Long]("c"),
-          row.getAs[Long]("score_atto")))
-        syms = syms.select(
-          call_function("replace", col("sym"), lit(s"<$l><$r>"),
-            lit(s"<$ns>")).as("sym"),
-          col("freq")).localCheckpoint()
+        if (!used(l) && !used(r)) {
+          picks += ((l, r, row.getAs[Long]("c"),
+            row.getAs[Long]("score_atto")))
+          used += l; used += r; taken += 1
+        }
+      }
+      val batch = picks.result()
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.foreach { case (l, r, c, sc) =>
+          done += 1
+          merges += ((done.toLong, l, r, l + strip(r), c, sc))
+        }
+        val rewritten = batch.foldLeft(col("sym")) {
+          case (acc, (l, r, _, _)) =>
+            call_function("replace", acc, lit(s"<$l><$r>"),
+              lit(s"<${l + strip(r)}>"))
+        }
+        syms = syms.select(rewritten.as("sym"), col("freq"))
+          .localCheckpoint()
       }
     }
     import spark.implicits._

@@ -1856,6 +1856,32 @@ class PipelineSpec extends SparkSpec {
     assert(ms.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("wordpiece batched-greedy: a round takes symbol-disjoint picks " +
+       "in likelihood-rank order, conflicting pairs defer; maxBatch=1 " +
+       "recovers sequential training") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abc abc ae")).toDF("doc_id", "text")
+    // round 1 ranking: (##b,##c) 2.5e17, then (a,##b), (a,##e) at 2e17;
+    // (a,##b) shares ##b with the first pick → skipped; (a,##e) taken
+    val batched = WordPiece.train(docs, col("text"), nMerges = 2,
+      maxBatch = 2).orderBy("rank").collect()
+    assert(batched.map(_.getAs[String]("new_sym")).toSeq ===
+      Seq("##bc", "ae"))
+    // sequential instead merges (a,##bc) second — the documented
+    // in-round deferral is the ONLY deviation
+    val seq2 = WordPiece.train(docs, col("text"), nMerges = 2)
+      .orderBy("rank").collect()
+    assert(seq2.map(_.getAs[String]("new_sym")).toSeq ===
+      Seq("##bc", "abc"))
+    // no-conflict batches are bit-identical to sequential
+    val docs2 = Seq((1L, "ab ab cd cd cd")).toDF("doc_id", "text")
+    val b2 = WordPiece.train(docs2, col("text"), nMerges = 2, maxBatch = 2)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val s2 = WordPiece.train(docs2, col("text"), nMerges = 2)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(b2 === s2)
+  }
+
   test("wordpiece encode: greedy longest-match-first with ## pieces, " +
        "whole-word [UNK] on a dead position, alphabet floor") {
     import spark.implicits._
