@@ -33,6 +33,8 @@ object Funnel {
   def report(df: DataFrame, rawTokens: Column,
              stages: Seq[(String, Column, Column)],
              dedupOn: Option[Column] = None): DataFrame = {
+    require(dedupOn.isEmpty || stages.nonEmpty,
+      "the dedup stage needs a preceding flag stage to take survivors from")
     val spark = df.sparkSession
     val proj = df.select(
       rawTokens.cast("long").as("__n0") +:
