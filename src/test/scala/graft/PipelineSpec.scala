@@ -1882,6 +1882,34 @@ class PipelineSpec extends SparkSpec {
     assert(b2 === s2)
   }
 
+  test("wordpiece at depth: 48 merges in 8-pick batches train on a " +
+       "zipf-ish corpus, the induced vocab round-trips encode with no " +
+       "[UNK], batched determinism across partitionings") {
+    import spark.implicits._
+    // deterministic zipf-ish corpus: word w_i repeats ~96/i times
+    val words = (1 to 24).flatMap { i =>
+      val w = ("abcdefghijklmnopqrstuvwx" (i - 1)).toString * (i % 5 + 2)
+      Seq.fill(96 / i)(w)
+    }
+    val docs = words.grouped(16).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = WordPiece.train(docs, col("text"), nMerges = 48,
+      maxBatch = 8).orderBy("rank").collect()
+    assert(merges.length > 8) // several full rounds ran
+    assert(merges.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to merges.length))
+    val vocab = WordPiece.alphabet(docs, col("text")) ++
+      merges.map(_.getAs[String]("new_sym"))
+    val enc = WordPiece.encode(docs, col("doc_id"), col("text"), vocab)
+      .collect()
+    assert(enc.forall(!_.getAs[scala.collection.Seq[String]]("tokens")
+      .contains("[UNK]")))
+    val again = WordPiece.train(docs.repartition(7), col("text"),
+      nMerges = 48, maxBatch = 8).orderBy("rank").collect()
+    assert(again.map(_.toSeq).toSeq === merges.map(_.toSeq).toSeq)
+  }
+
   test("wordpiece encode: greedy longest-match-first with ## pieces, " +
        "whole-word [UNK] on a dead position, alphabet floor") {
     import spark.implicits._
