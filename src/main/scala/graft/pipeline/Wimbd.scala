@@ -112,7 +112,7 @@ object Wimbd {
   def summary(df: DataFrame, textCol: Column, n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(size(toks(textCol)).as("len"),
-      size(ngrams(textCol, n)).as("ng"), md5(textCol).as("h"))
+      md5(textCol).as("h"))
       .localCheckpoint() // feeds three bounded aggs, one projection pass
     val grams = df.select(explode(ngrams(textCol, n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
