@@ -2070,12 +2070,16 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.orderBy(col("probMicro").desc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val t = scored.groupBy("probMicro").agg(count(lit(1)).as("c"))
+      val cutRow = scored.groupBy("probMicro").agg(count(lit(1)).as("c"))
         .select(col("probMicro"), sum(col("c")).over(wCum).as("cum"),
           sum(col("c")).over(wAll).as("nn"))
         .agg(max(when(lit(10) * col("cum") >= col("nn"), col("probMicro")))
           .as("t"))
-        .collect()(0).getAs[Long]("t")
+        .collect()(0)
+      // empty survivor set → no threshold; the output is empty anyway,
+      // so any value works — avoid the opaque null-unboxing NPE
+      val t = if (cutRow.isNullAt(0)) Long.MaxValue
+              else cutRow.getAs[Long]("t")
       dd.join(scored.select(col("docId"), col("probMicro")), "docId")
         .select(col("docId").as("doc_id"),
           col("nSegments").cast("long").as("n_segments"),
