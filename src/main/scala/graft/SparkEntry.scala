@@ -1712,6 +1712,14 @@ object SparkEntry {
       graft.pipeline.Wimbd.topNgrams(docsPar(s, dir), col("text"),
         n = 3, k = 20).orderBy("rank")),
 
+    // Good–Turing frequency-of-frequencies (Good 1953; Gale & Sampson
+    // 1995 presentation): count-of-counts, Turing-smoothed r*, and the
+    // per-class GT probability mass whose r = 0 row is the unseen-
+    // vocabulary estimate — exact BigInt/HUGEINT micro arithmetic
+    "good_turing" -> ((s, dir) =>
+      graft.pipeline.Wimbd.goodTuring(docsPar(s, dir), col("text"),
+        maxR = 20)),
+
     // Heaps'-law vocabulary-growth curve: cumulative (tokens, types)
     // along the deterministic md5 256-range document order — the
     // tokenizer-budget sizing read; type side is a vocab-bounded
@@ -6449,6 +6457,26 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank,
         |  gram, cnt
         |FROM c ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // Good–Turing replay: count-of-counts + HUGEINT truncating micro
+    // arithmetic over the 0..20 frequency ladder
+    "good_turing" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |  x -> x <> '')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS nr FROM c GROUP BY 1),
+        |rs AS (SELECT range AS r FROM range(0, 21))
+        |SELECT CAST(rs.r AS BIGINT) AS r,
+        |  coalesce(a.nr, 0) AS n_r,
+        |  CASE WHEN rs.r >= 1 AND coalesce(a.nr, 0) > 0
+        |    THEN CAST((rs.r + 1) * CAST(coalesce(b.nr, 0) AS HUGEINT) * 1000000
+        |         // a.nr AS BIGINT)
+        |    ELSE 0 END AS rstar_micro,
+        |  CAST((rs.r + 1) * CAST(coalesce(b.nr, 0) AS HUGEINT) * 1000000
+        |       // (SELECT n FROM nn) AS BIGINT) AS mass_micro
+        |FROM rs LEFT JOIN nr a ON a.r = rs.r LEFT JOIN nr b ON b.r = rs.r + 1
+        |ORDER BY r""".stripMargin,
 
     // Heaps replay: the same md5 range order, min-range first
     // appearance, 256-row cumulative windows

@@ -101,6 +101,47 @@ object Wimbd {
   }
 
   /**
+   * Good–Turing frequency-of-frequencies telemetry (Good 1953,
+   * Biometrika 40 — the Turing estimator; presentation follows Gale &
+   * Sampson 1995 §1-2): the count-of-counts table n_r with the
+   * Turing-smoothed counts r* = (r+1)·n_{r+1}/n_r and the probability
+   * mass GT assigns to each frequency class, mass_r = (r+1)·n_{r+1}/N —
+   * whose r = 0 row IS the unseen-species mass n_1/N, the standard
+   * answer to "how much vocabulary has this corpus not seen yet"
+   * (complementing [[heapsCurve]]'s growth trajectory).
+   *
+   * Scale shape: ONE corpus token pass into the vocabulary-bounded
+   * word-count table; the count-of-counts agg collapses that to
+   * O(√tokens) rows, of which the r ≤ maxR+1 slice (driver metadata)
+   * feeds exact BigInt arithmetic — micro-rounded by truncating
+   * division, replayable in HUGEINT. Rows r = 0..maxR:
+   * (r, n_r, rstar_micro, mass_micro); rstar_micro is 0 where
+   * undefined (r = 0 or n_r = 0).
+   */
+  def goodTuring(df: DataFrame, textCol: Column, maxR: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the total and the count-of-counts
+    val n = words.agg(coalesce(sum("c"), lit(0L)).as("n"))
+      .collect()(0).getAs[Long]("n")
+    require(n > 0, "Good-Turing needs a non-empty corpus")
+    val nr = words.groupBy(col("c").as("r")).agg(count(lit(1)).as("nr"))
+      .filter(col("r") <= maxR + 1)
+      .collect().map(x => x.getAs[Long]("r") -> x.getAs[Long]("nr")).toMap
+    import spark.implicits._
+    (0 to maxR).map { r =>
+      val nrR = nr.getOrElse(r.toLong, 0L)
+      val nrR1 = nr.getOrElse(r + 1L, 0L)
+      val rstar =
+        if (r == 0 || nrR == 0L) 0L
+        else ((BigInt(r + 1) * nrR1 * 1000000) / nrR).toLong
+      val mass = ((BigInt(r + 1) * nrR1 * 1000000) / n).toLong
+      (r.toLong, nrR, rstar, mass)
+    }.toDF("r", "n_r", "rstar_micro", "mass_micro")
+  }
+
+  /**
    * The corpus summary card: one row of
    * (n_docs, n_tokens, n_gram_tokens, n_gram_types, dup_gram_micro,
    * dup_doc_micro, median_len) for n-grams of order `n` —

@@ -1677,6 +1677,24 @@ class PipelineSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("good-turing: hand-computed count-of-counts, turing-smoothed " +
+       "counts, unseen mass at r=0, determinism across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = Wimbd.goodTuring(docs, col("text"), maxR = 3).collect()
+      .map(r => r.getAs[Long]("r") -> (r.getAs[Long]("n_r"),
+        r.getAs[Long]("rstar_micro"), r.getAs[Long]("mass_micro"))).toMap
+    // counts a:3 b:2 c:1 → n1=n2=n3=1, N=6
+    assert(out(0L) === ((0L, 0L, 166666L)))       // unseen mass = n1/N
+    assert(out(1L) === ((1L, 2000000L, 333333L))) // r*=2·n2/n1
+    assert(out(2L) === ((1L, 3000000L, 500000L)))
+    assert(out(3L) === ((1L, 0L, 0L)))            // n4=0 → r* undefined
+    val again = Wimbd.goodTuring(docs.repartition(5), col("text"), maxR = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(again === Wimbd.goodTuring(docs, col("text"), maxR = 3)
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("heaps curve: 256 monotone rows, totals equal corpus token and " +
        "type counts, repeated words count once at first appearance, " +
        "determinism across partitionings") {
