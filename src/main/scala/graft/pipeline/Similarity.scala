@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -553,6 +553,35 @@ object Similarity {
         lit(j).as("j"))
     }: _*)).getField("j")
 
+  /** Literal-codebook plan budget (in literal longs, m·k·subDim): below
+    * it the argmin/ADC expressions embed the codewords as literals and
+    * ride whole-stage codegen; past it they read a broadcast one-row
+    * codebook table instead — Janino's local-variable bookkeeping grows
+    * quadratically with generated locals, and the 16·256·4 production
+    * encode OOM'd a 32 GB driver AT COMPILE TIME before touching data
+    * (r16 probe). The data path evaluates the same integer argmin via a
+    * higher-order transform over the broadcast array. */
+  private[pipeline] val MaxLiteralCodebook = 4096L
+
+  /** The codebooks as ONE broadcast-able row of DATA: `bks(mi)(j)` =
+    * struct(_1 = code index, _2 = codeword, _3 = |codeword|²) — the
+    * pqLloydAll round-loop device extended to encode/scoring. */
+  private def booksRowDf(spark: SparkSession,
+                         books: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(books.map(ws => ws.zipWithIndex.map { case (w, j) =>
+      (j, w.toSeq, w.map(x => x * x).sum)
+    }.toSeq).toSeq)).toDF("bks")
+  }
+
+  /** Data-path twin of [[pqAssign]]: the same (d, j)-struct argmin with
+    * codewords read from the broadcast `bks` column. */
+  private def pqAssignData(sv: Column, mi: Int): Column =
+    array_min(transform(element_at(col("bks"), mi + 1), x =>
+      struct((x.getField("_3")
+        - lit(2L) * dotQ(sv, x.getField("_2"))).as("d"),
+        x.getField("_1").as("j")))).getField("j")
+
   /** All-subspace Lloyd loop for PQ: md5-first seeds (code index = seed
     * rank; the seed ROWS are shared across subspaces, so one collect of k
     * full vectors slices into every codebook), integer truncating means
@@ -637,7 +666,8 @@ object Similarity {
    * nothing shuffles but the per-query ranking window.
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, m: Int,
-             k: Int, iters: Int = 2): DataFrame = {
+             k: Int, iters: Int = 2,
+             literalCodebookBudget: Long = MaxLiteralCodebook): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("cid"),
       quantize(col("embedding")).as("cq"))
@@ -645,30 +675,53 @@ object Similarity {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
     val books = pqLloydAll(c, m, sub, k, iters)
+    val spark = corpus.sparkSession
+    // literal codewords stay codegen'd below the plan budget; production
+    // codebooks ride the broadcast one-row table (see MaxLiteralCodebook —
+    // the 16·256·4 literal encode OOM'd Janino before touching data)
+    val literalBooks = m.toLong * k * sub <= literalCodebookBudget
+    val bksDf = if (literalBooks) null else booksRowDf(spark, books)
     // localCheckpoint = the paper's stored artifact (the encoded corpus:
     // m code ints per row, the thing a 100 TB deployment persists) AND a
     // CollapseProject barrier: without it Catalyst merges this projection
     // into the join's parent and re-evaluates every k-branch argmin once
     // per (candidate × query × referencing expression) instead of once
     // per candidate (measured 2× on the scoring stage).
-    val codes = (0 until m).foldLeft(c) { (df, mi) =>
+    val cB = if (literalBooks) c else c.crossJoin(broadcast(bksDf))
+    val codes = (0 until m).foldLeft(cB) { (df, mi) =>
       df.withColumn(s"code$mi",
-        pqAssign(slice(col("cq"), mi * sub + 1, sub), books(mi)))
+        if (literalBooks) pqAssign(slice(col("cq"), mi * sub + 1, sub), books(mi))
+        else pqAssignData(slice(col("cq"), mi * sub + 1, sub), mi))
     }.select(col("cid") +: (0 until m).map(mi => col(s"code$mi")): _*)
       .localCheckpoint(eager = false)
     val q0 = queries.select(col("vec_id").as("qid"),
         quantize(col("embedding")).as("qq"))
       .withColumn("qn", normSqQ(col("qq")))
-    val qtab = (0 until m).foldLeft(q0) { (df, mi) =>
-      df.withColumn(s"adc$mi", array(books(mi).map(w =>
-        dotQ(slice(col("qq"), mi * sub + 1, sub),
-          array(w.map(lit(_)): _*))): _*))
+    val q0B = if (literalBooks) q0 else q0.crossJoin(broadcast(bksDf))
+    val qtab = (0 until m).foldLeft(q0B) { (df, mi) =>
+      df.withColumn(s"adc$mi",
+        if (literalBooks)
+          array(books(mi).map(w =>
+            dotQ(slice(col("qq"), mi * sub + 1, sub),
+              array(w.map(lit(_)): _*))): _*)
+        else
+          transform(element_at(col("bks"), mi + 1), x =>
+            dotQ(slice(col("qq"), mi * sub + 1, sub), x.getField("_2"))))
     }.drop("qq")
     val dotAdc = (0 until m).map(mi =>
       element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)
-    val cnApprox = (0 until m).map(mi =>
-      element_at(array(books(mi).map(w => lit(w.map(x => x * x).sum)): _*),
-        col(s"code$mi") + 1)).reduce(_ + _)
+    // |x̃|² from codeword norms: literal arrays below the budget; in the
+    // data path the bks column rides qtab into the scoring broadcast
+    // (per-query duplication of the codebook row — broadcast-sized for
+    // benchmark-scale query sets; IVF-PQ, the production composition,
+    // precomputes the norm at encode time instead)
+    val cnApprox = (0 until m).map { mi =>
+      if (literalBooks)
+        element_at(array(books(mi).map(w => lit(w.map(x => x * x).sum)): _*),
+          col(s"code$mi") + 1)
+      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
+        .getField("_3")
+    }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
@@ -696,19 +749,25 @@ object Similarity {
    * cosine rounded to 6, ties by id) replays in any engine.
    *
    * Scale shape: coarse centroids and residual codebooks are driver
-   * metadata (nCells·d + m·k·(d/m) longs; the per-(cell, subspace, code)
-   * centroid-codeword dot table is nCells·m·k more); the corpus pass is
-   * one map-side assign + residual-encode projection whose output —
-   * cell id + m code ints per row, the artifact an IVFADC deployment
-   * persists — is localCheckpoint'd; query routing explodes only the
-   * tiny query side; candidate scoring joins codes to the BROADCAST
-   * probed-cell table keyed on the cell id, so only nProbe/nCells of
-   * the corpus is read per query and each candidate costs m lookups +
-   * integer adds. Only the final ranking window shuffles.
+   * metadata (nCells·d + m·k·(d/m) longs); the per-(cell, subspace,
+   * code) centroid-codeword dot table — nCells·m·k longs, ~134 MB at
+   * production 4096·16·256 — travels as a BROADCAST-JOINED DataFrame
+   * (one row per cell carrying the m×k matrix), never as a plan
+   * literal; the corpus pass is one map-side assign + residual-encode
+   * projection that also precomputes the reconstructed norm |x̃|² per
+   * row (query-independent, so it is index-build work), and its output
+   * — cell id + m code ints + one norm long per row, the artifact an
+   * IVFADC deployment persists — is localCheckpoint'd; query routing
+   * explodes only the tiny query side; candidate scoring joins codes
+   * to the BROADCAST probed-cell table keyed on the cell id, so only
+   * nProbe/nCells of the corpus is read per query and each candidate
+   * costs m lookups + integer adds. Only the final ranking window
+   * shuffles.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
                 nCells: Int, m: Int, k: Int, iters: Int = 2,
-                nProbe: Int = 3): DataFrame = {
+                nProbe: Int = 3,
+                literalCodebookBudget: Long = MaxLiteralCodebook): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("cid"),
         quantize(col("embedding")).as("cq"))
@@ -736,21 +795,53 @@ object Similarity {
       .localCheckpoint()  // feeds the PQ Lloyd jobs AND the encode pass
     val books = pqLloydAll(resid.select(col("cid"), col("rq").as("cq")),
       m, sub, k, iters)
-    // the stored artifact: cell id + m residual code ints (+ |c|² carried
-    // for the norm term); checkpoint = the persisted IVFADC index
-    val codes = (0 until m).foldLeft(resid) { (df, mi) =>
-      df.withColumn(s"code$mi",
-        pqAssign(slice(col("rq"), mi * sub + 1, sub), books(mi)))
-    }.select(col("cid") +: col("cent") +: col("centn") +:
-        (0 until m).map(mi => col(s"code$mi")): _*)
-      .localCheckpoint(eager = false)
-    // driver metadata tables: centroid-codeword dots and codeword norms
     def dotArr(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
-    val ccMap: Map[String, Long] = (for {
-      (cent, cq, _) <- centArr; mi <- 0 until m; j <- 0 until k
-    } yield s"$cent|$mi|$j" ->
-      dotArr(cq.slice(mi * sub, (mi + 1) * sub), books(mi)(j))).toMap
+    // Per-cell centroid-codeword dot table as broadcast DATA, not a plan
+    // literal (r15 verdict: at production IVFADC parameters — 4096 cells ·
+    // 16 subspaces · 256 codes ≈ 16.7M entries — the former string-keyed
+    // `typedlit` map exploded codegen and plan serialization long before
+    // the data did). One row per cell carries the m×k dot matrix; the
+    // broadcast join + reconstructed-norm projection fuse into one codegen
+    // stage, so the nested array is read in place from the broadcast
+    // relation and each corpus row emits ONE long.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ccTab = centArr.toSeq.map { case (cent, cq, _) =>
+      (cent, (0 until m).map(mi => books(mi).map(w =>
+        dotArr(cq.slice(mi * sub, (mi + 1) * sub), w)).toSeq).toSeq)
+    }.toDF("cent", "ccdots")
+    // literal codewords stay codegen'd below the plan budget; production
+    // codebooks ride the broadcast one-row table (see MaxLiteralCodebook)
+    val literalBooks = m.toLong * k * sub <= literalCodebookBudget
+    val bksDf = if (literalBooks) null else booksRowDf(spark, books)
+    def codeOf(srcVec: Column, mi: Int): Column =
+      if (literalBooks) pqAssign(slice(srcVec, mi * sub + 1, sub), books(mi))
+      else pqAssignData(slice(srcVec, mi * sub + 1, sub), mi)
+    val cwn2Sum = (0 until m).map { mi =>
+      if (literalBooks)
+        element_at(array(books(mi).map(w => lit(dotArr(w, w))): _*),
+          col(s"code$mi") + 1)
+      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
+        .getField("_3")
+    }.reduce(_ + _)
+    val ccSum = (0 until m).map(mi =>
+      element_at(element_at(col("ccdots"), mi + 1), col(s"code$mi") + 1))
+      .reduce(_ + _)
+    // the stored artifact: cell id + m residual code ints + the
+    // reconstructed norm |x̃|² = |c|² + 2·Σ dot(c_subᵢ, cwᵢ) + Σ |cwᵢ|²,
+    // PRECOMPUTED here (query-independent — once per corpus row at index
+    // build, not once per candidate × query at scoring);
+    // checkpoint = the persisted IVFADC index
+    val residB =
+      if (literalBooks) resid else resid.crossJoin(broadcast(bksDf))
+    val codes = (0 until m).foldLeft(residB) { (df, mi) =>
+      df.withColumn(s"code$mi", codeOf(col("rq"), mi))
+    }.join(broadcast(ccTab), Seq("cent"))
+      .withColumn("xn2", col("centn") + lit(2L) * ccSum + cwn2Sum)
+      .select(col("cid") +: col("cent") +: col("xn2") +:
+        (0 until m).map(mi => col(s"code$mi")): _*)
+      .localCheckpoint(eager = false)
     // query side: probe the nProbe nearest cells, carry dot(q, c) and
     // the per-subspace ADC tables (all broadcast-sized)
     val q0 = queries.select(col("vec_id").as("qid"),
@@ -765,22 +856,22 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cent"))))
       .filter(col("rn") <= nProbe)
-    val qtab = (0 until m).foldLeft(qcells) { (df, mi) =>
-      df.withColumn(s"adc$mi", array(books(mi).map(w =>
-        dotQ(slice(col("qq"), mi * sub + 1, sub),
-          array(w.map(lit(_)): _*))): _*))
-    }.drop("qq", "cs", "rn")
+    val qcellsB =
+      if (literalBooks) qcells else qcells.crossJoin(broadcast(bksDf))
+    val qtab = (0 until m).foldLeft(qcellsB) { (df, mi) =>
+      df.withColumn(s"adc$mi",
+        if (literalBooks)
+          array(books(mi).map(w =>
+            dotQ(slice(col("qq"), mi * sub + 1, sub),
+              array(w.map(lit(_)): _*))): _*)
+        else
+          transform(element_at(col("bks"), mi + 1), x =>
+            dotQ(slice(col("qq"), mi * sub + 1, sub), x.getField("_2"))))
+    }.drop("qq", "cs", "rn", "bks")
     val dotAdc = (0 until m).map(mi =>
       element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)
-    val ccSum = (0 until m).map(mi =>
-      element_at(typedlit(ccMap),
-        concat_ws("|", col("cent"), lit(mi), col(s"code$mi")))).reduce(_ + _)
-    val cwn2Sum = (0 until m).map(mi =>
-      element_at(array(books(mi).map(w => lit(dotArr(w, w))): _*),
-        col(s"code$mi") + 1)).reduce(_ + _)
     val scored = codes.join(broadcast(qtab), "cent")
       .filter(col("cid") =!= col("qid"))
-      .withColumn("xn2", col("centn") + lit(2L) * ccSum + cwn2Sum)
       .withColumn("cosine",
         when(col("xn2") <= 0, lit(0.0))  // degenerate zero reconstruction
           .otherwise(round(cosineFromQ(col("dotqc") + dotAdc,
