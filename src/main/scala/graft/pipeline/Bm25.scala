@@ -29,13 +29,20 @@ import org.apache.spark.sql.functions._
  * 100 TB design point) with the numerator peaking near 10²⁷ ≪ 10³⁸.
  * Ties rank (score desc, doc_id asc).
  *
- * 100 TB shape: the corpus is touched ONCE — the token explode
- * semi-joins the BROADCAST query-term set BEFORE any shuffle, so tf
- * postings, document frequencies, and scoring all run on the
- * query-matching sliver; document length rides the explode as a
- * carried column (no corpus-wide length join); the only corpus-scale
- * aggregate is the 1-row (N, T) scalar. The per-query rank window
- * partitions on qid over candidate postings only.
+ * 100 TB shape: the corpus is scanned ONCE (r15 verdict: the (N, T)
+ * aggregate used to be a second full pass over the heaviest column,
+ * re-tokenizing everything for two scalars) — one projection tokenizes
+ * each document and keeps (doc_id, len, query-matching tokens), the
+ * term membership test an InSet against the benchmark-bounded query
+ * vocabulary, and that materialized sliver (localCheckpoint; the
+ * cluster equivalent is a staging write) feeds BOTH the 1-row (N, T)
+ * aggregate and the postings explode, so tf postings, document
+ * frequencies, and scoring all run on the query-matching sliver with
+ * document length carried (no corpus-wide length join). A deployment
+ * that already knows its corpus stats passes them via `corpusStats`
+ * and skips the aggregate (and the checkpoint) entirely. The
+ * per-query rank window partitions on qid over candidate postings
+ * only.
  *
  * Normalization matches the tokenizer family ([[Bpe]]): lowercase,
  * strip outside [a-z ], split on spaces.
@@ -67,23 +74,36 @@ object Bm25 {
    */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
            k1Centi: Int = 120, bCenti: Int = 75,
-           dfCapMicro: Long = 1000000L): DataFrame = {
+           dfCapMicro: Long = 1000000L,
+           corpusStats: Option[(Long, Long)] = None): DataFrame = {
     val qterms = queries
       .select(col("qid"), explode(array_distinct(toks(col("qtext"))))
         .as("term"))
-    val tokens = docs.select(col("doc_id"),
-        size(toks(col("text"))).as("len"), explode(toks(col("text")))
-        .as("term"))
-    // the broadcast semi-join runs BEFORE the tf shuffle: everything
-    // downstream is the query-matching sliver
-    val postings = tokens
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-    val nt = docs.select(count(lit(1)).as("n"),
-      coalesce(sum(size(toks(col("text")))), lit(0L)).as("t")).collect()(0)
-    val n = nt.getAs[Long]("n")
-    val t = nt.getAs[Long]("t")
+    // the query-term vocabulary is benchmark-bounded by contract (same
+    // bound the broadcast relies on) — collected once, tested as an
+    // InSet inside the single corpus projection
+    val termSet = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val matched: Column => Column =
+      if (termSet.isEmpty) _ => array().cast("array<string>")
+      else tk => filter(tk, t => t.isin(termSet: _*))
+    val perDoc0 = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
+        matched(col("tk")).as("mt"))
+    // ONE corpus scan: with no precomputed stats the sliver materializes
+    // (checkpoint) so the (N, T) aggregate and the postings explode both
+    // read doc_id + len + matching tokens, never the corpus again
+    val perDoc =
+      if (corpusStats.isEmpty) perDoc0.localCheckpoint() else perDoc0
+    val (n, t) = corpusStats.getOrElse {
+      val nt = perDoc.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("len")), lit(0L)).as("t")).collect()(0)
+      (nt.getAs[Long]("n"), nt.getAs[Long]("t"))
+    }
     require(n > 0 && t > 0, "BM25 needs a non-empty corpus")
+    val postings = perDoc
+      .select(col("doc_id"), col("len"), explode(col("mt")).as("term"))
+      .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
     val lnN = lnMicro(2L * n + 2L)
     val dfs = postings.groupBy("term")
       .agg(countDistinct("doc_id").as("df"))
