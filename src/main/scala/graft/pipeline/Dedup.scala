@@ -166,10 +166,23 @@ object Dedup {
     val nbins = sk.groupBy("src").agg(count(lit(1)).as("nbins"))
     val a = sk.select(col("src").as("sa"), col("bin"), col("mn").as("mna"))
     val b = sk.select(col("src").as("sb"), col("bin"), col("mn").as("mnb"))
-    a.join(b, Seq("bin")).filter(col("sa") < col("sb"))
+    // every unordered pair gets a row, including pairs whose bin sets are
+    // disjoint (small/skewed sources): the bin-match aggregate only emits
+    // rows for pairs sharing >= 1 bin, so it left-joins onto the full pair
+    // frame (|sources|² is telemetry-bounded metadata) with zeros filled —
+    // a zero-overlap pair REPORTS jaccard_micro = 0 rather than vanishing
+    // (r15 advice)
+    val srcs = sk.select(col("src")).distinct()
+    val allPairs = srcs.select(col("src").as("sa"))
+      .crossJoin(srcs.select(col("src").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val matched = a.join(b, Seq("bin")).filter(col("sa") < col("sb"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("both"),
         sum(when(col("mna") === col("mnb"), 1L).otherwise(0L)).as("bins_match"))
+    allPairs.join(matched, Seq("sa", "sb"), "left")
+      .withColumn("both", coalesce(col("both"), lit(0L)))
+      .withColumn("bins_match", coalesce(col("bins_match"), lit(0L)))
       .join(nsh.select(col("src").as("sa"), col("nsh").as("n_a")), Seq("sa"))
       .join(nsh.select(col("src").as("sb"), col("nsh").as("n_b")), Seq("sb"))
       .join(nbins.select(col("src").as("sa"), col("nbins").as("nba")), Seq("sa"))
@@ -403,9 +416,23 @@ object Dedup {
    * the design point is a bounded reducer tail on 0.001% of keys,
    * where the agg+join doubles shuffle volume on 100% of them. The
    * `skew_longdoc_dedup_substrings` bench row keeps this claim
-   * measured every round; if a real corpus ever pushes the tail out of
-   * band, salt-counting ONLY the detected-hot keys (heavy-hitter
-   * pre-pass) is the escape hatch that keeps the single shuffle.
+   * measured every round; when a real corpus pushes the tail out of
+   * band, `hotKeyThreshold` > 0 salt-counts ONLY the detected-hot keys
+   * (heavy-hitter pre-pass), keeping the single full-volume shuffle:
+   * one extra map-side-partial agg over the window explode finds keys
+   * whose count exceeds the threshold (hot keys COMBINE map-side, so
+   * the pre-pass shuffle carries ~one row per distinct key per map
+   * task and its reducer sees ≤ #map-tasks partials, never the copies
+   * themselves); the by-construction-tiny hot set broadcast-joins back
+   * and hot rows salt by md5(docId|pos) into ≤threshold-sized
+   * sub-partitions of the count window. No cross-salt recombination is
+   * needed — the dup predicate is count > 1, and every row of a
+   * detected-hot key satisfies it a priori (total > threshold ≥ 1), so
+   * the detected set is IDENTICAL to the unsalted shape's (the
+   * `dedup_substrings_salted` oracle row replays unsalted detection in
+   * SQL against the salted output to pin exactly that). Default 0 =
+   * disabled: the pre-pass costs one extra pass over the heaviest
+   * explode, the wrong default for corpora whose hot tail is bounded.
    * Surviving positions MERGE into disjoint intervals before they ever
    * become an array — a gaps-and-islands pass over the (docId, pos)
    * window (a duplicated m-token run is m−k+1 overlapping windows that
@@ -417,7 +444,7 @@ object Dedup {
    * quadratic stage.
    */
   def dedupSubstrings(df: DataFrame, idCol: Column, textCol: Column,
-                      k: Int = 50): DataFrame = {
+                      k: Int = 50, hotKeyThreshold: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(idCol.as("docId"), textCol.as("text"),
       split(textCol, " ").as("toks"))
@@ -432,13 +459,39 @@ object Dedup {
       .select(col("docId"), col("pos"),
         conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(m, 16, 15), 16, 10).cast("long").as("h2"))
+    // Heavy-hitter salting (see the class doc): detected-hot keys split
+    // the count window into salt sub-partitions; their rows pass the dup
+    // predicate a priori, so no cross-salt total is ever reassembled.
+    // The salt hash sits inside the hot branch — codegen evaluates the
+    // md5 only for members of the tiny detected-hot set.
+    val salted =
+      if (hotKeyThreshold <= 0L)
+        wins.withColumn("isHot", lit(false)).withColumn("salt", lit(0L))
+      else {
+        val hot = wins.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > hotKeyThreshold)
+          .select(col("h1"), col("h2"),
+            ceil(col("cnt") / hotKeyThreshold.toDouble).cast("long").as("nsalts"))
+        val saltHash = conv(substring(md5(concat_ws("|",
+          col("docId").cast("string"), col("pos").cast("string"))), 1, 15),
+          16, 10).cast("long")
+        wins.join(broadcast(hot), Seq("h1", "h2"), "left")
+          .withColumn("isHot", col("nsalts").isNotNull)
+          .withColumn("salt",
+            when(col("isHot"), pmod(saltHash, col("nsalts"))).otherwise(lit(0L)))
+          .drop("nsalts")
+      }
     // two k-windows at positions p <= q cover a contiguous region iff
     // q - p <= k; a greater gap starts a new island
     val byDoc = Window.partitionBy("docId").orderBy("pos")
-    val spans = wins
-      .withColumn("dupC",
-        count(lit(1)).over(Window.partitionBy("h1", "h2")))
-      .filter(col("dupC") > 1)
+    // threshold 0 keeps the r15 plan literally (no constant salt column
+    // in the shuffle key, and the constant-false isHot folds away)
+    val countWin =
+      if (hotKeyThreshold <= 0L) Window.partitionBy("h1", "h2")
+      else Window.partitionBy("h1", "h2", "salt")
+    val spans = salted
+      .withColumn("dupC", count(lit(1)).over(countWin))
+      .filter(col("isHot") || col("dupC") > 1)
       .withColumn("newIsland",
         when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
           lit(-(k + 1))) > k, 1).otherwise(0))
