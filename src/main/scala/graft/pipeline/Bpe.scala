@@ -73,8 +73,10 @@ object Bpe {
    * pair PER merge): each of the ceil(nMerges/maxBatch) rounds counts
    * pairs ONCE, ranks the top `maxBatch · 16` candidates, and greedily
    * takes up to `maxBatch` pairs that share NO symbol with an
-   * earlier-taken pair of the same batch (symbol-disjoint pairs have
-   * non-interfering occurrences, so their batch-start counts are exact
+   * earlier-taken pair of the same batch — the earlier pick's merge
+   * OUTPUT included, so the chained replace never rewrites occurrences
+   * created mid-batch (batch-disjoint pairs have non-interfering
+   * occurrences, so their batch-start counts are exact
    * and in-batch application order cannot matter). The DOCUMENTED
    * deviation from strictly-sequential Sennrich training: a symbol
    * created in round b cannot merge again until round b+1, even if the
@@ -86,7 +88,7 @@ object Bpe {
    * `maxBatch` simply picks fewer, and ranks stay consecutive.
    */
   def train(df: DataFrame, textCol: Column, nMerges: Int,
-            maxBatch: Int = 1): DataFrame = {
+            maxBatch: Int = 1, maxRounds: Int = 0): DataFrame = {
     require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     var syms = wordTable(df, textCol)
@@ -94,7 +96,14 @@ object Bpe {
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var done = 0
-    val rounds = (nMerges + maxBatch - 1) / maxBatch
+    // early rounds are CONFLICT-STARVED: the symbol-disjointness rule
+    // bounds round-0 picks by ~|alphabet|/2 however wide the window, so a
+    // deep target cannot land nMerges in ceil(nMerges/maxBatch) rounds.
+    // `maxRounds` raises the round budget (still a fixed driver-round-trip
+    // bound — the scale claim is rounds, not merges); the default keeps
+    // the historical ceil(n/batch).
+    val rounds =
+      if (maxRounds > 0) maxRounds else (nMerges + maxBatch - 1) / maxBatch
     var round = 0
     var exhausted = false
     while (round < rounds && done < nMerges && !exhausted) {
@@ -109,7 +118,12 @@ object Bpe {
       ranked.iterator.takeWhile(_ => taken < want).foreach { r =>
         val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
         if (!used(l) && !used(rt)) {
-          picks += ((l, rt, c)); used += l; used += rt; taken += 1
+          picks += ((l, rt, c))
+          // the merge OUTPUT joins the exclusion set too: a later pick
+          // whose l/r equals an earlier pick's concatenation would have
+          // its occurrences rewritten mid-batch by the chained replace,
+          // making its batch-start count stale (r15 advice)
+          used += l; used += rt; used += l + rt; taken += 1
         }
       }
       val batch = picks.result()

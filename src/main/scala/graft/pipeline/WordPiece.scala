@@ -64,9 +64,12 @@ object WordPiece {
    * merge): each round ranks the top `maxBatch · CandidateFactor`
    * candidates by (score desc, l, r) and greedily takes up to
    * `maxBatch` pairs sharing NO symbol with an earlier pick of the
-   * round. For WordPiece the batch is EXACTLY sequential-equivalent on
-   * the taken pairs — the likelihood score c·10¹⁸/(cl·cr) is purely
-   * local to (l, r), and merging a symbol-disjoint pair changes
+   * round — including the earlier pick's merge OUTPUT, so the round's
+   * chained replace can never rewrite occurrences another pick of the
+   * same round created. For WordPiece the batch is then EXACTLY
+   * sequential-equivalent on the taken pairs — the likelihood score
+   * c·10¹⁸/(cl·cr) is purely local to (l, r), and merging a
+   * batch-disjoint pair changes
    * neither the pair count nor either symbol count of the others — so
    * the only deviation (shared with BPE) is that a symbol created in
    * round b cannot merge again until round b+1; maxBatch = 1 recovers
@@ -107,7 +110,11 @@ object WordPiece {
         if (!used(l) && !used(r)) {
           picks += ((l, r, row.getAs[Long]("c"),
             row.getAs[Long]("score_atto")))
-          used += l; used += r; taken += 1
+          // new_sym joins the exclusion set: an earlier pick's merge
+          // output matching a later pick's l/r would let the chained
+          // replace merge occurrences created mid-batch, leaving the
+          // later pick's pair_count/score_atto stale (r15 advice)
+          used += l; used += r; used += l + strip(r); taken += 1
         }
       }
       val batch = picks.result()
