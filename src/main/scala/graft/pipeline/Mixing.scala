@@ -304,6 +304,11 @@ object Mixing {
       .sortBy(_._1)
     val L = sizes.length
     require(L > 0, "data-constrained allocation needs a non-empty corpus")
+    // budget < L makes the integer per-source slice 0 and the utility
+    // division 0/0 — surface the configuration error instead of an opaque
+    // BigDecimal(NaN) NumberFormatException downstream
+    require(budget >= L,
+      s"budget $budget below one token per source ($L sources)")
     def half(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val rows = sizes.map { case (s, u) =>

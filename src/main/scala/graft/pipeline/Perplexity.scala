@@ -174,8 +174,17 @@ object Perplexity {
    *   den = dDen·c(prev)·(N1+(·,·)+B)
    *
    * and −log P = lnMicro(den) − lnMicro(num), both logs taking exact
-   * INTEGER arguments (the ln-parity device; arguments stay below 2⁵³
-   * through reference corpora of 10¹² grams), clamped at 0 per gram
+   * INTEGER arguments (the ln-parity device). Exactness envelope: the
+   * binding term is den = dDen·c(prev)·(N1+(·,·)+B), whose c(prev) is a
+   * SINGLE context bucket's count — NOT grams/B, because buckets are
+   * not uniform: the '<s>' context funnels one gram per document into
+   * one bucket. With B = 1024 and dDen = 4, den stays under 2⁵³ while
+   * max-bucket-count < 2⁵³/(4·(B²+B)) ≈ 2.1·10⁹ — i.e. reference
+   * corpora up to ~2 billion DOCUMENTS (and 2.1·10⁹ grams in any other
+   * single bucket); past that the long→double cast may round and the
+   * final micro-nat can drift by one between engines. Reference sets
+   * are sampled far below that in practice (r15 advice documents the
+   * bound honestly). Per-gram −log P is clamped at 0
    * (hash collisions can push p past 1). A seen context guarantees
    * N1+(prev,·) ≥ 1, so num ≥ dNum — no log of zero on any path.
    *
