@@ -161,7 +161,10 @@ object Sources {
    * string, owner and group.
    *
    * Hadoop `FileSystem.listFiles` walk, so any supported scheme (file://,
-   * s3a://, abfss://) lists identically. The walk is driver-side metadata
+   * s3a://, gs://, abfss://) lists identically — this is the subsumption
+   * claim for the reference's S3, GCS (ListGCSBucket/FetchGCSObject,
+   * extensions/gcp/processors/), Azure, SFTP and SMB list+fetch
+   * families. The walk is driver-side metadata
    * — the same strategy as Spark's own InMemoryFileIndex; at extreme
    * directory fan-out, split the namespace and union per-prefix listings.
    * `nowMs` anchors age computation so filters are deterministic.

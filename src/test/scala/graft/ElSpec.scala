@@ -130,6 +130,13 @@ class ElSpec extends SparkSpec {
     assert(eval("${d:multiply(2)}", attrs).toDouble === 5.0)
     assert(eval("${n:toRadix(16)}", attrs) === "7")
     assert(eval("${n:gt(6):ifElse('big','small')}", attrs) === "big")
+    // width-padded toRadix — the numeric-format width edges
+    // (ExpressionLanguageTests.cpp:611-617 'To Radix', :627-633
+    // 'To Radix 3': the pad applies to the MAGNITUDE, sign re-prefixed)
+    val radix = Map("ten" -> "10", "neg" -> "-2347")
+    assert(eval("${ten:toRadix(2,16)}", radix) === "0000000000001010")
+    assert(eval("${neg:toRadix(23,8)}", radix) === "-000004a1")
+    assert(eval("${ten:toRadix(16,1)}", radix) === "a") // pad below width
   }
 
   test("multi-attribute quantifiers (Expression.cpp:1051-1311)") {

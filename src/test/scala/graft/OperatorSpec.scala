@@ -569,9 +569,26 @@ class OperatorSpec extends SparkSpec {
     assert(Sources.getFileFiltered(spark, dir.toString, "*.txt",
       minAgeMs = 3600000).count() === 0)
     // cloud list+fetch mapping: the same reader takes any Hadoop FS
-    // scheme-qualified URI (s3a://, abfss://, ... — file:// locally)
+    // scheme-qualified URI (s3a://, gs://, abfss://, ... — file:// locally)
     assert(names(Sources.getFileFiltered(spark, s"file://$dir", "*.txt"))
       === Set("small.txt", "big.txt"))
+  }
+
+  test("GCS family scheme claim (ListGCSBucket/FetchGCSObject/PutGCSObject/" +
+       "DeleteGCSObject, extensions/gcp/processors/): gs:// URIs flow " +
+       "through the identical Path plumbing the listing/fetch walk uses — " +
+       "the same Hadoop-FS subsumption as S3/Azure") {
+    import org.apache.hadoop.fs.Path
+    val p = new Path("gs://bucket/dir/sub/obj.txt")
+    assert(p.toUri.getScheme === "gs")
+    assert(p.toUri.getAuthority === "bucket")   // the GCS bucket
+    assert(p.getName === "obj.txt")             // the object key's basename
+    // ListFile's relative `path` attribute is pure URI arithmetic —
+    // identical for any scheme, no live connector needed
+    val root = new Path("gs://bucket/dir").toUri
+    assert(root.relativize(p.getParent.toUri).getPath === "sub")
+    // and the local live stand-in: the same getFileFiltered call, only the
+    // scheme differs (the file:// assertions above)
   }
 
   test("SegmentContent: empty content emits no segments " +

@@ -953,6 +953,27 @@ class PipelineSpec extends SparkSpec {
     assert(one.forall(t => oneScored.get((t._1, t._3)).forall(_ == t._4)))
   }
 
+  test("PQ/IVF-PQ codebook DATA path (broadcast bks table, forced via " +
+       "literalCodebookBudget = 0) is row-identical to the literal " +
+       "codegen path — the r16 production-parameter plan-size fix " +
+       "cannot change results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Double]("cosine"))).toSeq
+    assert(
+      rows(Similarity.pqTopK(emb, queries, topK = 5, m = 8, k = 16,
+        iters = 2, literalCodebookBudget = 0L)) ===
+      rows(Similarity.pqTopK(emb, queries, topK = 5, m = 8, k = 16,
+        iters = 2)))
+    assert(
+      rows(Similarity.ivfPqTopK(emb, queries, topK = 5, nCells = 8, m = 8,
+        k = 16, iters = 2, nProbe = 3, literalCodebookBudget = 0L)) ===
+      rows(Similarity.ivfPqTopK(emb, queries, topK = 5, nCells = 8, m = 8,
+        k = 16, iters = 2, nProbe = 3)))
+  }
+
   test("ivfTopKTrained: deterministic across runs and partitionings; " +
        "exhaustive probing equals brute force after training") {
     import spark.implicits._
@@ -1635,7 +1656,10 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
         r.getAs[Long]("jaccard_micro")).toMap
     assert(out(("sA", "sB")) === 1000000L)
-    assert(!out.contains(("sA", "sC")) || out(("sA", "sC")) === 0L)
+    // r16: zero-overlap pairs are REPORTED (jaccard 0), never absent —
+    // every unordered source pair has exactly one row
+    assert(out(("sA", "sC")) === 0L)
+    assert(out.size === 6)   // C(4, 2) pairs
     val ad = out(("sA", "sD"))
     assert(ad > 0L && ad < 1000000L)
     // n_a is the exact distinct-shingle count: 10 words → 6 5-gram shingles
