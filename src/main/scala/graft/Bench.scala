@@ -93,6 +93,12 @@ object Bench {
     // distinct-word table (Zipf-bounded, grows sublinearly with the
     // corpus) — wall should track the corpus scan, not the loop
     "bpe_train",
+    // deep-vocabulary BPE (r16): 512 merges in 20 rounds over the
+    // construction-bounded ~6k-word derived vocabulary — the pair is the
+    // round-bounded (not merge-bounded) growth evidence: both sides pay
+    // the same 20 driver round trips, so the x10 delta should be pure
+    // corpus-scan growth in the word-frequency agg
+    "bpe_train_512",
     // unigram-LM train (r15): same bounded-loop class as bpe_train —
     // the corpus pass is one word-frequency agg, both EM rounds run on
     // the Zipf-bounded distinct-word table with ≤122-row vocab metadata
@@ -318,6 +324,25 @@ object Bench {
       spark.read.parquet(s"$longDir/documents.parquet")
         .withColumn("text", when(col("doc_id") % 10 < 3,
           concat(col("text"), lit(" " + hot))).otherwise(col("text")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
+    out
+  }
+
+  /** Mass-duplication EXACTSUBSTR corpus (r16): 30% of the sf documents
+    * gain a 24-token span repeated 224 times — each of the span's 24
+    * periodic interior window keys is carried by ~0.3·|docs|·224 copies
+    * (~1e6 at sf0.1), the single-hot-key design point the
+    * dedupSubstrings hotKeyThreshold salt exists for. */
+  private[graft] def stageMassDup(spark: SparkSession, sfDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-massdup"
+    stageOnce(out, sfDir) {
+      val hot = (1 to 24).map(i => s"massspan$i").mkString(" ")
+      val rep = (" " + hot) * 224
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text", when(col("doc_id") % 10 < 3,
+          concat(col("text"), lit(rep))).otherwise(col("text")))
+        .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     }
     out
@@ -561,6 +586,32 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] substr skew warm: $e") }
     val substrSkewResults = Seq(
       "skew_longdoc_dedup_substrings" -> minOf3("dedup_substrings", substrSkewDir))
+    // Mass-duplication EXACTSUBSTR pair (r16, the verdict's 1e6-copy
+    // done-criterion for the now-implemented hot-key salt): 30% of docs
+    // get a 24-token span repeated 224×, so each of the span's 24
+    // periodic window keys collects ≈ 0.3·|docs|·224 copies (~1e6 at
+    // sf0.1). Unsalted, each hot key funnels through ONE count-window
+    // partition (the documented bounded tail — measured as the contrast
+    // row, min-of-2 like the uncapped semantic-skew row); with
+    // hotKeyThreshold = 100k the heavy-hitter pre-pass salts each into
+    // ~10 sub-partitions and the tail must collapse into the band.
+    val massDupDir = stageMassDup(spark, sfDir)
+    def substrOnce(dir: String, thr: Long): Unit =
+      graft.pipeline.Dedup.dedupSubstrings(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), k = 8, hotKeyThreshold = thr)
+        .write.format("noop").mode("overwrite").save()
+    def substrMin(dir: String, thr: Long, reps: Int): Double =
+      (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try substrOnce(dir, thr)
+        catch { case e: Throwable => System.err.println(s"[bench] massdup: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    substrOnce(massDupDir, 100000L) // warm the salted shape at scale
+    val massDupResults = Seq(
+      "massdup_dedup_substrings" -> substrMin(massDupDir, 0L, 2),
+      "massdup_dedup_substrings_salted" -> substrMin(massDupDir, 100000L, 3))
     // SemDeDup scale pair: the registered query's fixed nCentroids=8 would
     // make the intra-cluster pair join quadratic at 10× BY CONFIG (cluster
     // population ∝ N at fixed k) — the paper's own scale knob is cluster
@@ -644,6 +695,27 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min,
       "skew_dedup_semantic_capped" -> semDedupCappedMin(embSkewDir, 80, 64))
+    // Production-parameter IVFADC row (r16, the plan-literal-purge
+    // done-criterion): nCells=256, m=16, k=256 on the x10 embeddings —
+    // the parameter class where r15's typedlit cross-dot map (nCells·m·k
+    // plan entries) exploded codegen; the broadcast cross-dot table makes
+    // it a ~8 MB data question. min-of-2 (a completion-and-band probe,
+    // like the uncapped skew contrast rows), warmed once.
+    def ivfPqProdOnce(dir: String): Unit =
+      graft.pipeline.Similarity.ivfPqTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 100 === 0),
+        topK = 5, nCells = 256, m = 16, k = 256, iters = 1, nProbe = 3)
+        .write.format("noop").mode("overwrite").save()
+    ivfPqProdOnce(x10Dir)
+    val ivfPqProdResults = Seq(
+      "prod_embed_topk_ivfpq" -> (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try ivfPqProdOnce(x10Dir)
+        catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.min)
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -679,14 +751,23 @@ object Bench {
     // comparisons
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
     val qs = (results ++ skewResults ++ x10Results ++ longResults ++
-      substrSkewResults ++ semResults ++ d4Results ++ semSkewResults ++
-      streamResults ++ extraResults)
+      substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
+      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
+    // The captured log tail has a bounded size and r15's arrived with the
+    // line's HEAD cut mid-JSON (BENCH_r15.json parsed: null). Two guards:
+    // persist the line to a file the round snapshot picks up, and print it
+    // again as the process's final output so a tail-bounded capture keeps a
+    // complete copy closest to the end.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
+    println(json)
   }
 }
