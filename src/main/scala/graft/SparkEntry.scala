@@ -1063,6 +1063,24 @@ object SparkEntry {
           col("ce_micro").cast("long").as("ce_micro"), col("ppl_bucket"))
         .orderBy("doc_id")),
 
+    // RHO-loss excess-loss selection (Mindermann 2022 ICML reducible
+    // holdout loss; RHO-1 arXiv:2404.07965 is the token-level LLM
+    // variant): per-doc CE under the target-domain LM (lang='en'
+    // reference) MINUS CE under the contrast LM (the non-en reference) —
+    // positive excess = the learnable, worth-learning mass. Both models
+    // train from ONE tagged histogram pass over one gram explode.
+    "excess_loss_select" -> ((s, dir) =>
+      graft.pipeline.Perplexity.excessLoss(docsPar(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en",
+        col("lang") =!= "en")
+        .select(col("docId").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("ce_target_micro").cast("long").as("ce_target_micro"),
+          col("ce_alt_micro").cast("long").as("ce_alt_micro"),
+          col("excess_micro").cast("long").as("excess_micro"),
+          col("selected"))
+        .orderBy("doc_id")),
+
     // The full CCNet pipeline (Wenzek 2020 arXiv:1911.00359 Fig. 1, the
     // paper's order): segment dedup FIRST (boilerplate confuses LID),
     // marker LID on the DEDUPED text, then the bucketed-bigram LM
@@ -6690,6 +6708,45 @@ object SparkEntry {
     "bm25_topk" -> bm25Oracle(1000000L),
     "bm25_topk_capped" -> bm25Oracle(200000L, derived = true),
     "perplexity_kn" -> PerplexityKnOracle,
+
+    // RHO-style excess loss: the PplChain device with TWO model families
+    // (target = en reference, contrast = non-en), both terms joined onto
+    // every gram, per-doc means differenced
+    "excess_loss_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    ['<s>'] || string_split(text, ' ') AS arr,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, arr[i.i] AS ctx,
+        |         arr[i.i] || ' ' || arr[i.i + 1] AS g
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS i) i),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS bg,
+        |    CAST(('0x' || substring(md5(ctx), 1, 6)) AS BIGINT) % 1024 AS bc
+        |  FROM g),
+        |cbt AS (SELECT bg AS b, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang = 'en' GROUP BY bg),
+        |cct AS (SELECT bc AS b, CAST(round(ln(count(*) + 1024) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang = 'en' GROUP BY bc),
+        |cba AS (SELECT bg AS b, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang <> 'en' GROUP BY bg),
+        |cca AS (SELECT bc AS b, CAST(round(ln(count(*) + 1024) * 1e6) AS BIGINT) AS lp
+        |  FROM bk WHERE lang <> 'en' GROUP BY bc),
+        |term AS (SELECT bk.doc_id,
+        |    greatest(coalesce(cct.lp, CAST(round(ln(1024) * 1e6) AS BIGINT))
+        |      - coalesce(cbt.lp, 0), 0) AS tt,
+        |    greatest(coalesce(cca.lp, CAST(round(ln(1024) * 1e6) AS BIGINT))
+        |      - coalesce(cba.lp, 0), 0) AS ta
+        |  FROM bk LEFT JOIN cbt ON bk.bg = cbt.b LEFT JOIN cct ON bk.bc = cct.b
+        |    LEFT JOIN cba ON bk.bg = cba.b LEFT JOIN cca ON bk.bc = cca.b),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    sum(tt) // count(*) AS cet, sum(ta) // count(*) AS cea
+        |  FROM term GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, CAST(cet AS BIGINT) AS ce_target_micro,
+        |  CAST(cea AS BIGINT) AS ce_alt_micro,
+        |  CAST(cea - cet AS BIGINT) AS excess_micro,
+        |  (cea - cet) > 0 AS selected
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "export_examples_ids" -> ExportExamplesIdsOracle,
     "quality_logistic" -> QualityLogisticOracle,

@@ -147,6 +147,87 @@ object Perplexity {
   }
 
   /**
+   * RHO-loss-style excess-loss selection (Mindermann et al. 2022,
+   * "Prioritized Training on Points that are Learnable, Worth Learning,
+   * and Not Yet Learnt", ICML — the reducible-holdout-loss criterion;
+   * RHO-1, Lin et al. 2024, arXiv:2404.07965, applies the same
+   * two-model loss difference token-level for LLM data selection):
+   * score every document under TWO reference-trained bucketed bigram
+   * LMs — the target-domain reference (`isRefTarget`) and a
+   * generic/contrast reference (`isRefAlt`) — and rank by
+   * excess = ce_alt − ce_target. Documents the target-domain model
+   * explains much better than the generic one carry the learnable,
+   * worth-learning mass; excess ≤ 0 marks noise or off-domain text the
+   * target model has nothing to gain from. Integer micro-nat arithmetic
+   * end to end (the [[crossEntropy]] device twice over), so selection
+   * replays exactly in any engine.
+   *
+   * Returns (docId, n_bigrams, ce_target_micro, ce_alt_micro,
+   * excess_micro, selected); selected = excess_micro > 0.
+   *
+   * Scale shape: training two models costs the same data movement as
+   * one — a single corpus gram explode feeds ONE four-way tagged
+   * map-side-partial histogram agg (≤ 4·buckets rows of aggregate
+   * state, each gram's tags gated by its membership flags), and one
+   * scoring explode computes both per-gram terms side by side before
+   * the one groupBy(doc).
+   */
+  def excessLoss(df: DataFrame, idCol: Column, textCol: Column,
+                 isRefTarget: Column, isRefAlt: Column,
+                 buckets: Int = 1024): DataFrame = {
+    val grams = gramStream(df, idCol, textCol, isRefTarget,
+        Seq("isRefAlt" -> isRefAlt))
+      .select(col("docId"), col("isRef"), col("isRefAlt"),
+        bucket(col("g"), buckets).as("bg"),
+        bucket(col("ctx"), buckets).as("bc"))
+    val hist = grams
+      .select(explode(array(
+        struct(lit(false).as("alt"), lit(true).as("isG"),
+          col("bg").as("b"), col("isRef").as("keep")),
+        struct(lit(false).as("alt"), lit(false).as("isG"),
+          col("bc").as("b"), col("isRef").as("keep")),
+        struct(lit(true).as("alt"), lit(true).as("isG"),
+          col("bg").as("b"), col("isRefAlt").as("keep")),
+        struct(lit(true).as("alt"), lit(false).as("isG"),
+          col("bc").as("b"), col("isRefAlt").as("keep")))).as("p"))
+      .filter(col("p.keep"))
+      .groupBy(col("p.alt").as("alt"), col("p.isG").as("isG"),
+        col("p.b").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    def model(alt: Boolean): (Map[Long, Long], Map[Long, Long]) = {
+      val rows = hist.filter(_.getAs[Boolean]("alt") == alt)
+      (rows.iterator.filter(_.getAs[Boolean]("isG"))
+        .map(r => r.getAs[Long]("b") -> microLog(r.getAs[Long]("c") + 1.0))
+        .toMap,
+       rows.iterator.filterNot(_.getAs[Boolean]("isG"))
+        .map(r => r.getAs[Long]("b") ->
+          microLog(r.getAs[Long]("c") + buckets.toDouble))
+        .toMap)
+    }
+    val (cbT, ccT) = model(alt = false)
+    val (cbA, ccA) = model(alt = true)
+    def term(cb: Map[Long, Long], cc: Map[Long, Long]): Column = {
+      val lpb =
+        if (cb.isEmpty) lit(0L)
+        else coalesce(element_at(typedlit(cb), col("bg")), lit(0L))
+      val lpc =
+        if (cc.isEmpty) lit(microLog(buckets.toDouble))
+        else coalesce(element_at(typedlit(cc), col("bc")),
+          lit(microLog(buckets.toDouble)))
+      greatest(lpc - lpb, lit(0L))
+    }
+    grams
+      .select(col("docId"), term(cbT, ccT).as("tt"), term(cbA, ccA).as("ta"))
+      .groupBy("docId")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(tt) div count(1)").as("ce_target_micro"),
+        expr("sum(ta) div count(1)").as("ce_alt_micro"))
+      .withColumn("excess_micro",
+        col("ce_alt_micro") - col("ce_target_micro"))
+      .withColumn("selected", col("excess_micro") > 0)
+  }
+
+  /**
    * Per-document cross-entropy under a reference-trained bucketed
    * INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995, ICASSP; the
    * interpolated form of Chen & Goodman 1999 §2.7 — the smoothing

@@ -953,6 +953,44 @@ class PipelineSpec extends SparkSpec {
     assert(one.forall(t => oneScored.get((t._1, t._3)).forall(_ == t._4)))
   }
 
+  test("excess loss (RHO-style, Mindermann 2022 / RHO-1): the fused " +
+       "two-model pass reproduces two independent crossEntropy passes " +
+       "exactly; selection = positive excess") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Perplexity.excessLoss(docs, col("doc_id"), col("text"),
+      col("lang") === "en", col("lang") =!= "en")
+      .collect().map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("ce_target_micro"), r.getAs[Long]("ce_alt_micro"),
+          r.getAs[Long]("excess_micro"), r.getAs[Boolean]("selected")))).toMap
+    def ce(ref: org.apache.spark.sql.Column): Map[Long, Long] =
+      Perplexity.crossEntropy(docs, col("doc_id"), col("text"), ref)
+        .collect().map(r => r.getAs[Long]("docId") ->
+          r.getAs[Long]("ce_micro")).toMap
+    val tgt = ce(col("lang") === "en")
+    val alt = ce(col("lang") =!= "en")
+    assert(out.keySet === tgt.keySet)
+    out.foreach { case (id, (ct, ca, ex, sel)) =>
+      assert(ct === tgt(id))
+      assert(ca === alt(id))
+      assert(ex === ca - ct)
+      assert(sel === (ex > 0))
+    }
+    // direction on a vocabulary-disjoint mini corpus (the sf fixture
+    // shares one vocabulary across langs, so excess has no guaranteed
+    // sign there): in-domain docs carry positive excess, off-domain
+    // negative
+    import spark.implicits._
+    val mini = Seq(
+      (1L, "aa bb aa bb aa bb", "en"), (2L, "aa bb aa bb", "en"),
+      (3L, "xx yy xx yy xx yy", "xx"), (4L, "xx yy xx yy", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val sel = Perplexity.excessLoss(mini, col("doc_id"), col("text"),
+      col("lang") === "en", col("lang") =!= "en")
+      .collect().map(r => r.getAs[Long]("docId") ->
+        r.getAs[Boolean]("selected")).toMap
+    assert(sel(1L) && sel(2L) && !sel(3L) && !sel(4L))
+  }
+
   test("PQ/IVF-PQ codebook DATA path (broadcast bks table, forced via " +
        "literalCodebookBudget = 0) is row-identical to the literal " +
        "codegen path — the r16 production-parameter plan-size fix " +
