@@ -330,15 +330,17 @@ object Bench {
   }
 
   /** Mass-duplication EXACTSUBSTR corpus (r16): 30% of the sf documents
-    * gain a 24-token span repeated 224 times — each of the span's 24
-    * periodic interior window keys is carried by ~0.3·|docs|·224 copies
-    * (~1e6 at sf0.1), the single-hot-key design point the
-    * dedupSubstrings hotKeyThreshold salt exists for. */
+    * gain the SAME token repeated ~10,800 times, so every interior
+    * 8-window is ONE key carried by ~0.3·|docs|·10,745 copies (~48M at
+    * sf0.1) — the single-hot-key funnel the dedupSubstrings
+    * hotKeyThreshold salt exists for: unsalted, the count window drags
+    * every copy through ONE task (a 24-distinct-key variant measured
+    * BALANCED across 32 cores — no funnel, so the salt could only
+    * lose); salted, the key splits into ~240 sub-partitions. */
   private[graft] def stageMassDup(spark: SparkSession, sfDir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-massdup"
-    stageOnce(out, sfDir) {
-      val hot = (1 to 24).map(i => s"massspan$i").mkString(" ")
-      val rep = (" " + hot) * 224
+    stageOnce(out, sfDir + "|onekey2") {
+      val rep = " massspan" * (448 * 24)
       spark.read.parquet(s"$sfDir/documents.parquet")
         .withColumn("text", when(col("doc_id") % 10 < 3,
           concat(col("text"), lit(rep))).otherwise(col("text")))
