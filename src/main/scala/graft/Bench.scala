@@ -588,15 +588,17 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] substr skew warm: $e") }
     val substrSkewResults = Seq(
       "skew_longdoc_dedup_substrings" -> minOf3("dedup_substrings", substrSkewDir))
-    // Mass-duplication EXACTSUBSTR pair (r16, the verdict's 1e6-copy
-    // done-criterion for the now-implemented hot-key salt): 30% of docs
-    // get a 24-token span repeated 224×, so each of the span's 24
-    // periodic window keys collects ≈ 0.3·|docs|·224 copies (~1e6 at
-    // sf0.1). Unsalted, each hot key funnels through ONE count-window
-    // partition (the documented bounded tail — measured as the contrast
-    // row, min-of-2 like the uncapped semantic-skew row); with
-    // hotKeyThreshold = 100k the heavy-hitter pre-pass salts each into
-    // ~10 sub-partitions and the tail must collapse into the band.
+    // Mass-duplication EXACTSUBSTR pair (r16, the done-criterion for the
+    // now-implemented hot-key salt): see stageMassDup — ONE window key
+    // with ~0.3·|docs|·10,745 copies (~48M at sf0.1). Unsalted, that key
+    // funnels through ONE count-window partition (probed 11.9 s vs 8.2 s
+    // salted at sf0.1, the gap growing with the hot mass — measured as
+    // the contrast row, min-of-2 like the uncapped semantic-skew row);
+    // with hotKeyThreshold = 100k the heavy-hitter pre-pass salts it
+    // into ~480 sub-partitions and the tail parallelizes.
+    // A FAILED rep records a sentinel (1e9 s), never its wall time: this
+    // pair is a head-to-head comparison, and publishing a crash's
+    // elapsed time as the row would silently invert the conclusion.
     val massDupDir = stageMassDup(spark, sfDir)
     def substrOnce(dir: String, thr: Long): Unit =
       graft.pipeline.Dedup.dedupSubstrings(
@@ -606,11 +608,12 @@ object Bench {
     def substrMin(dir: String, thr: Long, reps: Int): Double =
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try substrOnce(dir, thr)
-        catch { case e: Throwable => System.err.println(s"[bench] massdup: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try { substrOnce(dir, thr); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] massdup: $e"); 1e9 }
       }.min
-    substrOnce(massDupDir, 100000L) // warm the salted shape at scale
+    try substrOnce(massDupDir, 100000L) // warm the salted shape at scale
+    catch { case e: Throwable => System.err.println(s"[bench] massdup warm: $e") }
     val massDupResults = Seq(
       "massdup_dedup_substrings" -> substrMin(massDupDir, 0L, 2),
       "massdup_dedup_substrings_salted" -> substrMin(massDupDir, 100000L, 3))
@@ -710,13 +713,14 @@ object Bench {
           .filter(col("vec_id") % 100 === 0),
         topK = 5, nCells = 256, m = 16, k = 256, iters = 1, nProbe = 3)
         .write.format("noop").mode("overwrite").save()
-    ivfPqProdOnce(x10Dir)
+    try ivfPqProdOnce(x10Dir)   // warm; guarded like every other warm pass
+    catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod warm: $e") }
     val ivfPqProdResults = Seq(
       "prod_embed_topk_ivfpq" -> (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try ivfPqProdOnce(x10Dir)
-        catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try { ivfPqProdOnce(x10Dir); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ivfpq prod: $e"); 1e9 }
       }.min)
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at

@@ -1724,8 +1724,10 @@ object SparkEntry {
 
     // Real-vocabulary-depth BPE training (r15 verdict: the deepest pinned
     // run was 64 merges — prove the batched machinery at depth): 512
-    // merges in 8 rounds of maxBatch = 64, the same one-count-job-per-
-    // ROUND shape, so wall clock is round-bounded (8 driver round trips)
+    // merges in 20 rounds of maxBatch = 64 (DeepRounds — early rounds
+    // are conflict-starved, so ceil(512/64) rounds cannot land 512
+    // picks), the same one-count-job-per-ROUND shape, so wall clock is
+    // round-bounded (20 driver round trips)
     // however many merges each round lands. The synthetic corpus has only
     // 31 distinct words (true BPE exhausts at ~82 merges), so the derived
     // corpus suffixes every word with the letter-encoded doc_id % 199 —
@@ -4272,9 +4274,10 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
-  /** Deep BPE-training oracle: 512 merges in 8 chained batched-greedy
-    * rounds (maxBatch = 64 — the registered bpe_train_512 config) over
-    * the deep-vocabulary derived corpus. */
+  /** Deep BPE-training oracle: 512 merges in [[DeepRounds]] (20) chained
+    * batched-greedy rounds of maxBatch = 64 — the registered
+    * bpe_train_512 config — over the deep-vocabulary derived corpus,
+    * cut at rank 512. */
   /** Round budget for the deep rows: early rounds are conflict-starved
     * (the 26-letter alphabet bounds symbol-disjoint picks), so 512 merges
     * need more than ceil(512/64) rounds; 20 is measured comfortable. */

@@ -682,22 +682,39 @@ object Similarity {
     val literalBooks = m.toLong * k * sub <= literalCodebookBudget
     val bksDf = if (literalBooks) null else booksRowDf(spark, books)
     // localCheckpoint = the paper's stored artifact (the encoded corpus:
-    // m code ints per row, the thing a 100 TB deployment persists) AND a
+    // m code ints + one reconstructed-norm long per row, the thing a
+    // 100 TB deployment persists) AND a
     // CollapseProject barrier: without it Catalyst merges this projection
     // into the join's parent and re-evaluates every k-branch argmin once
     // per (candidate × query × referencing expression) instead of once
     // per candidate (measured 2× on the scoring stage).
+    // |x̃|² from codeword norms is QUERY-INDEPENDENT, so it is computed
+    // once per corpus row at encode time and stored beside the codes
+    // (r16 review: reading it from qtab's bks column at scoring time
+    // duplicated the whole codebook once per query row in the broadcast)
+    def dotArrP(w: Array[Long]): Long = w.map(x => x * x).sum
+    val cnApprox = (0 until m).map { mi =>
+      if (literalBooks)
+        element_at(array(books(mi).map(w => lit(dotArrP(w))): _*),
+          col(s"code$mi") + 1)
+      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
+        .getField("_3")
+    }.reduce(_ + _)
     val cB = if (literalBooks) c else c.crossJoin(broadcast(bksDf))
     val codes = (0 until m).foldLeft(cB) { (df, mi) =>
       df.withColumn(s"code$mi",
         if (literalBooks) pqAssign(slice(col("cq"), mi * sub + 1, sub), books(mi))
         else pqAssignData(slice(col("cq"), mi * sub + 1, sub), mi))
-    }.select(col("cid") +: (0 until m).map(mi => col(s"code$mi")): _*)
+    }.withColumn("cn2", cnApprox)
+      .select(col("cid") +: col("cn2") +:
+        (0 until m).map(mi => col(s"code$mi")): _*)
       .localCheckpoint(eager = false)
     val q0 = queries.select(col("vec_id").as("qid"),
         quantize(col("embedding")).as("qq"))
       .withColumn("qn", normSqQ(col("qq")))
     val q0B = if (literalBooks) q0 else q0.crossJoin(broadcast(bksDf))
+    // bks is dropped with qq: the ADC arrays are the only query-side
+    // artifact, so the scoring broadcast carries no codebook copies
     val qtab = (0 until m).foldLeft(q0B) { (df, mi) =>
       df.withColumn(s"adc$mi",
         if (literalBooks)
@@ -707,26 +724,14 @@ object Similarity {
         else
           transform(element_at(col("bks"), mi + 1), x =>
             dotQ(slice(col("qq"), mi * sub + 1, sub), x.getField("_2"))))
-    }.drop("qq")
+    }.drop("qq", "bks")
     val dotAdc = (0 until m).map(mi =>
       element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)
-    // |x̃|² from codeword norms: literal arrays below the budget; in the
-    // data path the bks column rides qtab into the scoring broadcast
-    // (per-query duplication of the codebook row — broadcast-sized for
-    // benchmark-scale query sets; IVF-PQ, the production composition,
-    // precomputes the norm at encode time instead)
-    val cnApprox = (0 until m).map { mi =>
-      if (literalBooks)
-        element_at(array(books(mi).map(w => lit(w.map(x => x * x).sum)): _*),
-          col(s"code$mi") + 1)
-      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
-        .getField("_3")
-    }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine",
-        when(cnApprox === 0, lit(0.0))  // degenerate all-zero codeword
-          .otherwise(round(cosineFromQ(dotAdc, col("qn"), cnApprox), 6)))
+        when(col("cn2") === 0, lit(0.0))  // degenerate all-zero codeword
+          .otherwise(round(cosineFromQ(dotAdc, col("qn"), col("cn2")), 6)))
     scored.withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("cid").asc)))
