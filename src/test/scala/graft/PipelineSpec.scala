@@ -953,6 +953,53 @@ class PipelineSpec extends SparkSpec {
     assert(one.forall(t => oneScored.get((t._1, t._3)).forall(_ == t._4)))
   }
 
+  test("substring-dedup hot-key salting is output-invariant: a hot span " +
+       "pushed past the threshold salts into sub-partitions and the " +
+       "result rows equal the unsalted shape's exactly (r16)") {
+    val span = (1 to 12).map(i => s"saltprop$i").mkString(" ")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" " + span)))
+          .otherwise(col("text")))
+    def run(thr: Long) =
+      Dedup.dedupSubstrings(docs, col("doc_id"), col("text"), k = 8,
+        hotKeyThreshold = thr)
+        .orderBy("docId")
+        .collect().map(r => (r.getAs[Long]("docId"),
+          r.getAs[Int]("nTokens"), r.getAs[Int]("nRemoved"),
+          r.getAs[String]("text"))).toSeq
+    val unsalted = run(0L)
+    assert(run(2L) === unsalted)    // every dup key detected-hot
+    assert(run(50L) === unsalted)   // only the span keys hot
+    // the derivation actually removed something (the span is a real dup)
+    assert(unsalted.exists(_._3 > 0))
+  }
+
+  test("Bpe.train maxRounds: conflict-starved rounds yield < maxBatch " +
+       "picks (a 2-letter alphabet bounds round 0 at <= 2 disjoint " +
+       "picks), and a deeper round budget EXTENDS the same merge " +
+       "sequence — greedy prefix stability") {
+    import spark.implicits._
+    val tiny = Seq((1L, "abab baba abba baab aabb bbaa"),
+        (2L, "ab ba aa bb abba babb"))
+      .toDF("doc_id", "text")
+    def merges(maxRounds: Int) =
+      Bpe.train(tiny, col("text"), nMerges = 8, maxBatch = 4,
+        maxRounds = maxRounds)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+    val two = merges(2)      // the default ceil(8/4) budget
+    val four = merges(4)
+    // round 0's candidates are pairs over {a, b}: any pick consumes at
+    // least one letter plus its concatenation, so the round lands at
+    // most 2 of its 4 wanted picks — the default budget cannot reach 8
+    assert(two.size < 8)
+    // a deeper budget extends, never rewrites, the earlier sequence
+    assert(four.take(two.size) === two)
+    assert(four.size >= two.size)
+  }
+
   test("excess loss (RHO-style, Mindermann 2022 / RHO-1): the fused " +
        "two-model pass reproduces two independent crossEntropy passes " +
        "exactly; selection = positive excess") {
