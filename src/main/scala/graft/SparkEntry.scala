@@ -3755,9 +3755,10 @@ object SparkEntry {
     * the k-means|| oracle kernel: round(round(cos, 6)·1e6), matching
     * Similarity.kmeansParallelInit.cosMicro exactly. */
   private def KmppCm(p: String, c: String): String =
-    s"CAST(round(round(CAST(list_sum(list_transform(range(1, len($p.qv)+1), " +
+    s"CAST(round((CASE WHEN $p.n2 = 0 OR $c.n2 = 0 THEN 0.0 ELSE " +
+      s"round(CAST(list_sum(list_transform(range(1, len($p.qv)+1), " +
       s"i -> $p.qv[CAST(i AS INT)]*$c.qv[CAST(i AS INT)])) AS DOUBLE) / " +
-      s"(sqrt(CAST($p.n2 AS DOUBLE))*sqrt(CAST($c.n2 AS DOUBLE))), 6) " +
+      s"(sqrt(CAST($p.n2 AS DOUBLE))*sqrt(CAST($c.n2 AS DOUBLE))), 6) END) " +
       s"* 1000000) AS BIGINT)"
 
   /** One k-means|| oversampling round in SQL: max micro-cosine vs the
@@ -3793,9 +3794,10 @@ object SparkEntry {
   }.mkString(",\n")
 
   private def kmeansCos(av: String, an: String, bv: String, bn: String): String =
-    s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
+    s"(CASE WHEN $an = 0 OR $bn = 0 THEN 0.0 ELSE " +
+      s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
       s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
-      s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6)"
+      s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6) END)"
 
   /** SemDeDup oracle: the k-means plumbing above + the within-cluster
     * smaller-id-duplicate removal rule at threshold 0.3. */
@@ -3978,7 +3980,7 @@ object SparkEntry {
        |  FROM q CROSS JOIN codes d ${cbJoins(m)}
        |  WHERE d.vec_id <> q.qid),
        |scored AS (SELECT qid, cid,
-       |  CASE WHEN cn2 = 0 THEN 0.0
+       |  CASE WHEN cn2 = 0 OR qn2 = 0 THEN 0.0
        |       ELSE round(CAST(dotadc AS DOUBLE)
        |         /(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6)
        |  END AS cosine FROM sc),
@@ -4030,7 +4032,7 @@ object SparkEntry {
        |  ${cbJoins(m)}
        |  WHERE d.vec_id <> qc.qid),
        |scored AS (SELECT qid, cid,
-       |  CASE WHEN xn2 <= 0 THEN 0.0
+       |  CASE WHEN xn2 <= 0 OR qn2 = 0 THEN 0.0
        |       ELSE round(CAST(dotx AS DOUBLE)
        |         /(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(xn2 AS DOUBLE))), 6)
        |  END AS cosine FROM sc),
@@ -4979,7 +4981,8 @@ object SparkEntry {
       |  qn2, cn2
       |  FROM qn CROSS JOIN cn WHERE cid <> qid),
       |scored AS (SELECT qid, cid,
-      |  round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) AS cosine
+      |  CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0 ELSE
+      |    round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) END AS cosine
       |  FROM pairs),
       |ranked AS (SELECT qid, cid, cosine,
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
@@ -5008,8 +5011,9 @@ object SparkEntry {
       |probes AS (SELECT qid, qq, qn2, bucket AS probe FROM qv
       |  UNION ALL SELECT qid, qq, qn2, xor(bucket, CAST(1 << CAST(ti.range AS INT) AS BIGINT)) FROM qv, range(8) ti),
       |cand AS (SELECT pr.qid, cv.cid,
-      |  round(CAST(list_sum(list_transform(range(1, 65), i -> pr.qq[CAST(i AS INT)] * cv.cq[CAST(i AS INT)])) AS DOUBLE)
-      |    / (sqrt(CAST(cv.cn2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))), 6) AS cosine
+      |  CASE WHEN cv.cn2 = 0 OR pr.qn2 = 0 THEN 0.0 ELSE
+      |    round(CAST(list_sum(list_transform(range(1, 65), i -> pr.qq[CAST(i AS INT)] * cv.cq[CAST(i AS INT)])) AS DOUBLE)
+      |    / (sqrt(CAST(cv.cn2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))), 6) END AS cosine
       |  FROM probes pr JOIN cv ON cv.bucket = pr.probe AND cv.cid <> pr.qid),
       |dd AS (SELECT qid, cid, MIN(cosine) AS cosine FROM cand GROUP BY 1, 2),
       |ranked AS (SELECT qid, cid, cosine,
@@ -5981,9 +5985,10 @@ object SparkEntry {
         |b AS (SELECT vec_id AS bid, qv AS bq, n2 AS bn FROM n WHERE vec_id % 100 = 0),
         |c AS (SELECT vec_id, qv AS cq, n2 AS cn FROM n WHERE vec_id % 100 <> 0),
         |sc AS (SELECT c.vec_id, b.bid,
-        |  round(CAST(CAST(list_sum(list_transform(range(1, len(cq)+1),
+        |  CASE WHEN cn = 0 OR bn = 0 THEN 0.0 ELSE
+        |    round(CAST(CAST(list_sum(list_transform(range(1, len(cq)+1),
         |      i -> cq[CAST(i AS INT)]*bq[CAST(i AS INT)])) AS BIGINT) AS DOUBLE)
-        |    / (sqrt(CAST(cn AS DOUBLE))*sqrt(CAST(bn AS DOUBLE))), 6) AS cos
+        |    / (sqrt(CAST(cn AS DOUBLE))*sqrt(CAST(bn AS DOUBLE))), 6) END AS cos
         |  FROM c CROSS JOIN b),
         |rk AS (SELECT vec_id, bid, cos,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
@@ -6925,9 +6930,11 @@ object SparkEntry {
          |  a.n AS na, b2.n AS nb
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |SELECT id_a, id_b,
-         | round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+         | CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE
+         |   round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) END AS cosine
          |FROM p
-         |WHERE round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) >= 0.3
+         |WHERE na <> 0 AND nb <> 0
+         |  AND round(CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

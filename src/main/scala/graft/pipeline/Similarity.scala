@@ -39,9 +39,18 @@ object Similarity {
     org.apache.spark.sql.GraftColumnShim.column(graft.functions.NormSqQ(
       org.apache.spark.sql.GraftColumnShim.expression(a)))
 
-  /** Cosine from integer dot + norms — fixed double expression shape. */
+  /** Cosine from integer dot + norms — fixed double expression shape.
+    * Zero-norm guard (r16 review): a zero-quantized vector (all
+    * |x| < 5e-7 quantizes to zeros) has no direction, so its similarity
+    * to anything is DEFINED as 0 — without the guard 0/0 = NaN, which
+    * Spark AND DuckDB order ABOVE every real value, so a zero vector
+    * would rank FIRST in every top-k, pass every >= threshold, and
+    * mass-mark near-dups. With the guard it ranks last and matches
+    * nothing, the only sane semantics for a direction-less point. */
   def cosineFromQ(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -120,22 +129,63 @@ object Similarity {
     array((bucket +: (0 until nPlanes).map(i =>
       bucket.bitwiseXOR(lit(1L << i)))): _*)
 
+  /** Data-path twin of [[lshBucketSeeded]] for production dims: the
+    * plane matrix rides a broadcast one-row frame (`planes` column, one
+    * array per plane) instead of nPlanes·dim plan literals — the
+    * [[MaxLiteralCodebook]] rationale: Janino's local-variable
+    * bookkeeping blows up at compile time on large literal counts. */
+  private def seededPlanesDf(spark: SparkSession, nPlanes: Int, dim: Int,
+                             seed: Long): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1((0 until nPlanes).map(p =>
+      (0 until dim).map(d => planeSign(seed, p, d)).toSeq).toSeq))
+      .toDF("planes")
+  }
+
+  private def lshBucketSeededData(qvec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(dotQ(qvec, element_at(col("planes"), p + 1)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /**
    * Seeded + multi-probe ANN: corpus buckets once; each query explodes to
    * its Hamming-1 probe set and joins the (broadcast) query side against
    * corpus buckets. Shuffle stays on the bucket key; the probe fan-out
-   * multiplies only the query side.
+   * multiplies only the query side. Planes embed as literals below the
+   * [[MaxLiteralCodebook]] plan budget and ride a broadcast one-row frame
+   * past it; `dim` is validated against the data (r16 review: DotQ
+   * returns null on a length mismatch, which would silently send every
+   * row to bucket 0 and degenerate the bucketed path to a full join).
    */
   def lshTopKSeeded(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nPlanes: Int, dim: Int, seed: Long): DataFrame = {
+                    nPlanes: Int, dim: Int, seed: Long,
+                    literalPlanesBudget: Long = MaxLiteralCodebook): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
-      .withColumn("cn", normSqQ(col("cq")))
-      .withColumn("bucket", lshBucketSeeded(col("cq"), nPlanes, dim, seed))
-    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
-      .withColumn("qn", normSqQ(col("qq")))
+    val actualDim = corpus.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    require(actualDim == dim,
+      s"lshTopKSeeded dim=$dim but embeddings carry $actualDim dims")
+    val literalPlanes = nPlanes.toLong * dim <= literalPlanesBudget
+    val planesDf =
+      if (literalPlanes) null
+      else seededPlanesDf(corpus.sparkSession, nPlanes, dim, seed)
+    def bucketed(vec: Column): Column =
+      if (literalPlanes) lshBucketSeeded(vec, nPlanes, dim, seed)
+      else lshBucketSeededData(vec, nPlanes)
+    def withPlanes(df: DataFrame): DataFrame =
+      if (literalPlanes) df else df.crossJoin(broadcast(planesDf))
+    val c = withPlanes(corpus.select(col("vec_id").as("cid"),
+        quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq"))))
+      .withColumn("bucket", bucketed(col("cq")))
+      .drop("planes")
+    val q = withPlanes(queries.select(col("vec_id").as("qid"),
+        quantize(col("embedding")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq"))))
       .withColumn("bucket",
-        explode(multiProbe(lshBucketSeeded(col("qq"), nPlanes, dim, seed), nPlanes)))
+        explode(multiProbe(bucketed(col("qq")), nPlanes)))
+      .drop("planes")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
@@ -173,10 +223,17 @@ object Similarity {
       .filter(col("bsz") > maxBucketSize)
       .withColumn("nsalts", ceil(col("bsz") / maxBucketSize).cast("int"))
       .select(col("bucket"), col("nsalts"))
+    // Salt assignment is the md5-prefix long (r16 review: the previous
+    // Spark-internal murmur3 hash() broke the header's engine-portability
+    // contract for over-cap buckets — Dedup.minHashLshPairs documents the
+    // same choice for the same reason); it evaluates only inside the
+    // over-cap branch, a tiny set by construction.
+    val saltHash = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+      16, 10).cast("long")
     val salted = v.join(broadcast(oversized), Seq("bucket"), "left")
       .withColumn("salt",
-        when(col("nsalts").isNotNull, pmod(hash(col("vec_id")), col("nsalts")))
-          .otherwise(lit(0)))
+        when(col("nsalts").isNotNull, pmod(saltHash, col("nsalts")))
+          .otherwise(lit(0L)))
       .drop("nsalts")
     val pairs = salted.as("a").join(salted.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.salt") === col("b.salt") &&
@@ -364,6 +421,17 @@ object Similarity {
                          rounds: Int = 2,
                          seed: String = "kmpp"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r16 review: each round's sampling probabilities sum to ~l, so the
+    // expected candidate pool is ~1 + l·rounds INDEPENDENT of k — asking
+    // for more centroids than that silently under-seeds the index
+    // (Bahmani 2012 uses l = Θ(k), typically 2k). Zero-norm points are a
+    // documented degenerate input: they carry no direction, score
+    // cosine 0 to every candidate (the cosineFromQ guard), and so keep
+    // d2 = 1e12 even after being chosen — exclude them corpus-side if
+    // the input can contain empty embeddings.
+    require(1L + l.toLong * rounds >= k,
+      s"k-means|| expects ~1 + l*rounds >= k candidates; " +
+        s"l=$l rounds=$rounds cannot seed k=$k (use l = Theta(k))")
     def cosMicro(q: Column, n2: Column, cq: Column, cn2: Column): Column =
       round(round(cosineFromQ(dotQ(q, cq), n2, cn2), 6) * 1e6).cast("long")
     var cands = c.orderBy(md5(col("cid").cast("string")), col("cid")).limit(1)
@@ -599,6 +667,10 @@ object Similarity {
     val seeds: Array[Array[Long]] = c
       .orderBy(md5(col("cid").cast("string")), col("cid")).limit(k)
       .select(col("cq")).collect().map(_.getSeq[Long](0).toArray)
+    // r16 review: fewer rows than codewords used to AIOOBE inside the
+    // round update (Array.tabulate(k) indexing past seeds.length)
+    require(seeds.length >= k,
+      s"PQ training needs >= k=$k rows; corpus has ${seeds.length}")
     var books: Array[Array[Array[Long]]] = Array.tabulate(m) { mi =>
       seeds.map(v => v.slice(mi * sub, (mi + 1) * sub))
     }

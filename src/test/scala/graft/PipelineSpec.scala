@@ -1057,6 +1057,12 @@ class PipelineSpec extends SparkSpec {
         k = 16, iters = 2, nProbe = 3, literalCodebookBudget = 0L)) ===
       rows(Similarity.ivfPqTopK(emb, queries, topK = 5, nCells = 8, m = 8,
         k = 16, iters = 2, nProbe = 3)))
+    // seeded LSH: the broadcast plane-matrix path equals the literal path
+    assert(
+      rows(Similarity.lshTopKSeeded(emb, queries, k = 5, nPlanes = 8,
+        dim = 64, seed = 7L, literalPlanesBudget = 0L)) ===
+      rows(Similarity.lshTopKSeeded(emb, queries, k = 5, nPlanes = 8,
+        dim = 64, seed = 7L)))
   }
 
   test("ivfTopKTrained: deterministic across runs and partitionings; " +
