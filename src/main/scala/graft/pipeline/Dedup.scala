@@ -111,8 +111,15 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 8, "double-hashing construction sized for <= 8 permutations")
+    // NULL text shingles to [null] (the kernel's null singleton) — without
+    // the filter such docs would carry ALL-NULL signatures, and since
+    // concat_ws skips nulls every null-text doc would share the empty band
+    // key in every band, pairing with each other as phantom candidates
+    // (r16 review). A null document has no content identity: it is absent
+    // from the signature table, like a doc with no shingles.
     val sh = df.select(idCol.as("docId"),
       explode(array_distinct(shingles(textCol, n))).as("sh"))
+      .filter(col("sh").isNotNull)
     val h = md5(col("sh"))
     val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
     val h2m = conv(substring(h, 17, 15), 16, 10).cast("long") % lit(DoubleHashMod)
@@ -157,12 +164,19 @@ object Dedup {
                     n: Int = 5, bins: Int = 256): DataFrame = {
     val sh = df.select(sourceCol.as("src"),
       explode(array_distinct(shingles(textCol, n))).as("sh"))
+      .filter(col("sh").isNotNull)   // null text -> the kernel's [null]
     val h1 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-    val hashed = sh.select(col("src"), h1.as("h"))
+    // ONE corpus pass (r16 review: the sketch agg and the distinct count
+    // were separate subtrees over the raw explode, re-scanning and
+    // re-hashing the corpus twice): the distinct (src, h) frame is
+    // checkpointed — min over distinct equals min over all, and the
+    // distinct count is a plain count — and both aggs read it.
+    val hashed = sh.select(col("src"), h1.as("h")).distinct()
+      .localCheckpoint()
     val sk = hashed.groupBy(col("src"), pmod(col("h"), lit(bins)).as("bin"))
       .agg(min("h").as("mn"))
       .localCheckpoint()  // consumed by the pair join twice + the bin count
-    val nsh = hashed.groupBy("src").agg(countDistinct("h").as("nsh"))
+    val nsh = hashed.groupBy("src").agg(count(lit(1)).as("nsh"))
     val nbins = sk.groupBy("src").agg(count(lit(1)).as("nbins"))
     val a = sk.select(col("src").as("sa"), col("bin"), col("mn").as("mna"))
     val b = sk.select(col("src").as("sb"), col("bin"), col("mn").as("mnb"))
@@ -219,7 +233,11 @@ object Dedup {
     val candsM = cands.localCheckpoint()
     val ids = candsM.select(explode(array(col("idA"), col("idB"))).as("cdid"))
       .distinct()
-    val subset = df.join(broadcast(ids), idCol === col("cdid"), "left_semi")
+    // no forced broadcast (r16 review): LSH banding does not bound the
+    // candidate id set — on a duplicate-heavy corpus it can be O(corpus),
+    // and a forced broadcast would blow the 8 GB limit exactly where this
+    // step matters most. AQE broadcasts it when it is in fact small.
+    val subset = df.join(ids, idCol === col("cdid"), "left_semi")
     // Exact Jaccard (no df cap): the subset is already bounded to
     // candidate members, so the hot-shingle quadratic risk the cap guards
     // against cannot arise, and verify must score the true similarity.
@@ -249,6 +267,10 @@ object Dedup {
    */
   def minHashLshPairs(signatures: DataFrame, numHashes: Int,
                       rowsPerBand: Int, maxBucketSize: Int = 10000): DataFrame = {
+    // a remainder would silently DROP the trailing hash columns from
+    // banding, quietly shifting the b/r recall curve (r16 review)
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes not divisible by rowsPerBand=$rowsPerBand")
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
