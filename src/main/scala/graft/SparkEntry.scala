@@ -840,6 +840,17 @@ object SparkEntry {
           col("dupCount").as("dup_count"))
         .orderBy("content_hash")),
 
+    // SoftDedup (He 2024): every doc keeps its row; duplicates are
+    // down-weighted by their exact-content group size (micros, floor —
+    // engine-exact). One window over the content-hash partition.
+    "dedup_soft" -> ((s, dir) =>
+      Dedup.softDedup(docsPar(s, dir), col("doc_id"), col("text"))
+        .select(col("docId").as("doc_id"),
+          col("contentHash").as("content_hash"),
+          col("dupCount").as("dup_count"),
+          col("weightMicro").as("weight_micro"))
+        .orderBy("doc_id")),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsPar(s, dir), col("doc_id"),
         col("text"), 5, 30, dfCap = 64)
@@ -2121,6 +2132,21 @@ object SparkEntry {
         fmap("sentences").as("sentences"),
         fmap("keep").as("keep"),
         md5(fmap("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 bad-words page filter (Raffel 2020 §2.2) — the block list is a
+    // parameter; here three words where only 'slow' occurs in the fixture
+    // vocabulary, so keep splits the corpus non-trivially and the audit
+    // columns (hit count, first list word) are exercised on both branches
+    "c4_badwords" -> ((s, dir) => {
+      val fmap = TextAnalysis.c4BadWords(col("text"),
+        Seq("slow", "lorem", "obscene")).toMap
+      docsPar(s, dir).select(
+        col("doc_id"),
+        fmap("bad_hits").as("bad_hits"),
+        fmap("first_bad").as("first_bad"),
+        fmap("keep").as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -5652,6 +5678,12 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    "dedup_soft" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+        |  1000000 // (COUNT(*) OVER (PARTITION BY md5(text))) AS weight_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Same df-cap rule as Dedup.ngramJaccardPairs(dfCap = 64): shingles
     // occurring in more than 64 documents are dropped before the join,
     // and sizes are computed over the capped set.
@@ -6974,6 +7006,21 @@ object SparkEntry {
         |SELECT doc_id, rnk, term, tfidf,
         | CAST(tf AS BIGINT) AS tf_n, CAST(df AS BIGINT) AS df_n
         |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    "c4_badwords" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS c0,
+        |  CAST(len(list_filter(toks, x -> x = 'lorem')) AS BIGINT) AS c1,
+        |  CAST(len(list_filter(toks, x -> x = 'obscene')) AS BIGINT) AS c2
+        |  FROM t)
+        |SELECT doc_id, c0 + c1 + c2 AS bad_hits,
+        |  CASE WHEN c0 > 0 THEN 'slow' WHEN c1 > 0 THEN 'lorem'
+        |       WHEN c2 > 0 THEN 'obscene' ELSE NULL END AS first_bad,
+        |  (c0 + c1 + c2 = 0) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "c4_clean" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -42,6 +42,31 @@ object Dedup {
       .agg(min(idCol).as("keepId"), count(lit(1)).as("dupCount"))
 
   /**
+   * Soft dedup (He et al. 2024, "SoftDedup: an Efficient Data Reweighting
+   * Method for Speeding Up Language Model Pre-training", ACL 2024): keep
+   * EVERY document but down-weight duplicates by the commonness of their
+   * content — sampling weight 1/n for a document whose exact-content group
+   * has n members (the paper's frequency-based reweighting with its
+   * default inverse law). Weights are integer micros, floor(1e6/n), so
+   * engines agree bit-exactly; the group count rides ONE window over the
+   * content-hash partition (same single shuffle as [[exact]], and no join
+   * back — the window and a groupBy+join are the same exchange, minus the
+   * second sort). At 100 TB this is the cheapest possible soft pass: the
+   * hash is computed map-side, the only wide op is the one hash-keyed
+   * exchange, and a group of 1e8 boilerplate copies is a COUNT in one
+   * partition — a long scan, not a blow-up (and the [[exact]] keeper-agg
+   * shape remains the escape hatch if a single group ever dominates a
+   * partition).
+   */
+  def softDedup(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(textCol.cast("binary"))
+    df.select(idCol.as("docId"), h.as("contentHash"),
+        count(lit(1)).over(Window.partitionBy(h)).as("dupCount"))
+      .withColumn("weightMicro", expr("1000000 div dupCount"))
+  }
+
+  /**
    * N-gram Jaccard near-dup: candidate pairs share ≥1 shingle (hash join on
    * the shingle, never a cross join); Jaccard = |A∩B| / |A∪B| entirely in
    * integer counts. `minJaccardPct` compares via cross-multiplication:

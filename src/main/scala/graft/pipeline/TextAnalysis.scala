@@ -191,6 +191,38 @@ object TextAnalysis {
   }
 
   /**
+   * C4 bad-words page filter (Raffel et al. 2020, "Exploring the Limits of
+   * Transfer Learning…", §2.2): drop any page containing a word from a
+   * block list ("List of Dirty, Naughty, Obscene or Otherwise Bad Words"
+   * in the paper — the list is a PARAMETER here; deployments supply their
+   * own). Matching is case-insensitive on word boundaries: the text is
+   * lowered, every non-alphanumeric run is collapsed to a single space,
+   * and each list word is counted by exact token equality over the split
+   * (NOT the [[occurrences]] length-difference trick, which undercounts
+   * adjacent repeats — a hit COUNT should be exact since removal-rate
+   * reports aggregate it). Returns the per-page total hit count, the
+   * first list word present (list order — the audit column real filters
+   * log), and the keep decision. One projection, map-side at any scale;
+   * cost is O(tokens·|words|) per page, which is why production lists are
+   * applied AFTER cheaper gates (the curation-funnel ordering) —
+   * composable here the same way.
+   */
+  def c4BadWords(textCol: Column, words: Seq[String]): Seq[(String, Column)] = {
+    require(words.nonEmpty, "bad-word filter needs a non-empty list")
+    val toks = split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
+    val counts = words.map(w =>
+      size(filter(toks, t => t === lit(w.toLowerCase))).cast("long"))
+    val total = counts.reduce(_ + _)
+    val first = words.zip(counts).foldRight(lit(null).cast("string")) {
+      case ((w, c), rest) => when(c > 0, lit(w)).otherwise(rest)
+    }
+    Seq(
+      "bad_hits" -> total,
+      "first_bad" -> first,
+      "keep" -> (total === 0L))
+  }
+
+  /**
    * RefinedWeb line-wise corrections (Penedo et al. 2023, "The RefinedWeb
    * Dataset for Falcon LLM", arXiv:2306.01116 App. G.2) — the filter
    * family between C4's line rules and Gopher's doc rules: remove lines

@@ -23,6 +23,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() === 4) // 4 distinct contents
   }
 
+  test("soft dedup keeps every row, weights duplicates at floor(1e6/n)") {
+    val out = Dedup.softDedup(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("docId") ->
+        (r.getAs[Long]("dupCount"), r.getAs[Long]("weightMicro"))).toMap
+    assert(out.size === 5) // soft = nothing removed
+    assert(out(1L) === (2L, 500000L)) // the duplicated pair splits its mass
+    assert(out(2L) === (2L, 500000L))
+    assert(out(4L) === (1L, 1000000L)) // uniques keep full weight
+    assert(out(5L) === (1L, 1000000L)) // empty text is its own group
+  }
+
+  test("C4 bad-words filter: exact token hits (adjacent repeats, case and " +
+    "punctuation normalized), first-word audit in list order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a SLOW, slow slow query"),       // 3 exact hits incl. adjacent
+      (2L, "slowly is not the list word"),   // substring must NOT match
+      (3L, "clean text entirely"),
+      (4L, "lorem and slow both appear")).toDF("doc_id", "text")
+    val f = TextAnalysis.c4BadWords(col("text"), Seq("slow", "lorem")).toMap
+    val out = df.select(col("doc_id"), f("bad_hits").as("h"),
+        f("first_bad").as("fb"), f("keep").as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out(1L) === (3L, Some("slow"), false))
+    assert(out(2L) === (0L, None, true))
+    assert(out(3L) === (0L, None, true))
+    assert(out(4L) === (2L, Some("slow"), false)) // list order, not text order
+  }
+
   test("ngram jaccard finds exact and near dups, skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs.filter(length(col("text")) > 0),
       col("doc_id"), col("text"), 3, 30)
