@@ -1674,6 +1674,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // SQ8 scalar-quantized ANN (the FAISS SQ8 regime): one corpus-wide
+    // symmetric scale, signed-byte codes, cosine scored directly on the
+    // codes (scale-free) — the 4×-memory-reduction tier between raw
+    // floats and PQ; encode is the integer half-away formula, so the
+    // oracle replays it bit-exactly
+    "embed_topk_sq8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 100 === 0), 5)
+        .select(col("qid"), col("rank").cast("long").as("rnk"), col("cid"),
+          col("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
     // IVF-PQ / IVFADC (Jégou 2011 §IV): coarse cosine cells route each
     // query to nProbe cells; candidates score from product-quantized
     // RESIDUALS via exact integer reconstruction — the architecture
@@ -4993,6 +5006,37 @@ object SparkEntry {
 
   /** Brute-force cosine top-k oracle — also checks `embed_topk_ivf`, whose
     * exhaustive-probe configuration must reproduce this ranking exactly. */
+  /** SQ8 oracle: replays the scalar-quantization encode exactly — the
+    * corpus-wide max|x| scale (floored at 1), the integer half-away code
+    * q = (|v|·254 + s) // (2s) with sign, then the standard integer
+    * dot/norm cosine ranking over the CODES (cosine is scale-free, so no
+    * reconstruction). */
+  private val Sq8TopKOracle: String =
+    """WITH c0 AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS cv
+      |  FROM embeddings),
+      |s AS (SELECT greatest(max(list_max(list_transform(cv, x -> abs(x)))), 1) AS sc FROM c0),
+      |c AS (SELECT vec_id AS cid,
+      |  list_transform(cv, v -> CASE WHEN v < 0
+      |    THEN -((abs(v)*254 + s.sc) // (2*s.sc))
+      |    ELSE (abs(v)*254 + s.sc) // (2*s.sc) END) AS cq
+      |  FROM c0, s),
+      |q AS (SELECT cid AS qid, cq AS qq FROM c WHERE qid % 100 = 0),
+      |qn AS (SELECT qid, qq, CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS qn2 FROM q),
+      |cn AS (SELECT cid, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM c),
+      |pairs AS (SELECT qid, cid,
+      |  CAST(list_sum(list_transform(range(1, len(qq)+1), i -> qq[CAST(i AS INT)]*cq[CAST(i AS INT)])) AS BIGINT) AS dot,
+      |  qn2, cn2
+      |  FROM qn CROSS JOIN cn WHERE cid <> qid),
+      |scored AS (SELECT qid, cid,
+      |  CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0 ELSE
+      |    round(CAST(dot AS DOUBLE)/(sqrt(CAST(qn2 AS DOUBLE))*sqrt(CAST(cn2 AS DOUBLE))), 6) END AS cosine
+      |  FROM pairs),
+      |ranked AS (SELECT qid, cid, cosine,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT qid, rnk, cid, cosine FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   private val EmbedTopKOracle: String =
     """WITH q AS (SELECT vec_id AS qid,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qq
@@ -6730,6 +6774,7 @@ object SparkEntry {
     "embed_topk_ivf_trained" -> EmbedTopKOracle,
     "embed_topk_ivf_kmpp" -> EmbedTopKOracle,
     "embed_topk_pq" -> PqTopKOracle,
+    "embed_topk_sq8" -> Sq8TopKOracle,
     "embed_topk_ivfpq" -> IvfPqOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_semantic_capped" -> SemDedupCappedOracle,

@@ -77,6 +77,61 @@ object Similarity {
   }
 
   /**
+   * SQ8 scalar-quantized top-k (the FAISS `SQ8` regime, Jégou/Douze —
+   * the memory tier between raw floats and PQ): every vector is encoded
+   * to one SIGNED BYTE per dimension against a single corpus-wide
+   * symmetric scale s = max|x|, code = round(127·x/s). Cosine is
+   * scale-free, so the codes' cosine IS the approximation — integer dot
+   * and norms over the codes, no reconstruction step (the reason SQ8
+   * needs no ADC table, unlike PQ).
+   *
+   * Engine-exact encoding: the round is computed as the INTEGER
+   * half-away formula q = (|v|·254 + s) div (2s) on the 1e6-quantized
+   * longs (sign reapplied), never a float round — the floor-div rides
+   * an exact-multiple double division (numerator ≤ 2.55e8 « 2⁵³), so
+   * Spark and any SQL oracle agree bit-exactly. A zero corpus (s = 0)
+   * degenerates to all-zero codes, which the [[cosineFromQ]] zero-norm
+   * guard scores as 0 — no division by zero (s is floored at 1).
+   *
+   * Scale: ONE scalar aggregate over the corpus produces s (attached as
+   * a broadcast 1-row frame, not driver state); encoding then rides the
+   * scan map-side — 4 bytes/dim float32 becomes 1 byte/dim storage in a
+   * deployment (here code arrays stay long[] for the shared DotQ
+   * scoring path; the regime, not the physical byte layout, is what the
+   * oracle pins). Scoring is the same broadcast-queries corpus stream
+   * as [[bruteForceTopK]]: no corpus shuffle at any size.
+   */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cq = corpus.select(col("vec_id").as("cid"),
+      quantize(col("embedding")).as("cv"))
+    val scale = cq.agg(greatest(max(array_max(transform(col("cv"), abs(_)))),
+      lit(1L)).as("s"))
+    def sq8(vec: Column): Column = transform(vec, v => {
+      val a = abs(v) * 254L + col("s")
+      val q = ((a - pmod(a, col("s") * 2L)) / (col("s") * 2L)).cast("long")
+      when(v < 0, -q).otherwise(q)
+    })
+    val c = cq.crossJoin(broadcast(scale))
+      .select(col("cid"), sq8(col("cv")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val q = queries.select(col("vec_id").as("qid"),
+        quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(scale))
+      .select(col("qid"), sq8(col("qv")).as("qq"))
+      .withColumn("qn", normSqQ(col("qq")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(cosineFromQ(dotQ(col("cq"), col("qq")),
+        col("cn"), col("qn")), 6))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+  }
+
+  /**
    * LSH bucket key: sign bits of `nBits` fixed hyperplanes. With no RNG
    * available cross-engine, hyperplanes are the coordinate axes of the
    * first `nBits` dimensions — a valid (if crude) random-projection family

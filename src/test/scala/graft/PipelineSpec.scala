@@ -363,6 +363,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") === 1.0)
   }
 
+  test("SQ8 top-k: codes bounded at ±127, identical direction ranks first, " +
+    "zero-vector corpus member scores 0 (not NaN)") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),      // identical direction to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 2.0f, 0.0f)),      // sets the scale s = 2e6
+      (4L, Array(0.0f, 0.0f, 0.0f))))     // zero vector: guard must fire
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(emb, emb.filter(col("vec_id") === 0), 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("cid")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out.head.getAs[Double]("cosine") === 1.0)
+    // zero vector ranks last at exactly 0 — the NaN guard
+    assert(out.last.getAs[Double]("cosine") === 0.0)
+    // the scale-setting vector's own code hits exactly ±127 and no code
+    // can exceed it (s = max|x| bounds every ratio at 1)
+    val codes = emb.select(graft.pipeline.Similarity.quantize(col("embedding")).as("cv"))
+    val s = codes.agg(max(array_max(transform(col("cv"), abs(_))))).head.getLong(0)
+    assert(s === 2000000L)
+  }
+
   test("LSH-bucketed top-k agrees with brute force for in-bucket neighbors") {
     val emb = spark.createDataFrame(Seq(
       (0L, Array(1.0f, 1.0f, -1.0f)),
