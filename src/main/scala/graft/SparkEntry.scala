@@ -1716,6 +1716,17 @@ object SparkEntry {
         nCentroids = 8, lloydIters = 2, maxClusterSize = 16)
         .orderBy("vec_id")),
 
+    // Cluster-balanced coverage subsample (the DataComp/MiniPile-style
+    // balanced selection): ≤30 members per k-means cluster by the
+    // engine-portable md5 order — head clusters capped, tail clusters
+    // fully covered
+    "cluster_sample" -> ((s, dir) =>
+      Similarity.clusterSample(tbl(s, dir, "embeddings"), perCluster = 30,
+        nCentroids = 8, lloydIters = 2)
+        .select(col("vec_id"), col("cluster"),
+          col("sampleRank").as("sample_rank"), col("kept"))
+        .orderBy("vec_id")),
+
     // D4's second half (Tirumala 2023): drop the 30% most prototypical
     // of each cluster — no pair comparisons at all, one broadcast
     // assignment + one rank window per cluster
@@ -3837,6 +3848,17 @@ object SparkEntry {
       s"round(CAST(list_sum(list_transform(range(1, len($av)+1), " +
       s"i -> $av[CAST(i AS INT)]*$bv[CAST(i AS INT)])) AS DOUBLE)" +
       s"/(sqrt(CAST($an AS DOUBLE))*sqrt(CAST($bn AS DOUBLE))), 6) END)"
+
+  /** Cluster-balanced subsample oracle: the same k-means plumbing, then a
+    * per-cluster rank over (md5(vec_id), vec_id) capped at 30. */
+  private val ClusterSampleOracle: String =
+    s"""${kmeansOracleSql(kmeansCos)},
+       |rk AS (SELECT vec_id, cent,
+       |  CAST(row_number() OVER (PARTITION BY cent
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS sample_rank
+       |  FROM af)
+       |SELECT vec_id, cent AS cluster, sample_rank, (sample_rank <= 30) AS kept
+       |FROM rk ORDER BY vec_id""".stripMargin
 
   /** SemDeDup oracle: the k-means plumbing above + the within-cluster
     * smaller-id-duplicate removal rule at threshold 0.3. */
@@ -6776,6 +6798,7 @@ object SparkEntry {
     "embed_topk_pq" -> PqTopKOracle,
     "embed_topk_sq8" -> Sq8TopKOracle,
     "embed_topk_ivfpq" -> IvfPqOracle,
+    "cluster_sample" -> ClusterSampleOracle,
     "dedup_semantic" -> SemDedupOracle,
     "dedup_semantic_capped" -> SemDedupCappedOracle,
     "dedup_prototypes" -> PrototypeOracle,

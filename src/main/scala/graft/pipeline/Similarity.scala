@@ -585,6 +585,46 @@ object Similarity {
   }
 
   /**
+   * Cluster-balanced coverage subsample — the "balanced sampling across
+   * clusters" selection baseline (the device behind DataComp-style
+   * cluster-based filtering and MiniPile's cluster-capped curation):
+   * k-means cluster the embedding space, then keep at most `perCluster`
+   * members of every cluster, chosen by the engine-portable uniform
+   * order (md5(vec_id), vec_id) — a coverage-preserving cap that equalizes
+   * cluster mass instead of letting head clusters dominate the sample.
+   * Returns every vector with its cluster, its within-cluster sample rank
+   * and the kept flag (the report shape of [[semDedup]]).
+   *
+   * Scale shape: shared [[trainCentroids]] substrate (1+iters bounded
+   * jobs), ONE broadcast of k centroids, map-side assignment, then a
+   * single rank window keyed on the cluster id — the same single-shuffle
+   * shape as the capped-[[semDedup]] pivot rank, bounded by the largest
+   * cluster (a degenerate corpus concentrates one cluster; the two-phase
+   * per-partition partial top-k is the documented escape hatch, the salt
+   * device of Dedup.dedupSubstrings applied to the md5 order).
+   */
+  def clusterSample(corpus: DataFrame, perCluster: Int, nCentroids: Int,
+                    lloydIters: Int = 2): DataFrame = {
+    require(perCluster > 0, "clusterSample needs a positive per-cluster cap")
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
+      .withColumn("cn", normSqQ(col("cq")))
+    val centroids = trainCentroids(c, nCentroids, lloydIters)
+      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    c.crossJoin(broadcast(centroids))
+      .withColumn("cent",
+        array_min(transform(col("cents"), x =>
+          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
+            col("cn"), x.getField("centn")), 6)).as("negCos"),
+            x.getField("cent").as("cent")))).getField("cent"))
+      .withColumn("sampleRank",
+        row_number().over(Window.partitionBy(col("cent"))
+          .orderBy(md5(col("cid").cast("string")), col("cid"))).cast("long"))
+      .select(col("cid").as("vec_id"), col("cent").as("cluster"),
+        col("sampleRank"), (col("sampleRank") <= perCluster).as("kept"))
+  }
+
+  /**
    * SSL-prototype pruning — the second half of D4 (Tirumala et al. 2023,
    * "D4: Improving LLM Pretraining via Document De-Duplication and
    * Diversification", arXiv:2308.12284, building on Sorscher et al.

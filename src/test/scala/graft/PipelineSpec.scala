@@ -433,6 +433,33 @@ class PipelineSpec extends SparkSpec {
     assert(capped(0L) && capped(3L) && capped(5L))  // keepers never flip
   }
 
+  test("cluster-balanced sample caps head clusters, keeps tails whole, " +
+    "and is invariant to partitioning") {
+    import spark.implicits._
+    // 20 near-identical head vectors vs 3 orthogonal tail vectors
+    val rows = (0L until 20L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0.0f))) ++ Seq(
+      (100L, Array(0.0f, 1.0f, 0.0f)),
+      (101L, Array(0.0f, 0.9f, 0.1f)),
+      (102L, Array(0.0f, 0.0f, 1.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.clusterSample(emb, perCluster = 5, nCentroids = 3)
+    val perCluster = out.filter(col("kept")).groupBy("cluster").count()
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ <= 5))
+    assert(out.filter(col("kept")).count() < 23) // the head cluster was capped
+    // every rank within a cluster is the md5 order: rank 1..n contiguous
+    val ranks = out.filter(col("cluster") === out.filter(col("vec_id") === 0L)
+      .select("cluster").head.getString(0))
+      .select("sampleRank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to ranks.length).toSeq)
+    // partitioning invariance (the md5 order is data, not physical, order)
+    val out2 = Similarity.clusterSample(emb.repartition(7), perCluster = 5,
+      nCentroids = 3)
+    assert(out.orderBy("vec_id").collect().toSeq ===
+      out2.orderBy("vec_id").collect().toSeq)
+  }
+
   test("D4 prototype pruning drops the most-centroid-like fraction of " +
        "each cluster, keeps outliers, is partition-independent " +
        "(Tirumala 2023 arXiv:2308.12284)") {
