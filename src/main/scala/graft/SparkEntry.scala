@@ -2780,6 +2780,28 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Bucketed co-location: both fact tables written bucketBy(16, key) +
+    // sortBy, then the orders ⨝ lineitem equi-join reads co-located —
+    // no Exchange, no per-query Sort (ColocateSpec pins the plan); the
+    // oracle replays the plain join, proving co-location changes the
+    // PLAN and not the result
+    "bucketed_join" -> ((s, dir) => {
+      import graft.plans.Colocate
+      Colocate.writeBucketed(s, tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", "o_orderkey", 16)
+      Colocate.writeBucketed(s, tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+        "graft_bkt_lineitem", "l_orderkey", 16)
+      Colocate.bucketedEquiJoin(s, "graft_bkt_orders", "o_orderkey",
+        "graft_bkt_lineitem", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_centi"),
+          min(col("o_orderkey")).as("first_order"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.4 ExecuteScript — user code over rows (typed map escape hatch)
     // vs the same transform expressed relationally in the oracle
     "execute_script" -> ((s, dir) => {
@@ -7458,6 +7480,13 @@ object SparkEntry {
     "put_sql" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi,
+        |  MIN(o_orderkey) AS first_order
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "execute_script" ->
       """SELECT c_custkey, reverse(upper(c_name)) AS mangled,
