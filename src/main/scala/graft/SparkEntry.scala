@@ -1635,6 +1635,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML→text extraction over a deterministically-staged page (script/
+    // style/comment plants, entity-escaped text, nested tags): the
+    // regex-core extractor every web pipeline fronts its filters with
+    "html_to_text" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><style>p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head>"),
+        lit("<body><!-- nav boilerplate --><h1>Doc "), col("doc_id"),
+        lit("</h1><p class=\"main\">"),
+        replace(replace(col("text"), lit("a"), lit("&amp;")),
+          lit("e"), lit("&lt;")),
+        lit("</p>\n<div>tail &nbsp;&quot;quoted&#39;</div></body></html>"))
+      docsPar(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.htmlToText(page)).as("text_md5"),
+        length(TextAnalysis.htmlToText(page)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Positional winnowing (Schleimer 2003, the MOSS fingerprint): every
+    // w-window of k-gram hashes contributes its rightmost minimum — any
+    // shared run of ≥ w+k-1 words between two docs shares a fingerprint
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowing(docsPar(s, dir), col("doc_id"), col("text"),
+        k = 5, w = 4)
+        .select(col("docId").as("doc_id"), col("fp"),
+          col("fpPos").as("fp_pos"))
+        .orderBy("doc_id", "fp", "fp_pos")),
+
     // ------- similarity search -------
     "embed_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -5765,6 +5793,47 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "html_to_text" ->
+      """WITH pg AS (SELECT doc_id,
+        |  '<html><head><style>p { color: red; }</style>'
+        |  || '<script type="text/javascript">var x = 1 < 2;</script></head>'
+        |  || '<body><!-- nav boilerplate --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |  || '</h1><p class="main">'
+        |  || replace(replace(text, 'a', '&amp;'), 'e', '&lt;')
+        |  || '</p>' || chr(10) || '<div>tail &nbsp;&quot;quoted&#39;</div></body></html>' AS page
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(page, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM pg),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |fin AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s5)
+        |SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |g AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+        |  FROM d),
+        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+        |       ELSE array_to_string(words,' ') END AS sh
+        |  FROM g),
+        |h AS (SELECT doc_id, pos, CAST('0x'||substring(md5(sh),1,8) AS BIGINT) AS h FROM s),
+        |w AS (SELECT doc_id, pos,
+        |  min(h) OVER win AS wmin,
+        |  min(h*2147483648 - pos) OVER win AS vmin,
+        |  count(*) OVER (PARTITION BY doc_id) AS nsh
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT DISTINCT doc_id, wmin AS fp, wmin*2147483648 - vmin AS fp_pos
+        |FROM w WHERE pos <= nsh - 4 ORDER BY doc_id, fp, fp_pos""".stripMargin,
 
     "dedup_soft" ->
       """SELECT doc_id, md5(text) AS content_hash,

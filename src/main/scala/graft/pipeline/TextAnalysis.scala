@@ -320,6 +320,83 @@ object TextAnalysis {
       (h) => (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) % band === 0))
 
   /**
+   * HTML → text extraction — the first stage of every web-corpus pipeline
+   * (C4/CCNet consume pre-extracted WET; RefinedWeb/FineWeb re-extract
+   * from WARC precisely because extraction quality dominates downstream
+   * filters). This is the regex-core extractor: drop <script>/<style>
+   * blocks and comments wholesale, strip remaining tags to spaces, decode
+   * the basic named entities (&lt; &gt; &quot; &#39; &apos; &nbsp;, with
+   * &amp; LAST — the standard order so "&amp;lt;" decodes to the literal
+   * "&lt;", not "<"), and collapse whitespace. One codegen'd per-row
+   * projection, map-side at any scale; both regex dialects used are in
+   * the RE2-safe subset (inline (?is), lazy .*?, no backreferences) so a
+   * SQL oracle replays it verbatim. The FULL entity table lives in
+   * el/HtmlEntities for flow-level unescape; this keeps the hot corpus
+   * path to the six entities that dominate real markup. A DOM-fidelity
+   * extractor (trafilatura-class boilerplate removal) is model-assisted
+   * territory, out of engine scope — the plumbing here is the stage
+   * real deployments slot theirs into.
+   */
+  def htmlToText(htmlCol: Column): Column = {
+    val noScript = regexp_replace(htmlCol, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val amp = replace(named, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /**
+   * Positional winnowing (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+   * Local Algorithms for Document Fingerprinting", SIGMOD — the MOSS
+   * algorithm): hash every word k-gram, slide a window of `w` consecutive
+   * hashes, and select each window's MINIMUM (rightmost occurrence on
+   * ties — the paper's rule, maximizing selection overlap between
+   * adjacent windows). The selected (hash, position) set is the
+   * fingerprint, with the paper's guarantee: any shared run of at least
+   * w+k-1 words between two documents shares at least one fingerprint —
+   * the LOCAL matching property the global-min [[fingerprint]] lacks.
+   *
+   * Determinism device: the rightmost-argmin is ONE window min over the
+   * combined key h·2³¹ − pos (lexicographic (h, −pos); h is the 32-bit
+   * md5 prefix so the product stays under 2⁶³), recovered as
+   * pos = h_min·2³¹ − v_min — no nested window, portable to any SQL
+   * engine. Docs shorter than w+k−1 words have no full window and emit
+   * nothing (they are below the guarantee's match length by definition).
+   *
+   * Scale shape: one shuffle keyed on the doc id; the two window passes
+   * ride the same per-doc sort by position, bounded by the longest
+   * document (the repetitionFeatures envelope). Fingerprint density is
+   * ~2/(w+1) of tokens (the paper's expectation), so the output is a
+   * bounded fraction of the corpus and downstream overlap joins key on
+   * the fingerprint hash exactly like shingle joins.
+   */
+  def winnowing(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs positive k-gram size and window")
+    import org.apache.spark.sql.expressions.Window
+    val M = 1L << 31
+    val sh = df.select(idCol.as("docId"),
+      posexplode(Dedup.shingles(textCol, k)).as(Seq("pos", "sh")))
+    val h32 = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val hashed = sh.select(col("docId"), col("pos").cast("long").as("pos"),
+      h32.as("h"))
+    val win = Window.partitionBy(col("docId")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("wmin", min(col("h")).over(win))
+      .withColumn("vmin", min(col("h") * M - col("pos")).over(win))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("docId"))))
+      .filter(col("pos") <= col("nsh") - w)
+      .select(col("docId"), col("wmin").as("fp"),
+        (col("wmin") * M - col("vmin")).as("fpPos"))
+      .distinct()
+  }
+
+  /**
    * Intra-document repetition (the C4/Gopher-family filters: duplicated
    * lines / most-common n-gram share / duplicated n-gram fraction —
    * published web-corpus quality heuristics). Per (doc, n): total grams,

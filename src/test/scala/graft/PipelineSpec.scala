@@ -699,6 +699,46 @@ class PipelineSpec extends SparkSpec {
     // BPE-ish tokens: hello | world | 42 | !
   }
 
+  test("htmlToText: strips script/style/comments wholesale, decodes basic " +
+    "entities with &amp; last, collapses whitespace") {
+    import spark.implicits._
+    val page = "<html><head><style>p{a:1}</style>" +
+      "<script>if (1 < 2) { alert('x'); }</script></head>" +
+      "<body><!-- chrome --><h1>Title</h1>\n\n" +
+      "<p>Fish &amp; chips &lt;b&gt; &amp;lt;literal&amp;gt; " +
+      "&quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"
+    val out = Seq(Tuple1(page)).toDF("html")
+      .select(TextAnalysis.htmlToText(col("html")).as("t"))
+      .head.getString(0)
+    assert(out === "Title Fish & chips <b> &lt;literal&gt; \"q\" 's' end")
+  }
+
+  test("winnowing: docs sharing a run of >= w+k-1 words share a " +
+    "fingerprint; short docs emit nothing; partitioning-invariant") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"nine ten $shared eleven twelve thirteen fourteen"),
+      (3L, "entirely unrelated words with no overlap at all here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowing(df, col("doc_id"), col("text"), 5, 4)
+    val byDoc = fps.collect().groupBy(_.getAs[Long]("docId"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("fp")).toSet }
+    // the SIGMOD guarantee: >= one shared fingerprint for the shared run
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L)) // below w+k-1: no full window
+    // positions are in-range k-gram anchors
+    val pos = fps.filter(col("docId") === 1L).select("fpPos")
+      .collect().map(_.getLong(0))
+    assert(pos.forall(p => p >= 0 && p <= 15 - 5)) // 15 words, k=5
+    val fps2 = TextAnalysis.winnowing(df.repartition(5), col("doc_id"),
+      col("text"), 5, 4)
+    assert(fps.orderBy("docId", "fp", "fpPos").collect().toSeq ===
+      fps2.orderBy("docId", "fp", "fpPos").collect().toSeq)
+  }
+
   test("fingerprint is stable under id and sensitive to content") {
     val out = docs.filter(length(col("text")) > 0).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text"), 3).as("fp")).collect()
