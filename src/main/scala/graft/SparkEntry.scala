@@ -1663,6 +1663,24 @@ object SparkEntry {
           col("fpPos").as("fp_pos"))
         .orderBy("doc_id", "fp", "fp_pos")),
 
+    // MOSS matching: pairs sharing ≥2 winnowing fingerprints after the
+    // df-cap guard. Derived corpus plants a 12-word span on every 13th
+    // doc (38 docs at the 500-doc gate scale — under the cap of 64, so
+    // the planted fps survive; a boilerplate span on MORE docs than the
+    // cap is dropped as join-mass without match signal, the same trade
+    // as the shingle-join caps)
+    "winnow_overlap" -> ((s, dir) => {
+      val span = (1 to 12).map(i => s"mossrun$i").mkString(" ")
+      val docs = docsPar(s, dir).withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + span)))
+          .otherwise(col("text")))
+      TextAnalysis.winnowOverlapPairs(docs, col("doc_id"), col("text"),
+        k = 5, w = 4, minShared = 2, dfCap = 64)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("sharedFps").as("shared_fps"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------- similarity search -------
     "embed_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -3544,6 +3562,29 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
 
   private val ShingleCte: String = "WITH " + ShingleCtesFrom("documents")
+
+  /** Winnowing CTE chain (TextAnalysis.winnowing, k=5, w=4) over `src`:
+    * positional 5-gram hashes (32-bit md5 prefix), the two window mins
+    * (plain min + the combined h·2³¹−pos rightmost-argmin key), and the
+    * per-doc shingle count — consumers filter `pos <= nsh - 4` and
+    * project fingerprints from `w`. */
+  private def WinnowCtes(src: String): String =
+    s"""wd AS (SELECT doc_id, string_split(text,' ') AS words FROM $src),
+       |wg AS (SELECT doc_id, words,
+       |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+       |  FROM wd),
+       |ws AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+       |       ELSE array_to_string(words,' ') END AS sh
+       |  FROM wg),
+       |wh AS (SELECT doc_id, pos, CAST('0x'||substring(md5(sh),1,8) AS BIGINT) AS h FROM ws),
+       |w AS (SELECT doc_id, pos,
+       |  min(h) OVER win AS wmin,
+       |  min(h*2147483648 - pos) OVER win AS vmin,
+       |  count(*) OVER (PARTITION BY doc_id) AS nsh
+       |  FROM wh
+       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))""".stripMargin
 
   private def simhashOracle: String = {
     val vCols = (0 until 8).map(j =>
@@ -5816,24 +5857,24 @@ object SparkEntry {
         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "winnow_fingerprints" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
-        |g AS (SELECT doc_id, words,
-        |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
-        |  FROM d),
-        |s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
-        |       ELSE array_to_string(words,' ') END AS sh
-        |  FROM g),
-        |h AS (SELECT doc_id, pos, CAST('0x'||substring(md5(sh),1,8) AS BIGINT) AS h FROM s),
-        |w AS (SELECT doc_id, pos,
-        |  min(h) OVER win AS wmin,
-        |  min(h*2147483648 - pos) OVER win AS vmin,
-        |  count(*) OVER (PARTITION BY doc_id) AS nsh
-        |  FROM h
-        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+      s"""WITH ${WinnowCtes("documents")}
         |SELECT DISTINCT doc_id, wmin AS fp, wmin*2147483648 - vmin AS fp_pos
         |FROM w WHERE pos <= nsh - 4 ORDER BY doc_id, fp, fp_pos""".stripMargin,
+
+    "winnow_overlap" -> {
+      val span = (1 to 12).map(i => s"mossrun$i").mkString(" ")
+      s"""WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' $span' ELSE text END AS text
+        |  FROM documents),
+        |${WinnowCtes("src")},
+        |fp0 AS (SELECT DISTINCT doc_id, wmin AS fp
+        |  FROM w WHERE pos <= nsh - 4),
+        |keep AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= 64),
+        |fpc AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+        |FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dedup_soft" ->
       """SELECT doc_id, md5(text) AS content_hash,

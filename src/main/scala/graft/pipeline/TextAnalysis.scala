@@ -397,6 +397,36 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing overlap pairs — MOSS's matching half: documents sharing at
+   * least `minShared` winnowing fingerprints are local-overlap candidates
+   * (each shared fp witnesses a shared run of ≥ k words; `minShared` > 1
+   * demands multiple independent witnesses). The join keys on the
+   * fingerprint hash with the same two guards as the shingle joins: a
+   * document-frequency cap drops fps present in more than `dfCap` docs
+   * (boilerplate runs — quadratic join mass, near-zero match signal)
+   * BEFORE the self-join, and the pair count aggregates map-side.
+   * Positions are deliberately dropped first (`winnowing` emits one row
+   * per (fp, pos); overlap needs each fp once per doc).
+   */
+  def winnowOverlapPairs(df: DataFrame, idCol: Column, textCol: Column,
+                         k: Int = 5, w: Int = 4, minShared: Int = 2,
+                         dfCap: Int = 64): DataFrame = {
+    require(minShared >= 1 && dfCap >= 1, "winnowOverlap needs positive bounds")
+    val fps = winnowing(df, idCol, textCol, k, w)
+      .select(col("docId"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfc")).filter(col("dfc") <= dfCap)
+      .select(col("fp"))
+    val capped = fps.join(keep, "fp")
+    capped.select(col("fp"), col("docId").as("idA"))
+      .join(capped.select(col("fp"), col("docId").as("idB")), "fp")
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("sharedFps"))
+      .filter(col("sharedFps") >= minShared)
+  }
+
+  /**
    * Intra-document repetition (the C4/Gopher-family filters: duplicated
    * lines / most-common n-gram share / duplicated n-gram fraction —
    * published web-corpus quality heuristics). Per (doc, n): total grams,

@@ -739,6 +739,30 @@ class PipelineSpec extends SparkSpec {
       fps2.orderBy("docId", "fp", "fpPos").collect().toSeq)
   }
 
+  test("winnowing overlap: shared-run pairs found, boilerplate fps over " +
+    "the df-cap carry no signal, minShared demands multiple witnesses") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    // docs 1,2 share a real 12-word run; EVERY doc carries the boilerplate
+    val df = Seq(
+      (1L, s"one two three four five $run"),
+      (2L, s"six seven eight nine ten $run"),
+      (3L, "eleven twelve thirteen fourteen fifteen sixteen seventeen er"))
+      .toDF("doc_id", "text")
+      .withColumn("text", concat(col("text"), lit(" " + boiler)))
+    val pairs = TextAnalysis.winnowOverlapPairs(df, col("doc_id"),
+      col("text"), k = 5, w = 4, minShared = 2, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate fps have df = 3 > 2 → dropped; only the true pair remains
+    assert(pairs === Set((1L, 2L)))
+    // with the cap relaxed the boilerplate makes every pair a candidate
+    val loose = TextAnalysis.winnowOverlapPairs(df, col("doc_id"),
+      col("text"), k = 5, w = 4, minShared = 2, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("fingerprint is stable under id and sensitive to content") {
     val out = docs.filter(length(col("text")) > 0).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text"), 3).as("fp")).collect()
