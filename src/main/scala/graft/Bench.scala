@@ -167,7 +167,20 @@ object Bench {
     // into the checkpointed count sliver; each GD epoch is sliver-scale
     // shuffles + a ≤1024-row collect — the pair should track the token
     // pass, with the epochs flat across the decade
-    "quality_logistic")
+    "quality_logistic",
+    // SQ8 ANN (r16): one scalar agg for the scale + the embed_topk
+    // broadcast-query scoring shape on codes — the pair should track
+    // embed_topk, with the encode riding the scan
+    "embed_topk_sq8",
+    // cluster-balanced sample (r16): broadcast assignment + ONE rank
+    // window keyed on the cluster id — linear in rows at fixed k
+    "cluster_sample",
+    // SoftDedup (r16): one content-hash window, no join back — the
+    // cheapest dedup-family pass; the pair should be pure scan+exchange
+    "dedup_soft",
+    // winnowing (r16): doc-keyed exchange + two window passes over the
+    // same per-doc sort — the pair should scale with the shingle explode
+    "winnow_fingerprints")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
