@@ -33,7 +33,12 @@ object Bench {
     // whole mass, and the per-qid rank windows eat it. The capped twin
     // (df cap 20% < the mass's 30%) drops those terms from scoring, so
     // the pair brackets the stop-word funnel like the capped-LSH pair
-    "bm25_topk", "bm25_topk_capped")
+    "bm25_topk", "bm25_topk_capped",
+    // r16: SoftDedup on 30% identical docs — the content-hash window
+    // funnels the mass into ONE partition's count; the row proves that
+    // tail is a linear scan, not a blow-up (the dedup_segments argument
+    // on the soft plane)
+    "dedup_soft")
 
   /**
    * Derive a mass-duplicated variant of the sf documents table and stage it

@@ -1746,6 +1746,35 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // ANN quality telemetry: recall@5 of each approximate tier against
+    // the brute-force ranking — the acceptance report a deployment runs
+    // before trading exactness for cost (recall in integer micros; the
+    // brute set is the shared denominator)
+    "ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(emb, q, 5)
+        .select(col("qid"), col("cid"))
+      val methods = Seq(
+        "lsh" -> Similarity.lshTopKSeeded(emb, q, 5, nPlanes = 8, dim = 64,
+          seed = 7L),
+        "pq" -> Similarity.pqTopK(emb, q, topK = 5, m = 8, k = 16, iters = 2),
+        "sq8" -> Similarity.sq8TopK(emb, q, 5))
+      val tagged = methods.map { case (n, df) =>
+        df.select(lit(n).as("method"), col("qid"), col("cid"))
+      }.reduce(_ unionByName _)
+      val denom = brute.agg(count(lit(1)).as("denom"))
+      tagged.join(brute.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+        .groupBy(col("method"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("returned"))
+        .crossJoin(broadcast(denom))
+        .withColumn("recall_micro", expr("1000000 * hits div denom"))
+        .select(col("method"), col("hits"), col("returned"), col("denom"),
+          col("recall_micro"))
+        .orderBy("method")
+    }),
+
     // SemDeDup (Abbas 2023): k-means clusters confine the cosine
     // quadratic; within each cluster the lowest id of every duplicate
     // neighborhood survives
@@ -5275,6 +5304,26 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ANN recall oracle: each tier's full oracle statement runs as a
+    * parenthesized subquery (DuckDB allows CTEs inside subqueries), so the
+    * telemetry replays every chain it grades — nothing is re-derived. */
+  private lazy val AnnRecallOracle: String =
+    s"""WITH brute AS (SELECT qid, cid FROM ($EmbedTopKOracle)),
+       |lshq AS (SELECT qid, cid FROM ($EmbedTopKLshOracle)),
+       |pqq AS (SELECT qid, cid FROM ($PqTopKOracle)),
+       |sq8q AS (SELECT qid, cid FROM ($Sq8TopKOracle)),
+       |tagged AS (
+       |  SELECT 'lsh' AS method, qid, cid FROM lshq
+       |  UNION ALL SELECT 'pq', qid, cid FROM pqq
+       |  UNION ALL SELECT 'sq8', qid, cid FROM sq8q),
+       |d AS (SELECT COUNT(*) AS denom FROM brute),
+       |j AS (SELECT t.method, CASE WHEN b.qid IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM tagged t LEFT JOIN brute b ON t.qid = b.qid AND t.cid = b.cid)
+       |SELECT method, CAST(SUM(hit) AS BIGINT) AS hits,
+       |  COUNT(*) AS returned, d.denom,
+       |  (1000000 * CAST(SUM(hit) AS BIGINT)) // d.denom AS recall_micro
+       |FROM j, d GROUP BY method, d.denom ORDER BY method""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "route_on_attribute" ->
       """WITH m AS (
@@ -6929,6 +6978,7 @@ object SparkEntry {
     "embed_topk_ivf_kmpp" -> EmbedTopKOracle,
     "embed_topk_pq" -> PqTopKOracle,
     "embed_topk_sq8" -> Sq8TopKOracle,
+    "ann_recall" -> AnnRecallOracle,
     "embed_topk_ivfpq" -> IvfPqOracle,
     "cluster_sample" -> ClusterSampleOracle,
     "dedup_semantic" -> SemDedupOracle,

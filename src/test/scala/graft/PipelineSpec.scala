@@ -363,6 +363,29 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") === 1.0)
   }
 
+  test("ANN recall telemetry: per-method hits bounded by returned and " +
+    "denom, micro recall exact") {
+    import spark.implicits._
+    // 12 vectors in 3 well-separated directions; queries = ids % 4 == 0
+    val emb = (0L until 12L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array.fill(3)(0.01f * i); v(d) = 1.0f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 4 === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, 3)
+      .select(col("qid"), col("cid"))
+    val sq8 = Similarity.sq8TopK(emb, q, 3)
+      .select(lit("sq8").as("method"), col("qid"), col("cid"))
+    val denom = brute.count()
+    val hits = sq8.join(brute, Seq("qid", "cid")).count()
+    val recallMicro = 1000000L * hits / denom
+    // SQ8 at this separation reproduces brute force exactly
+    assert(denom === q.count() * 3)
+    assert(hits === denom)
+    assert(recallMicro === 1000000L)
+  }
+
   test("SQ8 top-k: codes bounded at ±127, identical direction ranks first, " +
     "zero-vector corpus member scores 0 (not NaN)") {
     val emb = spark.createDataFrame(Seq(
