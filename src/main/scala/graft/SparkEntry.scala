@@ -1653,6 +1653,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stride-overlap context windows (the GPT-2-style strided chunking of
+    // long docs when examples must not cross document boundaries): window
+    // 16, stride 8 — ~6 windows per fixture doc, tail window clamped to
+    // cover the last token exactly once
+    "export_windows" -> ((s, dir) =>
+      Sampling.exportWindows(docsPar(s, dir), col("doc_id"), col("text"),
+        seqLen = 16, stride = 8)
+        .select(col("docId").as("doc_id"), col("windowId").as("window_id"),
+          col("start"), col("nTokens").as("n_tokens"), col("text"))
+        .orderBy("doc_id", "window_id")),
+
     // Positional winnowing (Schleimer 2003, the MOSS fingerprint): every
     // w-window of k-gram hashes contributes its rightmost minimum — any
     // shared run of ≥ w+k-1 words between two docs shares a fingerprint
@@ -5904,6 +5915,19 @@ object SparkEntry {
         |fin AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s5)
         |SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "export_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+        |  len(string_split(text,' ')) AS n FROM documents),
+        |k AS (SELECT doc_id, w, n,
+        |  1 + CAST(ceil(CAST(greatest(n - 16, 0) AS DOUBLE)/8) AS INT) AS nw FROM t),
+        |e AS (SELECT doc_id, w, n, unnest(generate_series(0, nw-1)) AS wid FROM k),
+        |s AS (SELECT doc_id, CAST(wid AS BIGINT) AS window_id,
+        |  CAST(least(wid*8, greatest(n-16, 0)) AS BIGINT) AS start, n, w FROM e)
+        |SELECT doc_id, window_id, start,
+        |  CAST(least(16, n - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(w, CAST(start AS INT)+1, CAST(start AS INT)+16), ' ') AS text
+        |FROM s ORDER BY doc_id, window_id""".stripMargin,
 
     "winnow_fingerprints" ->
       s"""WITH ${WinnowCtes("documents")}

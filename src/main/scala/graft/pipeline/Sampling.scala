@@ -172,6 +172,47 @@ object Sampling {
   }
 
   /**
+   * Stride-overlap context windows — the PER-DOCUMENT chunking convention
+   * (the sliding-window treatment long documents get when examples must
+   * not cross document boundaries — the evaluation-side and
+   * fine-tuning-side counterpart of [[exportExamples]]' packed stream;
+   * cf. the strided-window perplexity evaluation popularized with GPT-2):
+   * each document's token stream is cut into windows of `seqLen` tokens
+   * whose starts advance by `stride` (< seqLen ⇒ overlap, the context
+   * carried across cuts); the final window is the one that first covers
+   * the document tail, so every token appears in ≥1 window and no window
+   * starts past the text. Documents shorter than seqLen yield their whole
+   * text as one window.
+   *
+   * Returns (docId, windowId, start, nTokens, text). Pure per-row
+   * generation: ONE generate-explode projection, no shuffle beyond the
+   * dump order — at 100 TB this is map-side fan-out riding the scan,
+   * with output volume seqLen/stride × corpus (the documented overlap
+   * cost a deployment chooses with `stride`).
+   */
+  def exportWindows(df: DataFrame, idCol: Column, textCol: Column,
+                    seqLen: Int, stride: Int): DataFrame = {
+    require(seqLen > 0 && stride > 0 && stride <= seqLen,
+      "exportWindows needs 0 < stride <= seqLen")
+    val words = split(textCol, " ")
+    val n = size(words)
+    // number of windows: 1 + ceil(max(n - seqLen, 0) / stride)
+    val nWin = lit(1) + ceil(greatest(n - seqLen, lit(0))
+      .cast("double") / stride).cast("int")
+    df.select(idCol.as("docId"), words.as("__w"), n.as("__n"),
+        nWin.as("__k"))
+      .withColumn("windowId", explode(sequence(lit(0), col("__k") - 1)))
+      .withColumn("start",
+        least(col("windowId") * stride, greatest(col("__n") - seqLen, lit(0)))
+          .cast("long"))
+      .select(col("docId"), col("windowId").cast("long").as("windowId"),
+        col("start"),
+        least(lit(seqLen), col("__n") - col("start")).cast("long").as("nTokens"),
+        array_join(slice(col("__w"), col("start").cast("int") + 1, lit(seqLen)), " ")
+          .as("text"))
+  }
+
+  /**
    * Training-example materialization — the export last mile (Brown et
    * al. 2020, arXiv:2005.14165 §2.3: "documents are packed into a single
    * sequence... delimited with a special end-of-text token", the

@@ -876,6 +876,37 @@ class PipelineSpec extends SparkSpec {
     assert(feats.getAs[Long]("nFrames") === 1L)
   }
 
+  test("export_windows: stride-overlap chunking covers every token, " +
+    "clamps the tail window, and keeps short docs whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                   // shorter than seqLen
+      (3L, (1 to 8).map(i => s"v$i").mkString(" ")))   // exactly seqLen
+      .toDF("doc_id", "text")
+    val out = Sampling.exportWindows(df, col("doc_id"), col("text"),
+      seqLen = 8, stride = 4)
+      .collect().groupBy(_.getAs[Long]("docId"))
+    // doc 1: 1 + ceil(12/4) = 4 windows at starts 0,4,8,12
+    val d1 = out(1L).sortBy(_.getAs[Long]("windowId"))
+    assert(d1.map(_.getAs[Long]("start")).toSeq === Seq(0L, 4L, 8L, 12L))
+    assert(d1.forall(_.getAs[Long]("nTokens") === 8L))
+    assert(d1.last.getAs[String]("text") ===
+      (13 to 20).map(i => s"w$i").mkString(" ")) // tail covered exactly
+    // doc 2: one whole-text window
+    assert(out(2L).map(r => (r.getAs[Long]("start"),
+      r.getAs[Long]("nTokens"), r.getAs[String]("text"))).toSeq ===
+      Seq((0L, 3L, "a b c")))
+    // doc 3 (n == seqLen): exactly one window, no phantom second
+    assert(out(3L).length === 1)
+    // 17 tokens with stride 4: tail window CLAMPS to start 9 (not 12)
+    val d4 = Sampling.exportWindows(
+      Seq((4L, (1 to 17).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), seqLen = 8, stride = 4)
+      .collect().sortBy(_.getAs[Long]("windowId"))
+    assert(d4.map(_.getAs[Long]("start")).toSeq === Seq(0L, 4L, 8L, 9L))
+  }
+
   test("pack_sequences: bins follow the greedy offset rule, are a pure " +
        "function of (corpus, seed), and never start mid-budget") {
     val docs = spark.range(0, 400).toDF("doc_id")
