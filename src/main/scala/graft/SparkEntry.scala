@@ -1235,6 +1235,33 @@ object SparkEntry {
       graft.pipeline.Dedup.sourceOverlap(docsPar(s, dir), col("source"),
         col("text"))),
 
+    // KMV distinct sketch (Bar-Yossef 2002; Beyer 2007 estimator): the
+    // composable cardinality sketch — per-source estimates from k = 64
+    // minimum shingle hashes, exact below k
+    "sketch_kmv" -> ((s, dir) => {
+      import graft.pipeline.Sketches
+      Sketches.kmvEstimates(Sketches.kmvSketch(docsPar(s, dir),
+        col("source"), col("text"), n = 5, k = 64), k = 64)
+        .select(col("src"), col("n_exact"),
+          col("est_distinct").cast("long").as("est_distinct"))
+        .orderBy("src")
+    }),
+
+    // KMV set operations: union/intersection cardinality estimates for
+    // every source pair from the sketches ALONE — |sources|²·k metadata,
+    // the "how many new shingles does source B add" audit
+    "kmv_set_ops" -> ((s, dir) => {
+      import graft.pipeline.Sketches
+      Sketches.kmvPairOps(Sketches.kmvSketch(docsPar(s, dir),
+        col("source"), col("text"), n = 5, k = 64), k = 64)
+        .select(col("sa"), col("sb"),
+          col("est_a").cast("long").as("est_a"),
+          col("est_b").cast("long").as("est_b"),
+          col("est_union").cast("long").as("est_union"),
+          col("est_intersect").cast("long").as("est_intersect"))
+        .orderBy("sa", "sb")
+    }),
+
     // DoReMi domain reweighting (Xie 2023 arXiv:2305.10429 Alg. 1): the
     // Group-DRO multiplicative-weights loop over per-SOURCE excess
     // cross-entropy under the CCNet reference LM — the proxy-loss frame
@@ -3991,6 +4018,29 @@ object SparkEntry {
        |SELECT vec_id, cent AS cluster, sample_rank, (sample_rank <= 30) AS kept
        |FROM rk ORDER BY vec_id""".stripMargin
 
+  /** KMV sketch CTE chain (Sketches.kmvSketch, n=5, k=64) over the
+    * documents table: distinct (source, 60-bit shingle hash), the exact
+    * per-source count, and the per-source k-minimum sketch with its
+    * (nv, h_(k)) aggregate. */
+  private val KmvCtes: String =
+    """kdocs AS (SELECT source, string_split(text,' ') AS words FROM documents),
+      |kshi AS (SELECT source, words,
+      |  unnest(generate_series(0, CASE WHEN len(words)>=5 THEN len(words)-5 ELSE 0 END)) AS i
+      |  FROM kdocs),
+      |ksh0 AS (SELECT source,
+      |  CASE WHEN len(words)>=5 THEN array_to_string(list_slice(words, i+1, i+5),' ')
+      |       ELSE array_to_string(words,' ') END AS sh
+      |  FROM kshi),
+      |kh AS (SELECT DISTINCT source,
+      |  CAST('0x'||substring(md5(sh),1,15) AS BIGINT) AS h FROM ksh0),
+      |kcnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM kh GROUP BY source),
+      |krk AS (SELECT source, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h) AS rnk FROM kh),
+      |ksk AS (SELECT source, h FROM krk WHERE rnk <= 64),
+      |kagg AS (SELECT source, CAST(count(*) AS BIGINT) AS nv, max(h) AS hk
+      |  FROM ksk GROUP BY source)""".stripMargin
+
   /** SemDeDup oracle: the k-means plumbing above + the within-cluster
     * smaller-id-duplicate removal rule at threshold 0.3. */
   private val SemDedupOracle: String =
@@ -6349,6 +6399,40 @@ object SparkEntry {
     // unrolled multiplicative-weight steps
     // one-permutation min-hash sketch replay: bin mins, exact distinct
     // counts, matched-bin Jaccard — all md5-derived integers
+    "sketch_kmv" ->
+      s"""WITH $KmvCtes
+        |SELECT c.source AS src, c.n_exact,
+        |  CAST(CASE WHEN a.nv < 64 THEN c.n_exact
+        |       ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // a.hk
+        |       END AS BIGINT) AS est_distinct
+        |FROM kagg a JOIN kcnt c USING (source) ORDER BY src""".stripMargin,
+
+    "kmv_set_ops" ->
+      s"""WITH $KmvCtes,
+        |est AS (SELECT c.source,
+        |  CAST(CASE WHEN a.nv < 64 THEN c.n_exact
+        |       ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // a.hk
+        |       END AS BIGINT) AS e
+        |  FROM kagg a JOIN kcnt c USING (source)),
+        |srcs AS (SELECT DISTINCT source FROM ksk),
+        |prs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |mrg AS (SELECT DISTINCT p.sa, p.sb, s.h
+        |  FROM prs p JOIN ksk s ON s.source = p.sa OR s.source = p.sb),
+        |mrk AS (SELECT sa, sb, h,
+        |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rnk FROM mrg),
+        |magg AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS nv, max(h) AS hk
+        |  FROM mrk WHERE rnk <= 64 GROUP BY sa, sb),
+        |un AS (SELECT sa, sb,
+        |  CAST(CASE WHEN nv < 64 THEN nv
+        |       ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // hk
+        |       END AS BIGINT) AS est_union
+        |  FROM magg)
+        |SELECT u.sa, u.sb, ea.e AS est_a, eb.e AS est_b, u.est_union,
+        |  CAST(greatest(ea.e + eb.e - u.est_union, 0) AS BIGINT) AS est_intersect
+        |FROM un u JOIN est ea ON ea.source = u.sa JOIN est eb ON eb.source = u.sb
+        |ORDER BY sa, sb""".stripMargin,
+
     "source_overlap" ->
       """WITH docs AS (SELECT source, doc_id, string_split(text,' ') AS words
         |  FROM documents),

@@ -140,4 +140,101 @@ object Sketches {
         StructField("s_scaled", DoubleType, nullable = false),
         StructField("est_distinct", LongType, nullable = false))))
   }
+
+  /**
+   * KMV (k-minimum-values) distinct sketch per source — Bar-Yossef et al.
+   * 2002 ("Counting distinct elements in a data stream", RANDOM) with the
+   * (k−1)/U_(k) estimator of Beyer et al. 2007 (SIGMOD). Where HLL gives
+   * ONE stream's cardinality, KMV sketches COMPOSE: the k smallest hash
+   * values of A ∪ B are computable from the two sketches alone, so
+   * union (and by inclusion-exclusion intersection) cardinalities across
+   * sources come from |sources|·k rows of metadata — the set-operation
+   * telemetry a multi-source corpus audit wants ("how many NEW shingles
+   * does source B add?").
+   *
+   * Determinism: values are the 60-bit md5-prefix longs of distinct word
+   * n-gram shingles — the k smallest form a canonical SET (no RNG, no
+   * partition dependence), and the estimator divides exact integers in
+   * DECIMAL(38,0) (truncating `div`, the classifier's device), so any
+   * engine reproduces sketch AND estimate bit-exactly. A source with
+   * fewer than k distinct shingles is EXACT by construction (the sketch
+   * IS the value set) — the estimator switches to the plain count.
+   *
+   * Scale shape: one shingle explode → distinct (src, h) — the
+   * sourceOverlap pass — then a per-source rank window whose output is
+   * capped at k rows per source; pair ops run on |sources|²·k metadata.
+   */
+  def kmvSketch(df: DataFrame, sourceCol: Column, textCol: Column,
+                n: Int = 5, k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (the estimator divides by h_(k))")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(sourceCol.as("src"),
+      explode(array_distinct(Dedup.shingles(textCol, n))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val h1 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val hashed = sh.select(col("src"), h1.as("h")).distinct()
+      .localCheckpoint() // sketch rank + exact count read it once each
+    val nsh = hashed.groupBy("src").agg(count(lit(1)).as("nExact"))
+    hashed
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("h"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(nsh, "src")
+  }
+
+  /** 2^60 — the hash-space size of the 60-bit md5-prefix values, the
+    * normalizer of the KMV estimator. */
+  val KmvSpace: Long = 1L << 60
+
+  /** Per-source estimates from a [[kmvSketch]] frame: exact when the
+    * source holds fewer than k values, (k−1)·2⁶⁰ div h_(k) otherwise. */
+  def kmvEstimates(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("src"))
+      .agg(max(col("nExact")).as("n_exact"),
+        count(lit(1)).as("nv"), max(col("h")).as("hk"))
+      .withColumn("est_distinct",
+        when(col("nv") < k, col("n_exact"))
+          .otherwise(expr(s"CAST((${k - 1}) AS DECIMAL(38,0)) * " +
+            s"CAST($KmvSpace AS DECIMAL(38,0)) div hk")))
+      .select(col("src"), col("n_exact"), col("est_distinct"))
+
+  /**
+   * Pairwise set-operation estimates from the sketches alone: for each
+   * unordered source pair, the k smallest DISTINCT hashes of the merged
+   * sketches are a valid KMV of the union (identical shingles hash
+   * identically across sources, so the merge dedups by h);
+   * intersection = est_a + est_b − est_union, floored at 0. Pairs where
+   * the merged set holds fewer than k values are exact unions.
+   */
+  def kmvPairOps(sketch: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = kmvEstimates(sketch, k)
+    val slim = sketch.select(col("src"), col("h")).localCheckpoint()
+    val srcs = slim.select(col("src")).distinct()
+    val pairs = srcs.select(col("src").as("sa"))
+      .crossJoin(srcs.select(col("src").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val merged = pairs
+      .join(slim.select(col("src"), col("h")),
+        col("src") === col("sa") || col("src") === col("sb"))
+      .select(col("sa"), col("sb"), col("h")).distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rnk") <= k)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("nv"), max(col("h")).as("hk"))
+      .withColumn("est_union",
+        when(col("nv") < k, col("nv").cast("long"))
+          .otherwise(expr(s"CAST((${k - 1}) AS DECIMAL(38,0)) * " +
+            s"CAST($KmvSpace AS DECIMAL(38,0)) div hk")))
+    merged
+      .join(est.select(col("src").as("sa"), col("est_distinct").as("est_a")),
+        Seq("sa"))
+      .join(est.select(col("src").as("sb"), col("est_distinct").as("est_b")),
+        Seq("sb"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"))
+  }
 }

@@ -762,6 +762,30 @@ class PipelineSpec extends SparkSpec {
       fps2.orderBy("docId", "fp", "fpPos").collect().toSeq)
   }
 
+  test("KMV sketch: exact below k, identical sources fully intersect, " +
+    "disjoint sources intersect at zero") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")  // 26 shingles
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")   // disjoint
+    val df = Seq(("a", textA), ("a2", textA), ("b", textB))
+      .toDF("source", "text")
+    val sk = Sketches.kmvSketch(df, col("source"), col("text"), n = 5, k = 64)
+    val est = Sketches.kmvEstimates(sk, 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // below k: the sketch IS the value set — estimate exact
+    assert(est("a") === (26L, 26L))
+    assert(est("a2") === (26L, 26L))
+    assert(est("b") === (26L, 26L))
+    val pairs = Sketches.kmvPairOps(sk, 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    // identical sources: union = each, intersection = each
+    assert(pairs(("a", "a2")) === (26L, 26L))
+    // disjoint: union = sum, intersection = 0
+    assert(pairs(("a", "b")) === (52L, 0L))
+  }
+
   test("winnowing overlap: shared-run pairs found, boilerplate fps over " +
     "the df-cap carry no signal, minShared demands multiple witnesses") {
     import spark.implicits._
