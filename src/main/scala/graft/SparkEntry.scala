@@ -971,6 +971,29 @@ object SparkEntry {
           col("probMicro").as("prob_micro"))
         .orderBy("doc_id")),
 
+    // Calibration/reliability table (Guo 2017): the trained classifier's
+    // scores bucket into deciles; confidence vs empirical positive rate
+    // per bin — the report read before trusting a selection threshold
+    "quality_calibration" -> ((s, dir) => {
+      // derived corpus: positives carry a marker run, so the 2-step GD
+      // separates the classes and the score distribution actually SPANS
+      // bins (the raw fixture's scores collapse into one decile)
+      val mark = Seq.fill(10)("hqmark").mkString(" ")
+      val docs = docsPar(s, dir).withColumn("text",
+        when(col("source").isin("src0", "src1"),
+          concat(col("text"), lit(" " + mark))).otherwise(col("text")))
+      val scored = Classifier.logisticScores(docs, col("doc_id"),
+        col("text"), col("source").isin("src0", "src1"), steps = 2)
+        .join(docs.select(col("doc_id").as("docId"),
+          col("source").isin("src0", "src1").as("y")), Seq("docId"))
+      Classifier.calibration(scored, col("docId"), col("probMicro"),
+        col("y"), bins = 10)
+        .select(col("bin"), col("n"),
+          col("confidenceMicro").as("confidence_micro"),
+          col("posRateMicro").as("pos_rate_micro"))
+        .orderBy("bin")
+    }),
+
     // the paper's full filter: keep iff pareto(9) > 1 − score, the
     // variate drawn from the doc-id hash so the decision replays exactly
     "quality_filter_pareto" -> ((s, dir) =>
@@ -5365,6 +5388,31 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Calibration oracle: the full logistic GD replay as a subquery, then
+    * the decile binning and the two truncating-division means. */
+  private lazy val QualityCalibrationOracle: String = {
+    def sig(dot: String, n: String, bias: String) =
+      s"CAST(round(1e6/(1 + exp(-((CAST($dot AS DOUBLE)/$n) + $bias)/1e6))) AS BIGINT)"
+    val mark = Seq.fill(10)("hqmark").mkString(" ")
+    s"""WITH qcs AS (SELECT doc_id, source,
+       |  CASE WHEN source IN ('src0','src1') THEN text || ' $mark'
+       |       ELSE text END AS text FROM documents),
+       |${logisticChainSql("qc", "qcs")},
+       |qcs3 AS (SELECT qcc.doc_id,
+       |  CAST(sum(qcc.cnt * coalesce(qcwm2.m[qcc.b][1], 0)) AS BIGINT) AS dot
+       |  FROM qcc CROSS JOIN qcwm2 GROUP BY 1),
+       |sc AS (SELECT qcd.doc_id,
+       |  ${sig("qcs3.dot", "qcd.n", "CAST((SELECT bias FROM qcb2) AS DOUBLE)")} AS prob_micro,
+       |  qcd.hq AS y
+       |  FROM qcd JOIN qcs3 USING (doc_id)),
+       |bb AS (SELECT least(9, (prob_micro * 10) // 1000000) AS bin,
+       |  prob_micro, y FROM sc)
+       |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+       |  CAST(sum(prob_micro) // count(*) AS BIGINT) AS confidence_micro,
+       |  CAST((1000000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS pos_rate_micro
+       |FROM bb GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** ANN recall oracle: each tier's full oracle statement runs as a
     * parenthesized subquery (DuckDB allows CTEs inside subqueries), so the
     * telemetry replays every chain it grades — nothing is re-derived. */
@@ -7087,6 +7135,7 @@ object SparkEntry {
     "embed_topk_pq" -> PqTopKOracle,
     "embed_topk_sq8" -> Sq8TopKOracle,
     "ann_recall" -> AnnRecallOracle,
+    "quality_calibration" -> QualityCalibrationOracle,
     "embed_topk_ivfpq" -> IvfPqOracle,
     "cluster_sample" -> ClusterSampleOracle,
     "dedup_semantic" -> SemDedupOracle,

@@ -248,4 +248,34 @@ object Classifier {
       .withColumn("kept",
         col("paretoMicro") > lit(1000000L) - col("probMicro"))
   }
+
+  /**
+   * Calibration / reliability table (the calibration-curve report of Guo
+   * et al. 2017, "On Calibration of Modern Neural Networks", ICML —
+   * equal-width confidence bins): scored examples bucket into `bins`
+   * probability deciles; each bin reports its count, mean predicted
+   * probability (confidence) and empirical positive rate (accuracy) —
+   * the |confidence − accuracy| gaps are what ECE sums. A filter
+   * deployment reads this before trusting a classifier's top-decile
+   * threshold (the DCLM/GPT-3 selection device).
+   *
+   * Integer micro end to end: bin = min(bins−1, prob·bins div 1e6), both
+   * means are truncating integer divisions — engines agree bit-exactly.
+   * ONE `bins`-row aggregate over the scored frame; at 100 TB the scores
+   * are map-side (logisticApply) and this adds a single bounded groupBy.
+   */
+  def calibration(scored: DataFrame, idCol: Column, probMicroCol: Column,
+                  labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibration needs a positive bin count")
+    scored
+      .select(idCol.as("docId"), probMicroCol.as("p"),
+        labelCol.cast("boolean").as("y"))
+      .withColumn("bin",
+        least(lit(bins - 1L), expr(s"(p * $bins) div 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(p) div count(1)").as("confidenceMicro"),
+        expr("(1000000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) div count(1)")
+          .as("posRateMicro"))
+  }
 }

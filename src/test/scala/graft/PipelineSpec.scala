@@ -762,6 +762,27 @@ class PipelineSpec extends SparkSpec {
       fps2.orderBy("docId", "fp", "fpPos").collect().toSeq)
   }
 
+  test("calibration table: decile binning, truncating means, the 1e6 " +
+    "boundary clamps into the last bin") {
+    import spark.implicits._
+    import graft.pipeline.Classifier
+    val scored = Seq(
+      (1L, 50000L, false),   // bin 0
+      (2L, 149999L, true),   // bin 1
+      (3L, 150000L, false),  // bin 1 (boundary goes UP at exactly .15e6*10)
+      (4L, 999999L, true),   // bin 9
+      (5L, 1000000L, true))  // exactly 1.0 clamps into bin 9
+      .toDF("doc_id", "p", "y")
+    val out = Classifier.calibration(scored, col("doc_id"), col("p"),
+      col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) === (1L, 50000L, 0L))
+    assert(out(1L) === (2L, 149999L, 500000L)) // (149999+150000) div 2; 1 of 2 pos
+    assert(out(9L) === (2L, 999999L, 1000000L))
+    assert(out.keySet === Set(0L, 1L, 9L))
+  }
+
   test("KMV sketch: exact below k, identical sources fully intersect, " +
     "disjoint sources intersect at zero") {
     import spark.implicits._
