@@ -1991,6 +1991,23 @@ object SparkEntry {
       graft.pipeline.Wimbd.topNgrams(docsPar(s, dir), col("text"),
         n = 3, k = 20).orderBy("rank")),
 
+    // Per-doc n-gram novelty (first-occurrence attribution, the
+    // memorization-literature "how much of this doc is new" read)
+    "gram_novelty" -> ((s, dir) =>
+      graft.pipeline.Wimbd.gramNovelty(docsPar(s, dir), col("doc_id"),
+        col("text"), n = 5)
+        .select(col("docId").as("doc_id"), col("nGrams").as("n_grams"),
+          col("nNovel").as("n_novel"),
+          col("noveltyMicro").as("novelty_micro"))
+        .orderBy("doc_id")),
+
+    // Zipf rank-frequency fit over the top-256 vocabulary: exact-integer
+    // least squares on micro-nat lns (natural text ≈ −1; templated or
+    // over-deduplicated corpora flatten)
+    "zipf_fit" -> ((s, dir) =>
+      graft.pipeline.Wimbd.zipfFit(docsPar(s, dir), col("text"),
+        topV = 256)),
+
     // Good–Turing frequency-of-frequencies (Good 1953; Gale & Sampson
     // 1995 presentation): count-of-counts, Turing-smoothed r*, and the
     // per-class GT probability mass whose r = 0 row is the unseen-
@@ -7273,6 +7290,38 @@ object SparkEntry {
     },
 
     // WIMBD top-k n-grams: whitespace trigrams, (cnt desc, gram) ties
+    "gram_novelty" ->
+      s"""$ShingleCte,
+        |firsts AS (SELECT sh AS fsh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+        |per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh s JOIN firsts f ON f.fsh = s.sh GROUP BY s.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  (1000000 * n_novel) // n_grams AS novelty_micro
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "zipf_fit" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY w),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        |  FROM c ORDER BY c DESC, w LIMIT 256),
+        |pts AS (SELECT CAST(round(ln(CAST(r AS DOUBLE))*1e6) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(c AS DOUBLE))*1e6) AS BIGINT) AS y FROM top),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS v,
+        |  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS HUGEINT) AS sx2
+        |  FROM pts),
+        |fit AS (SELECT v,
+        |  CASE WHEN v*sx2 - sx*sx = 0 THEN CAST(0 AS HUGEINT)
+        |       ELSE (CAST(1000000 AS HUGEINT)*(sx*sy - v*sxy)) // (v*sx2 - sx*sx)
+        |  END AS negslope, sx, sy FROM s)
+        |SELECT CAST(v AS BIGINT) AS v, CAST(-negslope AS BIGINT) AS slope_micro,
+        |  CAST((sy + (negslope*sx) // 1000000) // v AS BIGINT) AS intercept_micro
+        |FROM fit""".stripMargin,
+
     "wimbd_ngrams" ->
       """WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
         |  FROM documents),

@@ -184,4 +184,79 @@ object Wimbd {
       .toDF("n_docs", "n_tokens", "n_gram_tokens", "n_gram_types",
         "dup_gram_micro", "dup_doc_micro", "median_len")
   }
+
+  /**
+   * Per-document n-gram novelty — the fraction of a document's distinct
+   * n-grams whose corpus-wide FIRST occurrence (minimum doc id, the
+   * dedupSegments attribution rule) is the document itself. The
+   * memorization-literature read of "how much of this doc is new text"
+   * (cf. WIMBD's duplicate-mass counts, which aggregate the same
+   * first-occurrence structure corpus-wide): boilerplate-heavy docs
+   * score near 0, fresh text near 1e6.
+   *
+   * Shape: one shingle explode → distinct → a gram-keyed min-agg
+   * (map-side partial) joined back on the gram — the dedupSegments data
+   * movement — then one doc-keyed agg. Hot boilerplate grams collapse in
+   * the partial agg before the shuffle; the join is AQE-skew-splittable.
+   */
+  def gramNovelty(df: DataFrame, idCol: Column, textCol: Column,
+                  n: Int = 5): DataFrame = {
+    val sh = df.select(idCol.as("docId"),
+      explode(array_distinct(Dedup.shingles(textCol, n))).as("sh"))
+      .filter(col("sh").isNotNull)
+    val firsts = sh.groupBy(col("sh")).agg(min(col("docId")).as("firstDoc"))
+    sh.join(firsts, "sh")
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("nGrams"),
+        sum(when(col("firstDoc") === col("docId"), 1L).otherwise(0L))
+          .as("nNovel"))
+      .withColumn("noveltyMicro", expr("(1000000 * nNovel) div nGrams"))
+  }
+
+  /**
+   * Zipf rank-frequency fit over the top-`topV` vocabulary: least-squares
+   * slope/intercept of ln(count) against ln(rank) — the corpus-health
+   * read next to [[heapsCurve]] (natural text slopes ≈ −1; templated or
+   * deduplicated-to-death corpora flatten). Counts come from ONE
+   * word-frequency agg; the top-V table is TakeOrderedAndProject (per-
+   * partition heaps) and the regression runs on ≤topV rows of collected
+   * driver metadata in exact BigInt arithmetic — the HLL/mixing-law
+   * class of driver state.
+   *
+   * Engine exactness: x = lnMicro(rank), y = lnMicro(count) (HALF_UP
+   * micro-nats, the ln-parity device); the slope numerator
+   * V·Σxy − Σx·Σy is ≤ 0 BY CONSTRUCTION (y is non-increasing in rank —
+   * Chebyshev's sum inequality), so the truncating divisions below run
+   * on non-negative integers where Scala BigInt `/`, Spark `div` and
+   * DuckDB `//` all agree:
+   *   negslope_micro = (1e6·(Σx·Σy − V·Σxy)) / (V·Σx² − (Σx)²)
+   *   intercept_micro = (Σy + (negslope_micro·Σx) / 1e6) / V
+   * Output one row: (v, slope_micro, intercept_micro).
+   */
+  def zipfFit(df: DataFrame, textCol: Column, topV: Int = 256): DataFrame = {
+    require(topV >= 2, "a slope needs at least two vocabulary points")
+    val spark = df.sparkSession
+    val top = df.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topV)
+      .collect().map(_.getAs[Long]("c"))
+    val v = top.length
+    def lnMicro(x: Long): Long =
+      BigDecimal(math.log(x.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xs = (1 to v).map(r => BigInt(lnMicro(r.toLong)))
+    val ys = top.map(c => BigInt(lnMicro(c))).toSeq
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sx2 = xs.map(a => a * a).sum
+    val den = BigInt(v) * sx2 - sx * sx
+    val negSlope =
+      if (den == 0) BigInt(0)
+      else (BigInt(1000000) * (sx * sy - BigInt(v) * sxy)) / den
+    val intercept = (sy + negSlope * sx / BigInt(1000000)) / BigInt(v)
+    import spark.implicits._
+    Seq((v.toLong, (-negSlope).toLong, intercept.toLong))
+      .toDF("v", "slope_micro", "intercept_micro")
+  }
 }

@@ -762,6 +762,42 @@ class PipelineSpec extends SparkSpec {
       fps2.orderBy("docId", "fp", "fpPos").collect().toSeq)
   }
 
+  test("gram novelty: first doc owns its grams, an exact copy scores 0, " +
+    "partial overlap in between") {
+    import spark.implicits._
+    import graft.pipeline.Wimbd
+    val base = (1 to 12).map(i => s"base$i").mkString(" ")
+    val df = Seq(
+      (1L, base),                                   // all novel
+      (2L, base),                                   // exact copy: 0 novel
+      (3L, base + " " + (1 to 6).map(i => s"new$i").mkString(" ")),
+      (4L, (1 to 12).map(i => s"other$i").mkString(" "))) // disjoint: all novel
+      .toDF("doc_id", "text")
+    val out = Wimbd.gramNovelty(df, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getAs[Long]("docId") ->
+        (r.getAs[Long]("nGrams"), r.getAs[Long]("nNovel"))).toMap
+    assert(out(1L) === (8L, 8L))
+    assert(out(2L) === (8L, 0L))
+    assert(out(4L) === (8L, 8L))
+    val (n3, nov3) = out(3L)
+    assert(n3 === 14L && nov3 > 0L && nov3 < 14L) // the appended tail is new
+  }
+
+  test("zipf fit: a 1/r corpus slopes near -1, a uniform corpus near 0") {
+    import spark.implicits._
+    import graft.pipeline.Wimbd
+    // counts c_r = 2*(64/r): rank r word repeated that many times
+    val zipfText = (1 to 64).flatMap(r =>
+      Seq.fill(2 * (64 / r).max(1))(s"w%02d".format(r))).mkString(" ")
+    val slope = Wimbd.zipfFit(Seq(Tuple1(zipfText)).toDF("text"),
+      col("text"), topV = 64).head.getAs[Long]("slope_micro")
+    assert(slope < -800000L && slope > -1200000L, s"slope=$slope")
+    val uniText = (1 to 64).flatMap(r => Seq.fill(5)(s"u$r")).mkString(" ")
+    val flat = Wimbd.zipfFit(Seq(Tuple1(uniText)).toDF("text"),
+      col("text"), topV = 64).head.getAs[Long]("slope_micro")
+    assert(flat === 0L, s"flat=$flat")
+  }
+
   test("calibration table: decile binning, truncating means, the 1e6 " +
     "boundary clamps into the last bin") {
     import spark.implicits._
