@@ -472,4 +472,79 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  // ------- streaming KMV cardinality: the streaming plane of the batch
+  // KMV sketch (Sketches.kmvSketch / kmvEstimates) -------
+
+  /** One pre-hashed arrival for [[kmvStream]]: `shard` is the state-store
+    * key (md5-prefix of the value mod shards, like [[shardSegments]]);
+    * `h` the 60-bit value hash. */
+  case class HashedArrival(shard: Int, ord: Long, h: Long)
+
+  /** A shard's sketch after a batch: the k smallest distinct hashes seen
+    * so far on that shard. Merging all shards' rows from the LATEST batch
+    * (take the k smallest of the union; exact when fewer than k in total)
+    * reproduces the batch KMV of everything ingested — the spec pins it. */
+  case class ShardSketch(shard: Int, nSeen: Long, mins: List[Long])
+  case class KmvMins(mins: List[Long], nSeen: Long)
+
+  /** Map-side sharding for [[kmvStream]] over a text column's shingles:
+    * the distinct-value hash plane of the batch sketch as a pure
+    * projection (no stream-side shuffle before the state store's own). */
+  def shardShingles(df: org.apache.spark.sql.DataFrame,
+                    textCol: org.apache.spark.sql.Column,
+                    ordCol: org.apache.spark.sql.Column,
+                    n: Int, shards: Int): Dataset[HashedArrival] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    df.select(ordCol.cast("long").as("ord"),
+        explode(graft.pipeline.Dedup.shingles(textCol, n)).as("seg"))
+      .filter(col("seg").isNotNull)
+      .select(
+        (conv(substring(md5(col("seg")), 16, 6), 16, 10).cast("long") %
+          shards).cast("int").as("shard"),
+        col("ord"),
+        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[HashedArrival]
+  }
+
+  /**
+   * Streaming KMV distinct-count monitor — "how many distinct values has
+   * this stream carried so far", continuously, from bounded state: each
+   * shard's state is the k smallest distinct hashes it has seen (k longs,
+   * the memory-boundedness Bloom segments get from fixed bits); after
+   * every batch each updated shard emits its current sketch, and the
+   * consumer merges the latest row per shard into the global estimate
+   * exactly like [[graft.pipeline.Sketches.kmvPairOps]] merges sources.
+   * Per-shard `nSeen` counts arrivals (not distinct values) — the
+   * telemetry column for ingest-rate dashboards.
+   *
+   * 100 TB shape: state is shards·k longs TOTAL regardless of stream
+   * length; the only stream-side wide op is the state store's own
+   * shard-key shuffle. Insertion keeps the sorted-set invariant
+   * incrementally (no per-batch global sort).
+   */
+  def kmvStream(rows: Dataset[HashedArrival], k: Int): Dataset[ShardSketch] = {
+    require(k >= 2, "KMV needs k >= 2")
+    implicit val outEnc = Encoders.product[ShardSketch]
+    implicit val stEnc = Encoders.product[KmvMins]
+    implicit val intEnc = Encoders.scalaInt
+    rows.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (shard: Int, batch: Iterator[HashedArrival], state: GroupState[KmvMins]) =>
+          val prev = state.getOption.getOrElse(KmvMins(Nil, 0L))
+          var mins = prev.mins.to(scala.collection.immutable.SortedSet)
+          var n = prev.nSeen
+          batch.foreach { a =>
+            n += 1
+            if (mins.size < k) mins = mins + a.h
+            else if (a.h < mins.max && !mins.contains(a.h))
+              mins = mins - mins.max + a.h
+          }
+          val next = KmvMins(mins.toList, n)
+          state.update(next)
+          Iterator.single(ShardSketch(shard, n, next.mins))
+      }
+  }
 }

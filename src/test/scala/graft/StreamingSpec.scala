@@ -309,6 +309,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV: per-shard k-min state stays bounded, the merged " +
+    "latest sketches reproduce the exact distinct count below k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stage the arrivals through the same projection the deployment uses
+    def arrivals(ord: Long, text: String) = {
+      val df = Seq((ord, text)).toDF("ord", "text")
+      StatefulOps.shardShingles(df, col("text"), col("ord"),
+        n = 5, shards = 3).collect().toSeq
+    }
+    val t1 = (1 to 10).map(i => s"alpha$i").mkString(" ") // 6 shingles
+    val t2 = (1 to 10).map(i => s"beta$i").mkString(" ")  // 6 disjoint
+    // exactness at k > per-shard distinct: merged latest sketches ARE the
+    // distinct set
+    val input = MemoryStream[StatefulOps.HashedArrival]
+    val q = StatefulOps.kmvStream(input.toDS(), k = 16)
+      .writeStream.format("memory").queryName("kmv_mon")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals(1, t1): _*)
+      q.processAllAvailable()
+      input.addData(arrivals(2, t2): _*)   // new values
+      input.addData(arrivals(3, t1): _*)   // pure repeats: no new distinct
+      q.processAllAvailable()
+      val rows = spark.table("kmv_mon").as[StatefulOps.ShardSketch].collect()
+      assert(rows.forall(r => r.mins == r.mins.sorted))
+      val latest = rows.groupBy(_.shard).values
+        .map(_.maxBy(_.nSeen)).toSeq
+      assert(latest.flatMap(_.mins).distinct.length === 12)
+      // repeats advanced nSeen without adding state
+      assert(latest.map(_.nSeen).sum === 18L) // 6 + 6 + 6 arrivals
+    } finally q.stop()
+    // boundedness at small k: a 40-distinct feed never grows a shard's
+    // state past k mins
+    val input2 = MemoryStream[StatefulOps.HashedArrival]
+    val q2 = StatefulOps.kmvStream(input2.toDS(), k = 4)
+      .writeStream.format("memory").queryName("kmv_mon_bounded")
+      .outputMode("append").start()
+    try {
+      val big = (1 to 44).map(i => s"gamma$i").mkString(" ") // 40 shingles
+      input2.addData(arrivals(1, big): _*)
+      q2.processAllAvailable()
+      val rows = spark.table("kmv_mon_bounded")
+        .as[StatefulOps.ShardSketch].collect()
+      assert(rows.nonEmpty && rows.forall(_.mins.length <= 4))
+    } finally q2.stop()
+  }
+
   test("streaming detectDuplicates: an idle key's state expires after " +
        "ageMs and the next arrival is non-duplicate again") {
     import spark.implicits._
