@@ -5261,8 +5261,8 @@ object SparkEntry {
       |s AS (SELECT greatest(max(list_max(list_transform(cv, x -> abs(x)))), 1) AS sc FROM c0),
       |c AS (SELECT vec_id AS cid,
       |  list_transform(cv, v -> CASE WHEN v < 0
-      |    THEN -((abs(v)*254 + s.sc) // (2*s.sc))
-      |    ELSE (abs(v)*254 + s.sc) // (2*s.sc) END) AS cq
+      |    THEN -least((abs(v)*254 + s.sc) // (2*s.sc), 127)
+      |    ELSE least((abs(v)*254 + s.sc) // (2*s.sc), 127) END) AS cq
       |  FROM c0, s),
       |q AS (SELECT cid AS qid, cq AS qq FROM c WHERE qid % 100 = 0),
       |qn AS (SELECT qid, qq, CAST(list_sum(list_transform(qq, x -> x*x)) AS BIGINT) AS qn2 FROM q),

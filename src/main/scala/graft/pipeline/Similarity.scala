@@ -109,7 +109,11 @@ object Similarity {
       lit(1L)).as("s"))
     def sq8(vec: Column): Column = transform(vec, v => {
       val a = abs(v) * 254L + col("s")
-      val q = ((a - pmod(a, col("s") * 2L)) / (col("s") * 2L)).cast("long")
+      // clamp at 127: corpus codes never exceed it (s = corpus max|x|),
+      // but a QUERY from outside the corpus may — saturation is the
+      // standard SQ treatment of out-of-scale components
+      val q = least(((a - pmod(a, col("s") * 2L)) / (col("s") * 2L))
+        .cast("long"), lit(127L))
       when(v < 0, -q).otherwise(q)
     })
     val c = cq.crossJoin(broadcast(scale))

@@ -242,6 +242,11 @@ object Wimbd {
       .limit(topV)
       .collect().map(_.getAs[Long]("c"))
     val v = top.length
+    if (v == 0) {
+      // empty corpus: no points, no fit — a zero row beats a divide crash
+      import spark.implicits._
+      return Seq((0L, 0L, 0L)).toDF("v", "slope_micro", "intercept_micro")
+    }
     def lnMicro(x: Long): Long =
       BigDecimal(math.log(x.toDouble) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

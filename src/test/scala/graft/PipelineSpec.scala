@@ -406,6 +406,13 @@ class PipelineSpec extends SparkSpec {
     val codes = emb.select(graft.pipeline.Similarity.quantize(col("embedding")).as("cv"))
     val s = codes.agg(max(array_max(transform(col("cv"), abs(_))))).head.getLong(0)
     assert(s === 2000000L)
+    // an out-of-corpus query past the scale SATURATES at ±127 (codes stay
+    // byte-ranged) and still ranks the matching direction first
+    val qBig = spark.createDataFrame(Seq((99L, Array(5.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val outBig = Similarity.sq8TopK(emb, qBig, 1).head
+    assert(outBig.getAs[Long]("cid") === 0L)
+    assert(outBig.getAs[Double]("cosine") === 1.0)
   }
 
   test("LSH-bucketed top-k agrees with brute force for in-bucket neighbors") {
@@ -796,6 +803,11 @@ class PipelineSpec extends SparkSpec {
     val flat = Wimbd.zipfFit(Seq(Tuple1(uniText)).toDF("text"),
       col("text"), topV = 64).head.getAs[Long]("slope_micro")
     assert(flat === 0L, s"flat=$flat")
+    // empty corpus: a zero row, not a divide crash
+    val empty = Wimbd.zipfFit(Seq(Tuple1("")).toDF("text")
+      .filter(col("text") =!= ""), col("text"), topV = 64).head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) ===
+      ((0L, 0L, 0L)))
   }
 
   test("calibration table: decile binning, truncating means, the 1e6 " +
