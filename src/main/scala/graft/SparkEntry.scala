@@ -2937,7 +2937,11 @@ object SparkEntry {
     // sortBy, then the orders ⨝ lineitem equi-join reads co-located —
     // no Exchange, no per-query Sort (ColocateSpec pins the plan); the
     // oracle replays the plain join, proving co-location changes the
-    // PLAN and not the result
+    // PLAN and not the result. NOTE (r16 review): unlike every other
+    // registered query this one WRITES — each evaluation drops and
+    // rewrites the two catalog tables in the session warehouse (the
+    // put_sql precedent); harness runs are serial, but do not point two
+    // concurrent processes at one cwd/warehouse
     "bucketed_join" -> ((s, dir) => {
       import graft.plans.Colocate
       Colocate.writeBucketed(s, tbl(s, dir, "orders")

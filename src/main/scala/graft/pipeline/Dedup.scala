@@ -522,7 +522,12 @@ object Dedup {
         val saltHash = conv(substring(md5(concat_ws("|",
           col("docId").cast("string"), col("pos").cast("string"))), 1, 15),
           16, 10).cast("long")
-        wins.join(broadcast(hot), Seq("h1", "h2"), "left")
+        // no forced broadcast (r16 review, the verifyCandidates lesson):
+        // the hot set is data-dependent — a low threshold on a duplicate-
+        // heavy corpus makes EVERY duplicated key hot, and a forced
+        // broadcast hits the 8 GB cliff exactly where the salt matters.
+        // AQE broadcasts it when it is in fact small.
+        wins.join(hot, Seq("h1", "h2"), "left")
           .withColumn("isHot", col("nsalts").isNotNull)
           .withColumn("salt",
             when(col("isHot"), pmod(saltHash, col("nsalts"))).otherwise(lit(0L)))

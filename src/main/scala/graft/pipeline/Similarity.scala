@@ -221,10 +221,18 @@ object Similarity {
                     nPlanes: Int, dim: Int, seed: Long,
                     literalPlanesBudget: Long = MaxLiteralCodebook): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val actualDim = corpus.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
-    require(actualDim == dim,
-      s"lshTopKSeeded dim=$dim but embeddings carry $actualDim dims")
+    // validate dim against BOTH sides (r16 review: the corpus-only probe
+    // left a wrong-dim QUERY frame silently bucketing to 0 — the exact
+    // silent failure this check exists to catch), tolerating empty frames
+    // and NULL embeddings (an empty corpus returns an empty result; a
+    // null row carries no dim evidence). limit(1) keeps each probe a
+    // 1-row job.
+    for ((side, df) <- Seq("corpus" -> corpus, "queries" -> queries)) {
+      val d = df.select(size(col("embedding")).as("d"))
+        .filter(col("d").isNotNull).limit(1).collect()
+      d.headOption.foreach(r => require(r.getInt(0) == dim,
+        s"lshTopKSeeded dim=$dim but $side embeddings carry ${r.getInt(0)} dims"))
+    }
     val literalPlanes = nPlanes.toLong * dim <= literalPlanesBudget
     val planesDf =
       if (literalPlanes) null

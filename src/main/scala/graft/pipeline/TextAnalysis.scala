@@ -209,7 +209,11 @@ object TextAnalysis {
    */
   def c4BadWords(textCol: Column, words: Seq[String]): Seq[(String, Column)] = {
     require(words.nonEmpty, "bad-word filter needs a non-empty list")
-    val toks = split(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
+    // NULL text coalesces to empty (r16 review): a gate must be TOTAL —
+    // NULL would propagate into keep and a downstream filter(keep) would
+    // silently drop a page that contains no bad words at all
+    val toks = split(trim(regexp_replace(lower(coalesce(textCol, lit(""))),
+      "[^a-z0-9]+", " ")), " ")
     val counts = words.map(w =>
       size(filter(toks, t => t === lit(w.toLowerCase))).cast("long"))
     val total = counts.reduce(_ + _)

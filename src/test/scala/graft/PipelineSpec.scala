@@ -51,6 +51,11 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === (0L, None, true))
     assert(out(3L) === (0L, None, true))
     assert(out(4L) === (2L, Some("slow"), false)) // list order, not text order
+    // totality: NULL text keeps (no bad words in nothing), never NULL-drops
+    val nulled = spark.sql("SELECT 9L AS doc_id, CAST(NULL AS STRING) AS text")
+    val nf = TextAnalysis.c4BadWords(col("text"), Seq("slow")).toMap
+    val nr = nulled.select(nf("bad_hits").as("h"), nf("keep").as("k")).head
+    assert(nr.getLong(0) === 0L && nr.getBoolean(1))
   }
 
   test("ngram jaccard finds exact and near dups, skips unrelated") {
@@ -338,6 +343,19 @@ class PipelineSpec extends SparkSpec {
     val again = Similarity.lshTopKSeeded(emb, emb.filter(col("vec_id") === 0),
       k = 1, nPlanes = 4, dim = 4, seed = 42L).collect()
     assert(again.head.getAs[Long]("cid") === 1L)
+    // an empty corpus yields an empty result, not a head() crash
+    val empty = Similarity.lshTopKSeeded(emb.filter(col("vec_id") < 0),
+      emb.filter(col("vec_id") === 0), k = 1, nPlanes = 4, dim = 4,
+      seed = 42L)
+    assert(empty.count() === 0)
+    // a wrong-dim QUERY frame is rejected too (it would silently bucket
+    // every query to 0)
+    val bad = spark.createDataFrame(Seq((9L, Array(1.0f, 2.0f))))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKSeeded(emb, bad, k = 1, nPlanes = 4, dim = 4,
+        seed = 42L)
+    }
   }
 
   test("simhash: identical docs equal, near dups close, distinct docs far") {
