@@ -369,11 +369,17 @@ object Bench {
   }
 
   /** Degenerate-cluster embedding corpus (see the skew_dedup_semantic
-    * rows in main): 70% of vectors become ONE exact direction. */
+    * rows in main): 70% of vectors become ONE exact direction.
+    * `contentKey` must carry the UPSTREAM content identity when sfDir is
+    * a fixed staging path (r16 verdict: the marker keyed on the constant
+    * x10 tmp path, so an sf change left a stale, smaller skew corpus —
+    * the r15 skew-semantic numbers were measured on it; the
+    * stageTailCorpus fix applied here). */
   private[graft] def stageEmbSkew(spark: SparkSession, sfDir: String,
-                                  tag: String = ""): String = {
+                                  tag: String = "",
+                                  contentKey: String = ""): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-embskew$tag"
-    stageOnce(out, sfDir) {
+    stageOnce(out, sfDir + "|" + contentKey) {
       val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .selectExpr("size(embedding) AS d").head().getInt(0)
       val hot = array((0 until dim).map(i =>
@@ -467,6 +473,44 @@ object Bench {
       graft.streaming.FlowRuntime.relationshipSink(msgs.toDF(), s"$base/out"),
       s"$base/ckpt")
     q.stop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One measured streaming near-dup drain (r16 verdict #8: the
+    * streaming dedup claim gets a bench row like the batch one): parquet
+    * file-stream over the documents table → bandDocs (map-side MinHash
+    * banding at the batch dedup_minhash_lsh parameters) → stateful
+    * detectNearDuplicates (flatMapGroupsWithState, bucket state capped
+    * at 150 signatures — bounded bytes at ANY corpus size) → noop sink,
+    * drained with AvailableNow. Fresh checkpoint per rep so every rep
+    * processes the full corpus from offset zero. */
+  private[graft] def neardupDrainSeconds(spark: SparkSession, docsDir: String): Double = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ndrun-" +
+      java.util.UUID.randomUUID
+    val t0 = System.nanoTime()
+    val schema = spark.read.parquet(s"$docsDir/documents.parquet").schema
+    // two corpus layouts: the staged corpora ship documents.parquet as a
+    // DIRECTORY of part files (stream path = that dir), the sf fixture
+    // as ONE FILE (the file-stream source needs a directory path, so
+    // stream the parent dir with a name filter — it lists leaf files
+    // only, never descending into sibling .parquet dirs)
+    val one = new java.io.File(s"$docsDir/documents.parquet")
+    val docs =
+      if (one.isDirectory)
+        spark.readStream.schema(schema).parquet(s"$docsDir/documents.parquet")
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(docsDir)
+    val banded = graft.streaming.StatefulOps.bandDocs(docs, col("doc_id"),
+      col("text"), col("doc_id"), n = 5, numHashes = 8, rowsPerBand = 2)
+    val hits = graft.streaming.StatefulOps.detectNearDuplicates(banded,
+      maxBucket = 150, minEstJaccard = 0.5)
+    val q = hits.writeStream.format("noop")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -677,19 +721,22 @@ object Bench {
     val d4Results = Seq(
       "d4_e2e" -> d4Min(sfDir, 8),
       "x10_d4_e2e" -> d4Min(x10Dir, 80))
-    // Degenerate-cluster contrast pair (r15, mirroring the capped LSH
+    // Degenerate-cluster contrast set (r15, mirroring the capped LSH
     // pair): 70% of the corpus becomes ONE exact direction — identical
     // quantized vectors score identical cosines to every centroid and
-    // the (negCos, cent) tie-break sends the whole mass to one cluster,
-    // so the uncapped within-cluster pair join is quadratic over 70% of
-    // the corpus while the md5-pivot cap bounds it at 64·|cluster|.
-    // Both measured; the capped row is the one that must hold the band.
+    // the (negCos, cent) tie-break sends the whole mass to one cluster.
+    // r17: the DEFAULT path is now exact-salted (the within-cluster pair
+    // join splits block-wise past saltBlockSize), so skew_dedup_semantic
+    // measures the default a naive caller gets; _unblocked disables the
+    // salt (saltBlockSize = MaxValue, the r16 one-task quadratic) as the
+    // contrast, and _capped keeps the recall-trade bound. The default
+    // must land near the capped row, not the unblocked one.
     // staged from the x10 embeddings (20k vectors at sf0.1): at the 1×
     // corpus's 2,000 vectors the hot cluster's quadratic term is below
     // the job floor (probed 2.19 vs 2.13 uniform) and the pair proves
     // nothing — 14k identical vectors make the uncapped pair join ~100M
     // cosine evaluations, a contrast the cap must visibly bound
-    val embSkewDir = stageEmbSkew(spark, x10Dir, "10x")
+    val embSkewDir = stageEmbSkew(spark, x10Dir, "10x", contentKey = sfDir)
     def semDedupCappedOnce(dir: String, nC: Int, cap: Int): Unit =
       graft.pipeline.Similarity.semDedup(
         spark.read.parquet(s"$dir/embeddings.parquet"),
@@ -703,20 +750,35 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] semdedup cap: $e") }
         (System.nanoTime() - t0) / 1e9
       }.min
-    // the capped row gets the usual warm + min-of-3; the uncapped row is
-    // the deliberately-adversarial contrast (probed 42-51 s vs 3.5 s
-    // capped — ~100M cosine evaluations through one cluster) and gets
-    // min-of-2 with no separate warm: its code shape is warmed by the
-    // capped/x10 rows, and burning 45 s on a third rep of a row whose
-    // point is an order-of-magnitude gap buys nothing
-    semDedupCappedOnce(embSkewDir, 80, 64)
+    // the default (salted-exact) and capped rows get the usual warm +
+    // min-of-3; the unblocked row is the deliberately-adversarial
+    // contrast (r16 measured 42.3 s — ~100M cosine evaluations through
+    // ONE task) and gets ONE rep with no separate warm: its code shape
+    // is warmed by the other rows, and burning 80+ s on more reps of a
+    // row whose point is an order-of-magnitude gap buys nothing. A
+    // failed rep records the 1e9 sentinel (head-to-head contrast rows
+    // must never publish a crash's wall time as a measurement).
+    def semDedupUnblockedOnce(dir: String, nC: Int): Unit =
+      graft.pipeline.Similarity.semDedup(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.3, nCentroids = nC, lloydIters = 2,
+        saltBlockSize = Int.MaxValue)
+        .write.format("noop").mode("overwrite").save()
+    semDedupOnce(embSkewDir, 80); semDedupCappedOnce(embSkewDir, 80, 64)
     val semSkewResults = Seq(
-      "skew_dedup_semantic" -> (0 until 2).map { _ =>
+      "skew_dedup_semantic" -> (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try semDedupOnce(embSkewDir, 80)
         catch { case e: Throwable => System.err.println(s"[bench] semskew: $e") }
         (System.nanoTime() - t0) / 1e9
       }.min,
+      "skew_dedup_semantic_unblocked" -> {
+        val t0 = System.nanoTime()
+        try { semDedupUnblockedOnce(embSkewDir, 80)
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] semskew unblocked: $e"); 1e9 }
+      },
       "skew_dedup_semantic_capped" -> semDedupCappedMin(embSkewDir, 80, 64))
     // Production-parameter IVFADC row (r16, the plan-literal-purge
     // done-criterion): nCells=256, m=16, k=256 on the x10 embeddings —
@@ -724,22 +786,31 @@ object Bench {
     // plan entries) exploded codegen; the broadcast cross-dot table makes
     // it a ~8 MB data question. min-of-2 (a completion-and-band probe,
     // like the uncapped skew contrast rows), warmed once.
-    def ivfPqProdOnce(dir: String): Unit =
+    // r17: FAISS-style sampled codebook training (trainFraction) — the
+    // Lloyd rounds (the honest bulk of the r16 51.6 s) run on a
+    // deterministic 25% md5-fraction while the full corpus is still
+    // assigned + encoded; the _sampled row is the production
+    // configuration, the full-train row stays as the contrast.
+    def ivfPqProdOnce(dir: String, tf: Double): Unit =
       graft.pipeline.Similarity.ivfPqTopK(
         spark.read.parquet(s"$dir/embeddings.parquet"),
         spark.read.parquet(s"$dir/embeddings.parquet")
           .filter(col("vec_id") % 100 === 0),
-        topK = 5, nCells = 256, m = 16, k = 256, iters = 1, nProbe = 3)
+        topK = 5, nCells = 256, m = 16, k = 256, iters = 1, nProbe = 3,
+        trainFraction = tf)
         .write.format("noop").mode("overwrite").save()
-    try ivfPqProdOnce(x10Dir)   // warm; guarded like every other warm pass
+    try ivfPqProdOnce(x10Dir, 0.25) // warm; guarded like every other warm pass
     catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod warm: $e") }
-    val ivfPqProdResults = Seq(
-      "prod_embed_topk_ivfpq" -> (0 until 2).map { _ =>
+    def ivfPqProdMin(tf: Double, reps: Int): Double =
+      (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { ivfPqProdOnce(x10Dir); (System.nanoTime() - t0) / 1e9 }
+        try { ivfPqProdOnce(x10Dir, tf); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ivfpq prod: $e"); 1e9 }
-      }.min)
+      }.min
+    val ivfPqProdResults = Seq(
+      "prod_embed_topk_ivfpq_sampled" -> ivfPqProdMin(0.25, 2),
+      "prod_embed_topk_ivfpq" -> ivfPqProdMin(1.0, 2))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -761,9 +832,18 @@ object Bench {
     // let a steal window through on the longest-running row class
     val drain1x = (0 until 5).map(_ => tailDrainSeconds(spark, tail1x)).min
     val drain10x = (0 until 5).map(_ => tailDrainSeconds(spark, tail10x)).min
+    // Streaming near-dup pair (r17): the same 1×/x10 device as the tail
+    // drain, over the sf/x10 documents directly — the banding is
+    // map-side and the bucket state is capped, so the pair should scale
+    // with the corpus like the batch dedup_minhash_lsh pair does.
+    neardupDrainSeconds(spark, warmDir) // warm the streaming plane's codegen
+    val neardup1x = (0 until 3).map(_ => neardupDrainSeconds(spark, sfDir)).min
+    val neardup10x = (0 until 3).map(_ => neardupDrainSeconds(spark, x10Dir)).min
     val streamResults = Seq(
       "streaming_tail_e2e" -> drain1x,
-      "x10_streaming_tail_e2e" -> drain10x)
+      "x10_streaming_tail_e2e" -> drain10x,
+      "streaming_neardup_e2e" -> neardup1x,
+      "x10_streaming_neardup_e2e" -> neardup10x)
     // throughput rows live in their own section with an explicit unit —
     // every row in `queries` is seconds, so round-over-round tooling can
     // no longer mix 1e6-lines/s values into a seconds comparison
@@ -783,15 +863,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
-    // The captured log tail has a bounded size and r15's arrived with the
-    // line's HEAD cut mid-JSON (BENCH_r15.json parsed: null). Two guards:
-    // persist the line to a file the round snapshot picks up, and print it
-    // again as the process's final output so a tail-bounded capture keeps a
-    // complete copy closest to the end.
+    // The captured log tail has a bounded size and r15's/r16's arrived
+    // with the line's HEAD cut mid-JSON (BENCH_r{15,16}.json parsed:
+    // null). Three guards (r16 verdict: close r15 #8 out properly):
+    // print the line the moment it exists (before any shutdown output),
+    // persist it to a file the round snapshot picks up, and print it
+    // THREE more times after spark.stop() with explicit flushes — a
+    // tail-bounded capture then holds at least one complete copy even if
+    // JVM/log4j shutdown noise lands after the first.
+    println(json)
+    System.out.flush()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
-    println(json)
     spark.stop()
-    println(json)
+    (0 until 3).foreach { _ => println(json); System.out.flush() }
   }
 }

@@ -6,6 +6,7 @@ import graft.core.FlowFrame
 import graft.el.ElCompiler
 import graft.ops._
 import graft.pipeline.{Classifier, Clusters, Decontaminate, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.Staging.StagingOps
 import graft.record.{Records, XmlRecords}
 import graft.sources.Sinks
 
@@ -790,7 +791,7 @@ object SparkEntry {
       // sides of the dedup semi-join — stage it once (same pattern as
       // splitDf below)
       val clean = Decontaminate.removeContaminated(quality, col("doc_id"),
-        col("text"), bench, col("text"), 7).localCheckpoint()
+        col("text"), bench, col("text"), 7).staged
       // exact dedup via the map-side-partial min aggregate (Dedup.exact) +
       // semi-join on the kept ids — a content-keyed row_number window
       // would funnel a mass-duplicated corpus through one reducer
@@ -801,7 +802,7 @@ object SparkEntry {
       // consumed twice (pack input + final join left side): materialize
       // once — the staging-table pattern between curation passes
       val splitDf = Sampling.trainValTestSplit(deduped, col("doc_id"),
-        "e2e", 0.8, 0.1).localCheckpoint()
+        "e2e", 0.8, 0.1).staged
       val packed = Sampling.packSequences(
         splitDf.filter(col("split") === "train"), col("doc_id"),
         size(split(col("text"), " ")).cast("long"), 512L, "e2e-pack")
@@ -1026,19 +1027,19 @@ object SparkEntry {
       val q = Classifier.qualityFilterPareto(corpus, col("doc_id"),
         col("text"), col("source") === "src1", alpha = 2.0)
         .select(col("docId").as("doc_id"), col("kept").as("q_kept"))
-        .localCheckpoint()
+        .staged
       val surv = corpus.select(col("doc_id"), col("text"))
         .join(q.filter(col("q_kept")).select("doc_id"), "doc_id")
-        .localCheckpoint()
+        .staged
       val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("text"), 5, 8)
       val cands = Dedup.minHashLshPairs(sigs, 8, 2)
       val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
         col("text"), 5, 30)
       val dec = Clusters.dedupDecisions(surv, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("keep").as("dup_keep"))
-        .localCheckpoint()
+        .staged
       val kept2 = surv.join(dec.filter(col("dup_keep")).select("doc_id"),
-        "doc_id").localCheckpoint()
+        "doc_id").staged
       val spans = Decontaminate.decontaminateSpans(kept2, col("doc_id"),
         col("text"), bench, col("text"),
         n = 4, padWords = 2, minPieceWords = 3, maxPieces = 10)
@@ -1133,7 +1134,7 @@ object SparkEntry {
       val en = lid.filter(col("lang_pred") === "en")
         .join(tbl(s, dir, "documents")
           .select(col("doc_id").as("docId"), col("lang")), "docId")
-        .localCheckpoint()
+        .staged
       graft.pipeline.Perplexity.perplexityBuckets(en, col("docId"),
         col("text"), col("lang") === "en")
         .select(col("docId").as("doc_id"),
@@ -1337,9 +1338,9 @@ object SparkEntry {
             "en" -> Seq("the"), "es" -> Seq("data"),
             "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"),
           fw("keep").as("fw_keep"))
-        .localCheckpoint()
+        .staged
       val surv = flagged.filter(col("lang_pred") === "en" && col("fw_keep"))
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).staged
       val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("text"), 5, 8)
       val cands = Dedup.minHashLshPairs(sigs, 8, 2)
       val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
@@ -1537,11 +1538,11 @@ object SparkEntry {
       // NFC runs once (checkpoint) — the attribution pass and the dedup
       // branch both read the normalized frame
       val normed = corpus.select(col("doc_id"),
-        TextAnalysis.nfc(col("text")).as("text")).localCheckpoint()
+        TextAnalysis.nfc(col("text")).as("text")).staged
       val surv = normed.filter(length(col("text")) >= 200)
         .select(col("doc_id"),
           TextAnalysis.slimPajamaDedupText(col("text")).as("dtext"))
-        .localCheckpoint()
+        .staged
       val sigs = Dedup.minHashSignatures(surv, col("doc_id"), col("dtext"), 13, 8)
       val cands = Dedup.minHashLshPairs(sigs, 8, 2)
       val pairs = Dedup.verifyCandidates(surv, cands, col("doc_id"),
@@ -1597,7 +1598,7 @@ object SparkEntry {
             "en" -> Seq("the"), "es" -> Seq("data"),
             "de" -> Seq("join"), "fr" -> Seq("merge"))).as("lang_pred"),
           gopher("keep").as("g_keep"))
-        .localCheckpoint()
+        .staged
       val survivors = flagged
         .filter(col("lang_pred") === "en" && col("g_keep"))
       val para = Dedup.dedupSegmentsBloom(survivors, col("doc_id"),
@@ -1605,7 +1606,7 @@ object SparkEntry {
           Dedup.wordWindows(col("text"), 20),
           expectedItems = 100000L, fpp = 1e-9)
         .select(col("docId"), col("nDropped"), col("text").as("ptext"))
-        .localCheckpoint()
+        .staged
       val keepers = Dedup.exact(para, col("docId"), col("ptext"))
         .select(col("contentHash"), col("keepId"))
       val action =
@@ -1850,6 +1851,18 @@ object SparkEntry {
     "dedup_semantic_capped" -> ((s, dir) =>
       Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
         nCentroids = 8, lloydIters = 2, maxClusterSize = 16)
+        .orderBy("vec_id")),
+
+    // SemDeDup with the exact block salt FORCED multi-block (r17: the
+    // scale-safe default — saltBlockSize 16 splits every fixture cluster
+    // of ~62 members into 4 md5-hashed blocks, so the pair enumeration
+    // runs per block pair). The oracle replays the plain UNSALTED
+    // cluster-keyed rule — identical output IS the proof that blocking
+    // changes the task layout and never the detected duplicate set (the
+    // dedup_substrings_salted device applied to the semantic plane).
+    "dedup_semantic_salted" -> ((s, dir) =>
+      Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
+        nCentroids = 8, lloydIters = 2, saltBlockSize = 16)
         .orderBy("vec_id")),
 
     // Cluster-balanced coverage subsample (the DataComp/MiniPile-style
@@ -2370,7 +2383,7 @@ object SparkEntry {
         .filter(col("rwKeep"))
         .select(col("doc_id"), col("source"),
           col("cleanedText").as("text"))
-        .localCheckpoint()
+        .staged
       // stage 2: paragraph dedup, prior = the src0 history
       val dd = Dedup.dedupSegmentsBloom(
         corrected.filter(col("source") =!= "src0"), col("doc_id"),
@@ -2378,13 +2391,13 @@ object SparkEntry {
         corrected.filter(col("source") === "src0"),
         Dedup.wordWindows(col("text"), 20),
         expectedItems = 100000L, fpp = 1e-9)
-        .localCheckpoint() // feeds scoring AND the output join
+        .staged // feeds scoring AND the output join
       // stage 3: classifier trained on the labeled RAW corpus, scoring
       // the dedup survivors, top decile kept
       val (w, bias) = Classifier.logisticModel(docs, col("doc_id"),
         col("text"), col("source").isin("src0", "src1"), steps = 2)
       val scored = Classifier.logisticApply(dd, col("docId"), col("text"),
-        w, bias).localCheckpoint() // feeds the threshold AND the output
+        w, bias).staged // feeds the threshold AND the output
       val wCum = Window.orderBy(col("probMicro").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.orderBy(col("probMicro").desc)
@@ -2463,7 +2476,7 @@ object SparkEntry {
         // the Gopher rule set makes to `cleaned` (~20 of them), paying the
         // cleaning arithmetic ~20× per row (measured 1.7 s -> 1.0 s at
         // sf0.1). Same write-between-passes staging pipeline_e2e uses.
-        .localCheckpoint()
+        .staged
       val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
         minStopHits = 1).toMap
       val filtered = cleanedDocs
@@ -2500,7 +2513,7 @@ object SparkEntry {
       val pre = docsPar(s, dir).select(col("doc_id"),
           size(words).cast("long").as("raw_n"),
           c4("cleaned").as("cleaned"), c4("keep").as("c4_keep"))
-        .localCheckpoint() // the gopher rules reference `cleaned` ~20×
+        .staged // the gopher rules reference `cleaned` ~20×
       val gopher = TextAnalysis.gopherRules(col("cleaned"), minWords = 20,
         minStopHits = 1).toMap
       graft.pipeline.Funnel.report(pre, col("raw_n"),
@@ -2939,19 +2952,23 @@ object SparkEntry {
     // oracle replays the plain join, proving co-location changes the
     // PLAN and not the result. NOTE (r16 review): unlike every other
     // registered query this one WRITES — each evaluation drops and
-    // rewrites the two catalog tables in the session warehouse (the
-    // put_sql precedent); harness runs are serial, but do not point two
-    // concurrent processes at one cwd/warehouse
+    // rewrites two catalog tables in the session warehouse (the put_sql
+    // precedent). r17: the table names derive from the DATASET DIR, so
+    // two processes sharing one warehouse corrupt each other only if
+    // they also evaluate the same dir at the same time — cross-SF and
+    // cross-fixture runs no longer collide on fixed names.
     "bucketed_join" -> ((s, dir) => {
       import graft.plans.Colocate
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       Colocate.writeBucketed(s, tbl(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority"),
-        "graft_bkt_orders", "o_orderkey", 16)
+        s"graft_bkt_orders_$tag", "o_orderkey", 16)
       Colocate.writeBucketed(s, tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity"),
-        "graft_bkt_lineitem", "l_orderkey", 16)
-      Colocate.bucketedEquiJoin(s, "graft_bkt_orders", "o_orderkey",
-        "graft_bkt_lineitem", "l_orderkey")
+        s"graft_bkt_lineitem_$tag", "l_orderkey", 16)
+      Colocate.bucketedEquiJoin(s, s"graft_bkt_orders_$tag", "o_orderkey",
+        s"graft_bkt_lineitem_$tag", "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_quantity") * 100).cast("long")).as("qty_centi"),
@@ -5455,21 +5472,27 @@ object SparkEntry {
        |FROM j, d GROUP BY method, d.denom ORDER BY method""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // value:gt(100) truncates BOTH sides to int64 (Expression.cpp:993
+    // expr_gt: the int path unless BOTH args carry decimal syntax;
+    // Value.h asSignedLong stoll-truncates "100.5" to 100) — r17 mined
+    // divergence: a double compare would route value=100.5 to 'alert',
+    // the reference does not
     "route_on_attribute" ->
       """WITH m AS (
-        | SELECT event_id, 'alert' AS relationship FROM events WHERE event_type='error' AND value>100
+        | SELECT event_id, 'alert' AS relationship FROM events WHERE event_type='error' AND CAST(trunc(value) AS BIGINT)>100
         | UNION ALL SELECT event_id, 'purchase' FROM events WHERE event_type='purchase'
         | UNION ALL SELECT event_id, 'session' FROM events WHERE event_type IN ('signup','login')
-        | UNION ALL SELECT event_id, 'big' FROM events WHERE value>400)
+        | UNION ALL SELECT event_id, 'big' FROM events WHERE CAST(trunc(value) AS BIGINT)>400)
         |SELECT e.event_id, coalesce(m.relationship, 'unmatched') AS relationship
         |FROM events e LEFT JOIN m ON m.event_id = e.event_id
         |ORDER BY e.event_id, relationship""".stripMargin,
 
+    // o_totalprice:gt(1000) — the same int-path truncation as above
     "update_attribute" ->
       """SELECT o_orderkey, lower(o_orderpriority) AS priority_lower,
         | 'st_' || o_orderstatus AS status_tag,
         | CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
-        | CASE WHEN o_totalprice > 1000 THEN 'high' ELSE 'low' END AS price_band
+        | CASE WHEN CAST(trunc(o_totalprice) AS BIGINT) > 1000 THEN 'high' ELSE 'low' END AS price_band
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "extract_text" ->
@@ -7160,6 +7183,8 @@ object SparkEntry {
     "embed_topk_ivfpq" -> IvfPqOracle,
     "cluster_sample" -> ClusterSampleOracle,
     "dedup_semantic" -> SemDedupOracle,
+    // the salted query's oracle IS the unsalted rule — set identity
+    "dedup_semantic_salted" -> SemDedupOracle,
     "dedup_semantic_capped" -> SemDedupCappedOracle,
     "dedup_prototypes" -> PrototypeOracle,
     "d4_e2e" -> D4Oracle,

@@ -255,6 +255,32 @@ object ElCompiler {
     // cast would poison the whole task at scale — null is the EL error
     // convention here (predicates read it as false)
     def num(c: Column): Column = c.try_cast("double")
+    /** Comparison coercion (Expression.cpp:993-1040 expr_gt..expr_le over
+      * Value.h:48-131, mined from the GT4 battery
+      * ExpressionLanguageTests.cpp:843-879): BOTH sides decimal-SYNTAX
+      * (contains '.', 'e' or 'E' — Value.h isDecimal) → long-double
+      * compare; otherwise BOTH sides compare as int64 with stoll
+      * semantics — leading numeric prefix, truncation toward zero
+      * ("13.37" → 13), empty string → 0 (strParse's default). The int64
+      * path is exact above 2⁵³, where the former all-double compare
+      * silently tied distinct integers. Two documented deviations from
+      * the reference's throws (both established by earlier rounds and
+      * pinned in ElSpec): genuinely unparsable values are null-not-throw
+      * (predicates read false, no poisoned task), and out-of-int64/
+      * quad-range NUMERIC text falls back to double magnitude instead
+      * of out_of_range (2⁶⁴ stays a huge positive). */
+    def asLongEl(c: Column): Column =
+      when(c === "", lit(0L))
+        .otherwise(regexp_extract(c, "^\\s*([+-]?\\d+)", 1).try_cast("long"))
+    def elCmp(op: (Column, Column) => Column)(l: Column, r: Column): Column = {
+      val ls = l.cast("string"); val rs = r.cast("string")
+      val bothDec = ls.rlike("[.eE]") && rs.rlike("[.eE]")
+      val (ll, rl) = (asLongEl(ls), asLongEl(rs))
+      when(bothDec, op(when(ls === "", lit(0.0)).otherwise(num(ls)),
+        when(rs === "", lit(0.0)).otherwise(num(rs))))
+        .when(ll.isNotNull && rl.isNotNull, op(ll, rl))
+        .otherwise(op(num(ls), num(rs)))  // int64 overflow → magnitude
+    }
     /** NiFi arithmetic coercion: int64 math when both operands are
       * integral strings, long-double math otherwise (Value.h asNumber). */
     /** Reference double→string (Value.h:66-84): fixed 15 decimals, then
@@ -360,10 +386,10 @@ object ElCompiler {
       case "isEmpty" => subj.isNull || trim(s0) === lit("")
       case "equals"  => s0 === a(0).cast("string")
       case "equalsIgnoreCase" => lower(s0) === lower(a(0).cast("string"))
-      case "gt" => num(subj) >  num(a(0))
-      case "ge" => num(subj) >= num(a(0))
-      case "lt" => num(subj) <  num(a(0))
-      case "le" => num(subj) <= num(a(0))
+      case "gt" => elCmp(_ > _)(subj, a(0))
+      case "ge" => elCmp(_ >= _)(subj, a(0))
+      case "lt" => elCmp(_ < _)(subj, a(0))
+      case "le" => elCmp(_ <= _)(subj, a(0))
       case "and" => subj.cast("boolean") && a(0).cast("boolean")
       case "or"  => subj.cast("boolean") || a(0).cast("boolean")
       case "not" => !subj.cast("boolean")

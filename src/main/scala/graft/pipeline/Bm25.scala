@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Okapi BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
@@ -94,7 +95,7 @@ object Bm25 {
     // (checkpoint) so the (N, T) aggregate and the postings explode both
     // read doc_id + len + matching tokens, never the corpus again
     val perDoc =
-      if (corpusStats.isEmpty) perDoc0.localCheckpoint() else perDoc0
+      if (corpusStats.isEmpty) perDoc0.staged else perDoc0
     val (n, t) = corpusStats.getOrElse {
       val nt = perDoc.agg(count(lit(1)).as("n"),
         coalesce(sum(col("len")), lit(0L)).as("t")).collect()(0)

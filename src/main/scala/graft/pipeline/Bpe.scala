@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Byte-pair-encoding tokenizer induction over a corpus (Sennrich et al.
@@ -93,7 +94,7 @@ object Bpe {
     val spark = df.sparkSession
     var syms = wordTable(df, textCol)
       .select(wrap(col("word")).as("sym"), col("freq"))
-      .localCheckpoint()
+      .staged
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var done = 0
     // early rounds are CONFLICT-STARVED: the symbol-disjointness rule
@@ -135,7 +136,7 @@ object Bpe {
         val rewritten = batch.foldLeft(col("sym")) { case (acc, (l, r, _)) =>
           call_function("replace", acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
         }
-        syms = syms.select(rewritten.as("sym"), col("freq")).localCheckpoint()
+        syms = syms.select(rewritten.as("sym"), col("freq")).staged
       }
       round += 1
     }

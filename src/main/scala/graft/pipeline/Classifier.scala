@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Learned document-quality classification — the GPT-3 curation stage
@@ -157,10 +158,10 @@ object Classifier {
     val toks = hashedTokens(df, idCol, textCol, isHq, buckets)
     val cnts = toks.groupBy("docId", "b")
       .agg(count(lit(1)).as("cnt"), first(col("isHq")).as("isHq"))
-      .localCheckpoint() // every epoch reads this, the corpus only once
+      .staged // every epoch reads this, the corpus only once
     val docs = cnts.groupBy("docId")
       .agg(sum("cnt").as("n"), first(col("isHq")).as("isHq"))
-      .localCheckpoint()
+      .staged
     val nDocs = docs.count()
     require(nDocs > 0, "logistic training needs a non-empty corpus")
 

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Near-duplicate cluster resolution: candidate pairs (from MinHash-LSH or
@@ -50,7 +51,7 @@ object Clusters {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .staged
 
     var converged = false
     var iter = 0
@@ -85,7 +86,7 @@ object Clusters {
           greatest(col("e.a"), col("e.b")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .staged
 
       // fixpoint when the edge set is stable (star graphs map each node
       // straight to its component minimum). Two cheap counts per round;

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Deduplication suite for large-scale training-data pipelines — the
@@ -197,10 +198,10 @@ object Dedup {
     // checkpointed — min over distinct equals min over all, and the
     // distinct count is a plain count — and both aggs read it.
     val hashed = sh.select(col("src"), h1.as("h")).distinct()
-      .localCheckpoint()
+      .staged
     val sk = hashed.groupBy(col("src"), pmod(col("h"), lit(bins)).as("bin"))
       .agg(min("h").as("mn"))
-      .localCheckpoint()  // consumed by the pair join twice + the bin count
+      .staged  // consumed by the pair join twice + the bin count
     val nsh = hashed.groupBy("src").agg(count(lit(1)).as("nsh"))
     val nbins = sk.groupBy("src").agg(count(lit(1)).as("nbins"))
     val a = sk.select(col("src").as("sa"), col("bin"), col("mn").as("mna"))
@@ -255,7 +256,7 @@ object Dedup {
     // small pair set as blocks, truncate lineage; the cluster-scale
     // equivalent is writing the candidate table to storage between the
     // generate and verify passes.
-    val candsM = cands.localCheckpoint()
+    val candsM = cands.staged
     val ids = candsM.select(explode(array(col("idA"), col("idB"))).as("cdid"))
       .distinct()
     // no forced broadcast (r16 review): LSH banding does not bound the

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Stage-attrition ("funnel") report over a curation chain — the
@@ -42,7 +43,7 @@ object Funnel {
           Seq(k.as(s"__k$i"), t.cast("long").as(s"__t$i"))
         } ++
           dedupOn.map(c => md5(c.cast("binary")).as("__h")).toSeq): _*)
-    val base = if (dedupOn.isDefined) proj.localCheckpoint() else proj
+    val base = if (dedupOn.isDefined) proj.staged else proj
     val aggCols = Seq(count(lit(1)).as("d0"),
       coalesce(sum("__n0"), lit(0L)).as("t0")) ++
       stages.indices.flatMap(i => Seq(

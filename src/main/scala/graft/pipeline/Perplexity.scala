@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
@@ -143,7 +144,7 @@ object Perplexity {
         (Seq(count(lit(1)).as("n_bigrams"),
           expr("sum(t) div count(1)").as("ce_micro")) ++
           carry.map { case (n, _) => first(col(n)).as(n) }): _*)
-      .localCheckpoint()
+      .staged
   }
 
   /**
@@ -304,7 +305,7 @@ object Perplexity {
       .groupBy(col("p.tag").as("tag"), col("p.k1").as("k1"),
         col("p.k2").as("k2"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumed by 4 bounded follow-ups
+      .staged // consumed by 4 bounded follow-ups
     def toMap(f: DataFrame): Map[Long, Long] = f.collect().iterator
       .map(r => r.getAs[Long]("k")  -> r.getAs[Long]("c")).toMap
     val cbMap = toMap(tagged.filter(col("tag") === 0)
@@ -341,7 +342,7 @@ object Perplexity {
       .agg(first(col("isRef")).as("isRef"),
         count(lit(1)).as("n_bigrams"),
         expr("sum(t) div count(1)").as("ce_micro"))
-      .localCheckpoint()
+      .staged
   }
 
   /** Head/middle/tail tertile assignment over a [[crossEntropy]] frame. */

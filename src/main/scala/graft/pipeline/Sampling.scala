@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Deterministic sampling / splitting / shuffling for training-data
@@ -151,7 +152,7 @@ object Sampling {
     val keyed = df.select(idCol.as("docId"), tokensCol.cast("long").as("n_tokens"))
       .withColumn("__key", md5(concat(lit(seed), lit("|"), col("docId").cast("string"))))
       .withColumn("__rng", conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
-      .localCheckpoint()
+      .staged
     val totals = keyed.groupBy(col("__rng"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -247,7 +248,7 @@ object Sampling {
       .withColumn("__rng",
         conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
       .withColumn("__n", size(col("toks")).cast("long"))
-      .localCheckpoint()                 // feeds the totals AND the export
+      .staged                 // feeds the totals AND the export
     val totals = keyed.groupBy(col("__rng"))
       .agg(sum(col("__n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

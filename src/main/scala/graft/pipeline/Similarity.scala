@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Similarity search over embedding columns (`Array[Float]`) — north-star
@@ -39,18 +40,34 @@ object Similarity {
     org.apache.spark.sql.GraftColumnShim.column(graft.functions.NormSqQ(
       org.apache.spark.sql.GraftColumnShim.expression(a)))
 
+  /** Integer (truncating) division on longs — Catalyst's `div` operator
+    * as a Column (r17 review: the former exact-multiple DOUBLE division
+    * `(a - pmod(a, d)) / d` is bit-exact only while the numerator stays
+    * under 2⁵³; a pure long division has no envelope at all). */
+  private def divQ(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
+
   /** Cosine from integer dot + norms — fixed double expression shape.
-    * Zero-norm guard (r16 review): a zero-quantized vector (all
+    * Zero-norm contract (r16 review): a zero-quantized vector (all
     * |x| < 5e-7 quantizes to zeros) has no direction, so its similarity
-    * to anything is DEFINED as 0 — without the guard 0/0 = NaN, which
-    * Spark AND DuckDB order ABOVE every real value, so a zero vector
-    * would rank FIRST in every top-k, pass every >= threshold, and
-    * mass-mark near-dups. With the guard it ranks last and matches
-    * nothing, the only sane semantics for a direction-less point. */
+    * to anything is DEFINED as 0 — unguarded, 0/0 = NaN, which Spark AND
+    * DuckDB order ABOVE every real value, so a zero vector would rank
+    * FIRST in every top-k, pass every >= threshold, and mass-mark
+    * near-dups. r17: the contract is enforced BRANCH-FREE — a zero-norm
+    * side forces dot = 0 exactly (the zero vector's integer dot with
+    * anything is 0), so flooring each norm at 1 yields exactly 0.0 there
+    * and leaves every non-degenerate pair bit-identical (greatest(n,1) =
+    * n for n ≥ 1; the sqrt·sqrt shape is unchanged, so no 6th-decimal
+    * drift vs the oracle). The r16 `when` added a per-pair conditional
+    * to every ANN/dedup kernel — the one code suspect in that round's
+    * uniform bench drift. */
   def cosineFromQ(dot: Column, na: Column, nb: Column): Column =
-    when(na === 0 || nb === 0, lit(0.0))
-      .otherwise(dot.cast("double") /
-        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+    dot.cast("double") /
+      (sqrt(greatest(na, lit(1L)).cast("double")) *
+        sqrt(greatest(nb, lit(1L)).cast("double")))
 
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -87,11 +104,13 @@ object Similarity {
    *
    * Engine-exact encoding: the round is computed as the INTEGER
    * half-away formula q = (|v|·254 + s) div (2s) on the 1e6-quantized
-   * longs (sign reapplied), never a float round — the floor-div rides
-   * an exact-multiple double division (numerator ≤ 2.55e8 « 2⁵³), so
-   * Spark and any SQL oracle agree bit-exactly. A zero corpus (s = 0)
-   * degenerates to all-zero codes, which the [[cosineFromQ]] zero-norm
-   * guard scores as 0 — no division by zero (s is floored at 1).
+   * longs (sign reapplied), never a float round — the floor-div is a
+   * pure long `div` ([[divQ]]; r17: the former exact-multiple double
+   * division was bit-exact only while 255·s < 2⁵³ and silently diverged
+   * past |x| ≈ 3.5e7 — the long division has no envelope), so Spark and
+   * any SQL oracle agree bit-exactly. A zero corpus (s = 0) degenerates
+   * to all-zero codes, which the [[cosineFromQ]] zero-norm contract
+   * scores as 0 — no division by zero (s is floored at 1).
    *
    * Scale: ONE scalar aggregate over the corpus produces s (attached as
    * a broadcast 1-row frame, not driver state); encoding then rides the
@@ -112,8 +131,7 @@ object Similarity {
       // clamp at 127: corpus codes never exceed it (s = corpus max|x|),
       // but a QUERY from outside the corpus may — saturation is the
       // standard SQ treatment of out-of-scale components
-      val q = least(((a - pmod(a, col("s") * 2L)) / (col("s") * 2L))
-        .cast("long"), lit(127L))
+      val q = least(divQ(a, col("s") * 2L), lit(127L))
       when(v < 0, -q).otherwise(q)
     })
     val c = cq.crossJoin(broadcast(scale))
@@ -221,18 +239,19 @@ object Similarity {
                     nPlanes: Int, dim: Int, seed: Long,
                     literalPlanesBudget: Long = MaxLiteralCodebook): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // validate dim against BOTH sides (r16 review: the corpus-only probe
-    // left a wrong-dim QUERY frame silently bucketing to 0 — the exact
-    // silent failure this check exists to catch), tolerating empty frames
-    // and NULL embeddings (an empty corpus returns an empty result; a
-    // null row carries no dim evidence). limit(1) keeps each probe a
-    // 1-row job.
-    for ((side, df) <- Seq("corpus" -> corpus, "queries" -> queries)) {
-      val d = df.select(size(col("embedding")).as("d"))
-        .filter(col("d").isNotNull).limit(1).collect()
-      d.headOption.foreach(r => require(r.getInt(0) == dim,
-        s"lshTopKSeeded dim=$dim but $side embeddings carry ${r.getInt(0)} dims"))
-    }
+    // validate dim against EVERY row of BOTH sides (r17 review: the r16
+    // first-non-null probe missed a mixed-dimension frame whose FIRST row
+    // happened to match — any later wrong-dim row still bucketed to 0
+    // silently). The check rides the quantize projection as a per-row
+    // O(1) size() branch that raise_error's on mismatch — no extra jobs
+    // at all (the r16 probes cost two driver jobs per call, measurable
+    // in a per-microbatch loop), and a NULL embedding passes through
+    // (no dim evidence; DotQ propagates the null downstream).
+    def checkedDim(side: String)(vec: Column): Column =
+      when(vec.isNull || size(vec) === dim, vec)
+        .otherwise(raise_error(concat(
+          lit(s"lshTopKSeeded dim=$dim but a $side embedding carries "),
+          size(vec).cast("string"), lit(" dims"))))
     val literalPlanes = nPlanes.toLong * dim <= literalPlanesBudget
     val planesDf =
       if (literalPlanes) null
@@ -243,12 +262,12 @@ object Similarity {
     def withPlanes(df: DataFrame): DataFrame =
       if (literalPlanes) df else df.crossJoin(broadcast(planesDf))
     val c = withPlanes(corpus.select(col("vec_id").as("cid"),
-        quantize(col("embedding")).as("cq"))
+        quantize(checkedDim("corpus")(col("embedding"))).as("cq"))
       .withColumn("cn", normSqQ(col("cq"))))
       .withColumn("bucket", bucketed(col("cq")))
       .drop("planes")
     val q = withPlanes(queries.select(col("vec_id").as("qid"),
-        quantize(col("embedding")).as("qq"))
+        quantize(checkedDim("queries")(col("embedding"))).as("qq"))
       .withColumn("qn", normSqQ(col("qq"))))
       .withColumn("bucket",
         explode(multiProbe(bucketed(col("qq")), nPlanes)))
@@ -425,7 +444,7 @@ object Similarity {
         // round N-1's full corpus-assignment subtree (geometric plan
         // growth in lloydIters). The frame is nCentroids rows — the
         // checkpoint is a few KB of executor storage per round.
-        .localCheckpoint()
+        .staged
     }
     cents
   }
@@ -502,7 +521,7 @@ object Similarity {
     def cosMicro(q: Column, n2: Column, cq: Column, cn2: Column): Column =
       round(round(cosineFromQ(dotQ(q, cq), n2, cn2), 6) * 1e6).cast("long")
     var cands = c.orderBy(md5(col("cid").cast("string")), col("cid")).limit(1)
-      .localCheckpoint()
+      .staged
     for (r <- 1 to rounds) {
       val candArr = cands
         .agg(collect_list(struct(col("cq").as("kq"), col("cn").as("kn")))
@@ -521,7 +540,7 @@ object Similarity {
         .filter(col("phi").isNotNull && col("phi") > 0 &&
           u < lit(l) * col("d2").cast("double") / col("phi").cast("double"))
         .select(col("cid"), col("cq"), col("cn"))
-      cands = cands.unionByName(sampled).localCheckpoint()
+      cands = cands.unionByName(sampled).staged
     }
     val finalArr = cands
       .agg(collect_list(struct(col("cid").as("kid"), col("cq").as("kq"),
@@ -551,46 +570,100 @@ object Similarity {
    * with its cluster label and a `kept` flag.
    *
    * Scale shape: the paper's own device confines the quadratic to
-   * clusters — the pair enumeration is ONE self-join keyed on the
-   * cluster id (shuffle on `cent`, AQE-skew-splittable), never an
-   * all-pairs product over the corpus. `maxClusterSize` > 0 bounds a
-   * degenerate cluster the way the capped-LSH variant bounds a hot
-   * bucket: only the cluster's md5-first `maxClusterSize` members serve
-   * as comparison pivots (documented recall trade; 0 = exact within
-   * clusters). The scoring kernel is the codegen'd integer DotQ.
+   * clusters — the pair enumeration is a self-join keyed on the cluster
+   * id, never an all-pairs product over the corpus. Abbas 2023 §2
+   * confines the quadratic to clusters; r17 additionally confines the
+   * CLUSTER: a cluster larger than `saltBlockSize` members is split into
+   * nblk = ceil(size / saltBlockSize) md5-hashed blocks and the pair
+   * enumeration runs per UNORDERED BLOCK PAIR — the join key becomes
+   * (cent, bi, bj) with bi ≤ bj, each member replicated nblk+1 times
+   * (left side covers (blk, j ≥ blk), right side (i ≤ blk, blk)), so
+   * EVERY within-cluster pair is still compared exactly once-or-twice
+   * (same-block pairs once via the idA < idB half, cross-block pairs
+   * once in the lower-block-left orientation) and the degenerate
+   * cluster's quadratic spreads across nblk·(nblk+1)/2 tasks instead of
+   * funneling one. EXACT semantics — set-identical output to a plain
+   * cluster-keyed join at any saltBlockSize (the dedupSubstrings
+   * hot-key device applied to `cent`; the default engages by itself, so
+   * the naive caller never hits the one-task quadratic the r16 bench
+   * measured at 42 s vs 3.9 s capped). `maxClusterSize` > 0 instead
+   * bounds the WORK (not just the skew): only the cluster's md5-first
+   * `maxClusterSize` members serve as comparison pivots (documented
+   * recall trade; 0 = exact within clusters). The scoring kernel is the
+   * codegen'd integer DotQ.
    */
   def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int,
-               lloydIters: Int = 2, maxClusterSize: Int = 0): DataFrame = {
+               lloydIters: Int = 2, maxClusterSize: Int = 0,
+               saltBlockSize: Int = 2048): DataFrame = {
+    require(saltBlockSize > 0, "semDedup needs a positive saltBlockSize")
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
     val centroids = trainCentroids(c, nCentroids, lloydIters)
       .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
-    val assigned = c.crossJoin(broadcast(centroids))
+    // staged once (Staging.stage): the assignment pass feeds the size
+    // agg, both join sides, and the final report — without the barrier
+    // each consumer re-runs the scan + k-cosine assignment transform
+    val assigned = Staging.stage(c.crossJoin(broadcast(centroids))
       .withColumn("cent",
         array_min(transform(col("cents"), x =>
           struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
             col("cn"), x.getField("centn")), 6)).as("negCos"),
             x.getField("cent").as("cent")))).getField("cent"))
-      .drop("cents")
-    val pivots = {
-      val base = assigned.select(col("cent"), col("cid").as("idA"),
-        col("cq").as("qA"), col("cn").as("nA"))
-      if (maxClusterSize <= 0) base
-      else {
+      .drop("cents"), eager = false)
+    val removed =
+      if (maxClusterSize > 0) {
+        // capped pivots: |pivots|·|cluster| ≤ maxClusterSize·|cluster|
+        // bounds the join mass itself — the recall-trade escape hatch
         import org.apache.spark.sql.expressions.Window
-        base.withColumn("r", row_number().over(Window.partitionBy(col("cent"))
+        val pivots = assigned.select(col("cent"), col("cid").as("idA"),
+            col("cq").as("qA"), col("cn").as("nA"))
+          .withColumn("r", row_number().over(Window.partitionBy(col("cent"))
             .orderBy(md5(col("idA").cast("string")), col("idA"))))
           .filter(col("r") <= maxClusterSize).drop("r")
+        pivots
+          .join(assigned.select(col("cent"), col("cid").as("idB"),
+            col("cq").as("qB"), col("cn").as("nB")), "cent")
+          .filter(col("idA") < col("idB"))
+          .filter(round(cosineFromQ(dotQ(col("qA"), col("qB")),
+            col("nA"), col("nB")), 6) >= threshold)
+          .select(col("idB").as("cid")).distinct()
+          .withColumn("removed", lit(true))
+      } else {
+        // exact path, block-salted: oversized-cluster detection is a tiny
+        // partial-aggregated count broadcast back (the nearDupPairs
+        // device); nblk caps at 64 (≤ 65 replicas/row, ≤ 2,145 tasks per
+        // degenerate cluster). The block hash is the engine-portable
+        // md5-prefix long, so an external oracle replays the blocking.
+        val oversized = assigned.groupBy(col("cent"))
+          .agg(count(lit(1)).as("csz"))
+          .filter(col("csz") > saltBlockSize)
+          .withColumn("nblk",
+            least(ceil(col("csz") / saltBlockSize), lit(64L)).cast("int"))
+          .select(col("cent"), col("nblk"))
+        val saltHash = conv(substring(md5(col("cid").cast("string")), 1, 15),
+          16, 10).cast("long")
+        val blocked = assigned.join(broadcast(oversized), Seq("cent"), "left")
+          .withColumn("nblk", coalesce(col("nblk"), lit(1)))
+          .withColumn("blk", pmod(saltHash, col("nblk").cast("long")).cast("int"))
+        val left = blocked
+          .withColumn("bj", explode(sequence(col("blk"), col("nblk") - 1)))
+          .select(col("cent"), col("blk").as("bi"), col("bj"),
+            col("cid").as("idA"), col("cq").as("qA"), col("cn").as("nA"))
+        val right = blocked
+          .withColumn("bi", explode(sequence(lit(0), col("blk"))))
+          .select(col("cent"), col("bi"), col("blk").as("bj"),
+            col("cid").as("idB"), col("cq").as("qB"), col("cn").as("nB"))
+        left.join(right, Seq("cent", "bi", "bj"))
+          // same-block tasks halve via idA < idB; a cross-block pair
+          // colocates only with its lower-block member on the left
+          // (bi < bj), in whichever id order — greatest() removes the
+          // larger id either way, the exact SemDeDup keep rule
+          .filter(col("bi") < col("bj") || col("idA") < col("idB"))
+          .filter(round(cosineFromQ(dotQ(col("qA"), col("qB")),
+            col("nA"), col("nB")), 6) >= threshold)
+          .select(greatest(col("idA"), col("idB")).as("cid")).distinct()
+          .withColumn("removed", lit(true))
       }
-    }
-    val removed = pivots
-      .join(assigned.select(col("cent"), col("cid").as("idB"),
-        col("cq").as("qB"), col("cn").as("nB")), "cent")
-      .filter(col("idA") < col("idB"))
-      .filter(round(cosineFromQ(dotQ(col("qA"), col("qB")),
-        col("nA"), col("nB")), 6) >= threshold)
-      .select(col("idB").as("cid")).distinct()
-      .withColumn("removed", lit(true))
     assigned.join(removed, Seq("cid"), "left")
       .select(col("cid").as("vec_id"), col("cent").as("cluster"),
         col("removed").isNull.as("kept"))
@@ -705,12 +778,11 @@ object Similarity {
    */
   def d4(corpus: DataFrame, threshold: Double, dropFraction: Double,
          nCentroids: Int, lloydIters: Int = 2,
-         maxClusterSize: Int = 0): DataFrame = {
+         maxClusterSize: Int = 0, saltBlockSize: Int = 2048): DataFrame = {
     val sem = semDedup(corpus, threshold, nCentroids, lloydIters,
-      maxClusterSize)
-    val survivors = corpus
-      .join(sem.filter(col("kept")).select(col("vec_id")), "vec_id")
-      .localCheckpoint()
+      maxClusterSize, saltBlockSize)
+    val survivors = Staging.stage(corpus
+      .join(sem.filter(col("kept")).select(col("vec_id")), "vec_id"))
     prototypePrune(survivors, dropFraction, nCentroids, lloydIters)
   }
 
@@ -846,14 +918,26 @@ object Similarity {
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, m: Int,
              k: Int, iters: Int = 2,
-             literalCodebookBudget: Long = MaxLiteralCodebook): DataFrame = {
+             literalCodebookBudget: Long = MaxLiteralCodebook,
+             trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction=$trainFraction outside (0, 1]")
     val c = corpus.select(col("vec_id").as("cid"),
       quantize(col("embedding")).as("cq"))
     val dim = c.select(size(col("cq")).as("d")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
-    val books = pqLloydAll(c, m, sub, k, iters)
+    // FAISS-style sampled training (r17): codebooks train on a
+    // deterministic md5-fraction of the corpus (the hashFraction device)
+    // — Lloyd cost scales with the sample while the FULL corpus is
+    // encoded against the trained books. 1.0 (default, the oracle
+    // replay) trains on everything; pqLloydAll's seeds >= k require
+    // fires loudly on an over-thinned sample.
+    val cTrain =
+      if (trainFraction >= 1.0) c
+      else c.filter(Sampling.hashFraction(col("cid"), "pqtrain") < trainFraction)
+    val books = pqLloydAll(cTrain, m, sub, k, iters)
     val spark = corpus.sparkSession
     // literal codewords stay codegen'd below the plan budget; production
     // codebooks ride the broadcast one-row table (see MaxLiteralCodebook —
@@ -887,7 +971,7 @@ object Similarity {
     }.withColumn("cn2", cnApprox)
       .select(col("cid") +: col("cn2") +:
         (0 until m).map(mi => col(s"code$mi")): _*)
-      .localCheckpoint(eager = false)
+      .stagedLazy
     val q0 = queries.select(col("vec_id").as("qid"),
         quantize(col("embedding")).as("qq"))
       .withColumn("qn", normSqQ(col("qq")))
@@ -951,15 +1035,25 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
                 nCells: Int, m: Int, k: Int, iters: Int = 2,
                 nProbe: Int = 3,
-                literalCodebookBudget: Long = MaxLiteralCodebook): DataFrame = {
+                literalCodebookBudget: Long = MaxLiteralCodebook,
+                trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction=$trainFraction outside (0, 1]")
     val c = corpus.select(col("vec_id").as("cid"),
         quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
     val dim = c.select(size(col("cq")).as("d")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sub = dim / m
-    val cents = trainCentroids(c, nCells, iters)
+    // FAISS-style sampled training (r17, see pqTopK): the coarse Lloyd
+    // rounds AND the residual-PQ Lloyd rounds both run on a
+    // deterministic md5-fraction; the full corpus is still assigned and
+    // encoded against the trained index (the resid pass below).
+    val cTrain =
+      if (trainFraction >= 1.0) c
+      else c.filter(Sampling.hashFraction(col("cid"), "ivfpqtrain") < trainFraction)
+    val cents = trainCentroids(cTrain, nCells, iters)
     val centArr: Array[(String, Array[Long], Long)] = cents.collect()
       .map(r => (r.getAs[String]("cent"), r.getSeq[Long](1).toArray,
         r.getAs[Long]("centn")))
@@ -976,8 +1070,12 @@ object Similarity {
       .select(col("cid"), col("cq"), col("best.cent").as("cent"),
         col("best.centn").as("centn"),
         zip_with(col("cq"), col("best.centq"), (a, b) => a - b).as("rq"))
-      .localCheckpoint()  // feeds the PQ Lloyd jobs AND the encode pass
-    val books = pqLloydAll(resid.select(col("cid"), col("rq").as("cq")),
+      .staged  // feeds the PQ Lloyd jobs AND the encode pass
+    val residTrain =
+      if (trainFraction >= 1.0) resid
+      else resid.filter(
+        Sampling.hashFraction(col("cid"), "ivfpqtrain") < trainFraction)
+    val books = pqLloydAll(residTrain.select(col("cid"), col("rq").as("cq")),
       m, sub, k, iters)
     def dotArr(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
@@ -1025,7 +1123,7 @@ object Similarity {
       .withColumn("xn2", col("centn") + lit(2L) * ccSum + cwn2Sum)
       .select(col("cid") +: col("cent") +: col("xn2") +:
         (0 until m).map(mi => col(s"code$mi")): _*)
-      .localCheckpoint(eager = false)
+      .stagedLazy
     // query side: probe the nProbe nearest cells, carry dot(q, c) and
     // the per-subspace ADC tables (all broadcast-sized)
     val q0 = queries.select(col("vec_id").as("qid"),

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Bounded-state frequency/cardinality sketches for corpus statistics — the
@@ -173,7 +174,7 @@ object Sketches {
       .filter(col("sh").isNotNull)
     val h1 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
     val hashed = sh.select(col("src"), h1.as("h")).distinct()
-      .localCheckpoint() // sketch rank + exact count read it once each
+      .staged // sketch rank + exact count read it once each
     val nsh = hashed.groupBy("src").agg(count(lit(1)).as("nExact"))
     hashed
       .withColumn("rnk", row_number().over(
@@ -209,14 +210,18 @@ object Sketches {
   def kmvPairOps(sketch: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val est = kmvEstimates(sketch, k)
-    val slim = sketch.select(col("src"), col("h")).localCheckpoint()
+    val slim = sketch.select(col("src"), col("h")).staged
     val srcs = slim.select(col("src")).distinct()
     val pairs = srcs.select(col("src").as("sa"))
       .crossJoin(srcs.select(col("src").as("sb")))
       .filter(col("sa") < col("sb"))
-    val merged = pairs
-      .join(slim.select(col("src"), col("h")),
-        col("src") === col("sa") || col("src") === col("sb"))
+    // UNION of two equi-joins, not one disjunctive join (r17 review: an
+    // OR predicate plans as a nested-loop join — fine at |sources|²·k
+    // metadata scale, but it degrades quietly as source cardinality
+    // grows; two hash joins keep the shape at any |sources|)
+    val merged = pairs.join(slim.select(col("src").as("sa"), col("h")), Seq("sa"))
+      .unionByName(
+        pairs.join(slim.select(col("src").as("sb"), col("h")), Seq("sb")))
       .select(col("sa"), col("sb"), col("h")).distinct()
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))

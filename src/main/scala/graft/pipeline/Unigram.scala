@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * Unigram language-model tokenizer induction (Kudo 2018, "Subword
@@ -140,7 +141,7 @@ object Unigram {
             pruneMulti: Int = 48): DataFrame = {
     require(maxPieceLen <= 63, "packed DP reserves 6 bits for piece length")
     val spark = df.sparkSession
-    val words = Bpe.wordTable(df, textCol).localCheckpoint()
+    val words = Bpe.wordTable(df, textCol).staged
     val seed = seedVocab(words, maxPieceLen, seedMulti).collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSeq
     val alphabet = seed.collect { case (p, _) if p.length == 1 => p }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * WIMBD corpus analysis (Elazar et al. 2023, "What's In My Big Data?",
@@ -122,7 +123,7 @@ object Wimbd {
     val spark = df.sparkSession
     val words = df.select(explode(toks(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the total and the count-of-counts
+      .staged // feeds the total and the count-of-counts
     val n = words.agg(coalesce(sum("c"), lit(0L)).as("n"))
       .collect()(0).getAs[Long]("n")
     require(n > 0, "Good-Turing needs a non-empty corpus")
@@ -154,7 +155,7 @@ object Wimbd {
     val spark = df.sparkSession
     val base = df.select(size(toks(textCol)).as("len"),
       md5(textCol).as("h"))
-      .localCheckpoint() // feeds three bounded aggs, one projection pass
+      .staged // feeds three bounded aggs, one projection pass
     val grams = df.select(explode(ngrams(textCol, n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("gtok"),

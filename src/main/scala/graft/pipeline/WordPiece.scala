@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Staging.StagingOps
 
 /**
  * WordPiece tokenizer induction (Schuster & Nakajima 2012, "Japanese and
@@ -81,7 +82,7 @@ object WordPiece {
     val spark = df.sparkSession
     var syms = Bpe.wordTable(df, textCol)
       .select(wrap(col("word")).as("sym"), col("freq"))
-      .localCheckpoint()
+      .staged
     val merges = Seq.newBuilder[(Long, String, String, String, Long, Long)]
     var done = 0
     var exhausted = false
@@ -130,7 +131,7 @@ object WordPiece {
               lit(s"<${l + strip(r)}>"))
         }
         syms = syms.select(rewritten.as("sym"), col("freq"))
-          .localCheckpoint()
+          .staged
       }
     }
     import spark.implicits._

@@ -229,7 +229,13 @@ object Sinks {
   def lokiStream(labels: Seq[(String, String)], tsNanosCol: Column,
                  lineCol: Column,
                  metadataCol: Option[Column] = None): Column = {
-    val labelJson = labels.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    // JSON-escape label values (r17, found by the gRPC-equivalence spec:
+    // a quote in a label value produced an invalid stream object — the
+    // reference's rapidjson writer escapes these)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val labelJson =
+      labels.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     // Log Line Metadata Attributes (PushGrafanaLokiREST.cpp:101-116): when
     // the attribute list is configured, every value triple carries the
     // present-attribute object as a third element — {} when none matched
@@ -258,6 +264,51 @@ object Sinks {
   /** Wrap one or more stream objects into the POST /loki/api/v1/push body. */
   def lokiPushBody(streams: Column*): Column =
     concat(lit("""{"streams":["""), concat_ws(",", streams: _*), lit("]}"))
+
+  /**
+   * PushGrafanaLokiGrpc stream-labels string (extensions/grafana-loki/
+   * PushGrafanaLokiGrpc.cpp:38-54 setUpStreamLabels): the gRPC transport
+   * carries the label set as ONE `{key="value", key2="value2"}` string
+   * (logproto.StreamAdapter.labels — protos/grafana-loki-push.proto:36),
+   * keys in sorted order (the reference builds a std::map) and `"` in
+   * values escaped as `\"`. Same label map as the REST body's
+   * `"stream":{...}` object — only the wire shape differs.
+   */
+  def lokiGrpcLabels(labels: Seq[(String, String)]): String =
+    labels.sortBy(_._1).map { case (k, v) =>
+      s"""$k="${v.replace("\"", "\\\"")}""""
+    }.mkString("{", ", ", "}")
+
+  /**
+   * PushGrafanaLokiGrpc push-payload plane (extensions/grafana-loki/
+   * PushGrafanaLokiGrpc.cpp:117-136 submitRequest + protos/
+   * grafana-loki-push.proto): ONE logproto.StreamAdapter per label set —
+   * labels as the [[lokiGrpcLabels]] string, entries = (timestamp
+   * nanos → protobuf Timestamp, line, nonIndexedLabels name/value pairs
+   * from the configured metadata attributes), in timestamp order. The
+   * logical content is EXACTLY the REST body's (stream labels, [ts,
+   * line, metadata] triples) — [[lokiStream]] and this struct differ
+   * only in transport encoding (JSON vs protobuf; SinksSpec pins the
+   * field-for-field equivalence). The gRPC channel itself (keepalive,
+   * SSL creds, x-scope-orgid tenant metadata) is connector wiring the
+   * sandbox cannot exercise, like the Kafka/MQTT transports.
+   */
+  def lokiGrpcStream(labels: Seq[(String, String)], tsNanosCol: Column,
+                     lineCol: Column,
+                     metadataCol: Option[Column] = None): Column = {
+    val entry = metadataCol match {
+      case Some(m) => struct(tsNanosCol.as("timestamp"), lineCol.as("line"),
+        transform(map_entries(coalesce(m, map_from_arrays(
+            array().cast("array<string>"), array().cast("array<string>")))),
+          e => struct(e.getField("key").as("name"),
+            e.getField("value").as("value"))).as("nonIndexedLabels"))
+      case None => struct(tsNanosCol.as("timestamp"), lineCol.as("line"),
+        array().cast("array<struct<name:string,value:string>>")
+          .as("nonIndexedLabels"))
+    }
+    struct(lit(lokiGrpcLabels(labels)).as("labels"),
+      array_sort(collect_list(entry)).as("entries"))
+  }
 
   /**
    * QuerySplunkIndexingStatus payload/parse plane (extensions/splunk/

@@ -419,6 +419,37 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:isEmpty()}", Map("attr" -> " \t\r\n a \t\r\n ")) === "false")
   }
 
+  test("comparison coercion is the reference's two-path rule: int64 with " +
+       "stoll truncation unless BOTH sides carry decimal syntax " +
+       "(Expression.cpp:993-1040, Value.h:48-131; GT4 battery " +
+       "ExpressionLanguageTests.cpp:843-879 — garbage keeps the " +
+       "documented null-not-throw deviation)") {
+    // int64 path is EXACT above 2^53 — an all-double compare ties these
+    assert(eval("${attr:gt(9007199254740992)}",
+      Map("attr" -> "9007199254740993")) === "true")
+    assert(eval("${attr:lt(9007199254740993)}",
+      Map("attr" -> "9007199254740992")) === "true")
+    // one side non-decimal → BOTH truncate toward zero (asSignedLong):
+    // gt(13.37) over "13" is 13 > 13 = false, exactly like the reference
+    assert(eval("${attr:gt(13.37)}", Map("attr" -> "13")) === "false")
+    assert(eval("${attr:ge(13.37)}", Map("attr" -> "13")) === "true")
+    assert(eval("${attr:gt(13.37)}", Map("attr" -> "14")) === "true")
+    // both decimal syntax → long-double path (13.9 > 13.37)
+    assert(eval("${attr:gt(13.37)}", Map("attr" -> "13.9")) === "true")
+    // stoll prefix-parse: "-13.37" truncates to -13 on the int path
+    assert(eval("${attr:lt(0)}", Map("attr" -> "-13.37")) === "true")
+    // empty string parses as strParse's default 0
+    assert(eval("${attr:ge(0)}", Map("attr" -> "")) === "true")
+    assert(eval("${attr:gt(0)}", Map("attr" -> "")) === "false")
+    // GT4's garbage sections: the reference throws invalid_argument per
+    // FlowFile; the documented deviation here is null-not-throw (a
+    // poisoned task would kill a 100 TB job for one bad row). The
+    // out_of_range sections keep the OTHER documented deviation (double
+    // magnitude) — pinned in the binary-op coercion test below.
+    for (bad <- Seq("banana1337", "app.le+1337"))
+      assert(eval("${attr:gt(13.37)}", Map("attr" -> bad)) !== "true")
+  }
+
   test("and/or/not/ifElse with whitespace-padded nested args " +
        "(ExpressionLanguageTests.cpp:952-1014)") {
     val f = Map("filename" -> "an example file.txt")

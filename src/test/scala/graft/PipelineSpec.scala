@@ -349,13 +349,22 @@ class PipelineSpec extends SparkSpec {
       seed = 42L)
     assert(empty.count() === 0)
     // a wrong-dim QUERY frame is rejected too (it would silently bucket
-    // every query to 0)
-    val bad = spark.createDataFrame(Seq((9L, Array(1.0f, 2.0f))))
+    // every query to 0) — r17: the check is per-row (raise_error in the
+    // quantize projection), so it catches a MIXED-dimension frame whose
+    // FIRST row matches dim (the r16 first-non-null probe missed that),
+    // and it fires at execution time
+    val bad = spark.createDataFrame(Seq(
+      (8L, Array(1.0f, 2.0f, 3.0f, 4.0f)),   // first row matches dim=4
+      (9L, Array(1.0f, 2.0f))))              // later row deviates
       .toDF("vec_id", "embedding")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       Similarity.lshTopKSeeded(emb, bad, k = 1, nPlanes = 4, dim = 4,
-        seed = 42L)
+        seed = 42L).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("2 dims")))
   }
 
   test("simhash: identical docs equal, near dups close, distinct docs far") {
@@ -479,6 +488,38 @@ class PipelineSpec extends SparkSpec {
       .toMap
     assert(capped.count(!_._2) <= out.count(!_._2)) // cap only loses recall
     assert(capped(0L) && capped(3L) && capped(5L))  // keepers never flip
+  }
+
+  test("SemDeDup block salt is EXACT: forced multi-block output is " +
+       "set-identical to the unblocked join, including on a degenerate " +
+       "identical-vector mass spanning many blocks") {
+    import spark.implicits._
+    // 40 identical vectors (one direction, ids interleaved so md5-hashed
+    // blocks split the mass arbitrarily) + 5 distinct tail directions
+    val rows = (0L until 40L).map(i => (i, Array(1.0f, 0.01f, 0.0f, 0.0f))) ++
+      Seq((100L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+        (101L, Array(0.0f, 0.95f, 0.05f, 0.1f)),
+        (102L, Array(0.0f, 0.0f, 1.0f, -0.3f)),
+        (103L, Array(0.3f, 0.0f, -1.0f, 0.2f)),
+        (104L, Array(-0.5f, 0.5f, 0.5f, 0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(blockSize: Int): Map[Long, (String, Boolean)] =
+      Similarity.semDedup(emb, threshold = 0.9, nCentroids = 3,
+        lloydIters = 1, saltBlockSize = blockSize)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[String]("cluster"), r.getAs[Boolean]("kept")))).toMap
+    val unblocked = run(Int.MaxValue)      // single-block plain join
+    val salted = run(4)                    // the 40-mass spans ~10 blocks
+    assert(salted === unblocked)
+    // the mass collapses to exactly one keeper (its smallest id, 0)
+    assert(unblocked(0L)._2)
+    assert((1L until 40L).forall(i => !unblocked(i)._2))
+    // partitioning invariance holds through the blocked path too
+    val saltedRepart = Similarity.semDedup(emb.repartition(7),
+      threshold = 0.9, nCentroids = 3, lloydIters = 1, saltBlockSize = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("cluster"), r.getAs[Boolean]("kept")))).toMap
+    assert(saltedRepart === unblocked)
   }
 
   test("cluster-balanced sample caps head clusters, keeps tails whole, " +

@@ -118,6 +118,50 @@ class SinksSpec extends SparkSpec {
       """["3000000","log line 3",{}]]}]}""")
   }
 
+  test("Loki gRPC push payload: StreamAdapter labels string (sorted keys, " +
+       "escaped quotes) + ordered entries carry EXACTLY the REST body's " +
+       "logical content (PushGrafanaLokiGrpc.cpp:38-54,117-136; " +
+       "protos/grafana-loki-push.proto)") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType),
+      StructField("line", StringType),
+      StructField("attrs", MapType(StringType, StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(2000000L, "second \"line\"",
+        Map("label1" -> "value1")),
+      org.apache.spark.sql.Row(1000000L, "first line",
+        Map.empty[String, String])).asJava, schema)
+    val labels = Seq("job" -> "graft", "env" -> "va\"l")
+    // the labels string: std::map order (sorted keys), \" escaping
+    assert(Sinks.lokiGrpcLabels(labels) === """{env="va\"l", job="graft"}""")
+    val grpcRow = df.agg(Sinks.lokiGrpcStream(labels, col("ts"), col("line"),
+      Some(col("attrs"))).as("s")).select(col("s.*")).collect()(0)
+    assert(grpcRow.getString(0) === """{env="va\"l", job="graft"}""")
+    val entries = grpcRow.getSeq[org.apache.spark.sql.Row](1)
+    // entries in timestamp order, (ts, line, name/value pairs)
+    assert(entries.map(e => (e.getLong(0), e.getString(1))) ===
+      Seq((1000000L, "first line"), (2000000L, "second \"line\"")))
+    assert(entries(0).getSeq[org.apache.spark.sql.Row](2).isEmpty)
+    assert(entries(1).getSeq[org.apache.spark.sql.Row](2)
+      .map(p => (p.getString(0), p.getString(1))) ===
+      Seq(("label1", "value1")))
+    // field-for-field equivalence with the REST plane on the same rows:
+    // the REST values triples parse back to the gRPC entries exactly
+    val restBody = df.agg(Sinks.lokiStream(labels, col("ts"), col("line"),
+        Some(col("attrs"))).as("s"))
+      .select(Sinks.lokiPushBody(col("s"))).collect()(0).getString(0)
+    def jpath(p: String): String = spark.range(1)
+      .select(get_json_object(lit(restBody), p)).collect()(0).getString(0)
+    assert(entries.zipWithIndex.forall { case (e, i) =>
+      jpath(s"$$.streams[0].values[$i][0]") == e.getLong(0).toString &&
+        jpath(s"$$.streams[0].values[$i][1]") == e.getString(1)
+    })
+    assert(jpath("$.streams[0].values[0][2]") === "{}")
+    assert(jpath("$.streams[0].values[1][2]") === """{"label1":"value1"}""")
+  }
+
   test("Splunk ack polling: request body + per-id status routing " +
        "(QuerySplunkIndexingStatus.cpp:38,75)") {
     import spark.implicits._

@@ -839,6 +839,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup END-TO-END: parquet file-stream → bandDocs → " +
+       "detectNearDuplicates survives a checkpoint RESTART — no rescans, " +
+       "no duplicate hits, bucket state bounded and intact across the " +
+       "stop/start (the Bench streaming_neardup_e2e chain)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-e2e").toString
+    // two near-dup docs + one unrelated, written as TWO parquet files so
+    // the restart has a second file to pick up
+    val d1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today and sleeps"),
+      (30L, "completely different words about spark engines running fast"))
+      .toDF("doc_id", "text")
+    // exact duplicate of doc 10 (est 1.0 in every band — this test pins
+    // restart/state semantics, not banding recall, which the
+    // detectNearDuplicates unit test above covers)
+    val d2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today and sleeps"))
+      .toDF("doc_id", "text")
+    // stage as FLAT files (the file-stream source lists leaf files of
+    // its path, it does not descend into nested .parquet directories —
+    // the Bench corpus layout: a dir of part files / a single file)
+    def addFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$base/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/in/$name"))
+    }
+    addFlat(d1, "f1.parquet")
+    def run(): Unit = {
+      val docs = spark.readStream
+        .schema(d1.schema)
+        .option("basePath", s"$base/in")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val banded = StatefulOps.bandDocs(docs, col("doc_id"), col("text"),
+        col("doc_id"), n = 5, numHashes = 8, rowsPerBand = 2)
+      val hits = StatefulOps.detectNearDuplicates(banded, maxBucket = 150,
+        minEstJaccard = 0.5)
+      val q = hits.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()                     // drain file 1; docs 10/30 open buckets
+    addFlat(d2, "f2.parquet")
+    run()                     // RESTART from the checkpoint; file 2 only
+    val out = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("candId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("estJaccard",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$base/out")
+      .select("docId", "candId").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // doc 20 (file 2, post-restart) hit doc 10's RESTORED bucket state;
+    // 30 never matched anything — and 10/30's own drain produced no
+    // self-hits, so a rescan-after-restart would show as extra rows
+    assert(out.toSeq === Seq((20L, 10L)))
+    // restart did not reprocess file 1: the sink holds hits from
+    // exactly one (20,10) detection per colliding band, nothing else
+    val all = spark.read.parquet(s"$base/out").count()
+    val perBand = spark.read.parquet(s"$base/out")
+      .groupBy("band").count().collect().map(_.getLong(1))
+    assert(perBand.forall(_ === 1L) && all >= 1)
+  }
+
   test("streaming Bloom paragraph dedup: first arrival fresh, repeats " +
        "seen across batches and documents, state stays one fixed bitset " +
        "per shard (Dolma's growing-filter semantics)") {
