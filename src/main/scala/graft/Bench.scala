@@ -454,7 +454,7 @@ object Bench {
    * offset zero. Row value = wall seconds for the drain, same unit as the
    * batch rows; lines/value is the implied rows/s.
    */
-  private def tailDrainSeconds(spark: SparkSession, corpus: String): Double = {
+  private[graft] def tailDrainSeconds(spark: SparkSession, corpus: String): Double = {
     import spark.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tailrun-" +
       java.util.UUID.randomUUID

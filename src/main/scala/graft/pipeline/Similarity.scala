@@ -594,7 +594,7 @@ object Similarity {
    */
   def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int,
                lloydIters: Int = 2, maxClusterSize: Int = 0,
-               saltBlockSize: Int = 2048): DataFrame = {
+               saltBlockSize: Int = 256): DataFrame = {
     require(saltBlockSize > 0, "semDedup needs a positive saltBlockSize")
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
@@ -778,7 +778,7 @@ object Similarity {
    */
   def d4(corpus: DataFrame, threshold: Double, dropFraction: Double,
          nCentroids: Int, lloydIters: Int = 2,
-         maxClusterSize: Int = 0, saltBlockSize: Int = 2048): DataFrame = {
+         maxClusterSize: Int = 0, saltBlockSize: Int = 256): DataFrame = {
     val sem = semDedup(corpus, threshold, nCentroids, lloydIters,
       maxClusterSize, saltBlockSize)
     val survivors = Staging.stage(corpus
@@ -786,48 +786,55 @@ object Similarity {
     prototypePrune(survivors, dropFraction, nCentroids, lloydIters)
   }
 
-  /** Argmin code for one PQ subspace: integer L2 to each codeword via
-    * |x|² + |c|² − 2·x·c (the codegen'd DotQ kernel), ties broken by
-    * code index — deterministic in any engine. |x|² is constant across
-    * codewords, so the materialized key drops it (argmin- and tie-
-    * preserving under the constant shift; the oracle keeps the full
-    * distance, same ordering) — that removes k normSq subtrees per
-    * subspace from the generated code. */
-  private def pqAssign(sv: Column, cw: Array[Array[Long]]): Column =
-    array_min(array(cw.zipWithIndex.map { case (w, j) =>
-      struct((lit(w.map(x => x * x).sum)
-        - lit(2L) * dotQ(sv, array(w.map(lit(_)): _*))).as("d"),
-        lit(j).as("j"))
-    }: _*)).getField("j")
-
-  /** Literal-codebook plan budget (in literal longs, m·k·subDim): below
-    * it the argmin/ADC expressions embed the codewords as literals and
-    * ride whole-stage codegen; past it they read a broadcast one-row
-    * codebook table instead — Janino's local-variable bookkeeping grows
-    * quadratically with generated locals, and the 16·256·4 production
-    * encode OOM'd a 32 GB driver AT COMPILE TIME before touching data
-    * (r16 probe). The data path evaluates the same integer argmin via a
-    * higher-order transform over the broadcast array. */
+  /** Literal-plane plan budget (in literal longs) for the seeded-LSH
+    * hyperplanes: below it the plane matrix embeds as literals inside
+    * whole-stage codegen; past it it rides a broadcast one-row frame —
+    * Janino's local-variable bookkeeping grows quadratically with
+    * generated locals (the 16·256·4 literal PQ encode OOM'd a 32 GB
+    * driver AT COMPILE TIME in the r16 probe; an m=16·k=64·sub=2 = 2048-
+    * literal argmin crashed Janino outright in the r17 probe — which is
+    * why the PQ family no longer has a literal path at all, see
+    * [[PqArgMinQ]] via [[pqArgMinQ]]). */
   private[pipeline] val MaxLiteralCodebook = 4096L
 
-  /** The codebooks as ONE broadcast-able row of DATA: `bks(mi)(j)` =
-    * struct(_1 = code index, _2 = codeword, _3 = |codeword|²) — the
-    * pqLloydAll round-loop device extended to encode/scoring. */
+  /** Codeword argmin for one PQ subspace — the native codegen'd kernel
+    * (graft.functions.PqArgMinQ): integer L2 via |c|² − 2·x·c over a
+    * FLAT codebook (|x|² constant across codewords, dropped —
+    * argmin/tie-preserving; the oracle keeps the full distance, same
+    * ordering), ties to the smallest code index. r17: the former
+    * `array_min(transform(...))` paid an interpreted HOF + one struct
+    * allocation per codeword per row — it dominated the production
+    * IVFADC row (m=16·k=256: ~82M codeword evals per corpus pass),
+    * and the sub-budget literal-codeword variant crashed Janino. */
+  private def pqArgMinQ(sv: Column, cwFlat: Column, cn: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.PqArgMinQ(
+      org.apache.spark.sql.GraftColumnShim.expression(sv),
+      org.apache.spark.sql.GraftColumnShim.expression(cwFlat),
+      org.apache.spark.sql.GraftColumnShim.expression(cn)))
+
+  /** Per-subspace ADC table (native kernel): dot(sv, codeword_j) ∀j. */
+  private def pqAdcQ(sv: Column, cwFlat: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.PqAdcQ(
+      org.apache.spark.sql.GraftColumnShim.expression(sv),
+      org.apache.spark.sql.GraftColumnShim.expression(cwFlat)))
+
+  /** The codebooks as ONE broadcast-able row of DATA: `bks(mi)` =
+    * struct(_1 = the k codewords CONCATENATED flat (k·subDim longs),
+    * _2 = the k codeword norms |w_j|²) — the kernel-ready layout shared
+    * by training, encode, and the query-side ADC tables. */
   private def booksRowDf(spark: SparkSession,
                          books: Array[Array[Array[Long]]]): DataFrame = {
     import spark.implicits._
-    Seq(Tuple1(books.map(ws => ws.zipWithIndex.map { case (w, j) =>
-      (j, w.toSeq, w.map(x => x * x).sum)
-    }.toSeq).toSeq)).toDF("bks")
+    Seq(Tuple1(books.map(ws =>
+      (ws.flatten.toSeq, ws.map(w => w.map(x => x * x).sum).toSeq)).toSeq))
+      .toDF("bks")
   }
 
-  /** Data-path twin of [[pqAssign]]: the same (d, j)-struct argmin with
-    * codewords read from the broadcast `bks` column. */
-  private def pqAssignData(sv: Column, mi: Int): Column =
-    array_min(transform(element_at(col("bks"), mi + 1), x =>
-      struct((x.getField("_3")
-        - lit(2L) * dotQ(sv, x.getField("_2"))).as("d"),
-        x.getField("_1").as("j")))).getField("j")
+  /** Encode-time argmin against the broadcast `bks` column. */
+  private def pqAssignData(sv: Column, mi: Int): Column = {
+    val b = element_at(col("bks"), mi + 1)
+    pqArgMinQ(sv, b.getField("_1"), b.getField("_2"))
+  }
 
   /** All-subspace Lloyd loop for PQ: md5-first seeds (code index = seed
     * rank; the seed ROWS are shared across subspaces, so one collect of k
@@ -864,15 +871,11 @@ object Similarity {
     }: _*)))
     for (_ <- 0 until iters) {
       val bk = books.zipWithIndex.map { case (ws, mi) =>
-        (mi, ws.zipWithIndex.map { case (w, j) =>
-          (j, w.toSeq, w.map(x => x * x).sum)
-        }.toSeq)
-      }.toSeq.toDF("mi", "cws")
+        (mi, ws.flatten.toSeq, ws.map(w => w.map(x => x * x).sum).toSeq)
+      }.toSeq.toDF("mi", "cwflat", "cn")
       val sums = subv.join(broadcast(bk), Seq("mi"))
-        .withColumn("code", array_min(transform(col("cws"), x =>
-          struct((x.getField("_3")
-            - lit(2L) * dotQ(col("sv"), x.getField("_2"))).as("d"),
-            x.getField("_1").as("j")))).getField("j"))
+        .withColumn("code",
+          pqArgMinQ(col("sv"), col("cwflat"), col("cn")))
         .select(col("mi"), col("code"),
           posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy("mi", "code", "pos")
@@ -918,7 +921,6 @@ object Similarity {
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, m: Int,
              k: Int, iters: Int = 2,
-             literalCodebookBudget: Long = MaxLiteralCodebook,
              trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(trainFraction > 0 && trainFraction <= 1,
@@ -939,12 +941,12 @@ object Similarity {
       else c.filter(Sampling.hashFraction(col("cid"), "pqtrain") < trainFraction)
     val books = pqLloydAll(cTrain, m, sub, k, iters)
     val spark = corpus.sparkSession
-    // literal codewords stay codegen'd below the plan budget; production
-    // codebooks ride the broadcast one-row table (see MaxLiteralCodebook —
-    // the 16·256·4 literal encode OOM'd Janino before touching data)
-    val literalBooks = m.toLong * k * sub <= literalCodebookBudget
-    val bksDf = if (literalBooks) null else booksRowDf(spark, books)
-    // localCheckpoint = the paper's stored artifact (the encoded corpus:
+    // codebooks ride ONE broadcast flat-layout row (booksRowDf) into the
+    // native argmin/ADC kernels — the r16 literal-codeword path is gone:
+    // it OOM'd/crashed Janino at production sizes and the kernel beats
+    // it at every size (no per-codeword plan branches at all)
+    val bksDf = booksRowDf(spark, books)
+    // staged = the paper's stored artifact (the encoded corpus:
     // m code ints + one reconstructed-norm long per row, the thing a
     // 100 TB deployment persists) AND a
     // CollapseProject barrier: without it Catalyst merges this projection
@@ -955,19 +957,13 @@ object Similarity {
     // once per corpus row at encode time and stored beside the codes
     // (r16 review: reading it from qtab's bks column at scoring time
     // duplicated the whole codebook once per query row in the broadcast)
-    def dotArrP(w: Array[Long]): Long = w.map(x => x * x).sum
     val cnApprox = (0 until m).map { mi =>
-      if (literalBooks)
-        element_at(array(books(mi).map(w => lit(dotArrP(w))): _*),
-          col(s"code$mi") + 1)
-      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
-        .getField("_3")
+      element_at(element_at(col("bks"), mi + 1).getField("_2"),
+        col(s"code$mi") + 1)
     }.reduce(_ + _)
-    val cB = if (literalBooks) c else c.crossJoin(broadcast(bksDf))
-    val codes = (0 until m).foldLeft(cB) { (df, mi) =>
+    val codes = (0 until m).foldLeft(c.crossJoin(broadcast(bksDf))) { (df, mi) =>
       df.withColumn(s"code$mi",
-        if (literalBooks) pqAssign(slice(col("cq"), mi * sub + 1, sub), books(mi))
-        else pqAssignData(slice(col("cq"), mi * sub + 1, sub), mi))
+        pqAssignData(slice(col("cq"), mi * sub + 1, sub), mi))
     }.withColumn("cn2", cnApprox)
       .select(col("cid") +: col("cn2") +:
         (0 until m).map(mi => col(s"code$mi")): _*)
@@ -975,18 +971,12 @@ object Similarity {
     val q0 = queries.select(col("vec_id").as("qid"),
         quantize(col("embedding")).as("qq"))
       .withColumn("qn", normSqQ(col("qq")))
-    val q0B = if (literalBooks) q0 else q0.crossJoin(broadcast(bksDf))
     // bks is dropped with qq: the ADC arrays are the only query-side
     // artifact, so the scoring broadcast carries no codebook copies
-    val qtab = (0 until m).foldLeft(q0B) { (df, mi) =>
+    val qtab = (0 until m).foldLeft(q0.crossJoin(broadcast(bksDf))) { (df, mi) =>
       df.withColumn(s"adc$mi",
-        if (literalBooks)
-          array(books(mi).map(w =>
-            dotQ(slice(col("qq"), mi * sub + 1, sub),
-              array(w.map(lit(_)): _*))): _*)
-        else
-          transform(element_at(col("bks"), mi + 1), x =>
-            dotQ(slice(col("qq"), mi * sub + 1, sub), x.getField("_2"))))
+        pqAdcQ(slice(col("qq"), mi * sub + 1, sub),
+          element_at(col("bks"), mi + 1).getField("_1")))
     }.drop("qq", "bks")
     val dotAdc = (0 until m).map(mi =>
       element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)
@@ -1035,7 +1025,6 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
                 nCells: Int, m: Int, k: Int, iters: Int = 2,
                 nProbe: Int = 3,
-                literalCodebookBudget: Long = MaxLiteralCodebook,
                 trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(trainFraction > 0 && trainFraction <= 1,
@@ -1093,19 +1082,14 @@ object Similarity {
       (cent, (0 until m).map(mi => books(mi).map(w =>
         dotArr(cq.slice(mi * sub, (mi + 1) * sub), w)).toSeq).toSeq)
     }.toDF("cent", "ccdots")
-    // literal codewords stay codegen'd below the plan budget; production
-    // codebooks ride the broadcast one-row table (see MaxLiteralCodebook)
-    val literalBooks = m.toLong * k * sub <= literalCodebookBudget
-    val bksDf = if (literalBooks) null else booksRowDf(spark, books)
+    // codebooks ride ONE broadcast flat-layout row into the native
+    // argmin/ADC kernels (see pqTopK — the literal path is gone)
+    val bksDf = booksRowDf(spark, books)
     def codeOf(srcVec: Column, mi: Int): Column =
-      if (literalBooks) pqAssign(slice(srcVec, mi * sub + 1, sub), books(mi))
-      else pqAssignData(slice(srcVec, mi * sub + 1, sub), mi)
+      pqAssignData(slice(srcVec, mi * sub + 1, sub), mi)
     val cwn2Sum = (0 until m).map { mi =>
-      if (literalBooks)
-        element_at(array(books(mi).map(w => lit(dotArr(w, w))): _*),
-          col(s"code$mi") + 1)
-      else element_at(element_at(col("bks"), mi + 1), col(s"code$mi") + 1)
-        .getField("_3")
+      element_at(element_at(col("bks"), mi + 1).getField("_2"),
+        col(s"code$mi") + 1)
     }.reduce(_ + _)
     val ccSum = (0 until m).map(mi =>
       element_at(element_at(col("ccdots"), mi + 1), col(s"code$mi") + 1))
@@ -1115,8 +1099,7 @@ object Similarity {
     // PRECOMPUTED here (query-independent — once per corpus row at index
     // build, not once per candidate × query at scoring);
     // checkpoint = the persisted IVFADC index
-    val residB =
-      if (literalBooks) resid else resid.crossJoin(broadcast(bksDf))
+    val residB = resid.crossJoin(broadcast(bksDf))
     val codes = (0 until m).foldLeft(residB) { (df, mi) =>
       df.withColumn(s"code$mi", codeOf(col("rq"), mi))
     }.join(broadcast(ccTab), Seq("cent"))
@@ -1138,17 +1121,11 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cent"))))
       .filter(col("rn") <= nProbe)
-    val qcellsB =
-      if (literalBooks) qcells else qcells.crossJoin(broadcast(bksDf))
+    val qcellsB = qcells.crossJoin(broadcast(bksDf))
     val qtab = (0 until m).foldLeft(qcellsB) { (df, mi) =>
       df.withColumn(s"adc$mi",
-        if (literalBooks)
-          array(books(mi).map(w =>
-            dotQ(slice(col("qq"), mi * sub + 1, sub),
-              array(w.map(lit(_)): _*))): _*)
-        else
-          transform(element_at(col("bks"), mi + 1), x =>
-            dotQ(slice(col("qq"), mi * sub + 1, sub), x.getField("_2"))))
+        pqAdcQ(slice(col("qq"), mi * sub + 1, sub),
+          element_at(col("bks"), mi + 1).getField("_1")))
     }.drop("qq", "cs", "rn", "bks")
     val dotAdc = (0 until m).map(mi =>
       element_at(col(s"adc$mi"), col(s"code$mi") + 1)).reduce(_ + _)

@@ -551,6 +551,10 @@ class ElSpec extends SparkSpec {
       Map("ts" -> " 2023-03-02T03:49:55.190+08:45")) === null)
     assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
       Map("ts" -> "2023-03-02T03:49:55.190+08:45 ")) === null)
+    // the third invalid_timestamp case (cpp:1190-1196): a space where
+    // %FT demands the literal 'T' is rejected too
+    assert(eval("${ts:toDate('%FT%T%Ez', 'UTC')}",
+      Map("ts" -> "2023-03-02 03:49:55.190+08:45 ")) === null)
   }
 
   test("strftime week/ordinal/padding specifiers format C-faithfully — " +

@@ -1387,26 +1387,36 @@ class PipelineSpec extends SparkSpec {
     assert(sel(1L) && sel(2L) && !sel(3L) && !sel(4L))
   }
 
-  test("PQ/IVF-PQ codebook DATA path (broadcast bks table, forced via " +
-       "literalCodebookBudget = 0) is row-identical to the literal " +
-       "codegen path — the r16 production-parameter plan-size fix " +
-       "cannot change results") {
+  test("native PQ kernels (PqArgMinQ/PqAdcQ) match a direct reference " +
+       "computation — argmin with ties to the smallest code index, ADC " +
+       "dots per codeword (the r17 HOF-replacement cannot change results)") {
+    import spark.implicits._
+    // 3 codewords of sub=2, flat layout; sv chosen so codes 0 and 2 TIE
+    // on distance (both at L2² 2 from sv) — the kernel must pick 0
+    val sv = Seq(1L, 1L)
+    val cwFlat = Seq(2L, 2L, 10L, 10L, 0L, 0L)   // w0=(2,2) w1=(10,10) w2=(0,0)
+    val cn = Seq(8L, 200L, 0L)
+    val df = Seq((sv, cwFlat, cn)).toDF("sv", "cw", "cn")
+    val shim = org.apache.spark.sql.GraftColumnShim
+    val argmin = shim.column(graft.functions.PqArgMinQ(
+      shim.expression(col("sv")), shim.expression(col("cw")),
+      shim.expression(col("cn"))))
+    val adc = shim.column(graft.functions.PqAdcQ(
+      shim.expression(col("sv")), shim.expression(col("cw"))))
+    val r = df.select(argmin.as("j"), adc.as("a")).collect()(0)
+    // dists (cn - 2 dot): w0 = 8-8 = 0, w1 = 200-40 = 160, w2 = 0-0 = 0
+    // → tie between 0 and 2 at 0; smallest index wins
+    assert(r.getInt(0) === 0)
+    assert(r.getSeq[Long](1) === Seq(4L, 20L, 0L))
+    // shape mismatch (flat codebook not a multiple of sv length) → null
+    val bad = Seq((Seq(1L, 1L, 1L), cwFlat, cn)).toDF("sv", "cw", "cn")
+    assert(bad.select(argmin).collect()(0).isNullAt(0))
+    // seeded LSH: the broadcast plane-matrix path equals the literal path
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
         r.getAs[Long]("cid"), r.getAs[Double]("cosine"))).toSeq
-    assert(
-      rows(Similarity.pqTopK(emb, queries, topK = 5, m = 8, k = 16,
-        iters = 2, literalCodebookBudget = 0L)) ===
-      rows(Similarity.pqTopK(emb, queries, topK = 5, m = 8, k = 16,
-        iters = 2)))
-    assert(
-      rows(Similarity.ivfPqTopK(emb, queries, topK = 5, nCells = 8, m = 8,
-        k = 16, iters = 2, nProbe = 3, literalCodebookBudget = 0L)) ===
-      rows(Similarity.ivfPqTopK(emb, queries, topK = 5, nCells = 8, m = 8,
-        k = 16, iters = 2, nProbe = 3)))
-    // seeded LSH: the broadcast plane-matrix path equals the literal path
     assert(
       rows(Similarity.lshTopKSeeded(emb, queries, k = 5, nPlanes = 8,
         dim = 64, seed = 7L, literalPlanesBudget = 0L)) ===
