@@ -70,6 +70,90 @@ object PqKernels {
   }
 }
 
+object CentroidKernels {
+  /** round(x, 6) exactly as Spark's Round(DoubleType, HALF_UP):
+    * BigDecimal.valueOf (the canonical Double.toString value) → setScale. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * argmax_j round(cos(vec, cent_j), 6) over a FLAT centroid layout,
+   * ties to the smallest index — the kernel form of the k-means-family
+   * assignment `array_min(transform(cents, struct(-round(cos),cent)))`.
+   * BIT-IDENTICAL to that formulation PROVIDED the centroid arrays are
+   * sorted by cent id ascending (then smallest-index tie = smallest-cent
+   * tie, the struct-min order). The cosine replays cosineFromQ exactly:
+   * dot / (sqrt(max(na,1))·sqrt(max(nb,1))) with the 6-decimal HALF_UP
+   * round. Cost control: a candidate whose RAW cosine sits more than
+   * 1.1e-6 below the best ROUNDED cosine cannot round at or above it
+   * (rounding moves a value by ≤ 5e-7 + ulp), so only near-winners pay
+   * the BigDecimal — the common element is one dot product and one
+   * compare.
+   */
+  def argMaxCos6(vec: ArrayData, centsFlat: ArrayData,
+                 centNorms: ArrayData): java.lang.Integer = {
+    val dim = vec.numElements()
+    val k = centNorms.numElements()
+    if (dim == 0 || k == 0 || centsFlat.numElements() != k * dim) return null
+    var na = 0L
+    var i = 0
+    while (i < dim) { val v = vec.getLong(i); na += v * v; i += 1 }
+    val sa = Math.sqrt(Math.max(na, 1L).toDouble)
+    var best = Double.NegativeInfinity
+    var bj = -1
+    var j = 0
+    while (j < k) {
+      var dot = 0L
+      i = 0
+      val off = j * dim
+      while (i < dim) { dot += vec.getLong(i) * centsFlat.getLong(off + i); i += 1 }
+      val raw = dot.toDouble /
+        (sa * Math.sqrt(Math.max(centNorms.getLong(j), 1L).toDouble))
+      if (raw + 1.1e-6 > best) {
+        val r = round6(raw)
+        if (r > best) { best = r; bj = j }
+      }
+      j += 1
+    }
+    Integer.valueOf(bj)
+  }
+}
+
+/** Centroid-assignment argmax over a flat centroid table (codegen'd):
+  * returns the winning centroid INDEX (0-based), null on shape mismatch.
+  * The centroid arrays MUST be sorted by cent id — see
+  * [[CentroidKernels.argMaxCos6]]'s tie-break contract. */
+case class ArgMaxCos6Q(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with LongArrayInputCheck {
+  override def prettyName: String = "graft_argmax_cos6"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkLongArray(first.dataType, "vector")
+      .orElse(checkLongArray(second.dataType, "flat centroids"))
+      .orElse(checkLongArray(third.dataType, "centroid norms"))
+      .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    CentroidKernels.argMaxCos6(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val r = ctx.freshName("argmaxcos")
+      s"""
+        java.lang.Integer $r = graft.functions.CentroidKernels.argMaxCos6($a, $b, $c);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ArgMaxCos6Q =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Codeword argmin over a flat codebook (codegen'd): returns the winning
   * code index as INT, null if the codebook shape is inconsistent. */
 case class PqArgMinQ(first: Expression, second: Expression, third: Expression)

@@ -420,14 +420,9 @@ object Similarity {
                                         lloydIters: Int): DataFrame = {
     var cents = init
     for (_ <- 0 until lloydIters) {
-      val centsArr = cents
-        .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
-      val assigned = c.crossJoin(broadcast(centsArr))
-        .withColumn("cent",
-          array_min(transform(col("cents"), x =>
-            struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
-              col("cn"), x.getField("centn")), 6)).as("negCos"),
-              x.getField("cent").as("cent")))).getField("cent"))
+      val assigned = c.crossJoin(broadcast(centsFlatRow(cents)))
+        .withColumn("cent", element_at(col("cids"),
+          argMaxCos6Q(col("cq"), col("cqflat"), col("cns")) + 1))
       val means = assigned
         .select(col("cent"), posexplode(col("cq")).as(Seq("pos", "v")))
         .groupBy(col("cent"), col("pos"))
@@ -598,18 +593,14 @@ object Similarity {
     require(saltBlockSize > 0, "semDedup needs a positive saltBlockSize")
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
-    val centroids = trainCentroids(c, nCentroids, lloydIters)
-      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    val centroids = centsFlatRow(trainCentroids(c, nCentroids, lloydIters))
     // staged once (Staging.stage): the assignment pass feeds the size
     // agg, both join sides, and the final report — without the barrier
-    // each consumer re-runs the scan + k-cosine assignment transform
+    // each consumer re-runs the scan + k-cosine assignment kernel
     val assigned = Staging.stage(c.crossJoin(broadcast(centroids))
-      .withColumn("cent",
-        array_min(transform(col("cents"), x =>
-          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
-            col("cn"), x.getField("centn")), 6)).as("negCos"),
-            x.getField("cent").as("cent")))).getField("cent"))
-      .drop("cents"), eager = false)
+      .withColumn("cent", element_at(col("cids"),
+        argMaxCos6Q(col("cq"), col("cqflat"), col("cns")) + 1))
+      .drop("cids", "cqflat", "cns"), eager = false)
     val removed =
       if (maxClusterSize > 0) {
         // capped pivots: |pivots|·|cluster| ≤ maxClusterSize·|cluster|
@@ -694,14 +685,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
-    val centroids = trainCentroids(c, nCentroids, lloydIters)
-      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    val centroids = centsFlatRow(trainCentroids(c, nCentroids, lloydIters))
     c.crossJoin(broadcast(centroids))
-      .withColumn("cent",
-        array_min(transform(col("cents"), x =>
-          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
-            col("cn"), x.getField("centn")), 6)).as("negCos"),
-            x.getField("cent").as("cent")))).getField("cent"))
+      .withColumn("cent", element_at(col("cids"),
+        argMaxCos6Q(col("cq"), col("cqflat"), col("cns")) + 1))
       .withColumn("sampleRank",
         row_number().over(Window.partitionBy(col("cent"))
           .orderBy(md5(col("cid").cast("string")), col("cid"))).cast("long"))
@@ -739,16 +726,18 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cq"))
       .withColumn("cn", normSqQ(col("cq")))
-    val centroids = trainCentroids(c, nCentroids, lloydIters)
-      .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
+    val centroids = centsFlatRow(trainCentroids(c, nCentroids, lloydIters))
+    // the kernel returns the winning index; the prototypicality score is
+    // ONE extra dot against that centroid's slice — k-1 fewer rounded
+    // cosines per row than the struct-min carried
+    val d = size(col("cq"))
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("best",
-        array_min(transform(col("cents"), x =>
-          struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
-            col("cn"), x.getField("centn")), 6)).as("negCos"),
-            x.getField("cent").as("cent")))))
-      .select(col("cid"), col("best.cent").as("cluster"),
-        (-col("best.negCos")).as("proto"))
+      .withColumn("ci", argMaxCos6Q(col("cq"), col("cqflat"), col("cns")))
+      .select(col("cid"),
+        element_at(col("cids"), col("ci") + 1).as("cluster"),
+        round(cosineFromQ(
+          dotQ(col("cq"), slice(col("cqflat"), col("ci") * d + lit(1), d)),
+          col("cn"), element_at(col("cns"), col("ci") + 1)), 6).as("proto"))
     val byCluster = Window.partitionBy(col("cluster"))
     val ranked = assigned
       .withColumn("rnk", row_number().over(
@@ -817,6 +806,30 @@ object Similarity {
     org.apache.spark.sql.GraftColumnShim.column(graft.functions.PqAdcQ(
       org.apache.spark.sql.GraftColumnShim.expression(sv),
       org.apache.spark.sql.GraftColumnShim.expression(cwFlat)))
+
+  /** Nearest-centroid index by rounded cosine — the native kernel form
+    * of the k-means-family assignment (graft.functions.ArgMaxCos6Q;
+    * r17: the former `array_min(transform(cents, struct(-round(cos),
+    * cent)))` paid an interpreted HOF + struct per centroid per row —
+    * after the PQ kernels landed it was the remaining hot loop of the
+    * whole family). Requires the [[centsFlatRow]] layout, whose
+    * cent-ASC sort makes the kernel's smallest-index tie-break
+    * identical to the struct-min's smallest-cent tie-break. */
+  private def argMaxCos6Q(vec: Column, cqflat: Column, cns: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.ArgMaxCos6Q(
+      org.apache.spark.sql.GraftColumnShim.expression(vec),
+      org.apache.spark.sql.GraftColumnShim.expression(cqflat),
+      org.apache.spark.sql.GraftColumnShim.expression(cns)))
+
+  /** The centroid table as ONE broadcast-able row in the kernel-ready
+    * flat layout, SORTED by cent id (the tie-break contract): cids (k
+    * ids), cqflat (k·dim longs, concatenated), cns (k norms). */
+  private def centsFlatRow(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(
+        struct(col("cent"), col("centq"), col("centn")))).as("cs"))
+      .select(transform(col("cs"), x => x.getField("cent")).as("cids"),
+        flatten(transform(col("cs"), x => x.getField("centq"))).as("cqflat"),
+        transform(col("cs"), x => x.getField("centn")).as("cns"))
 
   /** The codebooks as ONE broadcast-able row of DATA: `bks(mi)` =
     * struct(_1 = the k codewords CONCATENATED flat (k·subDim longs),
@@ -1048,17 +1061,19 @@ object Similarity {
         r.getAs[Long]("centn")))
     val centsRow = cents
       .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
-    // cell assignment carrying the winning centroid so the residual is a
-    // pure projection (ties impossible past the unique cent field)
-    val resid = c.crossJoin(broadcast(centsRow))
-      .withColumn("best", array_min(transform(col("cents"), x =>
-        struct((-round(cosineFromQ(dotQ(col("cq"), x.getField("centq")),
-          col("cn"), x.getField("centn")), 6)).as("negCos"),
-          x.getField("cent").as("cent"), x.getField("centq").as("centq"),
-          x.getField("centn").as("centn")))))
-      .select(col("cid"), col("cq"), col("best.cent").as("cent"),
-        col("best.centn").as("centn"),
-        zip_with(col("cq"), col("best.centq"), (a, b) => a - b).as("rq"))
+    val centsFlat = centsFlatRow(cents)
+    // cell assignment via the native kernel; the winning centroid's
+    // vector is the index's slice of the flat table, so the residual is
+    // a pure projection (ties impossible past the unique cent field)
+    val dCol = size(col("cq"))
+    val resid = c.crossJoin(broadcast(centsFlat))
+      .withColumn("ci", argMaxCos6Q(col("cq"), col("cqflat"), col("cns")))
+      .select(col("cid"), col("cq"),
+        element_at(col("cids"), col("ci") + 1).as("cent"),
+        element_at(col("cns"), col("ci") + 1).as("centn"),
+        zip_with(col("cq"),
+          slice(col("cqflat"), col("ci") * dCol + lit(1), dCol),
+          (a, b) => a - b).as("rq"))
       .staged  // feeds the PQ Lloyd jobs AND the encode pass
     val residTrain =
       if (trainFraction >= 1.0) resid
@@ -1146,20 +1161,25 @@ object Similarity {
                                  nProbe: Int,
                                  centroidRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = centroidRows
+    // staged: both the query-side struct row and the corpus-side flat
+    // row aggregate this ≤k-row frame — without the barrier an unstaged
+    // md5-sample input (ivfTopK) would re-run its corpus TakeOrdered
+    val centRows = Staging.stage(centroidRows)
+    val centroids = centRows
       .agg(collect_list(struct(col("cent"), col("centq"), col("centn"))).as("cents"))
-    // Cell assignment is PER-ROW: the single-row centroid array broadcasts
-    // onto every row and a higher-order transform scores all cells in one
-    // map stage — no crossJoin row explosion, no shuffle. Cells sort by
-    // (cosine desc, cent asc) via a (-cos, cent) struct sort, the same
-    // deterministic tie-break as the top-k rankers.
+    // Corpus-side cell assignment rides the native argmax kernel (r17 —
+    // the per-row HOF cost class removed from every corpus-scale
+    // assignment); the QUERY side below keeps the struct sort because it
+    // needs the full (cosine desc, cent asc) cell ORDER for its nProbe
+    // probe set, and the query frame is broadcast-small by contract.
     def scoredCells(vec: Column, norm: Column): Column =
       transform(col("cents"), x =>
         struct((-round(cosineFromQ(dotQ(vec, x.getField("centq")), norm,
           x.getField("centn")), 6)).as("negCos"), x.getField("cent").as("cent")))
-    val cAssigned = c.crossJoin(broadcast(centroids))
-      .withColumn("cent", array_min(scoredCells(col("cq"), col("cn"))).getField("cent"))
-      .drop("cents")
+    val cAssigned = c.crossJoin(broadcast(centsFlatRow(centRows)))
+      .withColumn("cent", element_at(col("cids"),
+        argMaxCos6Q(col("cq"), col("cqflat"), col("cns")) + 1))
+      .drop("cids", "cqflat", "cns")
     val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
       .withColumn("qn", normSqQ(col("qq")))
     val qAssigned = q.crossJoin(broadcast(centroids))
