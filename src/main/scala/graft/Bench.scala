@@ -476,6 +476,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Replicated corpus for the streaming near-dup drain: `mult` copies
+    * of each document with every token suffixed by the replica id —
+    * DISJOINT shingles across replicas (identical-body replicas would
+    * make every replica pair a 1.0 near-dup and the drain would measure
+    * hit OUTPUT volume, the stageSkewed anti-pattern; a token suffix
+    * preserves within-replica near-dup structure and multiplies only
+    * the banding/state work). Round-11 tail lesson applied here: at
+    * mult=1 both drains sat on the ~5 s streaming fixed floor and the
+    * 1×/x10 pair proved nothing. */
+  private[graft] def stageNearDupCorpus(spark: SparkSession, docsDir: String,
+                                        tag: String, mult: Int,
+                                        contentKey: String = ""): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-bench-nd-$tag"
+    stageOnce(out, docsDir + "|" + contentKey + s"|$mult") {
+      spark.read.parquet(s"$docsDir/documents.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("rep").cast("string"))).as("text"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
+    out
+  }
+
   /** One measured streaming near-dup drain (r16 verdict #8: the
     * streaming dedup claim gets a bench row like the batch one): parquet
     * file-stream over the documents table → bandDocs (map-side MinHash
@@ -832,13 +857,17 @@ object Bench {
     // let a steal window through on the longest-running row class
     val drain1x = (0 until 5).map(_ => tailDrainSeconds(spark, tail1x)).min
     val drain10x = (0 until 5).map(_ => tailDrainSeconds(spark, tail10x)).min
-    // Streaming near-dup pair (r17): the same 1×/x10 device as the tail
-    // drain, over the sf/x10 documents directly — the banding is
-    // map-side and the bucket state is capped, so the pair should scale
-    // with the corpus like the batch dedup_minhash_lsh pair does.
-    neardupDrainSeconds(spark, warmDir) // warm the streaming plane's codegen
-    val neardup1x = (0 until 3).map(_ => neardupDrainSeconds(spark, sfDir)).min
-    val neardup10x = (0 until 3).map(_ => neardupDrainSeconds(spark, x10Dir)).min
+    // Streaming near-dup pair (r17): the tail drain's 1×/x10 device —
+    // mult=10 suffix-disjoint replicas make the drain data-dominated
+    // (see stageNearDupCorpus; at mult=1 both sides sat on the ~5 s
+    // streaming fixed floor), banding is map-side, bucket state capped.
+    neardupDrainSeconds(spark,
+      stageNearDupCorpus(spark, warmDir, "warm", mult = 10))
+    val nd1x = stageNearDupCorpus(spark, sfDir, "1x", mult = 10)
+    val nd10x = stageNearDupCorpus(spark, x10Dir, "10x", mult = 10,
+      contentKey = sfDir)
+    val neardup1x = (0 until 3).map(_ => neardupDrainSeconds(spark, nd1x)).min
+    val neardup10x = (0 until 3).map(_ => neardupDrainSeconds(spark, nd10x)).min
     val streamResults = Seq(
       "streaming_tail_e2e" -> drain1x,
       "x10_streaming_tail_e2e" -> drain10x,
