@@ -306,19 +306,26 @@ object StatefulOps {
     import graft.pipeline.Dedup
     import df.sparkSession.implicits._
     require(numHashes % rowsPerBand == 0, "numHashes must split into bands")
-    val sh = array_distinct(Dedup.shingles(textCol, n))
+    // ONE md5 (+ shingle construction) per shingle, materialized as
+    // (h1, h2m) pairs in their own projection before the k permutations
+    // read it — r17: the former per-k transform recomputed the shingle
+    // array AND both md5-derived hashes numHashes times per document
+    // (CollapseProject keeps the split: it refuses to inline a non-cheap
+    // producer referenced more than once)
+    val hp = transform(array_distinct(Dedup.shingles(textCol, n)), s => {
+      val h = md5(s)
+      struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
+        (conv(substring(h, 17, 15), 16, 10).cast("long") %
+          lit(Dedup.DoubleHashMod)).as("b"))
+    })
     val sig = array((0 until numHashes).map { k =>
-      array_min(transform(sh, s => {
-        val h = md5(s)
-        conv(substring(h, 1, 15), 16, 10).cast("long") +
-          lit(k.toLong) *
-            (conv(substring(h, 17, 15), 16, 10).cast("long") %
-              lit(Dedup.DoubleHashMod))
-      }))
+      array_min(transform(col("hp"), p =>
+        p.getField("a") + lit(k.toLong) * p.getField("b")))
     }: _*)
     val numBands = numHashes / rowsPerBand
     df.select(idCol.cast("long").as("docId"), ordCol.cast("long").as("ord"),
-        sig.as("sig"))
+        hp.as("hp"))
+      .select(col("docId"), col("ord"), sig.as("sig"))
       .select(col("docId"), col("ord"), col("sig"),
         explode(array((0 until numBands).map { b =>
           concat_ws("|", lit(b) +:
