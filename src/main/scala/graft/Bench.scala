@@ -892,19 +892,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
-    // The captured log tail has a bounded size and r15's/r16's arrived
-    // with the line's HEAD cut mid-JSON (BENCH_r{15,16}.json parsed:
-    // null). Three guards (r16 verdict: close r15 #8 out properly):
-    // print the line the moment it exists (before any shutdown output),
-    // persist it to a file the round snapshot picks up, and print it
-    // THREE more times after spark.stop() with explicit flushes — a
-    // tail-bounded capture then holds at least one complete copy even if
-    // JVM/log4j shutdown noise lands after the first.
+    // The driver's tail-capture window is smaller than this full ~6 KB
+    // line — r15/r16/r17 all arrived HEAD-cut mid-JSON (BENCH_r{N}.json
+    // parsed: null). So: print the full line early + persist it to
+    // BENCH_LATEST.json (the canonical full row set), and make the LAST
+    // printed line a compact summary JSON (total, sf, throughput, top-10
+    // slowest rows) well under the ~2 KB window, so the driver's tail
+    // always holds one complete parseable object.
     println(json)
     System.out.flush()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
+    val allRows = results ++ skewResults ++ x10Results ++ longResults ++
+      substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
+      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults
+    val top10 = allRows.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","rows":${allRows.size},"full":"BENCH_LATEST.json","throughput":$tp,"top10":$top10}"""
     spark.stop()
-    (0 until 3).foreach { _ => println(json); System.out.flush() }
+    println(json); System.out.flush()
+    println(summary)
+    System.out.flush()
   }
 }

@@ -63,7 +63,18 @@ object Similarity {
     * n for n ≥ 1; the sqrt·sqrt shape is unchanged, so no 6th-decimal
     * drift vs the oracle). The r16 `when` added a per-pair conditional
     * to every ANN/dedup kernel — the one code suspect in that round's
-    * uniform bench drift. */
+    * uniform bench drift.
+    *
+    * QUANTIZE MAGNITUDE ENVELOPE (r18 review): `greatest(n, 1)` assumes
+    * norms are NON-NEGATIVE, which holds whenever [[normSqQ]] does not
+    * overflow Long. Components quantize at 1e6 ([[quantize]]), so the
+    * envelope is Σ(xᵢ·1e6)² < 2⁶³ — e.g. at d = 256 every component must
+    * satisfy |xᵢ| < ~190; unit-normalized or bounded-activation
+    * embeddings sit orders of magnitude inside it. OUTSIDE the envelope
+    * an overflowed (negative) norm would floor to 1 and return a
+    * plausible-but-wrong similarity instead of a loud NaN — callers
+    * feeding unnormalized wide-range vectors must pre-scale (divide by
+    * max-abs) before quantizing. */
   def cosineFromQ(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") /
       (sqrt(greatest(na, lit(1L)).cast("double")) *
@@ -586,7 +597,22 @@ object Similarity {
    * `maxClusterSize` members serve as comparison pivots (documented
    * recall trade; 0 = exact within clusters). The scoring kernel is the
    * codegen'd integer DotQ.
+   *
+   * EXACT-MODE WORK ENVELOPE (r18): the salt caps nblk at 64 (bounding
+   * replication at ≤ 65 copies/row and tasks at ≤ 2,145 per cluster), so
+   * past [[semDedupExactEnvelope]] = 64·saltBlockSize members a cluster's
+   * PER-TASK pair count grows quadratically again — exact SemDeDup's
+   * irreducible within-cluster cost. Clusters past the envelope warn
+   * loudly with the saltBlockSize that would restore bounded tasks;
+   * `maxClusterSize` is the real (recall-trading) bound there. Output
+   * stays set-identical at ANY cluster size — the envelope is about WORK,
+   * never semantics (PipelineSpec pins exactness just past the boundary).
    */
+  /** Exact-mode work envelope of [[semDedup]]'s block salt: the largest
+    * cluster whose pair enumeration still spreads over distinct-block
+    * tasks at the ≤ 64-block cap. Past this, per-task pairs ~(csz/64)². */
+  def semDedupExactEnvelope(saltBlockSize: Int): Long = 64L * saltBlockSize
+
   def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int,
                lloydIters: Int = 2, maxClusterSize: Int = 0,
                saltBlockSize: Int = 256): DataFrame = {
@@ -625,12 +651,30 @@ object Similarity {
         // device); nblk caps at 64 (≤ 65 replicas/row, ≤ 2,145 tasks per
         // degenerate cluster). The block hash is the engine-portable
         // md5-prefix long, so an external oracle replays the blocking.
-        val oversized = assigned.groupBy(col("cent"))
+        // r18: the ≤ nCentroids-row count frame is collected (driver
+        // metadata by construction) so clusters past the exact-mode work
+        // envelope ([[semDedupExactEnvelope]]) warn loudly instead of
+        // silently re-growing quadratic per-task pair counts.
+        val oversizedRows = assigned.groupBy(col("cent"))
           .agg(count(lit(1)).as("csz"))
           .filter(col("csz") > saltBlockSize)
           .withColumn("nblk",
             least(ceil(col("csz") / saltBlockSize), lit(64L)).cast("int"))
-          .select(col("cent"), col("nblk"))
+          .select(col("cent"), col("nblk"), col("csz"))
+          .collect()
+        val envelope = semDedupExactEnvelope(saltBlockSize)
+        oversizedRows.filter(_.getLong(2) > envelope).foreach { r =>
+          System.err.println(s"[graft] semDedup exact mode: cluster " +
+            s"${r.get(0)} has ${r.getLong(2)} members, past the work " +
+            s"envelope 64*saltBlockSize=$envelope — the 64-block cap is " +
+            s"saturated and per-task pair count grows ~(csz/64)²; set " +
+            s"maxClusterSize (recall trade) or raise saltBlockSize to " +
+            s">= ${(r.getLong(2) + 63) / 64} to restore bounded tasks")
+        }
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val oversized = oversizedRows.toSeq
+          .map(r => (r.getString(0), r.getInt(1))).toDF("cent", "nblk")
         val saltHash = conv(substring(md5(col("cid").cast("string")), 1, 15),
           16, 10).cast("long")
         val blocked = assigned.join(broadcast(oversized), Seq("cent"), "left")

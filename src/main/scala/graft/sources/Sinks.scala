@@ -229,11 +229,26 @@ object Sinks {
   def lokiStream(labels: Seq[(String, String)], tsNanosCol: Column,
                  lineCol: Column,
                  metadataCol: Option[Column] = None): Column = {
-    // JSON-escape label values (r17, found by the gRPC-equivalence spec:
-    // a quote in a label value produced an invalid stream object — the
-    // reference's rapidjson writer escapes these)
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // JSON-escape label keys/values (r17, found by the gRPC-equivalence
+    // spec; r18 review: the reference's rapidjson writer also escapes
+    // CONTROL characters — \b \t \n \f \r get their short forms, every
+    // other char below 0x20 goes \u00XX — so a label carrying a newline
+    // must not produce an invalid stream object either)
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\b' => sb.append("\\b")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\f' => sb.append("\\f")
+        case '\r' => sb.append("\\r")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c    => sb.append(c)
+      }
+      sb.toString
+    }
     val labelJson =
       labels.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     // Log Line Metadata Attributes (PushGrafanaLokiREST.cpp:101-116): when

@@ -162,6 +162,28 @@ class SinksSpec extends SparkSpec {
     assert(jpath("$.streams[0].values[1][2]") === """{"label1":"value1"}""")
   }
 
+  test("Loki REST labels escape CONTROL characters like the reference's " +
+       "rapidjson writer (short forms + \\u00XX), so a newline/tab/0x01 " +
+       "in a label still yields a valid stream object") {
+    import spark.implicits._
+    val ctl = 1.toChar.toString              // a raw 0x01 control char
+    val labels = Seq("job" -> "gr\naft", "env" -> ("a\tb" + ctl + "c"),
+      "q" -> "sl\\as\"h")
+    val body = Seq((1000000L, "line")).toDF("ts", "line")
+      .agg(Sinks.lokiStream(labels, col("ts"), col("line")).as("s"))
+      .select(Sinks.lokiPushBody(col("s"))).collect()(0).getString(0)
+    assert(body.contains("\"job\":\"gr\\naft\""))
+    assert(body.contains("\"env\":\"a\\tb\\u0001c\""))
+    assert(body.contains("\"q\":\"sl\\\\as\\\"h\""))
+    // the body must parse as JSON -- the r18 review finding was that a
+    // control char produced an INVALID object
+    def jpath(p: String): String = spark.range(1)
+      .select(get_json_object(lit(body), p)).collect()(0).getString(0)
+    assert(jpath("$.streams[0].stream.job") === "gr\naft")
+    assert(jpath("$.streams[0].stream.env") === "a\tb" + ctl + "c")
+    assert(jpath("$.streams[0].stream.q") === "sl\\as\"h")
+  }
+
   test("Splunk ack polling: request body + per-id status routing " +
        "(QuerySplunkIndexingStatus.cpp:38,75)") {
     import spark.implicits._
