@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
  * payload bytes — pure public-format parsing, no native lib. Audio
  * SAMPLE decode is REAL too ([[audioSampleStats]], r16): 16-bit PCM WAV
  * needs no codec library, so peak/sum-of-squares/duration come from the
- * actual waveform. Image PIXEL decode beyond the header remains STUBBED
- * (no image codec libs in this container): `fakeDecode` derives
- * deterministic pseudo-features from the payload size for non-image
- * payloads — the Spark-side plumbing (schema, partition batching,
- * feature frame shape) is real and is what's under test.
+ * actual waveform. Image PIXEL decode is REAL as of r18
+ * ([[imagePixelStats]]): `javax.imageio.ImageIO` ships PNG/JPEG/GIF/BMP
+ * readers in the JDK, so per-channel pixel statistics come from actual
+ * decoded pixels. The only remaining stub is `fakeDecode`, the
+ * deterministic size-derived fallback [[decodeFeatures]] uses for
+ * NON-image payloads so its frame stays total over any byte column.
  */
 object Multimodal {
 
@@ -239,6 +240,108 @@ object Multimodal {
         }
       }
     }(encoder)
+  }
+
+  /**
+   * REAL pixel decode (r18 — the image twin of [[audioSampleStats]]):
+   * decode the payload with the JDK's `javax.imageio.ImageIO`
+   * (PNG/JPEG/GIF/BMP readers ship with the JDK — no native lib), walk
+   * every pixel and return integer-exact per-channel statistics — pixel
+   * count, R/G/B sums and maxima — so an external oracle can replay them
+   * analytically on synthetic images (PNG is lossless, so the decoded
+   * grid IS the generative formula). Non-image / undecodable payloads
+   * yield the zero row (nPixels = 0), keeping the frame total over any
+   * byte column. Same batched `mapPartitions` shape as [[decodeFeatures]]
+   * — per-partition the ImageIO reader caches live once, rows stream
+   * through; at 100 TB this runs where the one consumer that needs pixels
+   * runs, after [[claimPointers]] pruning (reference tie: the multimodal
+   * prep plane of RunLlamaCppInference.h:48-55).
+   */
+  def imagePixelStats(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("mmId", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("nPixels", LongType),
+      StructField("sumR", LongType),
+      StructField("sumG", LongType),
+      StructField("sumB", LongType),
+      StructField("maxR", LongType),
+      StructField("maxG", LongType),
+      StructField("maxB", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex("mmId")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null) Row(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var maxR = 0L; var maxG = 0L; var maxB = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val rr = ((rgb >> 16) & 0xFF).toLong
+              val gg = ((rgb >> 8) & 0xFF).toLong
+              val bb = (rgb & 0xFF).toLong
+              sumR += rr; sumG += gg; sumB += bb
+              if (rr > maxR) maxR = rr
+              if (gg > maxG) maxG = gg
+              if (bb > maxB) maxB = bb
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w.toLong, h.toLong, w.toLong * h,
+            sumR, sumG, sumB, maxR, maxG, maxB)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic synthetic RGB PNG: pixel (x, y) of image `seed` is
+    * r = (seed + 3x + 5y) % 256, g = (2·seed + 7x + 11y) % 256,
+    * b = (3·seed + 13x + 17y) % 256 — a lossless fixture whose decoded
+    * pixel statistics an external engine recomputes from the formula
+    * alone (the synthetic-image device behind the `multimodal_pixels`
+    * oracle row). */
+  def synthPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((seed + 3L * x + 5L * y) % 256).toInt
+        val g = ((2L * seed + 7L * x + 11L * y) % 256).toInt
+        val b = ((3L * seed + 13L * x + 17L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[synthPng]] as a Column (fixture synthesis inside a query plan). */
+  def synthPngCol(seed: Column, width: Column, height: Column): Column = {
+    val u = udf((s: Long, w: Int, h: Int) => synthPng(s, w, h))
+    u(seed, width, height)
   }
 
   // Deterministic fake decode — stands in for the real pixel/sample probe.
