@@ -5981,7 +5981,8 @@ object SparkEntry {
         | regexp_full_match(source, 'src[0-9]+') AS m,
         | CASE WHEN lang = 'en' THEN 'english' ELSE 'other' END AS ie,
         | CAST(n_chars + 10 AS BIGINT) AS plus10,
-        | lower(to_hex(doc_id)) AS hexk,
+        | CASE WHEN doc_id = 0 THEN ''
+        |      ELSE lower(to_hex(doc_id)) END AS hexk,
         | to_base64(CAST(lang AS BLOB)) AS b64,
         | string_split(text, ' ')[3] AS word3
         |FROM documents ORDER BY doc_id""".stripMargin,

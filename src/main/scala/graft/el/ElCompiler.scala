@@ -170,6 +170,62 @@ object ElCompiler {
   private val unescapeHtml4Udf = nullSafe(HtmlEntities.unescapeHtml4)
   private val escapeXmlUdf = nullSafe(HtmlEntities.escapeXml)
   private val unescapeXmlUdf = nullSafe(HtmlEntities.unescapeXml)
+
+  /** expr_toRadix (Expression.cpp:865-901): digits come from the
+    * `while (value) { chars[abs(value % radix)]; value /= radix; }` loop,
+    * so value 0 yields NO digits — the result is the bare zero-padding
+    * ("" unpadded); the sign sits OUTSIDE the padding ("-000004a1",
+    * ExpressionLanguageTests.cpp:627-633); and the value is never negated
+    * whole, so LLONG_MIN renders correctly (r18 — the former conv()+abs
+    * shape returned "0" for 0 and overflowed on Long.MinValue). */
+  private val toRadixUdf = udf { (v: java.lang.Long, radix: Int, pad: Int) =>
+    if (v == null) null
+    else {
+      val sign = if (v < 0) "-" else ""
+      val sb = new StringBuilder
+      var x = v.longValue
+      while (x != 0) {
+        sb.append(Character.forDigit(math.abs((x % radix).toInt), radix))
+        x /= radix
+      }
+      val digits = sb.reverse.toString
+      sign + ("0" * math.max(0, pad - digits.length)) + digits
+    }
+  }
+
+  /** expr_fromRadix = std::stoll(s, nullptr, radix)
+    * (Expression.cpp:903-911): leading whitespace, optional sign, an
+    * optional 0x/0X prefix when radix is 16, then the longest
+    * valid-digit prefix ("12z" → 12). NO digits → the reference throws
+    * invalid_argument; out of int64 range → out_of_range — both are
+    * null here, the EL error convention (r18 — the former conv() shape
+    * silently wrapped overflow mod 2⁶⁴ and read "0x" as 0). */
+  private val fromRadixUdf = udf { (s: String, radix: Int) =>
+    if (s == null) null
+    else {
+      var i = 0
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      var neg = false
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+        neg = s.charAt(i) == '-'; i += 1
+      }
+      if (radix == 16 && i + 2 < s.length && s.charAt(i) == '0' &&
+          (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X') &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) i += 2
+      var acc = BigInt(0)
+      var n = 0
+      while (i < s.length && Character.digit(s.charAt(i), radix) >= 0) {
+        acc = acc * radix + Character.digit(s.charAt(i), radix)
+        n += 1; i += 1
+      }
+      if (n == 0) null
+      else {
+        val v = if (neg) -acc else acc
+        if (v < BigInt(Long.MinValue) || v > BigInt(Long.MaxValue)) null
+        else java.lang.Long.valueOf(v.toLong)
+      }
+    }
+  }
   private val escapeCsvUdf = udf((s: String) =>
     if (s == null) null
     else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
@@ -281,19 +337,39 @@ object ElCompiler {
         .when(ll.isNotNull && rl.isNotNull, op(ll, rl))
         .otherwise(op(num(ls), num(rs)))  // int64 overflow → magnitude
     }
-    /** NiFi arithmetic coercion: int64 math when both operands are
-      * integral strings, long-double math otherwise (Value.h asNumber). */
+    /** stold prefix semantics for the long-double paths (Value.h:117-128
+      * asLongDouble over strParse): longest float prefix after optional
+      * whitespace/sign ("11.5x" → 11.5), empty string → the 0.0 default;
+      * no parsable prefix throws in the reference (caught to an empty
+      * result) — null here renders the same. */
+    def asDoubleEl(c: Column): Column =
+      when(c === "", lit(0.0))
+        .otherwise(regexp_extract(c,
+          "^\\s*([+-]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?)", 1)
+          .try_cast("double"))
     /** Reference double→string (Value.h:66-84): fixed 15 decimals, then
       * trailing zeros and a bare trailing dot stripped — "10000011" not
-      * "1.0000011E7", "-2.24567" not "-2.245670000000000". */
+      * "1.0000011E7", "-2.24567" not "-2.245670000000000". Null-guarded:
+      * format_string would render a null operand as the literal "null"
+      * (java.util.Formatter), where the reference's caught-throw empty
+      * result must stay null/empty (r18). */
     def doubleToElString(c: Column): Column =
-      regexp_replace(format_string("%.15f", c), "\\.?0+$", "")
+      when(c.isNotNull, regexp_replace(format_string("%.15f", c), "\\.?0+$", ""))
+    /** NiFi arithmetic coercion (expr_binary_op, Expression.cpp:833-863):
+      * the int64 path runs iff NEITHER side carries decimal SYNTAX
+      * ('.', 'e', 'E' — Value.h isDecimal, the same test the r17
+      * comparison work replays) and each side parses with stoll prefix
+      * semantics — "11abc":plus(2) is 13 and "":plus(5) is 5, not null
+      * (r18; the former both-fully-integral test silently demoted junk-
+      * suffixed and empty operands to the null-producing double cast).
+      * Anything else goes long double with stold prefix semantics. */
     def intPreserving(l: Column, r: Column, op: (Column, Column) => Column): Column = {
       val ls = l.cast("string"); val rs = r.cast("string")
-      val bothInt = ls.rlike("^-?\\d+$") && rs.rlike("^-?\\d+$")
-      when(bothInt, op(ls.cast("long"), rs.cast("long")).cast("string"))
-        .otherwise(doubleToElString(op(ls.try_cast("double"),
-          rs.try_cast("double"))))
+      val anyDec = ls.rlike("[.eE]") || rs.rlike("[.eE]")
+      val (ll, rl) = (asLongEl(ls), asLongEl(rs))
+      when(!anyDec && ll.isNotNull && rl.isNotNull,
+        op(ll, rl).cast("string"))
+        .otherwise(doubleToElString(op(asDoubleEl(ls), asDoubleEl(rs))))
     }
 
     name match {
@@ -419,20 +495,21 @@ object ElCompiler {
       case "minus"    => intPreserving(subj, a(0), _ - _)
       case "multiply" => intPreserving(subj, a(0), _ * _)
       case "mod"      => intPreserving(subj, a(0), _ % _)
-      case "divide"   => doubleToElString(num(subj) / num(a(0)))
+      // divide is long_only in the reference (expr_divide passes
+      // long_only=true) — ALWAYS long double, with stold prefix semantics
+      case "divide"   => doubleToElString(asDoubleEl(s0) / asDoubleEl(a(0).cast("string")))
       case "toRadix"  =>
-        // conv() is unsigned — split the sign off and pad the MAGNITUDE,
-        // then re-prefix ("-000004a1", ExpressionLanguageTests.cpp:627-633)
-        val signed = subj.try_cast("long")
-        val mag = lower(conv(abs(signed).cast("string"), 10, sArg(0).toInt))
-        val padded =
-          if (rawArgs.size > 1) lpad(mag, sArg(1).toInt, "0") else mag
-        concat(when(signed < 0, lit("-")).otherwise(lit("")), padded)
+        // toRadixUdf replays the reference digit loop exactly: value 0 →
+        // NO digits (bare padding, "" unpadded), sign outside the pad
+        // ("-000004a1"), LLONG_MIN-safe; the subject coerces with
+        // asSignedLong's stoll prefix semantics like every numeric arg
+        toRadixUdf(asLongEl(s0), lit(sArg(0).toInt),
+          lit(if (rawArgs.size > 1) sArg(1).toInt else 0))
       case "fromRadix" =>
-        // conv() is unsigned — a leading '-' wraps mod 2^64, so split the
-        // sign off first (ExpressionLanguageTests.cpp:651 "-000004a1")
-        val mag = conv(regexp_replace(s0, "^-", ""), sArg(0).toInt, 10).cast("long")
-        when(s0.startsWith("-"), -mag).otherwise(mag)
+        // std::stoll semantics incl. 0x prefix at radix 16, longest-
+        // prefix parse, and null (the reference throws) on no-digits or
+        // int64 overflow — see fromRadixUdf
+        fromRadixUdf(s0, lit(sArg(0).toInt))
       case "toNumber"  => subj.try_cast("long")
       case "toDecimal" => subj.try_cast("double")
       case "toString"  => s0

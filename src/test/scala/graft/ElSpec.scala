@@ -223,6 +223,69 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:fromRadix(23)}", Map("attr" -> "-000004a1")) === "-2347")
   }
 
+  test("fromRadix std::stoll semantics: 0x prefix at radix 16, longest " +
+       "prefix, whitespace+sign, no-digits and int64 overflow are errors " +
+       "(Expression.cpp:903-911)") {
+    // stoll(s, nullptr, 16) consumes an optional 0x/0X prefix
+    assert(eval("${attr:fromRadix(16)}", Map("attr" -> "0xff")) === "255")
+    assert(eval("${attr:fromRadix(16)}", Map("attr" -> "0XFF")) === "255")
+    // "0x" NOT followed by a hex digit: only the 0 parses
+    assert(eval("${attr:fromRadix(16)}", Map("attr" -> "0xzz")) === "0")
+    // longest-valid-prefix parse stops at the first invalid digit
+    assert(eval("${attr:fromRadix(10)}", Map("attr" -> "12z9")) === "12")
+    assert(eval("${attr:fromRadix(2)}", Map("attr" -> "1012")) === "5")
+    // leading whitespace + sign, like stoll
+    assert(eval("${attr:fromRadix(10)}", Map("attr" -> "  +42")) === "42")
+    // the reference throws invalid_argument on no digits and
+    // out_of_range past int64 — the EL error convention here is null
+    assert(eval("${attr:fromRadix(10)}", Map("attr" -> "zzz")) === null)
+    assert(eval("${attr:fromRadix(16)}",
+      Map("attr" -> "ffffffffffffffffff")) === null)   // > 2^63-1
+    assert(eval("${attr:fromRadix(10)}",
+      Map("attr" -> "9223372036854775807")) === "9223372036854775807")
+    assert(eval("${attr:fromRadix(10)}",
+      Map("attr" -> "-9223372036854775808")) === "-9223372036854775808")
+    assert(eval("${attr:fromRadix(10)}",
+      Map("attr" -> "9223372036854775808")) === null)  // one past max
+  }
+
+  test("toRadix digit-loop edges: value 0 yields NO digits, the subject " +
+       "coerces with stoll prefix semantics, LLONG_MIN renders " +
+       "(Expression.cpp:865-901)") {
+    // while (value) never runs for 0 → empty string unpadded, pad zeros
+    // only when a width is given
+    assert(eval("${attr:toRadix(16)}", Map("attr" -> "0")) === "")
+    assert(eval("${attr:toRadix(2,4)}", Map("attr" -> "0")) === "0000")
+    // asSignedLong prefix coercion on the subject
+    assert(eval("${attr:toRadix(16)}", Map("attr" -> "10abc")) === "a")
+    assert(eval("${attr:toRadix(16)}", Map("attr" -> "")) === "")  // 0 → no digits
+    // LLONG_MIN: the reference never negates the whole value
+    assert(eval("${attr:toRadix(16)}",
+      Map("attr" -> "-9223372036854775808")) === "-8000000000000000")
+  }
+
+  test("arithmetic stoll/stold prefix coercion (expr_binary_op " +
+       "Expression.cpp:833-863 over Value.h:48-131 strParse)") {
+    // int path parses the longest digit prefix like stoll
+    assert(eval("${attr:plus(2)}", Map("attr" -> "11abc")) === "13")
+    assert(eval("${attr:multiply(3)}", Map("attr" -> "7seven")) === "21")
+    // strParse's empty-string default is 0, not an error
+    assert(eval("${attr:plus(5)}", Map("attr" -> "")) === "5")
+    assert(eval("${attr:minus(5)}", Map("attr" -> "")) === "-5")
+    // ONE decimal-syntax side forces the long-double path (Value.h
+    // isDecimal), which carries stold prefix semantics
+    assert(eval("${attr:plus(1.5)}", Map("attr" -> "11abc")) === "12.5")
+    assert(eval("${attr:multiply(2)}", Map("attr" -> "3.5junk")) === "7")
+    assert(eval("${attr:divide(2)}", Map("attr" -> "11junk")) === "5.5")
+    // no parsable prefix: the reference catches the stoll throw into an
+    // empty result — null renders the same
+    assert(eval("${attr:plus(2)}", Map("attr" -> "abc")) === null)
+    // stoll skips leading whitespace and reads the sign
+    assert(eval("${attr:plus(1)}", Map("attr" -> "  +41")) === "42")
+    // 0x is NOT hex at base 10: stoll consumes just the leading 0
+    assert(eval("${attr:plus(1)}", Map("attr" -> "0x1A")) === "1")
+  }
+
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
     val attrs = Map("trillion_milliseconds" -> "1000000000000")
     assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'UTC')}",
