@@ -746,6 +746,23 @@ object Bench {
     val d4Results = Seq(
       "d4_e2e" -> d4Min(sfDir, 8),
       "x10_d4_e2e" -> d4Min(x10Dir, 80))
+    // r18 (#7): the 100 TB fault-tolerance mode, priced — the same
+    // d4_e2e row under spark.graft.staging=reliable (durable checkpoint
+    // instead of executor-local blocks at EVERY compute-once barrier;
+    // results identical by StagingSpec). The gap vs d4_e2e is the
+    // per-barrier durable write+read a deployment pays so the heaviest
+    // staged chain survives executor loss.
+    val d4ReliableResults = {
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-ckpt")
+      spark.conf.set(graft.pipeline.Staging.ConfKey, "reliable")
+      try {
+        try d4Once(sfDir, 8) // warm the reliable shape
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] d4 reliable warm: $e") }
+        Seq("d4_e2e_reliable" -> d4Min(sfDir, 8))
+      } finally spark.conf.set(graft.pipeline.Staging.ConfKey, "local")
+    }
     // Degenerate-cluster contrast set (r15, mirroring the capped LSH
     // pair): 70% of the corpus becomes ONE exact direction — identical
     // quantized vectors score identical cosines to every centroid and
@@ -816,26 +833,58 @@ object Bench {
     // deterministic 25% md5-fraction while the full corpus is still
     // assigned + encoded; the _sampled row is the production
     // configuration, the full-train row stays as the contrast.
-    def ivfPqProdOnce(dir: String, tf: Double): Unit =
+    def ivfPqProd(dir: String, tf: Double, iters: Int) =
       graft.pipeline.Similarity.ivfPqTopK(
         spark.read.parquet(s"$dir/embeddings.parquet"),
         spark.read.parquet(s"$dir/embeddings.parquet")
           .filter(col("vec_id") % 100 === 0),
-        topK = 5, nCells = 256, m = 16, k = 256, iters = 1, nProbe = 3,
+        topK = 5, nCells = 256, m = 16, k = 256, iters = iters, nProbe = 3,
         trainFraction = tf)
+    def ivfPqProdOnce(dir: String, tf: Double, iters: Int = 1): Unit =
+      ivfPqProd(dir, tf, iters)
         .write.format("noop").mode("overwrite").save()
     try ivfPqProdOnce(x10Dir, 0.25) // warm; guarded like every other warm pass
     catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod warm: $e") }
-    def ivfPqProdMin(tf: Double, reps: Int): Double =
+    def ivfPqProdMin(tf: Double, reps: Int, iters: Int = 1): Double =
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { ivfPqProdOnce(x10Dir, tf); (System.nanoTime() - t0) / 1e9 }
+        try { ivfPqProdOnce(x10Dir, tf, iters); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ivfpq prod: $e"); 1e9 }
       }.min
+    // r18 (#3): the depth contrast where Lloyd dominates. At iters=1 the
+    // md5-fraction filter pass costs roughly what one Lloyd round saves
+    // (r17 measured _sampled 4.90 vs full 4.39 s), so the trainFraction
+    // knob shows nothing there. At production training depth (iters=4;
+    // FAISS's own defaults run 10-25 rounds) codebook training is the
+    // bulk of index-build cost — the regime the knob exists for. The
+    // warm passes double as the recall telemetry: recall@5 vs the
+    // brute-force ground truth for BOTH variants — sampling trades
+    // training cost, not recall, so the two recalls must sit within
+    // noise of each other (raw set agreement between the variants is
+    // the WRONG metric: differently-trained codebooks legitimately
+    // reorder a top-k whose tail cosines tie near-exactly).
+    def deepTopkSet(tf: Double): Set[(Long, Long)] =
+      ivfPqProd(x10Dir, tf, iters = 4).select(col("qid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val brute = graft.pipeline.Similarity.bruteForceTopK(
+        spark.read.parquet(s"$x10Dir/embeddings.parquet"),
+        spark.read.parquet(s"$x10Dir/embeddings.parquet")
+          .filter(col("vec_id") % 100 === 0), 5)
+        .select(col("qid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rFull = (deepTopkSet(1.0) & brute).size.toDouble / math.max(1, brute.size)
+      val rSamp = (deepTopkSet(0.1) & brute).size.toDouble / math.max(1, brute.size)
+      System.err.println(f"[bench] ivfpq deep recall@5 vs brute force: " +
+        f"full-train ${100 * rFull}%.1f%%, sampled(0.1) ${100 * rSamp}%.1f%%")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ivfpq deep warm/recall: $e") }
     val ivfPqProdResults = Seq(
       "prod_embed_topk_ivfpq_sampled" -> ivfPqProdMin(0.25, 2),
-      "prod_embed_topk_ivfpq" -> ivfPqProdMin(1.0, 2))
+      "prod_embed_topk_ivfpq" -> ivfPqProdMin(1.0, 2),
+      "prod_embed_topk_ivfpq_deep_sampled" -> ivfPqProdMin(0.1, 2, iters = 4),
+      "prod_embed_topk_ivfpq_deep" -> ivfPqProdMin(1.0, 2, iters = 4))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -885,6 +934,7 @@ object Bench {
     val extraResults = extra.map(name => name -> minOf3(name, sfDir))
     val qs = (results ++ skewResults ++ x10Results ++ longResults ++
       substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
+      d4ReliableResults ++
       semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -905,6 +955,7 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     val allRows = results ++ skewResults ++ x10Results ++ longResults ++
       substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
+      d4ReliableResults ++
       semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults
     val top10 = allRows.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
