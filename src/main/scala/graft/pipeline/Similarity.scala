@@ -993,6 +993,13 @@ object Similarity {
     // encoded against the trained books. 1.0 (default, the oracle
     // replay) trains on everything; pqLloydAll's seeds >= k require
     // fires loudly on an over-thinned sample.
+    // SAMPLE-SIZE FLOOR (r18, measured): k-sized codebooks want
+    // >= ~39·k training points (FAISS min_points_per_centroid) — on a
+    // 20k-vector corpus with k=256 the recall@5 ladder read 18.4% full /
+    // 15.5% at fraction 0.5 (the floor) / 12.5% at 0.1, so trainFraction
+    // is a SCALE knob: at deployment N the floor 39·k/N is a vanishing
+    // fraction and Lloyd cost drops ~1/fraction with no recall price;
+    // at bench-sized corpora keep trainFraction >= 39·k/N.
     val cTrain =
       if (trainFraction >= 1.0) c
       else c.filter(Sampling.hashFraction(col("cid"), "pqtrain") < trainFraction)
@@ -1095,7 +1102,9 @@ object Similarity {
     // FAISS-style sampled training (r17, see pqTopK): the coarse Lloyd
     // rounds AND the residual-PQ Lloyd rounds both run on a
     // deterministic md5-fraction; the full corpus is still assigned and
-    // encoded against the trained index (the resid pass below).
+    // encoded against the trained index (the resid pass below). The
+    // r18 sample-size floor note at pqTopK applies here twice over —
+    // both max(nCells, k)·~39 points bound the honest trainFraction.
     val cTrain =
       if (trainFraction >= 1.0) c
       else c.filter(Sampling.hashFraction(col("cid"), "ivfpqtrain") < trainFraction)
