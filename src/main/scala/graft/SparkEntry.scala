@@ -737,6 +737,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.8 EL numeric-coercion plane (r18): the stoll/stold prefix
+    // semantics, toRadix digit loop (zero → bare padding) and fromRadix
+    // stoll behaviors (0x prefix, junk-suffix stop) replayed cross-engine
+    // — the reference behaviors Expression.cpp:833-911 + Value.h:48-131
+    // define, each re-derived independently in DuckDB SQL.
+    "el_coercion" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bind: ElCompiler.AttrResolver = {
+        case "junkint" => concat(col("n_chars").cast("string"), lit("junk"))
+        case "empty"   => lit("")
+        case "decjunk" => concat(col("n_chars").cast("string"), lit(".5extra"))
+        case "px"      => concat((col("n_chars") * 2).cast("string"), lit("px"))
+        case "hex"     => lower(hex(col("doc_id")))
+        case "hex0x"   => concat(lit("0x"), lower(hex(col("doc_id"))))
+        case "hexzz"   => concat(lower(hex(col("doc_id"))), lit("zz"))
+        case other     => col(other)
+      }
+      def el(src: String): Column = ElCompiler.template(src, bind)
+      docs.select(
+        col("doc_id"),
+        el("${junkint:plus(2)}").cast("long").as("plus_junk"),
+        el("${empty:plus(5)}").cast("long").as("plus_empty"),
+        el("${decjunk:multiply(2)}").as("mul_dec"),
+        el("${px:divide(4)}").as("div_px"),
+        el("${doc_id:toRadix(2,16)}").as("rad2"),
+        el("${hex:fromRadix(16)}").cast("long").as("from_hex"),
+        el("${hex0x:fromRadix(16)}").cast("long").as("from_hex0x"),
+        el("${hexzz:fromRadix(16)}").cast("long").as("from_junk"))
+        .orderBy("doc_id")
+    }),
+
     // §2.8 EL escape family — full HTML3/4 entity tables + XML set over a
     // constructed string mixing markup chars, Latin-1, and Greek; rt4
     // proves unescape inverts escape on every row (Expression.cpp:468-612)
@@ -6011,6 +6042,25 @@ object SparkEntry {
         |       CASE WHEN range < 30 THEN 'r_low' ELSE 'unmatched' END
         |         AS relationship
         |FROM range(64) ORDER BY file_id""".stripMargin,
+
+    // the stoll/stold prefix semantics re-derived: junk suffixes stop the
+    // parse, empty string is strParse's 0 default, one decimal side goes
+    // long double rendered %.15f-with-trailing-zero-strip, toRadix(0)
+    // yields bare padding, fromRadix honors 0x and junk-stops
+    "el_coercion" ->
+      """SELECT doc_id,
+        | CAST(n_chars + 2 AS BIGINT) AS plus_junk,
+        | CAST(5 AS BIGINT) AS plus_empty,
+        | regexp_replace(printf('%.15f', (n_chars + 0.5) * 2), '\.?0+$', '')
+        |   AS mul_dec,
+        | regexp_replace(printf('%.15f', (n_chars * 2) / 4.0), '\.?0+$', '')
+        |   AS div_px,
+        | CASE WHEN doc_id = 0 THEN repeat('0', 16)
+        |      ELSE lpad(bin(doc_id), 16, '0') END AS rad2,
+        | doc_id AS from_hex,
+        | doc_id AS from_hex0x,
+        | doc_id AS from_junk
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Independent re-derivation of the entity escape: per-char explode +
     // entity-table join + ordered string_agg (the simultaneous-replace
