@@ -802,6 +802,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("bytes").toSeq === Seq.fill(100)(7.toByte))
   }
 
+  test("claim-pointer pixel decode: a spilled image payload materializes " +
+       "from its claim URI at the consumer and decodes to the exact pixel " +
+       "stats — the decode-where-the-consumer-runs story with REAL pixels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imgclaims")
+    // a 4×3 synthetic PNG spilled to a claim file (over the inline cap)
+    // and a tiny one that stays inline — both must decode identically
+    // whether the bytes ride the row or the claim
+    val bigPng = Multimodal.synthPng(11L, 4, 3)
+    val bigPath = dir.resolve("big.png")
+    java.nio.file.Files.write(bigPath, bigPng)
+    val smallPng = Multimodal.synthPng(5L, 1, 1)
+    val df = Seq(
+      (1L, smallPng, "unused"),
+      (2L, bigPng, bigPath.toString)).toDF("id", "img", "uri")
+    val wrapped = Multimodal.wrapBinary(df, col("id"), col("img"),
+      "image/png", col("uri"))
+    val claimed = Multimodal.claimPointers(wrapped,
+      inlineMax = smallPng.length)
+    // the spill actually happened (the big image is a pointer now)
+    assert(claimed.filter(col("mmId") === 2 && col("payload").isNull)
+      .count() === 1)
+    val materialized = claimed.withColumn("payload",
+      Multimodal.materializePayload(col("payload"), col("meta.sourceUri")))
+    val out = Multimodal.imagePixelStats(materialized).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def expect(seed: Long, w: Int, h: Int) = {
+      val pix = for (y <- 0 until h; x <- 0 until w) yield (
+        (seed + 3 * x + 5 * y) % 256,
+        (2 * seed + 7 * x + 11 * y) % 256,
+        (3 * seed + 13 * x + 17 * y) % 256)
+      (w.toLong, h.toLong, pix.map(_._1).sum, pix.map(_._2).sum,
+        pix.map(_._3).sum)
+    }
+    val (w2, h2, r2, g2, b2) = expect(11L, 4, 3)
+    assert(out(2L).getAs[Long]("width") === w2)
+    assert(out(2L).getAs[Long]("height") === h2)
+    assert(out(2L).getAs[Long]("sumR") === r2)
+    assert(out(2L).getAs[Long]("sumG") === g2)
+    assert(out(2L).getAs[Long]("sumB") === b2)
+    val (_, _, r1, g1, b1) = expect(5L, 1, 1)
+    assert(out(1L).getAs[Long]("nPixels") === 1L)
+    assert((out(1L).getAs[Long]("sumR"), out(1L).getAs[Long]("sumG"),
+      out(1L).getAs[Long]("sumB")) === ((r1, g1, b1)))
+  }
+
   test("language id picks the max-marker language deterministically") {
     val d = spark.createDataFrame(Seq(
       (1L, "x the y the z the w"), (2L, "x data y data z"), (3L, "nothing here")))
