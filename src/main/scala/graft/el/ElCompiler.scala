@@ -354,7 +354,16 @@ object ElCompiler {
       * (java.util.Formatter), where the reference's caught-throw empty
       * result must stay null/empty (r18). */
     def doubleToElString(c: Column): Column =
-      when(c.isNotNull, regexp_replace(format_string("%.15f", c), "\\.?0+$", ""))
+      when(c.isNotNull,
+        // C++ ostream spellings for the non-finite values the long-double
+        // path can produce (divide by zero → ±inf, 0/0 → nan; Value.h's
+        // fixed<<setprecision stream prints these as inf/-inf/nan, where
+        // format_string would print Infinity/NaN)
+        when(c === Double.PositiveInfinity, lit("inf"))
+          .when(c === Double.NegativeInfinity, lit("-inf"))
+          .when(isnan(c), lit("nan"))
+          .otherwise(
+            regexp_replace(format_string("%.15f", c), "\\.?0+$", "")))
     /** NiFi arithmetic coercion (expr_binary_op, Expression.cpp:833-863):
       * the int64 path runs iff NEITHER side carries decimal SYNTAX
       * ('.', 'e', 'E' — Value.h isDecimal, the same test the r17
@@ -491,13 +500,46 @@ object ElCompiler {
       // both operands are integral, long double otherwise (Value.h
       // asNumber): "11":minus(13) is "-2", never "-2.0". divide always
       // yields a decimal, like the reference.
-      case "plus"     => intPreserving(subj, a(0), _ + _)
-      case "minus"    => intPreserving(subj, a(0), _ - _)
-      case "multiply" => intPreserving(subj, a(0), _ * _)
-      case "mod"      => intPreserving(subj, a(0), _ % _)
+      // try_* ops (r18): under ANSI (Spark 4's default) a plain +/-/*/%
+      // THROWS on int64 overflow or mod-by-zero — ONE weird attribute row
+      // would poison the whole task at scale. The reference's behavior
+      // there is C++ UB (signed wrap / SIGFPE); the engine's documented
+      // error convention is null, which try_add/subtract/multiply/mod
+      // deliver per-row at codegen speed (on the double path they are
+      // the plain ops — doubles saturate to inf, never throw).
+      case "plus"     => intPreserving(subj, a(0), try_add)
+      case "minus"    => intPreserving(subj, a(0), try_subtract)
+      case "multiply" => intPreserving(subj, a(0), try_multiply)
+      case "mod"      =>
+        // int path: mod-by-zero is C++ SIGFPE in the reference — the
+        // null convention applies (try_mod). Decimal path: std::fmod's
+        // IEEE contract is fmod(x, 0) = NaN, which try_mod would null —
+        // branch it to the NaN doubleToElString spells "nan".
+        val ls = s0; val rs = a(0).cast("string")
+        val anyDec = ls.rlike("[.eE]") || rs.rlike("[.eE]")
+        val (ll, rl) = (asLongEl(ls), asLongEl(rs))
+        val (ld, rd) = (asDoubleEl(ls), asDoubleEl(rs))
+        when(!anyDec && ll.isNotNull && rl.isNotNull,
+          try_mod(ll, rl).cast("string"))
+          .otherwise(doubleToElString(
+            when(rd === 0.0 && ld.isNotNull, lit(Double.NaN))
+              .otherwise(try_mod(ld, rd))))
       // divide is long_only in the reference (expr_divide passes
-      // long_only=true) — ALWAYS long double, with stold prefix semantics
-      case "divide"   => doubleToElString(asDoubleEl(s0) / asDoubleEl(a(0).cast("string")))
+      // long_only=true) — ALWAYS long double, with stold prefix
+      // semantics. IEEE saturation is explicit (r18): under Spark's ANSI
+      // default even DOUBLE division by zero throws, where the
+      // reference's long double yields ±inf (and 0/0 → nan) — branch the
+      // zero divisor to the IEEE values doubleToElString spells
+      // inf/-inf/nan like the reference's stream.
+      case "divide"   =>
+        val num = asDoubleEl(s0)
+        val den = asDoubleEl(a(0).cast("string"))
+        doubleToElString(
+          when(den === 0.0 && num.isNotNull,
+            when(num > 0, lit(Double.PositiveInfinity))
+              .when(num < 0, lit(Double.NegativeInfinity))
+              .otherwise(lit(Double.NaN)))
+            .otherwise(try_divide(num, den)))
       case "toRadix"  =>
         // toRadixUdf replays the reference digit loop exactly: value 0 →
         // NO digits (bare padding, "" unpadded), sign outside the pad

@@ -286,6 +286,28 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:plus(1)}", Map("attr" -> "0x1A")) === "1")
   }
 
+  test("arithmetic never poisons a task: int64 overflow and mod-by-zero " +
+       "are per-row nulls (the reference's behavior there is C++ UB — " +
+       "signed wrap / SIGFPE; try_* ops under Spark's ANSI default)") {
+    assert(eval("${attr:plus(1)}",
+      Map("attr" -> "9223372036854775807")) === null)
+    assert(eval("${attr:minus(1)}",
+      Map("attr" -> "-9223372036854775808")) === null)
+    assert(eval("${attr:multiply(3)}",
+      Map("attr" -> "5000000000000000000")) === null)
+    assert(eval("${attr:mod(0)}", Map("attr" -> "11")) === null)
+    // ...but the DECIMAL path's fmod(x, 0) is IEEE NaN, not an error
+    assert(eval("${attr:mod(0)}", Map("attr" -> "11.5")) === "nan")
+    // the long-double path saturates like the reference's stream prints:
+    // x/0 is inf, 0/0 is nan (Value.h asString via fixed<<setprecision)
+    assert(eval("${attr:divide(0)}", Map("attr" -> "11")) === "inf")
+    assert(eval("${attr:divide(0)}", Map("attr" -> "-11")) === "-inf")
+    assert(eval("${attr:divide(0)}", Map("attr" -> "0")) === "nan")
+    // near-max values that do NOT overflow stay exact on the int path
+    assert(eval("${attr:plus(0)}",
+      Map("attr" -> "9223372036854775807")) === "9223372036854775807")
+  }
+
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
     val attrs = Map("trillion_milliseconds" -> "1000000000000")
     assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'UTC')}",
