@@ -630,8 +630,12 @@ object ElCompiler {
         // strftime %S consumes an OPTIONAL fraction in the reference's
         // parser; the JVM dialect can't express optional sections, so try
         // the fractional pattern first and fall back to whole seconds
+        // try_to_timestamp in BOTH branches (r18): raw to_timestamp
+        // throws on unparseable input under ANSI — one garbage attribute
+        // row must null (the documented throw→null convention), never
+        // poison the task
         val parsed = dateParsePatterns(sArg(0)) match {
-          case Seq(single) => to_timestamp(s0, single)
+          case Seq(single) => call_function("try_to_timestamp", s0, lit(single))
           case multiple => coalesce(multiple.map(p =>
             call_function("try_to_timestamp", s0, lit(p))): _*)
         }

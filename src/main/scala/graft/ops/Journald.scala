@@ -59,8 +59,10 @@ object Journald {
     * any other spelling routes through the strftime→JVM pattern
     * translator the EL compiler uses. */
   def journaldTimestamp(fields: Column, format: String): Column = {
+    // try_cast (r18): a malformed __REALTIME_TIMESTAMP in ONE entry must
+    // render null, not throw under ANSI and poison the whole batch
     val ts = timestamp_micros(
-      element_at(fields, "__REALTIME_TIMESTAMP").cast("long"))
+      element_at(fields, "__REALTIME_TIMESTAMP").try_cast("long"))
     format match {
       case "ISO" | "ISO 8601" | "ISO8601" =>
         date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")

@@ -564,6 +564,15 @@ class ElSpec extends SparkSpec {
       "abc_def_hello|mello_ghi_xyz")
   }
 
+  test("toDate with a pattern nulls on unparseable input instead of " +
+       "throwing (the documented throw-to-null convention; raw " +
+       "to_timestamp would poison the task under ANSI)") {
+    assert(eval("${attr:toDate('%Y/%m/%d', 'UTC')}",
+      Map("attr" -> "garbage")) === null)
+    assert(eval("${attr:toDate('%Y/%m/%d', 'UTC'):format('%m-%d-%Y', 'UTC')}",
+      Map("attr" -> "2014/03/14")) === "03-14-2014") // valid still parses
+  }
+
   test("toDate() no-arg parses RFC3339 variants, truncates to millis, " +
        "rejects offset-less and padded inputs " +
        "(ExpressionLanguageTests.cpp:1226-1280)") {
