@@ -313,16 +313,20 @@ object Exec {
   /**
    * RunLlamaCppInference (extensions/llamacpp/processors/
    * RunLlamaCppInference.h:55): prompt a local model with content. The
-   * model client is STUBBED (no inference lib in this container) — the
-   * partition-batched plumbing (one model handle per partition, rows
-   * streamed through) is the real shape a llama.cpp JNI binding plugs into.
+   * model is [[TinyLlm]] — a REAL deterministic tiny-transformer forward
+   * pass + greedy decode (r19; formerly a stub) whose output the DuckDB
+   * oracle replays analytically. The partition-batched plumbing (one
+   * model handle per partition, rows streamed through) is the exact shape
+   * a llama.cpp JNI binding plugs into in place of TinyLlm.generate.
    */
   def llmInference(prompts: Dataset[String],
-                   stub: String => String = p => s"echo:${p.length}"): Dataset[String] = {
+                   model: String => String =
+                     p => TinyLlm.render(TinyLlm.generate(p)._1))
+      : Dataset[String] = {
     implicit val enc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
     prompts.mapPartitions { rows =>
-      // real impl: load the model HERE once per partition
-      rows.map(stub)
+      // a native binding would load the model HERE once per partition
+      rows.map(model)
     }
   }
 
@@ -362,15 +366,17 @@ object Exec {
    * untouched (RunLlamaCppInference.cpp:98-103), and stamps the
    * reference's output metrics — `llamacpp.time.to.first.token` as
    * "<ms> ms" and `llamacpp.tokens.per.second` 2-decimal formatted
-   * (RunLlamaCppInferenceTests.cpp:340-369). `generate` is the stub at
-   * the native boundary: (messagesJson → (generated, ttftMs, tokensPerSec)),
-   * invoked once per row inside a partition-mapped UDF exactly where a
-   * llama.cpp binding would run.
+   * (RunLlamaCppInferenceTests.cpp:340-369). `generate` is the model at
+   * the native boundary: ((messagesJson, userMessage) → (generated,
+   * ttftMs, tokensPerSec)), invoked once per row inside a UDF exactly
+   * where a llama.cpp binding would run; the default is [[TinyLlm]]'s
+   * real deterministic forward pass + greedy decode (r19 — the repo's
+   * last stub, retired).
    */
   def runLlamaInference(df: DataFrame, contentCol: Column, promptCol: Column,
                         systemPrompt: String = LlamaDefaultSystemPrompt,
-                        generate: String => (String, Long, Double) =
-                          m => (s"echo:${m.length}", 100L, 2.0)): DataFrame = {
+                        generate: (String, String) => (String, Long, Double) =
+                          TinyLlm.chatGenerate): DataFrame = {
     val user = concat(
       when(length(coalesce(contentCol.cast("string"), lit(""))) > 0,
         concat(lit("Input data (or flow file content):\n"),
@@ -378,11 +384,14 @@ object Exec {
       coalesce(promptCol, lit("")))
     val messagesJson = to_json(struct(
       lit(systemPrompt).as("system"), user.as("user")))
-    val gen = udf { (m: String) =>
-      val (text, ttft, tps) = generate(m)
+    // deterministic model → plain UDF (Catalyst may dedupe/reorder freely);
+    // the user message rides alongside the JSON so a pure-JVM model needn't
+    // re-parse the envelope a native binding would consume
+    val gen = udf { (m: String, u: String) =>
+      val (text, ttft, tps) = generate(m, u)
       (text, s"$ttft ms", f"$tps%.2f")
-    }.asNondeterministic()
-    val out = gen(messagesJson)
+    }
+    val out = gen(messagesJson, user)
     df.withColumn("__llm", when(length(user) > 0, out))
       .withColumn(FlowFrame.Relationship,
         when(length(user) === 0, "failure").otherwise("success"))

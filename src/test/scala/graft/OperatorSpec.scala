@@ -1436,9 +1436,15 @@ class OperatorSpec extends SparkSpec {
       .collect()
     val okRow = out.find(_.getString(1) == "success").get
     val okAttrs = okRow.getMap[String, String](2).toMap
-    assert(okAttrs("llamacpp.time.to.first.token") === "100 ms")
-    assert(okAttrs("llamacpp.tokens.per.second") === "2.00")
-    assert(okRow.getString(0).startsWith("echo:"))
+    // r19: generation is REAL (TinyLlm deterministic transformer). The
+    // metric plane carries deterministic proxies in the reference's exact
+    // rendering: ttft = prompt token count (ms), tokens/sec = decode length
+    val user = s"Input data (or flow file content):\n42\n\n$q"
+    assert(okAttrs("llamacpp.time.to.first.token") === s"${user.length} ms")
+    assert(okAttrs("llamacpp.tokens.per.second") === "8.00")
+    assert(okRow.getString(0) ===
+      TinyLlm.render(TinyLlm.generate(user)._1))
+    assert(okRow.getString(0).matches("[a-p]{8}"))
     assert(okAttrs("keep") === "yes")
     val failRow = out.find(_.getString(1) == "failure").get
     assert(failRow.getString(0) === "")
