@@ -2240,7 +2240,16 @@ object SparkEntry {
         // the r15 strftime renderer path (week-based + ordinal
         // specifiers Spark's own dialect rejects), DuckDB-pinned
         ElCompiler.template("${ts_ms:format('%G-W%V-%u %U %W %j')}", byName)
-          .as("iso_week"))
+          .as("iso_week"),
+        // r19: facet-routed %c (WHOLE seconds — date.h builds a tm and
+        // calls time_put; no millisecond fraction) and the %E/%O
+        // modifier planes: valid combos = C-locale fallback, invalid
+        // combos = literal passthrough
+        ElCompiler.template("${ts_ms:format('%c')}", byName).as("c_fmt"),
+        ElCompiler.template(
+          "${ts_ms:format('%EY-%Om-%Od %OH:%OM:%OS')}", byName).as("alt_mod"),
+        ElCompiler.template("${ts_ms:format('%Ed|%OY')}", byName)
+          .as("lit_mod"))
         .orderBy("event_id")
     }),
 
@@ -3202,18 +3211,44 @@ object SparkEntry {
         .orderBy("file_id")
     }),
 
-    // §2.4 RunLlamaCppInference — stubbed model, real partition batching
-    "llm_inference_stub" -> ((s, dir) => {
-      import s.implicits._
-      val prompts = tbl(s, dir, "documents")
-        .select(concat(col("doc_id"), lit("|"), col("text")).as("p")).as[String]
-      Exec.llmInference(prompts)
-        .toDF("response")
+    // §2.4 RunLlamaCppInference — REAL inference (r19): the full operator
+    // surface (chat assembly, routing, metric stamping) over the TinyLlm
+    // deterministic transformer; generated text is the new content. The
+    // oracle replays the whole greedy decode analytically (recursive CTE).
+    "llm_inference" -> ((s, dir) => {
+      val ff = FlowFrame.wrap(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(col("text"), 1, ops.TinyLlm.ContentWindow).as("body")),
+        "body", Seq("doc_id"))
+      Exec.runLlamaInference(ff, col(FlowFrame.Content), lit("Describe."))
         .select(
-          split(col("response"), ":").getItem(1).cast("long").as("resp_len"))
-        .groupBy()
-        .agg(count(lit(1)).as("n_prompts"),
-          sum(col("resp_len")).as("total_len"))
+          FlowFrame.attr("doc_id").cast("long").as("doc_id"),
+          col(FlowFrame.Content).cast("string").as("gen_text"),
+          FlowFrame.attr("llamacpp.time.to.first.token").as("ttft"),
+          FlowFrame.attr("llamacpp.tokens.per.second").as("tokens_per_sec"),
+          col(FlowFrame.Relationship).as("relationship"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.4 RunLlamaCppInference numeric trace — pins the matmul itself:
+    // generated token ids AND the final step's winning logit (a ~1e8-scale
+    // integer only an exact replay of the attention + unembedding
+    // arithmetic reproduces)
+    "llm_generate_trace" -> ((s, dir) => {
+      val genUdf = udf { (user: String) =>
+        val (toks, lastLogit) = ops.TinyLlm.generate(user)
+        (toks.mkString(" "), lastLogit,
+          ops.TinyLlm.tokenize(user).length.toLong)
+      }
+      val user = concat(lit("Input data (or flow file content):\n"),
+        substring(col("text"), 1, ops.TinyLlm.ContentWindow),
+        lit("\n\nDescribe."))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), genUdf(user).as("g"))
+        .select(col("doc_id"), col("g._1").as("gen_toks"),
+          col("g._2").as("final_logit"), col("g._3").as("n_prompt"))
+        .orderBy("doc_id")
     }),
 
     // §2.5 MergeContent Bin-Pack — correlation bins with max-count cap
@@ -5531,6 +5566,98 @@ object SparkEntry {
        |  (1000000 * CAST(SUM(hit) AS BIGINT)) // d.denom AS recall_micro
        |FROM j, d GROUP BY method, d.denom ORDER BY method""".stripMargin
 
+  /**
+   * TinyLlm oracle (r19): the DuckDB replay of the FULL tiny-transformer
+   * greedy decode — a recursive CTE advancing the token list 8 steps, each
+   * step re-running the forward pass (embedding + position, q/k/v
+   * projections with the inlined weight matrices, exact-rational ReLU²
+   * attention over the whole context, residual, unembedding, first-argmax)
+   * in checked BIGINT arithmetic. The weight matrices are inlined from the
+   * SAME TinyLlm.wq/wk/wv formulas the engine executes, so the two sides
+   * cannot drift silently. DuckDB 1.0 can't bind lambda captures through
+   * LATERAL, so the per-step pipeline nests subqueries instead.
+   */
+  private lazy val TinyLlmGenCte: String = {
+    import graft.ops.TinyLlm.{wq, wk, wv}
+    def mat(f: (Long, Long) => Long): String =
+      (0 until 4).map(a => (0 until 4).map(j => f(a, j)).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    val (mq, mk, mv) = (mat(wq), mat(wk), mat(wv))
+    val uOff = (0 until 4).map(j => 43 * j + 23) // un(w,j) = ((w*107+off)%9)-4
+    s"""WITH RECURSIVE
+       |inp AS (
+       |  SELECT doc_id,
+       |    'Input data (or flow file content):' || chr(10) || substr(text,1,24)
+       |      || chr(10) || chr(10) || 'Describe.' AS u
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(u)+1),
+       |      i -> unicode(substr(u, CAST(i AS INT), 1)) % 16) AS toks,
+       |    length(u) AS np
+       |  FROM inp),
+       |gen AS (
+       |  SELECT doc_id, toks, np, 0 AS step, CAST(0 AS BIGINT) AS last_logit
+       |  FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, list_append(toks, w), np, step+1, lg
+       |  FROM (
+       |   SELECT doc_id, toks, np, step,
+       |     CAST(list_max(lgs) AS BIGINT) AS lg,
+       |     CAST(list_position(lgs, list_max(lgs)) - 1 AS BIGINT) AS w
+       |   FROM (
+       |    SELECT doc_id, toks, np, step,
+       |      list_transform(range(0,16), wi ->
+       |        h[1]*(((wi*107 + ${uOff(0)}) % 9) - 4)
+       |        + h[2]*(((wi*107 + ${uOff(1)}) % 9) - 4)
+       |        + h[3]*(((wi*107 + ${uOff(2)}) % 9) - 4)
+       |        + h[4]*(((wi*107 + ${uOff(3)}) % 9) - 4)) AS lgs
+       |    FROM (
+       |     SELECT doc_id, toks, np, step,
+       |       list_transform(range(1,5), j -> xl[j]*dd + ctx[j]) AS h
+       |     FROM (
+       |      SELECT doc_id, toks, np, step, xl,
+       |        CASE WHEN dn = 0 THEN CAST(1 AS BIGINT) ELSE dn END AS dd,
+       |        CASE WHEN dn = 0 THEN vs[n]
+       |             ELSE list_transform(range(1,5), j ->
+       |               CAST(list_sum(list_transform(range(1, n+1), i ->
+       |                 ss[CAST(i AS BIGINT)] * vs[CAST(i AS BIGINT)][j]))
+       |                 AS BIGINT))
+       |        END AS ctx
+       |      FROM (
+       |       SELECT doc_id, toks, np, step, n, xl, ss, vs,
+       |         CAST(list_sum(ss) AS BIGINT) AS dn
+       |       FROM (
+       |        SELECT doc_id, toks, np, step, n, xl, vs,
+       |          list_transform(ks, k ->
+       |            GREATEST(0, q[1]*k[1] + q[2]*k[2] + q[3]*k[3] + q[4]*k[4])
+       |            * GREATEST(0, q[1]*k[1] + q[2]*k[2] + q[3]*k[3] + q[4]*k[4]))
+       |            AS ss
+       |        FROM (
+       |         SELECT doc_id, toks, np, step, n, xl,
+       |           list_transform(range(1,5), j ->
+       |             xl[1]*($mq)[1][j] + xl[2]*($mq)[2][j]
+       |             + xl[3]*($mq)[3][j] + xl[4]*($mq)[4][j]) AS q,
+       |           list_transform(xs, x -> list_transform(range(1,5), j ->
+       |             x[1]*($mk)[1][j] + x[2]*($mk)[2][j]
+       |             + x[3]*($mk)[3][j] + x[4]*($mk)[4][j])) AS ks,
+       |           list_transform(xs, x -> list_transform(range(1,5), j ->
+       |             x[1]*($mv)[1][j] + x[2]*($mv)[2][j]
+       |             + x[3]*($mv)[3][j] + x[4]*($mv)[4][j])) AS vs
+       |         FROM (
+       |          SELECT doc_id, toks, np, step, n,
+       |            list_transform(range(0,4), j ->
+       |              ((toks[n]*131 + j*31 + 7) % 9) - 4
+       |              + (((n-1)*89 + j*53 + 11) % 9) - 4) AS xl,
+       |            list_transform(range(1, n+1), i ->
+       |              list_transform(range(0,4), j ->
+       |                ((toks[CAST(i AS BIGINT)]*131 + j*31 + 7) % 9) - 4
+       |                + (((i-1)*89 + j*53 + 11) % 9) - 4)) AS xs
+       |          FROM (
+       |           SELECT doc_id, toks, np, step, len(toks) AS n
+       |           FROM gen WHERE step < 8))))))))))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // value:gt(100) truncates BOTH sides to int64 (Expression.cpp:993
     // expr_gt: the int path unless BOTH args carry decimal syntax;
@@ -6056,7 +6183,11 @@ object SparkEntry {
         | regexp_replace(printf('%.15f', (n_chars * 2) / 4.0), '\.?0+$', '')
         |   AS div_px,
         | CASE WHEN doc_id = 0 THEN repeat('0', 16)
-        |      ELSE lpad(bin(doc_id), 16, '0') END AS rad2,
+        |      -- DuckDB lpad TRUNCATES past the target length where the
+        |      -- reference's setw only pads (r18 ADVICE): pad by explicit
+        |      -- repeat so doc_id >= 2^16 never truncates
+        |      ELSE repeat('0', greatest(0, 16 - length(bin(doc_id))))
+        |             || bin(doc_id) END AS rad2,
         | doc_id AS from_hex,
         | doc_id AS from_hex0x,
         | doc_id AS from_junk
@@ -7538,7 +7669,11 @@ object SparkEntry {
     "el_dates" ->
       """SELECT event_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS formatted,
         | epoch_ms(date_trunc('minute', ts)) AS minute_ms,
-        | strftime(ts, '%G-W%V-%u %U %W %j') AS iso_week
+        | strftime(ts, '%G-W%V-%u %U %W %j') AS iso_week,
+        | strftime(ts, '%a %b ') || lpad(strftime(ts, '%-d'), 2, ' ')
+        |   || strftime(ts, ' %H:%M:%S %Y') AS c_fmt,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS alt_mod,
+        | '%Ed|%OY' AS lit_mod
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_langid" ->
@@ -8006,10 +8141,28 @@ object SparkEntry {
         |FROM orders
         |ORDER BY substr(o_orderpriority, 1, 1), o_orderkey LIMIT 100""".stripMargin,
 
-    "llm_inference_stub" ->
-      """SELECT COUNT(*) AS n_prompts,
-        | CAST(SUM(length(CAST(doc_id AS VARCHAR)) + 1 + length(text)) AS BIGINT) AS total_len
-        |FROM documents""".stripMargin,
+    // full analytic replay of the greedy decode (see TinyLlmGenCte); the
+    // metric plane is deterministic by design — ttft = prompt token count,
+    // tokens/sec = decode length — in the reference's exact rendering
+    // NOTE: concatenated, NOT interpolated into another stripMargin string —
+    // the CTE's own `||` continuation lines would lose a pipe to a second
+    // margin strip
+    "llm_inference" -> (TinyLlmGenCte + "\n" +
+      """SELECT doc_id,
+        |  array_to_string(list_transform(list_slice(toks, np+1, np+8),
+        |    t -> chr(CAST(97+t AS INT))), '') AS gen_text,
+        |  CAST(np AS VARCHAR) || ' ms' AS ttft,
+        |  '8.00' AS tokens_per_sec,
+        |  'success' AS relationship
+        |FROM gen WHERE step = 8 ORDER BY doc_id""".stripMargin),
+
+    "llm_generate_trace" -> (TinyLlmGenCte + "\n" +
+      """SELECT doc_id,
+        |  array_to_string(list_transform(list_slice(toks, np+1, np+8),
+        |    t -> CAST(t AS VARCHAR)), ' ') AS gen_toks,
+        |  last_logit AS final_logit,
+        |  CAST(np AS BIGINT) AS n_prompt
+        |FROM gen WHERE step = 8 ORDER BY doc_id""".stripMargin),
 
     "merge_bin_pack" ->
       """WITH r AS (SELECT event_type AS correlation, event_id,
