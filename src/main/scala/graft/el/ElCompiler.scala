@@ -179,7 +179,11 @@ object ElCompiler {
     * whole, so LLONG_MIN renders correctly (r18 — the former conv()+abs
     * shape returned "0" for 0 and overflowed on Long.MinValue). */
   private val toRadixUdf = udf { (v: java.lang.Long, radix: Int, pad: Int) =>
-    if (v == null) null
+    // the reference throws runtime_error for radix outside [2,36]
+    // (Expression.cpp:869-871) → null per the EL error convention; without
+    // the guard Character.forDigit returns ' ' out of range and the
+    // UDF would silently emit NUL-filled garbage (r18 ADVICE)
+    if (v == null || radix < 2 || radix > 36) null
     else {
       val sign = if (v < 0) "-" else ""
       val sb = new StringBuilder
@@ -201,7 +205,9 @@ object ElCompiler {
     * null here, the EL error convention (r18 — the former conv() shape
     * silently wrapped overflow mod 2⁶⁴ and read "0x" as 0). */
   private val fromRadixUdf = udf { (s: String, radix: Int) =>
-    if (s == null) null
+    // same [2,36] guard as toRadix (Expression.cpp:905-907) — explicit,
+    // not relying on Character.digit happening to reject every char
+    if (s == null || radix < 2 || radix > 36) null
     else {
       var i = 0
       while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
@@ -532,12 +538,23 @@ object ElCompiler {
       // zero divisor to the IEEE values doubleToElString spells
       // inf/-inf/nan like the reference's stream.
       case "divide"   =>
+        val denSrc = a(0).cast("string")
         val num = asDoubleEl(s0)
-        val den = asDoubleEl(a(0).cast("string"))
+        val den = asDoubleEl(denSrc)
+        // Spark SQL's `den === 0.0` matches -0.0 too, and IEEE x/±0 takes
+        // its sign from BOTH operands — recover the divisor's sign from
+        // the stold source prefix (optional whitespace then '-'), so
+        // "5":divide("-0.0") is -inf like the reference's long-double
+        // division (r18 ADVICE)
+        val denNeg = denSrc.rlike("^\\s*-")
+        val infSameSign = when(denNeg, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity))
+        val infFlipSign = when(denNeg, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity))
         doubleToElString(
           when(den === 0.0 && num.isNotNull,
-            when(num > 0, lit(Double.PositiveInfinity))
-              .when(num < 0, lit(Double.NegativeInfinity))
+            when(num > 0, infSameSign)
+              .when(num < 0, infFlipSign)
               .otherwise(lit(Double.NaN)))
             .otherwise(try_divide(num, den)))
       case "toRadix"  =>
@@ -672,11 +689,12 @@ object ElCompiler {
     while (i < fmt.length - 1) {
       if (fmt.charAt(i) == '%') {
         val c = fmt.charAt(i + 1)
-        if (c == 'E') {
-          if (i + 2 < fmt.length && StrftimeUdfSpecs(fmt.charAt(i + 2)))
-            return true
-          i += 3
-        } else if (StrftimeUdfSpecs(c)) return true
+        // ANY %E/%O-modified command routes to the renderer (r19): the
+        // modifier table (which combos are valid, which fall back to the
+        // C-locale facet, which print as literals) lives there —
+        // date.h:5129-5400 to_stream modifier dispatch
+        if (c == 'E' || c == 'O') return true
+        else if (StrftimeUdfSpecs(c)) return true
         else i += 2
       } else i += 1
     }
@@ -685,7 +703,22 @@ object ElCompiler {
 
   /** C-strftime renderer for the specifiers Spark cannot express —
     * C/POSIX-locale English names, ISO week fields, millisecond %S (the
-    * reference formats millisecond-precision time_points). */
+    * reference formats millisecond-precision time_points natively in
+    * date.h's own %S/%T paths).
+    *
+    * Modifier semantics replay date lib v3.0.x `to_stream`
+    * (date.h:5129-5400, the reference's vendored formatter, r19 mining):
+    * only specific %E/%O combos are VALID — %E{c,C,x,X,y,Y,z} and
+    * %O{d,e,H,I,m,M,S,u,U,V,w,W,y,z}; every other modified command
+    * prints as the LITERAL text "%<mod><spec>" (date.h never falls back
+    * to the unmodified form the way glibc does). Valid combos forward to
+    * the std::time_put facet of the global locale — the C locale at
+    * minifi runtime — whose alternate-era/digit tables are empty, so
+    * they render like the unmodified command WITH ONE EXCEPTION CLASS:
+    * the facet formats a whole-second `struct tm`, so %OS (and the
+    * facet-routed %c/%Ec/%X/%EX/%r) print WHOLE seconds while the
+    * native %S/%T paths keep the millisecond fraction. %Ez/%Oz insert
+    * the ':' into the offset (date.h z-case: `modified != CharT{}`). */
   private[graft] def strftimeRender(zdt: java.time.ZonedDateTime,
                                     fmt: String): String = {
     import java.time.temporal.{ChronoField, WeekFields}
@@ -696,65 +729,109 @@ object ElCompiler {
     var i = 0
     def secMs: String =
       f"${zdt.getSecond}%02d.${zdt.get(ChronoField.MILLI_OF_SECOND)}%03d"
-    def emit(spec: Char, eMod: Boolean): Unit = spec match {
-      case '%' => sb.append('%')
-      case 'a' => sb.append(zdt.getDayOfWeek.getDisplayName(
-        java.time.format.TextStyle.SHORT, Locale.US))
-      case 'A' => sb.append(zdt.getDayOfWeek.getDisplayName(
-        java.time.format.TextStyle.FULL, Locale.US))
-      case 'b' | 'h' => sb.append(zdt.getMonth.getDisplayName(
-        java.time.format.TextStyle.SHORT, Locale.US))
-      case 'B' => sb.append(zdt.getMonth.getDisplayName(
-        java.time.format.TextStyle.FULL, Locale.US))
-      case 'c' => sb.append(strftimeRender(zdt, "%a %b %e %H:%M:%S %Y"))
-      case 'C' => sb.append(p2(zdt.getYear / 100))
-      case 'd' => sb.append(p2(zdt.getDayOfMonth))
-      case 'e' => sb.append(f"${zdt.getDayOfMonth}%2d")
-      case 'D' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
-      case 'F' => sb.append(f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d")
-      case 'g' => sb.append(p2(zdt.get(iso.weekBasedYear()) % 100))
-      case 'G' => sb.append(zdt.get(iso.weekBasedYear()).toString)
-      case 'H' => sb.append(p2(zdt.getHour))
-      case 'I' => sb.append(p2(((zdt.getHour + 11) % 12) + 1))
-      case 'j' => sb.append(f"${zdt.getDayOfYear}%03d")
-      case 'm' => sb.append(p2(zdt.getMonthValue))
-      case 'M' => sb.append(p2(zdt.getMinute))
-      case 'n' => sb.append('\n')
-      case 'p' => sb.append(if (zdt.getHour < 12) "AM" else "PM")
-      case 'r' => sb.append(strftimeRender(zdt, "%I:%M:%S %p"))
-      case 'R' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d")
-      case 's' => sb.append(zdt.toInstant.getEpochSecond.toString)
-      case 'S' => sb.append(secMs)
-      case 'T' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d:" + secMs)
-      case 't' => sb.append('\t')
-      case 'u' => sb.append(zdt.get(iso.dayOfWeek()).toString)
-      case 'U' =>
-        val wdaySun0 = zdt.getDayOfWeek.getValue % 7
-        sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdaySun0) / 7))
-      case 'V' => sb.append(p2(zdt.get(iso.weekOfWeekBasedYear())))
-      case 'w' => sb.append((zdt.getDayOfWeek.getValue % 7).toString)
-      case 'W' =>
-        val wdayMon0 = zdt.getDayOfWeek.getValue - 1
-        sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdayMon0) / 7))
-      case 'x' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
-      case 'X' => sb.append(strftimeRender(zdt, "%H:%M:%S"))
-      case 'y' => sb.append(p2(zdt.getYear % 100))
-      case 'Y' => sb.append(zdt.getYear.toString)
-      case 'z' =>
-        val off = zdt.getOffset.getTotalSeconds
-        val s = if (off < 0) "-" else "+"
-        val a = math.abs(off)
-        if (eMod) sb.append(f"$s${a / 3600}%02d:${(a % 3600) / 60}%02d")
-        else sb.append(f"$s${a / 3600}%02d${(a % 3600) / 60}%02d")
-      case 'Z' => sb.append(zdt.getZone.getId)
-      case other => sb.append('%'); if (eMod) sb.append('E'); sb.append(other)
+    // valid modified commands, date.h:5129-5400 (everything else is
+    // literal passthrough, including %E on d/e/H/I/m/M/S/u/U/V/w/W and
+    // %O on c/C/x/X/Y/Z/a/b/...)
+    val eAllowed = Set('c', 'C', 'x', 'X', 'y', 'Y', 'z')
+    val oAllowed =
+      Set('d', 'e', 'H', 'I', 'm', 'M', 'S', 'u', 'U', 'V', 'w', 'W', 'y', 'z')
+    def emit(spec: Char, mod: Char): Unit = {
+      if (mod != 0 &&
+          !(mod == 'E' && eAllowed(spec)) && !(mod == 'O' && oAllowed(spec))) {
+        sb.append('%').append(mod).append(spec); return
+      }
+      spec match {
+        case '%' => sb.append('%')
+        case 'a' => sb.append(zdt.getDayOfWeek.getDisplayName(
+          java.time.format.TextStyle.SHORT, Locale.US))
+        case 'A' => sb.append(zdt.getDayOfWeek.getDisplayName(
+          java.time.format.TextStyle.FULL, Locale.US))
+        case 'b' | 'h' => sb.append(zdt.getMonth.getDisplayName(
+          java.time.format.TextStyle.SHORT, Locale.US))
+        case 'B' => sb.append(zdt.getMonth.getDisplayName(
+          java.time.format.TextStyle.FULL, Locale.US))
+        // %c/%Ec go through the facet: C-locale d_t_fmt
+        // "%a %b %e %H:%M:%S %Y" over a WHOLE-SECOND tm — no fraction
+        // (date.h:5129-5160; r19 fix: the former recursive render
+        // carried the %S millisecond fraction into %c)
+        case 'c' => sb.append(strftimeRender(zdt, "%a %b %e ") +
+          f"${zdt.getHour}%02d:${zdt.getMinute}%02d:${zdt.getSecond}%02d" +
+          s" ${zdt.getYear}")
+        case 'C' => sb.append(p2(zdt.getYear / 100))
+        case 'd' => sb.append(p2(zdt.getDayOfMonth))
+        case 'e' => sb.append(f"${zdt.getDayOfMonth}%2d")
+        case 'D' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
+        case 'F' => sb.append(
+          f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d")
+        case 'g' => sb.append(p2(zdt.get(iso.weekBasedYear()) % 100))
+        case 'G' => sb.append(zdt.get(iso.weekBasedYear()).toString)
+        case 'H' => sb.append(p2(zdt.getHour))
+        case 'I' => sb.append(p2(((zdt.getHour + 11) % 12) + 1))
+        case 'j' => sb.append(f"${zdt.getDayOfYear}%03d")
+        case 'm' => sb.append(p2(zdt.getMonthValue))
+        case 'M' => sb.append(p2(zdt.getMinute))
+        case 'n' => sb.append('\n')
+        case 'p' => sb.append(if (zdt.getHour < 12) "AM" else "PM")
+        // facet-routed in locale mode: C-locale t_fmt_ampm
+        // "%I:%M:%S %p", whole seconds (r19 fix, was fractional)
+        case 'r' => sb.append(
+          f"${((zdt.getHour + 11) % 12) + 1}%02d:${zdt.getMinute}%02d:" +
+          f"${zdt.getSecond}%02d " + (if (zdt.getHour < 12) "AM" else "PM"))
+        case 'R' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d")
+        case 's' => sb.append(zdt.toInstant.getEpochSecond.toString)
+        // %S native = fractional for ms-precision points; %OS = facet =
+        // whole seconds (date.h S-case O-branch builds a tm)
+        case 'S' =>
+          if (mod == 'O') sb.append(p2(zdt.getSecond)) else sb.append(secMs)
+        case 'T' => sb.append(f"${zdt.getHour}%02d:${zdt.getMinute}%02d:" + secMs)
+        case 't' => sb.append('\t')
+        case 'u' => sb.append(zdt.get(iso.dayOfWeek()).toString)
+        case 'U' =>
+          val wdaySun0 = zdt.getDayOfWeek.getValue % 7
+          sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdaySun0) / 7))
+        case 'V' => sb.append(p2(zdt.get(iso.weekOfWeekBasedYear())))
+        case 'w' => sb.append((zdt.getDayOfWeek.getValue % 7).toString)
+        case 'W' =>
+          val wdayMon0 = zdt.getDayOfWeek.getValue - 1
+          sb.append(p2((zdt.getDayOfYear - 1 + 7 - wdayMon0) / 7))
+        case 'x' => sb.append(strftimeRender(zdt, "%m/%d/%y"))
+        // facet-routed: C-locale t_fmt "%H:%M:%S", whole seconds
+        // (r19 fix, was fractional)
+        case 'X' => sb.append(
+          f"${zdt.getHour}%02d:${zdt.getMinute}%02d:${zdt.getSecond}%02d")
+        case 'y' => sb.append(p2(zdt.getYear % 100))
+        case 'Y' => sb.append(zdt.getYear.toString)
+        case 'z' =>
+          val off = zdt.getOffset.getTotalSeconds
+          val s = if (off < 0) "-" else "+"
+          val a = math.abs(off)
+          if (mod != 0) sb.append(f"$s${a / 3600}%02d:${(a % 3600) / 60}%02d")
+          else sb.append(f"$s${a / 3600}%02d${(a % 3600) / 60}%02d")
+        // %Z prints the zone ABBREVIATION carried by the zoned time
+        // (date.h Z-case streams *abbrev), not the IANA id (r19 fix)
+        case 'Z' => sb.append(java.util.TimeZone.getTimeZone(zdt.getZone)
+          .getDisplayName(
+            zdt.getZone.getRules.isDaylightSavings(zdt.toInstant),
+            java.util.TimeZone.SHORT, Locale.US))
+        case other =>
+          sb.append('%'); if (mod != 0) sb.append(mod); sb.append(other)
+      }
     }
     while (i < fmt.length) {
       val ch = fmt.charAt(i)
       if (ch == '%' && i + 1 < fmt.length) {
-        if (fmt.charAt(i + 1) == 'E' && i + 2 < fmt.length) {
-          emit(fmt.charAt(i + 2), eMod = true); i += 3
-        } else { emit(fmt.charAt(i + 1), eMod = false); i += 2 }
+        val nxt = fmt.charAt(i + 1)
+        if ((nxt == 'E' || nxt == 'O') && i + 2 < fmt.length) {
+          val spec = fmt.charAt(i + 2)
+          // a second modifier is itself invalid: date.h prints the
+          // literal "%<m1><m2>" and the trailing char falls through raw
+          if (spec == 'E' || spec == 'O') {
+            sb.append('%').append(nxt).append(spec); i += 3
+          } else { emit(spec, nxt); i += 3 }
+        } else if (nxt == 'E' || nxt == 'O') {
+          // dangling "%E" at end of pattern: date.h flushes "%" + mod
+          sb.append('%').append(nxt); i += 2
+        } else { emit(nxt, 0.toChar); i += 2 }
       } else { sb.append(ch); i += 1 }
     }
     sb.toString

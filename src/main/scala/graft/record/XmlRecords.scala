@@ -70,7 +70,9 @@ object XmlRecords {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      // rapidjson's Writer emits UPPERCASE hex for control chars (\u001B),
+        // so byte-level equivalence against the reference holds (r18 ADVICE)
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04X")
       case c    => sb.append(c)
     }
     sb.toString

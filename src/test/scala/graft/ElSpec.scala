@@ -264,6 +264,18 @@ class ElSpec extends SparkSpec {
       Map("attr" -> "-9223372036854775808")) === "-8000000000000000")
   }
 
+  test("radix outside [2,36] is the EL error convention, not NUL garbage " +
+       "(the reference throws runtime_error, Expression.cpp:869-871)") {
+    assert(eval("${attr:toRadix(1)}", Map("attr" -> "10")) === null)
+    assert(eval("${attr:toRadix(37)}", Map("attr" -> "10")) === null)
+    assert(eval("${attr:toRadix(0,4)}", Map("attr" -> "10")) === null)
+    assert(eval("${attr:fromRadix(1)}", Map("attr" -> "101")) === null)
+    assert(eval("${attr:fromRadix(37)}", Map("attr" -> "z1")) === null)
+    // boundary radices still work
+    assert(eval("${attr:toRadix(36)}", Map("attr" -> "35")) === "z")
+    assert(eval("${attr:fromRadix(36)}", Map("attr" -> "z")) === "35")
+  }
+
   test("arithmetic stoll/stold prefix coercion (expr_binary_op " +
        "Expression.cpp:833-863 over Value.h:48-131 strParse)") {
     // int path parses the longest digit prefix like stoll
@@ -303,9 +315,36 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:divide(0)}", Map("attr" -> "11")) === "inf")
     assert(eval("${attr:divide(0)}", Map("attr" -> "-11")) === "-inf")
     assert(eval("${attr:divide(0)}", Map("attr" -> "0")) === "nan")
+    // IEEE x/±0 takes its sign from BOTH operands: Spark's `=== 0.0` also
+    // matches -0.0, so the divisor's stold sign prefix decides (r18 ADVICE)
+    assert(eval("${attr:divide(-0.0)}", Map("attr" -> "5")) === "-inf")
+    assert(eval("${attr:divide(-0.0)}", Map("attr" -> "-5")) === "inf")
+    assert(eval("${attr:divide(-0.0)}", Map("attr" -> "0")) === "nan")
+    assert(eval("${den}", Map("den" -> "-0.0")) === "-0.0") // sanity: raw attr
+    assert(eval("${attr:divide(${den})}",
+      Map("attr" -> "7", "den" -> "  -0junk")) === "-inf")
     // near-max values that do NOT overflow stay exact on the int path
     assert(eval("${attr:plus(0)}",
       Map("attr" -> "9223372036854775807")) === "9223372036854775807")
+  }
+
+  test("DOCUMENTED DIVERGENCE — decimal path past 2^53: the reference's " +
+       "long double (Value.h:115-128, 64-bit mantissa on x86) holds " +
+       "9007199254740993 exactly; the engine's float64 (and the DuckDB " +
+       "oracle's DOUBLE) cannot represent it, so the engine rounds to the " +
+       "nearest even double. Pinned here so the divergence is a recorded " +
+       "contract, not an accident (r19 verdict #5 probe)") {
+    // int path is exact to the full int64 range on BOTH sides — no
+    // divergence below the decimal-syntax trigger
+    assert(eval("${attr:plus(0)}",
+      Map("attr" -> "9007199254740993")) === "9007199254740993")
+    // one decimal-syntax side forces the floating path: 2^53+1 is not a
+    // double; x86 long double would print ...93, float64 prints ...92
+    assert(eval("${attr:plus(0.0)}",
+      Map("attr" -> "9007199254740993")) === "9007199254740992")
+    // boundary case both representations agree on: 2^53 itself
+    assert(eval("${attr:plus(1.0)}",
+      Map("attr" -> "9007199254740991")) === "9007199254740992")
   }
 
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
@@ -672,15 +711,18 @@ class ElSpec extends SparkSpec {
     assert(eval("${ms:format('%V %G %u %U %W %w', 'UTC')}", tril) ===
       "36 2001 7 36 36 0")
     assert(eval("${ms:format('%s', 'UTC')}", tril) === "1000000000")
-    // %c / %x / %X compose from the C-locale sub-patterns; %S (and so
-    // %X, %c) carries milliseconds like every other format in this
-    // dialect (the reference formats millisecond-precision time_points)
+    // %c / %x / %X / %r route through std::time_put over a WHOLE-SECOND
+    // struct tm in the reference's date.h (to_stream c/x/X cases build a
+    // tm and call facet.put) — so unlike the natively-rendered %S/%T they
+    // carry NO millisecond fraction (r19 mined fix; date.h:5129-5160)
     assert(eval("${ms:format('%c', 'UTC')}", tril) ===
-      "Sun Sep  9 01:46:40.000 2001")
+      "Sun Sep  9 01:46:40 2001")
     assert(eval("${ms:format('%x %X', 'UTC')}", tril) ===
-      "09/09/01 01:46:40.000")
+      "09/09/01 01:46:40")
     assert(eval("${ms:format('%D %r', 'UTC')}", tril) ===
-      "09/09/01 01:46:40.000 AM")
+      "09/09/01 01:46:40 AM")
+    // ...while the native %S/%T paths DO print the fraction
+    assert(eval("${ms:format('%T', 'UTC')}", tril) === "01:46:40.000")
     // zone rendering: %z is ±hhmm, %Ez is ±hh:mm — and a ZERO offset
     // must print +00:00 like C, never the JVM's 'Z' shorthand
     assert(eval("${ms:format('%z', 'UTC')}", tril) === "+0000")
@@ -691,6 +733,45 @@ class ElSpec extends SparkSpec {
     // fast path unaffected: the common specifiers still codegen
     assert(eval("${ms:format('%Y/%m/%d %H:%M:%SZ', 'UTC')}", tril) ===
       "2001/09/09 01:46:40.000Z")
+  }
+
+  test("locale-alternate %E/%O modifiers replay date.h to_stream exactly " +
+       "(date.h:5129-5400, r19 mining): valid combos fall back to the " +
+       "C-locale facet, INVALID combos print as literals — never the " +
+       "glibc-style unmodified fallback") {
+    val tril = Map("ms" -> "1000000000000") // 2001-09-09T01:46:40Z, Sunday
+    // valid %E combos: E{c,C,x,X,y,Y,z} — C locale has no eras, so they
+    // render like the unmodified command via the facet (whole seconds)
+    assert(eval("${ms:format('%EY %Ey %EC', 'UTC')}", tril) === "2001 01 20")
+    assert(eval("${ms:format('%Ec', 'UTC')}", tril) ===
+      "Sun Sep  9 01:46:40 2001")
+    assert(eval("${ms:format('%Ex %EX', 'UTC')}", tril) === "09/09/01 01:46:40")
+    // valid %O combos: O{d,e,H,I,m,M,S,u,U,V,w,W,y,z} — no alternate
+    // digits in C, so unmodified renderings; %OS is the facet's WHOLE
+    // seconds even though native %S prints the millisecond fraction
+    assert(eval("${ms:format('%Od %Oe %OH %OI %Om %OM', 'UTC')}", tril) ===
+      "09  9 01 01 09 46")
+    assert(eval("${ms:format('%OS', 'UTC')}", tril) === "40")
+    assert(eval("${ms:format('%S', 'UTC')}", tril) === "40.000")
+    assert(eval("${ms:format('%Ou %OU %OV %Ow %OW %Oy', 'UTC')}", tril) ===
+      "7 36 36 0 36 01")
+    // both modifiers insert the ':' into the offset (date.h z-case:
+    // any non-empty modifier)
+    assert(eval("${ms:format('%Oz', 'UTC')}", tril) === "+00:00")
+    assert(eval("${ms:format('%Ez', 'Asia/Kathmandu')}", tril) === "+05:45")
+    // INVALID combos are literal passthrough in date.h (it never falls
+    // back to the unmodified form the way glibc strftime does)
+    assert(eval("${ms:format('%EH', 'UTC')}", tril) === "%EH")
+    assert(eval("${ms:format('%Ed %ES %Eb', 'UTC')}", tril) === "%Ed %ES %Eb")
+    assert(eval("${ms:format('%OY %Oa %OZ %Oc', 'UTC')}", tril) ===
+      "%OY %Oa %OZ %Oc")
+    // a doubled modifier flushes "%<m1><m2>" and the next char prints raw
+    assert(eval("${ms:format('%EOY', 'UTC')}", tril) === "%EOY")
+    // %Z prints the zone ABBREVIATION the zoned time carries (date.h
+    // streams *abbrev), not the IANA id; modified %Z is literal
+    assert(eval("${ms:format('%Z', 'UTC')}", tril) === "UTC")
+    assert(eval("${ms:format('%Z', 'America/Los_Angeles')}", tril) === "PDT")
+    assert(eval("${ms:format('%EZ', 'UTC')}", tril) === "%EZ")
   }
 
   test("quantifier Contains battery over multiple / matching / delineated " +

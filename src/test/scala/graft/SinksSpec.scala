@@ -184,6 +184,18 @@ class SinksSpec extends SparkSpec {
     assert(jpath("$.streams[0].stream.q") === "sl\\as\"h")
   }
 
+  test("Loki REST control-char escapes use UPPERCASE hex like rapidjson's " +
+       "writer (0x1B -> \\u001B), byte-for-byte vs the reference") {
+    import spark.implicits._
+    val esc = 27.toChar.toString             // ESC = 0x1B exercises hex letters
+    val body = Seq((1000000L, "line")).toDF("ts", "line")
+      .agg(Sinks.lokiStream(Seq("env" -> ("a" + esc + "b")),
+        col("ts"), col("line")).as("s"))
+      .select(Sinks.lokiPushBody(col("s"))).collect()(0).getString(0)
+    assert(body.contains("\"env\":\"a\\u001Bb\""))
+    assert(!body.contains("\\u001b"))
+  }
+
   test("Splunk ack polling: request body + per-id status routing " +
        "(QuerySplunkIndexingStatus.cpp:38,75)") {
     import spark.implicits._
