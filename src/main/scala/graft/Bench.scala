@@ -605,17 +605,28 @@ object Bench {
     val wideNoise = Set("dedup_minhash_lsh", "dedup_minhash_lsh_capped",
       "pipeline_e2e", "route_text", "embed_topk_lsh", "embed_topk",
       "embed_neardup", "tfidf_topk")
-    def minOfN(name: String, dir: String): Double = {
+    // r19 (verdict #4): per-ROW spread telemetry. Every published row keeps
+    // min as its point estimate (noise-robust under one-sided steal, the
+    // established round-over-round unit), but the full rep vector is
+    // recorded so BENCH_LATEST.json carries min/median/max per row — cross-
+    // run deltas (the driver re-run swung x10_slimpajama_e2e 68% vs the
+    // committed idle run) can then be judged against a MEASURED band
+    // instead of a remembered one.
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def rec(row: String, ts: Seq[Double]): (String, Double) = {
+      repTimes(row) = ts
+      row -> ts.min
+    }
+    def timesOfN(name: String, dir: String): Seq[Double] = {
       val reps = if (wideNoise(name)) 5 else 3
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { force(name, dir) }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     }
-    def minOf3(name: String, dir: String): Double = minOfN(name, dir)
-    val results = headline.map(name => name -> minOf3(name, sfDir))
+    val results = headline.map(name => rec(name, timesOfN(name, sfDir)))
     // Degenerate-skew rows: same queries, mass-duplicated corpus. Staging
     // time is excluded (it is test-fixture construction, not query work);
     // each measured rep still reads the skewed parquet from disk. Skewed
@@ -626,14 +637,15 @@ object Bench {
     // pressure that outlasts min-of-3 (measured: a comparator row 5×
     // slower right after stageX10 vs identical in isolation)
     val skewComparators =
-      skewed.filterNot(headline.contains).map(name => name -> minOf3(name, sfDir))
+      skewed.filterNot(headline.contains)
+        .map(name => rec(name, timesOfN(name, sfDir)))
     val x10Comparators =
       x10.filterNot(n => headline.contains(n) || skewed.contains(n))
-        .map(name => name -> minOf3(name, sfDir))
+        .map(name => rec(name, timesOfN(name, sfDir)))
     val skewDir = stageSkewed(spark, sfDir)
     val skewResults =
       skewComparators ++
-      skewed.map(name => s"skew_$name" -> minOf3(name, skewDir))
+      skewed.map(name => rec(s"skew_$name", timesOfN(name, skewDir)))
     // Scale-decade rows: same queries, a 10× corpus staged from the sf
     // documents (staging time excluded — fixture construction, not query
     // work). Each x10_* row pairs with a 1× row measured this same run
@@ -653,7 +665,7 @@ object Bench {
     }
     val x10Results =
       x10Comparators ++
-      x10.map(name => s"x10_$name" -> minOf3(name, x10Dir))
+      x10.map(name => rec(s"x10_$name", timesOfN(name, x10Dir)))
     // EXACTSUBSTR long-doc pair (see stageLongDocs): the same registered
     // query, 16× the tokens per doc — the explode/agg path dominates the
     // job floor, so THIS pair carries the near-linearity evidence; the
@@ -665,8 +677,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] long warm: $e") }
     }
     val longResults = Seq(
-      "longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir1),
-      "x10_longdoc_dedup_substrings" -> minOf3("dedup_substrings", longDir10))
+      rec("longdoc_dedup_substrings", timesOfN("dedup_substrings", longDir1)),
+      rec("x10_longdoc_dedup_substrings",
+        timesOfN("dedup_substrings", longDir10)))
     // Mass-duplication skew row for EXACTSUBSTR (see stageSubstrSkew):
     // pairs with longdoc_dedup_substrings above — a hot window key with
     // ~1,500 copies must stay within the capped-family band, not funnel
@@ -674,7 +687,8 @@ object Bench {
     try force("dedup_substrings", substrSkewDir)
     catch { case e: Throwable => System.err.println(s"[bench] substr skew warm: $e") }
     val substrSkewResults = Seq(
-      "skew_longdoc_dedup_substrings" -> minOf3("dedup_substrings", substrSkewDir))
+      rec("skew_longdoc_dedup_substrings",
+        timesOfN("dedup_substrings", substrSkewDir)))
     // Mass-duplication EXACTSUBSTR pair (r16, the done-criterion for the
     // now-implemented hot-key salt): see stageMassDup — ONE window key
     // with ~0.3·|docs|·10,745 copies (~48M at sf0.1). Unsalted, that key
@@ -692,18 +706,19 @@ object Bench {
         spark.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), k = 8, hotKeyThreshold = thr)
         .write.format("noop").mode("overwrite").save()
-    def substrMin(dir: String, thr: Long, reps: Int): Double =
+    def substrTimes(dir: String, thr: Long, reps: Int): Seq[Double] =
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { substrOnce(dir, thr); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] massdup: $e"); 1e9 }
-      }.min
+      }
     try substrOnce(massDupDir, 100000L) // warm the salted shape at scale
     catch { case e: Throwable => System.err.println(s"[bench] massdup warm: $e") }
     val massDupResults = Seq(
-      "massdup_dedup_substrings" -> substrMin(massDupDir, 0L, 2),
-      "massdup_dedup_substrings_salted" -> substrMin(massDupDir, 100000L, 3))
+      rec("massdup_dedup_substrings", substrTimes(massDupDir, 0L, 2)),
+      rec("massdup_dedup_substrings_salted",
+        substrTimes(massDupDir, 100000L, 3)))
     // SemDeDup scale pair: the registered query's fixed nCentroids=8 would
     // make the intra-cluster pair join quadratic at 10× BY CONFIG (cluster
     // population ∝ N at fixed k) — the paper's own scale knob is cluster
@@ -717,17 +732,17 @@ object Bench {
         spark.read.parquet(s"$dir/embeddings.parquet"),
         threshold = 0.3, nCentroids = nC, lloydIters = 2)
         .write.format("noop").mode("overwrite").save()
-    def semDedupMin(dir: String, nC: Int): Double =
+    def semDedupTimes(dir: String, nC: Int): Seq[Double] =
       (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try semDedupOnce(dir, nC)
         catch { case e: Throwable => System.err.println(s"[bench] semdedup: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     semDedupOnce(warmDir, 8); semDedupOnce(x10Dir, 80) // warm both shapes
     val semResults = Seq(
-      "dedup_semantic" -> semDedupMin(sfDir, 8),
-      "x10_dedup_semantic" -> semDedupMin(x10Dir, 80))
+      rec("dedup_semantic", semDedupTimes(sfDir, 8)),
+      rec("x10_dedup_semantic", semDedupTimes(x10Dir, 80)))
     // Full D4 pair, same cluster-count scaling rule as the SemDeDup pair
     // (k ∝ corpus per Abbas 2023 §3; the re-cluster phase scales with it)
     def d4Once(dir: String, nC: Int): Unit =
@@ -735,17 +750,17 @@ object Bench {
         spark.read.parquet(s"$dir/embeddings.parquet"),
         threshold = 0.3, dropFraction = 0.3, nCentroids = nC, lloydIters = 2)
         .write.format("noop").mode("overwrite").save()
-    def d4Min(dir: String, nC: Int): Double =
+    def d4Times(dir: String, nC: Int): Seq[Double] =
       (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try d4Once(dir, nC)
         catch { case e: Throwable => System.err.println(s"[bench] d4: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     d4Once(warmDir, 8); d4Once(x10Dir, 80)
     val d4Results = Seq(
-      "d4_e2e" -> d4Min(sfDir, 8),
-      "x10_d4_e2e" -> d4Min(x10Dir, 80))
+      rec("d4_e2e", d4Times(sfDir, 8)),
+      rec("x10_d4_e2e", d4Times(x10Dir, 80)))
     // r18 (#7): the 100 TB fault-tolerance mode, priced — the same
     // d4_e2e row under spark.graft.staging=reliable (durable checkpoint
     // instead of executor-local blocks at EVERY compute-once barrier;
@@ -755,13 +770,20 @@ object Bench {
     val d4ReliableResults = {
       spark.sparkContext.setCheckpointDir(
         s"${System.getProperty("java.io.tmpdir")}/graft-bench-ckpt")
+      // restore whatever the conf held BEFORE the block (r18 ADVICE:
+      // hardcoding "local" in the finally would silently clobber a
+      // non-default spark.graft.staging for all subsequent rows)
+      val prevStaging = spark.conf.getOption(graft.pipeline.Staging.ConfKey)
       spark.conf.set(graft.pipeline.Staging.ConfKey, "reliable")
       try {
         try d4Once(sfDir, 8) // warm the reliable shape
         catch { case e: Throwable =>
           System.err.println(s"[bench] d4 reliable warm: $e") }
-        Seq("d4_e2e_reliable" -> d4Min(sfDir, 8))
-      } finally spark.conf.set(graft.pipeline.Staging.ConfKey, "local")
+        Seq(rec("d4_e2e_reliable", d4Times(sfDir, 8)))
+      } finally prevStaging match {
+        case Some(v) => spark.conf.set(graft.pipeline.Staging.ConfKey, v)
+        case None    => spark.conf.unset(graft.pipeline.Staging.ConfKey)
+      }
     }
     // Degenerate-cluster contrast set (r15, mirroring the capped LSH
     // pair): 70% of the corpus becomes ONE exact direction — identical
@@ -785,13 +807,13 @@ object Bench {
         threshold = 0.3, nCentroids = nC, lloydIters = 2,
         maxClusterSize = cap)
         .write.format("noop").mode("overwrite").save()
-    def semDedupCappedMin(dir: String, nC: Int, cap: Int): Double =
+    def semDedupCappedTimes(dir: String, nC: Int, cap: Int): Seq[Double] =
       (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try semDedupCappedOnce(dir, nC, cap)
         catch { case e: Throwable => System.err.println(s"[bench] semdedup cap: $e") }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     // the default (salted-exact) and capped rows get the usual warm +
     // min-of-3; the unblocked row is the deliberately-adversarial
     // contrast (r16 measured 42.3 s — ~100M cosine evaluations through
@@ -808,20 +830,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     semDedupOnce(embSkewDir, 80); semDedupCappedOnce(embSkewDir, 80, 64)
     val semSkewResults = Seq(
-      "skew_dedup_semantic" -> (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        try semDedupOnce(embSkewDir, 80)
-        catch { case e: Throwable => System.err.println(s"[bench] semskew: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.min,
-      "skew_dedup_semantic_unblocked" -> {
+      rec("skew_dedup_semantic", semDedupTimes(embSkewDir, 80)),
+      rec("skew_dedup_semantic_unblocked", Seq({
         val t0 = System.nanoTime()
         try { semDedupUnblockedOnce(embSkewDir, 80)
           (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] semskew unblocked: $e"); 1e9 }
-      },
-      "skew_dedup_semantic_capped" -> semDedupCappedMin(embSkewDir, 80, 64))
+      })),
+      rec("skew_dedup_semantic_capped",
+        semDedupCappedTimes(embSkewDir, 80, 64)))
     // Production-parameter IVFADC row (r16, the plan-literal-purge
     // done-criterion): nCells=256, m=16, k=256 on the x10 embeddings —
     // the parameter class where r15's typedlit cross-dot map (nCells·m·k
@@ -845,13 +863,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     try ivfPqProdOnce(x10Dir, 0.25) // warm; guarded like every other warm pass
     catch { case e: Throwable => System.err.println(s"[bench] ivfpq prod warm: $e") }
-    def ivfPqProdMin(tf: Double, reps: Int, iters: Int = 1): Double =
+    def ivfPqProdTimes(tf: Double, reps: Int, iters: Int = 1): Seq[Double] =
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { ivfPqProdOnce(x10Dir, tf, iters); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ivfpq prod: $e"); 1e9 }
-      }.min
+      }
     // r18 (#3): the depth contrast where Lloyd dominates. At iters=1 the
     // md5-fraction filter pass costs roughly what one Lloyd round saves
     // (r17 measured _sampled 4.90 vs full 4.39 s), so the trainFraction
@@ -890,11 +908,18 @@ object Bench {
         f"sampled(0.1, under the floor) ${100 * recall(0.1)}%.1f%%")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivfpq deep warm/recall: $e") }
+    // r19 (verdict #3): the deep pair at reps=3 — the r18 min-of-2
+    // direction flipped between the committed run and the driver's re-run
+    // (6.832/7.851 vs 7.449/6.573), so min-of-2 cannot establish a timing
+    // direction on this ~7 s row class. The per-row spread now published
+    // alongside is the evidence either way: if the min±spread bands
+    // overlap, the honest claim is "within run variance at this corpus".
     val ivfPqProdResults = Seq(
-      "prod_embed_topk_ivfpq_sampled" -> ivfPqProdMin(0.25, 2),
-      "prod_embed_topk_ivfpq" -> ivfPqProdMin(1.0, 2),
-      "prod_embed_topk_ivfpq_deep_sampled" -> ivfPqProdMin(0.5, 2, iters = 4),
-      "prod_embed_topk_ivfpq_deep" -> ivfPqProdMin(1.0, 2, iters = 4))
+      rec("prod_embed_topk_ivfpq_sampled", ivfPqProdTimes(0.25, 2)),
+      rec("prod_embed_topk_ivfpq", ivfPqProdTimes(1.0, 2)),
+      rec("prod_embed_topk_ivfpq_deep_sampled",
+        ivfPqProdTimes(0.5, 3, iters = 4)),
+      rec("prod_embed_topk_ivfpq_deep", ivfPqProdTimes(1.0, 3, iters = 4)))
     // Streaming rows: every other row is batch; these measure the DSv2
     // tail source + stateful defragment + partitioned streaming sink at
     // 1× and 10× (corpora staged from the same sf/x10 documents; staging
@@ -914,8 +939,10 @@ object Bench {
     // FIVE reps like the wide-noise batch rows: r12's published 10× drain
     // read 39% above an idle rerun (9.671 s vs 5.940 s) — min-of-3 still
     // let a steal window through on the longest-running row class
-    val drain1x = (0 until 5).map(_ => tailDrainSeconds(spark, tail1x)).min
-    val drain10x = (0 until 5).map(_ => tailDrainSeconds(spark, tail10x)).min
+    val drain1xTimes = (0 until 5).map(_ => tailDrainSeconds(spark, tail1x))
+    val drain10xTimes = (0 until 5).map(_ => tailDrainSeconds(spark, tail10x))
+    val drain1x = drain1xTimes.min
+    val drain10x = drain10xTimes.min
     // Streaming near-dup pair (r17): the tail drain's 1×/x10 device —
     // mult=10 suffix-disjoint replicas make the drain data-dominated
     // (see stageNearDupCorpus; at mult=1 both sides sat on the ~5 s
@@ -925,13 +952,13 @@ object Bench {
     val nd1x = stageNearDupCorpus(spark, sfDir, "1x", mult = 10)
     val nd10x = stageNearDupCorpus(spark, x10Dir, "10x", mult = 10,
       contentKey = sfDir)
-    val neardup1x = (0 until 3).map(_ => neardupDrainSeconds(spark, nd1x)).min
-    val neardup10x = (0 until 3).map(_ => neardupDrainSeconds(spark, nd10x)).min
+    val nd1xTimes = (0 until 3).map(_ => neardupDrainSeconds(spark, nd1x))
+    val nd10xTimes = (0 until 3).map(_ => neardupDrainSeconds(spark, nd10x))
     val streamResults = Seq(
-      "streaming_tail_e2e" -> drain1x,
-      "x10_streaming_tail_e2e" -> drain10x,
-      "streaming_neardup_e2e" -> neardup1x,
-      "x10_streaming_neardup_e2e" -> neardup10x)
+      rec("streaming_tail_e2e", drain1xTimes),
+      rec("x10_streaming_tail_e2e", drain10xTimes),
+      rec("streaming_neardup_e2e", nd1xTimes),
+      rec("x10_streaming_neardup_e2e", nd10xTimes))
     // throughput rows live in their own section with an explicit unit —
     // every row in `queries` is seconds, so round-over-round tooling can
     // no longer mix 1e6-lines/s values into a seconds comparison
@@ -941,17 +968,31 @@ object Bench {
     // total stays headline-only (round-over-round comparable); the skew_*,
     // x10_* and streaming rows ride along in the queries map for the
     // comparisons
-    val extraResults = extra.map(name => name -> minOf3(name, sfDir))
-    val qs = (results ++ skewResults ++ x10Results ++ longResults ++
+    val extraResults = extra.map(name => rec(name, timesOfN(name, sfDir)))
+    val allRows = results ++ skewResults ++ x10Results ++ longResults ++
       substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
       d4ReliableResults ++
-      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults)
+      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults
+    val qs = allRows
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // per-row rep spread (verdict #4): min is the published point estimate
+    // (same estimator as `queries`); med/max bound the band one idle run
+    // actually spans, so a cross-run delta can be judged against it
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val spread = repTimes.toSeq.map { case (k, ts) =>
+      "\"" + k + "\":{" +
+        f""""min":${ts.min}%.3f,"med":${median(ts)}%.3f,"max":${ts.max}%.3f,"reps":${ts.size}}"""
+    }.mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + f"\":$v%.0f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
+    val sumAll = allRows.map(_._2).sum
+    val json = f"""{"metric":"headline_sum","value":$total%.3f,"unit":"sec","sum_all_rows":$sumAll%.3f,"queries":$qs,"spread":$spread,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
     // The driver's tail-capture window is smaller than this full ~6 KB
     // line — r15/r16/r17 all arrived HEAD-cut mid-JSON (BENCH_r{N}.json
     // parsed: null). So: print the full line early + persist it to
@@ -963,13 +1004,15 @@ object Bench {
     System.out.flush()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
-    val allRows = results ++ skewResults ++ x10Results ++ longResults ++
-      substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
-      d4ReliableResults ++
-      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults
     val top10 = allRows.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","rows":${allRows.size},"full":"BENCH_LATEST.json","throughput":$tp,"top10":$top10}"""
+    // r19 (verdict #6): "value" stays the headline-subset sum (the stable
+    // round-over-round unit); "sum_all_rows" is the sum over every row in
+    // "rows", so the compact object reads correctly once parsed. With
+    // `run / outputStrategy := StdoutOutput` in build.sbt (verdict #1) this
+    // last line prints RAW — no sbt "[info] " prefix — so the driver's
+    // per-line json.loads finally succeeds.
+    val summary = f"""{"metric":"headline_sum","value":$total%.3f,"unit":"sec","sum_all_rows":$sumAll%.3f,"sf":"$sfDir","rows":${allRows.size},"full":"BENCH_LATEST.json","throughput":$tp,"top10":$top10}"""
     spark.stop()
     println(json); System.out.flush()
     println(summary)
