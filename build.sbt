@@ -14,6 +14,9 @@ run / fork := true
 // Pass forked-run stdout through RAW (no "[info] " logger prefix) so the
 // bench's compact one-line JSON summary is machine-parseable from the tail.
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time:" line so that summary is
+// the LITERAL last stdout line of `sbt "runMain graft.Bench"`.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -185,7 +185,12 @@ object Bench {
     "dedup_soft",
     // winnowing (r16): doc-keyed exchange + two window passes over the
     // same per-doc sort — the pair should scale with the shingle explode
-    "winnow_fingerprints")
+    "winnow_fingerprints",
+    // TinyLlm inference (r19): per-row int64 forward pass + greedy decode
+    // riding the scan — content-INsensitive (fixed steps × context × d²
+    // work per doc regardless of text), so the pair is a clean linear-
+    // scaling row for the new REAL-inference plane
+    "llm_inference")
 
   /** Measured at the uniform sf corpus only: the composed filter chain is
     * CONTENT-sensitive (stop-word and punctuation rules), and the x10
