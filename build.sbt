@@ -17,6 +17,9 @@ Compile / run / outputStrategy := Some(StdoutOutput)
 // ...and drop the trailing "[success] Total time:" line so that summary is
 // the LITERAL last stdout line of `sbt "runMain graft.Bench"`.
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another task — exclude
+// it from the unused-key lint (verified working: zero [success] lines)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
