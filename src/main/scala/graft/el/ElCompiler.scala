@@ -334,6 +334,29 @@ object ElCompiler {
     def asLongEl(c: Column): Column =
       when(c === "", lit(0L))
         .otherwise(regexp_extract(c, "^\\s*([+-]?\\d+)", 1).try_cast("long"))
+    /** expr_format's subject coercion is asUnsignedLong = std::stoull
+      * prefix semantics (Expression.cpp:639 over Value.h:89-100, r19
+      * mining): "" → strParse's 0 default (epoch 1970), "123abc" → 123,
+      * no digits → invalid_argument (null here). stoull quirks replayed
+      * exactly: a '-' sign is ACCEPTED and the value wraps mod 2⁶⁴, then
+      * the milliseconds construction narrows uint64→int64 (a second
+      * wrap) — so "-1" double-wraps to epoch -1 ms and
+      * "18446744073709551615" lands there too; digit magnitudes past
+      * 2⁶⁴-1 are std::out_of_range → null. Implemented as a DECIMAL(38)
+      * two's-complement fold so the wrap corner is exact, not UDF'd. */
+    def asEpochEl(c: Column): Column = {
+      val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+        .cast("decimal(38,0)")
+      val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+        .cast("decimal(38,0)")
+      val dec = regexp_extract(c, "^\\s*([+-]?\\d+)", 1)
+        .try_cast("decimal(38,0)")
+      val m = pmod(dec, two64)
+      val signed = when(m >= two63, m - two64).otherwise(m)
+      when(c === "", lit(0L))
+        .otherwise(when(dec.isNotNull && abs(dec) <= two64 - lit(1),
+          signed.cast("long")).otherwise(lit(null).cast("long")))
+    }
     def elCmp(op: (Column, Column) => Column)(l: Column, r: Column): Column = {
       val ls = l.cast("string"); val rs = r.cast("string")
       val bothDec = ls.rlike("[.eE]") && rs.rlike("[.eE]")
@@ -622,9 +645,11 @@ object ElCompiler {
             else strftimeRender(java.time.Instant.ofEpochMilli(ms)
               .atZone(java.time.ZoneId.of(zoneS)), fmtS)
           }
-          f(subj.try_cast("long"))
+          f(asEpochEl(s0))
         } else {
-          val ts = timestamp_millis(subj.try_cast("long"))
+          // subject coercion is stoull-prefix (asEpochEl, r19): "123abc"
+          // formats epoch 123, "" formats epoch 0 — try_cast would null both
+          val ts = timestamp_millis(asEpochEl(s0))
           val zoned = if (rawArgs.size > 1) from_utc_timestamp(ts, sArg(1)) else ts
           date_format(zoned, datePattern(sArg(0), forFormat = true))
         }

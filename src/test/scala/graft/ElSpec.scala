@@ -347,6 +347,30 @@ class ElSpec extends SparkSpec {
       Map("attr" -> "9007199254740991")) === "9007199254740992")
   }
 
+  test("format subject coerces with stoull prefix semantics (r19 mining: " +
+       "expr_format Expression.cpp:639 via Value.h asUnsignedLong) — " +
+       "junk-stop, empty→epoch 0, '-' double-wrap, out_of_range→null") {
+    // longest digit prefix like stoull; junk suffix stops the parse
+    assert(eval("${attr:format('ss.SSS', 'UTC')}",
+      Map("attr" -> "123abc")) === "00.123")
+    assert(eval("${attr:format('%S', 'UTC')}",
+      Map("attr" -> "123abc")) === "00.123")
+    // strParse's empty default is 0 → the epoch, not null
+    assert(eval("${attr:format('yyyy-MM-dd', 'UTC')}",
+      Map("attr" -> "")) === "1970-01-01")
+    // stoull ACCEPTS '-' (wraps mod 2^64), then the milliseconds
+    // construction narrows uint64→int64 — the double wrap lands on -1 ms
+    assert(eval("${attr:format('%Y-%m-%d %T', 'UTC')}",
+      Map("attr" -> "-1")) === "1969-12-31 23:59:59.999")
+    assert(eval("${attr:format('%Y', 'UTC')}",
+      Map("attr" -> "18446744073709551615")) === "1969")
+    // past uint64 range stoull throws out_of_range → the null convention
+    assert(eval("${attr:format('%Y', 'UTC')}",
+      Map("attr" -> "18446744073709551616")) === null)
+    // no parsable prefix → invalid_argument → null
+    assert(eval("${attr:format('%Y', 'UTC')}", Map("attr" -> "abc")) === null)
+  }
+
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
     val attrs = Map("trillion_milliseconds" -> "1000000000000")
     assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'UTC')}",
