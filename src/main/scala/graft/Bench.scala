@@ -964,6 +964,33 @@ object Bench {
       rec("x10_streaming_tail_e2e", drain10xTimes),
       rec("streaming_neardup_e2e", nd1xTimes),
       rec("x10_streaming_neardup_e2e", nd10xTimes))
+    // Deep-decode inference pair (r19): the registered llm_inference pair
+    // is FIXED-COST-dominated (8-step decode over a 70-token context is
+    // ~18k int64 mults per doc — far below the job floor at 50k docs, the
+    // r13 dedup_substrings lesson), so the DATA-dominated scale evidence
+    // for the inference plane is this pair: 128 greedy steps (context
+    // grows 70 → 198, ~0.5M mults per doc) through the partition-batched
+    // Exec.llmInference path — the exact shape a llama.cpp binding runs
+    // in. Greedy decode is prefix-stable (TinyLlmSpec), so this measures
+    // the SAME model the oracle replays, just deeper.
+    def llmDeepSeconds(dir: String): Double = {
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val users = spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("Input data (or flow file content):\n"),
+          substring(col("text"), 1, graft.ops.TinyLlm.ContentWindow),
+          lit("\n\nDescribe.")).as("u")).as[String]
+      graft.ops.Exec.llmInference(users,
+          u => graft.ops.TinyLlm.render(
+            graft.ops.TinyLlm.generate(u, steps = 128)._1))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    llmDeepSeconds(warmDir) // warm the shape
+    val llmDeepResults = Seq(
+      rec("llm_generate_deep", (0 until 3).map(_ => llmDeepSeconds(sfDir))),
+      rec("x10_llm_generate_deep",
+        (0 until 3).map(_ => llmDeepSeconds(x10Dir))))
     // throughput rows live in their own section with an explicit unit —
     // every row in `queries` is seconds, so round-over-round tooling can
     // no longer mix 1e6-lines/s values into a seconds comparison
@@ -977,7 +1004,8 @@ object Bench {
     val allRows = results ++ skewResults ++ x10Results ++ longResults ++
       substrSkewResults ++ massDupResults ++ semResults ++ d4Results ++
       d4ReliableResults ++
-      semSkewResults ++ ivfPqProdResults ++ streamResults ++ extraResults
+      semSkewResults ++ ivfPqProdResults ++ streamResults ++
+      llmDeepResults ++ extraResults
     val qs = allRows
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

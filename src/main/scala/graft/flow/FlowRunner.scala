@@ -1118,7 +1118,8 @@ object Processors {
       // ------------------------------------------------------ sql sources
       case "RunLlamaCppInference" =>
         // prompt is EL over the input's attributes (context.getProperty
-        // with the flow file); generation stays at the native-lib stub
+        // with the flow file); generation is the REAL TinyLlm forward
+        // pass + greedy decode (r19) at the native-lib boundary
         Exec.runLlamaInference(in, content,
           promptCol = ElCompiler.template(prop("Prompt", "")),
           systemPrompt =

@@ -341,9 +341,9 @@ object Exec {
   final case class LlamaMessage(role: String, content: String)
 
   /**
-   * Chat-message assembly (RunLlamaCppInference.cpp:81-109) — the REAL,
-   * fully-testable half of the processor; only token generation sits
-   * behind the native-lib stub. Non-empty content prefixes the user
+   * Chat-message assembly (RunLlamaCppInference.cpp:81-109); token
+   * generation lives behind [[TinyLlm]] — a real deterministic forward
+   * pass a llama.cpp binding would replace. Non-empty content prefixes the user
    * message with "Input data (or flow file content):\n<content>\n\n"; the
    * prompt follows; an empty system prompt drops the system message; an
    * empty user message is the failure route (None).

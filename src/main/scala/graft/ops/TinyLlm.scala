@@ -114,14 +114,16 @@ object TinyLlm {
     (best, bestLogit)
   }
 
-  /** Greedy decode `Steps` tokens from the user message.
+  /** Greedy decode `steps` tokens from the user message (default [[Steps]],
+    * the oracle-replayed depth; greedy decode is prefix-stable, so a deeper
+    * decode extends — never changes — the 8-step trace).
     * Returns (generated tokens, final step's winning logit). */
-  def generate(user: String): (IndexedSeq[Int], Long) = {
+  def generate(user: String, steps: Int = Steps): (IndexedSeq[Int], Long) = {
     val buf = scala.collection.mutable.ArrayBuffer(tokenize(user): _*)
     val np = buf.length
     var lastLogit = 0L
     var s = 0
-    while (s < Steps) {
+    while (s < steps) {
       val (t, lg) = nextToken(buf)
       buf += t; lastLogit = lg
       s += 1

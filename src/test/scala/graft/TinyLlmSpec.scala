@@ -55,6 +55,17 @@ class TinyLlmSpec extends AnyFunSuite {
     assert(TinyLlm.render(a).matches("[a-p]{8}"))
   }
 
+  test("greedy decode is prefix-stable: a deeper decode extends the " +
+       "8-step trace, never rewrites it (the bench's deep rows measure " +
+       "the same model the oracle replays)") {
+    val u = "Input data (or flow file content):\nprefix test\n\nDescribe."
+    val (g8, _) = TinyLlm.generate(u)
+    val (g64, _) = TinyLlm.generate(u, steps = 64)
+    assert(g64.length === 64)
+    assert(g64.take(8) === g8)
+    assert(g64.forall(t => t >= 0 && t < TinyLlm.Vocab))
+  }
+
   test("chatGenerate metric plane: ttft = prompt token count, " +
        "tokens/sec = decode length") {
     val u = "Input data (or flow file content):\nhi\n\nDescribe."
