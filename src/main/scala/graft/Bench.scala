@@ -968,11 +968,15 @@ object Bench {
     // is FIXED-COST-dominated (8-step decode over a 70-token context is
     // ~18k int64 mults per doc — far below the job floor at 50k docs, the
     // r13 dedup_substrings lesson), so the DATA-dominated scale evidence
-    // for the inference plane is this pair: 128 greedy steps (context
-    // grows 70 → 198, ~0.5M mults per doc) through the partition-batched
-    // Exec.llmInference path — the exact shape a llama.cpp binding runs
-    // in. Greedy decode is prefix-stable (TinyLlmSpec), so this measures
-    // the SAME model the oracle replays, just deeper.
+    // for the inference plane is this pair: 512 greedy steps through the
+    // KV-cached decode (the llama.cpp architecture — k/v projected once
+    // per position, each step O(d² + n·d)) on the partition-batched
+    // Exec.llmInference path. repartition(32) on BOTH sides: the sf
+    // fixture is one row group, and without it the 1× side decodes on ONE
+    // core while the staged x10 side gets ten — the r14 longdoc lesson
+    // (the first cut of this pair measured 8.2 vs 8.6 s: pure parallelism
+    // skew, not data cost). Greedy decode is prefix-stable (TinyLlmSpec),
+    // so this measures the SAME model the oracle replays, just deeper.
     def llmDeepSeconds(dir: String): Double = {
       import spark.implicits._
       val t0 = System.nanoTime()
@@ -980,9 +984,10 @@ object Bench {
         .select(concat(lit("Input data (or flow file content):\n"),
           substring(col("text"), 1, graft.ops.TinyLlm.ContentWindow),
           lit("\n\nDescribe.")).as("u")).as[String]
+        .repartition(32)
       graft.ops.Exec.llmInference(users,
           u => graft.ops.TinyLlm.render(
-            graft.ops.TinyLlm.generate(u, steps = 128)._1))
+            graft.ops.TinyLlm.generate(u, steps = 512)._1))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

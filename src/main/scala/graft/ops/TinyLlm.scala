@@ -117,18 +117,73 @@ object TinyLlm {
   /** Greedy decode `steps` tokens from the user message (default [[Steps]],
     * the oracle-replayed depth; greedy decode is prefix-stable, so a deeper
     * decode extends — never changes — the 8-step trace).
-    * Returns (generated tokens, final step's winning logit). */
+    * Returns (generated tokens, final step's winning logit).
+    *
+    * KV-CACHED (r19), the same optimization every llama.cpp deployment
+    * runs: k_i/v_i depend only on (token_i, position_i), which never
+    * change once emitted, so they are projected ONCE when the position
+    * enters the context and each decode step is O(d² + n·d) instead of
+    * the naive O(n·d²) full-recompute — identical arithmetic, identical
+    * trace ([[nextToken]] stays as the cache-free single-step reference
+    * and TinyLlmSpec pins their equality). */
   def generate(user: String, steps: Int = Steps): (IndexedSeq[Int], Long) = {
-    val buf = scala.collection.mutable.ArrayBuffer(tokenize(user): _*)
-    val np = buf.length
+    val toks = scala.collection.mutable.ArrayBuffer(tokenize(user): _*)
+    val np = toks.length
+    val ks = new scala.collection.mutable.ArrayBuffer[Array[Long]](np + steps)
+    val vs = new scala.collection.mutable.ArrayBuffer[Array[Long]](np + steps)
+    def pushKv(t: Int, p: Int): Unit = {
+      val k = new Array[Long](Dim); val v = new Array[Long](Dim)
+      var a = 0
+      while (a < Dim) {
+        val xa = emb(t, p, a)
+        var j = 0
+        while (j < Dim) { k(j) += xa * wk(a, j); v(j) += xa * wv(a, j); j += 1 }
+        a += 1
+      }
+      ks += k; vs += v
+    }
+    var p = 0
+    while (p < np) { pushKv(toks(p), p); p += 1 }
     var lastLogit = 0L
     var s = 0
     while (s < steps) {
-      val (t, lg) = nextToken(buf)
-      buf += t; lastLogit = lg
+      val n = toks.length
+      val xl = Array.tabulate(Dim)(j => emb(toks(n - 1), n - 1L, j))
+      val q = Array.tabulate(Dim) { j =>
+        var acc = 0L; var a = 0
+        while (a < Dim) { acc += xl(a) * wq(a, j); a += 1 }; acc
+      }
+      var dn = 0L
+      val ctx = new Array[Long](Dim)
+      var i = 0
+      while (i < n) {
+        val ki = ks(i)
+        var sc = 0L; var j = 0
+        while (j < Dim) { sc += q(j) * ki(j); j += 1 }
+        val r = math.max(0L, sc)
+        val ss = r * r
+        dn += ss
+        if (ss != 0L) {
+          val vi = vs(i); var j2 = 0
+          while (j2 < Dim) { ctx(j2) += ss * vi(j2); j2 += 1 }
+        }
+        i += 1
+      }
+      val (dd, cx) = if (dn == 0L) (1L, vs(n - 1)) else (dn, ctx)
+      var best = 0; var bestLogit = Long.MinValue
+      var w = 0
+      while (w < Vocab) {
+        var lg = 0L; var j = 0
+        while (j < Dim) { lg += (xl(j) * dd + cx(j)) * un(w, j); j += 1 }
+        if (lg > bestLogit) { bestLogit = lg; best = w }
+        w += 1
+      }
+      toks += best
+      pushKv(best, n)
+      lastLogit = bestLogit
       s += 1
     }
-    (buf.drop(np).toIndexedSeq, lastLogit)
+    (toks.drop(np).toIndexedSeq, lastLogit)
   }
 
   /** Render tokens as text: token t → letter 'a'+t (a..p at Vocab=16). */

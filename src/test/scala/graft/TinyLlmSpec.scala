@@ -66,6 +66,21 @@ class TinyLlmSpec extends AnyFunSuite {
     assert(g64.forall(t => t >= 0 && t < TinyLlm.Vocab))
   }
 
+  test("KV-cached decode is arithmetic-identical to the cache-free " +
+       "single-step reference: same tokens AND same logits at every step") {
+    val u = "Input data (or flow file content):\nkv cache check\n\nDescribe."
+    val buf = scala.collection.mutable.ArrayBuffer(TinyLlm.tokenize(u): _*)
+    val np = buf.length
+    var lastUncached = 0L
+    (0 until 32).foreach { _ =>
+      val (t, lg) = TinyLlm.nextToken(buf)
+      buf += t; lastUncached = lg
+    }
+    val (cached, lastCached) = TinyLlm.generate(u, steps = 32)
+    assert(cached === buf.drop(np).toIndexedSeq)
+    assert(lastCached === lastUncached)
+  }
+
   test("chatGenerate metric plane: ttft = prompt token count, " +
        "tokens/sec = decode length") {
     val u = "Input data (or flow file content):\nhi\n\nDescribe."
