@@ -457,8 +457,26 @@ object ElCompiler {
 
       // substring(offset[, count]) — 0-based, count chars (Expression.cpp:227)
       case "substring" =>
-        if (args.size == 1) substring(s0, a(0).cast("int") + lit(1), lit(Int.MaxValue))
-        else substring(s0, a(0).cast("int") + lit(1), a(1).cast("int"))
+        // r19 mining (expr_substring, Expression.cpp:226-235): offset and
+        // count coerce via asUnsignedLong = stoull PREFIX semantics
+        // ("2junk" → 2, "" → strParse's 0 default, a '-' wraps mod 2⁶⁴ to
+        // a huge offset), and std::string::substr THROWS out_of_range when
+        // offset > length → null, where a raw cast would ANSI-poison the
+        // task on junk and Spark's substring would silently clamp. A
+        // wrapped value ≥ 2⁶³ surfaces from asEpochEl as negative — always
+        // > length, so the offOk guard handles it; a huge COUNT clamps
+        // (substr's count never throws).
+        val off = asEpochEl(a(0).cast("string"))
+        val offOk = off.isNotNull && off >= 0 && off <= length(s0).cast("long")
+        if (args.size == 1)
+          when(offOk, substring(s0, off.cast("int") + lit(1), lit(Int.MaxValue)))
+        else {
+          val cnt = asEpochEl(a(1).cast("string"))
+          val cnt32 = when(cnt < 0 || cnt > Int.MaxValue, lit(Int.MaxValue))
+            .otherwise(cnt.cast("int"))
+          when(offOk && cnt.isNotNull,
+            substring(s0, off.cast("int") + lit(1), cnt32))
+        }
       // before/after first/last occurrence (Expression.cpp:238-266)
       case "substringBefore" => substring_index(s0, sArg(0), 1)
       case "substringAfter" =>

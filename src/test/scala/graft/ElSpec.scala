@@ -371,6 +371,32 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:format('%Y', 'UTC')}", Map("attr" -> "abc")) === null)
   }
 
+  test("substring offset/count coerce like asUnsignedLong (r19 mining: " +
+       "expr_substring Expression.cpp:226-235) — stoull prefix, '' -> 0, " +
+       "offset past the end throws out_of_range -> null, count clamps") {
+    val h = Map("attr" -> "hello")
+    // dynamic args get the stoull prefix parse, never an ANSI cast throw
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "1")) === "ello")
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "1junk")) === "ello")
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "")) === "hello")
+    // offset == size is legal ("" result); offset > size THROWS in the
+    // reference (std::string::substr out_of_range) -> null
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "5")) === "")
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "6")) === null)
+    // '-1' wraps mod 2^64 into a huge offset -> out_of_range -> null
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "-1")) === null)
+    // no parsable prefix -> invalid_argument -> null
+    assert(eval("${attr:substring(${o})}", h + ("o" -> "junk")) === null)
+    // count: prefix parse, huge/wrapped counts CLAMP (substr's count
+    // never throws), empty is the 0 default
+    assert(eval("${attr:substring(1, ${c})}", h + ("c" -> "2junk")) === "el")
+    assert(eval("${attr:substring(1, ${c})}", h + ("c" -> "-1")) === "ello")
+    assert(eval("${attr:substring(1, ${c})}", h + ("c" -> "")) === "")
+    assert(eval("${attr:substring(1, ${c})}", h + ("c" -> "junk")) === null)
+    // literal args unchanged (ExpressionLanguageTests.cpp:180-195)
+    assert(eval("${attr:substring(1, 3)}", h) === "ell")
+  }
+
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
     val attrs = Map("trillion_milliseconds" -> "1000000000000")
     assert(eval("${trillion_milliseconds:format('yyyy/MM/dd HH:mm:ss', 'UTC')}",
