@@ -980,18 +980,26 @@ object Bench {
     def llmDeepSeconds(dir: String): Double = {
       import spark.implicits._
       val t0 = System.nanoTime()
-      val users = spark.read.parquet(s"$dir/documents.parquet")
-        .select(concat(lit("Input data (or flow file content):\n"),
-          substring(col("text"), 1, graft.ops.TinyLlm.ContentWindow),
-          lit("\n\nDescribe.")).as("u")).as[String]
-        .repartition(32)
-      graft.ops.Exec.llmInference(users,
-          u => graft.ops.TinyLlm.render(
-            graft.ops.TinyLlm.generate(u, steps = 512)._1))
-        .write.format("noop").mode("overwrite").save()
+      try {
+        // coalesce: a NULL text row must not surface as a null Dataset
+        // element (the model guards empty, not null-from-concat)
+        val users = spark.read.parquet(s"$dir/documents.parquet")
+          .select(concat(lit("Input data (or flow file content):\n"),
+            substring(coalesce(col("text"), lit("")), 1,
+              graft.ops.TinyLlm.ContentWindow),
+            lit("\n\nDescribe.")).as("u")).as[String]
+          .repartition(32)
+        graft.ops.Exec.llmInference(users,
+            u => graft.ops.TinyLlm.render(
+              graft.ops.TinyLlm.generate(u, steps = 512)._1))
+          .write.format("noop").mode("overwrite").save()
+      } catch { // same convention as timesOfN: log, publish the elapsed wall
+        case e: Throwable => System.err.println(s"[bench] llm deep: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    llmDeepSeconds(warmDir) // warm the shape
+    try llmDeepSeconds(warmDir) // warm the shape
+    catch { case e: Throwable => System.err.println(s"[bench] llm warm: $e") }
     val llmDeepResults = Seq(
       rec("llm_generate_deep", (0 until 3).map(_ => llmDeepSeconds(sfDir))),
       rec("x10_llm_generate_deep",

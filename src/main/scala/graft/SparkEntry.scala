@@ -5577,7 +5577,21 @@ object SparkEntry {
    * cannot drift silently. DuckDB 1.0 can't bind lambda captures through
    * LATERAL, so the per-step pipeline nests subqueries instead.
    */
-  private lazy val TinyLlmGenCte: String = {
+  /** The user-message construction both engines share. The OPERATOR form
+    * replays llamaMessages' contract (RunLlamaCppInference.cpp:81-109):
+    * empty/NULL content drops the input-data banner entirely — the
+    * unconditional form is the direct model-trace query's. */
+  // SINGLE-LINE on purpose: these interpolate into tinyLlmGenCte's
+  // stripMargin template, and a multi-line fragment whose continuation
+  // starts with `||` loses a pipe to the outer margin strip
+  private val TinyLlmUserSql: String =
+    "'Input data (or flow file content):' || chr(10) || " +
+      "substr(text,1,24) || chr(10) || chr(10) || 'Describe.'"
+  private val TinyLlmUserOpSql: String =
+    "CASE WHEN text IS NULL OR text = '' THEN 'Describe.' ELSE " +
+      TinyLlmUserSql + " END"
+
+  private def tinyLlmGenCte(userSql: String): String = {
     import graft.ops.TinyLlm.{wq, wk, wv}
     def mat(f: (Long, Long) => Long): String =
       (0 until 4).map(a => (0 until 4).map(j => f(a, j)).mkString("[", ",", "]"))
@@ -5587,8 +5601,7 @@ object SparkEntry {
     s"""WITH RECURSIVE
        |inp AS (
        |  SELECT doc_id,
-       |    'Input data (or flow file content):' || chr(10) || substr(text,1,24)
-       |      || chr(10) || chr(10) || 'Describe.' AS u
+       |    $userSql AS u
        |  FROM documents),
        |tok AS (
        |  SELECT doc_id,
@@ -8141,13 +8154,16 @@ object SparkEntry {
         |FROM orders
         |ORDER BY substr(o_orderpriority, 1, 1), o_orderkey LIMIT 100""".stripMargin,
 
-    // full analytic replay of the greedy decode (see TinyLlmGenCte); the
+    // full analytic replay of the greedy decode (see tinyLlmGenCte); the
     // metric plane is deterministic by design — ttft = prompt token count,
-    // tokens/sec = decode length — in the reference's exact rendering
+    // tokens/sec = decode length — in the reference's exact rendering. The
+    // OPERATOR form of the user message (banner dropped on empty/NULL
+    // content) matches runLlamaInference's llamaMessages contract; the
+    // trace oracle keeps the unconditional form its engine query builds
     // NOTE: concatenated, NOT interpolated into another stripMargin string —
     // the CTE's own `||` continuation lines would lose a pipe to a second
     // margin strip
-    "llm_inference" -> (TinyLlmGenCte + "\n" +
+    "llm_inference" -> (tinyLlmGenCte(TinyLlmUserOpSql) + "\n" +
       """SELECT doc_id,
         |  array_to_string(list_transform(list_slice(toks, np+1, np+8),
         |    t -> chr(CAST(97+t AS INT))), '') AS gen_text,
@@ -8156,7 +8172,7 @@ object SparkEntry {
         |  'success' AS relationship
         |FROM gen WHERE step = 8 ORDER BY doc_id""".stripMargin),
 
-    "llm_generate_trace" -> (TinyLlmGenCte + "\n" +
+    "llm_generate_trace" -> (tinyLlmGenCte(TinyLlmUserSql) + "\n" +
       """SELECT doc_id,
         |  array_to_string(list_transform(list_slice(toks, np+1, np+8),
         |    t -> CAST(t AS VARCHAR)), ' ') AS gen_toks,

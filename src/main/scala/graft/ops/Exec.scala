@@ -384,13 +384,16 @@ object Exec {
       coalesce(promptCol, lit("")))
     val messagesJson = to_json(struct(
       lit(systemPrompt).as("system"), user.as("user")))
-    // deterministic model → plain UDF (Catalyst may dedupe/reorder freely);
-    // the user message rides alongside the JSON so a pure-JVM model needn't
-    // re-parse the envelope a native binding would consume
+    // nondeterministic UDF: `generate` is a caller-supplied hook — a real
+    // llama.cpp binding samples and reports wall timings, so Catalyst must
+    // not dedupe, re-execute, or reorder the call (the TinyLlm default
+    // happens to be deterministic, but the operator contract is the hook's).
+    // The user message rides alongside the JSON so a pure-JVM model needn't
+    // re-parse the envelope a native binding would consume.
     val gen = udf { (m: String, u: String) =>
       val (text, ttft, tps) = generate(m, u)
       (text, s"$ttft ms", f"$tps%.2f")
-    }
+    }.asNondeterministic()
     val out = gen(messagesJson, user)
     df.withColumn("__llm", when(length(user) > 0, out))
       .withColumn(FlowFrame.Relationship,

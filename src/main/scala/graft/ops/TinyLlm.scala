@@ -65,7 +65,9 @@ object TinyLlm {
   }
 
   /** One greedy step over the token context: (next token, its logit).
-    * First argmax wins ties (list_position semantics in the oracle). */
+    * First argmax wins ties (list_position semantics in the oracle).
+    * Precondition: non-empty context (callers route empty input to the
+    * failure path; [[generate]] guards it). */
   def nextToken(toks: collection.IndexedSeq[Int]): (Int, Long) = {
     val n = toks.length
     val xl = Array.tabulate(Dim)(j => emb(toks(n - 1), n - 1L, j))
@@ -127,6 +129,11 @@ object TinyLlm {
     * trace ([[nextToken]] stays as the cache-free single-step reference
     * and TinyLlmSpec pins their equality). */
   def generate(user: String, steps: Int = Steps): (IndexedSeq[Int], Long) = {
+    // empty/null context: like llama.cpp, decoding needs at least one
+    // token — the operator routes empty user messages to `failure` before
+    // the model runs (runLlamaInference's guard), so the model itself
+    // returns an empty generation instead of indexing toks(-1)
+    if (user == null || user.isEmpty) return (IndexedSeq.empty, 0L)
     val toks = scala.collection.mutable.ArrayBuffer(tokenize(user): _*)
     val np = toks.length
     val ks = new scala.collection.mutable.ArrayBuffer[Array[Long]](np + steps)

@@ -395,6 +395,13 @@ class ElSpec extends SparkSpec {
     assert(eval("${attr:substring(1, ${c})}", h + ("c" -> "junk")) === null)
     // literal args unchanged (ExpressionLanguageTests.cpp:180-195)
     assert(eval("${attr:substring(1, 3)}", h) === "ell")
+    // DOCUMENTED DIVERGENCE (pre-existing, now explicit): the reference's
+    // std::string indexes BYTES while the engine indexes CHARACTERS, so
+    // on multibyte text both the offsets and the out_of_range boundary
+    // are character-based here ("é" is 1 unit, not 2)
+    assert(eval("${attr:substring(1)}", Map("attr" -> "é!")) === "!")
+    assert(eval("${attr:substring(${o})}",
+      Map("attr" -> "é", "o" -> "2")) === null) // byte-indexed substr(2) = ""
   }
 
   test("format date with timezone arg (ExpressionLanguageTests.cpp:1283-1291)") {
@@ -822,6 +829,11 @@ class ElSpec extends SparkSpec {
     assert(eval("${ms:format('%Z', 'UTC')}", tril) === "UTC")
     assert(eval("${ms:format('%Z', 'America/Los_Angeles')}", tril) === "PDT")
     assert(eval("${ms:format('%EZ', 'UTC')}", tril) === "%EZ")
+    // DOCUMENTED DIVERGENCE: for zones whose modern tzdb abbreviation is
+    // numeric, date.h streams that numeric form ("+0545") while the JDK
+    // still carries a legacy alphabetic short name — pinned so the gap
+    // is a recorded contract, not an accident
+    assert(eval("${ms:format('%Z', 'Asia/Kathmandu')}", tril) === "NPT")
   }
 
   test("quantifier Contains battery over multiple / matching / delineated " +

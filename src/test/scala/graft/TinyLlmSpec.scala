@@ -81,6 +81,17 @@ class TinyLlmSpec extends AnyFunSuite {
     assert(lastCached === lastUncached)
   }
 
+  test("empty/null input yields an empty generation, never an index " +
+       "crash — the operator routes empty user messages to failure " +
+       "BEFORE the model, so the model itself must stay total") {
+    assert(TinyLlm.generate("") === ((IndexedSeq.empty[Int], 0L)))
+    assert(TinyLlm.generate(null) === ((IndexedSeq.empty[Int], 0L)))
+    assert(TinyLlm.render(TinyLlm.generate("")._1) === "")
+    // the operator's empty-CONTENT path (banner dropped, user is the bare
+    // prompt) — value cross-checked against the DuckDB oracle replay
+    assert(TinyLlm.render(TinyLlm.generate("Describe.")._1) === "cccdegfc")
+  }
+
   test("chatGenerate metric plane: ttft = prompt token count, " +
        "tokens/sec = decode length") {
     val u = "Input data (or flow file content):\nhi\n\nDescribe."
