@@ -752,6 +752,8 @@ object SparkEntry {
         case "hex"     => lower(hex(col("doc_id")))
         case "hex0x"   => concat(lit("0x"), lower(hex(col("doc_id"))))
         case "hexzz"   => concat(lower(hex(col("doc_id"))), lit("zz"))
+        case "csv"     => concat(col("lang"), lit(","), col("source"), lit(",tail"))
+        case "idx2junk" => concat(lit("2"), col("lang"))
         case other     => col(other)
       }
       def el(src: String): Column = ElCompiler.template(src, bind)
@@ -764,7 +766,16 @@ object SparkEntry {
         el("${doc_id:toRadix(2,16)}").as("rad2"),
         el("${hex:fromRadix(16)}").cast("long").as("from_hex"),
         el("${hex0x:fromRadix(16)}").cast("long").as("from_hex0x"),
-        el("${hexzz:fromRadix(16)}").cast("long").as("from_junk"))
+        el("${hexzz:fromRadix(16)}").cast("long").as("from_junk"),
+        // r20: getDelimitedField's index is the stoull-prefix plane
+        // (Expression.cpp:271 asUnsignedLong - 1): a junk DYNAMIC index
+        // like "2en" extracts field 2; ""/"-1" wrap to unreachable uint64
+        // indices (empty result); an explicit empty delimiter arg is
+        // asString()[0] = '\0' — the subject never splits
+        el("${csv:getDelimitedField(${idx2junk})}").as("gdf_prefix_idx"),
+        el("${csv:getDelimitedField(${empty})}").as("gdf_empty_idx"),
+        el("${csv:getDelimitedField('-1')}").as("gdf_neg_idx"),
+        el("${csv:getDelimitedField(1, '')}").as("gdf_nul_delim"))
         .orderBy("doc_id")
     }),
 
@@ -6203,7 +6214,11 @@ object SparkEntry {
         |             || bin(doc_id) END AS rad2,
         | doc_id AS from_hex,
         | doc_id AS from_hex0x,
-        | doc_id AS from_junk
+        | doc_id AS from_junk,
+        | source AS gdf_prefix_idx,
+        | '' AS gdf_empty_idx,
+        | '' AS gdf_neg_idx,
+        | lang || ',' || source || ',tail' AS gdf_nul_delim
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Independent re-derivation of the entity escape: per-char explode +

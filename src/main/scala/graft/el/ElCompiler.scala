@@ -263,9 +263,14 @@ object ElCompiler {
          strip: Boolean) => {
       if (s == null) null
       else {
-        val d = if (delim.nonEmpty) delim.charAt(0) else ','
-        val q = if (quote.nonEmpty) quote.charAt(0) else '"'
-        val e = if (esc.nonEmpty) esc.charAt(0) else '\\'
+        // an explicit EMPTY arg is asString()[0] on an empty std::string,
+        // which is charT() = NUL (Expression.cpp:274-286) — delimiter '\0'
+        // means the field never splits, quote '\0' never opens a region;
+        // the ','/'"'/'\\' defaults apply only when the arg is ABSENT
+        // (handled at the call site, which passes the default text)
+        val d = if (delim.nonEmpty) delim.charAt(0) else '\u0000'
+        val q = if (quote.nonEmpty) quote.charAt(0) else '\u0000'
+        val e = if (esc.nonEmpty) esc.charAt(0) else '\u0000'
         val n = s.length
         var field = 1
         var inQuote = false
@@ -496,9 +501,25 @@ object ElCompiler {
         val delim = if (rawArgs.size > 1) sArg(1) else ","
         val quote = if (rawArgs.size > 2) sArg(2) else "\""
         val esc = if (rawArgs.size > 3) sArg(3) else "\\"
-        val strip = rawArgs.size > 4 && asString(rawArgs(4)) == "true"
-        getDelimitedFieldUdf(s0, a(0).cast("int"), lit(delim), lit(quote),
-          lit(esc), lit(strip))
+        // strip_chars is asBoolean = utils::string::toBool: trimmed,
+        // case-insensitive "true" (StringUtils.cpp:27-35), not an exact
+        // string compare
+        val strip = rawArgs.size > 4 &&
+          asString(rawArgs(4)).trim.equalsIgnoreCase("true")
+        // index coercion is asUnsignedLong() - 1 (Expression.cpp:271 over
+        // Value.h:89-100 stoull prefix): "" → strParse's 0 default, "2junk"
+        // → 2, '-' wraps mod 2⁶⁴; the -1 then wraps AGAIN for 0, so ""/"0"
+        // (and any wrapped negative) become a uint64 index no real field
+        // count reaches — replayed by passing 0 to the 1-based UDF, since a
+        // JVM string holds < 2³¹ chars and so < 2³¹+1 fields. No-digit junk
+        // is strParse invalid_argument (throw → null here); asEpochEl's
+        // DECIMAL(38) fold carries the exact wrapped bit pattern, keeping
+        // this off the raw-ANSI-cast task-poisoning path.
+        val idxU = asEpochEl(a(0).cast("string"))
+        val idx1 = when(idxU.between(1L, Int.MaxValue.toLong),
+          idxU.cast("int")).otherwise(lit(0))
+        getDelimitedFieldUdf(s0, when(idxU.isNotNull, idx1), lit(delim),
+          lit(quote), lit(esc), lit(strip))
 
       // --- predicates (Expression.cpp:389-428, 800-814, 956-1034) ---
       case "startsWith" => s0.startsWith(a(0).cast("string"))

@@ -101,6 +101,33 @@ class ElSpec extends SparkSpec {
       Map("attr" -> "ab\\")) === "ab\\")
   }
 
+  test("getDelimitedField index is the stoull-prefix plane and an empty " +
+       "delimiter is asString()[0] = NUL (Expression.cpp:271,274-286, " +
+       "Value.h:89-100)") {
+    val attrs = Map("attr" -> "one,two,three", "idx" -> "2junk",
+      "neg" -> "-1", "zero" -> "0", "blank" -> "", "junk" -> "junk")
+    // asUnsignedLong = std::stoull prefix: "2junk" → 2, so a junk DYNAMIC
+    // index extracts field 2 in the reference — and must not ANSI-throw here
+    assert(eval("${attr:getDelimitedField(${idx})}", attrs) === "two")
+    // "" → strParse's 0 default, "0" → 0, "-1" → wraps to 2⁶⁴-1; each then
+    // has 1 subtracted mod 2⁶⁴, landing on a uint64 no field count reaches
+    assert(eval("${attr:getDelimitedField(${blank})}", attrs) === "")
+    assert(eval("${attr:getDelimitedField(${zero})}", attrs) === "")
+    assert(eval("${attr:getDelimitedField(${neg})}", attrs) === "")
+    // no digit prefix at all → strParse invalid_argument (throw → null)
+    assert(eval("${attr:getDelimitedField(${junk})}", attrs) === null)
+    // an EXPLICIT empty delimiter arg is asString()[0] on an empty
+    // std::string = '\0' — the subject never splits (field 1 is the whole
+    // string, field 2 empty); same for an empty quote arg (never opens)
+    assert(eval("${attr:getDelimitedField(1, '')}", attrs) === "one,two,three")
+    assert(eval("${attr:getDelimitedField(2, '')}", attrs) === "")
+    assert(eval("${attr:getDelimitedField(1, ',', '')}",
+      Map("attr" -> "\"a,b\",c")) === "\"a")
+    // strip_chars is toBool: trimmed + case-insensitive (StringUtils.cpp:27)
+    assert(eval("""${attr:getDelimitedField(1, ',', '\"', '\\', 'TRUE')}""",
+      Map("attr" -> "\"a,b\",c")) === "a,b")
+  }
+
   test("startsWith is case-sensitive (ExpressionLanguageTests.cpp:255-270)") {
     assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "A BRAND TEST")) === "false")
     assert(eval("${attr:startsWith('a brand')}", Map("attr" -> "a brand new TEST")) === "true")
