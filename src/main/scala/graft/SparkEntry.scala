@@ -2264,6 +2264,64 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.8 EL toDate PARSE side (r20): the date.h from_stream read
+    // contract over data-derived inputs — 1-2-digit fields, 0+-whitespace
+    // format spaces, POSIX %y pivot, literal invalid-modifier matching,
+    // trailing junk-vs-NUL stream state, %z offset grammar, 12-hour
+    // combine, and parseRfc3339's own corners (single-digit fields,
+    // hour-only offset, 9-digit-ns truncation). Each expectation is
+    // recomputed by the oracle from the raw ts column.
+    "el_todate_parse" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_ms", expr("ts_us DIV 1000"))
+        .withColumn("t", timestamp_millis(col("ts_ms")))
+      val canon = date_format(col("t"), "yyyy-MM-dd HH:mm:ss")
+      val dPart = date_format(col("t"), "yyyy-MM-dd")
+      val sd = concat(
+        year(col("t")).cast("string"), lit("-"),
+        month(col("t")).cast("string"), lit("-"),
+        dayofmonth(col("t")).cast("string"), lit(" "),
+        hour(col("t")).cast("string"), lit(":"),
+        minute(col("t")).cast("string"), lit(":"),
+        second(col("t")).cast("string"))
+      val bind: ElCompiler.AttrResolver = {
+        case "canon"    => canon
+        case "sdigit"   => sd
+        case "junked"   => concat(canon, lit("x"))
+        case "nulled"   => concat(canon, lit("\u0000junk"))
+        case "timeonly" => date_format(col("t"), "HH:mm:ss")
+        case "dateonly" => dPart
+        case "dblspace" => concat(dPart, lit("  "), date_format(col("t"), "HH:mm:ss"))
+        case "litmod"   => concat(dPart, lit(" %Ed"))
+        case "hour25"   => concat(dPart, lit(" 25:00:00"))
+        case "offs"     => concat(canon, lit("+0530"))
+        case "ypiv"     => concat(lpad(pmod(col("event_id"), lit(100))
+                             .cast("string"), 2, "0"), lit("-03-15"))
+        case "rfc1"     => concat(translate(sd, " ", "T"), lit("Z"))
+        case "rfcoff"   => concat(date_format(col("t"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+05"))
+        case "rfcfrac"  => concat(date_format(col("t"), "yyyy-MM-dd'T'HH:mm:ss"), lit(".123456789Z"))
+        case "ampm"     => concat(dPart, lit(" "), date_format(col("t"), "hh:mm:ss a"))
+        case other      => col(other)
+      }
+      def el(src: String): Column = ElCompiler.template(src, bind)
+      ev.select(col("event_id"),
+        el("${canon:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("rt_ms"),
+        el("${sdigit:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("sdigit_ms"),
+        el("${junked:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("junk_null"),
+        el("${nulled:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("nul_ok_ms"),
+        el("${timeonly:toDate('%H:%M:%S')}").cast("long").as("timeonly_null"),
+        el("${dateonly:toDate('%Y-%m-%d')}").cast("long").as("dateonly_ms"),
+        el("${dblspace:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("dblspace_ms"),
+        el("${litmod:toDate('%Y-%m-%d %Ed')}").cast("long").as("litmod_ms"),
+        el("${hour25:toDate('%Y-%m-%d %H:%M:%S')}").cast("long").as("hour25_null"),
+        el("${offs:toDate('%Y-%m-%d %H:%M:%S%z')}").cast("long").as("offset_ms"),
+        el("${ypiv:toDate('%y-%m-%d')}").cast("long").as("pivot_ms"),
+        el("${rfc1:toDate()}").cast("long").as("rfc_sdigit_ms"),
+        el("${rfcoff:toDate()}").cast("long").as("rfc_houroff_ms"),
+        el("${rfcfrac:toDate()}").cast("long").as("rfc_frac_ms"),
+        el("${ampm:toDate('%Y-%m-%d %I:%M:%S %p')}").cast("long").as("ampm_ms"))
+        .orderBy("event_id")
+    }),
+
     // ------- text analysis -------
     "text_langid" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -7702,6 +7760,30 @@ object SparkEntry {
         |   || strftime(ts, ' %H:%M:%S %Y') AS c_fmt,
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS alt_mod,
         | '%Ed|%OY' AS lit_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Every expectation re-derived from the raw ts: the parse must invert
+    // the formatting exactly (second truncation), corners land on fixed
+    // offsets/nulls, and the %y pivot is the POSIX rule recomputed in SQL
+    "el_todate_parse" ->
+      """SELECT event_id,
+        | epoch_ms(date_trunc('second', ts)) AS rt_ms,
+        | epoch_ms(date_trunc('second', ts)) AS sdigit_ms,
+        | CAST(NULL AS BIGINT) AS junk_null,
+        | epoch_ms(date_trunc('second', ts)) AS nul_ok_ms,
+        | CAST(NULL AS BIGINT) AS timeonly_null,
+        | epoch_ms(date_trunc('day', ts)) AS dateonly_ms,
+        | epoch_ms(date_trunc('second', ts)) AS dblspace_ms,
+        | epoch_ms(date_trunc('day', ts)) AS litmod_ms,
+        | CAST(NULL AS BIGINT) AS hour25_null,
+        | epoch_ms(date_trunc('second', ts)) - 19800000 AS offset_ms,
+        | epoch_ms(make_timestamp(CASE WHEN event_id % 100 >= 69
+        |     THEN 1900 + event_id % 100 ELSE 2000 + event_id % 100 END,
+        |   3, 15, 0, 0, 0)) AS pivot_ms,
+        | epoch_ms(date_trunc('second', ts)) AS rfc_sdigit_ms,
+        | epoch_ms(date_trunc('second', ts)) - 18000000 AS rfc_houroff_ms,
+        | epoch_ms(date_trunc('second', ts)) + 123 AS rfc_frac_ms,
+        | epoch_ms(date_trunc('second', ts)) AS ampm_ms
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_langid" ->

@@ -693,35 +693,50 @@ object ElCompiler {
           date_format(zoned, datePattern(sArg(0), forFormat = true))
         }
       case "toDate" if rawArgs.isEmpty => // RFC3339 parse (no-arg form)
-        // utils::timeutils::parseRfc3339 grammar (ExpressionLanguageTests
-        // .cpp:1226-1280): separators ' ', 'T', 't', '_'; the offset is
-        // REQUIRED (Z/z or ±hh:mm); fractional seconds truncate to millis;
-        // no surrounding whitespace/junk. The reference throws on invalid
-        // input — here it yields null, the EL error convention upstream
-        // predicates already treat as false.
-        val rfcValid = s0.rlike(
-          "^\\d{4}-\\d{2}-\\d{2}[Tt_ ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?" +
-            "([Zz]|[+-]\\d{2}:\\d{2})$")
-        // one-to-one separator/zone normalization; in a string that passed
-        // the shape check, the letters t/z only occur in those roles
-        val norm = translate(s0, " tz_", "TTZT")
-        when(rfcValid, unix_millis(to_timestamp(norm)))
-          .otherwise(lit(null).cast("long"))
-      case "toDate" => // string → epoch millis
-        // strftime %S consumes an OPTIONAL fraction in the reference's
-        // parser; the JVM dialect can't express optional sections, so try
-        // the fractional pattern first and fall back to whole seconds
-        // try_to_timestamp in BOTH branches (r18): raw to_timestamp
-        // throws on unparseable input under ANSI — one garbage attribute
-        // row must null (the documented throw→null convention), never
-        // poison the task
-        val parsed = dateParsePatterns(sArg(0)) match {
-          case Seq(single) => call_function("try_to_timestamp", s0, lit(single))
-          case multiple => coalesce(multiple.map(p =>
-            call_function("try_to_timestamp", s0, lit(p))): _*)
+        // utils::timeutils::parseRfc3339 replayed exactly (TimeUtil.cpp:
+        // 85-115, r20): "%F" 1-4/1-2/1-2-digit date fields + one of
+        // "tT_ " + "%T" time with 1-2-digit fields and an optional ≤9-ns
+        // fraction (round-to-ns then TRUNCATE to ms), then either the
+        // Z/z suffix or a %Ez offset (1-2-digit hours, optional ':mm' —
+        // hour-only "+05" is valid, colonless "+0530" is NOT). The
+        // reference throws on invalid input — here it yields null, the
+        // EL error convention upstream predicates already treat as false.
+        val rfc = udf { (in: String) =>
+          if (in == null) null else ElFromStream.rfc3339Ms(in)
         }
-        val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed
-        unix_millis(utc)
+        rfc(s0)
+      case "toDate" => // string → epoch millis
+        val fmtS = sArg(0)
+        if (fmtS.contains('%')) {
+          // the reference's spelling: Howard-Hinnant from_stream, whose
+          // read-side contract no JVM pattern can replay (1-2-digit
+          // fields, POSIX %y pivot, 0+-whitespace format spaces, literal
+          // invalid-modifier matching, ymd-required / trailing-junk-
+          // rejected / trailing-NUL-accepted stream state) — route to the
+          // faithful parser (ElFromStream.scaladoc for the full table)
+          val f = udf { (in: String) =>
+            if (in == null) null else ElFromStream.toDateMs(in, fmtS)
+          }
+          val ms = f(s0)
+          if (rawArgs.size > 1)
+            unix_millis(to_utc_timestamp(timestamp_millis(ms), sArg(1)))
+          else ms
+        } else {
+          // JVM-dialect pattern ('%'-free): Spark's own parser IS the
+          // contract here. %S-style optional fractions don't exist in
+          // this dialect, but multiple candidate patterns may — coalesce.
+          // try_to_timestamp in BOTH branches (r18): raw to_timestamp
+          // throws on unparseable input under ANSI — one garbage
+          // attribute row must null (the documented throw→null
+          // convention), never poison the task
+          val parsed = dateParsePatterns(fmtS) match {
+            case Seq(single) => call_function("try_to_timestamp", s0, lit(single))
+            case multiple => coalesce(multiple.map(p =>
+              call_function("try_to_timestamp", s0, lit(p))): _*)
+          }
+          val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed
+          unix_millis(utc)
+        }
 
       case other =>
         throw new IllegalArgumentException(s"unsupported EL function '$other'")

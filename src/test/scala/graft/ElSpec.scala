@@ -774,6 +774,128 @@ class ElSpec extends SparkSpec {
       Map("ts" -> "2023-03-02 03:49:55.190+08:45 ")) === null)
   }
 
+  test("toDate PARSE side replays date.h from_stream (r20 mining): 1-2 " +
+       "digit numeric fields, 0+-whitespace format spaces, POSIX %y " +
+       "pivot, literal invalid-modifier matching, ymd-required " +
+       "resolution, trailing junk-vs-NUL stream state " +
+       "(date.h:6566-7902, Expression.cpp:660-672)") {
+    def p(in: String, fmt: String): String =
+      eval("${a:toDate('" + fmt + "')}", Map("a" -> in))
+    val base = "1704164645000" // 2024-01-02 03:04:05 UTC
+    assert(p("2024-01-02 03:04:05", "%Y-%m-%d %H:%M:%S") === base)
+    // ru{x, 1, 2}: every numeric field accepts 1..2 digits — a JVM
+    // "MM"/"dd"/"HH" pattern would reject all of these
+    assert(p("2024-1-2 3:4:5", "%Y-%m-%d %H:%M:%S") === base)
+    // a format space is the ws manipulator: matches 0+ whitespace
+    assert(p("2024-01-02  03:04:05", "%Y-%m-%d %H:%M:%S") === base)
+    assert(p("2024-01-02\t03:04:05", "%Y-%m-%d %H:%M:%S") === base)
+    assert(p("2024-01-0203:04:05", "%Y-%m-%d %H:%M:%S") === base)
+    // trailing junk throws (null) — but everything at and after a NUL is
+    // ignored: expr_toDate's peek() returns '\0' which is falsy
+    assert(p("2024-01-02 03:04:05x", "%Y-%m-%d %H:%M:%S") === null)
+    assert(p("2024-01-02 03:04:05\u0000junk", "%Y-%m-%d %H:%M:%S") === base)
+    // the sys_time overload REQUIRES a complete date (fds.ymd.ok()):
+    // time-only fails where Spark would default 1970-01-01; date-only
+    // succeeds (has_tod is preset, tod = 0)
+    assert(p("03:04:05", "%H:%M:%S") === null)
+    assert(p("2024-01-02", "%Y-%m-%d") === "1704153600000")
+    // POSIX %y pivot: 69 → 1969 (a JVM 'yy' reduced-value parse → 2069)
+    assert(p("69-03-15", "%y-%m-%d") ===
+      (java.time.LocalDate.of(1969, 3, 15).toEpochDay * 86400000L).toString)
+    assert(p("68-03-15", "%y-%m-%d") ===
+      (java.time.LocalDate.of(2068, 3, 15).toEpochDay * 86400000L).toString)
+    // %Ey routes to the facet whose C-locale read keeps the same pivot
+    assert(p("69-03-15", "%Ey-%m-%d") ===
+      (java.time.LocalDate.of(1969, 3, 15).toEpochDay * 86400000L).toString)
+    // %y + %C combine instead of pivoting
+    assert(p("19 69-03-15", "%C %y-%m-%d") ===
+      (java.time.LocalDate.of(1969, 3, 15).toEpochDay * 86400000L).toString)
+    // INVALID modified commands match the literal "%<mod><cmd>" INPUT
+    // text (read(is, '%', width, modified, *fmt)) — the read-side mirror
+    // of the r19 format-side literal passthrough
+    assert(p("2024-01-02 %Ed", "%Y-%m-%d %Ed") === "1704153600000")
+    assert(p("2024-01-02 x", "%Y-%m-%d %Ed") === null)
+    // conventional-range rejection happens at RESOLUTION (the read
+    // itself accepts any 2-digit value)
+    assert(p("2024-01-02 25:00:00", "%Y-%m-%d %H:%M:%S") === null)
+    assert(p("2024-02-31 00:00:00", "%Y-%m-%d %H:%M:%S") === null)
+    // checked_set: a re-parsed field must agree
+    assert(p("2024-01-02 2024", "%Y-%m-%d %Y") === "1704153600000")
+    assert(p("2024-01-02 2025", "%Y-%m-%d %Y") === null)
+    // %j resolves month/day from Y-01-01 + (j-1)
+    assert(p("2024 60", "%Y %j") === "1709164800000") // 2024-02-29
+    assert(p("2024 60 02-29", "%Y %j %m-%d") === "1709164800000")
+    assert(p("2024 60 03-01", "%Y %j %m-%d") === null)
+    // Sunday-week resolution: %Y %U %w (2024-01-01 is week 0's Monday)
+    assert(p("2024 0 1", "%Y %U %w") === "1704067200000")
+    // 12-hour clock: %I needs %p (or a consistent %H) — alone it's
+    // ambiguous and BREAKS; with %p it combines
+    assert(p("2024-01-02 03:04:05 PM", "%Y-%m-%d %I:%M:%S %p") ===
+      "1704207845000")
+    assert(p("2024-01-02 12:04:05 AM", "%Y-%m-%d %I:%M:%S %p") ===
+      "1704153845000") // 12 AM = 00:04:05
+    assert(p("2024-01-02 03:04:05", "%Y-%m-%d %I:%M:%S") === null)
+    // %z: sign-optional EXACTLY-2-digit hours + optional COLONLESS
+    // 2-digit minutes; the %Ez form takes 1-2-digit hours + ':mm'
+    assert(p("2024-01-02 03:04:05+0530", "%Y-%m-%d %H:%M:%S%z") ===
+      "1704144845000")
+    assert(p("2024-01-02 03:04:05 0530", "%Y-%m-%d %H:%M:%S %z") ===
+      "1704144845000") // no sign at all
+    assert(p("2024-01-02 03:04:05+05:30", "%Y-%m-%d %H:%M:%S%z") === null)
+    assert(p("2024-01-02 03:04:05+5:30", "%Y-%m-%d %H:%M:%S%Ez") ===
+      "1704144845000")
+    assert(p("2024-01-02 03:04:05+05", "%Y-%m-%d %H:%M:%S%Ez") ===
+      "1704146645000") // hour-only offset
+    // %S consumes ≤ 2+1+3 chars with HALF-EVEN rounding at ms precision;
+    // %OS is the facet WHOLE-second read (a fraction is trailing junk)
+    assert(p("2024-01-02 03:04:05.5", "%Y-%m-%d %H:%M:%S") ===
+      "1704164645500")
+    assert(p("2024-01-02 03:04:5.1235", "%Y-%m-%d %H:%M:%S") ===
+      "1704164645124") // 6-char budget, .1235 → half-even 124
+    assert(p("2024-01-02 03:04:05.1235", "%Y-%m-%d %H:%M:%S") === null)
+    assert(p("2024-01-02 03:04:05", "%Y-%m-%d %H:%M:%OS") === base)
+    assert(p("2024-01-02 03:04:05.5", "%Y-%m-%d %H:%M:%OS") === null)
+    // unknown command = literal "%<c>" match; %% = literal %
+    assert(p("2024-01-02 %q", "%Y-%m-%d %q") === "1704153600000")
+    assert(p("2024-01-02 %", "%Y-%m-%d %%") === "1704153600000")
+    // month/weekday names: date.h scan_keyword — case-insensitive,
+    // full-then-abbreviated, and a dead-ended longer-name prefix FAILS
+    // rather than falling back to the abbreviation it passed through
+    assert(p("Jan 2 2024", "%b %d %Y") === "1704153600000")
+    assert(p("JANUARY 2 2024", "%b %d %Y") === "1704153600000")
+    assert(p("Janu 2 2024", "%b %d %Y") === null)
+    // weekday consistency: 2024-01-02 is a Tuesday
+    assert(p("Tue 2024-01-02", "%a %Y-%m-%d") === "1704153600000")
+    assert(p("Wed 2024-01-02", "%a %Y-%m-%d") === null)
+  }
+
+  test("toDate() no-arg RFC3339 corners beyond the r-battery: 1-2-digit " +
+       "fields, hour-only offset, colonless-minute rejection, the " +
+       "duration-overload hour overflow, the ends_with-Z branch dispatch " +
+       "(TimeUtil.cpp:85-115)") {
+    def d(in: String): String = eval("${a:toDate()}", Map("a" -> in))
+    val base = "1704164645000" // 2024-01-02T03:04:05Z
+    // %F/%T read 1-2 digit fields like any from_stream numeric
+    assert(d("2024-1-2t3:4:5z") === base)
+    // offset: hour-only "+05" is valid %Ez; colonless "+0530" is NOT
+    assert(d("2024-01-02T08:04:05+05") === base)
+    assert(d("2024-01-02T08:34:05+05:30") === base)
+    assert(d("2024-01-02T08:34:05+0530") === null)
+    // the duration overload has NO conventional-range check — hour 25
+    // folds into the next day (sys_days + 25h)
+    assert(d("2024-01-02T25:04:05Z") === "1704243845000")
+    // branch dispatch keys on str.ends_with('Z'/'z'): junk after Z falls
+    // to the OFFSET branch and fails AT the 'Z'; the trailing-NUL
+    // acceptance therefore exists only on the offset form
+    assert(d("2024-01-02T03:04:05Zx") === null)
+    assert(d("2024-01-02T03:04:05Z\u0000x") === null)
+    assert(d("2024-01-02T08:34:05+05:30\u0000x") === base)
+    // fraction: ≤ 9 ns digits read (12-char %T seconds budget), then
+    // TRUNCATED to ms; a 10th digit is trailing junk
+    assert(d("2024-01-02T03:04:05.123456789Z") === "1704164645123")
+    assert(d("2024-01-02T03:04:05.1234567899Z") === null)
+  }
+
   test("strftime week/ordinal/padding specifiers format C-faithfully — " +
        "%G/%V/%u crashed Spark's dialect, %e lost its space pad, " +
        "%U/%W/%C/%s printed raw letters (Expression.cpp format via " +
