@@ -545,6 +545,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // all JSON emitters below use the f-interpolator (= String.format in
+    // the DEFAULT locale): pin ROOT so a comma-decimal locale can never
+    // emit unparseable "0,123" numbers (r19 ADVICE)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -993,10 +997,14 @@ object Bench {
             u => graft.ops.TinyLlm.render(
               graft.ops.TinyLlm.generate(u, steps = 512)._1))
           .write.format("noop").mode("overwrite").save()
-      } catch { // same convention as timesOfN: log, publish the elapsed wall
-        case e: Throwable => System.err.println(s"[bench] llm deep: $e")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        // the 1e9 sentinel, same as substrTimes/semskew (r19 ADVICE): a
+        // failed rep must be visible in BENCH_LATEST, not pass off its
+        // partial wall time as a valid timing
+        case e: Throwable =>
+          System.err.println(s"[bench] llm deep: $e"); 1e9
       }
-      (System.nanoTime() - t0) / 1e9
     }
     try llmDeepSeconds(warmDir) // warm the shape
     catch { case e: Throwable => System.err.println(s"[bench] llm warm: $e") }
@@ -1006,10 +1014,19 @@ object Bench {
         (0 until 3).map(_ => llmDeepSeconds(x10Dir))))
     // throughput rows live in their own section with an explicit unit —
     // every row in `queries` is seconds, so round-over-round tooling can
-    // no longer mix 1e6-lines/s values into a seconds comparison
+    // no longer mix 1e6-lines/s values into a seconds comparison.
+    // r20 (verdict #3): the NEARDUP pair gets a docs/s basis too — the
+    // driver's post-commit rerun swung the trigger-drain WALL rows up to
+    // 13× under machine load while compute rows stayed in band, so
+    // cross-run comparisons of the streaming pairs should read the
+    // work-normalized rate (each name carries its unit)
+    val ndDocs1x = spark.read.parquet(s"$nd1x/documents.parquet").count()
+    val ndDocs10x = spark.read.parquet(s"$nd10x/documents.parquet").count()
     val throughput = Seq(
       "streaming_tail_lines_per_sec" -> lines1x / drain1x,
-      "x10_streaming_tail_lines_per_sec" -> lines10x / drain10x)
+      "x10_streaming_tail_lines_per_sec" -> lines10x / drain10x,
+      "streaming_neardup_docs_per_sec" -> ndDocs1x / nd1xTimes.min,
+      "x10_streaming_neardup_docs_per_sec" -> ndDocs10x / nd10xTimes.min)
     // total stays headline-only (round-over-round comparable); the skew_*,
     // x10_* and streaming rows ride along in the queries map for the
     // comparisons
@@ -1038,7 +1055,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sumAll = allRows.map(_._2).sum
-    val json = f"""{"metric":"headline_sum","value":$total%.3f,"unit":"sec","sum_all_rows":$sumAll%.3f,"queries":$qs,"spread":$spread,"throughput":{"unit":"lines_per_sec","rows":$tp},"sf":"$sfDir"}"""
+    val json = f"""{"metric":"headline_sum","value":$total%.3f,"unit":"sec","sum_all_rows":$sumAll%.3f,"queries":$qs,"spread":$spread,"throughput":{"unit":"per_sec (suffix carries the basis)","rows":$tp},"sf":"$sfDir"}"""
     // The driver's tail-capture window is smaller than this full ~6 KB
     // line — r15/r16/r17 all arrived HEAD-cut mid-JSON (BENCH_r{N}.json
     // parsed: null). So: print the full line early + persist it to

@@ -392,7 +392,10 @@ object Exec {
     // re-parse the envelope a native binding would consume.
     val gen = udf { (m: String, u: String) =>
       val (text, ttft, tps) = generate(m, u)
-      (text, s"$ttft ms", f"$tps%.2f")
+      // explicit ROOT locale: a comma-decimal default locale would render
+      // "8,00" and break byte-exact oracle equality (r19 ADVICE)
+      (text, s"$ttft ms",
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(tps)))
     }.asNondeterministic()
     val out = gen(messagesJson, user)
     df.withColumn("__llm", when(length(user) > 0, out))

@@ -374,6 +374,20 @@ class ElSpec extends SparkSpec {
       Map("attr" -> "9007199254740991")) === "9007199254740992")
   }
 
+  test("DOCUMENTED DIVERGENCE — divide by a float64-underflowing divisor: " +
+       "the engine's stold replay parses \"1e-400\" to +0.0 (double has no " +
+       "such subnormal) and the zero-divisor branch yields inf, where the " +
+       "reference's 80-bit long double (min subnormal ~3.6e-4951) keeps it " +
+       "finite and divides through (~5e+400, beyond double). The r18 " +
+       "sign-recovery path extends the same pre-existing long-double range " +
+       "gap to the inf-sign plane; recorded, not accidental (r19 ADVICE)") {
+    assert(eval("${attr:divide('1e-400')}", Map("attr" -> "5")) === "inf")
+    // sign recovery still keys on the SOURCE '-' prefix at underflow
+    assert(eval("${attr:divide('-1e-400')}", Map("attr" -> "5")) === "-inf")
+    // an exactly-representable small divisor agrees on both sides
+    assert(eval("${attr:divide('0.25')}", Map("attr" -> "5")) === "20")
+  }
+
   test("format subject coerces with stoull prefix semantics (r19 mining: " +
        "expr_format Expression.cpp:639 via Value.h asUnsignedLong) — " +
        "junk-stop, empty→epoch 0, '-' double-wrap, out_of_range→null") {

@@ -58,11 +58,19 @@ def main() -> None:
     if args.run_tests:
         out = subprocess.run(["sbt", "-batch", "test"], cwd=REPO,
                              capture_output=True, text=True).stdout
-        mt = re.search(r"Total number of tests run: (\d+)", out)
+        # r20 (verdict #4): the judge compares against "Tests: succeeded N"
+        # — count THAT, and fail loudly if it disagrees with "Total number
+        # of tests run" (a canceled/aborted test would hide in the gap and
+        # re-create the r19 off-by-one)
+        mt = re.search(r"Tests: succeeded (\d+)", out)
+        mr = re.search(r"Total number of tests run: (\d+)", out)
         ms = re.search(r"Suites: completed (\d+)", out)
         if not mt:
             sys.exit("sbt test produced no summary line")
         tests = int(mt.group(1))
+        if mr and int(mr.group(1)) != tests:
+            sys.exit(f"run/succeeded mismatch: run={mr.group(1)} "
+                     f"succeeded={tests} — investigate before publishing")
         suites = int(ms.group(1)) if ms else None
 
     print(f"oracle-checked queries: {len(oracle)}")
