@@ -1006,8 +1006,7 @@ object Bench {
           System.err.println(s"[bench] llm deep: $e"); 1e9
       }
     }
-    try llmDeepSeconds(warmDir) // warm the shape
-    catch { case e: Throwable => System.err.println(s"[bench] llm warm: $e") }
+    llmDeepSeconds(warmDir) // warm the shape (failures self-log + sentinel)
     val llmDeepResults = Seq(
       rec("llm_generate_deep", (0 until 3).map(_ => llmDeepSeconds(sfDir))),
       rec("x10_llm_generate_deep",

@@ -723,17 +723,11 @@ object ElCompiler {
           else ms
         } else {
           // JVM-dialect pattern ('%'-free): Spark's own parser IS the
-          // contract here. %S-style optional fractions don't exist in
-          // this dialect, but multiple candidate patterns may — coalesce.
-          // try_to_timestamp in BOTH branches (r18): raw to_timestamp
-          // throws on unparseable input under ANSI — one garbage
+          // contract here. try_to_timestamp, not to_timestamp (r18): the
+          // raw form throws on unparseable input under ANSI — one garbage
           // attribute row must null (the documented throw→null
           // convention), never poison the task
-          val parsed = dateParsePatterns(fmtS) match {
-            case Seq(single) => call_function("try_to_timestamp", s0, lit(single))
-            case multiple => coalesce(multiple.map(p =>
-              call_function("try_to_timestamp", s0, lit(p))): _*)
-          }
+          val parsed = call_function("try_to_timestamp", s0, lit(fmtS))
           val utc = if (rawArgs.size > 1) to_utc_timestamp(parsed, sArg(1)) else parsed
           unix_millis(utc)
         }
@@ -916,29 +910,18 @@ object ElCompiler {
     sb.toString
   }
 
-  /** Parse-side pattern candidates: strftime %S accepts the fraction
-    * optionally, so emit both spellings (fractional first). */
-  private[graft] def dateParsePatterns(fmt: String): Seq[String] =
-    if (!fmt.contains('%')) Seq(fmt)
-    else {
-      val frac = strftimeToJvm(fmt)
-      val whole = strftimeToJvm(fmt, fractionalSeconds = false)
-      if (frac == whole) Seq(frac) else Seq(frac, whole)
-    }
-
   private[graft] def strftimeToJvm(fmt: String,
-                                   fractionalSeconds: Boolean = true,
                                    offsetColonLower: Boolean = false): String = {
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
-      'S' -> (if (fractionalSeconds) "ss.SSS" else "ss"), 'j' -> "DDD",
+      'S' -> "ss.SSS", 'j' -> "DDD",
       'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM", 'p' -> "a",
       // %T ≡ %H:%M:%S, so it carries the same millisecond fraction as %S
       // (Parse Date's '%FT%T%Ez' consumes "03:49:55.190",
       // ExpressionLanguageTests.cpp:1183-1187)
       'z' -> "Z", 'F' -> "yyyy-MM-dd",
-      'T' -> (if (fractionalSeconds) "HH:mm:ss.SSS" else "HH:mm:ss"),
+      'T' -> "HH:mm:ss.SSS",
       'R' -> "HH:mm",
       'G' -> "YYYY", 'V' -> "ww", 'u' -> "e")
     val sb = new StringBuilder

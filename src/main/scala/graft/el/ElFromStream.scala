@@ -811,10 +811,13 @@ object ElFromStream {
 
     // tod assembly; has_tod is PRESET by the sys_time overload, so a
     // date-only format succeeds with tod 0
-    var todH = if (f.H != NAH) f.H else 0
+    val todH = if (f.H != NAH) f.H else 0
     val todM = if (f.M != NAH) f.M else 0
     val todSMs = if (f.sMs != NASMS) f.sMs else 0L
-    if (f.j != NADOY) todH += 24 * f.j // %j with no year: days fold into tod
+    // (date.h:7880-7884 folds a leftover %j into tod as 24·j hours — but j
+    // survives only when Y is unset, which already fails the ymd.ok()
+    // check below, so the fold is unobservable on this sys_time path and
+    // intentionally omitted)
 
     // the sys_time overload: ymd.ok() && tod.in_conventional_range()
     if (!ymdOk) return broken
@@ -830,7 +833,7 @@ object ElFromStream {
     * into sys_time<milliseconds>, then
     * `fail() || (peek() && !eof())` → throw (null here). A trailing NUL
     * makes peek() falsy, so everything at and after a NUL is accepted. */
-  def toDateMs(input: String, fmt: String): java.lang.Long = {
+  def toDateMs(input: String, fmt: String): java.lang.Long = try {
     val s = new S(input)
     val f = new Fields
     runFormat(s, fmt, f)
@@ -840,6 +843,14 @@ object ElFromStream {
         if (s.fail || c > 0) null else java.lang.Long.valueOf(ms)
       case None => null
     }
+  } catch {
+    // the week-date/doy trials build LocalDates from UNCLAMPED parsed
+    // fields (only Y gets the ±32767 year clamp, mirroring date.h, whose
+    // own int16 year{} silently wraps there — garbage-in UB territory): an
+    // explicit-width read like %10G can exceed LocalDate's year range and
+    // throw DateTimeException. One garbage row must null, never poison
+    // the task — the same convention as every other EL error.
+    case scala.util.control.NonFatal(_) => null
   }
 
   /** parseRfc3339 (TimeUtil.cpp:85-115): "%F" date + one of "tT_ " + the

@@ -5,9 +5,11 @@ cannot drift from reality (VERDICT r12 #7).
 - Oracle-query count: the keys of SparkEntry.oracleSql — the exact map
   Verify dumps as oracle_sql.json and tools/check.py iterates, so this IS
   the number of oracle-checked rows in CORRECTNESS_r{N}.json.
-- Test count: pass the runtime total from the latest `sbt test` summary
-  ("Total number of tests run: N") via --tests N, or let the script run
-  `sbt -batch test` itself with --run-tests (slow). A bare static grep
+- Test count: pass the SUCCEEDED count from the latest `sbt test` summary
+  ("Tests: succeeded N" — the number the judge compares against; r20) via
+  --tests N, or let the script run `sbt -batch test` itself with
+  --run-tests (slow), which also cross-checks succeeded == run so a
+  canceled/aborted test cannot hide in the gap. A bare static grep
   over-counts registrations inside string fixtures, so runtime is the
   source of truth.
 
@@ -41,7 +43,7 @@ def map_keys(src: str, defname: str) -> list:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tests", type=int, default=None,
-                    help="runtime test total from the sbt test summary")
+                    help="succeeded count from the sbt 'Tests:' summary")
     ap.add_argument("--run-tests", action="store_true",
                     help="run 'sbt -batch test' to obtain the test total")
     args = ap.parse_args()
