@@ -2318,7 +2318,17 @@ object SparkEntry {
         el("${rfc1:toDate()}").cast("long").as("rfc_sdigit_ms"),
         el("${rfcoff:toDate()}").cast("long").as("rfc_houroff_ms"),
         el("${rfcfrac:toDate()}").cast("long").as("rfc_frac_ms"),
-        el("${ampm:toDate('%Y-%m-%d %I:%M:%S %p')}").cast("long").as("ampm_ms"))
+        el("${ampm:toDate('%Y-%m-%d %I:%M:%S %p')}").cast("long").as("ampm_ms"),
+        // facet roundtrips: what the r19 whole-second format facet emits
+        // (%c incl. the %e space-padded day, %x through the %y pivot —
+        // the 2024 fixture is pivot-safe — and %r's 12-hour clock), the
+        // r20 parse facet must consume back to the same instant
+        el("${ts_ms:format('%c'):toDate('%c')}")
+          .cast("long").as("c_roundtrip_ms"),
+        el("${ts_ms:format('%x'):toDate('%x')}")
+          .cast("long").as("x_roundtrip_ms"),
+        el("${ts_ms:format('%F %r'):toDate('%F %r')}")
+          .cast("long").as("r_roundtrip_ms"))
         .orderBy("event_id")
     }),
 
@@ -7783,7 +7793,10 @@ object SparkEntry {
         | epoch_ms(date_trunc('second', ts)) AS rfc_sdigit_ms,
         | epoch_ms(date_trunc('second', ts)) - 18000000 AS rfc_houroff_ms,
         | epoch_ms(date_trunc('second', ts)) + 123 AS rfc_frac_ms,
-        | epoch_ms(date_trunc('second', ts)) AS ampm_ms
+        | epoch_ms(date_trunc('second', ts)) AS ampm_ms,
+        | epoch_ms(date_trunc('second', ts)) AS c_roundtrip_ms,
+        | epoch_ms(date_trunc('day', ts)) AS x_roundtrip_ms,
+        | epoch_ms(date_trunc('second', ts)) AS r_roundtrip_ms
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_langid" ->

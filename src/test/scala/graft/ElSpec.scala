@@ -881,6 +881,28 @@ class ElSpec extends SparkSpec {
     // weekday consistency: 2024-01-02 is a Tuesday
     assert(p("Tue 2024-01-02", "%a %Y-%m-%d") === "1704153600000")
     assert(p("Wed 2024-01-02", "%a %Y-%m-%d") === null)
+    // facet-routed composite parses, C-locale expansions (the read-side
+    // mirror of the r19 whole-second format facet):
+    // %c = "%a %b %e %H:%M:%S %Y" — the double space before a
+    // space-padded single-digit day is one ws() skip
+    assert(p("Tue Jan  2 03:04:05 2024", "%c") === base)
+    assert(p("Wed Jan  2 03:04:05 2024", "%c") === null) // wd conflict
+    // %x = "%m/%d/%y" (2-digit year through the POSIX pivot)
+    assert(p("01/02/24", "%x") === "1704153600000")
+    // %X = "%H:%M:%S" whole-second (a fraction is trailing junk)
+    assert(p("2024-01-02 03:04:05", "%F %X") === base)
+    assert(p("2024-01-02 03:04:05.5", "%F %X") === null)
+    // %r = "%I:%M:%S %p" whole-second, combined to a 24h hour
+    assert(p("2024-01-02 03:04:05 PM", "%F %r") === "1704207845000")
+    assert(p("2024-01-02 13:04:05 PM", "%F %r") === null) // %I range
+    // format→parse roundtrip through the facet pair: what the r19
+    // whole-second renderer emits, the parse side must consume
+    assert(eval("${ms:format('%c', 'UTC'):toDate('%c')}",
+      Map("ms" -> "1704164645000")) === base)
+    assert(eval("${ms:format('%x', 'UTC'):toDate('%x')}",
+      Map("ms" -> "1704164645000")) === "1704153600000")
+    assert(eval("${ms:format('%F %r', 'UTC'):toDate('%F %r')}",
+      Map("ms" -> "1704207845000")) === "1704207845000")
   }
 
   test("toDate() no-arg RFC3339 corners beyond the r-battery: 1-2-digit " +
