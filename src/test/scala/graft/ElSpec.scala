@@ -905,6 +905,65 @@ class ElSpec extends SparkSpec {
       Map("ms" -> "1704207845000")) === "1704207845000")
   }
 
+  test("from_stream remaining specifier table: explicit widths, ISO-week " +
+       "and week-number trials, %Z consumption, %n/%t, %D/%R composites " +
+       "(date.h:6566-7902; direct parser calls)") {
+    import graft.el.ElFromStream.toDateMs
+    val base = 1704164645000L // 2024-01-02 03:04:05 UTC
+    // explicit width overrides the per-command digit budget
+    assert(toDateMs("2024-01-02", "%4Y-%m-%d") === 1704153600000L)
+    assert(toDateMs("20240102", "%4Y%2m%2d") === 1704153600000L)
+    // 2024-01-02 is ISO 2024-W01-2: %G/%V/%u resolve through the
+    // ISO-week trial (computed path)
+    assert(toDateMs("2024 1 2", "%G %V %u") === 1704153600000L)
+    // non-computed consistency: an explicit date must AGREE with a
+    // parsed %V (and reject a wrong one)
+    assert(toDateMs("2024-01-02 1", "%Y-%m-%d %V") === 1704153600000L)
+    assert(toDateMs("2024-01-02 2", "%Y-%m-%d %V") === null)
+    // %U (Sunday-start) for the same date is week 0
+    assert(toDateMs("2024-01-02 0", "%Y-%m-%d %U") === 1704153600000L)
+    // %Z consumes a zone token (alnum/_//-+) and DISCARDS it (the
+    // sys_time overload passes no abbrev sink); an empty token fails
+    assert(toDateMs("2024-01-02 03:04:05 UTC", "%F %T %Z") === base)
+    assert(toDateMs("2024-01-02 03:04:05 America/New_York", "%F %T %Z") === base)
+    assert(toDateMs("2024-01-02 03:04:05 ", "%F %T %Z") === null)
+    // %n = exactly one whitespace, %t = zero or one
+    assert(toDateMs("2024-01-02\t03:04:05", "%F%n%T") === base)
+    assert(toDateMs("2024-01-0203:04:05", "%F%n%T") === null)
+    assert(toDateMs("2024-01-0203:04:05", "%F%t%T") === base)
+    assert(toDateMs("2024-01-02 03:04:05", "%F%t%T") === base)
+    // %D = %m/%d/%y, %R = %H:%M
+    assert(toDateMs("01/02/24 03:04", "%D %R") === 1704164640000L)
+    // unknown command with width/modifier matches its full literal text
+    assert(toDateMs("2024-01-02 %3k", "%Y-%m-%d %3k") === 1704153600000L)
+  }
+
+  test("property net: ElFromStream.toDateMs inverts java.time formatting " +
+       "on 300 random instants across 1900-2199 and six format shapes") {
+    import java.time.format.DateTimeFormatter
+    import java.time.{Instant, ZoneOffset}
+    val cases = Seq(
+      ("%Y-%m-%d %H:%M:%S", "uuuu-MM-dd HH:mm:ss", 1000L),
+      ("%F %T", "uuuu-MM-dd HH:mm:ss.SSS", 1L),
+      ("%d/%m/%Y %H:%M", "dd/MM/uuuu HH:mm", 60000L),
+      ("%Y%m%d%H%M%S", "uuuuMMddHHmmss", 1000L),
+      ("%a %b %e %H:%M:%S %Y", "EEE MMM ppd HH:mm:ss uuuu", 1000L),
+      ("%Y-%j %H", "uuuu-DDD HH", 3600000L))
+    val fmts = cases.map { case (el, jvm, g) =>
+      (el, DateTimeFormatter.ofPattern(jvm).withLocale(java.util.Locale.ROOT)
+        .withZone(ZoneOffset.UTC), g) }
+    val rnd = new scala.util.Random(42)
+    val lo = -2208988800000L                 // 1900-01-01
+    val span = 300L * 365 * 86400 * 1000     // ~2199
+    for (_ <- 0 until 300; (elFmt, jvmFmt, grain) <- fmts) {
+      val raw = lo + math.floorMod(rnd.nextLong(), span)
+      val t = raw - math.floorMod(raw, grain)
+      val input = jvmFmt.format(Instant.ofEpochMilli(t))
+      assert(graft.el.ElFromStream.toDateMs(input, elFmt) === t,
+        s"input '$input' fmt '$elFmt'")
+    }
+  }
+
   test("toDate() no-arg RFC3339 corners beyond the r-battery: 1-2-digit " +
        "fields, hour-only offset, colonless-minute rejection, the " +
        "duration-overload hour overflow, the ends_with-Z branch dispatch " +
