@@ -923,6 +923,9 @@ object ElCompiler {
       'z' -> "Z", 'F' -> "yyyy-MM-dd",
       'T' -> "HH:mm:ss.SSS",
       'R' -> "HH:mm",
+      // %n/%t emit the control char itself (to_stream date.h:5524,5689);
+      // a raw non-letter passes through a JVM pattern unquoted
+      'n' -> "\n", 't' -> "\t",
       'G' -> "YYYY", 'V' -> "ww", 'u' -> "e")
     val sb = new StringBuilder
     var i = 0
@@ -936,7 +939,16 @@ object ElCompiler {
             // format side must print "+00:00" like C, never 'Z' (xxx)
             sb.append(if (offsetColonLower) "xxx" else "XXX"); i += 3
           case c if map.contains(c) => sb.append(map(c)); i += 2
-          case c => sb.append('\'').append(c).append('\''); i += 2
+          case c =>
+            // unknown command renders as the LITERAL "%<c>" — to_stream's
+            // default prints '%' then the char (date.h:6105-6117; a
+            // digit also clears the command, so "%4Y" is all literal).
+            // '%' is not a JVM pattern letter, only the letter needs
+            // quoting.
+            sb.append('%')
+            if (c.isLetter) sb.append('\'').append(c).append('\'')
+            else sb.append(c)
+            i += 2
         }
       } else if (ch.isLetter) {  // literal letter → quote for the JVM
         val j = fmt.indexWhere(c => !c.isLetter || c == '%', i) match {

@@ -905,6 +905,22 @@ class ElSpec extends SparkSpec {
       Map("ms" -> "1704207845000")) === "1704207845000")
   }
 
+  test("format-side unknown commands are literal %<c> and %n/%t emit the " +
+       "control char (to_stream default date.h:6105-6117, n/t cases " +
+       ":5524,5689) — the fast date_format path, not the renderer") {
+    val ms = Map("ms" -> "1704164645000")
+    // unknown letter: date.h prints '%' then the char; the old fast path
+    // dropped the '%' and a JVM-meaningful letter would even format
+    assert(eval("${ms:format('%q', 'UTC')}", ms) === "%q")
+    // a digit clears the command, so the whole "%4Y" is literal
+    assert(eval("${ms:format('%4Y', 'UTC')}", ms) === "%4Y")
+    // %n/%t emit the control characters themselves
+    assert(eval("${ms:format('%H%n%M%t%S', 'UTC')}", ms) === "03\n04\t05.000")
+    // the renderer path (week-based letters present) agrees on the same
+    // unknown-command contract
+    assert(eval("${ms:format('%G %q', 'UTC')}", ms) === "2024 %q")
+  }
+
   test("from_stream remaining specifier table: explicit widths, ISO-week " +
        "and week-number trials, %Z consumption, %n/%t, %D/%R composites " +
        "(date.h:6566-7902; direct parser calls)") {
