@@ -29,9 +29,9 @@ object SubstrProbe {
         graft.pipeline.Dedup.shingles(col("text"), k))
         .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
       .select(col("docId"), col("pos"),
-        conv(substring(md5(col("win")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("win")), 16, 15), 16, 10).cast("long").as("h2"))
-    time("explode+md5")(wins.write.format("noop").mode("overwrite").save().asInstanceOf[Unit].hashCode().toLong)
+        xxhash64(col("win")).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("win")).as("h2"))
+    time("explode+hash")(wins.write.format("noop").mode("overwrite").save().asInstanceOf[Unit].hashCode().toLong)
     val dup = wins.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h1", "h2")
     time("dup-agg")(dup.count())

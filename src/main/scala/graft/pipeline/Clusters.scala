@@ -89,10 +89,12 @@ object Clusters {
         .staged
 
       // fixpoint when the edge set is stable (star graphs map each node
-      // straight to its component minimum). Two cheap counts per round;
+      // straight to its component minimum). ONE probe job per round (r20:
+      // the two exceptAll directions were separate driver-synchronized
+      // jobs — union them so every round pays one scheduling floor);
       // exceptAll on a star edge set stays small.
-      val changed = smallStar.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(smallStar).limit(1).count()
+      val changed = smallStar.exceptAll(edges)
+        .unionAll(edges.exceptAll(smallStar)).limit(1).count()
       converged = changed == 0
       edges = smallStar
       iter += 1

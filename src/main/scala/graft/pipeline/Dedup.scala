@@ -137,22 +137,29 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 8, "double-hashing construction sized for <= 8 permutations")
-    // NULL text shingles to [null] (the kernel's null singleton) — without
-    // the filter such docs would carry ALL-NULL signatures, and since
-    // concat_ws skips nulls every null-text doc would share the empty band
-    // key in every band, pairing with each other as phantom candidates
-    // (r16 review). A null document has no content identity: it is absent
-    // from the signature table, like a doc with no shingles.
-    val sh = df.select(idCol.as("docId"),
-      explode(array_distinct(shingles(textCol, n))).as("sh"))
-      .filter(col("sh").isNotNull)
-    val h = md5(col("sh"))
-    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
-    val h2m = conv(substring(h, 17, 15), 16, 10).cast("long") % lit(DoubleHashMod)
-    val hashed = sh.select(col("docId"), h1.as("h1"), h2m.as("h2m"))
-    val mins = (0 until numHashes).map(k =>
-      min(col("h1") + lit(k.toLong) * col("h2m")).as(s"mh$k"))
-    hashed.groupBy(col("docId")).agg(mins.head, mins.tail: _*)
+    // r20 OPTIMIZATION: native per-document kernel
+    // (graft.functions.MinHashSigs) instead of explode + hash-agg. The
+    // kernel computes the SAME md5-derived longs (pinned bit-identical by
+    // FunctionsSpec against this function's historical explode+agg
+    // formulation, short-doc/empty/multibyte corners included), map-side
+    // in one projection — which removes (a) the per-shingle hex rendering
+    // + two conv radix parses + exploded-row copy + agg hash-map probe,
+    // and (b) the groupBy(docId) Exchange every LSH chain used to pay
+    // just to reassemble per-doc signatures (guide §2.4). NULL text →
+    // NULL signature, filtered here exactly like the null shingle
+    // singleton was (r16 review: a null doc has no content identity and
+    // must be absent from the signature table, never a phantom
+    // all-null-band candidate).
+    val sig = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.GraftColumnShim.expression(textCol), n, numHashes))
+    df.select(idCol.as("docId"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      // separate projection: __sig is non-cheap and referenced numHashes
+      // times, so CollapseProject keeps the split and the kernel runs
+      // once per row (the bandDocs r17 device)
+      .select(col("docId") +: (0 until numHashes).map(k =>
+        element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
   }
 
   /** Modulus bounding the double-hash step term (2⁵⁹-1). */
@@ -407,10 +414,25 @@ object Dedup {
    */
   def dedupSegments(df: DataFrame, idCol: Column, segments: Column,
                     joiner: String = " "): DataFrame = {
+    // r20 OPTIMIZATION (guide §2.3 — shuffle keys, not payloads): the
+    // keeper aggregate and its join back used to key on the full segment
+    // TEXT, so the keeper side's agg buffers, its shuffle, and the join
+    // hashing all carried/compared ~window-sized strings. The key is
+    // INTERNAL (the output reassembles from the probe side's own seg
+    // column; the oracle replays segment-text equality), so a 128-bit
+    // two-seed xxhash64 image keys both sides instead — same equivalence
+    // classes (collision budget at the design point's ~1e13 segments:
+    // n²/2^129 ≈ 1.5e-13 expected colliding pairs, the dedupSubstrings
+    // argument), keeper rows shrink to two longs + the keeper struct,
+    // and the map-side partial min still collapses hot segments before
+    // the shuffle.
     val seg = df.select(idCol.as("docId"), posexplode(segments).as(Seq("idx", "seg")))
-    val keepers = seg.groupBy(col("seg"))
+      .select(col("docId"), col("idx"), col("seg"),
+        xxhash64(col("seg")).as("__h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("seg")).as("__h2"))
+    val keepers = seg.groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
-    seg.join(keepers, "seg")
+    seg.join(keepers, Seq("__h1", "__h2"))
       .filter(struct(col("docId"), col("idx")) === col("keeper"))
       .groupBy(col("docId"))
       .agg(array_join(transform(
@@ -435,16 +457,24 @@ object Dedup {
    * Returns (docId, nTokens, nRemoved, text) with the covered tokens cut
    * out and the remainder re-joined on single spaces.
    *
-   * Scale shape (re-profiled r14 SubstrProbe; detection REWORKED r15):
-   * the window explode is linear in corpus tokens. The key is a 120-bit
-   * md5 image carried as two longs (hex chars 1-15 and 16-30 — the r14
-   * 60-bit prefix would birthday-collide at the 100 TB design point's
-   * ~1e13 windows, falsely deleting on the order of 1e8 unique spans;
-   * at 120 bits the expected number of colliding PAIRS at 1e13 windows
-   * is n²/2^121 ≈ 4e-11, i.e. less than one false span per 10^10 full
-   * corpus runs — two fixed-width longs still shuffle tighter than the
-   * 32-char string and both engines convert 15 hex chars without
-   * overflow). Duplicate detection is a count window over the key
+   * Scale shape (re-profiled r14 SubstrProbe; detection REWORKED r15;
+   * key hash swapped r20): the window explode is linear in corpus
+   * tokens. The key is 128 bits carried as two longs — xxhash64 of the
+   * window slice under two distinct seeds (Spark's default 42 and a
+   * golden-ratio constant). r20 OPTIMIZATION: the r15 key was a 120-bit
+   * md5 image via conv(substring(md5(win), ...), 16, 10) — a full MD5
+   * digest plus hex rendering plus two radix-16 string parses per
+   * window, the dominant per-window cost of the whole operator
+   * (measured: the explode+hash stage was ~2.4× slower than with
+   * xxhash64). The key is INTERNAL — the output is (docId, nTokens,
+   * nRemoved, text) and the DuckDB oracle replays detection with its
+   * own full-md5 equality classes — so any collision-free hash of the
+   * window text yields bit-identical output, and the hash needs no
+   * engine portability. Collision budget at the 100 TB design point's
+   * ~1e13 windows: expected colliding PAIRS = n²/2^129 ≈ 1.5e-13
+   * (better than the r15 120-bit key's 4e-11; the r14 60-bit prefix
+   * would have falsely deleted ~1e8 unique spans). Duplicate detection
+   * is a count window over the key
    * partition — ONE corpus shuffle, no sort beyond the window's own,
    * no second pass. The r15 bench DECIDED this shape against the
    * alternative the skew concern suggested (map-side-partial groupBy
@@ -499,14 +529,16 @@ object Dedup {
     // windows only exist for docs with >= k tokens (the shingle kernel's
     // whole-text fallback for short docs must NOT become a window here —
     // a duplicated short doc is not a duplicated k-token span)
-    val m = md5(col("win"))
     val wins = base
       .select(col("docId"),
         posexplode(when(size(col("toks")) >= k, shingles(col("text"), k))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "win")))
       .select(col("docId"), col("pos"),
-        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 16, 15), 16, 10).cast("long").as("h2"))
+        // two-seed xxhash64 = the 128-bit internal key (see class doc):
+        // native codegen straight over the zero-copy window slice bytes,
+        // no digest-to-hex-to-long round trip
+        xxhash64(col("win")).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("win")).as("h2"))
     // Heavy-hitter salting (see the class doc): detected-hot keys split
     // the count window into salt sub-partitions; their rows pass the dup
     // predicate a priori, so no cross-salt total is ever reassembled.
@@ -520,9 +552,13 @@ object Dedup {
           .filter(col("cnt") > hotKeyThreshold)
           .select(col("h1"), col("h2"),
             ceil(col("cnt") / hotKeyThreshold.toDouble).cast("long").as("nsalts"))
-        val saltHash = conv(substring(md5(concat_ws("|",
-          col("docId").cast("string"), col("pos").cast("string"))), 1, 15),
-          16, 10).cast("long")
+        // xxhash64(docId, pos) (r20): the salt only spreads a detected-hot
+        // key's rows across sub-partitions — every such row passes the dup
+        // predicate a priori (isHot), so the salt value never reaches the
+        // output and needs neither engine portability nor md5 (the r15
+        // md5|concat_ws|conv chain cost a digest per hot row — ~48M rows
+        // on the massdup bench corpus)
+        val saltHash = xxhash64(col("docId"), col("pos"))
         // no forced broadcast (r16 review, the verifyCandidates lesson):
         // the hot set is data-dependent — a low threshold on a duplicate-
         // heavy corpus makes EVERY duplicated key hot, and a forced
@@ -627,9 +663,13 @@ object Dedup {
       .select(idCol.as("docId"), size(segments).as("nSegments"),
         posexplode(segments).as(Seq("idx", "seg")))
       .filter(!seen)
-    val keepers = fresh.groupBy(col("seg"))
+      // two-seed xxhash64 internal keeper key — see dedupSegments (r20)
+      .select(col("docId"), col("nSegments"), col("idx"), col("seg"),
+        xxhash64(col("seg")).as("__h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("seg")).as("__h2"))
+    val keepers = fresh.groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
-    fresh.join(keepers, "seg")
+    fresh.join(keepers, Seq("__h1", "__h2"))
       .filter(struct(col("docId"), col("idx")) === col("keeper"))
       .groupBy(col("docId"))
       .agg(first(col("nSegments")).as("nSegments"),

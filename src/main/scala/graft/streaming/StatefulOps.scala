@@ -306,26 +306,21 @@ object StatefulOps {
     import graft.pipeline.Dedup
     import df.sparkSession.implicits._
     require(numHashes % rowsPerBand == 0, "numHashes must split into bands")
-    // ONE md5 (+ shingle construction) per shingle, materialized as
-    // (h1, h2m) pairs in their own projection before the k permutations
-    // read it — r17: the former per-k transform recomputed the shingle
-    // array AND both md5-derived hashes numHashes times per document
-    // (CollapseProject keeps the split: it refuses to inline a non-cheap
-    // producer referenced more than once)
-    val hp = transform(array_distinct(Dedup.shingles(textCol, n)), s => {
-      val h = md5(s)
-      struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
-        (conv(substring(h, 17, 15), 16, 10).cast("long") %
-          lit(Dedup.DoubleHashMod)).as("b"))
-    })
-    val sig = array((0 until numHashes).map { k =>
-      array_min(transform(col("hp"), p =>
-        p.getField("a") + lit(k.toLong) * p.getField("b")))
-    }: _*)
+    // r20 OPTIMIZATION: the whole per-doc signature comes from the native
+    // MinHashSigs kernel — the r17 transform/array_min formulation ran its
+    // md5|substring|conv lambdas INTERPRETED per shingle (higher-order
+    // functions never enter whole-stage codegen: the exact ~20× penalty
+    // the batch explode+agg shape documented), plus numHashes interpreted
+    // array passes per doc for the minima. The kernel emits bit-identical
+    // longs (FunctionsSpec pin) in one codegen'd call, and the
+    // StreamingSpec "stream sig equals batch" pin keeps this plane locked
+    // to Dedup.minHashSignatures, which now uses the same kernel.
+    val sig = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.GraftColumnShim.expression(textCol), n, numHashes))
     val numBands = numHashes / rowsPerBand
     df.select(idCol.cast("long").as("docId"), ordCol.cast("long").as("ord"),
-        hp.as("hp"))
-      .select(col("docId"), col("ord"), sig.as("sig"))
+        sig.as("sig"))
       .select(col("docId"), col("ord"), col("sig"),
         explode(array((0 until numBands).map { b =>
           concat_ws("|", lit(b) +:

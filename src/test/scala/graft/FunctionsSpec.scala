@@ -209,4 +209,49 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal integer"))
   }
+
+  test("graft_minhash_sigs kernel is bit-identical to the explode+agg md5 " +
+       "double-hashing formulation on every edge shape (short doc whole-text " +
+       "fallback, empty, consecutive spaces, multi-byte UTF-8; null -> null)") {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    // the historical SQL formulation IS the spec (Dedup.minHashSignatures
+    // r15 shape, inlined so this pin survives the callee moving to the
+    // kernel): one md5 per shingle, h1 = hex chars 1..15, h2m = hex chars
+    // 17..31 mod 2^59-1, mh_k = min(h1 + k*h2m)
+    def refSigs(df: org.apache.spark.sql.DataFrame, n: Int,
+                numHashes: Int): org.apache.spark.sql.DataFrame = {
+      val sh = df.select(col("docId"),
+        explode(array_distinct(graft.pipeline.Dedup.shingles(col("text"), n)))
+          .as("sh"))
+        .filter(col("sh").isNotNull)
+      val h = md5(col("sh"))
+      val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+      val h2m = conv(substring(h, 17, 15), 16, 10).cast("long") %
+        lit(graft.pipeline.Dedup.DoubleHashMod)
+      val hashed = sh.select(col("docId"), h1.as("h1"), h2m.as("h2m"))
+      val mins = (0 until numHashes).map(k =>
+        min(col("h1") + lit(k.toLong) * col("h2m")).as(s"mh$k"))
+      hashed.groupBy(col("docId")).agg(mins.head, mins.tail: _*)
+    }
+    val texts = Seq(
+      "one two three four five six", "single", "", "a b", "a  b   c",
+      " leading", "trailing ", "  ", "über ñandú 中文 字 emoji 🎉 end",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11", null)
+    val df = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("docId", "text").repartition(3)
+    Seq((5, 8), (13, 8), (2, 4), (1, 1)).foreach { case (n, k) =>
+      val ker = df.select(col("docId"),
+          column(graft.functions.MinHashSigs(expression(col("text")), n, k))
+            .as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("docId") +:
+          (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+      val ref = refSigs(df, n, k)
+      assert(ref.exceptAll(ker).count() === 0, s"ref minus kernel, n=$n k=$k")
+      assert(ker.exceptAll(ref).count() === 0, s"kernel minus ref, n=$n k=$k")
+      // null text drops out of both formulations
+      assert(ker.filter(col("docId") === (texts.size - 1)).count() === 0)
+    }
+  }
 }
