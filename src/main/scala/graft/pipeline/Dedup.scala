@@ -414,25 +414,19 @@ object Dedup {
    */
   def dedupSegments(df: DataFrame, idCol: Column, segments: Column,
                     joiner: String = " "): DataFrame = {
-    // r20 OPTIMIZATION (guide §2.3 — shuffle keys, not payloads): the
-    // keeper aggregate and its join back used to key on the full segment
-    // TEXT, so the keeper side's agg buffers, its shuffle, and the join
-    // hashing all carried/compared ~window-sized strings. The key is
-    // INTERNAL (the output reassembles from the probe side's own seg
-    // column; the oracle replays segment-text equality), so a 128-bit
-    // two-seed xxhash64 image keys both sides instead — same equivalence
-    // classes (collision budget at the design point's ~1e13 segments:
-    // n²/2^129 ≈ 1.5e-13 expected colliding pairs, the dedupSubstrings
-    // argument), keeper rows shrink to two longs + the keeper struct,
-    // and the map-side partial min still collapses hot segments before
-    // the shuffle.
+    // r20 OPTIMIZATION NOTE (tried, measured, REVERTED): keying the keeper
+    // agg + join on a 128-bit xxhash64 image of the segment (the
+    // dedupSubstrings internal-key device) measured a consistent
+    // REGRESSION here (dolma_e2e +1.0 s, dedup_segments/paragraphs_bloom
+    // +10-18% at sf0.1): the keeper side is already collapsed by the
+    // map-side partial min before its shuffle, so narrower keeper keys
+    // bought little, while the PROBE side — the full segment explode —
+    // paid two extra hashes and 16 extra bytes per row. The string-keyed
+    // formulation stays.
     val seg = df.select(idCol.as("docId"), posexplode(segments).as(Seq("idx", "seg")))
-      .select(col("docId"), col("idx"), col("seg"),
-        xxhash64(col("seg")).as("__h1"),
-        xxhash64(lit(0x9E3779B97F4A7C15L), col("seg")).as("__h2"))
-    val keepers = seg.groupBy(col("__h1"), col("__h2"))
+    val keepers = seg.groupBy(col("seg"))
       .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
-    seg.join(keepers, Seq("__h1", "__h2"))
+    seg.join(keepers, "seg")
       .filter(struct(col("docId"), col("idx")) === col("keeper"))
       .groupBy(col("docId"))
       .agg(array_join(transform(
@@ -663,13 +657,9 @@ object Dedup {
       .select(idCol.as("docId"), size(segments).as("nSegments"),
         posexplode(segments).as(Seq("idx", "seg")))
       .filter(!seen)
-      // two-seed xxhash64 internal keeper key — see dedupSegments (r20)
-      .select(col("docId"), col("nSegments"), col("idx"), col("seg"),
-        xxhash64(col("seg")).as("__h1"),
-        xxhash64(lit(0x9E3779B97F4A7C15L), col("seg")).as("__h2"))
-    val keepers = fresh.groupBy(col("__h1"), col("__h2"))
+    val keepers = fresh.groupBy(col("seg"))
       .agg(min(struct(col("docId"), col("idx"))).as("keeper"))
-    fresh.join(keepers, Seq("__h1", "__h2"))
+    fresh.join(keepers, "seg")
       .filter(struct(col("docId"), col("idx")) === col("keeper"))
       .groupBy(col("docId"))
       .agg(first(col("nSegments")).as("nSegments"),
