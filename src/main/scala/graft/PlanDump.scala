@@ -21,17 +21,30 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
+      // r21 (r20 verdict #5): record every eager staging barrier's
+      // segment plan too, so composition dumps show the pre-barrier
+      // stages a localCheckpoint otherwise truncates
+      val stagedDir = java.nio.file.Files
+        .createTempDirectory(s"plandump-$name-").toString
+      spark.conf.set(graft.pipeline.Staging.DumpDirKey, stagedDir)
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute THIS frame so the captured plan is AQE-final
       df.queryExecution.toRdd.foreach(_ => ())
+      spark.conf.unset(graft.pipeline.Staging.DumpDirKey)
+      val segs = Option(new java.io.File(stagedDir).listFiles())
+        .getOrElse(Array.empty).sortBy(_.getName)
+        .map(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+        segs.mkString("\n", "\n", "")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/$name.txt"),
         (s"== $name @ $sfDir ==\n" + plan).getBytes("UTF-8"))
       val exchanges = plan.linesIterator.count(l =>
         l.contains(") Exchange") || l.contains("Exchange ("))
-      println(s"[plandump] $name exchanges=$exchanges -> $outDir/$name.txt")
+      println(s"[plandump] $name exchanges=$exchanges (incl. " +
+        s"${segs.length} staged segments) -> $outDir/$name.txt")
     }
     spark.stop()
   }

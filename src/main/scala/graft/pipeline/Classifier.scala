@@ -73,13 +73,37 @@ object Classifier {
     (lo, micro(math.log(tp) - math.log(tn)))
   }
 
+  /** r21: the token stream rides the native TokenBuckets kernel — the
+    * same md5-prefix bucket longs (pinned bit-equal in FunctionsSpec),
+    * without the per-token hex rendering + substring + radix parse. Null
+    * text explodes to nothing, exactly like the split stream did. */
   private def hashedTokens(df: DataFrame, idCol: Column, textCol: Column,
-                           isHq: Column, buckets: Int): DataFrame =
+                           isHq: Column, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim.{column => kcol, expression => kexpr}
     df.select(idCol.as("docId"), isHq.as("isHq"),
-        explode(split(textCol, " ")).as("g"))
-      .select(col("docId"), col("isHq"),
-        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
-          .as("b"))
+      explode(kcol(graft.functions.TokenBuckets(kexpr(textCol), buckets)))
+        .as("b"))
+  }
+
+  /** Fused per-document scoring pass under a dense micro-nat weight
+    * table: (docId, nTokens, sum) in ONE kernel call — the corpus-scale
+    * token explode and the groupBy(doc) Exchange of the historical
+    * formulation are gone (guide §1.2 step 2, §2.4). `weights` misses
+    * default to 0, the historical coalesce fallback. */
+  private def fusedTokenScore(df: DataFrame, idCol: Column, textCol: Column,
+                              w: Map[Long, Long], buckets: Int,
+                              sumName: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim.{column => kcol, expression => kexpr}
+    val dense = Array.fill(buckets)(0L)
+    w.foreach { case (k, v) => dense(k.toInt) = v }
+    df.select(idCol.as("docId"),
+        kcol(graft.functions.HashedTokenScore(kexpr(textCol), buckets, dense))
+          .as("__s"))
+      .filter(col("__s").isNotNull) // null text scored no tokens before
+      .select(col("docId"),
+        element_at(col("__s"), 1).as("nTokens"),
+        element_at(col("__s"), 2).as(sumName))
+  }
 
   /**
    * Score every document: (docId, nTokens, lorMicro, probMicro) where
@@ -91,10 +115,7 @@ object Classifier {
                     isHq: Column, buckets: Int = 1024): DataFrame = {
     val toks = hashedTokens(df, idCol, textCol, isHq, buckets)
     val (lo, priorMicro) = trainLogOdds(toks, buckets)
-    val scored = toks.groupBy("docId")
-      .agg(count(lit(1)).as("nTokens"),
-        sum(coalesce(element_at(typedlit(lo), col("b")), lit(0L)))
-          .as("lorMicro"))
+    val scored = fusedTokenScore(df, idCol, textCol, lo, buckets, "lorMicro")
     scored.withColumn("probMicro",
       round(lit(1e6) / (lit(1.0) +
         exp(-(lit(priorMicro.toDouble) +
@@ -212,13 +233,7 @@ object Classifier {
   def logisticApply(df: DataFrame, idCol: Column, textCol: Column,
                     w: Map[Long, Long], bias: Long,
                     buckets: Int = 1024): DataFrame = {
-    val wCol =
-      if (w.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(w), col("b")), lit(0L))
-    hashedTokens(df, idCol, textCol, lit(false), buckets)
-      .groupBy("docId")
-      .agg(count(lit(1)).as("nTokens"),
-        sum(wCol).as("dotMicro"))
+    fusedTokenScore(df, idCol, textCol, w, buckets, "dotMicro")
       .withColumn("probMicro",
         round(lit(1e6) / (lit(1.0) + exp(
           -(col("dotMicro").cast("double") / col("nTokens").cast("double")

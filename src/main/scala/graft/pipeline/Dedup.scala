@@ -133,6 +133,12 @@ object Dedup {
    *
    * No overflow: h1 < 2⁶⁰, k·h2m ≤ (numHashes-1)·(2⁵⁹-2); for
    * numHashes ≤ 8 the sum stays under 2⁶³-1 in both engines.
+   *
+   * Precondition (r20 ADVICE): doc ids must be UNIQUE — the kernel path
+   * emits one signature row per input row, where the historical
+   * groupBy(docId) incidentally collapsed duplicate ids into one
+   * min-over-union signature. Every registered caller feeds unique ids;
+   * a caller with repeated ids must dropDuplicates first.
    */
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int, numHashes: Int): DataFrame = {
@@ -467,7 +473,14 @@ object Dedup {
    * engine portability. Collision budget at the 100 TB design point's
    * ~1e13 windows: expected colliding PAIRS = n²/2^129 ≈ 1.5e-13
    * (better than the r15 120-bit key's 4e-11; the r14 60-bit prefix
-   * would have falsely deleted ~1e8 unique spans). Duplicate detection
+   * would have falsely deleted ~1e8 unique spans). That figure assumes
+   * NON-ADVERSARIAL input (r20 ADVICE): xxhash64 is non-cryptographic
+   * with fixed public seeds, so a hostile corpus could craft both-seed
+   * collisions and force false span removal — a second-preimage
+   * guarantee the md5 key did provide. For untrusted web corpora where
+   * that threat matters, swap the two key columns back to the md5
+   * formulation (the r15 shape this comment documents); the operator's
+   * output contract is unchanged either way. Duplicate detection
    * is a count window over the key
    * partition — ONE corpus shuffle, no sort beyond the window's own,
    * no second pass. The r15 bench DECIDED this shape against the
@@ -536,8 +549,8 @@ object Dedup {
     // Heavy-hitter salting (see the class doc): detected-hot keys split
     // the count window into salt sub-partitions; their rows pass the dup
     // predicate a priori, so no cross-salt total is ever reassembled.
-    // The salt hash sits inside the hot branch — codegen evaluates the
-    // md5 only for members of the tiny detected-hot set.
+    // The salt hash (xxhash64 since r20) sits inside the hot branch —
+    // codegen evaluates it only for members of the tiny detected-hot set.
     val salted =
       if (hotKeyThreshold <= 0L)
         wins.withColumn("isHot", lit(false)).withColumn("salt", lit(0L))

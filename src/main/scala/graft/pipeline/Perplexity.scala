@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnShim.{column => kcol, expression => kexpr}
 import graft.pipeline.Staging.StagingOps
 
 /**
@@ -17,9 +18,9 @@ import graft.pipeline.Staging.StagingOps
  * The LM here is the hashed-bucket bigram model the DSIR implementation
  * established ([[Sampling.dsirWeights]]): n-grams hash into a fixed bucket
  * count via md5-prefix (engine-portable), so the WHOLE model is a
- * config-bounded table (≤ 2·`buckets` rows) collected as driver metadata
- * and embedded as map literals — the scoring pass is a narrow map-side
- * lookup, no joins. Add-one smoothing over the bucketed vocabulary:
+ * config-bounded table (≤ 2·`buckets` rows) collected as driver metadata —
+ * the scoring pass is a per-document table lookup, no joins. Add-one
+ * smoothing over the bucketed vocabulary:
  *
  *   -log P(w | prev) = log(c(bucket(prev)) + B) − log(c(bucket(prev,w)) + 1)
  *
@@ -30,45 +31,28 @@ import graft.pipeline.Staging.StagingOps
  * cross-entropy is an integer division `sum div n` — every corpus-scale
  * sum is over longs, order-independent, bit-equal in any engine.
  *
- * Scale shape: ONE reference-scale bigram explode feeding BOTH histograms
- * (each gram emits a tagged (bigram-bucket, context-bucket) pair and a
- * single map-side partial count collapses them to ≤ 2·`buckets` rows in
- * one job), then ONE corpus-scale explode for the scoring pass, whose
+ * Scale shape (r21: the gram chain runs in the native GramBucket kernels —
+ * same md5-prefix bucket longs, pinned bit-equal in FunctionsSpec): ONE
+ * reference-scale pass feeds BOTH histograms (each reference document
+ * emits its packed (isG, bucket) long stream from the codegen'd
+ * `CeGramBuckets` kernel; a single map-side partial count collapses them
+ * to ≤ 2·`buckets` rows in one job), then ONE corpus-scale map-side pass
+ * for the scoring — the fused `CeScore` kernel computes each document's
+ * (n_bigrams, ce_micro) in one call over the zero-copy token slices, so
+ * the corpus-scale gram explode AND the groupBy(docId) Exchange of the
+ * r15–r20 formulation are gone outright (guide §1.2 step 2, §2.4). The
  * per-document output is localCheckpoint'd so the returned frame never
- * re-runs the explode. Tertile cutpoints come from a single
- * rank-condition job over the score HISTOGRAM of the REFERENCE
- * documents (k-th smallest = min value whose cumulative count reaches
- * k; no data-derived `limit(k)`, so no Int ceiling and no k-sized
- * per-partition heaps, and the cumulative window sorts per-value
- * counts, never rows). CCNet's reference corpus (Wikipedia) is
- * bounded — it does not grow with the crawl — so the histogram is
- * reference-bounded metadata; at 100 TB the thresholds are computed
- * once and shipped as two scalars, exactly like the paper's
- * precomputed per-language cutoffs.
+ * re-runs the scan. Tertile cutpoints come from a single rank-condition
+ * job over the score HISTOGRAM of the REFERENCE documents (k-th smallest
+ * = min value whose cumulative count reaches k; no data-derived
+ * `limit(k)`, so no Int ceiling and no k-sized per-partition heaps, and
+ * the cumulative window sorts per-value counts, never rows). CCNet's
+ * reference corpus (Wikipedia) is bounded — it does not grow with the
+ * crawl — so the histogram is reference-bounded metadata; at 100 TB the
+ * thresholds are computed once and shipped as two scalars, exactly like
+ * the paper's precomputed per-language cutoffs.
  */
 object Perplexity {
-
-  /** (ctx, bigram) stream: tokens are raw space-splits (the DSIR
-    * tokenization), with a BOS marker so every document scores. */
-  private def gramStream(df: DataFrame, idCol: Column, textCol: Column,
-                         isRef: Column,
-                         carry: Seq[(String, Column)] = Nil): DataFrame = {
-    val toks = split(textCol, " ")
-    val arr = concat(array(lit("<s>")), toks)
-    df.select(Seq(idCol.as("docId"), isRef.as("isRef"),
-        explode(transform(sequence(lit(1), size(toks)), j =>
-          struct(element_at(arr, j).as("ctx"),
-            concat_ws(" ", element_at(arr, j), element_at(arr, j + 1))
-              .as("g"),
-            element_at(arr, j + 1).as("w")))).as("p")) ++
-        carry.map { case (n, c) => c.as(n) }: _*)
-      .select(Seq(col("docId"), col("isRef"), col("p.ctx"), col("p.g"),
-        col("p.w")) ++
-        carry.map { case (n, _) => col(n) }: _*)
-  }
-
-  private def bucket(c: Column, buckets: Int): Column =
-    (conv(substring(md5(c), 1, 6), 16, 10).cast("long") % buckets).as("b")
 
   private def microLog(x: Double): Long =
     BigDecimal(math.log(x) * 1e6)
@@ -90,60 +74,53 @@ object Perplexity {
   /**
    * The per-document scoring stage alone: (docId, isRef, n_bigrams,
    * ce_micro) under the reference-trained bucketed bigram LM, checkpointed
-   * (the corpus explode runs once however many consumers follow). `carry`
-   * names constant-per-document columns to thread through the gram
-   * explode (e.g. the mixture domain for [[Mixing.doremiWeights]]) so
+   * (the corpus scan runs once however many consumers follow). `carry`
+   * names constant-per-document columns to thread through the scoring
+   * projection (e.g. the mixture domain for [[Mixing.doremiWeights]]) so
    * downstream stages need no corpus-scale join back to the source table.
+   *
+   * Requires unique document ids (one output row per input row; the
+   * historical groupBy(docId) formulation collapsed duplicate ids — every
+   * registered caller feeds unique ids).
    */
   def crossEntropy(df: DataFrame, idCol: Column, textCol: Column,
                    isRef: Column, buckets: Int = 1024,
                    carry: Seq[(String, Column)] = Nil): DataFrame = {
-    val grams = gramStream(df, idCol, textCol, isRef, carry)
-      .select(Seq(col("docId"), col("isRef"),
-        bucket(col("g"), buckets).as("bg"),
-        bucket(col("ctx"), buckets).as("bc")) ++
-        carry.map { case (n, _) => col(n) }: _*)
-
     // the LM: bigram-bucket and context-bucket histograms over the
     // REFERENCE grams only — ≤ 2·buckets rows of aggregate state no
     // matter the corpus size, collected like DSIR's bucket table.
-    // ONE pass: each reference gram emits a tagged pair and a single
-    // map-side partial count collapses both histograms in one job.
-    val hist = grams.filter(col("isRef"))
-      .select(explode(array(
-        struct(lit(true).as("isG"), col("bg").as("b")),
-        struct(lit(false).as("isG"), col("bc").as("b")))).as("p"))
-      .groupBy(col("p.isG").as("isG"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c")).collect()
-    val cb = hist.iterator.filter(_.getAs[Boolean]("isG"))
-      .map(r => r.getAs[Long]("b") -> microLog(r.getAs[Long]("c") + 1.0))
-      .toMap
-    val cc = hist.iterator.filterNot(_.getAs[Boolean]("isG"))
-      .map(r => r.getAs[Long]("b") ->
-        microLog(r.getAs[Long]("c") + buckets.toDouble))
-      .toMap
-    val lpbDefault = 0L                           // log(0 + 1)
-    val lpcDefault = microLog(buckets.toDouble)   // log(0 + B)
-
-    // per-gram negative log-prob in micro-nats, collision-clamped at 0;
-    // one map-side lookup + one groupBy(doc) shuffle
-    val lpb =
-      if (cb.isEmpty) lit(lpbDefault)
-      else coalesce(element_at(typedlit(cb), col("bg")), lit(lpbDefault))
-    val lpc =
-      if (cc.isEmpty) lit(lpcDefault)
-      else coalesce(element_at(typedlit(cc), col("bc")), lit(lpcDefault))
-    // doc-level output is checkpointed so the corpus explode runs ONCE —
+    // ONE pass: each reference doc emits its packed (isG, bucket) long
+    // stream from the native kernel (null text → null array → explode
+    // drops the doc, exactly like the historical null gram stream) and a
+    // single map-side partial count collapses both histograms in one job.
+    val hist = df.filter(isRef)
+      .select(explode(kcol(graft.functions.CeGramBuckets(
+        kexpr(textCol), buckets))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c")).collect()
+    // densify to the kernel tables; absent buckets keep the add-one
+    // defaults (log(0+1) = 0 for the bigram plane, log(0+B) for the
+    // context plane — the historical coalesce fallbacks)
+    val lpb = Array.fill(buckets)(0L)
+    val lpc = Array.fill(buckets)(microLog(buckets.toDouble))
+    hist.foreach { r =>
+      val v = r.getAs[Long]("v")
+      val c = r.getAs[Long]("c")
+      if (v < buckets) lpb(v.toInt) = microLog(c + 1.0)
+      else lpc((v - buckets).toInt) = microLog(c + buckets.toDouble)
+    }
+    // scoring: ONE fused kernel call per document — (n_bigrams, ce_micro)
+    // computed map-side, no gram explode, no groupBy(doc) Exchange.
+    // doc-level output is checkpointed so the corpus scan runs ONCE —
     // both the tertile job and the returned frame read the checkpoint
-    grams
+    df.select(Seq(idCol.as("docId"), isRef.as("isRef"),
+        kcol(graft.functions.CeScore(kexpr(textCol), buckets, lpb, lpc))
+          .as("__s")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
+      .filter(col("__s").isNotNull) // null text scored no grams before
       .select(Seq(col("docId"), col("isRef"),
-        greatest(lpc - lpb, lit(0L)).as("t")) ++
+        element_at(col("__s"), 1).as("n_bigrams"),
+        element_at(col("__s"), 2).as("ce_micro")) ++
         carry.map { case (n, _) => col(n) }: _*)
-      .groupBy("docId")
-      .agg(first(col("isRef")).as("isRef"),
-        (Seq(count(lit(1)).as("n_bigrams"),
-          expr("sum(t) div count(1)").as("ce_micro")) ++
-          carry.map { case (n, _) => first(col(n)).as(n) }): _*)
       .staged
   }
 
@@ -167,62 +144,46 @@ object Perplexity {
    * excess_micro, selected); selected = excess_micro > 0.
    *
    * Scale shape: training two models costs the same data movement as
-   * one — a single corpus gram explode feeds ONE four-way tagged
-   * map-side-partial histogram agg (≤ 4·buckets rows of aggregate
-   * state, each gram's tags gated by its membership flags), and one
-   * scoring explode computes both per-gram terms side by side before
-   * the one groupBy(doc).
+   * one — a single reference-scale packed-bucket pass feeds ONE
+   * two-counter histogram agg (≤ 2·buckets rows of aggregate state, each
+   * gram's contribution gated by its document's membership flags), and
+   * one fused scoring call per document computes both per-gram terms
+   * side by side (no gram explode, no groupBy(doc) Exchange).
    */
   def excessLoss(df: DataFrame, idCol: Column, textCol: Column,
                  isRefTarget: Column, isRefAlt: Column,
                  buckets: Int = 1024): DataFrame = {
-    val grams = gramStream(df, idCol, textCol, isRefTarget,
-        Seq("isRefAlt" -> isRefAlt))
-      .select(col("docId"), col("isRef"), col("isRefAlt"),
-        bucket(col("g"), buckets).as("bg"),
-        bucket(col("ctx"), buckets).as("bc"))
-    val hist = grams
-      .select(explode(array(
-        struct(lit(false).as("alt"), lit(true).as("isG"),
-          col("bg").as("b"), col("isRef").as("keep")),
-        struct(lit(false).as("alt"), lit(false).as("isG"),
-          col("bc").as("b"), col("isRef").as("keep")),
-        struct(lit(true).as("alt"), lit(true).as("isG"),
-          col("bg").as("b"), col("isRefAlt").as("keep")),
-        struct(lit(true).as("alt"), lit(false).as("isG"),
-          col("bc").as("b"), col("isRefAlt").as("keep")))).as("p"))
-      .filter(col("p.keep"))
-      .groupBy(col("p.alt").as("alt"), col("p.isG").as("isG"),
-        col("p.b").as("b"))
-      .agg(count(lit(1)).as("c")).collect()
-    def model(alt: Boolean): (Map[Long, Long], Map[Long, Long]) = {
-      val rows = hist.filter(_.getAs[Boolean]("alt") == alt)
-      (rows.iterator.filter(_.getAs[Boolean]("isG"))
-        .map(r => r.getAs[Long]("b") -> microLog(r.getAs[Long]("c") + 1.0))
-        .toMap,
-       rows.iterator.filterNot(_.getAs[Boolean]("isG"))
-        .map(r => r.getAs[Long]("b") ->
-          microLog(r.getAs[Long]("c") + buckets.toDouble))
-        .toMap)
+    val hist = df.filter(isRefTarget || isRefAlt)
+      .select(isRefTarget.as("kt"), isRefAlt.as("ka"),
+        explode(kcol(graft.functions.CeGramBuckets(
+          kexpr(textCol), buckets))).as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("kt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("ka"), 1L).otherwise(0L)).as("ca"))
+      .collect()
+    def model(cnt: org.apache.spark.sql.Row => Long): (Array[Long], Array[Long]) = {
+      val lpb = Array.fill(buckets)(0L)
+      val lpc = Array.fill(buckets)(microLog(buckets.toDouble))
+      hist.foreach { r =>
+        val v = r.getAs[Long]("v")
+        val c = cnt(r)
+        // c = 0 fills the add-one default values exactly, so unconditional
+        // filling matches the historical keep-filtered sparse maps
+        if (v < buckets) lpb(v.toInt) = microLog(c + 1.0)
+        else lpc((v - buckets).toInt) = microLog(c + buckets.toDouble)
+      }
+      (lpb, lpc)
     }
-    val (cbT, ccT) = model(alt = false)
-    val (cbA, ccA) = model(alt = true)
-    def term(cb: Map[Long, Long], cc: Map[Long, Long]): Column = {
-      val lpb =
-        if (cb.isEmpty) lit(0L)
-        else coalesce(element_at(typedlit(cb), col("bg")), lit(0L))
-      val lpc =
-        if (cc.isEmpty) lit(microLog(buckets.toDouble))
-        else coalesce(element_at(typedlit(cc), col("bc")),
-          lit(microLog(buckets.toDouble)))
-      greatest(lpc - lpb, lit(0L))
-    }
-    grams
-      .select(col("docId"), term(cbT, ccT).as("tt"), term(cbA, ccA).as("ta"))
-      .groupBy("docId")
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(tt) div count(1)").as("ce_target_micro"),
-        expr("sum(ta) div count(1)").as("ce_alt_micro"))
+    val (lpbT, lpcT) = model(_.getAs[Long]("ct"))
+    val (lpbA, lpcA) = model(_.getAs[Long]("ca"))
+    df.select(idCol.as("docId"),
+        kcol(graft.functions.CeScorePair(kexpr(textCol), buckets,
+          lpbT, lpcT, lpbA, lpcA)).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("docId"),
+        element_at(col("__s"), 1).as("n_bigrams"),
+        element_at(col("__s"), 2).as("ce_target_micro"),
+        element_at(col("__s"), 3).as("ce_alt_micro"))
       .withColumn("excess_micro",
         col("ce_alt_micro") - col("ce_target_micro"))
       .withColumn("selected", col("excess_micro") > 0)
@@ -256,25 +217,30 @@ object Perplexity {
    *   den = dDen·c(prev)·(N1+(·,·)+B)
    *
    * and −log P = lnMicro(den) − lnMicro(num), both logs taking exact
-   * INTEGER arguments (the ln-parity device). Exactness envelope: the
-   * binding term is den = dDen·c(prev)·(N1+(·,·)+B), whose c(prev) is a
-   * SINGLE context bucket's count — NOT grams/B, because buckets are
-   * not uniform: the '<s>' context funnels one gram per document into
-   * one bucket. With B = 1024 and dDen = 4, den stays under 2⁵³ while
-   * max-bucket-count < 2⁵³/(4·(B²+B)) ≈ 2.1·10⁹ — i.e. reference
-   * corpora up to ~2 billion DOCUMENTS (and 2.1·10⁹ grams in any other
-   * single bucket); past that the long→double cast may round and the
-   * final micro-nat can drift by one between engines. Reference sets
-   * are sampled far below that in practice (r15 advice documents the
-   * bound honestly). Per-gram −log P is clamped at 0
-   * (hash collisions can push p past 1). A seen context guarantees
-   * N1+(prev,·) ≥ 1, so num ≥ dNum — no log of zero on any path.
+   * INTEGER arguments (the ln-parity device; the kernel's lnMicro is
+   * pinned bit-equal to the SQL `round(log(x)·1e6, 0)` in
+   * FunctionsSpec). Exactness envelope: the binding term is
+   * den = dDen·c(prev)·(N1+(·,·)+B), whose c(prev) is a SINGLE context
+   * bucket's count — NOT grams/B, because buckets are not uniform: the
+   * '<s>' context funnels one gram per document into one bucket. With
+   * B = 1024 and dDen = 4, den stays under 2⁵³ while max-bucket-count
+   * < 2⁵³/(4·(B²+B)) ≈ 2.1·10⁹ — i.e. reference corpora up to ~2
+   * billion DOCUMENTS (and 2.1·10⁹ grams in any other single bucket);
+   * past that the long→double cast may round and the final micro-nat
+   * can drift by one between engines. Reference sets are sampled far
+   * below that in practice (r15 advice documents the bound honestly).
+   * Per-gram −log P is clamped at 0 (hash collisions can push p past
+   * 1). A seen context guarantees N1+(prev,·) ≥ 1, so num ≥ dNum — no
+   * log of zero on any path.
    *
-   * Scale shape: ONE reference-scale pass builds all model tables (each
-   * ref gram emits three tagged rows; a single map-side-partial count
-   * collapses them — the tag-2 (bc, bw) plane is ≤B² rows of aggregate
-   * state, reduced to the ≤B-row N1+ maps by vocab-bounded follow-up
-   * aggs before collection), then ONE corpus-scale scoring explode.
+   * Scale shape (r21 kernels): ONE reference-scale pass builds all model
+   * tables (each ref doc emits three packed tag entries per gram from
+   * the codegen'd `KnGramBuckets` kernel; a single map-side-partial
+   * count collapses them — the tag-2 (bc, bw) plane is ≤B² rows of
+   * aggregate state, reduced to the ≤B-row N1+ maps by vocab-bounded
+   * follow-up aggs before collection), then ONE corpus-scale fused
+   * scoring call per document (`KnScore` — no gram explode, no
+   * groupBy(doc) Exchange).
    */
   def perplexityBucketsKN(df: DataFrame, idCol: Column, textCol: Column,
                           isRef: Column, buckets: Int = 1024,
@@ -282,66 +248,50 @@ object Perplexity {
     bucketize(crossEntropyKN(df, idCol, textCol, isRef, buckets, dNum, dDen))
 
   /** The KN scoring stage alone: (docId, isRef, n_bigrams, ce_micro),
-    * checkpointed — see [[perplexityBucketsKN]]. */
+    * checkpointed — see [[perplexityBucketsKN]]. Unique doc ids required
+    * (the [[crossEntropy]] note). */
   def crossEntropyKN(df: DataFrame, idCol: Column, textCol: Column,
                      isRef: Column, buckets: Int = 1024,
                      dNum: Int = 3, dDen: Int = 4): DataFrame = {
     require(dNum > 0 && dDen > dNum, "discount must satisfy 0 < D < 1")
-    val grams = gramStream(df, idCol, textCol, isRef)
-      .select(col("docId"), col("isRef"),
-        bucket(col("g"), buckets).as("bg"),
-        bucket(col("ctx"), buckets).as("bc"),
-        bucket(col("w"), buckets).as("bw"))
-
-    // ONE reference pass: tag 0 = bigram-bucket counts, tag 1 =
-    // context-bucket counts, tag 2 = distinct (context, word) bucket
-    // pairs; ≤ 2B + B² rows of aggregate state at any corpus size
-    val tagged = grams.filter(col("isRef"))
-      .select(explode(array(
-        struct(lit(0).as("tag"), col("bg").as("k1"), lit(0L).as("k2")),
-        struct(lit(1).as("tag"), col("bc").as("k1"), lit(0L).as("k2")),
-        struct(lit(2).as("tag"), col("bc").as("k1"), col("bw").as("k2"))))
-        .as("p"))
-      .groupBy(col("p.tag").as("tag"), col("p.k1").as("k1"),
-        col("p.k2").as("k2"))
-      .agg(count(lit(1)).as("c"))
+    // ONE reference pass, packed per gram: [0, B) = bigram-bucket counts,
+    // [B, 2B) = context-bucket counts, [2B, 2B + B²) = the (context,
+    // word) bucket pair plane; ≤ 2B + B² rows of aggregate state at any
+    // corpus size
+    val twoB = 2L * buckets
+    val tagged = df.filter(isRef)
+      .select(explode(kcol(graft.functions.KnGramBuckets(
+        kexpr(textCol), buckets))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
       .staged // consumed by 4 bounded follow-ups
     def toMap(f: DataFrame): Map[Long, Long] = f.collect().iterator
-      .map(r => r.getAs[Long]("k")  -> r.getAs[Long]("c")).toMap
-    val cbMap = toMap(tagged.filter(col("tag") === 0)
-      .select(col("k1").as("k"), col("c")))
-    val ccMap = toMap(tagged.filter(col("tag") === 1)
-      .select(col("k1").as("k"), col("c")))
-    val pairs = tagged.filter(col("tag") === 2)
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("c")).toMap
+    val cbMap = toMap(tagged.filter(col("v") < buckets)
+      .select(col("v").as("k"), col("c")))
+    val ccMap = toMap(tagged.filter(col("v") >= buckets && col("v") < twoB)
+      .select((col("v") - buckets).as("k"), col("c")))
+    val pairs = tagged.filter(col("v") >= twoB)
+      .select(expr(s"(v - $twoB) DIV $buckets").as("k1"),
+        ((col("v") - twoB) % buckets).as("k2"))
     val n1pMap = toMap(pairs.groupBy(col("k1").as("k"))
       .agg(count(lit(1)).as("c")))
     val n1wMap = toMap(pairs.groupBy(col("k2").as("k"))
       .agg(count(lit(1)).as("c")))
     val nccB = pairs.count() + buckets
 
-    def look(m: Map[Long, Long], k: Column): Column =
-      if (m.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(m), k), lit(0L))
-    def lnMicroCol(x: Column): Column =
-      round(log(x.cast("double")) * 1e6, 0).cast("long")
-    val cg = look(cbMap, col("bg"))
-    val cp = look(ccMap, col("bc"))
-    val n1p = look(n1pMap, col("bc"))
-    val n1w = look(n1wMap, col("bw"))
-    val num = greatest(lit(dDen.toLong) * cg - dNum, lit(0L)) * nccB +
-      lit(dNum.toLong) * n1p * (n1w + 1L)
-    val den = lit(dDen.toLong) * cp * nccB
-    val t = greatest(
-      when(cp === 0L, lit(microLog(nccB.toDouble)) - lnMicroCol(n1w + 1L))
-        .otherwise(lnMicroCol(den) - lnMicroCol(num)),
-      lit(0L))
-
-    grams
-      .select(col("docId"), col("isRef"), t.as("t"))
-      .groupBy("docId")
-      .agg(first(col("isRef")).as("isRef"),
-        count(lit(1)).as("n_bigrams"),
-        expr("sum(t) div count(1)").as("ce_micro"))
+    def dense(m: Map[Long, Long]): Array[Long] = {
+      val a = Array.fill(buckets)(0L) // the historical lookup default
+      m.foreach { case (k, v) => a(k.toInt) = v }
+      a
+    }
+    df.select(idCol.as("docId"), isRef.as("isRef"),
+        kcol(graft.functions.KnScore(kexpr(textCol), buckets,
+          dense(cbMap), dense(ccMap), dense(n1pMap), dense(n1wMap),
+          nccB, microLog(nccB.toDouble), dNum, dDen)).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("docId"), col("isRef"),
+        element_at(col("__s"), 1).as("n_bigrams"),
+        element_at(col("__s"), 2).as("ce_micro"))
       .staged
   }
 

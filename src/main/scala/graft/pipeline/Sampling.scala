@@ -297,37 +297,42 @@ object Sampling {
    */
   def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
                   isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val grams = df.select(idCol.as("docId"), isTarget.as("isTarget"),
-      explode(concat(split(textCol, " "),
-        Dedup.shingles(textCol, 2))).as("g"))
-      .select(col("docId"), col("isTarget"),
-        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
-          .as("b"))
+    import org.apache.spark.sql.GraftColumnShim.{column => kcol, expression => kexpr}
     // the bucket histogram is CONFIG-BOUNDED (<= `buckets` rows) no matter
     // the corpus size — collect it like packSequences' 256 range totals
-    // (aggregate-state metadata, never row data) and embed the per-bucket
-    // log-ratio table as ONE map literal. That removes the blocking
-    // broadcast-build jobs and both joins the dataframe formulation paid
-    // (measured 1.6 s -> ~0.7 s at sf0.1); the final pass is a single
-    // map-side lookup + one groupBy(doc) shuffle.
-    val counts = grams.groupBy("b").agg(
+    // (aggregate-state metadata, never row data). r21: the gram stream is
+    // the native DsirGramBuckets kernel (the same md5-prefix bucket longs,
+    // pinned bit-equal in FunctionsSpec) — the histogram explode carries
+    // longs instead of built gram strings + hex/conv parses.
+    val counts = df.select(isTarget.as("isTarget"),
+        explode(kcol(graft.functions.DsirGramBuckets(
+          kexpr(textCol), buckets))).as("b"))
+      .groupBy("b").agg(
       sum(when(col("isTarget"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr")).collect()
     val tt = counts.map(_.getAs[Long]("ct")).sum.toDouble + buckets
     val tr = counts.map(_.getAs[Long]("cr")).sum.toDouble + buckets
     // log ((ct+1)/(tt+B)) - log ((cr+1)/(tr+B)), micro-units per bucket;
     // HALF_UP like SQL round (away from zero on the .5 boundary)
-    val lr: Map[Long, Long] = counts.map { r =>
+    val lr = Array.fill(buckets)(0L)
+    counts.foreach { r =>
       val x = (math.log(r.getAs[Long]("ct") + 1.0) - math.log(tt) -
         math.log(r.getAs[Long]("cr") + 1.0) + math.log(tr)) * 1e6
-      r.getAs[Long]("b") ->
+      lr(r.getAs[Long]("b").toInt) =
         BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    }.toMap
-    // every gram of THIS corpus maps to a counted bucket, so the literal
-    // lookup never misses
-    grams.groupBy("docId")
-      .agg(count(lit(1)).as("nGrams"),
-        sum(element_at(typedlit(lr), col("b"))).as("weightMicro"))
+    }
+    // every gram of THIS corpus maps to a counted bucket, so the dense
+    // table never misses. The scoring pass is ONE fused kernel call per
+    // document — (nGrams, weightMicro) map-side, no gram explode, no
+    // groupBy(doc) Exchange (guide §1.2 step 2, §2.4). Null text scored
+    // no grams before (explode of a null stream) — the filter matches.
+    df.select(idCol.as("docId"),
+        kcol(graft.functions.DsirScore(kexpr(textCol), buckets, lr))
+          .as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("docId"),
+        element_at(col("__s"), 1).as("nGrams"),
+        element_at(col("__s"), 2).as("weightMicro"))
   }
 
   /**

@@ -839,7 +839,7 @@ object Similarity {
     * allocation per codeword per row — it dominated the production
     * IVFADC row (m=16·k=256: ~82M codeword evals per corpus pass),
     * and the sub-budget literal-codeword variant crashed Janino. */
-  private def pqArgMinQ(sv: Column, cwFlat: Column, cn: Column): Column =
+  private[pipeline] def pqArgMinQ(sv: Column, cwFlat: Column, cn: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(graft.functions.PqArgMinQ(
       org.apache.spark.sql.GraftColumnShim.expression(sv),
       org.apache.spark.sql.GraftColumnShim.expression(cwFlat),
@@ -859,7 +859,7 @@ object Similarity {
     * whole family). Requires the [[centsFlatRow]] layout, whose
     * cent-ASC sort makes the kernel's smallest-index tie-break
     * identical to the struct-min's smallest-cent tie-break. */
-  private def argMaxCos6Q(vec: Column, cqflat: Column, cns: Column): Column =
+  private[pipeline] def argMaxCos6Q(vec: Column, cqflat: Column, cns: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(graft.functions.ArgMaxCos6Q(
       org.apache.spark.sql.GraftColumnShim.expression(vec),
       org.apache.spark.sql.GraftColumnShim.expression(cqflat),
@@ -868,7 +868,7 @@ object Similarity {
   /** The centroid table as ONE broadcast-able row in the kernel-ready
     * flat layout, SORTED by cent id (the tie-break contract): cids (k
     * ids), cqflat (k·dim longs, concatenated), cns (k norms). */
-  private def centsFlatRow(cents: DataFrame): DataFrame =
+  private[pipeline] def centsFlatRow(cents: DataFrame): DataFrame =
     cents.agg(sort_array(collect_list(
         struct(col("cent"), col("centq"), col("centn")))).as("cs"))
       .select(transform(col("cs"), x => x.getField("cent")).as("cids"),
@@ -903,7 +903,7 @@ object Similarity {
     * collapses to ≤ m·k·subDim rows. (A per-subspace loop was 3× slower
     * at the bench scale: m·iters tiny jobs were pure scheduler/codegen
     * floor.) */
-  private def pqLloydAll(c: DataFrame, m: Int, sub: Int, k: Int,
+  private[pipeline] def pqLloydAll(c: DataFrame, m: Int, sub: Int, k: Int,
                          iters: Int): Array[Array[Array[Long]]] = {
     val spark = c.sparkSession
     import spark.implicits._

@@ -321,6 +321,12 @@ object StatefulOps {
     val numBands = numHashes / rowsPerBand
     df.select(idCol.cast("long").as("docId"), ordCol.cast("long").as("ord"),
         sig.as("sig"))
+      // r21 (r20 ADVICE): a NULL text yields a NULL signature — without
+      // this filter every null-text doc lands in one degenerate per-band
+      // bucket (concat_ws skips nulls) and a null sig List reaches
+      // detectNearDuplicates state, where signature scoring NPEs. Mirrors
+      // minHashSignatures' __sig null filter on the batch plane.
+      .filter(col("sig").isNotNull)
       .select(col("docId"), col("ord"), col("sig"),
         explode(array((0 until numBands).map { b =>
           concat_ws("|", lit(b) +:

@@ -254,4 +254,215 @@ class FunctionsSpec extends SparkSpec {
       assert(ker.filter(col("docId") === (texts.size - 1)).count() === 0)
     }
   }
+
+  // ------- r21 gram-bucket kernels: the historical md5-prefix SQL
+  // formulations ARE the spec (bucket values are output-defining — the
+  // oracle recomputes them), so every kernel is pinned bit-identical -----
+
+  private val gramTexts = Seq(
+    "one two three four five six", "single", "", "a b", "a  b   c",
+    " leading", "trailing ", "  ", "über ñandú 中文 字 emoji 🎉 end",
+    "the the the the", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11", null)
+
+  private def gramDf = spark.createDataFrame(
+    gramTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    .toDF("docId", "text").repartition(3)
+
+  /** the historical bucket: conv(substring(md5(c),1,6),16,10) % B */
+  private def refBucket(c: org.apache.spark.sql.Column, buckets: Int) =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % buckets
+
+  test("graft_token_buckets / graft_dsir_buckets are bit-identical to the " +
+       "explode(split)/explode(unigrams++shingles) md5-prefix formulations " +
+       "on every edge shape; null -> dropped by explode") {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    Seq(7, 1024).foreach { b =>
+      val kerTok = gramDf.select(col("docId"),
+        explode(column(graft.functions.TokenBuckets(expression(col("text")), b)))
+          .as("v"))
+      val refTok = gramDf.select(col("docId"),
+          explode(split(col("text"), " ")).as("g"))
+        .select(col("docId"), refBucket(col("g"), b).as("v"))
+      assert(refTok.exceptAll(kerTok).count() === 0, s"tok ref-ker b=$b")
+      assert(kerTok.exceptAll(refTok).count() === 0, s"tok ker-ref b=$b")
+      val kerDsir = gramDf.select(col("docId"),
+        explode(column(graft.functions.DsirGramBuckets(expression(col("text")), b)))
+          .as("v"))
+      val refDsir = gramDf.select(col("docId"),
+          explode(concat(split(col("text"), " "),
+            graft.pipeline.Dedup.shingles(col("text"), 2))).as("g"))
+        .select(col("docId"), refBucket(col("g"), b).as("v"))
+      assert(refDsir.exceptAll(kerDsir).count() === 0, s"dsir ref-ker b=$b")
+      assert(kerDsir.exceptAll(refDsir).count() === 0, s"dsir ker-ref b=$b")
+    }
+  }
+
+  /** the historical perplexity gram stream: (ctx, g, w) structs over the
+    * <s>-prefixed token chain (Perplexity.gramStream r15-r20 shape) */
+  private def refGramStream(df: org.apache.spark.sql.DataFrame) = {
+    val toks = split(col("text"), " ")
+    val arr = concat(array(lit("<s>")), toks)
+    df.select(col("docId"),
+        explode(transform(sequence(lit(1), size(toks)), j =>
+          struct(element_at(arr, j).as("ctx"),
+            concat_ws(" ", element_at(arr, j), element_at(arr, j + 1)).as("g"),
+            element_at(arr, j + 1).as("w")))).as("p"))
+      .select(col("docId"), col("p.ctx"), col("p.g"), col("p.w"))
+  }
+
+  test("graft_ce_buckets / graft_kn_buckets pack the exact historical " +
+       "(bigram, ctx[, ctx·B+w]) md5-prefix buckets per gram") {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    Seq(7, 1024).foreach { b =>
+      val kerCe = gramDf.select(col("docId"),
+        explode(column(graft.functions.CeGramBuckets(expression(col("text")), b)))
+          .as("v"))
+      val refCe = refGramStream(gramDf).select(col("docId"),
+          explode(array(refBucket(col("g"), b),
+            refBucket(col("ctx"), b) + b)).as("v"))
+      assert(refCe.exceptAll(kerCe).count() === 0, s"ce ref-ker b=$b")
+      assert(kerCe.exceptAll(refCe).count() === 0, s"ce ker-ref b=$b")
+      val kerKn = gramDf.select(col("docId"),
+        explode(column(graft.functions.KnGramBuckets(expression(col("text")), b)))
+          .as("v"))
+      val refKn = refGramStream(gramDf).select(col("docId"),
+          explode(array(refBucket(col("g"), b),
+            refBucket(col("ctx"), b) + b,
+            refBucket(col("ctx"), b) * b + refBucket(col("w"), b) + 2L * b))
+            .as("v"))
+      assert(refKn.exceptAll(kerKn).count() === 0, s"kn ref-ker b=$b")
+      assert(kerKn.exceptAll(refKn).count() === 0, s"kn ker-ref b=$b")
+    }
+  }
+
+  test("kernel lnMicro is bit-identical to round(log(x)*1e6, 0) over a " +
+       "dense integer battery (the KN float exposure)") {
+    // 1..50000 densely, then the large-argument band the den/num terms
+    // actually reach (dDen·c·(B²+B) scale)
+    val big = Seq(1234567L, 99999999L, 4199040000L, 4294967311L,
+      1L << 52, (1L << 53) - 1)
+    val df = spark.range(1, 50001).select(col("id"))
+      .union(spark.createDataFrame(big.map(Tuple1(_))).toDF("id"))
+    val rows = df.select(col("id"),
+      round(log(col("id").cast("double")) * 1e6, 0).cast("long").as("r"))
+      .collect()
+    rows.foreach { r =>
+      assert(graft.functions.GramBucketKernels.lnMicro(r.getLong(0)) ===
+        r.getLong(1), s"x=${r.getLong(0)}")
+    }
+  }
+
+  test("fused scorers (token / dsir / ce / ce-pair / kn) reproduce the " +
+       "historical explode + table-lookup + groupBy(doc) aggregation " +
+       "bit-exactly, including the div and clamp legs; null text drops") {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    val b = 11
+    // deterministic pseudo-random dense tables exercising negatives,
+    // zeros (the cp==0 KN backoff) and the defaults
+    def table(seed: Int, mod: Int, shift: Int): Array[Long] =
+      Array.tabulate(b)(i => ((i * 2654435761L + seed) % mod) - shift)
+    val w = table(1, 1001, 500)
+    val lpb = table(2, 300, 0); val lpc = table(3, 300, 0)
+    val lpbA = table(4, 300, 0); val lpcA = table(5, 300, 0)
+    val cb = table(6, 50, 0); val cc = table(7, 3, 0) // cc hits zeros
+    val n1p = table(8, 20, 0); val n1w = table(9, 20, 0)
+    val nccB = 117L
+    def lnMicroCol(x: org.apache.spark.sql.Column) =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    def mapOf(a: Array[Long]) =
+      typedlit(a.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+    def look(a: Array[Long], k: org.apache.spark.sql.Column) =
+      coalesce(element_at(mapOf(a), k), lit(0L))
+
+    // token scorer vs groupBy formulation
+    val kerTok = gramDf.select(col("docId"),
+        column(graft.functions.HashedTokenScore(expression(col("text")), b, w))
+          .as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("docId"), element_at(col("s"), 1).as("n"),
+        element_at(col("s"), 2).as("sum"))
+    val refTok = gramDf.select(col("docId"),
+        explode(split(col("text"), " ")).as("g"))
+      .select(col("docId"), refBucket(col("g"), b).as("bk"))
+      .groupBy("docId").agg(count(lit(1)).as("n"),
+        sum(look(w, col("bk"))).as("sum"))
+    assert(refTok.exceptAll(kerTok).count() === 0 &&
+      kerTok.exceptAll(refTok).count() === 0, "token scorer")
+
+    // dsir scorer
+    val kerDsir = gramDf.select(col("docId"),
+        column(graft.functions.DsirScore(expression(col("text")), b, w)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("docId"), element_at(col("s"), 1).as("n"),
+        element_at(col("s"), 2).as("sum"))
+    val refDsir = gramDf.select(col("docId"),
+        explode(concat(split(col("text"), " "),
+          graft.pipeline.Dedup.shingles(col("text"), 2))).as("g"))
+      .select(col("docId"), refBucket(col("g"), b).as("bk"))
+      .groupBy("docId").agg(count(lit(1)).as("n"),
+        sum(look(w, col("bk"))).as("sum"))
+    assert(refDsir.exceptAll(kerDsir).count() === 0 &&
+      kerDsir.exceptAll(refDsir).count() === 0, "dsir scorer")
+
+    // ce scorer vs the clamped-term groupBy formulation
+    val grams = refGramStream(gramDf).select(col("docId"),
+      refBucket(col("g"), b).as("bg"), refBucket(col("ctx"), b).as("bc"),
+      refBucket(col("w"), b).as("bw"))
+    val kerCe = gramDf.select(col("docId"),
+        column(graft.functions.CeScore(expression(col("text")), b, lpb, lpc))
+          .as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("docId"), element_at(col("s"), 1).as("n"),
+        element_at(col("s"), 2).as("ce"))
+    val refCe = grams
+      .select(col("docId"),
+        greatest(look(lpc, col("bc")) - look(lpb, col("bg")), lit(0L)).as("t"))
+      .groupBy("docId").agg(count(lit(1)).as("n"),
+        expr("sum(t) div count(1)").as("ce"))
+    assert(refCe.exceptAll(kerCe).count() === 0 &&
+      kerCe.exceptAll(refCe).count() === 0, "ce scorer")
+
+    // two-model ce scorer
+    val kerCe2 = gramDf.select(col("docId"),
+        column(graft.functions.CeScorePair(expression(col("text")), b,
+          lpb, lpc, lpbA, lpcA)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("docId"), element_at(col("s"), 1).as("n"),
+        element_at(col("s"), 2).as("ct"), element_at(col("s"), 3).as("ca"))
+    val refCe2 = grams
+      .select(col("docId"),
+        greatest(look(lpc, col("bc")) - look(lpb, col("bg")), lit(0L)).as("tt"),
+        greatest(look(lpcA, col("bc")) - look(lpbA, col("bg")), lit(0L)).as("ta"))
+      .groupBy("docId").agg(count(lit(1)).as("n"),
+        expr("sum(tt) div count(1)").as("ct"),
+        expr("sum(ta) div count(1)").as("ca"))
+    assert(refCe2.exceptAll(kerCe2).count() === 0 &&
+      kerCe2.exceptAll(refCe2).count() === 0, "ce pair scorer")
+
+    // kn scorer vs the exact-rational + lnMicro formulation (r15-r20
+    // Perplexity.crossEntropyKN shape, dNum/dDen = 3/4)
+    val (dNum, dDen) = (3, 4)
+    val lnB = BigDecimal(math.log(nccB.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val kerKn = gramDf.select(col("docId"),
+        column(graft.functions.KnScore(expression(col("text")), b,
+          cb, cc, n1p, n1w, nccB, lnB, dNum, dDen)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("docId"), element_at(col("s"), 1).as("n"),
+        element_at(col("s"), 2).as("ce"))
+    val cg = look(cb, col("bg")); val cp = look(cc, col("bc"))
+    val n1pC = look(n1p, col("bc")); val n1wC = look(n1w, col("bw"))
+    val num = greatest(lit(dDen.toLong) * cg - dNum, lit(0L)) * nccB +
+      lit(dNum.toLong) * n1pC * (n1wC + 1L)
+    val den = lit(dDen.toLong) * cp * nccB
+    val t = greatest(
+      when(cp === 0L, lit(lnB) - lnMicroCol(n1wC + 1L))
+        .otherwise(lnMicroCol(den) - lnMicroCol(num)),
+      lit(0L))
+    val refKn = grams.select(col("docId"), t.as("t"))
+      .groupBy("docId").agg(count(lit(1)).as("n"),
+        expr("sum(t) div count(1)").as("ce"))
+    assert(refKn.exceptAll(kerKn).count() === 0 &&
+      kerKn.exceptAll(refKn).count() === 0, "kn scorer")
+  }
 }
