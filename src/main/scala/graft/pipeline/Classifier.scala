@@ -176,6 +176,15 @@ object Classifier {
                     isHq: Column, buckets: Int = 1024, steps: Int = 2,
                     lrNum: Long = 1L, lrDen: Long = 2L): (Map[Long, Long], Long) = {
     require(steps >= 1 && lrNum > 0 && lrDen > 0, "bad GD config")
+    // r21 NOTE (tried, measured, REVERTED — the r20 keeper-key lesson):
+    // building this sliver with a per-doc bucket-histogram kernel
+    // (map-side (b, cnt) struct arrays, no groupBy Exchange) measured
+    // SLOWER (quality_logistic 2.04 -> 2.68 s, dclm_e2e 4.25 -> 4.88 s
+    // min-of-5 A/B at sf0.1): the map-side partial agg already collapses
+    // the token explode to ~distinct-(doc, bucket) rows before the
+    // shuffle — docs live in one partition each, so the Exchange carries
+    // sliver-sized data at ANY corpus size — while the kernel added a
+    // per-entry object-row materialization on 100% of entries.
     val toks = hashedTokens(df, idCol, textCol, isHq, buckets)
     val cnts = toks.groupBy("docId", "b")
       .agg(count(lit(1)).as("cnt"), first(col("isHq")).as("isHq"))
