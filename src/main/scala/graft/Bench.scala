@@ -611,9 +611,17 @@ object Bench {
     // were 2-4× one-sided steal spikes that min-of-3 failed to reject
     // (idle reruns: 0.524 / 0.498). The base name keys both the 1× and
     // x10/skew variants of a query.
+    // r21 (r20 verdict #6, variance discipline): rows whose committed
+    // max/min spread exceeded 2× between same-code runs get five reps —
+    // dedup_substrings (its base name also keys the longdoc/skew/x10
+    // variants, the 2-3× swingers of the r20 record) and dclm_e2e (the
+    // r20 round's med swung 12.8-17.4 s under driver load while idle
+    // runs read ~4 s). Additions-only: no existing row's timing loop or
+    // estimator changed, reps ride along in the spread record.
     val wideNoise = Set("dedup_minhash_lsh", "dedup_minhash_lsh_capped",
       "pipeline_e2e", "route_text", "embed_topk_lsh", "embed_topk",
-      "embed_neardup", "tfidf_topk")
+      "embed_neardup", "tfidf_topk",
+      "dedup_substrings", "dclm_e2e")
     // r19 (verdict #4): per-ROW spread telemetry. Every published row keeps
     // min as its point estimate (noise-robust under one-sided steal, the
     // established round-over-round unit), but the full rep vector is
@@ -726,8 +734,11 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] massdup warm: $e") }
     val massDupResults = Seq(
       rec("massdup_dedup_substrings", substrTimes(massDupDir, 0L, 2)),
+      // r21: 5 reps (was 3) — committed same-code runs of this row read
+      // 4.3 vs 8.5 s (r20 record); the unsalted twin stays min-of-2 (a
+      // deliberately slow contrast row, more reps buy nothing)
       rec("massdup_dedup_substrings_salted",
-        substrTimes(massDupDir, 100000L, 3)))
+        substrTimes(massDupDir, 100000L, 5)))
     // SemDeDup scale pair: the registered query's fixed nCentroids=8 would
     // make the intra-cluster pair join quadratic at 10× BY CONFIG (cluster
     // population ∝ N at fixed k) — the paper's own scale knob is cluster

@@ -136,7 +136,13 @@ object Bpe {
         val rewritten = batch.foldLeft(col("sym")) { case (acc, (l, r, _)) =>
           call_function("replace", acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
         }
-        syms = syms.select(rewritten.as("sym"), col("freq")).staged
+        // r21: LAZY barrier — the rewrite materializes inside the NEXT
+        // round's ranked job instead of as its own driver-synchronized
+        // checkpoint job (one job per round instead of two, and the final
+        // round's rewrite — which nothing consumes — never runs). The
+        // checkpoint still truncates lineage on first use, so round N's
+        // plan never embeds round N-1's subtree. Same frames, same merges.
+        syms = syms.select(rewritten.as("sym"), col("freq")).stagedLazy
       }
       round += 1
     }
